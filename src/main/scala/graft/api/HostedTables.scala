@@ -1,0 +1,109 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{Merge, TimestampNorm, WriteMode}
+import graft.sinks.HostedStore
+import graft.sources.{GraftCommitMessage, GraftWriteReports}
+
+/** High-level hosted-table API — the public surface of the reference:
+  *
+  *  - `read`      ≙ `agol_hosted_item_to_sdf` (`/root/reference/src/agol_pandas.py:218-251`)
+  *  - `write`     ≙ `df_to_agol_hosted_table` (`src/agol_pandas.py:314-475`)
+  *  - `createTable` ≙ `create_table` (`src/agol_pandas.py:477-544`)
+  *  - `save`      ≙ `create_hosted_table_from_dataframe` (`src/agol_pandas.py:546-680`):
+  *    resolve-or-create by normalized title, then one distributed write job
+  *    (write partitions replace the reference's driver-side chunk loop),
+  *    returning the per-partition audit report.
+  *
+  * All entry points return `Either[String, A]`, mirroring the reference's
+  * pervasive `(payload, ok)` convention (`src/agol_pandas.py:82-84` et al.)
+  * at the library boundary; Spark actions still throw inside jobs.
+  */
+object HostedTables {
+
+  def read(spark: SparkSession, itemId: String): DataFrame =
+    spark.read.format("graft").option("itemId", itemId).load()
+
+  /** Write into an existing hosted table with one of the five modes. */
+  def write(
+      df: DataFrame,
+      itemId: String,
+      mode: WriteMode,
+      key: Option[String] = None,
+      chunkSize: Int = 100000): Either[String, Seq[GraftCommitMessage]] =
+    for {
+      _ <- WriteMode.validate(mode, key)
+      _ <- if (!HostedStore.exists(itemId)) Left(s"no hosted table '$itemId'") else Right(())
+      _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
+      res <- doWrite(df, itemId, mode, key, chunkSize)
+    } yield res
+
+  private def doWrite(
+      df: DataFrame,
+      itemId: String,
+      mode: WriteMode,
+      key: Option[String],
+      chunkSize: Int): Either[String, Seq[GraftCommitMessage]] =
+    try {
+      // UTC-normalize (src/agol_pandas.py:86-119) and, for merge modes,
+      // dedup source keys deterministically so batch application order
+      // cannot change the result.
+      val normalized = TimestampNorm.toUtc(df)
+      val prepared = key match {
+        case Some(k) if mode.requiresKey => Merge.dedupByKey(normalized, k)
+        case _                           => normalized
+      }
+      val writer = prepared.write.format("graft")
+        .option("itemId", itemId)
+        .option("chunkSize", chunkSize)
+      val withMode = mode match {
+        case WriteMode.Overwrite => writer.mode("overwrite")
+        case WriteMode.Append    => writer.mode("append")
+        case m => writer.mode("append").option("writeMode", m.name)
+      }
+      key.foreach(k => withMode.option("key", k))
+      withMode.save()
+      Right(GraftWriteReports.last(itemId))
+    } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+
+  /** Create (and "publish") a new hosted table from a DataFrame — schema
+    * comes from the frame itself (no CSV-staging inference round-trip;
+    * Spark's schema *is* the canonical typing, SURVEY §7 risk 3).
+    */
+  def createTable(
+      df: DataFrame,
+      name: String,
+      key: Option[String] = None): Either[String, String] =
+    for {
+      norm <- graft.core.ServiceName.normalize(name)
+      _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
+      id <- try {
+        val utc = TimestampNorm.toUtc(df)
+        val id = HostedStore.create(norm, utc.schema)
+        key.foreach(k => HostedStore.ensureUniqueIndex(id, k))
+        Right(id)
+      } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+    } yield id
+
+  /** Resolve-or-create by title, then load — the reference's orchestrator.
+    * Mode is upsert when a key is given, else append
+    * (`src/agol_pandas.py:598-606`). Idempotent: re-running against an
+    * existing title reuses the table (`src/agol_pandas.py:592-596`).
+    */
+  def save(
+      df: DataFrame,
+      name: String,
+      key: Option[String] = None,
+      chunkSize: Int = 200000): Either[String, (String, Seq[GraftCommitMessage])] =
+    for {
+      norm <- graft.core.ServiceName.normalize(name)
+      _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
+      id <- HostedStore.resolveByTitle(norm) match {
+        case Some(existing) => Right(existing)
+        case None           => createTable(df, norm, key)
+      }
+      mode = if (key.isDefined) WriteMode.Upsert else WriteMode.Append
+      report <- doWrite(df, id, mode, key, chunkSize)
+    } yield (id, report)
+}

@@ -1,0 +1,62 @@
+package graft.core
+
+import scala.annotation.tailrec
+import scala.util.{Failure, Success, Try}
+
+/** Retry with randomized backoff, the reference's `LoggingObject`
+  * (`/root/reference/src/agol_pandas.py:8-43`): up to `maxAttempts=5`
+  * attempts, backoff drawn from `[floor, maxBackoff]` where the floor rises
+  * by `backoffInterval=0.1s` per recorded failure — adaptive rate limiting
+  * shared across a load (`src/agol_pandas.py:616`).
+  *
+  * Unlike the reference's module-global mutable `AP_LOG`, this is an
+  * immutable policy + a per-use mutable counter, safe to instantiate
+  * per-task inside executors (no cross-JVM global state to coordinate).
+  */
+final case class RetryPolicy(
+    maxAttempts: Int = 5,
+    minBackoffSec: Double = 0.0,
+    maxBackoffSec: Double = 30.0,
+    backoffIntervalSec: Double = 0.1,
+    randomize: Boolean = true,
+    seed: Option[Long] = None,
+    sleeper: Long => Unit = Thread.sleep) {
+
+  /** Backoff (seconds) after `failures` recorded failures. */
+  def backoffAfter(failures: Int, rng: scala.util.Random): Double = {
+    val floor = math.min(minBackoffSec + backoffIntervalSec * failures, maxBackoffSec)
+    if (randomize) floor + rng.nextDouble() * (maxBackoffSec - floor)
+    else floor
+  }
+
+  /** Run `op`, retrying on exception with backoff. Returns the result or
+    * the final failure after `maxAttempts` attempts.
+    */
+  def retry[A](op: => A): Either[Throwable, A] = {
+    val rng = seed.map(new scala.util.Random(_)).getOrElse(new scala.util.Random())
+    @tailrec def go(attempt: Int): Either[Throwable, A] =
+      Try(op) match {
+        case Success(a) => Right(a)
+        case Failure(e) if attempt >= maxAttempts => Left(e)
+        case Failure(_) =>
+          sleeper((backoffAfter(attempt, rng) * 1000).toLong)
+          go(attempt + 1)
+      }
+    go(1)
+  }
+}
+
+/** Per-chunk write audit record, the reference's chunk-result dicts
+  * (`/root/reference/src/agol_pandas.py:344-353,621-634`): which contiguous
+  * key range each write task covered, how many rows, which mode, and the
+  * outcome. Produced per-partition (constant size per task — never
+  * row-sized) and assembled on the driver at commit.
+  */
+final case class ChunkResult(
+    chunkId: Int,
+    rows: Long,
+    mode: String,
+    minKey: String,
+    maxKey: String,
+    attempts: Int,
+    result: String)

@@ -1,0 +1,209 @@
+package graft.sinks
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.WriteMode
+
+/** In-process stand-in for the remote hosted-table service.
+  *
+  * Models the six REST verbs the reference uses against ArcGIS Online:
+  * resolve-by-title (`/root/reference/src/agol_pandas.py:592-596`), create +
+  * publish (`:519-523`), truncate (`:395-396`), ensure-unique-index
+  * (`:253-312`), paged query (`:246`, which the reference does *not* page —
+  * we do), and batched append/upsert (`:445-455`).
+  *
+  * The store is a JVM singleton: in `local[*]` mode driver and executors
+  * share the JVM, so connector read/write tasks reach it directly — the
+  * in-process analog of each Spark task issuing its own HTTP call. A
+  * production implementation swaps this object for an HTTP client with the
+  * same method signatures (each task fetches its own page / posts its own
+  * batch); nothing else in the connector changes.
+  *
+  * Service-side query evaluation (filters → `where`, required columns →
+  * `outFields`, limit → `resultRecordCount`) is intentionally implemented
+  * *here*, not in the Spark reader: it models the pushdown the remote API
+  * supports, so the connector's `.explain` shows which predicates left the
+  * Spark plan.
+  */
+object HostedStore {
+
+  final case class TableState(
+      itemId: String,
+      title: String,
+      schema: StructType,
+      rows: Vector[Row],
+      uniqueIndexes: Set[String])
+
+  private val tables = new ConcurrentHashMap[String, TableState]()
+  private val nextId = new AtomicLong(1000)
+
+  def reset(): Unit = tables.clear()
+
+  def drop(itemId: String): Unit = tables.remove(itemId)
+
+  def dropByTitle(title: String): Unit =
+    resolveByTitle(title).foreach(drop)
+
+  def resolveByTitle(title: String): Option[String] =
+    tables.asScala.values.find(_.title == title).map(_.itemId)
+
+  def get(itemId: String): TableState = {
+    val t = tables.get(itemId)
+    if (t == null) throw new NoSuchElementException(s"no hosted table '$itemId'")
+    t
+  }
+
+  def exists(itemId: String): Boolean = tables.containsKey(itemId)
+
+  def create(title: String, schema: StructType): String = synchronized {
+    val id = s"item_${nextId.getAndIncrement()}"
+    tables.put(id, TableState(id, title, schema, Vector.empty, Set.empty))
+    id
+  }
+
+  def truncate(itemId: String): Unit = synchronized {
+    val t = get(itemId)
+    tables.put(itemId, t.copy(rows = Vector.empty))
+  }
+
+  /** Idempotent unique-index creation (`src/agol_pandas.py:286-300`). The
+    * remote service creates asynchronously and the reference polls; the
+    * in-process fake is synchronous, so this returns immediately.
+    */
+  def ensureUniqueIndex(itemId: String, field: String): Boolean = synchronized {
+    val t = get(itemId)
+    require(t.schema.fieldNames.map(_.toLowerCase).contains(field.toLowerCase),
+      s"no such field '$field' on '$itemId'")
+    tables.put(itemId, t.copy(uniqueIndexes = t.uniqueIndexes + field.toLowerCase))
+    true
+  }
+
+  def rowCount(itemId: String): Long = get(itemId).rows.size.toLong
+
+  /** One page of a service-side query: filter → project → slice, the
+    * remote analog of `where=...&outFields=...&resultOffset=o&
+    * resultRecordCount=n`. Offsets index the *filtered* row set, matching
+    * REST pagination semantics.
+    */
+  def queryPage(
+      itemId: String,
+      offset: Long,
+      count: Long,
+      requiredCols: Array[String],
+      filters: Array[Filter]): Iterator[Row] = {
+    val t = get(itemId)
+    val filtered =
+      if (filters.isEmpty) t.rows
+      else t.rows.filter(r => filters.forall(f => FilterEval(f, r, t.schema)))
+    val idx = requiredCols.map(c => t.schema.fieldIndex(c))
+    filtered.iterator
+      .slice(offset.toInt, (offset + count).toInt)
+      .map(r => Row.fromSeq(idx.toIndexedSeq.map(r.get)))
+  }
+
+  /** Count of rows matching the filters (the remote `returnCountOnly`),
+    * used by the driver to plan offset pages.
+    */
+  def queryCount(itemId: String, filters: Array[Filter]): Long = {
+    val t = get(itemId)
+    if (filters.isEmpty) t.rows.size.toLong
+    else t.rows.count(r => filters.forall(f => FilterEval(f, r, t.schema))).toLong
+  }
+
+  /** Apply one batch with the given write mode — the remote
+    * `table.append(upsert=..., skip_inserts=..., skip_updates=...,
+    * upsert_matching_field=key, rollback=True)` (`src/agol_pandas.py:445-455`).
+    * Synchronized = the service applies each batch atomically (the
+    * reference's `rollback=True` per chunk). Returns rows affected.
+    */
+  def appendBatch(
+      itemId: String,
+      batch: Seq[Row],
+      mode: WriteMode,
+      key: Option[String]): Long = synchronized {
+    val t = get(itemId)
+    mode match {
+      case WriteMode.Append | WriteMode.Overwrite =>
+        // Overwrite's truncate already happened once, driver-side.
+        tables.put(itemId, t.copy(rows = t.rows ++ batch))
+        batch.size.toLong
+      case WriteMode.Upsert | WriteMode.Update | WriteMode.Insert =>
+        val k = key.getOrElse(
+          throw new IllegalArgumentException(s"mode ${mode.name} requires a key"))
+        require(t.uniqueIndexes.contains(k.toLowerCase),
+          s"mode ${mode.name} requires a unique index on '$k' (src/agol_pandas.py:410)")
+        val ki = t.schema.fieldIndex(k)
+        val incoming = batch.map(r => r.get(ki) -> r).toMap
+        val existingKeys = t.rows.iterator.map(_.get(ki)).toSet
+        val updated = t.rows.map { r =>
+          incoming.get(r.get(ki)) match {
+            case Some(nr) if mode != WriteMode.Insert => nr
+            case _                                    => r
+          }
+        }
+        val inserts =
+          if (mode == WriteMode.Update) Vector.empty
+          else batch.filterNot(r => existingKeys.contains(r.get(ki))).toVector
+        tables.put(itemId, t.copy(rows = updated ++ inserts))
+        (if (mode == WriteMode.Update)
+           batch.count(r => existingKeys.contains(r.get(ki)))
+         else if (mode == WriteMode.Insert) inserts.size
+         else batch.size).toLong
+    }
+  }
+}
+
+/** Service-side evaluation of Spark source filters over stored rows —
+  * the fake's implementation of the remote `where` clause.
+  */
+object FilterEval {
+  def apply(f: Filter, r: Row, schema: StructType): Boolean = {
+    def v(attr: String): Any = r.get(schema.fieldIndex(attr))
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Number, y: Number) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      case (x: String, y: String)                     => x.compareTo(y)
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+      case (x: java.time.Instant, y: java.time.Instant)   => x.compareTo(y)
+      case (x: java.sql.Date, y: java.sql.Date)       => x.compareTo(y)
+      case (x: Boolean, y: Boolean)                   => x.compareTo(y)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported comparison: ${a.getClass} vs ${b.getClass}")
+    }
+    f match {
+      case EqualTo(a, x)            => v(a) != null && cmp(v(a), x) == 0
+      case GreaterThan(a, x)        => v(a) != null && cmp(v(a), x) > 0
+      case GreaterThanOrEqual(a, x) => v(a) != null && cmp(v(a), x) >= 0
+      case LessThan(a, x)           => v(a) != null && cmp(v(a), x) < 0
+      case LessThanOrEqual(a, x)    => v(a) != null && cmp(v(a), x) <= 0
+      case In(a, xs)                => v(a) != null && xs.exists(x => cmp(v(a), x) == 0)
+      case IsNull(a)                => v(a) == null
+      case IsNotNull(a)             => v(a) != null
+      case StringStartsWith(a, p)   => v(a) != null && v(a).toString.startsWith(p)
+      case StringEndsWith(a, p)     => v(a) != null && v(a).toString.endsWith(p)
+      case StringContains(a, p)     => v(a) != null && v(a).toString.contains(p)
+      case And(l, rr)               => apply(l, r, schema) && apply(rr, r, schema)
+      case Or(l, rr)                => apply(l, r, schema) || apply(rr, r, schema)
+      case Not(c)                   => !apply(c, r, schema)
+      case _ => throw new IllegalArgumentException(s"unsupported filter $f")
+    }
+  }
+
+  /** Which filters the service can evaluate (the rest stay in Spark). */
+  def supports(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual | _: LessThan |
+        _: LessThanOrEqual | _: In | _: IsNull | _: IsNotNull |
+        _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+    case And(l, r) => supports(l) && supports(r)
+    case Or(l, r)  => supports(l) && supports(r)
+    case Not(c)    => supports(c)
+    case _         => false
+  }
+}

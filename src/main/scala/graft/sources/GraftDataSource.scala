@@ -1,0 +1,281 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.WriteMode
+import graft.sinks.{FilterEval, HostedStore}
+
+/** DataSource V2 connector for hosted tables: `format("graft")`.
+  *
+  * Read path — the reference's whole-table serial read
+  * (`/root/reference/src/agol_pandas.py:218-251`, `return_all_records=True`)
+  * re-architected for a cluster:
+  *   - `planInputPartitions` emits one partition per service *page*
+  *     (`resultOffset`/`resultRecordCount`), so N executors fetch N pages
+  *     concurrently instead of one driver call streaming everything.
+  *   - Column pruning (`SupportsPushDownRequiredColumns` → `outFields`),
+  *     predicate pushdown (`SupportsPushDownFilters` → `where`), and limit
+  *     pushdown (`SupportsPushDownLimit` → `resultRecordCount`) all reach
+  *     the service, which the remote query API supports even though the
+  *     reference never used it.
+  *
+  * Write path — the reference's chunk loop (`src/agol_pandas.py:314-475`)
+  * as a distributed job: each `DataWriter` batches its partition's rows and
+  * posts them (`chunkSize` rows per call, default 100000 =
+  * `src/agol_pandas.py:315-316`), returning a `WriterCommitMessage` with the
+  * audit fields of the reference's chunk dicts (`:459-461`). Truncate-for-
+  * overwrite happens exactly once, driver-side (`SupportsTruncate`,
+  * mirroring the server-side truncate at `:395-396`). When a merge key is
+  * set, the write declares `RequiresDistributionAndOrdering` so Catalyst
+  * plans the range-shuffle + sort that replaces the reference's
+  * driver-side sort-then-slice (`:193-208`).
+  *
+  * Options: `itemId` (read/write existing), `pageSize` (read, default
+  * 10000), `writeMode` (append|upsert|update|insert), `key`, `chunkSize`.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  private def itemId(options: CaseInsensitiveStringMap): String = {
+    val id = options.get("itemId")
+    require(id != null, "option 'itemId' is required")
+    id
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HostedStore.get(itemId(options)).schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(itemId(opts), schema, opts)
+  }
+}
+
+class GraftTable(itemId: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft:$itemId"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(itemId, schema,
+      math.max(1, Option(o.get("pageSize")).map(_.toLong).getOrElse(10000L)))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(itemId, info)
+}
+
+// ---------------------------------------------------------------- read path
+
+class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+  private var limit: Option[Long] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, rejected) = filters.partition(FilterEval.supports)
+    pushed = supported
+    rejected // stay in the Spark plan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Empty projection (e.g. count(*)) still needs row cardinality; keep
+    // one narrow column as the service requires at least one outField.
+    required =
+      if (requiredSchema.isEmpty) StructType(fullSchema.fields.take(1))
+      else requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n.toLong); true }
+
+  override def build(): Scan = new GraftScan(itemId, required, pushed, limit, pageSize)
+}
+
+class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
+                limit: Option[Long], pageSize: Long) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft:$itemId pushedFilters=[${filters.mkString(", ")}] " +
+      s"outFields=[${schema.fieldNames.mkString(",")}] limit=$limit"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // Driver-side count (the remote `returnCountOnly`) to plan offset pages.
+    val matching = HostedStore.queryCount(itemId, filters)
+    val total = limit.fold(matching)(math.min(matching, _))
+    if (total == 0) Array.empty
+    else (0L until total by pageSize).map { off =>
+      GraftInputPartition(itemId, off, math.min(pageSize, total - off))
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(schema.fieldNames, filters, schema)
+}
+
+case class GraftInputPartition(itemId: String, offset: Long, count: Long)
+    extends InputPartition
+
+case class GraftReaderFactory(cols: Array[String], filters: Array[Filter],
+                              schema: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    new PartitionReader[InternalRow] {
+      // Each task fetches its own page — in production this is the task's
+      // own HTTP query with resultOffset/resultRecordCount.
+      private val it =
+        HostedStore.queryPage(gp.itemId, gp.offset, gp.count, cols, filters)
+      private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = toCatalyst(it.next()).asInstanceOf[InternalRow]; true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// --------------------------------------------------------------- write path
+
+class GraftWriteBuilder(itemId: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = {
+    val o = info.options
+    val mode = Option(o.get("writeMode"))
+      .map(m => WriteMode.parse(m).fold(e => throw new IllegalArgumentException(e), identity))
+      .getOrElse(if (truncateFirst) WriteMode.Overwrite else WriteMode.Append)
+    val key = Option(o.get("key"))
+    WriteMode.validate(mode, key).left.foreach(e => throw new IllegalArgumentException(e))
+    val chunkSize = Option(o.get("chunkSize")).map(_.toInt).getOrElse(100000)
+    new GraftWrite(itemId, info.schema(), mode, key, chunkSize, truncateFirst)
+  }
+}
+
+class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
+                 key: Option[String], chunkSize: Int, truncateFirst: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+
+  // With a merge key, ask Catalyst for a range distribution ordered by the
+  // key: each writer then covers a disjoint, sorted key range — the
+  // distributed equivalent of the reference's sort-before-chunk
+  // (src/agol_pandas.py:193-208) with no driver involvement.
+  override def requiredDistribution(): Distribution = key match {
+    case Some(k) => Distributions.ordered(Array(orderBy(k)))
+    case None    => Distributions.unspecified()
+  }
+  override def requiredOrdering(): Array[SortOrder] =
+    key.map(k => Array(orderBy(k))).getOrElse(Array.empty)
+  private def orderBy(k: String): SortOrder =
+    Expressions.sort(Expressions.identity(k), SortDirection.ASCENDING)
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = {
+      // Driver-side, exactly-once setup: truncate for overwrite
+      // (src/agol_pandas.py:395-396) and index-ensure for merge modes
+      // (src/agol_pandas.py:410-412).
+      if (truncateFirst || mode == WriteMode.Overwrite) HostedStore.truncate(itemId)
+      key.foreach(k => HostedStore.ensureUniqueIndex(itemId, k))
+      GraftWriterFactory(itemId, schema, mode, key, chunkSize)
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val report = messages.toSeq.map(_.asInstanceOf[GraftCommitMessage])
+      GraftWriteReports.record(itemId, report)
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+case class GraftCommitMessage(partitionId: Int, rows: Long, batches: Int,
+                              minKey: String, maxKey: String)
+    extends WriterCommitMessage
+
+/** Last write's per-partition audit report (the reference's chunk-result
+  * list, `src/agol_pandas.py:459-461`), exposed to the high-level API.
+  */
+object GraftWriteReports {
+  private val reports = new java.util.concurrent.ConcurrentHashMap[String, Seq[GraftCommitMessage]]()
+  def record(itemId: String, r: Seq[GraftCommitMessage]): Unit = reports.put(itemId, r)
+  def last(itemId: String): Seq[GraftCommitMessage] =
+    Option(reports.get(itemId)).getOrElse(Seq.empty)
+}
+
+case class GraftWriterFactory(itemId: String, schema: StructType,
+                              mode: WriteMode, key: Option[String], chunkSize: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(itemId, schema, mode, key, chunkSize, partitionId)
+}
+
+/** Buffers up to `chunkSize` rows, then posts the batch — one service call
+  * per chunk, rollback-per-batch semantics (`src/agol_pandas.py:453`).
+  * Memory per task is bounded by `chunkSize` rows regardless of partition
+  * size.
+  */
+class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
+                      key: Option[String], chunkSize: Int, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  private val keyIdx = key.map(schema.fieldIndex)
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+  private var rows = 0L
+  private var batches = 0
+  private var minKey: String = null
+  private var maxKey: String = null
+
+  override def write(record: InternalRow): Unit = {
+    val r = toScala(record.copy()).asInstanceOf[Row]
+    keyIdx.foreach { i =>
+      val k = String.valueOf(r.get(i))
+      if (minKey == null || k < minKey) minKey = k
+      if (maxKey == null || k > maxKey) maxKey = k
+    }
+    buf += r
+    rows += 1
+    if (buf.size >= chunkSize) flush()
+  }
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    HostedStore.appendBatch(itemId, buf.toSeq, mode, key)
+    batches += 1
+    buf.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    GraftCommitMessage(partitionId, rows, batches,
+      Option(minKey).getOrElse(""), Option(maxKey).getOrElse(""))
+  }
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.api.HostedTables
+import graft.core.WriteMode
+import graft.sinks.HostedStore
+
+/** Drive the public API end-to-end against real testdata — the library's
+  * "does it actually work" entry point, also used by the verify skill.
+  * Usage: sbt "runMain graft.tools.Demo [sfDir]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    println(s"== input: ${orders.count()} orders from $sfDir")
+
+    // 1. Orchestrator: resolve-or-create + chunked upsert load.
+    val (id, report) = HostedTables.save(orders, "Demo Orders (2024)!",
+      key = Some("o_orderkey"), chunkSize = 500).fold(sys.error, identity)
+    println(s"== created '$id' title='${HostedStore.get(id).title}'")
+    report.sortBy(_.partitionId).foreach(m =>
+      println(f"   chunk ${m.partitionId}%3d rows=${m.rows}%5d batches=${m.batches} keys=[${m.minKey},${m.maxKey}]"))
+
+    // 2. Paged, pushed-down read back.
+    val back = HostedTables.read(spark, id)
+    println(s"== read back: ${back.count()} rows, ${back.rdd.getNumPartitions} partitions")
+    val q = back.filter($"o_totalprice" > 200000.0).select("o_orderkey", "o_totalprice")
+    println("== pushdown plan:")
+    println(q.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("graft") || l.contains("Scan")).mkString("\n"))
+    println(s"== filtered count: ${q.count()}")
+
+    // 3. The five write modes.
+    val updates = orders.filter($"o_orderkey" % 3 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + lit(1.0))
+    val inserts = orders.filter($"o_orderkey" % 5 === 0)
+      .withColumn("o_orderkey", $"o_orderkey" + lit(10000000L))
+    val src = updates.unionByName(inserts)
+    val before = HostedTables.read(spark, id).count()
+    HostedTables.write(src, id, WriteMode.Upsert, Some("o_orderkey")).fold(sys.error, identity)
+    val afterUpsert = HostedTables.read(spark, id).count()
+    println(s"== upsert: $before -> $afterUpsert rows (expect +${inserts.count()})")
+
+    HostedTables.write(src, id, WriteMode.Update, Some("o_orderkey")).fold(sys.error, identity)
+    println(s"== update: ${HostedTables.read(spark, id).count()} rows (unchanged)")
+    HostedTables.write(orders, id, WriteMode.Overwrite).fold(sys.error, identity)
+    println(s"== overwrite: ${HostedTables.read(spark, id).count()} rows (back to input)")
+
+    // 4. Error paths: bad mode config + empty input.
+    println(s"== upsert w/o key  -> ${HostedTables.write(orders, id, WriteMode.Upsert, None).left.getOrElse("?!")}")
+    println(s"== empty input     -> ${HostedTables.write(orders.filter(lit(false)), id, WriteMode.Append).left.getOrElse("?!")}")
+    println(s"== missing itemId  -> ${HostedTables.write(orders, "item_nope", WriteMode.Append).left.getOrElse("?!")}")
+
+    spark.stop()
+    println("== demo OK")
+  }
+}

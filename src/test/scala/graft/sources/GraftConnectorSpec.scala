@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.HostedTables
+import graft.core.WriteMode
+import graft.sinks.HostedStore
+
+class GraftConnectorSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  def fresh(name: String, df: DataFrame, key: Option[String] = None): String = {
+    HostedStore.dropByTitle(name)
+    val id = HostedTables.createTable(df, name, key).fold(e => fail(e), identity)
+    HostedTables.write(df, id, WriteMode.Append).fold(e => fail(e), identity)
+    id
+  }
+
+  def base: DataFrame =
+    (1 to 100).map(i => (i.toLong, s"name$i", i * 1.5)).toDF("k", "name", "v")
+
+  test("create + append + read round-trip") {
+    val id = fresh("rt table", base)
+    val back = HostedTables.read(spark, id)
+    assert(back.count() == 100)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "name", "v"))
+    assert(back.orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      base.orderBy("k").as[(Long, String, Double)].collect().toSeq)
+  }
+
+  test("read is paged: one input partition per service page") {
+    val id = fresh("paged table", base)
+    val scan = spark.read.format("graft")
+      .option("itemId", id).option("pageSize", 30).load()
+    assert(scan.rdd.getNumPartitions == 4) // ceil(100/30)
+    assert(scan.count() == 100)
+  }
+
+  test("filter and column pushdown reach the service scan") {
+    val id = fresh("pushdown table", base)
+    val q = HostedTables.read(spark, id).filter($"k" > 90L).select("k", "name")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedFilters=[IsNotNull(k), GreaterThan(k,90)]") ||
+           plan.contains("GreaterThan(k,90)"), plan)
+    assert(plan.contains("outFields=[k,name]"), plan)
+    assert(q.count() == 10)
+  }
+
+  test("limit pushdown caps planned pages") {
+    val id = fresh("limit table", base)
+    val q = HostedTables.read(spark, id).limit(5)
+    assert(q.count() == 5)
+  }
+
+  test("overwrite truncates once then appends") {
+    val id = fresh("ow table", base)
+    val repl = Seq((999L, "only", 1.0)).toDF("k", "name", "v")
+    HostedTables.write(repl, id, WriteMode.Overwrite).fold(e => fail(e), identity)
+    val back = HostedTables.read(spark, id)
+    assert(back.count() == 1)
+    assert(back.as[(Long, String, Double)].head() == ((999L, "only", 1.0)))
+  }
+
+  test("upsert updates matches and inserts new keys") {
+    val id = fresh("ups table", base, Some("k"))
+    val src = Seq((1L, "UPDATED", -1.0), (1000L, "NEW", 0.0)).toDF("k", "name", "v")
+    val report = HostedTables.write(src, id, WriteMode.Upsert, Some("k"))
+      .fold(e => fail(e), identity)
+    val back = HostedTables.read(spark, id)
+    assert(back.count() == 101)
+    assert(back.filter($"k" === 1L).as[(Long, String, Double)].head() ==
+      ((1L, "UPDATED", -1.0)))
+    assert(back.filter($"k" === 1000L).count() == 1)
+    assert(report.map(_.rows).sum == 2)
+  }
+
+  test("update never inserts; insert never updates") {
+    val id = fresh("updins table", base, Some("k"))
+    val src = Seq((2L, "UPD", -2.0), (2000L, "NEW", 0.0)).toDF("k", "name", "v")
+    HostedTables.write(src, id, WriteMode.Update, Some("k")).fold(e => fail(e), identity)
+    assert(HostedTables.read(spark, id).count() == 100) // no insert
+    assert(HostedTables.read(spark, id).filter($"k" === 2L)
+      .as[(Long, String, Double)].head() == ((2L, "UPD", -2.0)))
+
+    val src2 = Seq((2L, "SHOULD_NOT_APPLY", 0.0), (2000L, "NEW", 0.0)).toDF("k", "name", "v")
+    HostedTables.write(src2, id, WriteMode.Insert, Some("k")).fold(e => fail(e), identity)
+    val back = HostedTables.read(spark, id)
+    assert(back.count() == 101)
+    assert(back.filter($"k" === 2L).as[(Long, String, Double)].head() ==
+      ((2L, "UPD", -2.0))) // untouched by insert mode
+  }
+
+  test("merge modes require a key and a unique index") {
+    val id = fresh("nokey table", base)
+    assert(HostedTables.write(base, id, WriteMode.Upsert, None).isLeft)
+  }
+
+  test("empty input rejected like the reference") {
+    val id = fresh("empty table", base)
+    assert(HostedTables.write(base.filter(lit(false)), id, WriteMode.Append).isLeft)
+  }
+
+  test("save: resolve-or-create is idempotent, chunked, audited") {
+    HostedStore.dropByTitle("orch_table_")
+    val df = (1 to 500).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    val (id1, report1) = HostedTables.save(df, "Orch Table!", Some("k"), chunkSize = 100)
+      .fold(e => fail(e), identity)
+    assert(HostedStore.get(id1).title == "orch_table_")
+    assert(report1.map(_.rows).sum == 500)
+    // Audit: per-partition disjoint ordered key ranges.
+    val ranges = report1.filter(_.rows > 0).sortBy(_.minKey)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a.maxKey <= b.minKey)
+      case _         =>
+    }
+    // Re-save reuses the table (idempotent resolve) and upserts.
+    val (id2, _) = HostedTables.save(df, "Orch Table!", Some("k"))
+      .fold(e => fail(e), identity)
+    assert(id2 == id1)
+    assert(HostedTables.read(spark, id1).count() == 500)
+  }
+}
