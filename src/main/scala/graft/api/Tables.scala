@@ -1,0 +1,33 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TimestampNorm
+
+/** Fixture-table loading with canonical typing.
+  *
+  * Two fixture quirks are normalized here once, so every operator sees
+  * clean types:
+  *  - `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by
+  *    default; with `spark.sql.legacy.parquet.nanosAsLong=true` it reads
+  *    as a nanos `bigint`, converted here to `TimestampType` (micros,
+  *    floor-truncated — the same truncation DuckDB applies).
+  *  - date-ish columns are TIMESTAMP_NTZ (naive); `TimestampNorm.toUtc`
+  *    localizes them to UTC, the reference's `convert_dts_utc` semantics
+  *    (`/root/reference/src/agol_pandas.py:86-119`).
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val tsFixed =
+      if (name == "events" && raw.schema("ts").dataType.simpleString == "bigint")
+        // integer div: ns ≈ 1.7e18 overflows double precision, so no `/`
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    TimestampNorm.toUtc(tsFixed)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora.
+  *
+  * Everything here is expressed as DataFrame transformations over built-in
+  * (codegen'd) functions — no UDFs, no driver materialization — so each
+  * operator is one Catalyst-planned job whose shuffles are on compact keys
+  * (doc ids, shingle strings, band signatures), never on full documents:
+  *
+  *  - exact:   hash-aggregate on the full text, deterministic winner.
+  *  - jaccard: word n-gram shingles → inverted-index self-join on shingle →
+  *             pair intersection counts → Jaccard threshold. The join is on
+  *             the *shingle* (high cardinality ⇒ well-distributed); hot
+  *             shingles can be frequency-capped (`maxShingleFreq`) the way
+  *             large-scale near-dup pipelines drop stop-shingles.
+  *  - minhash: per-doc signatures (min of a keyed hash per seed) computed in
+  *             one aggregation, LSH banding → candidates join only within
+  *             tiny band buckets, then exact-Jaccard verification of the
+  *             candidates. This is the MinHash+LSH scale path: all-pairs is
+  *             never materialized.
+  *  - simhash: per-doc bit signature from token-hash votes; near-dup =
+  *             small Hamming distance (verified pairwise on candidates).
+  *
+  * The hash everywhere is `md5` (not `xxhash64`) deliberately: md5 is
+  * available bit-identically in DuckDB, so the correctness oracle can
+  * replay the *entire* pipeline, not just row counts. At production scale
+  * `xxhash64` is a drop-in (cheaper) replacement.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct `textCol`, keeping the smallest id —
+    * deterministic, unlike `dropDuplicates`.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(idCol, "n_copies")
+
+  /** Word `n`-gram shingle set per document: (id, shingle) rows, distinct.
+    * Built with higher-order functions (transform/slice) — stays in
+    * whole-stage codegen.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        split(col(textCol), " ").as("words"))
+      .select(col(idCol), explode(
+        expr(s"transform(sequence(1, greatest(size(words) - ${n - 1}, 0)), " +
+             s"i -> concat_ws(' ', slice(words, i, $n)))")).as("shingle"))
+      .distinct()
+
+  /** All pairs (a < b) with Jaccard similarity ≥ `threshold` over word
+    * n-gram shingles. Output: a, b, n_common, n_a, n_b, jaccard.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, n: Int = 3,
+                   maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val filtered = maxShingleFreq match {
+      case Some(cap) =>
+        // Drop stop-shingles: a shingle in >cap docs contributes O(cap^2)
+        // candidate pairs — the classic skew guard for inverted-index joins.
+        val hot = sh.groupBy("shingle").count().filter(col("count") > cap)
+          .select("shingle")
+        sh.join(hot, Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col(idCol).as("a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signature per doc: for seed i, `min(md5(shingle || '#' || i))`.
+    * One shuffle (groupBy doc id); signature columns are mh0..mh{k-1}.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 8, n: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signatures, bucket-join within
+    * bands (candidates only), then verify candidates with exact Jaccard.
+    * `bands` × `rowsPerBand` must equal `numHashes`.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int = 8, bands: Int = 4,
+                      n: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, n)
+    // (id, band, bandKey) — bucket join is per (band, bandKey).
+    val banded = sig.select(col(idCol) +: (0 until bands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => col(s"mh$i"))
+      md5(concat_ws("|", cols: _*)).as(s"band$bnd")
+    }: _*)
+    val stacked = banded.select(col(idCol), explode(array(
+      (0 until bands).map(bnd =>
+        struct(lit(bnd).as("band"), col(s"band$bnd").as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val l = stacked.select(col(idCol).as("a"), col("band"), col("key"))
+    val r = stacked.select(col(idCol).as("b"), col("band"), col("key"))
+    val candidates = l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // Verify candidates with exact Jaccard (join back to shingle sets).
+    val verified = jaccardPairs(docs, idCol, textCol, threshold, n)
+    candidates.join(verified, Seq("a", "b"))
+      .select("a", "b", "jaccard")
+  }
+
+  /** SimHash bit signature (numBits ≤ 32, hex-nibble votes from md5):
+    * bit i is 1 iff the majority of tokens have md5 nibble i ≥ 8.
+    * Output: id, simhash (bit string, MSB first).
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numBits: Int = 16): DataFrame = {
+    require(numBits <= 32, "md5 hex has 32 nibbles")
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until numBits).map(i =>
+      sum(when(substring(col("h"), i + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$i"))
+    toks.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), concat(
+        (0 until numBits).map(i =>
+          when(col(s"v$i") >= 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** Embedding near-dup: top `k` most-similar pairs (a < b) by cosine.
+    * Delegates to [[Similarity.allPairsCosine]]; see there for the scale
+    * strategy.
+    */
+  def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int): DataFrame = {
+    val pairs = Similarity.allPairsCosine(emb, idCol, vecCol)
+    val w = Window.orderBy(col("cosine").desc, col("a"), col("b"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("a", "b", "rank")
+  }
+}

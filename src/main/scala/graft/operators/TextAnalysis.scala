@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token statistics, quality
+  * scoring, marker-based language identification, and content
+  * fingerprinting.
+  *
+  * All pure projections/aggregations over built-in string functions —
+  * embarrassingly parallel, no shuffles except the explicit corpus-level
+  * aggregates, and every computation is replayable in the DuckDB oracle
+  * (the marker-count trick uses only `length`/`replace`; the fingerprint
+  * uses `md5` over a canonical token ordering).
+  */
+object TextAnalysis {
+
+  /** Occurrences of `marker` in `' ' || text || ' '` via the length/replace
+    * identity — O(n) scan, no regex engine, identical semantics in any SQL
+    * engine (non-overlapping left-to-right replacement).
+    */
+  def markerCount(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), ""))) / marker.length
+  }
+
+  /** Per-document token/length statistics. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      length(col(textCol)).as("len_chars"),
+      size(split(col(textCol), " ")).as("n_tokens"),
+      length(regexp_replace(col(textCol), " ", "")).as("n_nonspace"))
+
+  /** Quality signals: token count, mean token length, punctuation count and
+    * ratio, stopword ratio — the usual cheap pre-training filters.
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String,
+              stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
+    val t = col(textCol)
+    val nTok = size(split(t, " "))
+    val nPunct = length(t) - length(regexp_replace(t, "[.,!?;:]", ""))
+    val nStop = stopwords.map(w => markerCount(t, s" $w ")).reduce(_ + _)
+    docs.select(col(idCol),
+      nTok.as("n_tokens"),
+      ((length(regexp_replace(t, " ", "")).cast("double")) / nTok).as("mean_tok_len"),
+      nPunct.as("n_punct"),
+      (nPunct.cast("double") / length(t)).as("punct_ratio"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"))
+  }
+
+  /** Marker-word language ID: count language-specific function words,
+    * argmax with deterministic tie-break by language code order.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "nicht", "ist"),
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "los", "es", "y"),
+    "fr" -> Seq("le", "la", "et", "est"))
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = docs.select(col(idCol) +: markers.map { case (lang, ws) =>
+      ws.map(w => markerCount(col(textCol), s" $w ")).reduce(_ + _).as(s"score_$lang")
+    }: _*)
+    val best = markers.map(_._1).foldLeft(
+      (lit("und"), lit(-1).cast("double"))) { case ((bl, bs), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    scored.select(col(idCol), best._1.as("lang_pred"), best._2.cast("long").as("lang_score"))
+  }
+
+  /** Content-defined fingerprint: md5 over the sorted distinct lowercase
+    * token set — invariant to word order and duplication, the
+    * canonical-form dedup key.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(col(textCol)), " "))))).as("fingerprint"))
+
+  /** Corpus-level rollup by a grouping column (e.g. source or lang). */
+  def corpusStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(textCol))).as("total_chars"),
+      sum(size(split(col(textCol), " "))).as("total_tokens"),
+      min(length(col(textCol))).as("min_chars"),
+      max(length(col(textCol))).as("max_chars"))
+}

@@ -1,0 +1,573 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.{HostedTables, Tables}
+import graft.core.{Chunker, ServiceName, WriteMode}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sinks.HostedStore
+import graft.streaming.EventStreams
+
+/** The engine's declared operator surface: every entry is one operator from
+  * SURVEY §2 (ref_ prefix) or a mandated extension (q_ and x_ prefixes),
+  * paired — where ANSI SQL can express it — with a DuckDB oracle over the
+  * same parquet tables.
+  *
+  * Oracle-parity ground rules (see tools/oracle_check.py):
+  *  - Money-ish double aggregates are cast to DECIMAL *per row* before
+  *    summing: the cast recovers the exact 2/4-decimal value, so sums are
+  *    exact and order-independent in both engines.
+  *  - Integral-valued doubles (quantities, counts) sum exactly in double.
+  *  - Similarity outputs are *ranks*, never raw floats.
+  *  - Hashes are md5/sha256 — bit-identical in DuckDB.
+  *  - Every query ends in a deterministic ORDER BY.
+  */
+object QueryCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val streamRun = new AtomicInteger(0)
+
+  // ------------------------------------------------------------ helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Fresh hosted copy of a fixture projection (drop + create + append). */
+  private def hostedCopy(s: SparkSession, dir: String, table: String,
+                         title: String, key: Option[String],
+                         cols: Seq[String]): String = synchronized {
+    HostedStore.dropByTitle(title)
+    val df = t(s, dir, table).select(cols.map(col): _*)
+    val id = HostedTables.createTable(df, title, key).fold(sys.error, identity)
+    HostedTables.write(df, id, WriteMode.Append).fold(sys.error, identity)
+    id
+  }
+
+  /** The shared write-mode scenario: updates = keys ≡ 0 (mod 3) with price
+    * bumped by 1.0 (exact in double); inserts = keys ≡ 0 (mod 5) shifted by
+    * 10^7.
+    */
+  private def writeScenario(s: SparkSession, dir: String, mode: WriteMode,
+                            title: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+    val id = hostedCopy(s, dir, "orders", title, Some("o_orderkey"), cols)
+    val orders = t(s, dir, "orders").select(cols.map(col): _*)
+    val updates = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val inserts = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+    val src = updates.unionByName(inserts)
+    val key = if (mode.requiresKey) Some("o_orderkey") else None
+    HostedTables.write(src, id, mode, key).fold(sys.error, identity)
+    HostedTables.read(s, id).orderBy("o_orderkey", "o_totalprice")
+  }
+
+  private val writeScenarioSourceSql =
+    """s AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+      |        FROM orders WHERE o_orderkey % 3 = 0
+      |      UNION ALL
+      |      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      |        FROM orders WHERE o_orderkey % 5 = 0),
+      |t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)""".stripMargin
+
+  /** DuckDB snippet: count of `marker` occurrences in ' '||text||' '. */
+  private def markerCountSql(marker: String): String = {
+    val esc = marker.replace("'", "''")
+    s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$esc', ''))) / ${marker.length}"
+  }
+
+  private val shinglesSql =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |                               for i in range(1, len(w) - 1)])) AS shingle
+      |         FROM words)""".stripMargin
+
+  private val minhashSigSql =
+    (0 until 8).map(i => s"min(md5(shingle || '#$i')) AS mh$i").mkString(", ")
+
+  private val jaccardPairsSql =
+    s"""$shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+       |             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |             GROUP BY 1, 2),
+       |jac AS (SELECT c.a, c.b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |               c.n_common / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+       |          FROM common c
+       |          JOIN sizes sa ON sa.doc_id = c.a
+       |          JOIN sizes sb ON sb.doc_id = c.b)""".stripMargin
+
+  // ------------------------------------------------- reference surface
+
+  val referenceQueries: Map[String, Q] = Map(
+    "ref_scan_pushdown" -> ((s, dir) => {
+      val id = hostedCopy(s, dir, "orders", "q_scan_src", None,
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      HostedTables.read(s, id)
+        .filter(col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "ref_name_normalize" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), ServiceName.normalizeCol(col("p_name")).as("svc_name"))
+        .orderBy("p_partkey")),
+
+    "ref_utc_normalize" -> ((s, dir) =>
+      t(s, dir, "orders") // Tables.load applies TimestampNorm.toUtc
+        .select(col("o_orderkey"), unix_millis(col("o_orderdate")).as("ts_ms"))
+        .orderBy("o_orderkey")),
+
+    "ref_chunk_ids" -> ((s, dir) =>
+      Chunker.withChunkIds(
+          t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"), 500)
+        .select("o_orderkey", "chunk_id")
+        .orderBy("o_orderkey")),
+
+    "ref_chunk_report" -> ((s, dir) =>
+      Chunker.withChunkIds(
+          t(s, dir, "orders").select("o_orderkey"), Seq("o_orderkey"), 500)
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("chunk_id")),
+
+    "ref_write_append" -> ((s, dir) => writeScenario(s, dir, WriteMode.Append, "q_wr_append")),
+    "ref_write_overwrite" -> ((s, dir) => writeScenario(s, dir, WriteMode.Overwrite, "q_wr_overwrite")),
+    "ref_write_upsert" -> ((s, dir) => writeScenario(s, dir, WriteMode.Upsert, "q_wr_upsert")),
+    "ref_write_update" -> ((s, dir) => writeScenario(s, dir, WriteMode.Update, "q_wr_update")),
+    "ref_write_insert" -> ((s, dir) => writeScenario(s, dir, WriteMode.Insert, "q_wr_insert")),
+
+    "ref_create_table" -> ((s, dir) => {
+      val id = hostedCopy(s, dir, "part", "q_create_part", Some("p_partkey"),
+        Seq("p_partkey", "p_name", "p_brand", "p_retailprice"))
+      HostedTables.read(s, id).orderBy("p_partkey")
+    }),
+
+    "ref_save_orchestrator" -> ((s, dir) => {
+      HostedStore.dropByTitle("q_save_customer")
+      val df = t(s, dir, "customer")
+      val (id, _) = HostedTables.save(df, "q_save_customer",
+        Some("c_custkey"), chunkSize = 500).fold(sys.error, identity)
+      // Idempotent re-save (resolve existing + upsert) must be a no-op.
+      HostedTables.save(df, "q_save_customer", Some("c_custkey"), chunkSize = 500)
+        .fold(sys.error, identity)
+      HostedTables.read(s, id).orderBy("c_custkey")
+    }))
+
+  val referenceOracles: Map[String, String] = Map(
+    "ref_scan_pushdown" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin,
+
+    "ref_name_normalize" ->
+      """SELECT p_partkey,
+        |  substring(lower(regexp_replace(regexp_replace(
+        |    CASE WHEN regexp_matches(substring(trim(p_name), 1, 1), '^[0-9]$')
+        |         THEN '_' || trim(p_name) ELSE trim(p_name) END,
+        |    '[^\w]', '_', 'g'), '_+', '_', 'g')), 1, 128) AS svc_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "ref_utc_normalize" ->
+      "SELECT o_orderkey, epoch_ms(o_orderdate) AS ts_ms FROM orders ORDER BY o_orderkey",
+
+    "ref_chunk_ids" ->
+      """SELECT o_orderkey,
+        |  CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500) AS BIGINT) AS chunk_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "ref_chunk_report" ->
+      """WITH c AS (SELECT o_orderkey,
+        |  CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 500) AS BIGINT) AS chunk_id
+        |  FROM orders)
+        |SELECT chunk_id, count(*) AS n_rows, min(o_orderkey) AS min_key,
+        |       max(o_orderkey) AS max_key
+        |FROM c GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
+    "ref_write_append" ->
+      s"""WITH $writeScenarioSourceSql
+         |SELECT * FROM t UNION ALL SELECT * FROM s
+         |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "ref_write_overwrite" ->
+      s"""WITH $writeScenarioSourceSql
+         |SELECT * FROM s ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "ref_write_upsert" ->
+      s"""WITH $writeScenarioSourceSql
+         |SELECT * FROM s
+         |UNION ALL
+         |SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+         |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "ref_write_update" ->
+      s"""WITH $writeScenarioSourceSql
+         |SELECT * FROM s WHERE o_orderkey IN (SELECT o_orderkey FROM t)
+         |UNION ALL
+         |SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+         |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "ref_write_insert" ->
+      s"""WITH $writeScenarioSourceSql
+         |SELECT * FROM t
+         |UNION ALL
+         |SELECT * FROM s WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)
+         |ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "ref_create_table" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "ref_save_orchestrator" ->
+      "SELECT * FROM customer ORDER BY c_custkey")
+
+  // ------------------------------------------------- relational breadth
+
+  val relationalQueries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-06-30 00:00:00")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-06-30 00:00:00")))
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q_window_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)),
+
+    "q_join_agg_nation" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      // Dimension joins: both sides tiny — explicitly broadcast.
+      cust.join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        .select(unix_millis(col("hour")).as("hour_ms"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("hour_ms", "event_type")),
+
+    "q_events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    "q_stream_hourly" -> ((s, dir) => {
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val nanos = schema("ts").dataType.simpleString == "bigint"
+      EventStreams.runWindowedOnce(s, dir, "events.parquet", schema,
+          if (nanos) Some("ts") else None,
+          s"stream_hourly_${streamRun.incrementAndGet()}")
+        .orderBy("window_start_ms", "event_type")
+    }))
+
+  val relationalOracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q_join_agg_nation" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  // ------------------------------------------------- pipeline extensions
+
+  val extensionQueries: Map[String, Q] = Map(
+    "x_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dupped = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      Dedup.exact(dupped, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "x_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.6)
+        .orderBy("a", "b")),
+
+    "x_dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.7)
+        .orderBy("a", "b")),
+
+    "x_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_dedup_embedding_pairs" -> ((s, dir) =>
+      Dedup.embeddingTopPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 20)
+        .orderBy("rank")),
+
+    "x_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_sim_ann_lsh" -> ((s, dir) => { // no SQL oracle: approximate by design
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
+    "x_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadata(
+          Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
+          "doc_id")
+        .orderBy("doc_id")),
+
+    "x_multimodal_frames" -> ((s, dir) => // stub decode: rows-only oracle
+      Multimodal.decodeFrames(
+          Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
+          "doc_id")
+        .orderBy("id", "frame_no")))
+
+  val extensionOracles: Map[String, String] = {
+    val stop = Seq("the", "a", "of", "and")
+    val stopSql = stop.map(w => markerCountSql(s" $w ")).mkString(" + ")
+    val langScores = TextAnalysis.markers.map { case (lang, ws) =>
+      s"${ws.map(w => markerCountSql(s" $w ")).mkString(" + ")} AS score_$lang"
+    }.mkString(",\n  ")
+
+    Map(
+      "x_dedup_exact" ->
+        """WITH all_docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+          |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+          |FROM all_docs GROUP BY text ORDER BY doc_id""".stripMargin,
+
+      "x_dedup_jaccard" ->
+        s"""WITH $jaccardPairsSql
+           |SELECT a, b, n_common, n_a, n_b, jaccard FROM jac
+           |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+      "x_dedup_minhash_sig" ->
+        s"""WITH $shinglesSql
+           |SELECT doc_id, $minhashSigSql
+           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "x_dedup_minhash_pairs" ->
+        s"""WITH $jaccardPairsSql,
+           |sig AS (SELECT doc_id, $minhashSigSql FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM sig
+           |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+           |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+           |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+           |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |           FROM bands l JOIN bands r
+           |             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+           |SELECT c.a, c.b, j.jaccard
+           |FROM cand c JOIN jac j ON j.a = c.a AND j.b = c.b
+           |WHERE j.jaccard >= 0.7 ORDER BY c.a, c.b""".stripMargin,
+
+      "x_dedup_simhash" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, md5(tok) AS h
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+           |votes AS (SELECT doc_id,
+           |  ${(0 until 16).map(i =>
+              s"sum(CASE WHEN substring(h, ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$i")
+              .mkString(",\n  ")}
+           |  FROM toks GROUP BY doc_id)
+           |SELECT doc_id,
+           |  ${(0 until 16).map(i =>
+              s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
+           |FROM votes ORDER BY doc_id""".stripMargin,
+
+      "x_dedup_embedding_pairs" ->
+        """WITH p AS (
+          |  SELECT a.vec_id AS a, b.vec_id AS b,
+          |    list_cosine_similarity(a.embedding, b.embedding) AS cos
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+          |r AS (SELECT a, b, row_number() OVER (ORDER BY cos DESC, a, b) AS rank FROM p)
+          |SELECT a, b, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+      "x_sim_topk" ->
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          |scored AS (
+          |  SELECT q.qid, e.vec_id AS id,
+          |    list_cosine_similarity(e.embedding, q.qv) AS cos
+          |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+          |r AS (SELECT qid, id,
+          |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+          |      FROM scored)
+          |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+      "x_text_stats" ->
+        """SELECT doc_id, length(text) AS len_chars,
+          |  len(string_split(text, ' ')) AS n_tokens,
+          |  length(replace(text, ' ', '')) AS n_nonspace
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "x_text_quality" ->
+        s"""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS n_tokens,
+           |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_len,
+           |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+           |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+           |  CAST($stopSql AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "x_text_langid" ->
+        s"""WITH scored AS (SELECT doc_id,
+           |  $langScores
+           |FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+           |       WHEN score_es > greatest(score_de, score_en) THEN 'es'
+           |       WHEN score_en > score_de THEN 'en'
+           |       ELSE 'de' END AS lang_pred,
+           |  CAST(greatest(score_de, score_en, score_es, score_fr) AS BIGINT) AS lang_score
+           |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "x_text_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "x_corpus_stats" ->
+        """SELECT source, count(*) AS n_docs, sum(length(text)) AS total_chars,
+          |  sum(len(string_split(text, ' '))) AS total_tokens,
+          |  min(length(text)) AS min_chars, max(length(text)) AS max_chars
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "x_multimodal_meta" ->
+        """SELECT doc_id, 'text/plain;fake=image' AS media_type,
+          |  octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
+          |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  val all: Map[String, Q] =
+    referenceQueries ++ relationalQueries ++ extensionQueries
+  val oracles: Map[String, String] =
+    referenceOracles ++ relationalOracles ++ extensionOracles
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.api.HostedTables
+import graft.core.WriteMode
+
+/** Structured Streaming over the events table.
+  *
+  * The reference has no streaming surface (SURVEY §2); this is the
+  * Spark-native extension: windowed aggregation with watermarked state and
+  * an upsert sink via `foreachBatch` → the hosted-table connector — the
+  * streaming counterpart of the reference's chunked upsert loader.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregation (event-time). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Run a batch-equivalent streaming aggregation over a static parquet
+    * path using the memory sink (complete mode), synchronously. Returns the
+    * settled result — used to prove stream/batch equivalence in the
+    * correctness gate.
+    */
+  def runWindowedOnce(spark: SparkSession, dir: String, fileGlob: String,
+                      schema: StructType, tsFromNanosCol: Option[String],
+                      queryName: String): DataFrame = {
+    // FileStreamSource wants a directory; the fixture dir holds one parquet
+    // per table, so scope to this table's file with pathGlobFilter.
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileGlob).parquet(dir)
+    val events = tsFromNanosCol match {
+      case Some(c) => raw.withColumn("ts", timestamp_micros(expr(s"$c div 1000")))
+      case None    => raw
+    }
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+    val q: StreamingQuery = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Stream → hosted table upsert, one merge per micro-batch — the
+    * streaming loader: each micro-batch is a keyed upsert exactly like the
+    * reference's chunk loop, but continuous.
+    */
+  def upsertToHostedTable(events: DataFrame, itemId: String, key: String): StreamingQuery =
+    windowedCounts(events)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .withColumn("merge_key",
+        concat_ws("|", col("window_start").cast("long"), col("event_type")))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        HostedTables.write(batch, itemId, WriteMode.Upsert, Some("merge_key"))
+          .left.foreach(e => throw new IllegalStateException(e))
+        ()
+      }
+      .start()
+}
