@@ -76,7 +76,7 @@ object Similarity {
     * rank.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, tables: Int = 8, planes: Int = 8): DataFrame = {
+              vecCol: String, k: Int, tables: Int = 12, planes: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs),
         col(vecCol).cast("array<double>").as("__vec"))

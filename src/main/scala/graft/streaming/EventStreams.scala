@@ -71,8 +71,11 @@ object EventStreams {
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        HostedTables.write(batch, itemId, WriteMode.Upsert, Some("merge_key"))
-          .left.foreach(e => throw new IllegalStateException(e))
+        // Watermark-advance micro-batches can be empty — skip, don't fail
+        // (the batch API's empty-input rejection is for whole loads).
+        if (!batch.isEmpty)
+          HostedTables.write(batch, itemId, WriteMode.Upsert, Some("merge_key"))
+            .left.foreach(e => throw new IllegalStateException(e))
         ()
       }
       .start()

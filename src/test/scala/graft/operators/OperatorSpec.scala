@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Tables
+
+/** Pins the operators whose queries get only the driver's rows-only check
+  * (approximate ANN, stub decode) and cross-checks the approximate dedup
+  * paths against their exact counterparts.
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.load(spark, dir, "documents").cache()
+  lazy val emb = Tables.load(spark, dir, "embeddings").cache()
+
+  test("ANN LSH recall vs brute force is usable (>= 0.5 @ k=10)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ANN recall@10: $recall%.3f (${approx.size} candidates returned)")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("brute-force top-k: neighbors are genuinely ranked by cosine") {
+    val queries = emb.filter(col("vec_id") === 0)
+    val got = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    assert(got.count() == 5)
+    // rank 1 neighbor must beat rank 5 neighbor on raw cosine
+    val pairs = Similarity.allPairsCosine(
+      emb.filter(col("vec_id") <= 600), "vec_id", "embedding")
+    val ranked = got.as[(Long, Long, Int)].collect().sortBy(_._3)
+    val cosOf = pairs.filter(col("a") === 0 || col("b") === 0)
+      .select(when(col("a") === 0, col("b")).otherwise(col("a")).as("other"), col("cosine"))
+      .as[(Long, Double)].collect().toMap
+    assert(cosOf(ranked.head._2) >= cosOf(ranked.last._2))
+  }
+
+  test("minhash LSH finds the high-jaccard planted near-dups") {
+    val exactPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lshPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
+    val recall = (exactPairs & lshPairs).size.toDouble / exactPairs.size
+    info(f"minhash-LSH recall vs exact jaccard@0.9: $recall%.2f of ${exactPairs.size}")
+    assert(recall >= 0.8)
+    // precision is 1.0 by construction (candidates are jaccard-verified)
+    assert((lshPairs -- exactPairs).isEmpty)
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val nearDups = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(nearDups.nonEmpty)
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    def hamming(x: String, y: String) = x.zip(y).count { case (a, b) => a != b }
+    val dupDist = nearDups.map { case (a, b) => hamming(sigs(a), sigs(b)) }
+    val rng = new scala.util.Random(7)
+    val ids = sigs.keys.toArray
+    val randDist = (1 to 200).map { _ =>
+      hamming(sigs(ids(rng.nextInt(ids.length))), sigs(ids(rng.nextInt(ids.length))))
+    }
+    info(s"mean hamming: dups=${dupDist.sum.toDouble / dupDist.length}, " +
+      s"random=${randDist.sum.toDouble / randDist.length}")
+    assert(dupDist.sum.toDouble / dupDist.length <
+      randDist.sum.toDouble / randDist.length)
+  }
+
+  test("multimodal: stub decode is deterministic and partition-invariant") {
+    val withBytes = Multimodal.withPayload(docs, "doc_id", "text")
+    val a = Multimodal.decodeFrames(withBytes, "doc_id")
+      .orderBy("id", "frame_no").collect().toSeq
+    val b = Multimodal.decodeFrames(withBytes.repartition(13), "doc_id")
+      .orderBy("id", "frame_no").collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("multimodal: metadata byte_len matches utf-8 payload size") {
+    val meta = Multimodal.metadata(
+      Multimodal.withPayload(docs, "doc_id", "text"), "doc_id")
+    val bad = meta.join(docs, "doc_id")
+      .filter(length(encode(col("text"), "UTF-8")) =!= col("byte_len"))
+    assert(bad.count() == 0)
+  }
+
+  test("language id picks the language whose markers dominate") {
+    val sample = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "der hund und die katze ist nicht der beste und der"),
+      (3L, "le chat et la maison est grande et le chien et la"),
+      (4L, "el gato y los perros es grande y el y los")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(sample, "doc_id", "text")
+      .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "es"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{HostedTables, Tables}
+import graft.core.WriteMode
+import graft.sinks.HostedStore
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals the batch computation") {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamed = EventStreams.runWindowedOnce(spark, dir, "events.parquet",
+        schema, Some("ts"), "spec_stream_1")
+      .orderBy("window_start_ms", "event_type")
+      .collect().toSeq
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(unix_millis(col("h")).as("window_start_ms"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start_ms", "event_type")
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("watermark drops events later than the lateness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowedCounts(events, "1 hour", "2 hours")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("spec_wm").start()
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    input.addData((ts(1), "a", 1.0), (ts(2), "a", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past hour 1's window
+    input.addData((ts(10), "a", 1.0))
+    q.processAllAvailable()
+    // hour-1 window is now finalized+emitted; a straggler for hour 1 must be dropped
+    input.addData((ts(1), "a", 99.0), (ts(11), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("spec_wm")
+      .select(col("ws").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toMap2
+    assert(rows(("2024-01-01 01:00:00", "a")) == 1L) // straggler NOT double-counted
+  }
+
+  implicit class Tup3Ops[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("stream upserts into a hosted table via foreachBatch") {
+    HostedStore.dropByTitle("stream_sink_tbl")
+    // column order must match the streaming batch projection
+    val schemaDf = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "t", 1L,
+      1.0, "k"))
+      .toDF("window_start", "event_type", "n", "total_value", "merge_key")
+    val id = HostedTables.createTable(schemaDf, "stream_sink_tbl", Some("merge_key"))
+      .fold(e => fail(e), identity)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.upsertToHostedTable(
+      events.withColumn("value", col("value")), id, "merge_key")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 05:$m%02d:00")
+    input.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0))
+    q.processAllAvailable()
+    input.addData((ts(3), "click", 4.0)) // same window: upsert must replace
+    q.processAllAvailable()
+    q.stop()
+    val back = HostedTables.read(spark, id)
+    assert(back.count() == 1) // one window/type key, updated in place
+    assert(back.select("n").as[Long].head() == 3L)
+  }
+}
