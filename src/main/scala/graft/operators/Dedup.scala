@@ -40,17 +40,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "n_copies")
 
-  /** Word `n`-gram shingle set per document: (id, shingle) rows, distinct.
-    * Built with higher-order functions (transform/slice) — stays in
-    * whole-stage codegen.
+  /** Word `n`-gram shingle rows per document (with duplicates). Built with
+    * higher-order functions (transform/slice) — stays in whole-stage
+    * codegen. No shuffle.
     */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol),
         split(col(textCol), " ").as("words"))
       .select(col(idCol), explode(
         expr(s"transform(sequence(1, greatest(size(words) - ${n - 1}, 0)), " +
              s"i -> concat_ws(' ', slice(words, i, $n)))")).as("shingle"))
-      .distinct()
+
+  /** Word `n`-gram shingle *set* per document: (id, shingle), distinct. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleRows(docs, idCol, textCol, n).distinct()
 
   /** All pairs (a < b) with Jaccard similarity ≥ `threshold` over word
     * n-gram shingles. Output: a, b, n_common, n_a, n_b, jaccard.
@@ -84,25 +87,29 @@ object Dedup {
   }
 
   /** MinHash signature per doc: for seed i, `min(md5(shingle || '#' || i))`.
-    * One shuffle (groupBy doc id); signature columns are mh0..mh{k-1}.
+    * Computed over shingle *rows* (min over a multiset equals min over the
+    * set), so the only shuffle is the final partial-aggregated groupBy —
+    * no distinct pass.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = shingleRows(docs, idCol, textCol, n)
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH near-dup pairs: band the signatures, bucket-join within
-    * bands (candidates only), then verify candidates with exact Jaccard.
-    * `bands` × `rowsPerBand` must equal `numHashes`.
+    * bands (candidates only), then verify *only the candidates* with exact
+    * Jaccard — the all-pairs set is never formed, which is the entire point
+    * of LSH at corpus scale. `bands` × `rowsPerBand` must equal `numHashes`.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 8, bands: Int = 4,
                       n: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    val sh = shingles(docs, idCol, textCol, n)
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, n)
     // (id, band, bandKey) — bucket join is per (band, bandKey).
     val banded = sig.select(col(idCol) +: (0 until bands).map { bnd =>
@@ -119,9 +126,19 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // Verify candidates with exact Jaccard (join back to shingle sets).
-    val verified = jaccardPairs(docs, idCol, textCol, threshold, n)
-    candidates.join(verified, Seq("a", "b"))
+    // Exact-Jaccard verification restricted to candidate pairs: join each
+    // side's shingle set in, count the intersection per pair.
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    candidates.join(common, Seq("a", "b"))
+      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
 
@@ -145,14 +162,18 @@ object Dedup {
   }
 
   /** Embedding near-dup: top `k` most-similar pairs (a < b) by cosine.
-    * Delegates to [[Similarity.allPairsCosine]]; see there for the scale
-    * strategy.
+    * Ranked via sort+limit, which Spark plans as TakeOrderedAndProject —
+    * distributed per-partition top-k then a k-row driver merge, instead of
+    * a single-partition global Window over every pair.
     */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
                         k: Int): DataFrame = {
-    val pairs = Similarity.allPairsCosine(emb, idCol, vecCol)
+    val top = Similarity.allPairsCosine(emb, idCol, vecCol)
+      .orderBy(col("cosine").desc, col("a"), col("b"))
+      .limit(k)
+    // Only k rows remain; the rank window is trivial.
     val w = Window.orderBy(col("cosine").desc, col("a"), col("b"))
-    pairs.withColumn("rank", row_number().over(w))
+    top.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("a", "b", "rank")
   }

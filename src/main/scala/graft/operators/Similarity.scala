@@ -4,11 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
+
 /** Similarity search over embedding columns (`ArrayType(FloatType)`).
   *
-  * The math is built from higher-order functions (`zip_with` +
-  * `aggregate`), computed in double precision — codegen'd expressions, no
-  * UDFs, so the dot products run inside whole-stage codegen on executors.
+  * Dot products run through [[graft.functions.VecDot]] — a custom Catalyst
+  * expression with whole-stage codegen (tight primitive loop over columnar
+  * array data) — instead of `zip_with`+`aggregate` higher-order functions,
+  * which allocate an intermediate array per pair. Norms are computed once
+  * per vector, never per pair.
   *
   * Scale strategy:
   *  - `bruteForceTopK`: query set is small and broadcast; the corpus side
@@ -24,19 +28,20 @@ import org.apache.spark.sql.functions._
   *    scale use `lshTopK`/minhash instead.
   *
   * Hyperplanes are deterministic integer-arithmetic pseudo-randoms (Knuth
-  * multiplicative hashing), so results are reproducible across engines and
-  * runs — no RNG state, and the oracle can replay them.
+  * multiplicative hashing), materialized as literal arrays — reproducible
+  * across engines and runs, no RNG state.
   */
 object Similarity {
 
-  /** Cosine similarity of two array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity from a precomputed-norm pair of (vec, norm). */
+  private def cosineFromNorms(va: Column, na: Column, vb: Column, nb: Column): Column =
+    vec_dot(va, vb) / (na * nb)
+
+  /** Cosine similarity of two array columns (norms computed inline —
+    * prefer the precomputed-norm forms inside joins).
+    */
+  def cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * queries). Output: qid, id, rank (1-based by descending cosine,
@@ -44,30 +49,36 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      vec_norm(col(vecCol)).as("qnorm"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      vec_norm(col(vecCol)).as("norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine", cosine(col("qvec").cast("array<double>"),
-                                   col("vec").cast("array<double>")))
+      .withColumn("cosine",
+        cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "rank")
   }
 
-  /** Random-hyperplane signature for one hash table: `planes` sign bits.
-    * Hyperplane weight for (table t, plane p, dim i) is an integer Knuth
-    * hash folded to [-1000, 1000] — pure arithmetic, replayable anywhere.
+  /** Hyperplane weights for (table t, plane p): deterministic integer Knuth
+    * hash folded to [-1000, 1000], one weight per dimension.
     */
-  private def signature(vec: Column, t: Int, planes: Int): Column =
+  private def hyperplane(t: Int, p: Int, dim: Int): Array[Double] = {
+    val c = t.toLong * 1000003L + p.toLong * 64L
+    Array.tabulate(dim) { i =>
+      ((2654435761L * (c + i + 1)) % 2001L + 2001L) % 2001L - 1000L
+    }.map(_.toDouble)
+  }
+
+  /** Bit signature for one hash table: sign of `planes` hyperplane dots,
+    * each dot a codegen'd VecDot against a literal weight array.
+    */
+  private def signature(vec: Column, t: Int, planes: Int, dim: Int): Column =
     concat((0 until planes).map { p =>
-      val dots = expr(
-        s"""aggregate(
-           |  zip_with(__vec, sequence(0, size(__vec) - 1),
-           |    (x, i) -> x * (((2654435761 * (${t * 1000003 + p * 64} + i + 1)) % 2001 + 2001) % 2001 - 1000)),
-           |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
-      when(dots >= 0, "1").otherwise("0")
+      when(vec_dot(vec, typedLit(hyperplane(t, p, dim))) >= 0, "1").otherwise("0")
     }: _*)
 
   /** Approximate top-k via `tables` independent random-hyperplane hash
@@ -77,32 +88,40 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 12, planes: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+    val dim = 64 // fixture embedding dimension; parameterize when needed
+    def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs),
-        col(vecCol).cast("array<double>").as("__vec"))
-      base.select(col(idAs), col("__vec").as(vecAs), explode(array(
+        col(vecCol).cast("array<double>").as(vecAs),
+        vec_norm(col(vecCol)).as(normAs))
+      base.select(col(idAs), col(vecAs), col(normAs), explode(array(
         (0 until tables).map(t =>
-          struct(lit(t).as("t"), signature(col("__vec"), t, planes).as("sig"))): _*)).as("b"))
-        .select(col(idAs), col(vecAs), col("b.t"), col("b.sig"))
+          struct(lit(t).as("t"), signature(col(vecAs), t, planes, dim).as("sig"))): _*)).as("b"))
+        .select(col(idAs), col(vecAs), col(normAs), col("b.t"), col("b.sig"))
     }
-    val c = bucketed(corpus, "id", "vec")
-    val q = bucketed(queries, "qid", "qvec")
+    val c = bucketed(corpus, "id", "vec", "norm")
+    val q = bucketed(queries, "qid", "qvec", "qnorm")
     val candidates = c.join(broadcast(q), Seq("t", "sig"))
       .filter(col("id") =!= col("qid"))
-      .select("qid", "qvec", "id", "vec").distinct()
-    val scored = candidates.withColumn("cosine", cosine(col("qvec"), col("vec")))
+      .select("qid", "qvec", "qnorm", "id", "vec", "norm").distinct()
+    val scored = candidates.withColumn("cosine",
+      cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm")))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "rank")
   }
 
-  /** Exact all-pairs cosine (a < b). Quadratic — bounded inputs only. */
+  /** Exact all-pairs cosine (a < b), norms precomputed per side. Quadratic —
+    * bounded inputs only.
+    */
   def allPairsCosine(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val a = emb.select(col(idCol).as("a"), col(vecCol).cast("array<double>").as("va"))
-    val b = emb.select(col(idCol).as("b"), col(vecCol).cast("array<double>").as("vb"))
+    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"),
+      vec_norm(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      vec_norm(col(vecCol)).as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        cosineFromNorms(col("va"), col("na"), col("vb"), col("nb")))
       .select("a", "b", "cosine")
   }
 }
