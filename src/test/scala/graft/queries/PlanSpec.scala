@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: these are the properties that keep the
+  * operators viable at 100 TB, asserted so a regression in plan shape
+  * fails CI, not just slows production.
+  */
+class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark = graft.SparkTestBase.spark
+  val dir = "/root/testdata/sf0.001"
+
+  def planOf(name: String, execute: Boolean = false): String = {
+    val df: DataFrame = QueryCatalog.all(name)(spark, dir)
+    if (execute) df.collect() // let AQE finalize so codegen spans appear
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("connector scan: filters and columns are pushed to the service") {
+    val p = planOf("ref_scan_pushdown")
+    assert(p.contains("pushedFilters=[IsNotNull(o_totalprice), GreaterThan(o_totalprice,150000.0)]"), p)
+    assert(p.contains("outFields=[o_orderkey,o_totalprice]"), p)
+  }
+
+  test("parquet scan: predicate and projection pushdown reach the file scan") {
+    import org.apache.spark.sql.functions._
+    val df = graft.api.Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-06-30 00:00:00")))
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"), p)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = planOf("q_join_agg_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("global top-k plans as TakeOrdered, not a single-partition sort") {
+    val p = planOf("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("embedding top-pairs avoids a global window over all pairs") {
+    val p = planOf("x_dedup_embedding_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // VecDot must be codegen'd, not a fallback eval
+    assert(p.contains("vecdot") || p.contains("VecDot"), p)
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    val p = planOf("x_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("aggregations use partial (map-side) aggregation and codegen") {
+    val p = planOf("q1_pricing_summary", execute = true)
+    // two HashAggregate levels = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("*(")) // whole-stage-codegen span markers
+  }
+
+  test("hosted write with key requires ordered range distribution") {
+    // The write declares RequiresDistributionAndOrdering; Spark plans a
+    // range repartition by key before the write tasks.
+    import org.apache.spark.sql.functions._
+    import graft.api.HostedTables
+    import graft.core.WriteMode
+    graft.sinks.HostedStore.dropByTitle("planspec_tbl")
+    val df = spark.range(1000).select(col("id").as("k"), rand(7).as("v"))
+    val id = HostedTables.createTable(df, "planspec_tbl", Some("k"))
+      .fold(e => fail(e), identity)
+    HostedTables.write(df, id, WriteMode.Upsert, Some("k")).fold(e => fail(e), identity)
+    val report = graft.sources.GraftWriteReports.last(id)
+    val ranges = report.filter(_.rows > 0).map(m => (m.minKey.toLong, m.maxKey.toLong))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping ranges: $ranges")
+      case _                       =>
+    }
+  }
+}
