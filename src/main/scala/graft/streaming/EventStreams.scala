@@ -58,6 +58,15 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: drop duplicate ids arriving within the
+    * watermark horizon — state stays bounded because expired keys age out
+    * with the watermark (the streaming counterpart of `Dedup.exact`).
+    */
+  def dedupStream(events: DataFrame, idCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Stream → hosted table upsert, one merge per micro-batch — the
     * streaming loader: each micro-batch is a keyed upsert exactly like the
     * reference's chunk loop, but continuous.

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Tables
+import graft.operators.Similarity
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("vec_dot / vec_cosine / service_name usable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       service_name(' 9My  Svc!! ') AS n""".stripMargin)
+      .as[(Double, Double, String)].head()
+    assert(r._1 == 11.0)
+    assert(math.abs(r._2 - 1.0) < 1e-12)
+    assert(r._3 == "_9my_svc_")
+  }
+
+  test("vec_dot on float embeddings matches the HOF formulation") {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    emb.createOrReplaceTempView("emb_fs")
+    val native = spark.sql(
+      "SELECT vec_id, vec_dot(embedding, embedding) AS d FROM emb_fs ORDER BY vec_id")
+      .as[(Long, Double)].collect()
+    val hof = spark.sql(
+      """SELECT vec_id, aggregate(zip_with(embedding, embedding, (x, y) -> cast(x as double) * cast(y as double)),
+        |                         cast(0.0 as double), (acc, v) -> acc + v) AS d
+        |FROM emb_fs ORDER BY vec_id""".stripMargin)
+      .as[(Long, Double)].collect()
+    assert(native.toSeq == hof.toSeq) // bit-identical accumulation
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@10 (nlist=16, nprobe=4): $recall%.3f")
+    assert(recall >= 0.3, s"recall $recall") // quarter of cells probed
+  }
+}

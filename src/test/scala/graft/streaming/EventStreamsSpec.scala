@@ -59,6 +59,24 @@ class EventStreamsSpec extends AnyFunSuite {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
 
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "value")
+    val q = EventStreams.dedupStream(events, "event_id", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_dedup").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 03:$m%02d:00")
+    input.addData((ts(0), 1L, 1.0), (ts(1), 2L, 2.0), (ts(2), 1L, 99.0))
+    q.processAllAvailable()
+    input.addData((ts(3), 1L, 98.0), (ts(4), 3L, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spec_dedup").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L)) // each id exactly once
+  }
+
   test("stream upserts into a hosted table via foreachBatch") {
     HostedStore.dropByTitle("stream_sink_tbl")
     // column order must match the streaming batch projection
