@@ -304,6 +304,10 @@ object QueryCatalog {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    "x_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessions(t(s, dir, "events"), "30 minutes")
+        .orderBy("user_id", "session_start_ms")),
+
     "q_stream_hourly" -> ((s, dir) => {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () }
@@ -367,6 +371,24 @@ object QueryCatalog {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value FROM events),
+        |marked AS (
+        |  SELECT user_id, tms, value,
+        |    CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms) >= 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, tms, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT min(tms) AS session_start_ms, max(tms) + 1800000 AS session_end_ms,
+        |  user_id, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
 
     "q_stream_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event sessionization — gap-based session windows over the events table,
+  * in both batch and streaming forms, plus a custom-state example.
+  *
+  * `session_window` is the built-in, Catalyst-planned path (merging
+  * windows, watermark-evictable state in streaming) and is preferred;
+  * `userRunningStats` shows the `mapGroupsWithState` escape hatch for
+  * state machines the built-ins can't express.
+  */
+object Sessionize {
+
+  /** Gap-based sessions per user. Works identically over a batch frame or
+    * a watermarked stream (same plan family; streaming keeps only open
+    * sessions in state). Output: user_id, session_start_ms, session_end_ms,
+    * n_events, total_value (decimal for cross-engine exactness).
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+                             last_seen_ms: Long)
+
+  /** Custom keyed state via mapGroupsWithState: a per-user running
+    * activity profile (event count, value sum, last-seen). The built-in
+    * aggregations cover this in batch; the point is the streaming state
+    * machine — updates survive across micro-batches, keyed state is
+    * sharded by user across executors.
+    */
+  def userRunningStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(user, 0L, 0.0, 0L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserStats(user, acc.n_events + 1, acc.total_value + e.value,
+              math.max(acc.last_seen_ms, e.ts.getTime))
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -59,6 +59,55 @@ class EventStreamsSpec extends AnyFunSuite {
     def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
 
+  test("streaming session windows match the batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val q = Sessionize.sessions(events.withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_sessions").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two sessions (gap > 30min); user 2: one session
+    input.addData((ts(1, 0), 1L, 1.0), (ts(1, 10), 1L, 2.0),
+      (ts(2, 0), 1L, 4.0), (ts(1, 5), 2L, 8.0))
+    q.processAllAvailable()
+    // sentinel far in the future: pushes the watermark so open sessions close
+    input.addData((ts(9, 0), 99L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spec_sessions")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start_ms")
+      .collect().toSeq
+    val batchDf = Seq((ts(1, 0), 1L, 1.0), (ts(1, 10), 1L, 2.0),
+      (ts(2, 0), 1L, 4.0), (ts(1, 5), 2L, 8.0)).toDF("ts", "user_id", "value")
+    val batch = Sessionize.sessions(batchDf)
+      .orderBy("user_id", "session_start_ms").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.length == 3) // 2 sessions for user 1, 1 for user 2
+  }
+
+  test("mapGroupsWithState keeps running per-user stats across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.UserEvent]
+    val q = Sessionize.userRunningStats(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("spec_userstats").start()
+    def ev(u: Long, m: Int, v: Double) =
+      Sessionize.UserEvent(u, java.sql.Timestamp.valueOf(f"2024-01-01 04:$m%02d:00"), v)
+    input.addData(ev(1, 1, 10.0), ev(1, 2, 5.0), ev(2, 3, 1.0))
+    q.processAllAvailable()
+    input.addData(ev(1, 4, 2.5)) // state must carry the earlier 15.0
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("spec_userstats")
+      .filter(col("user_id") === 1L)
+      .orderBy(col("n_events").desc)
+      .as[Sessionize.UserStats].head()
+    assert(last.n_events == 3L)
+    assert(math.abs(last.total_value - 17.5) < 1e-9)
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
