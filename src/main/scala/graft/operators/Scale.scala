@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale tactics that become necessary past local data sizes: salted
+  * aggregation for skewed keys and bucketed co-located joins.
+  *
+  * AQE handles moderate skew at runtime (split oversized partitions); the
+  * salt is the explicit-plan variant for pathological keys (one key =
+  * double-digit % of all rows), and bucketing removes the shuffle from
+  * repeated large-fact joins entirely — both standard levers on a
+  * 1000-executor cluster, here with correctness pinned by specs.
+  */
+object Scale {
+
+  /** Two-phase salted sum/count for a skewed grouping key: phase 1
+    * aggregates on (key, salt) — spreading each hot key over `saltBuckets`
+    * reducers — phase 2 merges the partials per key. Result is identical
+    * to a direct groupBy (sums of longs/decimals are associative; for
+    * doubles the usual reordering caveat applies — pass decimals).
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+                saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+    salted
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("n_rows"))
+  }
+
+  /** Write both sides bucketed by the join key into the session catalog,
+    * so subsequent equi-joins on that key are co-located: no shuffle
+    * exchange on either side at join time. The write cost amortizes over
+    * every downstream join — the standard pattern for fact tables joined
+    * repeatedly on the same key.
+    */
+  def bucketJoinTables(spark: SparkSession, left: DataFrame, right: DataFrame,
+                       key: String, buckets: Int,
+                       leftName: String, rightName: String): (DataFrame, DataFrame) = {
+    Seq(leftName -> left, rightName -> right).foreach { case (name, df) =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      // The in-memory catalog forgets tables across JVMs but the warehouse
+      // files persist; clear the stale location so re-creation succeeds.
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new java.io.File(new java.net.URI(
+        if (wh.contains(":/")) wh else s"file:${new java.io.File(wh).getAbsolutePath}"
+      ).getPath, name)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+      df.write.bucketBy(buckets, key).sortBy(key)
+        .mode("overwrite").saveAsTable(name)
+    }
+    (spark.table(leftName), spark.table(rightName))
+  }
+}

@@ -304,6 +304,43 @@ object QueryCatalog {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    "q_distinct_parts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    "q_rollup_nation" -> ((s, dir) => {
+      // SQL surface: rollup + null-first ordering (the Dataset API's
+      // ambiguity detector misfires on rollup-key sorts; the SQL path is
+      // the same Catalyst plan without the Dataset-id bookkeeping).
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "nation").createOrReplaceTempView("v_nation")
+      t(s, dir, "region").createOrReplaceTempView("v_region")
+      s.sql(
+        """SELECT /*+ BROADCAST(n, r) */
+          |  r_name AS region_name, n_name AS nation_name,
+          |  count(*) AS n_customers,
+          |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+          |FROM v_customer c
+          |JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+          |JOIN v_region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    "q_setops_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val building = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val wealthy = cust.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+      val bigSpenders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(wealthy).except(bigSpenders).orderBy("c_custkey")
+    }),
+
     "x_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.sessions(t(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start_ms")),
@@ -371,6 +408,29 @@ object QueryCatalog {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup_nation" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |  count(*) AS n_customers,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST""".stripMargin,
+
+    "q_setops_customers" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY c_custkey""".stripMargin,
 
     "x_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value FROM events),
