@@ -1,0 +1,91 @@
+package graft.sinks
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{RetryPolicy, WriteMode}
+
+/** The six service verbs the reference issues against the remote portal
+  * (SURVEY §7.2) — the seam between the engine and any hosted-table
+  * backend:
+  *
+  *  - `resolveByTitle`  ≙ `gis.content.search(title:…)` (`/root/reference/src/agol_pandas.py:592-596`)
+  *  - `create`          ≙ `content.add` + `item.publish` (`src/agol_pandas.py:519-523`)
+  *  - `truncate`        ≙ `manager.truncate()` (`src/agol_pandas.py:395-396`)
+  *  - `ensureUniqueIndex` ≙ `add_to_definition(indexes)` + poll (`src/agol_pandas.py:286-307`)
+  *  - `queryPage`/`queryCount` ≙ `table.query(resultOffset, resultRecordCount,
+  *    where, outFields, returnCountOnly)` (`src/agol_pandas.py:246`, paged
+  *    where the reference is serial)
+  *  - `appendBatch`     ≙ `table.append(upsert, skip_inserts, skip_updates,
+  *    upsert_matching_field, rollback=True)` (`src/agol_pandas.py:445-455`)
+  *
+  * [[HostedStore]] is the in-process implementation (tests, local engine);
+  * [[RestHostedService]] is the skeleton of the HTTP implementation. The
+  * DSv2 connector only ever talks through this seam, so swapping backends
+  * never touches the Spark plumbing.
+  */
+trait HostedTableSink {
+  def resolveByTitle(title: String): Option[String]
+  def create(title: String, schema: StructType): String
+  def truncate(itemId: String): Unit
+  def ensureUniqueIndex(itemId: String, field: String): Boolean
+  def queryCount(itemId: String, filters: Array[Filter]): Long
+  def queryPage(itemId: String, offset: Long, count: Long,
+                requiredCols: Array[String], filters: Array[Filter]): Iterator[Row]
+  def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
+                  key: Option[String]): Long
+}
+
+/** Skeleton HTTP implementation of the sink seam — the production
+  * counterpart of [[HostedStore]], NOT exercised in this offline
+  * environment (no egress). Documents exactly how each verb maps to the
+  * remote REST surface and where the retry policy wraps the calls; the
+  * `???` bodies are the only thing a live deployment fills in.
+  *
+  * Executor-side usage: `queryPage` and `appendBatch` are called from
+  * read/write tasks — each task issues its own HTTP call (the paged-read
+  * and batched-write parallelism the reference lacked), with `retry`
+  * providing the reference's jittered backoff (`src/agol_pandas.py:8-43`)
+  * locally per task, not via global mutable state.
+  */
+class RestHostedService(portalUrl: String, token: String,
+                        retry: RetryPolicy = RetryPolicy()) extends HostedTableSink {
+  // GET  {portalUrl}/search?q=title:"{title}" AND type:"Feature Service"
+  override def resolveByTitle(title: String): Option[String] = ???
+  // POST {portalUrl}/content/users/{me}/addItem + /publish
+  override def create(title: String, schema: StructType): String = ???
+  // POST {serviceUrl}/FeatureServer/0/truncate
+  override def truncate(itemId: String): Unit = ???
+  // POST {serviceUrl}/FeatureServer/0/addToDefinition {"indexes":[…]} then
+  // poll every 5s up to 12x for visibility (src/agol_pandas.py:302-307)
+  override def ensureUniqueIndex(itemId: String, field: String): Boolean = ???
+  // GET  {serviceUrl}/0/query?returnCountOnly=true&where={filters→SQL}
+  override def queryCount(itemId: String, filters: Array[Filter]): Long = ???
+  // GET  {serviceUrl}/0/query?resultOffset={offset}&resultRecordCount={count}
+  //      &outFields={cols}&where={filters→SQL}
+  override def queryPage(itemId: String, offset: Long, count: Long,
+                         requiredCols: Array[String],
+                         filters: Array[Filter]): Iterator[Row] = ???
+  // POST {serviceUrl}/0/append {upsert, skipInserts, skipUpdates,
+  //      upsertMatchingField, rollbackOnFailure:true}
+  override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
+                           key: Option[String]): Long = ???
+}
+
+/** [[HostedStore]] exposed through the sink seam. */
+object InProcessHostedSink extends HostedTableSink {
+  override def resolveByTitle(title: String): Option[String] = HostedStore.resolveByTitle(title)
+  override def create(title: String, schema: StructType): String = HostedStore.create(title, schema)
+  override def truncate(itemId: String): Unit = HostedStore.truncate(itemId)
+  override def ensureUniqueIndex(itemId: String, field: String): Boolean =
+    HostedStore.ensureUniqueIndex(itemId, field)
+  override def queryCount(itemId: String, filters: Array[Filter]): Long =
+    HostedStore.queryCount(itemId, filters)
+  override def queryPage(itemId: String, offset: Long, count: Long,
+                         requiredCols: Array[String], filters: Array[Filter]): Iterator[Row] =
+    HostedStore.queryPage(itemId, offset, count, requiredCols, filters)
+  override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
+                           key: Option[String]): Long =
+    HostedStore.appendBatch(itemId, batch, mode, key)
+}

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off scale sanity: synthesize ~10x sf0.1 in memory and run the
+  * heaviest operators, watching wall time and plan behavior. Not part of
+  * the graded bench — a guard against quadratic surprises.
+  */
+object StressCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+
+    def time[A](name: String)(f: => A): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"== $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+
+    // ~6M lineitem rows (10 copies)
+    val li = graft.api.Tables.load(spark, dir, "lineitem")
+    val li10 = (0 until 10).map(i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    time("q1 aggregation @6M rows") {
+      li10.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), count(lit(1))).collect()
+    }
+    time("window top-n @6M rows") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey").orderBy(col("l_extendedprice").desc)
+      li10.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+    }
+
+    // 50k docs (10 copies with distinct ids)
+    val docs = graft.api.Tables.load(spark, dir, "documents")
+    val docs10 = (0 until 10).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    time("minhash LSH pairs @50k docs") {
+      graft.operators.Dedup.minhashLshPairs(docs10, "doc_id", "text", 0.9).count()
+    }
+    time("simhash @50k docs") {
+      graft.operators.Dedup.simhashSignatures(docs10, "doc_id", "text").count()
+    }
+
+    // 20k embeddings (10 copies)
+    val emb = graft.api.Tables.load(spark, dir, "embeddings")
+    val emb10 = (0 until 10).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    time("brute topk 5q @20k vecs") {
+      graft.operators.Similarity.bruteForceTopK(emb10,
+        emb10.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count()
+    }
+    time("LSH ANN 5q @20k vecs") {
+      graft.operators.Similarity.lshTopK(emb10,
+        emb10.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count()
+    }
+    spark.stop()
+    println("== stress OK")
+  }
+}
