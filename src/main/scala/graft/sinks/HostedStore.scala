@@ -54,6 +54,8 @@ object HostedStore {
   def resolveByTitle(title: String): Option[String] =
     tables.asScala.values.find(_.title == title).map(_.itemId)
 
+  def titles: Seq[String] = tables.asScala.values.map(_.title).toSeq.sorted
+
   def get(itemId: String): TableState = {
     val t = tables.get(itemId)
     if (t == null) throw new NoSuchElementException(s"no hosted table '$itemId'")

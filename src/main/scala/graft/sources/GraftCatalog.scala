@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.HostedStore
+
+/** DSv2 catalog plugin: hosted tables addressable from SQL by title.
+  *
+  * ```
+  * spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  * spark.sql("SELECT * FROM graft.hosted.my_table WHERE k > 10")
+  * spark.sql("SHOW TABLES IN graft.hosted")
+  * ```
+  *
+  * The single namespace `hosted` mirrors the flat portal content space the
+  * reference searches by title (`/root/reference/src/agol_pandas.py:592-596`).
+  * Table identity resolves title → itemId, so SQL names survive table
+  * re-creation. Reads/writes route through the same [[GraftTable]] as
+  * `format("graft")` — pushdown, paged scans, and audited writes included.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+  private val ns = Array("hosted")
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def resolve(ident: Identifier): String = {
+    val title = ident.name()
+    HostedStore.resolveByTitle(title)
+      .orElse(if (HostedStore.exists(title)) Some(title) else None)
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    HostedStore.titles.map(t => Identifier.of(ns, t)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val id = resolve(ident)
+    val opts = new util.HashMap[String, String]()
+    opts.put("itemId", id)
+    new GraftTable(id, HostedStore.get(id).schema, new CaseInsensitiveStringMap(opts))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    HostedStore.resolveByTitle(ident.name()).isDefined || HostedStore.exists(ident.name())
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val id = HostedStore.create(ident.name(), schema)
+    Option(properties.get("key")).foreach(k => HostedStore.ensureUniqueIndex(id, k))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "hosted tables take schema from the written DataFrame (SURVEY §1)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    HostedStore.resolveByTitle(ident.name()) match {
+      case Some(id) => HostedStore.drop(id); true
+      case None     => false
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not part of the service surface")
+}

@@ -90,11 +90,27 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Long] = None
+  private var countPushed = false
+
+  /** Ungrouped COUNT(*) maps directly to the remote `returnCountOnly`
+    * query — the whole aggregation collapses to one service call, zero
+    * rows transferred. Anything else stays in the Spark plan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    if (supportCompletePushDown(agg)) { countPushed = true; true }
+    else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rejected) = filters.partition(FilterEval.supports)
@@ -112,7 +128,40 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n.toLong); true }
 
-  override def build(): Scan = new GraftScan(itemId, required, pushed, limit, pageSize)
+  override def build(): Scan =
+    if (countPushed) new GraftCountScan(itemId, pushed)
+    else new GraftScan(itemId, required, pushed, limit, pageSize)
+}
+
+/** Fully-pushed COUNT(*): one driver-side `returnCountOnly` service call,
+  * one emitted row, no data pages.
+  */
+class GraftCountScan(itemId: String, filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    new StructType().add("count_star", org.apache.spark.sql.types.LongType, false)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft:$itemId pushedAggregate=[COUNT(*)] pushedFilters=[${filters.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(itemId, filters))
+  override def createReaderFactory(): PartitionReaderFactory = GraftCountReaderFactory()
+}
+
+case class GraftCountPartition(itemId: String, filters: Array[Filter])
+    extends InputPartition
+
+case class GraftCountReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[GraftCountPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        InternalRow(HostedStore.queryCount(cp.itemId, cp.filters))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],

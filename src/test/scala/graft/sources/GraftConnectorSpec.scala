@@ -49,6 +49,19 @@ class GraftConnectorSpec extends AnyFunSuite {
     assert(q.count() == 10)
   }
 
+  test("count(*) pushes down to a single service count call") {
+    val id = fresh("countpush table", base)
+    val q = HostedTables.read(spark, id).filter($"k" > 50L)
+      .groupBy().count()
+    q.collect() // finalize AQE
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("pushedAggregate=[COUNT(*)]"), p)
+    assert(p.contains("GreaterThan(k,50)"), p) // filter still service-side
+    assert(q.as[Long].head() == 50L)
+    // plain .count() action takes the same path
+    assert(HostedTables.read(spark, id).count() == 100L)
+  }
+
   test("limit pushdown caps planned pages") {
     val id = fresh("limit table", base)
     val q = HostedTables.read(spark, id).limit(5)
@@ -101,6 +114,18 @@ class GraftConnectorSpec extends AnyFunSuite {
   test("empty input rejected like the reference") {
     val id = fresh("empty table", base)
     assert(HostedTables.write(base.filter(lit(false)), id, WriteMode.Append).isLeft)
+  }
+
+  test("SQL catalog: hosted tables addressable by title") {
+    val id = fresh("cat_table", base)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val got = spark.sql("SELECT k, v FROM graft.hosted.cat_table WHERE k > 95 ORDER BY k")
+    assert(got.count() == 5)
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThan(k,95)"), p) // pushdown through the catalog path
+    assert(spark.sql("SHOW TABLES IN graft.hosted").collect()
+      .map(_.getString(1)).contains("cat_table"))
+    assert(HostedStore.resolveByTitle("cat_table").contains(id))
   }
 
   test("save: resolve-or-create is idempotent, chunked, audited") {
