@@ -304,6 +304,14 @@ object QueryCatalog {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     "q_distinct_parts" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -408,6 +416,13 @@ object QueryCatalog {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_distinct_parts" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

@@ -128,6 +128,17 @@ class GraftConnectorSpec extends AnyFunSuite {
     assert(HostedStore.resolveByTitle("cat_table").contains(id))
   }
 
+  test("SQL INSERT INTO writes through the catalog") {
+    fresh("cat_ins_table", base)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql("INSERT INTO graft.hosted.cat_ins_table VALUES (777, 'sqlrow', 7.7)")
+    val got = spark.sql(
+      "SELECT k, name, v FROM graft.hosted.cat_ins_table WHERE k = 777")
+    assert(got.as[(Long, String, Double)].head() == ((777L, "sqlrow", 7.7)))
+    assert(spark.sql("SELECT count(*) FROM graft.hosted.cat_ins_table")
+      .as[Long].head() == 101L)
+  }
+
   test("save: resolve-or-create is idempotent, chunked, audited") {
     HostedStore.dropByTitle("orch_table_")
     val df = (1 to 500).map(i => (i.toLong, s"n$i")).toDF("k", "name")
