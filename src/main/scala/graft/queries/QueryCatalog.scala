@@ -304,6 +304,25 @@ object QueryCatalog {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    "q_pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        .orderBy("o_orderpriority")),
+
+    "q_exists_urgent" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
@@ -416,6 +435,20 @@ object QueryCatalog {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_exists_urgent" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderpriority,
