@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.{Merge, TimestampNorm, WriteMode}
-import graft.sinks.HostedStore
+import graft.sinks.HostedSinks
 import graft.sources.{GraftCommitMessage, GraftWriteReports}
 
 /** High-level hosted-table API — the public surface of the reference:
@@ -34,7 +34,7 @@ object HostedTables {
       chunkSize: Int = 100000): Either[String, Seq[GraftCommitMessage]] =
     for {
       _ <- WriteMode.validate(mode, key)
-      _ <- if (!HostedStore.exists(itemId)) Left(s"no hosted table '$itemId'") else Right(())
+      _ <- if (!HostedSinks.active.exists(itemId)) Left(s"no hosted table '$itemId'") else Right(())
       _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
       res <- doWrite(df, itemId, mode, key, chunkSize)
     } yield res
@@ -80,8 +80,8 @@ object HostedTables {
       _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
       id <- try {
         val utc = TimestampNorm.toUtc(df)
-        val id = HostedStore.create(norm, utc.schema)
-        key.foreach(k => HostedStore.ensureUniqueIndex(id, k))
+        val id = HostedSinks.active.create(norm, utc.schema)
+        key.foreach(k => HostedSinks.active.ensureUniqueIndex(id, k))
         Right(id)
       } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
     } yield id
@@ -99,7 +99,7 @@ object HostedTables {
     for {
       norm <- graft.core.ServiceName.normalize(name)
       _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
-      id <- HostedStore.resolveByTitle(norm) match {
+      id <- HostedSinks.active.resolveByTitle(norm) match {
         case Some(existing) => Right(existing)
         case None           => createTable(df, norm, key)
       }

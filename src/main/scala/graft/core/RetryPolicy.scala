@@ -45,18 +45,6 @@ final case class RetryPolicy(
     go(1)
   }
 }
-
-/** Per-chunk write audit record, the reference's chunk-result dicts
-  * (`/root/reference/src/agol_pandas.py:344-353,621-634`): which contiguous
-  * key range each write task covered, how many rows, which mode, and the
-  * outcome. Produced per-partition (constant size per task — never
-  * row-sized) and assembled on the driver at commit.
-  */
-final case class ChunkResult(
-    chunkId: Int,
-    rows: Long,
-    mode: String,
-    minKey: String,
-    maxKey: String,
-    attempts: Int,
-    result: String)
+// The per-chunk write audit record (the reference's chunk-result dicts,
+// src/agol_pandas.py:344-353,621-634) is graft.sources.GraftCommitMessage,
+// produced per write partition and assembled on the driver at commit.

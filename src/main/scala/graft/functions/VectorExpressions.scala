@@ -29,7 +29,8 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   }
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -42,15 +43,28 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _               => true
+  })
+
+  // A null element makes the whole dot product null (matching the
+  // zip_with/aggregate formulation, where null propagates through the
+  // lambda). Mismatched lengths are data corruption — fail loudly rather
+  // than silently truncating.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: mismatched vector lengths $n vs ${y.numElements()}")
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       sum += xi * yi
@@ -66,10 +80,19 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val nullGuard =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: mismatched vector lengths " + $n + " vs " + $b.numElements());
+         |}
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $sum += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |}
          |${ev.value} = $sum;

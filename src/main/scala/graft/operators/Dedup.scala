@@ -47,9 +47,14 @@ object Dedup {
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol),
         split(col(textCol), " ").as("words"))
+      // Guard short docs: sequence(1, 0) would produce the DESCENDING
+      // array [1, 0] (Spark defaults to step -1) and slice(_, 0, _)
+      // throws. Docs with fewer than n words have no n-gram shingles.
       .select(col(idCol), explode(
-        expr(s"transform(sequence(1, greatest(size(words) - ${n - 1}, 0)), " +
-             s"i -> concat_ws(' ', slice(words, i, $n)))")).as("shingle"))
+        expr(s"CASE WHEN size(words) >= $n THEN " +
+             s"transform(sequence(1, size(words) - ${n - 1}), " +
+             s"i -> concat_ws(' ', slice(words, i, $n))) " +
+             s"ELSE array() END")).as("shingle"))
 
   /** Word `n`-gram shingle *set* per document: (id, shingle), distinct. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
@@ -71,7 +76,9 @@ object Dedup {
         sh.join(hot, Seq("shingle"), "left_anti")
       case None => sh
     }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // Sizes from the SAME (capped) set as the intersection counts, so the
+    // Jaccard ratio stays internally consistent under stop-shingle capping.
+    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = filtered.select(col(idCol).as("a"), col("shingle"))
     val b = filtered.select(col(idCol).as("b"), col("shingle"))
     val common = a.join(b, Seq("shingle"))

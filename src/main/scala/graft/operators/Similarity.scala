@@ -88,7 +88,11 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 12, planes: Int = 4): DataFrame = {
-    val dim = 64 // fixture embedding dimension; parameterize when needed
+    // Hyperplanes must span the full embedding; a hardcoded dimension
+    // would silently ignore later components. One tiny driver action.
+    val dim = queries.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("lshTopK: empty query set"))
     def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs),
         col(vecCol).cast("array<double>").as(vecAs),

@@ -142,22 +142,37 @@ object HostedStore {
         require(t.uniqueIndexes.contains(k.toLowerCase),
           s"mode ${mode.name} requires a unique index on '$k' (src/agol_pandas.py:410)")
         val ki = t.schema.fieldIndex(k)
-        val incoming = batch.map(r => r.get(ki) -> r).toMap
+        // Collapse within-batch duplicate keys in arrival order, the way a
+        // unique-indexed service applies a batch: upsert/update keep the
+        // last occurrence per key; insert keeps the first and skips the
+        // rest (they would be updates, which insert mode suppresses).
+        // Without this, duplicate new keys in one batch would all insert —
+        // corrupting the table's claimed uniqueness.
+        val collapsed = scala.collection.mutable.LinkedHashMap.empty[Any, Row]
+        batch.foreach { r =>
+          val kv = r.get(ki)
+          if (mode == WriteMode.Insert) {
+            if (!collapsed.contains(kv)) collapsed.put(kv, r)
+          } else collapsed.put(kv, r)
+        }
         val existingKeys = t.rows.iterator.map(_.get(ki)).toSet
         val updated = t.rows.map { r =>
-          incoming.get(r.get(ki)) match {
+          collapsed.get(r.get(ki)) match {
             case Some(nr) if mode != WriteMode.Insert => nr
             case _                                    => r
           }
         }
         val inserts =
           if (mode == WriteMode.Update) Vector.empty
-          else batch.filterNot(r => existingKeys.contains(r.get(ki))).toVector
+          else collapsed.valuesIterator
+            .filterNot(r => existingKeys.contains(r.get(ki))).toVector
         tables.put(itemId, t.copy(rows = updated ++ inserts))
-        (if (mode == WriteMode.Update)
-           batch.count(r => existingKeys.contains(r.get(ki)))
-         else if (mode == WriteMode.Insert) inserts.size
-         else batch.size).toLong
+        (mode match {
+          case WriteMode.Update =>
+            collapsed.keysIterator.count(existingKeys.contains)
+          case WriteMode.Insert => inserts.size
+          case _                => collapsed.size
+        }).toLong
     }
   }
 }

@@ -35,6 +35,21 @@ trait HostedTableSink {
                 requiredCols: Array[String], filters: Array[Filter]): Iterator[Row]
   def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                   key: Option[String]): Long
+  // item metadata (≙ portal item/service description endpoints)
+  def exists(itemId: String): Boolean
+  def schemaOf(itemId: String): StructType
+  def titles: Seq[String]
+  def drop(itemId: String): Boolean
+}
+
+/** The backend the connector, catalog, and high-level API talk to.
+  * Defaults to the in-process store; a live deployment swaps in
+  * [[RestHostedService]] here and nothing else changes. (JVM-global:
+  * in local mode driver and executors share it; a cluster deployment
+  * would construct the service from connector options inside tasks.)
+  */
+object HostedSinks {
+  @volatile var active: HostedTableSink = InProcessHostedSink
 }
 
 /** Skeleton HTTP implementation of the sink seam — the production
@@ -71,6 +86,14 @@ class RestHostedService(portalUrl: String, token: String,
   //      upsertMatchingField, rollbackOnFailure:true}
   override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                            key: Option[String]): Long = ???
+  // GET  {portalUrl}/content/items/{itemId}
+  override def exists(itemId: String): Boolean = ???
+  // GET  {serviceUrl}/FeatureServer/0?f=json → fields → StructType
+  override def schemaOf(itemId: String): StructType = ???
+  // GET  {portalUrl}/search?q=owner:{me} AND type:"Feature Service"
+  override def titles: Seq[String] = ???
+  // POST {portalUrl}/content/users/{me}/items/{itemId}/delete
+  override def drop(itemId: String): Boolean = ???
 }
 
 /** [[HostedStore]] exposed through the sink seam. */
@@ -88,4 +111,12 @@ object InProcessHostedSink extends HostedTableSink {
   override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                            key: Option[String]): Long =
     HostedStore.appendBatch(itemId, batch, mode, key)
+  override def exists(itemId: String): Boolean = HostedStore.exists(itemId)
+  override def schemaOf(itemId: String): StructType = HostedStore.get(itemId).schema
+  override def titles: Seq[String] = HostedStore.titles
+  override def drop(itemId: String): Boolean = {
+    val existed = HostedStore.exists(itemId)
+    HostedStore.drop(itemId)
+    existed
+  }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sinks.HostedStore
+import graft.sinks.HostedSinks
 
 /** DSv2 catalog plugin: hosted tables addressable from SQL by title.
   *
@@ -36,30 +36,32 @@ class GraftCatalog extends TableCatalog {
 
   private def resolve(ident: Identifier): String = {
     val title = ident.name()
-    HostedStore.resolveByTitle(title)
-      .orElse(if (HostedStore.exists(title)) Some(title) else None)
+    val sink = HostedSinks.active
+    sink.resolveByTitle(title)
+      .orElse(if (sink.exists(title)) Some(title) else None)
       .getOrElse(throw new NoSuchTableException(ident))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    HostedStore.titles.map(t => Identifier.of(ns, t)).toArray
+    HostedSinks.active.titles.map(t => Identifier.of(ns, t)).toArray
 
   override def loadTable(ident: Identifier): Table = {
     val id = resolve(ident)
     val opts = new util.HashMap[String, String]()
     opts.put("itemId", id)
-    new GraftTable(id, HostedStore.get(id).schema, new CaseInsensitiveStringMap(opts))
+    new GraftTable(id, HostedSinks.active.schemaOf(id), new CaseInsensitiveStringMap(opts))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    HostedStore.resolveByTitle(ident.name()).isDefined || HostedStore.exists(ident.name())
+    HostedSinks.active.resolveByTitle(ident.name()).isDefined ||
+      HostedSinks.active.exists(ident.name())
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val id = HostedStore.create(ident.name(), schema)
-    Option(properties.get("key")).foreach(k => HostedStore.ensureUniqueIndex(id, k))
+    val id = HostedSinks.active.create(ident.name(), schema)
+    Option(properties.get("key")).foreach(k => HostedSinks.active.ensureUniqueIndex(id, k))
     loadTable(ident)
   }
 
@@ -67,11 +69,13 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "hosted tables take schema from the written DataFrame (SURVEY §1)")
 
-  override def dropTable(ident: Identifier): Boolean =
-    HostedStore.resolveByTitle(ident.name()) match {
-      case Some(id) => HostedStore.drop(id); true
-      case None     => false
-    }
+  override def dropTable(ident: Identifier): Boolean = {
+    val sink = HostedSinks.active
+    // accept a title or a raw itemId, same as loadTable/tableExists
+    sink.resolveByTitle(ident.name())
+      .orElse(if (sink.exists(ident.name())) Some(ident.name()) else None)
+      .exists(sink.drop)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not part of the service surface")

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.WriteMode
-import graft.sinks.{FilterEval, HostedStore}
+import graft.sinks.{FilterEval, HostedSinks}
 
 /** DataSource V2 connector for hosted tables: `format("graft")`.
   *
@@ -57,7 +57,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    HostedStore.get(itemId(options)).schema
+    HostedSinks.active.schemaOf(itemId(options))
 
   override def getTable(
       schema: StructType,
@@ -158,7 +158,7 @@ case class GraftCountReaderFactory() extends PartitionReaderFactory {
       override def next(): Boolean =
         if (emitted) false else { emitted = true; true }
       override def get(): InternalRow =
-        InternalRow(HostedStore.queryCount(cp.itemId, cp.filters))
+        InternalRow(HostedSinks.active.queryCount(cp.itemId, cp.filters))
       override def close(): Unit = ()
     }
   }
@@ -174,7 +174,7 @@ class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Driver-side count (the remote `returnCountOnly`) to plan offset pages.
-    val matching = HostedStore.queryCount(itemId, filters)
+    val matching = HostedSinks.active.queryCount(itemId, filters)
     val total = limit.fold(matching)(math.min(matching, _))
     if (total == 0) Array.empty
     else (0L until total by pageSize).map { off =>
@@ -198,7 +198,7 @@ case class GraftReaderFactory(cols: Array[String], filters: Array[Filter],
       // Each task fetches its own page — in production this is the task's
       // own HTTP query with resultOffset/resultRecordCount.
       private val it =
-        HostedStore.queryPage(gp.itemId, gp.offset, gp.count, cols, filters)
+        HostedSinks.active.queryPage(gp.itemId, gp.offset, gp.count, cols, filters)
       private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -252,8 +252,8 @@ class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
       // Driver-side, exactly-once setup: truncate for overwrite
       // (src/agol_pandas.py:395-396) and index-ensure for merge modes
       // (src/agol_pandas.py:410-412).
-      if (truncateFirst || mode == WriteMode.Overwrite) HostedStore.truncate(itemId)
-      key.foreach(k => HostedStore.ensureUniqueIndex(itemId, k))
+      if (truncateFirst || mode == WriteMode.Overwrite) HostedSinks.active.truncate(itemId)
+      key.foreach(k => HostedSinks.active.ensureUniqueIndex(itemId, k))
       GraftWriterFactory(itemId, schema, mode, key, chunkSize)
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -299,15 +299,26 @@ class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
   private var rows = 0L
   private var batches = 0
-  private var minKey: String = null
-  private var maxKey: String = null
+  private var minKeyVal: Any = null
+  private var maxKeyVal: Any = null
+
+  // Native-type key comparison for the audit range: lexicographic compare
+  // of stringified numbers would report "99" > "100".
+  private def cmpKeys(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b)
+    case _ => String.valueOf(a).compareTo(String.valueOf(b))
+  }
 
   override def write(record: InternalRow): Unit = {
     val r = toScala(record.copy()).asInstanceOf[Row]
     keyIdx.foreach { i =>
-      val k = String.valueOf(r.get(i))
-      if (minKey == null || k < minKey) minKey = k
-      if (maxKey == null || k > maxKey) maxKey = k
+      val k = r.get(i)
+      if (k != null) {
+        if (minKeyVal == null || cmpKeys(k, minKeyVal) < 0) minKeyVal = k
+        if (maxKeyVal == null || cmpKeys(k, maxKeyVal) > 0) maxKeyVal = k
+      }
     }
     buf += r
     rows += 1
@@ -315,7 +326,7 @@ class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    HostedStore.appendBatch(itemId, buf.toSeq, mode, key)
+    HostedSinks.active.appendBatch(itemId, buf.toSeq, mode, key)
     batches += 1
     buf.clear()
   }
@@ -323,7 +334,8 @@ class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
   override def commit(): WriterCommitMessage = {
     flush()
     GraftCommitMessage(partitionId, rows, batches,
-      Option(minKey).getOrElse(""), Option(maxKey).getOrElse(""))
+      Option(minKeyVal).map(String.valueOf).getOrElse(""),
+      Option(maxKeyVal).map(String.valueOf).getOrElse(""))
   }
   override def abort(): Unit = buf.clear()
   override def close(): Unit = ()

@@ -92,6 +92,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("shingles handle documents shorter than the n-gram size") {
+    val short = Seq((1L, "only two"), (2L, "a"), (3L, ""),
+      (4L, "one two three four")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(short, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(sh == Set((4L, "one two three"), (4L, "two three four")))
+    // whole pipelines survive short docs
+    assert(Dedup.minhashSignatures(short, "doc_id", "text").count() == 1)
+    assert(Dedup.jaccardPairs(short, "doc_id", "text", 0.1).count() == 0)
+  }
+
+  test("vec_dot: null element yields null; length mismatch fails loudly") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, cast(null as double)), array(2.0D, 3.0D)) AS d")
+      .collect().head
+    assert(r.isNullAt(0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D), array(1.0D, 2.0D))").collect()
+    }
+    assert(e.getMessage.contains("mismatched vector lengths") ||
+      Option(e.getCause).exists(_.getMessage.contains("mismatched vector lengths")))
+  }
+
   test("language id picks the language whose markers dominate") {
     val sample = Seq(
       (1L, "the cat and the dog of the house is big"),

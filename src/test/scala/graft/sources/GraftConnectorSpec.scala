@@ -106,6 +106,36 @@ class GraftConnectorSpec extends AnyFunSuite {
       ((2L, "UPD", -2.0))) // untouched by insert mode
   }
 
+  test("duplicate keys within one raw batch collapse instead of corrupting") {
+    val id = fresh("dupbatch table", base, Some("k"))
+    // Raw connector write (no API-level dedup): two NEW rows, same key.
+    val dup = Seq((5000L, "first", 1.0), (5000L, "second", 2.0)).toDF("k", "name", "v")
+    dup.coalesce(1).write.format("graft").mode("append")
+      .option("itemId", id).option("writeMode", "upsert").option("key", "k").save()
+    val got = HostedTables.read(spark, id).filter($"k" === 5000L)
+    assert(got.count() == 1) // unique index holds
+    assert(got.as[(Long, String, Double)].head()._2 == "second") // last wins
+
+    val dup2 = Seq((6000L, "a", 1.0), (6000L, "b", 2.0)).toDF("k", "name", "v")
+    dup2.coalesce(1).write.format("graft").mode("append")
+      .option("itemId", id).option("writeMode", "insert").option("key", "k").save()
+    val got2 = HostedTables.read(spark, id).filter($"k" === 6000L)
+    assert(got2.count() == 1)
+    assert(got2.as[(Long, String, Double)].head()._2 == "a") // insert keeps first
+  }
+
+  test("audit key ranges compare numerically, not lexicographically") {
+    graft.sinks.HostedStore.dropByTitle("audit_range_tbl")
+    val df = spark.range(95, 105).select($"id".as("k"), lit("x").as("v"))
+    val id = HostedTables.createTable(df, "audit_range_tbl", Some("k"))
+      .fold(e => fail(e), identity)
+    HostedTables.write(df.coalesce(1), id, graft.core.WriteMode.Upsert, Some("k"))
+      .fold(e => fail(e), identity)
+    val m = graft.sources.GraftWriteReports.last(id).find(_.rows > 0).get
+    assert(m.minKey == "95", m.toString) // lexicographic would say "100"
+    assert(m.maxKey == "104", m.toString)
+  }
+
   test("merge modes require a key and a unique index") {
     val id = fresh("nokey table", base)
     assert(HostedTables.write(base, id, WriteMode.Upsert, None).isLeft)
