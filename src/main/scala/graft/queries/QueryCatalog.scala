@@ -573,6 +573,13 @@ object QueryCatalog {
           "doc_id")
         .orderBy("doc_id")),
 
+    "x_approx_distinct" -> ((s, dir) => // HLL sketch: rows-only (approximate)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
     "x_multimodal_frames" -> ((s, dir) => // stub decode: rows-only oracle
       Multimodal.decodeFrames(
           Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),

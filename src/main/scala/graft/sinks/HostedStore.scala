@@ -119,6 +119,24 @@ object HostedStore {
     else t.rows.count(r => filters.forall(f => FilterEval(f, r, t.schema))).toLong
   }
 
+  /** Service-side MIN/MAX of a field over the filtered rows — the remote
+    * `outStatistics` query. Null when no rows match.
+    */
+  def queryMinMax(itemId: String, filters: Array[Filter], field: String,
+                  isMin: Boolean): Any = {
+    val t = get(itemId)
+    val idx = t.schema.fieldIndex(field)
+    val matching = t.rows.iterator
+      .filter(r => filters.forall(f => FilterEval(f, r, t.schema)))
+      .map(_.get(idx))
+      .filter(_ != null)
+    if (!matching.hasNext) null
+    else matching.reduce { (a, b) =>
+      val c = FilterEval.cmpValues(a, b)
+      if ((c <= 0) == isMin) a else b
+    }
+  }
+
   /** Apply one batch with the given write mode — the remote
     * `table.append(upsert=..., skip_inserts=..., skip_updates=...,
     * upsert_matching_field=key, rollback=True)` (`src/agol_pandas.py:445-455`).
@@ -181,19 +199,22 @@ object HostedStore {
   * the fake's implementation of the remote `where` clause.
   */
 object FilterEval {
+  /** Total order over the service's value types. */
+  def cmpValues(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String)                         => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: java.time.Instant, y: java.time.Instant)   => x.compareTo(y)
+    case (x: java.sql.Date, y: java.sql.Date)           => x.compareTo(y)
+    case (x: Boolean, y: Boolean)                       => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported comparison: ${a.getClass} vs ${b.getClass}")
+  }
+
   def apply(f: Filter, r: Row, schema: StructType): Boolean = {
     def v(attr: String): Any = r.get(schema.fieldIndex(attr))
-    def cmp(a: Any, b: Any): Int = (a, b) match {
-      case (x: Number, y: Number) =>
-        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-      case (x: String, y: String)                     => x.compareTo(y)
-      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
-      case (x: java.time.Instant, y: java.time.Instant)   => x.compareTo(y)
-      case (x: java.sql.Date, y: java.sql.Date)       => x.compareTo(y)
-      case (x: Boolean, y: Boolean)                   => x.compareTo(y)
-      case _ => throw new IllegalArgumentException(
-        s"unsupported comparison: ${a.getClass} vs ${b.getClass}")
-    }
+    def cmp(a: Any, b: Any): Int = cmpValues(a, b)
     f match {
       case EqualTo(a, x)            => v(a) != null && cmp(v(a), x) == 0
       case GreaterThan(a, x)        => v(a) != null && cmp(v(a), x) > 0

@@ -35,6 +35,9 @@ trait HostedTableSink {
                 requiredCols: Array[String], filters: Array[Filter]): Iterator[Row]
   def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                   key: Option[String]): Long
+  // service-side statistics (≙ the remote `outStatistics` query)
+  def queryMinMax(itemId: String, filters: Array[Filter], field: String,
+                  isMin: Boolean): Any
   // item metadata (≙ portal item/service description endpoints)
   def exists(itemId: String): Boolean
   def schemaOf(itemId: String): StructType
@@ -86,6 +89,9 @@ class RestHostedService(portalUrl: String, token: String,
   //      upsertMatchingField, rollbackOnFailure:true}
   override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                            key: Option[String]): Long = ???
+  // GET  {serviceUrl}/0/query?outStatistics=[{statisticType:min|max,...}]
+  override def queryMinMax(itemId: String, filters: Array[Filter],
+                           field: String, isMin: Boolean): Any = ???
   // GET  {portalUrl}/content/items/{itemId}
   override def exists(itemId: String): Boolean = ???
   // GET  {serviceUrl}/FeatureServer/0?f=json → fields → StructType
@@ -111,6 +117,9 @@ object InProcessHostedSink extends HostedTableSink {
   override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                            key: Option[String]): Long =
     HostedStore.appendBatch(itemId, batch, mode, key)
+  override def queryMinMax(itemId: String, filters: Array[Filter],
+                           field: String, isMin: Boolean): Any =
+    HostedStore.queryMinMax(itemId, filters, field, isMin)
   override def exists(itemId: String): Boolean = HostedStore.exists(itemId)
   override def schemaOf(itemId: String): StructType = HostedStore.get(itemId).schema
   override def titles: Seq[String] = HostedStore.titles

@@ -96,21 +96,43 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Long] = None
-  private var countPushed = false
+  private var pushedStats: Option[Seq[StatSpec]] = None
 
-  /** Ungrouped COUNT(*) maps directly to the remote `returnCountOnly`
-    * query — the whole aggregation collapses to one service call, zero
-    * rows transferred. Anything else stays in the Spark plan.
+  /** Ungrouped COUNT(*)/MIN/MAX map directly to the remote
+    * `returnCountOnly` / `outStatistics` queries — the whole aggregation
+    * collapses to one service call per statistic, zero rows transferred.
+    * Anything else stays in the Spark plan.
     */
+  private def statSpecs(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[StatSpec]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(StatSpec("count", None))
+      case m: Min       => fieldOf(m.column).map(f => StatSpec("min", Some(f)))
+      case m: Max       => fieldOf(m.column).map(f => StatSpec("max", Some(f)))
+      case _            => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(
-      _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    statSpecs(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    if (supportCompletePushDown(agg)) { countPushed = true; true }
-    else false
+    statSpecs(agg) match {
+      case some @ Some(_) => pushedStats = some; true
+      case None           => false
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, rejected) = filters.partition(FilterEval.supports)
@@ -128,37 +150,68 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n.toLong); true }
 
-  override def build(): Scan =
-    if (countPushed) new GraftCountScan(itemId, pushed)
-    else new GraftScan(itemId, required, pushed, limit, pageSize)
+  override def build(): Scan = pushedStats match {
+    case Some(specs) => new GraftStatsScan(itemId, fullSchema, pushed, specs)
+    case None        => new GraftScan(itemId, required, pushed, limit, pageSize)
+  }
 }
 
-/** Fully-pushed COUNT(*): one driver-side `returnCountOnly` service call,
-  * one emitted row, no data pages.
+/** One pushed statistic: op ∈ {count, min, max}, field for min/max. */
+case class StatSpec(op: String, field: Option[String])
+
+/** Fully-pushed ungrouped COUNT(*)/MIN/MAX: one service statistics call
+  * per spec, one emitted row, no data pages.
   */
-class GraftCountScan(itemId: String, filters: Array[Filter]) extends Scan with Batch {
+class GraftStatsScan(itemId: String, tableSchema: StructType,
+                     filters: Array[Filter], specs: Seq[StatSpec])
+    extends Scan with Batch {
   override def readSchema(): StructType =
-    new StructType().add("count_star", org.apache.spark.sql.types.LongType, false)
+    StructType(specs.zipWithIndex.map {
+      case (StatSpec("count", _), i) =>
+        org.apache.spark.sql.types.StructField(s"stat_$i",
+          org.apache.spark.sql.types.LongType, nullable = false)
+      case (StatSpec(_, Some(f)), i) =>
+        org.apache.spark.sql.types.StructField(s"stat_$i",
+          tableSchema(f).dataType, nullable = true)
+      case (s, _) => throw new IllegalStateException(s.toString)
+    })
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft:$itemId pushedAggregate=[COUNT(*)] pushedFilters=[${filters.mkString(", ")}]"
+  override def description(): String = {
+    val shown = specs.map {
+      case StatSpec("count", _)    => "COUNT(*)"
+      case StatSpec(op, Some(f))   => s"${op.toUpperCase}($f)"
+      case s                       => s.toString
+    }
+    s"graft:$itemId pushedAggregate=[${shown.mkString(", ")}] " +
+      s"pushedFilters=[${filters.mkString(", ")}]"
+  }
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCountPartition(itemId, filters))
-  override def createReaderFactory(): PartitionReaderFactory = GraftCountReaderFactory()
+    Array(GraftStatsPartition(itemId, filters, specs))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftStatsReaderFactory(readSchema())
 }
 
-case class GraftCountPartition(itemId: String, filters: Array[Filter])
-    extends InputPartition
+case class GraftStatsPartition(itemId: String, filters: Array[Filter],
+                               specs: Seq[StatSpec]) extends InputPartition
 
-case class GraftCountReaderFactory() extends PartitionReaderFactory {
+case class GraftStatsReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val cp = p.asInstanceOf[GraftCountPartition]
+    val sp = p.asInstanceOf[GraftStatsPartition]
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean =
         if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow =
-        InternalRow(HostedSinks.active.queryCount(cp.itemId, cp.filters))
+      override def get(): InternalRow = {
+        val sink = HostedSinks.active
+        val values = sp.specs.map {
+          case StatSpec("count", _) => sink.queryCount(sp.itemId, sp.filters)
+          case StatSpec("min", Some(f)) => sink.queryMinMax(sp.itemId, sp.filters, f, isMin = true)
+          case StatSpec("max", Some(f)) => sink.queryMinMax(sp.itemId, sp.filters, f, isMin = false)
+          case s => throw new IllegalStateException(s.toString)
+        }
+        CatalystTypeConverters.createToCatalystConverter(schema)(
+          Row.fromSeq(values)).asInstanceOf[InternalRow]
+      }
       override def close(): Unit = ()
     }
   }

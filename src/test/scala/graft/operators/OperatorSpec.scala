@@ -74,6 +74,26 @@ class OperatorSpec extends AnyFunSuite {
       randDist.sum.toDouble / randDist.length)
   }
 
+  test("approx distinct is within the configured error of exact") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val approx = li.agg(approx_count_distinct(col("l_partkey"), 0.02)).as[Long].head()
+    val exact = li.select("l_partkey").distinct().count()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("Log2Histogram aggregator: counts per bucket, partition-invariant") {
+    import org.apache.spark.sql.functions.udaf
+    val hist = udaf(new CorpusAggregators.Log2Histogram)
+    val lens = docs.select(length(col("text")).cast("long").as("len"))
+    val h1 = lens.agg(hist(col("len"))).as[Map[Int, Long]].head()
+    val h2 = lens.repartition(13).agg(hist(col("len"))).as[Map[Int, Long]].head()
+    assert(h1 == h2)
+    assert(h1.values.sum == docs.count())
+    // docs are 48..~550 chars → buckets 5..9 only
+    assert(h1.keys.forall(b => b >= 5 && b <= 9), h1.toString)
+  }
+
   test("multimodal: stub decode is deterministic and partition-invariant") {
     val withBytes = Multimodal.withPayload(docs, "doc_id", "text")
     val a = Multimodal.decodeFrames(withBytes, "doc_id")

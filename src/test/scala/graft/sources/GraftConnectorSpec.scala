@@ -62,6 +62,17 @@ class GraftConnectorSpec extends AnyFunSuite {
     assert(HostedTables.read(spark, id).count() == 100L)
   }
 
+  test("min/max push down as service statistics calls") {
+    val id = fresh("statspush table", base)
+    val q = HostedTables.read(spark, id).filter($"k" <= 90L)
+      .agg(min($"v"), max($"v"), count(lit(1)))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("pushedAggregate=[MIN(v), MAX(v), COUNT(*)]"), p)
+    val row = q.as[(Double, Double, Long)].head()
+    assert(row == ((1.5, 135.0, 90L))) // v = k * 1.5, k in 1..90
+  }
+
   test("limit pushdown caps planned pages") {
     val id = fresh("limit table", base)
     val q = HostedTables.read(spark, id).limit(5)
