@@ -119,6 +119,33 @@ object HostedStore {
     else t.rows.count(r => filters.forall(f => FilterEval(f, r, t.schema))).toLong
   }
 
+  /** Grouped service-side statistics — the remote `outStatistics` +
+    * `groupByFieldsForStatistics` query. Each output row is the group key
+    * values followed by one value per spec (op ∈ count|min|max).
+    */
+  def queryGroupedStats(itemId: String, filters: Array[Filter],
+                        groupFields: Seq[String],
+                        specs: Seq[(String, Option[String])]): Seq[Row] = {
+    val t = get(itemId)
+    val gIdx = groupFields.map(t.schema.fieldIndex)
+    val matching = t.rows.filter(r => filters.forall(f => FilterEval(f, r, t.schema)))
+    matching.groupBy(r => gIdx.map(r.get)).toSeq.map { case (keyVals, rows) =>
+      val stats = specs.map {
+        case ("count", _) => rows.size.toLong
+        case (op, Some(f)) =>
+          val fi = t.schema.fieldIndex(f)
+          val vals = rows.iterator.map(_.get(fi)).filter(_ != null)
+          if (!vals.hasNext) null
+          else vals.reduce { (a, b) =>
+            val c = FilterEval.cmpValues(a, b)
+            if ((c <= 0) == (op == "min")) a else b
+          }
+        case s => throw new IllegalArgumentException(s.toString)
+      }
+      Row.fromSeq(keyVals ++ stats)
+    }
+  }
+
   /** Service-side MIN/MAX of a field over the filtered rows — the remote
     * `outStatistics` query. Null when no rows match.
     */

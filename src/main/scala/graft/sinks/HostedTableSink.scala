@@ -38,6 +38,9 @@ trait HostedTableSink {
   // service-side statistics (≙ the remote `outStatistics` query)
   def queryMinMax(itemId: String, filters: Array[Filter], field: String,
                   isMin: Boolean): Any
+  def queryGroupedStats(itemId: String, filters: Array[Filter],
+                        groupFields: Seq[String],
+                        specs: Seq[(String, Option[String])]): Seq[Row]
   // item metadata (≙ portal item/service description endpoints)
   def exists(itemId: String): Boolean
   def schemaOf(itemId: String): StructType
@@ -92,6 +95,10 @@ class RestHostedService(portalUrl: String, token: String,
   // GET  {serviceUrl}/0/query?outStatistics=[{statisticType:min|max,...}]
   override def queryMinMax(itemId: String, filters: Array[Filter],
                            field: String, isMin: Boolean): Any = ???
+  // GET  {serviceUrl}/0/query?outStatistics=[…]&groupByFieldsForStatistics={fields}
+  override def queryGroupedStats(itemId: String, filters: Array[Filter],
+                                 groupFields: Seq[String],
+                                 specs: Seq[(String, Option[String])]): Seq[Row] = ???
   // GET  {portalUrl}/content/items/{itemId}
   override def exists(itemId: String): Boolean = ???
   // GET  {serviceUrl}/FeatureServer/0?f=json → fields → StructType
@@ -120,6 +127,10 @@ object InProcessHostedSink extends HostedTableSink {
   override def queryMinMax(itemId: String, filters: Array[Filter],
                            field: String, isMin: Boolean): Any =
     HostedStore.queryMinMax(itemId, filters, field, isMin)
+  override def queryGroupedStats(itemId: String, filters: Array[Filter],
+                                 groupFields: Seq[String],
+                                 specs: Seq[(String, Option[String])]): Seq[Row] =
+    HostedStore.queryGroupedStats(itemId, filters, groupFields, specs)
   override def exists(itemId: String): Boolean = HostedStore.exists(itemId)
   override def schemaOf(itemId: String): StructType = HostedStore.get(itemId).schema
   override def titles: Seq[String] = HostedStore.titles

@@ -96,7 +96,7 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Long] = None
-  private var pushedStats: Option[Seq[StatSpec]] = None
+  private var pushedStats: Option[(Seq[String], Seq[StatSpec])] = None
 
   /** Ungrouped COUNT(*)/MIN/MAX map directly to the remote
     * `returnCountOnly` / `outStatistics` queries — the whole aggregation
@@ -104,23 +104,26 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
     * Anything else stays in the Spark plan.
     */
   private def statSpecs(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[StatSpec]] = {
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Seq[String], Seq[StatSpec])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (agg.groupByExpressions.nonEmpty) return None
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
           Some(nr.fieldNames()(0))
         case _ => None
       }
+    val groups = agg.groupByExpressions.toSeq.map(fieldOf)
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(StatSpec("count", None))
       case m: Min       => fieldOf(m.column).map(f => StatSpec("min", Some(f)))
       case m: Max       => fieldOf(m.column).map(f => StatSpec("max", Some(f)))
       case _            => None
     }
-    if (specs.forall(_.isDefined)) Some(specs.flatten) else None
+    if (groups.forall(_.isDefined) && specs.forall(_.isDefined))
+      Some((groups.flatten, specs.flatten))
+    else None
   }
 
   override def supportCompletePushDown(
@@ -151,30 +154,39 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
   override def pushLimit(n: Int): Boolean = { limit = Some(n.toLong); true }
 
   override def build(): Scan = pushedStats match {
-    case Some(specs) => new GraftStatsScan(itemId, fullSchema, pushed, specs)
-    case None        => new GraftScan(itemId, required, pushed, limit, pageSize)
+    case Some((groups, specs)) =>
+      new GraftStatsScan(itemId, fullSchema, pushed, groups, specs)
+    case None => new GraftScan(itemId, required, pushed, limit, pageSize)
   }
 }
 
 /** One pushed statistic: op ∈ {count, min, max}, field for min/max. */
 case class StatSpec(op: String, field: Option[String])
 
-/** Fully-pushed ungrouped COUNT(*)/MIN/MAX: one service statistics call
-  * per spec, one emitted row, no data pages.
+/** Fully-pushed COUNT(*)/MIN/MAX, optionally grouped: one service
+  * statistics call (the remote `outStatistics` [+
+  * `groupByFieldsForStatistics`]), one row per group, no data pages.
+  * Output schema = group columns then stat columns, the contract for
+  * complete aggregate pushdown.
   */
 class GraftStatsScan(itemId: String, tableSchema: StructType,
-                     filters: Array[Filter], specs: Seq[StatSpec])
+                     filters: Array[Filter], groupFields: Seq[String],
+                     specs: Seq[StatSpec])
     extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType(specs.zipWithIndex.map {
-      case (StatSpec("count", _), i) =>
-        org.apache.spark.sql.types.StructField(s"stat_$i",
-          org.apache.spark.sql.types.LongType, nullable = false)
-      case (StatSpec(_, Some(f)), i) =>
-        org.apache.spark.sql.types.StructField(s"stat_$i",
-          tableSchema(f).dataType, nullable = true)
-      case (s, _) => throw new IllegalStateException(s.toString)
-    })
+    StructType(
+      groupFields.map(f =>
+        org.apache.spark.sql.types.StructField(f, tableSchema(f).dataType,
+          tableSchema(f).nullable)) ++
+      specs.zipWithIndex.map {
+        case (StatSpec("count", _), i) =>
+          org.apache.spark.sql.types.StructField(s"stat_$i",
+            org.apache.spark.sql.types.LongType, nullable = false)
+        case (StatSpec(_, Some(f)), i) =>
+          org.apache.spark.sql.types.StructField(s"stat_$i",
+            tableSchema(f).dataType, nullable = true)
+        case (s, _) => throw new IllegalStateException(s.toString)
+      })
   override def toBatch: Batch = this
   override def description(): String = {
     val shown = specs.map {
@@ -182,48 +194,74 @@ class GraftStatsScan(itemId: String, tableSchema: StructType,
       case StatSpec(op, Some(f))   => s"${op.toUpperCase}($f)"
       case s                       => s.toString
     }
-    s"graft:$itemId pushedAggregate=[${shown.mkString(", ")}] " +
+    val grp = if (groupFields.isEmpty) "" else s" groupBy=[${groupFields.mkString(",")}]"
+    s"graft:$itemId pushedAggregate=[${shown.mkString(", ")}]$grp " +
       s"pushedFilters=[${filters.mkString(", ")}]"
   }
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftStatsPartition(itemId, filters, specs))
+    Array(GraftStatsPartition(itemId, filters, groupFields, specs))
   override def createReaderFactory(): PartitionReaderFactory =
     GraftStatsReaderFactory(readSchema())
 }
 
 case class GraftStatsPartition(itemId: String, filters: Array[Filter],
-                               specs: Seq[StatSpec]) extends InputPartition
+                               groupFields: Seq[String], specs: Seq[StatSpec])
+    extends InputPartition
 
 case class GraftStatsReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[GraftStatsPartition]
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean =
-        if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow = {
+      private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
+      private val it: Iterator[Row] = {
         val sink = HostedSinks.active
-        val values = sp.specs.map {
-          case StatSpec("count", _) => sink.queryCount(sp.itemId, sp.filters)
-          case StatSpec("min", Some(f)) => sink.queryMinMax(sp.itemId, sp.filters, f, isMin = true)
-          case StatSpec("max", Some(f)) => sink.queryMinMax(sp.itemId, sp.filters, f, isMin = false)
-          case s => throw new IllegalStateException(s.toString)
+        if (sp.groupFields.isEmpty) {
+          val values = sp.specs.map {
+            case StatSpec("count", _) => sink.queryCount(sp.itemId, sp.filters)
+            case StatSpec("min", Some(f)) =>
+              sink.queryMinMax(sp.itemId, sp.filters, f, isMin = true)
+            case StatSpec("max", Some(f)) =>
+              sink.queryMinMax(sp.itemId, sp.filters, f, isMin = false)
+            case s => throw new IllegalStateException(s.toString)
+          }
+          Iterator.single(Row.fromSeq(values))
+        } else {
+          sink.queryGroupedStats(sp.itemId, sp.filters, sp.groupFields,
+            sp.specs.map(s => (s.op, s.field))).iterator
         }
-        CatalystTypeConverters.createToCatalystConverter(schema)(
-          Row.fromSeq(values)).asInstanceOf[InternalRow]
       }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = toCatalyst(it.next()).asInstanceOf[InternalRow]; true }
+        else false
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
   }
 }
 
 class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
-                limit: Option[Long], pageSize: Long) extends Scan with Batch {
+                limit: Option[Long], pageSize: Long)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft:$itemId pushedFilters=[${filters.mkString(", ")}] " +
       s"outFields=[${schema.fieldNames.mkString(",")}] limit=$limit"
+
+  /** Post-pushdown row/size estimates so Catalyst can pick broadcast
+    * joins for small hosted tables (one cheap count call, driver-side).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val rows: Long = {
+      val matching = HostedSinks.active.queryCount(itemId, filters)
+      limit.fold(matching)(math.min(matching, _))
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * math.max(schema.defaultSize, 1))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Driver-side count (the remote `returnCountOnly`) to plan offset pages.

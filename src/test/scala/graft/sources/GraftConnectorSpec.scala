@@ -73,6 +73,38 @@ class GraftConnectorSpec extends AnyFunSuite {
     assert(row == ((1.5, 135.0, 90L))) // v = k * 1.5, k in 1..90
   }
 
+  test("grouped count/min/max push down as one grouped statistics call") {
+    HostedStore.dropByTitle("groupstats table")
+    val df = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", i * 1.5))
+      .toDF("k", "parity", "v")
+    val id = fresh2("groupstats table", df)
+    val q = HostedTables.read(spark, id)
+      .groupBy("parity").agg(count(lit(1)).as("n"), max($"v").as("mx"))
+      .orderBy("parity")
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("pushedAggregate=[COUNT(*), MAX(v)] groupBy=[parity]"), p)
+    assert(q.as[(String, Long, Double)].collect().toSeq ==
+      Seq(("even", 50L, 150.0), ("odd", 50L, 148.5)))
+  }
+
+  test("hosted scans report statistics so small tables broadcast") {
+    val id = fresh("stats table", base)
+    val orders = graft.api.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val joined = orders.join(HostedTables.read(spark, id),
+      orders("o_orderkey") === $"k")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p) // 100-row hosted side broadcast
+  }
+
+  def fresh2(name: String, df: org.apache.spark.sql.DataFrame): String = {
+    HostedStore.dropByTitle(name.replace(" ", "_"))
+    val id = HostedTables.createTable(df, name, None).fold(e => fail(e), identity)
+    HostedTables.write(df, id, WriteMode.Append).fold(e => fail(e), identity)
+    id
+  }
+
   test("limit pushdown caps planned pages") {
     val id = fresh("limit table", base)
     val q = HostedTables.read(spark, id).limit(5)
