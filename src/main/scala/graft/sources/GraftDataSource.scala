@@ -74,7 +74,7 @@ class GraftTable(itemId: String, schema: StructType, options: CaseInsensitiveStr
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE).asJava
+        TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(itemId, schema,
@@ -249,6 +249,20 @@ class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
     s"graft:$itemId pushedFilters=[${filters.mkString(", ")}] " +
       s"outFields=[${schema.fieldNames.mkString(",")}] limit=$limit"
 
+  /** Streaming (micro-batch) read: tail rows appended to the hosted table.
+    *
+    * Offsets are filtered-row-set positions (the service's stable paging
+    * order), so each micro-batch is exactly the pages between the last
+    * offset and the current count — the streaming-ingest counterpart of
+    * the batch read, sharing the same paged `PartitionReader`. Append-only
+    * by design: upserts that rewrite earlier positions are not re-emitted
+    * (document as CDC-lite; a full CDC source would need service-side
+    * row versioning).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(itemId, schema, filters, pageSize)
+
   /** Post-pushdown row/size estimates so Catalyst can pick broadcast
     * joins for small hosted tables (one cheap count call, driver-side).
     */
@@ -280,6 +294,39 @@ class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
 
 case class GraftInputPartition(itemId: String, offset: Long, count: Long)
     extends InputPartition
+
+/** Row-position offset in the (filtered) service ordering. */
+case class GraftOffset(position: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"position":$position}"""
+}
+
+class GraftMicroBatchStream(itemId: String, schema: StructType,
+                            filters: Array[Filter], pageSize: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftOffset(0L)
+  override def latestOffset(): Offset =
+    GraftOffset(HostedSinks.active.queryCount(itemId, filters))
+  override def deserializeOffset(json: String): Offset = {
+    val p = json.replaceAll("[^0-9]", "")
+    GraftOffset(if (p.isEmpty) 0L else p.toLong)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].position
+    val to = end.asInstanceOf[GraftOffset].position
+    if (to <= from) Array.empty
+    else (from until to by pageSize).map { off =>
+      GraftInputPartition(itemId, off, math.min(pageSize, to - off))
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(schema.fieldNames, filters, schema)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 case class GraftReaderFactory(cols: Array[String], filters: Array[Filter],
                               schema: StructType) extends PartitionReaderFactory {

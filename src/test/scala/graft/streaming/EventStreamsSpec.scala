@@ -126,6 +126,29 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L)) // each id exactly once
   }
 
+  test("hosted table is a streaming source: new appends arrive as micro-batches") {
+    HostedStore.dropByTitle("stream_src_tbl")
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val id = HostedTables.createTable(batch1, "stream_src_tbl", None)
+      .fold(e => fail(e), identity)
+    HostedTables.write(batch1, id, WriteMode.Append).fold(e => fail(e), identity)
+
+    val q = spark.readStream.format("graft").option("itemId", id).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_graft_stream").start()
+    q.processAllAvailable()
+    assert(spark.table("spec_graft_stream").count() == 2)
+
+    // rows appended after the stream started arrive in the next batch
+    val batch2 = Seq((3L, "c")).toDF("k", "name")
+    HostedTables.write(batch2, id, WriteMode.Append).fold(e => fail(e), identity)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("spec_graft_stream").orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("stream upserts into a hosted table via foreachBatch") {
     HostedStore.dropByTitle("stream_sink_tbl")
     // column order must match the streaming batch projection
