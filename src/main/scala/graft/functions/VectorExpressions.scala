@@ -43,10 +43,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
-    case ArrayType(_, n) => n
-    case _               => true
-  })
+  // fixed per expression instance; lazy so the interpreted eval loop
+  // doesn't re-derive it per element
+  private lazy val elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, n) => n
+      case _               => true
+    })
 
   // A null element makes the whole dot product null (matching the
   // zip_with/aggregate formulation, where null propagates through the

@@ -116,7 +116,10 @@ object Dedup {
                       n: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = shingles(docs, idCol, textCol, n)
+    // The distinct shingle set feeds three consumers (both sides of the
+    // candidate-verification join + the size table) — cache it once
+    // instead of recomputing the explode+distinct shuffle per consumer.
+    val sh = shingles(docs, idCol, textCol, n).cache()
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, n)
     // (id, band, bandKey) — bucket join is per (band, bandKey).
     val banded = sig.select(col(idCol) +: (0 until bands).map { bnd =>

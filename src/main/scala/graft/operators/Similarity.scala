@@ -89,10 +89,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 12, planes: Int = 4): DataFrame = {
     // Hyperplanes must span the full embedding; a hardcoded dimension
-    // would silently ignore later components. One tiny driver action.
-    val dim = queries.select(size(col(vecCol))).limit(1).collect()
+    // would silently ignore later components. One tiny driver action
+    // (null vectors skipped — they can't be searched or used for sizing).
+    val dim = queries.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException("lshTopK: empty query set"))
+      .getOrElse(throw new IllegalArgumentException(
+        "lshTopK: query set has no non-null vectors"))
     def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs),
         col(vecCol).cast("array<double>").as(vecAs),

@@ -132,7 +132,7 @@ object HostedStore {
     matching.groupBy(r => gIdx.map(r.get)).toSeq.map { case (keyVals, rows) =>
       val stats = specs.map {
         case ("count", _) => rows.size.toLong
-        case (op, Some(f)) =>
+        case (op @ ("min" | "max"), Some(f)) =>
           val fi = t.schema.fieldIndex(f)
           val vals = rows.iterator.map(_.get(fi)).filter(_ != null)
           if (!vals.hasNext) null
@@ -226,8 +226,23 @@ object HostedStore {
   * the fake's implementation of the remote `where` clause.
   */
 object FilterEval {
-  /** Total order over the service's value types. */
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+        _: java.lang.Byte => true
+    case _ => false
+  }
+
+  /** Total order over the service's value types. Integral pairs compare as
+    * longs (double comparison loses precision past 2^53); mixed
+    * integral/floating pairs go through BigDecimal for exactness.
+    */
   def cmpValues(a: Any, b: Any): Int = (a, b) match {
+    case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+      java.lang.Long.compare(x.longValue(), y.longValue())
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: Number, y: Number) if isIntegral(x) || isIntegral(y) ||
+        x.isInstanceOf[java.math.BigDecimal] || y.isInstanceOf[java.math.BigDecimal] =>
+      new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
     case (x: Number, y: Number) =>
       java.lang.Double.compare(x.doubleValue(), y.doubleValue())
     case (x: String, y: String)                         => x.compareTo(y)

@@ -34,16 +34,30 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private def resolve(ident: Identifier): String = {
-    val title = ident.name()
+  /** Title (raw or normalized) or raw itemId → itemId. One resolution
+    * rule shared by load/exists/drop so the three can never disagree.
+    */
+  private def resolveOpt(ident: Identifier): Option[String] = {
+    val name = ident.name()
     val sink = HostedSinks.active
-    sink.resolveByTitle(title)
-      .orElse(if (sink.exists(title)) Some(title) else None)
-      .getOrElse(throw new NoSuchTableException(ident))
+    sink.resolveByTitle(name)
+      .orElse(graft.core.ServiceName.normalize(name).toOption
+        .flatMap(sink.resolveByTitle))
+      .orElse(if (sink.exists(name)) Some(name) else None)
   }
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  private def resolve(ident: Identifier): String =
+    resolveOpt(ident).getOrElse(throw new NoSuchTableException(ident))
+
+  private def checkNamespace(namespace: Array[String]): Unit =
+    if (!(namespace.isEmpty || namespace.sameElements(ns)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkNamespace(namespace)
     HostedSinks.active.titles.map(t => Identifier.of(ns, t)).toArray
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val id = resolve(ident)
@@ -53,14 +67,17 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    HostedSinks.active.resolveByTitle(ident.name()).isDefined ||
-      HostedSinks.active.exists(ident.name())
+    resolveOpt(ident).isDefined
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val id = HostedSinks.active.create(ident.name(), schema)
+    // Same title normalization as every other creation path, so
+    // SQL-created tables stay reachable from HostedTables.save/resolve.
+    val title = graft.core.ServiceName.normalize(ident.name())
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    val id = HostedSinks.active.create(title, schema)
     Option(properties.get("key")).foreach(k => HostedSinks.active.ensureUniqueIndex(id, k))
     loadTable(ident)
   }
@@ -69,13 +86,8 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "hosted tables take schema from the written DataFrame (SURVEY §1)")
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val sink = HostedSinks.active
-    // accept a title or a raw itemId, same as loadTable/tableExists
-    sink.resolveByTitle(ident.name())
-      .orElse(if (sink.exists(ident.name())) Some(ident.name()) else None)
-      .exists(sink.drop)
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    resolveOpt(ident).exists(HostedSinks.active.drop)
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename is not part of the service surface")

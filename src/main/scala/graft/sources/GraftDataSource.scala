@@ -114,12 +114,26 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
           Some(nr.fieldNames()(0))
         case _ => None
       }
+    // MIN/MAX only on types the service's statistics ordering supports —
+    // anything else (arrays, structs, …) stays in the Spark plan, where
+    // the generic ordering is exact.
+    def comparableField(f: String): Boolean = fullSchema(f).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
     val groups = agg.groupByExpressions.toSeq.map(fieldOf)
     val specs = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(StatSpec("count", None))
-      case m: Min       => fieldOf(m.column).map(f => StatSpec("min", Some(f)))
-      case m: Max       => fieldOf(m.column).map(f => StatSpec("max", Some(f)))
-      case _            => None
+      case m: Min =>
+        fieldOf(m.column).filter(comparableField).map(f => StatSpec("min", Some(f)))
+      case m: Max =>
+        fieldOf(m.column).filter(comparableField).map(f => StatSpec("max", Some(f)))
+      case _ => None
     }
     if (groups.forall(_.isDefined) && specs.forall(_.isDefined))
       Some((groups.flatten, specs.flatten))
@@ -249,6 +263,14 @@ class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
     s"graft:$itemId pushedFilters=[${filters.mkString(", ")}] " +
       s"outFields=[${schema.fieldNames.mkString(",")}] limit=$limit"
 
+  // One service count call per scan, shared by statistics estimation and
+  // partition planning (each extra call is a remote round-trip in the
+  // REST deployment).
+  private lazy val matchingRows: Long = {
+    val matching = HostedSinks.active.queryCount(itemId, filters)
+    limit.fold(matching)(math.min(matching, _))
+  }
+
   /** Streaming (micro-batch) read: tail rows appended to the hosted table.
     *
     * Offsets are filtered-row-set positions (the service's stable paging
@@ -264,23 +286,18 @@ class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
     new GraftMicroBatchStream(itemId, schema, filters, pageSize)
 
   /** Post-pushdown row/size estimates so Catalyst can pick broadcast
-    * joins for small hosted tables (one cheap count call, driver-side).
+    * joins for small hosted tables (reuses the scan's single count call).
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val rows: Long = {
-      val matching = HostedSinks.active.queryCount(itemId, filters)
-      limit.fold(matching)(math.min(matching, _))
-    }
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows * math.max(schema.defaultSize, 1))
+      java.util.OptionalLong.of(matchingRows * math.max(schema.defaultSize, 1))
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows)
+      java.util.OptionalLong.of(matchingRows)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // Driver-side count (the remote `returnCountOnly`) to plan offset pages.
-    val matching = HostedSinks.active.queryCount(itemId, filters)
-    val total = limit.fold(matching)(math.min(matching, _))
+    val total = matchingRows
     if (total == 0) Array.empty
     else (0L until total by pageSize).map { off =>
       GraftInputPartition(itemId, off, math.min(pageSize, total - off))
@@ -316,7 +333,15 @@ class GraftMicroBatchStream(itemId: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].position
     val to = end.asInstanceOf[GraftOffset].position
-    if (to <= from) Array.empty
+    // Offset regression means the table shrank under the stream
+    // (truncate/overwrite) — silently emitting nothing would drop the
+    // rewritten rows forever. Fail loudly like other offset-based sources.
+    if (to < from)
+      throw new IllegalStateException(
+        s"graft stream offset regressed from $from to $to: table '$itemId' was " +
+          "truncated or overwritten while streamed; restart the stream from a " +
+          "fresh checkpoint")
+    if (to == from) Array.empty
     else (from until to by pageSize).map { off =>
       GraftInputPartition(itemId, off, math.min(pageSize, to - off))
         .asInstanceOf[InputPartition]
@@ -441,13 +466,13 @@ class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
   private var maxKeyVal: Any = null
 
   // Native-type key comparison for the audit range: lexicographic compare
-  // of stringified numbers would report "99" > "100".
-  private def cmpKeys(a: Any, b: Any): Int = (a, b) match {
-    case (x: java.lang.Number, y: java.lang.Number) =>
-      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b)
-    case _ => String.valueOf(a).compareTo(String.valueOf(b))
-  }
+  // of stringified numbers would report "99" > "100". Shares the service's
+  // value ordering; unsupported types fall back to string compare.
+  private def cmpKeys(a: Any, b: Any): Int =
+    try graft.sinks.FilterEval.cmpValues(a, b)
+    catch { case _: IllegalArgumentException =>
+      String.valueOf(a).compareTo(String.valueOf(b))
+    }
 
   override def write(record: InternalRow): Unit = {
     val r = toScala(record.copy()).asInstanceOf[Row]

@@ -88,6 +88,34 @@ class GraftConnectorSpec extends AnyFunSuite {
       Seq(("even", 50L, 150.0), ("odd", 50L, 148.5)))
   }
 
+  test("pushed min/max compare longs exactly beyond 2^53") {
+    HostedStore.dropByTitle("bigkeys_table")
+    val big = 9007199254740992L // 2^53; +1 is indistinguishable in double
+    val df = Seq((big, "a"), (big + 1, "b")).toDF("k", "name")
+    val id = fresh2("bigkeys_table", df)
+    val got = HostedTables.read(spark, id).agg(max($"k")).as[Long].head()
+    assert(got == big + 1)
+  }
+
+  test("SQL CREATE TABLE normalizes the title like every other path") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    HostedStore.dropByTitle("my_sql_table_")
+    spark.sql("CREATE TABLE graft.hosted.`My SQL Table!` (k BIGINT, v DOUBLE)")
+    // reachable under the normalized title from the high-level API...
+    assert(HostedStore.resolveByTitle("my_sql_table_").isDefined)
+    // ...and still addressable by the original SQL name
+    assert(spark.sql("SELECT * FROM graft.hosted.`My SQL Table!`").count() == 0)
+    spark.sql("DROP TABLE graft.hosted.`My SQL Table!`")
+    assert(HostedStore.resolveByTitle("my_sql_table_").isEmpty)
+  }
+
+  test("SHOW TABLES rejects unknown namespaces") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    intercept[Exception] {
+      spark.sql("SHOW TABLES IN graft.nonexistent").collect()
+    }
+  }
+
   test("hosted scans report statistics so small tables broadcast") {
     val id = fresh("stats table", base)
     val orders = graft.api.Tables.load(spark, "/root/testdata/sf0.001", "orders")

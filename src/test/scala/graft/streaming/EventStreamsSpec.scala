@@ -149,6 +149,26 @@ class EventStreamsSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("streaming source fails loudly when the table shrinks mid-stream") {
+    HostedStore.dropByTitle("stream_shrink_tbl")
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val id = HostedTables.createTable(batch1, "stream_shrink_tbl", None)
+      .fold(e => fail(e), identity)
+    HostedTables.write(batch1, id, WriteMode.Append).fold(e => fail(e), identity)
+    val q = spark.readStream.format("graft").option("itemId", id).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_shrink_stream").start()
+    q.processAllAvailable()
+    // shrink the table under the running stream
+    HostedTables.write(batch1.limit(1), id, WriteMode.Overwrite).fold(e => fail(e), identity)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("offset regressed") ||
+      String.valueOf(e.getCause).contains("offset regressed"), e.getMessage)
+  }
+
   test("stream upserts into a hosted table via foreachBatch") {
     HostedStore.dropByTitle("stream_sink_tbl")
     // column order must match the streaming batch projection
