@@ -78,6 +78,17 @@ object TextAnalysis {
       md5(concat_ws(" ",
         array_sort(array_distinct(split(lower(col(textCol)), " "))))).as("fingerprint"))
 
+  /** Character-level polynomial rolling hash:
+    * `h = fold(chars, 0, (acc, c) -> (acc * 31 + code(c)) mod 1e9+7)` —
+    * pure integer arithmetic via higher-order functions, codegen'd, and
+    * bit-replayable in any engine with a list fold. Order-sensitive
+    * (unlike [[fingerprint]]), the classic content-chunking hash.
+    */
+  def rollingHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      expr(s"aggregate(transform(split(${textCol}, ''), c -> ascii(c)), " +
+           "0L, (acc, x) -> (acc * 31 + x) % 1000000007)").as("roll_hash"))
+
   /** Corpus-level rollup by a grouping column (e.g. source or lang). */
   def corpusStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs.groupBy(col(groupCol)).agg(

@@ -563,6 +563,17 @@ object QueryCatalog {
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "x_text_rollhash" -> ((s, dir) =>
+      TextAnalysis.rollingHash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_sim_ivf" -> ((s, dir) => { // approximate by design: rows-only oracle
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
         .orderBy("source")),
@@ -689,6 +700,13 @@ object QueryCatalog {
       "x_text_fingerprint" ->
         """SELECT doc_id,
           |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "x_text_rollhash" ->
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |    [CAST(ord(c) AS BIGINT) for c in string_split_regex(text, '')]),
+          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "x_corpus_stats" ->
