@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Keyed hash families for signature computation. `md5Keyed` is the
+    * default: bit-replayable in the SQL oracle. `xx64` is the production
+    * choice — ~10× cheaper, native long output — for when cross-engine
+    * replay isn't needed. Both give one independent-ish hash per seed.
+    */
+  object Hashers {
+    type Keyed = (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column
+    val md5Keyed: Keyed = (c, seed) => md5(concat(c, lit(s"#$seed")))
+    val xx64: Keyed = (c, seed) => xxhash64(c, lit(seed))
+  }
+
   /** Exact dedup: one row per distinct `textCol`, keeping the smallest id —
     * deterministic, unlike `dropDuplicates`.
     */
@@ -99,10 +110,11 @@ object Dedup {
     * no distinct pass.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 8, n: Int = 3): DataFrame = {
+                        numHashes: Int = 8, n: Int = 3,
+                        hasher: Hashers.Keyed = Hashers.md5Keyed): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"mh$i"))
+      min(hasher(col("shingle"), i)).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -113,18 +125,19 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 8, bands: Int = 4,
-                      n: Int = 3): DataFrame = {
+                      n: Int = 3,
+                      hasher: Hashers.Keyed = Hashers.md5Keyed): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // The distinct shingle set feeds three consumers (both sides of the
     // candidate-verification join + the size table) — cache it once
     // instead of recomputing the explode+distinct shuffle per consumer.
     val sh = shingles(docs, idCol, textCol, n).cache()
-    val sig = minhashSignatures(docs, idCol, textCol, numHashes, n)
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, n, hasher)
     // (id, band, bandKey) — bucket join is per (band, bandKey).
     val banded = sig.select(col(idCol) +: (0 until bands).map { bnd =>
       val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-        .map(i => col(s"mh$i"))
+        .map(i => col(s"mh$i").cast("string"))
       md5(concat_ws("|", cols: _*)).as(s"band$bnd")
     }: _*)
     val stacked = banded.select(col(idCol), explode(array(

@@ -55,6 +55,17 @@ class OperatorSpec extends AnyFunSuite {
     assert((lshPairs -- exactPairs).isEmpty)
   }
 
+  test("xxhash64 minhash variant finds the same planted near-dups") {
+    val md5Pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val xxPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9,
+        hasher = Dedup.Hashers.xx64)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // verification is exact-Jaccard in both, so results only differ by
+    // banding recall; on the planted high-J pairs both families find all
+    assert(xxPairs == md5Pairs, s"md5=${md5Pairs.size} xx=${xxPairs.size}")
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     val nearDups = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
       .select("a", "b").as[(Long, Long)].collect()
