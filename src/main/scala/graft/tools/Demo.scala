@@ -64,6 +64,29 @@ object Demo {
     println(s"== empty input     -> ${HostedTables.write(orders.filter(lit(false)), id, WriteMode.Append).left.getOrElse("?!")}")
     println(s"== missing itemId  -> ${HostedTables.write(orders, "item_nope", WriteMode.Append).left.getOrElse("?!")}")
 
+    // 5. SQL surface: catalog + custom functions.
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    graft.functions.GraftFunctions.register(spark)
+    val title = graft.sinks.HostedStore.get(id).title
+    println(s"== SQL count       -> ${spark.sql(s"SELECT count(*) FROM graft.hosted.`$title`").first().getLong(0)}")
+    println(s"== SQL service_name-> ${spark.sql("SELECT service_name(' 9My  Svc!! ')").first().getString(0)}")
+
+    // 6. Pipeline operators over the documents/embeddings fixtures.
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+    val docs = graft.api.Tables.load(spark, sfDir, "documents")
+    val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+    println(s"== near-dup pairs (minhash-LSH, J>=0.9) -> ${Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9).count()}")
+    println(s"== top-10 neighbors for 5 queries        -> ${Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count()} rows")
+    println(s"== lang-id distribution -> ${TextAnalysis.languageId(docs, "doc_id", "text").groupBy("lang_pred").count().orderBy("lang_pred").collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")}")
+
+    // 7. Sessionization + streaming tail of a hosted table.
+    val events = graft.api.Tables.load(spark, sfDir, "events")
+    println(s"== sessions (30m gap) -> ${graft.streaming.Sessionize.sessions(events).count()}")
+    val sq = spark.readStream.format("graft").option("itemId", id).load()
+      .writeStream.format("memory").queryName("demo_tail").outputMode("append").start()
+    sq.processAllAvailable(); sq.stop()
+    println(s"== streamed tail rows -> ${spark.table("demo_tail").count()}")
+
     spark.stop()
     println("== demo OK")
   }
