@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.OutputMode.Append
 
 /** Event sessionization — gap-based session windows over the events table,
   * in both batch and streaming forms, plus a custom-state example.
@@ -32,6 +33,33 @@ object Sessionize {
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
                              last_seen_ms: Long)
+
+  final case class Anomaly(user_id: Long, ts: java.sql.Timestamp,
+                           value: Double, running_mean: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: emit an anomaly row
+    * for each event whose value exceeds `factor` × the user's running
+    * mean — zero-to-many outputs per input, which mapGroupsWithState
+    * can't express. State per key is two numbers; emission is append-mode.
+    */
+  def anomalies(events: Dataset[UserEvent], factor: Double = 3.0): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), Anomaly](
+        Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
+          batch.foreach { e =>
+            val mean = if (n == 0) e.value else sum / n
+            if (n > 0 && e.value > factor * mean)
+              out += Anomaly(user, e.ts, e.value, mean)
+            n += 1; sum += e.value
+          }
+          state.update((n, sum))
+          out.iterator
+      }
+  }
 
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * activity profile (event count, value sum, last-seen). The built-in

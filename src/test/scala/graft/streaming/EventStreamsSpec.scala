@@ -87,6 +87,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.length == 3) // 2 sessions for user 1, 1 for user 2
   }
 
+  test("flatMapGroupsWithState emits anomalies against the running mean") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.UserEvent]
+    val q = Sessionize.anomalies(input.toDS(), factor = 3.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_anomalies").start()
+    def ev(u: Long, m: Int, v: Double) =
+      Sessionize.UserEvent(u, java.sql.Timestamp.valueOf(f"2024-01-01 06:$m%02d:00"), v)
+    input.addData(ev(1, 1, 10.0), ev(1, 2, 12.0), ev(1, 3, 11.0))
+    q.processAllAvailable()
+    input.addData(ev(1, 4, 100.0), ev(1, 5, 12.0)) // spike then normal
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spec_anomalies")
+      .as[Sessionize.Anomaly].collect().toSeq
+    assert(got.map(_.value) == Seq(100.0)) // only the spike, state carried over
+    assert(math.abs(got.head.running_mean - 11.0) < 1e-9)
+  }
+
   test("mapGroupsWithState keeps running per-user stats across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Sessionize.UserEvent]
