@@ -368,6 +368,18 @@ object QueryCatalog {
       building.intersect(wealthy).except(bigSpenders).orderBy("c_custkey")
     }),
 
+    "q_props_map" -> ((s, dir) =>
+      // JSON props -> typed map column, then per-key aggregation
+      t(s, dir, "events")
+        .withColumn("props_map",
+          from_json(col("props"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .withColumn("k", element_at(col("props_map"), "k").cast("long"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("k_mod")),
+
     "x_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.sessions(t(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start_ms")),
@@ -479,6 +491,12 @@ object QueryCatalog {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_props_map" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms, value FROM events),
