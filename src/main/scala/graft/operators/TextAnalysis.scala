@@ -84,10 +84,12 @@ object TextAnalysis {
     * bit-replayable in any engine with a list fold. Order-sensitive
     * (unlike [[fingerprint]]), the classic content-chunking hash.
     */
-  def rollingHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def rollingHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val codes = transform(split(col(textCol), ""), c => ascii(c).cast("long"))
     docs.select(col(idCol),
-      expr(s"aggregate(transform(split(${textCol}, ''), c -> ascii(c)), " +
-           "0L, (acc, x) -> (acc * 31 + x) % 1000000007)").as("roll_hash"))
+      aggregate(codes, lit(0L),
+        (acc, x) => (acc * 31 + x) % 1000000007L).as("roll_hash"))
+  }
 
   /** Corpus-level rollup by a grouping column (e.g. source or lang). */
   def corpusStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =

@@ -721,10 +721,13 @@ object QueryCatalog {
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "x_text_rollhash" ->
+        // empty-text guard: DuckDB ord('') is -1 where Spark ascii('') is 0
         """SELECT doc_id,
-          |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-          |    [CAST(ord(c) AS BIGINT) for c in string_split_regex(text, '')]),
-          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+          |  CASE WHEN length(text) = 0 THEN 0 ELSE
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      [CAST(ord(c) AS BIGINT) for c in string_split_regex(text, '')]),
+          |      (acc, x) -> (acc * 31 + x) % 1000000007)
+          |  END AS roll_hash
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "x_corpus_stats" ->

@@ -50,7 +50,12 @@ object Sessionize {
         (user: Long, batch: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
           var (n, sum) = state.getOption.getOrElse((0L, 0.0))
           val out = scala.collection.mutable.ArrayBuffer.empty[Anomaly]
-          batch.foreach { e =>
+          // flatMapGroupsWithState gives no within-batch ordering; sort by
+          // event time so the running mean is deterministic for any
+          // shuffle/arrival order. (Cross-batch late events still fold in
+          // arrival order — the usual streaming trade; add a watermark +
+          // buffer state for full event-time ordering.)
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
             val mean = if (n == 0) e.value else sum / n
             if (n > 0 && e.value > factor * mean)
               out += Anomaly(user, e.ts, e.value, mean)
