@@ -368,6 +368,29 @@ object QueryCatalog {
       building.intersect(wealthy).except(bigSpenders).orderBy("c_custkey")
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      // one signup row per (user, ts): deterministic dedup for tie-safety
+      val signups = events.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max("value").as("signup_value"))
+      graft.operators.AsOfJoin.joinAsOf(purchases, signups,
+          Seq("user_id"), "ts", "ts", Seq("signup_value"))
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("asof_ts")).as("signup_ts_ms"),
+          col("asof_signup_value").cast("decimal(18,2)").as("signup_value"))
+        .orderBy("event_id")
+    }),
+
+    "q_train_test_split" -> ((s, dir) =>
+      graft.operators.AsOfJoin.trainTestSplit(
+          t(s, dir, "orders"), "o_orderkey", 80)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy("split")),
+
     "q_props_map" -> ((s, dir) =>
       // JSON props -> typed map column, then per-key aggregation
       t(s, dir, "events")
@@ -491,6 +514,26 @@ object QueryCatalog {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |signups AS (
+        |  SELECT user_id, ts, max(value) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+        |  epoch_ms(s.ts) AS signup_ts_ms,
+        |  CAST(s.signup_value AS DECIMAL(18,2)) AS signup_value
+        |FROM purchases p ASOF LEFT JOIN signups s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_train_test_split" ->
+      """SELECT CASE WHEN (o_orderkey * 2654435761) % 100 < 80
+        |            THEN 'train' ELSE 'test' END AS split,
+        |  count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_props_map" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at or before each left ts") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:10")),
+      (2L, 10L, ts("2024-01-01 00:00:20")),
+      (3L, 20L, ts("2024-01-01 00:00:05"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:08"), "r1"),
+      (10L, ts("2024-01-01 00:00:15"), "r2"),
+      (20L, ts("2024-01-01 00:00:99"), "r3")).toDF("k", "ts", "tag")
+
+    val got = AsOfJoin.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("tag"))
+      .select("id", "asof_tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(
+      1L -> Some("r1"),   // r1 at :08 <= :10 (r2 is in the future)
+      2L -> Some("r2"),   // latest of r1/r2
+      3L -> None))        // no right row precedes :05
+  }
+
+  test("equal timestamps are inclusive (right visible to left at same ts)") {
+    val left = Seq((1L, 5L, ts("2024-01-01 00:01:00"))).toDF("id", "k", "ts")
+    val right = Seq((5L, ts("2024-01-01 00:01:00"), "same")).toDF("k", "ts", "tag")
+    val got = AsOfJoin.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("tag"))
+      .select("asof_tag").as[String].head()
+    assert(got == "same")
+  }
+
+  test("partition-invariant: same result at any parallelism") {
+    val left = (1 to 500).map(i =>
+      (i.toLong, (i % 7).toLong, ts(f"2024-01-01 00:${i % 60}%02d:00"))).toDF("id", "k", "ts")
+    val right = (1 to 100).map(i =>
+      ((i % 7).toLong, ts(f"2024-01-01 00:${(i * 3) % 60}%02d:30"), s"r$i")).toDF("k", "ts", "tag")
+      .groupBy("k", "ts").agg(org.apache.spark.sql.functions.max("tag").as("tag"))
+    val a = AsOfJoin.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("tag"))
+      .orderBy("id").collect().toSeq
+    val b = AsOfJoin.joinAsOf(left.repartition(13), right.repartition(3),
+        Seq("k"), "ts", "ts", Seq("tag"))
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("train/test split is deterministic and append-stable") {
+    val df = (1 to 1000).map(i => Tuple1(i.toLong)).toDF("k")
+    val s1 = AsOfJoin.trainTestSplit(df, "k", 80)
+      .as[(Long, String)].collect().toMap
+    // repartitioned + appended data never changes an existing row's split
+    val s2 = AsOfJoin.trainTestSplit(df.repartition(17), "k", 80)
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2)
+    val frac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+}
