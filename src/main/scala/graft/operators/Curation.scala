@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * stratified sampling, context-window sequence packing, and PII
+  * scrubbing. All window/projection work — one shuffle on the stratum or
+  * pack key at most, deterministic under any partitioning.
+  */
+object Curation {
+
+  /** Up to `perStratum` rows per stratum, chosen by a deterministic
+    * integer-hash order of the key (not `rand()`): the sample is
+    * reproducible across runs/engines and stable as long as the sampled
+    * keys' hash order is — the auditable alternative to random sampling.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       perStratum: Int): DataFrame = {
+    val order = pmod(col(keyCol).cast("long") * lit(2654435761L), lit(1000000007L))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(order, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Greedy sequential packing: within each group (ordered by `orderCol`),
+    * assign documents to bins of ~`budget` tokens — `bin = floor(
+    * (running_total - own_tokens) / budget)`, i.e. a doc starts a new bin
+    * when the budget would overflow *before* it. The deterministic
+    * SQL-replayable approximation of context-window packing; exact
+    * first-fit packing needs stateful iteration (mapGroups) and loses
+    * replayability.
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    tokenCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__running", sum(col(tokenCol)).over(w))
+      .withColumn("bin",
+        floor((col("__running") - col(tokenCol)) / budget).cast("long"))
+      .drop("__running")
+  }
+
+  /** Scrub common PII shapes (emails, long digit runs, phone-ish
+    * sequences) from a text column — pure regexp projection, the standard
+    * pre-training hygiene pass.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          // bare digit runs before the looser phone shape, so an id number
+          // scrubs as <NUM> rather than <PHONE>
+          "\\b\\d{9,}\\b", "<NUM>"),
+        "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+}

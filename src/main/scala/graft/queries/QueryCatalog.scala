@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{HostedTables, Tables}
 import graft.core.{Chunker, ServiceName, WriteMode}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sinks.HostedStore
 import graft.streaming.EventStreams
 
@@ -639,6 +639,21 @@ object QueryCatalog {
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
         .orderBy("source")),
 
+    "x_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", 10)
+        .orderBy("lang", "doc_id")),
+
+    "x_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).as("n_tokens")),
+          "source", "doc_id", "n_tokens", 512)
+        .select("doc_id", "source", "n_tokens", "bin")
+        .orderBy("source", "doc_id")),
+
     "x_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(
           Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
@@ -778,6 +793,28 @@ object QueryCatalog {
           |  sum(len(string_split(text, ' '))) AS total_tokens,
           |  min(length(text)) AS min_chars, max(length(text)) AS max_chars
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      "x_stratified_sample" ->
+        """WITH ranked AS (
+          |  SELECT doc_id, lang, n_chars,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+          |  FROM documents)
+          |SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 10
+          |ORDER BY lang, doc_id""".stripMargin,
+
+      "x_pack_sequences" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+          |  FROM documents),
+          |runs AS (
+          |  SELECT doc_id, source, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          |                        ROWS UNBOUNDED PRECEDING) AS running
+          |  FROM toks)
+          |SELECT doc_id, source, n_tokens,
+          |  CAST(floor((running - n_tokens) / 512) AS BIGINT) AS bin
+          |FROM runs ORDER BY source, doc_id""".stripMargin,
 
       "x_multimodal_meta" ->
         """SELECT doc_id, 'text/plain;fake=image' AS media_type,

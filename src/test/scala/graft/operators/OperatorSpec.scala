@@ -90,6 +90,42 @@ class OperatorSpec extends AnyFunSuite {
       randDist.sum.toDouble / randDist.length)
   }
 
+  test("PII scrubbing replaces emails, phones, and long digit runs") {
+    val dirty = Seq(
+      (1L, "contact bob@example.com or +1 (555) 123-4567 ok"),
+      (2L, "ssn-ish 123456789 stays hidden"),
+      (3L, "clean text with the number 42 kept")).toDF("doc_id", "text")
+    val got = Curation.scrubPii(dirty, "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got(0)._2 == "contact <EMAIL> or <PHONE> ok")
+    assert(got(1)._2 == "ssn-ish <NUM> stays hidden")
+    assert(got(2)._2 == "clean text with the number 42 kept")
+  }
+
+  test("stratified sample: deterministic, bounded per stratum") {
+    val a = Curation.stratifiedSample(docs, "lang", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Curation.stratifiedSample(docs.repartition(11), "lang", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    val perLang = Curation.stratifiedSample(docs, "lang", "doc_id", 5)
+      .groupBy("lang").count().as[(String, Long)].collect()
+    assert(perLang.forall(_._2 <= 5))
+  }
+
+  test("sequence packing: no bin exceeds budget except single oversize docs") {
+    val packed = Curation.packSequences(
+      docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens")),
+      "source", "doc_id", "n_tokens", 512)
+    val binTotals = packed.groupBy("source", "bin")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    // a bin only exceeds the budget by at most its last-added doc
+    assert(binTotals.forall { case (_, _, tot, n) => tot < 512 * 2 || n == 1 })
+    assert(packed.count() == docs.count())
+  }
+
   test("approx distinct is within the configured error of exact") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val approx = li.agg(approx_count_distinct(col("l_partkey"), 0.02)).as[Long].head()
