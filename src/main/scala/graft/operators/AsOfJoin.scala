@@ -33,25 +33,25 @@ object AsOfJoin {
     val keyCols = keys.map(col)
     val lPayload = struct(left.columns.map(col).toIndexedSeq: _*).as("__l")
     val rPayload = struct((rightTs +: rightCols).map(col).toIndexedSeq: _*).as("__r")
+    val rStruct = right.select((rightTs +: rightCols).map(col): _*).schema
 
     val lTagged = left.select(keyCols ++ Seq(col(leftTs).as("__ts"),
       lit(1).as("__is_left"), lPayload): _*)
-      .withColumn("__r", lit(null).cast(
-        right.select((rightTs +: rightCols).map(col): _*).schema
-          .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
-            (s, f) => s.add(f)
-          }))
-    val rTagged = right.select(keyCols ++ Seq(col(rightTs).as("__ts"),
-      lit(0).as("__is_left"), rPayload): _*)
+      .withColumn("__r", lit(null).cast(rStruct))
+    // Join semantics: NULL keys never match (window partitioning would
+    // otherwise group NULLs together) — drop null-key right rows; null-key
+    // left rows pass through unmatched.
+    val rTagged = right
+      .filter(keyCols.map(_.isNotNull).reduce(_ && _))
+      .select(keyCols ++ Seq(col(rightTs).as("__ts"),
+        lit(0).as("__is_left"), rPayload): _*)
       .withColumn("__l", lit(null).cast(left.schema))
-      .select(keyCols ++ Seq(col("__ts"), col("__is_left"), col("__l"), col("__r")): _*)
 
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__ts"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    lTagged.select(keyCols ++ Seq(col("__ts"), col("__is_left"), col("__l"), col("__r")): _*)
-      .unionByName(rTagged)
+    lTagged.unionByName(rTagged)
       .withColumn("__rmatch", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
       .select(left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
@@ -59,15 +59,27 @@ object AsOfJoin {
         col(s"__rmatch.$rightTs").as(s"asof_$rightTs"): _*)
   }
 
-  /** Deterministic hash-bucket train/test split: bucket =
-    * `(key * knuth) mod 100`, split = "train" iff bucket < trainPct.
-    * Pure integer arithmetic — reproducible across runs, engines, and
-    * re-partitioning, and stable under appends (a row's split never
-    * changes), which random sampling cannot guarantee.
+  /** Overflow-safe deterministic mixer for numeric keys: reduce mod a
+    * prime first (bounds the product far below Long range, ANSI-safe for
+    * 64-bit ids), Knuth-multiply, reduce mod a second prime. The final
+    * value has no algebraic relationship to `key mod m` for small m — the
+    * property a naive `(key*K) mod 100` lacks (that is a bijection of
+    * `key mod 100`, so strided keys all land in one bucket).
+    */
+  private[operators] def mixKey(key: org.apache.spark.sql.Column) =
+    pmod(pmod(key.cast("long"), lit(1000003L)) * lit(2654435761L), lit(1000000007L))
+
+  /** Deterministic hash-bucket train/test split: bucket = mixed key mod
+    * 100, split = "train" iff bucket < trainPct. Pure integer arithmetic —
+    * reproducible across runs, engines, and re-partitioning, and stable
+    * under appends (a row's split never changes), which random sampling
+    * cannot guarantee. Null keys land deterministically in "test".
     */
   def trainTestSplit(df: DataFrame, key: String, trainPct: Int): DataFrame = {
     require(trainPct > 0 && trainPct < 100)
-    val bucket = pmod(col(key).cast("long") * lit(2654435761L), lit(100L))
+    require(df.schema(key).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"trainTestSplit needs a numeric key, got ${df.schema(key).dataType.simpleString}")
+    val bucket = pmod(mixKey(col(key)), lit(100L))
     df.withColumn("split",
       when(bucket < trainPct, "train").otherwise("test"))
   }

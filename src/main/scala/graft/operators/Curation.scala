@@ -18,7 +18,10 @@ object Curation {
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
                        perStratum: Int): DataFrame = {
-    val order = pmod(col(keyCol).cast("long") * lit(2654435761L), lit(1000000007L))
+    require(df.schema(keyCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"stratifiedSample needs a numeric key (a silent cast-to-null would " +
+        s"degrade to lexicographic order), got ${df.schema(keyCol).dataType.simpleString}")
+    val order = AsOfJoin.mixKey(col(keyCol))
     val w = Window.partitionBy(col(stratumCol)).orderBy(order, col(keyCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perStratum)
@@ -53,8 +56,12 @@ object Curation {
         regexp_replace(
           regexp_replace(col(textCol),
             "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-          // bare digit runs before the looser phone shape, so an id number
+          // bare digit runs before the phone shape, so an id number
           // scrubs as <NUM> rather than <PHONE>
-          "\\b\\d{9,}\\b", "<NUM>"),
-        "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+          "(?<!\\d)\\d{9,}(?!\\d)", "<NUM>"),
+        // phone shape is a strict 3-3-4 grouping with optional country
+        // code — loose "9+ digit-ish chars" patterns destroy dates,
+        // amounts, and version strings in real corpora
+        "(?<![\\d.])\\+?\\d{0,2}[\\s.]?\\(?\\d{3}\\)?[\\s.-]\\d{3}[\\s.-]\\d{4}(?![\\d.])",
+        "<PHONE>"))
 }

@@ -529,7 +529,7 @@ object QueryCatalog {
         |ORDER BY event_id""".stripMargin,
 
     "q_train_test_split" ->
-      """SELECT CASE WHEN (o_orderkey * 2654435761) % 100 < 80
+      """SELECT CASE WHEN ((o_orderkey % 1000003) * 2654435761) % 1000000007 % 100 < 80
         |            THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n,
         |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
@@ -798,7 +798,7 @@ object QueryCatalog {
         """WITH ranked AS (
           |  SELECT doc_id, lang, n_chars,
           |    row_number() OVER (PARTITION BY lang
-          |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn
+          |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000000007, doc_id) AS rn
           |  FROM documents)
           |SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 10
           |ORDER BY lang, doc_id""".stripMargin,

@@ -60,4 +60,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     val frac = s1.values.count(_ == "train").toDouble / s1.size
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
   }
+
+  test("split stays balanced for strided and huge keys") {
+    // stride-100 keys: a naive (key*K) mod 100 would put ALL in one split
+    val strided = (1 to 1000).map(i => Tuple1(i * 100L)).toDF("k")
+    val f1 = AsOfJoin.trainTestSplit(strided, "k", 80)
+      .filter($"split" === "train").count().toDouble / 1000
+    assert(f1 > 0.7 && f1 < 0.9, s"strided train fraction $f1")
+    // snowflake-scale 64-bit ids must not overflow under ANSI mode
+    val huge = (1 to 1000).map(i => Tuple1(Long.MaxValue - i * 1000L)).toDF("k")
+    val f2 = AsOfJoin.trainTestSplit(huge, "k", 80)
+      .filter($"split" === "train").count().toDouble / 1000
+    assert(f2 > 0.6 && f2 < 0.95, s"huge-key train fraction $f2")
+  }
+
+  test("as-of join never matches on NULL keys") {
+    val left = Seq((1L, Some(7L), ts("2024-01-01 00:00:10")),
+      (2L, None, ts("2024-01-01 00:00:10"))).toDF("id", "k", "ts")
+    val right = Seq((Some(7L), ts("2024-01-01 00:00:05"), "real"),
+      (Option.empty[Long], ts("2024-01-01 00:00:05"), "phantom")).toDF("k", "ts", "tag")
+    val got = AsOfJoin.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("tag"))
+      .select("id", "asof_tag").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("real"), 2L -> None))
+  }
 }

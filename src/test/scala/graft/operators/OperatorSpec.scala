@@ -100,6 +100,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(0)._2 == "contact <EMAIL> or <PHONE> ok")
     assert(got(1)._2 == "ssn-ish <NUM> stays hidden")
     assert(got(2)._2 == "clean text with the number 42 kept")
+    // dates, amounts, versions, and IPs survive the phone pattern
+    val benign = Seq((1L, "released 2024-01-01, costs 1 000 000.50, " +
+      "v1.2.3-4567, host 192.168.0.100")).toDF("doc_id", "text")
+    assert(Curation.scrubPii(benign, "text").as[(Long, String)].head()._2 ==
+      "released 2024-01-01, costs 1 000 000.50, v1.2.3-4567, host 192.168.0.100")
   }
 
   test("stratified sample: deterministic, bounded per stratum") {
