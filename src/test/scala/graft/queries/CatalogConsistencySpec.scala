@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract: every query name is unique across the three
+  * catalog maps (a Map merge would silently drop collisions), every oracle
+  * points at a real query, and the rows-only set stays the known,
+  * intentionally-approximate operators.
+  */
+class CatalogConsistencySpec extends AnyFunSuite {
+  import QueryCatalog._
+
+  test("no key collisions between catalog maps") {
+    val maps = Seq(referenceQueries.keySet, relationalQueries.keySet,
+      extensionQueries.keySet)
+    maps.combinations(2).foreach { case Seq(a, b) =>
+      assert((a & b).isEmpty, s"colliding query names: ${a & b}")
+    }
+    assert(all.size == maps.map(_.size).sum)
+  }
+
+  test("every oracle references a declared query") {
+    assert((oracles.keySet -- all.keySet).isEmpty)
+  }
+
+  test("rows-only queries are exactly the known approximate/stub set") {
+    assert(all.keySet -- oracles.keySet == Set(
+      "x_approx_distinct",   // HLL sketch (engine-specific)
+      "x_sim_ann_lsh",       // approximate by design
+      "x_sim_ivf",           // approximate by design
+      "x_multimodal_frames") // stub decode, pinned by ScalaTest
+    )
+  }
+}
