@@ -15,10 +15,16 @@ object Bench {
     // Warm-up (JIT + codegen + catalog init) on the smallest SF so the
     // first timed query doesn't absorb one-time JVM costs.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Steady-state timing: each query runs twice, min reported — one
+    // pass is dominated by first-use codegen compilation and scheduler
+    // noise on a shared machine.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -184,6 +184,27 @@ object Dedup {
           when(col(s"v$i") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** SimHash from xxhash64 bit votes — the production variant: one native
+    * hash per token (vs. an md5 digest), up to 64 signature bits, no
+    * cross-engine replay. Bit i votes +1 iff bit i of xxhash64(token) is
+    * set.
+    */
+  def simhashSignaturesXx(docs: DataFrame, idCol: String, textCol: String,
+                          numBits: Int = 32): DataFrame = {
+    require(numBits <= 64, "xxhash64 has 64 bits")
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until numBits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$i"))
+    toks.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), concat(
+        (0 until numBits).map(i =>
+          when(col(s"v$i") >= 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
   /** Embedding near-dup: top `k` most-similar pairs (a < b) by cosine.
     * Ranked via sort+limit, which Spark plans as TakeOrderedAndProject —
     * distributed per-partition top-k then a k-row driver merge, instead of

@@ -167,6 +167,67 @@ object Similarity {
       .select("qid", "id", "rank")
   }
 
+  /** IVF with k-means-trained centroids (spark.ml KMeans, fixed seed):
+    * better-balanced cells than the id-sampled variant, same probe-limited
+    * plan shape. Training is one extra pass over the corpus (amortized
+    * across queries); assignment/probing mirror [[ivfTopK]].
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nlist: Int = 16,
+                     nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val spark = corpus.sparkSession
+    val train = corpus.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(train)
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i.toLong, c.toArray)
+      }.toIndexedSeq).toDF("cid", "cvec")
+      .select(col("cid"), col("cvec"),
+        vec_norm(col("cvec")).as("cnorm"))
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, centroids)
+  }
+
+  /** Shared IVF assignment/probe/score given a centroid table
+    * (cid, cvec: array<double>, cnorm).
+    */
+  private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, k: Int,
+                               nprobe: Int, centroids: DataFrame): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"),
+      vec_norm(col(vecCol)).as("norm"))
+    val wAssign = Window.partitionBy("id").orderBy(
+      (vec_dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))).desc,
+      col("cid"))
+    val cells = c.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("norm"), col("cid"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"),
+      vec_norm(col(vecCol)).as("qnorm"))
+    val wProbe = Window.partitionBy("qid").orderBy(
+      (vec_dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm"))).desc,
+      col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
+    val scored = cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cosine",
+        cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank")
+  }
+
   /** Exact all-pairs cosine (a < b), norms precomputed per side. Quadratic —
     * bounded inputs only.
     */

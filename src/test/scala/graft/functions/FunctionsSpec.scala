@@ -36,6 +36,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native.toSeq == hof.toSeq) // bit-identical accumulation
   }
 
+  // On the unclustered random fixture the id-sampled cells happen to beat
+  // k-means (0.92 vs ~0.57 @10): balanced k-means cells split near-
+  // neighborhoods of uniformly random vectors. Trained centroids win when
+  // embeddings actually cluster; this pins the trained path's recall floor.
+  test("k-means-trained IVF recall is usable on unclustered data") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val trained = Similarity.ivfTopKTrained(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & trained).size.toDouble / exact.size
+    info(f"trained-IVF recall@10: $recall%.3f")
+    assert(recall >= 0.3)
+  }
+
   test("IVF top-k recall vs brute force") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 10)

@@ -71,23 +71,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
-  test("simhash: near-dup pairs have small hamming distance") {
+  test("simhash: near-dup pairs have small hamming distance (md5 and xx64)") {
     val nearDups = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
       .select("a", "b").as[(Long, Long)].collect()
     assert(nearDups.nonEmpty)
-    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
-      .as[(Long, String)].collect().toMap
     def hamming(x: String, y: String) = x.zip(y).count { case (a, b) => a != b }
-    val dupDist = nearDups.map { case (a, b) => hamming(sigs(a), sigs(b)) }
-    val rng = new scala.util.Random(7)
-    val ids = sigs.keys.toArray
-    val randDist = (1 to 200).map { _ =>
-      hamming(sigs(ids(rng.nextInt(ids.length))), sigs(ids(rng.nextInt(ids.length))))
+    def separation(sigs: Map[Long, String]): (Double, Double) = {
+      val dupDist = nearDups.map { case (a, b) => hamming(sigs(a), sigs(b)) }
+      val rng = new scala.util.Random(7)
+      val ids = sigs.keys.toArray
+      val randDist = (1 to 200).map { _ =>
+        hamming(sigs(ids(rng.nextInt(ids.length))), sigs(ids(rng.nextInt(ids.length))))
+      }
+      (dupDist.sum.toDouble / dupDist.length, randDist.sum.toDouble / randDist.length)
     }
-    info(s"mean hamming: dups=${dupDist.sum.toDouble / dupDist.length}, " +
-      s"random=${randDist.sum.toDouble / randDist.length}")
-    assert(dupDist.sum.toDouble / dupDist.length <
-      randDist.sum.toDouble / randDist.length)
+    val (dupMd5, randMd5) = separation(
+      Dedup.simhashSignatures(docs, "doc_id", "text").as[(Long, String)].collect().toMap)
+    info(f"md5 simhash mean hamming: dups=$dupMd5%.2f random=$randMd5%.2f")
+    assert(dupMd5 < randMd5)
+    val (dupXx, randXx) = separation(
+      Dedup.simhashSignaturesXx(docs, "doc_id", "text").as[(Long, String)].collect().toMap)
+    info(f"xx64 simhash mean hamming: dups=$dupXx%.2f random=$randXx%.2f")
+    assert(dupXx < randXx)
   }
 
   test("PII scrubbing replaces emails, phones, and long digit runs") {
