@@ -131,40 +131,12 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec"),
-      vec_norm(col(vecCol)).as("norm"))
-    // Deterministic centroid set: lowest-id vectors, one cell each.
-    val centroids = c.orderBy("id").limit(nlist)
-      .select(col("id").as("cid"), col("vec").as("cvec"), col("norm").as("cnorm"))
-    // Assign every corpus vector to its nearest centroid (1 broadcast join).
-    val wAssign = Window.partitionBy("id").orderBy(
-      (vec_dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))).desc,
-      col("cid"))
-    val cells = c.crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("vec"), col("norm"), col("cid"))
-    // Each query probes its nprobe nearest cells.
-    val q = queries.select(col(idCol).as("qid"),
-      col(vecCol).cast("array<double>").as("qvec"),
-      vec_norm(col(vecCol)).as("qnorm"))
-    val wProbe = Window.partitionBy("qid").orderBy(
-      (vec_dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm"))).desc,
-      col("cid"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
-    // Score only vectors in probed cells.
-    val scored = cells.join(broadcast(probes), Seq("cid"))
-      .filter(col("id") =!= col("qid"))
-      .withColumn("cosine",
-        cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "rank")
+    // Deterministic centroid set: lowest-id corpus vectors, one cell each.
+    val centroids = corpus.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"),
+        vec_norm(col(vecCol)).as("cnorm"))
+      .orderBy("cid").limit(nlist)
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, centroids)
   }
 
   /** IVF with k-means-trained centroids (spark.ml KMeans, fixed seed):
