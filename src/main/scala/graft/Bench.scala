@@ -1,5 +1,14 @@
 package graft
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every catalog query at SPARK_GRAFT_SF_DIR, then
+  * emits ONE machine-readable JSON metric line. The JSON is written to
+  * BENCH.json (stdout can be interleaved with executor WARNs on a busy
+  * machine) AND printed as the final line after the SparkSession is fully
+  * stopped, so nothing logs after it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,25 +20,37 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm-up (JIT + codegen + catalog init) on the smallest SF so the
     // first timed query doesn't absorb one-time JVM costs.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Steady-state timing: each query runs twice, min reported — one
     // pass is dominated by first-use codegen compilation and scheduler
-    // noise on a shared machine.
+    // noise on a shared machine. A query that throws is recorded in
+    // `failures`, not silently timed as if it ran.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                   false
+                 }
+        if (!ok) failed += name
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val succeeded = results.filter { case (k, _) => !failed.contains(k) }
+    val qs = succeeded.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (succeeded.nonEmpty) succeeded.values.sum else 0.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
+    println(json)
   }
 }

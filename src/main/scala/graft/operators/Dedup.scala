@@ -38,9 +38,42 @@ object Dedup {
     * replay isn't needed. Both give one independent-ish hash per seed.
     */
   object Hashers {
-    type Keyed = (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column
-    val md5Keyed: Keyed = (c, seed) => md5(concat(c, lit(s"#$seed")))
-    val xx64: Keyed = (c, seed) => xxhash64(c, lit(seed))
+    /** (value, seed) => hash. Seed is a Column so the narrow (exploded
+      * per-seed) signature path can drive it from a `sequence()` — with a
+      * literal seed both forms produce identical hashes.
+      */
+    type Keyed = (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column
+    val md5Keyed: Keyed = (c, seed) => md5(concat(c, lit("#"), seed.cast("string")))
+    val xx64: Keyed = (c, seed) => xxhash64(c, seed)
+
+    /** Modulus for double-hashed minhash families: prime, and small enough
+      * that `h1 + (numHashes)·h2` never overflows a long (≈1e9 · 129).
+      */
+    val P: Long = 1000000007L
+
+    /** Base hash pair feeding Kirsch–Mitzenmacher double hashing:
+      * `g_i(x) = (h1(x) + (i+1)·h2(x)) mod P`. ONE string hash per shingle
+      * yields the whole numHashes-wide family — vs. hashing the shingle
+      * once *per seed*, which at 128 hashes made signature computation 128
+      * md5 calls per shingle row and dominated the LSH runtime.
+      */
+    final case class Base(h1: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                          h2: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+
+    /** Oracle-replayable base: the two md5 halves, hex→long. DuckDB
+      * computes the identical values via `('0x'||substr(md5(x),1,15))::BIGINT`
+      * (verified bit-equal to Spark's `conv(..., 16, 10)`).
+      */
+    val md5Base: Base = Base(
+      c => conv(substring(md5(c), 1, 15), 16, 10).cast("long") % P,
+      c => conv(substring(md5(c), 17, 15), 16, 10).cast("long") % P)
+
+    /** Production base: two seeded xxhash64 calls (native long, no hex
+      * round-trip). `pmod` because xxhash64 is signed.
+      */
+    val xx64Base: Base = Base(
+      c => pmod(xxhash64(c, lit(0)), lit(P)),
+      c => pmod(xxhash64(c, lit(1)), lit(P)))
   }
 
   /** Exact dedup: one row per distinct `textCol`, keeping the smallest id —
@@ -114,7 +147,7 @@ object Dedup {
                         hasher: Hashers.Keyed = Hashers.md5Keyed): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
     val aggs = (0 until numHashes).map(i =>
-      min(hasher(col("shingle"), i)).as(s"mh$i"))
+      min(hasher(col("shingle"), lit(i))).as(s"mh$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -122,31 +155,74 @@ object Dedup {
     * bands (candidates only), then verify *only the candidates* with exact
     * Jaccard — the all-pairs set is never formed, which is the entire point
     * of LSH at corpus scale. `bands` × `rowsPerBand` must equal `numHashes`.
+    *
+    * Banding defaults are tuned for a ~0.7 similarity threshold: 128 hashes
+    * in 16 bands ⇒ 8 rows per band, S-curve midpoint (1/16)^(1/8) ≈ 0.71.
+    * P[candidate] at Jaccard 0.3 is ≈ 10⁻³ (vs ~31% with the old 8×4/r=2
+    * banding, which degenerated toward all-pairs). `maxBucketSize` drops
+    * band buckets holding more than that many docs — a hot bucket (boiler-
+    * plate, empty docs) contributes O(size²) candidates; the cap bounds
+    * bucket-join skew exactly like `maxShingleFreq` does for `jaccardPairs`.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, numHashes: Int = 8, bands: Int = 4,
+                      threshold: Double, numHashes: Int = 128, bands: Int = 16,
                       n: Int = 3,
-                      hasher: Hashers.Keyed = Hashers.md5Keyed): DataFrame = {
+                      base: Hashers.Base = Hashers.xx64Base,
+                      maxBucketSize: Option[Int] = Some(100)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // The distinct shingle set feeds three consumers (both sides of the
     // candidate-verification join + the size table) — cache it once
     // instead of recomputing the explode+distinct shuffle per consumer.
     val sh = shingles(docs, idCol, textCol, n).cache()
-    val sig = minhashSignatures(docs, idCol, textCol, numHashes, n, hasher)
-    // (id, band, bandKey) — bucket join is per (band, bandKey).
-    val banded = sig.select(col(idCol) +: (0 until bands).map { bnd =>
-      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-        .map(i => col(s"mh$i").cast("string"))
-      md5(concat_ws("|", cols: _*)).as(s"band$bnd")
-    }: _*)
-    val stacked = banded.select(col(idCol), explode(array(
-      (0 until bands).map(bnd =>
-        struct(lit(bnd).as("band"), col(s"band$bnd").as("key"))): _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.key"))
-    val l = stacked.select(col(idCol).as("a"), col("band"), col("key"))
-    val r = stacked.select(col(idCol).as("b"), col("band"), col("key"))
-    val candidates = l.join(r, Seq("band", "key"))
+    // Signatures in NARROW form — (id, seed, minhash) rows, not a
+    // 128-column-wide aggregate: a wide agg's generated update method
+    // blows past the JIT/codegen method limits and falls back to
+    // interpreted evaluation, and the narrow shape stays codegen'd for any
+    // numHashes. The string hash runs ONCE per shingle (before the seed
+    // explode); each of the numHashes family members is then two integer
+    // ops. Partial aggregation collapses the seed-exploded rows to
+    // (id, seed) minima map-side, so the shuffle carries ≤ numHashes rows
+    // per doc.
+    val perSeed = sh
+      .select(col(idCol),
+        base.h1(col("shingle")).as("h1"), base.h2(col("shingle")).as("h2"))
+      .select(col(idCol),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"),
+        col("h1"), col("h2"))
+      .select(col(idCol), col("seed"),
+        ((col("h1") + (col("seed") + 1) * col("h2")) % Hashers.P).as("h"))
+      .groupBy(col(idCol), col("seed")).agg(min("h").as("mh"))
+    // Fold each band's rowsPerBand minhashes into one key via a slot
+    // pivot (rowsPerBand conditional max's — stays in whole-stage
+    // codegen, unlike collect_list): (id, band, key).
+    val slotAggs = (0 until rowsPerBand).map(i =>
+      max(when(col("slot") === i, col("mh")).cast("string")).as(s"s$i"))
+    val stacked = perSeed
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .withColumn("slot", col("seed") % rowsPerBand)
+      .groupBy(col(idCol), col("band"))
+      .agg(slotAggs.head, slotAggs.tail: _*)
+      .select(col(idCol), col("band"),
+        md5(concat_ws("|", (0 until rowsPerBand).map(i => col(s"s$i")): _*))
+          .as("key"))
+    // Candidate pairs come from ONE pass over the band keys: gather each
+    // bucket's doc ids, drop buckets over the cap, and expand in-bucket
+    // pairs. No bucket self-join (which would recompute the signature
+    // chain per consumer) and no separate hot-bucket pass. The
+    // collect_list buffer is the bucket itself — after LSH banding a
+    // bucket is a near-dup cluster, orders of magnitude below the doc
+    // count; the cap bounds the quadratic pair expansion.
+    val buckets = stacked.groupBy("band", "key")
+      .agg(collect_list(col(idCol)).as("ids"))
+    val okBuckets = maxBucketSize match {
+      case Some(cap) => buckets.filter(size(col("ids")) <= cap)
+      case None      => buckets
+    }
+    val candidates = okBuckets
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
     // Exact-Jaccard verification restricted to candidate pairs: join each

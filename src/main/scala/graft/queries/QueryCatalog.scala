@@ -18,8 +18,15 @@ import graft.streaming.EventStreams
   *
   * Oracle-parity ground rules (see tools/oracle_check.py):
   *  - Money-ish double aggregates are cast to DECIMAL *per row* before
-  *    summing: the cast recovers the exact 2/4-decimal value, so sums are
-  *    exact and order-independent in both engines.
+  *    summing (exact + order-independent), then the FINAL output is scaled
+  *    to integer units and cast BIGINT (`*_cents` = ×100 for 2-decimal,
+  *    `*_e4` = ×10000 for 4-decimal). The driver's hash gate compares
+  *    *rendered* values: DECIMAL trailing zeros ("123.40" vs "123.4") and
+  *    DuckDB HUGEINT sums ("499.0" vs "499") render differently across
+  *    engines even when values are identical — so oracle-facing outputs
+  *    are only ever BIGINT, STRING, or deterministically-identical DOUBLE.
+  *  - Every DuckDB integer sum() is wrapped in CAST(... AS BIGINT)
+  *    (sum(BIGINT) returns HUGEINT otherwise).
   *  - Integral-valued doubles (quantities, counts) sum exactly in double.
   *  - Similarity outputs are *ranks*, never raw floats.
   *  - Hashes are md5/sha256 — bit-identical in DuckDB.
@@ -90,17 +97,59 @@ object QueryCatalog {
   private val minhashSigSql =
     (0 until 8).map(i => s"min(md5(shingle || '#$i')) AS mh$i").mkString(", ")
 
-  private val jaccardPairsSql =
+  /** Jaccard pair CTEs (`... , jac AS (...)`), optionally dropping
+    * stop-shingles appearing in more than `cap` docs — must mirror the
+    * Spark operator's `maxShingleFreq` exactly for hash parity.
+    */
+  private def jaccardPairsSql(cap: Option[Int]): String = {
+    val shf = cap match {
+      case Some(c) =>
+        s"""ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= $c),
+           |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle))""".stripMargin
+      case None => "shf AS (SELECT doc_id, shingle FROM sh)"
+    }
     s"""$shinglesSql,
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |$shf,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
        |common AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
-       |             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |             FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |             GROUP BY 1, 2),
        |jac AS (SELECT c.a, c.b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
        |               c.n_common / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
        |          FROM common c
        |          JOIN sizes sa ON sa.doc_id = c.a
        |          JOIN sizes sb ON sb.doc_id = c.b)""".stripMargin
+  }
+
+  /** Stop-shingle doc-frequency cap used by the oracle-facing jaccard
+    * query (Spark and DuckDB sides both). */
+  private val jaccardFreqCap = 20
+
+  // LSH banding for the oracle-facing minhash-pairs query: the md5Base
+  // double-hash family, so DuckDB can replay the exact signature/band/
+  // bucket pipeline bit-for-bit (the operator's production default is the
+  // cheaper xxhash64-based family). One md5 per shingle; family member i
+  // is (h1 + (i+1)·h2) mod P with h1/h2 the two md5 halves — DuckDB's
+  // ('0x'||hex)::BIGINT equals Spark's conv(hex, 16, 10) (verified).
+  private val lshNumHashes = 128
+  private val lshBandCount = 16
+  private val lshBucketCap = 100
+  private val lshP = graft.operators.Dedup.Hashers.P
+  private val lshBaseSql =
+    s"""shh AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $lshP AS h1m,
+       |  ('0x' || substr(md5(shingle), 17, 15))::BIGINT % $lshP AS h2m
+       |  FROM sh)""".stripMargin
+  private val lshSigSql =
+    (0 until lshNumHashes)
+      .map(i => s"min((h1m + ${i + 1} * h2m) % $lshP) AS mh$i").mkString(", ")
+  private val lshBandsSql = {
+    val r = lshNumHashes / lshBandCount
+    (0 until lshBandCount).map { b =>
+      val key = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+  }
 
   // ------------------------------------------------- reference surface
 
@@ -235,9 +284,10 @@ object QueryCatalog {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("sum_base_price_cents"),
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")) * 10000).cast("long").as("sum_disc_price_e4"),
           count(lit(1)).as("count_order"),
           (sum("l_quantity") / count(lit(1))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -251,9 +301,11 @@ object QueryCatalog {
       cust.join(ord, cust("c_custkey") === ord("o_custkey"))
         .join(li, ord("o_orderkey") === li("l_orderkey"))
         .groupBy(col("l_orderkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        // ×10000 BIGINT preserves ordering (positive scale factor) and
+        // renders identically across engines.
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
         .limit(10)
     }),
 
@@ -283,7 +335,8 @@ object QueryCatalog {
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_acctbal"))
+          (sum(col("c_acctbal").cast("decimal(18,2)")) * 100)
+            .cast("long").as("sum_acctbal_cents"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -291,9 +344,10 @@ object QueryCatalog {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+          (sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("total_value_cents"))
         .select(unix_millis(col("hour")).as("hour_ms"), col("event_type"),
-          col("n"), col("total_value"))
+          col("n"), col("total_value_cents"))
         .orderBy("hour_ms", "event_type")),
 
     "q_events_json" -> ((s, dir) =>
@@ -323,13 +377,31 @@ object QueryCatalog {
         .orderBy("c_custkey")
     }),
 
-    "q_percentiles" -> ((s, dir) =>
+    "q_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Discrete order statistics (value at rank ceil(p·n)), not
+      // interpolated quantiles: the result IS a data value, so both engines
+      // emit the identical float64 — no interpolation-arithmetic drift —
+      // and ×100 BIGINT cents renders identically. The per-priority window
+      // has ~5 partitions of n/5 rows; for a true 100 TB percentile use
+      // approx_percentile (sketch-mergeable) instead — this is the exact
+      // oracle-checkable form.
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
       t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("o_orderpriority")))
         .groupBy("o_orderpriority")
-        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
-          round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95_price"),
+        .agg(
+          (round(max(when(col("rn") === ceil(col("cnt") * 0.5),
+            col("o_totalprice"))) * 100)).cast("long").as("median_price_cents"),
+          (round(max(when(col("rn") === ceil(col("cnt") * 0.95),
+            col("o_totalprice"))) * 100)).cast("long").as("p95_price_cents"),
           count(lit(1)).as("n"))
-        .orderBy("o_orderpriority")),
+        .orderBy("o_orderpriority")
+    }),
 
     "q_distinct_parts" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -349,7 +421,7 @@ object QueryCatalog {
         """SELECT /*+ BROADCAST(n, r) */
           |  r_name AS region_name, n_name AS nation_name,
           |  count(*) AS n_customers,
-          |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_acctbal_cents
           |FROM v_customer c
           |JOIN v_nation n ON c.c_nationkey = n.n_nationkey
           |JOIN v_region r ON n.n_regionkey = r.r_regionkey
@@ -379,7 +451,8 @@ object QueryCatalog {
           Seq("user_id"), "ts", "ts", Seq("signup_value"))
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
           unix_millis(col("asof_ts")).as("signup_ts_ms"),
-          col("asof_signup_value").cast("decimal(18,2)").as("signup_value"))
+          (col("asof_signup_value").cast("decimal(18,2)") * 100)
+            .cast("long").as("signup_value_cents"))
         .orderBy("event_id")
     }),
 
@@ -388,7 +461,8 @@ object QueryCatalog {
           t(s, dir, "orders"), "o_orderkey", 80)
         .groupBy("split")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("sum_price_cents"))
         .orderBy("split")),
 
     "q_props_map" -> ((s, dir) =>
@@ -412,9 +486,10 @@ object QueryCatalog {
       catch { case _: Exception => () }
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val nanos = schema("ts").dataType.simpleString == "bigint"
-      EventStreams.runWindowedOnce(s, dir, "events.parquet", schema,
-          if (nanos) Some("ts") else None,
-          s"stream_hourly_${streamRun.incrementAndGet()}")
+      val title = s"stream_hourly_${streamRun.incrementAndGet()}"
+      HostedStore.dropByTitle(title)
+      EventStreams.runUpsertWindowedOnce(s, dir, "events.parquet", schema,
+          if (nanos) Some("ts") else None, title)
         .orderBy("window_start_ms", "event_type")
     }))
 
@@ -422,15 +497,15 @@ object QueryCatalog {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price_cents,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_disc_price_e4,
         |  count(*) AS count_order,
         |  sum(l_quantity) / count(*) AS avg_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -438,7 +513,7 @@ object QueryCatalog {
         |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
         |GROUP BY l_orderkey
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
@@ -453,7 +528,7 @@ object QueryCatalog {
 
     "q_join_agg_nation" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_acctbal_cents
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -461,12 +536,13 @@ object QueryCatalog {
 
     "q_events_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, count(*) AS n_events,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -486,11 +562,17 @@ object QueryCatalog {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_percentiles" ->
-      """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
-        |  round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price,
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(round(max(CASE WHEN rn = ceil(cnt * 0.5) THEN o_totalprice END) * 100) AS BIGINT) AS median_price_cents,
+        |  CAST(round(max(CASE WHEN rn = ceil(cnt * 0.95) THEN o_totalprice END) * 100) AS BIGINT) AS p95_price_cents,
         |  count(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_distinct_parts" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
@@ -500,7 +582,7 @@ object QueryCatalog {
     "q_rollup_nation" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
         |  count(*) AS n_customers,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_acctbal_cents
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -523,7 +605,7 @@ object QueryCatalog {
         |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
         |  epoch_ms(s.ts) AS signup_ts_ms,
-        |  CAST(s.signup_value AS DECIMAL(18,2)) AS signup_value
+        |  CAST(CAST(s.signup_value AS DECIMAL(18,2)) * 100 AS BIGINT) AS signup_value_cents
         |FROM purchases p ASOF LEFT JOIN signups s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY event_id""".stripMargin,
@@ -532,13 +614,13 @@ object QueryCatalog {
       """SELECT CASE WHEN ((o_orderkey % 1000003) * 2654435761) % 1000000007 % 100 < 80
         |            THEN 'train' ELSE 'test' END AS split,
         |  count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_props_map" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         |  count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x_sessionize" ->
@@ -555,13 +637,14 @@ object QueryCatalog {
         |  FROM marked)
         |SELECT min(tms) AS session_start_ms, max(tms) + 1800000 AS session_end_ms,
         |  user_id, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin,
 
     "q_stream_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   // ------------------------------------------------- pipeline extensions
@@ -575,7 +658,11 @@ object QueryCatalog {
     }),
 
     "x_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.6)
+      // The stop-shingle cap keeps hot shingles from producing O(df²)
+      // candidate pairs in the inverted-index self-join; the oracle CTE
+      // mirrors the cap so results stay hash-identical.
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.6,
+          maxShingleFreq = Some(jaccardFreqCap))
         .orderBy("a", "b")),
 
     "x_dedup_minhash_sig" -> ((s, dir) =>
@@ -583,7 +670,13 @@ object QueryCatalog {
         .orderBy("doc_id")),
 
     "x_dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.7)
+      // md5Base double-hash family so the DuckDB oracle replays the
+      // identical signature → band → bucket-cap → verify pipeline; banding
+      // matches lshNumHashes/lshBandCount/lshBucketCap above.
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.7,
+          numHashes = lshNumHashes, bands = lshBandCount,
+          base = Dedup.Hashers.md5Base,
+          maxBucketSize = Some(lshBucketCap))
         .orderBy("a", "b")),
 
     "x_dedup_simhash" -> ((s, dir) =>
@@ -689,7 +782,7 @@ object QueryCatalog {
           |FROM all_docs GROUP BY text ORDER BY doc_id""".stripMargin,
 
       "x_dedup_jaccard" ->
-        s"""WITH $jaccardPairsSql
+        s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))}
            |SELECT a, b, n_common, n_a, n_b, jaccard FROM jac
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
 
@@ -699,13 +792,15 @@ object QueryCatalog {
            |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "x_dedup_minhash_pairs" ->
-        s"""WITH $jaccardPairsSql,
-           |sig AS (SELECT doc_id, $minhashSigSql FROM sh GROUP BY doc_id),
-           |bands AS (
-           |  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1) AS key FROM sig
-           |  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
-           |  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
-           |  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+        s"""WITH ${jaccardPairsSql(None)},
+           |$lshBaseSql,
+           |sig AS (SELECT doc_id, $lshSigSql FROM shh GROUP BY doc_id),
+           |bands_all AS (
+           |  $lshBandsSql),
+           |bucket_ok AS (SELECT band, key FROM bands_all
+           |              GROUP BY band, key HAVING count(*) <= $lshBucketCap),
+           |bands AS (SELECT ba.doc_id, ba.band, ba.key
+           |            FROM bands_all ba JOIN bucket_ok USING (band, key)),
            |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
            |           FROM bands l JOIN bands r
            |             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
@@ -789,8 +884,9 @@ object QueryCatalog {
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "x_corpus_stats" ->
-        """SELECT source, count(*) AS n_docs, sum(length(text)) AS total_chars,
-          |  sum(len(string_split(text, ' '))) AS total_tokens,
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
           |  min(length(text)) AS min_chars, max(length(text)) AS max_chars
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 

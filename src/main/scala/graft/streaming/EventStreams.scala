@@ -25,14 +25,17 @@ object EventStreams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
-  /** Run a batch-equivalent streaming aggregation over a static parquet
-    * path using the memory sink (complete mode), synchronously. Returns the
-    * settled result — used to prove stream/batch equivalence in the
-    * correctness gate.
+  /** Run a windowed streaming aggregation over a static parquet path,
+    * landing results through an update-mode `foreachBatch` upsert into a
+    * hosted table, synchronously; returns the settled table. This is the
+    * scale-correct stream/batch-equivalence harness: no complete-mode
+    * memory sink (which re-materializes the whole result table on the
+    * driver every trigger) — each micro-batch is a distributed keyed merge
+    * and aggregation state is watermark-bounded.
     */
-  def runWindowedOnce(spark: SparkSession, dir: String, fileGlob: String,
-                      schema: StructType, tsFromNanosCol: Option[String],
-                      queryName: String): DataFrame = {
+  def runUpsertWindowedOnce(spark: SparkSession, dir: String, fileGlob: String,
+                            schema: StructType, tsFromNanosCol: Option[String],
+                            title: String): DataFrame = {
     // FileStreamSource wants a directory; the fixture dir holds one parquet
     // per table, so scope to this table's file with pathGlobFilter.
     val raw = spark.readStream.schema(schema)
@@ -42,20 +45,33 @@ object EventStreams {
       case None    => raw
     }
     val agg = events
+      // Bounds streaming state in a live deployment; a static-file replay
+      // has no late data, so the result equals the batch aggregation.
+      .withWatermark("ts", "24 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as("total_value_cents"))
       .select(unix_millis(col("window.start")).as("window_start_ms"),
-        col("event_type"), col("n"), col("total_value"))
+        col("event_type"), col("n"), col("total_value_cents"))
+      .withColumn("merge_key",
+        concat_ws("|", col("window_start_ms"), col("event_type")))
     val q: StreamingQuery = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          HostedTables.save(batch, title, Some("merge_key"))
+            .left.foreach(e => throw new IllegalStateException(e))
+        ()
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    val norm = graft.core.ServiceName.normalize(title).fold(sys.error, identity)
+    val id = graft.sinks.HostedSinks.active.resolveByTitle(norm)
+      .getOrElse(sys.error(s"stream produced no hosted table '$title'"))
+    HostedTables.read(spark, id).drop("merge_key")
   }
 
   /** Streaming exact dedup: drop duplicate ids arriving within the

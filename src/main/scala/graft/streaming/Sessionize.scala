@@ -18,17 +18,19 @@ object Sessionize {
   /** Gap-based sessions per user. Works identically over a batch frame or
     * a watermarked stream (same plan family; streaming keeps only open
     * sessions in state). Output: user_id, session_start_ms, session_end_ms,
-    * n_events, total_value (decimal for cross-engine exactness).
+    * n_events, total_value_cents (decimal-exact per-row cast, emitted as
+    * BIGINT integer cents so the value renders identically cross-engine).
     */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        (sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("total_value_cents"))
       .select(
         unix_millis(col("session_window.start")).as("session_start_ms"),
         unix_millis(col("session_window.end")).as("session_end_ms"),
-        col("user_id"), col("n_events"), col("total_value"))
+        col("user_id"), col("n_events"), col("total_value_cents"))
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double,

@@ -56,10 +56,11 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("xxhash64 minhash variant finds the same planted near-dups") {
-    val md5Pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)
+    val md5Pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9,
+        base = Dedup.Hashers.md5Base)
       .select("a", "b").as[(Long, Long)].collect().toSet
     val xxPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9,
-        hasher = Dedup.Hashers.xx64)
+        base = Dedup.Hashers.xx64Base)
       .select("a", "b").as[(Long, Long)].collect().toSet
     // banding recall is probabilistic per family; the invariant is that
     // each family's output is jaccard-verified (subset of exact) and that

@@ -14,18 +14,20 @@ class EventStreamsSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
-  test("streaming windowed agg equals the batch computation") {
+  test("streaming windowed agg (foreachBatch upsert) equals the batch computation") {
+    HostedStore.dropByTitle("spec_stream_1")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamed = EventStreams.runWindowedOnce(spark, dir, "events.parquet",
+    val streamed = EventStreams.runUpsertWindowedOnce(spark, dir, "events.parquet",
         schema, Some("ts"), "spec_stream_1")
       .orderBy("window_start_ms", "event_type")
       .collect().toSeq
     val batch = Tables.load(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+        (sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as("total_value_cents"))
       .select(unix_millis(col("h")).as("window_start_ms"), col("event_type"),
-        col("n"), col("total_value"))
+        col("n"), col("total_value_cents"))
       .orderBy("window_start_ms", "event_type")
       .collect().toSeq
     assert(streamed == batch)
