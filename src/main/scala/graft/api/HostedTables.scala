@@ -25,18 +25,24 @@ object HostedTables {
   def read(spark: SparkSession, itemId: String): DataFrame =
     spark.read.format("graft").option("itemId", itemId).load()
 
-  /** Write into an existing hosted table with one of the five modes. */
+  /** Write into an existing hosted table with one of the five modes.
+    * `properties` is the reference's `item_properties` passthrough
+    * (`src/agol_pandas.py:316`): portal item metadata merged onto the item
+    * alongside the data write.
+    */
   def write(
       df: DataFrame,
       itemId: String,
       mode: WriteMode,
       key: Option[String] = None,
-      chunkSize: Int = 100000): Either[String, Seq[GraftCommitMessage]] =
+      chunkSize: Int = 100000,
+      properties: Map[String, String] = Map.empty): Either[String, Seq[GraftCommitMessage]] =
     for {
       _ <- WriteMode.validate(mode, key)
       _ <- if (!HostedSinks.active.exists(itemId)) Left(s"no hosted table '$itemId'") else Right(())
       _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
       res <- doWrite(df, itemId, mode, key, chunkSize)
+      _ = if (properties.nonEmpty) HostedSinks.active.setProperties(itemId, properties)
     } yield res
 
   private def doWrite(
@@ -74,36 +80,60 @@ object HostedTables {
   def createTable(
       df: DataFrame,
       name: String,
-      key: Option[String] = None): Either[String, String] =
+      key: Option[String] = None,
+      properties: Map[String, String] = Map.empty): Either[String, String] =
     for {
       norm <- graft.core.ServiceName.normalize(name)
       _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
       id <- try {
         val utc = TimestampNorm.toUtc(df)
-        val id = HostedSinks.active.create(norm, utc.schema)
-        key.foreach(k => HostedSinks.active.ensureUniqueIndex(id, k))
-        Right(id)
+        val id = HostedSinks.active.create(norm, utc.schema, properties)
+        // Reference budget: probe, register, poll until service-visible
+        // (src/agol_pandas.py:293-307); fails the create if the index
+        // never appears, same as the reference's ValueError.
+        val indexed = key.forall(k =>
+          graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, id, k))
+        if (indexed) Right(id)
+        else Left("Could not create unique field constraint for appends!")
       } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
     } yield id
 
-  /** Resolve-or-create by title, then load — the reference's orchestrator.
-    * Mode is upsert when a key is given, else append
-    * (`src/agol_pandas.py:598-606`). Idempotent: re-running against an
-    * existing title reuses the table (`src/agol_pandas.py:592-596`).
+  /** Resolve-or-create, then load — the reference's orchestrator. Mode is
+    * upsert when a key is given, else append (`src/agol_pandas.py:598-606`).
+    * Idempotent: re-running against an existing title reuses the table
+    * (`src/agol_pandas.py:592-596`).
+    *
+    * Addressing is by normalized title OR, when `tableId` is given, by
+    * known item id directly (skipping title resolution) — the "name or
+    * table_id" contract the reference documents for
+    * `create_hosted_table_from_dataframe` (`src/agol_pandas.py:581-584`;
+    * its guard is inverted so the id path is dead code there — the
+    * *documented* semantics are implemented here).
     */
   def save(
       df: DataFrame,
       name: String,
       key: Option[String] = None,
-      chunkSize: Int = 200000): Either[String, (String, Seq[GraftCommitMessage])] =
+      chunkSize: Int = 200000,
+      properties: Map[String, String] = Map.empty,
+      tableId: Option[String] = None): Either[String, (String, Seq[GraftCommitMessage])] =
     for {
-      norm <- graft.core.ServiceName.normalize(name)
       _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
-      id <- HostedSinks.active.resolveByTitle(norm) match {
-        case Some(existing) => Right(existing)
-        case None           => createTable(df, norm, key)
+      id <- tableId match {
+        case Some(tid) =>
+          if (HostedSinks.active.exists(tid)) Right(tid)
+          else Left(s"no hosted table '$tid'")
+        case None =>
+          for {
+            norm <- graft.core.ServiceName.normalize(name)
+            resolved <- HostedSinks.active.resolveByTitle(norm) match {
+              case Some(existing) => Right(existing)
+              case None           => createTable(df, norm, key, properties)
+            }
+          } yield resolved
       }
       mode = if (key.isDefined) WriteMode.Upsert else WriteMode.Append
       report <- doWrite(df, id, mode, key, chunkSize)
+      _ = if (properties.nonEmpty) HostedSinks.active.setProperties(id, properties)
     } yield (id, report)
 }

@@ -1,8 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sort-then-chunk, the reference's `df_to_pandas_chunks`
   * (`/root/reference/src/agol_pandas.py:159-216`): globally sort by the key
@@ -36,15 +36,29 @@ object Chunker {
       .sortWithinPartitions(keyCols: _*)
   }
 
-  /** Exact chunk ids: `floor((row_number - 1) / chunkSize)` over the global
-    * key order. Deterministic (full tiebreak on the key), but plans a
-    * single-partition window — use only where exactness is required at
-    * bounded scale (audit reports, oracle tests).
+  /** Exact chunk ids: `floor(global_rank / chunkSize)` over the global key
+    * order, computed WITHOUT a single-partition window: range-partition +
+    * sort gives the global order across partitions, then `zipWithIndex`
+    * assigns contiguous indexes via the classic two-pass partition-offset
+    * scheme (job 1 counts rows per partition, job 2 adds the broadcast
+    * prefix-sum offset). Both passes read the already-materialized range
+    * shuffle, so the data moves once and no task ever holds more than its
+    * partition. Deterministic when `keys` form a total order (unique key),
+    * same as any rank-based chunking.
     */
-  def withChunkIds(df: DataFrame, keys: Seq[String], chunkSize: Long): DataFrame = {
+  def withChunkIds(df: DataFrame, keys: Seq[String], chunkSize: Long,
+                   partitions: Option[Int] = None): DataFrame = {
     require(keys.nonEmpty && chunkSize > 0)
-    val w = Window.orderBy(keys.map(col).toIndexedSeq: _*)
-    df.withColumn("chunk_id",
-      floor((row_number().over(w) - 1) / chunkSize).cast("long"))
+    val keyCols = keys.map(col).toIndexedSeq
+    val spark = df.sparkSession
+    val parts = partitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(parts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val outSchema = sorted.schema.add("chunk_id", LongType, nullable = false)
+    val withIdx = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i / chunkSize))
+    }
+    spark.createDataFrame(withIdx, outSchema)
   }
 }

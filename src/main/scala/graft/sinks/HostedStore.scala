@@ -34,17 +34,42 @@ import graft.core.WriteMode
   */
 object HostedStore {
 
+  /** A service-side index definition, named the way the reference names
+    * the unique key constraint: `UX_<TITLE>_<TABLE>_<field>_ASC`
+    * (`src/agol_pandas.py:293`). `visibleAfterPolls` models the remote
+    * service's *asynchronous* index creation: the index only reports
+    * visible after that many `fldHasUniqueIndex` probes (0 = immediately,
+    * the default; specs raise it to exercise the reference's 5 s × 12 poll
+    * budget, `src/agol_pandas.py:302-307`).
+    */
+  final case class IndexState(
+      name: String,
+      field: String,
+      isUnique: Boolean,
+      visibleAfterPolls: Int)
+
   final case class TableState(
       itemId: String,
       title: String,
       schema: StructType,
       rows: Vector[Row],
-      uniqueIndexes: Set[String])
+      uniqueIndexes: Set[String],
+      properties: Map[String, String] = Map.empty,
+      indexes: Vector[IndexState] = Vector.empty,
+      appliedBatches: Set[String] = Set.empty)
 
   private val tables = new ConcurrentHashMap[String, TableState]()
   private val nextId = new AtomicLong(1000)
+  /** Per-(item, field) countdown of polls remaining until the index
+    * reports visible — the fake's async-creation knob.
+    */
+  private val pendingPolls = new ConcurrentHashMap[(String, String), Int]()
+  /** How many visibility probes a newly created index stays invisible for
+    * (simulated async service-side creation). 0 = synchronous.
+    */
+  @volatile var indexCreationPollDelay: Int = 0
 
-  def reset(): Unit = tables.clear()
+  def reset(): Unit = { tables.clear(); pendingPolls.clear() }
 
   def drop(itemId: String): Unit = tables.remove(itemId)
 
@@ -64,28 +89,87 @@ object HostedStore {
 
   def exists(itemId: String): Boolean = tables.containsKey(itemId)
 
-  def create(title: String, schema: StructType): String = synchronized {
+  def create(title: String, schema: StructType,
+             properties: Map[String, String] = Map.empty): String = synchronized {
     val id = s"item_${nextId.getAndIncrement()}"
-    tables.put(id, TableState(id, title, schema, Vector.empty, Set.empty))
+    // The reference stamps the title into the item-properties dict before
+    // content.add (`src/agol_pandas.py:517-520`); mirror that so a
+    // round-tripped properties map always carries the title.
+    tables.put(id, TableState(id, title, schema, Vector.empty, Set.empty,
+      properties + ("title" -> title)))
     id
   }
 
-  def truncate(itemId: String): Unit = synchronized {
+  /** Merge portal item metadata (`item_properties` passthrough on the
+    * reference's write/create surface, `src/agol_pandas.py:316,477,548`).
+    */
+  def setProperties(itemId: String, props: Map[String, String]): Unit = synchronized {
     val t = get(itemId)
-    tables.put(itemId, t.copy(rows = Vector.empty))
+    tables.put(itemId, t.copy(properties = t.properties ++ props))
   }
 
-  /** Idempotent unique-index creation (`src/agol_pandas.py:286-300`). The
-    * remote service creates asynchronously and the reference polls; the
-    * in-process fake is synchronous, so this returns immediately.
-    */
-  def ensureUniqueIndex(itemId: String, field: String): Boolean = synchronized {
+  def propertiesOf(itemId: String): Map[String, String] = get(itemId).properties
+
+  def truncate(itemId: String): Unit = synchronized {
     val t = get(itemId)
-    require(t.schema.fieldNames.map(_.toLowerCase).contains(field.toLowerCase),
-      s"no such field '$field' on '$itemId'")
-    tables.put(itemId, t.copy(uniqueIndexes = t.uniqueIndexes + field.toLowerCase))
-    true
+    // A truncated table starts a fresh write epoch: forget batch ids so an
+    // overwrite re-posting identical content isn't spuriously deduped.
+    tables.put(itemId, t.copy(rows = Vector.empty, appliedBatches = Set.empty))
   }
+
+  /** Register a unique index (`add_to_definition({"indexes":[…]})`,
+    * `src/agol_pandas.py:293-300`), named the way the reference names it.
+    * Idempotent; returns the index name. Creation is *asynchronous* when
+    * [[indexCreationPollDelay]] > 0: the index only becomes usable (and a
+    * member of `uniqueIndexes`) after that many [[fieldHasUniqueIndex]]
+    * probes — the client must poll, exactly like the remote service.
+    */
+  def addUniqueIndex(itemId: String, field: String): String = synchronized {
+    val t = get(itemId)
+    val fl = field.toLowerCase
+    require(t.schema.fieldNames.map(_.toLowerCase).contains(fl),
+      s"no such field '$field' on '$itemId'")
+    t.indexes.find(ix => ix.isUnique && ix.field == fl) match {
+      case Some(ix) => ix.name
+      case None =>
+        // Reference naming: UX_{item.title.upper()}_{table_name.upper()}_
+        // {field}_ASC (`src/agol_pandas.py:293`); the fake's service-layer
+        // table name is the item id.
+        val name = s"UX_${t.title.toUpperCase}_${itemId.toUpperCase}_${field}_ASC"
+        val ix = IndexState(name, fl, isUnique = true, indexCreationPollDelay)
+        val visible = indexCreationPollDelay <= 0
+        tables.put(itemId, t.copy(
+          indexes = t.indexes :+ ix,
+          uniqueIndexes = if (visible) t.uniqueIndexes + fl else t.uniqueIndexes))
+        if (!visible) pendingPolls.put((itemId, fl), indexCreationPollDelay)
+        name
+    }
+  }
+
+  /** One visibility probe (`fld_has_unique_idx`, `src/agol_pandas.py:286-290`):
+    * true once the unique index on `field` is service-visible. Each probe
+    * of a pending index decrements its countdown — the fake's stand-in for
+    * wall-clock async creation.
+    */
+  def fieldHasUniqueIndex(itemId: String, field: String): Boolean = synchronized {
+    val t = get(itemId)
+    val fl = field.toLowerCase
+    if (t.uniqueIndexes.contains(fl)) true
+    else if (!t.indexes.exists(ix => ix.isUnique && ix.field == fl)) false
+    else {
+      val left = pendingPolls.getOrDefault((itemId, fl), 0) - 1
+      if (left <= 0) {
+        pendingPolls.remove((itemId, fl))
+        tables.put(itemId, t.copy(uniqueIndexes = t.uniqueIndexes + fl))
+        true
+      } else {
+        pendingPolls.put((itemId, fl), left)
+        false
+      }
+    }
+  }
+
+  def indexesOf(itemId: String): Vector[IndexState] = get(itemId).indexes
 
   def rowCount(itemId: String): Long = get(itemId).rows.size.toLong
 
@@ -174,9 +258,14 @@ object HostedStore {
       itemId: String,
       batch: Seq[Row],
       mode: WriteMode,
-      key: Option[String]): Long = synchronized {
+      key: Option[String],
+      batchId: Option[String] = None): Long = synchronized {
     val t = get(itemId)
-    mode match {
+    // Idempotent replay protection: a batch id the service has already
+    // applied is a task-retry replay — skip it (exactly-once writes on
+    // top of at-least-once task attempts).
+    if (batchId.exists(t.appliedBatches.contains)) return 0L
+    val affected: Long = mode match {
       case WriteMode.Append | WriteMode.Overwrite =>
         // Overwrite's truncate already happened once, driver-side.
         tables.put(itemId, t.copy(rows = t.rows ++ batch))
@@ -219,6 +308,13 @@ object HostedStore {
           case _                => collapsed.size
         }).toLong
     }
+    // Only a *successfully applied* batch is recorded — a failed apply
+    // (contract violation above) must stay replayable.
+    batchId.foreach { id =>
+      val tN = get(itemId)
+      tables.put(itemId, tN.copy(appliedBatches = tN.appliedBatches + id))
+    }
+    affected
   }
 }
 

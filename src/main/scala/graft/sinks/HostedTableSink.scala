@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
-import graft.core.{RetryPolicy, WriteMode}
+import graft.core.WriteMode
 
 /** The six service verbs the reference issues against the remote portal
   * (SURVEY §7.2) — the seam between the engine and any hosted-table
@@ -13,7 +13,9 @@ import graft.core.{RetryPolicy, WriteMode}
   *  - `resolveByTitle`  ≙ `gis.content.search(title:…)` (`/root/reference/src/agol_pandas.py:592-596`)
   *  - `create`          ≙ `content.add` + `item.publish` (`src/agol_pandas.py:519-523`)
   *  - `truncate`        ≙ `manager.truncate()` (`src/agol_pandas.py:395-396`)
-  *  - `ensureUniqueIndex` ≙ `add_to_definition(indexes)` + poll (`src/agol_pandas.py:286-307`)
+  *  - `addUniqueIndex`/`fieldHasUniqueIndex` ≙ `add_to_definition(indexes)`
+  *    + the visibility probe; the client-side poll budget lives in
+  *    [[graft.core.IndexPoll]] (`src/agol_pandas.py:286-307`)
   *  - `queryPage`/`queryCount` ≙ `table.query(resultOffset, resultRecordCount,
   *    where, outFields, returnCountOnly)` (`src/agol_pandas.py:246`, paged
   *    where the reference is serial)
@@ -27,14 +29,31 @@ import graft.core.{RetryPolicy, WriteMode}
   */
 trait HostedTableSink {
   def resolveByTitle(title: String): Option[String]
-  def create(title: String, schema: StructType): String
+  def create(title: String, schema: StructType,
+             properties: Map[String, String] = Map.empty): String
   def truncate(itemId: String): Unit
-  def ensureUniqueIndex(itemId: String, field: String): Boolean
+  /** Register a unique index (async on a real service — returns the index
+    * name immediately; poll [[fieldHasUniqueIndex]] for visibility via
+    * [[graft.core.IndexPoll.ensureUniqueIndex]]).
+    */
+  def addUniqueIndex(itemId: String, field: String): String
+  /** One visibility probe for a unique index on `field`. */
+  def fieldHasUniqueIndex(itemId: String, field: String): Boolean
+  /** Merge portal item metadata (the reference's `item_properties`). */
+  def setProperties(itemId: String, props: Map[String, String]): Unit
+  def propertiesOf(itemId: String): Map[String, String]
   def queryCount(itemId: String, filters: Array[Filter]): Long
   def queryPage(itemId: String, offset: Long, count: Long,
                 requiredCols: Array[String], filters: Array[Filter]): Iterator[Row]
+  /** Apply one batch atomically (the reference's `rollback=True` per
+    * chunk). `batchId`, when given, makes application *idempotent*: a
+    * batch the service has already applied is skipped — this is what
+    * turns Spark's at-least-once task retry into exactly-once writes
+    * (a retried task re-posts the batches its failed attempt already
+    * flushed; the service drops the replays by id).
+    */
   def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
-                  key: Option[String]): Long
+                  key: Option[String], batchId: Option[String] = None): Long
   // service-side statistics (≙ the remote `outStatistics` query)
   def queryMinMax(itemId: String, filters: Array[Filter], field: String,
                   isMin: Boolean): Any
@@ -58,72 +77,29 @@ object HostedSinks {
   @volatile var active: HostedTableSink = InProcessHostedSink
 }
 
-/** Skeleton HTTP implementation of the sink seam — the production
-  * counterpart of [[HostedStore]], NOT exercised in this offline
-  * environment (no egress). Documents exactly how each verb maps to the
-  * remote REST surface and where the retry policy wraps the calls; the
-  * `???` bodies are the only thing a live deployment fills in.
-  *
-  * Executor-side usage: `queryPage` and `appendBatch` are called from
-  * read/write tasks — each task issues its own HTTP call (the paged-read
-  * and batched-write parallelism the reference lacked), with `retry`
-  * providing the reference's jittered backoff (`src/agol_pandas.py:8-43`)
-  * locally per task, not via global mutable state.
-  */
-class RestHostedService(portalUrl: String, token: String,
-                        retry: RetryPolicy = RetryPolicy()) extends HostedTableSink {
-  // GET  {portalUrl}/search?q=title:"{title}" AND type:"Feature Service"
-  override def resolveByTitle(title: String): Option[String] = ???
-  // POST {portalUrl}/content/users/{me}/addItem + /publish
-  override def create(title: String, schema: StructType): String = ???
-  // POST {serviceUrl}/FeatureServer/0/truncate
-  override def truncate(itemId: String): Unit = ???
-  // POST {serviceUrl}/FeatureServer/0/addToDefinition {"indexes":[…]} then
-  // poll every 5s up to 12x for visibility (src/agol_pandas.py:302-307)
-  override def ensureUniqueIndex(itemId: String, field: String): Boolean = ???
-  // GET  {serviceUrl}/0/query?returnCountOnly=true&where={filters→SQL}
-  override def queryCount(itemId: String, filters: Array[Filter]): Long = ???
-  // GET  {serviceUrl}/0/query?resultOffset={offset}&resultRecordCount={count}
-  //      &outFields={cols}&where={filters→SQL}
-  override def queryPage(itemId: String, offset: Long, count: Long,
-                         requiredCols: Array[String],
-                         filters: Array[Filter]): Iterator[Row] = ???
-  // POST {serviceUrl}/0/append {upsert, skipInserts, skipUpdates,
-  //      upsertMatchingField, rollbackOnFailure:true}
-  override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
-                           key: Option[String]): Long = ???
-  // GET  {serviceUrl}/0/query?outStatistics=[{statisticType:min|max,...}]
-  override def queryMinMax(itemId: String, filters: Array[Filter],
-                           field: String, isMin: Boolean): Any = ???
-  // GET  {serviceUrl}/0/query?outStatistics=[…]&groupByFieldsForStatistics={fields}
-  override def queryGroupedStats(itemId: String, filters: Array[Filter],
-                                 groupFields: Seq[String],
-                                 specs: Seq[(String, Option[String])]): Seq[Row] = ???
-  // GET  {portalUrl}/content/items/{itemId}
-  override def exists(itemId: String): Boolean = ???
-  // GET  {serviceUrl}/FeatureServer/0?f=json → fields → StructType
-  override def schemaOf(itemId: String): StructType = ???
-  // GET  {portalUrl}/search?q=owner:{me} AND type:"Feature Service"
-  override def titles: Seq[String] = ???
-  // POST {portalUrl}/content/users/{me}/items/{itemId}/delete
-  override def drop(itemId: String): Boolean = ???
-}
-
 /** [[HostedStore]] exposed through the sink seam. */
 object InProcessHostedSink extends HostedTableSink {
   override def resolveByTitle(title: String): Option[String] = HostedStore.resolveByTitle(title)
-  override def create(title: String, schema: StructType): String = HostedStore.create(title, schema)
+  override def create(title: String, schema: StructType,
+                      properties: Map[String, String]): String =
+    HostedStore.create(title, schema, properties)
   override def truncate(itemId: String): Unit = HostedStore.truncate(itemId)
-  override def ensureUniqueIndex(itemId: String, field: String): Boolean =
-    HostedStore.ensureUniqueIndex(itemId, field)
+  override def addUniqueIndex(itemId: String, field: String): String =
+    HostedStore.addUniqueIndex(itemId, field)
+  override def fieldHasUniqueIndex(itemId: String, field: String): Boolean =
+    HostedStore.fieldHasUniqueIndex(itemId, field)
+  override def setProperties(itemId: String, props: Map[String, String]): Unit =
+    HostedStore.setProperties(itemId, props)
+  override def propertiesOf(itemId: String): Map[String, String] =
+    HostedStore.propertiesOf(itemId)
   override def queryCount(itemId: String, filters: Array[Filter]): Long =
     HostedStore.queryCount(itemId, filters)
   override def queryPage(itemId: String, offset: Long, count: Long,
                          requiredCols: Array[String], filters: Array[Filter]): Iterator[Row] =
     HostedStore.queryPage(itemId, offset, count, requiredCols, filters)
   override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
-                           key: Option[String]): Long =
-    HostedStore.appendBatch(itemId, batch, mode, key)
+                           key: Option[String], batchId: Option[String]): Long =
+    HostedStore.appendBatch(itemId, batch, mode, key, batchId)
   override def queryMinMax(itemId: String, filters: Array[Filter],
                            field: String, isMin: Boolean): Any =
     HostedStore.queryMinMax(itemId, filters, field, isMin)

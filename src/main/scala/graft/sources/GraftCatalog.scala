@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -77,8 +79,14 @@ class GraftCatalog extends TableCatalog {
     // SQL-created tables stay reachable from HostedTables.save/resolve.
     val title = graft.core.ServiceName.normalize(ident.name())
       .fold(e => throw new IllegalArgumentException(e), identity)
-    val id = HostedSinks.active.create(title, schema)
-    Option(properties.get("key")).foreach(k => HostedSinks.active.ensureUniqueIndex(id, k))
+    // SQL TBLPROPERTIES flow through as portal item properties; `key`
+    // additionally provisions the unique index (with the poll budget).
+    val props = properties.asScala.toMap.collect {
+      case (k, v) if k != "key" => k -> v
+    }
+    val id = HostedSinks.active.create(title, schema, props)
+    Option(properties.get("key")).foreach(k =>
+      graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, id, k))
     loadTable(ident)
   }
 

@@ -416,8 +416,12 @@ class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
       // (src/agol_pandas.py:395-396) and index-ensure for merge modes
       // (src/agol_pandas.py:410-412).
       if (truncateFirst || mode == WriteMode.Overwrite) HostedSinks.active.truncate(itemId)
-      key.foreach(k => HostedSinks.active.ensureUniqueIndex(itemId, k))
-      GraftWriterFactory(itemId, schema, mode, key, chunkSize)
+      key.foreach(k => graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, itemId, k))
+      // One write id per job, minted driver-side: batch ids derived from
+      // it are stable across task retries, so replayed flushes dedup
+      // service-side (exactly-once on at-least-once attempts).
+      GraftWriterFactory(itemId, schema, mode, key, chunkSize,
+        java.util.UUID.randomUUID().toString)
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val report = messages.toSeq.map(_.asInstanceOf[GraftCommitMessage])
@@ -442,10 +446,11 @@ object GraftWriteReports {
 }
 
 case class GraftWriterFactory(itemId: String, schema: StructType,
-                              mode: WriteMode, key: Option[String], chunkSize: Int)
+                              mode: WriteMode, key: Option[String], chunkSize: Int,
+                              writeId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(itemId, schema, mode, key, chunkSize, partitionId)
+    new GraftDataWriter(itemId, schema, mode, key, chunkSize, partitionId, writeId)
 }
 
 /** Buffers up to `chunkSize` rows, then posts the batch — one service call
@@ -454,7 +459,8 @@ case class GraftWriterFactory(itemId: String, schema: StructType,
   * size.
   */
 class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
-                      key: Option[String], chunkSize: Int, partitionId: Int)
+                      key: Option[String], chunkSize: Int, partitionId: Int,
+                      writeId: String)
     extends DataWriter[InternalRow] {
 
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
@@ -489,7 +495,11 @@ class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    HostedSinks.active.appendBatch(itemId, buf.toSeq, mode, key)
+    // Deterministic batch id (write × partition × batch ordinal): a task
+    // retry re-flushes the same prefix of batches with the same ids, and
+    // the service skips the replays — no duplicate rows after retry.
+    HostedSinks.active.appendBatch(itemId, buf.toSeq, mode, key,
+      Some(s"$writeId:p$partitionId:b$batches"))
     batches += 1
     buf.clear()
   }

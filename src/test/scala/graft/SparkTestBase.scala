@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
 object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxTaskFailures]: allow task retries so specs can
+      // inject task-level faults and pin exactly-once write semantics
+      .master("local[4, 3]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,96 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{IndexPoll, WriteMode}
+import graft.sinks.{HostedSinks, HostedStore}
+
+/** Reference-fidelity behaviors of the high-level API surface:
+  * item-properties passthrough (`src/agol_pandas.py:316,477,548`), the
+  * name-OR-table_id save addressing (`:581-584`, documented semantics),
+  * and async unique-index creation with the client poll budget
+  * (`:286-307`).
+  */
+class HostedApiSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+
+  private def orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+
+  test("item properties flow through createTable and merge on save/write") {
+    HostedStore.dropByTitle("props_t1")
+    val id = HostedTables.createTable(orders, "props_t1", Some("o_orderkey"),
+        properties = Map("tags" -> "etl,orders", "snippet" -> "v1"))
+      .fold(e => fail(e), identity)
+    val p1 = HostedSinks.active.propertiesOf(id)
+    // title is stamped into the properties like the reference's
+    // item_properties["title"] = name
+    assert(p1("title") == "props_t1")
+    assert(p1("tags") == "etl,orders" && p1("snippet") == "v1")
+
+    HostedTables.write(orders, id, WriteMode.Append,
+      properties = Map("snippet" -> "v2")).fold(e => fail(e), identity)
+    assert(HostedSinks.active.propertiesOf(id)("snippet") == "v2")
+    assert(HostedSinks.active.propertiesOf(id)("tags") == "etl,orders")
+
+    HostedTables.save(orders, "props_t1", Some("o_orderkey"),
+      properties = Map("credits" -> "graft")).fold(e => fail(e), identity)
+    val p3 = HostedSinks.active.propertiesOf(id)
+    assert(p3("credits") == "graft" && p3("title") == "props_t1")
+  }
+
+  test("save addresses an existing table by table id, skipping title resolution") {
+    HostedStore.dropByTitle("props_t2")
+    val id = HostedTables.createTable(orders, "props_t2", Some("o_orderkey"))
+      .fold(e => fail(e), identity)
+    // by-id save upserts into the existing item even though the name we
+    // pass does not resolve to any title
+    val (gotId, _) = HostedTables.save(orders.limit(10), "no_such_title",
+        Some("o_orderkey"), tableId = Some(id))
+      .fold(e => fail(e), identity)
+    assert(gotId == id)
+    // createTable made an empty table; the by-id save upserted 10 rows
+    assert(HostedStore.rowCount(id) == 10)
+    // unknown id fails loudly instead of silently creating a new table
+    assert(HostedTables.save(orders, "x", tableId = Some("item_999999")).isLeft)
+  }
+
+  test("unique index: reference naming and async visibility under the poll budget") {
+    HostedStore.dropByTitle("props_t3")
+    val id = HostedStore.create("props_t3", orders.schema)
+    HostedStore.indexCreationPollDelay = 3
+    try {
+      val name = HostedStore.addUniqueIndex(id, "o_orderkey")
+      assert(name == s"UX_PROPS_T3_${id.toUpperCase}_o_orderkey_ASC")
+      // not yet visible: merge-mode batches must be rejected
+      assertThrows[IllegalArgumentException] {
+        HostedStore.appendBatch(id, Seq.empty, WriteMode.Upsert, Some("o_orderkey"))
+      }
+      // the client poll (reference: 5 s x 12) sees it after 3 probes
+      assert(IndexPoll.ensureUniqueIndex(HostedSinks.active, id, "o_orderkey",
+        attempts = 12, intervalMs = 0))
+      assert(HostedStore.fieldHasUniqueIndex(id, "o_orderkey"))
+    } finally HostedStore.indexCreationPollDelay = 0
+  }
+
+  test("unique index: exhausted poll budget fails createTable like the reference") {
+    HostedStore.dropByTitle("props_t4")
+    HostedStore.indexCreationPollDelay = 50 // > 12-attempt budget
+    try {
+      // createTable's poll runs with intervalMs=5000 in production; keep
+      // the spec fast by driving IndexPoll directly with the same budget.
+      val id = HostedStore.create("props_t4", orders.schema)
+      assert(!IndexPoll.ensureUniqueIndex(HostedSinks.active, id, "o_orderkey",
+        attempts = 12, intervalMs = 0))
+      assert(!HostedStore.fieldHasUniqueIndex(id, "o_orderkey"))
+    } finally HostedStore.indexCreationPollDelay = 0
+  }
+
+  test("createTable with a key provisions a visible unique index end-to-end") {
+    HostedStore.dropByTitle("props_t5")
+    val id = HostedTables.createTable(orders, "props_t5", Some("o_orderkey"))
+      .fold(e => fail(e), identity)
+    assert(HostedStore.fieldHasUniqueIndex(id, "o_orderkey"))
+    val idx = HostedStore.indexesOf(id)
+    assert(idx.size == 1 && idx.head.isUnique && idx.head.field == "o_orderkey")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{HostedTables, Tables}
+import graft.core.WriteMode
+import graft.sinks.{HostedSinks, HostedStore, HostedTableSink}
+
+/** Exactly-once writes under Spark task retry (the production failure
+  * mode the reference's per-chunk `rollback=True` cannot cover: a task
+  * dies AFTER some of its chunks were applied, and Spark replays the
+  * whole task).
+  *
+  * The injected fault is the worst case — the batch IS applied
+  * service-side, then the call reports failure — so without idempotent
+  * batch ids the retry would double-apply. The session runs
+  * `local[4, 3]` (maxTaskFailures=3), so Spark genuinely reschedules the
+  * failed task.
+  */
+class WriteRetrySpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+
+  /** Delegating sink that applies the first `n` appendBatch calls
+    * normally and then throws — after application — once per armed call.
+    */
+  private class FlakySink(delegate: HostedTableSink, failCalls: Set[Int])
+      extends HostedTableSink {
+    val calls = new AtomicInteger(0)
+    override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
+                             key: Option[String], batchId: Option[String]): Long = {
+      val n = calls.incrementAndGet()
+      val affected = delegate.appendBatch(itemId, batch, mode, key, batchId)
+      if (failCalls.contains(n))
+        throw new java.io.IOException(s"injected fault on appendBatch call $n")
+      affected
+    }
+    override def resolveByTitle(title: String) = delegate.resolveByTitle(title)
+    override def create(title: String, schema: StructType, properties: Map[String, String]) =
+      delegate.create(title, schema, properties)
+    override def truncate(itemId: String) = delegate.truncate(itemId)
+    override def addUniqueIndex(itemId: String, field: String) =
+      delegate.addUniqueIndex(itemId, field)
+    override def fieldHasUniqueIndex(itemId: String, field: String) =
+      delegate.fieldHasUniqueIndex(itemId, field)
+    override def setProperties(itemId: String, props: Map[String, String]) =
+      delegate.setProperties(itemId, props)
+    override def propertiesOf(itemId: String) = delegate.propertiesOf(itemId)
+    override def queryCount(itemId: String, filters: Array[Filter]) =
+      delegate.queryCount(itemId, filters)
+    override def queryPage(itemId: String, offset: Long, count: Long,
+                           requiredCols: Array[String], filters: Array[Filter]) =
+      delegate.queryPage(itemId, offset, count, requiredCols, filters)
+    override def queryMinMax(itemId: String, filters: Array[Filter], field: String,
+                             isMin: Boolean) =
+      delegate.queryMinMax(itemId, filters, field, isMin)
+    override def queryGroupedStats(itemId: String, filters: Array[Filter],
+                                   groupFields: Seq[String],
+                                   specs: Seq[(String, Option[String])]) =
+      delegate.queryGroupedStats(itemId, filters, groupFields, specs)
+    override def exists(itemId: String) = delegate.exists(itemId)
+    override def schemaOf(itemId: String) = delegate.schemaOf(itemId)
+    override def titles = delegate.titles
+    override def drop(itemId: String) = delegate.drop(itemId)
+  }
+
+  private def withFlaky[A](failCalls: Set[Int])(f: FlakySink => A): A = {
+    val prev = HostedSinks.active
+    val flaky = new FlakySink(prev, failCalls)
+    HostedSinks.active = flaky
+    try f(flaky) finally HostedSinks.active = prev
+  }
+
+  test("append: task killed after a flushed batch leaves no duplicate rows") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val total = orders.count()
+    HostedStore.dropByTitle("retry_append")
+    val id = HostedTables.createTable(orders, "retry_append")
+      .fold(e => fail(e), identity)
+    // chunkSize 200 over 1500 rows / 4 partitions → ~2 batches per task;
+    // failing call 2 kills one task after its first batch applied.
+    withFlaky(Set(2)) { _ =>
+      HostedTables.write(orders, id, WriteMode.Append, chunkSize = 200)
+        .fold(e => fail(s"write should heal under task retry: $e"), identity)
+    }
+    val back = HostedTables.read(spark, id)
+    assert(back.count() == total, "no lost and no duplicated rows")
+    assert(back.select("o_orderkey").distinct().count() == total)
+  }
+
+  test("upsert: replayed batches dedup by id, row set converges") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(600)
+    HostedStore.dropByTitle("retry_upsert")
+    val id = HostedTables.createTable(orders, "retry_upsert", Some("o_orderkey"))
+      .fold(e => fail(e), identity)
+    withFlaky(Set(1, 3)) { _ =>
+      HostedTables.write(orders, id, WriteMode.Upsert, Some("o_orderkey"),
+          chunkSize = 100)
+        .fold(e => fail(s"write should heal under task retry: $e"), identity)
+    }
+    assert(HostedStore.rowCount(id) == 600)
+  }
+
+  test("a fault on every attempt exhausts maxTaskFailures and fails the write") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(100)
+    HostedStore.dropByTitle("retry_fatal")
+    val id = HostedTables.createTable(orders, "retry_fatal")
+      .fold(e => fail(e), identity)
+    // fail far more calls than maxTaskFailures(3) x batches can absorb
+    withFlaky((1 to 1000).toSet) { _ =>
+      assert(HostedTables.write(orders, id, WriteMode.Append, chunkSize = 50).isLeft)
+    }
+  }
+}
