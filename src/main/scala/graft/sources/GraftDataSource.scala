@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => wstream}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,7 +75,8 @@ class GraftTable(itemId: String, schema: StructType, options: CaseInsensitiveStr
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+        TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(itemId, schema,
@@ -375,8 +377,17 @@ case class GraftReaderFactory(cols: Array[String], filters: Array[Filter],
 
 // --------------------------------------------------------------- write path
 
+/** Batch and streaming writes. Mixing in the (internal but stable)
+  * `SupportsStreamingUpdateAsAppend` marker — via the bridge trait, the
+  * standard extension-library pattern — lets `writeStream.outputMode
+  * ("update")` target this sink: each micro-batch's changed rows arrive
+  * as appends, which the key-addressed upsert mode applies in place.
+  * That is exactly how a hosted-table sink should consume an updating
+  * aggregation (no complete-mode re-emit of the whole result table).
+  */
 class GraftWriteBuilder(itemId: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.GraftStreamingUpdateAsAppend {
   private var truncateFirst = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -389,12 +400,14 @@ class GraftWriteBuilder(itemId: String, info: LogicalWriteInfo)
     val key = Option(o.get("key"))
     WriteMode.validate(mode, key).left.foreach(e => throw new IllegalArgumentException(e))
     val chunkSize = Option(o.get("chunkSize")).map(_.toInt).getOrElse(100000)
-    new GraftWrite(itemId, info.schema(), mode, key, chunkSize, truncateFirst)
+    new GraftWrite(itemId, info.schema(), mode, key, chunkSize, truncateFirst,
+      info.queryId())
   }
 }
 
 class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
-                 key: Option[String], chunkSize: Int, truncateFirst: Boolean)
+                 key: Option[String], chunkSize: Int, truncateFirst: Boolean,
+                 queryId: String)
     extends Write with RequiresDistributionAndOrdering {
 
   // With a merge key, ask Catalyst for a range distribution ordered by the
@@ -429,6 +442,37 @@ class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
+
+  /** Streaming micro-batch writes. Exactly-once comes from the same
+    * service-side batch-id dedup as the batch path: the write id embeds
+    * the STREAMING QUERY id (stable across restarts from the same
+    * checkpoint) and the epoch id, so a replayed epoch — after a task
+    * failure, driver crash, or restart — re-posts identical batch ids and
+    * the service drops the replays. No truncate in streaming: `update`
+    * output + a merge key is the scalable contract (each micro-batch
+    * upserts only the changed groups).
+    */
+  override def toStreaming: wstream.StreamingWrite = new wstream.StreamingWrite {
+    override def createStreamingWriterFactory(
+        i: PhysicalWriteInfo): wstream.StreamingDataWriterFactory = {
+      key.foreach(k => graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, itemId, k))
+      GraftStreamingWriterFactory(itemId, schema, mode, key, chunkSize, queryId)
+    }
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      GraftWriteReports.record(itemId,
+        messages.toSeq.map(_.asInstanceOf[GraftCommitMessage]))
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+case class GraftStreamingWriterFactory(itemId: String, schema: StructType,
+                                       mode: WriteMode, key: Option[String],
+                                       chunkSize: Int, queryId: String)
+    extends wstream.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(itemId, schema, mode, key, chunkSize, partitionId,
+      s"$queryId:e$epochId")
 }
 
 case class GraftCommitMessage(partitionId: Int, rows: Long, batches: Int,

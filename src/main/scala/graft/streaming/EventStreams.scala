@@ -26,12 +26,14 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
   /** Run a windowed streaming aggregation over a static parquet path,
-    * landing results through an update-mode `foreachBatch` upsert into a
-    * hosted table, synchronously; returns the settled table. This is the
-    * scale-correct stream/batch-equivalence harness: no complete-mode
-    * memory sink (which re-materializes the whole result table on the
-    * driver every trigger) — each micro-batch is a distributed keyed merge
-    * and aggregation state is watermark-bounded.
+    * landing results through the NATIVE DSv2 streaming sink
+    * (`writeStream.format("graft")`, update mode, key-addressed upsert),
+    * synchronously; returns the settled table. This is the scale-correct
+    * stream/batch-equivalence harness: no complete-mode memory sink (which
+    * re-materializes the whole result table on the driver every trigger) —
+    * each micro-batch upserts only its changed groups, aggregation state
+    * is watermark-bounded, and epoch-tagged batch ids give exactly-once
+    * across retries and restarts.
     */
   def runUpsertWindowedOnce(spark: SparkSession, dir: String, fileGlob: String,
                             schema: StructType, tsFromNanosCol: Option[String],
@@ -56,21 +58,25 @@ object EventStreams {
         col("event_type"), col("n"), col("total_value_cents"))
       .withColumn("merge_key",
         concat_ws("|", col("window_start_ms"), col("event_type")))
+    // The DSv2 sink targets an existing item: resolve-or-create from the
+    // stream's output schema (the streaming analog of save()'s
+    // resolve-or-create).
+    val norm = graft.core.ServiceName.normalize(title).fold(sys.error, identity)
+    val id = graft.sinks.HostedSinks.active.resolveByTitle(norm)
+      .getOrElse(graft.sinks.HostedSinks.active.create(norm, agg.schema))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_$norm").toString
     val q: StreamingQuery = agg.writeStream
+      .format("graft")
+      .option("itemId", id)
+      .option("writeMode", "upsert")
+      .option("key", "merge_key")
+      .option("checkpointLocation", ckpt)
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          HostedTables.save(batch, title, Some("merge_key"))
-            .left.foreach(e => throw new IllegalStateException(e))
-        ()
-      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q.stop()
-    val norm = graft.core.ServiceName.normalize(title).fold(sys.error, identity)
-    val id = graft.sinks.HostedSinks.active.resolveByTitle(norm)
-      .getOrElse(sys.error(s"stream produced no hosted table '$title'"))
     HostedTables.read(spark, id).drop("merge_key")
   }
 
