@@ -241,6 +241,60 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair list → duplicate clusters:
+    * every doc in a component gets `cluster_id` = the component's minimum
+    * doc id, plus the member count and a `keep` flag on the canonical
+    * (minimum-id) doc — the standard "keep one per dup cluster" curation
+    * step downstream of LSH/Jaccard pair mining.
+    *
+    * Algorithm: min-label propagation. Labels start as each node's own id;
+    * each round every node takes the min of its own and its neighbors'
+    * labels; fixpoint = component minima. Rounds needed = component
+    * diameter — near-dup clusters are small and dense (often cliques from
+    * a shared band bucket), so this converges in a handful of distributed
+    * joins, each shuffling only (id, label) pairs, never documents.
+    * `localCheckpoint` cuts the iterative lineage so the plan doesn't grow
+    * with rounds. Convergence is detected by the global label sum (strictly
+    * decreasing until fixpoint) — one cheap aggregate per round, no
+    * row-by-row diff. Docs that appear in no pair are absent (they are
+    * their own cluster by definition).
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                        maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty pair list → no labels
+    }
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes.select(col("label").as("cluster_id"), col("n_members")),
+        Seq("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "n_members", "keep")
+  }
+
   /** SimHash bit signature (numBits ≤ 32, hex-nibble votes from md5):
     * bit i is 1 iff the majority of tokens have md5 nibble i ≥ 8.
     * Output: id, simhash (bit string, MSB first).

@@ -669,6 +669,15 @@ object QueryCatalog {
       Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "x_dedup_clusters" -> ((s, dir) =>
+      // Near-dup pairs → connected components → keep-one-per-cluster:
+      // same capped jaccard pair mining as x_dedup_jaccard, then min-label
+      // propagation; the oracle replays the fixpoint with a recursive CTE.
+      Dedup.duplicateClusters(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.6,
+            maxShingleFreq = Some(jaccardFreqCap)))
+        .orderBy("doc_id")),
+
     "x_dedup_minhash_pairs" -> ((s, dir) =>
       // md5Base double-hash family so the DuckDB oracle replays the
       // identical signature → band → bucket-cap → verify pipeline; banding
@@ -790,6 +799,28 @@ object QueryCatalog {
         s"""WITH $shinglesSql
            |SELECT doc_id, $minhashSigSql
            |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // Connected components as a recursive CTE: reach(node, label) grows
+      // until no new (node, label) pair appears (UNION dedups), then the
+      // min label per node is the component id — the same fixpoint the
+      // Spark operator reaches by label propagation.
+      "x_dedup_clusters" ->
+        s"""WITH RECURSIVE ${jaccardPairsSql(Some(jaccardFreqCap))},
+           |pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.6),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |lab AS (SELECT node AS doc_id, min(label) AS cluster_id
+           |          FROM reach GROUP BY node),
+           |csizes AS (SELECT cluster_id, count(*) AS n_members
+           |             FROM lab GROUP BY cluster_id)
+           |SELECT l.doc_id, l.cluster_id, s.n_members,
+           |       l.doc_id = l.cluster_id AS keep
+           |FROM lab l JOIN csizes s USING (cluster_id)
+           |ORDER BY l.doc_id""".stripMargin,
 
       "x_dedup_minhash_pairs" ->
         s"""WITH ${jaccardPairsSql(None)},

@@ -72,6 +72,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("duplicateClusters: chains merge to one component, min id wins") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; pairs only
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 4L, true), (2L, 1L, 4L, false), (3L, 1L, 4L, false),
+      (4L, 1L, 4L, false), (10L, 10L, 2L, true), (11L, 10L, 2L, false)))
+    // empty pair list → empty clustering, no NPE
+    assert(Dedup.duplicateClusters(pairs.limit(0)).count() == 0)
+  }
+
   test("simhash: near-dup pairs have small hamming distance (md5 and xx64)") {
     val nearDups = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
       .select("a", "b").as[(Long, Long)].collect()
