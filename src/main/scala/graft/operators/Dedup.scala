@@ -151,6 +151,45 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** LSH band keys per document from its shingle set: (id, band, key).
+    *
+    * Signatures are computed in NARROW form — (id, seed, minhash) rows,
+    * not a 128-column-wide aggregate: a wide agg's generated update method
+    * blows past the JIT/codegen method limits and falls back to
+    * interpreted evaluation, while the narrow shape stays codegen'd for
+    * any numHashes. The string hash runs ONCE per shingle (before the
+    * seed explode); each of the numHashes family members is then two
+    * integer ops (Kirsch–Mitzenmacher double hashing). Partial aggregation
+    * collapses the seed-exploded rows to (id, seed) minima map-side, so
+    * the shuffle carries ≤ numHashes rows per doc. Each band's
+    * rowsPerBand minhashes fold into one key via a slot pivot
+    * (conditional max's — whole-stage codegen, unlike collect_list).
+    */
+  def bandKeysFromShingles(sh: DataFrame, idCol: String, numHashes: Int,
+                           bands: Int, base: Hashers.Base): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val perSeed = sh
+      .select(col(idCol),
+        base.h1(col("shingle")).as("h1"), base.h2(col("shingle")).as("h2"))
+      .select(col(idCol),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"),
+        col("h1"), col("h2"))
+      .select(col(idCol), col("seed"),
+        ((col("h1") + (col("seed") + 1) * col("h2")) % Hashers.P).as("h"))
+      .groupBy(col(idCol), col("seed")).agg(min("h").as("mh"))
+    val slotAggs = (0 until rowsPerBand).map(i =>
+      max(when(col("slot") === i, col("mh")).cast("string")).as(s"s$i"))
+    perSeed
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .withColumn("slot", col("seed") % rowsPerBand)
+      .groupBy(col(idCol), col("band"))
+      .agg(slotAggs.head, slotAggs.tail: _*)
+      .select(col(idCol), col("band"),
+        md5(concat_ws("|", (0 until rowsPerBand).map(i => col(s"s$i")): _*))
+          .as("key"))
+  }
+
   /** MinHash+LSH near-dup pairs: band the signatures, bucket-join within
     * bands (candidates only), then verify *only the candidates* with exact
     * Jaccard — the all-pairs set is never formed, which is the entire point
@@ -169,43 +208,11 @@ object Dedup {
                       n: Int = 3,
                       base: Hashers.Base = Hashers.xx64Base,
                       maxBucketSize: Option[Int] = Some(100)): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     // The distinct shingle set feeds three consumers (both sides of the
     // candidate-verification join + the size table) — cache it once
     // instead of recomputing the explode+distinct shuffle per consumer.
     val sh = shingles(docs, idCol, textCol, n).cache()
-    // Signatures in NARROW form — (id, seed, minhash) rows, not a
-    // 128-column-wide aggregate: a wide agg's generated update method
-    // blows past the JIT/codegen method limits and falls back to
-    // interpreted evaluation, and the narrow shape stays codegen'd for any
-    // numHashes. The string hash runs ONCE per shingle (before the seed
-    // explode); each of the numHashes family members is then two integer
-    // ops. Partial aggregation collapses the seed-exploded rows to
-    // (id, seed) minima map-side, so the shuffle carries ≤ numHashes rows
-    // per doc.
-    val perSeed = sh
-      .select(col(idCol),
-        base.h1(col("shingle")).as("h1"), base.h2(col("shingle")).as("h2"))
-      .select(col(idCol),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"),
-        col("h1"), col("h2"))
-      .select(col(idCol), col("seed"),
-        ((col("h1") + (col("seed") + 1) * col("h2")) % Hashers.P).as("h"))
-      .groupBy(col(idCol), col("seed")).agg(min("h").as("mh"))
-    // Fold each band's rowsPerBand minhashes into one key via a slot
-    // pivot (rowsPerBand conditional max's — stays in whole-stage
-    // codegen, unlike collect_list): (id, band, key).
-    val slotAggs = (0 until rowsPerBand).map(i =>
-      max(when(col("slot") === i, col("mh")).cast("string")).as(s"s$i"))
-    val stacked = perSeed
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .withColumn("slot", col("seed") % rowsPerBand)
-      .groupBy(col(idCol), col("band"))
-      .agg(slotAggs.head, slotAggs.tail: _*)
-      .select(col(idCol), col("band"),
-        md5(concat_ws("|", (0 until rowsPerBand).map(i => col(s"s$i")): _*))
-          .as("key"))
+    val stacked = bandKeysFromShingles(sh, idCol, numHashes, bands, base)
     // Candidate pairs come from ONE pass over the band keys: gather each
     // bucket's doc ids, drop buckets over the cap, and expand in-bucket
     // pairs. No bucket self-join (which would recompute the signature
@@ -240,6 +247,97 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** Cross-corpus contamination report: for each candidate doc similar to
+    * some reference doc, the best-matching reference (max jaccard; ties →
+    * smallest ref id). This is the train/eval decontamination primitive:
+    * the reference corpus is the eval/benchmark set, candidates are the
+    * training corpus, and [[decontaminate]] drops every reported
+    * candidate.
+    *
+    * Two detection paths, unioned:
+    *  - exact: full-text md5 equality (catches docs too short to shingle);
+    *  - near: LSH band-key join candidate×reference (only docs sharing a
+    *    bucket are compared — never the cross product), then exact-Jaccard
+    *    verification of those pairs against `threshold`.
+    *
+    * The reference side is hinted broadcast by default — a benchmark/eval
+    * set is orders of magnitude smaller than a training corpus, so the
+    * band join and the verify join ship the small side to every executor
+    * and the candidate corpus never shuffles. Set `broadcastRef = false`
+    * when decontaminating against another full-size corpus.
+    */
+  def crossCorpusPairs(cand: DataFrame, ref: DataFrame, idCol: String,
+                       textCol: String, threshold: Double,
+                       numHashes: Int = 128, bands: Int = 16, n: Int = 3,
+                       base: Hashers.Base = Hashers.xx64Base,
+                       maxBucketSize: Option[Int] = Some(100),
+                       broadcastRef: Boolean = true): DataFrame = {
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (broadcastRef) broadcast(df) else df
+    val candId = col(idCol).as("cand_id")
+    val refId = col(idCol).as("ref_id")
+    // exact text match (works for docs below the shingle window too)
+    val exactPairs = cand.select(candId, md5(col(textCol)).as("h"))
+      .join(maybeBroadcast(ref.select(refId, md5(col(textCol)).as("h"))), Seq("h"))
+      .select(col("cand_id"), col("ref_id"), lit(1.0).as("jaccard"))
+    // near-dup via shared LSH buckets, jaccard-verified
+    val shCand = shingles(cand, idCol, textCol, n).cache()
+    val shRef = shingles(ref, idCol, textCol, n).cache()
+    val bCand = bandKeysFromShingles(shCand, idCol, numHashes, bands, base)
+      .select(candId, col("band"), col("key"))
+    val bRef = bandKeysFromShingles(shRef, idCol, numHashes, bands, base)
+      .select(refId, col("band"), col("key"))
+    // cap hot REFERENCE buckets (boilerplate in the eval set would pair
+    // with half the corpus) — symmetric to minhashLshPairs' bucket cap
+    val bRefOk = maxBucketSize match {
+      case Some(cap) =>
+        val hot = bRef.groupBy("band", "key").count().filter(col("count") > cap)
+          .select("band", "key")
+        bRef.join(maybeBroadcast(hot), Seq("band", "key"), "left_anti")
+      case None => bRef
+    }
+    val lshCandidates = bCand
+      .join(maybeBroadcast(bRefOk), Seq("band", "key"))
+      .filter(col("cand_id") =!= col("ref_id"))
+      .select("cand_id", "ref_id").distinct()
+    val nCand = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n_cand"))
+    val nRef = shRef.groupBy(col(idCol)).agg(count(lit(1)).as("n_ref"))
+    val common = lshCandidates
+      .join(shCand.select(col(idCol).as("cand_id"), col("shingle")), Seq("cand_id"))
+      .join(maybeBroadcast(shRef.select(col(idCol).as("ref_id"), col("shingle"))),
+        Seq("ref_id", "shingle"))
+      .groupBy("cand_id", "ref_id").agg(count(lit(1)).as("n_common"))
+    val nearPairs = common
+      .join(nCand.select(col(idCol).as("cand_id"), col("n_cand")), Seq("cand_id"))
+      .join(maybeBroadcast(nRef.select(col(idCol).as("ref_id"), col("n_ref"))),
+        Seq("ref_id"))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_cand") + col("n_ref") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("cand_id", "ref_id", "jaccard")
+    // best match per candidate: max jaccard, ties to the smallest ref id
+    exactPairs.unionByName(nearPairs)
+      .groupBy("cand_id", "ref_id").agg(max("jaccard").as("jaccard"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cand_id")
+          .orderBy(col("jaccard").desc, col("ref_id"))))
+      .filter(col("rk") === 1)
+      .select("cand_id", "ref_id", "jaccard")
+  }
+
+  /** Drop every candidate similar to any reference doc (exact or
+    * near-dup) — the decontaminated corpus. Anti-join on the report's
+    * candidate ids: one broadcast-able join over compact ids.
+    */
+  def decontaminate(cand: DataFrame, ref: DataFrame, idCol: String,
+                    textCol: String, threshold: Double,
+                    broadcastRef: Boolean = true): DataFrame =
+    cand.join(
+      crossCorpusPairs(cand, ref, idCol, textCol, threshold,
+        broadcastRef = broadcastRef)
+        .select(col("cand_id").as(idCol)),
+      Seq(idCol), "left_anti")
 
   /** Connected components over a near-dup pair list → duplicate clusters:
     * every doc in a component gets `cluster_id` = the component's minimum

@@ -678,6 +678,17 @@ object QueryCatalog {
             maxShingleFreq = Some(jaccardFreqCap)))
         .orderBy("doc_id")),
 
+    "x_dedup_cross" -> ((s, dir) => {
+      // Train/eval decontamination report: reference corpus = every 7th
+      // doc, candidates = the whole table; md5Base so DuckDB replays the
+      // exact band pipeline. Broadcast-ref is the scale posture (eval set
+      // ≪ training corpus).
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusPairs(docs, docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
+        .orderBy("cand_id")
+    }),
+
     "x_dedup_minhash_pairs" -> ((s, dir) =>
       // md5Base double-hash family so the DuckDB oracle replays the
       // identical signature → band → bucket-cap → verify pipeline; banding
@@ -799,6 +810,41 @@ object QueryCatalog {
         s"""WITH $shinglesSql
            |SELECT doc_id, $minhashSigSql
            |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "x_dedup_cross" ->
+        s"""WITH ${jaccardPairsSql(None)},
+           |$lshBaseSql,
+           |sig AS (SELECT doc_id, $lshSigSql FROM shh GROUP BY doc_id),
+           |bands_all AS (
+           |  $lshBandsSql),
+           |refdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+           |exact AS (SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+           |                 CAST(1.0 AS DOUBLE) AS jaccard
+           |            FROM documents c JOIN refdocs r ON md5(c.text) = md5(r.text)),
+           |ref_bands AS (SELECT b.doc_id, b.band, b.key
+           |                FROM bands_all b JOIN refdocs r USING (doc_id)),
+           |ref_ok AS (SELECT band, key FROM ref_bands
+           |           GROUP BY band, key HAVING count(*) <= $lshBucketCap),
+           |ref_bands_ok AS (SELECT rb.doc_id, rb.band, rb.key
+           |                   FROM ref_bands rb JOIN ref_ok USING (band, key)),
+           |cross_cand AS (SELECT DISTINCT cb.doc_id AS cand_id, rb.doc_id AS ref_id
+           |                 FROM bands_all cb JOIN ref_bands_ok rb
+           |                   ON cb.band = rb.band AND cb.key = rb.key
+           |                  AND cb.doc_id <> rb.doc_id),
+           |near AS (SELECT cc.cand_id, cc.ref_id, j.jaccard
+           |           FROM cross_cand cc
+           |           JOIN jac j ON j.a = least(cc.cand_id, cc.ref_id)
+           |                     AND j.b = greatest(cc.cand_id, cc.ref_id)
+           |          WHERE j.jaccard >= 0.7),
+           |allp AS (SELECT cand_id, ref_id, max(jaccard) AS jaccard
+           |           FROM (SELECT * FROM exact UNION ALL SELECT * FROM near)
+           |          GROUP BY cand_id, ref_id),
+           |ranked AS (SELECT cand_id, ref_id, jaccard,
+           |             row_number() OVER (PARTITION BY cand_id
+           |                                ORDER BY jaccard DESC, ref_id) AS rk
+           |             FROM allp)
+           |SELECT cand_id, ref_id, jaccard FROM ranked WHERE rk = 1
+           |ORDER BY cand_id""".stripMargin,
 
       // Connected components as a recursive CTE: reach(node, label) grows
       // until no new (node, label) pair appears (UNION dedups), then the

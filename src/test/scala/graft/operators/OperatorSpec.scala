@@ -72,6 +72,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("decontaminate drops exact and near dups of the reference corpus") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog every single " +
+      "day while the patient owl watches from the tall oak tree nearby"
+    val ref = Seq(
+      (1000L, base + " tonight"),
+      (1001L, "short doc")).toDF("doc_id", "text")
+    val cand = Seq(
+      // high-jaccard near-dup of ref 1000 (only the final word differs →
+      // J ≈ 0.9, well above the 0.7-tuned banding S-curve)
+      (1L, base + " today"),
+      // exact dup of ref 1001 — too short to shingle, md5 path must catch it
+      (2L, "short doc"),
+      // unrelated
+      (3L, "completely different content about spark catalyst optimizer internals here"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val report = Dedup.crossCorpusPairs(cand, ref, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(report == Set((1L, 1000L), (2L, 1001L)))
+    val kept = Dedup.decontaminate(cand, ref, "doc_id", "text", 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   test("duplicateClusters: chains merge to one component, min id wins") {
     import spark.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; pairs only
