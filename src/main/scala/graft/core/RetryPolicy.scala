@@ -30,14 +30,17 @@ final case class RetryPolicy(
   }
 
   /** Run `op`, retrying on exception with backoff. Returns the result or
-    * the final failure after `maxAttempts` attempts.
+    * the final failure after `maxAttempts` attempts. `retryOn` limits
+    * which failures are worth retrying — a non-retryable exception (e.g.
+    * a 4xx contract violation that will never heal) surfaces immediately.
     */
-  def retry[A](op: => A): Either[Throwable, A] = {
+  def retry[A](op: => A,
+               retryOn: Throwable => Boolean = _ => true): Either[Throwable, A] = {
     val rng = seed.map(new scala.util.Random(_)).getOrElse(new scala.util.Random())
     @tailrec def go(attempt: Int): Either[Throwable, A] =
       Try(op) match {
         case Success(a) => Right(a)
-        case Failure(e) if attempt >= maxAttempts => Left(e)
+        case Failure(e) if attempt >= maxAttempts || !retryOn(e) => Left(e)
         case Failure(_) =>
           sleeper((backoffAfter(attempt, rng) * 1000).toLong)
           go(attempt + 1)

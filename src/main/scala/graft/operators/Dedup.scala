@@ -111,6 +111,7 @@ object Dedup {
                    threshold: Double, n: Int = 3,
                    maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n).cache()
+    try {
     val filtered = maxShingleFreq match {
       case Some(cap) =>
         // Drop stop-shingles: a shingle in >cap docs contributes O(cap^2)
@@ -135,6 +136,11 @@ object Dedup {
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "n_common", "n_a", "n_b", "jaccard")
+      // Materialize the (small) pair set so the shingle cache can be
+      // released now — an un-unpersisted cache per invocation accumulates
+      // executor storage for the session lifetime.
+      .localCheckpoint(true)
+    } finally sh.unpersist(false)
   }
 
   /** MinHash signature per doc: for seed i, `min(md5(shingle || '#' || i))`.
@@ -210,8 +216,10 @@ object Dedup {
                       maxBucketSize: Option[Int] = Some(100)): DataFrame = {
     // The distinct shingle set feeds three consumers (both sides of the
     // candidate-verification join + the size table) — cache it once
-    // instead of recomputing the explode+distinct shuffle per consumer.
+    // instead of recomputing the explode+distinct shuffle per consumer;
+    // released after the (small) pair set is materialized.
     val sh = shingles(docs, idCol, textCol, n).cache()
+    try {
     val stacked = bandKeysFromShingles(sh, idCol, numHashes, bands, base)
     // Candidate pairs come from ONE pass over the band keys: gather each
     // bucket's doc ids, drop buckets over the cap, and expand in-bucket
@@ -246,6 +254,8 @@ object Dedup {
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+      .localCheckpoint(true)
+    } finally sh.unpersist(false)
   }
 
   /** Cross-corpus contamination report: for each candidate doc similar to
@@ -281,9 +291,11 @@ object Dedup {
     val exactPairs = cand.select(candId, md5(col(textCol)).as("h"))
       .join(maybeBroadcast(ref.select(refId, md5(col(textCol)).as("h"))), Seq("h"))
       .select(col("cand_id"), col("ref_id"), lit(1.0).as("jaccard"))
-    // near-dup via shared LSH buckets, jaccard-verified
+    // near-dup via shared LSH buckets, jaccard-verified; both shingle
+    // caches released once the (small) report is materialized
     val shCand = shingles(cand, idCol, textCol, n).cache()
     val shRef = shingles(ref, idCol, textCol, n).cache()
+    try {
     val bCand = bandKeysFromShingles(shCand, idCol, numHashes, bands, base)
       .select(candId, col("band"), col("key"))
     val bRef = bandKeysFromShingles(shRef, idCol, numHashes, bands, base)
@@ -324,6 +336,8 @@ object Dedup {
           .orderBy(col("jaccard").desc, col("ref_id"))))
       .filter(col("rk") === 1)
       .select("cand_id", "ref_id", "jaccard")
+      .localCheckpoint(true)
+    } finally { shCand.unpersist(false); shRef.unpersist(false) }
   }
 
   /** Drop every candidate similar to any reference doc (exact or
@@ -352,9 +366,9 @@ object Dedup {
     * a shared band bucket), so this converges in a handful of distributed
     * joins, each shuffling only (id, label) pairs, never documents.
     * `localCheckpoint` cuts the iterative lineage so the plan doesn't grow
-    * with rounds. Convergence is detected by the global label sum (strictly
-    * decreasing until fixpoint) — one cheap aggregate per round, no
-    * row-by-row diff. Docs that appear in no pair are absent (they are
+    * with rounds. Convergence = no node's label changed this round (an
+    * exact join-count over the two small checkpointed label sets, correct
+    * for any id type). Docs that appear in no pair are absent (they are
     * their own cluster by definition).
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
@@ -366,11 +380,6 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum("label")).head
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty pair list → no labels
-    }
-    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -379,9 +388,15 @@ object Dedup {
       val next = labels.union(msgs)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
+      // Exact, id-type-generic convergence: count nodes whose label moved
+      // this round (labels only ever decrease, so unchanged-everywhere =
+      // fixpoint). Both sides are checkpointed, so this join is over two
+      // small materialized (id, label) sets.
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      converged = changed == 0
       labels = next
       i += 1
     }

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,7 +35,6 @@ object QueryCatalog {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val streamRun = new AtomicInteger(0)
 
   // ------------------------------------------------------------ helpers
 
@@ -486,7 +484,9 @@ object QueryCatalog {
       catch { case _: Exception => () }
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val nanos = schema("ts").dataType.simpleString == "bigint"
-      val title = s"stream_hourly_${streamRun.incrementAndGet()}"
+      // fixed title, dropped first: re-runs replace the table instead of
+      // accumulating one leaked hosted table per invocation
+      val title = "stream_hourly_check"
       HostedStore.dropByTitle(title)
       EventStreams.runUpsertWindowedOnce(s, dir, "events.parquet", schema,
           if (nanos) Some("ts") else None, title)

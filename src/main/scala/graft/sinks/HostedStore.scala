@@ -56,7 +56,8 @@ object HostedStore {
       uniqueIndexes: Set[String],
       properties: Map[String, String] = Map.empty,
       indexes: Vector[IndexState] = Vector.empty,
-      appliedBatches: Set[String] = Set.empty)
+      appliedBatches: Set[String] = Set.empty,
+      committedParts: Set[String] = Set.empty)
 
   private val tables = new ConcurrentHashMap[String, TableState]()
   private val nextId = new AtomicLong(1000)
@@ -69,9 +70,12 @@ object HostedStore {
     */
   @volatile var indexCreationPollDelay: Int = 0
 
-  def reset(): Unit = { tables.clear(); pendingPolls.clear() }
+  def reset(): Unit = { tables.clear(); pendingPolls.clear(); staged.clear() }
 
-  def drop(itemId: String): Unit = tables.remove(itemId)
+  def drop(itemId: String): Unit = {
+    tables.remove(itemId)
+    staged.keySet.removeIf(_._1 == itemId)
+  }
 
   def dropByTitle(title: String): Unit =
     resolveByTitle(title).foreach(drop)
@@ -112,9 +116,11 @@ object HostedStore {
 
   def truncate(itemId: String): Unit = synchronized {
     val t = get(itemId)
-    // A truncated table starts a fresh write epoch: forget batch ids so an
-    // overwrite re-posting identical content isn't spuriously deduped.
-    tables.put(itemId, t.copy(rows = Vector.empty, appliedBatches = Set.empty))
+    // A truncated table starts a fresh write epoch: forget batch ids and
+    // committed partitions so an overwrite re-posting identical content
+    // isn't spuriously deduped.
+    tables.put(itemId, t.copy(rows = Vector.empty, appliedBatches = Set.empty,
+      committedParts = Set.empty))
   }
 
   /** Register a unique index (`add_to_definition({"indexes":[…]})`,
@@ -315,6 +321,45 @@ object HostedStore {
       tables.put(itemId, tN.copy(appliedBatches = tN.appliedBatches + id))
     }
     affected
+  }
+
+  // ---------------------------------------------- staged (transactional)
+  // Per-attempt shadow buffers: the service-side analog of staging into a
+  // temp table and swapping on success (the pattern the reference's create
+  // path uses with its tmp CSV item, src/agol_pandas.py:519-523).
+
+  private val staged =
+    new ConcurrentHashMap[(String, String, Long), Vector[Row]]()
+
+  def stageBatch(itemId: String, partKey: String, attemptId: Long,
+                 batch: Seq[Row]): Unit = {
+    get(itemId) // 404 on unknown item
+    staged.merge((itemId, partKey, attemptId), batch.toVector, _ ++ _)
+    ()
+  }
+
+  /** Publish one attempt's staging at most once per partKey: the winner
+    * applies atomically (same merge semantics as [[appendBatch]]); a
+    * replayed or speculative loser is a no-op. Either way this attempt's
+    * staging is dropped.
+    */
+  def commitStaged(itemId: String, partKey: String, attemptId: Long,
+                   mode: WriteMode, key: Option[String]): Long = synchronized {
+    val rows = Option(staged.remove((itemId, partKey, attemptId)))
+      .getOrElse(Vector.empty)
+    val t = get(itemId)
+    if (t.committedParts.contains(partKey)) 0L
+    else {
+      val affected = appendBatch(itemId, rows, mode, key)
+      val tN = get(itemId)
+      tables.put(itemId, tN.copy(committedParts = tN.committedParts + partKey))
+      affected
+    }
+  }
+
+  def discardStaged(itemId: String, partKey: String, attemptId: Long): Unit = {
+    staged.remove((itemId, partKey, attemptId))
+    ()
   }
 }
 

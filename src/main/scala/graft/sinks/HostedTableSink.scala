@@ -47,13 +47,33 @@ trait HostedTableSink {
                 requiredCols: Array[String], filters: Array[Filter]): Iterator[Row]
   /** Apply one batch atomically (the reference's `rollback=True` per
     * chunk). `batchId`, when given, makes application *idempotent*: a
-    * batch the service has already applied is skipped — this is what
-    * turns Spark's at-least-once task retry into exactly-once writes
-    * (a retried task re-posts the batches its failed attempt already
-    * flushed; the service drops the replays by id).
+    * batch the service has already applied is skipped.
     */
   def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                   key: Option[String], batchId: Option[String] = None): Long
+
+  /** Stage one chunk of a task attempt's rows without applying them.
+    * `partKey` names the logical write partition (stable across retries);
+    * `attemptId` distinguishes attempts. Staged rows are invisible until
+    * [[commitStaged]] — the service-side shadow table that makes Spark's
+    * at-least-once task attempts exactly-once, regardless of how a retry
+    * re-chunks its rows (shuffle fetch order is not deterministic, so
+    * batch ordinals alone cannot be).
+    */
+  def stageBatch(itemId: String, partKey: String, attemptId: Long,
+                 batch: Seq[Row]): Unit
+
+  /** Atomically publish one attempt's staged rows with the given mode —
+    * at most once per `partKey`: if another attempt already committed this
+    * partition (e.g. the first attempt's ack was lost, or a speculative
+    * twin won), this is a no-op. The attempt's staging is discarded either
+    * way. Returns rows affected (0 on the no-op path).
+    */
+  def commitStaged(itemId: String, partKey: String, attemptId: Long,
+                   mode: WriteMode, key: Option[String]): Long
+
+  /** Drop an attempt's staged rows (task abort). */
+  def discardStaged(itemId: String, partKey: String, attemptId: Long): Unit
   // service-side statistics (≙ the remote `outStatistics` query)
   def queryMinMax(itemId: String, filters: Array[Filter], field: String,
                   isMin: Boolean): Any
@@ -100,6 +120,14 @@ object InProcessHostedSink extends HostedTableSink {
   override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                            key: Option[String], batchId: Option[String]): Long =
     HostedStore.appendBatch(itemId, batch, mode, key, batchId)
+  override def stageBatch(itemId: String, partKey: String, attemptId: Long,
+                          batch: Seq[Row]): Unit =
+    HostedStore.stageBatch(itemId, partKey, attemptId, batch)
+  override def commitStaged(itemId: String, partKey: String, attemptId: Long,
+                            mode: WriteMode, key: Option[String]): Long =
+    HostedStore.commitStaged(itemId, partKey, attemptId, mode, key)
+  override def discardStaged(itemId: String, partKey: String, attemptId: Long): Unit =
+    HostedStore.discardStaged(itemId, partKey, attemptId)
   override def queryMinMax(itemId: String, filters: Array[Filter],
                            field: String, isMin: Boolean): Any =
     HostedStore.queryMinMax(itemId, filters, field, isMin)

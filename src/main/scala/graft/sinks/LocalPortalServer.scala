@@ -179,6 +179,37 @@ final class LocalPortalServer(token: String, port: Int = 0) {
           }
         })
 
+      case ("POST", "items" :: id :: "stage" :: Nil) =>
+        dataPlaneGate().getOrElse(withItem(id) { _ =>
+          val b = body(ex)
+          val rows = b.get("rows").elements().asScala.map(PortalJson.decodeRow).toSeq
+          HostedStore.stageBatch(id, b.get("partKey").asText(),
+            b.get("attemptId").asLong(), rows)
+          200 -> ok()
+        })
+
+      case ("POST", "items" :: id :: "commitStaged" :: Nil) =>
+        dataPlaneGate().getOrElse(withItem(id) { _ =>
+          val b = body(ex)
+          val mode = WriteMode.parse(b.get("mode").asText())
+            .fold(e => throw new IllegalArgumentException(e), identity)
+          val key = Option(b.get("key")).map(_.asText())
+          try {
+            val affected = HostedStore.commitStaged(id, b.get("partKey").asText(),
+              b.get("attemptId").asLong(), mode, key)
+            val n = PortalJson.obj(); n.put("affected", affected); 200 -> n
+          } catch {
+            case e: IllegalArgumentException => 400 -> err(e.getMessage)
+          }
+        })
+
+      case ("POST", "items" :: id :: "discardStaged" :: Nil) => withItem(id) { _ =>
+        val b = body(ex)
+        HostedStore.discardStaged(id, b.get("partKey").asText(),
+          b.get("attemptId").asLong())
+        200 -> ok()
+      }
+
       case ("POST", "items" :: id :: "stats" :: Nil) => withItem(id) { _ =>
         val b = body(ex)
         val v = HostedStore.queryMinMax(id, PortalJson.decodeFilters(b.get("filters")),

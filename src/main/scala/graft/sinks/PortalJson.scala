@@ -48,9 +48,11 @@ object PortalJson {
       case x: java.math.BigDecimal => n.put("t", "dec").put("v", x.toString)
       case x: BigDecimal         => n.put("t", "dec").put("v", x.underlying.toString)
       case x: java.sql.Timestamp =>
-        // epoch micros preserves Spark's TimestampType precision
+        // epoch micros preserves Spark's TimestampType precision; floor
+        // division — getTime/1000 truncates toward zero, shifting
+        // pre-epoch fractional-second values forward a full second
         n.put("t", "ts").put("v",
-          (x.getTime / 1000L * 1000000L + x.getNanos / 1000L).toString)
+          (Math.floorDiv(x.getTime, 1000L) * 1000000L + x.getNanos / 1000L).toString)
       case x: java.time.Instant =>
         n.put("t", "ts").put("v",
           (x.getEpochSecond * 1000000L + x.getNano / 1000L).toString)

@@ -67,7 +67,9 @@ class RestHostedService(portalUrl: String, token: String,
           throw new IllegalArgumentException(s"portal $c on $method $path: ${resp.body()}")
       }
     }
-    retry.retry(attempt()) match {
+    // 4xx (IllegalArgumentException) is a contract violation that will
+    // never heal — surface immediately; only transport/5xx retry.
+    retry.retry(attempt(), retryOn = !_.isInstanceOf[IllegalArgumentException]) match {
       case Right(r)                          => r
       case Left(e: RuntimeException)         => throw e
       case Left(e)                           => throw new RuntimeException(e)
@@ -137,6 +139,29 @@ class RestHostedService(portalUrl: String, token: String,
     val rows = PortalJson.arr(); batch.foreach(r => rows.add(PortalJson.encodeRow(r)))
     b.set[JsonNode]("rows", rows)
     post(s"/items/$itemId/append", b).get("affected").asLong()
+  }
+
+  override def stageBatch(itemId: String, partKey: String, attemptId: Long,
+                          batch: Seq[Row]): Unit = {
+    val b = PortalJson.obj()
+    b.put("partKey", partKey).put("attemptId", attemptId)
+    val rows = PortalJson.arr(); batch.foreach(r => rows.add(PortalJson.encodeRow(r)))
+    b.set[JsonNode]("rows", rows)
+    post(s"/items/$itemId/stage", b); ()
+  }
+
+  override def commitStaged(itemId: String, partKey: String, attemptId: Long,
+                            mode: WriteMode, key: Option[String]): Long = {
+    val b = PortalJson.obj()
+    b.put("partKey", partKey).put("attemptId", attemptId).put("mode", mode.name)
+    key.foreach(b.put("key", _))
+    post(s"/items/$itemId/commitStaged", b).get("affected").asLong()
+  }
+
+  override def discardStaged(itemId: String, partKey: String, attemptId: Long): Unit = {
+    val b = PortalJson.obj()
+    b.put("partKey", partKey).put("attemptId", attemptId)
+    post(s"/items/$itemId/discardStaged", b); ()
   }
 
   override def queryMinMax(itemId: String, filters: Array[Filter],

@@ -85,8 +85,11 @@ class GraftCatalog extends TableCatalog {
       case (k, v) if k != "key" => k -> v
     }
     val id = HostedSinks.active.create(title, schema, props)
-    Option(properties.get("key")).foreach(k =>
-      graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, id, k))
+    Option(properties.get("key")).foreach { k =>
+      if (!graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, id, k))
+        throw new IllegalStateException(
+          s"unique index on '$k' never became visible on '$id'")
+    }
     loadTable(ident)
   }
 

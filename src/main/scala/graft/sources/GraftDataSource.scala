@@ -429,7 +429,11 @@ class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
       // (src/agol_pandas.py:395-396) and index-ensure for merge modes
       // (src/agol_pandas.py:410-412).
       if (truncateFirst || mode == WriteMode.Overwrite) HostedSinks.active.truncate(itemId)
-      key.foreach(k => graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, itemId, k))
+      key.foreach { k =>
+        if (!graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, itemId, k))
+          throw new IllegalStateException(
+            s"unique index on '$k' never became visible on '$itemId'")
+      }
       // One write id per job, minted driver-side: batch ids derived from
       // it are stable across task retries, so replayed flushes dedup
       // service-side (exactly-once on at-least-once attempts).
@@ -455,7 +459,11 @@ class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
   override def toStreaming: wstream.StreamingWrite = new wstream.StreamingWrite {
     override def createStreamingWriterFactory(
         i: PhysicalWriteInfo): wstream.StreamingDataWriterFactory = {
-      key.foreach(k => graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, itemId, k))
+      key.foreach { k =>
+        if (!graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, itemId, k))
+          throw new IllegalStateException(
+            s"unique index on '$k' never became visible on '$itemId'")
+      }
       GraftStreamingWriterFactory(itemId, schema, mode, key, chunkSize, queryId)
     }
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -472,7 +480,7 @@ case class GraftStreamingWriterFactory(itemId: String, schema: StructType,
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(itemId, schema, mode, key, chunkSize, partitionId,
-      s"$queryId:e$epochId")
+      s"$queryId:e$epochId", taskId)
 }
 
 case class GraftCommitMessage(partitionId: Int, rows: Long, batches: Int,
@@ -494,18 +502,31 @@ case class GraftWriterFactory(itemId: String, schema: StructType,
                               writeId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(itemId, schema, mode, key, chunkSize, partitionId, writeId)
+    new GraftDataWriter(itemId, schema, mode, key, chunkSize, partitionId,
+      writeId, taskId)
 }
 
-/** Buffers up to `chunkSize` rows, then posts the batch — one service call
-  * per chunk, rollback-per-batch semantics (`src/agol_pandas.py:453`).
-  * Memory per task is bounded by `chunkSize` rows regardless of partition
-  * size.
+/** Buffers up to `chunkSize` rows, then STAGES the chunk — one service
+  * call per chunk, bounded task memory. Nothing becomes visible until
+  * `commit()` publishes the whole attempt atomically (`commitStaged`),
+  * at most once per (writeId, partition):
+  *
+  *  - a task that dies mid-write leaves only invisible staging, which
+  *    `abort()` (or the service, by attempt id) discards;
+  *  - a RETRY re-stages from scratch under its own attempt id — safe even
+  *    though shuffle-fetch order (and hence chunk composition) is not
+  *    deterministic across attempts, which is exactly why ordinal
+  *    batch-id dedup alone cannot give exactly-once for appends;
+  *  - a replayed commit (ack lost, speculative twin, replayed streaming
+  *    epoch) is a service-side no-op because the partition key is already
+  *    marked committed.
   */
 class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
                       key: Option[String], chunkSize: Int, partitionId: Int,
-                      writeId: String)
+                      writeId: String, attemptId: Long)
     extends DataWriter[InternalRow] {
+
+  private val partKey = s"$writeId:p$partitionId"
 
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   private val keyIdx = key.map(schema.fieldIndex)
@@ -539,21 +560,21 @@ class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    // Deterministic batch id (write × partition × batch ordinal): a task
-    // retry re-flushes the same prefix of batches with the same ids, and
-    // the service skips the replays — no duplicate rows after retry.
-    HostedSinks.active.appendBatch(itemId, buf.toSeq, mode, key,
-      Some(s"$writeId:p$partitionId:b$batches"))
+    HostedSinks.active.stageBatch(itemId, partKey, attemptId, buf.toSeq)
     batches += 1
     buf.clear()
   }
 
   override def commit(): WriterCommitMessage = {
     flush()
+    HostedSinks.active.commitStaged(itemId, partKey, attemptId, mode, key)
     GraftCommitMessage(partitionId, rows, batches,
       Option(minKeyVal).map(String.valueOf).getOrElse(""),
       Option(maxKeyVal).map(String.valueOf).getOrElse(""))
   }
-  override def abort(): Unit = buf.clear()
+  override def abort(): Unit = {
+    buf.clear()
+    HostedSinks.active.discardStaged(itemId, partKey, attemptId)
+  }
   override def close(): Unit = ()
 }

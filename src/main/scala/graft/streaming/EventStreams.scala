@@ -65,18 +65,26 @@ object EventStreams {
     val id = graft.sinks.HostedSinks.active.resolveByTitle(norm)
       .getOrElse(graft.sinks.HostedSinks.active.create(norm, agg.schema))
     val ckpt = java.nio.file.Files
-      .createTempDirectory(s"graft_stream_$norm").toString
-    val q: StreamingQuery = agg.writeStream
-      .format("graft")
-      .option("itemId", id)
-      .option("writeMode", "upsert")
-      .option("key", "merge_key")
-      .option("checkpointLocation", ckpt)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      .createTempDirectory(s"graft_stream_$norm")
+    try {
+      val q: StreamingQuery = agg.writeStream
+        .format("graft")
+        .option("itemId", id)
+        .option("writeMode", "upsert")
+        .option("key", "merge_key")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      // one-shot equivalence run: the checkpoint has no replay value and
+      // a leaked temp dir per invocation accumulates across bench loops
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     HostedTables.read(spark, id).drop("merge_key")
   }
 

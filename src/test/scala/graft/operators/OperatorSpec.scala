@@ -110,6 +110,12 @@ class OperatorSpec extends AnyFunSuite {
       (4L, 1L, 4L, false), (10L, 10L, 2L, true), (11L, 10L, 2L, false)))
     // empty pair list → empty clustering, no NPE
     assert(Dedup.duplicateClusters(pairs.limit(0)).count() == 0)
+    // string ids (URL/hash-keyed corpora): the chain must still converge
+    // to one component — regression for the numeric-sum convergence check
+    val spairs = Seq(("b", "a"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    val sgot = Dedup.duplicateClusters(spairs).orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(sgot == Seq(("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")))
   }
 
   test("simhash: near-dup pairs have small hamming distance (md5 and xx64)") {

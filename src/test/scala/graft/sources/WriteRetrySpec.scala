@@ -25,20 +25,37 @@ import graft.sinks.{HostedSinks, HostedStore, HostedTableSink}
 class WriteRetrySpec extends AnyFunSuite {
   lazy val spark = graft.SparkTestBase.spark
 
-  /** Delegating sink that applies the first `n` appendBatch calls
-    * normally and then throws — after application — once per armed call.
+  /** Delegating sink that injects worst-case faults on the write data
+    * plane: the armed call DELEGATES FIRST (the service did the work),
+    * then throws (the client never learns). `failStages`/`failCommits`
+    * arm the Nth stageBatch / commitStaged call respectively.
     */
-  private class FlakySink(delegate: HostedTableSink, failCalls: Set[Int])
+  private class FlakySink(delegate: HostedTableSink,
+                          failStages: Set[Int] = Set.empty,
+                          failCommits: Set[Int] = Set.empty)
       extends HostedTableSink {
-    val calls = new AtomicInteger(0)
-    override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
-                             key: Option[String], batchId: Option[String]): Long = {
-      val n = calls.incrementAndGet()
-      val affected = delegate.appendBatch(itemId, batch, mode, key, batchId)
-      if (failCalls.contains(n))
-        throw new java.io.IOException(s"injected fault on appendBatch call $n")
+    val stageCalls = new AtomicInteger(0)
+    val commitCalls = new AtomicInteger(0)
+    override def stageBatch(itemId: String, partKey: String, attemptId: Long,
+                            batch: Seq[Row]): Unit = {
+      val n = stageCalls.incrementAndGet()
+      delegate.stageBatch(itemId, partKey, attemptId, batch)
+      if (failStages.contains(n))
+        throw new java.io.IOException(s"injected fault on stageBatch call $n")
+    }
+    override def commitStaged(itemId: String, partKey: String, attemptId: Long,
+                              mode: WriteMode, key: Option[String]): Long = {
+      val n = commitCalls.incrementAndGet()
+      val affected = delegate.commitStaged(itemId, partKey, attemptId, mode, key)
+      if (failCommits.contains(n))
+        throw new java.io.IOException(s"injected fault on commitStaged call $n")
       affected
     }
+    override def discardStaged(itemId: String, partKey: String, attemptId: Long): Unit =
+      delegate.discardStaged(itemId, partKey, attemptId)
+    override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
+                             key: Option[String], batchId: Option[String]): Long =
+      delegate.appendBatch(itemId, batch, mode, key, batchId)
     override def resolveByTitle(title: String) = delegate.resolveByTitle(title)
     override def create(title: String, schema: StructType, properties: Map[String, String]) =
       delegate.create(title, schema, properties)
@@ -68,22 +85,23 @@ class WriteRetrySpec extends AnyFunSuite {
     override def drop(itemId: String) = delegate.drop(itemId)
   }
 
-  private def withFlaky[A](failCalls: Set[Int])(f: FlakySink => A): A = {
+  private def withFlaky[A](failStages: Set[Int] = Set.empty,
+                           failCommits: Set[Int] = Set.empty)(f: FlakySink => A): A = {
     val prev = HostedSinks.active
-    val flaky = new FlakySink(prev, failCalls)
+    val flaky = new FlakySink(prev, failStages, failCommits)
     HostedSinks.active = flaky
     try f(flaky) finally HostedSinks.active = prev
   }
 
-  test("append: task killed after a flushed batch leaves no duplicate rows") {
+  test("append: task killed after a staged chunk leaves no duplicate rows") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val total = orders.count()
     HostedStore.dropByTitle("retry_append")
     val id = HostedTables.createTable(orders, "retry_append")
       .fold(e => fail(e), identity)
-    // chunkSize 200 over 1500 rows / 4 partitions → ~2 batches per task;
-    // failing call 2 kills one task after its first batch applied.
-    withFlaky(Set(2)) { _ =>
+    // chunkSize 200 over 1500 rows / 4 partitions → ~2 stage calls per
+    // task; failing call 2 kills one task after its first chunk staged.
+    withFlaky(failStages = Set(2)) { _ =>
       HostedTables.write(orders, id, WriteMode.Append, chunkSize = 200)
         .fold(e => fail(s"write should heal under task retry: $e"), identity)
     }
@@ -92,12 +110,30 @@ class WriteRetrySpec extends AnyFunSuite {
     assert(back.select("o_orderkey").distinct().count() == total)
   }
 
-  test("upsert: replayed batches dedup by id, row set converges") {
+  test("append: commit applied but ack lost — retry must not double-publish") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val total = orders.count()
+    HostedStore.dropByTitle("retry_acklost")
+    val id = HostedTables.createTable(orders, "retry_acklost")
+      .fold(e => fail(e), identity)
+    // the exactly-once window: commitStaged PUBLISHED the partition, then
+    // the task dies before reporting success; the retried attempt
+    // re-stages and re-commits — which must be a service-side no-op
+    withFlaky(failCommits = Set(1)) { _ =>
+      HostedTables.write(orders, id, WriteMode.Append, chunkSize = 200)
+        .fold(e => fail(s"write should heal under task retry: $e"), identity)
+    }
+    val back = HostedTables.read(spark, id)
+    assert(back.count() == total, "no lost and no duplicated rows")
+    assert(back.select("o_orderkey").distinct().count() == total)
+  }
+
+  test("upsert: staged retries converge to the same row set") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(600)
     HostedStore.dropByTitle("retry_upsert")
     val id = HostedTables.createTable(orders, "retry_upsert", Some("o_orderkey"))
       .fold(e => fail(e), identity)
-    withFlaky(Set(1, 3)) { _ =>
+    withFlaky(failStages = Set(1, 3), failCommits = Set(2)) { _ =>
       HostedTables.write(orders, id, WriteMode.Upsert, Some("o_orderkey"),
           chunkSize = 100)
         .fold(e => fail(s"write should heal under task retry: $e"), identity)
@@ -110,8 +146,8 @@ class WriteRetrySpec extends AnyFunSuite {
     HostedStore.dropByTitle("retry_fatal")
     val id = HostedTables.createTable(orders, "retry_fatal")
       .fold(e => fail(e), identity)
-    // fail far more calls than maxTaskFailures(3) x batches can absorb
-    withFlaky((1 to 1000).toSet) { _ =>
+    // fail far more calls than maxTaskFailures(3) x chunks can absorb
+    withFlaky(failStages = (1 to 1000).toSet) { _ =>
       assert(HostedTables.write(orders, id, WriteMode.Append, chunkSize = 50).isLeft)
     }
   }

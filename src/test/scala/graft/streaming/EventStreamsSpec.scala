@@ -14,7 +14,7 @@ class EventStreamsSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
-  test("streaming windowed agg (foreachBatch upsert) equals the batch computation") {
+  test("streaming windowed agg (DSv2 graft sink upsert) equals the batch computation") {
     HostedStore.dropByTitle("spec_stream_1")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamed = EventStreams.runUpsertWindowedOnce(spark, dir, "events.parquet",

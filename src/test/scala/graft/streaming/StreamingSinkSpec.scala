@@ -57,17 +57,18 @@ class StreamingSinkSpec extends AnyFunSuite {
     }
     runEpoch(7L)
     assert(HostedStore.rowCount(id) == 100)
-    val batchesAfterFirst = HostedStore.get(id).appliedBatches.size
-    // the replay: same query, same epoch, same partition → identical batch
-    // ids → zero new applications
+    assert(HostedStore.get(id).committedParts == Set("query-abc:e7:p0"))
+    // the replay: same query, same epoch, same partition → the partition
+    // key is already committed → service-side no-op
     runEpoch(7L)
     assert(HostedStore.rowCount(id) == 100)
-    assert(HostedStore.get(id).appliedBatches.size == batchesAfterFirst)
+    assert(HostedStore.get(id).committedParts == Set("query-abc:e7:p0"))
     // a NEW epoch with the same data is a fresh application (upsert by key
     // keeps the row set converged)
     runEpoch(8L)
     assert(HostedStore.rowCount(id) == 100)
-    assert(HostedStore.get(id).appliedBatches.size > batchesAfterFirst)
+    assert(HostedStore.get(id).committedParts ==
+      Set("query-abc:e7:p0", "query-abc:e8:p0"))
   }
 
   test("append-mode streaming write lands rows through the DSv2 sink") {
