@@ -109,9 +109,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, n: Int = 3,
-                   maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
-    try {
+                   maxShingleFreq: Option[Int] = None,
+                   materialize: Boolean = true): DataFrame =
+    withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
     val filtered = maxShingleFreq match {
       case Some(cap) =>
         // Drop stop-shingles: a shingle in >cap docs contributes O(cap^2)
@@ -136,12 +136,23 @@ object Dedup {
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "n_common", "n_a", "n_b", "jaccard")
-      // Materialize the (small) pair set so the shingle cache can be
-      // released now — an un-unpersisted cache per invocation accumulates
-      // executor storage for the session lifetime.
-      .localCheckpoint(true)
-    } finally sh.unpersist(false)
-  }
+    }
+
+  /** Cache the shingle set (it feeds several consumers in each pair
+    * pipeline), run `build`, materialize its (small) result, and release
+    * the cache — an un-unpersisted cache per invocation would accumulate
+    * executor storage for the session lifetime. `materialize = false`
+    * instead returns the pure lazy plan with no caching: for plan
+    * inspection (PlanSpec) or callers managing their own persistence.
+    */
+  private def withShingleCache(sh0: DataFrame, materialize: Boolean)(
+      build: DataFrame => DataFrame): DataFrame =
+    if (!materialize) build(sh0)
+    else {
+      val sh = sh0.cache()
+      try build(sh).localCheckpoint(true)
+      finally sh.unpersist(false)
+    }
 
   /** MinHash signature per doc: for seed i, `min(md5(shingle || '#' || i))`.
     * Computed over shingle *rows* (min over a multiset equals min over the
@@ -213,13 +224,13 @@ object Dedup {
                       threshold: Double, numHashes: Int = 128, bands: Int = 16,
                       n: Int = 3,
                       base: Hashers.Base = Hashers.xx64Base,
-                      maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+                      maxBucketSize: Option[Int] = Some(100),
+                      materialize: Boolean = true): DataFrame =
     // The distinct shingle set feeds three consumers (both sides of the
-    // candidate-verification join + the size table) — cache it once
-    // instead of recomputing the explode+distinct shuffle per consumer;
-    // released after the (small) pair set is materialized.
-    val sh = shingles(docs, idCol, textCol, n).cache()
-    try {
+    // candidate-verification join + the size table) — cached once by the
+    // wrapper instead of recomputing the explode+distinct shuffle per
+    // consumer, released after the (small) pair set is materialized.
+    withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
     val stacked = bandKeysFromShingles(sh, idCol, numHashes, bands, base)
     // Candidate pairs come from ONE pass over the band keys: gather each
     // bucket's doc ids, drop buckets over the cap, and expand in-bucket
@@ -254,9 +265,7 @@ object Dedup {
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-      .localCheckpoint(true)
-    } finally sh.unpersist(false)
-  }
+    }
 
   /** Cross-corpus contamination report: for each candidate doc similar to
     * some reference doc, the best-matching reference (max jaccard; ties →
@@ -282,7 +291,8 @@ object Dedup {
                        numHashes: Int = 128, bands: Int = 16, n: Int = 3,
                        base: Hashers.Base = Hashers.xx64Base,
                        maxBucketSize: Option[Int] = Some(100),
-                       broadcastRef: Boolean = true): DataFrame = {
+                       broadcastRef: Boolean = true,
+                       materialize: Boolean = true): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (broadcastRef) broadcast(df) else df
     val candId = col(idCol).as("cand_id")
@@ -293,8 +303,10 @@ object Dedup {
       .select(col("cand_id"), col("ref_id"), lit(1.0).as("jaccard"))
     // near-dup via shared LSH buckets, jaccard-verified; both shingle
     // caches released once the (small) report is materialized
-    val shCand = shingles(cand, idCol, textCol, n).cache()
-    val shRef = shingles(ref, idCol, textCol, n).cache()
+    val shCand0 = shingles(cand, idCol, textCol, n)
+    val shRef0 = shingles(ref, idCol, textCol, n)
+    val (shCand, shRef) =
+      if (materialize) (shCand0.cache(), shRef0.cache()) else (shCand0, shRef0)
     try {
     val bCand = bandKeysFromShingles(shCand, idCol, numHashes, bands, base)
       .select(candId, col("band"), col("key"))
@@ -329,15 +341,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("cand_id", "ref_id", "jaccard")
     // best match per candidate: max jaccard, ties to the smallest ref id
-    exactPairs.unionByName(nearPairs)
+    val report = exactPairs.unionByName(nearPairs)
       .groupBy("cand_id", "ref_id").agg(max("jaccard").as("jaccard"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("cand_id")
           .orderBy(col("jaccard").desc, col("ref_id"))))
       .filter(col("rk") === 1)
       .select("cand_id", "ref_id", "jaccard")
-      .localCheckpoint(true)
-    } finally { shCand.unpersist(false); shRef.unpersist(false) }
+    if (materialize) report.localCheckpoint(true) else report
+    } finally if (materialize) { shCand.unpersist(false); shRef.unpersist(false) }
   }
 
   /** Drop every candidate similar to any reference doc (exact or

@@ -91,6 +91,41 @@ object TextAnalysis {
         (acc, x) => (acc * 31 + x) % 1000000007L).as("roll_hash"))
   }
 
+  /** Repetition signals — the Gopher-style quality filters that catch
+    * boilerplate and degenerate generations:
+    *
+    *  - `dup_token_ratio`: 1 − distinct/total tokens (high = repetitive);
+    *  - `top_token_ratio`: share of the single most frequent token;
+    *  - `dup_bigram_ratio`: fraction of word-bigram occurrences whose
+    *    bigram appears more than once.
+    *
+    * Explode + two-level aggregation: partial aggregation collapses
+    * per-(doc, token) counts map-side, so the shuffle carries one row per
+    * distinct token per doc, never the raw token stream. Ratios are
+    * long/long → double divisions, bit-identical across engines.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+    val tokAgg = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+    val biAgg = Dedup.shingleRows(docs, idCol, textCol, n = 2)
+      .groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_bi"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_bi_rep"))
+    tokAgg.join(biAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        (lit(1.0) - col("n_distinct") / col("n_tokens")).as("dup_token_ratio"),
+        (col("top_c") / col("n_tokens")).as("top_token_ratio"),
+        // docs shorter than two words have no bigrams at all
+        coalesce(col("n_bi_rep") / col("n_bi"), lit(0.0)).as("dup_bigram_ratio"))
+  }
+
   /** Corpus-level rollup by a grouping column (e.g. source or lang). */
   def corpusStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs.groupBy(col(groupCol)).agg(

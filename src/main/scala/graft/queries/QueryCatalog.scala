@@ -741,6 +741,10 @@ object QueryCatalog {
       TextAnalysis.rollingHash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "x_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "x_sim_ivf" -> ((s, dir) => { // approximate by design: rows-only oracle
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
@@ -959,6 +963,28 @@ object QueryCatalog {
           |      (acc, x) -> (acc * 31 + x) % 1000000007)
           |  END AS roll_hash
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "x_text_repetition" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |pt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+          |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |         count(*) AS n_distinct, max(c) AS top_c
+          |       FROM pt GROUP BY 1),
+          |bi AS (SELECT doc_id,
+          |         unnest([array_to_string(w[i:i+1], ' ')
+          |                 for i in range(1, len(w))]) AS sh
+          |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+          |pb AS (SELECT doc_id, sh, count(*) AS c FROM bi GROUP BY 1, 2),
+          |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi,
+          |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_bi_rep
+          |       FROM pb GROUP BY 1)
+          |SELECT t.doc_id,
+          |  CAST(1.0 AS DOUBLE) - t.n_distinct / t.n_tokens AS dup_token_ratio,
+          |  t.top_c / t.n_tokens AS top_token_ratio,
+          |  COALESCE(b.n_bi_rep / b.n_bi, CAST(0.0 AS DOUBLE)) AS dup_bigram_ratio
+          |FROM ta t LEFT JOIN ba b USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin,
 
       "x_corpus_stats" ->
         """SELECT source, count(*) AS n_docs,

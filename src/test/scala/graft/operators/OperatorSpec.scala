@@ -72,6 +72,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("repetition signals separate degenerate from natural text") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence with mostly unique words here"),
+      (3L, "one")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(fixture, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val spam = got(0); val natural = got(1); val single = got(2)
+    assert(spam.getDouble(1) > 0.8 && spam.getDouble(2) == 1.0 &&
+      spam.getDouble(3) == 1.0) // all tokens identical, all bigrams repeat
+    assert(natural.getDouble(1) == 0.0 && natural.getDouble(3) == 0.0)
+    assert(single.getDouble(3) == 0.0) // no bigrams → ratio 0, not null
+  }
+
   test("decontaminate drops exact and near dups of the reference corpus") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog every single " +

@@ -64,6 +64,31 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("*(")) // whole-stage-codegen span markers
   }
 
+  test("cross-corpus decontamination broadcasts the reference side") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = graft.api.Tables.load(spark, dir, "documents")
+    val lazyReport = Dedup.crossCorpusPairs(docs,
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", 0.7,
+      materialize = false)
+    val p = lazyReport.queryExecution.executedPlan.toString
+    // the band join and verify join ship the (small) reference side;
+    // the candidate corpus must never be the broadcast side's driver
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("LSH pair mining keeps narrow signatures in whole-stage codegen") {
+    import graft.operators.Dedup
+    val docs = graft.api.Tables.load(spark, dir, "documents")
+    val lazyPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7,
+      materialize = false)
+    val p = lazyPairs.queryExecution.executedPlan.toString
+    // partial + final aggregation on the (id, seed) minima
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // no 128-column-wide aggregate: the signature agg is the narrow shape
+    assert(!p.contains("mh64"), p)
+  }
+
   test("hosted write with key requires ordered range distribution") {
     // The write declares RequiresDistributionAndOrdering; Spark plans a
     // range repartition by key before the write tasks.
