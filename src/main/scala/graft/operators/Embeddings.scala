@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-column aggregation: group-level mean pooling (class
+  * centroids, user/topic profiles, cluster seeds for IVF training).
+  *
+  * Shape: `posexplode` the vector, aggregate per (group, position), then
+  * reassemble the ordered array. The shuffle carries (group, pos) partial
+  * sums — dims × groups rows — never whole vectors; partial aggregation
+  * collapses the exploded rows map-side, so this holds at any corpus
+  * size. The alternative (aggregate whole arrays with `zip_with` in a
+  * reduce) cannot partial-aggregate and ships every vector to one task
+  * per group.
+  */
+object Embeddings {
+
+  /** Per-group elementwise mean: (group, n_vecs, centroid: Array[Double]).
+    * Assembly sorts the (pos, mean) pairs per group — `array_sort` on a
+    * struct array orders by the leading `pos` field, so the rebuilt array
+    * is position-correct regardless of row arrival order.
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n"), avg(col("x").cast("double")).as("m"))
+      .groupBy(col(groupCol))
+      .agg(max("n").as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+
+  /** Exact integer-space pooling projection — the cross-engine-verifiable
+    * form: each element maps to `floor(x · scale)` (floor is unambiguous
+    * in every engine, unlike round-half ties), summed as longs per
+    * (group, position). Float mean values themselves are NOT reproducible
+    * across engines (summation order changes the double), which is why
+    * the oracle checks this projection and [[meanPool]] is spec-pinned
+    * against it instead.
+    */
+  def poolSums(df: DataFrame, groupCol: String, vecCol: String,
+               scale: Long = 1000000L): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("x").cast("double") * scale).cast("long")).as("sum_scaled"))
+}

@@ -91,6 +91,28 @@ object TextAnalysis {
         (acc, x) => (acc * 31 + x) % 1000000007L).as("roll_hash"))
   }
 
+  /** GPT-2-style pre-tokenizer pattern (ASCII classes for exact Java ↔ RE2
+    * parity): contractions, space-prefixed letter runs, digit runs, and
+    * punctuation runs. A cheap, deterministic stand-in for a real BPE
+    * vocabulary — the count tracks BPE token counts closely enough for
+    * length filtering and batch budgeting.
+    */
+  val bpeIshPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Token counting both ways the mandate asks for: whitespace tokens and
+    * BPE-ish regex tokens, plus their ratio (a quality signal — prose sits
+    * near 1.3 BPE tokens per word; code and noise run higher).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nWs = size(split(col(textCol), " "))
+    val nBpe = size(regexp_extract_all(col(textCol), lit(bpeIshPattern), lit(0)))
+    docs.select(col(idCol),
+      nWs.as("n_ws_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      (nBpe.cast("double") / nWs).as("bpe_per_ws"))
+  }
+
   /** Repetition signals — the Gopher-style quality filters that catch
     * boilerplate and degenerate generations:
     *

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{HostedTables, Tables}
 import graft.core.{Chunker, ServiceName, WriteMode}
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
 import graft.sinks.HostedStore
 import graft.streaming.EventStreams
 
@@ -745,6 +745,17 @@ object QueryCatalog {
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "x_text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_emb_pool" -> ((s, dir) =>
+      // exact integer-space projection of per-label mean pooling (floor
+      // e6 sums — float means are not order-stable across engines)
+      Embeddings.poolSums(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos"), col("n_vecs"), col("sum_scaled").as("sum_e6"))
+        .orderBy("label", "pos")),
+
     "x_sim_ivf" -> ((s, dir) => { // approximate by design: rows-only oracle
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
@@ -985,6 +996,21 @@ object QueryCatalog {
           |  COALESCE(b.n_bi_rep / b.n_bi, CAST(0.0 AS DOUBLE)) AS dup_bigram_ratio
           |FROM ta t LEFT JOIN ba b USING (doc_id)
           |ORDER BY t.doc_id""".stripMargin,
+
+      "x_text_tokens" -> {
+        val pat = graft.operators.TextAnalysis.bpeIshPattern.replace("'", "''")
+        s"""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS n_ws_tokens,
+           |  len(regexp_extract_all(text, '$pat')) AS n_bpe_tokens,
+           |  len(regexp_extract_all(text, '$pat')) / len(string_split(text, ' ')) AS bpe_per_ws
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "x_emb_pool" ->
+        """SELECT label, i - 1 AS pos, count(*) AS n_vecs,
+          |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6
+          |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "x_corpus_stats" ->
         """SELECT source, count(*) AS n_docs,

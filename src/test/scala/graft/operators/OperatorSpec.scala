@@ -72,6 +72,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("meanPool centroid matches a driver-side elementwise mean") {
+    val emb = graft.api.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Embeddings.meanPool(emb, "label", "embedding")
+      .orderBy("label").collect()
+    // brute-force the expected centroid of one label on the driver
+    val rows = emb.filter(col("label") === got.head.getInt(0)).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val dim = rows.head.length
+    val want = (0 until dim).map(i => rows.map(_(i).toDouble).sum / rows.length)
+    val centroid = got.head.getSeq[Double](2)
+    assert(got.head.getLong(1) == rows.length)
+    assert(centroid.length == dim)
+    centroid.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
   test("repetition signals separate degenerate from natural text") {
     import spark.implicits._
     val fixture = Seq(
