@@ -25,12 +25,21 @@ import graft.core.WriteMode
 final class LocalPortalServer(token: String, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  // Daemon threads AND an explicit shutdown: a lingering non-daemon pool
+  // would keep the JVM alive after main exits even once the server socket
+  // is closed.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => {
+      val t = new Thread(r, "portal-double")
+      t.setDaemon(true)
+      t
+    })
+  server.setExecutor(pool)
 
   def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 
   def start(): LocalPortalServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 
   /** Routes: see [[RestHostedService]] for the client side of each.
     * Failures map to the HTTP contract the client expects — 401 bad

@@ -87,6 +87,29 @@ object Demo {
     sq.processAllAvailable(); sq.stop()
     println(s"== streamed tail rows -> ${spark.table("demo_tail").count()}")
 
+    // 8. The same engine over a REAL HTTP boundary: spin the in-process
+    // portal double, swap the REST client in as the active sink, and run
+    // a full save/filtered-read cycle whose scan pages and write batches
+    // each cross the wire.
+    locally {
+      import graft.sinks.{HostedSinks, LocalPortalServer, RestHostedService}
+      val server = new LocalPortalServer("demo-token").start()
+      val prev = HostedSinks.active
+      HostedSinks.active = new RestHostedService(server.url, "demo-token")
+      try {
+        graft.sinks.HostedStore.dropByTitle("demo_rest")
+        val (rid, report) = HostedTables.save(orders.limit(500), "demo_rest",
+          Some("o_orderkey")).fold(sys.error, identity)
+        val back = HostedTables.read(spark, rid)
+          .filter(col("o_totalprice") > 100000.0).count()
+        println(s"== REST round-trip -> ${report.map(_.rows).sum} rows saved over " +
+          s"HTTP, $back read back filtered (server ${server.url})")
+      } finally {
+        HostedSinks.active = prev
+        server.stop()
+      }
+    }
+
     spark.stop()
     println("== demo OK")
   }
