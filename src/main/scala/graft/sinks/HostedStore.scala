@@ -326,33 +326,51 @@ object HostedStore {
   // ---------------------------------------------- staged (transactional)
   // Per-attempt shadow buffers: the service-side analog of staging into a
   // temp table and swapping on success (the pattern the reference's create
-  // path uses with its tmp CSV item, src/agol_pandas.py:519-523).
+  // path uses with its tmp CSV item, src/agol_pandas.py:519-523). Chunks
+  // are keyed by their ordinal within the attempt (PUT semantics), so a
+  // transport-level retry of a lost-ack stage call is idempotent.
 
   private val staged =
-    new ConcurrentHashMap[(String, String, Long), Vector[Row]]()
+    new ConcurrentHashMap[(String, String, Long), Map[Int, Vector[Row]]]()
 
   def stageBatch(itemId: String, partKey: String, attemptId: Long,
-                 batch: Seq[Row]): Unit = {
+                 chunkId: Int, batch: Seq[Row]): Unit = {
     get(itemId) // 404 on unknown item
-    staged.merge((itemId, partKey, attemptId), batch.toVector, _ ++ _)
+    staged.merge((itemId, partKey, attemptId), Map(chunkId -> batch.toVector),
+      (old, one) => old ++ one)
+    ()
+  }
+
+  /** Drop every attempt's staging for a partition (called once the
+    * partition is durably published — including buffers from attempts
+    * that died without ever reaching commit/abort, which would otherwise
+    * leak for the server's lifetime).
+    */
+  private def purgeStaged(itemId: String, partKey: String): Unit = {
+    staged.keySet.removeIf(k => k._1 == itemId && k._2 == partKey)
     ()
   }
 
   /** Publish one attempt's staging at most once per partKey: the winner
     * applies atomically (same merge semantics as [[appendBatch]]); a
-    * replayed or speculative loser is a no-op. Either way this attempt's
-    * staging is dropped.
+    * replayed or speculative loser is a no-op. Staging is purged only
+    * AFTER a successful (or duplicate) publish — a failed apply leaves it
+    * intact so a retried commit still has the rows.
     */
   def commitStaged(itemId: String, partKey: String, attemptId: Long,
                    mode: WriteMode, key: Option[String]): Long = synchronized {
-    val rows = Option(staged.remove((itemId, partKey, attemptId)))
-      .getOrElse(Vector.empty)
     val t = get(itemId)
-    if (t.committedParts.contains(partKey)) 0L
-    else {
+    if (t.committedParts.contains(partKey)) {
+      purgeStaged(itemId, partKey)
+      0L
+    } else {
+      val chunks = Option(staged.get((itemId, partKey, attemptId)))
+        .getOrElse(Map.empty[Int, Vector[Row]])
+      val rows = chunks.toSeq.sortBy(_._1).flatMap(_._2)
       val affected = appendBatch(itemId, rows, mode, key)
       val tN = get(itemId)
       tables.put(itemId, tN.copy(committedParts = tN.committedParts + partKey))
+      purgeStaged(itemId, partKey)
       affected
     }
   }

@@ -54,20 +54,27 @@ trait HostedTableSink {
 
   /** Stage one chunk of a task attempt's rows without applying them.
     * `partKey` names the logical write partition (stable across retries);
-    * `attemptId` distinguishes attempts. Staged rows are invisible until
-    * [[commitStaged]] — the service-side shadow table that makes Spark's
-    * at-least-once task attempts exactly-once, regardless of how a retry
-    * re-chunks its rows (shuffle fetch order is not deterministic, so
-    * batch ordinals alone cannot be).
+    * `attemptId` distinguishes attempts; `chunkId` is the chunk's ordinal
+    * WITHIN the attempt — staging is a PUT keyed by it, so a transport
+    * retry of a lost-ack stage call overwrites rather than duplicates
+    * (within one attempt the chunk contents for an ordinal are the same
+    * buffer re-posted). Staged rows are invisible until [[commitStaged]]
+    * — the service-side shadow table that makes Spark's at-least-once
+    * task attempts exactly-once, regardless of how a retry re-chunks its
+    * rows (shuffle fetch order is not deterministic across attempts, so
+    * cross-attempt ordinal dedup alone cannot be correct).
     */
   def stageBatch(itemId: String, partKey: String, attemptId: Long,
-                 batch: Seq[Row]): Unit
+                 chunkId: Int, batch: Seq[Row]): Unit
 
   /** Atomically publish one attempt's staged rows with the given mode —
     * at most once per `partKey`: if another attempt already committed this
     * partition (e.g. the first attempt's ack was lost, or a speculative
-    * twin won), this is a no-op. The attempt's staging is discarded either
-    * way. Returns rows affected (0 on the no-op path).
+    * twin won), this is a no-op. Staging for the partition (every
+    * attempt's) is discarded only once the partition is durably published
+    * — a commit that FAILS leaves its staging intact so a transport retry
+    * of the commit still has the rows. Returns rows affected (0 on the
+    * no-op path).
     */
   def commitStaged(itemId: String, partKey: String, attemptId: Long,
                    mode: WriteMode, key: Option[String]): Long
@@ -121,8 +128,8 @@ object InProcessHostedSink extends HostedTableSink {
                            key: Option[String], batchId: Option[String]): Long =
     HostedStore.appendBatch(itemId, batch, mode, key, batchId)
   override def stageBatch(itemId: String, partKey: String, attemptId: Long,
-                          batch: Seq[Row]): Unit =
-    HostedStore.stageBatch(itemId, partKey, attemptId, batch)
+                          chunkId: Int, batch: Seq[Row]): Unit =
+    HostedStore.stageBatch(itemId, partKey, attemptId, chunkId, batch)
   override def commitStaged(itemId: String, partKey: String, attemptId: Long,
                             mode: WriteMode, key: Option[String]): Long =
     HostedStore.commitStaged(itemId, partKey, attemptId, mode, key)

@@ -193,7 +193,7 @@ final class LocalPortalServer(token: String, port: Int = 0) {
           val b = body(ex)
           val rows = b.get("rows").elements().asScala.map(PortalJson.decodeRow).toSeq
           HostedStore.stageBatch(id, b.get("partKey").asText(),
-            b.get("attemptId").asLong(), rows)
+            b.get("attemptId").asLong(), b.get("chunkId").asInt(), rows)
           200 -> ok()
         })
 

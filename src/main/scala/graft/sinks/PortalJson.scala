@@ -42,8 +42,15 @@ object PortalJson {
       case x: java.lang.Short    => n.put("t", "i16").put("v", x.toString)
       case x: java.lang.Integer  => n.put("t", "i32").put("v", x.toString)
       case x: java.lang.Long     => n.put("t", "i64").put("v", x.toString)
-      case x: java.lang.Float    => n.put("t", "f32").put("v", x.floatValue())
-      case x: java.lang.Double   => n.put("t", "f64").put("v", x.doubleValue())
+      // Non-finite floats ride as strings — as bare JSON numbers Jackson
+      // would write them in a form the tree reader hands back as a text
+      // node whose numeric accessors return 0.0 (silent corruption).
+      case x: java.lang.Float =>
+        if (java.lang.Float.isFinite(x)) n.put("t", "f32").put("v", x.floatValue())
+        else n.put("t", "f32").put("v", x.toString)
+      case x: java.lang.Double =>
+        if (java.lang.Double.isFinite(x)) n.put("t", "f64").put("v", x.doubleValue())
+        else n.put("t", "f64").put("v", x.toString)
       case x: String             => n.put("t", "str").put("v", x)
       case x: java.math.BigDecimal => n.put("t", "dec").put("v", x.toString)
       case x: BigDecimal         => n.put("t", "dec").put("v", x.underlying.toString)
@@ -81,8 +88,12 @@ object PortalJson {
     case "i16"  => n.get("v").asText().toShort
     case "i32"  => n.get("v").asText().toInt
     case "i64"  => n.get("v").asText().toLong
-    case "f32"  => n.get("v").floatValue()
-    case "f64"  => n.get("v").doubleValue()
+    case "f32" =>
+      val v = n.get("v")
+      if (v.isTextual) java.lang.Float.parseFloat(v.asText()) else v.floatValue()
+    case "f64" =>
+      val v = n.get("v")
+      if (v.isTextual) java.lang.Double.parseDouble(v.asText()) else v.doubleValue()
     case "str"  => n.get("v").asText()
     case "dec"  => new java.math.BigDecimal(n.get("v").asText())
     case "ts" =>

@@ -142,9 +142,9 @@ class RestHostedService(portalUrl: String, token: String,
   }
 
   override def stageBatch(itemId: String, partKey: String, attemptId: Long,
-                          batch: Seq[Row]): Unit = {
+                          chunkId: Int, batch: Seq[Row]): Unit = {
     val b = PortalJson.obj()
-    b.put("partKey", partKey).put("attemptId", attemptId)
+    b.put("partKey", partKey).put("attemptId", attemptId).put("chunkId", chunkId)
     val rows = PortalJson.arr(); batch.foreach(r => rows.add(PortalJson.encodeRow(r)))
     b.set[JsonNode]("rows", rows)
     post(s"/items/$itemId/stage", b); ()

@@ -560,7 +560,9 @@ class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    HostedSinks.active.stageBatch(itemId, partKey, attemptId, buf.toSeq)
+    // chunk ordinal keys the stage PUT: a transport retry of this call
+    // re-posts the same buffer under the same id — idempotent
+    HostedSinks.active.stageBatch(itemId, partKey, attemptId, batches, buf.toSeq)
     batches += 1
     buf.clear()
   }

@@ -66,24 +66,27 @@ object EventStreams {
       .getOrElse(graft.sinks.HostedSinks.active.create(norm, agg.schema))
     val ckpt = java.nio.file.Files
       .createTempDirectory(s"graft_stream_$norm")
-    try {
-      val q: StreamingQuery = agg.writeStream
-        .format("graft")
-        .option("itemId", id)
-        .option("writeMode", "upsert")
-        .option("key", "merge_key")
-        .option("checkpointLocation", ckpt.toString)
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally {
-      // one-shot equivalence run: the checkpoint has no replay value and
-      // a leaked temp dir per invocation accumulates across bench loops
+    val q: StreamingQuery = agg.writeStream
+      .format("graft")
+      .option("itemId", id)
+      .option("writeMode", "upsert")
+      .option("key", "merge_key")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable()
+    finally {
+      // stop FIRST (also on the failure path — an orphaned query would
+      // keep writing into the checkpoint while it is being deleted), then
+      // remove the one-shot checkpoint: it has no replay value and a
+      // leaked temp dir per invocation accumulates across bench loops
+      try q.stop() catch { case _: Exception => () }
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(ckpt)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
     HostedTables.read(spark, id).drop("merge_key")
   }

@@ -101,6 +101,16 @@ class RestSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("wire codec round-trips non-finite floats instead of zeroing them") {
+    def rt(v: Any): Any =
+      PortalJson.decodeValue(PortalJson.parse(PortalJson.write(PortalJson.encodeValue(v))))
+    assert(rt(Double.NaN).asInstanceOf[Double].isNaN)
+    assert(rt(Double.PositiveInfinity) == Double.PositiveInfinity)
+    assert(rt(Float.NegativeInfinity) == Float.NegativeInfinity)
+    assert(rt(Float.NaN).asInstanceOf[Float].isNaN)
+    assert(rt(1.5d) == 1.5d && rt(2.5f) == 2.5f)
+  }
+
   test("embeddings (float arrays) survive the wire codec") {
     withRestSink { (_, _) =>
       val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings").limit(100)

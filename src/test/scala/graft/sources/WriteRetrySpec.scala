@@ -37,9 +37,9 @@ class WriteRetrySpec extends AnyFunSuite {
     val stageCalls = new AtomicInteger(0)
     val commitCalls = new AtomicInteger(0)
     override def stageBatch(itemId: String, partKey: String, attemptId: Long,
-                            batch: Seq[Row]): Unit = {
+                            chunkId: Int, batch: Seq[Row]): Unit = {
       val n = stageCalls.incrementAndGet()
-      delegate.stageBatch(itemId, partKey, attemptId, batch)
+      delegate.stageBatch(itemId, partKey, attemptId, chunkId, batch)
       if (failStages.contains(n))
         throw new java.io.IOException(s"injected fault on stageBatch call $n")
     }
@@ -133,12 +133,39 @@ class WriteRetrySpec extends AnyFunSuite {
     HostedStore.dropByTitle("retry_upsert")
     val id = HostedTables.createTable(orders, "retry_upsert", Some("o_orderkey"))
       .fold(e => fail(e), identity)
-    withFlaky(failStages = Set(1, 3), failCommits = Set(2)) { _ =>
+    // 2 faults total: one task can absorb at most 2 of its 3 attempt
+    // budget (local[4,3]) even if global interleaving lands both on it
+    withFlaky(failStages = Set(1), failCommits = Set(2)) { _ =>
       HostedTables.write(orders, id, WriteMode.Upsert, Some("o_orderkey"),
           chunkSize = 100)
         .fold(e => fail(s"write should heal under task retry: $e"), identity)
     }
     assert(HostedStore.rowCount(id) == 600)
+  }
+
+  test("staging is idempotent per chunk and survives a failed publish") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(50)
+    val rows = orders.collect().toSeq
+    HostedStore.dropByTitle("retry_stage")
+    val id = HostedStore.create("retry_stage", orders.schema)
+    // lost-ack transport retry: the same chunk posted twice under the
+    // same (attempt, ordinal) must not duplicate
+    HostedStore.stageBatch(id, "w:p0", attemptId = 1L, chunkId = 0, rows)
+    HostedStore.stageBatch(id, "w:p0", attemptId = 1L, chunkId = 0, rows)
+    // a publish that FAILS (upsert without a visible unique index) must
+    // leave the staging intact for a retried commit
+    assertThrows[IllegalArgumentException] {
+      HostedStore.commitStaged(id, "w:p0", 1L, WriteMode.Upsert, Some("o_orderkey"))
+    }
+    HostedStore.addUniqueIndex(id, "o_orderkey")
+    assert(HostedStore.commitStaged(id, "w:p0", 1L, WriteMode.Upsert,
+      Some("o_orderkey")) == 50)
+    assert(HostedStore.rowCount(id) == 50)
+    // a dead attempt's leftover staging for the same partition was purged
+    // by the successful publish; a replayed commit is a no-op
+    assert(HostedStore.commitStaged(id, "w:p0", 2L, WriteMode.Upsert,
+      Some("o_orderkey")) == 0)
+    assert(HostedStore.rowCount(id) == 50)
   }
 
   test("a fault on every attempt exhausts maxTaskFailures and fails the write") {
