@@ -168,43 +168,72 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Elementwise-min aggregator over the Kirsch–Mitzenmacher hash family:
+    * each input shingle contributes its whole `g_i = (h1 + (i+1)·h2) mod
+    * P` family into one `Array[Long]` buffer. ONE aggregation row per
+    * shingle — vs. exploding numHashes rows per shingle, which at 128
+    * hashes turned millions of shingles into hundreds of millions of
+    * aggregate inputs and dominated the pipeline. Buffers are merged
+    * map-side (ObjectHashAggregate), so the shuffle carries one
+    * 128-long array per doc per map partition.
+    */
+  private final class MinHashFamilyAgg(numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+      val (h1, h2) = in
+      var i = 0
+      while (i < numHashes) {
+        val g = (h1 + (i + 1) * h2) % Hashers.P
+        if (g < buf(i)) buf(i) = g
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** LSH band keys per document from its shingle set: (id, band, key).
     *
-    * Signatures are computed in NARROW form — (id, seed, minhash) rows,
-    * not a 128-column-wide aggregate: a wide agg's generated update method
-    * blows past the JIT/codegen method limits and falls back to
-    * interpreted evaluation, while the narrow shape stays codegen'd for
-    * any numHashes. The string hash runs ONCE per shingle (before the
-    * seed explode); each of the numHashes family members is then two
-    * integer ops (Kirsch–Mitzenmacher double hashing). Partial aggregation
-    * collapses the seed-exploded rows to (id, seed) minima map-side, so
-    * the shuffle carries ≤ numHashes rows per doc. Each band's
-    * rowsPerBand minhashes fold into one key via a slot pivot
-    * (conditional max's — whole-stage codegen, unlike collect_list).
+    * The string hash runs ONCE per shingle — (h1, h2) feed the
+    * Kirsch–Mitzenmacher family inside [[MinHashFamilyAgg]], which folds
+    * all numHashes minima per doc in a single typed aggregation (no
+    * per-seed row explosion, no 128-column-wide codegen blowup). Band
+    * keys are then md5 over each band's slice of the signature array —
+    * one `posexplode` of bands per doc.
     */
   def bandKeysFromShingles(sh: DataFrame, idCol: String, numHashes: Int,
                            bands: Int, base: Hashers.Base): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val perSeed = sh
+    val famAgg = udaf(new MinHashFamilyAgg(numHashes),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val sig = sh
       .select(col(idCol),
         base.h1(col("shingle")).as("h1"), base.h2(col("shingle")).as("h2"))
-      .select(col(idCol),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"),
-        col("h1"), col("h2"))
-      .select(col(idCol), col("seed"),
-        ((col("h1") + (col("seed") + 1) * col("h2")) % Hashers.P).as("h"))
-      .groupBy(col(idCol), col("seed")).agg(min("h").as("mh"))
-    val slotAggs = (0 until rowsPerBand).map(i =>
-      max(when(col("slot") === i, col("mh")).cast("string")).as(s"s$i"))
-    perSeed
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .withColumn("slot", col("seed") % rowsPerBand)
-      .groupBy(col(idCol), col("band"))
-      .agg(slotAggs.head, slotAggs.tail: _*)
-      .select(col(idCol), col("band"),
-        md5(concat_ws("|", (0 until rowsPerBand).map(i => col(s"s$i")): _*))
-          .as("key"))
+      .groupBy(col(idCol))
+      .agg(famAgg(col("h1"), col("h2")).as("sig"))
+    // one row per (doc, band); key = md5 of the band's slice joined with
+    // '|' (identical to the DuckDB oracle's mh_i || '|' || ... folding)
+    sig
+      .select(col(idCol), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+             s"array_join(transform(sequence(0, ${rowsPerBand - 1}), " +
+             s"i -> cast(sig[b * $rowsPerBand + i] AS STRING)), '|'))"))
+        .as(Seq("band", "joined")))
+      .select(col(idCol), col("band"), md5(col("joined")).as("key"))
   }
 
   /** MinHash+LSH near-dup pairs: band the signatures, bucket-join within
@@ -245,12 +274,17 @@ object Dedup {
       case Some(cap) => buckets.filter(size(col("ids")) <= cap)
       case None      => buckets
     }
-    val candidates = okBuckets
+    // Materialized (in the default eager mode): the pair set feeds both
+    // the intersection count and the final join — without this the whole
+    // signature → band → bucket chain executes twice.
+    val candidates0 = okBuckets
       .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+    val candidates =
+      if (materialize) candidates0.localCheckpoint(true) else candidates0
     // Exact-Jaccard verification restricted to candidate pairs: join each
     // side's shingle set in, count the intersection per pair.
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))

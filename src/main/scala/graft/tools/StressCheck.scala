@@ -63,6 +63,24 @@ object StressCheck {
       graft.operators.Similarity.lshTopK(emb10,
         emb10.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count()
     }
+    time("cross-corpus decontam @50k/5k") {
+      // 50k candidates against a 5k "eval set" (every 10th source doc)
+      graft.operators.Dedup.decontaminate(docs10,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 0.7).count()
+    }
+    time("dup clusters @50k docs") {
+      graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.minhashLshPairs(docs10, "doc_id", "text", 0.9)).count()
+    }
+    time("repetition signals @50k docs") {
+      graft.operators.TextAnalysis.repetition(docs10, "doc_id", "text").count()
+    }
+    time("BPE-ish token counts @50k docs") {
+      graft.operators.TextAnalysis.tokenCounts(docs10, "doc_id", "text").count()
+    }
+    time("mean pooling @20k vecs") {
+      graft.operators.Embeddings.meanPool(emb10, "label", "embedding").count()
+    }
     spark.stop()
     println("== stress OK")
   }

@@ -77,16 +77,20 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
-  test("LSH pair mining keeps narrow signatures in whole-stage codegen") {
+  test("LSH signature aggregation is one typed agg, not a 128-wide or exploded shape") {
     import graft.operators.Dedup
     val docs = graft.api.Tables.load(spark, dir, "documents")
     val lazyPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7,
       materialize = false)
     val p = lazyPairs.queryExecution.executedPlan.toString
-    // partial + final aggregation on the (id, seed) minima
+    // the whole 128-hash family folds in ObjectHashAggregate buffers (one
+    // input row per shingle; partial merge map-side)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // verification still partial-aggregates with codegen
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
-    // no 128-column-wide aggregate: the signature agg is the narrow shape
+    // no 128-column-wide aggregate and no per-seed row explosion
     assert(!p.contains("mh64"), p)
+    assert(!p.toLowerCase.contains("seed"), p)
   }
 
   test("hosted write with key requires ordered range distribution") {
