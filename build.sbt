@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains emit one machine-readable JSON line; sbt's
+// default LoggedOutput prefixes forked stdout with "[info] ", which
+// breaks any downstream `json.loads(last_line)`. Stream the forked
+// process's stdio through unprefixed, and drop the trailing
+// "[success] Total time" line so the metric line stays last on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -405,45 +405,58 @@ object Dedup {
     * (minimum-id) doc — the standard "keep one per dup cluster" curation
     * step downstream of LSH/Jaccard pair mining.
     *
-    * Algorithm: min-label propagation. Labels start as each node's own id;
-    * each round every node takes the min of its own and its neighbors'
-    * labels; fixpoint = component minima. Rounds needed = component
-    * diameter — near-dup clusters are small and dense (often cliques from
-    * a shared band bucket), so this converges in a handful of distributed
-    * joins, each shuffling only (id, label) pairs, never documents.
-    * `localCheckpoint` cuts the iterative lineage so the plan doesn't grow
-    * with rounds. Convergence = no node's label changed this round (an
-    * exact join-count over the two small checkpointed label sets, correct
-    * for any id type). Docs that appear in no pair are absent (they are
-    * their own cluster by definition).
+    * Algorithm: min-label propagation with pointer jumping. Labels are
+    * initialized to `min(id, min neighbor id)` straight off the edge list
+    * (one aggregation — already the distance-1 fixpoint); each round then
+    * (a) takes the min of each node's and its neighbors' labels and
+    * (b) jumps `label := label(label)` through the label table, so the
+    * reach roughly doubles per round — O(log diameter) rounds instead of
+    * O(diameter). Every round shuffles only compact (id, label) pairs,
+    * never documents, and costs exactly ONE Spark action: the previous
+    * label rides along as `old`, the round's lazy `localCheckpoint` is
+    * materialized by the change-count itself, and convergence = zero
+    * changed labels (labels only ever decrease, so unchanged-everywhere =
+    * fixpoint; jumping never skips it — any stored label is a same-
+    * component node id, a valid upper bound of the component min). An
+    * iterative loop lives or dies on per-round driver latency under a
+    * loaded scheduler, so rounds-times-actions is the number to minimize.
+    * Docs that appear in no pair are absent (they are their own cluster
+    * by definition).
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-                        maxIter: Int = 20): DataFrame = {
+                        maxIter: Int = 12): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val labelType = edges.schema("src").dataType
+    var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
+      .localCheckpoint(false) // lazy: round 1's action materializes it once
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      // Exact, id-type-generic convergence: count nodes whose label moved
-      // this round (labels only ever decrease, so unchanged-everywhere =
-      // fixpoint). Both sides are checkpointed, so this join is over two
-      // small materialized (id, label) sets.
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      converged = changed == 0
-      labels = next
+      // Propagate neighbor minima; `old` (each node's previous label,
+      // unique per id — msgs contribute NULL, which max() ignores) rides
+      // along so the convergence count needs no second join.
+      val prop = labels.select(col("id"), col("label"), col("label").as("old"))
+        .unionByName(msgs.withColumn("old", lit(null).cast(labelType)))
+        .groupBy("id").agg(min("label").as("label"), max("old").as("old"))
+      // Pointer jump: follow the propagated label one hop through the
+      // previous label table (left join — the label may be its own root).
+      val next = prop.as("p")
+        .join(labels.as("l"), col("p.label") === col("l.id"), "left")
+        .select(col("p.id").as("id"),
+          least(col("p.label"), coalesce(col("l.label"), col("p.label")))
+            .as("label"),
+          col("p.old").as("old"))
+        .localCheckpoint(false)
+      // The one action of the round: materializes the checkpoint and
+      // counts moved labels in the same job.
+      converged = next.filter(col("label") =!= col("old")).count() == 0
+      labels = next.select("id", "label")
       i += 1
     }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
