@@ -46,6 +46,33 @@ object Curation {
       .drop("__running")
   }
 
+  /** Deterministic domain-mixture sampling: build a training mix with
+    * target proportions per domain (web 60% / code 20% / books 20%…) over
+    * a `total`-row budget. Each domain contributes `floor(total × weight)`
+    * rows, chosen in md5-of-key order — a reproducible, engine-agnostic
+    * shuffle (same winners every run, every engine), unlike `rand()`
+    * sampling. Domains absent from `weights` contribute nothing.
+    *
+    * One shuffle on the domain column for the per-domain rank window.
+    * Per-domain ordering is inherent to exact-k sampling; at extreme
+    * domain skew trade exactness for `sample(fraction)` per domain, which
+    * needs no window at all.
+    */
+  def domainMix(df: DataFrame, domainCol: String, keyCol: String,
+                weights: Map[String, Double], total: Long): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1),
+      "weights must be proportions in [0, 1]")
+    val cap = weights.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      when(col(domainCol) === d, lit(math.floor(total * p).toLong))
+        .otherwise(acc)
+    }
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Scrub common PII shapes (emails, long digit runs, phone-ish
     * sequences) from a text column — pure regexp projection, the standard
     * pre-training hygiene pass.

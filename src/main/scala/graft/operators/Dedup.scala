@@ -399,6 +399,45 @@ object Dedup {
         .select(col("cand_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Exact n-gram overlap decontamination report — the published
+    * eval-set-contamination check (flag any training doc sharing a long
+    * exact word n-gram with the benchmark set; 13-grams are the
+    * convention). For each contaminated candidate: how many of its
+    * distinct n-grams appear anywhere in the reference corpus, and its
+    * total distinct n-gram count (for an overlap ratio downstream).
+    *
+    * Scale shape: the reference n-gram set is collapsed to DISTINCT
+    * shingles and broadcast (an eval set is tiny next to a training
+    * corpus), so the candidate corpus never shuffles — one broadcast
+    * hash join over compact shingle strings plus a partial-aggregated
+    * groupBy on doc id. Set `broadcastRef = false` when the reference is
+    * itself corpus-sized (the join then shuffles on the shingle, which is
+    * high-cardinality and well distributed).
+    */
+  def ngramOverlapReport(cand: DataFrame, ref: DataFrame, idCol: String,
+                         textCol: String, n: Int = 13,
+                         broadcastRef: Boolean = true): DataFrame = {
+    val candSh = shingles(cand, idCol, textCol, n)
+    val refSh0 = shingles(ref, idCol, textCol, n).select("shingle").distinct()
+    val refSh = if (broadcastRef) broadcast(refSh0) else refSh0
+    val sizes = candSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
+    candSh.join(refSh, Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+      .join(sizes, Seq(idCol))
+      .select(col(idCol).as("cand_id"), col("n_hits"), col("n_ngrams"))
+  }
+
+  /** Drop every candidate doc sharing at least one exact n-gram with the
+    * reference corpus — anti-join on the report's compact id set.
+    */
+  def decontaminateNgram(cand: DataFrame, ref: DataFrame, idCol: String,
+                         textCol: String, n: Int = 13,
+                         broadcastRef: Boolean = true): DataFrame =
+    cand.join(
+      ngramOverlapReport(cand, ref, idCol, textCol, n, broadcastRef)
+        .select(col("cand_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Connected components over a near-dup pair list → duplicate clusters:
     * every doc in a component gets `cluster_id` = the component's minimum
     * doc id, plus the member count and a `keep` flag on the canonical
@@ -465,6 +504,28 @@ object Dedup {
         Seq("cluster_id"))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .select("doc_id", "cluster_id", "n_members", "keep")
+  }
+
+  /** Re-pick each duplicate cluster's canonical doc by an explicit quality
+    * score instead of [[duplicateClusters]]' min-id default: highest
+    * `scoreCol` wins, ties break to the smallest id — "keep the best copy,
+    * not the first copy", the curation policy real pipelines want when dup
+    * clusters mix truncated/boilerplate variants with the full document.
+    *
+    * `clusters` is [[duplicateClusters]] output; `scores` maps `idCol` →
+    * `scoreCol`. The rank window partitions by cluster id — a dup cluster
+    * is orders of magnitude smaller than the corpus (and bounded by the
+    * upstream bucket/shingle caps), so no partition is ever hot.
+    */
+  def bestPerCluster(clusters: DataFrame, scores: DataFrame, idCol: String,
+                     scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clusters.drop("keep")
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("keep", col("__rk") === 1)
+      .drop("__rk")
   }
 
   /** SimHash bit signature (numBits ≤ 32, hex-nibble votes from md5):

@@ -689,6 +689,37 @@ object QueryCatalog {
         .orderBy("cand_id")
     }),
 
+    "x_decontam_ngram" -> ((s, dir) => {
+      // Exact 8-gram eval-contamination report: reference corpus = every
+      // 7th doc, candidates = the rest. 13 is the published convention;
+      // 8 keeps the check meaningful on the short synthetic docs.
+      val docs = t(s, dir, "documents")
+      Dedup.ngramOverlapReport(docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 8)
+        .orderBy("cand_id")
+    }),
+
+    "x_domain_mix" -> ((s, dir) =>
+      // Target-proportion training mix over a 100-doc budget, winners in
+      // md5-of-id order (engine-agnostic determinism).
+      Curation.domainMix(t(s, dir, "documents").select("doc_id", "lang", "source"),
+          "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05),
+          100L)
+        .orderBy("doc_id")),
+
+    "x_dedup_best" -> ((s, dir) => {
+      // Keep-best-per-cluster: same capped jaccard mining + connected
+      // components as x_dedup_clusters, canonical doc re-picked by
+      // n_chars (longest copy wins, ties to the smallest id).
+      val docs = t(s, dir, "documents")
+      Dedup.bestPerCluster(
+          Dedup.duplicateClusters(Dedup.jaccardPairs(docs, "doc_id", "text", 0.6,
+            maxShingleFreq = Some(jaccardFreqCap))),
+          docs.select("doc_id", "n_chars"), "doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_minhash_pairs" -> ((s, dir) =>
       // md5Base double-hash family so the DuckDB oracle replays the
       // identical signature → band → bucket-cap → verify pipeline; banding
@@ -882,6 +913,51 @@ object QueryCatalog {
            |       l.doc_id = l.cluster_id AS keep
            |FROM lab l JOIN csizes s USING (cluster_id)
            |ORDER BY l.doc_id""".stripMargin,
+
+      "x_decontam_ngram" ->
+        """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |sh8 AS (SELECT doc_id,
+          |         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+          |                               for i in range(1, len(w) - 6)])) AS shingle
+          |        FROM words),
+          |cand AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 7 <> 0),
+          |ref AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 7 = 0),
+          |sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM cand GROUP BY 1),
+          |hits AS (SELECT c.doc_id, count(*) AS n_hits
+          |           FROM cand c JOIN ref USING (shingle) GROUP BY 1)
+          |SELECT h.doc_id AS cand_id, h.n_hits, s.n_ngrams
+          |FROM hits h JOIN sizes s USING (doc_id) ORDER BY cand_id""".stripMargin,
+
+      "x_domain_mix" ->
+        """WITH ranked AS (SELECT doc_id, lang, source,
+          |  row_number() OVER (PARTITION BY lang
+          |                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents)
+          |SELECT doc_id, lang, source FROM ranked
+          |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 15
+          |                      WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 0 END
+          |ORDER BY doc_id""".stripMargin,
+
+      "x_dedup_best" ->
+        s"""WITH RECURSIVE ${jaccardPairsSql(Some(jaccardFreqCap))},
+           |pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.6),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |lab AS (SELECT node AS doc_id, min(label) AS cluster_id
+           |          FROM reach GROUP BY node),
+           |csizes AS (SELECT cluster_id, count(*) AS n_members
+           |             FROM lab GROUP BY cluster_id),
+           |scored AS (SELECT l.doc_id, l.cluster_id, s.n_members, d.n_chars,
+           |             row_number() OVER (PARTITION BY l.cluster_id
+           |                                ORDER BY d.n_chars DESC, l.doc_id) AS rk
+           |           FROM lab l JOIN csizes s USING (cluster_id)
+           |           JOIN documents d USING (doc_id))
+           |SELECT doc_id, cluster_id, n_members, n_chars, rk = 1 AS keep
+           |FROM scored ORDER BY doc_id""".stripMargin,
 
       "x_dedup_minhash_pairs" ->
         s"""WITH ${jaccardPairsSql(None)},

@@ -72,6 +72,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("ngram decontamination flags exactly the docs sharing a long n-gram") {
+    val cand = Seq(
+      (1L, "a b c d e f g h i j"),     // contains ref's 8-gram
+      (2L, "z y x w v u t s r q"),     // disjoint
+      (3L, "a b c d e f g X i j")      // breaks the 8-gram mid-window
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, "a b c d e f g h extra words")).toDF("doc_id", "text")
+    val report = Dedup.ngramOverlapReport(cand, ref, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(report.map(_._1).toSet == Set(1L))
+    assert(report.head._2 == 1L) // exactly one shared 8-gram
+    val clean = Dedup.decontaminateNgram(cand, ref, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("domain mix honors per-domain caps in deterministic hash order") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "web" else "code"))
+      .toDF("doc_id", "domain")
+    val mixed = Curation.domainMix(df, "domain", "doc_id",
+      Map("web" -> 0.6, "code" -> 0.3), 50L)
+    val byDomain = mixed.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDomain == Map("web" -> 30L, "code" -> 15L))
+    // deterministic: the same call returns the same winners
+    val again = Curation.domainMix(df, "domain", "doc_id",
+      Map("web" -> 0.6, "code" -> 0.3), 50L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == mixed.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("bestPerCluster keeps the highest-scored doc, ties to smallest id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (11L, 1L))
+      .toDF("doc_id", "score")
+    val best = Dedup.bestPerCluster(clusters, scores, "doc_id", "score")
+    val kept = best.filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: max score 9 held by 2 and 3 → smallest id 2 wins;
+    // cluster {10,11}: tie at 1 → 10 wins
+    assert(kept == Set(2L, 10L))
+    assert(best.count() == 5) // every member still present, flagged
+  }
+
   test("meanPool centroid matches a driver-side elementwise mean") {
     val emb = graft.api.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val got = Embeddings.meanPool(emb, "label", "embedding")
