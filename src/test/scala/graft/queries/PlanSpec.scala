@@ -77,6 +77,26 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("n-gram decontamination broadcasts the reference shingle set") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = graft.api.Tables.load(spark, dir, "documents")
+    val report = Dedup.ngramOverlapReport(docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 8)
+    val p = report.queryExecution.executedPlan.toString
+    // the candidate corpus joins against a broadcast reference set — the
+    // training side must never shuffle on the shingle in the default shape
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("domain mix windows per domain — no global (unpartitioned) window") {
+    val p = planOf("x_domain_mix")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Window [") || !p.contains("partitionBy=[]"), p)
+    // the rank evaluates over a hash-partitioned domain shuffle
+    assert(p.contains("hashpartitioning(lang"), p)
+  }
+
   test("LSH signature aggregation is one typed agg, not a 128-wide or exploded shape") {
     import graft.operators.Dedup
     val docs = graft.api.Tables.load(spark, dir, "documents")
