@@ -73,6 +73,29 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Deterministic global shuffle + sharding for training-data export:
+    * each row gets a `shard` in [0, numShards) and a 0-based `pos` within
+    * its shard, both derived from md5 of the key — a reproducible
+    * corpus-wide permutation (same layout every run, every engine) that
+    * breaks source/domain ordering before sequential training reads,
+    * without `rand()`'s nondeterminism.
+    *
+    * md5 is uniform so shards are balanced by construction: the per-shard
+    * rank window rides a hash shuffle with no hot partition, and a shard
+    * maps 1:1 onto an output file for the downstream writer
+    * (`df.write.partitionBy("shard")`).
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val hx = md5(col(keyCol).cast("string"))
+    // 15 hex chars < 2^60: non-negative long, no overflow, replayable in
+    // any engine with md5 + hex→int
+    val shard = conv(substring(hx, 1, 15), 16, 10).cast("long") % numShards
+    val w = Window.partitionBy(col("shard")).orderBy(hx, col(keyCol))
+    df.withColumn("shard", shard)
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** Scrub common PII shapes (emails, long digit runs, phone-ish
     * sequences) from a text column — pure regexp projection, the standard
     * pre-training hygiene pass.

@@ -720,6 +720,12 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_shuffle_shards" -> ((s, dir) =>
+      // Deterministic global shuffle: md5-derived shard + in-shard
+      // position, the export permutation before sequential training reads.
+      Curation.shuffleShards(t(s, dir, "documents").select("doc_id"), "doc_id", 8)
+        .orderBy("doc_id")),
+
     "x_dedup_minhash_pairs" -> ((s, dir) =>
       // md5Base double-hash family so the DuckDB oracle replays the
       // identical signature → band → bucket-cap → verify pipeline; banding
@@ -958,6 +964,14 @@ object QueryCatalog {
            |           JOIN documents d USING (doc_id))
            |SELECT doc_id, cluster_id, n_members, n_chars, rk = 1 AS keep
            |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "x_shuffle_shards" ->
+        """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+          |s AS (SELECT doc_id, hx,
+          |        ('0x' || substr(hx, 1, 15))::BIGINT % 8 AS shard FROM h)
+          |SELECT doc_id, shard,
+          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+          |FROM s ORDER BY doc_id""".stripMargin,
 
       "x_dedup_minhash_pairs" ->
         s"""WITH ${jaccardPairsSql(None)},

@@ -116,6 +116,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(best.count() == 5) // every member still present, flagged
   }
 
+  test("shuffleShards: contiguous in-shard positions, deterministic, balanced") {
+    val df = (0L until 1000L).toDF("doc_id")
+    val sharded = Curation.shuffleShards(df, "doc_id", 8)
+      .as[(Long, Long, Long)].collect()
+    val byShard = sharded.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // positions are a contiguous 0..n-1 run within every shard
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // md5 uniformity: no shard hogs the corpus
+    assert(byShard.values.map(_.length).max < 1000 / 8 * 2)
+    // same permutation on re-run
+    val again = Curation.shuffleShards(df, "doc_id", 8)
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == sharded.sortBy(_._1).toSeq)
+  }
+
   test("meanPool centroid matches a driver-side elementwise mean") {
     val emb = graft.api.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val got = Embeddings.meanPool(emb, "label", "embedding")

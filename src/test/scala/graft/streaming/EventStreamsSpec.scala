@@ -89,6 +89,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.length == 3) // 2 sessions for user 1, 1 for user 2
   }
 
+  test("session windows run on the RocksDB state store (off-heap streaming state)") {
+    // At corpus scale streaming session state cannot live on the executor
+    // heap (the HDFSBacked provider's failure mode); RocksDB is the
+    // production posture. Isolated session so the provider setting doesn't
+    // leak into concurrently-running streaming specs.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s2.sqlContext
+    import s2.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val q = Sessionize.sessions(events.withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_sessions_rocks").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((ts(1, 0), 1L, 1.0), (ts(1, 10), 1L, 2.0),
+      (ts(2, 0), 1L, 4.0), (ts(1, 5), 2L, 8.0))
+    q.processAllAvailable()
+    input.addData((ts(9, 0), 99L, 0.0)) // sentinel: close open sessions
+    q.processAllAvailable()
+    q.stop()
+    val streamed = s2.table("spec_sessions_rocks")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start_ms")
+      .collect().toSeq
+    val batch = Sessionize.sessions(
+        Seq((ts(1, 0), 1L, 1.0), (ts(1, 10), 1L, 2.0),
+          (ts(2, 0), 1L, 4.0), (ts(1, 5), 2L, 8.0)).toDF("ts", "user_id", "value"))
+      .orderBy("user_id", "session_start_ms").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState emits anomalies against the running mean") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Sessionize.UserEvent]
