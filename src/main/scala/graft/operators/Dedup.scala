@@ -212,21 +212,30 @@ object Dedup {
     * keys are then md5 over each band's slice of the signature array —
     * one `posexplode` of bands per doc.
     */
-  def bandKeysFromShingles(sh: DataFrame, idCol: String, numHashes: Int,
-                           bands: Int, base: Hashers.Base): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
+  /** Full minhash family per doc — (id, sig: array<long> of length
+    * `numHashes`) — via the single-string-hash Kirsch–Mitzenmacher
+    * aggregation.
+    */
+  def signaturesFromShingles(sh: DataFrame, idCol: String, numHashes: Int,
+                             base: Hashers.Base): DataFrame = {
     val famAgg = udaf(new MinHashFamilyAgg(numHashes),
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong))
-    val sig = sh
-      .select(col(idCol),
+    sh.select(col(idCol),
         base.h1(col("shingle")).as("h1"), base.h2(col("shingle")).as("h2"))
       .groupBy(col(idCol))
       .agg(famAgg(col("h1"), col("h2")).as("sig"))
-    // one row per (doc, band); key = md5 of the band's slice joined with
-    // '|' (identical to the DuckDB oracle's mh_i || '|' || ... folding)
+  }
+
+  /** Band keys from precomputed signatures: one row per (doc, band); key =
+    * md5 of the band's slice joined with '|' (identical to the DuckDB
+    * oracle's mh_i || '|' || ... folding).
+    */
+  def bandKeysFromSignatures(sig: DataFrame, idCol: String, numHashes: Int,
+                             bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
     sig
       .select(col(idCol), posexplode(
         expr(s"transform(sequence(0, ${bands - 1}), b -> " +
@@ -235,6 +244,11 @@ object Dedup {
         .as(Seq("band", "joined")))
       .select(col(idCol), col("band"), md5(col("joined")).as("key"))
   }
+
+  def bandKeysFromShingles(sh: DataFrame, idCol: String, numHashes: Int,
+                           bands: Int, base: Hashers.Base): DataFrame =
+    bandKeysFromSignatures(
+      signaturesFromShingles(sh, idCol, numHashes, base), idCol, numHashes, bands)
 
   /** MinHash+LSH near-dup pairs: band the signatures, bucket-join within
     * bands (candidates only), then verify *only the candidates* with exact
@@ -248,19 +262,35 @@ object Dedup {
     * band buckets holding more than that many docs — a hot bucket (boiler-
     * plate, empty docs) contributes O(size²) candidates; the cap bounds
     * bucket-join skew exactly like `maxShingleFreq` does for `jaccardPairs`.
+    *
+    * `verifyExact = false` verifies candidates from the SIGNATURES instead
+    * of the shingle sets: estimated Jaccard = fraction of agreeing family
+    * members (std ≈ √(J(1−J)/numHashes), ~0.027 at J=0.9/128 hashes). At
+    * dup-heavy corpus scale the exact shingle-join verification dominates
+    * the pipeline (every true dup pair re-joins both docs' full shingle
+    * sets); the estimator replaces it with a join of two fixed-width
+    * arrays per candidate — this is the production path, exact is the
+    * oracle-replayable default.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 128, bands: Int = 16,
                       n: Int = 3,
                       base: Hashers.Base = Hashers.xx64Base,
                       maxBucketSize: Option[Int] = Some(100),
-                      materialize: Boolean = true): DataFrame =
+                      materialize: Boolean = true,
+                      verifyExact: Boolean = true): DataFrame =
     // The distinct shingle set feeds three consumers (both sides of the
     // candidate-verification join + the size table) — cached once by the
     // wrapper instead of recomputing the explode+distinct shuffle per
     // consumer, released after the (small) pair set is materialized.
     withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
-    val stacked = bandKeysFromShingles(sh, idCol, numHashes, bands, base)
+    val sigs0 = signaturesFromShingles(sh, idCol, numHashes, base)
+    // Estimator mode reuses the signatures for banding AND verification:
+    // one compact row per doc (numHashes longs), checkpointed so the
+    // aggregation runs once (spills partition-local at corpus scale).
+    val sigs = if (!verifyExact && materialize) sigs0.localCheckpoint(true)
+               else sigs0
+    val stacked = bandKeysFromSignatures(sigs, idCol, numHashes, bands)
     // Candidate pairs come from ONE pass over the band keys: gather each
     // bucket's doc ids, drop buckets over the cap, and expand in-bucket
     // pairs. No bucket self-join (which would recompute the signature
@@ -285,20 +315,33 @@ object Dedup {
       .select("a", "b").distinct()
     val candidates =
       if (materialize) candidates0.localCheckpoint(true) else candidates0
-    // Exact-Jaccard verification restricted to candidate pairs: join each
-    // side's shingle set in, count the intersection per pair.
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val common = candidates
-      .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-    candidates.join(common, Seq("a", "b"))
-      .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
-      .withColumn("jaccard",
-        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+    if (verifyExact) {
+      // Exact-Jaccard verification restricted to candidate pairs: join each
+      // side's shingle set in, count the intersection per pair.
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      val common = candidates
+        .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+        .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      candidates.join(common, Seq("a", "b"))
+        .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
+        .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
+        .withColumn("jaccard",
+          col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+        .filter(col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    } else {
+      // Signature-agreement estimator: fixed-width array join per pair,
+      // codegen'd HOFs, no shingle re-join.
+      candidates
+        .join(sigs.select(col(idCol).as("a"), col("sig").as("sa")), Seq("a"))
+        .join(sigs.select(col(idCol).as("b"), col("sig").as("sb")), Seq("b"))
+        .withColumn("jaccard",
+          expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0L, " +
+               "(acc, v) -> acc + v)") / numHashes)
+        .filter(col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    }
     }
 
   /** Cross-corpus contamination report: for each candidate doc similar to

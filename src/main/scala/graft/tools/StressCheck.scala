@@ -46,6 +46,10 @@ object StressCheck {
     time("minhash LSH pairs @50k docs") {
       graft.operators.Dedup.minhashLshPairs(docs10, "doc_id", "text", 0.9).count()
     }
+    time("minhash LSH est-verify @50k") {
+      graft.operators.Dedup.minhashLshPairs(docs10, "doc_id", "text", 0.9,
+        verifyExact = false).count()
+    }
     time("simhash @50k docs") {
       graft.operators.Dedup.simhashSignatures(docs10, "doc_id", "text").count()
     }
@@ -71,6 +75,18 @@ object StressCheck {
     time("dup clusters @50k docs") {
       graft.operators.Dedup.duplicateClusters(
         graft.operators.Dedup.minhashLshPairs(docs10, "doc_id", "text", 0.9)).count()
+    }
+    time("ngram decontam @50k/5k") {
+      graft.operators.Dedup.decontaminateNgram(docs10,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 8).count()
+    }
+    time("shuffle shards @50k docs") {
+      graft.operators.Curation.shuffleShards(docs10, "doc_id", 64).count()
+    }
+    time("domain mix @50k docs") {
+      graft.operators.Curation.domainMix(docs10, "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05),
+        10000L).count()
     }
     time("repetition signals @50k docs") {
       graft.operators.TextAnalysis.repetition(docs10, "doc_id", "text").count()

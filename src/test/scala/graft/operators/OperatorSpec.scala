@@ -55,6 +55,23 @@ class OperatorSpec extends AnyFunSuite {
     assert((lshPairs -- exactPairs).isEmpty)
   }
 
+  test("signature-verified LSH pairs track the exact-verified pairs") {
+    val exactV = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val estV = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9,
+        verifyExact = false)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = (exactV & estV).size.toDouble / exactV.size
+    info(f"estimator recall vs exact-verified@0.9: $recall%.2f")
+    assert(recall >= 0.8)
+    // estimator false-accepts must be near-threshold (estimator std at
+    // J=0.9/128 hashes ≈ 0.027 — nothing below true J=0.8 should pass)
+    val nearPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert((estV -- nearPairs).isEmpty,
+      s"estimator accepted pairs below true J=0.8: ${(estV -- nearPairs).take(5)}")
+  }
+
   test("xxhash64 minhash variant finds the same planted near-dups") {
     val md5Pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9,
         base = Dedup.Hashers.md5Base)
