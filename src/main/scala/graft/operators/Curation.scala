@@ -96,6 +96,54 @@ object Curation {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** Take rows in `orderCols` order until a global token budget is
+    * exhausted — "fill the training mix with the best documents first,
+    * stop at N tokens". Emits every row whose running-total-before
+    * (`cum_before`) is still under `budget`, so the budget is exceeded by
+    * at most one document (the standard convention).
+    *
+    * The naive formulation is a global-window cumulative sum — a single
+    * partition holding the whole corpus. Here it is the two-pass
+    * partition-offset scheme (same shape as `Chunker.withChunkIds`):
+    * range-partition + sort gives the global order across partitions;
+    * pass 1 reduces each partition to one subtotal (a `numPartitions`-long
+    * driver array — bytes, not rows); pass 2 streams each partition with
+    * its broadcast prefix offset, short-circuiting as soon as the budget
+    * is crossed. Partitions that start past the budget emit nothing
+    * without reading a row. `tokenCol` must be a non-negative LongType
+    * (cast upstream); ordering is total when `orderCols` contain a unique
+    * key.
+    */
+  def takeByBudget(df: DataFrame, orderCols: Seq[String], tokenCol: String,
+                   budget: Long, partitions: Option[Int] = None): DataFrame = {
+    require(orderCols.nonEmpty && budget > 0)
+    require(df.schema(tokenCol).dataType == org.apache.spark.sql.types.LongType,
+      s"tokenCol must be LongType, got ${df.schema(tokenCol).dataType.simpleString}")
+    val keyCols = orderCols.map(col).toIndexedSeq
+    val spark = df.sparkSession
+    val parts = partitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(parts, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+    val tokIdx = sorted.schema.fieldIndex(tokenCol)
+    val rdd = sorted.rdd
+    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(tokIdx)); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val prefix = subtotals.scanLeft(0L)(_ + _)
+    val outSchema = sorted.schema
+      .add("cum_before", org.apache.spark.sql.types.LongType, nullable = false)
+    val taken = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = prefix(pid)
+      if (run >= budget) Iterator.empty
+      else it.map { r => val before = run; run += r.getLong(tokIdx); (before, r) }
+        .takeWhile(_._1 < budget)
+        .map { case (before, r) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ before) }
+    }
+    spark.createDataFrame(taken, outSchema)
+  }
+
   /** Scrub common PII shapes (emails, long digit runs, phone-ish
     * sequences) from a text column — pure regexp projection, the standard
     * pre-training hygiene pass.

@@ -720,6 +720,18 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_token_budget" -> ((s, dir) => {
+      // Budget-bounded selection in deterministic md5 priority order:
+      // two-pass partition-offset cumulative sum, no global window.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("__hx"))
+      Curation.takeByBudget(docs, Seq("__hx", "doc_id"), "n_tokens", 5000L)
+        .select("doc_id", "n_tokens", "cum_before")
+        .orderBy("doc_id")
+    }),
+
     "x_shuffle_shards" -> ((s, dir) =>
       // Deterministic global shuffle: md5-derived shard + in-shard
       // position, the export permutation before sequential training reads.
@@ -964,6 +976,18 @@ object QueryCatalog {
            |           JOIN documents d USING (doc_id))
            |SELECT doc_id, cluster_id, n_members, n_chars, rk = 1 AS keep
            |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "x_token_budget" ->
+        """WITH toks AS (SELECT doc_id,
+          |         len(string_split(text, ' ')) AS n_tokens,
+          |         md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |        coalesce(sum(n_tokens) OVER (ORDER BY hx, doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |      FROM toks)
+          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(cum_before AS BIGINT) AS cum_before
+          |FROM c WHERE cum_before < 5000 ORDER BY doc_id""".stripMargin,
 
       "x_shuffle_shards" ->
         """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),

@@ -133,6 +133,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(best.count() == 5) // every member still present, flagged
   }
 
+  test("takeByBudget: budget boundary exact, partition-count invariant") {
+    val df = (1L to 500L).map(i => (i, i % 7 + 1)).toDF("id", "toks")
+      .withColumn("toks", col("toks").cast("long"))
+    val got = Curation.takeByBudget(df, Seq("id"), "toks", 100L)
+      .select("id", "toks", "cum_before")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // rows in id order: every kept row starts under budget; the next
+    // row's start is the previous start + its tokens
+    assert(got.head._3 == 0L)
+    got.sliding(2).foreach { case Array(a, b) => assert(b._3 == a._3 + a._2) }
+    assert(got.forall(_._3 < 100L))
+    assert(got.last._3 + got.last._2 >= 100L) // budget actually exhausted
+    // same result under a different partitioning
+    val again = Curation.takeByBudget(df, Seq("id"), "toks", 100L,
+        partitions = Some(3))
+      .select("id", "toks", "cum_before")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("shuffleShards: contiguous in-shard positions, deterministic, balanced") {
     val df = (0L until 1000L).toDF("doc_id")
     val sharded = Curation.shuffleShards(df, "doc_id", 8)
