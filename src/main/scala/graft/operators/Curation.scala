@@ -63,8 +63,12 @@ object Curation {
     require(weights.values.forall(w => w >= 0 && w <= 1),
       "weights must be proportions in [0, 1]")
     val cap = weights.foldLeft(lit(0L)) { case (acc, (d, p)) =>
-      when(col(domainCol) === d, lit(math.floor(total * p).toLong))
-        .otherwise(acc)
+      // exact decimal floor: IEEE double gives 100 × 0.29 =
+      // 28.999999999999996 → floor 28, one row short of the documented
+      // floor(total × weight) = 29
+      val k = (BigDecimal(total) * BigDecimal(p))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+      when(col(domainCol) === d, lit(k)).otherwise(acc)
     }
     val w = Window.partitionBy(col(domainCol))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
@@ -128,7 +132,20 @@ object Curation {
     val tokIdx = sorted.schema.fieldIndex(tokenCol)
     val rdd = sorted.rdd
     val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(tokIdx)); Iterator((pid, s))
+      var s = 0L
+      it.foreach { r =>
+        // loud contract check here, not an executor NPE three jobs later:
+        // nulls and negatives both corrupt the running budget silently
+        if (r.isNullAt(tokIdx))
+          throw new IllegalArgumentException(
+            s"takeByBudget: null token count (tokenCol must be non-null)")
+        val t = r.getLong(tokIdx)
+        if (t < 0)
+          throw new IllegalArgumentException(
+            s"takeByBudget: negative token count $t")
+        s += t
+      }
+      Iterator((pid, s))
     }.collect().sortBy(_._1).map(_._2)
     val prefix = subtotals.scanLeft(0L)(_ + _)
     val outSchema = sorted.schema

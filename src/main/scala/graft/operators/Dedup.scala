@@ -278,19 +278,7 @@ object Dedup {
                       base: Hashers.Base = Hashers.xx64Base,
                       maxBucketSize: Option[Int] = Some(100),
                       materialize: Boolean = true,
-                      verifyExact: Boolean = true): DataFrame =
-    // The distinct shingle set feeds three consumers (both sides of the
-    // candidate-verification join + the size table) — cached once by the
-    // wrapper instead of recomputing the explode+distinct shuffle per
-    // consumer, released after the (small) pair set is materialized.
-    withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
-    val sigs0 = signaturesFromShingles(sh, idCol, numHashes, base)
-    // Estimator mode reuses the signatures for banding AND verification:
-    // one compact row per doc (numHashes longs), checkpointed so the
-    // aggregation runs once (spills partition-local at corpus scale).
-    val sigs = if (!verifyExact && materialize) sigs0.localCheckpoint(true)
-               else sigs0
-    val stacked = bandKeysFromSignatures(sigs, idCol, numHashes, bands)
+                      verifyExact: Boolean = true): DataFrame = {
     // Candidate pairs come from ONE pass over the band keys: gather each
     // bucket's doc ids, drop buckets over the cap, and expand in-bucket
     // pairs. No bucket self-join (which would recompute the signature
@@ -298,41 +286,59 @@ object Dedup {
     // collect_list buffer is the bucket itself — after LSH banding a
     // bucket is a near-dup cluster, orders of magnitude below the doc
     // count; the cap bounds the quadratic pair expansion.
-    val buckets = stacked.groupBy("band", "key")
-      .agg(collect_list(col(idCol)).as("ids"))
-    val okBuckets = maxBucketSize match {
-      case Some(cap) => buckets.filter(size(col("ids")) <= cap)
-      case None      => buckets
+    def candidatesFrom(stacked: DataFrame, checkpoint: Boolean): DataFrame = {
+      val buckets = stacked.groupBy("band", "key")
+        .agg(collect_list(col(idCol)).as("ids"))
+      val okBuckets = maxBucketSize match {
+        case Some(cap) => buckets.filter(size(col("ids")) <= cap)
+        case None      => buckets
+      }
+      val c0 = okBuckets
+        .filter(size(col("ids")) >= 2)
+        .select(explode(col("ids")).as("a"), col("ids"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      if (checkpoint) c0.localCheckpoint(true) else c0
     }
-    // Materialized (in the default eager mode): the pair set feeds both
-    // the intersection count and the final join — without this the whole
-    // signature → band → bucket chain executes twice.
-    val candidates0 = okBuckets
-      .filter(size(col("ids")) >= 2)
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val candidates =
-      if (materialize) candidates0.localCheckpoint(true) else candidates0
-    if (verifyExact) {
-      // Exact-Jaccard verification restricted to candidate pairs: join each
-      // side's shingle set in, count the intersection per pair.
-      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-      val common = candidates
-        .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
-        .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-      candidates.join(common, Seq("a", "b"))
-        .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
-        .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
-        .withColumn("jaccard",
-          col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
-        .filter(col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    } else {
-      // Signature-agreement estimator: fixed-width array join per pair,
-      // codegen'd HOFs, no shingle re-join.
+    if (verifyExact)
+      // The distinct shingle set feeds three consumers (both sides of the
+      // candidate-verification join + the size table) — cached once by the
+      // wrapper instead of recomputing the explode+distinct shuffle per
+      // consumer, released after the (small) pair set is materialized.
+      withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
+        val stacked = bandKeysFromShingles(sh, idCol, numHashes, bands, base)
+        // checkpointed (in the default eager mode): the pair set feeds both
+        // the intersection count and the final join — without this the
+        // whole signature → band → bucket chain executes twice
+        val candidates = candidatesFrom(stacked, materialize)
+        // Exact-Jaccard verification restricted to candidate pairs: join
+        // each side's shingle set in, count the intersection per pair.
+        val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+        val common = candidates
+          .join(sh.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+          .join(sh.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+        candidates.join(common, Seq("a", "b"))
+          .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
+          .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
+          .withColumn("jaccard",
+            col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+          .filter(col("jaccard") >= threshold)
+          .select("a", "b", "jaccard")
+      }
+    else {
+      // Estimator mode never re-reads the shingles: they have exactly one
+      // consumer (the signature aggregation), so no shingle cache — the
+      // checkpointed signatures (one compact numHashes-long row per doc,
+      // spilling partition-local at corpus scale) serve both banding and
+      // verification, and the verify join is a fixed-width array zip per
+      // candidate instead of a shingle re-join.
+      val sh = shingles(docs, idCol, textCol, n)
+      val sigs0 = signaturesFromShingles(sh, idCol, numHashes, base)
+      val sigs = if (materialize) sigs0.localCheckpoint(true) else sigs0
+      val candidates = candidatesFrom(
+        bandKeysFromSignatures(sigs, idCol, numHashes, bands), checkpoint = false)
       candidates
         .join(sigs.select(col(idCol).as("a"), col("sig").as("sa")), Seq("a"))
         .join(sigs.select(col(idCol).as("b"), col("sig").as("sb")), Seq("b"))
@@ -342,7 +348,7 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     }
-    }
+  }
 
   /** Cross-corpus contamination report: for each candidate doc similar to
     * some reference doc, the best-matching reference (max jaccard; ties →
@@ -459,16 +465,19 @@ object Dedup {
     */
   def ngramOverlapReport(cand: DataFrame, ref: DataFrame, idCol: String,
                          textCol: String, n: Int = 13,
-                         broadcastRef: Boolean = true): DataFrame = {
-    val candSh = shingles(cand, idCol, textCol, n)
-    val refSh0 = shingles(ref, idCol, textCol, n).select("shingle").distinct()
-    val refSh = if (broadcastRef) broadcast(refSh0) else refSh0
-    val sizes = candSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
-    candSh.join(refSh, Seq("shingle"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
-      .join(sizes, Seq(idCol))
-      .select(col(idCol).as("cand_id"), col("n_hits"), col("n_ngrams"))
-  }
+                         broadcastRef: Boolean = true,
+                         materialize: Boolean = true): DataFrame =
+    // the candidate shingle set feeds two consumers (sizes + the hit
+    // join) — cached once, released after the (small) report materializes
+    withShingleCache(shingles(cand, idCol, textCol, n), materialize) { candSh =>
+      val refSh0 = shingles(ref, idCol, textCol, n).select("shingle").distinct()
+      val refSh = if (broadcastRef) broadcast(refSh0) else refSh0
+      val sizes = candSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
+      candSh.join(refSh, Seq("shingle"))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+        .join(sizes, Seq(idCol))
+        .select(col(idCol).as("cand_id"), col("n_hits"), col("n_ngrams"))
+    }
 
   /** Drop every candidate doc sharing at least one exact n-gram with the
     * reference corpus — anti-join on the report's compact id set.
@@ -562,10 +571,13 @@ object Dedup {
     */
   def bestPerCluster(clusters: DataFrame, scores: DataFrame, idCol: String,
                      scoreCol: String): DataFrame = {
+    // LEFT join + nulls-last rank: a member missing from the scores table
+    // stays in the output (unscored docs lose ties but are never silently
+    // dropped — n_members must keep matching the emitted rows)
     val w = Window.partitionBy("cluster_id")
-      .orderBy(col(scoreCol).desc, col(idCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
     clusters.drop("keep")
-      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
       .withColumn("__rk", row_number().over(w))
       .withColumn("keep", col("__rk") === 1)
       .drop("__rk")

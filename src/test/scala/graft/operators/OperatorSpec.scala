@@ -118,6 +118,9 @@ class OperatorSpec extends AnyFunSuite {
       Map("web" -> 0.6, "code" -> 0.3), 50L)
       .select("doc_id").as[Long].collect().toSet
     assert(again == mixed.select("doc_id").as[Long].collect().toSet)
+    // exact decimal floor: IEEE 100 × 0.29 = 28.999… must still yield 29
+    assert(Curation.domainMix(df, "domain", "doc_id",
+      Map("web" -> 0.29), 100L).count() == 29L)
   }
 
   test("bestPerCluster keeps the highest-scored doc, ties to smallest id") {
@@ -131,6 +134,13 @@ class OperatorSpec extends AnyFunSuite {
     // cluster {10,11}: tie at 1 → 10 wins
     assert(kept == Set(2L, 10L))
     assert(best.count() == 5) // every member still present, flagged
+    // an UNSCORED member is kept in the output (left join, nulls-last),
+    // never silently dropped
+    val partial = Dedup.bestPerCluster(clusters,
+      scores.filter(col("doc_id") =!= 3L), "doc_id", "score")
+    assert(partial.count() == 5)
+    assert(partial.filter(col("keep")).select("doc_id")
+      .as[Long].collect().toSet == Set(2L, 10L))
   }
 
   test("takeByBudget: budget boundary exact, partition-count invariant") {
