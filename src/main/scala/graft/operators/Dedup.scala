@@ -368,6 +368,12 @@ object Dedup {
     * band join and the verify join ship the small side to every executor
     * and the candidate corpus never shuffles. Set `broadcastRef = false`
     * when decontaminating against another full-size corpus.
+    *
+    * `verifyExact = false` verifies bucket-sharing pairs from the minhash
+    * signatures (fraction of agreeing family members) instead of the
+    * shingle re-join — the same estimator trade as in
+    * [[minhashLshPairs]], for when the candidate corpus is dup-heavy and
+    * verification dominates.
     */
   def crossCorpusPairs(cand: DataFrame, ref: DataFrame, idCol: String,
                        textCol: String, threshold: Double,
@@ -375,7 +381,8 @@ object Dedup {
                        base: Hashers.Base = Hashers.xx64Base,
                        maxBucketSize: Option[Int] = Some(100),
                        broadcastRef: Boolean = true,
-                       materialize: Boolean = true): DataFrame = {
+                       materialize: Boolean = true,
+                       verifyExact: Boolean = true): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (broadcastRef) broadcast(df) else df
     val candId = col(idCol).as("cand_id")
@@ -384,55 +391,89 @@ object Dedup {
     val exactPairs = cand.select(candId, md5(col(textCol)).as("h"))
       .join(maybeBroadcast(ref.select(refId, md5(col(textCol)).as("h"))), Seq("h"))
       .select(col("cand_id"), col("ref_id"), lit(1.0).as("jaccard"))
-    // near-dup via shared LSH buckets, jaccard-verified; both shingle
-    // caches released once the (small) report is materialized
-    val shCand0 = shingles(cand, idCol, textCol, n)
-    val shRef0 = shingles(ref, idCol, textCol, n)
-    val (shCand, shRef) =
-      if (materialize) (shCand0.cache(), shRef0.cache()) else (shCand0, shRef0)
-    try {
-    val bCand = bandKeysFromShingles(shCand, idCol, numHashes, bands, base)
-      .select(candId, col("band"), col("key"))
-    val bRef = bandKeysFromShingles(shRef, idCol, numHashes, bands, base)
-      .select(refId, col("band"), col("key"))
-    // cap hot REFERENCE buckets (boilerplate in the eval set would pair
-    // with half the corpus) — symmetric to minhashLshPairs' bucket cap
-    val bRefOk = maxBucketSize match {
-      case Some(cap) =>
-        val hot = bRef.groupBy("band", "key").count().filter(col("count") > cap)
-          .select("band", "key")
-        bRef.join(maybeBroadcast(hot), Seq("band", "key"), "left_anti")
-      case None => bRef
+    // shared: bucket-join candidate generation (cap hot REFERENCE buckets
+    // — boilerplate in the eval set would pair with half the corpus —
+    // symmetric to minhashLshPairs' bucket cap) and best-match assembly
+    def lshCandidatesFrom(bCand: DataFrame, bRef: DataFrame): DataFrame = {
+      val bRefOk = maxBucketSize match {
+        case Some(cap) =>
+          val hot = bRef.groupBy("band", "key").count().filter(col("count") > cap)
+            .select("band", "key")
+          bRef.join(maybeBroadcast(hot), Seq("band", "key"), "left_anti")
+        case None => bRef
+      }
+      bCand.join(maybeBroadcast(bRefOk), Seq("band", "key"))
+        .filter(col("cand_id") =!= col("ref_id"))
+        .select("cand_id", "ref_id").distinct()
     }
-    val lshCandidates = bCand
-      .join(maybeBroadcast(bRefOk), Seq("band", "key"))
-      .filter(col("cand_id") =!= col("ref_id"))
-      .select("cand_id", "ref_id").distinct()
-    val nCand = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n_cand"))
-    val nRef = shRef.groupBy(col(idCol)).agg(count(lit(1)).as("n_ref"))
-    val common = lshCandidates
-      .join(shCand.select(col(idCol).as("cand_id"), col("shingle")), Seq("cand_id"))
-      .join(maybeBroadcast(shRef.select(col(idCol).as("ref_id"), col("shingle"))),
-        Seq("ref_id", "shingle"))
-      .groupBy("cand_id", "ref_id").agg(count(lit(1)).as("n_common"))
-    val nearPairs = common
-      .join(nCand.select(col(idCol).as("cand_id"), col("n_cand")), Seq("cand_id"))
-      .join(maybeBroadcast(nRef.select(col(idCol).as("ref_id"), col("n_ref"))),
-        Seq("ref_id"))
-      .withColumn("jaccard",
-        col("n_common") / (col("n_cand") + col("n_ref") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("cand_id", "ref_id", "jaccard")
     // best match per candidate: max jaccard, ties to the smallest ref id
-    val report = exactPairs.unionByName(nearPairs)
-      .groupBy("cand_id", "ref_id").agg(max("jaccard").as("jaccard"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("cand_id")
-          .orderBy(col("jaccard").desc, col("ref_id"))))
-      .filter(col("rk") === 1)
-      .select("cand_id", "ref_id", "jaccard")
-    if (materialize) report.localCheckpoint(true) else report
-    } finally if (materialize) { shCand.unpersist(false); shRef.unpersist(false) }
+    def assemble(nearPairs: DataFrame): DataFrame = {
+      val report = exactPairs.unionByName(nearPairs)
+        .groupBy("cand_id", "ref_id").agg(max("jaccard").as("jaccard"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cand_id")
+            .orderBy(col("jaccard").desc, col("ref_id"))))
+        .filter(col("rk") === 1)
+        .select("cand_id", "ref_id", "jaccard")
+      if (materialize) report.localCheckpoint(true) else report
+    }
+    if (verifyExact) {
+      // near-dup via shared LSH buckets, jaccard-verified; both shingle
+      // caches released once the (small) report is materialized
+      val shCand0 = shingles(cand, idCol, textCol, n)
+      val shRef0 = shingles(ref, idCol, textCol, n)
+      val (shCand, shRef) =
+        if (materialize) (shCand0.cache(), shRef0.cache()) else (shCand0, shRef0)
+      try {
+        val bCand = bandKeysFromShingles(shCand, idCol, numHashes, bands, base)
+          .select(candId, col("band"), col("key"))
+        val bRef = bandKeysFromShingles(shRef, idCol, numHashes, bands, base)
+          .select(refId, col("band"), col("key"))
+        val lshCandidates = lshCandidatesFrom(bCand, bRef)
+        val nCand = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n_cand"))
+        val nRef = shRef.groupBy(col(idCol)).agg(count(lit(1)).as("n_ref"))
+        val common = lshCandidates
+          .join(shCand.select(col(idCol).as("cand_id"), col("shingle")), Seq("cand_id"))
+          .join(maybeBroadcast(shRef.select(col(idCol).as("ref_id"), col("shingle"))),
+            Seq("ref_id", "shingle"))
+          .groupBy("cand_id", "ref_id").agg(count(lit(1)).as("n_common"))
+        val nearPairs = common
+          .join(nCand.select(col(idCol).as("cand_id"), col("n_cand")), Seq("cand_id"))
+          .join(maybeBroadcast(nRef.select(col(idCol).as("ref_id"), col("n_ref"))),
+            Seq("ref_id"))
+          .withColumn("jaccard",
+            col("n_common") / (col("n_cand") + col("n_ref") - col("n_common")))
+          .filter(col("jaccard") >= threshold)
+          .select("cand_id", "ref_id", "jaccard")
+        assemble(nearPairs)
+      } finally if (materialize) { shCand.unpersist(false); shRef.unpersist(false) }
+    } else {
+      // estimator: shingles have one consumer each (the signature aggs) —
+      // no shingle caches; checkpointed signatures serve banding AND the
+      // fixed-width verification join
+      val sigCand0 = signaturesFromShingles(
+        shingles(cand, idCol, textCol, n), idCol, numHashes, base)
+      val sigRef0 = signaturesFromShingles(
+        shingles(ref, idCol, textCol, n), idCol, numHashes, base)
+      val sigCand = if (materialize) sigCand0.localCheckpoint(true) else sigCand0
+      val sigRef = if (materialize) sigRef0.localCheckpoint(true) else sigRef0
+      val lshCandidates = lshCandidatesFrom(
+        bandKeysFromSignatures(sigCand, idCol, numHashes, bands)
+          .select(candId, col("band"), col("key")),
+        bandKeysFromSignatures(sigRef, idCol, numHashes, bands)
+          .select(refId, col("band"), col("key")))
+      val nearPairs = lshCandidates
+        .join(sigCand.select(col(idCol).as("cand_id"), col("sig").as("sc")),
+          Seq("cand_id"))
+        .join(maybeBroadcast(sigRef.select(col(idCol).as("ref_id"), col("sig").as("sr"))),
+          Seq("ref_id"))
+        .withColumn("jaccard",
+          expr("aggregate(zip_with(sc, sr, (x, y) -> IF(x = y, 1, 0)), 0L, " +
+               "(acc, v) -> acc + v)") / numHashes)
+        .filter(col("jaccard") >= threshold)
+        .select("cand_id", "ref_id", "jaccard")
+      assemble(nearPairs)
+    }
   }
 
   /** Drop every candidate similar to any reference doc (exact or

@@ -76,6 +76,11 @@ object StressCheck {
       graft.operators.Dedup.duplicateClusters(
         graft.operators.Dedup.minhashLshPairs(docs10, "doc_id", "text", 0.9)).count()
     }
+    time("cross decontam est @50k/5k") {
+      graft.operators.Dedup.crossCorpusPairs(docs10,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 0.7,
+        verifyExact = false).count()
+    }
     time("ngram decontam @50k/5k") {
       graft.operators.Dedup.decontaminateNgram(docs10,
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 8).count()

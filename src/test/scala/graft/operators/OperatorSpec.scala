@@ -72,6 +72,18 @@ class OperatorSpec extends AnyFunSuite {
       s"estimator accepted pairs below true J=0.8: ${(estV -- nearPairs).take(5)}")
   }
 
+  test("cross-corpus estimator verification tracks the exact report") {
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+    val exactR = Dedup.crossCorpusPairs(docs, ref, "doc_id", "text", 0.9)
+      .select("cand_id").as[Long].collect().toSet
+    val estR = Dedup.crossCorpusPairs(docs, ref, "doc_id", "text", 0.9,
+        verifyExact = false)
+      .select("cand_id").as[Long].collect().toSet
+    val recall = (exactR & estR).size.toDouble / exactR.size
+    info(f"cross-corpus estimator recall vs exact@0.9: $recall%.2f of ${exactR.size}")
+    assert(recall >= 0.8)
+  }
+
   test("xxhash64 minhash variant finds the same planted near-dups") {
     val md5Pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9,
         base = Dedup.Hashers.md5Base)
