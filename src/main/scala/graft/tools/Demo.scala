@@ -78,6 +78,18 @@ object Demo {
     println(s"== near-dup pairs (minhash-LSH, J>=0.9) -> ${Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9).count()}")
     println(s"== top-10 neighbors for 5 queries        -> ${Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count()} rows")
     println(s"== lang-id distribution -> ${TextAnalysis.languageId(docs, "doc_id", "text").groupBy("lang_pred").count().orderBy("lang_pred").collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")}")
+    // Curation: decontaminate against an "eval set", mix domains to
+    // target proportions, fill a token budget, shard for export.
+    import graft.operators.Curation
+    val evalSet = docs.filter($"doc_id" % 7 === 0)
+    println(s"== ngram-decontaminated corpus  -> ${Dedup.decontaminateNgram(docs, evalSet, "doc_id", "text", n = 8).count()} of ${docs.count()} docs survive")
+    println(s"== domain mix (en .5/de .2/fr .15/es .1/zh .05 of 100) -> ${Curation.domainMix(docs, "lang", "doc_id", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05), 100L).count()} docs")
+    val budgeted = Curation.takeByBudget(
+      docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"),
+        md5($"doc_id".cast("string")).as("__p")),
+      Seq("__p", "doc_id"), "n_tokens", 5000L)
+    println(s"== 5k-token budget fill         -> ${budgeted.count()} docs")
+    println(s"== export shards (8-way)        -> ${Curation.shuffleShards(docs.select("doc_id"), "doc_id", 8).groupBy("shard").count().count()} shards")
 
     // 7. Sessionization + streaming tail of a hosted table.
     val events = graft.api.Tables.load(spark, sfDir, "events")
