@@ -60,4 +60,44 @@ object Scale {
     }
     (spark.table(leftName), spark.table(rightName))
   }
+
+  /** Z-order (Morton) value over two non-negative integer dimensions:
+    * interleaves the low `bits` bits of `x` and `y` (x on even positions),
+    * so rows close in BOTH dimensions get close z-values. Sorting or
+    * range-partitioning the write by `z` clusters multi-dimensional
+    * locality into files, and min/max footer stats then prune scans
+    * filtered on EITHER dimension — the standard lakehouse layout for
+    * two-column selective filters, where a single-column sort only ever
+    * prunes its own column.
+    *
+    * Pure bit arithmetic (shifts/masks), codegen'd, replayable in any
+    * engine. Caller maps each dimension into [0, 2^bits) first (e.g.
+    * `pmod(col, lit(1 << bits))` for ids, or a bucketized range).
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+             bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      val xb = shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xb.bitwiseOR(yb)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Range-partition + sort a frame by the z-order of two bucketized
+    * dimensions — the write-side layout step. `partitions` output tasks ⇒
+    * `partitions` files, each covering a compact z-range whose min/max
+    * stats prune on either dimension.
+    */
+  def zorderBy(df: DataFrame, xCol: String, yCol: String, bits: Int = 16,
+               partitions: Int = 0): DataFrame = {
+    val z = zValue(pmod(col(xCol), lit(1L << bits)),
+      pmod(col(yCol), lit(1L << bits)), bits)
+    val withZ = df.withColumn("__z", z)
+    val parts = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    withZ.repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
 }

@@ -720,6 +720,16 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_layout_zorder" -> ((s, dir) => {
+      // Morton values over bucketized (custkey, orderkey): the write-side
+      // layout key that lets footer stats prune on either dimension.
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey"), col("o_custkey"),
+          graft.operators.Scale.zValue(pmod(col("o_custkey"), lit(1024L)),
+            pmod(col("o_orderkey"), lit(1024L)), 10).as("z"))
+        .orderBy("o_orderkey")
+    }),
+
     "x_token_budget" -> ((s, dir) => {
       // Budget-bounded selection in deterministic md5 priority order:
       // two-pass partition-offset cumulative sum, no global window.
@@ -976,6 +986,15 @@ object QueryCatalog {
            |           JOIN documents d USING (doc_id))
            |SELECT doc_id, cluster_id, n_members, n_chars, rk = 1 AS keep
            |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "x_layout_zorder" -> {
+        val zTerms = (0 until 10).map(i =>
+          s"((((o_custkey % 1024) >> $i) & 1) << ${2 * i}) | " +
+          s"((((o_orderkey % 1024) >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""SELECT o_orderkey, o_custkey, CAST($zTerms AS BIGINT) AS z
+           |FROM orders ORDER BY o_orderkey""".stripMargin
+      },
 
       "x_token_budget" ->
         """WITH toks AS (SELECT doc_id,

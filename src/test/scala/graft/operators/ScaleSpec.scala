@@ -9,6 +9,25 @@ class ScaleSpec extends AnyFunSuite {
   lazy val spark = graft.SparkTestBase.spark
   import spark.implicits._
 
+  test("zValue interleaves bits; zorderBy clusters both dimensions") {
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Scale.zValue(col("x"), col("y"), 3)).first().getLong(0)
+    // x=011, y=101 → y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 39
+    assert(z == 39L)
+    // a 64×64 grid z-ordered into 16 range partitions: every partition
+    // covers a compact z range, so BOTH per-partition dimension spans stay
+    // well under the domain (a plain sort by x leaves the y span at 63)
+    val grid = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
+      .toDF("x", "y")
+    val laid = Scale.zorderBy(grid, "x", "y", bits = 6, partitions = 16)
+    val spans = laid.withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .agg(avg("xs"), avg("ys")).first()
+    assert(spans.getDouble(0) < 32 && spans.getDouble(1) < 32,
+      s"spans: ${spans.getDouble(0)}, ${spans.getDouble(1)}")
+  }
+
   test("salted aggregation equals direct groupBy") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .withColumn("price_dec", col("l_extendedprice").cast("decimal(18,2)"))
