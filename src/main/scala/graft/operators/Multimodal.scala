@@ -71,4 +71,86 @@ object Multimodal {
       DecodedFrame(id, f, w, w / 2, mean)
     }
   }
+
+  /** Keep every `everyK`-th frame (frame 0 always kept) — temporal
+    * sampling after decode. Pure filter: no UDF, no re-decode.
+    */
+  def sampleFrames(decoded: DataFrame, everyK: Int,
+                   frameCol: String = "frame_no"): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    decoded.filter(col(frameCol) % everyK === 0)
+  }
+
+  case class Feature(id: Long, feature: Array[Float])
+
+  /** Batch feature extraction: one fixed-`dim` float vector per payload —
+    * the media-to-embedding bridge whose output plugs straight into the
+    * `Similarity` operators (`bruteForceTopK`/`lshTopK`/`ivfTopK` over a
+    * `feature` column).
+    *
+    * STUB — a real implementation replaces `stubFeature` with an encoder
+    * call (ONNX/JNI, or ship the partition iterator to a Python worker as
+    * Arrow batches). Partition-level iteration amortizes model load per
+    * batch, exactly like [[decodeFrames]]; the deterministic fake folds
+    * byte content into the vector so specs can pin results.
+    */
+  def extractFeatures(withBytes: DataFrame, idCol: String,
+                      dim: Int = 16): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Feature(id, stubFeature(bytes, dim)) })
+      .toDF(idCol, "feature")
+  }
+
+  /** STUB encoder: strided byte folding, L2-normalized. Deterministic in
+    * the payload alone (partition- and order-invariant).
+    */
+  private def stubFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val acc = Array.fill(dim)(0.0)
+    var j = 0
+    while (j < bytes.length) {
+      acc(j % dim) += (bytes(j) & 0xff) * (1.0 + (j / dim) % 7)
+      j += 1
+    }
+    val norm = math.sqrt(acc.map(v => v * v).sum)
+    if (norm == 0) acc.map(_.toFloat)
+    else acc.map(v => (v / norm).toFloat)
+  }
+
+  /** Batch "resize": re-encode each payload to exactly `targetBytes`
+    * (cycle-padded / truncated) with refreshed metadata — the
+    * normalize-before-training step for media columns.
+    *
+    * STUB — a real implementation decodes, resamples (image scale /
+    * audio rate), and re-encodes inside the same partition iterator; the
+    * byte-cycling fake keeps the schema, metadata refresh, and batch
+    * shape identical to what a codec-backed version produces.
+    */
+  def resizePayloads(withBytes: DataFrame, idCol: String,
+                     targetBytes: Int): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be >= 1")
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          val out = Array.tabulate[Byte](targetBytes) { i =>
+            if (bytes.isEmpty) 0.toByte else bytes(i % bytes.length)
+          }
+          md.reset()
+          val sha = md.digest(out).map("%02x".format(_)).mkString
+          (id, out, s"text/plain;fake=image;resized=$targetBytes",
+            out.length, sha)
+        }
+      }
+      .toDF(idCol, "payload", "media_type", "byte_len", "sha256")
+      .select(col(idCol), col("payload"),
+        struct(col("media_type"), col("byte_len"), col("sha256")).as("meta"))
+  }
 }

@@ -858,7 +858,18 @@ object QueryCatalog {
       Multimodal.decodeFrames(
           Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
           "doc_id")
-        .orderBy("id", "frame_no")))
+        .orderBy("id", "frame_no")),
+
+    "x_multimodal_features" -> ((s, dir) => { // stub encoder: rows-only oracle
+      // media → feature vector → exact ANN top-k, all inside the engine:
+      // the multimodal-to-similarity bridge exercised end-to-end
+      val feats = Multimodal.extractFeatures(
+        Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", dim = 16)
+      Similarity.bruteForceTopK(feats, feats.filter(col("doc_id") < 3),
+          "doc_id", "feature", 10)
+        .orderBy("qid", "rank")
+    }))
 
   val extensionOracles: Map[String, String] = {
     val stop = Seq("the", "a", "of", "and")

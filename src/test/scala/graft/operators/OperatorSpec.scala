@@ -364,6 +364,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("multimodal: feature extraction is unit-norm, partition-invariant, ANN-composable") {
+    val withBytes = Multimodal.withPayload(docs.limit(50), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(withBytes, "doc_id", dim = 8)
+    val rows = feats.as[(Long, Array[Float])].collect()
+    assert(rows.forall(_._2.length == 8))
+    assert(rows.forall(r => math.abs(r._2.map(v => v.toDouble * v).sum - 1.0) < 1e-4))
+    // partition-invariant: same vectors under a different partitioning
+    val again = Multimodal.extractFeatures(withBytes.repartition(7), "doc_id", dim = 8)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(rows.forall { case (id, v) => again(id).sameElements(v) })
+    // the output column plugs straight into the similarity operators
+    val topk = Similarity.bruteForceTopK(feats,
+      feats.filter(col("doc_id") < 2), "doc_id", "feature", 5)
+    assert(topk.count() == 10)
+  }
+
+  test("multimodal: resize hits the target byte length with refreshed metadata") {
+    val withBytes = Multimodal.withPayload(docs.limit(20), "doc_id", "text")
+    val resized = Multimodal.resizePayloads(withBytes, "doc_id", 128)
+    val rows = resized.select(col("payload"), col("meta.byte_len"), col("meta.sha256"))
+      .as[(Array[Byte], Int, String)].collect()
+    assert(rows.forall(_._1.length == 128))
+    assert(rows.forall(_._2 == 128))
+    // metadata sha matches the emitted payload (recompute driver-side)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    assert(rows.forall { case (p, _, sha) =>
+      md.reset(); md.digest(p).map("%02x".format(_)).mkString == sha })
+    // frame sampling: keeps frame 0 and every k-th
+    val frames = Multimodal.decodeFrames(withBytes, "doc_id")
+    val sampled = Multimodal.sampleFrames(frames, 2)
+    assert(sampled.filter(col("frame_no") % 2 =!= 0).count() == 0)
+    assert(sampled.filter(col("frame_no") === 0).count() ==
+      frames.select("id").distinct().count())
+  }
+
   test("multimodal: metadata byte_len matches utf-8 payload size") {
     val meta = Multimodal.metadata(
       Multimodal.withPayload(docs, "doc_id", "text"), "doc_id")
