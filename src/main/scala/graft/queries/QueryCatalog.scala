@@ -290,6 +290,28 @@ object QueryCatalog {
           (sum("l_quantity") / count(lit(1))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      // TPC-H Q5 shape: 6-table join where the optimizer's work — dim
+      // broadcasts, join reorder, partial agg — IS the query plan. The
+      // customer-supplier same-nation equi-pair rides the supplier join.
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    }),
+
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
@@ -514,6 +536,21 @@ object QueryCatalog {
         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
         |GROUP BY l_orderkey
         |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
 
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, rn FROM (

@@ -40,6 +40,12 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("Q5 six-table join: dims broadcast, partial aggregation") {
+    val p = planOf("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("global top-k plans as TakeOrdered, not a single-partition sort") {
     val p = planOf("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
