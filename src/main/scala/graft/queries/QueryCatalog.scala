@@ -370,6 +370,20 @@ object QueryCatalog {
           col("n"), col("total_value_cents"))
         .orderBy("hour_ms", "event_type")),
 
+    "q_interval_join" -> ((s, dir) => {
+      // click → purchase attribution within 30 minutes, via the same
+      // intervalJoin used for the watermarked stream-stream path (batch
+      // frames: the watermark is eliminated, the plan family is the same).
+      val ev = t(s, dir, "events")
+      EventStreams.intervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", "30 minutes")
+        .select(col("user_id"), unix_millis(col("l_ts")).as("click_ms"),
+          unix_millis(col("r_ts")).as("purchase_ms"))
+        .orderBy("user_id", "click_ms", "purchase_ms")
+    }),
+
     "q_events_json" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -570,6 +584,14 @@ object QueryCatalog {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT c.user_id, epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,

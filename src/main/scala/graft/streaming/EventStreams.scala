@@ -100,6 +100,30 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Watermarked stream-stream interval join: every `right` event within
+    * `within` AFTER a matching `left` event on `key` — the attribution
+    * primitive (click → purchase within the window). Both sides carry a
+    * watermark and the join condition bounds the event-time gap in ONE
+    * direction, so each side's buffered state expires as the watermark
+    * advances — the requirements Spark imposes for state cleanup in
+    * stream-stream equi-joins. Works identically on batch frames (same
+    * plan family minus state).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String = "user_id",
+                   within: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", within)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", within)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"))
+    l.join(r, expr(
+      s"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $within"))
+      .select(col("l_key").as(key), col("l_ts"), col("l_type"),
+        col("r_ts"), col("r_type"))
+  }
+
   /** Stream → hosted table upsert, one merge per micro-batch — the
     * streaming loader: each micro-batch is a keyed upsert exactly like the
     * reference's chunk loop, but continuous.

@@ -162,6 +162,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(math.abs(last.total_value - 17.5) < 1e-9)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def df(m: MemoryStream[(java.sql.Timestamp, Long, String)]) =
+      m.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.intervalJoin(df(clicks), df(buys), within = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_ssjoin").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // u1: buy 20min after click (match); u1 second buy 50min after (no);
+    // u2: buy before the click (no — the interval is one-directional)
+    clicks.addData((ts(1, 0), 1L, "click"), (ts(1, 0), 2L, "click"))
+    buys.addData((ts(1, 20), 1L, "buy"), (ts(1, 50), 1L, "buy"),
+      (ts(0, 50), 2L, "buy"))
+    q.processAllAvailable()
+    clicks.addData((ts(9, 0), 99L, "click")) // watermark push
+    buys.addData((ts(9, 0), 99L, "buy"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spec_ssjoin").filter(col("user_id") =!= 99L)
+      .select("user_id", "r_type").as[(Long, String)].collect().toSeq
+    assert(streamed == Seq((1L, "buy")))
+    // batch equivalence on the same rows
+    val cb = Seq((ts(1, 0), 1L, "click"), (ts(1, 0), 2L, "click"))
+      .toDF("ts", "user_id", "event_type")
+    val bb = Seq((ts(1, 20), 1L, "buy"), (ts(1, 50), 1L, "buy"),
+      (ts(0, 50), 2L, "buy")).toDF("ts", "user_id", "event_type")
+    val batch = EventStreams.intervalJoin(cb, bb, within = "30 minutes")
+      .select("user_id", "r_type").as[(Long, String)].collect().toSeq
+    assert(batch == streamed)
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
