@@ -402,8 +402,14 @@ object Dedup {
           bRef.join(maybeBroadcast(hot), Seq("band", "key"), "left_anti")
         case None => bRef
       }
+      // No cand_id ≠ ref_id filter: the corpora are distinct datasets
+      // whose id spaces may coincide numerically (both 0-based), so id
+      // equality does NOT mean same-document. When the corpora overlap
+      // (e.g. ref ⊂ cand), a same-id pair is identical text and the md5
+      // exact path already reports it at J=1.0 — the union+max assembly
+      // collapses the duplicate, so including self-candidates here never
+      // changes the report.
       bCand.join(maybeBroadcast(bRefOk), Seq("band", "key"))
-        .filter(col("cand_id") =!= col("ref_id"))
         .select("cand_id", "ref_id").distinct()
     }
     // best match per candidate: max jaccard, ties to the smallest ref id

@@ -107,15 +107,24 @@ object EventStreams {
     * direction, so each side's buffered state expires as the watermark
     * advances — the requirements Spark imposes for state cleanup in
     * stream-stream equi-joins. Works identically on batch frames (same
-    * plan family minus state).
+    * plan family minus state; in streaming, events later than the
+    * watermark delay are dropped — batch has no such loss).
+    *
+    * `watermarkDelay` (defaults to `within`) is the independent
+    * late-arrival tolerance: how far behind the max seen event time an
+    * event may arrive and still join. Conflating it with the attribution
+    * window silently drops moderately-late events, so size it to the
+    * pipeline's actual delivery lag.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    key: String = "user_id",
-                   within: String = "30 minutes"): DataFrame = {
-    val l = left.withWatermark("ts", within)
+                   within: String = "30 minutes",
+                   watermarkDelay: Option[String] = None): DataFrame = {
+    val delay = watermarkDelay.getOrElse(within)
+    val l = left.withWatermark("ts", delay)
       .select(col(key).as("l_key"), col("ts").as("l_ts"),
         col("event_type").as("l_type"))
-    val r = right.withWatermark("ts", within)
+    val r = right.withWatermark("ts", delay)
       .select(col(key).as("r_key"), col("ts").as("r_ts"),
         col("event_type").as("r_type"))
     l.join(r, expr(

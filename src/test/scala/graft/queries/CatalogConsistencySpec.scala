@@ -28,7 +28,8 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_approx_distinct",   // HLL sketch (engine-specific)
       "x_sim_ann_lsh",       // approximate by design
       "x_sim_ivf",           // approximate by design
-      "x_multimodal_frames") // stub decode, pinned by ScalaTest
+      "x_multimodal_frames",   // stub decode, pinned by ScalaTest
+      "x_multimodal_features") // stub encoder → ANN, pinned by ScalaTest
     )
   }
 }
