@@ -444,6 +444,18 @@ object QueryCatalog {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    "q_cube_orders" -> ((s, dir) => {
+      // CUBE over (status, priority): all four grouping combinations in
+      // one partial-aggregated pass (same SQL-surface idiom as ROLLUP).
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+          |FROM v_orders
+          |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
     "q_rollup_nation" -> ((s, dir) => {
       // SQL surface: rollup + null-first ordering (the Dataset API's
       // ambiguity detector misfires on rollup-key sorts; the SQL path is
@@ -637,6 +649,13 @@ object QueryCatalog {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_rollup_nation" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
