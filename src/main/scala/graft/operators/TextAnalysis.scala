@@ -148,6 +148,21 @@ object TextAnalysis {
         coalesce(col("n_bi_rep") / col("n_bi"), lit(0.0)).as("dup_bigram_ratio"))
   }
 
+  /** Corpus vocabulary statistics: global term frequency (`tf`) and
+    * document frequency (`df`) for the top `k` tokens by frequency —
+    * the stop-list-construction / vocab-pruning primitive. One explode
+    * feeding a partial-aggregated groupBy on compact token keys (the
+    * distinct-doc count shuffles (token, id) pairs, never documents);
+    * top-k plans as TakeOrdered, not a global sort.
+    */
+  def vocab(docs: DataFrame, idCol: String, textCol: String,
+            k: Int = 1000): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(k)
+
   /** Corpus-level rollup by a grouping column (e.g. source or lang). */
   def corpusStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs.groupBy(col(groupCol)).agg(

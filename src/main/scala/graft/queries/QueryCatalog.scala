@@ -900,6 +900,10 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocab(t(s, dir, "documents"), "doc_id", "text", 50)
+        .orderBy(col("tf").desc, col("tok"))),
+
     "x_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
         .orderBy("source")),
@@ -1154,6 +1158,12 @@ object QueryCatalog {
           |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
           |      FROM scored)
           |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+      "x_text_vocab" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+          |FROM toks GROUP BY tok ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
 
       "x_text_stats" ->
         """SELECT doc_id, length(text) AS len_chars,
