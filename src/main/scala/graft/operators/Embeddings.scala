@@ -44,4 +44,21 @@ object Embeddings {
       .groupBy(col(groupCol), col("pos"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(floor(col("x").cast("double") * scale).cast("long")).as("sum_scaled"))
+
+  /** Symmetric int8 quantization per vector: `q_i = round(x_i / s · 127)`
+    * with `s = max|x_i|`, emitted as (`qvec` tinyint array, `qscale`) —
+    * a 4× memory cut for ANN candidate storage (dequantize `q·s/127`, or
+    * score int8 directly and rescale). Pure codegen'd HOFs: one
+    * `aggregate` for the max-abs, one `transform` to quantize; no shuffle.
+    * All-zero vectors get `qscale = 0` and an all-zero `qvec`.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val s = expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))")
+    df.withColumn("qscale", s)
+      .withColumn("qvec", expr(
+        s"transform($vecCol, x -> CAST(round(" +
+        s"CASE WHEN qscale = 0 THEN 0.0 ELSE CAST(x AS DOUBLE) / qscale * 127.0 END" +
+        s") AS TINYINT))"))
+  }
 }

@@ -193,6 +193,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == sharded.sortBy(_._1).toSeq)
   }
 
+  test("int8 quantization: bounded reconstruction error, cosine preserved") {
+    val q = Embeddings.quantizeInt8(emb.limit(200), "embedding")
+      .select("embedding", "qvec", "qscale")
+      .as[(Array[Float], Seq[Byte], Double)].collect()
+    assert(q.forall { case (v, qv, _) => v.length == qv.length })
+    // elementwise: |x - q*s/127| <= s/254 (+ float slack); cosine ~ intact
+    q.foreach { case (v, qv, s) =>
+      if (s > 0) {
+        v.zip(qv).foreach { case (x, qb) =>
+          assert(math.abs(x - qb * s / 127.0) <= s / 254.0 + 1e-6) }
+        val deq = qv.map(_ * s / 127.0)
+        val cos = v.zip(deq).map { case (a, b) => a * b }.sum /
+          (math.sqrt(v.map(x => x.toDouble * x).sum) *
+           math.sqrt(deq.map(x => x * x).sum))
+        assert(cos > 0.99, s"cosine degraded: $cos")
+      }
+    }
+  }
+
   test("meanPool centroid matches a driver-side elementwise mean") {
     val emb = graft.api.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val got = Embeddings.meanPool(emb, "label", "embedding")
