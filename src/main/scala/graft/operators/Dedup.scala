@@ -597,6 +597,14 @@ object Dedup {
       labels = next.select("id", "label")
       i += 1
     }
+    // With pointer jumping, maxIter=12 covers diameters into the
+    // thousands; hitting it unconverged means the graph is not what a
+    // near-dup pair list looks like. Unconverged labels are silently
+    // WRONG cluster ids — fail loudly instead of deduping incorrectly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge after $maxIter rounds; " +
+        "raise maxIter for graphs with extreme diameter")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .join(sizes.select(col("label").as("cluster_id"), col("n_members")),
