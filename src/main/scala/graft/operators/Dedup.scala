@@ -573,7 +573,11 @@ object Dedup {
       .localCheckpoint(false) // lazy: round 1's action materializes it once
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // `maxIter` bounds the IMPROVING rounds; the `<=` grants one extra
+    // confirmation round, so a graph whose fixpoint lands exactly on the
+    // last improving round still certifies (zero changes) instead of
+    // tripping the unconverged guard below.
+    while (!converged && i <= maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       // Propagate neighbor minima; `old` (each node's previous label,
@@ -603,8 +607,9 @@ object Dedup {
     // WRONG cluster ids — fail loudly instead of deduping incorrectly.
     if (!converged)
       throw new IllegalStateException(
-        s"duplicateClusters did not converge after $maxIter rounds; " +
-        "raise maxIter for graphs with extreme diameter")
+        s"duplicateClusters still improving after $maxIter rounds " +
+        "(plus a confirmation round); raise maxIter for graphs with " +
+        "extreme diameter")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .join(sizes.select(col("label").as("cluster_id"), col("n_members")),

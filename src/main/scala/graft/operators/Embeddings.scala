@@ -46,19 +46,27 @@ object Embeddings {
         sum(floor(col("x").cast("double") * scale).cast("long")).as("sum_scaled"))
 
   /** Symmetric int8 quantization per vector: `q_i = round(x_i / s · 127)`
-    * with `s = max|x_i|`, emitted as (`qvec` tinyint array, `qscale`) —
-    * a 4× memory cut for ANN candidate storage (dequantize `q·s/127`, or
-    * score int8 directly and rescale). Pure codegen'd HOFs: one
-    * `aggregate` for the max-abs, one `transform` to quantize; no shuffle.
-    * All-zero vectors get `qscale = 0` and an all-zero `qvec`.
+    * with `s = max|x_i|` over the FINITE elements, emitted as (`qvec`
+    * tinyint array, `qscale`) — a 4× memory cut for ANN candidate storage
+    * (dequantize `q·s/127`, or score int8 directly and rescale). Pure
+    * codegen'd Column HOFs (arbitrary column names welcome): one
+    * `aggregate` for the max-abs, one `transform` to quantize; no
+    * shuffle. All-zero vectors get `qscale = 0` and an all-zero `qvec`;
+    * NaN/±Inf elements are excluded from the scale and quantize to 0
+    * (under ANSI mode a cast of a non-finite would otherwise kill the
+    * job; under non-ANSI it would silently zero the whole vector).
     */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
-    val s = expr(
-      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))")
+    import org.apache.spark.sql.Column
+    def xd(c: Column): Column = c.cast("double")
+    // abs(x) < Inf is false for both NaN (sorts above Inf in Spark SQL
+    // comparisons) and ±Inf — one finiteness predicate for both cases
+    def finite(c: Column): Column = abs(xd(c)) < lit(Double.PositiveInfinity)
+    val s = aggregate(col(vecCol), lit(0.0),
+      (a, x) => when(finite(x), greatest(a, abs(xd(x)))).otherwise(a))
     df.withColumn("qscale", s)
-      .withColumn("qvec", expr(
-        s"transform($vecCol, x -> CAST(round(" +
-        s"CASE WHEN qscale = 0 THEN 0.0 ELSE CAST(x AS DOUBLE) / qscale * 127.0 END" +
-        s") AS TINYINT))"))
+      .withColumn("qvec", transform(col(vecCol), x =>
+        round(when(col("qscale") === 0 || not(finite(x)), lit(0.0))
+          .otherwise(xd(x) / col("qscale") * 127.0)).cast("tinyint")))
   }
 }

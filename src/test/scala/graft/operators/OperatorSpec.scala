@@ -210,6 +210,14 @@ class OperatorSpec extends AnyFunSuite {
         assert(cos > 0.99, s"cosine degraded: $cos")
       }
     }
+    // non-finite elements: excluded from the scale, quantized to 0 —
+    // never an ANSI cast failure or a silently-zeroed vector
+    val weird = Seq((1L, Array(1.0f, Float.NaN, Float.PositiveInfinity, -0.5f)))
+      .toDF("id", "odd name")
+    val wq = Embeddings.quantizeInt8(weird, "odd name") // non-identifier col
+      .select(col("qscale"), col("qvec")).as[(Double, Seq[Byte])].first()
+    assert(wq._1 == 1.0)
+    assert(wq._2 == Seq[Byte](127, 0, 0, -64))
   }
 
   test("meanPool centroid matches a driver-side elementwise mean") {
