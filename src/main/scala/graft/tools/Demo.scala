@@ -90,6 +90,8 @@ object Demo {
       Seq("__p", "doc_id"), "n_tokens", 5000L)
     println(s"== 5k-token budget fill         -> ${budgeted.count()} docs")
     println(s"== export shards (8-way)        -> ${Curation.shuffleShards(docs.select("doc_id"), "doc_id", 8).groupBy("shard").count().count()} shards")
+    println(s"== top-5 vocab (tf)             -> ${TextAnalysis.vocab(docs, "doc_id", "text", 5).select("tok").as[String].collect().mkString(" ")}")
+    println(s"== int8-quantized embeddings    -> ${graft.operators.Embeddings.quantizeInt8(emb, "embedding").filter(col("qscale") > 0).count()} vectors")
 
     // 7. Sessionization + streaming tail of a hosted table.
     val events = graft.api.Tables.load(spark, sfDir, "events")
