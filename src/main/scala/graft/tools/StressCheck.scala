@@ -102,6 +102,22 @@ object StressCheck {
     time("mean pooling @20k vecs") {
       graft.operators.Embeddings.meanPool(emb10, "label", "embedding").count()
     }
+    time("int8 quantize @20k vecs") {
+      graft.operators.Embeddings.quantizeInt8(emb10, "embedding")
+        .agg(sum(col("qscale"))).collect()
+    }
+    // Pathological skew: ~90% of 6M rows share one key. The salted
+    // two-phase aggregation spreads the hot key over 16 reducers; the
+    // direct groupBy funnels it through one. (AQE mitigates moderate
+    // skew at runtime; the salt is the explicit-plan lever.)
+    val skewed = li10.withColumn("k",
+      when(col("l_orderkey") % 10 < 9, lit(0L)).otherwise(col("l_suppkey")))
+    time("direct agg, 90% hot key @6M") {
+      skewed.groupBy("k").agg(sum("l_quantity"), count(lit(1))).count()
+    }
+    time("salted agg, 90% hot key @6M") {
+      graft.operators.Scale.saltedSum(skewed, "k", "l_quantity").count()
+    }
     spark.stop()
     println("== stress OK")
   }
