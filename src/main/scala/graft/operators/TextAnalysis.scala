@@ -163,6 +163,51 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("tok"))
       .limit(k)
 
+  /** Bigram-LM surprisal — the CCNet-style perplexity-proxy quality
+    * signal: train bigram/unigram counts on a reference corpus, then
+    * score each document by its per-bigram average negative log2
+    * probability under add-k smoothing. Low surprisal = looks like the
+    * reference distribution; high = out-of-domain or gibberish; documents
+    * with no bigrams (single-token) are absent.
+    *
+    * Scale shape: the model is two count tables on compact token keys.
+    * With `broadcastModel` (an LM trained on a sample corpus is small)
+    * the document side never shuffles; otherwise both joins shuffle on
+    * the high-cardinality bigram/unigram keys. Probabilities are floats,
+    * so this is spec-pinned rather than oracle-hashed (log is not
+    * bit-reproducible across engines).
+    */
+  def bigramSurprisal(docs: DataFrame, ref: DataFrame, idCol: String,
+                      textCol: String, k: Double = 0.5,
+                      broadcastModel: Boolean = true): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastModel) broadcast(df) else df
+    def bigramRows(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
+      df.select(cols :+ split(col(textCol), " ").as("w"): _*)
+        .filter(size(col("w")) >= 2)
+        .select(cols :+ posexplode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+          .as(Seq("i", "bg")): _*)
+        .select(cols :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    // model: c(w1, w2), c(w1), |V| from the reference corpus
+    val refBi = bigramRows(ref, Seq.empty)
+    val biCounts = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uniCounts = refBi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = ref.select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).first().getLong(0).toDouble
+    // score: P(w2|w1) = (c12 + k) / (c1 + k·|V|); unseen w1 → c1 = 0
+    val scored = bigramRows(docs, Seq(col(idCol)))
+      .join(maybeB(biCounts), Seq("w1", "w2"), "left")
+      .join(maybeB(uniCounts), Seq("w1"), "left")
+      .withColumn("p",
+        (coalesce(col("c12"), lit(0L)) + k) /
+        (coalesce(col("c1"), lit(0L)) + k * vocab))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-avg(log2(col("p")))).as("avg_surprisal"))
+  }
+
   /** Corpus-level rollup by a grouping column (e.g. source or lang). */
   def corpusStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs.groupBy(col(groupCol)).agg(

@@ -900,6 +900,15 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_text_surprisal" -> ((s, dir) => { // float log-probs: rows-only oracle
+      // CCNet-style quality signal: score every doc under a bigram LM
+      // trained on the even-id half of the corpus.
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramSurprisal(docs,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "x_text_vocab" -> ((s, dir) =>
       TextAnalysis.vocab(t(s, dir, "documents"), "doc_id", "text", 50)
         .orderBy(col("tf").desc, col("tok"))),

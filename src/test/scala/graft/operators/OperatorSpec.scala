@@ -175,6 +175,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("bigram surprisal: in-domain text scores lower than gibberish") {
+    val ref = docs.limit(200)
+    val inDomain = docs.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("text"))
+    val probe = inDomain.unionByName(
+      Seq((999999L, "zqx wvu tsr qpo nml kji hgf edc")).toDF("doc_id", "text"))
+    val s = TextAnalysis.bigramSurprisal(probe, ref, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val inId = inDomain.select("doc_id").as[Long].first()
+    info(f"surprisal in-domain ${s(inId)}%.2f vs gibberish ${s(999999L)}%.2f")
+    assert(s(999999L) > s(inId),
+      s"gibberish should surprise a reference-trained LM more: $s")
+  }
+
   test("shuffleShards: contiguous in-shard positions, deterministic, balanced") {
     val df = (0L until 1000L).toDF("doc_id")
     val sharded = Curation.shuffleShards(df, "doc_id", 8)

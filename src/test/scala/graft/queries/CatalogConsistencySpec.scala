@@ -29,7 +29,8 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_sim_ann_lsh",       // approximate by design
       "x_sim_ivf",           // approximate by design
       "x_multimodal_frames",   // stub decode, pinned by ScalaTest
-      "x_multimodal_features") // stub encoder → ANN, pinned by ScalaTest
+      "x_multimodal_features", // stub encoder → ANN, pinned by ScalaTest
+      "x_text_surprisal")      // float log-probs, pinned by ScalaTest
     )
   }
 }
