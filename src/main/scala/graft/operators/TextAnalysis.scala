@@ -194,8 +194,12 @@ object TextAnalysis {
     val refBi = bigramRows(ref, Seq.empty)
     val biCounts = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uniCounts = refBi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // one-row driver probe (like the Similarity dimension probe): |V| is
+    // a scalar baked into the smoothing denominator
     val vocab = ref.select(explode(split(col(textCol), " ")).as("tok"))
       .agg(countDistinct(col("tok"))).first().getLong(0).toDouble
+    require(vocab > 0,
+      "bigramSurprisal needs a non-empty reference corpus to train on")
     // score: P(w2|w1) = (c12 + k) / (c1 + k·|V|); unseen w1 → c1 = 0
     val scored = bigramRows(docs, Seq(col(idCol)))
       .join(maybeB(biCounts), Seq("w1", "w2"), "left")
