@@ -130,7 +130,13 @@ object Curation {
     val sorted = df.repartitionByRange(parts, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
     val tokIdx = sorted.schema.fieldIndex(tokenCol)
-    val rdd = sorted.rdd
+    // Both passes read the SAME sorted RDD; without truncating lineage the
+    // emit pass would re-execute the range shuffle + sort from scratch.
+    // localCheckpoint persists the sorted partitions at the subtotal
+    // collect() and the emit pass streams the cached blocks — one shuffle
+    // total. (The blocks live until the session drops persistent RDDs; the
+    // bench releases them between queries.)
+    val rdd = sorted.rdd.localCheckpoint()
     val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach { r =>

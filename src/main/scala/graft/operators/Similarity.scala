@@ -124,10 +124,10 @@ object Similarity {
     *
     * Centroids are deterministic: the corpus vectors whose ids are the
     * `nlist` smallest (a fixed, reproducible sample — at real scale swap in
-    * k-means centroids; the plan shape is identical). Cell assignment is
-    * one broadcast-join pass over the corpus; the probe restricts the
-    * scoring join to `nprobe/nlist` of the data — the IVF trade:
-    * recall for a ~`nlist/nprobe`× cut in scored candidates.
+    * k-means centroids; the plan shape is identical). Cell assignment is a
+    * shuffle-free projection argmax over the literal centroid array; the
+    * probe restricts the scoring join to `nprobe/nlist` of the data — the
+    * IVF trade: recall for a ~`nlist/nprobe`× cut in scored candidates.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
@@ -164,32 +164,60 @@ object Similarity {
     ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, centroids)
   }
 
+  /** One scored-centroid struct per centroid against (`vec`, `norm`):
+    * `(cosine, -cid)`, so struct MAX/ordering = best cosine with ties to
+    * the SMALLEST cid — the same total order the old rank window used.
+    * Centroids are plan-time literals (nlist is small by construction), so
+    * the whole argmax is a projection: nlist codegen'd VecDots per row,
+    * zero joins, zero shuffles.
+    */
+  private def centroidScores(cents: Array[(Long, Seq[Double], Double)],
+                             vec: Column, norm: Column): Column =
+    array(cents.map { case (cid, cvec, cnorm) =>
+      struct((vec_dot(vec, typedLit(cvec)) / (norm * lit(cnorm))).as("cos"),
+        lit(-cid).as("ncid"))
+    }.toIndexedSeq: _*)
+
+  /** IVF cell assignment: nearest centroid per corpus vector, computed as a
+    * projection-level argmax over the literal centroid array — the 100 TB
+    * shape. (The previous formulation cross-joined the corpus with the
+    * centroid table and took `row_number()` over `Window.partitionBy(id)`,
+    * which shuffled nlist×|corpus| rows just to pick a max.) Exposed
+    * package-private so PlanSpec can assert the no-Exchange property.
+    */
+  private[graft] def assignCells(corpus: DataFrame, idCol: String,
+                                 vecCol: String,
+                                 cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"),
+      vec_norm(col(vecCol)).as("norm"))
+    c.withColumn("cid", -array_max(
+        centroidScores(cents, col("vec"), col("norm"))).getField("ncid"))
+  }
+
   /** Shared IVF assignment/probe/score given a centroid table
-    * (cid, cvec: array<double>, cnorm).
+    * (cid, cvec: array<double>, cnorm). The centroid table is collected to
+    * the driver once (nlist rows — bytes) and inlined as literals; both
+    * cell assignment and query probing are then pure projections.
     */
   private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
                                idCol: String, vecCol: String, k: Int,
                                nprobe: Int, centroids: DataFrame): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec"),
-      vec_norm(col(vecCol)).as("norm"))
-    val wAssign = Window.partitionBy("id").orderBy(
-      (vec_dot(col("vec"), col("cvec")) / (col("norm") * col("cnorm"))).desc,
-      col("cid"))
-    val cells = c.crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("vec"), col("norm"), col("cid"))
+    val cents = centroids
+      .select(col("cid").cast("long"), col("cvec"), col("cnorm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val cells = assignCells(corpus, idCol, vecCol, cents)
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"),
       vec_norm(col(vecCol)).as("qnorm"))
-    val wProbe = Window.partitionBy("qid").orderBy(
-      (vec_dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm"))).desc,
-      col("cid"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
+    // Top-nprobe cells per query: sort the literal score array ascending
+    // (struct order: cos, then -cid), reverse, slice — cos desc with ties
+    // to the smallest cid, identical to the old probe window's order.
+    val probes = q
+      .withColumn("p", explode(slice(reverse(array_sort(
+        centroidScores(cents, col("qvec"), col("qnorm")))), 1, nprobe)))
+      .select(col("qid"), col("qvec"), col("qnorm"), (-col("p.ncid")).as("cid"))
     val scored = cells.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .withColumn("cosine",

@@ -119,6 +119,21 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.toLowerCase.contains("seed"), p)
   }
 
+  test("IVF cell assignment is a shuffle-free projection (no Exchange, no Window)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = graft.api.Tables.load(spark, dir, "embeddings")
+    val cents = emb.select(col("vec_id").cast("long").as("cid"),
+        col("embedding").cast("array<double>").as("cvec"))
+      .withColumn("cnorm", graft.functions.VectorFunctions.vec_norm(col("cvec")))
+      .orderBy("cid").limit(4)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val cells = Similarity.assignCells(emb, "vec_id", "embedding", cents)
+    val p = cells.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("hosted write with key requires ordered range distribution") {
     // The write declares RequiresDistributionAndOrdering; Spark plans a
     // range repartition by key before the write tasks.
