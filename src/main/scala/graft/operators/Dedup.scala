@@ -683,17 +683,49 @@ object Dedup {
           when(col(s"v$i") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** Embedding near-dup: top `k` most-similar pairs (a < b) by cosine.
-    * Ranked via sort+limit, which Spark plans as TakeOrderedAndProject —
-    * distributed per-partition top-k then a k-row driver merge, instead of
-    * a single-partition global Window over every pair.
+  /** Embedding near-dup: top `k` most-similar pairs (a < b) by cosine,
+    * EXACT all-pairs scoring. Quadratic by definition — the bounded-input
+    * verification primitive (recall measurement, spec fixtures). At corpus
+    * scale use [[embeddingTopPairsLsh]].
     */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
-                        k: Int): DataFrame = {
-    val top = Similarity.allPairsCosine(emb, idCol, vecCol)
-      .orderBy(col("cosine").desc, col("a"), col("b"))
-      .limit(k)
-    // Only k rows remain; the rank window is trivial.
+                        k: Int): DataFrame =
+    rankTopPairs(Similarity.allPairsCosine(emb, idCol, vecCol), k)
+
+  /** Embedding near-dup top pairs at scale: quantized-hyperplane LSH
+    * buckets generate candidate pairs (never the corpus×corpus product),
+    * candidates are exactly re-ranked by cosine, and the global top-k
+    * plans as TakeOrderedAndProject. Approximate by design: a true
+    * near-dup pair (high cosine) collides in some table with probability
+    * ≈1 at the default 16×8 banding; unrelated pairs rarely do. The spec
+    * pins recall=1 on planted near-dup fixtures against the exact
+    * [[embeddingTopPairs]].
+    */
+  def embeddingTopPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                           k: Int, tables: Int = 16, planes: Int = 8,
+                           maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    import graft.functions.VectorFunctions.vec_norm
+    val cands = Similarity.hyperplaneCandidatePairs(
+      emb, idCol, vecCol, tables, planes, maxBucketSize)
+    val va = emb.select(col(idCol).as("a"), col(vecCol).as("__va"),
+      vec_norm(col(vecCol)).as("__na"))
+    val vb = emb.select(col(idCol).as("b"), col(vecCol).as("__vb"),
+      vec_norm(col(vecCol)).as("__nb"))
+    val scored = cands.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.vec_dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb")))
+      .select("a", "b", "cosine")
+    rankTopPairs(scored, k)
+  }
+
+  /** Global top-k of a (a, b, cosine) pair set as sort+limit —
+    * TakeOrderedAndProject (distributed per-partition top-k, k-row driver
+    * merge), never a single-partition global Window over every pair. The
+    * rank window after the limit runs over only k rows.
+    */
+  private def rankTopPairs(scored: DataFrame, k: Int): DataFrame = {
+    val top = scored.orderBy(col("cosine").desc, col("a"), col("b")).limit(k)
     val w = Window.orderBy(col("cosine").desc, col("a"), col("b"))
     top.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -64,9 +64,11 @@ object Similarity {
   }
 
   /** Hyperplane weights for (table t, plane p): deterministic integer Knuth
-    * hash folded to [-1000, 1000], one weight per dimension.
+    * hash folded to [-1000, 1000], one weight per dimension. Package-
+    * private so the query catalog can inline the identical weights into the
+    * DuckDB oracle SQL (bit-exact cross-engine signature replay).
     */
-  private def hyperplane(t: Int, p: Int, dim: Int): Array[Double] = {
+  private[graft] def hyperplane(t: Int, p: Int, dim: Int): Array[Double] = {
     val c = t.toLong * 1000003L + p.toLong * 64L
     Array.tabulate(dim) { i =>
       ((2654435761L * (c + i + 1)) % 2001L + 2001L) % 2001L - 1000L
@@ -80,6 +82,54 @@ object Similarity {
     concat((0 until planes).map { p =>
       when(vec_dot(vec, typedLit(hyperplane(t, p, dim))) >= 0, "1").otherwise("0")
     }: _*)
+
+  /** Integer-quantized copy of an embedding: `floor(x · 10⁶)` per
+    * component, carried as doubles. Every value, product against the
+    * integer hyperplane weights, and dot-product sum stays well under 2⁵³,
+    * so the arithmetic is EXACT in IEEE doubles — which makes the signature
+    * bits reproducible bit-for-bit in any engine (the DuckDB oracle replays
+    * them with `list_dot_product` over the same literals). Sign-of-dot on
+    * raw floats would hinge on summation rounding near zero; on the
+    * quantized copy it never can.
+    */
+  private[graft] def quantize(vec: Column): Column =
+    transform(vec, x => floor(x * lit(1000000.0)).cast("double"))
+
+  /** Candidate near-dup pairs (a < b) from quantized random-hyperplane
+    * LSH: ids sharing a (table, signature) bucket in ANY of `tables`
+    * independent hash tables of `planes` bits. One projection computes all
+    * signatures; buckets are gathered with a single groupBy (the
+    * collect_list buffer IS the bucket), capped at `maxBucketSize` to
+    * bound the quadratic in-bucket pair expansion — the corpus×corpus
+    * product is never formed. This is the scale path that replaces
+    * all-pairs scoring for embedding dedup.
+    */
+  def hyperplaneCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                               tables: Int = 16, planes: Int = 8,
+                               maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    val dim = emb.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "hyperplaneCandidatePairs: no non-null vectors"))
+    val base = emb.select(col(idCol).as("id"),
+      quantize(col(vecCol).cast("array<double>")).as("q"))
+    val stacked = base.select(col("id"), explode(array(
+        (0 until tables).map(t => struct(lit(t).as("t"),
+          signature(col("q"), t, planes, dim).as("sig"))): _*)).as("b"))
+      .select(col("id"), col("b.t"), col("b.sig"))
+    val buckets = stacked.groupBy("t", "sig")
+      .agg(collect_list(col("id")).as("ids"))
+    val ok = maxBucketSize match {
+      case Some(cap) => buckets.filter(size(col("ids")) <= cap)
+      case None      => buckets
+    }
+    ok.filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
 
   /** Approximate top-k via `tables` independent random-hyperplane hash
     * tables of `planes` bits each. Candidates = same (table, signature)

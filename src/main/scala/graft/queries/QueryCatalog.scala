@@ -149,6 +149,23 @@ object QueryCatalog {
     }.mkString("\n  UNION ALL ")
   }
 
+  // Quantized-hyperplane LSH for the oracle-facing embedding-pairs query.
+  // Embedding components are quantized to floor(x·10⁶) — every product
+  // against the integer hyperplane weights and every dot-product sum is
+  // exact in IEEE doubles (≪ 2⁵³), so Spark's VecDot and DuckDB's
+  // list_dot_product produce identical signature bits. The weights below
+  // are the same Similarity.hyperplane literals the operator plans with.
+  private val hpTables = 16
+  private val hpPlanes = 8
+  private val hpDim = 64 // embeddings fixture dimension (both SFs)
+  private val hpBucketCap = 100
+  private def hpSigSql(tbl: Int): String =
+    (0 until hpPlanes).map { p =>
+      val w = Similarity.hyperplane(tbl, p, hpDim)
+        .map(x => x.toLong.toString + ".0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(q, $w) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
   // ------------------------------------------------- reference surface
 
   val referenceQueries: Map[String, Q] = Map(
@@ -767,6 +784,31 @@ object QueryCatalog {
         .orderBy("cand_id")
     }),
 
+    "x_dedup_minhash_fast" -> ((s, dir) =>
+      // PRODUCTION dedup configuration: xxhash64 double-hash family +
+      // signature-estimator verification (no shingle re-join). Rows-only —
+      // xxhash64 isn't replayable in the oracle — but the estimator path
+      // is spec-pinned against the exact path (OperatorSpec), and this
+      // entry makes the driver bench price the configuration a 100 TB run
+      // would actually use (the md5/exact-verify entry above prices the
+      // oracle replay, ~2-4× dearer).
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 0.7,
+          numHashes = lshNumHashes, bands = lshBandCount,
+          base = Dedup.Hashers.xx64Base,
+          maxBucketSize = Some(lshBucketCap), verifyExact = false)
+        .orderBy("a", "b")),
+
+    "x_dedup_cross_fast" -> ((s, dir) => {
+      // PRODUCTION decontamination configuration (xx64Base + estimator
+      // verify) — rows-only companion of x_dedup_cross, same rationale as
+      // x_dedup_minhash_fast.
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusPairs(docs, docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", 0.7, base = Dedup.Hashers.xx64Base,
+          verifyExact = false)
+        .orderBy("cand_id")
+    }),
+
     "x_decontam_ngram" -> ((s, dir) => {
       // Exact 8-gram eval-contamination report: reference corpus = every
       // 7th doc, candidates = the rest. 13 is the published convention;
@@ -841,7 +883,13 @@ object QueryCatalog {
         .orderBy("doc_id")),
 
     "x_dedup_embedding_pairs" -> ((s, dir) =>
-      Dedup.embeddingTopPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 20)
+      // Quantized-hyperplane LSH candidates + exact re-rank — the corpus×
+      // corpus product is never formed. The oracle replays the identical
+      // signature→bucket→re-rank pipeline (integer-exact quantized dots),
+      // so both engines see the same candidate set and the hash gate is
+      // green by construction, like x_dedup_minhash_pairs.
+      Dedup.embeddingTopPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 20,
+          tables = hpTables, planes = hpPlanes, maxBucketSize = Some(hpBucketCap))
         .orderBy("rank")),
 
     "x_sim_topk" -> ((s, dir) => {
@@ -1149,13 +1197,30 @@ object QueryCatalog {
               s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
            |FROM votes ORDER BY doc_id""".stripMargin,
 
-      "x_dedup_embedding_pairs" ->
-        """WITH p AS (
-          |  SELECT a.vec_id AS a, b.vec_id AS b,
-          |    list_cosine_similarity(a.embedding, b.embedding) AS cos
-          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-          |r AS (SELECT a, b, row_number() OVER (ORDER BY cos DESC, a, b) AS rank FROM p)
-          |SELECT a, b, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+      "x_dedup_embedding_pairs" -> {
+        val sigUnion = (0 until hpTables).map(tb =>
+          s"SELECT vec_id, $tb AS t, ${hpSigSql(tb)} AS sig FROM qv")
+          .mkString("\nUNION ALL\n")
+        s"""WITH qv AS (SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS q
+           |       FROM embeddings),
+           |stacked AS (
+           |$sigUnion),
+           |ok AS (SELECT t, sig FROM stacked GROUP BY t, sig
+           |       HAVING count(*) >= 2 AND count(*) <= $hpBucketCap),
+           |cand AS (SELECT DISTINCT s1.vec_id AS a, s2.vec_id AS b
+           |           FROM stacked s1
+           |           JOIN stacked s2 ON s1.t = s2.t AND s1.sig = s2.sig
+           |             AND s1.vec_id < s2.vec_id
+           |           JOIN ok ON ok.t = s1.t AND ok.sig = s1.sig),
+           |p AS (SELECT a, b,
+           |        list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+           |        FROM cand JOIN embeddings ea ON ea.vec_id = cand.a
+           |                  JOIN embeddings eb ON eb.vec_id = cand.b),
+           |r AS (SELECT a, b, row_number() OVER (ORDER BY cos DESC, a, b) AS rank FROM p)
+           |SELECT a, b, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+      },
 
       "x_sim_topk" ->
         """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),

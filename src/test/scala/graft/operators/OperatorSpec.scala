@@ -42,6 +42,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(cosOf(ranked.head._2) >= cosOf(ranked.last._2))
   }
 
+  test("embedding LSH top-pairs finds planted near-dup pairs (recall 1.0)") {
+    // 100 quasi-random vectors + 8 near-identical copies: the copies are
+    // the true top-8 pairs (cosine ≈ 0.9999), and at 16 tables × 8 planes
+    // a pair that close misses every bucket with probability ~1e-16 — so
+    // the LSH path must reproduce the exact all-pairs top-8 verbatim.
+    val base = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16.0 + d + 1).toFloat))
+    }
+    val dups = (0 until 8).map { i =>
+      (1000L + i, base(i)._2.zipWithIndex.map {
+        case (v, d) => if (d == 0) v + 0.001f else v })
+    }
+    val emb2 = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingTopPairs(emb2, "vec_id", "embedding", 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingTopPairsLsh(emb2, "vec_id", "embedding", 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact == (0 until 8).map(i => (i.toLong, 1000L + i)).toSet,
+      s"fixture top-8 should be the planted pairs, got $exact")
+    assert(lsh == exact, s"LSH missed planted pairs: ${exact -- lsh}")
+  }
+
   test("minhash LSH finds the high-jaccard planted near-dups") {
     val exactPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
       .select("a", "b").as[(Long, Long)].collect().toSet

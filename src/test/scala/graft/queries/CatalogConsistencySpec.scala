@@ -30,7 +30,9 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_sim_ivf",           // approximate by design
       "x_multimodal_frames",   // stub decode, pinned by ScalaTest
       "x_multimodal_features", // stub encoder → ANN, pinned by ScalaTest
-      "x_text_surprisal")      // float log-probs, pinned by ScalaTest
+      "x_text_surprisal",      // float log-probs, pinned by ScalaTest
+      "x_dedup_minhash_fast",  // xx64 production config, spec-pinned vs exact
+      "x_dedup_cross_fast")    // xx64 production config, spec-pinned vs exact
     )
   }
 }

@@ -51,11 +51,15 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("embedding top-pairs avoids a global window over all pairs") {
+  test("embedding top-pairs: LSH-bucketed, no cartesian, no global window") {
     val p = planOf("x_dedup_embedding_pairs")
     assert(p.contains("TakeOrderedAndProject"), p)
     // VecDot must be codegen'd, not a fallback eval
     assert(p.contains("vecdot") || p.contains("VecDot"), p)
+    // the corpus×corpus product must never be formed — candidates come
+    // from LSH bucket joins only
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("brute-force similarity broadcasts the query side") {
