@@ -1,6 +1,8 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 import graft.core.{Merge, TimestampNorm, WriteMode}
 import graft.sinks.HostedSinks
@@ -97,6 +99,44 @@ object HostedTables {
         else Left("Could not create unique field constraint for appends!")
       } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
     } yield id
+
+  /** The hosted-type palette a staged CSV is canonicalized to — the analog
+    * of the portal's server-side `analyze(file_type='csv')` publish-
+    * parameter typing (`src/agol_pandas.py:441-447`, `515`): every column
+    * lands on STRING / BIGINT / DOUBLE / TIMESTAMP. Narrow integers widen
+    * to long, decimals/floats to double, booleans to 0/1 longs (the portal
+    * palette has no boolean), date-ish types to UTC timestamps; anything
+    * unrecognized stays a string rather than failing the stage.
+    */
+  private def canonicalFieldType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType => LongType
+    case FloatType | DoubleType | _: DecimalType                     => DoubleType
+    case DateType | TimestampNTZType | TimestampType                 => TimestampType
+    case _                                                           => StringType
+  }
+
+  /** Stage a raw (untyped) CSV for hosted-table creation: infer a schema,
+    * then canonicalize it to the hosted palette — the reference's
+    * `analyze → publishParameters` round-trip (`src/agol_pandas.py:441-447`)
+    * done engine-side. The result feeds [[createTable]]/[[save]] like any
+    * typed DataFrame.
+    *
+    * Inference reads the file twice (sample pass + data pass) — fine for
+    * staging-sized CSVs, which is what this path is for; bulk loads at
+    * scale should pass an explicit schema to `spark.read` instead and skip
+    * staging entirely.
+    */
+  def stageCsv(spark: SparkSession, path: String,
+               timestampFormat: String = "yyyy-MM-dd HH:mm:ss"): Either[String, DataFrame] =
+    try {
+      val raw = spark.read
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .option("timestampFormat", timestampFormat)
+        .csv(path)
+      Right(raw.select(raw.schema.fields.map(f =>
+        col(f.name).cast(canonicalFieldType(f.dataType))).toIndexedSeq: _*))
+    } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
 
   /** Resolve-or-create, then load — the reference's orchestrator. Mode is
     * upsert when a key is given, else append (`src/agol_pandas.py:598-606`).

@@ -223,7 +223,51 @@ object QueryCatalog {
       HostedTables.save(df, "q_save_customer", Some("c_custkey"), chunkSize = 500)
         .fold(sys.error, identity)
       HostedTables.read(s, id).orderBy("c_custkey")
+    }),
+
+    "ref_csv_stage" -> ((s, dir) => {
+      // Reference parity for the analyze→publishParameters CSV round-trip
+      // (src/agol_pandas.py:441-447, 515): an UNTYPED csv is staged —
+      // schema inferred, then canonicalized to the hosted palette
+      // (string/bigint/double/timestamp) — loaded through the save
+      // orchestrator, and read back through the connector. The oracle
+      // re-infers the same file with DuckDB's read_csv, so the check
+      // covers type canonicalization, not just the data round-trip.
+      val path = writeCsvStageFixture(s, dir)
+      val staged = HostedTables.stageCsv(s, path).fold(sys.error, identity)
+      HostedStore.dropByTitle("q_csv_stage")
+      val (id, _) = HostedTables.save(staged, "q_csv_stage", Some("doc_id"),
+        chunkSize = 1000).fold(sys.error, identity)
+      HostedTables.read(s, id).orderBy("doc_id")
     }))
+
+  /** Deterministic untyped-CSV staging fixture derived from the documents
+    * table (driver-side file IO mirrors the reference's temp-file staging,
+    * `src/agol_pandas.py:70-84`; the engine work under test is the
+    * inference + canonicalization + hosted round-trip in `ref_csv_stage`).
+    * `score` values are exact quarters and `created` is minute-granular, so
+    * both engines parse identical doubles/timestamps from the text.
+    */
+  private val csvStagePath = "/tmp/graft_csv_stage.csv"
+  private def writeCsvStageFixture(s: SparkSession, dir: String): String = synchronized {
+    val rows = t(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val base = java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0)
+    val sb = new StringBuilder("doc_id,lang,source,n_chars,score,created\n")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val nc = r.getLong(3)
+      sb.append(id).append(',').append(r.getString(1)).append(',')
+        .append(r.getString(2)).append(',').append(nc).append(',')
+        .append(nc / 4.0).append(',')
+        .append(base.plusMinutes(id).format(fmt)).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(csvStagePath),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    csvStagePath
+  }
 
   val referenceOracles: Map[String, String] = Map(
     "ref_scan_pushdown" ->
@@ -289,7 +333,12 @@ object QueryCatalog {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "ref_save_orchestrator" ->
-      "SELECT * FROM customer ORDER BY c_custkey")
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "ref_csv_stage" ->
+      s"""SELECT doc_id, lang, source, n_chars, score, created
+         |FROM read_csv('$csvStagePath', header=true)
+         |ORDER BY doc_id""".stripMargin)
 
   // ------------------------------------------------- relational breadth
 

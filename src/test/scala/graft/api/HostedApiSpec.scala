@@ -93,4 +93,35 @@ class HostedApiSpec extends AnyFunSuite {
     val idx = HostedStore.indexesOf(id)
     assert(idx.size == 1 && idx.head.isUnique && idx.head.field == "o_orderkey")
   }
+
+  test("stageCsv canonicalizes inferred types to the hosted palette") {
+    import org.apache.spark.sql.types._
+    val f = java.io.File.createTempFile("stage_spec", ".csv")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      """id,flag,ratio,label,seen,mixed
+        |1,true,0.25,alpha,2021-06-01 10:00:00,7
+        |2,false,1.5,beta,2021-06-02 11:30:00,x
+        |""".stripMargin)
+    val staged = HostedTables.stageCsv(spark, f.getAbsolutePath)
+      .fold(e => fail(e), identity)
+    val types = staged.schema.fields.map(x => x.name -> x.dataType).toMap
+    assert(types("id") == LongType)        // int widens to long
+    assert(types("flag") == LongType)      // boolean → 0/1 (no bool in palette)
+    assert(types("ratio") == DoubleType)
+    assert(types("label") == StringType)
+    assert(types("seen") == TimestampType)
+    assert(types("mixed") == StringType)   // unparseable column stays text
+    val r = staged.orderBy("id").collect()
+    assert(r(0).getLong(1) == 1L && r(1).getLong(1) == 0L)
+    assert(r(0).getDouble(2) == 0.25)
+
+    // staged output feeds the normal create/read round-trip
+    HostedStore.dropByTitle("stage_t1")
+    val id = HostedTables.save(staged, "stage_t1", Some("id"))
+      .fold(e => fail(e), identity)._1
+    val back = HostedTables.read(spark, id)
+    assert(back.count() == 2)
+    assert(back.schema("seen").dataType == TimestampType)
+  }
 }
