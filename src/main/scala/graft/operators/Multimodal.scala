@@ -10,16 +10,20 @@ import org.apache.spark.sql.types._
   * `BinaryType` payload alongside a `StructType` metadata column
   * (media_type, byte_len, content hash). All Spark-side plumbing — schema,
   * partition-friendly projections, per-partition batch decode — is real and
-  * tested; the actual media decode is a clearly-marked deterministic STUB
-  * (no image/audio codecs in this environment). Swapping `stubDecode` for a
-  * real codec (or routing the batch iterator to a Python worker via Arrow)
-  * changes nothing structurally: the batch shape, schema, and partitioning
-  * stay as-is.
+  * tested. The image path is a REAL codec: payloads are genuine 24-bit BMP
+  * streams ([[Bmp]] — header parse, row padding, bottom-up rows), decoded
+  * per partition; frames, features, and resizes operate on actually-decoded
+  * pixel samples. Non-BMP payloads fall back to a clearly-marked
+  * deterministic stub (this container has no jpeg/audio codecs); swapping
+  * that for another codec (or routing batches to a Python worker via
+  * Arrow) changes nothing structurally — the batch shape, schema, and
+  * partitioning stay as-is.
   */
 object Multimodal {
 
   /** Attach a binary payload + metadata struct derived from a text column —
-    * the fixture stand-in for ingesting raw media bytes.
+    * the fixture stand-in for ingesting raw media bytes (opaque non-BMP
+    * path; decode falls back to the deterministic stub).
     */
   def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
@@ -28,6 +32,48 @@ object Multimodal {
         lit("text/plain;fake=image").as("media_type"),
         length(encode(col(textCol), "UTF-8")).as("byte_len"),
         sha2(encode(col(textCol), "UTF-8"), 256).as("sha256")).as("meta"))
+
+  /** Attach a REAL image payload: 1–3 concatenated 24-bit BMP frames whose
+    * dimensions and pixels derive deterministically from the text bytes —
+    * a genuine encoded media column (parseable by any BMP reader), not a
+    * byte-blob stand-in. Batch-encoded per partition, like a real ingest.
+    */
+  def withBmpPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, encodeFrames(text.getBytes("UTF-8")))
+      })
+      .toDF(idCol, "payload")
+    encoded.select(col(idCol), col("payload"),
+      struct(
+        lit("image/bmp").as("media_type"),
+        length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha256")).as("meta"))
+  }
+
+  /** Deterministic multi-frame BMP stream from seed bytes: frame count,
+    * dimensions, and pixels are all functions of the content alone
+    * (partition- and order-invariant, spec-pinnable).
+    */
+  private def encodeFrames(seed: Array[Byte]): Array[Byte] = {
+    val n = 1 + (seed.length % 3)
+    val frames = (0 until n).map { f =>
+      val w = 8 + (seed.length % 9)
+      val h = 6 + ((seed.length + f) % 5)
+      val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+        if (seed.isEmpty) 0.toByte
+        else seed((i * (f + 1) + f) % seed.length)
+      }
+      Bmp.encode(Bmp.Image(w, h, rgb))
+    }
+    val out = new Array[Byte](frames.map(_.length).sum)
+    var off = 0
+    frames.foreach { fb => System.arraycopy(fb, 0, out, off, fb.length); off += fb.length }
+    out
+  }
 
   /** Cheap metadata extraction — pure projection, no decode needed. */
   def metadata(withBytes: DataFrame, idCol: String): DataFrame =
@@ -39,14 +85,15 @@ object Multimodal {
   case class DecodedFrame(id: Long, frame_no: Int, width: Int, height: Int,
                           mean_intensity: Double)
 
-  /** Batch "decode": iterate each partition once, emit per-frame rows.
+  /** Batch decode: iterate each partition once, emit per-frame rows.
     *
-    * STUB — a real implementation replaces the body of `decodeOne` with a
-    * codec call (e.g. libjpeg via JNI, or ship the iterator to a Python
-    * worker as Arrow batches). The deterministic fake derives frame count
-    * and dimensions from the payload bytes so tests can pin results.
+    * BMP payloads go through the REAL codec ([[Bmp.decodeAll]]): width and
+    * height come from parsed headers, mean intensity from decoded pixels.
+    * Non-BMP payloads fall back to the deterministic stub (no other codecs
+    * in this container — swapping the fallback for libjpeg-via-JNI or an
+    * Arrow round-trip to a Python worker is a per-branch change).
     * Partition-level iteration (not per-row UDF) is the shape that lets a
-    * real codec amortize setup per batch.
+    * codec amortize setup per batch.
     */
   def decodeFrames(withBytes: DataFrame, idCol: String): DataFrame = {
     val spark = withBytes.sparkSession
@@ -59,8 +106,19 @@ object Multimodal {
       .toDF()
   }
 
-  /** STUB decode: deterministic pseudo-frames from the byte content. */
-  private def decodeOne(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] = {
+  private def decodeOne(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] =
+    if (Bmp.isBmp(bytes))
+      Bmp.decodeAll(bytes).zipWithIndex.map { case (img, f) =>
+        val g = img.gray
+        val mean = if (g.isEmpty) 0.0 else g.map(_.toLong).sum.toDouble / g.length
+        DecodedFrame(id, f, img.width, img.height, mean)
+      }
+    else stubDecode(id, bytes)
+
+  /** STUB decode for opaque non-BMP payloads: deterministic pseudo-frames
+    * from the byte content.
+    */
+  private def stubDecode(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] = {
     val nFrames = 1 + (bytes.length % 3)
     (0 until nFrames).map { f =>
       val w = 64 + (bytes.length % 64)
@@ -88,11 +146,14 @@ object Multimodal {
     * `Similarity` operators (`bruteForceTopK`/`lshTopK`/`ivfTopK` over a
     * `feature` column).
     *
-    * STUB — a real implementation replaces `stubFeature` with an encoder
-    * call (ONNX/JNI, or ship the partition iterator to a Python worker as
-    * Arrow batches). Partition-level iteration amortizes model load per
-    * batch, exactly like [[decodeFrames]]; the deterministic fake folds
-    * byte content into the vector so specs can pin results.
+    * BMP payloads are REALLY decoded first: the feature folds the decoded
+    * grayscale pixel samples (all frames, in order), not the compressed
+    * container bytes — so two encodings of the same pixels featurize
+    * identically, the property a real encoder has and byte-folding lacks.
+    * Non-BMP payloads fold raw bytes (stub fallback). The fold itself is
+    * the dependency-free stand-in for a learned encoder (ONNX/JNI or an
+    * Arrow round-trip replaces one function); partition-level iteration
+    * amortizes model load per batch, exactly like [[decodeFrames]].
     */
   def extractFeatures(withBytes: DataFrame, idCol: String,
                       dim: Int = 16): DataFrame = {
@@ -102,18 +163,25 @@ object Multimodal {
     withBytes.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        Feature(id, stubFeature(bytes, dim)) })
+        Feature(id, foldFeature(samplesOf(bytes), dim)) })
       .toDF(idCol, "feature")
   }
 
-  /** STUB encoder: strided byte folding, L2-normalized. Deterministic in
-    * the payload alone (partition- and order-invariant).
+  /** Decoded sample stream of a payload: grayscale pixels for BMP media,
+    * raw bytes for opaque payloads.
     */
-  private def stubFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private def samplesOf(bytes: Array[Byte]): Array[Int] =
+    if (Bmp.isBmp(bytes)) Bmp.decodeAll(bytes).flatMap(_.gray).toArray
+    else bytes.map(_ & 0xff)
+
+  /** Strided sample folding, L2-normalized — deterministic in the decoded
+    * samples alone (partition- and order-invariant).
+    */
+  private def foldFeature(samples: Array[Int], dim: Int): Array[Float] = {
     val acc = Array.fill(dim)(0.0)
     var j = 0
-    while (j < bytes.length) {
-      acc(j % dim) += (bytes(j) & 0xff) * (1.0 + (j / dim) % 7)
+    while (j < samples.length) {
+      acc(j % dim) += samples(j) * (1.0 + (j / dim) % 7)
       j += 1
     }
     val norm = math.sqrt(acc.map(v => v * v).sum)
@@ -121,14 +189,41 @@ object Multimodal {
     else acc.map(v => (v / norm).toFloat)
   }
 
-  /** Batch "resize": re-encode each payload to exactly `targetBytes`
-    * (cycle-padded / truncated) with refreshed metadata — the
-    * normalize-before-training step for media columns.
-    *
-    * STUB — a real implementation decodes, resamples (image scale /
-    * audio rate), and re-encodes inside the same partition iterator; the
-    * byte-cycling fake keeps the schema, metadata refresh, and batch
-    * shape identical to what a codec-backed version produces.
+  /** REAL image resize: decode every BMP frame, nearest-neighbor resample
+    * to `targetW`×`targetH`, re-encode, refresh metadata — the
+    * normalize-before-training step for media columns, decode→resample→
+    * re-encode inside one partition iterator like a production transcoder.
+    */
+  def resizeImages(withBytes: DataFrame, idCol: String,
+                   targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dimensions must be >= 1")
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val frames = Bmp.decodeAll(bytes)
+          .map(f => Bmp.encode(Bmp.resize(f, targetW, targetH)))
+        val out = new Array[Byte](frames.map(_.length).sum)
+        var off = 0
+        frames.foreach { fb =>
+          System.arraycopy(fb, 0, out, off, fb.length); off += fb.length
+        }
+        (id, out)
+      })
+      .toDF(idCol, "payload")
+      .select(col(idCol), col("payload"),
+        struct(
+          lit(s"image/bmp;resized=${targetW}x$targetH").as("media_type"),
+          length(col("payload")).as("byte_len"),
+          sha2(col("payload"), 256).as("sha256")).as("meta"))
+  }
+
+  /** Batch "resize" to a byte budget: re-encode each payload to exactly
+    * `targetBytes` (cycle-padded / truncated) with refreshed metadata —
+    * the OPAQUE-payload variant (a byte-budget normalization for media
+    * with no decoder in this container; [[resizeImages]] is the real
+    * decode→resample→re-encode path for BMP media).
     */
   def resizePayloads(withBytes: DataFrame, idCol: String,
                      targetBytes: Int): DataFrame = {

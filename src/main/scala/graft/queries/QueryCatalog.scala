@@ -1042,17 +1042,19 @@ object QueryCatalog {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
-    "x_multimodal_frames" -> ((s, dir) => // stub decode: rows-only oracle
+    "x_multimodal_frames" -> ((s, dir) => // real BMP decode: rows-only oracle
+      // payloads are genuine 24-bit BMP streams; width/height come from
+      // parsed headers, mean intensity from decoded pixels (Bmp.scala)
       Multimodal.decodeFrames(
-          Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
+          Multimodal.withBmpPayload(t(s, dir, "documents"), "doc_id", "text"),
           "doc_id")
         .orderBy("id", "frame_no")),
 
-    "x_multimodal_features" -> ((s, dir) => { // stub encoder: rows-only oracle
-      // media → feature vector → exact ANN top-k, all inside the engine:
-      // the multimodal-to-similarity bridge exercised end-to-end
+    "x_multimodal_features" -> ((s, dir) => { // decoded-pixel features: rows-only oracle
+      // media → REAL BMP decode → feature vector → exact ANN top-k, all
+      // inside the engine: the multimodal-to-similarity bridge end-to-end
       val feats = Multimodal.extractFeatures(
-        Multimodal.withPayload(t(s, dir, "documents"), "doc_id", "text"),
+        Multimodal.withBmpPayload(t(s, dir, "documents"), "doc_id", "text"),
         "doc_id", dim = 16)
       Similarity.bruteForceTopK(feats, feats.filter(col("doc_id") < 3),
           "doc_id", "feature", 10)

@@ -428,6 +428,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("BMP codec: encode/decode round-trip is exact, including row padding") {
+    // width 3 → 9 data bytes per row + 3 padding bytes (4-byte alignment):
+    // the round-trip only survives if padding and bottom-up order are real
+    val rgb = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 7 + 1).toByte)
+    val img = Bmp.Image(3, 2, rgb)
+    val bytes = Bmp.encode(img)
+    assert(bytes.length == Bmp.encodedSize(3, 2))
+    assert(Bmp.isBmp(bytes))
+    val (back, consumed) = Bmp.decode(bytes)
+    assert(consumed == bytes.length)
+    assert(back.width == 3 && back.height == 2)
+    assert(back.rgb.sameElements(rgb))
+    // concatenated stream: two frames, walked by header-declared sizes
+    val two = bytes ++ Bmp.encode(Bmp.resize(img, 2, 5))
+    val frames = Bmp.decodeAll(two)
+    assert(frames.map(f => (f.width, f.height)) == Seq((3, 2), (2, 5)))
+    // corrupt input fails loudly, never silently decodes
+    intercept[IllegalArgumentException](Bmp.decode("JUNKJUNK".getBytes))
+  }
+
+  test("multimodal: BMP frames carry header dims and decoded-pixel means") {
+    val withBytes = Multimodal.withBmpPayload(docs.limit(30), "doc_id", "text")
+    val frames = Multimodal.decodeFrames(withBytes, "doc_id")
+      .orderBy("id", "frame_no").collect().toSeq
+    assert(frames.nonEmpty)
+    // dims are the generator's header values, decoded back out of the files
+    assert(frames.forall { r =>
+      val (w, h) = (r.getInt(2), r.getInt(3))
+      w >= 8 && w <= 16 && h >= 6 && h <= 10
+    })
+    // cross-check one payload against a direct driver-side codec pass
+    val (id0, payload0) = withBytes.select("doc_id", "payload")
+      .orderBy("doc_id").as[(Long, Array[Byte])].head()
+    val direct = Bmp.decodeAll(payload0).map { img =>
+      img.gray.map(_.toLong).sum.toDouble / img.gray.length
+    }
+    val engine = frames.filter(_.getLong(0) == id0).map(_.getDouble(4))
+    assert(engine == direct, s"engine means $engine != codec means $direct")
+    // partition-invariant
+    val again = Multimodal.decodeFrames(withBytes.repartition(13), "doc_id")
+      .orderBy("id", "frame_no").collect().toSeq
+    assert(frames == again)
+  }
+
+  test("multimodal: resizeImages re-encodes decodable frames at target dims") {
+    val withBytes = Multimodal.withBmpPayload(docs.limit(20), "doc_id", "text")
+    val nFrames = Multimodal.decodeFrames(withBytes, "doc_id")
+      .groupBy("id").count().orderBy("id").collect().toSeq
+    val resized = Multimodal.resizeImages(withBytes, "doc_id", 4, 4)
+    val back = Multimodal.decodeFrames(resized, "doc_id")
+    assert(back.filter(col("width") =!= 4 || col("height") =!= 4).count() == 0)
+    // frame counts survive the transcode
+    val nAfter = back.groupBy("id").count().orderBy("id").collect().toSeq
+    assert(nAfter == nFrames)
+    // metadata is refreshed for the new payload
+    val m = resized.select("meta.media_type").distinct().as[String].collect()
+    assert(m.sameElements(Array("image/bmp;resized=4x4")))
+  }
+
   test("multimodal: feature extraction is unit-norm, partition-invariant, ANN-composable") {
     val withBytes = Multimodal.withPayload(docs.limit(50), "doc_id", "text")
     val feats = Multimodal.extractFeatures(withBytes, "doc_id", dim = 8)
