@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
-import graft.core.{Merge, TimestampNorm, WriteMode}
+import graft.core.{Merge, SessionLog, TimestampNorm, WriteMode}
 import graft.sinks.HostedSinks
 import graft.sources.{GraftCommitMessage, GraftWriteReports}
 
@@ -39,13 +39,13 @@ object HostedTables {
       key: Option[String] = None,
       chunkSize: Int = 100000,
       properties: Map[String, String] = Map.empty): Either[String, Seq[GraftCommitMessage]] =
-    for {
+    audited(s"write $itemId mode=${mode.name}")(for {
       _ <- WriteMode.validate(mode, key)
       _ <- if (!HostedSinks.active.exists(itemId)) Left(s"no hosted table '$itemId'") else Right(())
       _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
       res <- doWrite(df, itemId, mode, key, chunkSize)
       _ = if (properties.nonEmpty) HostedSinks.active.setProperties(itemId, properties)
-    } yield res
+    } yield res)
 
   private def doWrite(
       df: DataFrame,
@@ -84,7 +84,7 @@ object HostedTables {
       name: String,
       key: Option[String] = None,
       properties: Map[String, String] = Map.empty): Either[String, String] =
-    for {
+    audited(s"createTable $name")(for {
       norm <- graft.core.ServiceName.normalize(name)
       _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
       id <- try {
@@ -98,7 +98,7 @@ object HostedTables {
         if (indexed) Right(id)
         else Left("Could not create unique field constraint for appends!")
       } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
-    } yield id
+    } yield id)
 
   /** The hosted-type palette a staged CSV is canonicalized to — the analog
     * of the portal's server-side `analyze(file_type='csv')` publish-
@@ -157,7 +157,7 @@ object HostedTables {
       chunkSize: Int = 200000,
       properties: Map[String, String] = Map.empty,
       tableId: Option[String] = None): Either[String, (String, Seq[GraftCommitMessage])] =
-    for {
+    audited(s"save $name")(for {
       _ <- if (df.isEmpty) Left("The DataFrame is empty") else Right(())
       id <- tableId match {
         case Some(tid) =>
@@ -175,5 +175,16 @@ object HostedTables {
       mode = if (key.isDefined) WriteMode.Upsert else WriteMode.Append
       report <- doWrite(df, id, mode, key, chunkSize)
       _ = if (properties.nonEmpty) HostedSinks.active.setProperties(id, properties)
-    } yield (id, report)
+    } yield (id, report))
+
+  /** Session-audit shim: every public call lands one line in
+    * [[graft.core.SessionLog]] — successes in `loggingInfo`, failures in
+    * `failLog` — mirroring the reference's cross-call `AP_LOG` history
+    * (`src/agol_pandas.py:33-43`).
+    */
+  private def audited[A](op: String)(r: Either[String, A]): Either[String, A] = {
+    r.fold(e => SessionLog.recordFailure(s"$op: $e"),
+      _ => SessionLog.recordInfo(s"$op: ok"))
+    r
+  }
 }

@@ -48,6 +48,19 @@ object HostedStore {
       isUnique: Boolean,
       visibleAfterPolls: Int)
 
+  /** A secondary dataset carried by an item — the feature LAYER a hosted
+    * item may hold alongside (or instead of) its table. Geometry is out of
+    * scope (SURVEY §1); a layer here is its attribute table.
+    */
+  final case class DatasetState(schema: StructType, rows: Vector[Row])
+
+  /** `kind` is "table" or "layer" — which collection the SERVED dataset
+    * (this state's `schema`/`rows`) belongs to. `shadowedLayer` holds the
+    * item's layer when a table was published over it: the reference's
+    * reader resolves `item.layers[0]` and then lets `item.tables[0]`
+    * shadow it (`src/agol_pandas.py:239-243`), so every query verb serves
+    * the table and the layer stays reachable only via [[shadowedLayerOf]].
+    */
   final case class TableState(
       itemId: String,
       title: String,
@@ -57,7 +70,9 @@ object HostedStore {
       properties: Map[String, String] = Map.empty,
       indexes: Vector[IndexState] = Vector.empty,
       appliedBatches: Set[String] = Set.empty,
-      committedParts: Set[String] = Set.empty)
+      committedParts: Set[String] = Set.empty,
+      kind: String = "table",
+      shadowedLayer: Option[DatasetState] = None)
 
   private val tables = new ConcurrentHashMap[String, TableState]()
   private val nextId = new AtomicLong(1000)
@@ -103,6 +118,38 @@ object HostedStore {
       properties + ("title" -> title)))
     id
   }
+
+  /** Create a feature-LAYER item (the spatial case the reference
+    * half-supports, `src/agol_pandas.py:239-241`): identical service
+    * surface — every query/write verb works against the layer's attribute
+    * table — distinguished only by `kind`, so the connector read path
+    * covers layer items too.
+    */
+  def createLayer(title: String, schema: StructType,
+                  properties: Map[String, String] = Map.empty): String = synchronized {
+    val id = create(title, schema, properties)
+    tables.put(id, get(id).copy(kind = "layer"))
+    id
+  }
+
+  /** Publish a TABLE onto an existing layer item. From here on the item
+    * has both `layers[0]` and `tables[0]`, and — like the reference's
+    * resolution, where the tables branch overwrites the layers branch
+    * (`src/agol_pandas.py:239-243`) — every verb serves the table; the
+    * layer is shadowed but kept reachable via [[shadowedLayerOf]].
+    */
+  def publishTable(itemId: String, tableSchema: StructType): Unit = synchronized {
+    val t = get(itemId)
+    require(t.kind == "layer", s"item '$itemId' already serves a table")
+    tables.put(itemId, t.copy(
+      schema = tableSchema, rows = Vector.empty, kind = "table",
+      shadowedLayer = Some(DatasetState(t.schema, t.rows))))
+  }
+
+  def kindOf(itemId: String): String = get(itemId).kind
+
+  def shadowedLayerOf(itemId: String): Option[DatasetState] =
+    get(itemId).shadowedLayer
 
   /** Merge portal item metadata (`item_properties` passthrough on the
     * reference's write/create surface, `src/agol_pandas.py:316,477,548`).

@@ -94,6 +94,51 @@ class HostedApiSpec extends AnyFunSuite {
     assert(idx.size == 1 && idx.head.isUnique && idx.head.field == "o_orderkey")
   }
 
+  test("layer items read through the connector; a published table shadows the layer") {
+    import org.apache.spark.sql.functions._
+    HostedStore.dropByTitle("layer_t1")
+    // feature-layer item (attributes only — geometry out of scope)
+    val layerDf = orders.select("o_orderkey", "o_totalprice").limit(100)
+    val id = HostedStore.createLayer("layer_t1", layerDf.schema)
+    assert(HostedStore.kindOf(id) == "layer")
+    HostedTables.write(layerDf, id, WriteMode.Append).fold(e => fail(e), identity)
+    // the read path the reference half-supports: item.layers[0]
+    assert(HostedTables.read(spark, id).count() == 100)
+
+    // publish a table onto the item: tables[0] now shadows layers[0]
+    // (src/agol_pandas.py:239-243) — reads serve the table
+    val tableDf = orders.select("o_orderkey", "o_orderstatus").limit(7)
+    HostedStore.publishTable(id, tableDf.schema)
+    HostedTables.write(tableDf, id, WriteMode.Append).fold(e => fail(e), identity)
+    val back = HostedTables.read(spark, id)
+    assert(back.columns.toSeq == Seq("o_orderkey", "o_orderstatus"))
+    assert(back.count() == 7)
+    // the shadowed layer is retained, not destroyed
+    val shadowed = HostedStore.shadowedLayerOf(id)
+    assert(shadowed.exists(_.rows.size == 100))
+    // an item already serving a table cannot be published over again
+    intercept[IllegalArgumentException](HostedStore.publishTable(id, tableDf.schema))
+  }
+
+  test("SessionLog accumulates cross-call success and failure history") {
+    import graft.core.SessionLog
+    SessionLog.clear()
+    HostedStore.dropByTitle("audit_t1")
+    val id = HostedTables.createTable(orders, "audit_t1", Some("o_orderkey"))
+      .fold(e => fail(e), identity)
+    HostedTables.write(orders, id, WriteMode.Append).fold(e => fail(e), identity)
+    // two failures: bad mode contract, then a missing table
+    assert(HostedTables.write(orders, id, WriteMode.Upsert).isLeft)
+    assert(HostedTables.write(orders, "item_nope", WriteMode.Append).isLeft)
+    assert(SessionLog.loggingInfo.size == 2)
+    assert(SessionLog.loggingInfo.head.startsWith("createTable"))
+    assert(SessionLog.failures == 2)
+    assert(SessionLog.failLog.exists(_.contains("requires a key column")))
+    assert(SessionLog.failLog.exists(_.contains("no hosted table 'item_nope'")))
+    SessionLog.clear()
+    assert(SessionLog.failures == 0 && SessionLog.loggingInfo.isEmpty)
+  }
+
   test("stageCsv canonicalizes inferred types to the hosted palette") {
     import org.apache.spark.sql.types._
     val f = java.io.File.createTempFile("stage_spec", ".csv")
