@@ -168,11 +168,106 @@ object Multimodal {
   }
 
   /** Decoded sample stream of a payload: grayscale pixels for BMP media,
-    * raw bytes for opaque payloads.
+    * 8-bit-folded PCM samples for WAV media, raw bytes for opaque
+    * payloads.
     */
   private def samplesOf(bytes: Array[Byte]): Array[Int] =
     if (Bmp.isBmp(bytes)) Bmp.decodeAll(bytes).flatMap(_.gray).toArray
+    else if (Wav.isWav(bytes)) Wav.decode(bytes).samples.map(s => (s >> 8) + 128)
     else bytes.map(_ & 0xff)
+
+  /** Attach a REAL audio payload: a mono 16-bit PCM WAV whose samples
+    * derive deterministically from the text bytes — genuine encoded media
+    * (parseable by any WAV reader), batch-encoded per partition.
+    */
+  def withWavPayload(df: DataFrame, idCol: String, textCol: String,
+                     sampleRate: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val seed = text.getBytes("UTF-8")
+        val n = 256 + (if (seed.isEmpty) 0 else seed.length % 512)
+        val samples = Array.tabulate[Short](n) { i =>
+          if (seed.isEmpty) 0
+          else (((seed((i * 7 + 3) % seed.length) & 0xff) - 128) * 201).toShort
+        }
+        (id, Wav.encode(Wav.Audio(sampleRate, samples)))
+      })
+      .toDF(idCol, "payload")
+    encoded.select(col(idCol), col("payload"),
+      struct(
+        lit("audio/wav").as("media_type"),
+        length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha256")).as("meta"))
+  }
+
+  case class DecodedAudio(id: Long, sample_rate: Int, n_samples: Int,
+                          duration_ms: Long, rms_e6: Long, peak: Int)
+
+  /** Batch audio decode: per payload, header + decoded-sample stats
+    * (duration, RMS, peak). RMS is scaled to integer micro-units — float
+    * summaries are not order-stable across engines, integers are.
+    */
+  def decodeAudio(withBytes: DataFrame, idCol: String): DataFrame = {
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val a = Wav.decode(bytes)
+        DecodedAudio(id, a.sampleRate, a.samples.length,
+          (a.durationSec * 1000).toLong, (a.rms * 1e6).toLong, a.peak)
+      })
+      .toDF()
+  }
+
+  case class AudioWindow(id: Long, window_no: Int, n_samples: Int, rms_e6: Long)
+
+  /** Fixed-width analysis windows over decoded audio — the temporal
+    * sampling analog of [[sampleFrames]] for the audio modality: one row
+    * per `windowMs` window with its sample count and RMS.
+    */
+  def audioWindows(withBytes: DataFrame, idCol: String,
+                   windowMs: Int = 125): DataFrame = {
+    require(windowMs >= 1, "windowMs must be >= 1")
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val a = Wav.decode(bytes)
+        val win = math.max(1, a.sampleRate * windowMs / 1000)
+        a.samples.grouped(win).zipWithIndex.map { case (chunk, w) =>
+          AudioWindow(id, w, chunk.length,
+            (Wav.Audio(a.sampleRate, chunk).rms * 1e6).toLong)
+        }
+      })
+      .toDF()
+  }
+
+  /** REAL audio resample: decode, nearest-neighbor rate-convert,
+    * re-encode with refreshed metadata — [[resizeImages]] for the audio
+    * modality.
+    */
+  def resampleAudio(withBytes: DataFrame, idCol: String,
+                    targetRate: Int): DataFrame = {
+    require(targetRate >= 1, "targetRate must be >= 1")
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, Wav.encode(Wav.resample(Wav.decode(bytes), targetRate)))
+      })
+      .toDF(idCol, "payload")
+      .select(col(idCol), col("payload"),
+        struct(
+          lit(s"audio/wav;rate=$targetRate").as("media_type"),
+          length(col("payload")).as("byte_len"),
+          sha2(col("payload"), 256).as("sha256")).as("meta"))
+  }
 
   /** Strided sample folding, L2-normalized — deterministic in the decoded
     * samples alone (partition- and order-invariant).

@@ -1050,6 +1050,14 @@ object QueryCatalog {
           "doc_id")
         .orderBy("id", "frame_no")),
 
+    "x_multimodal_audio" -> ((s, dir) => // real WAV decode: rows-only oracle
+      // payloads are genuine RIFF/PCM16 files; stats come from decoded
+      // samples (Wav.scala), spec-pinned against a driver-side decode
+      Multimodal.decodeAudio(
+          Multimodal.withWavPayload(t(s, dir, "documents"), "doc_id", "text"),
+          "doc_id")
+        .orderBy("id")),
+
     "x_multimodal_features" -> ((s, dir) => { // decoded-pixel features: rows-only oracle
       // media → REAL BMP decode → feature vector → exact ANN top-k, all
       // inside the engine: the multimodal-to-similarity bridge end-to-end

@@ -28,8 +28,9 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_approx_distinct",   // HLL sketch (engine-specific)
       "x_sim_ann_lsh",       // approximate by design
       "x_sim_ivf",           // approximate by design
-      "x_multimodal_frames",   // stub decode, pinned by ScalaTest
-      "x_multimodal_features", // stub encoder → ANN, pinned by ScalaTest
+      "x_multimodal_frames",   // real BMP decode, pinned by ScalaTest
+      "x_multimodal_features", // decoded-pixel features → ANN, pinned by ScalaTest
+      "x_multimodal_audio",    // real WAV decode, pinned by ScalaTest
       "x_text_surprisal",      // float log-probs, pinned by ScalaTest
       "x_dedup_minhash_fast",  // xx64 production config, spec-pinned vs exact
       "x_dedup_cross_fast")    // xx64 production config, spec-pinned vs exact
