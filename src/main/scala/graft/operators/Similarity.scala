@@ -278,6 +278,117 @@ object Similarity {
       .select("qid", "id", "rank")
   }
 
+  // ------------------------------------------------------- product quant
+
+  /** Deterministic product-quantization codebooks: the embedding is split
+    * into `m` contiguous subvectors; each subvector space gets `ks`
+    * centroids taken from the (unit-normalized) subvectors of the
+    * `ks` smallest-id corpus vectors — fixed and reproducible, the same
+    * trade [[ivfTopK]] makes (swap per-subspace k-means in at real scale;
+    * every downstream shape is identical). Driver-side result is
+    * `m × ks × (dim/m)` doubles — bytes, broadcast as plan literals.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ks: Int = 16): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(idCol),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(col(idCol)).limit(ks)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length == ks,
+      s"pqTrain: corpus has ${sample.length} vectors, need ks=$ks")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val unit = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    Array.tabulate(m, ks)((s, j) => unit(j).slice(s * sub, (s + 1) * sub))
+  }
+
+  /** Unit-normalized double copy of a vector column (zero vectors pass
+    * through), so subvector dot products against the unit-normalized
+    * codebooks compose to cosine.
+    */
+  private def unitized(vec: Column): Column = {
+    val n = vec_norm(vec)
+    when(n === 0, vec).otherwise(transform(vec, x => x / n))
+  }
+
+  /** PQ-encode a corpus: one `m`-byte-ish code array per vector (stored as
+    * `array<int>` — 8× to 64× smaller than the float vector it stands in
+    * for). Each subvector's code is the L2-nearest codebook centroid,
+    * computed as a projection-level argmax over plan literals — like
+    * [[assignCells]], ZERO joins and ZERO shuffles over the corpus.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val c = corpus.select(col(idCol).as("id"),
+      unitized(col(vecCol).cast("array<double>")).as("__v"))
+    // argmin_j ||x_s − cb_j||² = argmax_j 2·x_s·cb_j − ||cb_j||²; ties to
+    // the smallest j via the (-j) struct field
+    val codeCols = (0 until m).map { s =>
+      val subCol = slice(col("__v"), s * sub + 1, sub)
+      val scored = array(codebooks(s).zipWithIndex.map { case (cb, j) =>
+        val cbNorm2 = cb.map(x => x * x).sum
+        struct((vec_dot(subCol, typedLit(cb.toSeq)) * 2 - lit(cbNorm2)).as("score"),
+          lit(-j).as("nj"))
+      }.toIndexedSeq: _*)
+      (-array_max(scored).getField("nj")).as(s"__c$s")
+    }
+    c.select(col("id") +: codeCols: _*)
+      .select(col("id"), array((0 until m).map(s => col(s"__c$s")): _*).as("code"))
+  }
+
+  /** Approximate top-k via product quantization with asymmetric distance
+    * (ADC): the corpus is scanned as compact codes; each query carries a
+    * flat `m × ks` lookup table of subvector dots (a pure projection over
+    * the literal codebooks), and a candidate's score is `m` table lookups —
+    * no float-vector arithmetic per pair. The `rerank × k` best ADC
+    * candidates per query are re-scored exactly against the original
+    * vectors. This is the memory-side scale path: a 100 TB float corpus
+    * scans as ~1/32 the bytes, and the exact re-rank touches only
+    * `rerank·k·|queries|` true vectors.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ks: Int = 16,
+             rerank: Int = 4,
+             codebooksIn: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val codebooks = codebooksIn.getOrElse(pqTrain(corpus, idCol, vecCol, m, ks))
+    val sub = codebooks(0)(0).length
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
+    val q0 = queries.select(col(idCol).as("qid"),
+      unitized(col(vecCol).cast("array<double>")).as("__q"))
+    // flat LUT: entry s·ks + j = q_s · cb_s[j]
+    val lutEntries = for (s <- 0 until m; j <- 0 until ks) yield
+      vec_dot(slice(col("__q"), s * sub + 1, sub), typedLit(codebooks(s)(j).toSeq))
+    val q = q0.select(col("qid"), array(lutEntries: _*).as("lut"))
+    val adc = codes.join(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", expr(
+        s"aggregate(sequence(0, ${m - 1}), 0D, " +
+        s"(acc, s) -> acc + element_at(lut, s * $ks + element_at(code, s + 1) + 1))"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    val shortlist = adc.withColumn("rk", row_number().over(wAdc))
+      .filter(col("rk") <= k * rerank)
+      .select("qid", "id")
+    // exact re-rank of the shortlist only
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"),
+      vec_norm(col(vecCol)).as("__cn"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      vec_norm(col(vecCol)).as("__qn"))
+    val exact = shortlist.join(cv, Seq("id")).join(broadcast(qv), Seq("qid"))
+      .withColumn("cosine",
+        cosineFromNorms(col("__cv"), col("__cn"), col("__qv"), col("__qn")))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank")
+  }
+
   /** Exact all-pairs cosine (a < b), norms precomputed per side. Quadratic —
     * bounded inputs only.
     */

@@ -997,6 +997,16 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_pq" -> ((s, dir) => { // approximate by design: rows-only oracle
+      // Product-quantization ADC scan + exact re-rank: the corpus scans as
+      // m-byte codes (projection-encoded, zero shuffle) and only the
+      // shortlist touches true float vectors — the memory-side ANN scale path.
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_text_surprisal" -> ((s, dir) => { // float log-probs: rows-only oracle
       // CCNet-style quality signal: score every doc under a bigram LM
       // trained on the even-id half of the corpus.

@@ -28,6 +28,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("PQ ANN: recall vs brute force is usable; exact copies always found") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ recall@10 (m=8, ks=16, rerank=4): $recall%.3f")
+    assert(recall >= 0.5, s"recall $recall too low")
+    // an exact duplicate of a query vector encodes to the query's own
+    // codes, tops the ADC scan, and survives the exact re-rank at rank 1
+    val withDup = emb.unionByName(
+      emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(90001L)))
+    val top1 = Similarity.pqTopK(withDup,
+        withDup.filter(col("vec_id") === 0), "vec_id", "embedding", 1)
+      .select("id").as[Long].collect()
+    assert(top1.sameElements(Array(90001L)), s"dup not found: ${top1.toSeq}")
+  }
+
   test("brute-force top-k: neighbors are genuinely ranked by cosine") {
     val queries = emb.filter(col("vec_id") === 0)
     val got = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

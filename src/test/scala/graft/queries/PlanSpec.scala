@@ -138,6 +138,16 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("Window"), p)
   }
 
+  test("PQ encode is a shuffle-free projection (no Exchange, no joins)") {
+    import graft.operators.Similarity
+    val emb = graft.api.Tables.load(spark, dir, "embeddings")
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding")
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val p = codes.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("hosted write with key requires ordered range distribution") {
     // The write declares RequiresDistributionAndOrdering; Spark plans a
     // range repartition by key before the write tasks.
