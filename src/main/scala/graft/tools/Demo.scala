@@ -92,6 +92,21 @@ object Demo {
     println(s"== export shards (8-way)        -> ${Curation.shuffleShards(docs.select("doc_id"), "doc_id", 8).groupBy("shard").count().count()} shards")
     println(s"== top-5 vocab (tf)             -> ${TextAnalysis.vocab(docs, "doc_id", "text", 5).select("tok").as[String].collect().mkString(" ")}")
     println(s"== int8-quantized embeddings    -> ${graft.operators.Embeddings.quantizeInt8(emb, "embedding").filter(col("qscale") > 0).count()} vectors")
+    println(s"== PQ ANN top-10 (ADC + re-rank) -> ${Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count()} rows")
+    // Multimodal: real codecs — BMP frame decode and WAV audio stats.
+    import graft.operators.Multimodal
+    val bmp = Multimodal.withBmpPayload(docs.limit(50), "doc_id", "text")
+    println(s"== BMP frames decoded           -> ${Multimodal.decodeFrames(bmp, "doc_id").count()} frames from 50 docs")
+    val wav = Multimodal.withWavPayload(docs.limit(50), "doc_id", "text")
+    println(s"== WAV audio decoded            -> ${Multimodal.decodeAudio(wav, "doc_id").agg(sum("n_samples")).first().getLong(0)} PCM samples from 50 docs")
+    // CSV staging: untyped file → hosted palette → hosted table round-trip.
+    val csvTmp = java.io.File.createTempFile("demo_stage", ".csv")
+    csvTmp.deleteOnExit()
+    java.nio.file.Files.writeString(csvTmp.toPath,
+      "k,flag,score,seen\n1,true,0.25,2021-06-01 10:00:00\n2,false,1.5,2021-06-02 11:30:00\n")
+    val staged = graft.api.HostedTables.stageCsv(spark, csvTmp.getAbsolutePath)
+      .fold(sys.error, identity)
+    println(s"== CSV staged schema            -> ${staged.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(" ")}")
 
     // 7. Sessionization + streaming tail of a hosted table.
     val events = graft.api.Tables.load(spark, sfDir, "events")

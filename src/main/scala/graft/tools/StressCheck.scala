@@ -99,6 +99,18 @@ object StressCheck {
     time("BPE-ish token counts @50k docs") {
       graft.operators.TextAnalysis.tokenCounts(docs10, "doc_id", "text").count()
     }
+    time("PQ ANN 5q @20k vecs") {
+      graft.operators.Similarity.pqTopK(emb10,
+        emb10.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count()
+    }
+    time("embedding LSH top-pairs @20k") {
+      graft.operators.Dedup.embeddingTopPairsLsh(emb10, "vec_id", "embedding", 20).count()
+    }
+    time("BMP decode+features @50k docs") {
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.withBmpPayload(docs10, "doc_id", "text"),
+        "doc_id").count()
+    }
     time("mean pooling @20k vecs") {
       graft.operators.Embeddings.meanPool(emb10, "label", "embedding").count()
     }
