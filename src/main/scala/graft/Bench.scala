@@ -69,8 +69,12 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
+    // Failure NAMES are capped on stdout (the full list is in BENCH.json):
+    // a broken shared fixture failing most of 70+ queries would otherwise
+    // regrow this line past the tail capture it was shrunk to fit.
+    val failsShort = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"n_failures":${failed.size},"failures":$failsShort,"sf":"$sfDir"}"""
     spark.stop()
     println(summary)
   }

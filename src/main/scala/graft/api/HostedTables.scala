@@ -134,8 +134,12 @@ object HostedTables {
         .option("inferSchema", "true")
         .option("timestampFormat", timestampFormat)
         .csv(path)
-      Right(raw.select(raw.schema.fields.map(f =>
-        col(f.name).cast(canonicalFieldType(f.dataType))).toIndexedSeq: _*))
+      // backtick-quote each header: CSV columns named "user.name" must
+      // resolve as literal names, not nested-field paths
+      Right(raw.select(raw.schema.fields.map { f =>
+        val quoted = "`" + f.name.replace("`", "``") + "`"
+        col(quoted).cast(canonicalFieldType(f.dataType)).as(f.name)
+      }.toIndexedSeq: _*))
     } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
 
   /** Resolve-or-create, then load — the reference's orchestrator. Mode is

@@ -77,6 +77,35 @@ object Bmp {
     bytes.length >= offset + 2 && bytes(offset) == 'B'.toByte &&
       bytes(offset + 1) == 'M'.toByte
 
+  /** Full-header sniff for payload ROUTING (vs the 2-byte magic): ordinary
+    * text can start with "BM" ("BMW…"), so the dispatcher that chooses
+    * real-codec-vs-stub must validate the whole 54-byte header shape —
+    * declared sizes in range, 40-byte DIB, positive dims, 24 bpp,
+    * uncompressed — before committing to the strict decoder. ~14
+    * constrained bytes: an accidental text match is implausible.
+    */
+  def looksLikeBmp(bytes: Array[Byte], offset: Int = 0): Boolean = {
+    if (!isBmp(bytes, offset) ||
+        bytes.length < offset + FileHeaderSize + InfoHeaderSize) return false
+    val buf = ByteBuffer.wrap(bytes, offset, bytes.length - offset)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(buf.position() + 2)
+    val fileSize = buf.getInt()
+    buf.getInt()
+    val dataOffset = buf.getInt()
+    val infoSize = buf.getInt()
+    val width = buf.getInt()
+    val height = buf.getInt()
+    buf.getShort()
+    val bpp = buf.getShort()
+    val compression = buf.getInt()
+    infoSize == InfoHeaderSize && bpp == 24 && compression == 0 &&
+      width > 0 && height > 0 &&
+      dataOffset >= FileHeaderSize + InfoHeaderSize &&
+      fileSize > 0 && offset + fileSize <= bytes.length &&
+      offset.toLong + dataOffset + rowSize(width).toLong * height <= bytes.length
+  }
+
   /** Decode the BMP starting at `offset`; returns the image and the total
     * encoded size (to advance past in a concatenated stream). Fails loudly
     * on anything but the 24-bit uncompressed layout — a silent fallback

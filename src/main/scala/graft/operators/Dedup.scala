@@ -287,14 +287,17 @@ object Dedup {
     // bucket is a near-dup cluster, orders of magnitude below the doc
     // count; the cap bounds the quadratic pair expansion.
     def candidatesFrom(stacked: DataFrame, checkpoint: Boolean): DataFrame = {
-      val buckets = stacked.groupBy("band", "key")
-        .agg(collect_list(col(idCol)).as("ids"))
-      val okBuckets = maxBucketSize match {
-        case Some(cap) => buckets.filter(size(col("ids")) <= cap)
-        case None      => buckets
-      }
-      val c0 = okBuckets
-        .filter(size(col("ids")) >= 2)
+      // Cap hot buckets BEFORE materializing them (count + anti-select,
+      // then gather): a pathological bucket — empty docs, boilerplate —
+      // must never be built as an unbounded collect_list buffer in one
+      // task. Count agg and collect agg share the (band, key)
+      // partitioning, so the guard adds no exchange.
+      val okKeys = stacked.groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2 &&
+          col("n") <= lit(maxBucketSize.getOrElse(Int.MaxValue)))
+        .select("band", "key")
+      val c0 = stacked.join(okKeys, Seq("band", "key"))
+        .groupBy("band", "key").agg(collect_list(col(idCol)).as("ids"))
         .select(explode(col("ids")).as("a"), col("ids"))
         .select(col("a"), explode(col("ids")).as("b"))
         .filter(col("a") < col("b"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -21,17 +23,24 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Shared modality metadata: media type + byte length + content hash of
+    * the payload column. ONE definition — the oracle checks this shape, so
+    * the modalities must not diverge.
+    */
+  private def withMeta(df: DataFrame, idCol: String, mediaType: String): DataFrame =
+    df.select(col(idCol), col("payload"),
+      struct(
+        lit(mediaType).as("media_type"),
+        length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha256")).as("meta"))
+
   /** Attach a binary payload + metadata struct derived from a text column —
     * the fixture stand-in for ingesting raw media bytes (opaque non-BMP
     * path; decode falls back to the deterministic stub).
     */
   def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      encode(col(textCol), "UTF-8").as("payload"),
-      struct(
-        lit("text/plain;fake=image").as("media_type"),
-        length(encode(col(textCol), "UTF-8")).as("byte_len"),
-        sha2(encode(col(textCol), "UTF-8"), 256).as("sha256")).as("meta"))
+    withMeta(df.select(col(idCol), encode(col(textCol), "UTF-8").as("payload")),
+      idCol, "text/plain;fake=image")
 
   /** Attach a REAL image payload: 1–3 concatenated 24-bit BMP frames whose
     * dimensions and pixels derive deterministically from the text bytes —
@@ -47,11 +56,7 @@ object Multimodal {
         (id, encodeFrames(text.getBytes("UTF-8")))
       })
       .toDF(idCol, "payload")
-    encoded.select(col(idCol), col("payload"),
-      struct(
-        lit("image/bmp").as("media_type"),
-        length(col("payload")).as("byte_len"),
-        sha2(col("payload"), 256).as("sha256")).as("meta"))
+    withMeta(encoded, idCol, "image/bmp")
   }
 
   /** Deterministic multi-frame BMP stream from seed bytes: frame count,
@@ -69,10 +74,7 @@ object Multimodal {
       }
       Bmp.encode(Bmp.Image(w, h, rgb))
     }
-    val out = new Array[Byte](frames.map(_.length).sum)
-    var off = 0
-    frames.foreach { fb => System.arraycopy(fb, 0, out, off, fb.length); off += fb.length }
-    out
+    Array.concat(frames: _*)
   }
 
   /** Cheap metadata extraction — pure projection, no decode needed. */
@@ -107,7 +109,10 @@ object Multimodal {
   }
 
   private def decodeOne(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] =
-    if (Bmp.isBmp(bytes))
+    // looksLikeBmp (full-header sniff), NOT the 2-byte magic: opaque text
+    // payloads legitimately start with "BM" ("BMW…") and must fall back to
+    // the stub instead of crashing the strict codec
+    if (Bmp.looksLikeBmp(bytes))
       Bmp.decodeAll(bytes).zipWithIndex.map { case (img, f) =>
         val g = img.gray
         val mean = if (g.isEmpty) 0.0 else g.map(_.toLong).sum.toDouble / g.length
@@ -172,8 +177,8 @@ object Multimodal {
     * payloads.
     */
   private def samplesOf(bytes: Array[Byte]): Array[Int] =
-    if (Bmp.isBmp(bytes)) Bmp.decodeAll(bytes).flatMap(_.gray).toArray
-    else if (Wav.isWav(bytes)) Wav.decode(bytes).samples.map(s => (s >> 8) + 128)
+    if (Bmp.looksLikeBmp(bytes)) Bmp.decodeAll(bytes).flatMap(_.gray).toArray
+    else if (Wav.looksLikeWav(bytes)) Wav.decode(bytes).samples.map(s => (s >> 8) + 128)
     else bytes.map(_ & 0xff)
 
   /** Attach a REAL audio payload: a mono 16-bit PCM WAV whose samples
@@ -196,11 +201,7 @@ object Multimodal {
         (id, Wav.encode(Wav.Audio(sampleRate, samples)))
       })
       .toDF(idCol, "payload")
-    encoded.select(col(idCol), col("payload"),
-      struct(
-        lit("audio/wav").as("media_type"),
-        length(col("payload")).as("byte_len"),
-        sha2(col("payload"), 256).as("sha256")).as("meta"))
+    withMeta(encoded, idCol, "audio/wav")
   }
 
   case class DecodedAudio(id: Long, sample_rate: Int, n_samples: Int,
@@ -262,11 +263,7 @@ object Multimodal {
         (id, Wav.encode(Wav.resample(Wav.decode(bytes), targetRate)))
       })
       .toDF(idCol, "payload")
-      .select(col(idCol), col("payload"),
-        struct(
-          lit(s"audio/wav;rate=$targetRate").as("media_type"),
-          length(col("payload")).as("byte_len"),
-          sha2(col("payload"), 256).as("sha256")).as("meta"))
+      .pipe(withMeta(_, idCol, s"audio/wav;rate=$targetRate"))
   }
 
   /** Strided sample folding, L2-normalized — deterministic in the decoded
@@ -297,21 +294,11 @@ object Multimodal {
     withBytes.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val frames = Bmp.decodeAll(bytes)
-          .map(f => Bmp.encode(Bmp.resize(f, targetW, targetH)))
-        val out = new Array[Byte](frames.map(_.length).sum)
-        var off = 0
-        frames.foreach { fb =>
-          System.arraycopy(fb, 0, out, off, fb.length); off += fb.length
-        }
-        (id, out)
+        (id, Array.concat(Bmp.decodeAll(bytes)
+          .map(f => Bmp.encode(Bmp.resize(f, targetW, targetH))): _*))
       })
       .toDF(idCol, "payload")
-      .select(col(idCol), col("payload"),
-        struct(
-          lit(s"image/bmp;resized=${targetW}x$targetH").as("media_type"),
-          length(col("payload")).as("byte_len"),
-          sha2(col("payload"), 256).as("sha256")).as("meta"))
+      .pipe(withMeta(_, idCol, s"image/bmp;resized=${targetW}x$targetH"))
   }
 
   /** Batch "resize" to a byte budget: re-encode each payload to exactly

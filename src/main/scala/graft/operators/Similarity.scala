@@ -118,13 +118,16 @@ object Similarity {
         (0 until tables).map(t => struct(lit(t).as("t"),
           signature(col("q"), t, planes, dim).as("sig"))): _*)).as("b"))
       .select(col("id"), col("b.t"), col("b.sig"))
-    val buckets = stacked.groupBy("t", "sig")
-      .agg(collect_list(col("id")).as("ids"))
-    val ok = maxBucketSize match {
-      case Some(cap) => buckets.filter(size(col("ids")) <= cap)
-      case None      => buckets
-    }
-    ok.filter(size(col("ids")) >= 2)
+    // Cap hot buckets BEFORE materializing them: counting first and
+    // anti-selecting keeps a degenerate bucket (all-identical or all-null
+    // vectors share one signature) from being built as an unbounded
+    // collect_list buffer in a single task. The count agg and the
+    // collect agg share the (t, sig) partitioning — no extra exchange.
+    val okKeys = stacked.groupBy("t", "sig").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= lit(maxBucketSize.getOrElse(Int.MaxValue)))
+      .select("t", "sig")
+    stacked.join(okKeys, Seq("t", "sig"))
+      .groupBy("t", "sig").agg(collect_list(col("id")).as("ids"))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
       .filter(col("a") < col("b"))
@@ -358,19 +361,23 @@ object Similarity {
              rerank: Int = 4,
              codebooksIn: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val codebooks = codebooksIn.getOrElse(pqTrain(corpus, idCol, vecCol, m, ks))
+    // LUT/ADC indexing must follow the ACTUAL codebook shape — trusting
+    // the m/ks parameters against a caller-supplied codebook of different
+    // shape would silently misalign the flat-LUT lookups
+    val (mEff, ksEff) = (codebooks.length, codebooks(0).length)
     val sub = codebooks(0)(0).length
     val codes = pqEncode(corpus, idCol, vecCol, codebooks)
     val q0 = queries.select(col(idCol).as("qid"),
       unitized(col(vecCol).cast("array<double>")).as("__q"))
     // flat LUT: entry s·ks + j = q_s · cb_s[j]
-    val lutEntries = for (s <- 0 until m; j <- 0 until ks) yield
+    val lutEntries = for (s <- 0 until mEff; j <- 0 until ksEff) yield
       vec_dot(slice(col("__q"), s * sub + 1, sub), typedLit(codebooks(s)(j).toSeq))
     val q = q0.select(col("qid"), array(lutEntries: _*).as("lut"))
     val adc = codes.join(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("score", expr(
-        s"aggregate(sequence(0, ${m - 1}), 0D, " +
-        s"(acc, s) -> acc + element_at(lut, s * $ks + element_at(code, s + 1) + 1))"))
+        s"aggregate(sequence(0, ${mEff - 1}), 0D, " +
+        s"(acc, s) -> acc + element_at(lut, s * $ksEff + element_at(code, s + 1) + 1))"))
     val wAdc = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     val shortlist = adc.withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= k * rerank)

@@ -52,6 +52,16 @@ object Wav {
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
+  /** Header sniff for payload ROUTING: magic plus a declared RIFF size
+    * consistent with the actual byte length, so text that merely starts
+    * with the magic characters can't be misrouted into the strict decoder.
+    */
+  def looksLikeWav(bytes: Array[Byte]): Boolean = {
+    if (!isWav(bytes) || bytes.length < HeaderSize) return false
+    val riffSize = ByteBuffer.wrap(bytes, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    riffSize >= 36 && riffSize + 8 <= bytes.length
+  }
+
   /** Decode a mono 16-bit PCM WAV. Fails loudly on other encodings — a
     * silent fallback would masquerade corrupt media as data.
     */

@@ -141,9 +141,16 @@ object HostedStore {
   def publishTable(itemId: String, tableSchema: StructType): Unit = synchronized {
     val t = get(itemId)
     require(t.kind == "layer", s"item '$itemId' already serves a table")
+    // The published table is a NEW dataset: replay-protection state
+    // (appliedBatches/committedParts) and index definitions belong to the
+    // layer era — carrying them over would silently drop writes whose
+    // batch ids collide with layer-era ids (exactly why truncate() resets
+    // them) and claim unique indexes the table never created.
     tables.put(itemId, t.copy(
       schema = tableSchema, rows = Vector.empty, kind = "table",
-      shadowedLayer = Some(DatasetState(t.schema, t.rows))))
+      shadowedLayer = Some(DatasetState(t.schema, t.rows)),
+      uniqueIndexes = Set.empty, indexes = Vector.empty,
+      appliedBatches = Set.empty, committedParts = Set.empty))
   }
 
   def kindOf(itemId: String): String = get(itemId).kind

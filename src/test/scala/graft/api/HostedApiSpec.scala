@@ -109,6 +109,12 @@ class HostedApiSpec extends AnyFunSuite {
     // (src/agol_pandas.py:239-243) — reads serve the table
     val tableDf = orders.select("o_orderkey", "o_orderstatus").limit(7)
     HostedStore.publishTable(id, tableDf.schema)
+    // the published table starts a FRESH dataset: no layer-era indexes and
+    // no layer-era replay-protection state (which would silently drop
+    // table writes reusing a layer-era batch id)
+    assert(HostedStore.indexesOf(id).isEmpty)
+    assert(HostedStore.get(id).appliedBatches.isEmpty)
+    assert(HostedStore.get(id).committedParts.isEmpty)
     HostedTables.write(tableDf, id, WriteMode.Append).fold(e => fail(e), identity)
     val back = HostedTables.read(spark, id)
     assert(back.columns.toSeq == Seq("o_orderkey", "o_orderstatus"))

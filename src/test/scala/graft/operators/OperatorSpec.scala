@@ -467,6 +467,18 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Bmp.decode("JUNKJUNK".getBytes))
   }
 
+  test("multimodal: opaque text starting with 'BM'/'RIFF' routes to the stub, not the codec") {
+    // regression: the 2-byte magic alone would send "BMW…" text into the
+    // strict BMP parser and crash the task; routing must sniff the full
+    // header before committing to the real codec
+    val tricky = Seq((1L, "BMW is a carmaker"), (2L, "RIFFraff WAVEforms"),
+      (3L, "BM"), (4L, "plain text")).toDF("doc_id", "text")
+    val withBytes = Multimodal.withPayload(tricky, "doc_id", "text")
+    assert(Multimodal.decodeFrames(withBytes, "doc_id").count() > 0)
+    val feats = Multimodal.extractFeatures(withBytes, "doc_id", dim = 4)
+    assert(feats.count() == 4)
+  }
+
   test("multimodal: BMP frames carry header dims and decoded-pixel means") {
     val withBytes = Multimodal.withBmpPayload(docs.limit(30), "doc_id", "text")
     val frames = Multimodal.decodeFrames(withBytes, "doc_id")
