@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation: token statistics, quality
@@ -162,6 +163,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
       .orderBy(col("tf").desc, col("tok"))
       .limit(k)
+
+  /** Top-`k` most distinctive terms per document by tf·idf.
+    *
+    * Two idf variants:
+    *  - default (`logIdf = false`): rational idf — weight = tf/df. IEEE
+    *    division of two small integers is correctly rounded and therefore
+    *    BIT-IDENTICAL across engines, so the ranking is oracle-hashable
+    *    (log is not bit-reproducible cross-engine).
+    *  - `logIdf = true`: the classic tf·ln(N/df) weighting — spec-pinned,
+    *    not oracle-hashed.
+    *
+    * Scale shape: tf is a partial-aggregated groupBy on (doc, token); df
+    * is a token-keyed aggregate joined back on the token (high
+    * cardinality — well distributed); the rank window partitions by doc
+    * (per-doc vocabulary is bounded by document length, never hot).
+    */
+  def tfidfTop(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 5, logIdf: Boolean = false): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col(idCol), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val weight =
+      if (logIdf) {
+        // corpus size only matters for the log variant — don't spend a
+        // count job on the default path
+        val n = docs.select(col(idCol)).distinct().count()
+        col("tf") * log(lit(n.toDouble) / col("df"))
+      } else col("tf").cast("double") / col("df")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(weight.desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("rk"))
+  }
 
   /** Bigram-LM surprisal — the CCNet-style perplexity-proxy quality
     * signal: train bigram/unigram counts on a reference corpus, then

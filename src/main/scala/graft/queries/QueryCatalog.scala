@@ -1020,6 +1020,14 @@ object QueryCatalog {
       TextAnalysis.vocab(t(s, dir, "documents"), "doc_id", "text", 50)
         .orderBy(col("tf").desc, col("tok"))),
 
+    "x_text_tfidf" -> ((s, dir) =>
+      // rational-idf variant (weight = tf/df): small-integer IEEE division
+      // is bit-identical across engines, so the per-doc ranking hashes
+      // green; the classic log-idf variant is spec-pinned instead
+      TextAnalysis.tfidfTop(t(s, dir, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", 3)
+        .orderBy("doc_id", "rk")),
+
     "x_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
         .orderBy("source")),
@@ -1307,6 +1315,20 @@ object QueryCatalog {
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
           |SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
           |FROM toks GROUP BY tok ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
+
+      "x_text_tfidf" ->
+        """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+          |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM sub),
+          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |df AS (SELECT tok, count(*) AS df FROM
+          |         (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+          |ranked AS (SELECT tf.doc_id, tf.tok,
+          |             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+          |             row_number() OVER (PARTITION BY tf.doc_id
+          |               ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok) AS rk
+          |           FROM tf JOIN df USING (tok))
+          |SELECT doc_id, tok, tf, df, CAST(rk AS INTEGER) AS rk
+          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
       "x_text_stats" ->
         """SELECT doc_id, length(text) AS len_chars,

@@ -645,6 +645,24 @@ class OperatorSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("mismatched vector lengths")))
   }
 
+  test("tfidf: distinctive rare terms outrank common terms, both idf variants") {
+    val fixture = Seq(
+      (1L, "the cat the dog zebra"),
+      (2L, "the cat the cat"),
+      (3L, "the dog the dog")).toDF("doc_id", "text")
+    // doc 1: "zebra" (tf=1, df=1) must beat "the" (tf=2, df=3) under both
+    // weightings — tf/df: 1.0 vs 0.67; tf·ln(N/df): 1.10 vs 0
+    for (logIdf <- Seq(false, true)) {
+      val top = TextAnalysis.tfidfTop(fixture, "doc_id", "text", 1, logIdf)
+        .filter(col("doc_id") === 1).select("tok").as[String].collect()
+      assert(top.sameElements(Array("zebra")), s"logIdf=$logIdf got ${top.toSeq}")
+    }
+    // df counts DOCUMENTS, not occurrences: "cat" appears 5 times in 2 docs
+    val dfOfCat = TextAnalysis.tfidfTop(fixture, "doc_id", "text", 5)
+      .filter(col("tok") === "cat").select("df").distinct().as[Long].collect()
+    assert(dfOfCat.sameElements(Array(2L)))
+  }
+
   test("language id picks the language whose markers dominate") {
     val sample = Seq(
       (1L, "the cat and the dog of the house is big"),
