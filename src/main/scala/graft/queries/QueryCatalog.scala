@@ -877,6 +877,35 @@ object QueryCatalog {
           100L)
         .orderBy("doc_id")),
 
+    "x_pipeline_curate" -> ((s, dir) => {
+      // FLAGSHIP composite: the whole training-data curation pipeline in
+      // one query — quality gate → exact dedup → 8-gram decontamination
+      // vs the eval split → domain mix → token budget → export shards.
+      // Every stage is deterministic (exact predicates + md5 priority),
+      // so ONE DuckDB oracle replays the pipeline end to end. This is the
+      // composability proof: the operators chain as plain DataFrames with
+      // no materialization boundaries between stages.
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 7 === 0)
+      val quality = docs.filter(size(split(col("text"), " ")) >= 20)
+      val deduped = quality.join(
+        Dedup.exact(quality, "doc_id", "text").select("doc_id"), Seq("doc_id"))
+      val clean = Dedup.decontaminateNgram(
+        deduped.filter(col("doc_id") % 7 =!= 0), evalSet, "doc_id", "text", n = 8)
+      val mixed = Curation.domainMix(clean, "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05),
+        100L)
+      val budgeted = Curation.takeByBudget(
+        mixed.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("__hx")),
+        Seq("__hx", "doc_id"), "n_tokens", 4000L)
+      Curation.shuffleShards(
+          budgeted.select("doc_id", "lang", "n_tokens", "cum_before"),
+          "doc_id", 4)
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_best" -> ((s, dir) => {
       // Keep-best-per-cluster: same capped jaccard mining + connected
       // components as x_dedup_clusters, canonical doc re-picked by
@@ -1168,6 +1197,48 @@ object QueryCatalog {
            |       l.doc_id = l.cluster_id AS keep
            |FROM lab l JOIN csizes s USING (cluster_id)
            |ORDER BY l.doc_id""".stripMargin,
+
+      "x_pipeline_curate" ->
+        """WITH quality AS (
+          |  SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 20),
+          |keepers AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+          |deduped AS (SELECT q.* FROM quality q JOIN keepers USING (doc_id)),
+          |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM deduped
+          |       WHERE doc_id % 7 <> 0),
+          |csh AS (SELECT doc_id,
+          |         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+          |                               for i in range(1, len(w) - 6)])) AS shingle
+          |        FROM cw),
+          |rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |       WHERE doc_id % 7 = 0),
+          |rsh AS (SELECT DISTINCT
+          |         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+          |                               for i in range(1, len(w) - 6)])) AS shingle
+          |        FROM rw),
+          |contaminated AS (SELECT DISTINCT c.doc_id FROM csh c JOIN rsh USING (shingle)),
+          |clean AS (SELECT * FROM deduped WHERE doc_id % 7 <> 0
+          |          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          |mixr AS (SELECT *, row_number() OVER (PARTITION BY lang
+          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM clean),
+          |mixed AS (SELECT * FROM mixr WHERE rn <= CASE lang
+          |            WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 15
+          |            WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 0 END),
+          |toks AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+          |           md5(CAST(doc_id AS VARCHAR)) AS hx FROM mixed),
+          |bud AS (SELECT doc_id, lang, n_tokens,
+          |          coalesce(sum(n_tokens) OVER (ORDER BY hx, doc_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          |        FROM toks),
+          |taken AS (SELECT doc_id, lang, n_tokens, cum_before,
+          |            md5(CAST(doc_id AS VARCHAR)) AS hx FROM bud
+          |          WHERE cum_before < 4000)
+          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(cum_before AS BIGINT) AS cum_before,
+          |       ('0x' || substr(hx, 1, 15))::BIGINT % 4 AS shard,
+          |       CAST(row_number() OVER (
+          |         PARTITION BY ('0x' || substr(hx, 1, 15))::BIGINT % 4
+          |         ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+          |FROM taken ORDER BY doc_id""".stripMargin,
 
       "x_decontam_ngram" ->
         """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
