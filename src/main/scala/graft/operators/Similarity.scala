@@ -310,6 +310,62 @@ object Similarity {
     Array.tabulate(m, ks)((s, j) => unit(j).slice(s * sub, (s + 1) * sub))
   }
 
+  /** PQ codebooks trained by per-subspace Lloyd iterations on a
+    * deterministic corpus sample (smallest-id `sampleSize` vectors,
+    * driver-side — PQ training on a bounded sample is the standard
+    * practice; the sample is KB-scale next to the corpus). Better-shaped
+    * cells than [[pqTrain]]'s raw-sample centroids, same downstream
+    * shapes. Seeded by construction: initial centroids are the first `ks`
+    * sample subvectors, ties and empty clusters resolve deterministically.
+    */
+  def pqTrainSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int = 8, ks: Int = 16, sampleSize: Int = 1024,
+                     iters: Int = 10): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(idCol),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(col(idCol)).limit(sampleSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ks,
+      s"pqTrainSampled: sample ${sample.length} smaller than ks=$ks")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrainSampled: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val unit = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    Array.tabulate(m) { s =>
+      val points = unit.map(_.slice(s * sub, (s + 1) * sub))
+      var cents = Array.tabulate(ks)(j => points(j).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ks, sub)(0.0)
+        val counts = Array.fill(ks)(0)
+        points.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < ks) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - cents(j)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ks) { j =>
+          // empty cluster: keep its previous centroid (deterministic)
+          if (counts(j) == 0) cents(j)
+          else Array.tabulate(sub)(i => sums(j)(i) / counts(j))
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
   /** Unit-normalized double copy of a vector column (zero vectors pass
     * through), so subvector dot products against the unit-normalized
     * codebooks compose to cosine.

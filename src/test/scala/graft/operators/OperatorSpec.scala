@@ -37,6 +37,15 @@ class OperatorSpec extends AnyFunSuite {
     val recall = (exact & pq).size.toDouble / exact.size
     info(f"PQ recall@10 (m=8, ks=16, rerank=4): $recall%.3f")
     assert(recall >= 0.5, s"recall $recall too low")
+    // Lloyd-trained codebooks (deterministic driver-side k-means on a
+    // sample) should not degrade recall vs raw-sample centroids
+    val trained = Similarity.pqTrainSampled(emb, "vec_id", "embedding")
+    val pqT = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 10,
+        codebooksIn = Some(trained))
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recallT = (exact & pqT).size.toDouble / exact.size
+    info(f"PQ recall@10 (Lloyd-trained codebooks): $recallT%.3f")
+    assert(recallT >= 0.5, s"trained recall $recallT too low")
     // an exact duplicate of a query vector encodes to the query's own
     // codes, tops the ADC scan, and survives the exact re-rank at rank 1
     val withDup = emb.unionByName(
