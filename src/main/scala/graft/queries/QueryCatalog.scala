@@ -833,6 +833,17 @@ object QueryCatalog {
         .orderBy("cand_id")
     }),
 
+    "x_stream_neardup" -> ((s, dir) =>
+      // Streaming near-dup detector (stateless per-row signatures +
+      // per-bucket keyed state), invoked in batch mode — the operator is
+      // mode-agnostic. Rows-only (xxhash64 signatures aren't oracle-
+      // replayable); StreamDedupSpec pins stream≡batch agreement.
+      graft.streaming.StreamDedup.nearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text", 0.9)
+        .toDF()
+        .dropDuplicates("a", "b")
+        .orderBy("a", "b")),
+
     "x_dedup_minhash_fast" -> ((s, dir) =>
       // PRODUCTION dedup configuration: xxhash64 double-hash family +
       // signature-estimator verification (no shingle re-join). Rows-only —

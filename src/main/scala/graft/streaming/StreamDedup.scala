@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.OutputMode.Append
+
+import graft.operators.Dedup.Hashers
+
+/** Streaming near-duplicate detection — the streaming counterpart of
+  * `Dedup.minhashLshPairs` (estimator configuration): as documents
+  * arrive, each is minhash-signed and LSH-banded STATELESSLY (pure
+  * projections — a document's whole text rides in one row, so the
+  * signature needs no aggregation and no shuffle), then bucketed per
+  * (band, key) with keyed state holding the bucket's members. A new
+  * arrival emits a candidate pair for every stored member whose
+  * signature-agreement Jaccard estimate clears the threshold.
+  *
+  * Scale posture:
+  *  - state per bucket is at most `maxBucketSize` (id, signature) pairs;
+  *    a bucket that fills SATURATES — no further compares or inserts —
+  *    mirroring the batch operator's hot-bucket drop (boilerplate/empty
+  *    docs would otherwise accumulate unbounded state and quadratic
+  *    emission).
+  *  - the only shuffle is the groupByKey on compact (band, key) keys.
+  *  - the same document colliding with a partner in several bands emits
+  *    one pair PER band (streams can't globally dedup without another
+  *    stateful stage); consumers take `dropDuplicates("a", "b")` — the
+  *    spec pins exact agreement with the batch estimator after that.
+  *
+  * State uses NoTimeout: the spec corpus is bounded. A production
+  * deployment bounds bucket lifetime with ProcessingTimeTimeout (stale
+  * buckets evict; dups separated by more than the timeout go undetected
+  * — the usual streaming-dedup horizon trade, same as watermarked
+  * `dropDuplicates`).
+  */
+object StreamDedup {
+
+  final case class BandedDoc(id: Long, band: Int, key: String, sig: Seq[Long])
+  final case class Member(id: Long, sig: Seq[Long])
+  final case class NearDupPair(a: Long, b: Long, jaccard: Double, band: Int)
+
+  /** Per-row minhash signature + band keys, all projection (no
+    * aggregation — streaming-safe in append mode). Hash family, shingle
+    * construction, and band-key folding are EXPRESSION-IDENTICAL to the
+    * batch path (`Hashers.xx64Base`, Kirsch–Mitzenmacher, md5-folded
+    * band slices), so stream and batch signatures agree bit-for-bit.
+    */
+  private[streaming] def bandedSignatures(docs: DataFrame, idCol: String,
+                                          textCol: String, numHashes: Int,
+                                          bands: Int, n: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val P = Hashers.P
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        split(col(textCol), " ").as("words"))
+      .withColumn("sh", expr(
+        s"CASE WHEN size(words) >= $n THEN array_distinct(" +
+        s"transform(sequence(1, size(words) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(words, i, $n)))) ELSE array() END"))
+      .filter(size(col("sh")) > 0)
+      // ONE xxhash64 pair per shingle, then the whole Kirsch–Mitzenmacher
+      // family as array minima — the projection form of the batch
+      // MinHashFamilyAgg (min over the distinct-shingle set is identical)
+      .withColumn("hp", expr(
+        s"transform(sh, s -> struct(pmod(xxhash64(s, 0), ${P}L) AS h1, " +
+        s"pmod(xxhash64(s, 1), ${P}L) AS h2))"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${numHashes - 1}), i -> " +
+        s"array_min(transform(hp, p -> pmod(p.h1 + (i + 1) * p.h2, ${P}L))))"))
+      .select(col("id"), col("sig"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"md5(array_join(transform(sequence(0, ${rowsPerBand - 1}), " +
+        s"i -> cast(sig[b * $rowsPerBand + i] AS STRING)), '|')))"))
+        .as(Seq("band", "key")))
+  }
+
+  /** Candidate near-dup pairs over a document stream (or a batch frame —
+    * the logic is mode-agnostic). Output is append-mode: (a, b,
+    * estimated jaccard, band), a < b, one row per colliding band.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, numHashes: Int = 128, bands: Int = 16,
+                   n: Int = 3, maxBucketSize: Int = 100): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = bandedSignatures(docs, idCol, textCol, numHashes, bands, n)
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState[List[Member], NearDupPair](
+        Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), batch, state: GroupState[List[Member]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+          // id order makes within-batch emission deterministic under any
+          // shuffle arrival order
+          batch.toSeq.sortBy(_.id).foreach { d =>
+            val saturated = members.size >= maxBucketSize
+            if (!saturated && !members.exists(_.id == d.id)) {
+              members.foreach { m =>
+                var agree = 0
+                var i = 0
+                while (i < numHashes) {
+                  if (m.sig(i) == d.sig(i)) agree += 1
+                  i += 1
+                }
+                val est = agree.toDouble / numHashes
+                if (est >= threshold)
+                  out += NearDupPair(math.min(m.id, d.id), math.max(m.id, d.id),
+                    est, band)
+              }
+              members = Member(d.id, d.sig) :: members
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+}

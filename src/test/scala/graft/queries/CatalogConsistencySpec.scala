@@ -34,7 +34,8 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_multimodal_audio",    // real WAV decode, pinned by ScalaTest
       "x_text_surprisal",      // float log-probs, pinned by ScalaTest
       "x_dedup_minhash_fast",  // xx64 production config, spec-pinned vs exact
-      "x_dedup_cross_fast")    // xx64 production config, spec-pinned vs exact
+      "x_dedup_cross_fast",    // xx64 production config, spec-pinned vs exact
+      "x_stream_neardup")      // xx64 streaming detector, spec-pinned vs batch
     )
   }
 }

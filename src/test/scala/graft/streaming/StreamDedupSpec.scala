@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Streaming near-dup detection pinned against the batch estimator: the
+  * stream's stateless signatures must agree bit-for-bit with the batch
+  * aggregation path, so (after per-band dedup) the emitted pair set over
+  * a fully-drained stream equals `minhashLshPairs(verifyExact = false)`
+  * on the same corpus.
+  */
+class StreamDedupSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private def fixtureDocs: Seq[(Long, String)] = {
+    // three families of planted near-dups + unrelated filler
+    def doc(seed: Int): String =
+      (0 until 40).map(i => s"w${(seed * 31 + i * 7) % 50}").mkString(" ")
+    val dups = Seq(
+      (0L, doc(1)), (1L, doc(1)), (2L, doc(1) + " tail"),
+      (10L, doc(2)), (11L, doc(2)),
+      (20L, doc(3)), (21L, doc(3) + " x y"))
+    val filler = (100L until 140L).map(i => (i, doc(i.toInt)))
+    dups ++ filler
+  }
+
+  test("stream signatures are expression-identical to the batch aggregation") {
+    val docs = fixtureDocs.toDF("doc_id", "text")
+    val streamSigs = StreamDedup.bandedSignatures(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, n = 3)
+      .select("id", "band", "key")
+    val batchSigs = Dedup.bandKeysFromShingles(
+        Dedup.shingles(docs, "doc_id", "text", 3), "doc_id",
+        numHashes = 32, bands = 8, base = Dedup.Hashers.xx64Base)
+      .select(col("doc_id").as("id"), col("band"), col("key"))
+    assert(streamSigs.orderBy("id", "band").collect().toSeq ==
+      batchSigs.orderBy("id", "band").collect().toSeq)
+  }
+
+  test("streamed near-dup pairs match the batch estimator after band dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamDedup.nearDupPairs(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", 0.9, numHashes = 32, bands = 8)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("spec_stream_dedup").start()
+    // arrival split across micro-batches, including a family split so the
+    // pair must bridge state from batch 1 to batch 3
+    val all = fixtureDocs
+    input.addData(all.take(3): _*); q.processAllAvailable()
+    input.addData(all.slice(3, 6): _*); q.processAllAvailable()
+    input.addData(all.drop(6): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("spec_stream_dedup")
+      .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+    val batch = Dedup.minhashLshPairs(all.toDF("doc_id", "text"),
+        "doc_id", "text", 0.9, numHashes = 32, bands = 8,
+        base = Dedup.Hashers.xx64Base, verifyExact = false)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture should contain planted near-dups")
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("a saturated bucket stops emitting and stops growing state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // 8 identical docs, bucket cap 3: pairs emitted only among the first 3
+    // arrivals per bucket — C(3,2) = 3 distinct pairs, not C(8,2) = 28
+    val stream = StreamDedup.nearDupPairs(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", 0.9, numHashes = 32, bands = 8, maxBucketSize = 3)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("spec_stream_sat").start()
+    val text = (0 until 40).map(i => s"t$i").mkString(" ")
+    input.addData((0L until 8L).map(i => (i, text)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("spec_stream_sat")
+      .select("a", "b").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)), pairs.toString)
+  }
+}
