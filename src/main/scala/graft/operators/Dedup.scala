@@ -540,6 +540,33 @@ object Dedup {
         .select(col("cand_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Memory-lean n-gram decontamination: the reference shingle set is
+    * folded into a BLOOM FILTER (O(n·log(1/fpp)) bits — fixed megabytes
+    * where the DISTINCT-broadcast set would be gigabytes of strings at
+    * benchmark-suite scale) and shipped to every task; candidates keep
+    * only docs none of whose n-grams might be in the reference.
+    *
+    * The trade is one-sided and safe for decontamination: a Bloom filter
+    * has NO false negatives, so every truly contaminated doc is dropped —
+    * false positives (rate `fpp`) drop a few clean docs too, which costs
+    * training data, never eval integrity. The spec pins the no-false-
+    * negative side and bounds the overkill against the exact operator.
+    */
+  def decontaminateNgramBloom(cand: DataFrame, ref: DataFrame, idCol: String,
+                              textCol: String, n: Int = 13,
+                              expectedNgrams: Long = 1000000L,
+                              fpp: Double = 0.01): DataFrame = {
+    val spark = cand.sparkSession
+    val refSh = shingles(ref, idCol, textCol, n).select("shingle").distinct()
+    val bloom = refSh.stat.bloomFilter("shingle", expectedNgrams, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    val contaminated = shingleRows(cand, idCol, textCol, n)
+      .filter(mightContain(col("shingle")))
+      .select(col(idCol)).distinct()
+    cand.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list → duplicate clusters:
     * every doc in a component gets `cluster_id` = the component's minimum
     * doc id, plus the member count and a `keep` flag on the canonical

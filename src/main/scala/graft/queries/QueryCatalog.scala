@@ -879,6 +879,20 @@ object QueryCatalog {
         .orderBy("cand_id")
     }),
 
+    "x_decontam_bloom" -> ((s, dir) => {
+      // Memory-lean production decontamination: reference n-grams folded
+      // into a broadcast Bloom filter (fixed MBs vs GBs of strings at
+      // benchmark-suite scale). Rows-only — the filter's bit pattern
+      // isn't replayable in SQL; the spec pins no-false-negatives and
+      // bounded overkill against the exact operator.
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateNgramBloom(docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 8,
+          expectedNgrams = 1000000L, fpp = 0.01)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "x_domain_mix" -> ((s, dir) =>
       // Target-proportion training mix over a 100-doc budget, winners in
       // md5-of-id order (engine-agnostic determinism).

@@ -167,6 +167,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(clean == Set(2L, 3L))
   }
 
+  test("bloom decontamination: no false negatives, bounded overkill") {
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+    val cand = docs.filter(col("doc_id") % 7 =!= 0)
+    val exactClean = Dedup.decontaminateNgram(cand, ref, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    val bloomClean = Dedup.decontaminateNgramBloom(cand, ref, "doc_id", "text",
+        n = 8, expectedNgrams = 100000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    // one-sided error: everything the bloom keeps, the exact path keeps
+    // (no contaminated doc survives — no false negatives)
+    assert((bloomClean -- exactClean).isEmpty,
+      s"bloom kept contaminated docs: ${(bloomClean -- exactClean).take(5)}")
+    // overkill (clean docs dropped by false positives) stays small at 1% fpp
+    val overkill = (exactClean -- bloomClean).size.toDouble / exactClean.size.max(1)
+    info(f"bloom overkill at fpp=0.01: $overkill%.4f (${(exactClean -- bloomClean).size} docs)")
+    assert(overkill <= 0.05, s"overkill $overkill too high")
+  }
+
   test("domain mix honors per-domain caps in deterministic hash order") {
     val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "web" else "code"))
       .toDF("doc_id", "domain")

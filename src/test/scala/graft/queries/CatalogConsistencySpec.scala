@@ -35,7 +35,8 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_text_surprisal",      // float log-probs, pinned by ScalaTest
       "x_dedup_minhash_fast",  // xx64 production config, spec-pinned vs exact
       "x_dedup_cross_fast",    // xx64 production config, spec-pinned vs exact
-      "x_stream_neardup")      // xx64 streaming detector, spec-pinned vs batch
+      "x_stream_neardup",      // xx64 streaming detector, spec-pinned vs batch
+      "x_decontam_bloom")      // bloom-filter bits not SQL-replayable; spec-pinned
     )
   }
 }
