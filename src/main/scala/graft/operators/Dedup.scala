@@ -761,4 +761,105 @@ object Dedup {
       .filter(col("rank") <= k)
       .select("a", "b", "rank")
   }
+
+  // ------------------------------------------------------ semantic dedup
+
+  /** Quantized corpus with per-vector self-dot: `(id, q, nq2)` where `q`
+    * is the exact `floor(x·10⁶)` integer copy of the embedding (carried as
+    * doubles — every value and dot-product sum stays far below 2⁵³, so the
+    * arithmetic is EXACT and engine-independent) and `nq2 = q·q`.
+    */
+  private def quantizedWithNorm(emb: DataFrame, idCol: String,
+                                vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        Similarity.quantize(col(vecCol).cast("array<double>")).as("q"))
+      .withColumn("nq2", vec_dot(col("q"), col("q")))
+  }
+
+  /** SemDeDup cell assignment: each vector goes to its highest-cosine
+    * centroid among the `nlist` deterministic centroids (the non-zero
+    * corpus vectors with the smallest ids — swap in k-means centroids at
+    * real scale; every downstream shape is identical). The centroid set is
+    * collected once (nlist rows — bytes) and inlined as plan literals, so
+    * assignment is a pure projection over the scan: nlist codegen'd VecDots
+    * per row, ZERO joins, ZERO shuffles of the corpus — the same plan shape
+    * as [[Similarity.assignCells]], and PlanSpec gates the no-Exchange
+    * property.
+    *
+    * Ordering is reproducible cross-engine: per-centroid score is
+    * `dq / sqrt(nc2)` where `dq` and `nc2` are exact integers, so both
+    * engines evaluate ONE correctly-rounded sqrt and ONE correctly-rounded
+    * division on identical inputs (monotone with cosine — the row's own
+    * norm is a common positive factor). Ties break to the smallest
+    * centroid id via the `(score, -cid)` struct max.
+    */
+  private[graft] def semanticCells(emb: DataFrame, idCol: String,
+                                   vecCol: String, nlist: Int): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    val base = quantizedWithNorm(emb, idCol, vecCol)
+    val cents = base.filter(col("nq2") > 0).orderBy("id").limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(cents.nonEmpty, "semanticCells: no non-zero vectors to seed centroids")
+    val scores = array(cents.map { case (cid, cq, nc2) =>
+      struct((vec_dot(col("q"), typedLit(cq)) / lit(math.sqrt(nc2))).as("score"),
+        lit(-cid).as("ncid"))
+    }.toIndexedSeq: _*)
+    base.withColumn("cell", -array_max(scores).getField("ncid"))
+  }
+
+  /** Semantic (embedding-space) deduplication, SemDeDup-style: cluster the
+    * corpus into `nlist` cells, mine near-dup pairs ONLY within a cell
+    * (cosine ≥ `thresholdNum/thresholdDen`), resolve pairs into duplicate
+    * groups with [[duplicateClusters]], and keep the smallest-id exemplar
+    * per group. Output: `(doc_id, cluster_id, n_members, keep)` — docs in
+    * no dup group are absent (they are their own cluster).
+    *
+    * The threshold is a RATIONAL, tested exactly: `cos(a,b) ≥ n/d` ⟺
+    * `dq ≥ 0 ∧ dq²·d² ≥ n²·na2·nb2` with every term an exact integer,
+    * evaluated in DECIMAL(38,0) (dq ≤ dim·10¹² ⇒ dq²·d² ≤ ~10³¹ ≪ 10³⁸).
+    * No float comparison sits on the decision boundary, which is what lets
+    * the DuckDB oracle replay the full pipeline hash-exactly. (Zero
+    * vectors — cosine undefined — satisfy the test trivially and group
+    * together; callers who care filter them first.)
+    *
+    * 100 TB shape: cell assignment is a shuffle-free projection; the
+    * within-cell self-join shuffles compact (cell, id, q) rows once, and
+    * at real scale `nlist` grows with the corpus (SemDeDup uses ~100k
+    * clusters) so cells stay small. `maxCellSize` is the saturation guard:
+    * an over-cap cell is SKIPPED (no dedup there, loudly bounded work)
+    * rather than exploding quadratically.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    thresholdNum: Long = 2L, thresholdDen: Long = 5L,
+                    nlist: Int = 16,
+                    maxCellSize: Option[Int] = Some(250)): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    require(thresholdDen > 0 && thresholdNum >= 0,
+      "semanticDedup: threshold must be a non-negative rational")
+    val cells = semanticCells(emb, idCol, vecCol, nlist)
+    val ok = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 &&
+        col("n") <= lit(maxCellSize.getOrElse(Int.MaxValue)))
+      .select("cell")
+    val mem = cells.join(ok, Seq("cell"))
+    val lhs = mem.select(col("cell"), col("id").as("a"),
+      col("q").as("__qa"), col("nq2").as("__na2"))
+    val rhs = mem.select(col("cell"), col("id").as("b"),
+      col("q").as("__qb"), col("nq2").as("__nb2"))
+    val dec = "decimal(38,0)"
+    val dq = vec_dot(col("__qa"), col("__qb"))
+    val dqd = dq.cast(dec)
+    val isDup = dq >= 0 &&
+      dqd * dqd * lit(thresholdDen * thresholdDen).cast(dec) >=
+        lit(thresholdNum * thresholdNum).cast(dec) *
+          col("__na2").cast(dec) * col("__nb2").cast(dec)
+    val pairs = lhs.join(rhs, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(isDup)
+      .select("a", "b")
+    duplicateClusters(pairs)
+  }
 }

@@ -159,6 +159,15 @@ object QueryCatalog {
   private val hpPlanes = 8
   private val hpDim = 64 // embeddings fixture dimension (both SFs)
   private val hpBucketCap = 100
+
+  // SemDeDup (cluster-then-prune) parameters for the oracle-facing
+  // semantic-dedup query: 16 deterministic cells, τ = 2/5 tested exactly
+  // in integer space (dq²·d² vs n²·na2·nb2 — DECIMAL in Spark, HUGEINT in
+  // DuckDB), over-cap cells skipped.
+  private val semNlist = 16
+  private val semCellCap = 250
+  private val semThreshNum = 2L
+  private val semThreshDen = 5L
   private def hpSigSql(tbl: Int): String =
     (0 until hpPlanes).map { p =>
       val w = Similarity.hyperplane(tbl, p, hpDim)
@@ -995,6 +1004,19 @@ object QueryCatalog {
           tables = hpTables, planes = hpPlanes, maxBucketSize = Some(hpBucketCap))
         .orderBy("rank")),
 
+    "x_dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: assign each vector to its nearest literal centroid (pure
+      // projection, no shuffle), mine cosine ≥ 2/5 pairs only within a
+      // cell, resolve groups by pointer-jumping CC, keep the smallest id.
+      // The threshold decision is integer-exact (DECIMAL), so the DuckDB
+      // oracle replays the entire pipeline hash-identically.
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          thresholdNum = semThreshNum, thresholdDen = semThreshDen,
+          nlist = semNlist, maxCellSize = Some(semCellCap))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("n_members"), col("keep"))
+        .orderBy("vec_id")),
+
     "x_sim_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
@@ -1393,6 +1415,52 @@ object QueryCatalog {
            |                  JOIN embeddings eb ON eb.vec_id = cand.b),
            |r AS (SELECT a, b, row_number() OVER (ORDER BY cos DESC, a, b) AS rank FROM p)
            |SELECT a, b, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+      },
+
+      "x_dedup_semantic" -> {
+        val n2 = semThreshNum * semThreshNum
+        val d2 = semThreshDen * semThreshDen
+        s"""WITH RECURSIVE qv AS (
+           |  SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS q
+           |  FROM embeddings),
+           |qn AS (SELECT vec_id, q, list_dot_product(q, q) AS nq2 FROM qv),
+           |cents AS (SELECT vec_id AS cid, q AS cq, nq2 AS nc2 FROM qn
+           |          WHERE nq2 > 0 ORDER BY vec_id LIMIT $semNlist),
+           |scored AS (SELECT v.vec_id, c.cid,
+           |             list_dot_product(v.q, c.cq) / sqrt(c.nc2) AS score
+           |           FROM qn v CROSS JOIN cents c),
+           |asg AS (SELECT vec_id, cid AS cell FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id
+           |                                    ORDER BY score DESC, cid) AS rn
+           |          FROM scored) WHERE rn = 1),
+           |okc AS (SELECT cell FROM asg GROUP BY cell
+           |        HAVING count(*) >= 2 AND count(*) <= $semCellCap),
+           |mem AS (SELECT a.vec_id, a.cell, n.q, n.nq2
+           |        FROM asg a JOIN okc USING (cell) JOIN qn n USING (vec_id)),
+           |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+           |          FROM mem x JOIN mem y
+           |            ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |          WHERE list_dot_product(x.q, y.q) >= 0
+           |            AND CAST(list_dot_product(x.q, y.q) AS HUGEINT)
+           |              * CAST(list_dot_product(x.q, y.q) AS HUGEINT) * $d2
+           |              >= $n2 * CAST(x.nq2 AS HUGEINT) * CAST(y.nq2 AS HUGEINT)),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |lab AS (SELECT node AS vec_id, min(label) AS cluster_id
+           |          FROM reach GROUP BY node),
+           |csizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+           |             FROM lab GROUP BY cluster_id)
+           |SELECT l.vec_id, l.cluster_id, s.n_members,
+           |       l.vec_id = l.cluster_id AS keep
+           |FROM lab l JOIN csizes s USING (cluster_id)
+           |ORDER BY l.vec_id""".stripMargin
       },
 
       "x_sim_topk" ->
