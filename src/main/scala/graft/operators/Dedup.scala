@@ -104,6 +104,64 @@ object Dedup {
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     shingleRows(docs, idCol, textCol, n).distinct()
 
+  /** Word `n`-gram shingle rows WITH their 1-based token position:
+    * (id, pos, shingle). Same codegen'd HOF pipeline as [[shingleRows]],
+    * with `posexplode` carrying the position through.
+    */
+  def posShingleRows(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("words"))
+      .select(col(idCol), posexplode(
+        expr(s"CASE WHEN size(words) >= $n THEN " +
+             s"transform(sequence(1, size(words) - ${n - 1}), " +
+             s"i -> concat_ws(' ', slice(words, i, $n))) " +
+             s"ELSE array() END")).as(Seq("pos0", "shingle")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        col("shingle"))
+
+  /** Duplicate SPANS, not duplicate documents: the maximal token ranges of
+    * each document whose every `n`-gram also occurs in ≥ `minDocs` distinct
+    * documents — the "repeated substring" primitive of suffix-array
+    * training-data dedup, re-expressed relationally (a position is marked
+    * iff its n-gram is corpus-duplicated; runs of consecutive marked
+    * positions merge into one span). Unlike whole-doc dedup this localizes
+    * WHAT is duplicated: boilerplate headers, license blocks, quoted
+    * passages — the spans a curation pipeline clips instead of dropping
+    * the document.
+    *
+    * Output: (id, span_start, span_end, n_ngrams, n_tokens) — 1-based
+    * inclusive token positions, one row per maximal span.
+    *
+    * Scale shape: duplicated-shingle detection is one hash aggregation on
+    * the shingle (high-cardinality ⇒ uniform) and a semi-join back — the
+    * fan-out is linear in occurrence count, never pairwise quadratic (no
+    * doc×doc product anywhere, unlike the Jaccard miner). The run-merge
+    * window partitions by document, bounded by document length.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "duplicateSpans: minDocs < 2 marks every position")
+    val ps = posShingleRows(docs, idCol, textCol, n)
+    val dup = ps.groupBy("shingle")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("shingle")
+    val marked = ps.join(dup, Seq("shingle"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val spans = marked
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(byPos) === 1, 0L).otherwise(1L))
+      .withColumn("__span", sum("__brk").over(byPos))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_ngrams"))
+    spans.withColumn("n_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_ngrams"), col("n_tokens"))
+  }
+
   /** All pairs (a < b) with Jaccard similarity ≥ `threshold` over word
     * n-gram shingles. Output: a, b, n_common, n_a, n_b, jaccard.
     */

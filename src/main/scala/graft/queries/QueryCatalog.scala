@@ -878,6 +878,13 @@ object QueryCatalog {
         .orderBy("cand_id")
     }),
 
+    "x_dedup_spans" -> ((s, dir) =>
+      // Duplicate-substring localization: maximal token spans whose every
+      // 8-gram appears in >= 2 distinct docs — what suffix-array dedup
+      // clips, as one shingle agg + semi-join + per-doc run merge.
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")),
+
     "x_decontam_ngram" -> ((s, dir) => {
       // Exact 8-gram eval-contamination report: reference corpus = every
       // 7th doc, candidates = the rest. 13 is the published convention;
@@ -1286,6 +1293,28 @@ object QueryCatalog {
           |         PARTITION BY ('0x' || substr(hx, 1, 15))::BIGINT % 4
           |         ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
           |FROM taken ORDER BY doc_id""".stripMargin,
+
+      "x_dedup_spans" ->
+        """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |pe AS (SELECT doc_id,
+          |         unnest([{'pos': i, 'sh': array_to_string(w[i:i+7], ' ')}
+          |                 for i in range(1, len(w) - 6)]) AS e
+          |       FROM words WHERE len(w) >= 8),
+          |ps AS (SELECT doc_id, e.pos AS pos, e.sh AS shingle FROM pe),
+          |dup AS (SELECT shingle FROM ps GROUP BY shingle
+          |        HAVING count(DISTINCT doc_id) >= 2),
+          |m AS (SELECT p.doc_id, p.pos FROM ps p JOIN dup USING (shingle)),
+          |s AS (SELECT doc_id, pos,
+          |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+          |             THEN 0 ELSE 1 END AS brk FROM m),
+          |g AS (SELECT doc_id, pos,
+          |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM s)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+          |       CAST(count(*) AS BIGINT) AS n_ngrams,
+          |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
+          |FROM g GROUP BY doc_id, span_id
+          |ORDER BY doc_id, span_start""".stripMargin,
 
       "x_decontam_ngram" ->
         """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

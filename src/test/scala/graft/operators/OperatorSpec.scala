@@ -151,6 +151,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("duplicateSpans localizes shared substrings as maximal token spans") {
+    val fixture = Seq(
+      (1L, "x1 x2 a b c d x3 x4"),   // shares "a b c d" with doc 2
+      (2L, "y1 a b c d y2 y3"),
+      (3L, "z1 z2 z3 z4"),           // nothing shared -> absent
+      (4L, "a b c q1 q2 q3 d e f"),  // TWO disjoint spans shared with 5
+      (5L, "a b c r1 r2 d e f")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(fixture, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 3L, 6L, 2L, 4L), (2L, 2L, 5L, 2L, 4L),
+      (4L, 1L, 3L, 1L, 3L), (4L, 7L, 9L, 1L, 3L),
+      (5L, 1L, 3L, 1L, 3L), (5L, 6L, 8L, 1L, 3L))
+    assert(out == expected, s"got $out")
+  }
+
+  test("duplicateSpans: a doc duplicated only against itself is not marked") {
+    // the same 3-gram twice INSIDE one doc is intra-doc repetition, not a
+    // cross-corpus duplicate (countDistinct docs == 1)
+    val fixture = Seq((1L, "a b c z1 z2 a b c")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(fixture, "doc_id", "text", n = 3).isEmpty)
+  }
+
   test("ngram decontamination flags exactly the docs sharing a long n-gram") {
     val cand = Seq(
       (1L, "a b c d e f g h i j"),     // contains ref's 8-gram
