@@ -77,6 +77,42 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Temperature-scaled domain mixing (α = 1/2): per-domain budgets
+    * proportional to √(domain size) instead of raw size — the standard
+    * move to up-weight small domains / flatten head domains when
+    * composing a training mix (α=1 reproduces natural proportions, α=0 is
+    * uniform; √ is the common middle). Rows within a domain are chosen in
+    * the same deterministic md5-of-key order as [[domainMix]].
+    *
+    * Budgets are INTEGER-exact end to end so any engine reproduces them
+    * bit-for-bit: weight_d = isqrt(n_d) (floor of a correctly-rounded
+    * IEEE sqrt of an integer — exact for any count < 2⁵²), and
+    * target_d = total · weight_d div Σweights in integer arithmetic. No
+    * float sum ever crosses a floor boundary. Domain counts are collected
+    * to the driver — the domain list is small by definition (it's a mix
+    * policy), the data never is.
+    */
+  def domainMixTemperature(df: DataFrame, domainCol: String, keyCol: String,
+                           total: Long): DataFrame = {
+    val counts = df.groupBy(col(domainCol).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(counts.nonEmpty, "domainMixTemperature: empty input")
+    val weights = counts.map { case (d, n) => (d, math.sqrt(n.toDouble).toLong) }
+    val sumW = weights.map(_._2).sum
+    require(sumW > 0, "domainMixTemperature: all domains empty")
+    val cap = weights.foldLeft(lit(0L)) { case (acc, (d, wgt)) =>
+      when(col(domainCol) === d, lit(total * wgt / sumW)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Deterministic global shuffle + sharding for training-data export:
     * each row gets a `shard` in [0, numShards) and a 0-based `pos` within
     * its shard, both derived from md5 of the key — a reproducible

@@ -32,6 +32,27 @@ object Scale {
         sum(col("__pcnt")).as("n_rows"))
   }
 
+  /** Exact heavy-hitter profile of a (join/grouping) key: the top `k` keys
+    * by row count, with an integer parts-per-million share — the skew
+    * diagnostic run BEFORE deciding whether a join needs [[saltedSum]]-style
+    * salting, AQE skew handling, or a broadcast. One hash aggregation on
+    * the key (map-side partial combine), a scalar total folded back in via
+    * a broadcast of one row, and the top-k planned as TakeOrdered — no
+    * global sort, no second pass over the data. Keys render as strings so
+    * the profile has one schema for any key type.
+    */
+  def keyProfile(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n * 1000000 div __total"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+      .select("key", "n", "share_ppm")
+  }
+
   /** Write both sides bucketed by the join key into the session catalog,
     * so subsequent equi-joins on that key are co-located: no shuffle
     * exchange on either side at join time. The write cost amortizes over

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{HostedTables, Tables}
 import graft.core.{Chunker, ServiceName, WriteMode}
-import graft.operators.{Curation, Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Embeddings, Multimodal, Scale, Similarity, TextAnalysis}
 import graft.sinks.HostedStore
 import graft.streaming.EventStreams
 
@@ -918,6 +918,20 @@ object QueryCatalog {
           100L)
         .orderBy("doc_id")),
 
+    "x_domain_temperature" -> ((s, dir) =>
+      // α=1/2 temperature mix: per-source budgets ∝ isqrt(count), all
+      // integer arithmetic so the oracle reproduces every floor exactly.
+      Curation.domainMixTemperature(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id", 400L)
+        .orderBy("doc_id")),
+
+    "x_skew_profile" -> ((s, dir) =>
+      // Heavy-hitter key diagnostic: top-20 order keys by lineitem row
+      // count with integer ppm share — the pre-join skew check.
+      Scale.keyProfile(t(s, dir, "lineitem"), "l_orderkey", 20)
+        .orderBy(col("n").desc, col("key"))),
+
     "x_pipeline_curate" -> ((s, dir) => {
       // FLAGSHIP composite: the whole training-data curation pipeline in
       // one query — quality gate → exact dedup → 8-gram decontamination
@@ -1339,6 +1353,28 @@ object QueryCatalog {
           |WHERE rn <= CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 15
           |                      WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 0 END
           |ORDER BY doc_id""".stripMargin,
+
+      "x_domain_temperature" ->
+        """WITH cnt AS (SELECT source AS d, count(*) AS n FROM documents GROUP BY 1),
+          |wts AS (SELECT d, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+          |        FROM cnt),
+          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM wts),
+          |tgt AS (SELECT d, (400 * w) // s AS t FROM wts, tot),
+          |ranked AS (SELECT doc_id, source,
+          |  row_number() OVER (PARTITION BY source
+          |                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents)
+          |SELECT r.doc_id, r.source FROM ranked r JOIN tgt ON tgt.d = r.source
+          |WHERE r.rn <= tgt.t
+          |ORDER BY r.doc_id""".stripMargin,
+
+      "x_skew_profile" ->
+        """WITH c AS (SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS n
+          |           FROM lineitem GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+          |SELECT key, CAST(n AS BIGINT) AS n,
+          |       CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+          |FROM c, t ORDER BY n DESC, key LIMIT 20""".stripMargin,
 
       "x_dedup_best" ->
         s"""WITH RECURSIVE ${jaccardPairsSql(Some(jaccardFreqCap))},

@@ -227,6 +227,21 @@ class OperatorSpec extends AnyFunSuite {
       Map("web" -> 0.29), 100L).count() == 29L)
   }
 
+  test("temperature mix upweights small domains by integer sqrt budgets") {
+    // domains 100/25/4/1 -> isqrt weights 10/5/2/1 (sum 18); budget 90 ->
+    // integer targets 50/25/10/5: the head domain's natural 77% share is
+    // flattened to 50/90, the tail's 0.8% is lifted to 5/90
+    val rows = (1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "mid")) ++
+      (126 to 129).map(i => (i.toLong, "small")) ++
+      Seq((130L, "tiny"))
+    val df = rows.toDF("doc_id", "domain")
+    val got = Curation.domainMixTemperature(df, "domain", "doc_id", 90L)
+      .groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(got == Map("big" -> 50L, "mid" -> 25L, "small" -> 4L, "tiny" -> 1L),
+      s"got $got")
+  }
+
   test("bestPerCluster keeps the highest-scored doc, ties to smallest id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val clusters = Dedup.duplicateClusters(pairs)

@@ -41,6 +41,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("keyProfile surfaces heavy hitters with exact integer shares") {
+    // 60 rows of one hot key + 40 spread over 40 keys
+    val rows = (1 to 60).map(_ => "hot") ++ (1 to 40).map(i => s"k$i")
+    val df = rows.toDF("k")
+    val prof = Scale.keyProfile(df, "k", 5)
+      .as[(String, Long, Long)].collect()
+    assert(prof.head == (("hot", 60L, 600000L)), s"got ${prof.head}")
+    // remaining slots: count-1 keys, tie-broken by key name ascending
+    assert(prof.tail.map(_._1).toSeq == Seq("k1", "k10", "k11", "k12"))
+    assert(prof.tail.forall(p => p._2 == 1L && p._3 == 10000L))
+    // top-k must plan as TakeOrdered, not a global sort
+    val plan = Scale.keyProfile(df, "k", 5).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val dir = "/root/testdata/sf0.001"
     val orders = Tables.load(spark, dir, "orders")
