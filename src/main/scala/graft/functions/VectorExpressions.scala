@@ -108,6 +108,128 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** All dot products of one vector column against a CONSTANT row matrix, in
+  * one pass: `out[t] = Σ_i v_i · matrix[t][i]` (optionally with the
+  * engine's exact `floor(v_i · 10⁶)` quantization fused into the load).
+  *
+  * This exists because the expression-tree formulation — N independent
+  * `VecDot(vec, lit(row_t))` calls in one projection — degrades
+  * catastrophically: each dot re-derives its input column (no common
+  * subexpression elimination across when/struct branches), so an
+  * LSH-signature projection of 128 planes costs ~100 µs/row instead of
+  * ~0.1 µs. Here the matrix is a plan constant held in `references` (no
+  * giant generated literals), the vector elements are loaded ONCE into a
+  * stack array, and the generated code is two tight primitive loops.
+  * Accumulation order per row is ascending index — bit-identical to the
+  * `VecDot`-per-row formulation and to the DuckDB oracle's
+  * `list_dot_product`.
+  */
+case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
+                        quantize: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(matrix.nonEmpty && matrix.forall(_.length == matrix(0).length),
+    "vec_dot_matrix: matrix must be non-empty and rectangular")
+
+  private def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot_matrix requires an array<float>/array<double> input, " +
+            s"got ${other.simpleString(10)}")
+    }
+
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _               => true
+  }
+
+  override def nullable: Boolean = child.nullable || elementsNullable
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != matrix(0).length)
+      throw new IllegalArgumentException(
+        s"vec_dot_matrix: vector length $n vs matrix width ${matrix(0).length}")
+    val isF = childIsFloat
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (elementsNullable && v.isNullAt(i)) return null
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      vals(i) = if (quantize) math.floor(x * 1000000.0) else x
+      i += 1
+    }
+    val out = new Array[Double](matrix.length)
+    var t = 0
+    while (t < matrix.length) {
+      val row = matrix(t)
+      var s = 0.0
+      i = 0
+      while (i < n) { s += vals(i) * row(i); i += 1 }
+      out(t) = s
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (childIsFloat) "getFloat" else "getDouble"
+    val mat = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val s = ctx.freshName("s")
+      val vals = ctx.freshName("vals")
+      val out = ctx.freshName("out")
+      val row = ctx.freshName("row")
+      val load =
+        if (quantize) s"Math.floor(((double) $a.$get($i)) * 1000000.0)"
+        else s"((double) $a.$get($i))"
+      val nullGuard =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $mat[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot_matrix: vector length " + $n + " vs matrix width " + $mat[0].length);
+         |}
+         |double[] $vals = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
+         |  $vals[$i] = $load;
+         |}
+         |if (!${ev.isNull}) {
+         |  double[] $out = new double[$mat.length];
+         |  for (int $t = 0; $t < $mat.length; $t++) {
+         |    double[] $row = $mat[$t];
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $s += $vals[$i] * $row[$i]; }
+         |    $out[$t] = $s;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two float/double array columns, accumulated in double. */
   def vec_dot(a: Column, b: Column): Column =
@@ -116,4 +238,12 @@ object VectorFunctions {
   /** L2 norm of a float/double array column. */
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+
+  /** All dots of a vector column against a constant row matrix (one tight
+    * codegen pass). `quantize` fuses the engine's exact `floor(x·10⁶)`
+    * integer quantization into the element load.
+    */
+  def vec_dot_matrix(v: Column, matrix: Array[Array[Double]],
+                     quantize: Boolean = false): Column =
+    toColumn(VecDotMatrix(toExpression(v), matrix, quantize))
 }

@@ -855,17 +855,21 @@ object Dedup {
     */
   private[graft] def semanticCells(emb: DataFrame, idCol: String,
                                    vecCol: String, nlist: Int): DataFrame = {
-    import graft.functions.VectorFunctions.vec_dot
+    import graft.functions.VectorFunctions.vec_dot_matrix
     val base = quantizedWithNorm(emb, idCol, vecCol)
     val cents = base.filter(col("nq2") > 0).orderBy("id").limit(nlist)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     require(cents.nonEmpty, "semanticCells: no non-zero vectors to seed centroids")
-    val scores = array(cents.map { case (cid, cq, nc2) =>
-      struct((vec_dot(col("q"), typedLit(cq)) / lit(math.sqrt(nc2))).as("score"),
+    // all centroid dots in one VecDotMatrix pass (ascending accumulation,
+    // every sum an exact integer — bit-identical to per-centroid VecDots)
+    val scores = array(cents.zipWithIndex.map { case ((cid, _, nc2), k) =>
+      struct((element_at(col("__cd"), k + 1) / lit(math.sqrt(nc2))).as("score"),
         lit(-cid).as("ncid"))
     }.toIndexedSeq: _*)
-    base.withColumn("cell", -array_max(scores).getField("ncid"))
+    base.withColumn("__cd", vec_dot_matrix(col("q"), cents.map(_._2.toArray)))
+      .withColumn("cell", -array_max(scores).getField("ncid"))
+      .drop("__cd")
   }
 
   /** Semantic (embedding-space) deduplication, SemDeDup-style: cluster the

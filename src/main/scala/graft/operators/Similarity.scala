@@ -104,20 +104,46 @@ object Similarity {
     * product is never formed. This is the scale path that replaces
     * all-pairs scoring for embedding dedup.
     */
-  def hyperplaneCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
-                               tables: Int = 16, planes: Int = 8,
-                               maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+  /** Per-(vector, table) quantized-hyperplane signatures: (id, t, sig) —
+    * the shared front half of [[hyperplaneCandidatePairs]], exposed for
+    * stage-level profiling and plan assertions.
+    *
+    * All `tables × planes` hyperplane dots are computed by ONE
+    * [[graft.functions.VecDotMatrix]] pass (quantization fused into the
+    * element load — identical arithmetic to quantize-then-VecDot, every
+    * sum an exact integer); the signature bits are then cheap
+    * `element_at` sign reads. The expression-tree formulation (128
+    * independent VecDot-vs-literal calls) re-derived its inputs per dot
+    * and cost ~100 µs/row — this is the ~0.1 µs/row shape.
+    */
+  private[graft] def hyperplaneSignatures(emb: DataFrame, idCol: String,
+                                          vecCol: String, tables: Int,
+                                          planes: Int): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot_matrix
     val dim = emb.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
-        "hyperplaneCandidatePairs: no non-null vectors"))
+        "hyperplaneSignatures: no non-null vectors"))
+    val mat = Array.tabulate(tables * planes)(k =>
+      hyperplane(k / planes, k % planes, dim))
     val base = emb.select(col(idCol).as("id"),
-      quantize(col(vecCol).cast("array<double>")).as("q"))
-    val stacked = base.select(col("id"), explode(array(
+      vec_dot_matrix(col(vecCol), mat, quantize = true).as("__dots"))
+    // null vector -> null dots -> every when() falls through -> the
+    // all-zeros signature, matching the historical per-dot behavior
+    base.select(col("id"), explode(array(
         (0 until tables).map(t => struct(lit(t).as("t"),
-          signature(col("q"), t, planes, dim).as("sig"))): _*)).as("b"))
+          concat((0 until planes).map { p =>
+            when(element_at(col("__dots"), t * planes + p + 1) >= 0, "1")
+              .otherwise("0")
+          }: _*).as("sig"))): _*)).as("b"))
       .select(col("id"), col("b.t"), col("b.sig"))
+  }
+
+  def hyperplaneCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                               tables: Int = 16, planes: Int = 8,
+                               maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    val stacked = hyperplaneSignatures(emb, idCol, vecCol, tables, planes)
     // Cap hot buckets BEFORE materializing them: counting first and
     // anti-selecting keeps a degenerate bucket (all-identical or all-null
     // vectors share one signature) from being built as an unbounded
@@ -217,19 +243,23 @@ object Similarity {
     ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, centroids)
   }
 
-  /** One scored-centroid struct per centroid against (`vec`, `norm`):
-    * `(cosine, -cid)`, so struct MAX/ordering = best cosine with ties to
-    * the SMALLEST cid — the same total order the old rank window used.
-    * Centroids are plan-time literals (nlist is small by construction), so
-    * the whole argmax is a projection: nlist codegen'd VecDots per row,
-    * zero joins, zero shuffles.
+  /** One scored-centroid struct per centroid from a precomputed dots
+    * array: `(cosine, -cid)`, so struct MAX/ordering = best cosine with
+    * ties to the SMALLEST cid — the same total order the old rank window
+    * used. The dots array comes from one [[graft.functions.VecDotMatrix]]
+    * pass over the literal centroid matrix (same ascending accumulation
+    * as per-centroid VecDots — bit-identical scores), so the whole argmax
+    * is a projection: zero joins, zero shuffles.
     */
-  private def centroidScores(cents: Array[(Long, Seq[Double], Double)],
-                             vec: Column, norm: Column): Column =
-    array(cents.map { case (cid, cvec, cnorm) =>
-      struct((vec_dot(vec, typedLit(cvec)) / (norm * lit(cnorm))).as("cos"),
+  private def centroidScoresFromDots(cents: Array[(Long, Seq[Double], Double)],
+                                     dots: Column, norm: Column): Column =
+    array(cents.zipWithIndex.map { case ((cid, _, cnorm), k) =>
+      struct((element_at(dots, k + 1) / (norm * lit(cnorm))).as("cos"),
         lit(-cid).as("ncid"))
     }.toIndexedSeq: _*)
+
+  private def centMatrix(cents: Array[(Long, Seq[Double], Double)]): Array[Array[Double]] =
+    cents.map(_._2.toArray)
 
   /** IVF cell assignment: nearest centroid per corpus vector, computed as a
     * projection-level argmax over the literal centroid array — the 100 TB
@@ -241,11 +271,14 @@ object Similarity {
   private[graft] def assignCells(corpus: DataFrame, idCol: String,
                                  vecCol: String,
                                  cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot_matrix
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"),
       vec_norm(col(vecCol)).as("norm"))
-    c.withColumn("cid", -array_max(
-        centroidScores(cents, col("vec"), col("norm"))).getField("ncid"))
+    c.withColumn("__cd", vec_dot_matrix(col("vec"), centMatrix(cents)))
+      .withColumn("cid", -array_max(
+        centroidScoresFromDots(cents, col("__cd"), col("norm"))).getField("ncid"))
+      .drop("__cd")
   }
 
   /** Shared IVF assignment/probe/score given a centroid table
@@ -268,8 +301,10 @@ object Similarity {
     // (struct order: cos, then -cid), reverse, slice — cos desc with ties
     // to the smallest cid, identical to the old probe window's order.
     val probes = q
+      .withColumn("__cd", graft.functions.VectorFunctions.vec_dot_matrix(
+        col("qvec"), centMatrix(cents)))
       .withColumn("p", explode(slice(reverse(array_sort(
-        centroidScores(cents, col("qvec"), col("qnorm")))), 1, nprobe)))
+        centroidScoresFromDots(cents, col("__cd"), col("qnorm")))), 1, nprobe)))
       .select(col("qid"), col("qvec"), col("qnorm"), (-col("p.ncid")).as("cid"))
     val scored = cells.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("qid"))
@@ -375,25 +410,46 @@ object Similarity {
     when(n === 0, vec).otherwise(transform(vec, x => x / n))
   }
 
+  /** The full PQ dot table as ONE constant matrix: row `s·ks + j` is
+    * codebook entry (s, j) zero-padded to the full dimension at subspace
+    * `s`'s offset — a full-vector dot against it equals the subvector dot
+    * (the zero positions contribute exact-zero terms; the subrange
+    * accumulates in the same ascending order), so every subvector dot of
+    * [[pqEncode]]/[[pqTopK]] is one [[graft.functions.VecDotMatrix]] pass
+    * instead of `m × ks` independent slice+VecDot expressions.
+    */
+  private def pqMatrix(codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val m = codebooks.length
+    val ks = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    Array.tabulate(m * ks) { k =>
+      val s = k / ks
+      val row = new Array[Double](m * sub)
+      System.arraycopy(codebooks(s)(k % ks), 0, row, s * sub, sub)
+      row
+    }
+  }
+
   /** PQ-encode a corpus: one `m`-byte-ish code array per vector (stored as
     * `array<int>` — 8× to 64× smaller than the float vector it stands in
     * for). Each subvector's code is the L2-nearest codebook centroid,
-    * computed as a projection-level argmax over plan literals — like
+    * computed as a projection-level argmax over plan constants — like
     * [[assignCells]], ZERO joins and ZERO shuffles over the corpus.
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot_matrix
     val m = codebooks.length
-    val sub = codebooks(0)(0).length
+    val ks = codebooks(0).length
     val c = corpus.select(col(idCol).as("id"),
       unitized(col(vecCol).cast("array<double>")).as("__v"))
+      .withColumn("__pd", vec_dot_matrix(col("__v"), pqMatrix(codebooks)))
     // argmin_j ||x_s − cb_j||² = argmax_j 2·x_s·cb_j − ||cb_j||²; ties to
     // the smallest j via the (-j) struct field
     val codeCols = (0 until m).map { s =>
-      val subCol = slice(col("__v"), s * sub + 1, sub)
       val scored = array(codebooks(s).zipWithIndex.map { case (cb, j) =>
         val cbNorm2 = cb.map(x => x * x).sum
-        struct((vec_dot(subCol, typedLit(cb.toSeq)) * 2 - lit(cbNorm2)).as("score"),
+        struct((element_at(col("__pd"), s * ks + j + 1) * 2 - lit(cbNorm2)).as("score"),
           lit(-j).as("nj"))
       }.toIndexedSeq: _*)
       (-array_max(scored).getField("nj")).as(s"__c$s")
@@ -425,10 +481,11 @@ object Similarity {
     val codes = pqEncode(corpus, idCol, vecCol, codebooks)
     val q0 = queries.select(col(idCol).as("qid"),
       unitized(col(vecCol).cast("array<double>")).as("__q"))
-    // flat LUT: entry s·ks + j = q_s · cb_s[j]
-    val lutEntries = for (s <- 0 until mEff; j <- 0 until ksEff) yield
-      vec_dot(slice(col("__q"), s * sub + 1, sub), typedLit(codebooks(s)(j).toSeq))
-    val q = q0.select(col("qid"), array(lutEntries: _*).as("lut"))
+    // flat LUT: entry s·ks + j = q_s · cb_s[j] — exactly the pqMatrix row
+    // order, so the LUT is one VecDotMatrix pass per query
+    val q = q0.select(col("qid"),
+      graft.functions.VectorFunctions.vec_dot_matrix(
+        col("__q"), pqMatrix(codebooks)).as("lut"))
     val adc = codes.join(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("score", expr(
