@@ -77,6 +77,33 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Keep each domain's top `num/den` fraction by a score column: row
+    * ranks (score desc, key asc — deterministic under float score ties)
+    * and domain sizes come from two window functions over the SAME
+    * partitioning (one shuffle), and the quartile test `rn·den ≤ n·num`
+    * is pure integer arithmetic — no percentile estimate, no float
+    * boundary. This is the relative quality gate ("top 25% per language
+    * by quality score") that keeps domains comparable when their score
+    * distributions differ.
+    *
+    * Scale: the rank window sorts within each domain partition. Domains
+    * are bounded-cardinality by definition here (languages, sources); for
+    * million-domain keys use [[stratifiedSample]]-style hash ordering
+    * instead.
+    */
+  def topFractionByDomain(df: DataFrame, domainCol: String, keyCol: String,
+                          scoreCol: String, num: Int = 1, den: Int = 4): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      "topFractionByDomain: fraction must be in (0, 1]")
+    val byScore = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(keyCol))
+    val whole = Window.partitionBy(col(domainCol))
+    df.withColumn("__rn", row_number().over(byScore))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__rn") * den <= col("__n") * num)
+      .drop("__rn", "__n")
+  }
+
   /** Temperature-scaled domain mixing (α = 1/2): per-domain budgets
     * proportional to √(domain size) instead of raw size — the standard
     * move to up-weight small domains / flatten head domains when

@@ -162,14 +162,14 @@ object Dedup {
         col("n_ngrams"), col("n_tokens"))
   }
 
-  /** All pairs (a < b) with Jaccard similarity ≥ `threshold` over word
-    * n-gram shingles. Output: a, b, n_common, n_a, n_b, jaccard.
+  /** Shared inverted-index pair mining: intersection and set sizes for
+    * every doc pair sharing ≥1 (optionally frequency-capped) shingle —
+    * (a, b, n_common, n_a, n_b). Sizes come from the SAME capped set as
+    * the intersection counts, so downstream ratios stay internally
+    * consistent under stop-shingle capping.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, n: Int = 3,
-                   maxShingleFreq: Option[Int] = None,
-                   materialize: Boolean = true): DataFrame =
-    withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
+  private def shinglePairCounts(sh: DataFrame, idCol: String,
+                                maxShingleFreq: Option[Int]): DataFrame = {
     val filtered = maxShingleFreq match {
       case Some(cap) =>
         // Drop stop-shingles: a shingle in >cap docs contributes O(cap^2)
@@ -179,8 +179,6 @@ object Dedup {
         sh.join(hot, Seq("shingle"), "left_anti")
       case None => sh
     }
-    // Sizes from the SAME (capped) set as the intersection counts, so the
-    // Jaccard ratio stays internally consistent under stop-shingle capping.
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = filtered.select(col(idCol).as("a"), col("shingle"))
     val b = filtered.select(col(idCol).as("b"), col("shingle"))
@@ -190,10 +188,42 @@ object Dedup {
     common
       .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
       .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
-      .withColumn("jaccard",
-        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** All pairs (a < b) with Jaccard similarity ≥ `threshold` over word
+    * n-gram shingles. Output: a, b, n_common, n_a, n_b, jaccard.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, n: Int = 3,
+                   maxShingleFreq: Option[Int] = None,
+                   materialize: Boolean = true): DataFrame =
+    withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
+      shinglePairCounts(sh, idCol, maxShingleFreq)
+        .withColumn("jaccard",
+          col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+        .filter(col("jaccard") >= threshold)
+        .select("a", "b", "n_common", "n_a", "n_b", "jaccard")
+    }
+
+  /** All pairs (a < b) where the SMALLER shingle set is ≥ `threshold`
+    * contained in the other: containment = n_common / min(n_a, n_b).
+    * Jaccard misses asymmetric duplication by construction (a 50-word
+    * excerpt inside a 5000-word doc has J ≈ 0.01 but containment 1.0);
+    * this is the quote/excerpt/subset detector curation pipelines pair
+    * with it. Output: a, b, n_common, n_a, n_b, containment. Same
+    * inverted-index join and stop-shingle cap as [[jaccardPairs]] — the
+    * ratio, not the plan, is what changes.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 3,
+                       maxShingleFreq: Option[Int] = None,
+                       materialize: Boolean = true): DataFrame =
+    withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
+      shinglePairCounts(sh, idCol, maxShingleFreq)
+        .withColumn("containment",
+          col("n_common") / least(col("n_a"), col("n_b")))
+        .filter(col("containment") >= threshold)
+        .select("a", "b", "n_common", "n_a", "n_b", "containment")
     }
 
   /** Cache the shingle set (it feeds several consumers in each pair
@@ -623,6 +653,53 @@ object Dedup {
       .filter(mightContain(col("shingle")))
       .select(col(idCol)).distinct()
     cand.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Append-batch (incremental) dedup report: for each doc of a SMALL new
+    * `batch`, whether it duplicates the BIG existing `corpus` (exact text
+    * or LSH-mined near-dup at `threshold`) and whether it duplicates an
+    * EARLIER doc of the same batch (smaller id wins, greedy along chains)
+    * — the daily-ingest primitive that dedups an increment without ever
+    * re-mining the full corpus. Output: (id, dup_of_corpus, dup_in_batch,
+    * keep = neither).
+    *
+    * 100 TB shape: vs-corpus mining is [[crossCorpusPairs]] with the
+    * roles swapped — the batch is the broadcast reference side, so the
+    * corpus STREAMS through one scan (band keys + md5 probes against
+    * broadcast batch tables) and is never shuffled; cost is O(corpus
+    * scan) per increment, independent of corpus pair structure.
+    * Intra-batch mining runs [[minhashLshPairs]] on the increment alone.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String,
+                       textCol: String, threshold: Double = 0.7,
+                       numHashes: Int = 128, bands: Int = 16, n: Int = 3,
+                       base: Hashers.Base = Hashers.xx64Base,
+                       maxBucketSize: Option[Int] = Some(100),
+                       verifyExact: Boolean = true): DataFrame = {
+    val vsCorpus = crossCorpusPairs(corpus, batch, idCol, textCol, threshold,
+      numHashes, bands, n, base, maxBucketSize, broadcastRef = true,
+      materialize = true, verifyExact = verifyExact)
+    val hitByCorpus = vsCorpus.select(col("ref_id").as(idCol)).distinct()
+    // within the batch: near pairs (the LATER doc of each mined pair is
+    // the duplicate) plus exact text groups (catches docs below the
+    // shingle window, where LSH is blind)
+    val intraNear = minhashLshPairs(batch, idCol, textCol, threshold,
+        numHashes, bands, n, base, maxBucketSize,
+        verifyExact = verifyExact)
+      .select(col("b").as(idCol))
+    val intraExact = batch
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+      .withColumn("__lo", min(col(idCol)).over(Window.partitionBy("__h")))
+      .filter(col(idCol) =!= col("__lo"))
+      .select(col(idCol))
+    val intraDup = intraNear.union(intraExact).distinct()
+    batch.select(col(idCol))
+      .join(hitByCorpus.withColumn("__c", lit(true)), Seq(idCol), "left")
+      .join(intraDup.withColumn("__b", lit(true)), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__c"), lit(false)).as("dup_of_corpus"),
+        coalesce(col("__b"), lit(false)).as("dup_in_batch"))
+      .withColumn("keep", !col("dup_of_corpus") && !col("dup_in_batch"))
   }
 
   /** Connected components over a near-dup pair list → duplicate clusters:

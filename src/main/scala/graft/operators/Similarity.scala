@@ -75,14 +75,6 @@ object Similarity {
     }.map(_.toDouble)
   }
 
-  /** Bit signature for one hash table: sign of `planes` hyperplane dots,
-    * each dot a codegen'd VecDot against a literal weight array.
-    */
-  private def signature(vec: Column, t: Int, planes: Int, dim: Int): Column =
-    concat((0 until planes).map { p =>
-      when(vec_dot(vec, typedLit(hyperplane(t, p, dim))) >= 0, "1").otherwise("0")
-    }: _*)
-
   /** Integer-quantized copy of an embedding: `floor(x · 10⁶)` per
     * component, carried as doubles. Every value, product against the
     * integer hyperplane weights, and dot-product sum stays well under 2⁵³,
@@ -95,15 +87,6 @@ object Similarity {
   private[graft] def quantize(vec: Column): Column =
     transform(vec, x => floor(x * lit(1000000.0)).cast("double"))
 
-  /** Candidate near-dup pairs (a < b) from quantized random-hyperplane
-    * LSH: ids sharing a (table, signature) bucket in ANY of `tables`
-    * independent hash tables of `planes` bits. One projection computes all
-    * signatures; buckets are gathered with a single groupBy (the
-    * collect_list buffer IS the bucket), capped at `maxBucketSize` to
-    * bound the quadratic in-bucket pair expansion — the corpus×corpus
-    * product is never formed. This is the scale path that replaces
-    * all-pairs scoring for embedding dedup.
-    */
   /** Per-(vector, table) quantized-hyperplane signatures: (id, t, sig) —
     * the shared front half of [[hyperplaneCandidatePairs]], exposed for
     * stage-level profiling and plan assertions.
@@ -140,6 +123,15 @@ object Similarity {
       .select(col("id"), col("b.t"), col("b.sig"))
   }
 
+  /** Candidate near-dup pairs (a < b) from quantized random-hyperplane
+    * LSH: ids sharing a (table, signature) bucket in ANY of `tables`
+    * independent hash tables of `planes` bits. One projection computes all
+    * signatures; buckets are gathered with a single groupBy (the
+    * collect_list buffer IS the bucket), capped at `maxBucketSize` to
+    * bound the quadratic in-bucket pair expansion — the corpus×corpus
+    * product is never formed. This is the scale path that replaces
+    * all-pairs scoring for embedding dedup.
+    */
   def hyperplaneCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                                tables: Int = 16, planes: Int = 8,
                                maxBucketSize: Option[Int] = Some(100)): DataFrame = {
@@ -175,13 +167,20 @@ object Similarity {
       .headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
         "lshTopK: query set has no non-null vectors"))
+    val mat = Array.tabulate(tables * planes)(i =>
+      hyperplane(i / planes, i % planes, dim))
     def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs),
         col(vecCol).cast("array<double>").as(vecAs),
         vec_norm(col(vecCol)).as(normAs))
+        .withColumn("__hd", graft.functions.VectorFunctions.vec_dot_matrix(
+          col(vecAs), mat))
       base.select(col(idAs), col(vecAs), col(normAs), explode(array(
         (0 until tables).map(t =>
-          struct(lit(t).as("t"), signature(col(vecAs), t, planes, dim).as("sig"))): _*)).as("b"))
+          struct(lit(t).as("t"), concat((0 until planes).map { p =>
+            when(element_at(col("__hd"), t * planes + p + 1) >= 0, "1")
+              .otherwise("0")
+          }: _*).as("sig"))): _*)).as("b"))
         .select(col(idAs), col(vecAs), col(normAs), col("b.t"), col("b.sig"))
     }
     val c = bucketed(corpus, "id", "vec", "norm")
@@ -477,7 +476,6 @@ object Similarity {
     // the m/ks parameters against a caller-supplied codebook of different
     // shape would silently misalign the flat-LUT lookups
     val (mEff, ksEff) = (codebooks.length, codebooks(0).length)
-    val sub = codebooks(0)(0).length
     val codes = pqEncode(corpus, idCol, vecCol, codebooks)
     val q0 = queries.select(col(idCol).as("qid"),
       unitized(col(vecCol).cast("array<double>")).as("__q"))

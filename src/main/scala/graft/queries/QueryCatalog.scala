@@ -878,6 +878,44 @@ object QueryCatalog {
         .orderBy("cand_id")
     }),
 
+    "x_dedup_incremental" -> ((s, dir) => {
+      // Daily-ingest shape: the new batch (every 5th doc) dedups against
+      // the existing corpus (the rest) with the batch broadcast and the
+      // corpus streaming, plus earlier-wins dedup inside the batch.
+      // md5Base so DuckDB replays the band pipeline.
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
+        .orderBy("doc_id")
+    }),
+
+    "x_dedup_containment" -> ((s, dir) =>
+      // Asymmetric near-dup: the smaller shingle set >= 80% inside the
+      // other — catches excerpts/quotes that Jaccard structurally misses.
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 0.8,
+          maxShingleFreq = Some(jaccardFreqCap))
+        .orderBy("a", "b")),
+
+    "x_cluster_assign" -> ((s, dir) =>
+      // k-means-style cell assignment as a first-class output: nearest
+      // literal centroid per vector, computed as a shuffle-free projection
+      // argmax (the SemDeDup/IVF building block, exposed standalone).
+      Dedup.semanticCells(t(s, dir, "embeddings"), "vec_id", "embedding", 16)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")),
+
+    "x_quality_topquartile" -> ((s, dir) => {
+      // Relative quality gate: top 25% per language by stopword ratio,
+      // integer rank-vs-count test (no percentile estimate).
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.quality(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      Curation.topFractionByDomain(scored, "lang", "doc_id", "stopword_ratio")
+        .select("doc_id", "lang", "n_tokens", "stopword_ratio")
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_spans" -> ((s, dir) =>
       // Duplicate-substring localization: maximal token spans whose every
       // 8-gram appears in >= 2 distinct docs — what suffix-array dedup
@@ -1203,6 +1241,93 @@ object QueryCatalog {
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))}
            |SELECT a, b, n_common, n_a, n_b, jaccard FROM jac
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+      "x_dedup_incremental" ->
+        s"""WITH ${jaccardPairsSql(None)},
+           |$lshBaseSql,
+           |sig AS (SELECT doc_id, $lshSigSql FROM shh GROUP BY doc_id),
+           |bands_all AS (
+           |  $lshBandsSql),
+           |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+           |corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+           |hitc_exact AS (SELECT DISTINCT b.doc_id FROM batch b
+           |               JOIN corp c ON md5(b.text) = md5(c.text)),
+           |bat_bands AS (SELECT ba.doc_id, ba.band, ba.key
+           |                FROM bands_all ba JOIN batch USING (doc_id)),
+           |bat_ok AS (SELECT band, key FROM bat_bands
+           |           GROUP BY band, key HAVING count(*) <= $lshBucketCap),
+           |bat_bands_ok AS (SELECT bb.doc_id, bb.band, bb.key
+           |                   FROM bat_bands bb JOIN bat_ok USING (band, key)),
+           |corp_bands AS (SELECT ba.doc_id, ba.band, ba.key
+           |                 FROM bands_all ba JOIN corp USING (doc_id)),
+           |cross_cand AS (SELECT DISTINCT cb.doc_id AS cand_id, rb.doc_id AS ref_id
+           |                 FROM corp_bands cb JOIN bat_bands_ok rb
+           |                   ON cb.band = rb.band AND cb.key = rb.key),
+           |hitc_near AS (SELECT DISTINCT cc.ref_id AS doc_id
+           |                FROM cross_cand cc
+           |                JOIN jac j ON j.a = least(cc.cand_id, cc.ref_id)
+           |                          AND j.b = greatest(cc.cand_id, cc.ref_id)
+           |               WHERE j.jaccard >= 0.7),
+           |hitc AS (SELECT doc_id FROM hitc_exact
+           |         UNION SELECT doc_id FROM hitc_near),
+           |intra_cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |                 FROM bat_bands_ok l JOIN bat_bands_ok r
+           |                   ON l.band = r.band AND l.key = r.key
+           |                  AND l.doc_id < r.doc_id),
+           |intra_near AS (SELECT DISTINCT c.b AS doc_id
+           |                 FROM intra_cand c JOIN jac j ON j.a = c.a AND j.b = c.b
+           |                WHERE j.jaccard >= 0.7),
+           |intra_exact AS (SELECT doc_id FROM (
+           |                  SELECT doc_id,
+           |                         min(doc_id) OVER (PARTITION BY md5(text)) AS lo
+           |                  FROM batch) WHERE doc_id <> lo),
+           |intra AS (SELECT doc_id FROM intra_near
+           |          UNION SELECT doc_id FROM intra_exact)
+           |SELECT b.doc_id,
+           |       b.doc_id IN (SELECT doc_id FROM hitc) AS dup_of_corpus,
+           |       b.doc_id IN (SELECT doc_id FROM intra) AS dup_in_batch,
+           |       NOT (b.doc_id IN (SELECT doc_id FROM hitc)
+           |            OR b.doc_id IN (SELECT doc_id FROM intra)) AS keep
+           |FROM batch b ORDER BY b.doc_id""".stripMargin,
+
+      "x_dedup_containment" ->
+        s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))}
+           |SELECT a, b, n_common, n_a, n_b,
+           |       n_common / least(n_a, n_b) AS containment
+           |FROM jac WHERE n_common / least(n_a, n_b) >= 0.8
+           |ORDER BY a, b""".stripMargin,
+
+      "x_cluster_assign" ->
+        s"""WITH qv AS (
+           |  SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS q
+           |  FROM embeddings),
+           |qn AS (SELECT vec_id, q, list_dot_product(q, q) AS nq2 FROM qv),
+           |cents AS (SELECT vec_id AS cid, q AS cq, nq2 AS nc2 FROM qn
+           |          WHERE nq2 > 0 ORDER BY vec_id LIMIT 16),
+           |scored AS (SELECT v.vec_id, c.cid,
+           |             list_dot_product(v.q, c.cq) / sqrt(c.nc2) AS score
+           |           FROM qn v CROSS JOIN cents c)
+           |SELECT vec_id, cid AS cell FROM (
+           |  SELECT vec_id, cid,
+           |         row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY score DESC, cid) AS rn
+           |  FROM scored) WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin,
+
+      "x_quality_topquartile" ->
+        s"""WITH q AS (SELECT doc_id, lang,
+           |    len(string_split(text, ' ')) AS n_tokens,
+           |    CAST($stopSql AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+           |  FROM documents),
+           |r AS (SELECT *,
+           |    row_number() OVER (PARTITION BY lang
+           |                       ORDER BY stopword_ratio DESC, doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM q)
+           |SELECT doc_id, lang, n_tokens, stopword_ratio
+           |FROM r WHERE rn * 4 <= n ORDER BY doc_id""".stripMargin,
 
       "x_dedup_minhash_sig" ->
         s"""WITH $shinglesSql

@@ -151,6 +151,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("incremental dedup flags corpus dups and earlier-batch dups") {
+    def words(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def near(tag: String) = (1 to 29).map(i => s"$tag$i").mkString(" ") + " zzz"
+    val corpus = Seq((1L, words("a")), (2L, words("b")), (3L, words("c")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, words("a")), // exact copy of corpus doc 1
+      (11L, near("b")),  // near-dup of corpus doc 2 (J ~ 0.8)
+      (12L, words("x")), // genuinely new
+      (13L, near("x")),  // near-dup of EARLIER batch doc 12
+      (14L, words("y"))  // genuinely new
+    ).toDF("doc_id", "text")
+    val byId = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(byId.size == 5)
+    assert(byId(10L) == ((true, false, false)))
+    assert(byId(11L) == ((true, false, false)))
+    assert(byId(12L) == ((false, false, true)))
+    assert(byId(13L) == ((false, true, false)))
+    assert(byId(14L) == ((false, false, true)))
+  }
+
+  test("containment catches the excerpt that jaccard structurally misses") {
+    val long = (1 to 200).map(i => s"w$i").mkString(" ")
+    val excerpt = (50 to 60).map(i => s"w$i").mkString(" ") // 11 tokens inside
+    val fixture = Seq((1L, long), (2L, excerpt), (3L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairs(fixture, "doc_id", "text", 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), "excerpt should be invisible to jaccard")
+    val cont = Dedup.containmentPairs(fixture, "doc_id", "text", 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(cont.map(r => (r._1, r._2)).toSet == Set((1L, 2L)), s"got ${cont.toSeq}")
+    // all 9 of the excerpt's 3-gram shingles appear in the long doc
+    assert(cont.head._6 == 1.0, s"containment was ${cont.head._6}")
+  }
+
+  test("topFractionByDomain keeps exactly the integer top quartile") {
+    // domain p: 8 rows -> keep 2; domain q: 5 rows -> rn*4<=5 keeps 1
+    val rows = (1 to 8).map(i => (i.toLong, "p", i.toDouble)) ++
+      (11 to 15).map(i => (i.toLong, "q", i.toDouble))
+    val df = rows.toDF("id", "dom", "score")
+    val kept = Curation.topFractionByDomain(df, "dom", "id", "score")
+      .select("id").as[Long].collect().toSet
+    // highest scores win; ties impossible here
+    assert(kept == Set(7L, 8L, 15L), s"got $kept")
+  }
+
   test("duplicateSpans localizes shared substrings as maximal token spans") {
     val fixture = Seq(
       (1L, "x1 x2 a b c d x3 x4"),   // shares "a b c d" with doc 2
