@@ -890,6 +890,17 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_dedup_incremental_fast" -> ((s, dir) => { // rows-only: production config
+      // Same increment-vs-corpus report priced at the production settings
+      // (xxhash64 family, signature-estimator verify) — what a daily 100 TB
+      // ingest actually runs; the md5 entry above prices the oracle replay.
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDedup(docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", 0.7, verifyExact = false)
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_containment" -> ((s, dir) =>
       // Asymmetric near-dup: the smaller shingle set >= 80% inside the
       // other — catches excerpts/quotes that Jaccard structurally misses.

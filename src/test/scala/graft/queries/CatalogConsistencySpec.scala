@@ -35,6 +35,7 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_text_surprisal",      // float log-probs, pinned by ScalaTest
       "x_dedup_minhash_fast",  // xx64 production config, spec-pinned vs exact
       "x_dedup_cross_fast",    // xx64 production config, spec-pinned vs exact
+      "x_dedup_incremental_fast", // xx64+estimator production config
       "x_stream_neardup",      // xx64 streaming detector, spec-pinned vs batch
       "x_decontam_bloom")      // bloom-filter bits not SQL-replayable; spec-pinned
     )
