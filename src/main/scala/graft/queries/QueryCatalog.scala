@@ -853,6 +853,20 @@ object QueryCatalog {
         .dropDuplicates("a", "b")
         .orderBy("a", "b")),
 
+    "x_stream_incremental" -> ((s, dir) => {
+      // Streaming incremental dedup vs a static corpus index (stateless
+      // sign + stream-static band join), invoked in batch mode. Rows-only;
+      // StreamDedupSpec pins agreement with the batch incremental report.
+      val docs = t(s, dir, "documents")
+      val idx = graft.streaming.StreamDedup.corpusBandIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      graft.streaming.StreamDedup.vsCorpusHits(
+          docs.filter(col("doc_id") % 5 === 0), idx, "doc_id", "text", 0.7)
+        .dropDuplicates("doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_minhash_fast" -> ((s, dir) =>
       // PRODUCTION dedup configuration: xxhash64 double-hash family +
       // signature-estimator verification (no shingle re-join). Rows-only —

@@ -98,6 +98,49 @@ object StreamDedup {
     }.toDF("id", "band", "key", "sig")
   }
 
+  /** The static corpus half of streaming incremental dedup: band keys +
+    * signatures of the EXISTING corpus, shaped for [[vsCorpusHits]]'
+    * stream-static join. Build once per corpus snapshot and `cache()` it —
+    * a stream-static join re-reads the static side every micro-batch, so
+    * an uncached index would re-mine the corpus signatures per trigger.
+    */
+  def corpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 128, bands: Int = 16,
+                      n: Int = 3): DataFrame =
+    bandedSignatures(corpus, idCol, textCol, numHashes, bands, n)
+      .select(col("id").as("corpus_id"), col("band"), col("key"),
+        col("sig").as("csig"))
+
+  /** Streaming incremental dedup vs a static corpus: as documents arrive
+    * they are signed statelessly and joined (stream-static, append-safe)
+    * against the corpus band index on (band, key); a collision whose
+    * signature-agreement Jaccard estimate clears `threshold` emits
+    * (doc_id, corpus_id, est_jaccard, band) — the streaming counterpart
+    * of [[graft.operators.Dedup.incrementalDedup]]'s vs-corpus half.
+    * One row per colliding band (streams can't globally dedup without
+    * another stateful stage); consumers `dropDuplicates("doc_id")` for a
+    * flag, or keep the pairs for attribution. An exact corpus copy has an
+    * identical signature (estimate 1.0), so the LSH path subsumes the
+    * exact-text check for any doc wide enough to shingle; sub-window docs
+    * are the batch operator's md5 path.
+    *
+    * Scale posture: the only per-batch work is signing the increment and
+    * a hash join against the (cached) index — the corpus is never
+    * re-shuffled per trigger, and no streaming state accumulates at all.
+    */
+  def vsCorpusHits(stream: DataFrame, corpusIndex: DataFrame, idCol: String,
+                   textCol: String, threshold: Double, numHashes: Int = 128,
+                   bands: Int = 16, n: Int = 3): DataFrame = {
+    val s = bandedSignatures(stream, idCol, textCol, numHashes, bands, n)
+    s.join(corpusIndex, Seq("band", "key"))
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig, csig, (x, y) -> x = y), z -> z))" +
+          s" / cast($numHashes as double)"))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id").as("doc_id"), col("corpus_id"),
+        col("est_jaccard"), col("band"))
+  }
+
   /** Candidate near-dup pairs over a document stream (or a batch frame —
     * the logic is mode-agnostic). Output is append-mode: (a, b,
     * estimated jaccard, band), a < b, one row per colliding band.

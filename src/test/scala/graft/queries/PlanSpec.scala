@@ -100,6 +100,30 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("semantic dedup: cell pair mining joins on the cell key, never cartesian") {
+    import graft.operators.Dedup
+    val emb = graft.api.Tables.load(spark, dir, "embeddings")
+    val p = Dedup.semanticDedup(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("incremental dedup: the batch is the broadcast side, the corpus streams") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = graft.api.Tables.load(spark, dir, "documents")
+    // the vs-corpus half is crossCorpusPairs with ref = batch; its lazy
+    // plan must broadcast the (small) batch tables — the existing corpus
+    // must never be shuffled to meet the increment
+    val lazyReport = Dedup.crossCorpusPairs(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", 0.7, materialize = false)
+    val p = lazyReport.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("domain mix windows per domain — no global (unpartitioned) window") {
     val p = planOf("x_domain_mix")
     assert(p.contains("Window"), p)

@@ -65,6 +65,34 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("streamed vs-corpus hits flag exactly the corpus duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    def words(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def near(tag: String) = (1 to 29).map(i => s"$tag$i").mkString(" ") + " zzz"
+    val corpus = Seq((1L, words("a")), (2L, words("b")), (3L, words("c")))
+      .toDF("doc_id", "text")
+    val idx = StreamDedup.corpusBandIndex(corpus, "doc_id", "text",
+      numHashes = 32, bands = 8).cache()
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamDedup.vsCorpusHits(input.toDF().toDF("doc_id", "text"),
+      idx, "doc_id", "text", 0.5, numHashes = 32, bands = 8)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("spec_stream_incr").start()
+    // exact copy and a fresh doc in batch 1; near-copy and fresh in batch 2
+    input.addData((10L, words("a")), (12L, words("x"))); q.processAllAvailable()
+    input.addData((11L, near("b")), (14L, words("y"))); q.processAllAvailable()
+    q.stop()
+    val t = spark.table("spec_stream_incr")
+    val flagged = t.select("doc_id").distinct().as[Long].collect().toSet
+    assert(flagged == Set(10L, 11L), s"got $flagged")
+    // an exact corpus copy has an identical signature: estimate 1.0, and
+    // the hit attributes to the right corpus doc
+    val exact = t.filter(col("doc_id") === 10L)
+      .select("corpus_id", "est_jaccard").as[(Long, Double)].collect()
+    assert(exact.nonEmpty && exact.forall(_ == ((1L, 1.0))), exact.toSeq.toString)
+    idx.unpersist()
+  }
+
   test("a saturated bucket stops emitting and stops growing state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
