@@ -280,14 +280,36 @@ object Similarity {
       .drop("__cd")
   }
 
+  /** All-corpus kNN graph: every corpus vector is a query — the edge list
+    * (qid, id, rank ≤ k) that graph-based curation (SemDeDup variants,
+    * connectivity pruning, label propagation) consumes. Same IVF
+    * probe-limited plan as [[ivfTopK]], but the probe side IS the corpus,
+    * so it joins on the cell id as a shuffle join (broadcasting a
+    * corpus-sized probe table would be wrong at scale); candidates per
+    * query stay bounded by the nprobe/nlist fraction.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = corpus.select(col(idCol).as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"),
+        vec_norm(col(vecCol)).as("cnorm"))
+      .orderBy("cid").limit(nlist)
+    ivfWithCentroids(corpus, corpus, idCol, vecCol, k, nprobe, centroids,
+      broadcastProbes = false)
+  }
+
   /** Shared IVF assignment/probe/score given a centroid table
     * (cid, cvec: array<double>, cnorm). The centroid table is collected to
     * the driver once (nlist rows — bytes) and inlined as literals; both
     * cell assignment and query probing are then pure projections.
+    * `broadcastProbes` is the small-query-set default; pass false when the
+    * probe side is corpus-sized (kNN graph) to get a cell-keyed shuffle
+    * join instead.
     */
   private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
                                idCol: String, vecCol: String, k: Int,
-                               nprobe: Int, centroids: DataFrame): DataFrame = {
+                               nprobe: Int, centroids: DataFrame,
+                               broadcastProbes: Boolean = true): DataFrame = {
     val cents = centroids
       .select(col("cid").cast("long"), col("cvec"), col("cnorm"))
       .collect()
@@ -305,7 +327,8 @@ object Similarity {
       .withColumn("p", explode(slice(reverse(array_sort(
         centroidScoresFromDots(cents, col("__cd"), col("qnorm")))), 1, nprobe)))
       .select(col("qid"), col("qvec"), col("qnorm"), (-col("p.ncid")).as("cid"))
-    val scored = cells.join(broadcast(probes), Seq("cid"))
+    val probesSide = if (broadcastProbes) broadcast(probes) else probes
+    val scored = cells.join(probesSide, Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .withColumn("cosine",
         cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm")))

@@ -149,6 +149,33 @@ object TextAnalysis {
         coalesce(col("n_bi_rep") / col("n_bi"), lit(0.0)).as("dup_bigram_ratio"))
   }
 
+  /** Gopher/C4-style rule-bundle quality filter: per-rule boolean flags
+    * plus the conjunction `keep`, so a pipeline can both FILTER and
+    * ATTRIBUTE removals (which rule fired, per doc — the audit column
+    * real curation runs need). Signals reuse [[quality]] and
+    * [[repetition]]; every decision is a deterministic IEEE comparison
+    * (small-integer divisions vs plain literals), so the DuckDB oracle
+    * replays the flags bit-for-bit.
+    */
+  def qualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 25,
+                   minMeanTokLen: Double = 4.0, maxMeanTokLen: Double = 10.0,
+                   maxTopTokenRatio: Double = 0.2,
+                   minStopwordRatio: Double = 0.01): DataFrame = {
+    val q = quality(docs, idCol, textCol)
+    val r = repetition(docs, idCol, textCol)
+    q.join(r, Seq(idCol))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") < minTokens).as("flag_short"),
+        (col("mean_tok_len") < minMeanTokLen ||
+          col("mean_tok_len") > maxMeanTokLen).as("flag_word_len"),
+        (col("top_token_ratio") > maxTopTokenRatio).as("flag_repetitive"),
+        (col("stopword_ratio") < minStopwordRatio).as("flag_low_stopword"))
+      .withColumn("keep",
+        !col("flag_short") && !col("flag_word_len") &&
+          !col("flag_repetitive") && !col("flag_low_stopword"))
+  }
+
   /** Corpus vocabulary statistics: global term frequency (`tf`) and
     * document frequency (`df`) for the top `k` tokens by frequency —
     * the stop-list-construction / vocab-pruning primitive. One explode

@@ -930,6 +930,18 @@ object QueryCatalog {
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")),
 
+    "x_quality_flags" -> ((s, dir) =>
+      // Gopher/C4-style rule bundle with per-rule attribution flags —
+      // deterministic IEEE comparisons, oracle-replayed bit-for-bit.
+      TextAnalysis.qualityFlags(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_knn_graph" -> ((s, dir) => // approximate by design: rows-only
+      // All-corpus kNN edge list via IVF probing with the probe side
+      // shuffle-joined on the cell id (corpus-sized — never broadcast).
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding", 5)
+        .orderBy("qid", "rank")),
+
     "x_quality_topquartile" -> ((s, dir) => {
       // Relative quality gate: top 25% per language by stopword ratio,
       // integer rank-vs-count test (no percentile estimate).
@@ -1340,6 +1352,27 @@ object QueryCatalog {
            |                            ORDER BY score DESC, cid) AS rn
            |  FROM scored) WHERE rn = 1
            |ORDER BY vec_id""".stripMargin,
+
+      "x_quality_flags" ->
+        s"""WITH q AS (SELECT doc_id,
+           |    len(string_split(text, ' ')) AS n_tokens,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / len(string_split(text, ' ')) AS mean_tok_len,
+           |    CAST($stopSql AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+           |  FROM documents),
+           |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |pt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+           |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS top_c
+           |       FROM pt GROUP BY 1),
+           |r AS (SELECT doc_id, top_c / n AS top_token_ratio FROM ta)
+           |SELECT q.doc_id, q.n_tokens,
+           |  q.n_tokens < 25 AS flag_short,
+           |  (q.mean_tok_len < 4.0 OR q.mean_tok_len > 10.0) AS flag_word_len,
+           |  r.top_token_ratio > 0.2 AS flag_repetitive,
+           |  q.stopword_ratio < 0.01 AS flag_low_stopword,
+           |  NOT (q.n_tokens < 25 OR q.mean_tok_len < 4.0 OR q.mean_tok_len > 10.0
+           |       OR r.top_token_ratio > 0.2 OR q.stopword_ratio < 0.01) AS keep
+           |FROM q JOIN r USING (doc_id) ORDER BY q.doc_id""".stripMargin,
 
       "x_quality_topquartile" ->
         s"""WITH q AS (SELECT doc_id, lang,

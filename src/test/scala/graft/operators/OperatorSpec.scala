@@ -151,6 +151,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("qualityFlags attributes each rule and keeps only clean docs") {
+    // 180 tokens, mean length ~6.5, top-token share 1/6, stopwords present
+    val clean = (1 to 30)
+      .map(i => s"the alpha$i bravo$i charlie$i delta$i echo$i").mkString(" ")
+    val short = "the of and a tiny doc"
+    val longWords = (1 to 30).map(i => "w" * 12 + i).mkString(" ") + " the of and"
+    val repetitive = ("the " * 60).trim
+    val noStop = (1 to 40).map(i => s"zq$i").mkString(" ")
+    val df = Seq((1L, clean), (2L, short), (3L, longWords),
+      (4L, repetitive), (5L, noStop)).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFlags(df, "doc_id", "text")
+      .select("doc_id", "flag_short", "flag_word_len", "flag_repetitive",
+        "flag_low_stopword", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._6, s"clean doc should keep: ${out(1L)}")
+    assert(out(2L)._2 && !out(2L)._6, "short doc flagged")
+    assert(out(3L)._3 && !out(3L)._6, "long-word doc flagged")
+    assert(out(4L)._4 && !out(4L)._6, "repetitive doc flagged")
+    assert(out(5L)._5 && !out(5L)._6, "stopword-free doc flagged")
+  }
+
+  test("knnGraph: full edge list, no self edges, usable recall") {
+    val graphK = 5
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", graphK).cache()
+    val n = emb.count()
+    assert(g.count() == n * graphK, "every vector needs k edges")
+    assert(g.filter(col("qid") === col("id")).count() == 0)
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", graphK)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val got = g.select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"kNN-graph recall@$graphK: $recall%.3f")
+    assert(recall >= 0.2, s"recall $recall below the nprobe/nlist floor")
+    g.unpersist()
+  }
+
   test("incremental dedup flags corpus dups and earlier-batch dups") {
     def words(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
     def near(tag: String) = (1 to 29).map(i => s"$tag$i").mkString(" ") + " zzz"

@@ -29,6 +29,7 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_sim_ann_lsh",       // approximate by design
       "x_sim_ivf",           // approximate by design
       "x_sim_pq",            // approximate by design
+      "x_knn_graph",         // approximate by design (IVF-probed edges)
       "x_multimodal_frames",   // real BMP decode, pinned by ScalaTest
       "x_multimodal_features", // decoded-pixel features → ANN, pinned by ScalaTest
       "x_multimodal_audio",    // real WAV decode, pinned by ScalaTest
