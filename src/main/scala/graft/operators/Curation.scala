@@ -77,6 +77,38 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Contrastive training triplets (anchor, positive, negative): positives
+    * come from a mined near-dup pair list (each pair yields one triplet,
+    * anchor = the smaller id); negatives are drawn WITHOUT any cross join
+    * or random state by a deterministic per-shard derangement — docs get
+    * [[shuffleShards]]' md5-derived (shard, pos), and the negative for a
+    * doc at (s, p) is its half-shard-rotation partner at
+    * (s, (p − ⌊n_s/2⌋) mod n_s). Reproducible
+    * across engines/runs, uniform-ish by construction (the md5 order is
+    * already a shuffle), and never a global window — positions are
+    * per-shard, the rotation is a self-join on (shard, rotated pos).
+    * Anchor = negative is only possible in a 1-doc shard and is filtered,
+    * as is the rare positive = negative collision.
+    */
+  def contrastiveTriplets(docs: DataFrame, pairs: DataFrame, idCol: String,
+                          aCol: String = "a", bCol: String = "b",
+                          numShards: Int = 32): DataFrame = {
+    val pos = shuffleShards(docs.select(col(idCol)).distinct(), idCol, numShards)
+    val sizes = Window.partitionBy(col("shard"))
+    val sized = pos.withColumn("__n", count(lit(1)).over(sizes))
+    val rotated = sized.select(col("shard"),
+      pmod(col("pos") + (col("__n") / 2).cast("long"), col("__n")).as("pos"),
+      col(idCol).as("negative"))
+    val negatives = sized.join(rotated, Seq("shard", "pos"))
+      .select(col(idCol).as("anchor"), col("negative"))
+      .filter(col("anchor") =!= col("negative"))
+    pairs.select(least(col(aCol), col(bCol)).as("anchor"),
+        greatest(col(aCol), col(bCol)).as("positive"))
+      .join(negatives, Seq("anchor"))
+      .filter(col("negative") =!= col("positive"))
+      .select("anchor", "positive", "negative")
+  }
+
   /** Keep each domain's top `num/den` fraction by a score column: row
     * ranks (score desc, key asc — deterministic under float score ties)
     * and domain sizes come from two window functions over the SAME

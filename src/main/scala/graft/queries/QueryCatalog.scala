@@ -930,6 +930,17 @@ object QueryCatalog {
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")),
 
+    "x_contrastive_triplets" -> ((s, dir) => {
+      // (anchor, positive, negative) training triplets: positives = mined
+      // jaccard near-dups, negatives = deterministic per-shard md5
+      // derangement — no cross join, no random state.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6,
+        maxShingleFreq = Some(jaccardFreqCap))
+      Curation.contrastiveTriplets(docs, pairs, "doc_id", numShards = 8)
+        .orderBy("anchor", "positive")
+    }),
+
     "x_quality_flags" -> ((s, dir) =>
       // Gopher/C4-style rule bundle with per-rule attribution flags —
       // deterministic IEEE comparisons, oracle-replayed bit-for-bit.
@@ -1352,6 +1363,28 @@ object QueryCatalog {
            |                            ORDER BY score DESC, cid) AS rn
            |  FROM scored) WHERE rn = 1
            |ORDER BY vec_id""".stripMargin,
+
+      "x_contrastive_triplets" ->
+        s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))},
+           |h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+           |sp AS (SELECT doc_id, hx,
+           |         ('0x' || substr(hx, 1, 15))::BIGINT % 8 AS shard FROM h),
+           |pos AS (SELECT doc_id, shard,
+           |          CAST(row_number() OVER (PARTITION BY shard
+           |                                  ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos,
+           |          CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS n
+           |        FROM sp),
+           |rot AS (SELECT shard, (pos + n // 2) % n AS pos,
+           |               doc_id AS negative FROM pos),
+           |neg AS (SELECT p.doc_id AS anchor, r.negative
+           |          FROM pos p JOIN rot r ON p.shard = r.shard AND p.pos = r.pos
+           |         WHERE p.doc_id <> r.negative),
+           |pp AS (SELECT least(a, b) AS anchor, greatest(a, b) AS positive
+           |         FROM jac WHERE jaccard >= 0.6)
+           |SELECT pp.anchor, pp.positive, n.negative
+           |FROM pp JOIN neg n USING (anchor)
+           |WHERE n.negative <> pp.positive
+           |ORDER BY pp.anchor, pp.positive""".stripMargin,
 
       "x_quality_flags" ->
         s"""WITH q AS (SELECT doc_id,

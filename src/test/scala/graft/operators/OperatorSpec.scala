@@ -151,6 +151,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("contrastive triplets: deterministic negatives, never anchor or positive") {
+    val corpus = (1L to 40L).map(i => (i, s"doc $i " + ("w" + i) * 3)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 9L), (10L, 35L)).toDF("a", "b")
+    val t1 = Curation.contrastiveTriplets(corpus, pairs, "doc_id", numShards = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t1.size == 3, s"one triplet per pair: $t1")
+    assert(t1.map(_._1) == Set(1L, 3L, 10L))
+    // the rare negative==positive collision is dropped, not emitted wrong:
+    // doc 3's derangement partner IS doc 7 in this fixture
+    val collide = Curation.contrastiveTriplets(corpus,
+      Seq((3L, 7L)).toDF("a", "b"), "doc_id", numShards = 4).count()
+    assert(collide == 0)
+    t1.foreach { case (a, p, n) =>
+      assert(n != a && n != p, s"negative collides in ($a, $p, $n)")
+      assert((1L to 40L).contains(n), s"negative $n outside corpus")
+    }
+    // deterministic under different input partitioning
+    val t2 = Curation.contrastiveTriplets(corpus.repartition(7), pairs,
+      "doc_id", numShards = 4).as[(Long, Long, Long)].collect().toSet
+    assert(t1 == t2)
+  }
+
   test("qualityFlags attributes each rule and keeps only clean docs") {
     // 180 tokens, mean length ~6.5, top-token share 1/6, stopwords present
     val clean = (1 to 30)
