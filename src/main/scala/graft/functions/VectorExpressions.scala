@@ -125,11 +125,36 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   * `list_dot_product`.
   */
 case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
-                        quantize: Boolean)
+                        quantize: Boolean,
+                        rowStarts: Array[Int] = Array.emptyIntArray)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(matrix.nonEmpty && matrix.forall(_.length == matrix(0).length),
-    "vec_dot_matrix: matrix must be non-empty and rectangular")
+  // rowStarts: block-structured mode — row t multiplies vector elements
+  // [rowStarts(t), rowStarts(t) + matrix(t).length). Empty = every row
+  // spans the whole vector. This is what keeps PQ codebook scoring at
+  // m·ks·sub multiplies instead of m·ks·dim against zero padding.
+  require(matrix.nonEmpty, "vec_dot_matrix: matrix must be non-empty")
+  require(rowStarts.isEmpty ||
+      (rowStarts.length == matrix.length && rowStarts.forall(_ >= 0)),
+    "vec_dot_matrix: rowStarts must be empty or one non-negative start per row")
+  require(rowStarts.nonEmpty || matrix.forall(_.length == matrix(0).length),
+    "vec_dot_matrix: full-width mode requires a rectangular matrix")
+
+  // case-class equality on Array fields is reference identity, which would
+  // make two identical expressions semantically unequal and defeat
+  // subexpression elimination / canonicalization — compare contents
+  override def equals(o: Any): Boolean = o match {
+    case v: VecDotMatrix =>
+      child == v.child && quantize == v.quantize &&
+        java.util.Arrays.equals(rowStarts, v.rowStarts) &&
+        matrix.length == v.matrix.length &&
+        matrix.indices.forall(i => java.util.Arrays.equals(matrix(i), v.matrix(i)))
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child, Boolean.box(quantize),
+      Int.box(java.util.Arrays.hashCode(rowStarts)),
+      Int.box(matrix.map(java.util.Arrays.hashCode).sum))
 
   private def childIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -158,9 +183,13 @@ case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
-    if (n != matrix(0).length)
+    if (rowStarts.isEmpty && n != matrix(0).length)
       throw new IllegalArgumentException(
         s"vec_dot_matrix: vector length $n vs matrix width ${matrix(0).length}")
+    if (rowStarts.nonEmpty &&
+        matrix.indices.exists(t => rowStarts(t) + matrix(t).length > n))
+      throw new IllegalArgumentException(
+        s"vec_dot_matrix: a block row exceeds vector length $n")
     val isF = childIsFloat
     val vals = new Array[Double](n)
     var i = 0
@@ -174,9 +203,10 @@ case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
     var t = 0
     while (t < matrix.length) {
       val row = matrix(t)
+      val off = if (rowStarts.isEmpty) 0 else rowStarts(t)
       var s = 0.0
       i = 0
-      while (i < n) { s += vals(i) * row(i); i += 1 }
+      while (i < row.length) { s += vals(off + i) * row(i); i += 1 }
       out(t) = s
       t += 1
     }
@@ -186,11 +216,15 @@ case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (childIsFloat) "getFloat" else "getDouble"
     val mat = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    val starts =
+      if (rowStarts.isEmpty) ""
+      else ctx.addReferenceObj("rowStarts", rowStarts, "int[]")
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val t = ctx.freshName("t")
       val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
       val vals = ctx.freshName("vals")
       val out = ctx.freshName("out")
       val row = ctx.freshName("row")
@@ -201,12 +235,17 @@ case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
         if (elementsNullable)
           s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
+      val widthCheck =
+        if (rowStarts.isEmpty)
+          s"""if ($n != $mat[0].length) {
+             |  throw new IllegalArgumentException(
+             |    "vec_dot_matrix: vector length " + $n + " vs matrix width " + $mat[0].length);
+             |}""".stripMargin
+        else ""
+      val offExpr = if (rowStarts.isEmpty) "0" else s"$starts[$t]"
       s"""
          |int $n = $a.numElements();
-         |if ($n != $mat[0].length) {
-         |  throw new IllegalArgumentException(
-         |    "vec_dot_matrix: vector length " + $n + " vs matrix width " + $mat[0].length);
-         |}
+         |$widthCheck
          |double[] $vals = new double[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullGuard
@@ -216,8 +255,9 @@ case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
          |  double[] $out = new double[$mat.length];
          |  for (int $t = 0; $t < $mat.length; $t++) {
          |    double[] $row = $mat[$t];
+         |    int $off = $offExpr;
          |    double $s = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) { $s += $vals[$i] * $row[$i]; }
+         |    for (int $i = 0; $i < $row.length; $i++) { $s += $vals[$off + $i] * $row[$i]; }
          |    $out[$t] = $s;
          |  }
          |  ${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
@@ -241,9 +281,12 @@ object VectorFunctions {
 
   /** All dots of a vector column against a constant row matrix (one tight
     * codegen pass). `quantize` fuses the engine's exact `floor(x·10⁶)`
-    * integer quantization into the element load.
+    * integer quantization into the element load. `rowStarts` enables
+    * block-structured rows: row t multiplies only the vector slice
+    * starting at `rowStarts(t)` of the row's own width (PQ subspaces).
     */
   def vec_dot_matrix(v: Column, matrix: Array[Array[Double]],
-                     quantize: Boolean = false): Column =
-    toColumn(VecDotMatrix(toExpression(v), matrix, quantize))
+                     quantize: Boolean = false,
+                     rowStarts: Array[Int] = Array.emptyIntArray): Column =
+    toColumn(VecDotMatrix(toExpression(v), matrix, quantize, rowStarts))
 }

@@ -130,7 +130,10 @@ object Curation {
     val byScore = Window.partitionBy(col(domainCol))
       .orderBy(col(scoreCol).desc, col(keyCol))
     val whole = Window.partitionBy(col(domainCol))
-    df.withColumn("__rn", row_number().over(byScore))
+    // row_number() is IntegerType: the rank test multiplies in LONG so a
+    // domain past Int.MaxValue/den rows can't wrap negative and leak the
+    // bottom of the distribution through the gate
+    df.withColumn("__rn", row_number().over(byScore).cast("long"))
       .withColumn("__n", count(lit(1)).over(whole))
       .filter(col("__rn") * den <= col("__n") * num)
       .drop("__rn", "__n")
@@ -153,17 +156,22 @@ object Curation {
     */
   def domainMixTemperature(df: DataFrame, domainCol: String, keyCol: String,
                            total: Long): DataFrame = {
-    val counts = df.groupBy(col(domainCol).as("__d"))
+    // domains compare as strings (works for any key type) and NULL-domain
+    // rows get no budget — they can never match the cap chain below, so
+    // they are excluded explicitly rather than crashing the driver sort
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("__d"))
       .agg(count(lit(1)).as("__n"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
-    require(counts.nonEmpty, "domainMixTemperature: empty input")
+    require(counts.nonEmpty, "domainMixTemperature: no non-null domains")
     val weights = counts.map { case (d, n) => (d, math.sqrt(n.toDouble).toLong) }
     val sumW = weights.map(_._2).sum
     require(sumW > 0, "domainMixTemperature: all domains empty")
     val cap = weights.foldLeft(lit(0L)) { case (acc, (d, wgt)) =>
-      when(col(domainCol) === d, lit(total * wgt / sumW)).otherwise(acc)
+      when(col(domainCol).cast("string") === d, lit(total * wgt / sumW))
+        .otherwise(acc)
     }
     val w = Window.partitionBy(col(domainCol))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))

@@ -139,9 +139,23 @@ object Dedup {
     * window partitions by document, bounded by document length.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+                     n: Int = 8, minDocs: Int = 2,
+                     materialize: Boolean = true): DataFrame = {
     require(minDocs >= 2, "duplicateSpans: minDocs < 2 marks every position")
-    val ps = posShingleRows(docs, idCol, textCol, n)
+    // the positional-shingle explode feeds BOTH the duplicated-shingle
+    // aggregation and the semi-join back — cache it for the invocation
+    // (released once the small span result materializes), same policy as
+    // withShingleCache; materialize=false returns the pure lazy plan
+    val ps0 = posShingleRows(docs, idCol, textCol, n)
+    val ps = if (materialize) ps0.cache() else ps0
+    try {
+      val spansDf = duplicateSpansFrom(ps, idCol, minDocs, n)
+      if (materialize) spansDf.localCheckpoint(true) else spansDf
+    } finally if (materialize) ps.unpersist(false)
+  }
+
+  private def duplicateSpansFrom(ps: DataFrame, idCol: String,
+                                 minDocs: Int, n: Int): DataFrame = {
     val dup = ps.groupBy("shingle")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -473,7 +487,8 @@ object Dedup {
                        maxBucketSize: Option[Int] = Some(100),
                        broadcastRef: Boolean = true,
                        materialize: Boolean = true,
-                       verifyExact: Boolean = true): DataFrame = {
+                       verifyExact: Boolean = true,
+                       bestMatchOnly: Boolean = true): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (broadcastRef) broadcast(df) else df
     val candId = col(idCol).as("cand_id")
@@ -504,14 +519,23 @@ object Dedup {
         .select("cand_id", "ref_id").distinct()
     }
     // best match per candidate: max jaccard, ties to the smallest ref id
+    // bestMatchOnly: the decontamination REPORT wants one row per
+    // candidate (its best reference match); set false for consumers that
+    // need EVERY pair over the threshold — a "was doc X hit at all" flag
+    // derived from the argmax view under-reports (a batch doc that
+    // duplicates the corpus but is never any corpus doc's best match
+    // would escape).
     def assemble(nearPairs: DataFrame): DataFrame = {
-      val report = exactPairs.unionByName(nearPairs)
+      val allPairs = exactPairs.unionByName(nearPairs)
         .groupBy("cand_id", "ref_id").agg(max("jaccard").as("jaccard"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("cand_id")
-            .orderBy(col("jaccard").desc, col("ref_id"))))
-        .filter(col("rk") === 1)
-        .select("cand_id", "ref_id", "jaccard")
+      val report =
+        if (!bestMatchOnly) allPairs.select("cand_id", "ref_id", "jaccard")
+        else allPairs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("cand_id")
+              .orderBy(col("jaccard").desc, col("ref_id"))))
+          .filter(col("rk") === 1)
+          .select("cand_id", "ref_id", "jaccard")
       if (materialize) report.localCheckpoint(true) else report
     }
     if (verifyExact) {
@@ -676,9 +700,11 @@ object Dedup {
                        base: Hashers.Base = Hashers.xx64Base,
                        maxBucketSize: Option[Int] = Some(100),
                        verifyExact: Boolean = true): DataFrame = {
+    // every pair over the threshold, NOT the per-corpus-doc argmax — the
+    // flag below is "was this batch doc hit at all"
     val vsCorpus = crossCorpusPairs(corpus, batch, idCol, textCol, threshold,
       numHashes, bands, n, base, maxBucketSize, broadcastRef = true,
-      materialize = true, verifyExact = verifyExact)
+      materialize = true, verifyExact = verifyExact, bestMatchOnly = false)
     val hitByCorpus = vsCorpus.select(col("ref_id").as(idCol)).distinct()
     // within the batch: near pairs (the LATER doc of each mined pair is
     // the duplicate) plus exact text groups (catches docs below the

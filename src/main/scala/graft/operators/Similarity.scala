@@ -87,6 +87,19 @@ object Similarity {
   private[graft] def quantize(vec: Column): Column =
     transform(vec, x => floor(x * lit(1000000.0)).cast("double"))
 
+  /** Per-table signature strings from a precomputed hyperplane-dots array
+    * (row layout `t·planes + p`): the ONE place the bit order, the
+    * `>= 0` sign convention, and the indexing live — candidate mining and
+    * top-k probing must never drift apart on signature compatibility.
+    * A null dots array (null vector) yields the all-zeros signature.
+    */
+  private def sigBits(dots: Column, tables: Int, planes: Int): Seq[Column] =
+    (0 until tables).map { t =>
+      concat((0 until planes).map { p =>
+        when(element_at(dots, t * planes + p + 1) >= 0, "1").otherwise("0")
+      }: _*)
+    }
+
   /** Per-(vector, table) quantized-hyperplane signatures: (id, t, sig) —
     * the shared front half of [[hyperplaneCandidatePairs]], exposed for
     * stage-level profiling and plan assertions.
@@ -112,14 +125,10 @@ object Similarity {
       hyperplane(k / planes, k % planes, dim))
     val base = emb.select(col(idCol).as("id"),
       vec_dot_matrix(col(vecCol), mat, quantize = true).as("__dots"))
-    // null vector -> null dots -> every when() falls through -> the
-    // all-zeros signature, matching the historical per-dot behavior
+    val sigs = sigBits(col("__dots"), tables, planes)
     base.select(col("id"), explode(array(
-        (0 until tables).map(t => struct(lit(t).as("t"),
-          concat((0 until planes).map { p =>
-            when(element_at(col("__dots"), t * planes + p + 1) >= 0, "1")
-              .otherwise("0")
-          }: _*).as("sig"))): _*)).as("b"))
+        (0 until tables).map(t =>
+          struct(lit(t).as("t"), sigs(t).as("sig"))): _*)).as("b"))
       .select(col("id"), col("b.t"), col("b.sig"))
   }
 
@@ -175,12 +184,10 @@ object Similarity {
         vec_norm(col(vecCol)).as(normAs))
         .withColumn("__hd", graft.functions.VectorFunctions.vec_dot_matrix(
           col(vecAs), mat))
+      val sigs = sigBits(col("__hd"), tables, planes)
       base.select(col(idAs), col(vecAs), col(normAs), explode(array(
         (0 until tables).map(t =>
-          struct(lit(t).as("t"), concat((0 until planes).map { p =>
-            when(element_at(col("__hd"), t * planes + p + 1) >= 0, "1")
-              .otherwise("0")
-          }: _*).as("sig"))): _*)).as("b"))
+          struct(lit(t).as("t"), sigs(t).as("sig"))): _*)).as("b"))
         .select(col(idAs), col(vecAs), col(normAs), col("b.t"), col("b.sig"))
     }
     val c = bucketed(corpus, "id", "vec", "norm")
@@ -208,14 +215,21 @@ object Similarity {
     * IVF trade: recall for a ~`nlist/nprobe`× cut in scored candidates.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // Deterministic centroid set: lowest-id corpus vectors, one cell each.
-    val centroids = corpus.select(col(idCol).as("cid"),
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe,
+      idSampledCentroids(corpus, idCol, vecCol, nlist))
+
+  /** Deterministic centroid set: the lowest-id NON-ZERO corpus vectors,
+    * one cell each (a zero-norm centroid scores NaN against every query —
+    * NaN sorts maximal, so each query would waste a probe on that cell).
+    */
+  private def idSampledCentroids(corpus: DataFrame, idCol: String,
+                                 vecCol: String, nlist: Int): DataFrame =
+    corpus.select(col(idCol).as("cid"),
         col(vecCol).cast("array<double>").as("cvec"),
         vec_norm(col(vecCol)).as("cnorm"))
+      .filter(col("cnorm") > 0)
       .orderBy("cid").limit(nlist)
-    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, centroids)
-  }
 
   /** IVF with k-means-trained centroids (spark.ml KMeans, fixed seed):
     * better-balanced cells than the id-sampled variant, same probe-limited
@@ -289,14 +303,10 @@ object Similarity {
     * query stay bounded by the nprobe/nlist fraction.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = corpus.select(col(idCol).as("cid"),
-        col(vecCol).cast("array<double>").as("cvec"),
-        vec_norm(col(vecCol)).as("cnorm"))
-      .orderBy("cid").limit(nlist)
-    ivfWithCentroids(corpus, corpus, idCol, vecCol, k, nprobe, centroids,
+               nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfWithCentroids(corpus, corpus, idCol, vecCol, k, nprobe,
+      idSampledCentroids(corpus, idCol, vecCol, nlist),
       broadcastProbes = false)
-  }
 
   /** Shared IVF assignment/probe/score given a centroid table
     * (cid, cvec: array<double>, cnorm). The centroid table is collected to
@@ -432,24 +442,20 @@ object Similarity {
     when(n === 0, vec).otherwise(transform(vec, x => x / n))
   }
 
-  /** The full PQ dot table as ONE constant matrix: row `s·ks + j` is
-    * codebook entry (s, j) zero-padded to the full dimension at subspace
-    * `s`'s offset — a full-vector dot against it equals the subvector dot
-    * (the zero positions contribute exact-zero terms; the subrange
-    * accumulates in the same ascending order), so every subvector dot of
-    * [[pqEncode]]/[[pqTopK]] is one [[graft.functions.VecDotMatrix]] pass
-    * instead of `m × ks` independent slice+VecDot expressions.
+  /** The full PQ dot table as ONE block-structured constant matrix: row
+    * `s·ks + j` is codebook entry (s, j) with row start `s·sub`, so a
+    * [[graft.functions.VecDotMatrix]] pass computes every subvector dot of
+    * [[pqEncode]]/[[pqTopK]] in `m·ks·sub` multiplies — no zero padding
+    * (the padded form did `m·ks·dim`, an m-fold overhead of x·0 terms),
+    * no `m × ks` independent slice+VecDot expressions.
     */
-  private def pqMatrix(codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+  private def pqMatrix(codebooks: Array[Array[Array[Double]]]): (Array[Array[Double]], Array[Int]) = {
     val m = codebooks.length
     val ks = codebooks(0).length
     val sub = codebooks(0)(0).length
-    Array.tabulate(m * ks) { k =>
-      val s = k / ks
-      val row = new Array[Double](m * sub)
-      System.arraycopy(codebooks(s)(k % ks), 0, row, s * sub, sub)
-      row
-    }
+    val rows = Array.tabulate(m * ks)(k => codebooks(k / ks)(k % ks))
+    val starts = Array.tabulate(m * ks)(k => (k / ks) * sub)
+    (rows, starts)
   }
 
   /** PQ-encode a corpus: one `m`-byte-ish code array per vector (stored as
@@ -463,9 +469,11 @@ object Similarity {
     import graft.functions.VectorFunctions.vec_dot_matrix
     val m = codebooks.length
     val ks = codebooks(0).length
+    val (pqRows, pqStarts) = pqMatrix(codebooks)
     val c = corpus.select(col(idCol).as("id"),
       unitized(col(vecCol).cast("array<double>")).as("__v"))
-      .withColumn("__pd", vec_dot_matrix(col("__v"), pqMatrix(codebooks)))
+      .withColumn("__pd",
+        vec_dot_matrix(col("__v"), pqRows, rowStarts = pqStarts))
     // argmin_j ||x_s − cb_j||² = argmax_j 2·x_s·cb_j − ||cb_j||²; ties to
     // the smallest j via the (-j) struct field
     val codeCols = (0 until m).map { s =>
@@ -503,10 +511,11 @@ object Similarity {
     val q0 = queries.select(col(idCol).as("qid"),
       unitized(col(vecCol).cast("array<double>")).as("__q"))
     // flat LUT: entry s·ks + j = q_s · cb_s[j] — exactly the pqMatrix row
-    // order, so the LUT is one VecDotMatrix pass per query
+    // order, so the LUT is one block-structured VecDotMatrix pass per query
+    val (lutRows, lutStarts) = pqMatrix(codebooks)
     val q = q0.select(col("qid"),
       graft.functions.VectorFunctions.vec_dot_matrix(
-        col("__q"), pqMatrix(codebooks)).as("lut"))
+        col("__q"), lutRows, rowStarts = lutStarts).as("lut"))
     val adc = codes.join(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("score", expr(

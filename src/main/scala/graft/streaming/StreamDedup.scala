@@ -106,10 +106,24 @@ object StreamDedup {
     */
   def corpusBandIndex(corpus: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 128, bands: Int = 16,
-                      n: Int = 3): DataFrame =
-    bandedSignatures(corpus, idCol, textCol, numHashes, bands, n)
+                      n: Int = 3,
+                      maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    val banded = bandedSignatures(corpus, idCol, textCol, numHashes, bands, n)
       .select(col("id").as("corpus_id"), col("band"), col("key"),
         col("sig").as("csig"))
+    // Hot-bucket cap at INDEX BUILD time: a degenerate (band, key) holding
+    // ~10^6 boilerplate docs would otherwise fan every matching arrival
+    // out by a million joined rows per trigger — the same skew guard as
+    // the batch paths (maxBucketSize) and the stateful stream path
+    // (saturation), applied where it's a one-off batch aggregation.
+    maxBucketSize match {
+      case Some(cap) =>
+        val hot = banded.groupBy("band", "key").count()
+          .filter(col("count") > cap).select("band", "key")
+        banded.join(hot, Seq("band", "key"), "left_anti")
+      case None => banded
+    }
+  }
 
   /** Streaming incremental dedup vs a static corpus: as documents arrive
     * they are signed statelessly and joined (stream-static, append-safe)

@@ -40,6 +40,34 @@ class FunctionsSpec extends AnyFunSuite {
   // k-means (0.92 vs ~0.57 @10): balanced k-means cells split near-
   // neighborhoods of uniformly random vectors. Trained centroids win when
   // embeddings actually cluster; this pins the trained path's recall floor.
+  test("vec_dot_matrix: full-width, quantized, and block-structured modes") {
+    import graft.functions.VectorFunctions.{vec_dot, vec_dot_matrix}
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("id", "v")
+    val mat = Array(Array(1.0, 0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0, 1.0))
+    val full = df.select(vec_dot_matrix(col("v"), mat).as("d"))
+      .selectExpr("d[0]", "d[1]").as[(Double, Double)].head()
+    assert(full == ((1.0, 10.0)))
+    // quantize: floor(x*1e6) fused — same as quantize-then-dot
+    val q = df.select(vec_dot_matrix(col("v"), Array(Array(1.0, 1.0, 1.0, 1.0)),
+        quantize = true).as("d"))
+      .selectExpr("d[0]").as[Double].head()
+    assert(q == 10000000.0)
+    // block rows: row 0 covers [0,2), row 1 covers [2,4)
+    val blk = df.select(vec_dot_matrix(col("v"),
+        Array(Array(1.0, 1.0), Array(1.0, 1.0)),
+        rowStarts = Array(0, 2)).as("d"))
+      .selectExpr("d[0]", "d[1]").as[(Double, Double)].head()
+    assert(blk == ((3.0, 7.0)))
+    // structural equality: two instances over equal-content arrays are
+    // the same expression (canonicalization/CSE eligibility)
+    val e1 = df.select(vec_dot_matrix(col("v"), mat).as("a"),
+      vec_dot_matrix(col("v"), mat.map(_.clone())).as("b"))
+    assert(e1.queryExecution.analyzed.expressions.flatMap(_.collect {
+      case m: graft.functions.VecDotMatrix => m
+    }).distinct.size == 1)
+  }
+
   test("k-means-trained IVF recall is usable on unclustered data") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 10)
