@@ -950,7 +950,11 @@ object QueryCatalog {
     "x_knn_graph" -> ((s, dir) => // approximate by design: rows-only
       // All-corpus kNN edge list via IVF probing with the probe side
       // shuffle-joined on the cell id (corpus-sized — never broadcast).
-      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding", 5)
+      // nlist grows with the corpus (64 cells here): the cell key is the
+      // join's parallelism AND bounds per-query candidates at
+      // nprobe/nlist of the corpus — 16 cells made both degenerate.
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding", 5,
+          nlist = 64, nprobe = 8)
         .orderBy("qid", "rank")),
 
     "x_quality_topquartile" -> ((s, dir) => {
