@@ -1022,6 +1022,26 @@ object QueryCatalog {
       Scale.keyProfile(t(s, dir, "lineitem"), "l_orderkey", 20)
         .orderBy(col("n").desc, col("key"))),
 
+    "x_pipeline_semantic" -> ((s, dir) => {
+      // Second end-to-end composite, over THIS round's operators: rule-
+      // bundle quality gate -> semantic dedup of the SURVIVORS' embeddings
+      // (centroids re-seeded on the filtered set) -> exemplar-or-unique
+      // survivor list. One DataFrame program, one DuckDB oracle chain.
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val kept = TextAnalysis.qualityFlags(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id", "n_tokens")
+      val vecs = emb.join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      val clusters = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+          thresholdNum = semThreshNum, thresholdDen = semThreshDen,
+          nlist = semNlist, maxCellSize = Some(semCellCap))
+        .select(col("doc_id").as("__cid"), col("keep").as("__k"))
+      kept.join(clusters, col("doc_id") === col("__cid"), "left")
+        .filter(col("__k").isNull || col("__k"))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     "x_pipeline_curate" -> ((s, dir) => {
       // FLAGSHIP composite: the whole training-data curation pipeline in
       // one query — quality gate → exact dedup → 8-gram decontamination
@@ -1180,6 +1200,15 @@ object QueryCatalog {
     "x_sim_ivf" -> ((s, dir) => { // approximate by design: rows-only oracle
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_sim_ivf_trained" -> ((s, dir) => { // approximate by design: rows-only
+      // IVF with k-means-trained centroids (spark.ml, fixed seed): prices
+      // the training pass + the better-balanced probe path.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKTrained(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10)
         .orderBy("qid", "rank")
     }),
@@ -1389,6 +1418,65 @@ object QueryCatalog {
            |FROM pp JOIN neg n USING (anchor)
            |WHERE n.negative <> pp.positive
            |ORDER BY pp.anchor, pp.positive""".stripMargin,
+
+      "x_pipeline_semantic" -> {
+        val n2 = semThreshNum * semThreshNum
+        val d2 = semThreshDen * semThreshDen
+        s"""WITH RECURSIVE fq AS (SELECT doc_id,
+           |    len(string_split(text, ' ')) AS n_tokens,
+           |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           |      / len(string_split(text, ' ')) AS mean_tok_len,
+           |    CAST($stopSql AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
+           |  FROM documents),
+           |ftoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |fpt AS (SELECT doc_id, tok, count(*) AS c FROM ftoks GROUP BY 1, 2),
+           |fta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, max(c) AS top_c
+           |        FROM fpt GROUP BY 1),
+           |fr AS (SELECT doc_id, top_c / n AS top_token_ratio FROM fta),
+           |keep AS (SELECT fq.doc_id, fq.n_tokens
+           |         FROM fq JOIN fr USING (doc_id)
+           |         WHERE NOT (fq.n_tokens < 25 OR fq.mean_tok_len < 4.0
+           |                    OR fq.mean_tok_len > 10.0 OR fr.top_token_ratio > 0.2
+           |                    OR fq.stopword_ratio < 0.01)),
+           |qv AS (SELECT e.vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in e.embedding] AS q
+           |       FROM embeddings e JOIN keep k ON k.doc_id = e.vec_id),
+           |qn AS (SELECT vec_id, q, list_dot_product(q, q) AS nq2 FROM qv),
+           |cents AS (SELECT vec_id AS cid, q AS cq, nq2 AS nc2 FROM qn
+           |          WHERE nq2 > 0 ORDER BY vec_id LIMIT $semNlist),
+           |scored AS (SELECT v.vec_id, c.cid,
+           |             list_dot_product(v.q, c.cq) / sqrt(c.nc2) AS score
+           |           FROM qn v CROSS JOIN cents c),
+           |asg AS (SELECT vec_id, cid AS cell FROM (
+           |          SELECT vec_id, cid,
+           |                 row_number() OVER (PARTITION BY vec_id
+           |                                    ORDER BY score DESC, cid) AS rn
+           |          FROM scored) WHERE rn = 1),
+           |okc AS (SELECT cell FROM asg GROUP BY cell
+           |        HAVING count(*) >= 2 AND count(*) <= $semCellCap),
+           |mem AS (SELECT a.vec_id, a.cell, n.q, n.nq2
+           |        FROM asg a JOIN okc USING (cell) JOIN qn n USING (vec_id)),
+           |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+           |          FROM mem x JOIN mem y
+           |            ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |          WHERE list_dot_product(x.q, y.q) >= 0
+           |            AND CAST(list_dot_product(x.q, y.q) AS HUGEINT)
+           |              * CAST(list_dot_product(x.q, y.q) AS HUGEINT) * $d2
+           |              >= $n2 * CAST(x.nq2 AS HUGEINT) * CAST(y.nq2 AS HUGEINT)),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |lab AS (SELECT node AS vec_id, min(label) AS cluster_id
+           |          FROM reach GROUP BY node)
+           |SELECT k.doc_id, k.n_tokens
+           |FROM keep k LEFT JOIN lab l ON l.vec_id = k.doc_id
+           |WHERE l.vec_id IS NULL OR l.vec_id = l.cluster_id
+           |ORDER BY k.doc_id""".stripMargin
+      },
 
       "x_quality_flags" ->
         s"""WITH q AS (SELECT doc_id,
