@@ -130,6 +130,46 @@ object StressCheck {
     time("salted agg, 90% hot key @6M") {
       graft.operators.Scale.saltedSum(skewed, "k", "l_quantity").count()
     }
+    time("key profile @6M rows") {
+      graft.operators.Scale.keyProfile(li10, "l_suppkey", 20).count()
+    }
+    // emb10 duplicates every vector 10x: every doc lands in a 10-member
+    // dup group — worst-case density for the cluster-then-prune path
+    time("semantic dedup @20k vecs (all dup)") {
+      graft.operators.Dedup.semanticDedup(emb10, "vec_id", "embedding",
+        nlist = 64, maxCellSize = Some(1000)).count()
+    }
+    time("kNN graph @20k vecs") {
+      graft.operators.Similarity.knnGraph(emb10, "vec_id", "embedding", 5,
+        nlist = 128, nprobe = 8).count()
+    }
+    // every 8-gram is corpus-duplicated -> maximal position marking
+    time("duplicate spans @50k docs") {
+      graft.operators.Dedup.duplicateSpans(docs10, "doc_id", "text").count()
+    }
+    time("containment pairs @50k docs") {
+      graft.operators.Dedup.containmentPairs(docs10, "doc_id", "text", 0.9,
+        maxShingleFreq = Some(200)).count()
+    }
+    time("incremental dedup 5k batch vs @50k") {
+      graft.operators.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 10 === 0), docs10, "doc_id", "text", 0.7,
+        verifyExact = false).count()
+    }
+    time("stream vs-corpus hits 5k vs @50k") {
+      val idx = graft.streaming.StreamDedup.corpusBandIndex(
+        docs10, "doc_id", "text")
+      graft.streaming.StreamDedup.vsCorpusHits(
+        docs.filter(col("doc_id") % 10 === 0), idx, "doc_id", "text", 0.7).count()
+    }
+    time("quality flags @50k docs") {
+      graft.operators.TextAnalysis.qualityFlags(docs10, "doc_id", "text").count()
+    }
+    time("contrastive triplets @50k docs") {
+      val prs = graft.operators.Dedup.minhashLshPairs(docs10, "doc_id", "text",
+        0.9, verifyExact = false)
+      graft.operators.Curation.contrastiveTriplets(docs10, prs, "doc_id").count()
+    }
     spark.stop()
     println("== stress OK")
   }
