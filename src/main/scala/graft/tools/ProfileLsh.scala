@@ -67,6 +67,16 @@ object ProfileLsh {
         .filter(col("jaccard") >= 0.9).count()
       println(s"   pairs >= 0.9: $n")
     }
+    // the two end-to-end verification configs, steady-state (2 runs each)
+    (1 to 2).foreach { r =>
+      time(s"e2e exact verify (run $r)") {
+        Dedup.minhashLshPairs(docsN, "doc_id", "text", 0.9).count()
+      }
+      time(s"e2e estimator verify (run $r)") {
+        Dedup.minhashLshPairs(docsN, "doc_id", "text", 0.9,
+          verifyExact = false).count()
+      }
+    }
     spark.stop()
   }
 }
