@@ -374,6 +374,66 @@ object Dedup {
     * arrays per candidate — this is the production path, exact is the
     * oracle-replayable default.
     */
+  /** Candidate pairs from band keys in ONE pass: gather each bucket's doc
+    * ids, drop buckets over the cap, expand in-bucket pairs. No bucket
+    * self-join (which would recompute the signature chain per consumer)
+    * and no separate hot-bucket pass — the collect_list buffer IS the
+    * bucket (after LSH banding a bucket is a near-dup cluster, orders of
+    * magnitude below the doc count; the cap bounds the quadratic pair
+    * expansion). Hot buckets are counted and anti-selected BEFORE being
+    * materialized, so a pathological bucket (empty docs, boilerplate) is
+    * never built as an unbounded buffer in one task; the count agg and
+    * the collect agg share the (band, key) partitioning — no extra
+    * exchange.
+    */
+  private def candidatesFromBands(stacked: DataFrame, idCol: String,
+                                  maxBucketSize: Option[Int],
+                                  checkpoint: Boolean): DataFrame = {
+    val okKeys = stacked.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 &&
+        col("n") <= lit(maxBucketSize.getOrElse(Int.MaxValue)))
+      .select("band", "key")
+    val c0 = stacked.join(okKeys, Seq("band", "key"))
+      .groupBy("band", "key").agg(collect_list(col(idCol)).as("ids"))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    if (checkpoint) c0.localCheckpoint(true) else c0
+  }
+
+  /** Edit-distance-verified near-dup pairs: LSH band candidates (same
+    * signature machinery as [[minhashLshPairs]]) verified by NORMALIZED
+    * Levenshtein distance — `dist · 1000 ≤ maxDistPerMille · max(len)`,
+    * an all-integer test with no float boundary, replayable by DuckDB's
+    * identical `levenshtein`. Character-level distance catches near-dups
+    * that token shingles blur (small in-word edits, whitespace damage)
+    * and is the verification metric fuzzy-dedup pipelines quote.
+    *
+    * Scale: per-pair Levenshtein is O(len_a · len_b) — affordable ONLY
+    * because candidates are LSH-bucketed and capped, never all-pairs.
+    * Output: (a, b, edit_distance).
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDistPerMille: Int = 300,
+                        numHashes: Int = 128, bands: Int = 16, n: Int = 3,
+                        base: Hashers.Base = Hashers.xx64Base,
+                        maxBucketSize: Option[Int] = Some(100),
+                        materialize: Boolean = true): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val stacked = bandKeysFromShingles(sh, idCol, numHashes, bands, base)
+    val candidates = candidatesFromBands(stacked, idCol, maxBucketSize, materialize)
+    val ta = docs.select(col(idCol).as("a"), col(textCol).as("__ta"),
+      length(col(textCol)).as("__la"))
+    val tb = docs.select(col(idCol).as("b"), col(textCol).as("__tb"),
+      length(col(textCol)).as("__lb"))
+    candidates.join(ta, Seq("a")).join(tb, Seq("b"))
+      .withColumn("__d", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("__d") * 1000 <=
+        lit(maxDistPerMille) * greatest(col("__la"), col("__lb")))
+      .select(col("a"), col("b"), col("__d").cast("long").as("edit_distance"))
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 128, bands: Int = 16,
                       n: Int = 3,
@@ -381,31 +441,8 @@ object Dedup {
                       maxBucketSize: Option[Int] = Some(100),
                       materialize: Boolean = true,
                       verifyExact: Boolean = true): DataFrame = {
-    // Candidate pairs come from ONE pass over the band keys: gather each
-    // bucket's doc ids, drop buckets over the cap, and expand in-bucket
-    // pairs. No bucket self-join (which would recompute the signature
-    // chain per consumer) and no separate hot-bucket pass. The
-    // collect_list buffer is the bucket itself — after LSH banding a
-    // bucket is a near-dup cluster, orders of magnitude below the doc
-    // count; the cap bounds the quadratic pair expansion.
-    def candidatesFrom(stacked: DataFrame, checkpoint: Boolean): DataFrame = {
-      // Cap hot buckets BEFORE materializing them (count + anti-select,
-      // then gather): a pathological bucket — empty docs, boilerplate —
-      // must never be built as an unbounded collect_list buffer in one
-      // task. Count agg and collect agg share the (band, key)
-      // partitioning, so the guard adds no exchange.
-      val okKeys = stacked.groupBy("band", "key").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2 &&
-          col("n") <= lit(maxBucketSize.getOrElse(Int.MaxValue)))
-        .select("band", "key")
-      val c0 = stacked.join(okKeys, Seq("band", "key"))
-        .groupBy("band", "key").agg(collect_list(col(idCol)).as("ids"))
-        .select(explode(col("ids")).as("a"), col("ids"))
-        .select(col("a"), explode(col("ids")).as("b"))
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-      if (checkpoint) c0.localCheckpoint(true) else c0
-    }
+    def candidatesFrom(stacked: DataFrame, checkpoint: Boolean): DataFrame =
+      candidatesFromBands(stacked, idCol, maxBucketSize, checkpoint)
     if (verifyExact)
       // The distinct shingle set feeds three consumers (both sides of the
       // candidate-verification join + the size table) — cached once by the

@@ -1121,6 +1121,15 @@ object QueryCatalog {
           maxBucketSize = Some(lshBucketCap))
         .orderBy("a", "b")),
 
+    "x_dedup_editdist" -> ((s, dir) =>
+      // Character-level fuzzy dedup: LSH band candidates verified by
+      // normalized Levenshtein (all-integer threshold test). md5Base so
+      // DuckDB replays band mining; its levenshtein is the same algorithm.
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+          maxDistPerMille = 300, base = Dedup.Hashers.md5Base,
+          maxBucketSize = Some(lshBucketCap))
+        .orderBy("a", "b")),
+
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1322,6 +1331,28 @@ object QueryCatalog {
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))}
            |SELECT a, b, n_common, n_a, n_b, jaccard FROM jac
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+      "x_dedup_editdist" ->
+        s"""WITH $shinglesSql,
+           |$lshBaseSql,
+           |sig AS (SELECT doc_id, $lshSigSql FROM shh GROUP BY doc_id),
+           |bands_all AS (
+           |  $lshBandsSql),
+           |bucket_ok AS (SELECT band, key FROM bands_all
+           |              GROUP BY band, key HAVING count(*) <= $lshBucketCap),
+           |bands AS (SELECT ba.doc_id, ba.band, ba.key
+           |            FROM bands_all ba JOIN bucket_ok USING (band, key)),
+           |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |           FROM bands l JOIN bands r
+           |             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+           |SELECT c.a, c.b,
+           |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+           |FROM cand c
+           |JOIN documents da ON da.doc_id = c.a
+           |JOIN documents db ON db.doc_id = c.b
+           |WHERE levenshtein(da.text, db.text) * 1000
+           |      <= 300 * greatest(length(da.text), length(db.text))
+           |ORDER BY c.a, c.b""".stripMargin,
 
       "x_dedup_incremental" ->
         s"""WITH ${jaccardPairsSql(None)},

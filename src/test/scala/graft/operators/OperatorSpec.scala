@@ -151,6 +151,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("edit-distance pairs: small in-word edits pass, large rewrites fail") {
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val base = (1 to 40).map(i => s"token$i")
+    val typo = base.updated(5, "tokenn6").updated(20, "tokn21") // 2 small edits
+    val rewrite = base.map(w => w + "xyz")                      // every word changed
+    val fixture = Seq((1L, doc(base)), (2L, doc(typo)), (3L, doc(rewrite)))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(fixture, "doc_id", "text",
+        maxDistPerMille = 100, numHashes = 32, bands = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L)), s"got ${out.toSeq}")
+    assert(out.head._3 <= 5, s"distance ${out.head._3} for two small edits")
+  }
+
   test("contrastive triplets: deterministic negatives, never anchor or positive") {
     val corpus = (1L to 40L).map(i => (i, s"doc $i " + ("w" + i) * 3)).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (3L, 9L), (10L, 35L)).toDF("a", "b")
