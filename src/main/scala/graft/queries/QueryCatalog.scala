@@ -365,6 +365,24 @@ object QueryCatalog {
           (sum("l_quantity") / count(lit(1))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    "q10_returned_items" -> ((s, dir) => {
+      // TPC-H Q10 shape: who returned the most revenue — 4-table join,
+      // partial agg on a compound group key, top-20 as TakeOrdered.
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("o_orderdate") < to_timestamp(lit("1996-07-01 00:00:00")))
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "q5_local_supplier_volume" -> ((s, dir) => {
       // TPC-H Q5 shape: 6-table join where the optimizer's work — dim
       // broadcasts, join reorder, partial agg — IS the query plan. The
@@ -637,6 +655,20 @@ object QueryCatalog {
         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
         |GROUP BY l_orderkey
         |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_e4 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q5_local_supplier_volume" ->
       """SELECT n_name,
