@@ -154,6 +154,37 @@ object Dedup {
     } finally if (materialize) ps.unpersist(false)
   }
 
+  /** Clip duplicated spans OUT of the documents: every doc comes back with
+    * the tokens covered by a [[duplicateSpans]] span removed — the
+    * "remove the boilerplate, keep the document" transform that pairs
+    * with span detection (dropping whole docs over shared license headers
+    * throws away good data). Output: (id, text_clipped,
+    * n_tokens_removed); docs with no duplicated span pass through
+    * unchanged with 0 removed.
+    *
+    * The clip itself is a pure projection: spans are gathered per doc
+    * (bounded by doc length) and the token filter is a codegen'd HOF over
+    * the word array — no second shuffle beyond the span mining.
+    */
+  def clipSpans(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, n, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("__words", split(col(textCol), " "))
+      .withColumn("__kept", expr(
+        "filter(__words, (w, i) -> " +
+          "NOT exists(__spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("text_clipped"),
+        (size(col("__words")) - size(col("__kept"))).cast("long")
+          .as("n_tokens_removed"))
+  }
+
   private def duplicateSpansFrom(ps: DataFrame, idCol: String,
                                  minDocs: Int, n: Int): DataFrame = {
     val dup = ps.groupBy("shingle")

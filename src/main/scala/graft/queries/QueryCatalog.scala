@@ -1007,6 +1007,12 @@ object QueryCatalog {
       Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", n = 8)
         .orderBy("doc_id", "span_start")),
 
+    "x_dedup_clip" -> ((s, dir) =>
+      // Span clipping: duplicated 8-gram runs removed from each doc (the
+      // keep-the-document transform); unaffected docs pass through.
+      Dedup.clipSpans(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "x_decontam_ngram" -> ((s, dir) => {
       // Exact 8-gram eval-contamination report: reference corpus = every
       // 7th doc, candidates = the rest. 13 is the published convention;
@@ -1363,6 +1369,36 @@ object QueryCatalog {
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))}
            |SELECT a, b, n_common, n_a, n_b, jaccard FROM jac
            |WHERE jaccard >= 0.6 ORDER BY a, b""".stripMargin,
+
+      "x_dedup_clip" ->
+        """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |pe AS (SELECT doc_id,
+          |         unnest([{'pos': i, 'sh': array_to_string(w[i:i+7], ' ')}
+          |                 for i in range(1, len(w) - 6)]) AS e
+          |       FROM words WHERE len(w) >= 8),
+          |ps AS (SELECT doc_id, e.pos AS pos, e.sh AS shingle FROM pe),
+          |dup AS (SELECT shingle FROM ps GROUP BY shingle
+          |        HAVING count(DISTINCT doc_id) >= 2),
+          |m AS (SELECT p.doc_id, p.pos FROM ps p JOIN dup USING (shingle)),
+          |s AS (SELECT doc_id, pos,
+          |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+          |             THEN 0 ELSE 1 END AS brk FROM m),
+          |g AS (SELECT doc_id, pos,
+          |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM s),
+          |sp0 AS (SELECT doc_id, min(pos) AS ss, max(pos) + 7 AS se
+          |        FROM g GROUP BY doc_id, span_id),
+          |sp AS (SELECT doc_id, list(struct_pack(s := ss, e := se)) AS spans
+          |       FROM sp0 GROUP BY doc_id),
+          |cl AS (SELECT w.doc_id,
+          |         [w.w[i] for i in range(1, len(w.w) + 1)
+          |          if len(list_filter(coalesce(sp.spans, []),
+          |                             x -> i >= x.s AND i <= x.e)) = 0] AS kept,
+          |         len(w.w) AS n
+          |       FROM words w LEFT JOIN sp USING (doc_id))
+          |SELECT doc_id,
+          |       coalesce(array_to_string(kept, ' '), '') AS text_clipped,
+          |       CAST(n - len(kept) AS BIGINT) AS n_tokens_removed
+          |FROM cl ORDER BY doc_id""".stripMargin,
 
       "x_dedup_editdist" ->
         s"""WITH $shinglesSql,

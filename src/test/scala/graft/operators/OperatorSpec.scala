@@ -290,6 +290,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == expected, s"got $out")
   }
 
+  test("clipSpans removes exactly the duplicated run, keeps clean docs intact") {
+    val fixture = Seq(
+      (1L, "x1 x2 a b c d x3 x4"), // shares "a b c d" with doc 2
+      (2L, "y1 a b c d y2 y3"),
+      (3L, "z1 z2 z3 z4")          // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.clipSpans(fixture, "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("x1 x2 x3 x4", 4L)), s"got ${out(1L)}")
+    assert(out(2L) == (("y1 y2 y3", 4L)), s"got ${out(2L)}")
+    assert(out(3L) == (("z1 z2 z3 z4", 0L)), s"got ${out(3L)}")
+  }
+
   test("duplicateSpans: a doc duplicated only against itself is not marked") {
     // the same 3-gram twice INSIDE one doc is intra-doc repetition, not a
     // cross-corpus duplicate (countDistinct docs == 1)
