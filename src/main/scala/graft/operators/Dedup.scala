@@ -185,6 +185,47 @@ object Dedup {
           .as("n_tokens_removed"))
   }
 
+  /** Surgical decontamination: instead of DROPPING every candidate doc
+    * that shares a long n-gram with the reference corpus
+    * ([[decontaminateNgram]]), CLIP the contaminated token runs out and
+    * keep the rest of the document — the lower-loss policy when eval
+    * contamination is a quoted sentence inside an otherwise-good doc.
+    * Output: (id, text_clipped, n_tokens_removed) for every candidate.
+    *
+    * Same 100 TB shape as the n-gram decontaminator: the reference's
+    * DISTINCT shingle set is collapsed and broadcast, the candidate
+    * corpus streams (positions semi-join the broadcast set, runs merge in
+    * a per-doc window, the clip is a HOF projection) — candidates never
+    * shuffle on anything wider than (id, pos).
+    */
+  def clipContaminated(cand: DataFrame, ref: DataFrame, idCol: String,
+                       textCol: String, n: Int = 8): DataFrame = {
+    val refSh = shingles(ref, idCol, textCol, n).select("shingle").distinct()
+    val marked = posShingleRows(cand, idCol, textCol, n)
+      .join(broadcast(refSh), Seq("shingle"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val spans = marked
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(byPos) === 1, 0L).otherwise(1L))
+      .withColumn("__span", sum("__brk").over(byPos))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min("pos").as("s"), (max("pos") + lit(n - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+    cand.join(spans, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("__words", split(col(textCol), " "))
+      .withColumn("__kept", expr(
+        "filter(__words, (w, i) -> " +
+          "NOT exists(__spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("text_clipped"),
+        (size(col("__words")) - size(col("__kept"))).cast("long")
+          .as("n_tokens_removed"))
+  }
+
   private def duplicateSpansFrom(ps: DataFrame, idCol: String,
                                  minDocs: Int, n: Int): DataFrame = {
     val dup = ps.groupBy("shingle")

@@ -1023,6 +1023,16 @@ object QueryCatalog {
         .orderBy("cand_id")
     }),
 
+    "x_decontam_clip" -> ((s, dir) => {
+      // Surgical decontamination: clip reference 8-gram runs out of the
+      // candidates (every-7th-doc eval set, matching x_decontam_ngram's
+      // split) instead of dropping the whole document.
+      val docs = t(s, dir, "documents")
+      Dedup.clipContaminated(docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     "x_decontam_bloom" -> ((s, dir) => {
       // Memory-lean production decontamination: reference n-grams folded
       // into a broadcast Bloom filter (fixed MBs vs GBs of strings at
@@ -1736,6 +1746,40 @@ object QueryCatalog {
           |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
           |FROM g GROUP BY doc_id, span_id
           |ORDER BY doc_id, span_start""".stripMargin,
+
+      "x_decontam_clip" ->
+        """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |cw AS (SELECT doc_id, w FROM words WHERE doc_id % 7 <> 0),
+          |pe AS (SELECT doc_id,
+          |         unnest([{'pos': i, 'sh': array_to_string(w[i:i+7], ' ')}
+          |                 for i in range(1, len(w) - 6)]) AS e
+          |       FROM cw WHERE len(w) >= 8),
+          |ps AS (SELECT doc_id, e.pos AS pos, e.sh AS shingle FROM pe),
+          |rw AS (SELECT doc_id, w FROM words WHERE doc_id % 7 = 0),
+          |rsh AS (SELECT DISTINCT
+          |         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+          |                               for i in range(1, len(w) - 6)])) AS shingle
+          |        FROM rw),
+          |m AS (SELECT p.doc_id, p.pos FROM ps p JOIN rsh USING (shingle)),
+          |s AS (SELECT doc_id, pos,
+          |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+          |             THEN 0 ELSE 1 END AS brk FROM m),
+          |g AS (SELECT doc_id, pos,
+          |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM s),
+          |sp0 AS (SELECT doc_id, min(pos) AS ss, max(pos) + 7 AS se
+          |        FROM g GROUP BY doc_id, span_id),
+          |sp AS (SELECT doc_id, list(struct_pack(s := ss, e := se)) AS spans
+          |       FROM sp0 GROUP BY doc_id),
+          |cl AS (SELECT c.doc_id,
+          |         [c.w[i] for i in range(1, len(c.w) + 1)
+          |          if len(list_filter(coalesce(sp.spans, []),
+          |                             x -> i >= x.s AND i <= x.e)) = 0] AS kept,
+          |         len(c.w) AS n
+          |       FROM cw c LEFT JOIN sp USING (doc_id))
+          |SELECT doc_id,
+          |       coalesce(array_to_string(kept, ' '), '') AS text_clipped,
+          |       CAST(n - len(kept) AS BIGINT) AS n_tokens_removed
+          |FROM cl ORDER BY doc_id""".stripMargin,
 
       "x_decontam_ngram" ->
         """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

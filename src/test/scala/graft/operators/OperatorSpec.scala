@@ -303,6 +303,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == (("z1 z2 z3 z4", 0L)), s"got ${out(3L)}")
   }
 
+  test("clipContaminated removes reference runs; untouched docs intact") {
+    val ref = Seq((100L, "e1 e2 e3 e4")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "a1 a2 e1 e2 e3 e4 a3 a4"), // quotes the eval set mid-doc
+      (2L, "b1 b2 b3 b4 b5")           // clean
+    ).toDF("doc_id", "text")
+    val out = Dedup.clipContaminated(cand, ref, "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // contaminated 3-grams: "e1 e2 e3" (pos 3), "e2 e3 e4" (pos 4) ->
+    // one span covering tokens 3..6
+    assert(out(1L) == (("a1 a2 a3 a4", 4L)), s"got ${out(1L)}")
+    assert(out(2L) == (("b1 b2 b3 b4 b5", 0L)), s"got ${out(2L)}")
+  }
+
   test("duplicateSpans: a doc duplicated only against itself is not marked") {
     // the same 3-gram twice INSIDE one doc is intra-doc repetition, not a
     // cross-corpus duplicate (countDistinct docs == 1)
