@@ -365,6 +365,34 @@ object QueryCatalog {
           (sum("l_quantity") / count(lit(1))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: orders whose total quantity clears a threshold —
+      // a HAVING aggregate driving a semi-join back to the fact tables.
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum("l_quantity").cast("long").as("total_qty"))
+        .filter(col("total_qty") > 150)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    "q_grouping_sets" -> ((s, dir) =>
+      // Explicit GROUPING SETS beyond rollup/cube: per-lang, per-source,
+      // and grand-total document counts in one pass, with grouping flags.
+      t(s, dir, "documents")
+        .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          grouping(col("lang")).cast("long").as("g_lang"),
+          grouping(col("source")).cast("long").as("g_source"))
+        .orderBy("g_lang", "g_source", "lang", "source")),
+
     "q10_returned_items" -> ((s, dir) => {
       // TPC-H Q10 shape: who returned the most revenue — 4-table join,
       // partial agg on a compound group key, top-20 as TakeOrdered.
@@ -655,6 +683,27 @@ object QueryCatalog {
         |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
         |GROUP BY l_orderkey
         |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(l_quantity) AS BIGINT) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 25""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+        |  CAST(grouping(source) AS BIGINT) AS g_source
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,

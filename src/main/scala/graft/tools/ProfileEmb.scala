@@ -26,8 +26,12 @@ object ProfileEmb {
       r
     }
 
+    val docs = graft.api.Tables.load(spark, sfDir, "documents")
     (1 to 2).foreach { round =>
       println(s"-- round $round")
+      time("stream bandedSignatures @docs") {
+        graft.streaming.StreamDedup.corpusBandIndex(docs, "doc_id", "text").count()
+      }
       time("corpus count") { emb.count() }
       time("signatures only (count)") {
         println("   rows: " + Similarity.hyperplaneSignatures(
