@@ -77,6 +77,32 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Snapshot diff: classify every key of two corpus snapshots as
+    * `added` (only in `newDf`), `removed` (only in `oldDf`), or `changed`
+    * (both, but any compared column differs — rows are fingerprinted with
+    * md5 over null-tagged string forms, so NULL vs "null" can't collide).
+    * Unchanged keys are omitted — at corpus scale the diff is the small
+    * output, the snapshots are the big inputs. One full outer join on the
+    * key with both sides reduced to (key, fingerprint) BEFORE the join —
+    * full rows never shuffle.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: no columns to compare")
+    def fp(df: DataFrame, as: String): DataFrame =
+      df.select(col(keyCol),
+        md5(concat_ws("\u0001",
+          compareCols.map(c => coalesce(col(c).cast("string"),
+            lit("\u0000null"))): _*)).as(as))
+    fp(oldDf, "__old").join(fp(newDf, "__new"), Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(col("__old") =!= col("__new"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol), col("change"))
+  }
+
   /** Contrastive training triplets (anchor, positive, negative): positives
     * come from a mined near-dup pair list (each pair yields one triplet,
     * anchor = the smaller id); negatives are drawn WITHOUT any cross join

@@ -1011,6 +1011,22 @@ object QueryCatalog {
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")),
 
+    "x_snapshot_diff" -> ((s, dir) => {
+      // Corpus snapshot diff: removals (every 11th+3), in-place text
+      // changes (every 7th), additions (every 13th re-keyed) classified
+      // in one fingerprint-reduced full outer join.
+      val docs = t(s, dir, "documents")
+      val newSnap = docs
+        .filter(col("doc_id") % 11 =!= 3)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Curation.snapshotDiff(docs, newSnap, "doc_id",
+          Seq("text", "lang", "source"))
+        .orderBy("doc_id")
+    }),
+
     "x_contrastive_triplets" -> ((s, dir) => {
       // (anchor, positive, negative) training triplets: positives = mined
       // jaccard near-dups, negatives = deterministic per-shard md5
@@ -1554,6 +1570,33 @@ object QueryCatalog {
            |                            ORDER BY score DESC, cid) AS rn
            |  FROM scored) WHERE rn = 1
            |ORDER BY vec_id""".stripMargin,
+
+      "x_snapshot_diff" ->
+        """WITH newsnap AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+          |         lang, source
+          |  FROM documents WHERE doc_id % 11 <> 3
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text, lang, source
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |ofp AS (SELECT doc_id, md5(concat_ws(chr(1),
+          |          coalesce(CAST(text AS VARCHAR), chr(0) || 'null'),
+          |          coalesce(lang, chr(0) || 'null'),
+          |          coalesce(source, chr(0) || 'null'))) AS f FROM documents),
+          |nfp AS (SELECT doc_id, md5(concat_ws(chr(1),
+          |          coalesce(CAST(text AS VARCHAR), chr(0) || 'null'),
+          |          coalesce(lang, chr(0) || 'null'),
+          |          coalesce(source, chr(0) || 'null'))) AS f FROM newsnap)
+          |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |       CASE WHEN o.doc_id IS NULL THEN 'added'
+          |            WHEN n.doc_id IS NULL THEN 'removed'
+          |            WHEN o.f <> n.f THEN 'changed' END AS change
+          |FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
+          |WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+          |            WHEN n.doc_id IS NULL THEN 'removed'
+          |            WHEN o.f <> n.f THEN 'changed' END) IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
 
       "x_contrastive_triplets" ->
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))},

@@ -151,6 +151,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("snapshotDiff classifies added/removed/changed; unchanged omitted") {
+    val old = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"),
+      (4L, null.asInstanceOf[String], "fr")).toDF("id", "text", "lang")
+    val neu = Seq((1L, "a", "en"),        // unchanged
+      (2L, "B", "en"),                    // changed
+      (4L, "null", "fr"),                 // NULL -> literal "null" IS a change
+      (5L, "e", "es")                     // added
+    ).toDF("id", "text", "lang")
+    val out = Curation.snapshotDiff(old, neu, "id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added"), s"got $out")
+  }
+
   test("edit-distance pairs: small in-word edits pass, large rewrites fail") {
     def doc(words: Seq[String]) = words.mkString(" ")
     val base = (1 to 40).map(i => s"token$i")
