@@ -79,21 +79,27 @@ object Curation {
 
   /** Snapshot diff: classify every key of two corpus snapshots as
     * `added` (only in `newDf`), `removed` (only in `oldDf`), or `changed`
-    * (both, but any compared column differs — rows are fingerprinted with
-    * md5 over null-tagged string forms, so NULL vs "null" can't collide).
-    * Unchanged keys are omitted — at corpus scale the diff is the small
-    * output, the snapshots are the big inputs. One full outer join on the
-    * key with both sides reduced to (key, fingerprint) BEFORE the join —
-    * full rows never shuffle.
+    * (both, but any compared column differs). Each row fingerprints as
+    * md5 over the concatenation of PER-COLUMN md5s — fixed-width blocks,
+    * so no value can alias across a column boundary regardless of its
+    * content; the only residual collision is a literal value equal to
+    * the NULL sentinel. Unchanged keys are omitted — at corpus scale the
+    * diff is the small output, the snapshots are the big inputs. One
+    * full outer join on the key with both sides reduced to
+    * (key, fingerprint) BEFORE the join — full rows never shuffle.
+    *
+    * PRECONDITION: `keyCol` is unique within each snapshot (it is the
+    * join key); duplicate keys make the outer join many-to-many and the
+    * classification meaningless.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
                    compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "snapshotDiff: no columns to compare")
     def fp(df: DataFrame, as: String): DataFrame =
       df.select(col(keyCol),
-        md5(concat_ws("\u0001",
-          compareCols.map(c => coalesce(col(c).cast("string"),
-            lit("\u0000null"))): _*)).as(as))
+        md5(concat_ws("",
+          compareCols.map(c => md5(coalesce(col(c).cast("string"),
+            lit("\u0000null")))): _*)).as(as))
     fp(oldDf, "__old").join(fp(newDf, "__new"), Seq(keyCol), "full_outer")
       .withColumn("change",
         when(col("__old").isNull, lit("added"))

@@ -167,23 +167,11 @@ object Dedup {
     * the word array — no second shuffle beyond the span mining.
     */
   def clipSpans(docs: DataFrame, idCol: String, textCol: String,
-                n: Int = 8, minDocs: Int = 2): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, n, minDocs)
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("span_start").as("s"),
-        col("span_end").as("e"))).as("__spans"))
-    docs.join(spans, Seq(idCol), "left")
-      .withColumn("__spans", coalesce(col("__spans"),
-        array().cast("array<struct<s:bigint,e:bigint>>")))
-      .withColumn("__words", split(col(textCol), " "))
-      .withColumn("__kept", expr(
-        "filter(__words, (w, i) -> " +
-          "NOT exists(__spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))"))
-      .select(col(idCol),
-        concat_ws(" ", col("__kept")).as("text_clipped"),
-        (size(col("__words")) - size(col("__kept"))).cast("long")
-          .as("n_tokens_removed"))
-  }
+                n: Int = 8, minDocs: Int = 2): DataFrame =
+    clipBySpans(docs,
+      duplicateSpans(docs, idCol, textCol, n, minDocs)
+        .select(col(idCol), col("span_start"), col("span_end")),
+      idCol, textCol)
 
   /** Surgical decontamination: instead of DROPPING every candidate doc
     * that shares a long n-gram with the reference corpus
@@ -204,16 +192,40 @@ object Dedup {
     val marked = posShingleRows(cand, idCol, textCol, n)
       .join(broadcast(refSh), Seq("shingle"), "left_semi")
       .select(col(idCol), col("pos"))
+    clipBySpans(cand,
+      mergeRuns(marked, idCol, n)
+        .select(col(idCol), col("span_start"), col("span_end")),
+      idCol, textCol)
+  }
+
+  /** Merge marked (id, pos) n-gram positions into maximal runs:
+    * (id, span_start, span_end, n_ngrams) — THE one copy of the
+    * lag/break/running-sum merge and the 1-based `+ (n-1)` end-of-span
+    * convention, shared by span reporting and both clip operators.
+    */
+  private def mergeRuns(marked: DataFrame, idCol: String, n: Int): DataFrame = {
     val byPos = Window.partitionBy(idCol).orderBy("pos")
-    val spans = marked
+    marked
       .withColumn("__brk",
         when(col("pos") - lag("pos", 1).over(byPos) === 1, 0L).otherwise(1L))
       .withColumn("__span", sum("__brk").over(byPos))
       .groupBy(col(idCol), col("__span"))
-      .agg(min("pos").as("s"), (max("pos") + lit(n - 1)).as("e"))
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
-    cand.join(spans, Seq(idCol), "left")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_ngrams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_ngrams"))
+  }
+
+  /** Clip token spans out of documents: spans is (id, span_start,
+    * span_end) rows; tokens covered by any span are filtered in a HOF
+    * projection. Shared tail of [[clipSpans]] and [[clipContaminated]].
+    */
+  private def clipBySpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val grouped = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    docs.join(grouped, Seq(idCol), "left")
       .withColumn("__spans", coalesce(col("__spans"),
         array().cast("array<struct<s:bigint,e:bigint>>")))
       .withColumn("__words", split(col(textCol), " "))
@@ -234,18 +246,8 @@ object Dedup {
       .select("shingle")
     val marked = ps.join(dup, Seq("shingle"), "left_semi")
       .select(col(idCol), col("pos"))
-    val byPos = Window.partitionBy(idCol).orderBy("pos")
-    val spans = marked
-      .withColumn("__brk",
-        when(col("pos") - lag("pos", 1).over(byPos) === 1, 0L).otherwise(1L))
-      .withColumn("__span", sum("__brk").over(byPos))
-      .groupBy(col(idCol), col("__span"))
-      .agg(min("pos").as("span_start"),
-        (max("pos") + lit(n - 1)).as("span_end"),
-        count(lit(1)).as("n_ngrams"))
-    spans.withColumn("n_tokens", col("span_end") - col("span_start") + 1)
-      .select(col(idCol), col("span_start"), col("span_end"),
-        col("n_ngrams"), col("n_tokens"))
+    mergeRuns(marked, idCol, n)
+      .withColumn("n_tokens", col("span_end") - col("span_start") + 1)
   }
 
   /** Shared inverted-index pair mining: intersection and set sizes for
@@ -500,10 +502,12 @@ object Dedup {
     val tb = docs.select(col(idCol).as("b"), col(textCol).as("__tb"),
       length(col(textCol)).as("__lb"))
     candidates.join(ta, Seq("a")).join(tb, Seq("b"))
-      .withColumn("__d", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("__d") * 1000 <=
-        lit(maxDistPerMille) * greatest(col("__la"), col("__lb")))
-      .select(col("a"), col("b"), col("__d").cast("long").as("edit_distance"))
+      .withColumn("__d", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      // LONG arithmetic: d*1000 and permille*len both overflow Int for
+      // multi-megachar docs, silently inverting the threshold test
+      .filter(col("__d") * 1000L <=
+        lit(maxDistPerMille.toLong) * greatest(col("__la"), col("__lb")).cast("long"))
+      .select(col("a"), col("b"), col("__d").as("edit_distance"))
   }
 
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -1142,8 +1142,12 @@ object QueryCatalog {
       // survivor list. One DataFrame program, one DuckDB oracle chain.
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
+      // the quality gate feeds THREE consumers (embedding join, final
+      // survivor join, and semanticDedup's centroid collect) — checkpoint
+      // it once instead of re-running the corpus-wide flag aggregations
       val kept = TextAnalysis.qualityFlags(docs, "doc_id", "text")
         .filter(col("keep")).select("doc_id", "n_tokens")
+        .localCheckpoint(true)
       val vecs = emb.join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"))
       val clusters = Dedup.semanticDedup(vecs, "vec_id", "embedding",
           thresholdNum = semThreshNum, thresholdDen = semThreshDen,
@@ -1580,14 +1584,16 @@ object QueryCatalog {
           |  UNION ALL
           |  SELECT doc_id + 1000000, text, lang, source
           |  FROM documents WHERE doc_id % 13 = 0),
-          |ofp AS (SELECT doc_id, md5(concat_ws(chr(1),
-          |          coalesce(CAST(text AS VARCHAR), chr(0) || 'null'),
-          |          coalesce(lang, chr(0) || 'null'),
-          |          coalesce(source, chr(0) || 'null'))) AS f FROM documents),
-          |nfp AS (SELECT doc_id, md5(concat_ws(chr(1),
-          |          coalesce(CAST(text AS VARCHAR), chr(0) || 'null'),
-          |          coalesce(lang, chr(0) || 'null'),
-          |          coalesce(source, chr(0) || 'null'))) AS f FROM newsnap)
+          |ofp AS (SELECT doc_id, md5(
+          |          md5(coalesce(CAST(text AS VARCHAR), chr(0) || 'null'))
+          |          || md5(coalesce(lang, chr(0) || 'null'))
+          |          || md5(coalesce(source, chr(0) || 'null'))) AS f
+          |        FROM documents),
+          |nfp AS (SELECT doc_id, md5(
+          |          md5(coalesce(CAST(text AS VARCHAR), chr(0) || 'null'))
+          |          || md5(coalesce(lang, chr(0) || 'null'))
+          |          || md5(coalesce(source, chr(0) || 'null'))) AS f
+          |        FROM newsnap)
           |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
           |       CASE WHEN o.doc_id IS NULL THEN 'added'
           |            WHEN n.doc_id IS NULL THEN 'removed'

@@ -67,8 +67,8 @@ object StressCheck {
       graft.operators.Similarity.lshTopK(emb10,
         emb10.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count()
     }
-    time("cross-corpus decontam @50k/5k") {
-      // 50k candidates against a 5k "eval set" (every 10th source doc)
+    time("cross-corpus decontam @50k/500") {
+      // 50k candidates against a 500-doc "eval set" (every 10th source doc)
       graft.operators.Dedup.decontaminate(docs10,
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 0.7).count()
     }
@@ -76,12 +76,12 @@ object StressCheck {
       graft.operators.Dedup.duplicateClusters(
         graft.operators.Dedup.minhashLshPairs(docs10, "doc_id", "text", 0.9)).count()
     }
-    time("cross decontam est @50k/5k") {
+    time("cross decontam est @50k/500") {
       graft.operators.Dedup.crossCorpusPairs(docs10,
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 0.7,
         verifyExact = false).count()
     }
-    time("ngram decontam @50k/5k") {
+    time("ngram decontam @50k/500") {
       graft.operators.Dedup.decontaminateNgram(docs10,
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 8).count()
     }
@@ -151,12 +151,12 @@ object StressCheck {
       graft.operators.Dedup.containmentPairs(docs10, "doc_id", "text", 0.9,
         maxShingleFreq = Some(200)).count()
     }
-    time("incremental dedup 5k batch vs @50k") {
+    time("incremental dedup 500-doc batch vs @50k") {
       graft.operators.Dedup.incrementalDedup(
         docs.filter(col("doc_id") % 10 === 0), docs10, "doc_id", "text", 0.7,
         verifyExact = false).count()
     }
-    time("stream vs-corpus hits 5k vs @50k") {
+    time("stream vs-corpus hits 500 vs @50k") {
       val idx = graft.streaming.StreamDedup.corpusBandIndex(
         docs10, "doc_id", "text")
       graft.streaming.StreamDedup.vsCorpusHits(
