@@ -481,6 +481,13 @@ object QueryCatalog {
         .orderBy("r_name", "n_name")
     }),
 
+    "q_events_densified" -> ((s, dir) =>
+      // Gap-filled hourly grid per event type: explicit zeros for silent
+      // hours — the feature-store prep step models need.
+      graft.operators.TimeSeries.densifyHourly(
+          t(s, dir, "events"), "event_type", "ts")
+        .orderBy("hour_ms", "event_type")),
+
     "q_events_hourly" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -760,6 +767,22 @@ object QueryCatalog {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_events_densified" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |             date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (SELECT t.event_type,
+        |                unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+        |         FROM (SELECT DISTINCT event_type FROM events) t, b)
+        |SELECT CAST(epoch_ms(grid.hour) AS BIGINT) AS hour_ms,
+        |       grid.event_type, coalesce(h.n, 0) AS n
+        |FROM grid LEFT JOIN hourly h
+        |  ON h.hour = grid.hour AND h.event_type = grid.event_type
+        |ORDER BY hour_ms, grid.event_type""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,

@@ -151,6 +151,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("densifyHourly zero-fills silent hours across the full grid") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // type A fires at hours 0 and 3 (gap at 1, 2); type B only at hour 1
+    val events = Seq((ts(0), "A"), (ts(0), "A"), (ts(3), "A"), (ts(1), "B"))
+      .toDF("ts", "event_type")
+    val out = TimeSeries.densifyHourly(events, "event_type", "ts")
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val hour = 3600L * 1000
+    assert(out.size == 8, s"4 hours x 2 types, got ${out.size}")
+    assert(out((h0, "A")) == 2L && out((h0 + 3 * hour, "A")) == 1L)
+    assert(out((h0 + hour, "A")) == 0L && out((h0 + 2 * hour, "A")) == 0L)
+    assert(out((h0 + hour, "B")) == 1L && out((h0, "B")) == 0L)
+  }
+
   test("snapshotDiff classifies added/removed/changed; unchanged omitted") {
     val old = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"),
       (4L, null.asInstanceOf[String], "fr")).toDF("id", "text", "lang")
