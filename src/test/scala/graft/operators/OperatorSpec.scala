@@ -151,6 +151,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("new operators fail loudly on nonsense parameters") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(d, "doc_id", "text", minDocs = 1) // marks everything
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(emb, "vec_id", "embedding", thresholdDen = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.topFractionByDomain(d, "text", "doc_id", "doc_id", num = 3, den = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.snapshotDiff(d, d, "doc_id", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.domainMixTemperature(
+        Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "src"),
+        "src", "doc_id", 10L) // only null domains -> nothing to budget
+    }
+  }
+
   test("densifyHourly zero-fills silent hours across the full grid") {
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
     // type A fires at hours 0 and 3 (gap at 1, 2); type B only at hour 1
