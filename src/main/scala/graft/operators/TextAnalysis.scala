@@ -70,6 +70,29 @@ object TextAnalysis {
     scored.select(col(idCol), best._1.as("lang_pred"), best._2.cast("long").as("lang_score"))
   }
 
+  /** Language-ID with a CONFIDENCE signal: the winner's marker score, the
+    * margin to the runner-up, and a `mixed` flag when the margin is ≤
+    * `mixedMargin` — the "route to a better classifier / drop ambiguous"
+    * gate downstream of cheap marker counting. Scores are integer marker
+    * counts, so the margin arithmetic is exact in any engine; the margin
+    * needs only the two top SCORES (sorted descending), so winner
+    * tie-breaks can't affect it.
+    */
+  def languageConfidence(docs: DataFrame, idCol: String, textCol: String,
+                         mixedMargin: Long = 1L): DataFrame = {
+    val base = languageId(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+    val scoreArr = array(markers.map { case (_, ws) =>
+      ws.map(w => markerCount(col(textCol), s" $w ")).reduce(_ + _).cast("long")
+    }: _*)
+    base
+      .withColumn("__sorted", reverse(array_sort(scoreArr)))
+      .select(col(idCol), col("lang_pred"), col("lang_score"),
+        (element_at(col("__sorted"), 1) - element_at(col("__sorted"), 2))
+          .as("margin"))
+      .withColumn("mixed", col("margin") <= mixedMargin)
+  }
+
   /** Content-defined fingerprint: md5 over the sorted distinct lowercase
     * token set — invariant to word order and duplication, the
     * canonical-form dedup key.

@@ -1323,6 +1323,12 @@ object QueryCatalog {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "x_text_langconf" -> ((s, dir) =>
+      // Lang-id confidence: winner score, margin to the runner-up, and a
+      // mixed-language flag — all integer marker arithmetic.
+      TextAnalysis.languageConfidence(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "x_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -2145,6 +2151,23 @@ object QueryCatalog {
            |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
            |  CAST($stopSql AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "x_text_langconf" ->
+        s"""WITH scored AS (SELECT doc_id,
+           |  $langScores
+           |FROM documents),
+           |srt AS (SELECT doc_id,
+           |  list_reverse_sort([score_de, score_en, score_es, score_fr]) AS ss
+           |FROM scored)
+           |SELECT s.doc_id,
+           |  CASE WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+           |       WHEN score_es > greatest(score_de, score_en) THEN 'es'
+           |       WHEN score_en > score_de THEN 'en'
+           |       ELSE 'de' END AS lang_pred,
+           |  CAST(greatest(score_de, score_en, score_es, score_fr) AS BIGINT) AS lang_score,
+           |  CAST(ss[1] - ss[2] AS BIGINT) AS margin,
+           |  ss[1] - ss[2] <= 1 AS mixed
+           |FROM scored s JOIN srt USING (doc_id) ORDER BY s.doc_id""".stripMargin,
 
       "x_text_langid" ->
         s"""WITH scored AS (SELECT doc_id,

@@ -151,6 +151,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(md5Pairs.size.toDouble / exact.size >= 0.8)
   }
 
+  test("language confidence: clear text gets margin, balanced text flags mixed") {
+    val fixture = Seq(
+      (1L, "x the and of is the and y"),          // strongly en
+      (2L, "a the der b und c is d nicht e and f") // de/en balanced
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageConfidence(fixture, "doc_id", "text")
+      .select("doc_id", "lang_pred", "margin", "mixed")
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 == "en" && out(1L)._2 >= 2 && !out(1L)._3, s"got ${out(1L)}")
+    assert(out(2L)._3, s"balanced doc should flag mixed: ${out(2L)}")
+  }
+
   test("new operators fail loudly on nonsense parameters") {
     val d = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
