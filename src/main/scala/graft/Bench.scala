@@ -21,6 +21,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Count codegen compile failures (janino 64 KB blowups etc.): Spark
+    // falls back to interpreted execution WITHOUT failing the query, so a
+    // codegen regression would otherwise only show up as silent slowdown
+    // (round 4 ran the kNN graph's hottest stage interpreted all round).
+    graft.tools.CodegenErrors.install()
     // Warm-up (JIT + codegen + catalog init) on the smallest SF so the
     // first timed query doesn't absorb one-time JVM costs.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -66,15 +71,16 @@ object Bench {
     // it mid-number (three straight rounds of "parsed": null). The stdout
     // metric line carries totals/failures/count only — a few hundred chars,
     // parseable no matter how short the capture window is.
+    val cgErrs = graft.tools.CodegenErrors.total
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"codegen_errors":$cgErrs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
     // Failure NAMES are capped on stdout (the full list is in BENCH.json):
     // a broken shared fixture failing most of 70+ queries would otherwise
     // regrow this line past the tail capture it was shrunk to fit.
     val failsShort = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"n_failures":${failed.size},"failures":$failsShort,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"n_failures":${failed.size},"failures":$failsShort,"codegen_errors":$cgErrs,"sf":"$sfDir"}"""
     spark.stop()
     println(summary)
   }

@@ -270,6 +270,359 @@ case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Spark's nan-safe double ordering (NaN greatest, NaN == NaN,
+  * -0.0 == 0.0) as a shared kernel for the scored-selection expressions
+  * below — their tie/NaN behavior must be bit-identical to the
+  * `array_max`/`array_sort`-over-`(score, -id)`-structs formulations they
+  * replace, or cell assignments silently drift from the DuckDB oracles.
+  */
+private[functions] object ScoreOrdering {
+  def nanSafeCompare(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (x == y) 0
+    else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(y)) 0 else 1 }
+    else -1
+
+  /** The same comparator as generated Java, registered once per codegen
+    * context. Returns the callable (possibly class-qualified) name.
+    */
+  def addJavaHelper(ctx: CodegenContext): String =
+    ctx.addNewFunction("graftNanSafeCmp",
+      s"""
+         |private int graftNanSafeCmp(double x, double y) {
+         |  if (x < y) return -1;
+         |  if (x > y) return 1;
+         |  if (x == y) return 0;
+         |  return Double.isNaN(x) ? (Double.isNaN(y) ? 0 : 1) : -1;
+         |}
+       """.stripMargin)
+}
+
+/** Argmax id over scores derived from a dots array: `score[k] = dots[k] /
+  * (norm · scales[k])`, returning `ids[argmax]` under Spark's nan-safe
+  * double ordering with ties to the SMALLEST id — exactly the
+  * `-array_max(array(struct(score, -id), …)).ncid` formulation it
+  * replaces, but with generated code O(1) in the number of centroids.
+  * The per-centroid literal-struct array grew a >64 KB janino method at
+  * nlist=64 (whole-stage codegen failed and the hot stage silently ran
+  * interpreted — VERDICT round 4 #1), and nlist grows with the corpus;
+  * here the centroid norms/ids live in `references` and the generated
+  * code is one tight loop regardless of nlist.
+  */
+case class VecArgMaxId(left: Expression, right: Expression,
+                       scales: Array[Double], ids: Array[Long])
+  extends BinaryExpression {
+
+  require(scales.nonEmpty && scales.length == ids.length,
+    "vec_arg_max_id: scales and ids must be non-empty and the same length")
+
+  // content-based equality: Array fields compare by reference in case
+  // classes, which would defeat subexpression elimination (see VecDotMatrix)
+  override def equals(o: Any): Boolean = o match {
+    case v: VecArgMaxId =>
+      left == v.left && right == v.right &&
+        java.util.Arrays.equals(scales, v.scales) &&
+        java.util.Arrays.equals(ids, v.ids)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(left, right,
+      Int.box(java.util.Arrays.hashCode(scales)),
+      Int.box(java.util.Arrays.hashCode(ids)))
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_arg_max_id requires (array<double>, double), got " +
+            s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(dotsAny: Any, normAny: Any): Any = {
+    val d = dotsAny.asInstanceOf[ArrayData]
+    val n = d.numElements()
+    if (n != scales.length)
+      throw new IllegalArgumentException(
+        s"vec_arg_max_id: dots length $n vs ${scales.length} centroids")
+    val nm = normAny.asInstanceOf[Double]
+    var best = 0
+    var bestS = d.getDouble(0) / (nm * scales(0))
+    var k = 1
+    while (k < n) {
+      val s = d.getDouble(k) / (nm * scales(k))
+      val c = ScoreOrdering.nanSafeCompare(s, bestS)
+      if (c > 0 || (c == 0 && ids(k) < ids(best))) { best = k; bestS = s }
+      k += 1
+    }
+    ids(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("scales", scales, "double[]")
+    val id = ctx.addReferenceObj("ids", ids, "long[]")
+    val cmp = ScoreOrdering.addJavaHelper(ctx)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $sc.length) {
+         |  throw new IllegalArgumentException(
+         |    "vec_arg_max_id: dots length " + $n + " vs " + $sc.length + " centroids");
+         |}
+         |int $best = 0;
+         |double $bestS = $a.getDouble(0) / ($b * $sc[0]);
+         |for (int $k = 1; $k < $n; $k++) {
+         |  double $s = $a.getDouble($k) / ($b * $sc[$k]);
+         |  int $c = $cmp($s, $bestS);
+         |  if ($c > 0 || ($c == 0 && $id[$k] < $id[$best])) { $best = $k; $bestS = $s; }
+         |}
+         |${ev.value} = $id[$best];
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Ordered top-N ids by the same derived score: `score[k] = dots[k] /
+  * (norm · scales[k])`, output the ids of the N best entries, best first
+  * (nan-safe score descending, ties to the smallest id) — exactly the
+  * `slice(reverse(array_sort(array(struct(score, -id), …))), 1, N)`
+  * probe-selection formulation it replaces, loop-shaped for the same
+  * 64 KB-limit reason as [[VecArgMaxId]]. Output length is
+  * `min(N, dots.length)`.
+  */
+case class VecTopIds(left: Expression, right: Expression,
+                     scales: Array[Double], ids: Array[Long], topN: Int)
+  extends BinaryExpression {
+
+  require(scales.nonEmpty && scales.length == ids.length,
+    "vec_top_ids: scales and ids must be non-empty and the same length")
+  require(topN >= 1, s"vec_top_ids: topN must be >= 1, got $topN")
+
+  override def equals(o: Any): Boolean = o match {
+    case v: VecTopIds =>
+      left == v.left && right == v.right && topN == v.topN &&
+        java.util.Arrays.equals(scales, v.scales) &&
+        java.util.Arrays.equals(ids, v.ids)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(left, right, Int.box(topN),
+      Int.box(java.util.Arrays.hashCode(scales)),
+      Int.box(java.util.Arrays.hashCode(ids)))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_top_ids requires (array<double>, double), got " +
+            s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(dotsAny: Any, normAny: Any): Any = {
+    val d = dotsAny.asInstanceOf[ArrayData]
+    val n = d.numElements()
+    if (n != scales.length)
+      throw new IllegalArgumentException(
+        s"vec_top_ids: dots length $n vs ${scales.length} centroids")
+    val nm = normAny.asInstanceOf[Double]
+    val cap = math.min(topN, n)
+    val bs = new Array[Double](cap)
+    val bi = new Array[Long](cap)
+    var filled = 0
+    var k = 0
+    while (k < n) {
+      val s = d.getDouble(k) / (nm * scales(k))
+      val idk = ids(k)
+      // insertion position: after every entry strictly better than (s, id)
+      var pos = filled
+      while (pos > 0 && {
+        val c = ScoreOrdering.nanSafeCompare(bs(pos - 1), s)
+        c < 0 || (c == 0 && bi(pos - 1) > idk)
+      }) pos -= 1
+      if (pos < cap) {
+        val end = math.min(filled, cap - 1)
+        var m = end
+        while (m > pos) { bs(m) = bs(m - 1); bi(m) = bi(m - 1); m -= 1 }
+        bs(pos) = s; bi(pos) = idk
+        if (filled < cap) filled += 1
+      }
+      k += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(bi, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("scales", scales, "double[]")
+    val idr = ctx.addReferenceObj("ids", ids, "long[]")
+    val cmp = ScoreOrdering.addJavaHelper(ctx)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val cap = ctx.freshName("cap")
+      val bs = ctx.freshName("bs")
+      val bi = ctx.freshName("bi")
+      val filled = ctx.freshName("filled")
+      val pos = ctx.freshName("pos")
+      val m = ctx.freshName("m")
+      val idk = ctx.freshName("idk")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $sc.length) {
+         |  throw new IllegalArgumentException(
+         |    "vec_top_ids: dots length " + $n + " vs " + $sc.length + " centroids");
+         |}
+         |int $cap = Math.min($topN, $n);
+         |double[] $bs = new double[$cap];
+         |long[] $bi = new long[$cap];
+         |int $filled = 0;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  double $s = $a.getDouble($k) / ($b * $sc[$k]);
+         |  long $idk = $idr[$k];
+         |  int $pos = $filled;
+         |  while ($pos > 0) {
+         |    int $c = $cmp($bs[$pos - 1], $s);
+         |    if ($c < 0 || ($c == 0 && $bi[$pos - 1] > $idk)) { $pos--; } else break;
+         |  }
+         |  if ($pos < $cap) {
+         |    for (int $m = Math.min($filled, $cap - 1); $m > $pos; $m--) {
+         |      $bs[$m] = $bs[$m - 1]; $bi[$m] = $bi[$m - 1];
+         |    }
+         |    $bs[$pos] = $s; $bi[$pos] = $idk;
+         |    if ($filled < $cap) $filled++;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  java.util.Arrays.copyOf($bi, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-block argmax over affine-transformed dots — the PQ code assignment
+  * kernel. The dots array is `blocks` consecutive blocks of
+  * `offsets.length / blocks` entries; within block `b`, entry `j` scores
+  * `dots[i]·2 − offsets[i]` (i = b·per + j, the `2·x·c − ‖c‖²` L2-argmin
+  * identity with `offsets` the squared codebook norms) and the output is
+  * the winning IN-BLOCK index per block (ties to the smallest j) —
+  * `array<int>` = the PQ code word. Replaces `m × ks` literal structs +
+  * `m` array_max calls with one loop O(1) in `m·ks` generated code.
+  */
+case class VecBlockArgMax(child: Expression, offsets: Array[Double], blocks: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(blocks >= 1 && offsets.nonEmpty && offsets.length % blocks == 0,
+    s"vec_block_arg_max: offsets length ${offsets.length} must be a " +
+      s"positive multiple of blocks=$blocks")
+
+  override def equals(o: Any): Boolean = o match {
+    case v: VecBlockArgMax =>
+      child == v.child && blocks == v.blocks &&
+        java.util.Arrays.equals(offsets, v.offsets)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child, Int.box(blocks),
+      Int.box(java.util.Arrays.hashCode(offsets)))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_block_arg_max requires array<double>, got ${other.simpleString(10)}")
+    }
+
+  private val per = offsets.length / blocks
+
+  override def nullSafeEval(dotsAny: Any): Any = {
+    val d = dotsAny.asInstanceOf[ArrayData]
+    val n = d.numElements()
+    if (n != offsets.length)
+      throw new IllegalArgumentException(
+        s"vec_block_arg_max: dots length $n vs ${offsets.length} entries")
+    val out = new Array[Int](blocks)
+    var b = 0
+    while (b < blocks) {
+      val off = b * per
+      var best = 0
+      var bestS = d.getDouble(off) * 2 - offsets(off)
+      var j = 1
+      while (j < per) {
+        val s = d.getDouble(off + j) * 2 - offsets(off + j)
+        if (ScoreOrdering.nanSafeCompare(s, bestS) > 0) { best = j; bestS = s }
+        j += 1
+      }
+      out(b) = best
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val offs = ctx.addReferenceObj("offsets", offsets, "double[]")
+    val cmp = ScoreOrdering.addJavaHelper(ctx)
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $offs.length) {
+         |  throw new IllegalArgumentException(
+         |    "vec_block_arg_max: dots length " + $n + " vs " + $offs.length + " entries");
+         |}
+         |int[] $out = new int[$blocks];
+         |for (int $b = 0; $b < $blocks; $b++) {
+         |  int $off = $b * $per;
+         |  int $best = 0;
+         |  double $bestS = $a.getDouble($off) * 2 - $offs[$off];
+         |  for (int $j = 1; $j < $per; $j++) {
+         |    double $s = $a.getDouble($off + $j) * 2 - $offs[$off + $j];
+         |    if ($cmp($s, $bestS) > 0) { $best = $j; $bestS = $s; }
+         |  }
+         |  $out[$b] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product of two float/double array columns, accumulated in double. */
   def vec_dot(a: Column, b: Column): Column =
@@ -289,4 +642,24 @@ object VectorFunctions {
                      quantize: Boolean = false,
                      rowStarts: Array[Int] = Array.emptyIntArray): Column =
     toColumn(VecDotMatrix(toExpression(v), matrix, quantize, rowStarts))
+
+  /** Id of the best-scoring entry: `score[k] = dots[k] / (norm ·
+    * scales[k])`, nan-safe descending, ties to the smallest id.
+    */
+  def vec_arg_max_id(dots: Column, norm: Column, scales: Array[Double],
+                     ids: Array[Long]): Column =
+    toColumn(VecArgMaxId(toExpression(dots), toExpression(norm), scales, ids))
+
+  /** Ids of the `topN` best-scoring entries, best first (same ordering as
+    * [[vec_arg_max_id]]).
+    */
+  def vec_top_ids(dots: Column, norm: Column, scales: Array[Double],
+                  ids: Array[Long], topN: Int): Column =
+    toColumn(VecTopIds(toExpression(dots), toExpression(norm), scales, ids, topN))
+
+  /** Per-block argmax index over `dots[i]·2 − offsets[i]` (PQ code
+    * assignment); output `array<int>` of length `blocks`.
+    */
+  def vec_block_arg_max(dots: Column, offsets: Array[Double], blocks: Int): Column =
+    toColumn(VecBlockArgMax(toExpression(dots), offsets, blocks))
 }

@@ -1078,13 +1078,15 @@ object Dedup {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     require(cents.nonEmpty, "semanticCells: no non-zero vectors to seed centroids")
     // all centroid dots in one VecDotMatrix pass (ascending accumulation,
-    // every sum an exact integer — bit-identical to per-centroid VecDots)
-    val scores = array(cents.zipWithIndex.map { case ((cid, _, nc2), k) =>
-      struct((element_at(col("__cd"), k + 1) / lit(math.sqrt(nc2))).as("score"),
-        lit(-cid).as("ncid"))
-    }.toIndexedSeq: _*)
+    // every sum an exact integer — bit-identical to per-centroid VecDots);
+    // the argmax is one loop-shaped VecArgMaxId — generated code O(1) in
+    // nlist (SemDeDup wants ~100k cells at corpus scale; the per-centroid
+    // literal-struct form crossed janino's 64 KB method limit at ~64).
+    // norm = 1: the row's own norm is a common positive factor, so
+    // score = dq / √nc2 is already monotone with cosine.
     base.withColumn("__cd", vec_dot_matrix(col("q"), cents.map(_._2.toArray)))
-      .withColumn("cell", -array_max(scores).getField("ncid"))
+      .withColumn("cell", graft.functions.VectorFunctions.vec_arg_max_id(
+        col("__cd"), lit(1.0), cents.map(c => math.sqrt(c._3)), cents.map(_._1)))
       .drop("__cd")
   }
 

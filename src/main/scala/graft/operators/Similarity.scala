@@ -256,21 +256,6 @@ object Similarity {
     ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, centroids)
   }
 
-  /** One scored-centroid struct per centroid from a precomputed dots
-    * array: `(cosine, -cid)`, so struct MAX/ordering = best cosine with
-    * ties to the SMALLEST cid — the same total order the old rank window
-    * used. The dots array comes from one [[graft.functions.VecDotMatrix]]
-    * pass over the literal centroid matrix (same ascending accumulation
-    * as per-centroid VecDots — bit-identical scores), so the whole argmax
-    * is a projection: zero joins, zero shuffles.
-    */
-  private def centroidScoresFromDots(cents: Array[(Long, Seq[Double], Double)],
-                                     dots: Column, norm: Column): Column =
-    array(cents.zipWithIndex.map { case ((cid, _, cnorm), k) =>
-      struct((element_at(dots, k + 1) / (norm * lit(cnorm))).as("cos"),
-        lit(-cid).as("ncid"))
-    }.toIndexedSeq: _*)
-
   private def centMatrix(cents: Array[(Long, Seq[Double], Double)]): Array[Array[Double]] =
     cents.map(_._2.toArray)
 
@@ -278,19 +263,25 @@ object Similarity {
     * projection-level argmax over the literal centroid array — the 100 TB
     * shape. (The previous formulation cross-joined the corpus with the
     * centroid table and took `row_number()` over `Window.partitionBy(id)`,
-    * which shuffled nlist×|corpus| rows just to pick a max.) Exposed
-    * package-private so PlanSpec can assert the no-Exchange property.
+    * which shuffled nlist×|corpus| rows just to pick a max.) The argmax
+    * itself is one loop-shaped [[graft.functions.VecArgMaxId]] — generated
+    * code O(1) in nlist (the per-centroid literal-struct array crossed
+    * janino's 64 KB method limit at nlist=64 and fell back to interpreted
+    * execution; nlist must GROW with the corpus, so that blowup was the
+    * one plan that got structurally worse at scale). Null vectors assign
+    * a null cell (they can't be scored). Exposed package-private so
+    * PlanSpec can assert the no-Exchange property.
     */
   private[graft] def assignCells(corpus: DataFrame, idCol: String,
                                  vecCol: String,
                                  cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
-    import graft.functions.VectorFunctions.vec_dot_matrix
+    import graft.functions.VectorFunctions.{vec_arg_max_id, vec_dot_matrix}
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"),
       vec_norm(col(vecCol)).as("norm"))
     c.withColumn("__cd", vec_dot_matrix(col("vec"), centMatrix(cents)))
-      .withColumn("cid", -array_max(
-        centroidScoresFromDots(cents, col("__cd"), col("norm"))).getField("ncid"))
+      .withColumn("cid", vec_arg_max_id(col("__cd"), col("norm"),
+        cents.map(_._3), cents.map(_._1)))
       .drop("__cd")
   }
 
@@ -303,10 +294,24 @@ object Similarity {
     * query stay bounded by the nprobe/nlist fraction.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               nlist: Int = 16, nprobe: Int = 4): DataFrame =
+               nlist: Int = 0, nprobe: Int = 4): DataFrame = {
+    // nlist <= 0 ⇒ derived from the corpus size (one count action): the
+    // cell key is both the join parallelism and the per-query candidate
+    // bound, so a FIXED default is a footgun — 16 cells measured ~6×
+    // slower than 64 on a 50k corpus (round-4 notes), and the degenerate
+    // regime worsens with scale. √n cells ⇒ ~√n vectors/cell: candidate
+    // work per query stays O(nprobe·√n) instead of O(nprobe·n/16).
+    val nl = if (nlist > 0) nlist else derivedNlist(corpus.count())
     ivfWithCentroids(corpus, corpus, idCol, vecCol, k, nprobe,
-      idSampledCentroids(corpus, idCol, vecCol, nlist),
+      idSampledCentroids(corpus, idCol, vecCol, nl),
       broadcastProbes = false)
+  }
+
+  /** Scale-derived cell count: `max(16, ⌈√n⌉)` — balances per-cell size
+    * against probe fan-out; package-private so the spec can pin it.
+    */
+  private[graft] def derivedNlist(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** Shared IVF assignment/probe/score given a centroid table
     * (cid, cvec: array<double>, cnorm). The centroid table is collected to
@@ -328,15 +333,16 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"),
       vec_norm(col(vecCol)).as("qnorm"))
-    // Top-nprobe cells per query: sort the literal score array ascending
-    // (struct order: cos, then -cid), reverse, slice — cos desc with ties
-    // to the smallest cid, identical to the old probe window's order.
+    // Top-nprobe cells per query: one loop-shaped VecTopIds selection over
+    // the dots array — cos desc with ties to the smallest cid, identical
+    // to the sort-reverse-slice-over-structs order it replaces, but with
+    // generated code O(1) in nlist (the 64 KB-limit fix).
     val probes = q
       .withColumn("__cd", graft.functions.VectorFunctions.vec_dot_matrix(
         col("qvec"), centMatrix(cents)))
-      .withColumn("p", explode(slice(reverse(array_sort(
-        centroidScoresFromDots(cents, col("__cd"), col("qnorm")))), 1, nprobe)))
-      .select(col("qid"), col("qvec"), col("qnorm"), (-col("p.ncid")).as("cid"))
+      .withColumn("cid", explode(graft.functions.VectorFunctions.vec_top_ids(
+        col("__cd"), col("qnorm"), cents.map(_._3), cents.map(_._1), nprobe)))
+      .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
     val probesSide = if (broadcastProbes) broadcast(probes) else probes
     val scored = cells.join(probesSide, Seq("cid"))
       .filter(col("id") =!= col("qid"))
@@ -466,26 +472,21 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    import graft.functions.VectorFunctions.vec_dot_matrix
+    import graft.functions.VectorFunctions.{vec_block_arg_max, vec_dot_matrix}
     val m = codebooks.length
     val ks = codebooks(0).length
     val (pqRows, pqStarts) = pqMatrix(codebooks)
-    val c = corpus.select(col(idCol).as("id"),
-      unitized(col(vecCol).cast("array<double>")).as("__v"))
+    // argmin_j ||x_s − cb_j||² = argmax_j 2·x_s·cb_j − ||cb_j||² (ties to
+    // the smallest j), per subspace block — one loop-shaped VecBlockArgMax
+    // whose generated code is O(1) in m·ks (the literal-struct form grew
+    // with m·ks toward the same 64 KB codegen cliff as centroid scoring)
+    val cbNorm2 = Array.tabulate(m * ks)(i =>
+      codebooks(i / ks)(i % ks).map(x => x * x).sum)
+    corpus.select(col(idCol).as("id"),
+        unitized(col(vecCol).cast("array<double>")).as("__v"))
       .withColumn("__pd",
         vec_dot_matrix(col("__v"), pqRows, rowStarts = pqStarts))
-    // argmin_j ||x_s − cb_j||² = argmax_j 2·x_s·cb_j − ||cb_j||²; ties to
-    // the smallest j via the (-j) struct field
-    val codeCols = (0 until m).map { s =>
-      val scored = array(codebooks(s).zipWithIndex.map { case (cb, j) =>
-        val cbNorm2 = cb.map(x => x * x).sum
-        struct((element_at(col("__pd"), s * ks + j + 1) * 2 - lit(cbNorm2)).as("score"),
-          lit(-j).as("nj"))
-      }.toIndexedSeq: _*)
-      (-array_max(scored).getField("nj")).as(s"__c$s")
-    }
-    c.select(col("id") +: codeCols: _*)
-      .select(col("id"), array((0 until m).map(s => col(s"__c$s")): _*).as("code"))
+      .select(col("id"), vec_block_arg_max(col("__pd"), cbNorm2, m).as("code"))
   }
 
   /** Approximate top-k via product quantization with asymmetric distance
