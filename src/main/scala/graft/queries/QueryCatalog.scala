@@ -1067,7 +1067,7 @@ object QueryCatalog {
       TextAnalysis.qualityFlags(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    "x_knn_graph" -> ((s, dir) => // approximate by design: rows-only
+    "x_knn_graph" -> ((s, dir) => // oracle: full IVF probe+rerank replay
       // All-corpus kNN edge list via IVF probing with the probe side
       // shuffle-joined on the cell id (corpus-sized — never broadcast).
       // nlist grows with the corpus (64 cells here): the cell key is the
@@ -1352,7 +1352,7 @@ object QueryCatalog {
         .select(col("label"), col("pos"), col("n_vecs"), col("sum_scaled").as("sum_e6"))
         .orderBy("label", "pos")),
 
-    "x_sim_ivf" -> ((s, dir) => { // approximate by design: rows-only oracle
+    "x_sim_ivf" -> ((s, dir) => { // oracle: full IVF probe+rerank replay
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10)
@@ -1465,7 +1465,53 @@ object QueryCatalog {
       s"${ws.map(w => markerCountSql(s" $w ")).mkString(" + ")} AS score_$lang"
     }.mkString(",\n  ")
 
+    // Full IVF probe+rerank replay: id-sampled centroids, nearest-centroid
+    // cell assignment, top-nprobe probe cells per query, exact cosine
+    // re-rank of probed candidates. Every score both engines compare is
+    // the same double arithmetic in the same order (float→double element
+    // loads, ascending dot accumulation, mul-then-div), so assignment,
+    // probing, and ranking replay hash-exactly — the same trust the
+    // x_sim_topk oracle already established for list_dot_product.
+    def ivfReplaySql(nlist: Int, nprobe: Int, k: Int, queryPred: String) =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE nrm > 0
+         |          ORDER BY vec_id LIMIT $nlist),
+         |cell AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+         |                      c.cid) AS rn
+         |    FROM n CROSS JOIN cents c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE $queryPred),
+         |probe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+         |                      c.cid) AS rn
+         |    FROM q CROSS JOIN cents c) WHERE rn <= $nprobe),
+         |cand AS (
+         |  SELECT q.qid, ce.vec_id AS id,
+         |         list_dot_product(nv.v, q.qv) / (nv.nrm * q.qn) AS cos
+         |  FROM probe p JOIN q ON q.qid = p.qid
+         |  JOIN cell ce ON ce.cid = p.cid
+         |  JOIN n nv ON nv.vec_id = ce.vec_id
+         |  WHERE ce.vec_id <> q.qid)
+         |SELECT qid, id, rank FROM (
+         |  SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+         |  FROM cand) WHERE rank <= $k
+         |ORDER BY qid, rank""".stripMargin
+
     Map(
+      "x_sim_ivf" -> ivfReplaySql(nlist = 16, nprobe = 4, k = 10,
+        queryPred = "vec_id < 5"),
+
+      "x_knn_graph" -> ivfReplaySql(nlist = 64, nprobe = 8, k = 5,
+        queryPred = "TRUE"),
+
       "x_dedup_exact" ->
         """WITH all_docs AS (
           |  SELECT doc_id, text FROM documents
