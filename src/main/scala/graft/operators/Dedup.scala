@@ -426,6 +426,18 @@ object Dedup {
     bandKeysFromSignatures(
       signaturesFromShingles(sh, idCol, numHashes, base), idCol, numHashes, bands)
 
+  /** Precomputed signing artifacts for one corpus side, shared across
+    * miners: `sh` = shingle rows (caller-cached), `bands` = LSH band keys
+    * (caller-materialized), `sigs` = minhash signatures (estimator-verify
+    * path only). [[incrementalDedup]] mines its batch TWICE — against the
+    * corpus and against itself — and the signature aggregation is the
+    * expensive half of each; this lets the batch be shingled and signed
+    * exactly once. All frames keep the caller's id column name; the
+    * CALLER owns cache/checkpoint lifecycle.
+    */
+  private[graft] final case class PreSigned(sh: DataFrame, bands: DataFrame,
+                                            sigs: Option[DataFrame] = None)
+
   /** MinHash+LSH near-dup pairs: band the signatures, bucket-join within
     * bands (candidates only), then verify *only the candidates* with exact
     * Jaccard — the all-pairs set is never formed, which is the entire point
@@ -516,19 +528,27 @@ object Dedup {
                       base: Hashers.Base = Hashers.xx64Base,
                       maxBucketSize: Option[Int] = Some(100),
                       materialize: Boolean = true,
-                      verifyExact: Boolean = true): DataFrame = {
+                      verifyExact: Boolean = true): DataFrame =
+    minhashLshPairsPre(docs, idCol, textCol, threshold, numHashes, bands, n,
+      base, maxBucketSize, materialize, verifyExact, pre = None)
+
+  /** [[minhashLshPairs]] with optionally precomputed signing artifacts
+    * (see [[PreSigned]]) — the caller-owned shingles/bands/sigs replace
+    * this function's own computation AND its cache/checkpoint management.
+    */
+  private[graft] def minhashLshPairsPre(docs: DataFrame, idCol: String,
+                      textCol: String, threshold: Double, numHashes: Int,
+                      bands: Int, n: Int, base: Hashers.Base,
+                      maxBucketSize: Option[Int], materialize: Boolean,
+                      verifyExact: Boolean,
+                      pre: Option[PreSigned]): DataFrame = {
     def candidatesFrom(stacked: DataFrame, checkpoint: Boolean): DataFrame =
       candidatesFromBands(stacked, idCol, maxBucketSize, checkpoint)
-    if (verifyExact)
-      // The distinct shingle set feeds three consumers (both sides of the
-      // candidate-verification join + the size table) — cached once by the
-      // wrapper instead of recomputing the explode+distinct shuffle per
-      // consumer, released after the (small) pair set is materialized.
-      withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
-        val stacked = bandKeysFromShingles(sh, idCol, numHashes, bands, base)
-        // checkpointed (in the default eager mode): the pair set feeds both
-        // the intersection count and the final join — without this the
-        // whole signature → band → bucket chain executes twice
+    if (verifyExact) {
+      // checkpointed (in the default eager mode): the pair set feeds both
+      // the intersection count and the final join — without this the
+      // whole signature → band → bucket chain executes twice
+      def verified(sh: DataFrame, stacked: DataFrame): DataFrame = {
         val candidates = candidatesFrom(stacked, materialize)
         // Exact-Jaccard verification restricted to candidate pairs: join
         // each side's shingle set in, count the intersection per pair.
@@ -545,18 +565,37 @@ object Dedup {
           .filter(col("jaccard") >= threshold)
           .select("a", "b", "jaccard")
       }
-    else {
+      pre match {
+        case Some(p) =>
+          // same materialize contract as the withShingleCache path below:
+          // eager-checkpoint the (small) pair set so the caller can
+          // release the pre-signed artifacts as soon as this returns
+          val v = verified(p.sh, p.bands)
+          if (materialize) v.localCheckpoint(true) else v
+        case None =>
+          // The distinct shingle set feeds three consumers (both sides of
+          // the candidate-verification join + the size table) — cached once
+          // by the wrapper instead of recomputing the explode+distinct
+          // shuffle per consumer, released after the pair set materializes.
+          withShingleCache(shingles(docs, idCol, textCol, n), materialize) { sh =>
+            verified(sh, bandKeysFromShingles(sh, idCol, numHashes, bands, base))
+          }
+      }
+    } else {
       // Estimator mode never re-reads the shingles: they have exactly one
       // consumer (the signature aggregation), so no shingle cache — the
       // checkpointed signatures (one compact numHashes-long row per doc,
       // spilling partition-local at corpus scale) serve both banding and
       // verification, and the verify join is a fixed-width array zip per
       // candidate instead of a shingle re-join.
-      val sh = shingles(docs, idCol, textCol, n)
-      val sigs0 = signaturesFromShingles(sh, idCol, numHashes, base)
-      val sigs = if (materialize) sigs0.localCheckpoint(true) else sigs0
-      val candidates = candidatesFrom(
-        bandKeysFromSignatures(sigs, idCol, numHashes, bands), checkpoint = false)
+      val sigs = pre.flatMap(_.sigs).getOrElse {
+        val sigs0 = signaturesFromShingles(
+          shingles(docs, idCol, textCol, n), idCol, numHashes, base)
+        if (materialize) sigs0.localCheckpoint(true) else sigs0
+      }
+      val stacked = pre.map(_.bands).getOrElse(
+        bandKeysFromSignatures(sigs, idCol, numHashes, bands))
+      val candidates = candidatesFrom(stacked, checkpoint = false)
       candidates
         .join(sigs.select(col(idCol).as("a"), col("sig").as("sa")), Seq("a"))
         .join(sigs.select(col(idCol).as("b"), col("sig").as("sb")), Seq("b"))
@@ -601,7 +640,22 @@ object Dedup {
                        broadcastRef: Boolean = true,
                        materialize: Boolean = true,
                        verifyExact: Boolean = true,
-                       bestMatchOnly: Boolean = true): DataFrame = {
+                       bestMatchOnly: Boolean = true): DataFrame =
+    crossCorpusPairsPre(cand, ref, idCol, textCol, threshold, numHashes,
+      bands, n, base, maxBucketSize, broadcastRef, materialize, verifyExact,
+      bestMatchOnly, preRef = None)
+
+  /** [[crossCorpusPairs]] with an optionally pre-signed REFERENCE side
+    * (see [[PreSigned]]): the caller's shingles/bands/sigs stand in for
+    * this function's own reference-side computation and lifecycle.
+    */
+  private[graft] def crossCorpusPairsPre(cand: DataFrame, ref: DataFrame,
+                       idCol: String, textCol: String, threshold: Double,
+                       numHashes: Int, bands: Int, n: Int,
+                       base: Hashers.Base, maxBucketSize: Option[Int],
+                       broadcastRef: Boolean, materialize: Boolean,
+                       verifyExact: Boolean, bestMatchOnly: Boolean,
+                       preRef: Option[PreSigned]): DataFrame = {
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (broadcastRef) broadcast(df) else df
     val candId = col(idCol).as("cand_id")
@@ -652,16 +706,20 @@ object Dedup {
       if (materialize) report.localCheckpoint(true) else report
     }
     if (verifyExact) {
-      // near-dup via shared LSH buckets, jaccard-verified; both shingle
-      // caches released once the (small) report is materialized
+      // near-dup via shared LSH buckets, jaccard-verified; owned shingle
+      // caches released once the (small) report is materialized (a
+      // pre-signed reference side is the CALLER's cache to manage)
       val shCand0 = shingles(cand, idCol, textCol, n)
-      val shRef0 = shingles(ref, idCol, textCol, n)
-      val (shCand, shRef) =
-        if (materialize) (shCand0.cache(), shRef0.cache()) else (shCand0, shRef0)
+      val shCand = if (materialize) shCand0.cache() else shCand0
+      val shRef = preRef.map(_.sh).getOrElse {
+        val shRef0 = shingles(ref, idCol, textCol, n)
+        if (materialize) shRef0.cache() else shRef0
+      }
       try {
         val bCand = bandKeysFromShingles(shCand, idCol, numHashes, bands, base)
           .select(candId, col("band"), col("key"))
-        val bRef = bandKeysFromShingles(shRef, idCol, numHashes, bands, base)
+        val bRef = preRef.map(_.bands).getOrElse(
+            bandKeysFromShingles(shRef, idCol, numHashes, bands, base))
           .select(refId, col("band"), col("key"))
         val lshCandidates = lshCandidatesFrom(bCand, bRef)
         val nCand = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n_cand"))
@@ -680,21 +738,27 @@ object Dedup {
           .filter(col("jaccard") >= threshold)
           .select("cand_id", "ref_id", "jaccard")
         assemble(nearPairs)
-      } finally if (materialize) { shCand.unpersist(false); shRef.unpersist(false) }
+      } finally if (materialize) {
+        shCand.unpersist(false)
+        if (preRef.isEmpty) shRef.unpersist(false)
+      }
     } else {
       // estimator: shingles have one consumer each (the signature aggs) —
       // no shingle caches; checkpointed signatures serve banding AND the
       // fixed-width verification join
       val sigCand0 = signaturesFromShingles(
         shingles(cand, idCol, textCol, n), idCol, numHashes, base)
-      val sigRef0 = signaturesFromShingles(
-        shingles(ref, idCol, textCol, n), idCol, numHashes, base)
       val sigCand = if (materialize) sigCand0.localCheckpoint(true) else sigCand0
-      val sigRef = if (materialize) sigRef0.localCheckpoint(true) else sigRef0
+      val sigRef = preRef.flatMap(_.sigs).getOrElse {
+        val sigRef0 = signaturesFromShingles(
+          shingles(ref, idCol, textCol, n), idCol, numHashes, base)
+        if (materialize) sigRef0.localCheckpoint(true) else sigRef0
+      }
       val lshCandidates = lshCandidatesFrom(
         bandKeysFromSignatures(sigCand, idCol, numHashes, bands)
           .select(candId, col("band"), col("key")),
-        bandKeysFromSignatures(sigRef, idCol, numHashes, bands)
+        preRef.map(_.bands).getOrElse(
+            bandKeysFromSignatures(sigRef, idCol, numHashes, bands))
           .select(refId, col("band"), col("key")))
       val nearPairs = lshCandidates
         .join(sigCand.select(col(idCol).as("cand_id"), col("sig").as("sc")),
@@ -813,32 +877,58 @@ object Dedup {
                        base: Hashers.Base = Hashers.xx64Base,
                        maxBucketSize: Option[Int] = Some(100),
                        verifyExact: Boolean = true): DataFrame = {
-    // every pair over the threshold, NOT the per-corpus-doc argmax — the
-    // flag below is "was this batch doc hit at all"
-    val vsCorpus = crossCorpusPairs(corpus, batch, idCol, textCol, threshold,
-      numHashes, bands, n, base, maxBucketSize, broadcastRef = true,
-      materialize = true, verifyExact = verifyExact, bestMatchOnly = false)
-    val hitByCorpus = vsCorpus.select(col("ref_id").as(idCol)).distinct()
-    // within the batch: near pairs (the LATER doc of each mined pair is
-    // the duplicate) plus exact text groups (catches docs below the
-    // shingle window, where LSH is blind)
-    val intraNear = minhashLshPairs(batch, idCol, textCol, threshold,
-        numHashes, bands, n, base, maxBucketSize,
-        verifyExact = verifyExact)
-      .select(col("b").as(idCol))
-    val intraExact = batch
-      .select(col(idCol), md5(col(textCol)).as("__h"))
-      .withColumn("__lo", min(col(idCol)).over(Window.partitionBy("__h")))
-      .filter(col(idCol) =!= col("__lo"))
-      .select(col(idCol))
-    val intraDup = intraNear.union(intraExact).distinct()
-    batch.select(col(idCol))
-      .join(hitByCorpus.withColumn("__c", lit(true)), Seq(idCol), "left")
-      .join(intraDup.withColumn("__b", lit(true)), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("__c"), lit(false)).as("dup_of_corpus"),
-        coalesce(col("__b"), lit(false)).as("dup_in_batch"))
-      .withColumn("keep", !col("dup_of_corpus") && !col("dup_in_batch"))
+    // The batch is mined twice — against the corpus and against itself —
+    // and the signature aggregation is the expensive half of each miner:
+    // shingle + sign the batch ONCE and hand both miners the same
+    // artifacts (round-4 finding: the double signing was the bench's
+    // single largest line; one pass is ~2× on this entry).
+    val shBatch0 = shingles(batch, idCol, textCol, n)
+    val (preBatch, release): (PreSigned, () => Unit) =
+      if (verifyExact) {
+        // shingles feed band-key signing + both verify joins → cache;
+        // band keys feed both miners → eager-checkpoint (compact rows)
+        val shBatch = shBatch0.cache()
+        val bBatch = bandKeysFromShingles(shBatch, idCol, numHashes, bands, base)
+          .localCheckpoint(true)
+        (PreSigned(shBatch, bBatch), () => { shBatch.unpersist(false); () })
+      } else {
+        // estimator verify reads signatures, not shingles: checkpoint the
+        // signatures (fixed-width rows) and derive the shared band keys
+        val sigBatch = signaturesFromShingles(shBatch0, idCol, numHashes, base)
+          .localCheckpoint(true)
+        val bBatch = bandKeysFromSignatures(sigBatch, idCol, numHashes, bands)
+          .localCheckpoint(true)
+        (PreSigned(shBatch0, bBatch, Some(sigBatch)), () => ())
+      }
+    try {
+      // every pair over the threshold, NOT the per-corpus-doc argmax — the
+      // flag below is "was this batch doc hit at all"
+      val vsCorpus = crossCorpusPairsPre(corpus, batch, idCol, textCol,
+        threshold, numHashes, bands, n, base, maxBucketSize,
+        broadcastRef = true, materialize = true, verifyExact = verifyExact,
+        bestMatchOnly = false, preRef = Some(preBatch))
+      val hitByCorpus = vsCorpus.select(col("ref_id").as(idCol)).distinct()
+      // within the batch: near pairs (the LATER doc of each mined pair is
+      // the duplicate) plus exact text groups (catches docs below the
+      // shingle window, where LSH is blind)
+      val intraNear = minhashLshPairsPre(batch, idCol, textCol, threshold,
+          numHashes, bands, n, base, maxBucketSize, materialize = true,
+          verifyExact = verifyExact, pre = Some(preBatch))
+        .select(col("b").as(idCol))
+      val intraExact = batch
+        .select(col(idCol), md5(col(textCol)).as("__h"))
+        .withColumn("__lo", min(col(idCol)).over(Window.partitionBy("__h")))
+        .filter(col(idCol) =!= col("__lo"))
+        .select(col(idCol))
+      val intraDup = intraNear.union(intraExact).distinct()
+      batch.select(col(idCol))
+        .join(hitByCorpus.withColumn("__c", lit(true)), Seq(idCol), "left")
+        .join(intraDup.withColumn("__b", lit(true)), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__c"), lit(false)).as("dup_of_corpus"),
+          coalesce(col("__b"), lit(false)).as("dup_in_batch"))
+        .withColumn("keep", !col("dup_of_corpus") && !col("dup_in_batch"))
+    } finally release()
   }
 
   /** Connected components over a near-dup pair list → duplicate clusters:
