@@ -180,16 +180,21 @@ case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
 
   override def nullable: Boolean = child.nullable || elementsNullable
 
+  // Exact coverage expected of every input vector: matrix width in
+  // full-width mode, max(rowStarts(t) + row width) in block mode. A
+  // SHORTER vector would read out of bounds; a LONGER one would silently
+  // score only a prefix (a PQ input with dim > m·sub) — both are data
+  // corruption, both fail loudly, in interpreted AND generated code.
+  private lazy val requiredLen: Int =
+    if (rowStarts.isEmpty) matrix(0).length
+    else matrix.indices.map(t => rowStarts(t) + matrix(t).length).max
+
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
-    if (rowStarts.isEmpty && n != matrix(0).length)
+    if (n != requiredLen)
       throw new IllegalArgumentException(
-        s"vec_dot_matrix: vector length $n vs matrix width ${matrix(0).length}")
-    if (rowStarts.nonEmpty &&
-        matrix.indices.exists(t => rowStarts(t) + matrix(t).length > n))
-      throw new IllegalArgumentException(
-        s"vec_dot_matrix: a block row exceeds vector length $n")
+        s"vec_dot_matrix: vector length $n vs matrix coverage $requiredLen")
     val isF = childIsFloat
     val vals = new Array[Double](n)
     var i = 0
@@ -236,12 +241,10 @@ case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
           s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       val widthCheck =
-        if (rowStarts.isEmpty)
-          s"""if ($n != $mat[0].length) {
-             |  throw new IllegalArgumentException(
-             |    "vec_dot_matrix: vector length " + $n + " vs matrix width " + $mat[0].length);
-             |}""".stripMargin
-        else ""
+        s"""if ($n != $requiredLen) {
+           |  throw new IllegalArgumentException(
+           |    "vec_dot_matrix: vector length " + $n + " vs matrix coverage $requiredLen");
+           |}""".stripMargin
       val offExpr = if (rowStarts.isEmpty) "0" else s"$starts[$t]"
       s"""
          |int $n = $a.numElements();

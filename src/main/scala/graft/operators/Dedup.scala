@@ -137,6 +137,10 @@ object Dedup {
     * fan-out is linear in occurrence count, never pairwise quadratic (no
     * doc×doc product anywhere, unlike the Jaccard miner). The run-merge
     * window partitions by document, bounded by document length.
+    *
+    * Spans are pairwise DISJOINT: marked positions within n−1 of each
+    * other (overlapping token extents) merge into one span, so summing
+    * n_tokens over a document never double-counts a token.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 8, minDocs: Int = 2,
@@ -198,16 +202,24 @@ object Dedup {
       idCol, textCol)
   }
 
-  /** Merge marked (id, pos) n-gram positions into maximal runs:
+  /** Merge marked (id, pos) n-gram positions into maximal DISJOINT runs:
     * (id, span_start, span_end, n_ngrams) — THE one copy of the
     * lag/break/running-sum merge and the 1-based `+ (n-1)` end-of-span
     * convention, shared by span reporting and both clip operators.
+    *
+    * Two marked positions continue one run whenever their gap is ≤ n−1:
+    * a position's n-gram covers tokens [pos, pos+n−1], so any closer pair
+    * has OVERLAPPING token extents and splitting them would report
+    * overlapping spans whose n_tokens double-count the shared tokens
+    * (the round-4 advisory). Breaking only at gap > n−1 makes spans
+    * pairwise disjoint and n_tokens additive; the clip operators are
+    * invariant to this (they remove the token-range UNION either way).
     */
   private def mergeRuns(marked: DataFrame, idCol: String, n: Int): DataFrame = {
     val byPos = Window.partitionBy(idCol).orderBy("pos")
     marked
       .withColumn("__brk",
-        when(col("pos") - lag("pos", 1).over(byPos) === 1, 0L).otherwise(1L))
+        when(col("pos") - lag("pos", 1).over(byPos) <= n - 1, 0L).otherwise(1L))
       .withColumn("__span", sum("__brk").over(byPos))
       .groupBy(col(idCol), col("__span"))
       .agg(min("pos").as("span_start"),

@@ -1909,7 +1909,7 @@ object QueryCatalog {
           |        HAVING count(DISTINCT doc_id) >= 2),
           |m AS (SELECT p.doc_id, p.pos FROM ps p JOIN dup USING (shingle)),
           |s AS (SELECT doc_id, pos,
-          |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+          |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
           |             THEN 0 ELSE 1 END AS brk FROM m),
           |g AS (SELECT doc_id, pos,
           |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM s)

@@ -146,10 +146,21 @@ object StreamDedup {
                    textCol: String, threshold: Double, numHashes: Int = 128,
                    bands: Int = 16, n: Int = 3): DataFrame = {
     val s = bandedSignatures(stream, idCol, textCol, numHashes, bands, n)
+    // Width guard INSIDE the estimate (not a droppable extra column, so
+    // pruning can't optimize it away): if this call's numHashes disagrees
+    // with the parameters the index was built with, zip_with would
+    // null-pad the shorter signature and est_jaccard would silently
+    // DEFLATE — under-reporting duplicates is the worst failure mode a
+    // dedup gate can have, so a config mismatch errors loudly instead.
     s.join(corpusIndex, Seq("band", "key"))
       .withColumn("est_jaccard",
-        expr(s"size(filter(zip_with(sig, csig, (x, y) -> x = y), z -> z))" +
-          s" / cast($numHashes as double)"))
+        expr(s"CASE WHEN size(sig) = $numHashes AND size(csig) = $numHashes " +
+          s"THEN size(filter(zip_with(sig, csig, (x, y) -> x = y), z -> z))" +
+          s" / cast($numHashes as double) " +
+          s"ELSE raise_error(concat('vsCorpusHits: signature width mismatch — " +
+          s"stream ', cast(size(sig) as string), ', corpus index ', " +
+          s"cast(size(csig) as string), ', configured $numHashes; the index " +
+          s"must be built with the same numHashes/bands/n')) END"))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id").as("doc_id"), col("corpus_id"),
         col("est_jaccard"), col("band"))

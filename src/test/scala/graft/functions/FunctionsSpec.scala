@@ -68,6 +68,32 @@ class FunctionsSpec extends AnyFunSuite {
     }).distinct.size == 1)
   }
 
+  test("vec_dot_matrix rejects under- AND over-covered vectors, interpreted and codegen") {
+    import graft.functions.VectorFunctions.vec_dot_matrix
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // block rows cover 4 elements; a 5-element vector must NOT silently
+    // score a prefix (PQ input with dim > m·sub), nor a 3-element one AIOOBE
+    val blocks = Array(Array(1.0, 1.0), Array(1.0, 1.0))
+    val starts = Array(0, 2)
+    for (bad <- Seq(Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f), Seq(1.0f, 2.0f, 3.0f))) {
+      // codegen path (through a projection)
+      val ex1 = intercept[Exception] {
+        Seq(Tuple1(bad)).toDF("v")
+          .select(vec_dot_matrix(col("v"), blocks, rowStarts = starts)).collect()
+      }
+      assert(ex1.getMessage.contains("matrix coverage"), ex1.getMessage)
+      // interpreted path (direct eval)
+      val ex2 = intercept[Exception] {
+        graft.functions.VecDotMatrix(
+          Literal.create(bad.map(_.toDouble), ArrayType(DoubleType, containsNull = false)),
+          blocks, quantize = false, rowStarts = starts).eval()
+      }
+      assert(ex2.getMessage.contains("matrix coverage"), ex2.getMessage)
+    }
+  }
+
   test("k-means-trained IVF recall is usable on unclustered data") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 10)

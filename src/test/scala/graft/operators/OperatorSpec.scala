@@ -381,6 +381,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2L) == (("b1 b2 b3 b4 b5", 0L)), s"got ${out(2L)}")
   }
 
+  test("duplicateSpans: runs with overlapping token extents merge into one disjoint span") {
+    // doc 1 marks positions 1 ("a b c") and 3 ("c d e") — gap 2 = n-1, so
+    // their token extents [1,3] and [3,5] overlap; a per-run report would
+    // emit overlapping spans double-counting token 3. One merged span.
+    val fixture = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x"),   // shares "a b c" with 1
+      (3L, "y c d e")    // shares "c d e" with 1 ("b c d" stays unique)
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(fixture, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 5L, 2L, 5L),   // merged: tokens 1..5, 2 duplicated 3-grams
+      (2L, 1L, 3L, 1L, 3L),
+      (3L, 2L, 4L, 1L, 3L)), s"got $out")
+    // spans per doc are disjoint -> n_tokens is additive
+    out.groupBy(_._1).foreach { case (_, spans) =>
+      val sorted = spans.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1, _, _), (_, s2, _, _, _)) => assert(e1 < s2)
+        case _                                       =>
+      }
+    }
+  }
+
   test("duplicateSpans: a doc duplicated only against itself is not marked") {
     // the same 3-gram twice INSIDE one doc is intra-doc repetition, not a
     // cross-corpus duplicate (countDistinct docs == 1)

@@ -93,6 +93,27 @@ class StreamDedupSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("vsCorpusHits fails loudly on a signature-width mismatch with the index") {
+    // index built at 32 hashes / 8 bands; stream signed at 64 / 16: the
+    // rows-per-band match (4), so the stream's first 8 bands produce
+    // IDENTICAL band keys and the join collides — exactly the insidious
+    // config drift where zip_with would null-pad the shorter signature
+    // and silently DEFLATE est_jaccard (under-reporting dups). The guard
+    // must raise instead. Batch frames exercise the same path.
+    def words(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq((1L, words("a"))).toDF("doc_id", "text")
+    val idx = StreamDedup.corpusBandIndex(corpus, "doc_id", "text",
+      numHashes = 32, bands = 8)
+    val ex = intercept[Exception] {
+      StreamDedup.vsCorpusHits(Seq((10L, words("a"))).toDF("doc_id", "text"),
+        idx, "doc_id", "text", 0.1, numHashes = 64, bands = 16).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("signature width mismatch")),
+      messages(ex).mkString(" | "))
+  }
+
   test("a saturated bucket stops emitting and stops growing state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
