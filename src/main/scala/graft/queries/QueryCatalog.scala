@@ -234,6 +234,28 @@ object QueryCatalog {
       HostedTables.read(s, id).orderBy("c_custkey")
     }),
 
+    "ref_layer_points" -> ((s, dir) => {
+      // The spatial read surface (ap:246-249): a point feature LAYER —
+      // attributes + the geometry: struct<x,y> convention column — served
+      // through the same connector verbs as tables. The layer item is a
+      // store fixture (portal layers pre-exist; the reference never
+      // creates one), the READ path is the capability under test. The
+      // oracle recomputes x/y from the parquet source: both engines do
+      // one exact long→double scale, so the doubles replay bit-for-bit.
+      HostedStore.dropByTitle("q_layer_points")
+      val pts = graft.api.Geometry.withPointGeometry(
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .withColumn("y0", col("c_custkey") * lit(0.5)),
+        "c_acctbal", "y0").drop("y0")
+      val id = HostedStore.createLayer("q_layer_points", pts.schema)
+      HostedTables.write(pts, id, WriteMode.Append).fold(sys.error, identity)
+      val back = HostedTables.read(s, id)
+      back.select(col("c_custkey"), col("c_name"),
+          graft.api.Geometry.x(back).as("x"), graft.api.Geometry.y(back).as("y"))
+        .orderBy("c_custkey")
+    }),
+
     "ref_csv_stage" -> ((s, dir) => {
       // Reference parity for the analyze→publishParameters CSV round-trip
       // (src/agol_pandas.py:441-447, 515): an UNTYPED csv is staged —
@@ -279,6 +301,11 @@ object QueryCatalog {
   }
 
   val referenceOracles: Map[String, String] = Map(
+    "ref_layer_points" ->
+      """SELECT c_custkey, c_name, c_acctbal AS x,
+        |       CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "ref_scan_pushdown" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 150000.0 ORDER BY o_orderkey""".stripMargin,

@@ -49,8 +49,10 @@ object HostedStore {
       visibleAfterPolls: Int)
 
   /** A secondary dataset carried by an item — the feature LAYER a hosted
-    * item may hold alongside (or instead of) its table. Geometry is out of
-    * scope (SURVEY §1); a layer here is its attribute table.
+    * item may hold alongside (or instead of) its table. A POINT layer is
+    * its attribute table plus the [[graft.api.Geometry]] convention column
+    * (`geometry: struct<x: double, y: double>`), served like any other
+    * column; richer geometry stays out of scope (SURVEY §1).
     */
   final case class DatasetState(schema: StructType, rows: Vector[Row])
 

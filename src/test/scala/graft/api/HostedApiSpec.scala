@@ -97,13 +97,27 @@ class HostedApiSpec extends AnyFunSuite {
   test("layer items read through the connector; a published table shadows the layer") {
     import org.apache.spark.sql.functions._
     HostedStore.dropByTitle("layer_t1")
-    // feature-layer item (attributes only — geometry out of scope)
-    val layerDf = orders.select("o_orderkey", "o_totalprice").limit(100)
+    // POINT feature-layer item: attributes + the geometry struct<x,y>
+    // read convention (ap:246-249 returns a spatially enabled frame)
+    val layerDf = graft.api.Geometry.withPointGeometry(
+      orders.select("o_orderkey", "o_totalprice").limit(100),
+      "o_totalprice", "o_orderkey")
+    assert(graft.api.Geometry.hasPointGeometry(layerDf.schema))
     val id = HostedStore.createLayer("layer_t1", layerDf.schema)
     assert(HostedStore.kindOf(id) == "layer")
     HostedTables.write(layerDf, id, WriteMode.Append).fold(e => fail(e), identity)
-    // the read path the reference half-supports: item.layers[0]
-    assert(HostedTables.read(spark, id).count() == 100)
+    // the read path the reference half-supports: item.layers[0] — the
+    // geometry column round-trips through the connector as a struct
+    val layerBack = HostedTables.read(spark, id)
+    assert(layerBack.count() == 100)
+    assert(graft.api.Geometry.hasPointGeometry(layerBack.schema))
+    val probe = layerBack
+      .select(col("o_orderkey"), col("o_totalprice"),
+        graft.api.Geometry.x(layerBack).as("gx"),
+        graft.api.Geometry.y(layerBack).as("gy"))
+      .collect()
+    assert(probe.nonEmpty && probe.forall(r =>
+      r.getDouble(2) == r.getDouble(1) && r.getDouble(3) == r.getLong(0).toDouble))
 
     // publish a table onto the item: tables[0] now shadows layers[0]
     // (src/agol_pandas.py:239-243) — reads serve the table
@@ -119,9 +133,10 @@ class HostedApiSpec extends AnyFunSuite {
     val back = HostedTables.read(spark, id)
     assert(back.columns.toSeq == Seq("o_orderkey", "o_orderstatus"))
     assert(back.count() == 7)
-    // the shadowed layer is retained, not destroyed
+    // the shadowed layer is retained, not destroyed — geometry included
     val shadowed = HostedStore.shadowedLayerOf(id)
     assert(shadowed.exists(_.rows.size == 100))
+    assert(shadowed.exists(d => graft.api.Geometry.hasPointGeometry(d.schema)))
     // an item already serving a table cannot be published over again
     intercept[IllegalArgumentException](HostedStore.publishTable(id, tableDf.schema))
   }
