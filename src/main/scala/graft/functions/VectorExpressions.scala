@@ -279,7 +279,7 @@ case class VecDotMatrix(child: Expression, matrix: Array[Array[Double]],
   * `array_max`/`array_sort`-over-`(score, -id)`-structs formulations they
   * replace, or cell assignments silently drift from the DuckDB oracles.
   */
-private[functions] object ScoreOrdering {
+private[graft] object ScoreOrdering {
   def nanSafeCompare(x: Double, y: Double): Int =
     if (x < y) -1
     else if (x > y) 1
@@ -626,6 +626,147 @@ case class VecBlockArgMax(child: Expression, offsets: Array[Double], blocks: Int
     copy(child = newChild)
 }
 
+/** Cell-local kNN scoring kernel: given one IVF cell's member list
+  * `ms: array<struct<id, vec, norm>>` and the list of queries probing it
+  * `qs: array<struct<qid, qvec, qnorm>>`, emit each query's top-k members
+  * by cosine as `array<struct<qid, id, cos>>` (self-pairs skipped; same
+  * nan-safe (cos desc, id asc) order as the global rank window, so a
+  * global top-k over the union of per-cell top-ks is exact).
+  *
+  * This is an Expression rather than a typed flatMap deliberately: the
+  * co-grouped cell rows stay in Tungsten format end to end — member and
+  * query vectors are read straight off `ArrayData` (bulk primitive
+  * copies), where the Dataset-API formulation paid a DeserializeToObject
+  * pass materializing every struct as a `Row` and every vector as a
+  * boxed `Seq` (~10 s of the sf1 kNN probe, vs ~2 s of actual scoring).
+  * Evaluation is one compiled Scala kernel per CELL row (thousands of
+  * dot products per call), so interpreted-eval dispatch overhead is
+  * irrelevant — CodegenFallback keeps the surrounding stage compiled.
+  * Element loads widen float→double exactly like [[VecDot]].
+  */
+case class CellTopK(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 1, s"cell_top_k: k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("qid", LongType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+
+  private def sideCheck(dt: DataType, what: String):
+      Option[String] = dt match {
+    case ArrayType(s: StructType, _) if s.fields.length == 3 =>
+      val idOk = s.fields(0).dataType == LongType
+      val vecOk = s.fields(1).dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _                                                  => false
+      }
+      val nOk = s.fields(2).dataType == DoubleType
+      if (idOk && vecOk && nOk) None
+      else Some(s"$what must be array<struct<long, array<float|double>, double>>, " +
+        s"got ${dt.simpleString(10)}")
+    case _ => Some(s"$what must be an array of 3-field structs, got ${dt.simpleString(10)}")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    sideCheck(left.dataType, "cell_top_k members").orElse(
+        sideCheck(right.dataType, "cell_top_k queries")) match {
+      case None => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case Some(m) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(m)
+    }
+
+  private def isFloatSide(dt: DataType): Boolean = dt match {
+    case ArrayType(s: StructType, _) => s.fields(1).dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    case _ => false
+  }
+  private lazy val mFloat = isFloatSide(left.dataType)
+  private lazy val qFloat = isFloatSide(right.dataType)
+
+  private def vecOf(r: org.apache.spark.sql.catalyst.InternalRow,
+                    isFloat: Boolean): Array[Double] =
+    if (isFloat) {
+      val f = r.getArray(1).toFloatArray()
+      val d = new Array[Double](f.length)
+      var j = 0
+      while (j < f.length) { d(j) = f(j).toDouble; j += 1 }
+      d
+    } else r.getArray(1).toDoubleArray()
+
+  override def nullSafeEval(msAny: Any, qsAny: Any): Any = {
+    val ms = msAny.asInstanceOf[ArrayData]
+    val qs = qsAny.asInstanceOf[ArrayData]
+    val nm = ms.numElements()
+    val mIds = new Array[Long](nm)
+    val mVecs = new Array[Array[Double]](nm)
+    val mNorms = new Array[Double](nm)
+    var i = 0
+    while (i < nm) {
+      val r = ms.getStruct(i, 3)
+      mIds(i) = r.getLong(0)
+      mVecs(i) = vecOf(r, mFloat)
+      mNorms(i) = r.getDouble(2)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    val nq = qs.numElements()
+    val bs = new Array[Double](k)
+    val bi = new Array[Long](k)
+    var qi = 0
+    while (qi < nq) {
+      val qr = qs.getStruct(qi, 3)
+      val qid = qr.getLong(0)
+      val qv = vecOf(qr, qFloat)
+      val qn = qr.getDouble(2)
+      var filled = 0
+      i = 0
+      while (i < nm) {
+        if (mIds(i) != qid) {
+          val mv = mVecs(i)
+          if (mv.length != qv.length)
+            throw new IllegalArgumentException(
+              s"cell_top_k: mismatched vector lengths ${mv.length} vs ${qv.length}")
+          var d = 0.0
+          var j = 0
+          while (j < mv.length) { d += mv(j) * qv(j); j += 1 }
+          val cos = d / (mNorms(i) * qn)
+          val idk = mIds(i)
+          var pos = filled
+          while (pos > 0 && {
+            val c = ScoreOrdering.nanSafeCompare(bs(pos - 1), cos)
+            c < 0 || (c == 0 && bi(pos - 1) > idk)
+          }) pos -= 1
+          if (pos < k) {
+            val end = math.min(filled, k - 1)
+            var m2 = end
+            while (m2 > pos) { bs(m2) = bs(m2 - 1); bi(m2) = bi(m2 - 1); m2 -= 1 }
+            bs(pos) = cos; bi(pos) = idk
+            if (filled < k) filled += 1
+          }
+        }
+        i += 1
+      }
+      var r2 = 0
+      while (r2 < filled) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](qid, bi(r2), bs(r2)))
+        r2 += 1
+      }
+      qi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Dot product of two float/double array columns, accumulated in double. */
   def vec_dot(a: Column, b: Column): Column =
@@ -665,4 +806,8 @@ object VectorFunctions {
     */
   def vec_block_arg_max(dots: Column, offsets: Array[Double], blocks: Int): Column =
     toColumn(VecBlockArgMax(toExpression(dots), offsets, blocks))
+
+  /** Cell-local kNN top-k kernel over co-grouped member/query lists. */
+  def cell_top_k(ms: Column, qs: Column, k: Int): Column =
+    toColumn(CellTopK(toExpression(ms), toExpression(qs), k))
 }

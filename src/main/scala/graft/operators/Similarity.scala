@@ -55,8 +55,20 @@ object Similarity {
       vec_norm(col(vecCol)).as("norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine",
-        cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm")))
+      .select(col("qid"), col("id"),
+        cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm"))
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared rank-and-trim tail of every top-k path. `scored` MUST already
+    * be projected down to (qid, id, cosine): the rank window repartitions
+    * by qid, and a pre-window projection that still carries the embedding
+    * vectors multiplies the exchange by the vector width — at the sf1
+    * scale probe the kNN graph's window shuffled ~1 KB/candidate instead
+    * of 24 B and the stage went superlinear (BENCH_SF1 round 5).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -195,12 +207,10 @@ object Similarity {
     val candidates = c.join(broadcast(q), Seq("t", "sig"))
       .filter(col("id") =!= col("qid"))
       .select("qid", "qvec", "qnorm", "id", "vec", "norm").distinct()
-    val scored = candidates.withColumn("cosine",
-      cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "rank")
+    val scored = candidates.select(col("qid"), col("id"),
+      cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm"))
+        .as("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k via IVF (inverted-file) partitioning: corpus vectors
@@ -276,12 +286,30 @@ object Similarity {
                                  vecCol: String,
                                  cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
     import graft.functions.VectorFunctions.{vec_arg_max_id, vec_dot_matrix}
-    val c = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec"),
-      vec_norm(col(vecCol)).as("norm"))
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    // Null VECTORS are dropped up front (they can't be assigned — the
+    // downstream cell join would drop them anyway), and the cid column is
+    // declared non-null via AssertNotNull. The declaration is a plan
+    // property, not pedantry: a nullable join key makes Catalyst infer
+    // IsNotNull(cid) and push it into the scan as a filter that
+    // RE-EVALUATES the whole dots+argmax per row — the sf1 probe measured
+    // cell assignment running twice end to end. (A vector with null
+    // ELEMENTS now fails loudly instead of silently dropping — that's
+    // data corruption, not a searchable vector.)
+    // vectors keep their NATIVE element type (float stays float): VecDot/
+    // VecDotMatrix load floats to double per element — bit-identical to a
+    // pre-cast — and a float corpus shuffled through the cell join at
+    // half the bytes is the difference that showed at the sf1 probe
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        vec_norm(col(vecCol)).as("norm"))
+    val cid = vec_arg_max_id(col("__cd"), col("norm"),
+      cents.map(_._3), cents.map(_._1))
     c.withColumn("__cd", vec_dot_matrix(col("vec"), centMatrix(cents)))
-      .withColumn("cid", vec_arg_max_id(col("__cd"), col("norm"),
-        cents.map(_._3), cents.map(_._1)))
+      .withColumn("cid", toColumn(
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          toExpression(cid))))
       .drop("__cd")
   }
 
@@ -321,6 +349,19 @@ object Similarity {
     * probe side is corpus-sized (kNN graph) to get a cell-keyed shuffle
     * join instead.
     */
+  /** Round-robin repartition ONLY when the input has fewer partitions
+    * than the cluster has cores: the per-row work downstream (nlist dots
+    * per vector) is heavy, so a small-file scan that yields one split
+    * must not serialize it onto one task. At real scale an input has
+    * orders of magnitude more splits than cores and this is a no-op —
+    * the sf1 probe caught the whole kNN pipeline running single-task
+    * behind a 13 MB parquet file.
+    */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
                                idCol: String, vecCol: String, k: Int,
                                nprobe: Int, centroids: DataFrame,
@@ -329,10 +370,14 @@ object Similarity {
       .select(col("cid").cast("long"), col("cvec"), col("cnorm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-    val cells = assignCells(corpus, idCol, vecCol, cents)
-    val q = queries.select(col(idCol).as("qid"),
-      col(vecCol).cast("array<double>").as("qvec"),
-      vec_norm(col(vecCol)).as("qnorm"))
+    val cells = assignCells(ensureParallelism(corpus), idCol, vecCol, cents)
+    // probe-side selection is the same O(nlist) dots per row — when the
+    // probe side IS the corpus (kNN graph), it needs the same guard
+    val qSrc = if (broadcastProbes) queries else ensureParallelism(queries)
+    val q = qSrc.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"),
+        vec_norm(col(vecCol)).as("qnorm"))
     // Top-nprobe cells per query: one loop-shaped VecTopIds selection over
     // the dots array — cos desc with ties to the smallest cid, identical
     // to the sort-reverse-slice-over-structs order it replaces, but with
@@ -343,15 +388,68 @@ object Similarity {
       .withColumn("cid", explode(graft.functions.VectorFunctions.vec_top_ids(
         col("__cd"), col("qnorm"), cents.map(_._3), cents.map(_._1), nprobe)))
       .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
-    val probesSide = if (broadcastProbes) broadcast(probes) else probes
-    val scored = cells.join(probesSide, Seq("cid"))
-      .filter(col("id") =!= col("qid"))
-      .withColumn("cosine",
-        cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "rank")
+    val scored =
+      if (broadcastProbes)
+        // small query set: broadcast the probe table, score in the join
+        // projection, keep only (qid, id, cosine) — the rank window's qid
+        // exchange must never carry the vectors
+        cells.join(broadcast(probes), Seq("cid"))
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm"))
+              .as("cosine"))
+      else cellCoGroupScores(cells, probes, k)
+    rankTopK(scored, k)
+  }
+
+  /** Corpus-sized probe side (kNN graph): score by CO-GROUPING both sides
+    * on the cell id instead of a row-level join. A row-level cid join
+    * materializes |members|·|probes-per-cell| joined rows each CARRYING
+    * two embedding vectors (~1 KB/pair — 17 GB of vector copies for 31M
+    * pairs at the sf1 probe, and Spark's misestimate of the exploded
+    * probe side even chose to BROADCAST its 220 MB). Here each side
+    * shuffles ONCE, keyed by cid (vectors travel once per (vector, cell),
+    * never per pair); the per-cell member/query lists join as nlist tiny
+    * rows, and a fused loop computes the dots and keeps per-(query, cell)
+    * top-k — only (qid, id, cosine) tuples ever leave, ≤ k·nprobe per
+    * query. Arithmetic is bit-identical to the VecDot path (ascending
+    * accumulation, mul-then-div, nan-safe ordering with id tiebreak), so
+    * the DuckDB oracle replay is unaffected. Per-cell buffers are bounded
+    * by cell size — nlist must grow with the corpus (see [[knnGraph]]),
+    * which also bounds this kernel.
+    */
+  private def cellCoGroupScores(cells: DataFrame, probes: DataFrame, k: Int,
+                                cellCap: Int = 1024): DataFrame = {
+    import graft.functions.VectorFunctions.cell_top_k
+    // Adaptive hot-cell salting: a skewed cell (boilerplate embeddings,
+    // a mis-seeded centroid) would otherwise land its ENTIRE member ×
+    // probe product in one kernel row = one task — AQE cannot split a
+    // single row. Cells over `cellCap` members split into
+    // ceil(n/cellCap) salts (members hash-partitioned, probe lists
+    // replicated per salt — cost proportional to actual skew, zero for
+    // balanced cells); per-(query, salt) top-k is a superset selection,
+    // so the global rank window downstream keeps results EXACT.
+    val salts = cells.groupBy("cid")
+      .agg(ceil(count(lit(1)) / lit(cellCap)).cast("int").as("__salts"))
+    val mSalted = cells.join(broadcast(salts), Seq("cid"))
+      .withColumn("__salt", pmod(hash(col("id")), col("__salts")))
+    val qSalted = probes.join(broadcast(salts), Seq("cid"))
+      .withColumn("__salt", explode(expr("sequence(0, __salts - 1)")))
+    val cellsAgg = mSalted.groupBy("cid", "__salt")
+      .agg(collect_list(struct(col("id"), col("vec"), col("norm"))).as("ms"))
+    val probesAgg = qSalted.groupBy("cid", "__salt")
+      .agg(collect_list(struct(col("qid"), col("qvec"), col("qnorm"))).as("qs"))
+    // merge-join hint: the join is ~nlist rows a side, but each row drags
+    // a cell-sized list — Spark's estimator happily BROADCASTS the probe
+    // lists (110 MB serial driver build at the sf1 probe, growing with
+    // the corpus); sorting tiny-count/fat-payload rows is free.
+    // The scoring kernel is the CellTopK expression — rows never leave
+    // Tungsten format (the typed-flatMap formulation spent ~5× the
+    // kernel's own runtime in DeserializeToObject).
+    cellsAgg.join(probesAgg.hint("merge"), Seq("cid", "__salt"))
+      .select(explode(cell_top_k(col("ms"), col("qs"), k)).as("e"))
+      .select(col("e.qid").as("qid"), col("e.id").as("id"),
+        col("e.cos").as("cosine"))
   }
 
   // ------------------------------------------------------- product quant
@@ -517,11 +615,15 @@ object Similarity {
     val q = q0.select(col("qid"),
       graft.functions.VectorFunctions.vec_dot_matrix(
         col("__q"), lutRows, rowStarts = lutStarts).as("lut"))
+    // ADC score inside the join projection, keeping only (qid, id, score):
+    // the shortlist window's qid exchange must not carry the m·ks-double
+    // LUT (≈1 KB/row) or the code arrays — same rule as rankTopK
     val adc = codes.join(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("score", expr(
+      .select(col("qid"), col("id"), expr(
         s"aggregate(sequence(0, ${mEff - 1}), 0D, " +
-        s"(acc, s) -> acc + element_at(lut, s * $ksEff + element_at(code, s + 1) + 1))"))
+        s"(acc, s) -> acc + element_at(lut, s * $ksEff + element_at(code, s + 1) + 1))")
+        .as("score"))
     val wAdc = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     val shortlist = adc.withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= k * rerank)
@@ -532,12 +634,10 @@ object Similarity {
     val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
       vec_norm(col(vecCol)).as("__qn"))
     val exact = shortlist.join(cv, Seq("id")).join(broadcast(qv), Seq("qid"))
-      .withColumn("cosine",
-        cosineFromNorms(col("__cv"), col("__cn"), col("__qv"), col("__qn")))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "rank")
+      .select(col("qid"), col("id"),
+        cosineFromNorms(col("__cv"), col("__cn"), col("__qv"), col("__qn"))
+          .as("cosine"))
+    rankTopK(exact, k)
   }
 
   /** Exact all-pairs cosine (a < b), norms precomputed per side. Quadratic —
