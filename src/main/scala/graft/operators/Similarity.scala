@@ -322,17 +322,20 @@ object Similarity {
     * query stay bounded by the nprobe/nlist fraction.
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               nlist: Int = 0, nprobe: Int = 4): DataFrame = {
+               nlist: Int = 0, nprobe: Int = 4,
+               cellCap: Int = 1024): DataFrame = {
     // nlist <= 0 ⇒ derived from the corpus size (one count action): the
     // cell key is both the join parallelism and the per-query candidate
     // bound, so a FIXED default is a footgun — 16 cells measured ~6×
     // slower than 64 on a 50k corpus (round-4 notes), and the degenerate
     // regime worsens with scale. √n cells ⇒ ~√n vectors/cell: candidate
     // work per query stays O(nprobe·√n) instead of O(nprobe·n/16).
+    // `cellCap` bounds the members a single scoring task handles: hotter
+    // cells split into hash salts (see cellCoGroupScores), results exact.
     val nl = if (nlist > 0) nlist else derivedNlist(corpus.count())
     ivfWithCentroids(corpus, corpus, idCol, vecCol, k, nprobe,
       idSampledCentroids(corpus, idCol, vecCol, nl),
-      broadcastProbes = false)
+      broadcastProbes = false, cellCap = cellCap)
   }
 
   /** Scale-derived cell count: `max(16, ⌈√n⌉)` — balances per-cell size
@@ -365,7 +368,8 @@ object Similarity {
   private def ivfWithCentroids(corpus: DataFrame, queries: DataFrame,
                                idCol: String, vecCol: String, k: Int,
                                nprobe: Int, centroids: DataFrame,
-                               broadcastProbes: Boolean = true): DataFrame = {
+                               broadcastProbes: Boolean = true,
+                               cellCap: Int = 1024): DataFrame = {
     val cents = centroids
       .select(col("cid").cast("long"), col("cvec"), col("cnorm"))
       .collect()
@@ -398,7 +402,7 @@ object Similarity {
           .select(col("qid"), col("id"),
             cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm"))
               .as("cosine"))
-      else cellCoGroupScores(cells, probes, k)
+      else cellCoGroupScores(cells, probes, k, cellCap)
     rankTopK(scored, k)
   }
 
@@ -421,6 +425,7 @@ object Similarity {
   private def cellCoGroupScores(cells: DataFrame, probes: DataFrame, k: Int,
                                 cellCap: Int = 1024): DataFrame = {
     import graft.functions.VectorFunctions.cell_top_k
+    require(cellCap >= 1, s"cellCap must be >= 1, got $cellCap")
     // Adaptive hot-cell salting: a skewed cell (boilerplate embeddings,
     // a mis-seeded centroid) would otherwise land its ENTIRE member ×
     // probe product in one kernel row = one task — AQE cannot split a

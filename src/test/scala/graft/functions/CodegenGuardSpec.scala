@@ -53,6 +53,20 @@ class CodegenGuardSpec extends AnyFunSuite {
     assert(Similarity.knnGraph(emb, "vec_id", "embedding", k = 3).count() > 0)
   }
 
+  test("hot-cell salting is exact: a tiny cellCap reproduces the unsalted graph") {
+    // 300 vectors in 8 cells (~37 members each); cellCap=5 forces ~8
+    // salts per cell, so every cell goes through the split path — the
+    // per-salt top-k union must reduce to the identical edge list
+    val emb = corpus(300, 32)
+    def edges(cap: Int) =
+      Similarity.knnGraph(emb, "vec_id", "embedding", 4,
+          nlist = 8, nprobe = 3, cellCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val unsalted = edges(Int.MaxValue)
+    assert(unsalted.nonEmpty)
+    assert(edges(5) == unsalted)
+  }
+
   test("PQ encode compiles at ks=64 (zero codegen errors)") {
     CodegenErrors.install()
     val before = CodegenErrors.total
