@@ -338,6 +338,32 @@ object Similarity {
       broadcastProbes = false, cellCap = cellCap)
   }
 
+  /** Mutual-kNN connected components — the graph-based curation step the
+    * kNN edge list exists for: an undirected edge survives only when BOTH
+    * endpoints rank each other in their top-k (mutuality prunes hub/
+    * boundary edges, the standard kNN-graph cleanup), and components are
+    * resolved with [[Dedup.duplicateClusters]]'s pointer-jumping
+    * min-label propagation. Output: (doc_id, cluster_id, n_members,
+    * keep) — keep marks the smallest-id exemplar; singleton vectors (no
+    * mutual edge) are absent, they are their own component.
+    *
+    * Scale shape: the edge list is O(n·k) compact rows (checkpointed once
+    * — it feeds both direction tables), the mutuality check is a
+    * self-semi-join on (qid, id), and CC shuffles only (id, label) pairs
+    * — nothing downstream of the kNN graph ever touches a vector.
+    */
+  def mutualKnnComponents(corpus: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nlist: Int = 0, nprobe: Int = 4,
+                          cellCap: Int = 1024): DataFrame = {
+    val edges = knnGraph(corpus, idCol, vecCol, k, nlist, nprobe, cellCap)
+      .select("qid", "id").localCheckpoint(true)
+    val rev = edges.select(col("id").as("qid"), col("qid").as("id"))
+    val mutual = edges.join(rev, Seq("qid", "id"), "left_semi")
+      .filter(col("qid") < col("id"))
+      .select(col("qid").as("a"), col("id").as("b"))
+    Dedup.duplicateClusters(mutual)
+  }
+
   /** Scale-derived cell count: `max(16, ⌈√n⌉)` — balances per-cell size
     * against probe fan-out; package-private so the spec can pin it.
     */

@@ -1104,6 +1104,18 @@ object QueryCatalog {
           nlist = 64, nprobe = 8)
         .orderBy("qid", "rank")),
 
+    "x_knn_components" -> ((s, dir) =>
+      // Graph-based curation on the kNN edge list: keep only MUTUAL
+      // top-k edges (hub/boundary pruning), resolve connected components
+      // by pointer-jumping CC, keep the smallest-id exemplar — the
+      // SemDeDup-adjacent "cluster the neighborhood graph" primitive.
+      // Fully oracle-replayed: IVF edges + mutuality + recursive-CTE CC.
+      Similarity.mutualKnnComponents(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 5, nlist = 64, nprobe = 8)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("n_members"), col("keep"))
+        .orderBy("vec_id")),
+
     "x_quality_topquartile" -> ((s, dir) => {
       // Relative quality gate: top 25% per language by stopword ratio,
       // integer rank-vs-count test (no percentile estimate).
@@ -1499,8 +1511,8 @@ object QueryCatalog {
     // loads, ascending dot accumulation, mul-then-div), so assignment,
     // probing, and ranking replay hash-exactly — the same trust the
     // x_sim_topk oracle already established for list_dot_product.
-    def ivfReplaySql(nlist: Int, nprobe: Int, k: Int, queryPred: String) =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    def ivfKnnCtes(nlist: Int, nprobe: Int, k: Int, queryPred: String) =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE nrm > 0
          |          ORDER BY vec_id LIMIT $nlist),
@@ -1525,12 +1537,15 @@ object QueryCatalog {
          |  FROM probe p JOIN q ON q.qid = p.qid
          |  JOIN cell ce ON ce.cid = p.cid
          |  JOIN n nv ON nv.vec_id = ce.vec_id
-         |  WHERE ce.vec_id <> q.qid)
-         |SELECT qid, id, rank FROM (
+         |  WHERE ce.vec_id <> q.qid),
+         |knn AS (SELECT qid, id, rank FROM (
          |  SELECT qid, id,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
-         |  FROM cand) WHERE rank <= $k
-         |ORDER BY qid, rank""".stripMargin
+         |  FROM cand) WHERE rank <= $k)""".stripMargin
+
+    def ivfReplaySql(nlist: Int, nprobe: Int, k: Int, queryPred: String) =
+      s"""WITH ${ivfKnnCtes(nlist, nprobe, k, queryPred)}
+         |SELECT qid, id, rank FROM knn ORDER BY qid, rank""".stripMargin
 
     Map(
       "x_sim_ivf" -> ivfReplaySql(nlist = 16, nprobe = 4, k = 10,
@@ -1538,6 +1553,28 @@ object QueryCatalog {
 
       "x_knn_graph" -> ivfReplaySql(nlist = 64, nprobe = 8, k = 5,
         queryPred = "TRUE"),
+
+      "x_knn_components" ->
+        s"""WITH RECURSIVE ${ivfKnnCtes(nlist = 64, nprobe = 8, k = 5,
+             queryPred = "TRUE")},
+           |mutual AS (SELECT k1.qid AS a, k1.id AS b
+           |             FROM knn k1 JOIN knn k2
+           |               ON k2.qid = k1.id AND k2.id = k1.qid
+           |            WHERE k1.qid < k1.id),
+           |edges AS (SELECT a AS src, b AS dst FROM mutual
+           |          UNION SELECT b, a FROM mutual),
+           |reach AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e2.dst, r.label FROM reach r JOIN edges e2 ON e2.src = r.node),
+           |lab AS (SELECT node AS vec_id, min(label) AS cluster_id
+           |          FROM reach GROUP BY node),
+           |csizes AS (SELECT cluster_id, count(*) AS n_members
+           |             FROM lab GROUP BY cluster_id)
+           |SELECT l.vec_id, l.cluster_id, s.n_members,
+           |       l.vec_id = l.cluster_id AS keep
+           |FROM lab l JOIN csizes s USING (cluster_id)
+           |ORDER BY l.vec_id""".stripMargin,
 
       "x_dedup_exact" ->
         """WITH all_docs AS (
