@@ -176,7 +176,11 @@ object Similarity {
   /** Approximate top-k via `tables` independent random-hyperplane hash
     * tables of `planes` bits each. Candidates = same (table, signature)
     * bucket as the query in any table, exactly re-ranked. Output: qid, id,
-    * rank.
+    * rank. Signature bits come from the QUANTIZED dots (`floor(x·10⁶)`,
+    * exact integer sums — see [[quantize]]): the sign of a raw float
+    * accumulation near zero hinges on rounding order, the quantized sign
+    * never does, which is what lets DuckDB replay the bucket assignment
+    * (and the whole query) hash-exactly.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 12, planes: Int = 4): DataFrame = {
@@ -192,10 +196,10 @@ object Similarity {
       hyperplane(i / planes, i % planes, dim))
     def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame = {
       val base = df.select(col(idCol).as(idAs),
-        col(vecCol).cast("array<double>").as(vecAs),
+        col(vecCol).as(vecAs),
         vec_norm(col(vecCol)).as(normAs))
         .withColumn("__hd", graft.functions.VectorFunctions.vec_dot_matrix(
-          col(vecAs), mat))
+          col(vecAs), mat, quantize = true))
       val sigs = sigBits(col("__hd"), tables, planes)
       base.select(col(idAs), col(vecAs), col(normAs), explode(array(
         (0 until tables).map(t =>

@@ -168,8 +168,8 @@ object QueryCatalog {
   private val semCellCap = 250
   private val semThreshNum = 2L
   private val semThreshDen = 5L
-  private def hpSigSql(tbl: Int): String =
-    (0 until hpPlanes).map { p =>
+  private def hpSigSql(tbl: Int, planes: Int = hpPlanes): String =
+    (0 until planes).map { p =>
       val w = Similarity.hyperplane(tbl, p, hpDim)
         .map(x => x.toLong.toString + ".0").mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(q, $w) >= 0 THEN '1' ELSE '0' END)"
@@ -1343,7 +1343,7 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
-    "x_sim_ann_lsh" -> ((s, dir) => { // no SQL oracle: approximate by design
+    "x_sim_ann_lsh" -> ((s, dir) => { // oracle: full quantized-LSH replay
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10)
@@ -2144,6 +2144,34 @@ object QueryCatalog {
            |  ${(0 until 16).map(i =>
               s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
            |FROM votes ORDER BY doc_id""".stripMargin,
+
+      "x_sim_ann_lsh" -> {
+        // Full LSH-ANN replay: quantized-hyperplane bucket assignment
+        // (12 tables × 4 planes — exact integer dot signs, same literals
+        // the operator plans with), shared-bucket candidates, exact
+        // cosine re-rank. Same signature trust as x_dedup_embedding_pairs.
+        val sigUnion = (0 until 12).map(tb =>
+          s"SELECT vec_id, $tb AS t, ${hpSigSql(tb, planes = 4)} AS sig FROM qv")
+          .mkString("\nUNION ALL\n")
+        s"""WITH qv AS (SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS q
+           |       FROM embeddings),
+           |stacked AS (
+           |$sigUnion),
+           |qs AS (SELECT vec_id AS qid, t, sig FROM stacked WHERE vec_id < 5),
+           |cand AS (SELECT DISTINCT s.vec_id AS id, q2.qid
+           |           FROM stacked s JOIN qs q2 ON s.t = q2.t AND s.sig = q2.sig
+           |          WHERE s.vec_id <> q2.qid),
+           |p AS (SELECT cand.qid, cand.id,
+           |        list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+           |      FROM cand JOIN embeddings ec ON ec.vec_id = cand.id
+           |                JOIN embeddings eq ON eq.vec_id = cand.qid),
+           |r AS (SELECT qid, id,
+           |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |      FROM p)
+           |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+      },
 
       "x_dedup_embedding_pairs" -> {
         val sigUnion = (0 until hpTables).map(tb =>

@@ -26,7 +26,6 @@ class CatalogConsistencySpec extends AnyFunSuite {
   test("rows-only queries are exactly the known approximate/stub set") {
     assert(all.keySet -- oracles.keySet == Set(
       "x_approx_distinct",   // HLL sketch (engine-specific)
-      "x_sim_ann_lsh",       // approximate by design
       "x_sim_ivf_trained",   // approximate by design (k-means centroids)
       "x_sim_pq",            // approximate by design
       "x_multimodal_frames",   // real BMP decode, pinned by ScalaTest
