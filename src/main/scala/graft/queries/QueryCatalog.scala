@@ -1407,7 +1407,7 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
-    "x_sim_pq" -> ((s, dir) => { // approximate by design: rows-only oracle
+    "x_sim_pq" -> ((s, dir) => { // oracle: full PQ train/encode/ADC replay
       // Product-quantization ADC scan + exact re-rank: the corpus scans as
       // m-byte codes (projection-encoded, zero shuffle) and only the
       // shortlist touches true float vectors — the memory-side ANN scale path.
@@ -2172,6 +2172,60 @@ object QueryCatalog {
            |      FROM p)
            |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
       },
+
+      "x_sim_pq" ->
+        // Full product-quantization replay: codebooks (unit-normalized
+        // subvectors of the 16 smallest-id vectors), per-subspace argmax
+        // coding (2·dot − ‖cb‖², ties to smallest j), per-query LUT, ADC
+        // shortlist, exact cosine re-rank. The ADC sum is replayed as an
+        // s-ORDERED list fold (0.0 + d1 + … + d8) — plain SQL sum() has
+        // no defined order and a float sum is order-sensitive; Spark's
+        // aggregate() folds ascending from 0.0.
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+          |u AS (SELECT vec_id,
+          |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
+          |      FROM n),
+          |cbsrc AS (SELECT u.uv,
+          |            row_number() OVER (ORDER BY u.vec_id) - 1 AS j
+          |          FROM u JOIN (SELECT vec_id FROM n WHERE v IS NOT NULL
+          |                       ORDER BY vec_id LIMIT 16) s USING (vec_id)),
+          |cb AS (SELECT ss.s, c.j, c.uv[ss.s * 8 + 1 : ss.s * 8 + 8] AS cvec
+          |       FROM (SELECT unnest(range(0, 8)) AS s) ss CROSS JOIN cbsrc c),
+          |cbn AS (SELECT s, j, cvec, list_dot_product(cvec, cvec) AS n2 FROM cb),
+          |subdots AS (SELECT u.vec_id, c.s, c.j,
+          |    list_dot_product(u.uv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) * 2 - c.n2 AS score
+          |  FROM u CROSS JOIN cbn c),
+          |codes AS (SELECT vec_id, s, j AS code FROM (
+          |    SELECT vec_id, s, j,
+          |           row_number() OVER (PARTITION BY vec_id, s
+          |                              ORDER BY score DESC, j) AS rn
+          |    FROM subdots) WHERE rn = 1),
+          |q0 AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
+          |lut AS (SELECT q0.qid, c.s, c.j,
+          |          list_dot_product(q0.quv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) AS d
+          |        FROM q0 CROSS JOIN cbn c),
+          |adc AS (SELECT l.qid, co.vec_id AS id, list(l.d ORDER BY l.s) AS ds
+          |        FROM codes co JOIN lut l ON l.s = co.s AND l.j = co.code
+          |        WHERE co.vec_id <> l.qid
+          |        GROUP BY l.qid, co.vec_id),
+          |scored AS (SELECT qid, id,
+          |    0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8] AS score
+          |  FROM adc),
+          |short AS (SELECT qid, id FROM (
+          |    SELECT qid, id,
+          |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+          |    FROM scored) WHERE rk <= 40),
+          |exact AS (SELECT sh.qid, sh.id,
+          |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+          |          FROM short sh
+          |          JOIN embeddings ec ON ec.vec_id = sh.id
+          |          JOIN embeddings eq ON eq.vec_id = sh.qid)
+          |SELECT qid, id, rank FROM (
+          |  SELECT qid, id,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+          |  FROM exact) WHERE rank <= 10
+          |ORDER BY qid, rank""".stripMargin,
 
       "x_dedup_embedding_pairs" -> {
         val sigUnion = (0 until hpTables).map(tb =>

@@ -27,7 +27,6 @@ class CatalogConsistencySpec extends AnyFunSuite {
     assert(all.keySet -- oracles.keySet == Set(
       "x_approx_distinct",   // HLL sketch (engine-specific)
       "x_sim_ivf_trained",   // approximate by design (k-means centroids)
-      "x_sim_pq",            // approximate by design
       "x_multimodal_frames",   // real BMP decode, pinned by ScalaTest
       "x_multimodal_features", // decoded-pixel features → ANN, pinned by ScalaTest
       "x_multimodal_audio",    // real WAV decode, pinned by ScalaTest
