@@ -299,6 +299,139 @@ object TextAnalysis {
         (-avg(log2(col("p")))).as("avg_surprisal"))
   }
 
+  /** Linear Naive-Bayes-margin quality classifier — the integer-exact
+    * cousin of the fastText-style quality filters used to gate
+    * pre-training corpora (GPT-3/CCNet-style "looks like the curated
+    * set" scoring): train per-token rate differences on a labeled
+    * good/bad split, then score every document by its summed margin.
+    *
+    * weight(t) = (c_good(t)·10⁶ div N_good) − (c_bad(t)·10⁶ div N_bad)
+    * — per-million token rates under integer floor-division, so every
+    * weight (and therefore every document score) is exactly replayable
+    * in any SQL engine; the classic log-odds weighting needs ln and is
+    * not bit-reproducible cross-engine.
+    * score(d) = Σ_{tokens of d, with multiplicity} weight(t); tokens
+    * unseen in training weigh 0; label = score > 0.
+    *
+    * Scale shape: the model is a vocab-sized (token, weight) table —
+    * broadcast. Documents explode once to (id, token), join the
+    * broadcast model, and partial-aggregate the Long sum per document;
+    * the corpus never shuffles. Weights are bounded by ±10⁶ so a doc
+    * score is bounded by 10⁶·n_tokens — no overflow this side of a
+    * 10¹²-token document.
+    */
+  def nbQualityScore(docs: DataFrame, good: DataFrame, bad: DataFrame,
+                     idCol: String, textCol: String,
+                     broadcastModel: Boolean = true): DataFrame = {
+    def toks(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(cols :+ explode(split(col(textCol), " ")).as("tok"): _*)
+    def counts(df: DataFrame, cName: String): DataFrame =
+      toks(df, Seq.empty).groupBy("tok").agg(count(lit(1)).as(cName))
+    // one-row driver probes: the two training-corpus token totals are
+    // scalars baked into the rate denominators (same pattern as the
+    // surprisal vocab probe)
+    val nGood = toks(good, Seq.empty).count()
+    val nBad = toks(bad, Seq.empty).count()
+    require(nGood > 0 && nBad > 0,
+      "nbQualityScore needs non-empty good and bad training corpora")
+    val model = counts(good, "c_good")
+      .join(counts(bad, "c_bad"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (expr(s"coalesce(c_good, 0L) * 1000000L div ${nGood}L") -
+         expr(s"coalesce(c_bad, 0L) * 1000000L div ${nBad}L")).as("weight"))
+    val m = if (broadcastModel) broadcast(model) else model
+    toks(docs, Seq(col(idCol)))
+      .join(m, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight"), lit(0L))).as("score"))
+      .withColumn("label", (col("score") > 0).cast("int"))
+  }
+
+  /** BM25 top-`k` retrieval — score a small query set against the corpus
+    * with Okapi BM25 (k1, b defaults per Robertson/Spärck Jones), using
+    * the rational idf variant idf(t) = (N − df + ½)/(df + ½) (no log:
+    * the division of small exact values is correctly rounded and
+    * therefore bit-identical across engines, same trade the tf·idf
+    * operator makes).
+    *
+    * Float-sum determinism: the per-term BM25 contributions are folded
+    * in TOKEN order via `aggregate(sort_array(...), 0.0, +)` — a plain
+    * SUM has no defined order and float addition is order-sensitive.
+    * The oracle replays the identical left fold with `list_reduce(list(
+    * ... ORDER BY tok))`.
+    *
+    * Scale shape: queries are a broadcast-sized term list; df and avgdl
+    * are token-keyed corpus aggregates computed once; the (doc, token)
+    * tf table is the big side and joins the query terms on the token key
+    * (high cardinality, well distributed); the per-(query, doc) group is
+    * bounded by |query terms|. Ranking partitions by query — never hot.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+               idCol: String, textCol: String,
+               qidCol: String, qtextCol: String, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfT = toks.select("id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    // one-row driver probe: N docs and total tokens → avgdl, one exact
+    // Long-to-Double division baked as a literal
+    val probe = docs.agg(count(lit(1)),
+      sum(size(split(col(textCol), " ")))).first()
+    val nDocs = probe.getLong(0)
+    require(nDocs > 0, "bm25TopK needs a non-empty corpus")
+    val avgdl = probe.getLong(1).toDouble / nDocs.toDouble
+    val qTerms = queries.select(col(qidCol).as("qid"),
+        explode(split(col(qtextCol), " ")).as("tok"))
+      .distinct()
+    // per-(query, doc, term) BM25 contribution — parenthesization is the
+    // cross-engine contract, mirrored exactly in the oracle SQL
+    val term =
+      ((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl))))
+    val contrib = broadcast(qTerms)
+      .join(tf, Seq("tok"))
+      .join(dfT, Seq("tok"))
+      .join(dl, Seq("id"))
+      .select(col("qid"), col("id"), struct(col("tok"), term.as("t")).as("c"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    contrib.groupBy("qid", "id")
+      .agg(expr("aggregate(sort_array(collect_list(c)), 0.0D, (a, x) -> a + x.t)")
+        .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank")
+  }
+
+  /** One round of byte-pair-encoding vocabulary induction: the
+    * adjacent-symbol-pair frequency table over the corpus, weighted by
+    * word frequency — the top row is the first BPE merge; iterating this
+    * transform is exactly the classic tokenizer-training loop
+    * (Sennrich et al.'s algorithm, public knowledge).
+    *
+    * Scale shape: words aggregate to a vocab-sized (word, freq) table
+    * first, so pair extraction runs once per DISTINCT word, not once per
+    * occurrence; the pair aggregate is over the tiny symbol-pair space
+    * and plans as a partial-aggregated groupBy + TakeOrdered top-k.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      // sequence(1, len-1) is DESCENDING for len < 2 — filter first
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Corpus-level rollup by a grouping column (e.g. source or lang). */
   def corpusStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
     docs.groupBy(col(groupCol)).agg(

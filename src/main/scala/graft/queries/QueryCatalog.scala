@@ -1438,6 +1438,31 @@ object QueryCatalog {
           "doc_id", "text", 3)
         .orderBy("doc_id", "rk")),
 
+    "x_quality_classifier" -> ((s, dir) => { // integer-exact NB-margin filter
+      // fastText-style corpus quality gate: train per-token rate margins
+      // on a labeled split (src0 = curated, rest = raw), score every doc
+      val docs = t(s, dir, "documents")
+      TextAnalysis.nbQualityScore(docs,
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "x_text_bm25" -> ((s, dir) => { // BM25 retrieval, rational idf
+      // 3 query docs (first-5-token prefixes) ranked against the corpus;
+      // per-term float contributions folded in token order for the oracle
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_bpe_pairs" -> ((s, dir) =>
+      // round 1 of BPE tokenizer training: top adjacent-symbol pairs
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", 50)),
+
     "x_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
         .orderBy("source")),
@@ -2328,6 +2353,71 @@ object QueryCatalog {
           |           FROM tf JOIN df USING (tok))
           |SELECT doc_id, tok, tf, df, CAST(rk AS INTEGER) AS rk
           |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+      "x_quality_classifier" ->
+        // integer floor-division rate margins (// ≡ Spark's div on
+        // non-negative counts); sum(BIGINT) is HUGEINT in DuckDB → cast
+        """WITH toks AS (SELECT doc_id, source,
+          |         unnest(string_split(text, ' ')) AS tok FROM documents),
+          |g AS (SELECT tok, count(*) AS c FROM toks WHERE source = 'src0' GROUP BY tok),
+          |bd AS (SELECT tok, count(*) AS c FROM toks WHERE source <> 'src0' GROUP BY tok),
+          |ng AS (SELECT count(*) AS n FROM toks WHERE source = 'src0'),
+          |nb AS (SELECT count(*) AS n FROM toks WHERE source <> 'src0'),
+          |model AS (SELECT coalesce(g.tok, bd.tok) AS tok,
+          |    (coalesce(g.c, 0) * 1000000) // (SELECT n FROM ng)
+          |      - (coalesce(bd.c, 0) * 1000000) // (SELECT n FROM nb) AS weight
+          |  FROM g FULL OUTER JOIN bd ON g.tok = bd.tok)
+          |SELECT t.doc_id, count(*) AS n_tokens,
+          |  CAST(sum(coalesce(m.weight, 0)) AS BIGINT) AS score,
+          |  CAST(sum(coalesce(m.weight, 0)) > 0 AS INTEGER) AS label
+          |FROM toks t LEFT JOIN model m ON m.tok = t.tok
+          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+      "x_text_bm25" -> {
+        val k1 = 1.2; val b = 0.75
+        // constants interpolated from the SAME Scala doubles the Spark
+        // side bakes (shortest round-trip repr), so both engines parse
+        // identical bit patterns; the per-(query,doc) sum is a
+        // token-ordered left fold on both sides (list_reduce ≡
+        // aggregate(sort_array, 0.0, +) — 0.0 + x is exact for x > 0)
+        s"""WITH toks AS (SELECT doc_id AS id,
+           |         unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |df AS (SELECT tok, count(*) AS df FROM
+           |         (SELECT DISTINCT id, tok FROM toks) GROUP BY tok),
+           |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+           |           / CAST(count(*) AS DOUBLE) AS avgdl
+           |       FROM documents),
+           |q AS (SELECT DISTINCT doc_id AS qid,
+           |        unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+           |      FROM documents WHERE doc_id < 3),
+           |contrib AS (SELECT q.qid, tf.id, q.tok,
+           |    ((st.n - df.df + 0.5) / (df.df + 0.5))
+           |      * (tf.tf * ${k1 + 1.0})
+           |      / (tf.tf + $k1 * (${1.0 - b} + $b * (dl.dl / st.avgdl))) AS t
+           |  FROM q JOIN tf ON tf.tok = q.tok JOIN df ON df.tok = q.tok
+           |  JOIN dl ON dl.id = tf.id, st),
+           |scored AS (SELECT qid, id,
+           |    list_reduce(list(t ORDER BY tok), (a, x) -> a + x) AS score
+           |  FROM contrib GROUP BY qid, id),
+           |r AS (SELECT qid, id,
+           |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+           |      FROM scored)
+           |SELECT qid, id, CAST(rank AS INTEGER) AS rank
+           |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+      },
+
+      "x_bpe_pairs" ->
+        """WITH words AS (SELECT w, count(*) AS freq FROM
+          |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  GROUP BY w),
+          |pairs AS (SELECT freq,
+          |    unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair
+          |  FROM words WHERE length(w) >= 2)
+          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+          |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
       "x_text_stats" ->
         """SELECT doc_id, length(text) AS len_chars,

@@ -967,6 +967,63 @@ class OperatorSpec extends AnyFunSuite {
     assert(dfOfCat.sameElements(Array(2L)))
   }
 
+  test("nb quality classifier: margin sign tracks the training split") {
+    val good = Seq((1L, "clean prose clean prose"),
+      (2L, "clean text here")).toDF("doc_id", "text")
+    val bad = Seq((3L, "spam spam junk"), (4L, "junk spam")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "clean prose here"),   // all good-corpus tokens → positive
+      (11L, "spam junk spam"),     // all bad-corpus tokens → negative
+      (12L, "unseen words only")   // model misses → score 0, label 0
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.nbQualityScore(docs, good, bad, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getInt(3)).toSeq == Seq(1, 0, 0))
+    assert(r(0).getLong(2) > 0 && r(1).getLong(2) < 0 && r(2).getLong(2) == 0L)
+    // exact weight arithmetic: N_good=7, N_bad=5; "clean": 3·10⁶ div 7 =
+    // 428571; "spam": −(3·10⁶ div 5) = −600000
+    val w = TextAnalysis.nbQualityScore(
+      Seq((20L, "clean")).toDF("doc_id", "text"), good, bad, "doc_id", "text")
+      .select("score").as[Long].head()
+    assert(w == 3000000L / 7)
+    // the model side must broadcast — the corpus never shuffles for it
+    val plan = TextAnalysis.nbQualityScore(docs, good, bad, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.nbQualityScore(docs, good.limit(0), bad, "doc_id", "text")
+    }
+  }
+
+  test("bm25: rare-term match outranks common-term match, k respected") {
+    val docs = Seq(
+      (1L, "zebra stripes in the savanna"),
+      (2L, "the the the the the"),
+      (3L, "zebra zebra zebra stripes"),
+      (4L, "common words all around here")).toDF("doc_id", "text")
+    val qs = Seq((100L, "zebra stripes")).toDF("qid", "qtext")
+    val r = TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 2)
+      .orderBy("rank").collect()
+    // only docs 1 and 3 contain query terms; k=2 caps the list
+    assert(r.length == 2)
+    assert(r.map(_.getLong(1)).toSet == Set(1L, 3L))
+    // doc 2 (no query terms) never appears even with a big k
+    val all = TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 10)
+      .select("id").as[Long].collect().toSet
+    assert(!all.contains(2L) && !all.contains(4L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(docs.limit(0), qs, "doc_id", "text", "qid", "qtext")
+    }
+  }
+
+  test("bpe pair counts: occurrence-weighted adjacent pairs, 1-char words skipped") {
+    val docs = Seq((1L, "abc ab a"), (2L, "ab abc")).toDF("doc_id", "text")
+    // words: abc×2, ab×2, a×1(skipped) → "ab": 2+2 = 4, "bc": 2
+    val r = TextAnalysis.bpePairCounts(docs, "text", 10)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("ab" -> 4L, "bc" -> 2L))
+  }
+
   test("language id picks the language whose markers dominate") {
     val sample = Seq(
       (1L, "the cat and the dog of the house is big"),
