@@ -46,6 +46,35 @@ object Curation {
       .drop("__running")
   }
 
+  /** RAG-style overlapping token-window chunking: split each document
+    * into windows of `window` tokens advancing by `stride` (stride <
+    * window ⇒ overlap), the standard retrieval-corpus / long-context
+    * preprocessing step. Chunk starts are 0, s, 2s, …, ⌈(n−w)/s⌉·s — the
+    * final chunk may be short (the tail), and every token is covered.
+    *
+    * Pure integer arithmetic over split/sequence/slice — exactly
+    * replayable in any SQL engine — and a shuffle-free projection +
+    * explode: each document expands to ~n/s rows locally, so the op
+    * scales with corpus size, not corpus count.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window,
+      "stride must be in [1, window] — a stride past the window skips tokens")
+    docs.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        expr(s"""posexplode(transform(
+          sequence(0, (greatest(size(__toks) - $window, 0) + $stride - 1) div $stride),
+          i -> struct(i * $stride AS start_tok,
+                      slice(__toks, i * $stride + 1, $window) AS w)))""")
+          .as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id"),
+        col("c.start_tok").as("start_tok"),
+        size(col("c.w")).as("n_tokens"),
+        array_join(col("c.w"), " ").as("chunk"))
+  }
+
   /** Deterministic domain-mixture sampling: build a training mix with
     * target proportions per domain (web 60% / code 20% / books 20%…) over
     * a `total`-row budget. Each domain contributes `floor(total × weight)`

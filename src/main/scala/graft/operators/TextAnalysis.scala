@@ -407,6 +407,36 @@ object TextAnalysis {
       .select("qid", "id", "rank")
   }
 
+  /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.'s
+    * RRF, the standard hybrid lexical+dense fusion): score(q, d) =
+    * Σ_systems 1/(kk + rank) over the systems that returned d, re-ranked
+    * descending. Both inputs are (qid, id, rank) frames — e.g.
+    * [[bm25TopK]] and `Similarity.bruteForceTopK`.
+    *
+    * Bit-exact across engines by construction: 1/(kk+rank) is a
+    * correctly-rounded small-integer division, and the two-term sum has
+    * a fixed evaluation order (a-side + b-side).
+    *
+    * Scale shape: a full outer join on (qid, id) between two already-
+    * top-k'd (i.e. tiny) rankings, then a per-query rank window — both
+    * sides are k·|queries| rows regardless of corpus size.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10,
+              kk: Int = 60): DataFrame = {
+    require(kk > 0, "rrf constant must be positive")
+    def side(df: DataFrame, r: String) =
+      df.select(col("qid"), col("id"), col("rank").as(r))
+    val score =
+      coalesce(lit(1.0) / (lit(kk) + col("ra")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kk) + col("rb")), lit(0.0))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    side(a, "ra").join(side(b, "rb"), Seq("qid", "id"), "full_outer")
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank")
+  }
+
   /** One round of byte-pair-encoding vocabulary induction: the
     * adjacent-symbol-pair frequency table over the corpus, weighted by
     * word frequency — the top row is the first BPE merge; iterating this
@@ -431,6 +461,26 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
   }
+
+  /** Per-document subword token counts under a trained subword vocab —
+    * the "how many tokens is this corpus under MY tokenizer" step that
+    * token-budget selection and packing actually need (whitespace counts
+    * under-estimate; a real BPE vocab is the unit that matters). Words
+    * segment via [[graft.functions.SubwordEncode]] — greedy longest-match
+    * with single-char fallback, so counts are exact and lossless.
+    *
+    * Scale shape: the vocab rides the plan as a shared constant (one
+    * HashSet per executor, not per row), segmentation is a shuffle-free
+    * projection, and the only shuffle is the per-doc count aggregate.
+    */
+  def subwordTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: Seq[String]): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .select(col(idCol),
+        size(graft.functions.TextFunctions.subword_encode(col("w"),
+          vocab.toArray)).as("k"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("n_subwords"))
 
   /** Corpus-level rollup by a grouping column (e.g. source or lang). */
   def corpusStats(docs: DataFrame, groupCol: String, textCol: String): DataFrame =

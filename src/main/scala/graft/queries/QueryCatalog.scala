@@ -175,6 +175,56 @@ object QueryCatalog {
       s"(CASE WHEN list_dot_product(q, $w) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** BPE pair-induction oracle CTEs (shared by x_bpe_pairs and the
+    * subword tokenizer): ends in `bpt(pair, n)` — the top-`k` adjacent
+    * symbol pairs by occurrence-weighted count, ties to the smaller pair.
+    */
+  private def bpeCtes(k: Int): String =
+    s"""bpw AS (SELECT w, count(*) AS freq FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |bpp AS (SELECT freq,
+       |    unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair
+       |  FROM bpw WHERE length(w) >= 2),
+       |bpt AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+       |        FROM bpp GROUP BY pair ORDER BY n DESC, pair LIMIT $k)""".stripMargin
+
+  /** BM25 oracle CTE chain (shared by x_text_bm25 and the RRF hybrid):
+    * ends in a relation `lex(qid, id, rank)` ranked to `k` per query.
+    * Constants are interpolated from the SAME Scala doubles the Spark
+    * side bakes (shortest round-trip repr → identical bit patterns), and
+    * the per-(query, doc) sum is a token-ordered left fold on both sides
+    * (list_reduce ≡ aggregate(sort_array, 0.0, +); 0.0 + x is exact for
+    * x > 0).
+    */
+  private def bm25Ctes(k: Int, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""btoks AS (SELECT doc_id AS id,
+       |         unnest(string_split(text, ' ')) AS tok FROM documents),
+       |btf AS (SELECT id, tok, count(*) AS tf FROM btoks GROUP BY 1, 2),
+       |bdf AS (SELECT tok, count(*) AS df FROM
+       |         (SELECT DISTINCT id, tok FROM btoks) GROUP BY tok),
+       |bdl AS (SELECT id, count(*) AS dl FROM btoks GROUP BY id),
+       |bst AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+       |           / CAST(count(*) AS DOUBLE) AS avgdl
+       |       FROM documents),
+       |bq AS (SELECT DISTINCT doc_id AS qid,
+       |        unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+       |      FROM documents WHERE doc_id < 3),
+       |bcontrib AS (SELECT bq.qid, btf.id, bq.tok,
+       |    ((bst.n - bdf.df + 0.5) / (bdf.df + 0.5))
+       |      * (btf.tf * ${k1 + 1.0})
+       |      / (btf.tf + $k1 * (${1.0 - b} + $b * (bdl.dl / bst.avgdl))) AS t
+       |  FROM bq JOIN btf ON btf.tok = bq.tok JOIN bdf ON bdf.tok = bq.tok
+       |  JOIN bdl ON bdl.id = btf.id, bst),
+       |bscored AS (SELECT qid, id,
+       |    list_reduce(list(t ORDER BY tok), (a, x) -> a + x) AS score
+       |  FROM bcontrib GROUP BY qid, id),
+       |lex AS (SELECT qid, id, rank FROM
+       |        (SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |         FROM bscored) WHERE rank <= $k)""".stripMargin
+
   // ------------------------------------------------- reference surface
 
   val referenceQueries: Map[String, Q] = Map(
@@ -1463,6 +1513,36 @@ object QueryCatalog {
       // round 1 of BPE tokenizer training: top adjacent-symbol pairs
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", 50)),
 
+    "x_hybrid_retrieval" -> ((s, dir) => { // RRF lexical+dense hybrid
+      // Cormack-style reciprocal-rank fusion of BM25 and exact cosine
+      // top-20 lists (doc_id ≡ vec_id in the fixtures), re-ranked to 10
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      val lex = TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 20)
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 20)
+      TextAnalysis.rrfFuse(lex, dense, 10).orderBy("qid", "rank")
+    }),
+
+    "x_chunk_tokens" -> ((s, dir) =>
+      // RAG corpus prep: 32-token windows advancing by 24 (8-token overlap)
+      Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32, 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    "x_subword_tokenize" -> ((s, dir) => { // tokenizer-apply under BPE vocab
+      val docs = t(s, dir, "documents")
+      // model metadata: the induced 50-pair vocab is policy-sized — the
+      // driver collect is bounded like the domain-mix weight list; the
+      // corpus itself never collects
+      val vocab = TextAnalysis.bpePairCounts(docs, "text", 50)
+        .collect().map(_.getString(0)).toSeq
+      TextAnalysis.subwordTokenCounts(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
     "x_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
         .orderBy("source")),
@@ -2373,51 +2453,76 @@ object QueryCatalog {
           |FROM toks t LEFT JOIN model m ON m.tok = t.tok
           |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
-      "x_text_bm25" -> {
-        val k1 = 1.2; val b = 0.75
-        // constants interpolated from the SAME Scala doubles the Spark
-        // side bakes (shortest round-trip repr), so both engines parse
-        // identical bit patterns; the per-(query,doc) sum is a
-        // token-ordered left fold on both sides (list_reduce ≡
-        // aggregate(sort_array, 0.0, +) — 0.0 + x is exact for x > 0)
-        s"""WITH toks AS (SELECT doc_id AS id,
-           |         unnest(string_split(text, ' ')) AS tok FROM documents),
-           |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-           |df AS (SELECT tok, count(*) AS df FROM
-           |         (SELECT DISTINCT id, tok FROM toks) GROUP BY tok),
-           |dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
-           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-           |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
-           |           / CAST(count(*) AS DOUBLE) AS avgdl
-           |       FROM documents),
-           |q AS (SELECT DISTINCT doc_id AS qid,
-           |        unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
-           |      FROM documents WHERE doc_id < 3),
-           |contrib AS (SELECT q.qid, tf.id, q.tok,
-           |    ((st.n - df.df + 0.5) / (df.df + 0.5))
-           |      * (tf.tf * ${k1 + 1.0})
-           |      / (tf.tf + $k1 * (${1.0 - b} + $b * (dl.dl / st.avgdl))) AS t
-           |  FROM q JOIN tf ON tf.tok = q.tok JOIN df ON df.tok = q.tok
-           |  JOIN dl ON dl.id = tf.id, st),
-           |scored AS (SELECT qid, id,
-           |    list_reduce(list(t ORDER BY tok), (a, x) -> a + x) AS score
-           |  FROM contrib GROUP BY qid, id),
-           |r AS (SELECT qid, id,
-           |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
-           |      FROM scored)
+      "x_text_bm25" ->
+        s"""WITH ${bm25Ctes(10)}
            |SELECT qid, id, CAST(rank AS INTEGER) AS rank
-           |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-      },
+           |FROM lex ORDER BY qid, rank""".stripMargin,
+
+      "x_hybrid_retrieval" ->
+        // RRF = Σ 1/(60+rank): 1.0 must be cast to DOUBLE (a bare 1.0
+        // literal is DECIMAL in DuckDB and decimal division rounds
+        // differently); the two-term sum order (lex + dense) matches the
+        // Spark side exactly
+        s"""WITH ${bm25Ctes(20)},
+           |dq AS (SELECT vec_id AS qid, embedding AS qv
+           |       FROM embeddings WHERE vec_id < 3),
+           |dsc AS (SELECT dq.qid, e.vec_id AS id,
+           |          list_cosine_similarity(e.embedding, dq.qv) AS cos
+           |        FROM embeddings e, dq WHERE e.vec_id <> dq.qid),
+           |dense AS (SELECT qid, id, rank FROM
+           |          (SELECT qid, id,
+           |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |           FROM dsc) WHERE rank <= 20),
+           |fused AS (SELECT coalesce(l.qid, d.qid) AS qid,
+           |            coalesce(l.id, d.id) AS id,
+           |            coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), CAST(0.0 AS DOUBLE))
+           |              + coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank), CAST(0.0 AS DOUBLE)) AS score
+           |          FROM lex l FULL OUTER JOIN dense d
+           |            ON l.qid = d.qid AND l.id = d.id)
+           |SELECT qid, id, CAST(rank AS INTEGER) AS rank FROM
+           |  (SELECT qid, id,
+           |     row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+           |   FROM fused)
+           |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+      "x_chunk_tokens" ->
+        // chunk count = ⌈max(n−w, 0)/s⌉ + 1; // ≡ Spark div on
+        // non-negative ints; list_slice end-inclusive ≡ Spark slice(len)
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          |c AS (SELECT doc_id, toks,
+          |        unnest(range(0, (greatest(len(toks) - 32, 0) + 23) // 24 + 1)) AS i
+          |      FROM d)
+          |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+          |  i * 24 AS start_tok,
+          |  CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS INTEGER) AS n_tokens,
+          |  array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ') AS chunk
+          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
       "x_bpe_pairs" ->
-        """WITH words AS (SELECT w, count(*) AS freq FROM
-          |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-          |  GROUP BY w),
-          |pairs AS (SELECT freq,
-          |    unnest([substring(w, i, 2) for i in range(1, length(w))]) AS pair
-          |  FROM words WHERE length(w) >= 2)
-          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
-          |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+        s"""WITH ${bpeCtes(50)}
+           |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
+
+      "x_subword_tokenize" ->
+        // greedy longest-match segmentation replayed as a recursive CTE
+        // over (word, position) states: a matched vocab pair advances 2,
+        // otherwise 1 (the single-char fallback); k counts emitted
+        // subwords. Runs over DISTINCT words, then joins back per doc.
+        s"""WITH RECURSIVE ${bpeCtes(50)},
+           |words0 AS (SELECT doc_id,
+           |             unnest(string_split(text, ' ')) AS w FROM documents),
+           |dw AS (SELECT DISTINCT w FROM words0),
+           |seg AS (
+           |  SELECT w, 1 AS pos, 0 AS k FROM dw
+           |  UNION ALL
+           |  SELECT s.w, s.pos + (CASE WHEN v.pair IS NULL THEN 1 ELSE 2 END),
+           |         s.k + 1
+           |  FROM seg s LEFT JOIN bpt v ON v.pair = substring(s.w, s.pos, 2)
+           |  WHERE s.pos <= length(s.w)),
+           |done AS (SELECT w, k FROM seg WHERE pos = length(w) + 1)
+           |SELECT w0.doc_id, count(*) AS n_words,
+           |  CAST(sum(d.k) AS BIGINT) AS n_subwords
+           |FROM words0 w0 JOIN done d USING (w)
+           |GROUP BY w0.doc_id ORDER BY doc_id""".stripMargin,
 
       "x_text_stats" ->
         """SELECT doc_id, length(text) AS len_chars,

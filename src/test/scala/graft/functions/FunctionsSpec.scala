@@ -94,6 +94,36 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("subword_encode: greedy longest-match, char fallback, lossless concat") {
+    import graft.functions.TextFunctions.subword_encode
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val vocab = Array("ab", "bc", "abc")
+    // codegen path: longest match wins (abc, not ab+c); fallback chars
+    // pass through; empty string → empty array
+    val got = Seq("abcab", "xabcy", "zzz", "").toDF("w")
+      .select(subword_encode(col("w"), vocab).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("abc", "ab"), Seq("x", "abc", "y"),
+      Seq("z", "z", "z"), Seq.empty))
+    // every segmentation concatenates back to the input (no-UNK contract)
+    assert(got.zip(Seq("abcab", "xabcy", "zzz", "")).forall {
+      case (toks, w) => toks.mkString == w })
+    // interpreted path agrees with codegen
+    val interp = graft.functions.SubwordEncode(Literal("abcab"), vocab).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(interp.toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq == Seq("abc", "ab"))
+    // content-based equality: equal-content vocab arrays → equal expressions
+    assert(graft.functions.SubwordEncode(Literal("x"), vocab.clone()) ==
+      graft.functions.SubwordEncode(Literal("x"), vocab))
+    // empty vocab degrades to a char split
+    val chars = Seq("ab").toDF("w")
+      .select(subword_encode(col("w"), Array.empty[String]).as("t"))
+      .as[Seq[String]].head()
+    assert(chars == Seq("a", "b"))
+  }
+
   test("k-means-trained IVF recall is usable on unclustered data") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 10)

@@ -1024,6 +1024,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(r == Map("ab" -> 4L, "bc" -> 2L))
   }
 
+  test("chunk tokens: full coverage, overlap, short tail") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text") // 10 toks
+    val r = Curation.chunkTokens(docs, "doc_id", "text", 4, 3)
+      .orderBy("chunk_id").collect()
+    // starts 0,3,6: windows [a..d], [d..g], [g..j] — every token covered,
+    // 1-token overlap at each seam
+    assert(r.map(_.getLong(2)).toSeq == Seq(0L, 3L, 6L))
+    assert(r.map(_.getString(4)).toSeq ==
+      Seq("a b c d", "d e f g", "g h i j"))
+    // n=9 → last chunk is a short tail, not dropped
+    val tail9 = Curation.chunkTokens(
+      Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+      .orderBy("chunk_id").collect()
+    assert(tail9.last.getString(4) == "g h i" && tail9.last.getInt(3) == 3)
+    // doc shorter than the window → exactly one chunk
+    val short = Curation.chunkTokens(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 4, 3).collect()
+    assert(short.length == 1 && short.head.getString(4) == "a b")
+    intercept[IllegalArgumentException] {
+      Curation.chunkTokens(docs, "doc_id", "text", 4, 5) // stride > window
+    }
+  }
+
+  test("rrf fusion: two-list consensus outranks single-list hits") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("qid", "id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2)).toDF("qid", "id", "rank")
+    val r = TextAnalysis.rrfFuse(a, b, 10).orderBy("rank").collect()
+    // id 11 is in both lists (1/62 + 1/61) — must beat every single-list
+    // doc, including a's rank-1 (1/61)
+    assert(r.head.getLong(1) == 11L)
+    assert(r.map(_.getLong(1)).toSet == Set(10L, 11L, 12L, 13L))
+    // k caps the fused list
+    assert(TextAnalysis.rrfFuse(a, b, 2).count() == 2)
+    intercept[IllegalArgumentException] { TextAnalysis.rrfFuse(a, b, 2, kk = 0) }
+  }
+
   test("language id picks the language whose markers dominate") {
     val sample = Seq(
       (1L, "the cat and the dog of the house is big"),
