@@ -16,6 +16,46 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
+  /** Norm-outlier gate: flag embeddings whose L2 norm falls in the
+    * extreme `tailFrac` tails — the cheap sanity filter for corrupt /
+    * zero / exploding vectors before any ANN or dedup pass (a zeroed
+    * vector silently matches nothing; an exploding one dominates every
+    * dot product).
+    *
+    * Cutoffs are RANK-based, not percentile-function-based: the k-th
+    * smallest / largest norm (k = ⌈n·tailFrac⌉) via two TakeOrdered
+    * top-k's — no global sort, no single-partition window, and no
+    * engine-specific percentile interpolation semantics; ties at the
+    * cutoff flag identically in any engine. Norms are bit-exact
+    * (ascending-index dot + correctly-rounded sqrt), so the whole output
+    * is oracle-hashable.
+    *
+    * Scale shape: one corpus scan for norms, two k-row TakeOrdereds
+    * (k ≪ n), cutoffs rejoin as a broadcast 1-row bound — the corpus
+    * never sorts or shuffles.
+    */
+  def normOutliers(df: DataFrame, idCol: String, vecCol: String,
+                   tailFrac: Double = 0.01): DataFrame = {
+    require(tailFrac > 0 && tailFrac < 0.5,
+      s"tailFrac must be in (0, 0.5), got $tailFrac")
+    import graft.functions.VectorFunctions.vec_norm
+    val norms = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), vec_norm(col(vecCol)).as("norm"))
+    // one-row driver probe for n → k (same pattern as the bm25 avgdl probe)
+    val n = norms.count()
+    require(n > 0, "normOutliers needs a non-empty corpus")
+    val k = math.ceil(n * tailFrac).toLong.max(1L)
+    val lowCut = norms.orderBy(col("norm").asc, col(idCol).asc).limit(k.toInt)
+      .agg(max(col("norm")).as("low_cut"))
+    val highCut = norms.orderBy(col("norm").desc, col(idCol).desc).limit(k.toInt)
+      .agg(min(col("norm")).as("high_cut"))
+    norms.crossJoin(broadcast(lowCut)).crossJoin(broadcast(highCut))
+      .filter(col("norm") <= col("low_cut") || col("norm") >= col("high_cut"))
+      .select(col(idCol), col("norm"),
+        when(col("norm") <= col("low_cut"), lit("low")).otherwise(lit("high"))
+          .as("side"))
+  }
+
   /** Per-group elementwise mean: (group, n_vecs, centroid: Array[Double]).
     * Assembly sorts the (pos, mean) pairs per group — `array_sort` on a
     * struct array orders by the leading `pos` field, so the rebuilt array

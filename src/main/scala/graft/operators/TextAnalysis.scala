@@ -462,6 +462,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top drifting tokens between two corpora by the 2×2 chi-square
+    * statistic — the distribution-shift monitor for corpus refreshes
+    * (which tokens most distinguish snapshot A from snapshot B):
+    * χ²(t) = N·(a·N_B − b·N_A)² / (N_A·N_B·(a+b)·(N−a−b)), the standard
+    * contingency identity over (token-in-A, token-in-B) counts.
+    *
+    * Exactness: a·N_B − b·N_A is exact in Long (≤ ~10¹⁴ at 10⁷-token
+    * corpora) and converts to double exactly below 2⁵³; every subsequent
+    * multiply/divide is a correctly-rounded double op in a FIXED
+    * parenthesization mirrored by the oracle — bit-identical ranking.
+    *
+    * Scale shape: two vocab-keyed count aggregates, a full-outer join on
+    * the token, a projection, and a TakeOrdered top-k. No corpus rows
+    * move — only (token, count) pairs.
+    */
+  def driftTopTokens(a: DataFrame, b: DataFrame, textCol: String,
+                     k: Int = 50): DataFrame = {
+    def counts(df: DataFrame, cName: String): DataFrame =
+      df.select(explode(split(col(textCol), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(cName))
+    def total(df: DataFrame): Long = {
+      val r = df.select(sum(size(split(col(textCol), " ")))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // sum over zero rows is NULL
+    }
+    val na = total(a)
+    val nb = total(b)
+    require(na > 0 && nb > 0, "driftTopTokens needs two non-empty corpora")
+    val n = na + nb
+    val ca = coalesce(col("c_a"), lit(0L))
+    val cb = coalesce(col("c_b"), lit(0L))
+    val d = (ca * lit(nb) - cb * lit(na)).cast("double")
+    val chi = (lit(n.toDouble) * (d * d)) /
+      (((lit(na.toDouble) * lit(nb.toDouble)) * (ca + cb).cast("double")) *
+        (lit(n) - ca - cb).cast("double"))
+    counts(a, "c_a").join(counts(b, "c_b"), Seq("tok"), "full_outer")
+      .filter(ca + cb < n) // a token that is BOTH corpora entirely: χ² undefined
+      .select(col("tok"), ca.as("c_a"), cb.as("c_b"), chi.as("chi2"))
+      .orderBy(col("chi2").desc, col("tok"))
+      .limit(k)
+  }
+
   /** Per-document subword token counts under a trained subword vocab —
     * the "how many tokens is this corpus under MY tokenizer" step that
     * token-budget selection and packing actually need (whitespace counts

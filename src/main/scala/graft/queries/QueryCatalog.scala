@@ -1532,6 +1532,18 @@ object QueryCatalog {
       Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    "x_corpus_drift" -> ((s, dir) => { // chi-square distribution-shift monitor
+      val docs = t(s, dir, "documents")
+      TextAnalysis.driftTopTokens(docs.filter(col("source") === "src0"),
+        docs.filter(col("source") === "src1"), "text", 50)
+    }),
+
+    "x_emb_norm_outliers" -> ((s, dir) =>
+      // corrupt-vector gate: extreme 2% norm tails, rank-based cutoffs
+      Embeddings.normOutliers(t(s, dir, "embeddings"), "vec_id", "embedding",
+          0.02)
+        .orderBy("vec_id")),
+
     "x_subword_tokenize" -> ((s, dir) => { // tokenizer-apply under BPE vocab
       val docs = t(s, dir, "documents")
       // model metadata: the induced 50-pair vocab is policy-sized — the
@@ -2501,6 +2513,51 @@ object QueryCatalog {
       "x_bpe_pairs" ->
         s"""WITH ${bpeCtes(50)}
            |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
+
+      "x_corpus_drift" ->
+        // χ² = N·d²/((N_A·N_B)·(a+b)·(N−a−b)), d = a·N_B − b·N_A exact in
+        // BIGINT; every double op is correctly rounded in the SAME
+        // parenthesization as the Spark expression → bit-identical chi2
+        """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tok
+          |            FROM documents WHERE source = 'src0'),
+          |tb AS (SELECT unnest(string_split(text, ' ')) AS tok
+          |       FROM documents WHERE source = 'src1'),
+          |ca AS (SELECT tok, count(*) AS c FROM ta GROUP BY tok),
+          |cb AS (SELECT tok, count(*) AS c FROM tb GROUP BY tok),
+          |tot AS (SELECT (SELECT count(*) FROM ta) AS na,
+          |               (SELECT count(*) FROM tb) AS nb),
+          |j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+          |        coalesce(ca.c, 0) AS a, coalesce(cb.c, 0) AS b
+          |      FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+          |x AS (SELECT tok, a AS c_a, b AS c_b,
+          |        (CAST(na + nb AS DOUBLE)
+          |          * (CAST(a * nb - b * na AS DOUBLE) * CAST(a * nb - b * na AS DOUBLE)))
+          |        / (((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * CAST(a + b AS DOUBLE))
+          |           * CAST(na + nb - a - b AS DOUBLE)) AS chi2
+          |      FROM j, tot WHERE a + b < na + nb)
+          |SELECT tok, c_a, c_b, chi2 FROM x
+          |ORDER BY chi2 DESC, tok LIMIT 50""".stripMargin,
+
+      "x_emb_norm_outliers" ->
+        // rank-based cutoffs (no percentile interpolation semantics):
+        // k = ⌈n·0.02⌉; ties at a cutoff flag identically in any engine;
+        // CASE tests low first, mirroring the Spark `when` order
+        """WITH norms AS (SELECT vec_id,
+          |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+          |                          CAST(embedding AS DOUBLE[]))) AS norm
+          |  FROM embeddings WHERE embedding IS NOT NULL),
+          |k AS (SELECT CAST(ceil(count(*) * 0.02) AS BIGINT) AS k FROM norms),
+          |low AS (SELECT max(norm) AS low_cut FROM
+          |        (SELECT norm, row_number() OVER (ORDER BY norm ASC, vec_id ASC) AS r
+          |         FROM norms) WHERE r <= (SELECT k FROM k)),
+          |high AS (SELECT min(norm) AS high_cut FROM
+          |         (SELECT norm, row_number() OVER (ORDER BY norm DESC, vec_id DESC) AS r
+          |          FROM norms) WHERE r <= (SELECT k FROM k))
+          |SELECT vec_id, norm,
+          |  CASE WHEN norm <= low_cut THEN 'low' ELSE 'high' END AS side
+          |FROM norms, low, high
+          |WHERE norm <= low_cut OR norm >= high_cut
+          |ORDER BY vec_id""".stripMargin,
 
       "x_subword_tokenize" ->
         // greedy longest-match segmentation replayed as a recursive CTE

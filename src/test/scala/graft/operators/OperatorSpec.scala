@@ -1060,6 +1060,46 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextAnalysis.rrfFuse(a, b, 2, kk = 0) }
   }
 
+  test("corpus drift: disjoint tokens dominate the chi-square ranking") {
+    val a = Seq((1L, "shared shared alpha alpha alpha"),
+      (2L, "shared alpha")).toDF("doc_id", "text")
+    val b = Seq((3L, "shared shared beta beta beta"),
+      (4L, "shared beta")).toDF("doc_id", "text")
+    val r = TextAnalysis.driftTopTokens(a, b, "text", 10).collect()
+    // alpha (4:0) and beta (0:4) drift maximally and symmetrically;
+    // shared (3:3) drifts least
+    val byTok = r.map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(byTok("alpha") == byTok("beta"))
+    assert(byTok("alpha") > byTok("shared"))
+    assert(r.take(2).map(_.getString(0)).toSet == Set("alpha", "beta"))
+    // counts carried through the full-outer join, absent side = 0
+    val alpha = r.find(_.getString(0) == "alpha").get
+    assert(alpha.getLong(1) == 4L && alpha.getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.driftTopTokens(a.limit(0), b, "text")
+    }
+  }
+
+  test("norm outliers: rank-based tails flag extremes, ties included") {
+    import graft.functions.VectorFunctions.vec_norm
+    val rows = (1L to 10L).map(i => (i, Array.fill(2)(i.toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    // tailFrac 0.1 → k=1: smallest (id 1) and largest (id 10) norms
+    val r = Embeddings.normOutliers(df, "vec_id", "embedding", 0.1)
+      .orderBy("vec_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getString(2))).toSeq ==
+      Seq((1L, "low"), (10L, "high")))
+    // a tie at the cutoff flags BOTH tied rows
+    val tied = (Seq((1L, Array(1f, 1f)), (2L, Array(1f, 1f))) ++
+      (3L to 6L).map(i => (i, Array.fill(2)(i.toFloat)))).toDF("vec_id", "embedding")
+    val lows = Embeddings.normOutliers(tied, "vec_id", "embedding", 0.1)
+      .filter(col("side") === "low").select("vec_id").as[Long].collect().toSet
+    assert(lows == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Embeddings.normOutliers(df, "vec_id", "embedding", 0.6)
+    }
+  }
+
   test("language id picks the language whose markers dominate") {
     val sample = Seq(
       (1L, "the cat and the dog of the house is big"),
