@@ -67,6 +67,42 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("bm25: query terms broadcast; ranking never globally sorts") {
+    val p = planOf("x_text_bm25")
+    // the query-term list is the tiny side of every join — the corpus tf
+    // table must not shuffle toward it
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("token chunking is a shuffle-free projection (no Exchange before the explode)") {
+    val p = planOf("x_chunk_tokens")
+    // orderBy in the catalog query adds the final presentation sort; the
+    // chunking itself must contribute no Exchange — exactly one (range)
+    // exchange total
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("corpus drift: token-count join + TakeOrdered, corpus rows never move") {
+    val p = planOf("x_corpus_drift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("norm outliers: rank cutoffs are TakeOrdered + broadcast bounds, no global sort of the corpus") {
+    val p = planOf("x_emb_norm_outliers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("subword tokenize: segmentation is a projection; only the count aggregate shuffles") {
+    val p = planOf("x_subword_tokenize")
+    assert(p.contains("subwordencode") || p.contains("SubwordEncode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("aggregations use partial (map-side) aggregation and codegen") {
     val p = planOf("q1_pricing_summary", execute = true)
     // two HashAggregate levels = partial + final
