@@ -320,25 +320,38 @@ object TextAnalysis {
     * score is bounded by 10⁶·n_tokens — no overflow this side of a
     * 10¹²-token document.
     */
+  /** The trained (token, weight) margin table behind [[nbQualityScore]]
+    * — exposed so other appliers (the stateless streaming classifier)
+    * score with EXACTLY the same model.
+    */
+  def nbTokenWeights(good: DataFrame, bad: DataFrame,
+                     textCol: String): DataFrame = {
+    def counts(df: DataFrame, cName: String): DataFrame =
+      df.select(explode(split(col(textCol), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(cName))
+    // one-row driver probes: the two training-corpus token totals are
+    // scalars baked into the rate denominators (same pattern as the
+    // surprisal vocab probe)
+    def total(df: DataFrame): Long =
+      df.select(sum(size(split(col(textCol), " ")))) // sum over 0 rows: NULL
+        .first() match { case r => if (r.isNullAt(0)) 0L else r.getLong(0) }
+    val nGood = total(good)
+    val nBad = total(bad)
+    require(nGood > 0 && nBad > 0,
+      "nbQualityScore needs non-empty good and bad training corpora")
+    counts(good, "c_good")
+      .join(counts(bad, "c_bad"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (expr(s"coalesce(c_good, 0L) * 1000000L div ${nGood}L") -
+         expr(s"coalesce(c_bad, 0L) * 1000000L div ${nBad}L")).as("weight"))
+  }
+
   def nbQualityScore(docs: DataFrame, good: DataFrame, bad: DataFrame,
                      idCol: String, textCol: String,
                      broadcastModel: Boolean = true): DataFrame = {
     def toks(df: DataFrame, cols: Seq[Column]): DataFrame =
       df.select(cols :+ explode(split(col(textCol), " ")).as("tok"): _*)
-    def counts(df: DataFrame, cName: String): DataFrame =
-      toks(df, Seq.empty).groupBy("tok").agg(count(lit(1)).as(cName))
-    // one-row driver probes: the two training-corpus token totals are
-    // scalars baked into the rate denominators (same pattern as the
-    // surprisal vocab probe)
-    val nGood = toks(good, Seq.empty).count()
-    val nBad = toks(bad, Seq.empty).count()
-    require(nGood > 0 && nBad > 0,
-      "nbQualityScore needs non-empty good and bad training corpora")
-    val model = counts(good, "c_good")
-      .join(counts(bad, "c_bad"), Seq("tok"), "full_outer")
-      .select(col("tok"),
-        (expr(s"coalesce(c_good, 0L) * 1000000L div ${nGood}L") -
-         expr(s"coalesce(c_bad, 0L) * 1000000L div ${nBad}L")).as("weight"))
+    val model = nbTokenWeights(good, bad, textCol)
     val m = if (broadcastModel) broadcast(model) else model
     toks(docs, Seq(col(idCol)))
       .join(m, Seq("tok"), "left")

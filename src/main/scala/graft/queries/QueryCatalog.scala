@@ -189,6 +189,28 @@ object QueryCatalog {
        |bpt AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
        |        FROM bpp GROUP BY pair ORDER BY n DESC, pair LIMIT $k)""".stripMargin
 
+  /** NB-margin quality-classifier oracle CTEs (shared by
+    * x_quality_classifier and the RAG pipeline): ends in
+    * `nbscore(doc_id, n_tokens, score)`. Integer floor-division rate
+    * margins (`//` ≡ Spark's `div` on non-negative counts);
+    * sum(BIGINT) is HUGEINT in DuckDB → cast back to BIGINT.
+    */
+  private def nbCtes(): String =
+    """nbtoks AS (SELECT doc_id, source,
+      |         unnest(string_split(text, ' ')) AS tok FROM documents),
+      |nbg AS (SELECT tok, count(*) AS c FROM nbtoks WHERE source = 'src0' GROUP BY tok),
+      |nbb AS (SELECT tok, count(*) AS c FROM nbtoks WHERE source <> 'src0' GROUP BY tok),
+      |nbng AS (SELECT count(*) AS n FROM nbtoks WHERE source = 'src0'),
+      |nbnb AS (SELECT count(*) AS n FROM nbtoks WHERE source <> 'src0'),
+      |nbmodel AS (SELECT coalesce(nbg.tok, nbb.tok) AS tok,
+      |    (coalesce(nbg.c, 0) * 1000000) // (SELECT n FROM nbng)
+      |      - (coalesce(nbb.c, 0) * 1000000) // (SELECT n FROM nbnb) AS weight
+      |  FROM nbg FULL OUTER JOIN nbb ON nbg.tok = nbb.tok),
+      |nbscore AS (SELECT t.doc_id, count(*) AS n_tokens,
+      |    CAST(sum(coalesce(m.weight, 0)) AS BIGINT) AS score
+      |  FROM nbtoks t LEFT JOIN nbmodel m ON m.tok = t.tok
+      |  GROUP BY t.doc_id)""".stripMargin
+
   /** BM25 oracle CTE chain (shared by x_text_bm25 and the RRF hybrid):
     * ends in a relation `lex(qid, id, rank)` ranked to `k` per query.
     * Constants are interpolated from the SAME Scala doubles the Spark
@@ -1271,6 +1293,32 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_pipeline_rag" -> ((s, dir) => {
+      // Third end-to-end composite, over THIS round's operators: the RAG
+      // ingestion pipeline — NB-margin quality gate → overlapping token
+      // chunking of the survivors → per-chunk token counts under the
+      // induced BPE subword vocab. One DataFrame program; the oracle
+      // replays classifier, chunker, and greedy tokenizer in one chain.
+      val docs = t(s, dir, "documents")
+      val kept = docs.join(
+        TextAnalysis.nbQualityScore(docs,
+            docs.filter(col("source") === "src0"),
+            docs.filter(col("source") =!= "src0"), "doc_id", "text")
+          .filter(col("score") > 0).select("doc_id"),
+        Seq("doc_id"))
+      val chunks = Curation.chunkTokens(kept, "doc_id", "text", 32, 24)
+      val vocab = TextAnalysis.bpePairCounts(docs, "text", 50)
+        .collect().map(_.getString(0)).toSeq
+      chunks.select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_tokens"), explode(split(col("chunk"), " ")).as("w"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tokens"),
+          size(graft.functions.TextFunctions.subword_encode(col("w"),
+            vocab.toArray)).as("k"))
+        .groupBy("doc_id", "chunk_id", "start_tok", "n_tokens")
+        .agg(sum(col("k")).as("n_subwords"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     "x_pipeline_curate" -> ((s, dir) => {
       // FLAGSHIP composite: the whole training-data curation pipeline in
       // one query — quality gate → exact dedup → 8-gram decontamination
@@ -1531,6 +1579,23 @@ object QueryCatalog {
       // RAG corpus prep: 32-token windows advancing by 24 (8-token overlap)
       Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
+
+    "x_stream_classify" -> ((s, dir) => { // streaming NB quality gate
+      // The REAL streaming path (readStream → stateless fold → memory
+      // sink, AvailableNow): integer scores make even the stream
+      // oracle-hashable — same model, same SQL as x_quality_classifier.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val docs = t(s, dir, "documents")
+      val weights = TextAnalysis.nbTokenWeights(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"), "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.StreamClassify.runOnce(s, dir, "documents.parquet",
+          schema, weights, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
 
     "x_corpus_drift" -> ((s, dir) => { // chi-square distribution-shift monitor
       val docs = t(s, dir, "documents")
@@ -2447,23 +2512,10 @@ object QueryCatalog {
           |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
       "x_quality_classifier" ->
-        // integer floor-division rate margins (// ≡ Spark's div on
-        // non-negative counts); sum(BIGINT) is HUGEINT in DuckDB → cast
-        """WITH toks AS (SELECT doc_id, source,
-          |         unnest(string_split(text, ' ')) AS tok FROM documents),
-          |g AS (SELECT tok, count(*) AS c FROM toks WHERE source = 'src0' GROUP BY tok),
-          |bd AS (SELECT tok, count(*) AS c FROM toks WHERE source <> 'src0' GROUP BY tok),
-          |ng AS (SELECT count(*) AS n FROM toks WHERE source = 'src0'),
-          |nb AS (SELECT count(*) AS n FROM toks WHERE source <> 'src0'),
-          |model AS (SELECT coalesce(g.tok, bd.tok) AS tok,
-          |    (coalesce(g.c, 0) * 1000000) // (SELECT n FROM ng)
-          |      - (coalesce(bd.c, 0) * 1000000) // (SELECT n FROM nb) AS weight
-          |  FROM g FULL OUTER JOIN bd ON g.tok = bd.tok)
-          |SELECT t.doc_id, count(*) AS n_tokens,
-          |  CAST(sum(coalesce(m.weight, 0)) AS BIGINT) AS score,
-          |  CAST(sum(coalesce(m.weight, 0)) > 0 AS INTEGER) AS label
-          |FROM toks t LEFT JOIN model m ON m.tok = t.tok
-          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+        s"""WITH ${nbCtes()}
+           |SELECT doc_id, n_tokens, score,
+           |  CAST(score > 0 AS INTEGER) AS label
+           |FROM nbscore ORDER BY doc_id""".stripMargin,
 
       "x_text_bm25" ->
         s"""WITH ${bm25Ctes(10)}
@@ -2514,6 +2566,14 @@ object QueryCatalog {
         s"""WITH ${bpeCtes(50)}
            |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
 
+      "x_stream_classify" ->
+        // the streaming path is a stateless fold over the same model —
+        // identical scores to the batch classifier, same replay
+        s"""WITH ${nbCtes()}
+           |SELECT doc_id, n_tokens, score,
+           |  CAST(score > 0 AS INTEGER) AS label
+           |FROM nbscore ORDER BY doc_id""".stripMargin,
+
       "x_corpus_drift" ->
         // χ² = N·d²/((N_A·N_B)·(a+b)·(N−a−b)), d = a·N_B − b·N_A exact in
         // BIGINT; every double op is correctly rounded in the SAME
@@ -2558,6 +2618,40 @@ object QueryCatalog {
           |FROM norms, low, high
           |WHERE norm <= low_cut OR norm >= high_cut
           |ORDER BY vec_id""".stripMargin,
+
+      "x_pipeline_rag" ->
+        // classifier → chunker → greedy subword tokenizer, one CTE chain;
+        // seg/done run over ALL document words (chunk words are a subset
+        // of document words, so the segmentation table is shared)
+        s"""WITH RECURSIVE ${nbCtes()},
+           |${bpeCtes(50)},
+           |kept AS (SELECT d.doc_id, d.text FROM documents d
+           |         JOIN nbscore s USING (doc_id) WHERE s.score > 0),
+           |kd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM kept),
+           |ch AS (SELECT doc_id, toks,
+           |         unnest(range(0, (greatest(len(toks) - 32, 0) + 23) // 24 + 1)) AS i
+           |       FROM kd),
+           |chunks AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           |    i * 24 AS start_tok,
+           |    CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS INTEGER) AS n_tokens,
+           |    list_slice(toks, i * 24 + 1, i * 24 + 32) AS cw
+           |  FROM ch),
+           |words0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |dw AS (SELECT DISTINCT w FROM words0),
+           |seg AS (
+           |  SELECT w, 1 AS pos, 0 AS k FROM dw
+           |  UNION ALL
+           |  SELECT s.w, s.pos + (CASE WHEN v.pair IS NULL THEN 1 ELSE 2 END),
+           |         s.k + 1
+           |  FROM seg s LEFT JOIN bpt v ON v.pair = substring(s.w, s.pos, 2)
+           |  WHERE s.pos <= length(s.w)),
+           |done AS (SELECT w, k FROM seg WHERE pos = length(w) + 1),
+           |cwords AS (SELECT doc_id, chunk_id, start_tok, n_tokens,
+           |             unnest(cw) AS w FROM chunks)
+           |SELECT c.doc_id, c.chunk_id, c.start_tok, c.n_tokens,
+           |  CAST(sum(d.k) AS BIGINT) AS n_subwords
+           |FROM cwords c JOIN done d USING (w)
+           |GROUP BY 1, 2, 3, 4 ORDER BY doc_id, chunk_id""".stripMargin,
 
       "x_subword_tokenize" ->
         // greedy longest-match segmentation replayed as a recursive CTE

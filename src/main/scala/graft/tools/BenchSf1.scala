@@ -110,7 +110,25 @@ object BenchSf1 {
       }),
       "embedding_pairs" -> ((dir, _) =>
         Dedup.embeddingTopPairsLsh(emb(spark, dir), "vec_id", "embedding",
-          20).count()))
+          20).count()),
+      // tokenizer-apply: vocab fixed (model metadata), corpus grows —
+      // segmentation must price as a linear scan + count agg
+      "subword_tokenize" -> ((dir, _) => {
+        val vocab = graft.operators.TextAnalysis
+          .bpePairCounts(docs(spark, sf01), "text", 50)
+          .collect().map(_.getString(0)).toSeq
+        graft.operators.TextAnalysis.subwordTokenCounts(
+          docs(spark, dir), "doc_id", "text", vocab).count()
+      }),
+      // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
+      "bm25_topk" -> ((dir, _) => {
+        val d = docs(spark, dir)
+        val qs = docs(spark, sf01).filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+        graft.operators.TextAnalysis.bm25TopK(d, qs,
+          "doc_id", "text", "qid", "qtext", 10).count()
+      }))
 
     def releaseSessionState(): Unit = {
       spark.catalog.clearCache()

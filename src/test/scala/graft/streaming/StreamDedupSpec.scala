@@ -114,6 +114,37 @@ class StreamDedupSpec extends AnyFunSuite {
       messages(ex).mkString(" | "))
   }
 
+  test("streaming classifier scores agree with the batch NB classifier") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "clean prose here"), (2L, "spam junk spam"),
+      (3L, "clean spam")).toDF("doc_id", "text")
+    val good = Seq((10L, "clean prose clean")).toDF("doc_id", "text")
+    val bad = Seq((11L, "spam junk")).toDF("doc_id", "text")
+    val weights = TextAnalysis.nbTokenWeights(good, bad, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = TextAnalysis.nbQualityScore(docs, good, bad, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    // the fold-based applier on the SAME frame (it is a pure projection,
+    // so batch/stream plans are identical) must reproduce every score
+    val fold = StreamClassify.score(docs, weights, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(fold.toSeq == batch.toSeq)
+    // and through a REAL drained stream
+    val stream = MemoryStream[(Long, String)](spark)
+    stream.addData(docs.as[(Long, String)].collect().toSeq: _*)
+    val name = s"classify_spec_${System.nanoTime()}"
+    val q = StreamClassify.score(
+        stream.toDF.toDF("doc_id", "text"), weights, "doc_id", "text")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(streamed.toSeq == batch.toSeq)
+    intercept[IllegalArgumentException] {
+      StreamClassify.score(docs, Map.empty, "doc_id", "text")
+    }
+  }
+
   test("a saturated bucket stops emitting and stops growing state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
