@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived edge lists (kNN graphs, duplicate
+  * clusters): centrality-based data selection — rank documents by how
+  * central they are in the similarity graph (coreset picks, hub/outlier
+  * triage), the graph-side counterpart of the quality classifiers.
+  */
+object GraphOps {
+
+  /** Simplified PageRank: fixed `iterations` power steps of
+    * pr' = (1−d)/N + d·Σ_{src→node} pr(src)/outdeg(src), no
+    * dangling-mass redistribution (documented variant — deterministic
+    * and exactly replayable; dangling nodes keep contributing nothing,
+    * their own rank still receives the base term).
+    *
+    * Determinism: with `orderedFold` (default) each node's in-flow is
+    * folded in ascending source-id order via `aggregate(sort_array(...))`
+    * — float addition in a FIXED order, so ranks are bit-identical to
+    * the DuckDB oracle's `list_reduce(list(... ORDER BY src))` replay.
+    * At production scale pass `orderedFold = false`: plain `sum` enables
+    * partial (map-side) aggregation and never gathers a hub node's
+    * in-edges into one list; results differ only in float summation
+    * order.
+    *
+    * Scale shape: edges and the rank vector are compact (id, double)
+    * tables; each iteration is one join-aggregate shuffled on the
+    * destination key. Lineage is truncated per iteration (the iterate-
+    * and-checkpoint pattern the CC operator uses).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, damping: Double = 0.85,
+               orderedFold: Boolean = true): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"iterations must be in [1, 20], got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val base = (1.0 - damping) / n
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    val fold =
+      if (orderedFold)
+        expr("aggregate(transform(sort_array(collect_list(sc)), x -> x.c)," +
+          " 0.0D, (a, x) -> a + x)")
+      else expr("sum(sc.c)")
+    (1 to iterations).foreach { _ =>
+      val inflow = e.join(pr, col("src") === col("node"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"),
+          struct(col("src"), (col("pr") / col("odeg")).as("c")).as("sc"))
+        .groupBy("dst").agg(fold.as("inflow"))
+      pr = nodes.join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{HostedTables, Tables}
 import graft.core.{Chunker, ServiceName, WriteMode}
-import graft.operators.{Curation, Dedup, Embeddings, Multimodal, Scale, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Embeddings, GraphOps, Multimodal, Scale, Similarity, TextAnalysis}
 import graft.sinks.HostedStore
 import graft.streaming.EventStreams
 
@@ -1188,6 +1188,17 @@ object QueryCatalog {
           col("n_members"), col("keep"))
         .orderBy("vec_id")),
 
+    "x_graph_pagerank" -> ((s, dir) => { // centrality-based data selection
+      // PageRank over the kNN similarity graph: hub documents (high pr)
+      // are the corpus's most-representative picks; the ordered-fold
+      // variant makes every float rank bit-replayable by the oracle.
+      val edges = Similarity.knnGraph(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 5, nlist = 64, nprobe = 8)
+      GraphOps.pageRank(edges, "qid", "id", iterations = 3)
+        .select(col("node").as("vec_id"), col("pr"))
+        .orderBy("vec_id")
+    }),
+
     "x_quality_topquartile" -> ((s, dir) => {
       // Relative quality gate: top 25% per language by stopword ratio,
       // integer rank-vs-count test (no percentile estimate).
@@ -1735,6 +1746,38 @@ object QueryCatalog {
 
       "x_knn_graph" -> ivfReplaySql(nlist = 64, nprobe = 8, k = 5,
         queryPred = "TRUE"),
+
+      "x_graph_pagerank" -> {
+        // fixed-iteration power steps as chained CTEs; per-node in-flow
+        // folded in source-id order (list_reduce ≡ aggregate/sort_array);
+        // (1−d) and d interpolated from the SAME Scala doubles the
+        // operator bakes (1.0 − 0.85 ≠ the literal 0.15 in IEEE!)
+        val d = 0.85
+        val iters = 3
+        val prCtes = (1 to iters).map { i =>
+          val prev = if (i == 1) "pr0" else s"pr${i - 1}"
+          s"""pr$i AS (
+             |  SELECT nd.node,
+             |    CAST(${1.0 - d} AS DOUBLE) / (SELECT n FROM nn)
+             |      + $d * coalesce(f.fold, CAST(0.0 AS DOUBLE)) AS pr
+             |  FROM gnodes nd LEFT JOIN (
+             |    SELECT e.dst,
+             |      list_reduce(list(p.pr / o.odeg ORDER BY e.src), (a, b) -> a + b) AS fold
+             |    FROM gedges e JOIN $prev p ON p.node = e.src
+             |    JOIN godeg o ON o.src = e.src
+             |    GROUP BY e.dst) f ON f.dst = nd.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${ivfKnnCtes(nlist = 64, nprobe = 8, k = 5, queryPred = "TRUE")},
+           |gedges AS (SELECT qid AS src, id AS dst FROM knn),
+           |gnodes AS (SELECT src AS node FROM gedges
+           |           UNION SELECT dst FROM gedges),
+           |nn AS (SELECT count(*) AS n FROM gnodes),
+           |godeg AS (SELECT src, count(*) AS odeg FROM gedges GROUP BY src),
+           |pr0 AS (SELECT node,
+           |          CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM gnodes),
+           |$prCtes
+           |SELECT node AS vec_id, pr FROM pr$iters ORDER BY vec_id""".stripMargin
+      },
 
       "x_knn_components" ->
         s"""WITH RECURSIVE ${ivfKnnCtes(nlist = 64, nprobe = 8, k = 5,

@@ -1100,6 +1100,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: in-degree drives rank, mass conserved without dangling nodes") {
+    import graft.operators.GraphOps
+    // 1←{2,3}, 2←1, 3 gets nothing; every node has out-edges → total
+    // mass stays 1 per iteration (after 3 (odd) iterations node 1 — the
+    // only node with in-degree 2 — leads)
+    val edges = Seq((2L, 1L), (3L, 1L), (1L, 2L)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L), pr.toString)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.values.sum.toString)
+    // node 3 receives no in-flow: exactly the base term
+    assert(math.abs(pr(3L) - 0.15 / 3) < 1e-12)
+    // production fold (plain sum, partial-agg friendly) agrees to float
+    // tolerance
+    val fast = GraphOps.pageRank(edges, "src", "dst", iterations = 3,
+      orderedFold = false).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.forall { case (k, v) => math.abs(fast(k) - v) < 1e-12 })
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, "src", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, "src", "dst", damping = 1.5)
+    }
+  }
+
   test("language id picks the language whose markers dominate") {
     val sample = Seq(
       (1L, "the cat and the dog of the house is big"),
