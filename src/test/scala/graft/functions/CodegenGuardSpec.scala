@@ -27,6 +27,23 @@ class CodegenGuardSpec extends AnyFunSuite {
            s"i -> cast((id * 31 + i * 7) % 97 - 48 as float))").as("embedding"))
   }
 
+  test("subword_encode compiles with a 100k-entry vocab (zero codegen errors)") {
+    CodegenErrors.install()
+    val before = CodegenErrors.total
+    // the vocab rides addReferenceObj, NOT generated literals — a
+    // production-tokenizer-sized vocab must compile exactly like a
+    // 50-entry one
+    val vocab = (0 until 100000).map(i => f"v$i%05d").toArray
+    val out = spark.range(2000)
+      .select(concat(lit("v"), lpad(col("id").cast("string"), 5, "0"),
+        lit("tail")).as("w"))
+      .select(graft.functions.TextFunctions.subword_encode(col("w"), vocab).as("t"))
+      .selectExpr("sum(size(t))").as[Long].head()
+    assert(out > 0)
+    assert(CodegenErrors.total == before,
+      s"CodeGenerator logged ${CodegenErrors.total - before} errors with a 100k vocab")
+  }
+
   test("IVF assignment + probing compile at nlist=256 (zero codegen errors)") {
     CodegenErrors.install()
     val before = CodegenErrors.total
