@@ -45,6 +45,10 @@ object Embeddings {
     val n = norms.count()
     require(n > 0, "normOutliers needs a non-empty corpus")
     val k = math.ceil(n * tailFrac).toLong.max(1L)
+    require(k <= Int.MaxValue,
+      s"tail of $k rows exceeds a TakeOrdered limit — lower tailFrac " +
+        "(rank-based cutoffs gather the k-row tails; at this scale use a " +
+        "smaller fraction)")
     val lowCut = norms.orderBy(col("norm").asc, col(idCol).asc).limit(k.toInt)
       .agg(max(col("norm")).as("low_cut"))
     val highCut = norms.orderBy(col("norm").desc, col(idCol).desc).limit(k.toInt)
