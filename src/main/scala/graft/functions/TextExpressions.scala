@@ -57,22 +57,26 @@ case class SubwordEncode(child: Expression, vocab: Array[String])
     vocab.foreach(s.add)
     s
   }
+  // lengths are code points, not UTF-16 units: the vocab induction
+  // (Spark SQL substring) and the DuckDB oracle are both codepoint-based,
+  // and a UTF-16 scan would split surrogate pairs on astral input
   private lazy val maxLen: Int =
-    if (vocab.isEmpty) 1 else math.max(1, vocab.map(_.length).max)
+    if (vocab.isEmpty) 1
+    else math.max(1, vocab.map(v => v.codePointCount(0, v.length)).max)
 
   override def nullSafeEval(a: Any): Any = {
-    val w = a.asInstanceOf[UTF8String].toString
-    val len = w.length
+    val cp = a.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val len = cp.length
     val out = new java.util.ArrayList[AnyRef]()
     var p = 0
     while (p < len) {
       var m = 1
       var l = math.min(maxLen, len - p)
       while (l >= 2 && m == 1) {
-        if (vocabSet.contains(w.substring(p, p + l))) m = l
+        if (vocabSet.contains(new String(cp, p, l))) m = l
         l -= 1
       }
-      out.add(UTF8String.fromString(w.substring(p, p + m)))
+      out.add(UTF8String.fromString(new String(cp, p, m)))
       p += m
     }
     new GenericArrayData(out.toArray)
@@ -81,29 +85,98 @@ case class SubwordEncode(child: Expression, vocab: Array[String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val set = ctx.addReferenceObj("vocabSet", vocabSet, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, a => {
-      val w = ctx.freshName("w")
+      val cp = ctx.freshName("cp")
       val len = ctx.freshName("len")
       val out = ctx.freshName("out")
       val p = ctx.freshName("p")
       val m = ctx.freshName("m")
       val l = ctx.freshName("l")
       s"""
-         |String $w = $a.toString();
-         |int $len = $w.length();
+         |int[] $cp = $a.toString().codePoints().toArray();
+         |int $len = $cp.length;
          |java.util.ArrayList $out = new java.util.ArrayList();
          |int $p = 0;
          |while ($p < $len) {
          |  int $m = 1;
          |  int $l = Math.min($maxLen, $len - $p);
          |  while ($l >= 2 && $m == 1) {
-         |    if ($set.contains($w.substring($p, $p + $l))) $m = $l;
+         |    if ($set.contains(new String($cp, $p, $l))) $m = $l;
          |    $l--;
          |  }
          |  $out.add(org.apache.spark.unsafe.types.UTF8String.fromString(
-         |    $w.substring($p, $p + $m)));
+         |    new String($cp, $p, $m)));
          |  $p += $m;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out.toArray());
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** O(1) token→weight lookup against a plan-constant model, missing
+  * tokens scoring 0. `element_at` on a map *literal* is a linear scan
+  * over the entries (ArrayBasedMapData has no index), so folding a
+  * 100k-entry NB model over a token stream that way costs
+  * |tokens|×|vocab| comparisons; this expression holds the model as a
+  * shared `HashMap[UTF8String, Long]` via `addReferenceObj` — one hash
+  * probe per token, generated code O(1) in model size.
+  *
+  * Keys/values ride the expression tree as parallel arrays (compact,
+  * serializable); equality is content-based so CSE still fires.
+  */
+case class WeightLookup(child: Expression, keys: Array[String],
+                        values: Array[Long]) extends UnaryExpression {
+  require(keys.length == values.length,
+    s"weight model arity mismatch: ${keys.length} keys vs ${values.length} values")
+
+  override def equals(o: Any): Boolean = o match {
+    case w: WeightLookup =>
+      child == w.child && java.util.Arrays.equals(
+        keys.asInstanceOf[Array[AnyRef]], w.keys.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(values, w.values)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child,
+      Int.box(java.util.Arrays.hashCode(keys.asInstanceOf[Array[AnyRef]])),
+      Int.box(java.util.Arrays.hashCode(values)))
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"weight_lookup requires a string input, got ${other.simpleString(10)}")
+    }
+
+  // UTF8String keys: tokens arrive as UTF8String, so lookups allocate
+  // nothing. Shared across rows and codegen via addReferenceObj.
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      math.max(16, keys.length * 2))
+    var i = 0
+    while (i < keys.length) {
+      m.put(UTF8String.fromString(keys(i)), values(i)); i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = table.get(a.asInstanceOf[UTF8String])
+    if (v == null) 0L else v.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("weightTable", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v")
+      s"""
+         |java.lang.Long $v = (java.lang.Long) $tbl.get($a);
+         |${ev.value} = ($v == null) ? 0L : $v.longValue();
        """.stripMargin
     })
   }
@@ -118,4 +191,12 @@ object TextFunctions {
     */
   def subword_encode(word: Column, vocab: Array[String]): Column =
     toColumn(SubwordEncode(toExpression(word), vocab))
+
+  /** Token weight under a constant model; 0 for out-of-vocab tokens.
+    * Keys are sorted so equal models build equal expressions (CSE).
+    */
+  def weight_of(token: Column, weights: Map[String, Long]): Column = {
+    val sorted = weights.toArray.sortBy(_._1)
+    toColumn(WeightLookup(toExpression(token), sorted.map(_._1), sorted.map(_._2)))
+  }
 }

@@ -39,8 +39,14 @@ object Embeddings {
     require(tailFrac > 0 && tailFrac < 0.5,
       s"tailFrac must be in (0, 0.5), got $tailFrac")
     import graft.functions.VectorFunctions.vec_norm
+    // materialize the compact (id, norm) projection ONCE: the count, the
+    // two tail TakeOrdereds, and the final filter all read it, and without
+    // a checkpoint each would re-scan the corpus and re-run the dot
+    // products (4 full passes) — same shared-frame discipline as
+    // Dedup.withShingleCache
     val norms = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), vec_norm(col(vecCol)).as("norm"))
+      .localCheckpoint(true)
     // one-row driver probe for n → k (same pattern as the bm25 avgdl probe)
     val n = norms.count()
     require(n > 0, "normOutliers needs a non-empty corpus")

@@ -31,11 +31,13 @@ object StreamClassify {
   def score(docs: DataFrame, weights: Map[String, Long],
             idCol: String, textCol: String): DataFrame = {
     require(weights.nonEmpty, "scoring needs a non-empty weight model")
-    val m = typedLit(weights)
+    // weight_of is an O(1) hash probe against the shared model object —
+    // a map LITERAL + element_at would linear-scan the entries per token
     docs.select(col(idCol),
         size(split(col(textCol), " ")).as("n_tokens"),
         aggregate(split(col(textCol), " "), lit(0L),
-          (acc, w) => acc + coalesce(element_at(m, w), lit(0L))).as("score"))
+          (acc, w) => acc + graft.functions.TextFunctions.weight_of(w, weights))
+          .as("score"))
       .withColumn("label", (col("score") > 0).cast("int"))
   }
 

@@ -136,30 +136,43 @@ object BenchSf1 {
         .foreach(_.unpersist(blocking = false))
     }
     val failures = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timeMin(name: String, runs: Int)(f: => Long): Double = {
-      val ts = (1 to runs).map { _ =>
+    // a failed (often fast-throwing) run must NOT become a timing sample —
+    // an sf1-only OOM would otherwise report a tiny "healthy" ratio and
+    // slip past the superlinear gate; min over SUCCESSFUL runs only,
+    // None when every run failed
+    def timeMin(name: String, runs: Int)(f: => Long): Option[Double] = {
+      val ts = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try f
-        catch { case e: Throwable =>
-          System.err.println(s"[bench_sf1] $name FAILED: ${e.getMessage}")
-          failures += name
-        }
+        val ok =
+          try { f; true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench_sf1] $name FAILED: ${e.getMessage}")
+            failures += name
+            false
+          }
         releaseSessionState()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      ts.min
+      ts.minOption
     }
 
     val rows = probes.map { case (name, run) =>
       val t01 = timeMin(name, 2)(run(sf01, 1))
       val t1 = timeMin(name, 2)(run(sf1Dir, copies))
-      val ratio = t1 / t01
-      println(f"== $name%-22s sf0.1 $t01%7.2f s   sf1 $t1%7.2f s   ratio ${ratio}%5.1fx")
+      val ratio = for (a <- t01; b <- t1) yield b / a
+      val show = (o: Option[Double]) => o.fold("   FAIL")(t => f"$t%7.2f")
+      println(s"== ${name.padTo(22, ' ')} sf0.1 ${show(t01)} s   sf1 ${show(t1)} s" +
+        ratio.fold("")(r => f"   ratio $r%5.1fx"))
       (name, t01, t1, ratio)
     }
-    val superlinear = rows.collect { case (n, _, _, r) if r > 12.0 => n }
+    // a probe that cannot be priced at either scale fails the gate loudly
+    val superlinear = rows.collect {
+      case (n, _, _, Some(r)) if r > 12.0 => n
+      case (n, a, b, _) if a.isEmpty || b.isEmpty => n
+    }
+    val num = (o: Option[Double]) => o.fold("null")(t => f"$t%.3f")
     val qjson = rows.map { case (n, a, b, r) =>
-      f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":$r%.2f}"""
+      s""""$n":{"sf01":${num(a)},"sf1":${num(b)},"ratio":${num(r)}}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"sf1_scale_ratio","unit":"x","copies":$copies,""" +

@@ -124,6 +124,52 @@ class FunctionsSpec extends AnyFunSuite {
     assert(chars == Seq("a", "b"))
   }
 
+  test("subword_encode: astral chars segment as one code point, never split surrogates") {
+    import graft.functions.TextFunctions.subword_encode
+    import org.apache.spark.sql.functions._
+    // 𝄞 (U+1D11E) is two UTF-16 units but ONE code point: the fallback
+    // must emit it whole, and a vocab entry containing it must match by
+    // codepoint length — same semantics as the SQL-substring vocab
+    // induction and the DuckDB oracle recursion
+    val astral = "𝄞" // 𝄞
+    val got = Seq(astral + "a", "x" + astral + astral).toDF("w")
+      .select(subword_encode(col("w"), Array("ab")).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq(astral, "a"), Seq("x", astral, astral)))
+    // no lone surrogates: every token is a well-formed string
+    assert(got.flatten.forall(t => t.codePointCount(0, t.length) == 1))
+    // a vocab entry spanning an astral char matches greedily
+    val v2 = Seq(astral + "a").toDF("w")
+      .select(subword_encode(col("w"), Array(astral + "a")).as("t"))
+      .as[Seq[String]].head()
+    assert(v2 == Seq(astral + "a"))
+  }
+
+  test("weight_of: O(1) model lookup, OOV scores 0, content equality") {
+    import graft.functions.TextFunctions.weight_of
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val m = Map("good" -> 3L, "bad" -> -2L)
+    // codegen path (plain projection)
+    val got = Seq("good", "bad", "meh").toDF("w")
+      .select(weight_of(col("w"), m).as("s")).as[Long].collect().toSeq
+    assert(got == Seq(3L, -2L, 0L))
+    // interpreted path (how HOF lambdas evaluate it) agrees
+    val sorted = m.toArray.sortBy(_._1)
+    val e = graft.functions.WeightLookup(
+      Literal("bad"), sorted.map(_._1), sorted.map(_._2))
+    assert(e.eval() == -2L)
+    // equal-content models → equal expressions (CSE fires); Map ordering
+    // is normalized by the sort in weight_of
+    assert(graft.functions.WeightLookup(Literal("x"),
+        sorted.map(_._1).clone(), sorted.map(_._2).clone()) ==
+      graft.functions.WeightLookup(Literal("x"), sorted.map(_._1), sorted.map(_._2)))
+    // arity mismatch fails loudly
+    assertThrows[IllegalArgumentException] {
+      graft.functions.WeightLookup(Literal("x"), Array("a"), Array(1L, 2L))
+    }
+  }
+
   test("k-means-trained IVF recall is usable on unclustered data") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 10)
