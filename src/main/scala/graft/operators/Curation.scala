@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -329,6 +329,45 @@ object Curation {
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ before) }
     }
     spark.createDataFrame(taken, outSchema)
+  }
+
+  /** DSIR-style importance weighting for data selection (Data Selection
+    * via Importance Resampling, Xie et al. 2023 — public knowledge):
+    * score each corpus document by how target-domain-like its token
+    * distribution is. Per token, the importance ratio is the add-one-
+    * smoothed target/source count ratio `(ct+1)/(cs+1)`; a document's
+    * score is the sum of its per-occurrence ratios, folded in sorted
+    * token order (`aggregate(sort_array(...))` ≡ DuckDB `list_reduce
+    * (list(... ORDER BY ...))` — the bm25TopK cross-engine-exact fold).
+    * High-score docs are the ones importance resampling keeps.
+    *
+    * Scale shape: both count tables are VOCAB-sized (bounded — they stop
+    * growing once the corpus covers the token space), so the ratio table
+    * broadcasts; the corpus explodes once and re-groups by doc id —
+    * compact (id, tok, ratio) rows, never full texts. One shuffle for
+    * the source counts, one for the per-doc fold.
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    require(target.limit(1).count() > 0,
+      "dsirWeights needs a non-empty target corpus")
+    def toks(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(split(col(textCol), " ")).as("tok"): _*)
+    val src = toks(corpus).groupBy("tok").agg(count(lit(1)).as("cs"))
+    val tgt = toks(target).groupBy("tok").agg(count(lit(1)).as("ct"))
+    // corpus tokens all appear in src by construction → left join; an
+    // unseen-in-target token smooths to ratio 1/(cs+1)
+    val ratio = src.join(tgt, Seq("tok"), "left")
+      .select(col("tok"),
+        ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+          (col("cs") + lit(1L)).cast("double")).as("r"))
+    toks(corpus, col(idCol))
+      .join(broadcast(ratio), Seq("tok"))
+      .select(col(idCol), struct(col("tok"), col("r")).as("c"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("aggregate(sort_array(collect_list(c)), 0.0D, (a, x) -> a + x.r)")
+          .as("dsir_score"))
   }
 
   /** Scrub common PII shapes (emails, long digit runs, phone-ish

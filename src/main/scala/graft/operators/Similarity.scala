@@ -68,11 +68,13 @@ object Similarity {
     * scale probe the kNN graph's window shuffled ~1 KB/candidate instead
     * of 24 B and the stage went superlinear (BENCH_SF1 round 5).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def rankTopK(scored: DataFrame, k: Int,
+                       keepCosine: Boolean = false): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
+    val ranked = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("qid", "id", "rank")
+    if (keepCosine) ranked.select("qid", "id", "rank", "cosine")
+    else ranked.select("qid", "id", "rank")
   }
 
   /** Hyperplane weights for (table t, plane p): deterministic integer Knuth
@@ -327,7 +329,7 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                nlist: Int = 0, nprobe: Int = 4,
-               cellCap: Int = 1024): DataFrame = {
+               cellCap: Int = 1024, keepCosine: Boolean = false): DataFrame = {
     // nlist <= 0 ⇒ derived from the corpus size (one count action): the
     // cell key is both the join parallelism and the per-query candidate
     // bound, so a FIXED default is a footgun — 16 cells measured ~6×
@@ -339,7 +341,43 @@ object Similarity {
     val nl = if (nlist > 0) nlist else derivedNlist(corpus.count())
     ivfWithCentroids(corpus, corpus, idCol, vecCol, k, nprobe,
       idSampledCentroids(corpus, idCol, vecCol, nl),
-      broadcastProbes = false, cellCap = cellCap)
+      broadcastProbes = false, cellCap = cellCap, keepCosine = keepCosine)
+  }
+
+  /** Hard-negative mining for contrastive / retrieval training (the
+    * ANCE-style "top-ranked non-positive" recipe — public knowledge):
+    * per anchor, positive = its nearest neighbor (the self-supervised
+    * neighbor-as-positive convention), hard negative = its best-ranked
+    * OTHER neighbor whose cosine is below `dupThreshold` — close enough
+    * to be informative, far enough to not be a near-duplicate mislabeled
+    * as negative. Anchors missing either side emit nothing (a triplet
+    * needs both).
+    *
+    * Scale shape: everything downstream of [[knnGraph]] is a single
+    * conditional aggregation over the O(n·k) compact edge list — min of
+    * a (rank, id, cosine) struct per side, no second shuffle of vectors.
+    * Cosines are the bit-exact IVF doubles, so the whole output is
+    * oracle-replayable (threshold compares on identical bits).
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 5, dupThreshold: Double = 0.9,
+                    nlist: Int = 0, nprobe: Int = 4,
+                    cellCap: Int = 1024): DataFrame = {
+    val edges = knnGraph(corpus, idCol, vecCol, k, nlist, nprobe, cellCap,
+      keepCosine = true)
+    // min over structs ordered by the leading rank field picks the
+    // best-ranked qualifying edge — same lexicographic struct ordering in
+    // DuckDB, so the picks replay exactly
+    edges.groupBy(col("qid").as("anchor"))
+      .agg(
+        min(when(col("rank") === 1,
+          struct(col("rank"), col("id"), col("cosine")))).as("p"),
+        min(when(col("rank") >= 2 && col("cosine") < lit(dupThreshold),
+          struct(col("rank"), col("id"), col("cosine")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor"),
+        col("p.id").as("positive"), col("p.cosine").as("pos_cos"),
+        col("n.id").as("negative"), col("n.cosine").as("neg_cos"))
   }
 
   /** Mutual-kNN connected components — the graph-based curation step the
@@ -399,7 +437,8 @@ object Similarity {
                                idCol: String, vecCol: String, k: Int,
                                nprobe: Int, centroids: DataFrame,
                                broadcastProbes: Boolean = true,
-                               cellCap: Int = 1024): DataFrame = {
+                               cellCap: Int = 1024,
+                               keepCosine: Boolean = false): DataFrame = {
     val cents = centroids
       .select(col("cid").cast("long"), col("cvec"), col("cnorm"))
       .collect()
@@ -433,7 +472,7 @@ object Similarity {
             cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm"))
               .as("cosine"))
       else cellCoGroupScores(cells, probes, k, cellCap)
-    rankTopK(scored, k)
+    rankTopK(scored, k, keepCosine)
   }
 
   /** Corpus-sized probe side (kNN graph): score by CO-GROUPING both sides

@@ -1176,6 +1176,15 @@ object QueryCatalog {
           nlist = 64, nprobe = 8)
         .orderBy("qid", "rank")),
 
+    "x_hard_negatives" -> ((s, dir) =>
+      // Contrastive-training data prep: per anchor, nearest neighbor as
+      // the positive and the best-ranked sub-threshold neighbor as the
+      // hard negative (ANCE-style top-ranked non-positive). One
+      // conditional agg over the oracle-replayable kNN edge list.
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 5, dupThreshold = 0.9, nlist = 64, nprobe = 8)
+        .orderBy("anchor")),
+
     "x_knn_components" -> ((s, dir) =>
       // Graph-based curation on the kNN edge list: keep only MUTUAL
       // top-k edges (hub/boundary pruning), resolve connected components
@@ -1591,6 +1600,16 @@ object QueryCatalog {
       Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    "x_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weighting: target domain = source 'src0'; every
+      // doc scored by its summed smoothed target/source token ratios —
+      // sorted-fold doubles, bit-replayable like bm25.
+      val docs = t(s, dir, "documents")
+      Curation.dsirWeights(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "x_stream_classify" -> ((s, dir) => { // streaming NB quality gate
       // The REAL streaming path (readStream → stateless fold → memory
       // sink, AvailableNow): integer scores make even the stream
@@ -1731,8 +1750,8 @@ object QueryCatalog {
          |  JOIN cell ce ON ce.cid = p.cid
          |  JOIN n nv ON nv.vec_id = ce.vec_id
          |  WHERE ce.vec_id <> q.qid),
-         |knn AS (SELECT qid, id, rank FROM (
-         |  SELECT qid, id,
+         |knn AS (SELECT qid, id, cos, rank FROM (
+         |  SELECT qid, id, cos,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
          |  FROM cand) WHERE rank <= $k)""".stripMargin
 
@@ -1746,6 +1765,22 @@ object QueryCatalog {
 
       "x_knn_graph" -> ivfReplaySql(nlist = 64, nprobe = 8, k = 5,
         queryPred = "TRUE"),
+
+      "x_hard_negatives" ->
+        // positive = rank-1 edge; hard negative = min-rank edge among
+        // rank >= 2 with cos below the duplicate threshold — rank picks
+        // are unique, so the window replay equals Spark's struct-min
+        s"""WITH ${ivfKnnCtes(nlist = 64, nprobe = 8, k = 5,
+             queryPred = "TRUE")},
+           |p AS (SELECT qid, id AS positive, cos AS pos_cos
+           |        FROM knn WHERE rank = 1),
+           |neg AS (SELECT qid, id AS negative, cos AS neg_cos FROM (
+           |  SELECT qid, id, cos,
+           |         row_number() OVER (PARTITION BY qid ORDER BY rank) AS rn
+           |  FROM knn WHERE rank >= 2 AND cos < 0.9) WHERE rn = 1)
+           |SELECT p.qid AS anchor, p.positive, p.pos_cos,
+           |       n.negative, n.neg_cos
+           |FROM p JOIN neg n ON n.qid = p.qid ORDER BY anchor""".stripMargin,
 
       "x_graph_pagerank" -> {
         // fixed-iteration power steps as chained CTEs; per-node in-flow
@@ -2608,6 +2643,28 @@ object QueryCatalog {
       "x_bpe_pairs" ->
         s"""WITH ${bpeCtes(50)}
            |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
+
+      "x_dsir_weights" ->
+        // per-token ratio (ct+1)/(cs+1) as one double division; per-doc
+        // fold in sorted token order (list_reduce ≡ aggregate/sort_array;
+        // 0.0 seed + positive ratios → identical IEEE sums)
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |              FROM documents),
+          |scnt AS (SELECT tok, count(*) AS cs FROM toks GROUP BY tok),
+          |tcnt AS (SELECT tok, count(*) AS ct FROM toks
+          |         WHERE doc_id IN (SELECT doc_id FROM documents
+          |                          WHERE source = 'src0')
+          |         GROUP BY tok),
+          |ratio AS (SELECT s.tok,
+          |            CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) /
+          |              CAST(s.cs + 1 AS DOUBLE) AS r
+          |          FROM scnt s LEFT JOIN tcnt t ON t.tok = s.tok)
+          |SELECT k.doc_id, count(*) AS n_tokens,
+          |       list_reduce(list(k.r ORDER BY k.tok), (a, b) -> a + b)
+          |         AS dsir_score
+          |FROM (SELECT toks.doc_id, toks.tok, ratio.r
+          |      FROM toks JOIN ratio ON ratio.tok = toks.tok) k
+          |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
 
       "x_stream_classify" ->
         // the streaming path is a stateless fold over the same model —

@@ -288,6 +288,56 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("dsirWeights: target-like docs outrank off-domain docs, smoothing covers OOV") {
+    val corpus = Seq(
+      (1L, "law court judge law court"),   // target-like
+      (2L, "law court banana"),            // mixed
+      (3L, "banana apple banana apple"),   // off-domain
+      (4L, "law")                          // short target-like
+    ).toDF("doc_id", "text")
+    val target = Seq((10L, "law court judge law")).toDF("doc_id", "text")
+    val r = Curation.dsirWeights(corpus, target, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    assert(r(1L)._1 == 5 && r(3L)._1 == 4, "n_tokens counts occurrences")
+    // per-token mean importance separates the domains regardless of length
+    def mean(id: Long) = r(id)._2 / r(id)._1
+    assert(mean(1L) > mean(2L) && mean(2L) > mean(3L),
+      s"domain ordering broke: ${r.toSeq.sortBy(_._1)}")
+    // tokens absent from the target still score (add-one smoothing):
+    // banana appears 3x in the corpus, never in target → 1/4 each
+    assert(math.abs(r(3L)._2 - (2.0 * (1.0 / 4.0) + 2.0 * (1.0 / 3.0))) < 1e-12,
+      s"smoothed off-domain score wrong: ${r(3L)._2}")
+    // empty target fails loudly
+    assertThrows[IllegalArgumentException] {
+      Curation.dsirWeights(corpus, target.limit(0), "doc_id", "text")
+    }
+  }
+
+  test("hardNegatives: positive is the top neighbor, negative is sub-threshold and distinct") {
+    val tau = 0.9
+    val edges = Similarity.knnGraph(emb, "vec_id", "embedding", 5,
+      keepCosine = true).cache()
+    val hn = Similarity.hardNegatives(emb, "vec_id", "embedding", 5,
+      dupThreshold = tau)
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(hn.nonEmpty, "synthetic corpus must yield triplets")
+    val rank1 = edges.filter(col("rank") === 1)
+      .select("qid", "id").as[(Long, Long)].collect().toMap
+    hn.foreach { case (a, pos, posCos, neg, negCos) =>
+      assert(rank1(a) == pos, s"anchor $a positive must be its rank-1 neighbor")
+      assert(neg != pos, s"anchor $a negative equals its positive")
+      assert(negCos < tau, s"anchor $a negative cos $negCos not below $tau")
+      assert(posCos >= negCos, s"anchor $a positive scores below its negative")
+    }
+    // an anchor whose every non-top neighbor is a near-dup emits nothing:
+    // the negative pick never falls back to an above-threshold edge
+    val eligible = edges.filter(col("rank") >= 2 && col("cosine") < tau)
+      .select("qid").distinct().as[Long].collect().toSet
+    assert(hn.map(_._1).toSet == eligible.intersect(rank1.keySet))
+    edges.unpersist()
+  }
+
   test("incremental dedup flags corpus dups and earlier-batch dups") {
     def words(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
     def near(tag: String) = (1 to 29).map(i => s"$tag$i").mkString(" ") + " zzz"
