@@ -331,6 +331,63 @@ object Curation {
     spark.createDataFrame(taken, outSchema)
   }
 
+  /** Exact curriculum bucketing: global 0-based rank in difficulty order
+    * (easy-first by default) and an exact ntile bucket
+    * `⌊rank·nBuckets/n⌋` — the schedule tables curriculum training reads
+    * (Bengio et al. 2009 curriculum learning — public knowledge).
+    *
+    * Spark's own `ntile` window collapses an unpartitioned ORDER BY into
+    * ONE task; this is the distributed-exact form: range-partition on the
+    * order key, sort within partitions, collect only the per-partition
+    * COUNTS (driver traffic = #partitions longs), then emit each row's
+    * rank as partition-prefix + local index — the same two-pass
+    * partition-offset machinery as [[takeByBudget]], one shuffle total.
+    */
+  def curriculumBuckets(df: DataFrame, keyCol: String, scoreCol: String,
+                        nBuckets: Int, easyFirst: Boolean = true,
+                        partitions: Option[Int] = None): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    val ord: Seq[Column] = Seq(
+      if (easyFirst) col(scoreCol).asc else col(scoreCol).desc,
+      col(keyCol).asc)
+    val parts = partitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.select(col(keyCol), col(scoreCol))
+      .repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+    val scoreIdx = sorted.schema.fieldIndex(scoreCol)
+    // both passes stream the SAME sorted blocks (see takeByBudget)
+    val rdd = sorted.rdd.localCheckpoint()
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L
+      it.foreach { r =>
+        // a null score has engine-specific sort placement (Spark NULLS
+        // FIRST vs DuckDB NULLS LAST) — reject loudly, don't mis-rank
+        if (r.isNullAt(scoreIdx))
+          throw new IllegalArgumentException(
+            s"curriculumBuckets: null $scoreCol (scores must be non-null)")
+        c += 1
+      }
+      Iterator((pid, c))
+    }.collect().sortBy(_._1).map(_._2)
+    val prefix = counts.scanLeft(0L)(_ + _)
+    val n = prefix.last
+    require(n > 0, "curriculumBuckets needs a non-empty input")
+    val outSchema = sorted.schema
+      .add("rank", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("bucket", org.apache.spark.sql.types.IntegerType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = prefix(pid)
+      it.map { row =>
+        val rank = r; r += 1
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ rank :+ ((rank * nBuckets) / n).toInt)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** DSIR-style importance weighting for data selection (Data Selection
     * via Importance Resampling, Xie et al. 2023 — public knowledge):
     * score each corpus document by how target-domain-like its token

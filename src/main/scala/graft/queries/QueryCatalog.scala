@@ -1600,6 +1600,34 @@ object QueryCatalog {
       Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    "x_pipeline_pretrain" -> ((s, dir) => {
+      // Pretraining-mix composite: NB quality gate → DSIR target-domain
+      // weighting of the survivors → exact top-quartile curriculum cut →
+      // deterministic export shards — ONE DataFrame program, replayed by
+      // ONE DuckDB CTE chain (every stage individually hash-proven).
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.nbQualityScore(docs,
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), "doc_id", "text")
+      val survivors = docs.join(
+        scored.filter(col("score") > 0).select("doc_id"), Seq("doc_id"))
+      val dsir = Curation.dsirWeights(survivors,
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      val top = Curation.curriculumBuckets(dsir, "doc_id", "dsir_score",
+          nBuckets = 4, easyFirst = false)
+        .filter(col("bucket") === 0)
+      Curation.shuffleShards(top.select("doc_id", "rank"), "doc_id", 4)
+        .orderBy("doc_id")
+    }),
+
+    "x_curriculum" -> ((s, dir) =>
+      // Length curriculum (short = easy first): exact global rank +
+      // exact decile bucket via the distributed two-pass ranker — no
+      // single-partition ntile window anywhere in the plan.
+      Curation.curriculumBuckets(t(s, dir, "documents"), "doc_id", "n_chars",
+          nBuckets = 10)
+        .orderBy("doc_id")),
+
     "x_dsir_weights" -> ((s, dir) => {
       // DSIR importance weighting: target domain = source 'src0'; every
       // doc scored by its summed smoothed target/source token ratios —
@@ -2643,6 +2671,51 @@ object QueryCatalog {
       "x_bpe_pairs" ->
         s"""WITH ${bpeCtes(50)}
            |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
+
+      "x_pipeline_pretrain" ->
+        // gate (integer NB margin) → DSIR fold (sorted double sum) →
+        // hard-first exact quartile → md5 shards: each stage reuses its
+        // proven single-query replay verbatim
+        s"""WITH ${nbCtes()},
+           |surv AS (SELECT d.doc_id, d.text FROM documents d
+           |         JOIN nbscore q ON q.doc_id = d.doc_id WHERE q.score > 0),
+           |ptoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |          FROM surv),
+           |pscnt AS (SELECT tok, count(*) AS cs FROM ptoks GROUP BY tok),
+           |ptcnt AS (SELECT tok, count(*) AS ct FROM (
+           |            SELECT unnest(string_split(text, ' ')) AS tok
+           |            FROM documents WHERE source = 'src0') GROUP BY tok),
+           |pratio AS (SELECT s.tok,
+           |             CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) /
+           |               CAST(s.cs + 1 AS DOUBLE) AS r
+           |           FROM pscnt s LEFT JOIN ptcnt t ON t.tok = s.tok),
+           |pdsir AS (SELECT k.doc_id,
+           |            list_reduce(list(k.r ORDER BY k.tok), (a, b) -> a + b) AS ds
+           |          FROM (SELECT ptoks.doc_id, ptoks.tok, pratio.r
+           |                FROM ptoks JOIN pratio ON pratio.tok = ptoks.tok) k
+           |          GROUP BY k.doc_id),
+           |prank AS (SELECT doc_id, ds,
+           |            row_number() OVER (ORDER BY ds DESC, doc_id ASC) - 1 AS rank,
+           |            count(*) OVER () AS n FROM pdsir),
+           |psel AS (SELECT doc_id, rank FROM prank WHERE (rank * 4) // n = 0),
+           |psh AS (SELECT doc_id, rank, md5(CAST(doc_id AS VARCHAR)) AS hx
+           |        FROM psel),
+           |pshard AS (SELECT doc_id, rank, hx,
+           |             ('0x' || substr(hx, 1, 15))::BIGINT % 4 AS shard FROM psh)
+           |SELECT doc_id, rank, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+           |    AS BIGINT) AS pos
+           |FROM pshard ORDER BY doc_id""".stripMargin,
+
+      "x_curriculum" ->
+        // exact ntile: ⌊rank·nb/n⌋ on the 0-based global rank — integer
+        // floor division in both engines
+        """WITH r AS (SELECT doc_id, n_chars,
+          |  row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) - 1 AS rank,
+          |  count(*) OVER () AS n FROM documents)
+          |SELECT doc_id, n_chars, rank,
+          |       CAST((rank * 10) // n AS INTEGER) AS bucket
+          |FROM r ORDER BY doc_id""".stripMargin,
 
       "x_dsir_weights" ->
         // per-token ratio (ct+1)/(cs+1) as one double division; per-doc

@@ -120,6 +120,17 @@ object BenchSf1 {
         graft.operators.TextAnalysis.subwordTokenCounts(
           docs(spark, dir), "doc_id", "text", vocab).count()
       }),
+      // data selection: fixed target distribution, corpus + source count
+      // table grow linearly; the ratio table must stay broadcast-sized
+      "dsir_weights" -> ((dir, _) =>
+        graft.operators.Curation.dsirWeights(docs(spark, dir),
+          docs(spark, sf01).filter(col("source") === "src0"),
+          "doc_id", "text").count()),
+      // exact global rank: one range shuffle + #partitions-long collect —
+      // must price as a sort, not as a single-task window
+      "curriculum_rank" -> ((dir, _) =>
+        graft.operators.Curation.curriculumBuckets(docs(spark, dir),
+          "doc_id", "n_chars", nBuckets = 10).count()),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)

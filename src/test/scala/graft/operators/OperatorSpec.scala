@@ -288,6 +288,36 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("curriculumBuckets: exact global ranks and ntile buckets, ties by key") {
+    val df = Seq((1L, 30L), (2L, 10L), (3L, 20L), (4L, 10L), (5L, 40L))
+      .toDF("doc_id", "score")
+    val r = Curation.curriculumBuckets(df, "doc_id", "score", nBuckets = 2)
+      .as[(Long, Long, Long, Int)].collect().map(t => t._1 -> (t._3, t._4)).toMap
+    // easy-first: score asc, doc_id tiebreak → 2,4,3,1,5
+    assert(r == Map(2L -> (0L, 0), 4L -> (1L, 0), 3L -> (2L, 0),
+      1L -> (3L, 1), 5L -> (4L, 1)), r.toString)
+    // hard-first reverses the order
+    val hard = Curation.curriculumBuckets(df, "doc_id", "score", 2,
+      easyFirst = false).as[(Long, Long, Long, Int)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(hard == Map(5L -> 0L, 1L -> 1L, 3L -> 2L, 2L -> 3L, 4L -> 4L))
+    // single bucket degenerates to rank-only
+    assert(Curation.curriculumBuckets(df, "doc_id", "score", 1)
+      .select("bucket").as[Int].collect().forall(_ == 0))
+    // ranks stay exact across many partitions (prefix-offset correctness)
+    val big = (0L until 997L).map(i => (i, (i * 7919L) % 997L)).toDF("doc_id", "score")
+    val ranks = Curation.curriculumBuckets(big, "doc_id", "score", 10,
+        partitions = Some(13))
+      .select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (0L until 997L), "ranks must be a dense 0..n-1")
+    // null scores rejected loudly (engine-specific null sort placement)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq((1L, Some(1L)), (2L, None)).toDF("doc_id", "score")
+        .transform(Curation.curriculumBuckets(_, "doc_id", "score", 2)).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("dsirWeights: target-like docs outrank off-domain docs, smoothing covers OOV") {
     val corpus = Seq(
       (1L, "law court judge law court"),   // target-like
