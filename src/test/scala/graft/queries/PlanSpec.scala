@@ -136,6 +136,19 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("DSIR weighting broadcasts the vocab-sized ratio table") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    val docs = graft.api.Tables.load(spark, dir, "documents")
+    val scored = Curation.dsirWeights(docs,
+      docs.filter(col("source") === "src0"), "doc_id", "text")
+    val p = scored.queryExecution.executedPlan.toString
+    // the corpus token explosion joins a BROADCAST ratio table — the
+    // exploded corpus must never shuffle on the token
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("semantic dedup: cell pair mining joins on the cell key, never cartesian") {
     import graft.operators.Dedup
     val emb = graft.api.Tables.load(spark, dir, "embeddings")
