@@ -185,6 +185,68 @@ case class WeightLookup(child: Expression, keys: Array[String],
     copy(child = newChild)
 }
 
+/** [[WeightLookup]]'s double-valued sibling for ratio models (DSIR
+  * importance ratios): O(1) hash probe against a plan-constant
+  * token→double table, `default` for out-of-vocab tokens (a token unseen
+  * in BOTH reference distributions smooths to (0+1)/(0+1) = 1).
+  */
+case class RatioLookup(child: Expression, keys: Array[String],
+                       values: Array[Double], default: Double)
+  extends UnaryExpression {
+  require(keys.length == values.length,
+    s"ratio model arity mismatch: ${keys.length} keys vs ${values.length} values")
+
+  override def equals(o: Any): Boolean = o match {
+    case w: RatioLookup =>
+      child == w.child && default == w.default && java.util.Arrays.equals(
+        keys.asInstanceOf[Array[AnyRef]], w.keys.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(values, w.values)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Objects.hash(child, Double.box(default),
+      Int.box(java.util.Arrays.hashCode(keys.asInstanceOf[Array[AnyRef]])),
+      Int.box(java.util.Arrays.hashCode(values)))
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ratio_lookup requires a string input, got ${other.simpleString(10)}")
+    }
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      math.max(16, keys.length * 2))
+    var i = 0
+    while (i < keys.length) {
+      m.put(UTF8String.fromString(keys(i)), values(i)); i += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = table.get(a.asInstanceOf[UTF8String])
+    if (v == null) default else v.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("ratioTable", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v")
+      s"""
+         |java.lang.Double $v = (java.lang.Double) $tbl.get($a);
+         |${ev.value} = ($v == null) ? $default : $v.doubleValue();
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Greedy longest-match subword segmentation of a string column against
     * a constant vocab (single-character fallback, lossless concat).
@@ -198,5 +260,15 @@ object TextFunctions {
   def weight_of(token: Column, weights: Map[String, Long]): Column = {
     val sorted = weights.toArray.sortBy(_._1)
     toColumn(WeightLookup(toExpression(token), sorted.map(_._1), sorted.map(_._2)))
+  }
+
+  /** Token importance ratio under a constant model; `default` for
+    * out-of-vocab tokens.
+    */
+  def ratio_of(token: Column, ratios: Map[String, Double],
+               default: Double = 1.0): Column = {
+    val sorted = ratios.toArray.sortBy(_._1)
+    toColumn(RatioLookup(toExpression(token), sorted.map(_._1),
+      sorted.map(_._2), default))
   }
 }

@@ -331,6 +331,30 @@ object Curation {
     spark.createDataFrame(taken, outSchema)
   }
 
+  /** Corpus-wide sequence packing: concatenate the (deterministically
+    * ordered) corpus into one token stream and assign each document its
+    * global token offset and the fixed-length training sequence its
+    * first token lands in — the standard "pack documents into S-token
+    * rows" pretraining step, at corpus scale. A doc with
+    * `cum_before + n_tokens - 1 >= (seq_first + 1)·S` continues into the
+    * following sequence(s); `seq_last` reports where its tail lands.
+    *
+    * Scale shape: delegates the global cumsum to [[takeByBudget]]'s
+    * two-pass partition-offset machinery (budget = ∞): one range
+    * shuffle, a #partitions-long driver collect, then a pure projection
+    * — no single-partition running-sum window.
+    */
+  def packCorpus(df: DataFrame, orderCols: Seq[String], tokenCol: String,
+                 seqLen: Long, partitions: Option[Int] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // `div`, not `/`: long/long `/` is DOUBLE division in Spark and goes
+    // inexact past 2^53 total tokens — integer floor division throughout
+    takeByBudget(df, orderCols, tokenCol, Long.MaxValue, partitions)
+      .withColumn("seq_first", expr(s"cum_before div ${seqLen}L"))
+      .withColumn("seq_last", expr(
+        s"greatest(cum_before + $tokenCol - 1, cum_before) div ${seqLen}L"))
+  }
+
   /** Exact curriculum bucketing: global 0-based rank in difficulty order
     * (easy-first by default) and an exact ntile bucket
     * `⌊rank·nBuckets/n⌋` — the schedule tables curriculum training reads

@@ -189,6 +189,31 @@ object QueryCatalog {
        |bpt AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
        |        FROM bpp GROUP BY pair ORDER BY n DESC, pair LIMIT $k)""".stripMargin
 
+  /** DSIR importance-weight replay (shared by x_dsir_weights and the
+    * streaming gate x_stream_dsir — bit-identical scores): per-token
+    * ratio (ct+1)/(cs+1) as one double division; per-doc fold in sorted
+    * token order (list_reduce ≡ aggregate/sort_array; 0.0 seed +
+    * positive ratios → identical IEEE sums).
+    */
+  private def dsirSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |              FROM documents),
+      |scnt AS (SELECT tok, count(*) AS cs FROM toks GROUP BY tok),
+      |tcnt AS (SELECT tok, count(*) AS ct FROM toks
+      |         WHERE doc_id IN (SELECT doc_id FROM documents
+      |                          WHERE source = 'src0')
+      |         GROUP BY tok),
+      |ratio AS (SELECT s.tok,
+      |            CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) /
+      |              CAST(s.cs + 1 AS DOUBLE) AS r
+      |          FROM scnt s LEFT JOIN tcnt t ON t.tok = s.tok)
+      |SELECT k.doc_id, count(*) AS n_tokens,
+      |       list_reduce(list(k.r ORDER BY k.tok), (a, b) -> a + b)
+      |         AS dsir_score
+      |FROM (SELECT toks.doc_id, toks.tok, ratio.r
+      |      FROM toks JOIN ratio ON ratio.tok = toks.tok) k
+      |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin
+
   /** NB-margin quality-classifier oracle CTEs (shared by
     * x_quality_classifier and the RAG pipeline): ends in
     * `nbscore(doc_id, n_tokens, score)`. Integer floor-division rate
@@ -1600,6 +1625,18 @@ object QueryCatalog {
       Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    "x_pack_corpus" -> ((s, dir) =>
+      // Pretraining packing: md5-shuffled corpus concatenated into one
+      // token stream, each doc assigned its global offset and the
+      // 512-token training sequences its first/last tokens land in.
+      Curation.packCorpus(
+          t(s, dir, "documents").select(col("doc_id"),
+            md5(col("doc_id").cast("string")).as("__hx"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          Seq("__hx", "doc_id"), "n_tokens", seqLen = 512L)
+        .select("doc_id", "n_tokens", "cum_before", "seq_first", "seq_last")
+        .orderBy("doc_id")),
+
     "x_pipeline_pretrain" -> ((s, dir) => {
       // Pretraining-mix composite: NB quality gate → DSIR target-domain
       // weighting of the survivors → exact top-quartile curriculum cut →
@@ -1635,6 +1672,31 @@ object QueryCatalog {
       val docs = t(s, dir, "documents")
       Curation.dsirWeights(docs, docs.filter(col("source") === "src0"),
           "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "x_stream_dsir" -> ((s, dir) => { // streaming importance-resampling gate
+      // Ingest-time DSIR: the ratio table is precomputed from the static
+      // corpora with the SAME division expression as the batch operator
+      // (identical bits), then the live stream folds it per row in sorted
+      // token order — stream scores ≡ batch scores, same oracle SQL as
+      // x_dsir_weights.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val docs = t(s, dir, "documents")
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(split(col("text"), " ")).as("tok"))
+      val src = toks(docs).groupBy("tok").agg(count(lit(1)).as("cs"))
+      val tgt = toks(docs.filter(col("source") === "src0"))
+        .groupBy("tok").agg(count(lit(1)).as("ct"))
+      val ratios = src.join(tgt, Seq("tok"), "left")
+        .select(col("tok"),
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+            (col("cs") + lit(1L)).cast("double")).as("r"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.StreamDsir.runOnce(s, dir, "documents.parquet",
+          schema, ratios, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2672,6 +2734,22 @@ object QueryCatalog {
         s"""WITH ${bpeCtes(50)}
            |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
 
+      "x_pack_corpus" ->
+        // running-sum window replay of the distributed two-pass cumsum;
+        // integer floor division on both sides
+        """WITH p AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+          |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |           FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY hx, doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |          AS BIGINT) AS cum_before FROM p)
+          |SELECT doc_id, n_tokens, cum_before,
+          |       CAST(cum_before // 512 AS BIGINT) AS seq_first,
+          |       CAST(greatest(cum_before + n_tokens - 1, cum_before) // 512
+          |         AS BIGINT) AS seq_last
+          |FROM c ORDER BY doc_id""".stripMargin,
+
       "x_pipeline_pretrain" ->
         // gate (integer NB margin) → DSIR fold (sorted double sum) →
         // hard-first exact quartile → md5 shards: each stage reuses its
@@ -2717,27 +2795,11 @@ object QueryCatalog {
           |       CAST((rank * 10) // n AS INTEGER) AS bucket
           |FROM r ORDER BY doc_id""".stripMargin,
 
-      "x_dsir_weights" ->
-        // per-token ratio (ct+1)/(cs+1) as one double division; per-doc
-        // fold in sorted token order (list_reduce ≡ aggregate/sort_array;
-        // 0.0 seed + positive ratios → identical IEEE sums)
-        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-          |              FROM documents),
-          |scnt AS (SELECT tok, count(*) AS cs FROM toks GROUP BY tok),
-          |tcnt AS (SELECT tok, count(*) AS ct FROM toks
-          |         WHERE doc_id IN (SELECT doc_id FROM documents
-          |                          WHERE source = 'src0')
-          |         GROUP BY tok),
-          |ratio AS (SELECT s.tok,
-          |            CAST(coalesce(t.ct, 0) + 1 AS DOUBLE) /
-          |              CAST(s.cs + 1 AS DOUBLE) AS r
-          |          FROM scnt s LEFT JOIN tcnt t ON t.tok = s.tok)
-          |SELECT k.doc_id, count(*) AS n_tokens,
-          |       list_reduce(list(k.r ORDER BY k.tok), (a, b) -> a + b)
-          |         AS dsir_score
-          |FROM (SELECT toks.doc_id, toks.tok, ratio.r
-          |      FROM toks JOIN ratio ON ratio.tok = toks.tok) k
-          |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+      "x_dsir_weights" -> dsirSql,
+
+      // the stream folds the SAME ratio table in the SAME sorted order —
+      // scores are bit-identical to the batch operator, one shared replay
+      "x_stream_dsir" -> dsirSql,
 
       "x_stream_classify" ->
         // the streaming path is a stateless fold over the same model —

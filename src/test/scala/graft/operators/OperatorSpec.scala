@@ -288,6 +288,26 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("packCorpus: global offsets, boundary-spanning docs, zero-token rows") {
+    val df = Seq((1L, 3L), (2L, 5L), (3L, 0L), (4L, 6L))
+      .toDF("doc_id", "n_tokens")
+    // identity order → offsets 0, 3, 8, 8; seqLen 4 → sequences of 4
+    val r = Curation.packCorpus(df, Seq("doc_id"), "n_tokens", seqLen = 4L)
+      .select("doc_id", "cum_before", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3, t._4))
+      .toMap
+    assert(r(1L) == (0L, 0L, 0L), r.toString)          // tokens 0..2, seq 0
+    assert(r(2L) == (3L, 0L, 1L), r.toString)          // 3..7 spans seqs 0-1
+    assert(r(3L) == (8L, 2L, 2L), r.toString)          // empty doc: point offset
+    assert(r(4L) == (8L, 2L, 3L), r.toString)          // 8..13 spans seqs 2-3
+    // offsets stay exact across partitions
+    val big = (0L until 500L).map(i => (i, 7L)).toDF("doc_id", "n_tokens")
+    val offs = Curation.packCorpus(big, Seq("doc_id"), "n_tokens", 512L,
+        partitions = Some(11))
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+    assert((0L until 500L).forall(i => offs(i) == i * 7L))
+  }
+
   test("curriculumBuckets: exact global ranks and ntile buckets, ties by key") {
     val df = Seq((1L, 30L), (2L, 10L), (3L, 20L), (4L, 10L), (5L, 40L))
       .toDF("doc_id", "score")

@@ -145,6 +145,49 @@ class StreamDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming DSIR scores are bit-identical to the batch operator") {
+    import graft.operators.Curation
+    val docs = Seq((1L, "law court judge"), (2L, "law banana"),
+      (3L, "banana apple apple")).toDF("doc_id", "text")
+    val target = Seq((10L, "law court law")).toDF("doc_id", "text")
+    val batch = Curation.dsirWeights(docs, target, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // ratio table built the same way the catalog builds it
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("tok"))
+    val src = toks(docs).groupBy("tok").agg(count(lit(1)).as("cs"))
+    val tgt = toks(target).groupBy("tok").agg(count(lit(1)).as("ct"))
+    val ratios = src.join(tgt, Seq("tok"), "left")
+      .select(col("tok"),
+        ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+          (col("cs") + lit(1L)).cast("double")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fold = StreamDsir.score(docs, ratios, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // EXACT double equality — same sorted fold, same bits
+    assert(fold.toSeq == batch.toSeq)
+    // through a REAL drained stream, still bit-identical
+    val stream = MemoryStream[(Long, String)](spark)
+    stream.addData(docs.as[(Long, String)].collect().toSeq: _*)
+    val name = s"dsir_spec_${System.nanoTime()}"
+    val q = StreamDsir.score(
+        stream.toDF.toDF("doc_id", "text"), ratios, "doc_id", "text")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table(name).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq == batch.toSeq)
+    // an out-of-model token scores the smoothed default 1.0
+    val oov = StreamDsir.score(Seq((9L, "zzz")).toDF("doc_id", "text"),
+      ratios, "doc_id", "text").select("dsir_score").as[Double].head()
+    assert(oov == 1.0)
+    intercept[IllegalArgumentException] {
+      StreamDsir.score(docs, Map.empty, "doc_id", "text")
+    }
+  }
+
   test("a saturated bucket stops emitting and stops growing state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
