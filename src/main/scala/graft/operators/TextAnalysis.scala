@@ -544,4 +544,47 @@ object TextAnalysis {
       sum(size(split(col(textCol), " "))).as("total_tokens"),
       min(length(col(textCol))).as("min_chars"),
       max(length(col(textCol))).as("max_chars"))
+
+  /** Per-group corpus diversity: distinct-n ratio (distinct n-grams over
+    * total n-gram occurrences — the "distinct-n" diversity metric of
+    * Li et al. 2016, the standard mode-collapse check on synthetic /
+    * model-generated corpora). Ratio reported in exact integer per-mille
+    * (`1000·distinct div total`) — no float division to disagree on.
+    *
+    * Scale shape: one explode + one two-level agg; the per-group distinct
+    * goes through a (group, ngram) pre-aggregation, so the wide shuffle
+    * carries each distinct n-gram once per group, not once per occurrence.
+    */
+  def distinctNgramRatio(docs: DataFrame, groupCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // CASE, not greatest(…, 0): Spark's sequence(1, 0) DESCENDS ([1, 0])
+    // instead of returning empty — a short doc must contribute nothing
+    val grams = docs.select(col(groupCol),
+        explode(expr(
+          s"""CASE WHEN size(split($textCol, ' ')) >= $n
+             |THEN transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}),
+             |  i -> array_join(slice(split($textCol, ' '), i, $n), ' '))
+             |ELSE array() END""".stripMargin)).as("ngram"))
+    grams.groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("permille_distinct",
+        expr("1000L * distinct_ngrams div total_ngrams"))
+  }
+
+  /** Token frequency spectrum ("frequency of frequencies"): how many
+    * distinct tokens occur c times, bucketed by ⌊log₂ c⌋ — the Zipf
+    * profile vocab-pruning and tokenizer-budget decisions read. The
+    * bucket is computed as `length(bin(c)) - 1`: pure integer string
+    * length in BOTH engines, no floating log to round differently at
+    * exact powers of two.
+    */
+  def tokenFrequencySpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy((length(bin(col("c"))) - 1).as("log2_freq"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("n_occurrences"))
 }

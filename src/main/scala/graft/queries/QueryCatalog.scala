@@ -1625,6 +1625,19 @@ object QueryCatalog {
       Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    "x_distinct_ngrams" -> ((s, dir) =>
+      // Per-source diversity (distinct-3 ratio): the mode-collapse check
+      // run on synthetic/model-generated corpora; exact per-mille ints.
+      TextAnalysis.distinctNgramRatio(t(s, dir, "documents"),
+          "source", "text", n = 3)
+        .orderBy("source")),
+
+    "x_token_spectrum" -> ((s, dir) =>
+      // Zipf profile: tokens per ⌊log2 freq⌋ bucket via integer
+      // bin-length — vocab-pruning / tokenizer-budget input.
+      TextAnalysis.tokenFrequencySpectrum(t(s, dir, "documents"), "text")
+        .orderBy("log2_freq")),
+
     "x_pack_corpus" -> ((s, dir) =>
       // Pretraining packing: md5-shuffled corpus concatenated into one
       // token stream, each doc assigned its global offset and the
@@ -2733,6 +2746,29 @@ object QueryCatalog {
       "x_bpe_pairs" ->
         s"""WITH ${bpeCtes(50)}
            |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
+
+      "x_distinct_ngrams" ->
+        // range(1, k+1) is empty for k <= 0 — short docs contribute
+        // nothing, mirroring the Spark CASE guard
+        """WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+          |e AS (SELECT source,
+          |        array_to_string(list_slice(toks, i, i + 2), ' ') AS ngram
+          |      FROM d, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS t(i)),
+          |pg AS (SELECT source, ngram, count(*) AS c FROM e GROUP BY 1, 2)
+          |SELECT source, CAST(sum(c) AS BIGINT) AS total_ngrams,
+          |       count(*) AS distinct_ngrams,
+          |       CAST((1000 * count(*)) // sum(c) AS BIGINT) AS permille_distinct
+          |FROM pg GROUP BY source ORDER BY source""".stripMargin,
+
+      "x_token_spectrum" ->
+        // length(bin(c)) - 1 = ⌊log2 c⌋ as pure integer string length in
+        // both engines (no float log at exact powers of two)
+        """WITH tc AS (SELECT tok, count(*) AS c FROM (
+          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          |  GROUP BY tok)
+          |SELECT CAST(length(bin(c)) - 1 AS INTEGER) AS log2_freq,
+          |       count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS n_occurrences
+          |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "x_pack_corpus" ->
         // running-sum window replay of the distributed two-pass cumsum;

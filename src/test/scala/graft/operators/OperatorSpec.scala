@@ -288,6 +288,29 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("distinctNgramRatio: exact per-mille diversity, short docs contribute nothing") {
+    val docs = Seq(
+      (1L, "a b a b a", "s1"),   // 3-grams: aba, bab, aba → 3 total, 2 distinct
+      (2L, "x y", "s1"),         // shorter than n → nothing
+      (3L, "p q r s", "s2")      // pqr, qrs → 2 total, 2 distinct
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.distinctNgramRatio(docs, "source", "text", 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r == Map("s1" -> (3L, 2L, 666L), "s2" -> (2L, 2L, 1000L)), r.toString)
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.distinctNgramRatio(docs, "source", "text", 0)
+    }
+  }
+
+  test("tokenFrequencySpectrum: integer log2 buckets at exact powers of two") {
+    // freqs: a→1 (bucket 0), b→2, c→3 (bucket 1), d→4 (bucket 2)
+    val docs = Seq((1L, "a b b c c c d d"), (2L, "d d")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenFrequencySpectrum(docs, "text")
+      .as[(Int, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r == Map(0 -> (1L, 1L), 1 -> (2L, 5L), 2 -> (1L, 4L)), r.toString)
+  }
+
   test("packCorpus: global offsets, boundary-spanning docs, zero-token rows") {
     val df = Seq((1L, 3L), (2L, 5L), (3L, 0L), (4L, 6L))
       .toDF("doc_id", "n_tokens")
