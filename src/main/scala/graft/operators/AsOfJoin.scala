@@ -83,4 +83,24 @@ object AsOfJoin {
     df.withColumn("split",
       when(bucket < trainPct, "train").otherwise("test"))
   }
+
+  /** Leakage-free split: the split is assigned to the duplicate CLUSTER,
+    * not the document — a doc-keyed split puts near-duplicate copies on
+    * both sides, leaking train content into eval (the contamination
+    * failure decontamination exists to prevent, reintroduced by the
+    * split itself). `clusters` is [[Dedup.duplicateClusters]]' (id,
+    * cluster_id) labeling; docs absent from it are singletons and
+    * cluster under their own id. Same stable integer-hash bucketing as
+    * [[trainTestSplit]] — append-stable, engine-exact.
+    *
+    * Scale shape: one left join against the (small — only clustered
+    * docs) label table, then a pure projection.
+    */
+  def leakFreeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+                    trainPct: Int): DataFrame = {
+    val labeled = docs.join(
+        clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    trainTestSplit(labeled, "cluster_id", trainPct)
+  }
 }

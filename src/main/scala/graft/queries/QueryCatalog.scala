@@ -1625,6 +1625,18 @@ object QueryCatalog {
       Curation.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 32, 24)
         .orderBy("doc_id", "chunk_id")),
 
+    "x_split_leakfree" -> ((s, dir) => {
+      // Leakage-free eval split: near-dup clusters split as a UNIT —
+      // no near-duplicate pair ever straddles train/test.
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text", 0.6,
+          maxShingleFreq = Some(jaccardFreqCap)))
+      graft.operators.AsOfJoin.leakFreeSplit(
+          docs.select("doc_id"), clusters, "doc_id", 80)
+        .orderBy("doc_id")
+    }),
+
     "x_distinct_ngrams" -> ((s, dir) =>
       // Per-source diversity (distinct-3 ratio): the mode-collapse check
       // run on synthetic/model-generated corpora; exact per-mille ints.
@@ -2746,6 +2758,27 @@ object QueryCatalog {
       "x_bpe_pairs" ->
         s"""WITH ${bpeCtes(50)}
            |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
+
+      "x_split_leakfree" ->
+        // cluster replay (recursive CTE) + the q_train_test_split hash
+        // formula applied to the cluster id
+        s"""WITH RECURSIVE ${jaccardPairsSql(Some(jaccardFreqCap))},
+           |pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.6),
+           |edges AS (SELECT a AS src, b AS dst FROM pairs
+           |          UNION SELECT b, a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |lab AS (SELECT node AS doc_id, min(label) AS cluster_id
+           |          FROM reach GROUP BY node),
+           |alldocs AS (SELECT d.doc_id,
+           |           coalesce(l.cluster_id, d.doc_id) AS cluster_id
+           |         FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id)
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN ((cluster_id % 1000003) * 2654435761) % 1000000007 % 100 < 80
+           |       THEN 'train' ELSE 'test' END AS split
+           |FROM alldocs ORDER BY doc_id""".stripMargin,
 
       "x_distinct_ngrams" ->
         // range(1, k+1) is empty for k <= 0 — short docs contribute

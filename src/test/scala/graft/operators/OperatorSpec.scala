@@ -288,6 +288,32 @@ class OperatorSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("leakFreeSplit: no duplicate cluster straddles train/test") {
+    def words(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    def near(tag: String) = (1 to 29).map(i => s"$tag$i").mkString(" ") + " zzz"
+    val docs = Seq((1L, words("a")), (2L, near("a")), (3L, words("b")),
+      (4L, near("b")), (5L, words("c"))).toDF("doc_id", "text")
+    val clusters = Dedup.duplicateClusters(
+      Dedup.jaccardPairs(docs, "doc_id", "text", 0.6))
+    val split = graft.operators.AsOfJoin.leakFreeSplit(
+        docs.select("doc_id"), clusters, "doc_id", 80)
+      .as[(Long, Long, String)].collect()
+    assert(split.length == 5, "every doc gets a split, singletons included")
+    // the leakage property: one split per cluster
+    val perCluster = split.groupBy(_._2).values
+    assert(perCluster.forall(_.map(_._3).distinct.length == 1),
+      split.mkString(", "))
+    // near-dup pairs landed in the same cluster, so the same split
+    val byId = split.map(t => t._1 -> t._3).toMap
+    assert(byId(1L) == byId(2L) && byId(3L) == byId(4L))
+    // and the split matches the plain doc-keyed split of the cluster id
+    val direct = graft.operators.AsOfJoin.trainTestSplit(
+        split.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "cluster_id"),
+        "cluster_id", 80)
+      .as[(Long, Long, String)].collect().map(t => t._1 -> t._3).toMap
+    assert(split.forall(t => direct(t._1) == t._3))
+  }
+
   test("distinctNgramRatio: exact per-mille diversity, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b a b a", "s1"),   // 3-grams: aba, bab, aba → 3 total, 2 distinct
