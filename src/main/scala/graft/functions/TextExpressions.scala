@@ -195,6 +195,11 @@ case class RatioLookup(child: Expression, keys: Array[String],
   extends UnaryExpression {
   require(keys.length == values.length,
     s"ratio model arity mismatch: ${keys.length} keys vs ${values.length} values")
+  // the default is spliced into generated Java source, where NaN/Infinity
+  // are not literals (janino would reject the code and silently fall back
+  // to interpreted eval); NaN also breaks content-equality (NaN != NaN)
+  require(java.lang.Double.isFinite(default),
+    s"ratio default must be finite, got $default")
 
   override def equals(o: Any): Boolean = o match {
     case w: RatioLookup =>

@@ -98,8 +98,18 @@ object AsOfJoin {
     */
   def leakFreeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
                     trainPct: Int): DataFrame = {
+    // duplicateClusters labels its id column "doc_id" regardless of the
+    // caller's key — align it to idCol so embedding-keyed corpora
+    // (vec_id, ...) compose without a rename at every call site
+    val labelId =
+      if (clusters.columns.contains(idCol)) idCol
+      else if (clusters.columns.contains("doc_id")) "doc_id"
+      else throw new IllegalArgumentException(
+        s"leakFreeSplit: clusters has neither '$idCol' nor 'doc_id' " +
+          s"(columns: ${clusters.columns.mkString(", ")})")
     val labeled = docs.join(
-        clusters.select(col(idCol), col("cluster_id")), Seq(idCol), "left")
+        clusters.select(col(labelId).as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     trainTestSplit(labeled, "cluster_id", trainPct)
   }

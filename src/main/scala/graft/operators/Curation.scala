@@ -282,6 +282,29 @@ object Curation {
     * (cast upstream); ordering is total when `orderCols` contain a unique
     * key.
     */
+  /** Shared core of the two-pass partition-offset rankers
+    * ([[takeByBudget]], [[curriculumBuckets]]): range-partition + sort by
+    * `ord`, localCheckpoint the sorted RDD (both passes stream the SAME
+    * cached blocks — without truncating lineage the emit pass would
+    * re-execute the range shuffle + sort from scratch; blocks live until
+    * the session drops persistent RDDs, which the bench does between
+    * queries), collect per-partition `weigh` subtotals (driver traffic =
+    * #partitions longs), and return (sorted rdd, exclusive prefix sums).
+    */
+  private def sortedPrefix(df: DataFrame, ord: Seq[Column], parts: Int,
+                           weigh: org.apache.spark.sql.Row => Long)
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Array[Long]) = {
+    val sorted = df.repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+    val rdd = sorted.rdd.localCheckpoint()
+    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += weigh(r))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    (rdd, subtotals.scanLeft(0L)(_ + _))
+  }
+
   def takeByBudget(df: DataFrame, orderCols: Seq[String], tokenCol: String,
                    budget: Long, partitions: Option[Int] = None): DataFrame = {
     require(orderCols.nonEmpty && budget > 0)
@@ -291,34 +314,20 @@ object Curation {
     val spark = df.sparkSession
     val parts = partitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
-    val sorted = df.repartitionByRange(parts, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-    val tokIdx = sorted.schema.fieldIndex(tokenCol)
-    // Both passes read the SAME sorted RDD; without truncating lineage the
-    // emit pass would re-execute the range shuffle + sort from scratch.
-    // localCheckpoint persists the sorted partitions at the subtotal
-    // collect() and the emit pass streams the cached blocks — one shuffle
-    // total. (The blocks live until the session drops persistent RDDs; the
-    // bench releases them between queries.)
-    val rdd = sorted.rdd.localCheckpoint()
-    val subtotals = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach { r =>
-        // loud contract check here, not an executor NPE three jobs later:
-        // nulls and negatives both corrupt the running budget silently
-        if (r.isNullAt(tokIdx))
-          throw new IllegalArgumentException(
-            s"takeByBudget: null token count (tokenCol must be non-null)")
-        val t = r.getLong(tokIdx)
-        if (t < 0)
-          throw new IllegalArgumentException(
-            s"takeByBudget: negative token count $t")
-        s += t
-      }
-      Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val prefix = subtotals.scanLeft(0L)(_ + _)
-    val outSchema = sorted.schema
+    val tokIdx = df.schema.fieldIndex(tokenCol)
+    val (rdd, prefix) = sortedPrefix(df, keyCols, parts, { r =>
+      // loud contract check here, not an executor NPE three jobs later:
+      // nulls and negatives both corrupt the running budget silently
+      if (r.isNullAt(tokIdx))
+        throw new IllegalArgumentException(
+          s"takeByBudget: null token count (tokenCol must be non-null)")
+      val t = r.getLong(tokIdx)
+      if (t < 0)
+        throw new IllegalArgumentException(
+          s"takeByBudget: negative token count $t")
+      t
+    })
+    val outSchema = df.schema
       .add("cum_before", org.apache.spark.sql.types.LongType, nullable = false)
     val taken = rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = prefix(pid)
@@ -377,28 +386,19 @@ object Curation {
       col(keyCol).asc)
     val parts = partitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
-    val sorted = df.select(col(keyCol), col(scoreCol))
-      .repartitionByRange(parts, ord: _*)
-      .sortWithinPartitions(ord: _*)
-    val scoreIdx = sorted.schema.fieldIndex(scoreCol)
-    // both passes stream the SAME sorted blocks (see takeByBudget)
-    val rdd = sorted.rdd.localCheckpoint()
-    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var c = 0L
-      it.foreach { r =>
-        // a null score has engine-specific sort placement (Spark NULLS
-        // FIRST vs DuckDB NULLS LAST) — reject loudly, don't mis-rank
-        if (r.isNullAt(scoreIdx))
-          throw new IllegalArgumentException(
-            s"curriculumBuckets: null $scoreCol (scores must be non-null)")
-        c += 1
-      }
-      Iterator((pid, c))
-    }.collect().sortBy(_._1).map(_._2)
-    val prefix = counts.scanLeft(0L)(_ + _)
+    val projected = df.select(col(keyCol), col(scoreCol))
+    val scoreIdx = projected.schema.fieldIndex(scoreCol)
+    val (rdd, prefix) = sortedPrefix(projected, ord, parts, { r =>
+      // a null score has engine-specific sort placement (Spark NULLS
+      // FIRST vs DuckDB NULLS LAST) — reject loudly, don't mis-rank
+      if (r.isNullAt(scoreIdx))
+        throw new IllegalArgumentException(
+          s"curriculumBuckets: null $scoreCol (scores must be non-null)")
+      1L
+    })
     val n = prefix.last
     require(n > 0, "curriculumBuckets needs a non-empty input")
-    val outSchema = sorted.schema
+    val outSchema = projected.schema
       .add("rank", org.apache.spark.sql.types.LongType, nullable = false)
       .add("bucket", org.apache.spark.sql.types.IntegerType, nullable = false)
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -429,26 +429,54 @@ object Curation {
     * the source counts, one for the per-doc fold.
     */
   def dsirWeights(corpus: DataFrame, target: DataFrame,
-                  idCol: String, textCol: String): DataFrame = {
+                  idCol: String, textCol: String,
+                  materialize: Boolean = true): DataFrame = {
     require(target.limit(1).count() > 0,
       "dsirWeights needs a non-empty target corpus")
-    def toks(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(split(col(textCol), " ")).as("tok"): _*)
-    val src = toks(corpus).groupBy("tok").agg(count(lit(1)).as("cs"))
-    val tgt = toks(target).groupBy("tok").agg(count(lit(1)).as("ct"))
-    // corpus tokens all appear in src by construction → left join; an
-    // unseen-in-target token smooths to ratio 1/(cs+1)
-    val ratio = src.join(tgt, Seq("tok"), "left")
-      .select(col("tok"),
-        ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
-          (col("cs") + lit(1L)).cast("double")).as("r"))
-    toks(corpus, col(idCol))
+    // materialize the compact (id, tok) explosion ONCE: the source-count
+    // pass and the per-doc fold both read it — without a checkpoint each
+    // would re-scan and re-split the corpus (and any expensive upstream,
+    // e.g. a quality gate feeding this operator, would run twice)
+    val corpusToks0 = corpus.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+    val corpusToks =
+      if (materialize) corpusToks0.localCheckpoint(true) else corpusToks0
+    val src = corpusToks.groupBy("tok").agg(count(lit(1)).as("cs"))
+    val tgt = target.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val ratio = dsirRatios(src, tgt)
+    corpusToks
       .join(broadcast(ratio), Seq("tok"))
       .select(col(idCol), struct(col("tok"), col("r")).as("c"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         expr("aggregate(sort_array(collect_list(c)), 0.0D, (a, x) -> a + x.r)")
           .as("dsir_score"))
+  }
+
+  /** The DSIR smoothed importance-ratio table from (tok, cs) source
+    * counts and (tok, ct) target counts: `(ct+1)/(cs+1)` as ONE double
+    * division. Shared by [[dsirWeights]] and the streaming gate's model
+    * builder — the stream≡batch bit-equality guarantee requires the
+    * IDENTICAL expression, so there is exactly one copy of it.
+    * Corpus tokens all appear in the source counts by construction →
+    * left join; a token unseen in the target smooths to 1/(cs+1).
+    */
+  def dsirRatios(sourceCounts: DataFrame, targetCounts: DataFrame): DataFrame =
+    sourceCounts.join(targetCounts, Seq("tok"), "left")
+      .select(col("tok"),
+        ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+          (col("cs") + lit(1L)).cast("double")).as("r"))
+
+  /** [[dsirRatios]] from raw corpora — the model-builder form the
+    * streaming gate collects (vocab-sized) into its plan-constant table.
+    */
+  def dsirRatioTable(corpus: DataFrame, target: DataFrame,
+                     textCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(split(col(textCol), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as(as))
+    dsirRatios(counts(corpus, "cs"), counts(target, "ct"))
   }
 
   /** Scrub common PII shapes (emails, long digit runs, phone-ish

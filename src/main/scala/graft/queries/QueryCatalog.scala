@@ -1709,15 +1709,8 @@ object QueryCatalog {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () }
       val docs = t(s, dir, "documents")
-      def toks(df: org.apache.spark.sql.DataFrame) =
-        df.select(explode(split(col("text"), " ")).as("tok"))
-      val src = toks(docs).groupBy("tok").agg(count(lit(1)).as("cs"))
-      val tgt = toks(docs.filter(col("source") === "src0"))
-        .groupBy("tok").agg(count(lit(1)).as("ct"))
-      val ratios = src.join(tgt, Seq("tok"), "left")
-        .select(col("tok"),
-          ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
-            (col("cs") + lit(1L)).cast("double")).as("r"))
+      val ratios = Curation.dsirRatioTable(docs,
+          docs.filter(col("source") === "src0"), "text")
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       graft.streaming.StreamDsir.runOnce(s, dir, "documents.parquet",

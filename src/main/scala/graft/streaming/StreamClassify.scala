@@ -32,11 +32,16 @@ object StreamClassify {
             idCol: String, textCol: String): DataFrame = {
     require(weights.nonEmpty, "scoring needs a non-empty weight model")
     // weight_of is an O(1) hash probe against the shared model object —
-    // a map LITERAL + element_at would linear-scan the entries per token
-    docs.select(col(idCol),
+    // a map LITERAL + element_at would linear-scan the entries per token.
+    // The coalesce preserves the original null-token semantics (a null
+    // element scores 0, it does not nullify the document), and null-text
+    // docs drop exactly as the batch classifier's explode drops them.
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
         size(split(col(textCol), " ")).as("n_tokens"),
         aggregate(split(col(textCol), " "), lit(0L),
-          (acc, w) => acc + graft.functions.TextFunctions.weight_of(w, weights))
+          (acc, w) => acc + coalesce(
+            graft.functions.TextFunctions.weight_of(w, weights), lit(0L)))
           .as("score"))
       .withColumn("label", (col("score") > 0).cast("int"))
   }

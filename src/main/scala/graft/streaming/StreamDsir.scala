@@ -28,12 +28,16 @@ object StreamDsir {
   def score(docs: DataFrame, ratios: Map[String, Double],
             idCol: String, textCol: String): DataFrame = {
     require(ratios.nonEmpty, "scoring needs a non-empty ratio model")
-    docs.select(col(idCol),
-      // long, not int: bit-for-bit frame parity with the batch operator
-      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-      aggregate(sort_array(split(col(textCol), " ")), lit(0.0),
-        (acc, w) => acc + graft.functions.TextFunctions.ratio_of(w, ratios))
-        .as("dsir_score"))
+    // null-text docs drop here exactly as the batch operator's explode
+    // drops them — stream and batch frames stay row-identical
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        // long, not int: bit-for-bit frame parity with the batch operator
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        aggregate(sort_array(split(col(textCol), " ")), lit(0.0),
+          (acc, w) => acc +
+            coalesce(graft.functions.TextFunctions.ratio_of(w, ratios), lit(0.0)))
+          .as("dsir_score"))
   }
 
   /** Drive the stream end-to-end with an AvailableNow trigger into a

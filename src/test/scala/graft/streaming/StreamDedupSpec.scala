@@ -153,15 +153,8 @@ class StreamDedupSpec extends AnyFunSuite {
     val batch = Curation.dsirWeights(docs, target, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    // ratio table built the same way the catalog builds it
-    def toks(df: org.apache.spark.sql.DataFrame) =
-      df.select(explode(split(col("text"), " ")).as("tok"))
-    val src = toks(docs).groupBy("tok").agg(count(lit(1)).as("cs"))
-    val tgt = toks(target).groupBy("tok").agg(count(lit(1)).as("ct"))
-    val ratios = src.join(tgt, Seq("tok"), "left")
-      .select(col("tok"),
-        ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
-          (col("cs") + lit(1L)).cast("double")).as("r"))
+    // ratio table from the SAME shared builder the catalog uses
+    val ratios = Curation.dsirRatioTable(docs, target, "text")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val fold = StreamDsir.score(docs, ratios, "doc_id", "text")
       .orderBy("doc_id").collect()
