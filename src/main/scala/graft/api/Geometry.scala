@@ -56,4 +56,15 @@ object Geometry {
     */
   def x(df: DataFrame): Column = df(GeometryCol).getField("x")
   def y(df: DataFrame): Column = df(GeometryCol).getField("y")
+
+  /** Bounding-box predicate over the geometry column — the relational
+    * analog of the remote envelope query (`geometryEnvelope` +
+    * `spatialRel=esriSpatialRelContains` on `table.query`, the layer-read
+    * idiom at `ap:246-249`). The connector pushes the nested-path
+    * comparisons into the service scan, so only in-box features page back
+    * — rows with null geometry are excluded, matching envelope semantics.
+    */
+  def inEnvelope(df: DataFrame, xmin: Double, ymin: Double,
+                 xmax: Double, ymax: Double): Column =
+    x(df) >= xmin && x(df) <= xmax && y(df) >= ymin && y(df) <= ymax
 }

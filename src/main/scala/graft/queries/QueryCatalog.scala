@@ -353,6 +353,28 @@ object QueryCatalog {
         .orderBy("c_custkey")
     }),
 
+    "ref_layer_bbox" -> ((s, dir) => {
+      // The envelope query on a point layer (`geometryEnvelope` on
+      // `table.query`, ap:246-249): a bounding-box predicate over the
+      // geometry convention column pushes down as nested-path filters, so
+      // the service pages back only in-box features. Same fixture as
+      // ref_layer_points; the oracle replays the box as a plain WHERE
+      // over the recomputed doubles (both engines compare exact values).
+      HostedStore.dropByTitle("q_layer_bbox")
+      val pts = graft.api.Geometry.withPointGeometry(
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .withColumn("y0", col("c_custkey") * lit(0.5)),
+        "c_acctbal", "y0").drop("y0")
+      val id = HostedStore.createLayer("q_layer_bbox", pts.schema)
+      HostedTables.write(pts, id, WriteMode.Append).fold(sys.error, identity)
+      val back = HostedTables.read(s, id)
+      back.filter(graft.api.Geometry.inEnvelope(back, 0.0, 100.0, 4000.0, 10000.0))
+        .select(col("c_custkey"),
+          graft.api.Geometry.x(back).as("x"), graft.api.Geometry.y(back).as("y"))
+        .orderBy("c_custkey")
+    }),
+
     "ref_csv_stage" -> ((s, dir) => {
       // Reference parity for the analyze→publishParameters CSV round-trip
       // (src/agol_pandas.py:441-447, 515): an UNTYPED csv is staged —
@@ -402,6 +424,14 @@ object QueryCatalog {
       """SELECT c_custkey, c_name, c_acctbal AS x,
         |       CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "ref_layer_bbox" ->
+      """SELECT c_custkey, x, y FROM (
+        |  SELECT c_custkey, c_acctbal AS x,
+        |         CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+        |  FROM customer)
+        |WHERE x >= 0.0 AND x <= 4000.0 AND y >= 100.0 AND y <= 10000.0
+        |ORDER BY c_custkey""".stripMargin,
 
     "ref_scan_pushdown" ->
       """SELECT o_orderkey, o_totalprice FROM orders

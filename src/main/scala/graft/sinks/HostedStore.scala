@@ -438,9 +438,76 @@ object HostedStore {
 }
 
 /** Service-side evaluation of Spark source filters over stored rows —
-  * the fake's implementation of the remote `where` clause.
+  * the fake's implementation of the remote `where` clause. Nested
+  * references (`geometry.x > …`) resolve through struct columns, which is
+  * what lets a bounding-box predicate on the point-geometry convention
+  * evaluate service-side — the relational analog of the remote envelope
+  * (`geometryEnvelope`) query.
   */
 object FilterEval {
+
+  /** Split a pushed attribute reference into struct-path segments. Spark
+    * dot-joins nested field names and backtick-quotes any segment that
+    * itself contains a dot or backtick (a literal backtick doubles), so
+    * the grammar here mirrors `DataSourceStrategy.translateFilter`'s
+    * quoting on the way in.
+    */
+  def parsePath(attr: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var quoted = false
+    var i = 0
+    while (i < attr.length) {
+      val c = attr.charAt(i)
+      if (quoted) {
+        if (c == '`') {
+          if (i + 1 < attr.length && attr.charAt(i + 1) == '`') { sb.append('`'); i += 1 }
+          else quoted = false
+        } else sb.append(c)
+      } else c match {
+        case '`' => quoted = true
+        case '.' => out += sb.toString; sb.setLength(0)
+        case _   => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
+  /** Whether every segment of `attr` resolves against `schema` (struct
+    * columns walked). The scan builder keeps unresolvable references in
+    * the Spark plan instead of pushing them.
+    */
+  def resolvable(attr: String, schema: StructType): Boolean = {
+    var t: org.apache.spark.sql.types.DataType = schema
+    parsePath(attr).forall { seg =>
+      t match {
+        case st: StructType =>
+          st.fields.indexWhere(_.name == seg) match {
+            case -1 => false
+            case i  => t = st.fields(i).dataType; true
+          }
+        case _ => false
+      }
+    }
+  }
+
+  /** Row value at a (possibly nested) path; a null anywhere along the
+    * path yields null, matching SQL's null-propagating field access.
+    */
+  private def resolve(attr: String, r: Row, schema: StructType): Any = {
+    var cur: Any = r
+    var t: org.apache.spark.sql.types.DataType = schema
+    parsePath(attr).foreach { seg =>
+      val st = t.asInstanceOf[StructType]
+      val i = st.fieldIndex(seg)
+      t = st(i).dataType
+      cur = if (cur == null) null else cur.asInstanceOf[Row].get(i)
+    }
+    cur
+  }
+
   private def isIntegral(n: Number): Boolean = n match {
     case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
         _: java.lang.Byte => true
@@ -470,7 +537,7 @@ object FilterEval {
   }
 
   def apply(f: Filter, r: Row, schema: StructType): Boolean = {
-    def v(attr: String): Any = r.get(schema.fieldIndex(attr))
+    def v(attr: String): Any = resolve(attr, r, schema)
     def cmp(a: Any, b: Any): Int = cmpValues(a, b)
     f match {
       case EqualTo(a, x)            => v(a) != null && cmp(v(a), x) == 0

@@ -154,7 +154,14 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, rejected) = filters.partition(FilterEval.supports)
+    // A filter is only pushed when the service can both evaluate its
+    // shape AND resolve every reference — including nested struct paths
+    // (`geometry.x`), which is how a bounding box on the point-geometry
+    // convention becomes a service-side envelope query instead of a full
+    // layer scan.
+    val (supported, rejected) = filters.partition(f =>
+      FilterEval.supports(f) &&
+        f.references.forall(FilterEval.resolvable(_, fullSchema)))
     pushed = supported
     rejected // stay in the Spark plan
   }
@@ -163,9 +170,14 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Empty projection (e.g. count(*)) still needs row cardinality; keep
     // one narrow column as the service requires at least one outField.
+    // Pruning is top-level only: the service pages whole attribute
+    // objects, so a nested-pruned struct (geometry with only `x`
+    // requested) re-expands to its full stored type here and Spark's own
+    // project does the narrowing — a pruned readSchema over full struct
+    // rows would misdecode.
     required =
       if (requiredSchema.isEmpty) StructType(fullSchema.fields.take(1))
-      else requiredSchema
+      else StructType(requiredSchema.fields.map(f => fullSchema(f.name)))
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n.toLong); true }
 

@@ -259,4 +259,63 @@ class GraftConnectorSpec extends AnyFunSuite {
     assert(id2 == id1)
     assert(HostedTables.read(spark, id1).count() == 500)
   }
+
+  /** A four-point layer (one outside the box on each axis) plus one
+    * null-geometry row — the envelope-query fixture.
+    */
+  private def bboxLayer(title: String): String = {
+    HostedStore.dropByTitle(title)
+    val pts = graft.api.Geometry.withPointGeometry(
+      Seq((1L, 1.0, 2.0), (2L, 5.0, 6.0), (3L, 9.0, 10.0), (4L, 5.5, 100.0))
+        .toDF("id", "px", "py"), "px", "py").drop("px", "py")
+    val withNull = pts.union(
+      Seq(5L).toDF("id")
+        .withColumn("geometry", lit(null).cast(graft.api.Geometry.pointType)))
+    val id = HostedStore.createLayer(title, withNull.schema)
+    HostedTables.write(withNull, id, WriteMode.Append).fold(e => fail(e), identity)
+    id
+  }
+
+  test("bounding-box filter on geometry pushes down as an envelope query") {
+    val back = HostedTables.read(spark, bboxLayer("bbox layer"))
+    val q = back.filter(graft.api.Geometry.inEnvelope(back, 2.0, 2.0, 8.0, 50.0))
+    val plan = q.queryExecution.executedPlan.toString
+    // The nested-path comparisons reach the service scan — only in-box
+    // features page back, instead of a full layer scan filtered in Spark.
+    assert(plan.contains("GreaterThanOrEqual(geometry.x,2.0)"), plan)
+    assert(plan.contains("LessThanOrEqual(geometry.y,50.0)"), plan)
+    assert(q.select("id").as[Long].collect().toSeq == Seq(2L))
+    // Null geometry propagates null through the path and never matches —
+    // envelope semantics, and SQL's null field access.
+    assert(back.filter(graft.api.Geometry.x(back).isNull)
+      .select("id").as[Long].collect().toSeq == Seq(5L))
+  }
+
+  test("nested-pruned geometry select decodes correctly") {
+    val back = HostedTables.read(spark, bboxLayer("bbox prune layer"))
+    // Catalyst prunes the struct to geometry{x}; the service pages whole
+    // attribute objects, so the scan must re-expand to the full stored
+    // struct (a pruned readSchema over full rows misdecodes).
+    val q = back.select($"id", graft.api.Geometry.x(back).as("gx"))
+      .filter($"id" <= 2L).orderBy("id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("outFields=[id,geometry]"), plan)
+    assert(q.as[(Long, Option[Double])].collect().toSeq ==
+      Seq((1L, Some(1.0)), (2L, Some(5.0))))
+  }
+
+  test("pushed-reference paths parse dot and backtick grammar") {
+    import graft.sinks.FilterEval.{parsePath, resolvable}
+    assert(parsePath("plain") == Seq("plain"))
+    assert(parsePath("geometry.x") == Seq("geometry", "x"))
+    assert(parsePath("`a.b`.c") == Seq("a.b", "c"))
+    assert(parsePath("`a``b`") == Seq("a`b"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("geometry",
+        graft.api.Geometry.pointType)))
+    assert(resolvable("geometry.x", schema))
+    assert(!resolvable("geometry.z", schema))
+    assert(!resolvable("geometry.x.deeper", schema))
+    assert(!resolvable("missing", schema))
+  }
 }
