@@ -371,9 +371,16 @@ object Dedup {
     override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
     override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
       val (h1, h2) = in
+      // g_i = (h1 + (i+1)·h2) mod P, computed incrementally: both inputs
+      // are already reduced mod P, so one add + conditional subtract per
+      // step replaces the 64-bit division — bit-identical values, and
+      // this loop runs numHashes times per shingle corpus-wide.
+      val P = Hashers.P
+      var g = h1
       var i = 0
       while (i < numHashes) {
-        val g = (h1 + (i + 1) * h2) % Hashers.P
+        g += h2
+        if (g >= P) g -= P
         if (g < buf(i)) buf(i) = g
         i += 1
       }

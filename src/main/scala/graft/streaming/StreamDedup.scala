@@ -76,23 +76,36 @@ object StreamDedup {
       .as[(Long, Seq[(Long, Long)])]
     hashed.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val hexChars = "0123456789abcdef".toCharArray
       it.flatMap { case (id, hp) =>
         val sig = Array.fill(numHashes)(Long.MaxValue)
         hp.foreach { case (h1, h2) =>
+          // incremental Kirsch–Mitzenmacher: inputs are mod-P reduced, so
+          // add + conditional subtract replaces the per-step 64-bit mod —
+          // bit-identical to (h1 + (i+1)·h2) % P
+          var g = h1
           var i = 0
           while (i < numHashes) {
-            val g = (h1 + (i + 1) * h2) % P
+            g += h2
+            if (g >= P) g -= P
             if (g < sig(i)) sig(i) = g
             i += 1
           }
         }
+        val sigSeq = sig.toSeq // shared across the doc's bands
         (0 until bands).map { b =>
           val joined = (b * rowsPerBand until (b + 1) * rowsPerBand)
             .map(sig(_)).mkString("|")
           md.reset()
-          val key = md.digest(joined.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          (id, b, key, sig.toSeq)
+          val digest = md.digest(joined.getBytes("UTF-8"))
+          val hex = new Array[Char](digest.length * 2)
+          var j = 0
+          while (j < digest.length) {
+            hex(2 * j) = hexChars((digest(j) >> 4) & 0xf)
+            hex(2 * j + 1) = hexChars(digest(j) & 0xf)
+            j += 1
+          }
+          (id, b, new String(hex), sigSeq)
         }
       }
     }.toDF("id", "band", "key", "sig")
