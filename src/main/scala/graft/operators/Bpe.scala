@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016) — the
+  * iterative merge-learning loop that produces the merge table a
+  * tokenizer like [[graft.functions]]' `subword_encode` consumes. The
+  * reference engine has no tokenizer trainer; this is part of the
+  * LLM-pipeline extension surface (pair COUNTING for one round already
+  * exists as `TextAnalysis.bpePairCounts` — this runs the full loop).
+  *
+  * Algorithm: words are counted once over the corpus, each distinct word
+  * becomes its character-symbol sequence, then `numMerges` rounds of
+  * (count adjacent symbol pairs weighted by word frequency → take the
+  * argmax pair, ties broken by (lhs, rhs) ascending → merge every
+  * non-overlapping occurrence left-to-right). The ordered merge list IS
+  * the trained tokenizer model.
+  *
+  * Scale posture: the ONLY corpus-scale work is the word-count
+  * aggregation (map-side combined, one shuffle). The merge loop runs on
+  * the distinct-word table capped at `maxWords` rows — model fitting on
+  * a vocabulary-sized working set, same policy as the sampled-Lloyd PQ
+  * trainer. Per round: one vocab-sized aggregation plus a ONE-ROW
+  * collect (the argmax pair — bounded model metadata, not row data).
+  * Lineage is truncated per round (`localCheckpoint`) so the plan stays
+  * O(1)-deep instead of O(numMerges).
+  *
+  * Determinism: counts are integer-exact; the argmax tie-break is total
+  * ((cnt desc, lhs asc, rhs asc) — binary string order, which matches
+  * the DuckDB oracle's default collation on ASCII symbols). Merging is
+  * greedy left-to-right within a word, so an overlapping self-pair run
+  * like `aaaa` merges to `[aa, aa]`, never `a(aa)a` — the oracle
+  * replays the same rule relationally as even-rank-in-run marking.
+  *
+  * Unicode caveat: initial symbols come from `split(word, '')`, which is
+  * UTF-16-unit based in Spark but codepoint-based in DuckDB — constrain
+  * `wordPattern` to BMP characters (e.g. `[a-z]+`) when oracle parity
+  * matters; astral input stays self-consistent within Spark but would
+  * split surrogate pairs.
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, lhs: String, rhs: String, count: Long)
+
+  /** Corpus word frequencies: whitespace pre-tokenization, optionally
+    * keeping only words fully matching `wordPattern` (anchored). The one
+    * corpus-scale pass of BPE training.
+    */
+  def wordCounts(docs: DataFrame, textCol: String,
+                 wordPattern: Option[String] = None): DataFrame = {
+    val words = docs.select(explode(split(col(textCol), " ")).as("word"))
+    val kept = wordPattern match {
+      case Some(p) => words.filter(col("word").rlike(s"^(?:$p)$$"))
+      case None    => words.filter(length(col("word")) > 0)
+    }
+    kept.groupBy("word").agg(count(lit(1)).as("freq"))
+  }
+
+  /** One merge round's substitution as a pure projection: fold the
+    * symbol array left-to-right, replacing each non-overlapping
+    * (lhs, rhs) adjacency with the concatenated token. Codegen'd HOF —
+    * no shuffle, no UDF.
+    */
+  def mergeFold(syms: Column, lhs: String, rhs: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(lhs) && x === lit(rhs),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `numMerges` BPE merges over the corpus. Returns the merge
+    * table (merge_rank, lhs, rhs, cnt) in learned order — `cnt` is the
+    * weighted adjacency count that won the round. Throws if the corpus
+    * runs out of adjacent pairs before `numMerges` rounds (a silent
+    * short model would corrupt any tokenizer built from it).
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 10000,
+            wordPattern: Option[String] = None): DataFrame = {
+    require(numMerges >= 1, "bpeTrain: numMerges must be >= 1")
+    val spark = docs.sparkSession
+    // Vocab cap: top-maxWords by (freq desc, word asc) — deterministic.
+    // At real scale prefer a min-frequency threshold (no global sort of
+    // the distinct-word table); the capped sort here is TakeOrdered-
+    // sized, bounded by maxWords.
+    var vocab = wordCounts(docs, textCol, wordPattern)
+      .orderBy(desc("freq"), col("word"))
+      .limit(maxWords)
+      // array_remove: Spark's split('') keeps a trailing empty string
+      // (Pattern.split with limit -1); symbols are never empty
+      .select(col("word"), col("freq"),
+        array_remove(split(col("word"), ""), "").as("syms"))
+      .localCheckpoint(true) // cut lineage to the corpus scan
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 0
+    while (r < numMerges) {
+      val pairs = vocab.select(col("freq"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+      val best = pairs.orderBy(desc("cnt"), col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty)
+        throw new IllegalStateException(
+          s"bpeTrain: corpus exhausted after ${merges.size} merges " +
+            s"($numMerges requested) — every word is a single symbol")
+      val Row(l: String, rh: String, c: Long) = best(0)
+      merges += Merge(r + 1, l, rh, c)
+      vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, rh))
+        .localCheckpoint(true)
+      r += 1
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt")
+  }
+
+  /** The DuckDB oracle: the IDENTICAL training loop as one generated
+    * `numMerges`-round CTE chain. Greedy left-to-right merging is
+    * replayed relationally — a position merges iff it starts the pair
+    * and sits at an EVEN rank within its run of consecutive matched
+    * positions (for lhs ≠ rhs runs are singletons, so the rules agree
+    * trivially; for self-pairs the even-rank rule IS left-to-right
+    * greedy). CTEs referenced more than once are MATERIALIZED — without
+    * it DuckDB re-inlines the round chain per reference, exponentially.
+    */
+  def oracleSql(table: String, textCol: String, numMerges: Int,
+                maxWords: Int, wordPattern: String): String = {
+    val rounds = (1 to numMerges).map { r =>
+      val prev = if (r == 1) "syms0" else s"syms${r - 1}"
+      s"""pos$r AS MATERIALIZED (
+         |  SELECT word, freq, i, syms[i] AS sym,
+         |         lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS nxt
+         |  FROM $prev, UNNEST(range(1, len(syms)+1)) AS u(i)
+         |),
+         |best$r AS MATERIALIZED (
+         |  SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM pos$r WHERE nxt IS NOT NULL
+         |  GROUP BY sym, nxt ORDER BY cnt DESC, lhs, rhs LIMIT 1
+         |),
+         |mg$r AS (
+         |  SELECT word, freq, i, sym, mt,
+         |         CASE WHEN mt = 1 AND (ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) - 1) % 2 = 0
+         |              THEN 1 ELSE 0 END AS mrg
+         |  FROM (
+         |    SELECT word, freq, i, sym, mt,
+         |           CASE WHEN mt = 1 THEN i - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY i) END AS grp
+         |    FROM (
+         |      SELECT word, freq, i, sym,
+         |             CASE WHEN sym = (SELECT lhs FROM best$r) AND nxt = (SELECT rhs FROM best$r)
+         |                  THEN 1 ELSE 0 END AS mt
+         |      FROM pos$r))
+         |),
+         |syms$r AS MATERIALIZED (
+         |  SELECT word, freq, list(sym ORDER BY i) AS syms
+         |  FROM (
+         |    SELECT word, freq, i,
+         |           CASE WHEN mrg = 1 THEN sym || (SELECT rhs FROM best$r) ELSE sym END AS sym,
+         |           lag(mrg) OVER (PARTITION BY word ORDER BY i) AS consumed
+         |    FROM mg$r)
+         |  WHERE consumed IS NULL OR consumed = 0
+         |  GROUP BY word, freq
+         |)""".stripMargin
+    }
+    val union = (1 to numMerges)
+      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, cnt FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split($textCol, ' ')) AS w FROM $table)
+       |  WHERE regexp_full_match(w, '$wordPattern')
+       |  GROUP BY w
+       |),
+       |vocab AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $maxWords),
+       |syms0 AS (SELECT word, freq, string_split(word, '') AS syms FROM vocab),
+       |${rounds.mkString(",\n")}
+       |SELECT merge_rank, lhs, rhs, cnt FROM (
+       |$union
+       |) ORDER BY merge_rank""".stripMargin
+  }
+}

@@ -1636,6 +1636,17 @@ object QueryCatalog {
       // round 1 of BPE tokenizer training: top adjacent-symbol pairs
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", 50)),
 
+    "x_bpe_train" -> ((s, dir) =>
+      // FULL BPE training loop (Sennrich et al. 2016): 12 learned merges
+      // over the corpus vocabulary. One corpus-scale word count; the
+      // merge rounds run on the capped distinct-word table with a 1-row
+      // argmax collect per round. Oracle = the identical loop as a
+      // generated 12-round MATERIALIZED-CTE chain (greedy left-to-right
+      // merging replayed as even-rank-in-run relational marking).
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text",
+          numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
+        .orderBy("merge_rank")),
+
     "x_hybrid_retrieval" -> ((s, dir) => { // RRF lexical+dense hybrid
       // Cormack-style reciprocal-rank fusion of BM25 and exact cosine
       // top-20 lists (doc_id ≡ vec_id in the fixtures), re-ranked to 10
@@ -2781,6 +2792,10 @@ object QueryCatalog {
       "x_bpe_pairs" ->
         s"""WITH ${bpeCtes(50)}
            |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
+
+      "x_bpe_train" ->
+        graft.operators.Bpe.oracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
 
       "x_split_leakfree" ->
         // cluster replay (recursive CTE) + the q_train_test_split hash

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the BPE training loop: merge order on a hand-computed corpus,
+  * greedy left-to-right overlap semantics for self-pairs (the rule the
+  * DuckDB oracle replays relationally), deterministic tie-breaks, and
+  * loud exhaustion.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private def corpus(docs: String*) = docs.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("merge order on the classic low/lower/newest corpus") {
+    // freqs: low ×3, lower ×2, newest ×2, widest ×1
+    val docs = corpus("low low low lower lower newest newest widest")
+    val m = Bpe.train(docs, "text", 4, wordPattern = Some("[a-z]+"))
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    // round 1: (e,s) and (s,t) and (l,o) and (o,w) all appear; counts:
+    //   l+o: low 3 + lower 2 = 5; o+w: 5; e+s 3; others <5
+    //   tie 5/5 between (l,o) and (o,w) -> lexicographic: (l,o)
+    assert(m(0) == ((1, "l", "o", 5L)))
+    // round 2: (lo,w): 5 — the merged symbol chains immediately
+    assert(m(1) == ((2, "lo", "w", 5L)))
+    // round 3: (e,s): newest 2 + widest 1 = 3; (s,t): 3; (low,e)+(e,r) 2...
+    //   tie 3/3 between (e,s) and (s,t) -> (e,s)
+    assert(m(2) == ((3, "e", "s", 3L)))
+    // round 4: (es,t): 3
+    assert(m(3) == ((4, "es", "t", 3L)))
+  }
+
+  test("self-pair runs merge greedily left-to-right") {
+    // 'aaaa' has three (a,a) adjacencies but only TWO merges happen:
+    // [aa, aa], never a(aa)a. Round 2 must then see exactly one (aa,aa).
+    val docs = corpus("aaaa aaaa b")
+    val m = Bpe.train(docs, "text", 2, wordPattern = Some("[a-z]+"))
+      .orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m(0) == ((1, "a", "a", 6L))) // 3 adjacencies × freq 2
+    assert(m(1) == ((2, "aa", "aa", 2L))) // one per word — proves [aa,aa]
+  }
+
+  test("mergeFold: non-overlapping substitution, odd-run leftover") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "b", "a", "b"),
+        Seq("x"), Seq[String]())
+      .toDF("syms")
+    val out = df.select(Bpe.mergeFold(col("syms"), "a", "a").as("f"))
+      .as[Seq[String]].collect().toSeq
+    assert(out(0) == Seq("aa", "a")) // odd run: leftover single survives
+    assert(out(1) == Seq("a", "b", "a", "b")) // no (a,a) adjacency
+    assert(out(2) == Seq("x"))
+    assert(out(3) == Seq.empty)
+  }
+
+  test("exhaustion throws instead of returning a short model") {
+    val docs = corpus("ab ab cd")
+    val e = intercept[IllegalStateException](
+      Bpe.train(docs, "text", 5, wordPattern = Some("[a-z]+")).collect())
+    assert(e.getMessage.contains("exhausted"))
+  }
+
+  test("vocab cap keeps the most frequent words deterministically") {
+    // cap at 1 word: only 'zz' (freq 2) survives; its single merge is (z,z)
+    val docs = corpus("zz zz ay by cy")
+    val m = Bpe.train(docs, "text", 1, maxWords = 1,
+        wordPattern = Some("[a-z]+"))
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m == Seq((1, "z", "z", 2L)))
+  }
+}
