@@ -77,7 +77,21 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             maxWords: Int = 10000,
-            wordPattern: Option[String] = None): DataFrame = {
+            wordPattern: Option[String] = None): DataFrame =
+    trainWithVocab(docs, textCol, numMerges, maxWords, wordPattern)._1
+
+  /** [[train]] plus the trained segmentation: the vocab table's final
+    * symbol sequences after all merges — BPE INFERENCE for every
+    * in-vocabulary word (applying the merge list in rank order to a
+    * known word reproduces exactly its training-time segmentation, so
+    * the vocab table doubles as the tokenizer's fast path: broadcast it
+    * and tokenization of in-vocab words is a lookup, with the merge
+    * loop needed only for unseen words).
+    */
+  def trainWithVocab(docs: DataFrame, textCol: String, numMerges: Int,
+                     maxWords: Int = 10000,
+                     wordPattern: Option[String] = None)
+      : (DataFrame, DataFrame) = {
     require(numMerges >= 1, "bpeTrain: numMerges must be >= 1")
     val spark = docs.sparkSession
     // Vocab cap: top-maxWords by (freq desc, word asc) — deterministic.
@@ -115,7 +129,7 @@ object Bpe {
       r += 1
     }
     import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt")
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt"), vocab)
   }
 
   /** The DuckDB oracle: the IDENTICAL training loop as one generated
@@ -129,6 +143,29 @@ object Bpe {
     */
   def oracleSql(table: String, textCol: String, numMerges: Int,
                 maxWords: Int, wordPattern: String): String = {
+    val union = (1 to numMerges)
+      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, cnt FROM best$r")
+      .mkString("\nUNION ALL\n")
+    oracleChain(table, textCol, numMerges, maxWords, wordPattern) +
+      s"""
+         |SELECT merge_rank, lhs, rhs, cnt FROM (
+         |$union
+         |) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Oracle for the trained segmentation ([[trainWithVocab]]._2): the
+    * final symbol table after all merges, tokens joined with '|' so the
+    * hashed output is a plain string column.
+    */
+  def segmentOracleSql(table: String, textCol: String, numMerges: Int,
+                       maxWords: Int, wordPattern: String): String =
+    oracleChain(table, textCol, numMerges, maxWords, wordPattern) +
+      s"""
+         |SELECT word, freq, array_to_string(syms, '|') AS segmentation
+         |FROM syms$numMerges ORDER BY word""".stripMargin
+
+  private def oracleChain(table: String, textCol: String, numMerges: Int,
+                          maxWords: Int, wordPattern: String): String = {
     val rounds = (1 to numMerges).map { r =>
       val prev = if (r == 1) "syms0" else s"syms${r - 1}"
       s"""pos$r AS MATERIALIZED (
@@ -165,9 +202,6 @@ object Bpe {
          |  GROUP BY word, freq
          |)""".stripMargin
     }
-    val union = (1 to numMerges)
-      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, cnt FROM best$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH wc AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split($textCol, ' ')) AS w FROM $table)
@@ -176,9 +210,6 @@ object Bpe {
        |),
        |vocab AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $maxWords),
        |syms0 AS (SELECT word, freq, string_split(word, '') AS syms FROM vocab),
-       |${rounds.mkString(",\n")}
-       |SELECT merge_rank, lhs, rhs, cnt FROM (
-       |$union
-       |) ORDER BY merge_rank""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
 }

@@ -1647,6 +1647,19 @@ object QueryCatalog {
           numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
         .orderBy("merge_rank")),
 
+    "x_bpe_segment" -> ((s, dir) => {
+      // BPE INFERENCE via the trained vocab table: every in-vocabulary
+      // word's final segmentation after the 12 merges (broadcast this
+      // table and in-vocab tokenization is a lookup). Tokens joined with
+      // '|' so the hashed output is a plain string.
+      val (_, vocab) = graft.operators.Bpe.trainWithVocab(
+        t(s, dir, "documents"), "text",
+        numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
+      vocab.select(col("word"), col("freq"),
+          array_join(col("syms"), "|").as("segmentation"))
+        .orderBy("word")
+    }),
+
     "x_hybrid_retrieval" -> ((s, dir) => { // RRF lexical+dense hybrid
       // Cormack-style reciprocal-rank fusion of BM25 and exact cosine
       // top-20 lists (doc_id ≡ vec_id in the fixtures), re-ranked to 10
@@ -2795,6 +2808,10 @@ object QueryCatalog {
 
       "x_bpe_train" ->
         graft.operators.Bpe.oracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
+
+      "x_bpe_segment" ->
+        graft.operators.Bpe.segmentOracleSql("documents", "text",
           numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
 
       "x_split_leakfree" ->

@@ -57,6 +57,19 @@ class BpeSpec extends AnyFunSuite {
     assert(out(3) == Seq.empty)
   }
 
+  test("trained vocab carries each word's final segmentation") {
+    val docs = corpus("low low low lower lower newest newest widest")
+    val (_, vocab) = Bpe.trainWithVocab(docs, "text", 4,
+      wordPattern = Some("[a-z]+"))
+    val seg = vocab.select(col("word"), array_join(col("syms"), "|").as("s"))
+      .as[(String, String)].collect().toMap
+    // merges: (l,o), (lo,w), (e,s), (es,t)
+    assert(seg("low") == "low")
+    assert(seg("lower") == "low|e|r")
+    assert(seg("newest") == "n|e|w|est")
+    assert(seg("widest") == "w|i|d|est")
+  }
+
   test("exhaustion throws instead of returning a short model") {
     val docs = corpus("ab ab cd")
     val e = intercept[IllegalStateException](
