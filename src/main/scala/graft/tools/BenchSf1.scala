@@ -131,6 +131,30 @@ object BenchSf1 {
       "curriculum_rank" -> ((dir, _) =>
         graft.operators.Curation.curriculumBuckets(docs(spark, dir),
           "doc_id", "n_chars", nBuckets = 10).count()),
+      // tokenizer TRAINING: merge count fixed (model size is policy, not
+      // corpus); only the one-pass word count grows — rounds run on the
+      // capped vocab table at every scale
+      "bpe_train" -> ((dir, _) =>
+        graft.operators.Bpe.train(docs(spark, dir), "text",
+          numMerges = 8, maxWords = 5000,
+          wordPattern = Some("[a-z]+x?[0-9]*")).count()),
+      // corpus packing: the two-pass partition-offset cumsum must price
+      // as two linear scans + a #partitions collect, not a global window
+      "pack_corpus" -> ((dir, _) =>
+        graft.operators.Curation.packCorpus(
+          docs(spark, dir).select(col("doc_id"),
+            md5(col("doc_id").cast("string")).as("__hx"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          Seq("__hx", "doc_id"), "n_tokens", seqLen = 2048).count()),
+      // leakage-free split: cluster mining grows with the corpus, the
+      // label join stays one broadcast-or-shuffle join on (id, cluster)
+      "split_leakfree" -> ((dir, _) => {
+        val d = docs(spark, dir)
+        val cl = Dedup.duplicateClusters(
+          Dedup.minhashLshPairs(d, "doc_id", "text", 0.7,
+            verifyExact = false))
+        graft.operators.AsOfJoin.leakFreeSplit(d, cl, "doc_id", 90).count()
+      }),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)
