@@ -51,7 +51,10 @@ object Bpe {
                  wordPattern: Option[String] = None): DataFrame = {
     val words = docs.select(explode(split(col(textCol), " ")).as("word"))
     val kept = wordPattern match {
-      case Some(p) => words.filter(col("word").rlike(s"^(?:$p)$$"))
+      // \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline, so
+      // a token like "foo\n" would pass the Spark filter but fail the
+      // oracle's regexp_full_match and diverge every downstream merge
+      case Some(p) => words.filter(col("word").rlike(s"\\A(?:$p)\\z"))
       case None    => words.filter(length(col("word")) > 0)
     }
     kept.groupBy("word").agg(count(lit(1)).as("freq"))

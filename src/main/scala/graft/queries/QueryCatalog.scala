@@ -41,6 +41,24 @@ object QueryCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The point-layer fixture shared by the ref_layer_* queries: customer
+    * attributes with geometry = (c_acctbal, c_custkey·0.5), written to a
+    * fresh layer and read back through the connector. Both oracles replay
+    * the same x/y recomputation, so the formula must stay in ONE place.
+    */
+  private def customerPointLayer(s: SparkSession, dir: String,
+                                 title: String): DataFrame = {
+    HostedStore.dropByTitle(title)
+    val pts = graft.api.Geometry.withPointGeometry(
+      t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .withColumn("y0", col("c_custkey") * lit(0.5)),
+      "c_acctbal", "y0").drop("y0")
+    val id = HostedStore.createLayer(title, pts.schema)
+    HostedTables.write(pts, id, WriteMode.Append).fold(sys.error, identity)
+    HostedTables.read(s, id)
+  }
+
   /** Fresh hosted copy of a fixture projection (drop + create + append). */
   private def hostedCopy(s: SparkSession, dir: String, table: String,
                          title: String, key: Option[String],
@@ -339,15 +357,7 @@ object QueryCatalog {
       // creates one), the READ path is the capability under test. The
       // oracle recomputes x/y from the parquet source: both engines do
       // one exact long→double scale, so the doubles replay bit-for-bit.
-      HostedStore.dropByTitle("q_layer_points")
-      val pts = graft.api.Geometry.withPointGeometry(
-        t(s, dir, "customer")
-          .select("c_custkey", "c_name", "c_acctbal")
-          .withColumn("y0", col("c_custkey") * lit(0.5)),
-        "c_acctbal", "y0").drop("y0")
-      val id = HostedStore.createLayer("q_layer_points", pts.schema)
-      HostedTables.write(pts, id, WriteMode.Append).fold(sys.error, identity)
-      val back = HostedTables.read(s, id)
+      val back = customerPointLayer(s, dir, "q_layer_points")
       back.select(col("c_custkey"), col("c_name"),
           graft.api.Geometry.x(back).as("x"), graft.api.Geometry.y(back).as("y"))
         .orderBy("c_custkey")
@@ -360,15 +370,7 @@ object QueryCatalog {
       // the service pages back only in-box features. Same fixture as
       // ref_layer_points; the oracle replays the box as a plain WHERE
       // over the recomputed doubles (both engines compare exact values).
-      HostedStore.dropByTitle("q_layer_bbox")
-      val pts = graft.api.Geometry.withPointGeometry(
-        t(s, dir, "customer")
-          .select("c_custkey", "c_name", "c_acctbal")
-          .withColumn("y0", col("c_custkey") * lit(0.5)),
-        "c_acctbal", "y0").drop("y0")
-      val id = HostedStore.createLayer("q_layer_bbox", pts.schema)
-      HostedTables.write(pts, id, WriteMode.Append).fold(sys.error, identity)
-      val back = HostedTables.read(s, id)
+      val back = customerPointLayer(s, dir, "q_layer_bbox")
       back.filter(graft.api.Geometry.inEnvelope(back, 0.0, 100.0, 4000.0, 10000.0))
         .select(col("c_custkey"),
           graft.api.Geometry.x(back).as("x"), graft.api.Geometry.y(back).as("y"))

@@ -479,9 +479,16 @@ object FilterEval {
     * columns walked). The scan builder keeps unresolvable references in
     * the Spark plan instead of pushing them.
     */
-  def resolvable(attr: String, schema: StructType): Boolean = {
+  def resolvable(attr: String, schema: StructType): Boolean =
+    leafType(attr, schema).isDefined
+
+  /** The resolved type at the end of the path, if every segment walks a
+    * struct field.
+    */
+  def leafType(attr: String,
+               schema: StructType): Option[org.apache.spark.sql.types.DataType] = {
     var t: org.apache.spark.sql.types.DataType = schema
-    parsePath(attr).forall { seg =>
+    val ok = parsePath(attr).forall { seg =>
       t match {
         case st: StructType =>
           st.fields.indexWhere(_.name == seg) match {
@@ -491,7 +498,22 @@ object FilterEval {
         case _ => false
       }
     }
+    if (ok) Some(t) else None
   }
+
+  /** Whether a pushed reference resolves to a type [[cmpValues]] can
+    * actually compare. A whole-struct (or array/map) reference passes
+    * `resolvable` — the path walk stops AT the struct — but a pushed
+    * `EqualTo(geometry, Row(…))` would then crash every reader task at
+    * runtime; such filters must stay in the Spark plan instead.
+    */
+  def pushableLeaf(attr: String, schema: StructType): Boolean =
+    leafType(attr, schema).exists {
+      case _: StructType                              => false
+      case _: org.apache.spark.sql.types.ArrayType    => false
+      case _: org.apache.spark.sql.types.MapType      => false
+      case _                                          => true
+    }
 
   /** Row value at a (possibly nested) path; a null anywhere along the
     * path yields null, matching SQL's null-propagating field access.
@@ -536,24 +558,66 @@ object FilterEval {
       s"unsupported comparison: ${a.getClass} vs ${b.getClass}")
   }
 
-  def apply(f: Filter, r: Row, schema: StructType): Boolean = {
+  /** A pushed filter keeps only rows that evaluate to definite TRUE.
+    * Evaluation is SQL THREE-valued: a null operand makes a comparison
+    * UNKNOWN, and `Not`/`And`/`Or` combine by Kleene logic. This matters
+    * because Spark removes fully-pushed DSv2 filters from its own plan —
+    * with two-valued logic a pushed `Not(x >= 2)` over a null `x` would
+    * return rows Spark's Filter operator would have dropped (NOT UNKNOWN
+    * is UNKNOWN, not TRUE), silently inflating results.
+    */
+  def apply(f: Filter, r: Row, schema: StructType): Boolean =
+    tri(f, r, schema) == java.lang.Boolean.TRUE
+
+  private val TRUE = java.lang.Boolean.TRUE
+  private val FALSE = java.lang.Boolean.FALSE
+
+  /** Kleene evaluation: TRUE / FALSE / null (= UNKNOWN). */
+  private def tri(f: Filter, r: Row, schema: StructType): java.lang.Boolean = {
     def v(attr: String): Any = resolve(attr, r, schema)
-    def cmp(a: Any, b: Any): Int = cmpValues(a, b)
+    def cmpTri(a: String, x: Any)(p: Int => Boolean): java.lang.Boolean = {
+      val va = v(a)
+      if (va == null || x == null) null
+      else java.lang.Boolean.valueOf(p(cmpValues(va, x)))
+    }
+    def strTri(a: String)(p: String => Boolean): java.lang.Boolean = {
+      val va = v(a)
+      if (va == null) null else java.lang.Boolean.valueOf(p(va.toString))
+    }
     f match {
-      case EqualTo(a, x)            => v(a) != null && cmp(v(a), x) == 0
-      case GreaterThan(a, x)        => v(a) != null && cmp(v(a), x) > 0
-      case GreaterThanOrEqual(a, x) => v(a) != null && cmp(v(a), x) >= 0
-      case LessThan(a, x)           => v(a) != null && cmp(v(a), x) < 0
-      case LessThanOrEqual(a, x)    => v(a) != null && cmp(v(a), x) <= 0
-      case In(a, xs)                => v(a) != null && xs.exists(x => cmp(v(a), x) == 0)
-      case IsNull(a)                => v(a) == null
-      case IsNotNull(a)             => v(a) != null
-      case StringStartsWith(a, p)   => v(a) != null && v(a).toString.startsWith(p)
-      case StringEndsWith(a, p)     => v(a) != null && v(a).toString.endsWith(p)
-      case StringContains(a, p)     => v(a) != null && v(a).toString.contains(p)
-      case And(l, rr)               => apply(l, r, schema) && apply(rr, r, schema)
-      case Or(l, rr)                => apply(l, r, schema) || apply(rr, r, schema)
-      case Not(c)                   => !apply(c, r, schema)
+      case EqualTo(a, x)            => cmpTri(a, x)(_ == 0)
+      case GreaterThan(a, x)        => cmpTri(a, x)(_ > 0)
+      case GreaterThanOrEqual(a, x) => cmpTri(a, x)(_ >= 0)
+      case LessThan(a, x)           => cmpTri(a, x)(_ < 0)
+      case LessThanOrEqual(a, x)    => cmpTri(a, x)(_ <= 0)
+      case In(a, xs) =>
+        // SQL IN: TRUE on a non-null match; UNKNOWN if the probe is null
+        // or the list holds a null and nothing matched; else FALSE
+        val va = v(a)
+        if (va == null) null
+        else if (xs.exists(x => x != null && cmpValues(va, x) == 0)) TRUE
+        else if (xs.contains(null)) null
+        else FALSE
+      case IsNull(a)              => java.lang.Boolean.valueOf(v(a) == null)
+      case IsNotNull(a)           => java.lang.Boolean.valueOf(v(a) != null)
+      case StringStartsWith(a, p) => strTri(a)(_.startsWith(p))
+      case StringEndsWith(a, p)   => strTri(a)(_.endsWith(p))
+      case StringContains(a, p)   => strTri(a)(_.contains(p))
+      case And(l, rr) =>
+        val a = tri(l, r, schema)
+        val b = tri(rr, r, schema)
+        if (a == FALSE || b == FALSE) FALSE
+        else if (a == null || b == null) null
+        else TRUE
+      case Or(l, rr) =>
+        val a = tri(l, r, schema)
+        val b = tri(rr, r, schema)
+        if (a == TRUE || b == TRUE) TRUE
+        else if (a == null || b == null) null
+        else FALSE
+      case Not(c) =>
+        val a = tri(c, r, schema)
+        if (a == null) null else java.lang.Boolean.valueOf(!a.booleanValue())
       case _ => throw new IllegalArgumentException(s"unsupported filter $f")
     }
   }

@@ -154,14 +154,16 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // A filter is only pushed when the service can both evaluate its
-    // shape AND resolve every reference — including nested struct paths
-    // (`geometry.x`), which is how a bounding box on the point-geometry
-    // convention becomes a service-side envelope query instead of a full
-    // layer scan.
+    // A filter is only pushed when the service can evaluate its shape
+    // AND every reference resolves to a COMPARABLE leaf — including
+    // nested struct paths (`geometry.x`), which is how a bounding box on
+    // the point-geometry convention becomes a service-side envelope
+    // query instead of a full layer scan. A whole-struct reference
+    // (`geometry = Row(…)`) resolves but cannot be compared service-side;
+    // it stays in the Spark plan instead of crashing reader tasks.
     val (supported, rejected) = filters.partition(f =>
       FilterEval.supports(f) &&
-        f.references.forall(FilterEval.resolvable(_, fullSchema)))
+        f.references.forall(FilterEval.pushableLeaf(_, fullSchema)))
     pushed = supported
     rejected // stay in the Spark plan
   }

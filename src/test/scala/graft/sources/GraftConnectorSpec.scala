@@ -304,6 +304,30 @@ class GraftConnectorSpec extends AnyFunSuite {
       Seq((1L, Some(1.0)), (2L, Some(5.0))))
   }
 
+  test("pushed Not over a null nested field follows SQL three-valued logic") {
+    val back = HostedTables.read(spark, bboxLayer("bbox 3vl layer"))
+    // NOT(x >= 2): rows with null geometry evaluate to UNKNOWN, not TRUE.
+    // Spark removes fully-pushed filters from its plan, so the service
+    // must drop the null-geometry row itself (id=5 and the null-x row
+    // must NOT page back).
+    val q = back.filter(!(graft.api.Geometry.x(back) >= 2.0))
+    assert(q.select("id").as[Long].collect().toSeq == Seq(1L))
+    // Same through Or: (NOT(x >= 2) OR x > 1000) over null x is UNKNOWN
+    val q2 = back.filter(!(graft.api.Geometry.x(back) >= 2.0) ||
+      graft.api.Geometry.x(back) > 1000.0)
+    assert(q2.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("whole-struct comparison stays in the Spark plan, not the service") {
+    val back = HostedTables.read(spark, bboxLayer("bbox struct filter layer"))
+    val q = back.filter(col("geometry") === struct(lit(5.0).as("x"), lit(6.0).as("y")))
+    val plan = q.queryExecution.executedPlan.toString
+    // the struct equality must NOT appear among pushed service filters —
+    // FilterEval cannot compare Row values and would crash the scan
+    assert(!plan.contains("pushedFilters=[EqualTo(geometry"), plan)
+    assert(q.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("pushed-reference paths parse dot and backtick grammar") {
     import graft.sinks.FilterEval.{parsePath, resolvable}
     assert(parsePath("plain") == Seq("plain"))
