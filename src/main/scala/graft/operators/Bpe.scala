@@ -167,6 +167,21 @@ object Bpe {
          |SELECT word, freq, array_to_string(syms, '|') AS segmentation
          |FROM syms$numMerges ORDER BY word""".stripMargin
 
+  /** Oracle for the train→apply composite: per-document word and
+    * subtoken counts under the freshly trained tokenizer — the corpus
+    * words join the final segmentation table and sum its lengths.
+    */
+  def tokenCountOracleSql(table: String, textCol: String, numMerges: Int,
+                          maxWords: Int, wordPattern: String): String =
+    oracleChain(table, textCol, numMerges, maxWords, wordPattern) +
+      s"""
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(len(syms)) AS BIGINT) AS n_subtokens
+         |FROM (SELECT doc_id, unnest(string_split($textCol, ' ')) AS word
+         |      FROM $table) w
+         |JOIN syms$numMerges USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private def oracleChain(table: String, textCol: String, numMerges: Int,
                           maxWords: Int, wordPattern: String): String = {
     val rounds = (1 to numMerges).map { r =>

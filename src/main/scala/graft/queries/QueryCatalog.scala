@@ -1649,6 +1649,27 @@ object QueryCatalog {
           numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
         .orderBy("merge_rank")),
 
+    "x_pipeline_tokenizer" -> ((s, dir) => {
+      // Train → apply in ONE DataFrame program: learn 12 merges, then
+      // tokenize the corpus through the trained vocab (broadcast — model
+      // metadata) and report per-doc word/subtoken counts. In-vocab words
+      // take the segmentation-lookup fast path; the inner join drops
+      // out-of-vocab words by construction (maxWords covers the corpus
+      // here — production would fall back to merge-rank application).
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = graft.operators.Bpe.trainWithVocab(docs, "text",
+        numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      words.join(
+          broadcast(vocab.select(col("word"), size(col("syms")).as("n_sub"))),
+          Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_sub").cast("long").as("n_subtokens"))
+        .orderBy("doc_id")
+    }),
+
     "x_bpe_segment" -> ((s, dir) => {
       // BPE INFERENCE via the trained vocab table: every in-vocabulary
       // word's final segmentation after the 12 merges (broadcast this
@@ -2814,6 +2835,10 @@ object QueryCatalog {
 
       "x_bpe_segment" ->
         graft.operators.Bpe.segmentOracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
+
+      "x_pipeline_tokenizer" ->
+        graft.operators.Bpe.tokenCountOracleSql("documents", "text",
           numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
 
       "x_split_leakfree" ->
