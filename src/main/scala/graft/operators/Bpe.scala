@@ -167,6 +167,74 @@ object Bpe {
          |SELECT word, freq, array_to_string(syms, '|') AS segmentation
          |FROM syms$numMerges ORDER BY word""".stripMargin
 
+  /** Apply an ordered merge list to arbitrary words — BPE inference for
+    * words the training corpus never saw (the vocab-lookup fast path of
+    * [[trainWithVocab]] only covers known words). Rank-order folds are
+    * EXACTLY the training-time substitution, so in-vocab words reproduce
+    * their trained segmentation by construction. Each merge adds one HOF
+    * projection; lineage is checkpoint-truncated every 4 merges so plan
+    * depth and codegen size stay bounded. For production-sized merge
+    * lists (32k+) this chain is the wrong shape — use the codegen'd
+    * greedy `subword_encode` over the trained vocab instead and accept
+    * the greedy/BPE segmentation difference, or run the per-word
+    * min-rank loop in a typed mapPartitions.
+    */
+  def applyMerges(words: DataFrame, wordCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    var df = words.withColumn("syms",
+      array_remove(split(col(wordCol), ""), ""))
+    merges.zipWithIndex.foreach { case ((l, rh), i) =>
+      df = df.withColumn("syms", mergeFold(col("syms"), l, rh))
+      if ((i + 1) % 4 == 0 && i + 1 < merges.size) df = df.localCheckpoint(true)
+    }
+    df
+  }
+
+  /** Oracle for [[applyMerges]] over OOV words derived from the vocab
+    * (`word || suffix`): the training chain's best1..bestK pairs replay
+    * over the suffixed words with the same relational merge rounds.
+    */
+  def applyOracleSql(table: String, textCol: String, numMerges: Int,
+                     maxWords: Int, wordPattern: String,
+                     suffix: String): String = {
+    val rounds = (1 to numMerges).map { r =>
+      val prev = if (r == 1) "aov0" else s"aov${r - 1}"
+      s"""apos$r AS (
+         |  SELECT word, i, syms[i] AS sym,
+         |         lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS nxt
+         |  FROM $prev, UNNEST(range(1, len(syms)+1)) AS u(i)
+         |),
+         |aov$r AS MATERIALIZED (
+         |  SELECT word, list(sym ORDER BY i) AS syms
+         |  FROM (
+         |    SELECT word, i,
+         |           CASE WHEN mrg = 1 THEN sym || (SELECT rhs FROM best$r) ELSE sym END AS sym,
+         |           lag(mrg) OVER (PARTITION BY word ORDER BY i) AS consumed
+         |    FROM (
+         |      SELECT word, i, sym, mt,
+         |             CASE WHEN mt = 1 AND (ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) - 1) % 2 = 0
+         |                  THEN 1 ELSE 0 END AS mrg
+         |      FROM (
+         |        SELECT word, i, sym, mt,
+         |               CASE WHEN mt = 1 THEN i - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY i) END AS grp
+         |        FROM (
+         |          SELECT word, i, sym,
+         |               CASE WHEN sym = (SELECT lhs FROM best$r) AND nxt = (SELECT rhs FROM best$r)
+         |                    THEN 1 ELSE 0 END AS mt
+         |          FROM apos$r))))
+         |  WHERE consumed IS NULL OR consumed = 0
+         |  GROUP BY word
+         |)""".stripMargin
+    }
+    oracleChain(table, textCol, numMerges, maxWords, wordPattern) +
+      s""",
+         |aov0 AS (SELECT word || '$suffix' AS word,
+         |         string_split(word || '$suffix', '') AS syms FROM vocab),
+         |${rounds.mkString(",\n")}
+         |SELECT word, array_to_string(syms, '|') AS segmentation
+         |FROM aov$numMerges ORDER BY word""".stripMargin
+  }
+
   /** Oracle for the train→apply composite: per-document word and
     * subtoken counts under the freshly trained tokenizer — the corpus
     * words join the final segmentation table and sum its lengths.

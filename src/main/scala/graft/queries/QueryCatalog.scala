@@ -1670,6 +1670,24 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_bpe_apply" -> ((s, dir) => {
+      // BPE inference on OUT-of-vocab words: every vocab word gets a
+      // 'qq' suffix (guaranteed unseen — no corpus word survives the
+      // [a-z]+ filter with that tail at this fixture), and the trained
+      // merge list applies in rank order. The collect is the 12-row
+      // merge table — model metadata, the same bounded collect train
+      // itself performs.
+      val (mergesDf, vocab) = graft.operators.Bpe.trainWithVocab(
+        t(s, dir, "documents"), "text",
+        numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
+      val merges = mergesDf.orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val oov = vocab.select(concat(col("word"), lit("qq")).as("word"))
+      graft.operators.Bpe.applyMerges(oov, "word", merges)
+        .select(col("word"), array_join(col("syms"), "|").as("segmentation"))
+        .orderBy("word")
+    }),
+
     "x_bpe_segment" -> ((s, dir) => {
       // BPE INFERENCE via the trained vocab table: every in-vocabulary
       // word's final segmentation after the 12 merges (broadcast this
@@ -2840,6 +2858,11 @@ object QueryCatalog {
       "x_pipeline_tokenizer" ->
         graft.operators.Bpe.tokenCountOracleSql("documents", "text",
           numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
+
+      "x_bpe_apply" ->
+        graft.operators.Bpe.applyOracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+",
+          suffix = "qq"),
 
       "x_split_leakfree" ->
         // cluster replay (recursive CTE) + the q_train_test_split hash

@@ -70,6 +70,39 @@ class BpeSpec extends AnyFunSuite {
     assert(seg("widest") == "w|i|d|est")
   }
 
+  test("applyMerges reproduces trained segmentation for in-vocab words") {
+    val docs = corpus("low low low lower lower newest newest widest")
+    val (mergesDf, vocab) = Bpe.trainWithVocab(docs, "text", 4,
+      wordPattern = Some("[a-z]+"))
+    val merges = mergesDf.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val applied = Bpe.applyMerges(vocab.select("word"), "word", merges)
+      .select(col("word"), array_join(col("syms"), "|").as("a"))
+      .as[(String, String)].collect().toMap
+    val trained = vocab
+      .select(col("word"), array_join(col("syms"), "|").as("t"))
+      .as[(String, String)].collect().toMap
+    assert(applied == trained)
+  }
+
+  test("applyMerges segments unseen words with learned merges") {
+    val docs = corpus("low low low lower lower newest newest widest")
+    val (mergesDf, _) = Bpe.trainWithVocab(docs, "text", 4,
+      wordPattern = Some("[a-z]+"))
+    // merges: (l,o), (lo,w), (e,s), (es,t)
+    val merges = mergesDf.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = Bpe.applyMerges(
+        Seq("lowest", "slowest", "ow").toDF("word"), "word", merges)
+      .select(col("word"), array_join(col("syms"), "|").as("s"))
+      .as[(String, String)].collect().toMap
+    assert(out("lowest") == "low|est")
+    // 's' prefix blocks (l,o)? no — fold scans the whole array: s,l,o,...
+    assert(out("slowest") == "s|low|est")
+    // 'ow' alone: (l,o) and (lo,w) never fire without the 'l'
+    assert(out("ow") == "o|w")
+  }
+
   test("exhaustion throws instead of returning a short model") {
     val docs = corpus("ab ab cd")
     val e = intercept[IllegalStateException](
