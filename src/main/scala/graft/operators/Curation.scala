@@ -479,6 +479,38 @@ object Curation {
     dsirRatios(counts(corpus, "cs"), counts(target, "ct"))
   }
 
+  /** Deterministic weighted sampling by SYSTEMATIC selection over the
+    * cumulative weight line: lay the corpus on [0, W) in `orderCols`
+    * order (each doc owns the interval [cum_before, cum_before + w)),
+    * drop a sample point at every multiple of `step`, and keep each doc
+    * with multiplicity = points inside its interval. Inclusion
+    * probability is exactly w/step (docs with w ≥ step are always kept,
+    * with proportional multiplicity) — the classic
+    * probability-proportional-to-size systematic draw, with NO RNG: the
+    * draw is a pure function of the ordered weights, so it replays
+    * bit-identically in the oracle and is append-stable for audit.
+    *
+    * Scale shape: the global cumulative weights come from
+    * [[takeByBudget]]'s two-pass partition-offset machinery (budget = ∞)
+    * — one range shuffle plus a #partitions-long driver collect; the
+    * pick arithmetic is a pure integer projection. No global window, no
+    * single-task sort.
+    *
+    * `n_picks = ceil((cum_before + w) / step) − ceil(cum_before / step)`,
+    * all in long arithmetic (`div`-based ceil — `/` is double division
+    * in Spark and goes inexact past 2⁵³ total weight).
+    */
+  def systematicSample(df: DataFrame, orderCols: Seq[String],
+                       weightCol: String, step: Long,
+                       partitions: Option[Int] = None): DataFrame = {
+    require(step > 0, s"systematicSample: step must be positive, got $step")
+    takeByBudget(df, orderCols, weightCol, Long.MaxValue, partitions)
+      .withColumn("n_picks", expr(
+        s"((cum_before + $weightCol + ${step}L - 1L) div ${step}L)" +
+        s" - ((cum_before + ${step}L - 1L) div ${step}L)"))
+      .filter(col("n_picks") >= 1)
+  }
+
   /** Scrub common PII shapes (emails, long digit runs, phone-ish
     * sequences) from a text column — pure regexp projection, the standard
     * pre-training hygiene pass.

@@ -66,4 +66,55 @@ object GraphOps {
     }
     pr
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007 — public
+    * knowledge): communities over an undirected edge list. Every node
+    * starts labeled with its own id; each round it adopts the PLURALITY
+    * label among its neighbors' labels PLUS its own (the self-vote damps
+    * the two-node oscillation synchronous LPA is known for; ties →
+    * smallest label). A fixed round count with deterministic tie-breaks
+    * makes the result a pure function of the edges — no RNG, no
+    * update-order dependence — so the DuckDB oracle replays it round
+    * for round.
+    *
+    * Complements [[Dedup.duplicateClusters]]' connected components:
+    * CC merges everything reachable (one bridge edge glues two
+    * communities); LPA keeps densely-linked neighborhoods separate —
+    * the right grain for topic-ish corpus sharding over a kNN graph.
+    *
+    * Scale shape: edges are symmetrized once and checkpointed; each
+    * round is one join + one groupBy over compact (node, label, count)
+    * rows — the plurality pick is `min(struct(-count, label))`, a
+    * partial-aggregable min, and lineage truncates per round exactly
+    * like [[pageRank]]. Rounds are O(diameter-ish) small constants.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    // the self-vote edge set: every node also "hears" its own label
+    val voteEdges = sym.union(
+      nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint(true)
+    var lab = nodes.withColumn("label", col("node"))
+    (1 to rounds).foreach { _ =>
+      val votes = voteEdges.join(lab, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        // plurality with smallest-label ties: lexicographic struct min
+        // over (−count, label) — partial-aggregable, no row_number window
+        .groupBy("dst")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("w"))
+        .select(col("dst"), col("w.label").as("wlabel"))
+      lab = lab.join(votes, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("wlabel"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
 }

@@ -301,6 +301,89 @@ object Multimodal {
       .pipe(withMeta(_, idCol, s"image/bmp;resized=${targetW}x$targetH"))
   }
 
+  case class FrameHash(id: Long, frame_no: Int, ahash: Long)
+
+  /** Perceptual 64-bit average-hash (aHash — public knowledge: downscale
+    * to 8×8 grayscale, threshold each cell at the frame mean, read the
+    * bits row-major) per decoded frame. BMP payloads go through the REAL
+    * codec + nearest-neighbor resample; opaque payloads hash a
+    * deterministic 64-sample fold of their bytes (stub fallback, same
+    * convention as [[decodeFrames]]). Pure per-partition projection — the
+    * hash is the compact stand-in the near-dup miner shuffles instead of
+    * pixels.
+    */
+  def imageHashes(withBytes: DataFrame, idCol: String): DataFrame = {
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val grids: Seq[Array[Int]] =
+          if (Bmp.looksLikeBmp(bytes))
+            Bmp.decodeAll(bytes).map(f => Bmp.resize(f, 8, 8).gray)
+          else {
+            val s = if (bytes.isEmpty) Array(0) else bytes.map(_ & 0xff)
+            Seq(Array.tabulate(64)(i => s((i.toLong * s.length / 64).toInt)))
+          }
+        grids.zipWithIndex.map { case (g, f) => FrameHash(id, f, aHash(g)) }
+      })
+      .toDF()
+  }
+
+  /** 64 grayscale cells → 64-bit hash: bit i (MSB-first) set iff
+    * cell i ≥ the integer mean. Integer arithmetic throughout —
+    * reproducible everywhere.
+    */
+  private def aHash(cells: Array[Int]): Long = {
+    val mean = cells.map(_.toLong).sum / cells.length
+    cells.take(64).zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v >= mean) acc | (1L << (63 - i)) else acc
+    }
+  }
+
+  /** Near-duplicate frame pairs by perceptual hash: pairs whose aHash
+    * Hamming distance is ≤ `maxHamming` (default 6 — the conventional
+    * aHash near-dup band). Candidates come from an 8×8-bit BAND join
+    * (ids sharing any of the 8 byte-bands of the hash), so recall is
+    * EXACT for any `maxHamming ≤ 7`: 7 differing bits cannot cover all
+    * 8 bands, hence every qualifying pair shares at least one band —
+    * pigeonhole, the same banding logic as minhash LSH but lossless at
+    * this threshold.
+    *
+    * Scale shape: the join shuffles (band, byte, id, hash) rows — 8
+    * compact rows per FRAME, never pixels; in-band candidate pairs are
+    * verified with one `bit_count(xor)` projection. `hashes` must carry
+    * ONE row per id (select a frame upstream — pairs are per-id, and a
+    * multi-frame id would alias its pairs). Degenerate bands
+    * (constant-color corpora collapse a byte-band) are capped like every
+    * other bucket miner: pass `maxBandSize` to drop saturated buckets.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
+                        maxBandSize: Option[Int] = Some(1000)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (8-band recall bound), got $maxHamming")
+    val bands = hashes.select(col("id"), col("ahash"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("ahash"), b * 8)
+              .bitwiseAND(lit(255L)).as("bv"))): _*)).as("e"))
+      .select(col("id"), col("ahash"), col("e.band"), col("e.bv"))
+    val ok = bands.groupBy("band", "bv").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 &&
+        col("n") <= lit(maxBandSize.getOrElse(Int.MaxValue)))
+      .select("band", "bv")
+    val capped = bands.join(ok, Seq("band", "bv"))
+    val pairs = capped.select(col("band"), col("bv"),
+        col("id").as("a"), col("ahash").as("ha"))
+      .join(capped.select(col("band"), col("bv"),
+        col("id").as("b"), col("ahash").as("hb")), Seq("band", "bv"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+    pairs.select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Batch "resize" to a byte budget: re-encode each payload to exactly
     * `targetBytes` (cycle-padded / truncated) with refreshed metadata —
     * the OPAQUE-payload variant (a byte-budget normalization for media

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{HostedTables, Tables}
 import graft.core.{Chunker, ServiceName, WriteMode}
-import graft.operators.{Curation, Dedup, Embeddings, GraphOps, Multimodal, Scale, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Embeddings, GraphOps, Multimodal, Profiling, Scale, Similarity, TextAnalysis}
 import graft.sinks.HostedStore
 import graft.streaming.EventStreams
 
@@ -1910,6 +1910,81 @@ object QueryCatalog {
       Similarity.bruteForceTopK(feats, feats.filter(col("doc_id") < 3),
           "doc_id", "feature", 10)
         .orderBy("qid", "rank")
+    }),
+
+    "x_exact_quantiles" -> ((s, dir) =>
+      // Distributed-EXACT order statistics: token-length quantiles per
+      // language from the value-count compaction (the window runs over
+      // distinct VALUES per group, never rows — the scale form of
+      // q_percentiles' window-over-rows).
+      Profiling.exactQuantiles(
+          t(s, dir, "documents").select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "lang", "n_tokens",
+          Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20)))
+        .select(col("grp").as("lang"), col("q_label"), col("q_value"),
+          col("n_rows"))
+        .orderBy("lang", "q_label")),
+
+    "x_weighted_sample" -> ((s, dir) =>
+      // Probability-proportional-to-size sampling with NO RNG: systematic
+      // selection over the cumulative char-weight line (picks every
+      // 5000th char position's owner; multiplicity = interval hits).
+      Curation.systematicSample(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          Seq("doc_id"), "n_chars", step = 5000L)
+        .select("doc_id", "n_chars", "cum_before", "n_picks")
+        .orderBy("doc_id")),
+
+    "x_profile_columns" -> ((s, dir) =>
+      // Batch ingest audit: one aggregation pass over the corpus — row /
+      // null / exact-distinct counts + lexicographic min/max rendering
+      // per column.
+      Profiling.columnProfile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "n_chars", "source", "text"))
+        .orderBy("col_name")),
+
+    "x_graph_labelprop" -> ((s, dir) => {
+      // Community detection over the kNN similarity graph: synchronous
+      // plurality label propagation, deterministic ties — the topic-ish
+      // corpus sharding CC is too coarse for (one bridge edge merges
+      // two CC components; LPA keeps dense neighborhoods apart).
+      val edges = Similarity.knnGraph(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 5, nlist = 64, nprobe = 8)
+      GraphOps.labelPropagation(edges, "qid", "id", rounds = 4)
+        .select(col("node").as("vec_id"), col("label").as("community"))
+        .orderBy("vec_id")
+    }),
+
+    "x_spatial_neighbors" -> ((s, dir) => {
+      // Spatial self-join on the connector's point-geometry convention:
+      // all feature pairs within planar eps=50, grid-bucketed (home cell
+      // vs 3x3 neighborhood — every qualifying pair meets on exactly one
+      // key, no distinct) with the exact dx²+dy² filter in the join
+      // projection. The oracle brute-forces the same IEEE arithmetic:
+      // candidate pruning must never change the answer.
+      val back = customerPointLayer(s, dir, "q_layer_spatial")
+      graft.operators.Spatial.neighborPairs(
+          back.select(col("c_custkey"), col("geometry")), "c_custkey", 50.0)
+        .orderBy("a", "b")
+    }),
+
+    "x_multimodal_imagehash" -> ((s, dir) => { // real BMP decode: rows-only oracle
+      // Perceptual image dedup: REAL BMP decode → 8×8 aHash → byte-band
+      // candidate join → exact Hamming verify (recall is pigeonhole-exact
+      // at ≤7 bits). The corpus is doubled with id-shifted copies, the
+      // same fixture convention as x_dedup_exact, so exact-duplicate
+      // images (hamming 0) are guaranteed present alongside any natural
+      // near-dups.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      val hashes = Multimodal.imageHashes(
+          Multimodal.withBmpPayload(doubled, "doc_id", "text"), "doc_id")
+        .filter(col("frame_no") === 0)
+        .select(col("id"), col("ahash"))
+      Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+        .orderBy("a", "b")
     }))
 
   val extensionOracles: Map[String, String] = {
@@ -2045,6 +2120,92 @@ object QueryCatalog {
           |  UNION ALL SELECT doc_id + 100000, text FROM documents)
           |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
           |FROM all_docs GROUP BY text ORDER BY doc_id""".stripMargin,
+
+      "x_exact_quantiles" ->
+        """WITH v AS (SELECT lang, len(string_split(text, ' ')) AS v FROM documents),
+          |c AS (SELECT lang, v, count(*) AS cnt FROM v GROUP BY 1, 2),
+          |cum AS (SELECT lang, v,
+          |          CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+          |          CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+          |        FROM c),
+          |q AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+          |                            ('p75', 3, 4), ('p95', 19, 20)) t(label, num, den))
+          |SELECT cum.lang, q.label AS q_label, min(cum.v) AS q_value,
+          |       max(cum.n) AS n_rows
+          |FROM cum CROSS JOIN q
+          |WHERE cum.cum >= (q.num * cum.n + q.den - 1) // q.den
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "x_weighted_sample" ->
+        """WITH c AS (
+          |  SELECT doc_id, n_chars,
+          |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |      AS cum_before
+          |  FROM documents)
+          |SELECT doc_id, n_chars, cum_before,
+          |  ((cum_before + n_chars + 4999) // 5000)
+          |    - ((cum_before + 4999) // 5000) AS n_picks
+          |FROM c
+          |WHERE ((cum_before + n_chars + 4999) // 5000)
+          |    - ((cum_before + 4999) // 5000) >= 1
+          |ORDER BY doc_id""".stripMargin,
+
+      "x_profile_columns" -> {
+        val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  min(CAST($c AS VARCHAR)) AS min_repr,
+             |  max(CAST($c AS VARCHAR)) AS max_repr
+             |FROM documents""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      },
+
+      "x_graph_labelprop" -> {
+        // symmetrize the kNN edges (+ one self-vote edge per node — the
+        // oscillation damper), then 4 unrolled synchronous rounds; the
+        // plurality pick is (count DESC, label ASC) — row_number here,
+        // the lexicographic min(struct(-count, label)) on the Spark side
+        val rounds = 4
+        val lpCtes = (1 to rounds).map { i =>
+          val prev = s"lp${i - 1}"
+          s"""lp$i AS (
+             |  SELECT p.node, coalesce(w.label, p.label) AS label
+             |  FROM $prev p LEFT JOIN (
+             |    SELECT dst, label FROM (
+             |      SELECT e.dst, p2.label,
+             |             row_number() OVER (PARTITION BY e.dst
+             |               ORDER BY count(*) DESC, p2.label) AS rn
+             |      FROM gvote e JOIN $prev p2 ON p2.node = e.src
+             |      GROUP BY e.dst, p2.label) WHERE rn = 1) w
+             |    ON w.dst = p.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${ivfKnnCtes(nlist = 64, nprobe = 8, k = 5, queryPred = "TRUE")},
+           |gdir AS (SELECT qid AS src, id AS dst FROM knn),
+           |gsym AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT src, dst FROM gdir
+           |  UNION ALL SELECT dst, src FROM gdir) WHERE src <> dst),
+           |gnodes AS (SELECT DISTINCT src AS node FROM gsym),
+           |gvote AS (SELECT src, dst FROM gsym
+           |          UNION ALL SELECT node, node FROM gnodes),
+           |lp0 AS (SELECT node, node AS label FROM gnodes),
+           |$lpCtes
+           |SELECT node AS vec_id, label AS community
+           |FROM lp$rounds ORDER BY vec_id""".stripMargin
+      },
+
+      "x_spatial_neighbors" ->
+        """WITH pts AS (
+          |  SELECT c_custkey AS id, c_acctbal AS x,
+          |         CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM customer)
+          |SELECT p.id AS a, r.id AS b,
+          |       (p.x - r.x) * (p.x - r.x) + (p.y - r.y) * (p.y - r.y) AS dist2
+          |FROM pts p JOIN pts r ON p.id < r.id
+          |WHERE (p.x - r.x) * (p.x - r.x) + (p.y - r.y) * (p.y - r.y) <= 2500.0
+          |ORDER BY a, b""".stripMargin,
 
       "x_dedup_jaccard" ->
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the perceptual-hash dedup path (aHash + byte-band Hamming join) —
+  * the rows-only x_multimodal_imagehash query's correctness anchor.
+  */
+class ImageHashSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  /** A 32×32 gradient image with per-pixel deterministic texture, plus an
+    * optional small perturbation (a few pixels nudged — survives 8×8
+    * averaging with a near-identical hash).
+    */
+  private def img(seed: Int, noise: Boolean = false,
+                  vertical: Boolean = false): Bmp.Image = {
+    val w = 32; val h = 32
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val grad = if (vertical) y * 8 else x * 8
+      val v0 = (grad + ((seed * 37 + x * y) % 16)) % 256
+      val v = if (noise && (x + y * w) % 97 == 0) (v0 + 12) % 256 else v0
+      val i = (y * w + x) * 3
+      rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+    }
+    Bmp.Image(w, h, rgb)
+  }
+
+  private def hashesOf(payloads: Seq[(Long, Array[Byte])]) = {
+    val df = payloads.toDF("id", "payload")
+    Multimodal.imageHashes(df, "id")
+      .filter(col("frame_no") === 0).select("id", "ahash")
+  }
+
+  test("identical images hash identically; perturbed images stay close; " +
+       "distinct images stay far") {
+    val h = hashesOf(Seq(
+        1L -> Bmp.encode(img(1)), 2L -> Bmp.encode(img(1)),
+        3L -> Bmp.encode(img(1, noise = true)),
+        4L -> Bmp.encode(img(1, vertical = true))))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L), "identical pixels must hash identically")
+    val close = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(close <= 6, s"perturbed image drifted $close bits")
+    val far = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(far > 6, s"distinct images only $far bits apart")
+  }
+
+  test("imageNearDupPairs finds exactly the close pairs, with exact recall " +
+       "for hamming <= 7 even when differing bits span distinct bands") {
+    // adversarial: flip 7 bits spread over 7 DIFFERENT byte-bands — a
+    // same-band-only candidate scheme with fewer than 8 bands can miss
+    // this pair; the 8-band pigeonhole cannot
+    val base = 0x0123456789abcdefL
+    val spread = (0 until 7).foldLeft(base)((h, b) => h ^ (1L << (b * 8 + 3)))
+    val hashes = Seq((1L, base), (2L, base), (3L, spread), (4L, ~base))
+      .toDF("id", "ahash")
+    val got = Multimodal.imageNearDupPairs(hashes, maxHamming = 7)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(got((1L, 2L)) == 0 && got((1L, 3L)) == 7)
+  }
+
+  test("maxHamming beyond the 8-band recall bound is rejected") {
+    val hashes = Seq((1L, 0L)).toDF("id", "ahash")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(hashes, maxHamming = 8)
+    }
+  }
+
+  test("saturated byte-bands are capped, exact pairs still found via " +
+       "surviving bands") {
+    // 50 hashes identical in band 0 (low byte) but unique elsewhere, plus
+    // one true duplicate pair: capping band 0 at 10 must not lose the
+    // duplicate pair (it shares ALL bands, so any surviving band finds it)
+    val filler = (10L until 60L).map(i => (i, (i << 8) | 0x42L))
+    val hashes = (Seq((1L, 0xdeadbeefL), (2L, 0xdeadbeefL)) ++ filler)
+      .toDF("id", "ahash")
+    val got = Multimodal.imageNearDupPairs(hashes, maxHamming = 0,
+        maxBandSize = Some(10))
+      .as[(Long, Long, Int)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+  }
+}
