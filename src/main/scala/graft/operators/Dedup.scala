@@ -875,6 +875,77 @@ object Dedup {
     cand.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-space (semantic) decontamination report — the semantic
+    * member of the decontamination family ([[ngramOverlapReport]] is the
+    * exact-text member): for each corpus vector, how many reference
+    * (eval-set) vectors sit at cosine ≥ `thresholdNum/thresholdDen`, and
+    * the resulting contaminated flag. A paraphrased eval item shares no
+    * 8-gram with its source but still lands next to it in embedding
+    * space, which is what this catches.
+    *
+    * Candidates come from shared quantized-hyperplane LSH buckets
+    * ([[Similarity.hyperplaneSignatures]] — `tables` independent tables
+    * of `planes` sign bits over exact integer dots), verified with the
+    * same exact rational-threshold test as [[semanticDedup]]:
+    * `cos ≥ n/d ⟺ dq ≥ 0 ∧ dq²·d² ≥ n²·na2·nb2`, every term an exact
+    * integer evaluated in DECIMAL(38,0) — no float sits on the decision
+    * boundary, so the DuckDB oracle replays the whole pipeline
+    * hash-exactly. (Zero vectors — cosine undefined — trivially pass the
+    * test, as in [[semanticDedup]]; callers who care filter them first.)
+    *
+    * 100 TB shape: the reference side is an eval/benchmark suite —
+    * thousands of vectors, not billions — so its signatures AND its
+    * quantized vectors are broadcast; the corpus streams through one
+    * scan-and-project per side of the candidate join and never shuffles
+    * its embeddings (only compact `(id, rid)` candidate rows and the
+    * final per-id hit counts move). `maxRefBucket` drops reference
+    * (table, sig) buckets larger than the cap — a degenerate signature
+    * (all-zero eval vectors) would otherwise fan every matching corpus
+    * row out to the whole bucket.
+    */
+  def embeddingDecontam(corpus: DataFrame, ref: DataFrame, idCol: String,
+                        vecCol: String, thresholdNum: Long = 3L,
+                        thresholdDen: Long = 5L, tables: Int = 16,
+                        planes: Int = 8,
+                        maxRefBucket: Option[Int] = Some(100)): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    require(thresholdDen > 0 && thresholdNum >= 0,
+      "embeddingDecontam: threshold must be a non-negative rational")
+    val sigC = Similarity.hyperplaneSignatures(corpus, idCol, vecCol, tables, planes)
+    val sigR0 = Similarity.hyperplaneSignatures(ref, idCol, vecCol, tables, planes)
+      .select(col("id").as("rid"), col("t"), col("sig"))
+    val sigR = maxRefBucket match {
+      case Some(cap) =>
+        val w = Window.partitionBy("t", "sig")
+        sigR0.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => sigR0
+    }
+    val cand = sigC.join(broadcast(sigR), Seq("t", "sig"))
+      .select(col("id"), col("rid")).distinct()
+    val qc = quantizedWithNorm(corpus, idCol, vecCol)
+    val qr = quantizedWithNorm(ref, idCol, vecCol)
+      .select(col("id").as("rid"), col("q").as("__qr"), col("nq2").as("__nr2"))
+    val dec = "decimal(38,0)"
+    val dq = vec_dot(col("q"), col("__qr"))
+    val dqd = dq.cast(dec)
+    val isHit = dq >= 0 &&
+      dqd * dqd * lit(thresholdDen * thresholdDen).cast(dec) >=
+        lit(thresholdNum * thresholdNum).cast(dec) *
+          col("nq2").cast(dec) * col("__nr2").cast(dec)
+    val hits = cand
+      .join(qc.withColumnRenamed("id", "__cid"), col("id") === col("__cid"))
+      .drop("__cid")
+      .join(broadcast(qr), Seq("rid"))
+      .filter(isHit)
+      .groupBy("id").agg(count(lit(1)).as("n_ref_hits"))
+    qc.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_ref_hits"), lit(0L)).as("n_ref_hits"))
+      .withColumn("contaminated", col("n_ref_hits") > 0)
+  }
+
   /** Append-batch (incremental) dedup report: for each doc of a SMALL new
     * `batch`, whether it duplicates the BIG existing `corpus` (exact text
     * or LSH-mined near-dup at `threshold`) and whether it duplicates an

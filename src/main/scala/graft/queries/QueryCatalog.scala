@@ -815,13 +815,11 @@ object QueryCatalog {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () }
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val nanos = schema("ts").dataType.simpleString == "bigint"
       // fixed title, dropped first: re-runs replace the table instead of
       // accumulating one leaked hosted table per invocation
       val title = "stream_hourly_check"
       HostedStore.dropByTitle(title)
-      EventStreams.runUpsertWindowedOnce(s, dir, "events.parquet", schema,
-          if (nanos) Some("ts") else None, title)
+      EventStreams.runUpsertWindowedOnce(s, dir, "events.parquet", schema, title)
         .orderBy("window_start_ms", "event_type")
     }))
 
@@ -1113,6 +1111,20 @@ object QueryCatalog {
         .dropDuplicates("a", "b")
         .orderBy("a", "b")),
 
+    "x_stream_exactdedup" -> ((s, dir) => {
+      // REAL streaming run (AvailableNow → memory sink) of Spark's native
+      // watermarked dedup state; the surviving-hash-set projection is
+      // deterministic, so this streaming path gets a full hash-MATCH
+      // oracle (SELECT DISTINCT sha256), unlike the signature-based
+      // streaming entries.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.StreamExactDedup.runOnce(s, dir, "documents.parquet",
+          schema, "doc_id", "text")
+        .orderBy("text_hash")
+    }),
+
     "x_stream_incremental" -> ((s, dir) => {
       // Streaming incremental dedup vs a static corpus index (stateless
       // sign + stream-static band join), invoked in batch mode. Rows-only;
@@ -1307,6 +1319,21 @@ object QueryCatalog {
       Dedup.clipContaminated(docs.filter(col("doc_id") % 7 =!= 0),
           docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 8)
         .orderBy("doc_id")
+    }),
+
+    "x_decontam_embedding" -> ((s, dir) => {
+      // Semantic decontamination: every-17th vector is the eval set, the
+      // rest the corpus; flag corpus vectors with any eval neighbor at
+      // cosine ≥ 3/5 (exact rational test — the oracle replays the full
+      // LSH-candidate + integer-threshold pipeline hash-exactly).
+      val emb = t(s, dir, "embeddings")
+      Dedup.embeddingDecontam(
+          emb.filter(col("vec_id") % 17 =!= 0),
+          emb.filter(col("vec_id") % 17 === 0),
+          "vec_id", "embedding", thresholdNum = 3L, thresholdDen = 5L,
+          tables = hpTables, planes = hpPlanes,
+          maxRefBucket = Some(hpBucketCap))
+        .orderBy("id")
     }),
 
     "x_decontam_bloom" -> ((s, dir) => {
@@ -2876,6 +2903,43 @@ object QueryCatalog {
            |SELECT a, b, rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
       },
 
+      "x_decontam_embedding" -> {
+        val sigC = (0 until hpTables).map(tb =>
+          s"SELECT vec_id, $tb AS t, ${hpSigSql(tb)} AS sig FROM corp")
+          .mkString("\nUNION ALL\n")
+        val sigR = (0 until hpTables).map(tb =>
+          s"SELECT vec_id, $tb AS t, ${hpSigSql(tb)} AS sig FROM ref")
+          .mkString("\nUNION ALL\n")
+        s"""WITH qv AS (SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS q
+           |       FROM embeddings),
+           |qn AS (SELECT vec_id, q, list_dot_product(q, q) AS nq2 FROM qv),
+           |corp AS (SELECT * FROM qn WHERE vec_id % 17 <> 0),
+           |ref AS (SELECT * FROM qn WHERE vec_id % 17 = 0),
+           |sc AS (
+           |$sigC),
+           |sr0 AS (
+           |$sigR),
+           |srok AS (SELECT t, sig FROM sr0 GROUP BY t, sig
+           |         HAVING count(*) <= $hpBucketCap),
+           |sr AS (SELECT sr0.* FROM sr0 JOIN srok USING (t, sig)),
+           |cand AS (SELECT DISTINCT c.vec_id AS id, r.vec_id AS rid
+           |           FROM sc c JOIN sr r ON c.t = r.t AND c.sig = r.sig),
+           |hit AS (SELECT cand.id, CAST(count(*) AS BIGINT) AS n_ref_hits
+           |        FROM cand JOIN corp cq ON cq.vec_id = cand.id
+           |                  JOIN ref rq ON rq.vec_id = cand.rid
+           |        WHERE list_dot_product(cq.q, rq.q) >= 0
+           |          AND CAST(list_dot_product(cq.q, rq.q) AS HUGEINT)
+           |            * CAST(list_dot_product(cq.q, rq.q) AS HUGEINT) * 25
+           |            >= 9 * CAST(cq.nq2 AS HUGEINT) * CAST(rq.nq2 AS HUGEINT)
+           |        GROUP BY cand.id)
+           |SELECT c.vec_id AS id, coalesce(h.n_ref_hits, 0) AS n_ref_hits,
+           |       coalesce(h.n_ref_hits, 0) > 0 AS contaminated
+           |FROM corp c LEFT JOIN hit h ON h.id = c.vec_id
+           |ORDER BY id""".stripMargin
+      },
+
       "x_dedup_semantic" -> {
         val n2 = semThreshNum * semThreshNum
         val d2 = semThreshDen * semThreshDen
@@ -2932,6 +2996,10 @@ object QueryCatalog {
           |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
           |      FROM scored)
           |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+      "x_stream_exactdedup" ->
+        """SELECT DISTINCT sha256(text) AS text_hash FROM documents
+          |WHERE text IS NOT NULL ORDER BY text_hash""".stripMargin,
 
       "x_text_vocab" ->
         """WITH toks AS (

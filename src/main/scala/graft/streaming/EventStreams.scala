@@ -36,15 +36,23 @@ object EventStreams {
     * across retries and restarts.
     */
   def runUpsertWindowedOnce(spark: SparkSession, dir: String, fileGlob: String,
-                            schema: StructType, tsFromNanosCol: Option[String],
-                            title: String): DataFrame = {
+                            schema: StructType, title: String): DataFrame = {
     // FileStreamSource wants a directory; the fixture dir holds one parquet
     // per table, so scope to this table's file with pathGlobFilter.
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileGlob).parquet(dir)
-    val events = tsFromNanosCol match {
-      case Some(c) => raw.withColumn("ts", timestamp_micros(expr(s"$c div 1000")))
-      case None    => raw
+    // Watermarks require TIMESTAMP (tz-aware). Normalize `ts` from whatever
+    // the fixture parquet carries, mirroring the batch read path
+    // (Tables.load + TimestampNorm.toUtc): epoch-nanos BIGINT → micros;
+    // TIMESTAMP_NTZ → localize naive wall-clock to UTC via a cast under the
+    // UTC session timezone.
+    val events = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
     }
     val agg = events
       // Bounds streaming state in a live deployment; a static-file replay

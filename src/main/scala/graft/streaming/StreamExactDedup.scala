@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Streaming EXACT deduplication — the streaming counterpart of
+  * `Dedup.exact`, built on Spark's native watermarked dedup state
+  * (`dropDuplicatesWithinWatermark`) instead of custom keyed state: each
+  * arriving document is content-hashed (one projection), and the engine
+  * keeps one row per hash, holding dedup state only within the watermark
+  * horizon.
+  *
+  * Scale posture: state is ONE compact (hash, max-event-time) entry per
+  * distinct document seen inside the horizon — bounded by
+  * horizon-distinct volume, not stream length — and the engine evicts
+  * entries as the watermark passes them. That horizon is the standard
+  * streaming-dedup trade (duplicates separated by more than the horizon
+  * both survive; a downstream batch [[graft.operators.Dedup.exact]] pass
+  * sweeps those), and it is exactly how an ingest front door wants to
+  * behave: the state can never outgrow the horizon no matter how long
+  * the stream runs. The only shuffle is the hash-keyed exchange into the
+  * dedup state store.
+  *
+  * WHICH physical row survives per hash is arrival-order dependent
+  * (racing partitions), so the deterministic — and oracle-replayable —
+  * output is the surviving content-hash set, not the surviving ids: the
+  * set of kept hashes equals the batch job's DISTINCT hash set whenever
+  * no true duplicate pair is separated by more than the horizon (always
+  * true for a bounded replay, where the watermark never advances between
+  * rows of the same AvailableNow batch).
+  */
+object StreamExactDedup {
+
+  /** Watermarked streaming exact dedup: one surviving row per distinct
+    * `textCol` content hash within the watermark horizon. Works on a
+    * streaming frame; `tsCol` must be a TIMESTAMP event-time column.
+    */
+  def dedupped(docs: DataFrame, textCol: String, tsCol: String,
+               horizon: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("text_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Drive the stream end-to-end (AvailableNow → memory sink) over a
+    * static parquet replay and return the SURVIVING HASH SET — the
+    * deterministic projection of the streaming dedup (see class doc).
+    * Event time is synthesized deterministically from `idCol` (a bounded
+    * replay has no wall-clock), so the whole run is replayable by the
+    * DuckDB oracle as `SELECT DISTINCT sha256(text)`.
+    */
+  def runOnce(spark: SparkSession, dir: String, fileGlob: String,
+              schema: StructType, idCol: String, textCol: String,
+              horizon: String = "1 hour"): DataFrame = {
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", fileGlob).parquet(dir)
+    // offset by a day: id 0 at exactly epoch 0 equals the stream's
+    // initial watermark and would be discarded as late before dedup
+    val withTs = raw.withColumn("__ts",
+      timestamp_seconds(col(idCol).cast("long") + 86400L))
+    val name = s"stream_exactdedup_${System.nanoTime()}"
+    val q = dedupped(withTs, textCol, "__ts", horizon)
+      .select("text_hash")
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -18,7 +18,7 @@ class EventStreamsSpec extends AnyFunSuite {
     HostedStore.dropByTitle("spec_stream_1")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamed = EventStreams.runUpsertWindowedOnce(spark, dir, "events.parquet",
-        schema, Some("ts"), "spec_stream_1")
+        schema, "spec_stream_1")
       .orderBy("window_start_ms", "event_type")
       .collect().toSeq
     val batch = Tables.load(spark, dir, "events")

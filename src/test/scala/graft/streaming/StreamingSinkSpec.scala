@@ -24,7 +24,7 @@ class StreamingSinkSpec extends AnyFunSuite {
     HostedStore.dropByTitle("dsv2_stream_1")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamed = EventStreams.runUpsertWindowedOnce(spark, dir, "events.parquet",
-        schema, Some("ts"), "dsv2_stream_1")
+        schema, "dsv2_stream_1")
       .orderBy("window_start_ms", "event_type")
       .collect().toSeq
     val batch = Tables.load(spark, dir, "events")
