@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{HostedTables, Tables}
 import graft.core.{Chunker, ServiceName, WriteMode}
-import graft.operators.{Curation, Dedup, Embeddings, GraphOps, Multimodal, Profiling, Scale, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Embeddings, GraphOps, Multimodal, Profiling, Scale, Similarity, Sketches, TextAnalysis}
 import graft.sinks.HostedStore
 import graft.streaming.EventStreams
 
@@ -1125,6 +1125,24 @@ object QueryCatalog {
         .orderBy("text_hash")
     }),
 
+    "x_stream_drift" -> ((s, dir) => {
+      // Streaming drift monitor, REAL run (append mode — one verdict per
+      // window when the watermark passes it; the trailing partial window
+      // never emits and the oracle replays that cutoff from max(ts)).
+      // Reference mix = the corpus-wide event_type distribution
+      // (policy-sized collect). Ordered per-category term fold → the
+      // streamed χ² doubles hash-match the DuckDB replay.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val ev = t(s, dir, "events")
+      val ref = ev.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      graft.streaming.StreamDrift.runOnce(s, dir, "events.parquet",
+          schema, ref)
+        .orderBy("window_start_ms")
+    }),
+
     "x_stream_incremental" -> ((s, dir) => {
       // Streaming incremental dedup vs a static corpus index (stateless
       // sign + stream-static band join), invoked in batch mode. Rows-only;
@@ -1757,6 +1775,17 @@ object QueryCatalog {
       graft.operators.AsOfJoin.leakFreeSplit(
           docs.select("doc_id"), clusters, "doc_id", 80)
         .orderBy("doc_id")
+    }),
+
+    "x_text_heavyhitters" -> ((s, dir) => {
+      // Rows-only by design: the CMS counters hash with murmur inside
+      // Spark's sketch — DuckDB can't replay them. The exact top-k twin
+      // is x_text_vocab (oracle-hashed); SketchesSpec pins approx ≡ exact
+      // on fixture tokens and the one-sided error bound.
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      Sketches.heavyHittersCms(toks, "tok", k = 20)
+        .orderBy("rank")
     }),
 
     "x_distinct_ngrams" -> ((s, dir) =>
@@ -2996,6 +3025,38 @@ object QueryCatalog {
           |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
           |      FROM scored)
           |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+      "x_stream_drift" -> {
+        // per-category conditional counts replayed per window; χ² terms
+        // in sorted category order, 0.0-seeded left fold (0.0 + t is
+        // IEEE-exact) — bit-identical to the streamed aggregate() fold.
+        // Append-mode cutoff: a window emits only once the watermark
+        // (max ts, zero delay) passes its end.
+        val cats = Seq("click", "error", "purchase", "signup", "view")
+        val os = cats.zipWithIndex.map { case (c, i) =>
+          s"CAST(sum(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS o_$i"
+        }.mkString(",\n  ")
+        val refs = cats.zipWithIndex.map { case (c, i) =>
+          s"CAST(sum(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS r_$i"
+        }.mkString(",\n  ")
+        val terms = cats.indices.map { i =>
+          val e = s"((CAST(w.n_events AS DOUBLE) * CAST(r.r_$i AS DOUBLE)) / CAST(r.rn AS DOUBLE))"
+          s"(((CAST(w.o_$i AS DOUBLE) - $e) * (CAST(w.o_$i AS DOUBLE) - $e)) / $e)"
+        }.mkString("0.0 + ", " + ", "")
+        s"""WITH ref AS (SELECT
+           |  $refs,
+           |  count(*) AS rn FROM events),
+           |wc AS (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+           |  count(*) AS n_events,
+           |  $os
+           |  FROM events GROUP BY 1),
+           |mx AS (SELECT epoch_ms(max(ts)) AS mts FROM events)
+           |SELECT w.window_start_ms, w.n_events,
+           |  $terms AS chi2
+           |FROM wc w CROSS JOIN ref r CROSS JOIN mx
+           |WHERE w.window_start_ms + 3600000 <= mx.mts
+           |ORDER BY w.window_start_ms""".stripMargin
+      },
 
       "x_stream_exactdedup" ->
         """SELECT DISTINCT sha256(text) AS text_hash FROM documents

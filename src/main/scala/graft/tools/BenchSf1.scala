@@ -155,6 +155,18 @@ object BenchSf1 {
             verifyExact = false))
         graft.operators.AsOfJoin.leakFreeSplit(d, cl, "doc_id", 90).count()
       }),
+      // semantic decontamination: fixed eval set (broadcast), growing
+      // corpus — must price as a broadcast probe, linear in the corpus
+      "embedding_decontam" -> ((dir, _) =>
+        Dedup.embeddingDecontam(emb(spark, dir),
+          emb(spark, sf01).filter(col("vec_id") % 17 === 0),
+          "vec_id", "embedding").count()),
+      // fixed-memory frequency sketch: one fold + bounded candidate mine
+      // — must price as two linear scans no matter how the tail grows
+      "heavy_hitters" -> ((dir, _) =>
+        graft.operators.Sketches.heavyHittersCms(
+          docs(spark, dir).select(explode(split(col("text"), " ")).as("tok")),
+          "tok", k = 20).count()),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-min heavy hitters: planted hitters are found in rank order, the
+  * CMS point estimates respect the one-sided error bound, and the
+  * candidate mine keeps per-task memory bounded while still surfacing
+  * every true heavy hitter.
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  // 1000×hot1, 600×hot2, 300×hot3, 2000 singleton-tail tokens
+  private def fixture = (
+    Seq.fill(1000)("hot1") ++ Seq.fill(600)("hot2") ++ Seq.fill(300)("hot3")
+      ++ (0 until 2000).map(i => s"tail_$i")
+  ).toDF("tok")
+
+  test("planted heavy hitters surface in rank order with sane estimates") {
+    val out = Sketches.heavyHittersCms(fixture, "tok", k = 3, eps = 1e-4)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq("hot1", "hot2", "hot3"), s"got $out")
+    val est = out.map(r => r._1 -> r._2).toMap
+    // one-sided bound: est >= true, est <= true + eps*N (N = 3900)
+    assert(est("hot1") >= 1000 && est("hot1") <= 1000 + 1)
+    assert(est("hot2") >= 600 && est("hot2") <= 600 + 1)
+    assert(est("hot3") >= 300 && est("hot3") <= 300 + 1)
+    assert(out.map(_._3) == Seq(1, 2, 3))
+  }
+
+  test("point estimates never undercount (CMS one-sided guarantee)") {
+    val est = Sketches.cmsEstimates(fixture, "tok",
+      Seq("hot1", "hot2", "hot3", "tail_7", "absent"), 0.01, 0.99, 42)
+    assert(est("hot1") >= 1000 && est("hot2") >= 600 && est("hot3") >= 300)
+    assert(est("tail_7") >= 1)
+    assert(est("absent") >= 0)
+    // ε = 0.01 over N = 3900 bounds every overcount by 39
+    est.foreach { case (s, e) =>
+      val truth = Map("hot1" -> 1000L, "hot2" -> 600L, "hot3" -> 300L,
+        "tail_7" -> 1L, "absent" -> 0L)(s)
+      assert(e <= truth + 39, s"$s overcounted: $e vs $truth")
+    }
+  }
+
+  test("candidate mine is bounded yet complete for true hitters") {
+    val cands = Sketches.localTopCandidates(
+        fixture.repartition(8, col("tok")), "tok", localTopM = 4)
+      .as[String].collect().toSet
+    assert(Set("hot1", "hot2", "hot3").subsetOf(cands), s"got $cands")
+    // 8 partitions × top-4 each bounds the candidate set
+    assert(cands.size <= 32)
+  }
+
+  test("agrees with the exact top-k on real fixture tokens") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val approx = Sketches.heavyHittersCms(toks, "tok", k = 10, eps = 1e-4)
+      .select("tok").as[String].collect().toSeq
+    val exact = toks.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok"))
+      .limit(10).select("tok").as[String].collect().toSeq
+    assert(approx == exact)
+  }
+}

@@ -33,6 +33,7 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_text_surprisal",      // float log-probs, pinned by ScalaTest
       "x_dedup_minhash_fast",  // xx64 production config, spec-pinned vs exact
       "x_dedup_cross_fast",    // xx64 production config, spec-pinned vs exact
+      "x_text_heavyhitters",   // murmur CMS counters, spec-pinned vs exact top-k
       "x_dedup_incremental_fast", // xx64+estimator production config
       "x_stream_neardup",      // xx64 streaming detector, spec-pinned vs batch
       "x_stream_incremental",  // xx64 stream-vs-corpus hits, spec-pinned
