@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece unigram
+  * algorithm) — the other dominant subword algorithm next to BPE
+  * ([[Bpe]]): instead of growing a vocab by merges, START from a large
+  * seed of candidate substrings and SHRINK it with EM rounds — segment
+  * every word by Viterbi under the current piece distribution, re-count
+  * piece usage, re-normalize, prune the least-used pieces — until the
+  * target vocab size is reached. The reference engine has no tokenizer
+  * surface; this is LLM-pipeline extension surface.
+  *
+  * This is Viterbi-EM (hard assignment — the standard deterministic
+  * simplification of SentencePiece's E-step; forward–backward expected
+  * counts change third-decimal piece probabilities, not the shape of
+  * the algorithm) with strictly deterministic tie handling, so the
+  * trained model is a pure function of the corpus.
+  *
+  * Scale posture (same policy as [[Bpe.train]] and the sampled-Lloyd PQ
+  * trainer): the ONLY corpus-scale work is the word-count aggregation —
+  * one map-side-combined shuffle. Seeding and every EM round run on the
+  * distinct-word table capped at `maxWords` rows, with the model
+  * (piece → count) BROADCAST to the word partitions: per round, one
+  * vocab-sized aggregation plus a model-sized collect (tokenizer vocabs
+  * are policy-sized — 32k/64k — not data-sized). Viterbi is a pure
+  * per-word O(len·maxPieceLen) DP in a typed mapPartitions — no
+  * shuffle, no state.
+  *
+  * Determinism: seed counts and EM piece counts are integer-exact
+  * (frequency-weighted BIGINT sums); every prune/cap orders by
+  * (count desc, piece asc). Viterbi scores are IEEE doubles folded in
+  * one fixed order per word (position-ascending DP, each state's score
+  * = predecessor + log(cnt/total) in that parenthesization), with ties
+  * resolved (score, then FEWER pieces, then longest-first piece at the
+  * earliest split) — a total order, so segmentation is deterministic
+  * for any partitioning. Log-probabilities make the EM rounds
+  * rows-only for the cross-engine oracle (`Math.log` is not
+  * correctly-rounded-portable — the same reason `x_text_surprisal` is
+  * rows-only); the SEED phase is pure integer arithmetic and IS
+  * oracle-replayable ([[seedOracleSql]]).
+  */
+object Unigram {
+
+  /** Candidate seed vocabulary: every substring of length 1..`maxPieceLen`
+    * of the capped word table, weighted by (occurrences within the word) ×
+    * (word frequency) — kept are ALL single characters (the closure that
+    * makes every word segmentable, never pruned) plus the top
+    * `seedSize` multi-character pieces by (weight desc, piece asc).
+    * Output: (piece, cnt). Integer-exact, oracle-replayable.
+    */
+  def seedVocab(docs: DataFrame, textCol: String, seedSize: Int,
+                maxPieceLen: Int = 6, maxWords: Int = 10000,
+                wordPattern: Option[String] = None): DataFrame = {
+    val words = cappedWords(docs, textCol, maxWords, wordPattern)
+    val subs = words.select(col("freq"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, ${maxPieceLen}),
+             |  l -> CASE WHEN length(word) >= l THEN
+             |         transform(sequence(1, length(word) - l + 1),
+             |                   i -> substring(word, i, l))
+             |       ELSE array() END))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    val single = subs.filter(length(col("piece")) === 1)
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(desc("cnt"), col("piece")).limit(seedSize)
+    single.unionByName(multi)
+  }
+
+  /** Train a unigram-LM vocab of (at most) `vocabSize` pieces with
+    * `rounds` Viterbi-EM rounds over the seed, shrinking toward the
+    * target by keeping the top `max(vocabSize, ceil(0.75·current))`
+    * pieces per round (single characters always survive — the
+    * segmentability closure). Output: (piece, cnt, rank) — `cnt` is the
+    * final round's frequency-weighted usage count under Viterbi
+    * segmentation, rank by (cnt desc, piece asc).
+    */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+            rounds: Int = 4, maxPieceLen: Int = 6, seedSize: Int = 2000,
+            maxWords: Int = 10000,
+            wordPattern: Option[String] = None): DataFrame = {
+    require(vocabSize > 0 && rounds >= 1,
+      "unigramTrain: need vocabSize > 0 and rounds >= 1")
+    val spark = docs.sparkSession
+    val words = cappedWords(docs, textCol, maxWords, wordPattern)
+      .localCheckpoint(true)
+    var vocab: Map[String, Long] =
+      collectVocab(seedVocab(docs, textCol, seedSize, maxPieceLen,
+        maxWords, wordPattern))
+    var r = 0
+    while (r < rounds) {
+      // E-step: Viterbi-segment every word under the current model;
+      // M-step: frequency-weighted piece usage counts. The counts table
+      // is MODEL-sized (≤ |vocab| rows), so collecting it per round is
+      // the same budget as the vocab broadcast itself — pruning then
+      // runs driver-side on model metadata, never on row data.
+      val countsMap = segmented(words, vocab, maxPieceLen)
+        .select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+      // prune toward the target: single chars ALWAYS survive (the
+      // segmentability closure) at a floor count of 1 when unused;
+      // multi-char pieces keep only the usage top-`keep`
+      val keep = math.max(vocabSize, math.ceil(vocab.size * 0.75).toInt)
+      val singles = vocab.keysIterator.filter(_.length == 1)
+        .map(s => s -> math.max(countsMap.getOrElse(s, 0L), 1L)).toSeq
+      val multis = countsMap.iterator.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(keep)
+      vocab = (singles ++ multis).toMap
+      r += 1
+    }
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), col("piece"))
+    vocab.toSeq.toDF("piece", "cnt")
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** Viterbi segmentation of the capped corpus words under a trained
+    * vocab: (word, freq, segmentation) with pieces '|'-joined — the
+    * inference surface (broadcast the table; in-vocab words are a
+    * lookup, like [[Bpe.trainWithVocab]]'s vocab fast path).
+    */
+  def segmentWords(docs: DataFrame, textCol: String,
+                   vocab: Map[String, Long], maxPieceLen: Int = 6,
+                   maxWords: Int = 10000,
+                   wordPattern: Option[String] = None): DataFrame =
+    segmented(cappedWords(docs, textCol, maxWords, wordPattern),
+        vocab, maxPieceLen)
+      .select(col("word"), col("freq"),
+        array_join(col("pieces"), "|").as("segmentation"))
+
+  // ------------------------------------------------------------ internals
+
+  private def cappedWords(docs: DataFrame, textCol: String, maxWords: Int,
+                          wordPattern: Option[String]): DataFrame =
+    Bpe.wordCounts(docs, textCol, wordPattern)
+      .orderBy(desc("freq"), col("word"))
+      .limit(maxWords)
+
+  private def collectVocab(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Per-word Viterbi DP under a broadcast model — pure function of
+    * (word, vocab), O(len·maxPieceLen) per word, no shuffle. A word
+    * containing a character absent from the vocab keeps that character
+    * as an out-of-model piece at floor probability (seed closure makes
+    * this unreachable for trained corpora; it guards external input).
+    */
+  private[operators] def segmented(words: DataFrame, vocab: Map[String, Long],
+                                   maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    require(vocab.nonEmpty, "unigram: empty vocab")
+    val bc = spark.sparkContext.broadcast(vocab)
+    val total = vocab.values.sum.toDouble
+    words.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (word, freq) =>
+          (word, freq, viterbi(word, v, total, maxPieceLen))
+        }
+      }
+      .toDF("word", "freq", "pieces")
+  }
+
+  /** Position-ascending Viterbi with a TOTAL tie order: maximize score;
+    * equal scores prefer fewer pieces; still equal prefer the longer
+    * final piece (smaller split start) — deterministic for any input.
+    */
+  private[operators] def viterbi(word: String, vocab: Map[String, Long],
+                                 total: Double, maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    // floor probability for out-of-model single chars: below any real
+    // piece (cnt >= 1 implies log(cnt/total) >= log(1/total))
+    val floorLp = math.log(0.5 / total)
+    val score = new Array[Double](n + 1)
+    val nPieces = new Array[Int](n + 1)
+    val backJ = new Array[Int](n + 1)
+    java.util.Arrays.fill(score, Double.NegativeInfinity)
+    score(0) = 0.0; nPieces(0) = 0; backJ(0) = -1
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (score(j) != Double.NegativeInfinity) {
+          val piece = word.substring(j, i)
+          val lpOpt =
+            vocab.get(piece) match {
+              case Some(c) => Some(math.log(c.toDouble / total))
+              case None if i - j == 1 => Some(floorLp)
+              case None => None
+            }
+          lpOpt.foreach { lp =>
+            val s = score(j) + lp
+            val k = nPieces(j) + 1
+            val unset = score(i) == Double.NegativeInfinity
+            val better = !unset && (s > score(i) ||
+              (s == score(i) && (k < nPieces(i) ||
+                (k == nPieces(i) && j < backJ(i)))))
+            if (unset || better) {
+              score(i) = s; nPieces(i) = k; backJ(i) = j
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // reconstruct
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var p = n
+    while (p > 0) {
+      val j = backJ(p)
+      out.prepend(word.substring(j, p))
+      p = j
+    }
+    out.toSeq
+  }
+
+  /** DuckDB replay of [[seedVocab]] — substring generation, weighting,
+    * single-char closure and the capped multi-char top-N are all
+    * integer-exact SQL.
+    */
+  def seedOracleSql(table: String, textCol: String, seedSize: Int,
+                    maxPieceLen: Int, maxWords: Int,
+                    wordPattern: String): String =
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split($textCol, ' ')) AS word FROM $table)
+       |  WHERE regexp_full_match(word, '$wordPattern')
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT $maxWords),
+       |subs AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(flatten([
+       |      CASE WHEN length(word) >= l THEN
+       |        [substring(word, i, l) for i in range(1, length(word) - l + 2)]
+       |      ELSE [] END
+       |      for l in range(1, ${maxPieceLen + 1})])) AS piece
+       |    FROM wc)
+       |  GROUP BY piece),
+       |single AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+       |multi AS (SELECT piece, cnt FROM subs WHERE length(piece) > 1
+       |          ORDER BY cnt DESC, piece LIMIT $seedSize)
+       |SELECT piece, cnt FROM single UNION ALL SELECT piece, cnt FROM multi""".stripMargin
+}

@@ -1683,6 +1683,40 @@ object QueryCatalog {
       // round 1 of BPE tokenizer training: top adjacent-symbol pairs
       TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", 50)),
 
+    "x_unigram_seed" -> ((s, dir) =>
+      // Unigram-LM seed vocabulary (the SentencePiece start state):
+      // substring candidates 1..4 chars, frequency-weighted, single-char
+      // closure + capped multi-char top — integer-exact, oracle-hashed.
+      graft.operators.Unigram.seedVocab(t(s, dir, "documents"), "text",
+          seedSize = 500, maxPieceLen = 4, maxWords = 5000,
+          wordPattern = Some("[a-z]+"))
+        .orderBy("piece")),
+
+    "x_unigram_train" -> ((s, dir) =>
+      // FULL unigram-LM training (Kudo 2018, Viterbi-EM): 3 EM rounds
+      // shrinking the seed toward 300 pieces. Rows-only by design —
+      // Viterbi scores are log-doubles (same reason x_text_surprisal is
+      // rows-only); UnigramSpec pins the DP against brute-force
+      // enumeration and the planted-piece recovery.
+      graft.operators.Unigram.train(t(s, dir, "documents"), "text",
+          vocabSize = 300, rounds = 3, maxPieceLen = 4, seedSize = 500,
+          maxWords = 5000, wordPattern = Some("[a-z]+"))
+        .orderBy("rank")),
+
+    "x_unigram_segment" -> ((s, dir) => {
+      // Unigram INFERENCE: Viterbi segmentation of the corpus vocabulary
+      // under the trained model ('|'-joined pieces). Rows-only (float
+      // scores), spec-pinned.
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Unigram.train(docs, "text",
+          vocabSize = 300, rounds = 3, maxPieceLen = 4, seedSize = 500,
+          maxWords = 5000, wordPattern = Some("[a-z]+"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.operators.Unigram.segmentWords(docs, "text", vocab,
+          maxPieceLen = 4, maxWords = 5000, wordPattern = Some("[a-z]+"))
+        .orderBy("word")
+    }),
+
     "x_bpe_train" -> ((s, dir) =>
       // FULL BPE training loop (Sennrich et al. 2016): 12 learned merges
       // over the corpus vocabulary. One corpus-scale word count; the
@@ -3136,6 +3170,11 @@ object QueryCatalog {
       "x_bpe_pairs" ->
         s"""WITH ${bpeCtes(50)}
            |SELECT pair, n FROM bpt ORDER BY n DESC, pair""".stripMargin,
+
+      "x_unigram_seed" ->
+        (graft.operators.Unigram.seedOracleSql("documents", "text",
+          seedSize = 500, maxPieceLen = 4, maxWords = 5000,
+          wordPattern = "[a-z]+") + "\nORDER BY piece"),
 
       "x_bpe_train" ->
         graft.operators.Bpe.oracleSql("documents", "text",

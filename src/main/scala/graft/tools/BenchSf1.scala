@@ -138,6 +138,13 @@ object BenchSf1 {
         graft.operators.Bpe.train(docs(spark, dir), "text",
           numMerges = 8, maxWords = 5000,
           wordPattern = Some("[a-z]+x?[0-9]*")).count()),
+      // unigram trainer: like bpe_train, the only corpus-scale work is
+      // the word count; EM rounds run on the capped word table against a
+      // broadcast model
+      "unigram_train" -> ((dir, _) =>
+        graft.operators.Unigram.train(docs(spark, dir), "text",
+          vocabSize = 300, rounds = 3, maxPieceLen = 4, seedSize = 500,
+          maxWords = 5000, wordPattern = Some("[a-z]+x?[0-9]*")).count()),
       // corpus packing: the two-pass partition-offset cumsum must price
       // as two linear scans + a #partitions collect, not a global window
       "pack_corpus" -> ((dir, _) =>

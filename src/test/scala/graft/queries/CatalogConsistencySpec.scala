@@ -34,6 +34,8 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_dedup_minhash_fast",  // xx64 production config, spec-pinned vs exact
       "x_dedup_cross_fast",    // xx64 production config, spec-pinned vs exact
       "x_text_heavyhitters",   // murmur CMS counters, spec-pinned vs exact top-k
+      "x_unigram_train",       // Viterbi-EM log-double scores, spec-pinned
+      "x_unigram_segment",     // Viterbi under the trained model, spec-pinned
       "x_dedup_incremental_fast", // xx64+estimator production config
       "x_stream_neardup",      // xx64 streaming detector, spec-pinned vs batch
       "x_stream_incremental",  // xx64 stream-vs-corpus hits, spec-pinned
