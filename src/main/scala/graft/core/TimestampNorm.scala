@@ -39,4 +39,21 @@ object TimestampNorm {
   /** True iff every timestamp column in the frame is tz-aware (UTC-stored). */
   def isUtcNormalized(df: DataFrame): Boolean =
     !df.schema.fields.exists(_.dataType == TimestampNTZType)
+
+  /** Normalize one event-time column from whatever the fixture parquet
+    * carries to watermark-ready TIMESTAMP, mirroring the batch read path
+    * (`Tables.load` + [[toUtc]]): epoch-nanos BIGINT → micros;
+    * TIMESTAMP_NTZ → UTC-localizing cast. Shared by every streaming read
+    * so the decision lives in ONE place (a per-call-site copy of this
+    * match is exactly the drift that broke the round-6 streaming bench).
+    */
+  def normalizeEventTime(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(colName, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
 }

@@ -939,7 +939,10 @@ object Dedup {
       .join(broadcast(qr), Seq("rid"))
       .filter(isHit)
       .groupBy("id").agg(count(lit(1)).as("n_ref_hits"))
-    qc.select(col("id"))
+    // report base = EVERY corpus row, including null-vector rows (which
+    // cannot be contaminated — quantizedWithNorm drops them from the
+    // candidate side, so they flag false); the oracle keeps them too
+    corpus.select(col(idCol).cast("long").as("id"))
       .join(hits, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_ref_hits"), lit(0L)).as("n_ref_hits"))

@@ -33,9 +33,9 @@ import org.apache.spark.sql.functions._
   * (count desc, piece asc). Viterbi scores are IEEE doubles folded in
   * one fixed order per word (position-ascending DP, each state's score
   * = predecessor + log(cnt/total) in that parenthesization), with ties
-  * resolved (score, then FEWER pieces, then longest-first piece at the
-  * earliest split) — a total order, so segmentation is deterministic
-  * for any partitioning. Log-probabilities make the EM rounds
+  * resolved (score, then FEWER pieces, then the LONGEST LAST piece,
+  * applied recursively at each split going leftward) — a total order,
+  * so segmentation is deterministic for any partitioning. Log-probabilities make the EM rounds
   * rows-only for the cross-engine oracle (`Math.log` is not
   * correctly-rounded-portable — the same reason `x_text_surprisal` is
   * rows-only); the SEED phase is pure integer arithmetic and IS
@@ -52,8 +52,16 @@ object Unigram {
     */
   def seedVocab(docs: DataFrame, textCol: String, seedSize: Int,
                 maxPieceLen: Int = 6, maxWords: Int = 10000,
-                wordPattern: Option[String] = None): DataFrame = {
-    val words = cappedWords(docs, textCol, maxWords, wordPattern)
+                wordPattern: Option[String] = None): DataFrame =
+    seedFromWords(cappedWords(docs, textCol, maxWords, wordPattern),
+      seedSize, maxPieceLen)
+
+  /** [[seedVocab]] over an already-capped word table — lets [[train]]
+    * reuse its materialized word count so the corpus is scanned and
+    * shuffled exactly once per training run.
+    */
+  private def seedFromWords(words: DataFrame, seedSize: Int,
+                            maxPieceLen: Int): DataFrame = {
     val subs = words.select(col("freq"),
         explode(expr(
           s"""flatten(transform(sequence(1, ${maxPieceLen}),
@@ -68,13 +76,16 @@ object Unigram {
     single.unionByName(multi)
   }
 
-  /** Train a unigram-LM vocab of (at most) `vocabSize` pieces with
-    * `rounds` Viterbi-EM rounds over the seed, shrinking toward the
-    * target by keeping the top `max(vocabSize, ceil(0.75·current))`
-    * pieces per round (single characters always survive — the
-    * segmentability closure). Output: (piece, cnt, rank) — `cnt` is the
-    * final round's frequency-weighted usage count under Viterbi
-    * segmentation, rank by (cnt desc, piece asc).
+  /** Train a unigram-LM vocab of at most `max(vocabSize, #singleChars)`
+    * pieces with `rounds` Viterbi-EM rounds over the seed, shrinking
+    * toward the target as `max(vocabSize, ceil(0.75·current))` TOTAL
+    * pieces per round. Single characters count INSIDE the target (the
+    * SentencePiece convention — a caller sizing a token-id space to
+    * `vocabSize` must get at most that many ids) but always survive
+    * pruning, so a target below the alphabet size yields the alphabet.
+    * Output: (piece, cnt, rank) — `cnt` is the final round's
+    * frequency-weighted usage count under Viterbi segmentation, rank by
+    * (cnt desc, piece asc).
     */
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
             rounds: Int = 4, maxPieceLen: Int = 6, seedSize: Int = 2000,
@@ -83,11 +94,12 @@ object Unigram {
     require(vocabSize > 0 && rounds >= 1,
       "unigramTrain: need vocabSize > 0 and rounds >= 1")
     val spark = docs.sparkSession
+    // the ONE corpus-scale pass: capped words materialize once and feed
+    // both the seed and every EM round
     val words = cappedWords(docs, textCol, maxWords, wordPattern)
       .localCheckpoint(true)
     var vocab: Map[String, Long] =
-      collectVocab(seedVocab(docs, textCol, seedSize, maxPieceLen,
-        maxWords, wordPattern))
+      collectVocab(seedFromWords(words, seedSize, maxPieceLen))
     var r = 0
     while (r < rounds) {
       // E-step: Viterbi-segment every word under the current model;
@@ -99,14 +111,16 @@ object Unigram {
         .select(col("freq"), explode(col("pieces")).as("piece"))
         .groupBy("piece").agg(sum("freq").as("cnt"))
         .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
-      // prune toward the target: single chars ALWAYS survive (the
-      // segmentability closure) at a floor count of 1 when unused;
-      // multi-char pieces keep only the usage top-`keep`
-      val keep = math.max(vocabSize, math.ceil(vocab.size * 0.75).toInt)
+      // prune toward the target TOTAL size: single chars ALWAYS survive
+      // (the segmentability closure) at a floor count of 1 when unused
+      // and count against the target; multi-char pieces fill the rest by
+      // usage
+      val target = math.max(vocabSize, math.ceil(vocab.size * 0.75).toInt)
       val singles = vocab.keysIterator.filter(_.length == 1)
         .map(s => s -> math.max(countsMap.getOrElse(s, 0L), 1L)).toSeq
       val multis = countsMap.iterator.filter(_._1.length > 1).toSeq
-        .sortBy { case (p, c) => (-c, p) }.take(keep)
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, target - singles.size))
       vocab = (singles ++ multis).toMap
       r += 1
     }
@@ -167,8 +181,12 @@ object Unigram {
   }
 
   /** Position-ascending Viterbi with a TOTAL tie order: maximize score;
-    * equal scores prefer fewer pieces; still equal prefer the longer
-    * final piece (smaller split start) — deterministic for any input.
+    * equal scores prefer fewer pieces; still equal prefer the longest
+    * LAST piece, recursively at each split going leftward. The j loop
+    * ascends (longest candidate piece first) and a tie never replaces
+    * the stored value, so the smallest qualifying j wins at every state
+    * — which IS the recursive longest-last-piece order. Deterministic
+    * for any input.
     */
   private[operators] def viterbi(word: String, vocab: Map[String, Long],
                                  total: Double, maxPieceLen: Int): Seq[String] = {
@@ -198,9 +216,10 @@ object Unigram {
             val s = score(j) + lp
             val k = nPieces(j) + 1
             val unset = score(i) == Double.NegativeInfinity
-            val better = !unset && (s > score(i) ||
-              (s == score(i) && (k < nPieces(i) ||
-                (k == nPieces(i) && j < backJ(i)))))
+            // strict improvement only: on a full (score, pieces) tie the
+            // earlier (smaller) j stays — the longest-last-piece order
+            val better = !unset &&
+              (s > score(i) || (s == score(i) && k < nPieces(i)))
             if (unset || better) {
               score(i) = s; nPieces(i) = k; backJ(i) = j
             }

@@ -175,6 +175,11 @@ object QueryCatalog {
   // are the same Similarity.hyperplane literals the operator plans with.
   private val hpTables = 16
   private val hpPlanes = 8
+
+  // The events fixture's event-type taxonomy — a POLICY list shared by
+  // the x_stream_drift query and its oracle so both sides fold the same
+  // per-category χ² terms in the same order.
+  private val driftTaxonomy = Seq("click", "error", "purchase", "signup", "view")
   private val hpDim = 64 // embeddings fixture dimension (both SFs)
   private val hpBucketCap = 100
 
@@ -1129,14 +1134,19 @@ object QueryCatalog {
       // Streaming drift monitor, REAL run (append mode — one verdict per
       // window when the watermark passes it; the trailing partial window
       // never emits and the oracle replays that cutoff from max(ts)).
-      // Reference mix = the corpus-wide event_type distribution
-      // (policy-sized collect). Ordered per-category term fold → the
-      // streamed χ² doubles hash-match the DuckDB replay.
+      // Reference mix = corpus-wide counts over the FIXED policy
+      // taxonomy (the same literal category list the oracle folds —
+      // deriving the list from data here while the static SQL hardcodes
+      // it would silently diverge on a fixture with a new event type).
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () }
       val ev = t(s, dir, "events")
-      val ref = ev.groupBy("event_type").count().collect()
+      val counts = ev.groupBy("event_type").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // a taxonomy category absent from the data keeps count 0 and the
+      // operator's positive-count require fails LOUDLY instead of the
+      // oracle silently diverging
+      val ref = driftTaxonomy.map(c => c -> counts.getOrElse(c, 0L)).toMap
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       graft.streaming.StreamDrift.runOnce(s, dir, "events.parquet",
           schema, ref)
@@ -3066,7 +3076,7 @@ object QueryCatalog {
         // IEEE-exact) — bit-identical to the streamed aggregate() fold.
         // Append-mode cutoff: a window emits only once the watermark
         // (max ts, zero delay) passes its end.
-        val cats = Seq("click", "error", "purchase", "signup", "view")
+        val cats = driftTaxonomy
         val os = cats.zipWithIndex.map { case (c, i) =>
           s"CAST(sum(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS o_$i"
         }.mkString(",\n  ")

@@ -41,19 +41,7 @@ object EventStreams {
     // per table, so scope to this table's file with pathGlobFilter.
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileGlob).parquet(dir)
-    // Watermarks require TIMESTAMP (tz-aware). Normalize `ts` from whatever
-    // the fixture parquet carries, mirroring the batch read path
-    // (Tables.load + TimestampNorm.toUtc): epoch-nanos BIGINT → micros;
-    // TIMESTAMP_NTZ → localize naive wall-clock to UTC via a cast under the
-    // UTC session timezone.
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+    val events = graft.core.TimestampNorm.normalizeEventTime(raw)
     val agg = events
       // Bounds streaming state in a live deployment; a static-file replay
       // has no late data, so the result equals the batch aggregation.

@@ -82,14 +82,7 @@ object StreamDrift {
               window_ : String = "1 hour"): DataFrame = {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileGlob).parquet(dir)
-    val events = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+    val events = graft.core.TimestampNorm.normalizeEventTime(raw)
     val name = s"stream_drift_${System.nanoTime()}"
     val q = windowedChiSquare(events, refCounts)
       .writeStream.format("memory").queryName(name)

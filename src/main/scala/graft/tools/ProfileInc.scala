@@ -37,8 +37,7 @@ object ProfileInc {
     println(s"[profinc] batch=${batch.count()} corpus=${corpus.count()}")
     (1 to 2).foreach { round =>
       println(s"[profinc] --- round $round ---")
-      val shB = time("batch shingles count")(
-        Dedup.shingles(batch, "doc_id", "text", 3)).cache()
+      val shB = Dedup.shingles(batch, "doc_id", "text", 3).cache()
       time("batch shingles materialize")(shB.count())
       time("batch bandKeys")(
         Dedup.bandKeysFromShingles(shB, "doc_id", 128, 16, base).count())

@@ -14,7 +14,9 @@ class UnigramSpec extends AnyFunSuite {
   private def bruteForceBest(word: String, vocab: Map[String, Long],
                              total: Double, maxLen: Int): Seq[String] = {
     // enumerate all segmentations, score like the DP, apply the SAME
-    // total tie order (score desc, fewer pieces, earlier longer piece)
+    // total tie order: score desc, fewer pieces, then the longest LAST
+    // piece recursively leftward (compare reversed length sequences,
+    // longer-first)
     def segs(w: String): Seq[Seq[String]] =
       if (w.isEmpty) Seq(Seq.empty)
       else (1 to math.min(maxLen, w.length)).flatMap { l =>
@@ -25,7 +27,17 @@ class UnigramSpec extends AnyFunSuite {
     def score(s: Seq[String]): Double =
       s.map(p => vocab.get(p).map(c => math.log(c.toDouble / total))
         .getOrElse(math.log(0.5 / total))).foldLeft(0.0)(_ + _)
-    segs(word).maxBy(s => (score(s), -s.size, s.map(_.length).mkString))
+    def beats(a: Seq[String], b: Seq[String]): Boolean = {
+      val (sa, sb) = (score(a), score(b))
+      if (sa != sb) sa > sb
+      else if (a.size != b.size) a.size < b.size
+      else {
+        val (la, lb) = (a.map(_.length).reverse, b.map(_.length).reverse)
+        la.zip(lb).find { case (x, y) => x != y }
+          .forall { case (x, y) => x > y }
+      }
+    }
+    segs(word).reduceLeft((a, b) => if (beats(b, a)) b else a)
   }
 
   test("viterbi equals brute-force enumeration on planted vocabs") {
@@ -39,6 +51,17 @@ class UnigramSpec extends AnyFunSuite {
         s"word $w: dp=$dp bf=$bf")
       assert(dp.mkString == w, s"segmentation must concatenate to $w")
     }
+  }
+
+  test("exact score ties resolve to the longest last piece") {
+    // all counts equal → ab|cd and abc|d score identically (2 pieces,
+    // identical log terms); the total order picks the longer LAST piece
+    val vocab = Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 2L,
+      "ab" -> 2L, "cd" -> 2L, "abc" -> 2L)
+    val total = vocab.values.sum.toDouble
+    val dp = Unigram.viterbi("abcd", vocab, total, 3)
+    assert(dp == Seq("ab", "cd"), s"got $dp")
+    assert(dp == bruteForceBest("abcd", vocab, total, 3))
   }
 
   test("out-of-model characters fall back to floor-prob singles") {
