@@ -816,6 +816,24 @@ object QueryCatalog {
       graft.streaming.Sessionize.sessions(t(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start_ms")),
 
+    "x_stream_anomaly" -> ((s, dir) => {
+      // Custom keyed state (flatMapGroupsWithState) with an ORACLE-HASHED
+      // output: per-user running anomaly gate on exact integer cents —
+      // value > 3·mean(previous) tested as value·n > 3·sum, no float
+      // anywhere, so the custom-state path replays as a window query.
+      // Mode-agnostic (same code runs the stream); the spec pins
+      // cross-micro-batch state continuity.
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("long").as("user_id"),
+          unix_millis(col("ts")).as("tms"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("value_cents"))
+        .as[graft.streaming.Sessionize.CentsEvent]
+      graft.streaming.Sessionize.anomaliesExact(ev)
+        .toDF().orderBy("user_id", "tms", "value_cents")
+    }),
+
     "q_stream_hourly" -> ((s, dir) => {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () }
@@ -1056,6 +1074,22 @@ object QueryCatalog {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "x_stream_anomaly" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents
+        |  FROM events),
+        |w AS (SELECT user_id, tms, value_cents,
+        |    count(*) OVER win AS n_prev,
+        |    coalesce(sum(value_cents) OVER win, 0) AS sum_prev
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tms, value_cents
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, tms, value_cents,
+        |  CAST(n_prev AS BIGINT) AS n_prev,
+        |  CAST(sum_prev AS BIGINT) AS sum_prev_cents
+        |FROM w WHERE n_prev > 0 AND value_cents * n_prev > 3 * sum_prev
+        |ORDER BY user_id, tms, value_cents""".stripMargin,
 
     "q_stream_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,

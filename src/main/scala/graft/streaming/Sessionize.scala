@@ -68,6 +68,49 @@ object Sessionize {
       }
   }
 
+  final case class CentsEvent(user_id: Long, tms: Long, value_cents: Long)
+  final case class ExactAnomaly(user_id: Long, tms: Long, value_cents: Long,
+                                n_prev: Long, sum_prev_cents: Long)
+
+  /** [[anomalies]] with EXACT integer arithmetic — the oracle-hashable
+    * variant: values are pre-converted to decimal cents in DataFrame
+    * land (one projection, same cast chain as every *_cents column in
+    * the catalog), and the flag test avoids the float mean entirely:
+    * `value > factor · mean(prev)` ⟺
+    * `value_cents · n_prev · factorDen > factorNum · sum_prev_cents ·
+    * factorDen_den…` — all BIGINT, no rounding anywhere, so a DuckDB
+    * window replay hashes identically. Output carries the exact state
+    * (`n_prev`, `sum_prev_cents`) instead of a derived float mean.
+    *
+    * Same state machine as [[anomalies]] (flatMapGroupsWithState,
+    * zero-to-many emissions per input, two-number state per key); the
+    * within-batch (tms, value_cents) sort makes batch-mode output a
+    * pure function of the input.
+    */
+  def anomaliesExact(events: Dataset[CentsEvent], factorNum: Long = 3L,
+                     factorDen: Long = 1L): Dataset[ExactAnomaly] = {
+    import events.sparkSession.implicits._
+    require(factorNum > 0 && factorDen > 0, "anomaliesExact: factor > 0")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), ExactAnomaly](
+        Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[CentsEvent], state: GroupState[(Long, Long)]) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ExactAnomaly]
+          batch.toSeq.sortBy(e => (e.tms, e.value_cents)).foreach { e =>
+            // value > factor·mean(prev) ⟺ value·n·den > num·sum (n > 0);
+            // cents ≤ ~1e11 and counts ≤ ~1e6 keep products far from
+            // Long overflow for any realistic factor
+            if (n > 0 &&
+                e.value_cents * n * factorDen > factorNum * sum)
+              out += ExactAnomaly(user, e.tms, e.value_cents, n, sum)
+            n += 1; sum += e.value_cents
+          }
+          state.update((n, sum))
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: a per-user running
     * activity profile (event count, value sum, last-seen). The built-in
     * aggregations cover this in batch; the point is the streaming state

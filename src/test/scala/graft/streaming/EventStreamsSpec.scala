@@ -141,6 +141,30 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(math.abs(got.head.running_mean - 11.0) < 1e-9)
   }
 
+  test("anomaliesExact: integer gate matches the float gate and carries state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.CentsEvent]
+    val q = Sessionize.anomaliesExact(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spec_anomalies_exact").start()
+    input.addData(Sessionize.CentsEvent(1L, 1000L, 1000L),
+      Sessionize.CentsEvent(1L, 2000L, 1200L),
+      Sessionize.CentsEvent(1L, 3000L, 1100L))
+    q.processAllAvailable()
+    // spike: 10000 > 3·mean(1000,1200,1100) = 3300 — state from batch 1;
+    // boundary: exactly 3·mean of the first four must NOT flag (strict >)
+    input.addData(Sessionize.CentsEvent(1L, 4000L, 10000L))
+    q.processAllAvailable()
+    val mean4x3 = 3L * (1000L + 1200L + 1100L + 10000L) / 4L // = 9975
+    input.addData(Sessionize.CentsEvent(1L, 5000L, mean4x3))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spec_anomalies_exact")
+      .as[Sessionize.ExactAnomaly].collect().toSeq
+    assert(got.map(_.value_cents) == Seq(10000L), s"got $got")
+    assert(got.head.n_prev == 3L && got.head.sum_prev_cents == 3300L)
+  }
+
   test("mapGroupsWithState keeps running per-user stats across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Sessionize.UserEvent]
