@@ -659,6 +659,52 @@ object QueryCatalog {
           col("n"), col("total_value_cents"))
         .orderBy("hour_ms", "event_type")),
 
+    "q21_late_suppliers" -> ((s, dir) => {
+      // TPC-H Q21 shape: correlated EXISTS + NOT EXISTS (multi-supplier
+      // orders where ONLY this supplier shipped late) — written as SQL
+      // subqueries so Catalyst's decorrelation plans them as one semi
+      // and one anti join; lateness = shipped > 60 days after order
+      // (this schema carries no commit/receipt dates).
+      Seq("supplier", "lineitem", "orders", "nation").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"__q21_$n"))
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM __q21_supplier
+        JOIN __q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN __q21_orders ON o_orderkey = l1.l_orderkey
+        JOIN __q21_nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM __q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM __q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 25""")
+    }),
+
+    "q16_supplier_variety" -> ((s, dir) => {
+      // TPC-H Q16 shape: null-aware NOT IN anti join + count(DISTINCT)
+      // over a grouped join — the distinct agg plans as a two-phase
+      // partial/merge expand, the NOT IN as an anti join.
+      Seq("part", "lineitem", "supplier").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(s"__q16_$n"))
+      s.sql("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM __q16_part JOIN __q16_lineitem ON p_partkey = l_partkey
+        WHERE p_size IN (1, 2, 3, 4, 5)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM __q16_supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 20""")
+    }),
+
     "q_interval_join" -> ((s, dir) => {
       // click → purchase attribution within 30 minutes, via the same
       // intervalJoin used for the watermarked stream-stream path (batch
@@ -936,6 +982,36 @@ object QueryCatalog {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q21_late_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 25""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 2, 3, 4, 5)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
 
     "q_interval_join" ->
       """SELECT c.user_id, epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
