@@ -221,6 +221,26 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("Join"), p)
   }
 
+  test("embedding decontamination: both ref sides broadcast, no cartesian") {
+    // the eval set's signatures AND its quantized vectors ship as
+    // broadcasts; the corpus never joins without a key
+    val p = planOf("x_decontam_embedding")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("streaming drift (batch plan): one aggregate pair, chi2 is a projection") {
+    // per-category conditional sums ride the single windowed aggregation
+    // (partial + final); the chi-square fold adds NO further exchange
+    import org.apache.spark.sql.functions._
+    val ev = graft.api.Tables.load(spark, dir, "events")
+    val p = graft.streaming.StreamDrift.windowedChiSquare(ev,
+        Map("click" -> 1L, "view" -> 2L))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window ") && !p.contains("Join"), p)
+  }
+
   test("hosted write with key requires ordered range distribution") {
     // The write declares RequiresDistributionAndOrdering; Spark plans a
     // range repartition by key before the write tasks.
