@@ -23,11 +23,10 @@ object Tables {
       try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () }
     val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // the nanos-BIGINT/NTZ decision lives in TimestampNorm, shared with
+    // every streaming reader — batch and stream must never drift
     val tsFixed =
-      if (name == "events" && raw.schema("ts").dataType.simpleString == "bigint")
-        // integer div: ns ≈ 1.7e18 overflows double precision, so no `/`
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      if (name == "events") TimestampNorm.normalizeEventTime(raw) else raw
     TimestampNorm.toUtc(tsFixed)
   }
 }

@@ -114,8 +114,13 @@ object Unigram {
       // prune toward the target TOTAL size: single chars ALWAYS survive
       // (the segmentability closure) at a floor count of 1 when unused
       // and count against the target; multi-char pieces fill the rest by
-      // usage
-      val target = math.max(vocabSize, math.ceil(vocab.size * 0.75).toInt)
+      // usage. The LAST round prunes straight to vocabSize so the
+      // documented contract holds for ANY rounds/seedSize combination —
+      // intermediate rounds shrink gradually (the SentencePiece
+      // schedule) for EM quality, the final one is exact.
+      val target =
+        if (r == rounds - 1) vocabSize
+        else math.max(vocabSize, math.ceil(vocab.size * 0.75).toInt)
       val singles = vocab.keysIterator.filter(_.length == 1)
         .map(s => s -> math.max(countsMap.getOrElse(s, 0L), 1L)).toSeq
       val multis = countsMap.iterator.filter(_._1.length > 1).toSeq

@@ -877,7 +877,9 @@ object QueryCatalog {
             .as("value_cents"))
         .as[graft.streaming.Sessionize.CentsEvent]
       graft.streaming.Sessionize.anomaliesExact(ev)
-        .toDF().orderBy("user_id", "tms", "value_cents")
+        // n_prev completes the total order: two identical flagged events
+        // (same user, ms-tied tms, same cents) differ only in state
+        .toDF().orderBy("user_id", "tms", "value_cents", "n_prev")
     }),
 
     "q_stream_hourly" -> ((s, dir) => {
@@ -1165,7 +1167,7 @@ object QueryCatalog {
         |  CAST(n_prev AS BIGINT) AS n_prev,
         |  CAST(sum_prev AS BIGINT) AS sum_prev_cents
         |FROM w WHERE n_prev > 0 AND value_cents * n_prev > 3 * sum_prev
-        |ORDER BY user_id, tms, value_cents""".stripMargin,
+        |ORDER BY user_id, tms, value_cents, n_prev""".stripMargin,
 
     "q_stream_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
@@ -3182,11 +3184,15 @@ object QueryCatalog {
 
       "x_stream_drift" -> {
         // per-category conditional counts replayed per window; χ² terms
-        // in sorted category order, 0.0-seeded left fold (0.0 + t is
-        // IEEE-exact) — bit-identical to the streamed aggregate() fold.
+        // in sorted category order (.sorted here = the operator's sorted
+        // fold — the literal being alphabetical today must not be load-
+        // bearing), 0.0-seeded left fold (0.0 + t is IEEE-exact) —
+        // bit-identical to the streamed aggregate() fold. rn sums the
+        // TAXONOMY counts, exactly like the operator's refN (count(*)
+        // would silently diverge on a fixture with an extra event type).
         // Append-mode cutoff: a window emits only once the watermark
         // (max ts, zero delay) passes its end.
-        val cats = driftTaxonomy
+        val cats = driftTaxonomy.sorted
         val os = cats.zipWithIndex.map { case (c, i) =>
           s"CAST(sum(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS o_$i"
         }.mkString(",\n  ")
@@ -3197,9 +3203,11 @@ object QueryCatalog {
           val e = s"((CAST(w.n_events AS DOUBLE) * CAST(r.r_$i AS DOUBLE)) / CAST(r.rn AS DOUBLE))"
           s"(((CAST(w.o_$i AS DOUBLE) - $e) * (CAST(w.o_$i AS DOUBLE) - $e)) / $e)"
         }.mkString("0.0 + ", " + ", "")
-        s"""WITH ref AS (SELECT
-           |  $refs,
-           |  count(*) AS rn FROM events),
+        val rnSum = cats.indices.map(i => s"r_$i").mkString(" + ")
+        s"""WITH ref0 AS (SELECT
+           |  $refs
+           |  FROM events),
+           |ref AS (SELECT *, $rnSum AS rn FROM ref0),
            |wc AS (SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
            |  count(*) AS n_events,
            |  $os
