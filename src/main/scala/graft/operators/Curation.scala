@@ -515,6 +515,31 @@ object Curation {
     * sequences) from a text column — pure regexp projection, the standard
     * pre-training hygiene pass.
     */
+  /** Per-stage attrition (funnel) report over an ordered pipeline of
+    * named frames: rows surviving each stage and rows the stage dropped
+    * — the audit artifact a curation run ships with its output (a
+    * pipeline that silently eats 40% of a corpus at one stage should
+    * say so in numbers, not be discovered from the final count).
+    *
+    * Cost: one count aggregate per stage (each a partial-agg scan of
+    * that stage's plan — no rows move, only per-partition counts), a
+    * #stages-row union, and a window over those #stages rows. Stage
+    * plans share scans where Spark can (the frames are usually
+    * successive narrowings of one source).
+    */
+  def funnelReport(stages: Seq[(String, DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "funnelReport: need at least one stage")
+    val counts = stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit((i + 1).toLong).as("stage_no"), lit(name).as("stage"),
+          col("n_rows"))
+    }
+    val w = Window.orderBy("stage_no")
+    counts.reduce(_ unionByName _)
+      .withColumn("dropped",
+        coalesce(lag(col("n_rows"), 1).over(w) - col("n_rows"), lit(0L)))
+  }
+
   def scrubPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol,
       regexp_replace(

@@ -59,6 +59,70 @@ object QueryCatalog {
     HostedTables.read(s, id)
   }
 
+  /** The curation-pipeline CTE chain shared by the x_pipeline_curate and
+    * x_pipeline_funnel oracles — ends in `taken` (the token-budget
+    * survivors), mirroring [[curateStages]] stage for stage.
+    */
+  private val curatePipelineCtes: String =
+    """quality AS (
+      |  SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 20),
+      |keepers AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+      |deduped AS (SELECT q.* FROM quality q JOIN keepers USING (doc_id)),
+      |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM deduped
+      |       WHERE doc_id % 7 <> 0),
+      |csh AS (SELECT doc_id,
+      |         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+      |                               for i in range(1, len(w) - 6)])) AS shingle
+      |        FROM cw),
+      |rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |       WHERE doc_id % 7 = 0),
+      |rsh AS (SELECT DISTINCT
+      |         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+      |                               for i in range(1, len(w) - 6)])) AS shingle
+      |        FROM rw),
+      |contaminated AS (SELECT DISTINCT c.doc_id FROM csh c JOIN rsh USING (shingle)),
+      |clean AS (SELECT * FROM deduped WHERE doc_id % 7 <> 0
+      |          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |mixr AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM clean),
+      |mixed AS (SELECT * FROM mixr WHERE rn <= CASE lang
+      |            WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 15
+      |            WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 0 END),
+      |toks AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+      |           md5(CAST(doc_id AS VARCHAR)) AS hx FROM mixed),
+      |bud AS (SELECT doc_id, lang, n_tokens,
+      |          coalesce(sum(n_tokens) OVER (ORDER BY hx, doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |        FROM toks),
+      |taken AS (SELECT doc_id, lang, n_tokens, cum_before,
+      |            md5(CAST(doc_id AS VARCHAR)) AS hx FROM bud
+      |          WHERE cum_before < 4000)""".stripMargin
+
+  /** The curation pipeline's ordered stage frames (raw → quality gate →
+    * exact dedup → decontamination → domain mix → token budget), shared
+    * by the flagship composite and its funnel report so the two entries
+    * can never disagree about what the stages are.
+    */
+  private def curateStages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 7 === 0)
+    val quality = docs.filter(size(split(col("text"), " ")) >= 20)
+    val deduped = quality.join(
+      Dedup.exact(quality, "doc_id", "text").select("doc_id"), Seq("doc_id"))
+    val clean = Dedup.decontaminateNgram(
+      deduped.filter(col("doc_id") % 7 =!= 0), evalSet, "doc_id", "text", n = 8)
+    val mixed = Curation.domainMix(clean, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05),
+      100L)
+    val budgeted = Curation.takeByBudget(
+      mixed.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("__hx")),
+      Seq("__hx", "doc_id"), "n_tokens", 4000L)
+    Seq("raw" -> docs, "quality" -> quality, "dedup" -> deduped,
+      "decontam" -> clean, "domain_mix" -> mixed, "token_budget" -> budgeted)
+  }
+
   /** Fresh hosted copy of a fixture projection (drop + create + append). */
   private def hostedCopy(s: SparkSession, dir: String, table: String,
                          title: String, key: Option[String],
@@ -1571,26 +1635,19 @@ object QueryCatalog {
       // so ONE DuckDB oracle replays the pipeline end to end. This is the
       // composability proof: the operators chain as plain DataFrames with
       // no materialization boundaries between stages.
-      val docs = t(s, dir, "documents")
-      val evalSet = docs.filter(col("doc_id") % 7 === 0)
-      val quality = docs.filter(size(split(col("text"), " ")) >= 20)
-      val deduped = quality.join(
-        Dedup.exact(quality, "doc_id", "text").select("doc_id"), Seq("doc_id"))
-      val clean = Dedup.decontaminateNgram(
-        deduped.filter(col("doc_id") % 7 =!= 0), evalSet, "doc_id", "text", n = 8)
-      val mixed = Curation.domainMix(clean, "lang", "doc_id",
-        Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05),
-        100L)
-      val budgeted = Curation.takeByBudget(
-        mixed.select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          md5(col("doc_id").cast("string")).as("__hx")),
-        Seq("__hx", "doc_id"), "n_tokens", 4000L)
+      val budgeted = curateStages(s, dir).last._2
       Curation.shuffleShards(
           budgeted.select("doc_id", "lang", "n_tokens", "cum_before"),
           "doc_id", 4)
         .orderBy("doc_id")
     }),
+
+    "x_pipeline_funnel" -> ((s, dir) =>
+      // Per-stage attrition report over the SAME stage frames as the
+      // flagship composite (shared builder — the two entries cannot
+      // drift): rows surviving each stage and rows dropped by it, the
+      // audit artifact a curation run ships with its output.
+      Curation.funnelReport(curateStages(s, dir)).orderBy("stage_no")),
 
     "x_dedup_best" -> ((s, dir) => {
       // Keep-best-per-cluster: same capped jaccard mining + connected
@@ -2757,39 +2814,7 @@ object QueryCatalog {
            |ORDER BY l.doc_id""".stripMargin,
 
       "x_pipeline_curate" ->
-        """WITH quality AS (
-          |  SELECT * FROM documents WHERE len(string_split(text, ' ')) >= 20),
-          |keepers AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
-          |deduped AS (SELECT q.* FROM quality q JOIN keepers USING (doc_id)),
-          |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM deduped
-          |       WHERE doc_id % 7 <> 0),
-          |csh AS (SELECT doc_id,
-          |         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
-          |                               for i in range(1, len(w) - 6)])) AS shingle
-          |        FROM cw),
-          |rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-          |       WHERE doc_id % 7 = 0),
-          |rsh AS (SELECT DISTINCT
-          |         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
-          |                               for i in range(1, len(w) - 6)])) AS shingle
-          |        FROM rw),
-          |contaminated AS (SELECT DISTINCT c.doc_id FROM csh c JOIN rsh USING (shingle)),
-          |clean AS (SELECT * FROM deduped WHERE doc_id % 7 <> 0
-          |          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-          |mixr AS (SELECT *, row_number() OVER (PARTITION BY lang
-          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM clean),
-          |mixed AS (SELECT * FROM mixr WHERE rn <= CASE lang
-          |            WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 15
-          |            WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 0 END),
-          |toks AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
-          |           md5(CAST(doc_id AS VARCHAR)) AS hx FROM mixed),
-          |bud AS (SELECT doc_id, lang, n_tokens,
-          |          coalesce(sum(n_tokens) OVER (ORDER BY hx, doc_id
-          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-          |        FROM toks),
-          |taken AS (SELECT doc_id, lang, n_tokens, cum_before,
-          |            md5(CAST(doc_id AS VARCHAR)) AS hx FROM bud
-          |          WHERE cum_before < 4000)
+        s"""WITH $curatePipelineCtes
           |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
           |       CAST(cum_before AS BIGINT) AS cum_before,
           |       ('0x' || substr(hx, 1, 15))::BIGINT % 4 AS shard,
@@ -2797,6 +2822,22 @@ object QueryCatalog {
           |         PARTITION BY ('0x' || substr(hx, 1, 15))::BIGINT % 4
           |         ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
           |FROM taken ORDER BY doc_id""".stripMargin,
+
+      "x_pipeline_funnel" ->
+        s"""WITH $curatePipelineCtes,
+          |f AS (
+          |  SELECT 1 AS stage_no, 'raw' AS stage,
+          |         (SELECT count(*) FROM documents) AS n
+          |  UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM quality)
+          |  UNION ALL SELECT 3, 'dedup', (SELECT count(*) FROM deduped)
+          |  UNION ALL SELECT 4, 'decontam', (SELECT count(*) FROM clean)
+          |  UNION ALL SELECT 5, 'domain_mix', (SELECT count(*) FROM mixed)
+          |  UNION ALL SELECT 6, 'token_budget', (SELECT count(*) FROM taken))
+          |SELECT CAST(stage_no AS BIGINT) AS stage_no, stage,
+          |       CAST(n AS BIGINT) AS n_rows,
+          |       CAST(coalesce(lag(n) OVER (ORDER BY stage_no) - n, 0) AS BIGINT)
+          |         AS dropped
+          |FROM f ORDER BY stage_no""".stripMargin,
 
       "x_dedup_spans" ->
         """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
