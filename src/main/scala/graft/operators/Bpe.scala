@@ -167,6 +167,21 @@ object Bpe {
          |SELECT word, freq, array_to_string(syms, '|') AS segmentation
          |FROM syms$numMerges ORDER BY word""".stripMargin
 
+  /** Oracle for the corpus fertility/compression report: integer
+    * aggregates over the final segmentation table.
+    */
+  def fertilityOracleSql(table: String, textCol: String, numMerges: Int,
+                         maxWords: Int, wordPattern: String): String =
+    oracleChain(table, textCol, numMerges, maxWords, wordPattern) +
+      s"""
+         |SELECT CAST((SELECT count(*) FROM syms$numMerges) AS BIGINT) AS n_words,
+         |  CAST((SELECT sum(freq) FROM syms$numMerges) AS BIGINT) AS corpus_tokens,
+         |  CAST((SELECT sum(freq * len(syms)) FROM syms$numMerges) AS BIGINT)
+         |    AS weighted_pieces,
+         |  CAST((SELECT count(DISTINCT piece) FROM
+         |        (SELECT unnest(syms) AS piece FROM syms$numMerges)) AS BIGINT)
+         |    AS distinct_pieces""".stripMargin
+
   /** Apply an ordered merge list to arbitrary words — BPE inference for
     * words the training corpus never saw (the vocab-lookup fast path of
     * [[trainWithVocab]] only covers known words). Rank-order folds are

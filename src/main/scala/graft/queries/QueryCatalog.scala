@@ -1959,6 +1959,25 @@ object QueryCatalog {
         .orderBy("word")
     }),
 
+    "x_bpe_fertility" -> ((s, dir) => {
+      // Tokenizer evaluation under the trained BPE model: corpus
+      // fertility/compression as pure integers — distinct vocab words,
+      // corpus word occurrences, occurrence-weighted subword count
+      // (weighted_pieces / corpus_tokens = tokens-per-word fertility),
+      // and the emitted piece inventory. The metric a tokenizer choice
+      // is actually judged by, integer-exact so the full train+segment
+      // +aggregate pipeline hash-matches.
+      val (_, vocab) = graft.operators.Bpe.trainWithVocab(
+        t(s, dir, "documents"), "text",
+        numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
+      vocab.agg(
+        count(lit(1)).as("n_words"),
+        sum(col("freq")).as("corpus_tokens"),
+        sum(col("freq") * size(col("syms"))).as("weighted_pieces"),
+        size(array_distinct(flatten(collect_list(col("syms")))))
+          .cast("long").as("distinct_pieces"))
+    }),
+
     "x_hybrid_retrieval" -> ((s, dir) => { // RRF lexical+dense hybrid
       // Cormack-style reciprocal-rank fusion of BM25 and exact cosine
       // top-20 lists (doc_id ≡ vec_id in the fixtures), re-ranked to 10
@@ -3347,6 +3366,10 @@ object QueryCatalog {
 
       "x_bpe_train" ->
         graft.operators.Bpe.oracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
+
+      "x_bpe_fertility" ->
+        graft.operators.Bpe.fertilityOracleSql("documents", "text",
           numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
 
       "x_bpe_segment" ->
