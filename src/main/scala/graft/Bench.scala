@@ -47,6 +47,11 @@ object Bench {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Stderr marker BEFORE each query: any ERROR stack a later reader
+      // finds in the captured log now sits between two markers, so it
+      // attributes to one named query instead of "somewhere in the run"
+      // (round 7's accumulator-error tail was unattributable without this).
+      System.err.println(s"[bench] >>> $name")
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -66,6 +71,17 @@ object Bench {
       .mkString("{", ",", "}")
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (succeeded.nonEmpty) succeeded.values.sum else 0.0
+    // Pricing split: these queries run ORACLE-REPLAY configurations (md5
+    // hashes, exact re-verification joins — chosen so DuckDB can replay
+    // them, never what a production run would ship); each has a `_fast`
+    // catalog twin in the production config (xx64 + estimator verify).
+    // Report both totals so the headline number prices the engine, not the
+    // oracle harness.
+    val replayNames = Set(
+      "x_dedup_cross", "x_dedup_minhash_pairs", "x_dedup_incremental")
+      .filter(succeeded.contains)
+    val oracleReplayS = replayNames.toSeq.map(succeeded).sum
+    val productionS = total - oracleReplayS
     // Full per-query detail goes ONLY to BENCH.json: with 67 queries the
     // one-line JSON is >2000 chars and the driver's tail capture truncates
     // it mid-number (three straight rounds of "parsed": null). The stdout
@@ -73,14 +89,14 @@ object Bench {
     // parseable no matter how short the capture window is.
     val cgErrs = graft.tools.CodegenErrors.total
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"codegen_errors":$cgErrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","oracle_replay_s":$oracleReplayS,"production_s":$productionS,"queries":$qs,"failures":$fails,"codegen_errors":$cgErrs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
     // Failure NAMES are capped on stdout (the full list is in BENCH.json):
     // a broken shared fixture failing most of 70+ queries would otherwise
     // regrow this line past the tail capture it was shrunk to fit.
     val failsShort = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${succeeded.size},"n_failures":${failed.size},"failures":$failsShort,"codegen_errors":$cgErrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","oracle_replay_s":$oracleReplayS,"production_s":$productionS,"n_queries":${succeeded.size},"n_failures":${failed.size},"failures":$failsShort,"codegen_errors":$cgErrs,"sf":"$sfDir"}"""
     spark.stop()
     println(summary)
   }

@@ -83,6 +83,64 @@ object Bpe {
             wordPattern: Option[String] = None): DataFrame =
     trainWithVocab(docs, textCol, numMerges, maxWords, wordPattern)._1
 
+  /** GPT-2-STYLE pre-tokenization pattern: contraction suffixes, then
+    * space-attached letter / digit / punctuation runs, then whitespace
+    * runs. Deliberately DIFFERS from GPT-2's exact pattern in one place:
+    * the `\s+(?!\S)` lookahead is dropped (RE2 — DuckDB's regex engine —
+    * has no lookahead, and cross-engine replayability is a design
+    * invariant of every trainer here). Alternation is leftmost-first in
+    * BOTH Java regex and RE2, so the two engines tokenize identically.
+    */
+  val Gpt2Pattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Corpus PRE-TOKEN frequencies under a GPT-2-style regex — the
+    * byte-level trainer's corpus pass. Unlike [[wordCounts]]' whitespace
+    * split, pre-tokens keep their leading space (the GPT-2 convention
+    * that makes detokenization lossless).
+    */
+  def byteWordCounts(docs: DataFrame, textCol: String,
+                     pattern: String = Gpt2Pattern): DataFrame =
+    docs.select(explode(
+        regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** BYTE-LEVEL BPE training (the GPT-2 / tiktoken family): pre-tokenize
+    * with [[Gpt2Pattern]], expand every pre-token to its UTF-8 BYTES, and
+    * run the merge loop over byte symbols — the alphabet is 256 symbols,
+    * every string is representable, and there is no out-of-vocabulary
+    * input by construction. This is the production-tokenizer shape;
+    * word-level [[train]] remains the classic Sennrich form.
+    *
+    * Symbols are 2-hex-digit strings per byte ("74", "68", merged
+    * "7468") rather than remapped printable codepoints (GPT-2's
+    * bytes_to_unicode): hex is pure ASCII, so symbol sort order — the
+    * argmax tie-break — is identical in Spark and DuckDB, and
+    * `hex(encode(word))` computes the same symbol stream in both
+    * engines, making the whole trainer oracle-replayable. A trailing
+    * benefit: UTF-8 bytes sidestep the UTF-16-vs-codepoint split caveat
+    * of the char-level trainer — astral input is just more bytes.
+    *
+    * Same scale posture as [[train]]: one corpus-scale pre-token count
+    * (map-side combined), then vocab-capped merge rounds with a one-row
+    * argmax collect each.
+    */
+  def trainBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                 maxWords: Int = 10000,
+                 pattern: String = Gpt2Pattern): (DataFrame, DataFrame) = {
+    require(numMerges >= 1, "bpeTrainBytes: numMerges must be >= 1")
+    val vocab0 = byteWordCounts(docs, textCol, pattern)
+      .orderBy(desc("freq"), col("word"))
+      .limit(maxWords)
+      .withColumn("__hex", hex(encode(col("word"), "UTF-8")))
+      .select(col("word"), col("freq"),
+        expr("transform(sequence(1, length(__hex) DIV 2)," +
+          " i -> substring(__hex, 2*i-1, 2))").as("syms"))
+      .localCheckpoint(true) // cut lineage to the corpus scan
+    runMergeLoop(vocab0, numMerges)
+  }
+
   /** [[train]] plus the trained segmentation: the vocab table's final
     * symbol sequences after all merges — BPE INFERENCE for every
     * in-vocabulary word (applying the merge list in rank order to a
@@ -96,12 +154,11 @@ object Bpe {
                      wordPattern: Option[String] = None)
       : (DataFrame, DataFrame) = {
     require(numMerges >= 1, "bpeTrain: numMerges must be >= 1")
-    val spark = docs.sparkSession
     // Vocab cap: top-maxWords by (freq desc, word asc) — deterministic.
     // At real scale prefer a min-frequency threshold (no global sort of
     // the distinct-word table); the capped sort here is TakeOrdered-
     // sized, bounded by maxWords.
-    var vocab = wordCounts(docs, textCol, wordPattern)
+    val vocab0 = wordCounts(docs, textCol, wordPattern)
       .orderBy(desc("freq"), col("word"))
       .limit(maxWords)
       // array_remove: Spark's split('') keeps a trailing empty string
@@ -109,6 +166,18 @@ object Bpe {
       .select(col("word"), col("freq"),
         array_remove(split(col("word"), ""), "").as("syms"))
       .localCheckpoint(true) // cut lineage to the corpus scan
+    runMergeLoop(vocab0, numMerges)
+  }
+
+  /** The shared merge loop over an initialized (word, freq, syms) vocab
+    * table — per round: pair counts, one-row argmax collect, HOF
+    * substitution, lineage cut. Char-level [[trainWithVocab]] and
+    * byte-level [[trainBytes]] differ only in how `syms` is seeded.
+    */
+  private def runMergeLoop(vocab0: DataFrame,
+                           numMerges: Int): (DataFrame, DataFrame) = {
+    val spark = vocab0.sparkSession
+    var vocab = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 0
     while (r < numMerges) {
@@ -265,8 +334,52 @@ object Bpe {
          |JOIN syms$numMerges USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** DuckDB replay of [[trainBytes]]: the byte-level prelude (GPT-2-style
+    * regexp pre-tokenization, hex-pair byte symbols — `hex(encode(w))`
+    * computes the identical symbol stream in both engines) feeding the
+    * same relational merge rounds as the char-level oracle.
+    */
+  def bytesOracleSql(table: String, textCol: String, numMerges: Int,
+                     maxWords: Int, pattern: String = Gpt2Pattern): String = {
+    val p = pattern.replace("'", "''")
+    val union = (1 to numMerges)
+      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, cnt FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all($textCol, '$p')) AS w FROM $table)
+       |  WHERE length(w) > 0
+       |  GROUP BY w
+       |),
+       |vocab AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $maxWords),
+       |syms0 AS (
+       |  SELECT word, freq,
+       |         [substring(hex(encode(word)), 2*i-1, 2)
+       |          for i in range(1, length(hex(encode(word)))//2 + 1)] AS syms
+       |  FROM vocab
+       |),
+       |${oracleRounds(numMerges)}
+       |SELECT merge_rank, lhs, rhs, cnt FROM (
+       |$union
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   private def oracleChain(table: String, textCol: String, numMerges: Int,
-                          maxWords: Int, wordPattern: String): String = {
+                          maxWords: Int, wordPattern: String): String =
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split($textCol, ' ')) AS w FROM $table)
+       |  WHERE regexp_full_match(w, '$wordPattern')
+       |  GROUP BY w
+       |),
+       |vocab AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $maxWords),
+       |syms0 AS (SELECT word, freq, string_split(word, '') AS syms FROM vocab),
+       |${oracleRounds(numMerges)}""".stripMargin
+
+  /** The shared per-round relational merge replay (see [[oracleChain]]'s
+    * callers for the even-rank-in-run greedy argument).
+    */
+  private def oracleRounds(numMerges: Int): String = {
     val rounds = (1 to numMerges).map { r =>
       val prev = if (r == 1) "syms0" else s"syms${r - 1}"
       s"""pos$r AS MATERIALIZED (
@@ -303,14 +416,6 @@ object Bpe {
          |  GROUP BY word, freq
          |)""".stripMargin
     }
-    s"""WITH wc AS MATERIALIZED (
-       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest(string_split($textCol, ' ')) AS w FROM $table)
-       |  WHERE regexp_full_match(w, '$wordPattern')
-       |  GROUP BY w
-       |),
-       |vocab AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $maxWords),
-       |syms0 AS (SELECT word, freq, string_split(word, '') AS syms FROM vocab),
-       |${rounds.mkString(",\n")}""".stripMargin
+    rounds.mkString(",\n")
   }
 }

@@ -18,27 +18,59 @@ import org.apache.spark.util.sketch.CountMinSketch
   */
 object Sketches {
 
-  /** Per-partition candidate generation: each task keeps an exact local
-    * count map and emits its top `localTopM` items — bounded memory per
-    * task regardless of tail size (the space-saving flavor of candidate
-    * mining). A global ε-heavy hitter is a local heavy hitter in at
-    * least one partition unless adversarially spread; `localTopM`
-    * hundreds at ε = 10⁻⁴ covers real corpora with room to spare.
+  /** Per-partition candidate generation: each task runs a SPACE-SAVING
+    * summary (Metwally et al. 2005) capped at `capacity` counters —
+    * memory is O(capacity) per task REGARDLESS of the partition's
+    * distinct count (an exact map would grow with the tail, which at
+    * web-corpus scale is exactly what must not happen). Guarantee:
+    * every item with partition count ≥ N_p / capacity is in the
+    * summary; since a globally ε-heavy item is ε-heavy in at least one
+    * partition (averaging argument), the UNION of per-partition
+    * summaries with capacity ≥ 1/ε is a guaranteed superset of the
+    * global ε-heavy hitters — no adversarial-spread caveat.
+    *
+    * Eviction is deterministic for a fixed partitioning: victim = the
+    * least-recently-inserted member of the minimum-count bucket (FIFO
+    * within bucket), and parquet row order per partition is fixed.
     */
   private[operators] def localTopCandidates(items: DataFrame, itemCol: String,
-                                            localTopM: Int): DataFrame = {
+                                            capacity: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
     items.select(col(itemCol).cast("string"))
       .filter(col(itemCol).isNotNull)
       .as[String]
       .mapPartitions { it =>
+        // counts: item → over-estimated count; buckets: count → items in
+        // insertion order (TreeMap gives O(log·) min-bucket access, the
+        // stream-summary structure without the pointer juggling)
         val counts = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach(s => counts.update(s, counts.getOrElse(s, 0L) + 1L))
-        // deterministic tie-break on the item keeps the candidate set
-        // stable across runs for a fixed partitioning
-        counts.toSeq.sortBy { case (s, n) => (-n, s) }
-          .take(localTopM).map(_._1).iterator
+        val buckets = new java.util.TreeMap[Long, java.util.LinkedHashSet[String]]
+        def add(s: String, c: Long): Unit = {
+          counts.update(s, c)
+          var set = buckets.get(c)
+          if (set == null) { set = new java.util.LinkedHashSet[String](); buckets.put(c, set) }
+          set.add(s); ()
+        }
+        def remove(s: String, c: Long): Unit = {
+          val set = buckets.get(c)
+          set.remove(s)
+          if (set.isEmpty) buckets.remove(c)
+          ()
+        }
+        it.foreach { s =>
+          counts.get(s) match {
+            case Some(c) => remove(s, c); add(s, c + 1L)
+            case None if counts.size < capacity => add(s, 1L)
+            case None =>
+              val minEntry = buckets.firstEntry()
+              val minC = minEntry.getKey
+              val victim = minEntry.getValue.iterator().next()
+              remove(victim, minC); counts.remove(victim)
+              add(s, minC + 1L) // space-saving: inherit the evicted floor
+          }
+        }
+        counts.keysIterator
       }
       .toDF(itemCol).distinct()
   }
@@ -56,6 +88,12 @@ object Sketches {
     * are kilobytes. Contrast with the exact vocabulary pipeline, which
     * exchanges every distinct key; this is the operator you run when the
     * tail doesn't fit anywhere.
+    *
+    * Recall: the candidate pass runs per-partition space-saving at
+    * capacity `max(localTopM, ⌈1/eps⌉)`, so every ε-heavy item is
+    * GUARANTEED in the candidate set (see [[localTopCandidates]]) —
+    * the returned top-k can only miss an item whose true frequency is
+    * below ε·N, which the CMS could not rank reliably anyway.
     */
   def heavyHittersCms(items: DataFrame, itemCol: String, k: Int,
                       eps: Double = 1e-4, confidence: Double = 0.99,
@@ -71,7 +109,8 @@ object Sketches {
       // deserialize once per executor-thread closure init, not per row
       CmsCache.get(bc.value).estimateCount(s)
     }
-    localTopCandidates(strs, itemCol, localTopM)
+    val capacity = math.max(localTopM, math.ceil(1.0 / eps).toInt)
+    localTopCandidates(strs, itemCol, capacity)
       .withColumn("est_count", estimate(col(itemCol)))
       .orderBy(col("est_count").desc, col(itemCol))
       .limit(k)

@@ -83,9 +83,13 @@ object Unigram {
     * SentencePiece convention — a caller sizing a token-id space to
     * `vocabSize` must get at most that many ids) but always survive
     * pruning, so a target below the alphabet size yields the alphabet.
-    * Output: (piece, cnt, rank) — `cnt` is the final round's
-    * frequency-weighted usage count under Viterbi segmentation, rank by
-    * (cnt desc, piece asc).
+    * Output: (piece, cnt, rank) — `cnt` is the TRUE frequency-weighted
+    * usage count of the piece when the capped word table is
+    * Viterbi-segmented under the FINAL (post-prune) vocab: after the
+    * last prune, one extra E-step runs under the shipped model, so the
+    * reported counts are exactly what a user segmenting with this model
+    * would observe (an unused single-char closure survivor reports 0).
+    * Rank by (cnt desc, piece asc).
     */
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
             rounds: Int = 4, maxPieceLen: Int = 6, seedSize: Int = 2000,
@@ -129,6 +133,14 @@ object Unigram {
       vocab = (singles ++ multis).toMap
       r += 1
     }
+    // final E-step under the SHIPPED vocab: EM-round counts above are
+    // measured under the round-START (pre-prune) model, so without this
+    // pass the reported cnt would describe a vocab that no longer exists
+    val finalCounts = segmented(words, vocab, maxPieceLen)
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    vocab = vocab.keysIterator.map(p => p -> finalCounts.getOrElse(p, 0L)).toMap
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("cnt"), col("piece"))

@@ -1907,6 +1907,17 @@ object QueryCatalog {
           numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
         .orderBy("merge_rank")),
 
+    "x_bpe_bytes" -> ((s, dir) =>
+      // BYTE-LEVEL BPE (the GPT-2/tiktoken family): GPT-2-style regex
+      // pre-tokenization (space-attached pre-tokens, contraction
+      // suffixes), UTF-8-byte alphabet as hex-pair symbols, 12 learned
+      // merges. No OOV by construction — the production-tokenizer shape
+      // next to the classic word-level x_bpe_train. Oracle = the same
+      // relational merge rounds over hex(encode(word)) symbols.
+      graft.operators.Bpe.trainBytes(t(s, dir, "documents"), "text",
+          numMerges = 12, maxWords = 5000)._1
+        .orderBy("merge_rank")),
+
     "x_pipeline_tokenizer" -> ((s, dir) => {
       // Train → apply in ONE DataFrame program: learn 12 merges, then
       // tokenize the corpus through the trained vocab (broadcast — model
@@ -3367,6 +3378,10 @@ object QueryCatalog {
       "x_bpe_train" ->
         graft.operators.Bpe.oracleSql("documents", "text",
           numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
+
+      "x_bpe_bytes" ->
+        graft.operators.Bpe.bytesOracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000),
 
       "x_bpe_fertility" ->
         graft.operators.Bpe.fertilityOracleSql("documents", "text",

@@ -78,6 +78,25 @@ object HostedStore {
 
   private val tables = new ConcurrentHashMap[String, TableState]()
   private val nextId = new AtomicLong(1000)
+
+  /** Atomic per-ITEM read-modify-write: every mutating verb below runs as
+    * one `ConcurrentHashMap.compute`, which locks only the item's bin —
+    * concurrent commits against DIFFERENT items proceed in parallel
+    * (round 7's store-wide `synchronized` serialized all 32 DataWriter
+    * commits on one monitor; commits to the SAME item still serialize, as
+    * they must — they contend for one row vector). `f` returns the new
+    * state plus a result value threaded back to the caller.
+    */
+  private def computeItem[A](itemId: String)(f: TableState => (TableState, A)): A = {
+    var out: Option[A] = None
+    tables.compute(itemId, (_: String, t: TableState) => {
+      if (t == null) throw new NoSuchElementException(s"no hosted table '$itemId'")
+      val (nt, a) = f(t)
+      out = Some(a)
+      nt
+    })
+    out.get
+  }
   /** Per-(item, field) countdown of polls remaining until the index
     * reports visible — the fake's async-creation knob.
     */
@@ -111,7 +130,9 @@ object HostedStore {
   def exists(itemId: String): Boolean = tables.containsKey(itemId)
 
   def create(title: String, schema: StructType,
-             properties: Map[String, String] = Map.empty): String = synchronized {
+             properties: Map[String, String] = Map.empty): String = {
+    // No lock needed: the id is fresh (atomic counter), so nobody can
+    // reference it until this method returns it.
     val id = s"item_${nextId.getAndIncrement()}"
     // The reference stamps the title into the item-properties dict before
     // content.add (`src/agol_pandas.py:517-520`); mirror that so a
@@ -128,9 +149,9 @@ object HostedStore {
     * covers layer items too.
     */
   def createLayer(title: String, schema: StructType,
-                  properties: Map[String, String] = Map.empty): String = synchronized {
+                  properties: Map[String, String] = Map.empty): String = {
     val id = create(title, schema, properties)
-    tables.put(id, get(id).copy(kind = "layer"))
+    computeItem(id)(t => (t.copy(kind = "layer"), ()))
     id
   }
 
@@ -140,20 +161,20 @@ object HostedStore {
     * (`src/agol_pandas.py:239-243`) — every verb serves the table; the
     * layer is shadowed but kept reachable via [[shadowedLayerOf]].
     */
-  def publishTable(itemId: String, tableSchema: StructType): Unit = synchronized {
-    val t = get(itemId)
-    require(t.kind == "layer", s"item '$itemId' already serves a table")
-    // The published table is a NEW dataset: replay-protection state
-    // (appliedBatches/committedParts) and index definitions belong to the
-    // layer era — carrying them over would silently drop writes whose
-    // batch ids collide with layer-era ids (exactly why truncate() resets
-    // them) and claim unique indexes the table never created.
-    tables.put(itemId, t.copy(
-      schema = tableSchema, rows = Vector.empty, kind = "table",
-      shadowedLayer = Some(DatasetState(t.schema, t.rows)),
-      uniqueIndexes = Set.empty, indexes = Vector.empty,
-      appliedBatches = Set.empty, committedParts = Set.empty))
-  }
+  def publishTable(itemId: String, tableSchema: StructType): Unit =
+    computeItem(itemId) { t =>
+      require(t.kind == "layer", s"item '$itemId' already serves a table")
+      // The published table is a NEW dataset: replay-protection state
+      // (appliedBatches/committedParts) and index definitions belong to the
+      // layer era — carrying them over would silently drop writes whose
+      // batch ids collide with layer-era ids (exactly why truncate() resets
+      // them) and claim unique indexes the table never created.
+      (t.copy(
+        schema = tableSchema, rows = Vector.empty, kind = "table",
+        shadowedLayer = Some(DatasetState(t.schema, t.rows)),
+        uniqueIndexes = Set.empty, indexes = Vector.empty,
+        appliedBatches = Set.empty, committedParts = Set.empty), ())
+    }
 
   def kindOf(itemId: String): String = get(itemId).kind
 
@@ -163,21 +184,19 @@ object HostedStore {
   /** Merge portal item metadata (`item_properties` passthrough on the
     * reference's write/create surface, `src/agol_pandas.py:316,477,548`).
     */
-  def setProperties(itemId: String, props: Map[String, String]): Unit = synchronized {
-    val t = get(itemId)
-    tables.put(itemId, t.copy(properties = t.properties ++ props))
-  }
+  def setProperties(itemId: String, props: Map[String, String]): Unit =
+    computeItem(itemId)(t => (t.copy(properties = t.properties ++ props), ()))
 
   def propertiesOf(itemId: String): Map[String, String] = get(itemId).properties
 
-  def truncate(itemId: String): Unit = synchronized {
-    val t = get(itemId)
-    // A truncated table starts a fresh write epoch: forget batch ids and
-    // committed partitions so an overwrite re-posting identical content
-    // isn't spuriously deduped.
-    tables.put(itemId, t.copy(rows = Vector.empty, appliedBatches = Set.empty,
-      committedParts = Set.empty))
-  }
+  def truncate(itemId: String): Unit =
+    computeItem(itemId) { t =>
+      // A truncated table starts a fresh write epoch: forget batch ids and
+      // committed partitions so an overwrite re-posting identical content
+      // isn't spuriously deduped.
+      (t.copy(rows = Vector.empty, appliedBatches = Set.empty,
+        committedParts = Set.empty), ())
+    }
 
   /** Register a unique index (`add_to_definition({"indexes":[…]})`,
     * `src/agol_pandas.py:293-300`), named the way the reference names it.
@@ -186,50 +205,49 @@ object HostedStore {
     * member of `uniqueIndexes`) after that many [[fieldHasUniqueIndex]]
     * probes — the client must poll, exactly like the remote service.
     */
-  def addUniqueIndex(itemId: String, field: String): String = synchronized {
-    val t = get(itemId)
-    val fl = field.toLowerCase
-    require(t.schema.fieldNames.map(_.toLowerCase).contains(fl),
-      s"no such field '$field' on '$itemId'")
-    t.indexes.find(ix => ix.isUnique && ix.field == fl) match {
-      case Some(ix) => ix.name
-      case None =>
-        // Reference naming: UX_{item.title.upper()}_{table_name.upper()}_
-        // {field}_ASC (`src/agol_pandas.py:293`); the fake's service-layer
-        // table name is the item id.
-        val name = s"UX_${t.title.toUpperCase}_${itemId.toUpperCase}_${field}_ASC"
-        val ix = IndexState(name, fl, isUnique = true, indexCreationPollDelay)
-        val visible = indexCreationPollDelay <= 0
-        tables.put(itemId, t.copy(
-          indexes = t.indexes :+ ix,
-          uniqueIndexes = if (visible) t.uniqueIndexes + fl else t.uniqueIndexes))
-        if (!visible) pendingPolls.put((itemId, fl), indexCreationPollDelay)
-        name
+  def addUniqueIndex(itemId: String, field: String): String =
+    computeItem(itemId) { t =>
+      val fl = field.toLowerCase
+      require(t.schema.fieldNames.map(_.toLowerCase).contains(fl),
+        s"no such field '$field' on '$itemId'")
+      t.indexes.find(ix => ix.isUnique && ix.field == fl) match {
+        case Some(ix) => (t, ix.name)
+        case None =>
+          // Reference naming: UX_{item.title.upper()}_{table_name.upper()}_
+          // {field}_ASC (`src/agol_pandas.py:293`); the fake's service-layer
+          // table name is the item id.
+          val name = s"UX_${t.title.toUpperCase}_${itemId.toUpperCase}_${field}_ASC"
+          val ix = IndexState(name, fl, isUnique = true, indexCreationPollDelay)
+          val visible = indexCreationPollDelay <= 0
+          if (!visible) pendingPolls.put((itemId, fl), indexCreationPollDelay)
+          (t.copy(
+            indexes = t.indexes :+ ix,
+            uniqueIndexes = if (visible) t.uniqueIndexes + fl else t.uniqueIndexes),
+            name)
+      }
     }
-  }
 
   /** One visibility probe (`fld_has_unique_idx`, `src/agol_pandas.py:286-290`):
     * true once the unique index on `field` is service-visible. Each probe
     * of a pending index decrements its countdown — the fake's stand-in for
     * wall-clock async creation.
     */
-  def fieldHasUniqueIndex(itemId: String, field: String): Boolean = synchronized {
-    val t = get(itemId)
-    val fl = field.toLowerCase
-    if (t.uniqueIndexes.contains(fl)) true
-    else if (!t.indexes.exists(ix => ix.isUnique && ix.field == fl)) false
-    else {
-      val left = pendingPolls.getOrDefault((itemId, fl), 0) - 1
-      if (left <= 0) {
-        pendingPolls.remove((itemId, fl))
-        tables.put(itemId, t.copy(uniqueIndexes = t.uniqueIndexes + fl))
-        true
-      } else {
-        pendingPolls.put((itemId, fl), left)
-        false
+  def fieldHasUniqueIndex(itemId: String, field: String): Boolean =
+    computeItem(itemId) { t =>
+      val fl = field.toLowerCase
+      if (t.uniqueIndexes.contains(fl)) (t, true)
+      else if (!t.indexes.exists(ix => ix.isUnique && ix.field == fl)) (t, false)
+      else {
+        val left = pendingPolls.getOrDefault((itemId, fl), 0) - 1
+        if (left <= 0) {
+          pendingPolls.remove((itemId, fl))
+          (t.copy(uniqueIndexes = t.uniqueIndexes + fl), true)
+        } else {
+          pendingPolls.put((itemId, fl), left)
+          (t, false)
+        }
       }
     }
-  }
 
   def indexesOf(itemId: String): Vector[IndexState] = get(itemId).indexes
 
@@ -321,17 +339,26 @@ object HostedStore {
       batch: Seq[Row],
       mode: WriteMode,
       key: Option[String],
-      batchId: Option[String] = None): Long = synchronized {
-    val t = get(itemId)
+      batchId: Option[String] = None): Long =
+    computeItem(itemId)(t => appliedPure(t, batch, mode, key, batchId))
+
+  /** PURE single-batch apply: old state → (new state, rows affected).
+    * Runs inside a per-item compute from [[appendBatch]] or
+    * [[commitStaged]] — a thrown contract violation propagates out of the
+    * compute and leaves the mapping (and any staging) untouched, so a
+    * failed apply stays replayable.
+    */
+  private def appliedPure(t: TableState, batch: Seq[Row], mode: WriteMode,
+                          key: Option[String],
+                          batchId: Option[String]): (TableState, Long) = {
     // Idempotent replay protection: a batch id the service has already
     // applied is a task-retry replay — skip it (exactly-once writes on
     // top of at-least-once task attempts).
-    if (batchId.exists(t.appliedBatches.contains)) return 0L
-    val affected: Long = mode match {
+    if (batchId.exists(t.appliedBatches.contains)) return (t, 0L)
+    val (t1, affected): (TableState, Long) = mode match {
       case WriteMode.Append | WriteMode.Overwrite =>
         // Overwrite's truncate already happened once, driver-side.
-        tables.put(itemId, t.copy(rows = t.rows ++ batch))
-        batch.size.toLong
+        (t.copy(rows = t.rows ++ batch), batch.size.toLong)
       case WriteMode.Upsert | WriteMode.Update | WriteMode.Insert =>
         val k = key.getOrElse(
           throw new IllegalArgumentException(s"mode ${mode.name} requires a key"))
@@ -362,21 +389,18 @@ object HostedStore {
           if (mode == WriteMode.Update) Vector.empty
           else collapsed.valuesIterator
             .filterNot(r => existingKeys.contains(r.get(ki))).toVector
-        tables.put(itemId, t.copy(rows = updated ++ inserts))
-        (mode match {
+        val affected = (mode match {
           case WriteMode.Update =>
             collapsed.keysIterator.count(existingKeys.contains)
           case WriteMode.Insert => inserts.size
           case _                => collapsed.size
         }).toLong
+        (t.copy(rows = updated ++ inserts), affected)
     }
     // Only a *successfully applied* batch is recorded — a failed apply
     // (contract violation above) must stay replayable.
-    batchId.foreach { id =>
-      val tN = get(itemId)
-      tables.put(itemId, tN.copy(appliedBatches = tN.appliedBatches + id))
-    }
-    affected
+    (batchId.fold(t1)(id => t1.copy(appliedBatches = t1.appliedBatches + id)),
+      affected)
   }
 
   // ---------------------------------------------- staged (transactional)
@@ -414,21 +438,21 @@ object HostedStore {
     * intact so a retried commit still has the rows.
     */
   def commitStaged(itemId: String, partKey: String, attemptId: Long,
-                   mode: WriteMode, key: Option[String]): Long = synchronized {
-    val t = get(itemId)
-    if (t.committedParts.contains(partKey)) {
-      purgeStaged(itemId, partKey)
-      0L
-    } else {
-      val chunks = Option(staged.get((itemId, partKey, attemptId)))
-        .getOrElse(Map.empty[Int, Vector[Row]])
-      val rows = chunks.toSeq.sortBy(_._1).flatMap(_._2)
-      val affected = appendBatch(itemId, rows, mode, key)
-      val tN = get(itemId)
-      tables.put(itemId, tN.copy(committedParts = tN.committedParts + partKey))
-      purgeStaged(itemId, partKey)
-      affected
+                   mode: WriteMode, key: Option[String]): Long = {
+    val affected = computeItem(itemId) { t =>
+      if (t.committedParts.contains(partKey)) (t, 0L)
+      else {
+        val chunks = Option(staged.get((itemId, partKey, attemptId)))
+          .getOrElse(Map.empty[Int, Vector[Row]])
+        val rows = chunks.toSeq.sortBy(_._1).flatMap(_._2)
+        val (t1, a) = appliedPure(t, rows, mode, key, None)
+        (t1.copy(committedParts = t1.committedParts + partKey), a)
+      }
     }
+    // Purge only after a successful (or duplicate) publish — a thrown
+    // apply above skips this, leaving the rows for a retried commit.
+    purgeStaged(itemId, partKey)
+    affected
   }
 
   def discardStaged(itemId: String, partKey: String, attemptId: Long): Unit = {

@@ -98,13 +98,24 @@ object Sessionize {
           var (n, sum) = state.getOption.getOrElse((0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[ExactAnomaly]
           batch.toSeq.sortBy(e => (e.tms, e.value_cents)).foreach { e =>
-            // value > factor·mean(prev) ⟺ value·n·den > num·sum (n > 0);
-            // cents ≤ ~1e11 and counts ≤ ~1e6 keep products far from
-            // Long overflow for any realistic factor
-            if (n > 0 &&
-                e.value_cents * n * factorDen > factorNum * sum)
+            // value > factor·mean(prev) ⟺ value·n·den > num·sum (n > 0).
+            // Exact at ANY magnitude: the Long fast path detects overflow
+            // (multiplyExact) and falls back to BigInt — a hot key with
+            // huge cents or a long-running stream can no longer silently
+            // wrap and flip the verdict vs the 128-bit oracle.
+            val flagged = n > 0 && {
+              try Math.multiplyExact(Math.multiplyExact(e.value_cents, n),
+                    factorDen) > Math.multiplyExact(factorNum, sum)
+              catch { case _: ArithmeticException =>
+                BigInt(e.value_cents) * n * factorDen > BigInt(factorNum) * sum
+              }
+            }
+            if (flagged)
               out += ExactAnomaly(user, e.tms, e.value_cents, n, sum)
-            n += 1; sum += e.value_cents
+            // state sum overflows loudly instead of corrupting every
+            // later verdict (sum of cents past 2⁶³ means the caller's
+            // unit choice is wrong, not a condition to paper over)
+            n += 1; sum = Math.addExact(sum, e.value_cents)
           }
           state.update((n, sum))
           out.iterator

@@ -57,9 +57,15 @@ object StreamExactDedup {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileGlob).parquet(dir)
     // offset by a day: id 0 at exactly epoch 0 equals the stream's
-    // initial watermark and would be discarded as late before dedup
+    // initial watermark and would be discarded as late before dedup.
+    // Event time is id MODULO the horizon span, so the synthetic ts range
+    // always fits inside the watermark horizon — the surviving-hash-set ==
+    // batch-DISTINCT determinism claim then holds even if the replay
+    // splits into multiple micro-batches (multi-file glob or
+    // maxFilesPerTrigger): no duplicate can land beyond the watermark of
+    // an earlier batch, because the whole stream spans < horizon.
     val withTs = raw.withColumn("__ts",
-      timestamp_seconds(col(idCol).cast("long") + 86400L))
+      timestamp_seconds(lit(86400L) + (col(idCol).cast("long") % 3600L)))
     val name = s"stream_exactdedup_${System.nanoTime()}"
     val q = dedupped(withTs, textCol, "__ts", horizon)
       .select("text_hash")

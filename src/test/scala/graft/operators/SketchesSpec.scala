@@ -46,11 +46,24 @@ class SketchesSpec extends AnyFunSuite {
 
   test("candidate mine is bounded yet complete for true hitters") {
     val cands = Sketches.localTopCandidates(
-        fixture.repartition(8, col("tok")), "tok", localTopM = 4)
+        fixture.repartition(8, col("tok")), "tok", capacity = 4)
       .as[String].collect().toSet
     assert(Set("hot1", "hot2", "hot3").subsetOf(cands), s"got $cands")
-    // 8 partitions × top-4 each bounds the candidate set
+    // 8 partitions × 4-counter space-saving summaries bound the set
     assert(cands.size <= 32)
+  }
+
+  test("space-saving summary memory is capped, superset property holds") {
+    // one partition, capacity 8, a 500-distinct-token tail: the summary
+    // holds at most 8 items no matter the tail, and the ε-heavy item
+    // (count 100 of N=600 → ε≈1/6 ≥ 1/8) is guaranteed present
+    val tail = (1 to 500).map(i => s"t_$i")
+    val stream = Seq.fill(100)("heavy") ++ tail
+    val df = stream.toDF("tok").coalesce(1)
+    val cands = Sketches.localTopCandidates(df, "tok", capacity = 8)
+      .as[String].collect().toSet
+    assert(cands.size <= 8, s"summary exceeded capacity: ${cands.size}")
+    assert(cands.contains("heavy"))
   }
 
   test("agrees with the exact top-k on real fixture tokens") {
