@@ -28,9 +28,13 @@ object Multimodal {
     * the modalities must not diverge.
     */
   private def withMeta(df: DataFrame, idCol: String, mediaType: String): DataFrame =
+    withMetaCol(df, idCol, lit(mediaType))
+
+  private def withMetaCol(df: DataFrame, idCol: String,
+                          mediaType: org.apache.spark.sql.Column): DataFrame =
     df.select(col(idCol), col("payload"),
       struct(
-        lit(mediaType).as("media_type"),
+        mediaType.as("media_type"),
         length(col("payload")).as("byte_len"),
         sha2(col("payload"), 256).as("sha256")).as("meta"))
 
@@ -57,6 +61,24 @@ object Multimodal {
       })
       .toDF(idCol, "payload")
     withMeta(encoded, idCol, "image/bmp")
+  }
+
+  /** Attach a REAL PNG payload: the same deterministic frames as
+    * [[withBmpPayload]] but zlib-compressed through the pure-JVM PNG
+    * encoder — the format real multimodal corpora are dominated by,
+    * exercising the full chunk/deflate/filter path on decode.
+    */
+  def withPngPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val frames = Bmp.decodeAll(encodeFrames(text.getBytes("UTF-8")))
+        (id, Array.concat(frames.map(Png.encode): _*))
+      })
+      .toDF(idCol, "payload")
+    withMeta(encoded, idCol, "image/png")
   }
 
   /** Deterministic multi-frame BMP stream from seed bytes: frame count,
@@ -108,17 +130,27 @@ object Multimodal {
       .toDF()
   }
 
+  /** Route a payload to the real codec that can decode it — BMP or PNG
+    * frames (both land on the shared [[Bmp.Image]] RGB surface) — or
+    * None for opaque payloads (stub fallback). Full-structure sniffs,
+    * NOT magic bytes alone: opaque text can start with "BM" ("BMW…")
+    * and must fall back to the stub instead of crashing a strict codec.
+    */
+  private def imagesOf(bytes: Array[Byte]): Option[Seq[Bmp.Image]] =
+    if (Bmp.looksLikeBmp(bytes)) Some(Bmp.decodeAll(bytes))
+    else if (Png.looksLikePng(bytes)) Some(Png.decodeAll(bytes))
+    else None
+
   private def decodeOne(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] =
-    // looksLikeBmp (full-header sniff), NOT the 2-byte magic: opaque text
-    // payloads legitimately start with "BM" ("BMW…") and must fall back to
-    // the stub instead of crashing the strict codec
-    if (Bmp.looksLikeBmp(bytes))
-      Bmp.decodeAll(bytes).zipWithIndex.map { case (img, f) =>
-        val g = img.gray
-        val mean = if (g.isEmpty) 0.0 else g.map(_.toLong).sum.toDouble / g.length
-        DecodedFrame(id, f, img.width, img.height, mean)
-      }
-    else stubDecode(id, bytes)
+    imagesOf(bytes) match {
+      case Some(frames) =>
+        frames.zipWithIndex.map { case (img, f) =>
+          val g = img.gray
+          val mean = if (g.isEmpty) 0.0 else g.map(_.toLong).sum.toDouble / g.length
+          DecodedFrame(id, f, img.width, img.height, mean)
+        }
+      case None => stubDecode(id, bytes)
+    }
 
   /** STUB decode for opaque non-BMP payloads: deterministic pseudo-frames
     * from the byte content.
@@ -177,9 +209,12 @@ object Multimodal {
     * payloads.
     */
   private def samplesOf(bytes: Array[Byte]): Array[Int] =
-    if (Bmp.looksLikeBmp(bytes)) Bmp.decodeAll(bytes).flatMap(_.gray).toArray
-    else if (Wav.looksLikeWav(bytes)) Wav.decode(bytes).samples.map(s => (s >> 8) + 128)
-    else bytes.map(_ & 0xff)
+    imagesOf(bytes) match {
+      case Some(frames) => frames.flatMap(_.gray).toArray
+      case None if Wav.looksLikeWav(bytes) =>
+        Wav.decode(bytes).samples.map(s => (s >> 8) + 128)
+      case None => bytes.map(_ & 0xff)
+    }
 
   /** Attach a REAL audio payload: a mono 16-bit PCM WAV whose samples
     * derive deterministically from the text bytes — genuine encoded media
@@ -294,11 +329,20 @@ object Multimodal {
     withBytes.select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        (id, Array.concat(Bmp.decodeAll(bytes)
-          .map(f => Bmp.encode(Bmp.resize(f, targetW, targetH))): _*))
+        // re-encode in the payload's OWN container: a transcoder that
+        // silently converts PNG input to BMP output would corrupt any
+        // downstream consumer keyed on the column's media type
+        val isPng = Png.looksLikePng(bytes)
+        val frames =
+          if (isPng)
+            Png.decodeAll(bytes).map(f => Png.encode(Bmp.resize(f, targetW, targetH)))
+          else Bmp.decodeAll(bytes).map(f => Bmp.encode(Bmp.resize(f, targetW, targetH)))
+        val mt = (if (isPng) "image/png" else "image/bmp") +
+          s";resized=${targetW}x$targetH"
+        (id, Array.concat(frames: _*), mt)
       })
-      .toDF(idCol, "payload")
-      .pipe(withMeta(_, idCol, s"image/bmp;resized=${targetW}x$targetH"))
+      .toDF(idCol, "payload", "__media_type")
+      .pipe(withMetaCol(_, idCol, col("__media_type")))
   }
 
   case class FrameHash(id: Long, frame_no: Int, ahash: Long)
@@ -319,11 +363,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         val grids: Seq[Array[Int]] =
-          if (Bmp.looksLikeBmp(bytes))
-            Bmp.decodeAll(bytes).map(f => Bmp.resize(f, 8, 8).gray)
-          else {
-            val s = if (bytes.isEmpty) Array(0) else bytes.map(_ & 0xff)
-            Seq(Array.tabulate(64)(i => s((i.toLong * s.length / 64).toInt)))
+          imagesOf(bytes) match {
+            case Some(frames) => frames.map(f => Bmp.resize(f, 8, 8).gray)
+            case None =>
+              val s = if (bytes.isEmpty) Array(0) else bytes.map(_ & 0xff)
+              Seq(Array.tabulate(64)(i => s((i.toLong * s.length / 64).toInt)))
           }
         grids.zipWithIndex.map { case (g, f) => FrameHash(id, f, aHash(g)) }
       })

@@ -162,6 +162,70 @@ object Unigram {
       .select(col("word"), col("freq"),
         array_join(col("pieces"), "|").as("segmentation"))
 
+  /** INTEGER-EXACT unigram trainer — the oracle-hashable counterpart of
+    * [[train]]: same seed, same prune schedule, same post-prune usage
+    * recount, but the E-step segments under an MDL-flavored HARD-EM
+    * objective instead of log-probabilities: minimize the number of
+    * pieces, then maximize the total piece frequency Σcnt, then the
+    * longest-LAST-piece structural order. Every comparison is BIGINT, so
+    * the whole training run — seed, EM rounds, prune, final counts — is
+    * a pure integer function of the corpus that a generated DuckDB DP
+    * chain replays bit-for-bit ([[trainExactOracleSql]]).
+    *
+    * Relationship to [[train]]: log-prob Viterbi IS the canonical
+    * SentencePiece E-step, and stays the default; this variant trades
+    * the probabilistic objective for exact replayability (fewest-pieces
+    * is what a longest-match tokenizer optimizes, and Σcnt prefers the
+    * frequent pieces the log model would). `maxWordLen` additionally
+    * caps the trainable word length — the oracle unrolls one DP CTE per
+    * character position, so the bound must be static; longer words are
+    * excluded from the capped word table in BOTH engines.
+    *
+    * Scale posture identical to [[train]]: one corpus word-count
+    * shuffle, then vocab-sized per-round aggregations and model-sized
+    * collects.
+    */
+  def trainExact(docs: DataFrame, textCol: String, vocabSize: Int,
+                 rounds: Int = 1, maxPieceLen: Int = 4, seedSize: Int = 500,
+                 maxWords: Int = 5000, maxWordLen: Int = 20,
+                 wordPattern: Option[String] = None): DataFrame = {
+    require(vocabSize > 0 && rounds >= 1,
+      "unigramTrainExact: need vocabSize > 0 and rounds >= 1")
+    val spark = docs.sparkSession
+    val words = cappedWords(docs, textCol, maxWords, wordPattern)
+      .filter(length(col("word")) <= maxWordLen)
+      .localCheckpoint(true)
+    var vocab: Map[String, Long] =
+      collectVocab(seedFromWords(words, seedSize, maxPieceLen))
+    def usageCounts(v: Map[String, Long]): Map[String, Long] =
+      segmentedExact(words, v, maxPieceLen)
+        .select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    var r = 0
+    while (r < rounds) {
+      val countsMap = usageCounts(vocab)
+      val target =
+        if (r == rounds - 1) vocabSize
+        else math.max(vocabSize, math.ceil(vocab.size * 0.75).toInt)
+      val singles = vocab.keysIterator.filter(_.length == 1)
+        .map(s => s -> math.max(countsMap.getOrElse(s, 0L), 1L)).toSeq
+      val multis = countsMap.iterator.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, target - singles.size))
+      vocab = (singles ++ multis).toMap
+      r += 1
+    }
+    // final E-step under the SHIPPED vocab (same contract as train())
+    val finalCounts = usageCounts(vocab)
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), col("piece"))
+    vocab.keysIterator.map(p => p -> finalCounts.getOrElse(p, 0L)).toSeq
+      .toDF("piece", "cnt")
+      .withColumn("rank", row_number().over(w))
+  }
+
   // ------------------------------------------------------------ internals
 
   private def cappedWords(docs: DataFrame, textCol: String, maxWords: Int,
@@ -195,6 +259,79 @@ object Unigram {
         }
       }
       .toDF("word", "freq", "pieces")
+  }
+
+  /** [[segmented]] under the INTEGER objective of [[trainExact]] — same
+    * broadcast-model mapPartitions shape, DP per word is
+    * O(len·maxPieceLen) with BIGINT comparisons only.
+    */
+  private[operators] def segmentedExact(words: DataFrame,
+                                        vocab: Map[String, Long],
+                                        maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    require(vocab.nonEmpty, "unigram: empty vocab")
+    val bc = spark.sparkContext.broadcast(vocab)
+    words.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (word, freq) =>
+          (word, freq, viterbiExact(word, v, maxPieceLen))
+        }
+      }
+      .toDF("word", "freq", "pieces")
+  }
+
+  /** Position-ascending DP under the integer objective: fewest pieces,
+    * then max Σcnt, then longest LAST piece (j ascending + strict
+    * improvement ⇒ the smallest qualifying j — the longest last piece —
+    * wins every state, recursively leftward; the same structural order
+    * as [[viterbi]]). Out-of-model single chars are admitted with cnt 0,
+    * ranked below every real piece by the Σcnt key.
+    */
+  private[operators] def viterbiExact(word: String, vocab: Map[String, Long],
+                                      maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    val INF = Int.MaxValue
+    val nPieces = new Array[Int](n + 1)
+    val sumCnt = new Array[Long](n + 1)
+    val backJ = new Array[Int](n + 1)
+    java.util.Arrays.fill(nPieces, INF)
+    nPieces(0) = 0; sumCnt(0) = 0L; backJ(0) = -1
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (nPieces(j) != INF) {
+          val piece = word.substring(j, i)
+          val cntOpt: Option[Long] =
+            vocab.get(piece) match {
+              case Some(c)            => Some(c)
+              case None if i - j == 1 => Some(0L) // single-char floor
+              case None               => None
+            }
+          cntOpt.foreach { c =>
+            val np = nPieces(j) + 1
+            val s = sumCnt(j) + c
+            val better = nPieces(i) == INF ||
+              np < nPieces(i) || (np == nPieces(i) && s > sumCnt(i))
+            if (better) { nPieces(i) = np; sumCnt(i) = s; backJ(i) = j }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var p = n
+    while (p > 0) {
+      val j = backJ(p)
+      out.prepend(word.substring(j, p))
+      p = j
+    }
+    out.toSeq
   }
 
   /** Position-ascending Viterbi with a TOTAL tie order: maximize score;
@@ -255,6 +392,118 @@ object Unigram {
       p = j
     }
     out.toSeq
+  }
+
+  /** DuckDB replay of [[trainExact]] — the ENTIRE training run in exact
+    * integer SQL. Per E-step the word-level DP unrolls positionally: one
+    * MATERIALIZED CTE per character position 1..maxWordLen carries the
+    * best (piece-count, Σcnt, backpointer) per (word, prefix), ranked by
+    * `ROW_NUMBER() OVER (... ORDER BY np, s DESC, bj)` — the same
+    * (fewest pieces, max Σcnt, longest-last/smallest-j) total order the
+    * Scala DP applies; a second chain of CTEs walks the backpointers to
+    * emit the argmin segmentation's pieces, which aggregate into the
+    * round's usage counts. Prune replays as GREATEST/QUALIFY arithmetic
+    * (ceil(3n/4) as `(3n+3)//4` — exact, no float), and the final
+    * recount pass mirrors the shipped-vocab E-step.
+    */
+  def trainExactOracleSql(table: String, textCol: String, vocabSize: Int,
+                          rounds: Int, maxPieceLen: Int, seedSize: Int,
+                          maxWords: Int, maxWordLen: Int,
+                          wordPattern: String): String = {
+    // one E-step (segment + count) under vocab `vin`, producing cnt`p`
+    def segmentPass(p: Int, vin: String): String = {
+      val dp0 =
+        s"""dp${p}_0 AS (
+           |  SELECT word, freq, 0 AS i, 0 AS np, CAST(0 AS BIGINT) AS s, -1 AS bj
+           |  FROM wcap)""".stripMargin
+      val dps = (1 to maxWordLen).map { i =>
+        val jlo = math.max(0, i - maxPieceLen)
+        s"""dp${p}_$i AS MATERIALIZED (
+           |  SELECT word, freq, i, np, s, bj FROM dp${p}_${i - 1}
+           |  UNION ALL
+           |  SELECT word, freq, i, np, s, bj FROM (
+           |    SELECT d.word, d.freq, $i AS i, d.np + 1 AS np,
+           |           d.s + COALESCE(v.cnt, 0) AS s, d.i AS bj,
+           |           ROW_NUMBER() OVER (PARTITION BY d.word
+           |             ORDER BY d.np + 1 ASC, d.s + COALESCE(v.cnt, 0) DESC,
+           |                      d.i ASC) AS rn
+           |    FROM dp${p}_${i - 1} d
+           |    LEFT JOIN $vin v ON v.piece = substring(d.word, d.i + 1, $i - d.i)
+           |    WHERE d.i BETWEEN $jlo AND ${i - 1} AND length(d.word) >= $i
+           |      AND (v.piece IS NOT NULL OR $i - d.i = 1)
+           |  ) WHERE rn = 1)""".stripMargin
+      }
+      val wk0 =
+        s"""wk${p}_0 AS (
+           |  SELECT word, freq, i, bj FROM dp${p}_$maxWordLen
+           |  WHERE i = length(word) AND i > 0)""".stripMargin
+      val wks = (1 to maxWordLen - 1).map { t =>
+        s"""wk${p}_$t AS (
+           |  SELECT d.word, d.freq, d.i, d.bj
+           |  FROM wk${p}_${t - 1} w
+           |  JOIN dp${p}_$maxWordLen d ON d.word = w.word AND d.i = w.bj
+           |  WHERE w.bj > 0)""".stripMargin
+      }
+      val pieceUnion = (0 until maxWordLen)
+        .map(t => s"SELECT word, freq, substring(word, bj + 1, i - bj) AS piece FROM wk${p}_$t")
+        .mkString("\n    UNION ALL\n    ")
+      val cnt =
+        s"""cnt$p AS MATERIALIZED (
+           |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    $pieceUnion
+           |  ) GROUP BY piece)""".stripMargin
+      (Seq(dp0) ++ dps ++ Seq(wk0) ++ wks ++ Seq(cnt)).mkString(",\n")
+    }
+    // prune cnt`p` under previous vocab `vin` → vocab`p`
+    def prunePass(p: Int, vin: String, isLast: Boolean): String = {
+      val target =
+        if (isLast) s"$vocabSize"
+        else s"GREATEST($vocabSize, (3 * (SELECT COUNT(*) FROM $vin) + 3) // 4)"
+      s"""sing$p AS (
+         |  SELECT v.piece, GREATEST(COALESCE(c.cnt, 0), 1) AS cnt
+         |  FROM $vin v LEFT JOIN cnt$p c USING (piece)
+         |  WHERE length(v.piece) = 1),
+         |vocab$p AS MATERIALIZED (
+         |  SELECT piece, cnt FROM sing$p
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM cnt$p WHERE length(piece) > 1
+         |    QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, piece)
+         |      <= GREATEST($target - (SELECT COUNT(*) FROM sing$p), 0)))""".stripMargin
+    }
+    val emBlocks = (1 to rounds).map { p =>
+      segmentPass(p, s"vocab${p - 1}") + ",\n" +
+        prunePass(p, s"vocab${p - 1}", p == rounds)
+    }
+    val fin = rounds + 1
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split($textCol, ' ')) AS word FROM $table)
+       |  WHERE regexp_full_match(word, '$wordPattern')
+       |  GROUP BY word ORDER BY freq DESC, word LIMIT $maxWords),
+       |wcap AS MATERIALIZED (SELECT word, freq FROM wc WHERE length(word) <= $maxWordLen),
+       |subs AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(flatten([
+       |      CASE WHEN length(word) >= l THEN
+       |        [substring(word, i, l) for i in range(1, length(word) - l + 2)]
+       |      ELSE [] END
+       |      for l in range(1, ${maxPieceLen + 1})])) AS piece
+       |    FROM wcap)
+       |  GROUP BY piece),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM subs WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT $seedSize)),
+       |${emBlocks.mkString(",\n")},
+       |${segmentPass(fin, s"vocab$rounds")}
+       |SELECT v.piece, COALESCE(c.cnt, 0) AS cnt,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(c.cnt, 0) DESC, v.piece)
+       |            AS INT) AS rank
+       |FROM vocab$rounds v LEFT JOIN cnt$fin c USING (piece)
+       |ORDER BY rank""".stripMargin
   }
 
   /** DuckDB replay of [[seedVocab]] — substring generation, weighting,

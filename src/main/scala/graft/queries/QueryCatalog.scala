@@ -1882,6 +1882,17 @@ object QueryCatalog {
           maxWords = 5000, wordPattern = Some("[a-z]+"))
         .orderBy("rank")),
 
+    "x_unigram_train_exact" -> ((s, dir) =>
+      // INTEGER-EXACT unigram training — the hash-verifiable twin of
+      // x_unigram_train: hard-EM under (fewest pieces, max Σcnt,
+      // longest-last) so seed, EM round, prune and the final
+      // shipped-vocab recount are all BIGINT arithmetic; the oracle
+      // replays the per-word DP as an unrolled positional CTE chain.
+      graft.operators.Unigram.trainExact(t(s, dir, "documents"), "text",
+          vocabSize = 300, rounds = 1, maxPieceLen = 4, seedSize = 500,
+          maxWords = 5000, maxWordLen = 20, wordPattern = Some("[a-z]+"))
+        .orderBy("rank")),
+
     "x_unigram_segment" -> ((s, dir) => {
       // Unigram INFERENCE: Viterbi segmentation of the corpus vocabulary
       // under the trained model ('|'-joined pieces). Rows-only (float
@@ -2191,6 +2202,20 @@ object QueryCatalog {
           Multimodal.withBmpPayload(t(s, dir, "documents"), "doc_id", "text"),
           "doc_id")
         .orderBy("id", "frame_no")),
+
+    "x_multimodal_png" -> ((s, dir) => { // real PNG codec: rows-only oracle
+      // Full PNG path: deterministic frames zlib-encoded as true PNGs
+      // (chunk layout + CRCs + deflate), then decode → resize →
+      // re-encode-as-PNG → decode again. The round-trip equality with
+      // the BMP pipeline's decoded frames is spec-pinned (PngSpec);
+      // here the decoded dimensions and intensities of resized PNG
+      // payloads are the emitted surface.
+      val pngs = Multimodal.withPngPayload(
+        t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFrames(
+          Multimodal.resizeImages(pngs, "doc_id", 6, 4), "doc_id")
+        .orderBy("id", "frame_no")
+    }),
 
     "x_multimodal_audio" -> ((s, dir) => // real WAV decode: rows-only oracle
       // payloads are genuine RIFF/PCM16 files; stats come from decoded
@@ -3374,6 +3399,11 @@ object QueryCatalog {
         (graft.operators.Unigram.seedOracleSql("documents", "text",
           seedSize = 500, maxPieceLen = 4, maxWords = 5000,
           wordPattern = "[a-z]+") + "\nORDER BY piece"),
+
+      "x_unigram_train_exact" ->
+        graft.operators.Unigram.trainExactOracleSql("documents", "text",
+          vocabSize = 300, rounds = 1, maxPieceLen = 4, seedSize = 500,
+          maxWords = 5000, maxWordLen = 20, wordPattern = "[a-z]+"),
 
       "x_bpe_train" ->
         graft.operators.Bpe.oracleSql("documents", "text",

@@ -60,6 +60,38 @@ object BenchSf1 {
              s"((vec_id * 31 + p * 7 + $i * 13) % 100 - 50) * 0.002 as float))"))
     }.reduce(_ unionByName _)
     inflatedEmb.write.mode("overwrite").parquet(s"$sf1Dir/embeddings.parquet")
+    // Relational fact tables: each copy shifts its keys by a copy-unique
+    // stride so referential integrity holds WITHIN a copy and join
+    // cardinality scales linearly (verbatim copies would multiply join
+    // fan-out quadratically). Dimension tables (nation, region) are
+    // policy-sized and stay fixed, like the eval-suite reference sets.
+    val stride = 100000000L
+    def shift(df: DataFrame, keys: Seq[String], i: Int): DataFrame =
+      keys.foldLeft(df)((d, k) =>
+        d.withColumn(k, col(k) + lit(i * stride)))
+    def inflate(table: String, keys: Seq[String]): Unit = {
+      val base = graft.api.Tables.load(s, sf01, table)
+      (0 until copies).map(i => shift(base, keys, i))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$sf1Dir/$table.parquet")
+    }
+    inflate("customer", Seq("c_custkey"))
+    inflate("orders", Seq("o_orderkey", "o_custkey"))
+    inflate("lineitem", Seq("l_orderkey", "l_suppkey", "l_partkey"))
+    inflate("supplier", Seq("s_suppkey"))
+    inflate("part", Seq("p_partkey"))
+    Seq("nation", "region").foreach { tbl =>
+      graft.api.Tables.load(s, sf01, tbl)
+        .write.mode("overwrite").parquet(s"$sf1Dir/$tbl.parquet")
+    }
+    // Events: same event-time range (windows are policy, volume grows),
+    // copy-unique user ids — 10× rows per window, identical window count,
+    // so streaming state stays constant while throughput scales.
+    val ev = graft.api.Tables.load(s, sf01, "events")
+    (0 until copies).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i * stride)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$sf1Dir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -174,6 +206,24 @@ object BenchSf1 {
         graft.operators.Sketches.heavyHittersCms(
           docs(spark, dir).select(explode(split(col("text"), " ")).as("tok")),
           "tok", k = 20).count()),
+      // relational headliners: the fact tables inflate with copy-shifted
+      // keys (linear join cardinality); dims stay fixed — the plans must
+      // price as bigger shuffles, not bigger fan-out
+      "q5_region_join" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("q5_local_supplier_volume")(spark, dir)
+          .count()),
+      "q21_late_suppliers" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("q21_late_suppliers")(spark, dir)
+          .count()),
+      // streaming headliners: same event-time window count at both
+      // scales (windows are policy), 10× rows per window — state must
+      // stay constant-sized while micro-batch throughput scales
+      "stream_hourly" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("q_stream_hourly")(spark, dir)
+          .count()),
+      "stream_drift" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("x_stream_drift")(spark, dir)
+          .count()),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)
