@@ -658,6 +658,141 @@ object QueryCatalog {
         .orderBy(col("revenue_e4").desc, col("n_name"))
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // TPC-H Q6 shape: pure scan-side query — every predicate (date
+      // range, discount band, quantity cap) must reach the parquet scan
+      // as PushedFilters; the plan is one WholeStageCodegen scan+agg.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg((sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_e4"))),
+
+    "q7_volume_shipping" -> ((s, dir) => {
+      // TPC-H Q7 shape: the same dimension table joined TWICE under
+      // different roles (supplier nation vs customer nation) with a
+      // symmetric either-direction pair predicate, then a year rollup —
+      // the join-aliasing decorrelation pattern.
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01 00:00:00")) &&
+                col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: national market share inside a region — the
+      // conditional-aggregate-over-join pattern. The share is emitted as
+      // exact integer (numerator_e4, denominator_e4) instead of a float
+      // ratio so the cross-engine hash is bit-stable.
+      val nc = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nc_key"), col("n_regionkey").as("nc_region"))
+      val ns = t(s, dir, "nation")
+        .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .filter(col("p_type") === "PROMO")
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(nc, col("c_nationkey") === col("nc_key"))
+        .join(t(s, dir, "region"), col("nc_region") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(ns, col("s_nationkey") === col("ns_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_1",
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))) * 10000)
+            .cast("long").as("nation_volume_e4"),
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")) * 10000).cast("long").as("total_volume_e4"))
+        .orderBy("o_year")
+    }),
+
+    "q14_promo_revenue" -> ((s, dir) =>
+      // TPC-H Q14 shape: promotional revenue share by ship month —
+      // CASE-inside-aggregate over a fact-dim join; exact integer
+      // numerator/denominator instead of the float percentage.
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .groupBy(month(col("l_shipdate")).as("ship_month"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO",
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))) * 10000)
+            .cast("long").as("promo_revenue_e4"),
+          (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")) * 10000).cast("long").as("total_revenue_e4"))
+        .orderBy("ship_month")),
+
+    "q19_disjunctive_revenue" -> ((s, dir) =>
+      // TPC-H Q19 shape: a disjunction of brand/size/quantity conjunct
+      // bundles over a fact-dim join — the predicate shape that tests
+      // whether the optimizer pushes a common join key through an OR of
+      // otherwise-unrelated filters.
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#14" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_e4"))),
+
+    "q22_dormant_customers" -> ((s, dir) => {
+      // TPC-H Q22 shape (adapted: every fixture customer has SOME order,
+      // so "no orders at all" is degenerate — the anti-join runs against
+      // the last year instead): above-average-balance customers with no
+      // RECENT orders, per market segment. Anti-join + a scalar global
+      // aggregate subquery, the classic decorrelation pair.
+      val cust = t(s, dir, "customer")
+      // the "above average" gate runs in EXACT integer space:
+      // bal > avg ⟺ bal_cents · n > sum_cents (a float avg threshold
+      // could flip boundary customers between engines by one ulp)
+      val Array(sumCents, nPos) = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")) * 100).cast("long"),
+          count(lit(1)))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      cust.filter(
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long") * nPos
+            > sumCents)
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(col("c_acctbal").cast("decimal(18,2)")) * 100)
+            .cast("long").as("total_bal_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
@@ -1014,6 +1149,88 @@ object QueryCatalog {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_e4 DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         l_extendedprice, l_discount
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN ns.n_name = 'NATION_1'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS nation_volume_e4,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_volume_e4
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |JOIN region ON nc.n_regionkey = r_regionkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS promo_revenue_e4,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_revenue_e4
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH pos AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents,
+        |         CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_bal_cents
+        |FROM customer, pos
+        |WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n_pos > sum_cents
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q5_local_supplier_volume" ->
       """SELECT n_name,

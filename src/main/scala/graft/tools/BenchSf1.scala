@@ -86,12 +86,35 @@ object BenchSf1 {
     }
     // Events: same event-time range (windows are policy, volume grows),
     // copy-unique user ids — 10× rows per window, identical window count,
-    // so streaming state stays constant while throughput scales.
+    // so streaming state stays constant while throughput scales. Written
+    // as ONE PLAIN FILE named events.parquet (not a Spark part-file
+    // directory): the streaming probes read via
+    // `pathGlobFilter=events.parquet`, which matches LEAF file names —
+    // against a directory the glob matches nothing and the stream
+    // silently prices an empty input (the first run of this suite
+    // reported stream ratios of 0.02× for exactly that reason).
     val ev = graft.api.Tables.load(s, sf01, "events")
+    val tmpEv = s"$sf1Dir/__events_tmp"
     (0 until copies).map(i =>
         ev.withColumn("user_id", col("user_id") + lit(i * stride)))
       .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$sf1Dir/events.parquet")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmpEv)
+    val target = java.nio.file.Paths.get(s"$sf1Dir/events.parquet")
+    // a previous run may have left a DIRECTORY at the target path
+    def rmRec(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        finally walk.close()
+      }
+    rmRec(target)
+    val part = new java.io.File(tmpEv).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, target)
+    rmRec(java.nio.file.Paths.get(tmpEv))
   }
 
   def main(args: Array[String]): Unit = {

@@ -241,6 +241,39 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("Window ") && !p.contains("Join"), p)
   }
 
+  test("Q6 scan-only query: every predicate reaches the parquet scan") {
+    val p = planOf("q6_forecast_revenue")
+    // date range, discount band, and quantity cap all pushed — the scan
+    // IS the query; no join, no shuffle beyond the final 1-row agg.
+    // (toString truncates the PushedFilters list, so assert on its
+    // visible prefix: all three columns' IsNotNull guards + the range.)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("Q7 double-aliased dimension joins broadcast") {
+    val p = planOf("q7_volume_shipping")
+    // nation joined twice under different roles: both stay broadcast;
+    // the fact chain never shuffles toward a dimension
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q19 disjunctive predicate keeps the equi-join (no cartesian)") {
+    val p = planOf("q19_disjunctive_revenue")
+    // the OR of brand/size/quantity bundles must not break the
+    // p_partkey = l_partkey equi-join into a nested-loop product
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("Q22 anti-join plans as a real anti join, not a filter-after-join") {
+    val p = planOf("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("hosted write with key requires ordered range distribution") {
     // The write declares RequiresDistributionAndOrdering; Spark plans a
     // range repartition by key before the write tasks.
