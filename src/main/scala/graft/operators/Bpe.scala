@@ -341,10 +341,46 @@ object Bpe {
     */
   def bytesOracleSql(table: String, textCol: String, numMerges: Int,
                      maxWords: Int, pattern: String = Gpt2Pattern): String = {
-    val p = pattern.replace("'", "''")
     val union = (1 to numMerges)
       .map(r => s"SELECT $r AS merge_rank, lhs, rhs, cnt FROM best$r")
       .mkString("\nUNION ALL\n")
+    bytesOracleChain(table, textCol, numMerges, maxWords, pattern) +
+      s"""
+         |SELECT merge_rank, lhs, rhs, cnt FROM (
+         |$union
+         |) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Oracle for the byte-level trained segmentation ([[trainBytes]]._2):
+    * the final hex-pair symbol table after all merges.
+    */
+  def bytesSegmentOracleSql(table: String, textCol: String, numMerges: Int,
+                            maxWords: Int,
+                            pattern: String = Gpt2Pattern): String =
+    bytesOracleChain(table, textCol, numMerges, maxWords, pattern) +
+      s"""
+         |SELECT word, freq, array_to_string(syms, '|') AS segmentation
+         |FROM syms$numMerges ORDER BY word""".stripMargin
+
+  /** Oracle for the byte-level fertility report — same integer
+    * aggregates as [[fertilityOracleSql]] over the byte chain.
+    */
+  def bytesFertilityOracleSql(table: String, textCol: String, numMerges: Int,
+                              maxWords: Int,
+                              pattern: String = Gpt2Pattern): String =
+    bytesOracleChain(table, textCol, numMerges, maxWords, pattern) +
+      s"""
+         |SELECT CAST((SELECT count(*) FROM syms$numMerges) AS BIGINT) AS n_words,
+         |  CAST((SELECT sum(freq) FROM syms$numMerges) AS BIGINT) AS corpus_tokens,
+         |  CAST((SELECT sum(freq * len(syms)) FROM syms$numMerges) AS BIGINT)
+         |    AS weighted_pieces,
+         |  CAST((SELECT count(DISTINCT piece) FROM
+         |        (SELECT unnest(syms) AS piece FROM syms$numMerges)) AS BIGINT)
+         |    AS distinct_pieces""".stripMargin
+
+  private def bytesOracleChain(table: String, textCol: String, numMerges: Int,
+                               maxWords: Int, pattern: String): String = {
+    val p = pattern.replace("'", "''")
     s"""WITH wc AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(regexp_extract_all($textCol, '$p')) AS w FROM $table)
@@ -358,10 +394,7 @@ object Bpe {
        |          for i in range(1, length(hex(encode(word)))//2 + 1)] AS syms
        |  FROM vocab
        |),
-       |${oracleRounds(numMerges)}
-       |SELECT merge_rank, lhs, rhs, cnt FROM (
-       |$union
-       |) ORDER BY merge_rank""".stripMargin
+       |${oracleRounds(numMerges)}""".stripMargin
   }
 
   private def oracleChain(table: String, textCol: String, numMerges: Int,

@@ -119,6 +119,52 @@ object Sketches {
           .orderBy(col("est_count").desc, col(itemCol))))
   }
 
+  /** Space-saving as a typed MERGEABLE [[org.apache.spark.sql.expressions.Aggregator]]
+    * — the summary-as-aggregation-state form of [[localTopCandidates]]'
+    * per-partition mine, usable anywhere Spark aggregates: batch groupBy
+    * (map-side partial summaries merge at the exchange) and WATERMARKED
+    * STREAMING windows (the state store holds one bounded summary per
+    * window instead of per-item counts — the fixed-memory answer to
+    * "top users per hour" on an unbounded stream).
+    *
+    * Merge follows Agarwal et al. 2012 (Mergeable Summaries): pointwise
+    * count sum, then prune to the top `capacity` by (count desc, item
+    * asc) — the merged summary is again a valid space-saving summary of
+    * the concatenated streams, so ε-heavy items (capacity ≥ 1/ε)
+    * survive any merge tree Spark chooses. When `capacity` exceeds the
+    * group's distinct-item count the summary IS the exact count map —
+    * the regime the oracle-hashed catalog entry runs in; the bounded
+    * eviction regime is spec-pinned.
+    */
+  final class SpaceSavingAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(capacity > 0, "SpaceSavingAgg: capacity must be > 0")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      b.get(item) match {
+        case Some(c)                   => b.updated(item, c + 1L)
+        case None if b.size < capacity => b.updated(item, 1L)
+        case None =>
+          // deterministic eviction: the (count, item)-smallest entry goes,
+          // the newcomer inherits its floor (the space-saving invariant)
+          val (minItem, minC) = b.minBy { case (it, c) => (c, it) }
+          (b - minItem).updated(item, minC + 1L)
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val summed = b.foldLeft(a) { case (acc, (it, c)) =>
+        acc.updated(it, acc.getOrElse(it, 0L) + c)
+      }
+      if (summed.size <= capacity) summed
+      else summed.toSeq.sortBy { case (it, c) => (-c, it) }
+        .take(capacity).toMap
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Per-executor deserialized-sketch cache: the broadcast ships bytes
     * (CountMinSketch is Serializable but re-deserializing per row would
     * dominate); each executor inflates it once.

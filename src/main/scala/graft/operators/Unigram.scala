@@ -189,22 +189,55 @@ object Unigram {
                  rounds: Int = 1, maxPieceLen: Int = 4, seedSize: Int = 500,
                  maxWords: Int = 5000, maxWordLen: Int = 20,
                  wordPattern: Option[String] = None): DataFrame = {
+    val (words, vocab) = trainExactCore(docs, textCol, vocabSize, rounds,
+      maxPieceLen, seedSize, maxWords, maxWordLen, wordPattern)
+    // final E-step under the SHIPPED vocab (same contract as train())
+    val finalCounts = exactUsageCounts(words, vocab, maxPieceLen)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), col("piece"))
+    vocab.keysIterator.map(p => p -> finalCounts.getOrElse(p, 0L)).toSeq
+      .toDF("piece", "cnt")
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** The trained-model SEGMENTATION surface of [[trainExact]]: every
+    * capped word's segmentation under the shipped exact model
+    * ('|'-joined pieces) — the inference table a caller broadcasts, and
+    * the same table the post-prune count pass folds. Oracle:
+    * [[segmentExactOracleSql]].
+    */
+  def trainExactSegments(docs: DataFrame, textCol: String, vocabSize: Int,
+                         rounds: Int = 1, maxPieceLen: Int = 4,
+                         seedSize: Int = 500, maxWords: Int = 5000,
+                         maxWordLen: Int = 20,
+                         wordPattern: Option[String] = None): DataFrame = {
+    val (words, vocab) = trainExactCore(docs, textCol, vocabSize, rounds,
+      maxPieceLen, seedSize, maxWords, maxWordLen, wordPattern)
+    segmentedExact(words, vocab, maxPieceLen)
+      .select(col("word"), col("freq"),
+        array_join(col("pieces"), "|").as("segmentation"))
+  }
+
+  /** Shared EM loop of the exact trainer: capped+length-filtered words
+    * plus the final (post-prune) model with its TRAINING weights.
+    */
+  private def trainExactCore(docs: DataFrame, textCol: String,
+                             vocabSize: Int, rounds: Int, maxPieceLen: Int,
+                             seedSize: Int, maxWords: Int, maxWordLen: Int,
+                             wordPattern: Option[String])
+      : (DataFrame, Map[String, Long]) = {
     require(vocabSize > 0 && rounds >= 1,
       "unigramTrainExact: need vocabSize > 0 and rounds >= 1")
-    val spark = docs.sparkSession
     val words = cappedWords(docs, textCol, maxWords, wordPattern)
       .filter(length(col("word")) <= maxWordLen)
       .localCheckpoint(true)
     var vocab: Map[String, Long] =
       collectVocab(seedFromWords(words, seedSize, maxPieceLen))
-    def usageCounts(v: Map[String, Long]): Map[String, Long] =
-      segmentedExact(words, v, maxPieceLen)
-        .select(col("freq"), explode(col("pieces")).as("piece"))
-        .groupBy("piece").agg(sum("freq").as("cnt"))
-        .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
     var r = 0
     while (r < rounds) {
-      val countsMap = usageCounts(vocab)
+      val countsMap = exactUsageCounts(words, vocab, maxPieceLen)
       val target =
         if (r == rounds - 1) vocabSize
         else math.max(vocabSize, math.ceil(vocab.size * 0.75).toInt)
@@ -216,15 +249,15 @@ object Unigram {
       vocab = (singles ++ multis).toMap
       r += 1
     }
-    // final E-step under the SHIPPED vocab (same contract as train())
-    val finalCounts = usageCounts(vocab)
-    import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("cnt"), col("piece"))
-    vocab.keysIterator.map(p => p -> finalCounts.getOrElse(p, 0L)).toSeq
-      .toDF("piece", "cnt")
-      .withColumn("rank", row_number().over(w))
+    (words, vocab)
   }
+
+  private def exactUsageCounts(words: DataFrame, v: Map[String, Long],
+                               maxPieceLen: Int): Map[String, Long] =
+    segmentedExact(words, v, maxPieceLen)
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
 
   // ------------------------------------------------------------ internals
 
@@ -410,6 +443,41 @@ object Unigram {
                           rounds: Int, maxPieceLen: Int, seedSize: Int,
                           maxWords: Int, maxWordLen: Int,
                           wordPattern: String): String = {
+    val fin = rounds + 1
+    exactOracleChain(table, textCol, vocabSize, rounds, maxPieceLen,
+      seedSize, maxWords, maxWordLen, wordPattern) +
+      s"""
+         |SELECT v.piece, COALESCE(c.cnt, 0) AS cnt,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(c.cnt, 0) DESC, v.piece)
+         |            AS INT) AS rank
+         |FROM vocab$rounds v LEFT JOIN cnt$fin c USING (piece)
+         |ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[trainExactSegments]]: the final segmentation
+    * pass's ordered piece table, '|'-joined per word.
+    */
+  def segmentExactOracleSql(table: String, textCol: String, vocabSize: Int,
+                            rounds: Int, maxPieceLen: Int, seedSize: Int,
+                            maxWords: Int, maxWordLen: Int,
+                            wordPattern: String): String = {
+    val fin = rounds + 1
+    exactOracleChain(table, textCol, vocabSize, rounds, maxPieceLen,
+      seedSize, maxWords, maxWordLen, wordPattern) +
+      s"""
+         |SELECT word, freq,
+         |       string_agg(piece, '|' ORDER BY i) AS segmentation
+         |FROM pieces$fin GROUP BY word, freq ORDER BY word""".stripMargin
+  }
+
+  /** The shared WITH-chain of the exact-trainer oracles: seed, `rounds`
+    * EM blocks, and the final segmentation pass under the shipped vocab
+    * (exposing `pieces{rounds+1}` / `cnt{rounds+1}` / `vocab{rounds}`).
+    */
+  private def exactOracleChain(table: String, textCol: String, vocabSize: Int,
+                               rounds: Int, maxPieceLen: Int, seedSize: Int,
+                               maxWords: Int, maxWordLen: Int,
+                               wordPattern: String): String = {
     // one E-step (segment + count) under vocab `vin`, producing cnt`p`
     def segmentPass(p: Int, vin: String): String = {
       val dp0 =
@@ -445,14 +513,17 @@ object Unigram {
            |  WHERE w.bj > 0)""".stripMargin
       }
       val pieceUnion = (0 until maxWordLen)
-        .map(t => s"SELECT word, freq, substring(word, bj + 1, i - bj) AS piece FROM wk${p}_$t")
-        .mkString("\n    UNION ALL\n    ")
+        .map(t => s"SELECT word, freq, i, substring(word, bj + 1, i - bj) AS piece FROM wk${p}_$t")
+        .mkString("\n  UNION ALL\n  ")
+      val pieces =
+        s"""pieces$p AS MATERIALIZED (
+           |  $pieceUnion
+           |)""".stripMargin
       val cnt =
         s"""cnt$p AS MATERIALIZED (
-           |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |    $pieceUnion
-           |  ) GROUP BY piece)""".stripMargin
-      (Seq(dp0) ++ dps ++ Seq(wk0) ++ wks ++ Seq(cnt)).mkString(",\n")
+           |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM pieces$p GROUP BY piece)""".stripMargin
+      (Seq(dp0) ++ dps ++ Seq(wk0) ++ wks ++ Seq(pieces, cnt)).mkString(",\n")
     }
     // prune cnt`p` under previous vocab `vin` → vocab`p`
     def prunePass(p: Int, vin: String, isLast: Boolean): String = {
@@ -498,12 +569,7 @@ object Unigram {
        |    SELECT piece, cnt FROM subs WHERE length(piece) > 1
        |    ORDER BY cnt DESC, piece LIMIT $seedSize)),
        |${emBlocks.mkString(",\n")},
-       |${segmentPass(fin, s"vocab$rounds")}
-       |SELECT v.piece, COALESCE(c.cnt, 0) AS cnt,
-       |       CAST(ROW_NUMBER() OVER (ORDER BY COALESCE(c.cnt, 0) DESC, v.piece)
-       |            AS INT) AS rank
-       |FROM vocab$rounds v LEFT JOIN cnt$fin c USING (piece)
-       |ORDER BY rank""".stripMargin
+       |${segmentPass(fin, s"vocab$rounds")}""".stripMargin
   }
 
   /** DuckDB replay of [[seedVocab]] — substring generation, weighting,

@@ -255,6 +255,35 @@ object QueryCatalog {
   private val semCellCap = 250
   private val semThreshNum = 2L
   private val semThreshDen = 5L
+  /** The LSH-ANN oracle WITH-chain (qv → stacked → qs → cand → p → r):
+    * quantized-hyperplane bucket assignment, shared-bucket candidates,
+    * exact cosine re-rank to top-10. Shared by x_sim_ann_lsh and the
+    * retrieval-evaluation oracle (which joins it against the exact
+    * brute-force chain).
+    */
+  private lazy val lshAnnOracleChain: String = {
+    val sigUnion = (0 until 12).map(tb =>
+      s"SELECT vec_id, $tb AS t, ${hpSigSql(tb, planes = 4)} AS sig FROM qv")
+      .mkString("\nUNION ALL\n")
+    s"""WITH qv AS (SELECT vec_id,
+       |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+       |          for x in embedding] AS q
+       |       FROM embeddings),
+       |stacked AS (
+       |$sigUnion),
+       |qs AS (SELECT vec_id AS qid, t, sig FROM stacked WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT s.vec_id AS id, q2.qid
+       |           FROM stacked s JOIN qs q2 ON s.t = q2.t AND s.sig = q2.sig
+       |          WHERE s.vec_id <> q2.qid),
+       |p AS (SELECT cand.qid, cand.id,
+       |        list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+       |      FROM cand JOIN embeddings ec ON ec.vec_id = cand.id
+       |                JOIN embeddings eq ON eq.vec_id = cand.qid),
+       |r AS (SELECT qid, id,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+       |      FROM p)""".stripMargin
+  }
+
   private def hpSigSql(tbl: Int, planes: Int = hpPlanes): String =
     (0 until planes).map { p =>
       val w = Similarity.hyperplane(tbl, p, hpDim)
@@ -1546,6 +1575,20 @@ object QueryCatalog {
         .orderBy("window_start_ms")
     }),
 
+    "x_stream_heavyhitters" -> ((s, dir) => {
+      // Streaming windowed top-k heavy hitters through a REAL stream
+      // (mergeable space-saving summary as watermarked window state,
+      // append-mode emission). Capacity 512 > the fixture's 150 users,
+      // so the summary runs in its EXACT regime and the oracle replays
+      // per-window exact top-k; the eviction regime is spec-pinned.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      graft.streaming.StreamHeavyHitters.runOnce(s, dir, "events.parquet",
+          schema, "user_id", k = 5, capacity = 512)
+        .orderBy("window_start_ms", "rank")
+    }),
+
     "x_stream_incremental" -> ((s, dir) => {
       // Streaming incremental dedup vs a static corpus index (stateless
       // sign + stream-static band join), invoked in batch mode. Rows-only;
@@ -1966,6 +2009,45 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_eval_retrieval" -> ((s, dir) => {
+      // ANN quality EVALUATION — the measurement loop every retrieval
+      // deployment needs: LSH-ANN top-10 scored against the exact
+      // brute-force top-10 per query (hits@10, top-1-in-truth), all
+      // integer so the two-pipeline composite hash-matches. At 100 TB
+      // this runs on a sampled query set against the full index — the
+      // query side is broadcast in both pipelines.
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+        .select(col("qid"), col("id")).withColumn("__in", lit(1))
+      Similarity.lshTopK(emb, qs, "vec_id", "embedding", 10)
+        .join(truth, Seq("qid", "id"), "left")
+        .groupBy("qid")
+        .agg(
+          sum(coalesce(col("__in"), lit(0))).cast("long").as("hits_at_10"),
+          max(when(col("rank") === 1 && col("__in") === 1, 1).otherwise(0))
+            .cast("long").as("top1_in_truth"))
+        .orderBy("qid")
+    }),
+
+    "x_corpus_datacard" -> ((s, dir) => {
+      // The corpus DATA CARD: the one-row summary a dataset release
+      // ships — volume, vocabulary of sources/langs, exact-duplicate
+      // mass, length distribution bounds. ONE scan + partial aggs (the
+      // dup count rides the same aggregation via count(distinct));
+      // integer-exact throughout.
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(col("text"))).as("exact_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+    }),
+
     "x_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -2110,6 +2192,17 @@ object QueryCatalog {
           maxWords = 5000, maxWordLen = 20, wordPattern = Some("[a-z]+"))
         .orderBy("rank")),
 
+    "x_unigram_segment_exact" -> ((s, dir) =>
+      // Segmentation under the exact-trained unigram model — the
+      // inference table of x_unigram_train_exact, hash-verified: the
+      // oracle replays the final DP pass and string_aggs the ordered
+      // backpointer-walk pieces.
+      graft.operators.Unigram.trainExactSegments(t(s, dir, "documents"),
+          "text", vocabSize = 300, rounds = 1, maxPieceLen = 4,
+          seedSize = 500, maxWords = 5000, maxWordLen = 20,
+          wordPattern = Some("[a-z]+"))
+        .orderBy("word")),
+
     "x_unigram_segment" -> ((s, dir) => {
       // Unigram INFERENCE: Viterbi segmentation of the corpus vocabulary
       // under the trained model ('|'-joined pieces). Rows-only (float
@@ -2145,6 +2238,30 @@ object QueryCatalog {
       graft.operators.Bpe.trainBytes(t(s, dir, "documents"), "text",
           numMerges = 12, maxWords = 5000)._1
         .orderBy("merge_rank")),
+
+    "x_bpe_bytes_segment" -> ((s, dir) =>
+      // Byte-level BPE inference: the trained hex-pair segmentation of
+      // every pre-token after the 12 merges — the GPT-2-family
+      // counterpart of x_bpe_segment, hash-verified.
+      graft.operators.Bpe.trainBytes(t(s, dir, "documents"), "text",
+          numMerges = 12, maxWords = 5000)._2
+        .select(col("word"), col("freq"),
+          array_join(col("syms"), "|").as("segmentation"))
+        .orderBy("word")),
+
+    "x_bpe_bytes_fertility" -> ((s, dir) => {
+      // Byte-level fertility/compression report: bytes-per-token is THE
+      // comparison metric between byte-level tokenizers; integer-exact
+      // over the trained byte segmentation.
+      val (_, vocab) = graft.operators.Bpe.trainBytes(
+        t(s, dir, "documents"), "text", numMerges = 12, maxWords = 5000)
+      vocab.agg(
+        count(lit(1)).as("n_words"),
+        sum(col("freq")).as("corpus_tokens"),
+        sum(col("freq") * size(col("syms"))).as("weighted_pieces"),
+        size(array_distinct(flatten(collect_list(col("syms")))))
+          .cast("long").as("distinct_pieces"))
+    }),
 
     "x_pipeline_tokenizer" -> ((s, dir) => {
       // Train → apply in ONE DataFrame program: learn 12 merges, then
@@ -3294,33 +3411,34 @@ object QueryCatalog {
               s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
            |FROM votes ORDER BY doc_id""".stripMargin,
 
-      "x_sim_ann_lsh" -> {
+      "x_sim_ann_lsh" ->
         // Full LSH-ANN replay: quantized-hyperplane bucket assignment
         // (12 tables × 4 planes — exact integer dot signs, same literals
         // the operator plans with), shared-bucket candidates, exact
         // cosine re-rank. Same signature trust as x_dedup_embedding_pairs.
-        val sigUnion = (0 until 12).map(tb =>
-          s"SELECT vec_id, $tb AS t, ${hpSigSql(tb, planes = 4)} AS sig FROM qv")
-          .mkString("\nUNION ALL\n")
-        s"""WITH qv AS (SELECT vec_id,
-           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
-           |          for x in embedding] AS q
-           |       FROM embeddings),
-           |stacked AS (
-           |$sigUnion),
-           |qs AS (SELECT vec_id AS qid, t, sig FROM stacked WHERE vec_id < 5),
-           |cand AS (SELECT DISTINCT s.vec_id AS id, q2.qid
-           |           FROM stacked s JOIN qs q2 ON s.t = q2.t AND s.sig = q2.sig
-           |          WHERE s.vec_id <> q2.qid),
-           |p AS (SELECT cand.qid, cand.id,
-           |        list_cosine_similarity(ec.embedding, eq.embedding) AS cos
-           |      FROM cand JOIN embeddings ec ON ec.vec_id = cand.id
-           |                JOIN embeddings eq ON eq.vec_id = cand.qid),
-           |r AS (SELECT qid, id,
-           |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
-           |      FROM p)
-           |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-      },
+        (lshAnnOracleChain + "\n" +
+          "SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank"),
+
+      "x_eval_retrieval" ->
+        // ANN quality evaluation: the LSH chain's top-10 joined against
+        // the exact brute-force top-10 (renamed CTEs) — hits@10 and a
+        // top-1-in-truth flag per query, all integer.
+        (lshAnnOracleChain + s""",
+           |eq0 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+           |escored AS (
+           |  SELECT eq0.qid, e.vec_id AS id,
+           |    list_cosine_similarity(e.embedding, eq0.qv) AS cos
+           |  FROM embeddings e, eq0 WHERE e.vec_id <> eq0.qid),
+           |er AS (SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |       FROM escored),
+           |truth AS (SELECT qid, id FROM er WHERE rank <= 10),
+           |ann AS (SELECT qid, id, rank FROM r WHERE rank <= 10)
+           |SELECT a.qid,
+           |  CAST(sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+           |  CAST(max(CASE WHEN a.rank = 1 AND t.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS top1_in_truth
+           |FROM ann a LEFT JOIN truth t ON t.qid = a.qid AND t.id = a.id
+           |GROUP BY a.qid ORDER BY a.qid""".stripMargin),
 
       "x_sim_pq" ->
         // Full product-quantization replay: codebooks (unit-normalized
@@ -3537,6 +3655,38 @@ object QueryCatalog {
         """SELECT DISTINCT sha256(text) AS text_hash FROM documents
           |WHERE text IS NOT NULL ORDER BY text_hash""".stripMargin,
 
+      "x_stream_heavyhitters" ->
+        // exact-regime replay (capacity > distinct items): per-window
+        // exact counts, (count desc, item asc) rank, top 5; append-mode
+        // cutoff from max(ts) exactly like the drift oracle
+        """WITH wc AS (
+          |  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+          |         CAST(user_id AS VARCHAR) AS item,
+          |         CAST(count(*) AS BIGINT) AS est_count
+          |  FROM events GROUP BY 1, 2),
+          |mx AS (SELECT epoch_ms(max(ts)) AS mts FROM events),
+          |ranked AS (
+          |  SELECT window_start_ms, item, est_count,
+          |         CAST(row_number() OVER (PARTITION BY window_start_ms
+          |           ORDER BY est_count DESC, item) AS INT) AS rank
+          |  FROM wc)
+          |SELECT window_start_ms, item, est_count, rank
+          |FROM ranked CROSS JOIN mx
+          |WHERE rank <= 5 AND window_start_ms + 3600000 <= mts
+          |ORDER BY window_start_ms, rank""".stripMargin,
+
+      "x_corpus_datacard" ->
+        """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+          |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS exact_dup_docs,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+          |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+          |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+          |  CAST(max(n_chars) AS BIGINT) AS max_chars
+          |FROM documents""".stripMargin,
+
       "x_text_vocab" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -3622,12 +3772,25 @@ object QueryCatalog {
           vocabSize = 300, rounds = 1, maxPieceLen = 4, seedSize = 500,
           maxWords = 5000, maxWordLen = 20, wordPattern = "[a-z]+"),
 
+      "x_unigram_segment_exact" ->
+        graft.operators.Unigram.segmentExactOracleSql("documents", "text",
+          vocabSize = 300, rounds = 1, maxPieceLen = 4, seedSize = 500,
+          maxWords = 5000, maxWordLen = 20, wordPattern = "[a-z]+"),
+
       "x_bpe_train" ->
         graft.operators.Bpe.oracleSql("documents", "text",
           numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
 
       "x_bpe_bytes" ->
         graft.operators.Bpe.bytesOracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000),
+
+      "x_bpe_bytes_segment" ->
+        graft.operators.Bpe.bytesSegmentOracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000),
+
+      "x_bpe_bytes_fertility" ->
+        graft.operators.Bpe.bytesFertilityOracleSql("documents", "text",
           numMerges = 12, maxWords = 5000),
 
       "x_bpe_fertility" ->

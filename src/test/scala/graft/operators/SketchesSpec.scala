@@ -76,4 +76,40 @@ class SketchesSpec extends AnyFunSuite {
       .limit(10).select("tok").as[String].collect().toSeq
     assert(approx == exact)
   }
+
+  test("SpaceSavingAgg: exact regime equals groupBy count for any merge tree") {
+    // capacity > distinct items → summary IS the exact count map,
+    // independent of partitioning (merge = pointwise sum, no prune)
+    val agg = udaf(new Sketches.SpaceSavingAgg(64),
+      org.apache.spark.sql.Encoders.STRING)
+    val small = (1 to 900).map(i => s"t_${i % 40}").toDF("tok")
+    val exact = small.groupBy("tok").count()
+      .as[(String, Long)].collect().toMap
+    for (parts <- Seq(1, 4, 8)) {
+      val m = small.repartition(parts)
+        .agg(agg(col("tok")).as("s"))
+        .as[Map[String, Long]].head()
+      assert(m == exact, s"parts=$parts")
+    }
+  }
+
+  test("SpaceSavingAgg: eviction regime stays capped, keeps the heavy item") {
+    val agg = udaf(new Sketches.SpaceSavingAgg(4),
+      org.apache.spark.sql.Encoders.STRING)
+    val tail = (1 to 300).map(i => s"z_$i")
+    val df = (Seq.fill(200)("hot") ++ tail).toDF("tok").coalesce(1)
+    val m = df.agg(agg(col("tok")).as("s")).as[Map[String, Long]].head()
+    assert(m.size <= 4, s"summary exceeded capacity: $m")
+    assert(m.contains("hot"))
+    // one-sided error: the estimate never undercounts the true 200
+    assert(m("hot") >= 200L)
+  }
+
+  test("SpaceSavingAgg: merge prunes to capacity deterministically") {
+    val a = new Sketches.SpaceSavingAgg(3)
+    val left = Map("x" -> 10L, "y" -> 5L, "z" -> 2L)
+    val right = Map("y" -> 4L, "w" -> 3L, "v" -> 1L)
+    // summed: x10 y9 z2 w3 v1 → top-3 by (cnt desc, item asc): x, y, w
+    assert(a.merge(left, right) == Map("x" -> 10L, "y" -> 9L, "w" -> 3L))
+  }
 }
