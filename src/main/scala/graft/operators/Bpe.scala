@@ -264,9 +264,27 @@ object Bpe {
     * min-rank loop in a typed mapPartitions.
     */
   def applyMerges(words: DataFrame, wordCol: String,
-                  merges: Seq[(String, String)]): DataFrame = {
-    var df = words.withColumn("syms",
-      array_remove(split(col(wordCol), ""), ""))
+                  merges: Seq[(String, String)]): DataFrame =
+    applyLoop(words.withColumn("syms",
+      array_remove(split(col(wordCol), ""), "")), merges)
+
+  /** [[applyMerges]] for a BYTE-LEVEL merge list ([[trainBytes]]):
+    * identical rank-order fold, but the seed symbols are the word's
+    * UTF-8 bytes as hex pairs — so any string, OOV or astral, is
+    * representable (the no-OOV property of byte-level BPE).
+    */
+  def applyMergesBytes(words: DataFrame, wordCol: String,
+                       merges: Seq[(String, String)]): DataFrame =
+    applyLoop(words
+      .withColumn("__hex", hex(encode(col(wordCol), "UTF-8")))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(__hex) DIV 2)," +
+          " i -> substring(__hex, 2*i-1, 2))"))
+      .drop("__hex"), merges)
+
+  private def applyLoop(seeded: DataFrame,
+                        merges: Seq[(String, String)]): DataFrame = {
+    var df = seeded
     merges.zipWithIndex.foreach { case ((l, rh), i) =>
       df = df.withColumn("syms", mergeFold(col("syms"), l, rh))
       if ((i + 1) % 4 == 0 && i + 1 < merges.size) df = df.localCheckpoint(true)
@@ -280,7 +298,38 @@ object Bpe {
     */
   def applyOracleSql(table: String, textCol: String, numMerges: Int,
                      maxWords: Int, wordPattern: String,
-                     suffix: String): String = {
+                     suffix: String): String =
+    oracleChain(table, textCol, numMerges, maxWords, wordPattern) +
+      s""",
+         |aov0 AS (SELECT word || '$suffix' AS word,
+         |         string_split(word || '$suffix', '') AS syms FROM vocab),
+         |${applyRoundsSql(numMerges)}
+         |SELECT word, array_to_string(syms, '|') AS segmentation
+         |FROM aov$numMerges ORDER BY word""".stripMargin
+
+  /** [[applyMergesBytes]] oracle: the byte-level training chain's
+    * best1..bestK merges replay over the suffixed pre-tokens' hex-pair
+    * byte symbols — same relational apply rounds as the char-level form.
+    */
+  def bytesApplyOracleSql(table: String, textCol: String, numMerges: Int,
+                          maxWords: Int, suffix: String,
+                          pattern: String = Gpt2Pattern): String =
+    bytesOracleChain(table, textCol, numMerges, maxWords, pattern) +
+      s""",
+         |aov0 AS (
+         |  SELECT word || '$suffix' AS word,
+         |         [substring(hex(encode(word || '$suffix')), 2*i-1, 2)
+         |          for i in range(1, length(hex(encode(word || '$suffix')))//2 + 1)] AS syms
+         |  FROM vocab),
+         |${applyRoundsSql(numMerges)}
+         |SELECT word, array_to_string(syms, '|') AS segmentation
+         |FROM aov$numMerges ORDER BY word""".stripMargin
+
+  /** The shared OOV-apply rounds: one relational greedy-merge round per
+    * trained rank, reading each round's (lhs, rhs) from the training
+    * chain's `best$r` CTEs.
+    */
+  private def applyRoundsSql(numMerges: Int): String = {
     val rounds = (1 to numMerges).map { r =>
       val prev = if (r == 1) "aov0" else s"aov${r - 1}"
       s"""apos$r AS (
@@ -310,13 +359,7 @@ object Bpe {
          |  GROUP BY word
          |)""".stripMargin
     }
-    oracleChain(table, textCol, numMerges, maxWords, wordPattern) +
-      s""",
-         |aov0 AS (SELECT word || '$suffix' AS word,
-         |         string_split(word || '$suffix', '') AS syms FROM vocab),
-         |${rounds.mkString(",\n")}
-         |SELECT word, array_to_string(syms, '|') AS segmentation
-         |FROM aov$numMerges ORDER BY word""".stripMargin
+    rounds.mkString(",\n")
   }
 
   /** Oracle for the train→apply composite: per-document word and

@@ -165,6 +165,79 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Mergeable QUANTILE sketch as a typed Aggregator — the third classic
+    * mergeable summary next to count-min ([[heavyHittersCms]]) and
+    * space-saving ([[SpaceSavingAgg]]): per group (or per watermarked
+    * stream window), the q-quantiles of a numeric column with state
+    * bounded by `capacity` weighted tuples, never by the group's row
+    * count.
+    *
+    * Mechanics: the buffer is (value, weight) tuples. Under capacity it
+    * is the exact multiset (weights 1); over capacity a COMPACTION
+    * sorts by value and merges adjacent pairs, keeping the LOWER value
+    * with the summed weight — deterministic (no sampling coin), merge-
+    * order independent in the exact regime, and one-sided: an estimate
+    * can only sit at or below the true quantile, with rank error
+    * bounded by the largest merged weight (each compaction at most
+    * doubles it). A KLL/GK-grade bound costs randomized compactors;
+    * this trades a looser constant for bit-reproducibility, the same
+    * trade every exact-regime oracle in this catalog makes.
+    *
+    * `finish` returns the quantile VALUES (selection only, no
+    * interpolation arithmetic), so in the exact regime the output is
+    * the element at rank `max(1, ceil(q·n))` — replayable by any engine
+    * that can sort, which is what makes the catalog entries
+    * hash-verifiable where the data fits the summary.
+    */
+  final class QuantileSketchAgg(capacity: Int, qs: Seq[Double])
+      extends org.apache.spark.sql.expressions.Aggregator[Double, Seq[(Double, Long)], Seq[Double]] {
+    require(capacity >= 2, "QuantileSketchAgg: capacity must be >= 2")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "QuantileSketchAgg: quantiles must lie in (0, 1]")
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], x: Double): Seq[(Double, Long)] =
+      compact(b :+ ((x, 1L)))
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      compact(a ++ b)
+    private def compact(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      if (b.size <= capacity) b
+      else {
+        val sorted = b.sortBy(_._1)
+        val out = Seq.newBuilder[(Double, Long)]
+        var i = 0
+        while (i + 1 < sorted.size) {
+          out += ((sorted(i)._1, sorted(i)._2 + sorted(i + 1)._2))
+          i += 2
+        }
+        if (i < sorted.size) out += sorted(i)
+        out.result()
+      }
+    override def finish(b: Seq[(Double, Long)]): Seq[Double] = {
+      val sorted = b.sortBy(_._1)
+      val total = sorted.iterator.map(_._2).sum
+      qs.map { q =>
+        if (total == 0L) Double.NaN
+        else {
+          val target = math.max(1L, math.ceil(q * total).toLong)
+          var cum = 0L
+          var ans = sorted.last._1
+          val it = sorted.iterator
+          var found = false
+          while (it.hasNext && !found) {
+            val (v, w) = it.next()
+            cum += w
+            if (cum >= target) { ans = v; found = true }
+          }
+          ans
+        }
+      }
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Per-executor deserialized-sketch cache: the broadcast ships bytes
     * (CountMinSketch is Serializable but re-deserializing per row would
     * dominate); each executor inflates it once.

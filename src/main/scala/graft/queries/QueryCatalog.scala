@@ -1589,6 +1589,41 @@ object QueryCatalog {
         .orderBy("window_start_ms", "rank")
     }),
 
+    "x_stream_quantiles" -> ((s, dir) => {
+      // Streaming per-window value percentiles (p50/p90/p99) through a
+      // REAL stream via the mergeable quantile sketch as window state.
+      // Selection-only semantics: in the exact regime (window rows fit
+      // the summary — true at every fixture SF for hourly windows) the
+      // emitted values are the elements at rank ceil(q·n), which DuckDB
+      // replays by sorted rank.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      graft.streaming.StreamQuantiles.runOnce(s, dir, "events.parquet",
+          schema, "value")
+        .orderBy("window_start_ms")
+    }),
+
+    "x_quantile_sketch" -> ((s, dir) => {
+      // Batch grouped quantiles via the same mergeable sketch — partial
+      // summaries merge map-side like any aggregate. Capacity 131072
+      // keeps the sf0.01 correctness gate in the exact regime (20k rows
+      // per returnflag); beyond that the estimates carry the documented
+      // one-sided rank error — the sketch's contract, priced not hidden.
+      val qagg = udaf(new graft.operators.Sketches.QuantileSketchAgg(
+        131072, Seq(0.5, 0.9, 0.99)),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          qagg(col("l_extendedprice").cast("double")).as("__qs"))
+        .select(col("l_returnflag"), col("n_rows"),
+          element_at(col("__qs"), 1).as("q50"),
+          element_at(col("__qs"), 2).as("q90"),
+          element_at(col("__qs"), 3).as("q99"))
+        .orderBy("l_returnflag")
+    }),
+
     "x_stream_incremental" -> ((s, dir) => {
       // Streaming incremental dedup vs a static corpus index (stateless
       // sign + stream-static band join), invoked in batch mode. Rows-only;
@@ -1665,6 +1700,25 @@ object QueryCatalog {
       Dedup.semanticCells(t(s, dir, "embeddings"), "vec_id", "embedding", 16)
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")),
+
+    "x_corpus_topics" -> ((s, dir) => {
+      // Corpus TOPIC report: the deterministic semantic cells ("topics")
+      // joined to document metadata — per topic: volume, language and
+      // source spread, char mass. Clustering is the shuffle-free
+      // projection argmax of x_cluster_assign; the report adds one join
+      // + one aggregation — the corpus-composition view a data-mixing
+      // policy is written against.
+      val cells = Dedup.semanticCells(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 16)
+        .select(col("id").as("doc_id"), col("cell"))
+      cells.join(t(s, dir, "documents"), Seq("doc_id"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("cell")
+    }),
 
     "x_snapshot_diff" -> ((s, dir) => {
       // Corpus snapshot diff: removals (every 11th+3), in-place text
@@ -2282,6 +2336,21 @@ object QueryCatalog {
         .agg(count(lit(1)).as("n_words"),
           sum("n_sub").cast("long").as("n_subtokens"))
         .orderBy("doc_id")
+    }),
+
+    "x_bpe_bytes_apply" -> ((s, dir) => {
+      // Byte-level BPE inference on UNSEEN input: every pre-token gets a
+      // 'q7' suffix, and the trained byte merges apply in rank order
+      // over the hex-pair byte symbols — no OOV is possible at the byte
+      // level, which is the property this entry exercises end to end.
+      val (mergesDf, vocab) = graft.operators.Bpe.trainBytes(
+        t(s, dir, "documents"), "text", numMerges = 12, maxWords = 5000)
+      val merges = mergesDf.orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val oov = vocab.select(concat(col("word"), lit("q7")).as("word"))
+      graft.operators.Bpe.applyMergesBytes(oov, "word", merges)
+        .select(col("word"), array_join(col("syms"), "|").as("segmentation"))
+        .orderBy("word")
     }),
 
     "x_bpe_apply" -> ((s, dir) => {
@@ -2996,6 +3065,31 @@ object QueryCatalog {
            |  FROM scored) WHERE rn = 1
            |ORDER BY vec_id""".stripMargin,
 
+      "x_corpus_topics" ->
+        s"""WITH qv AS (
+           |  SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS q
+           |  FROM embeddings),
+           |qn AS (SELECT vec_id, q, list_dot_product(q, q) AS nq2 FROM qv),
+           |cents AS (SELECT vec_id AS cid, q AS cq, nq2 AS nc2 FROM qn
+           |          WHERE nq2 > 0 ORDER BY vec_id LIMIT 16),
+           |scored AS (SELECT v.vec_id, c.cid,
+           |             list_dot_product(v.q, c.cq) / sqrt(c.nc2) AS score
+           |           FROM qn v CROSS JOIN cents c),
+           |cells AS (
+           |  SELECT vec_id AS doc_id, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |           row_number() OVER (PARTITION BY vec_id
+           |                              ORDER BY score DESC, cid) AS rn
+           |    FROM scored) WHERE rn = 1)
+           |SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM cells JOIN documents USING (doc_id)
+           |GROUP BY cell ORDER BY cell""".stripMargin,
+
       "x_snapshot_diff" ->
         """WITH newsnap AS (
           |  SELECT doc_id,
@@ -3675,6 +3769,41 @@ object QueryCatalog {
           |WHERE rank <= 5 AND window_start_ms + 3600000 <= mts
           |ORDER BY window_start_ms, rank""".stripMargin,
 
+      "x_stream_quantiles" ->
+        // sorted-rank selection per window (ties share the value, so
+        // rank nondeterminism among equals is harmless); append cutoff
+        // from max(ts) like every streaming oracle here
+        """WITH wv AS (
+          |  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, value,
+          |         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+          |                            ORDER BY value) AS rn,
+          |         count(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+          |  FROM events),
+          |mx AS (SELECT epoch_ms(max(ts)) AS mts FROM events),
+          |agg AS (
+          |  SELECT window_start_ms, CAST(max(n) AS BIGINT) AS n_events,
+          |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN value END) AS q50,
+          |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN value END) AS q90,
+          |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN value END) AS q99
+          |  FROM wv GROUP BY window_start_ms)
+          |SELECT a.window_start_ms, a.n_events, a.q50, a.q90, a.q99
+          |FROM agg a CROSS JOIN mx
+          |WHERE a.window_start_ms + 3600000 <= mx.mts
+          |ORDER BY a.window_start_ms""".stripMargin,
+
+      "x_quantile_sketch" ->
+        """WITH wv AS (
+          |  SELECT l_returnflag, l_extendedprice AS value,
+          |         row_number() OVER (PARTITION BY l_returnflag
+          |                            ORDER BY l_extendedprice) AS rn,
+          |         count(*) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM lineitem)
+          |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN value END) AS q50,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN value END) AS q90,
+          |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN value END) AS q99
+          |FROM wv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
       "x_corpus_datacard" ->
         """SELECT CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
@@ -3788,6 +3917,10 @@ object QueryCatalog {
       "x_bpe_bytes_segment" ->
         graft.operators.Bpe.bytesSegmentOracleSql("documents", "text",
           numMerges = 12, maxWords = 5000),
+
+      "x_bpe_bytes_apply" ->
+        graft.operators.Bpe.bytesApplyOracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000, suffix = "q7"),
 
       "x_bpe_bytes_fertility" ->
         graft.operators.Bpe.bytesFertilityOracleSql("documents", "text",

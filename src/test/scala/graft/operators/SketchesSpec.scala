@@ -105,6 +105,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(m("hot") >= 200L)
   }
 
+  test("QuantileSketchAgg: exact regime equals sorted-rank selection, any partitioning") {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val agg = udaf(new Sketches.QuantileSketchAgg(4096, qs),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val vals = (1 to 1000).map(i => ((i * 7919) % 1000).toDouble)
+    val sorted = vals.sorted
+    val expected = qs.map(q =>
+      sorted(math.max(1, math.ceil(q * vals.size).toLong).toInt - 1))
+    for (parts <- Seq(1, 4, 8)) {
+      val got = vals.toDF("v").repartition(parts)
+        .agg(agg(col("v")).as("q")).as[Seq[Double]].head()
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("QuantileSketchAgg: compaction caps memory, estimates stay one-sided") {
+    val a = new Sketches.QuantileSketchAgg(16, Seq(0.5, 0.9))
+    // fold 10k values through reduce: buffer never exceeds capacity
+    var buf = a.zero
+    val vals = (1 to 10000).map(i => ((i * 104729) % 10000).toDouble)
+    vals.foreach { v =>
+      buf = a.reduce(buf, v)
+      assert(buf.size <= 16, s"buffer grew to ${buf.size}")
+    }
+    val Seq(est50, est90) = a.finish(buf)
+    val sorted = vals.sorted
+    val true50 = sorted(vals.size / 2 - 1); val true90 = sorted(vals.size * 9 / 10 - 1)
+    // one-sided: compaction keeps the LOWER value of each merged pair,
+    // so estimates never exceed the true quantile
+    assert(est50 <= true50 && est90 <= true90, s"($est50,$est90) vs ($true50,$true90)")
+    // and they are still order-of-magnitude right (rank error bounded)
+    assert(est50 > 0 && est90 >= est50)
+  }
+
   test("SpaceSavingAgg: merge prunes to capacity deterministically") {
     val a = new Sketches.SpaceSavingAgg(3)
     val left = Map("x" -> 10L, "y" -> 5L, "z" -> 2L)
