@@ -445,6 +445,22 @@ object Dedup {
     bandKeysFromSignatures(
       signaturesFromShingles(sh, idCol, numHashes, base), idCol, numHashes, bands)
 
+  /** The raw LSH CANDIDATE pairs — band-bucket co-membership BEFORE any
+    * verification — exposed for banding-quality evaluation: scoring this
+    * set against the exact-Jaccard truth separates the banding's recall
+    * (did a true pair share any bucket?) from the verifier's precision,
+    * which is how numHashes/bands/bucket caps are actually tuned.
+    * Output: (a, b), a < b, distinct.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 128, bands: Int = 16, n: Int = 3,
+                        base: Hashers.Base = Hashers.xx64Base,
+                        maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    val stacked = bandKeysFromShingles(
+      shingles(docs, idCol, textCol, n), idCol, numHashes, bands, base)
+    candidatesFromBands(stacked, idCol, maxBucketSize, checkpoint = false)
+  }
+
   /** Precomputed signing artifacts for one corpus side, shared across
     * miners: `sh` = shingle rows (caller-cached), `bands` = LSH band keys
     * (caller-materialized), `sigs` = minhash signatures (estimator-verify

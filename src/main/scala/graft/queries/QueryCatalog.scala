@@ -2013,6 +2013,32 @@ object QueryCatalog {
           maxBucketSize = Some(lshBucketCap))
         .orderBy("a", "b")),
 
+    "x_eval_dedup" -> ((s, dir) => {
+      // Dedup-pipeline EVALUATION: the LSH banding's raw candidate set
+      // scored against exact-Jaccard truth at the 0.7 threshold — one
+      // row of (n_truth, n_candidates, tp, fn); banding recall is
+      // tp/n_truth, verifier workload is n_candidates. The measurement
+      // numHashes/bands/bucket caps are tuned against, as x_eval_retrieval
+      // is for ANN. Same md5 family/banding as the oracle chain.
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+          numHashes = lshNumHashes, bands = lshBandCount,
+          base = Dedup.Hashers.md5Base, maxBucketSize = Some(lshBucketCap))
+        .withColumn("__c", lit(1))
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
+        .select(col("a"), col("b")).withColumn("__t", lit(1))
+      cand.join(truth, Seq("a", "b"), "full_outer")
+        .agg(
+          sum(when(col("__t") === 1, 1).otherwise(0)).cast("long")
+            .as("n_truth"),
+          sum(when(col("__c") === 1, 1).otherwise(0)).cast("long")
+            .as("n_candidates"),
+          sum(when(col("__c") === 1 && col("__t") === 1, 1).otherwise(0))
+            .cast("long").as("tp"),
+          sum(when(col("__t") === 1 && col("__c").isNull, 1).otherwise(0))
+            .cast("long").as("fn"))
+    }),
+
     "x_dedup_editdist" -> ((s, dir) =>
       // Character-level fuzzy dedup: LSH band candidates verified by
       // normalized Levenshtein (all-integer threshold test). md5Base so
@@ -3490,6 +3516,28 @@ object QueryCatalog {
            |SELECT c.a, c.b, j.jaccard
            |FROM cand c JOIN jac j ON j.a = c.a AND j.b = c.b
            |WHERE j.jaccard >= 0.7 ORDER BY c.a, c.b""".stripMargin,
+
+      "x_eval_dedup" ->
+        s"""WITH ${jaccardPairsSql(None)},
+           |$lshBaseSql,
+           |sig AS (SELECT doc_id, $lshSigSql FROM shh GROUP BY doc_id),
+           |bands_all AS (
+           |  $lshBandsSql),
+           |bucket_ok AS (SELECT band, key FROM bands_all
+           |              GROUP BY band, key HAVING count(*) <= $lshBucketCap),
+           |bands AS (SELECT ba.doc_id, ba.band, ba.key
+           |            FROM bands_all ba JOIN bucket_ok USING (band, key)),
+           |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |           FROM bands l JOIN bands r
+           |             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+           |truth AS (SELECT a, b FROM jac WHERE jaccard >= 0.7)
+           |SELECT
+           |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           |  CAST((SELECT count(*) FROM cand c JOIN truth t
+           |        ON t.a = c.a AND t.b = c.b) AS BIGINT) AS tp,
+           |  CAST((SELECT count(*) FROM truth t LEFT JOIN cand c
+           |        ON t.a = c.a AND t.b = c.b WHERE c.a IS NULL) AS BIGINT) AS fn""".stripMargin,
 
       "x_dedup_simhash" ->
         s"""WITH toks AS (
