@@ -1311,6 +1311,61 @@ object Dedup {
     * an over-cap cell is SKIPPED (no dedup there, loudly bounded work)
     * rather than exploding quadratically.
     */
+  /** Corpus-overlap estimation: pairwise shingle-set Jaccard between
+    * document GROUPS (sources, snapshots, crawl dumps) from per-group
+    * minhash signatures — the audit that answers "how much of corpus A is
+    * already in corpus B?" before mixing or deduplicating them
+    * (cf. the overlap matrices in pretraining-data reports).
+    *
+    * Per-group signature = elementwise min of the Kirsch–Mitzenmacher
+    * family over ALL the group's shingles — the same single-string-hash
+    * aggregation as doc-level minhash ([[signaturesFromShingles]]), just
+    * keyed by group. Estimated Jaccard(A, B) = fraction of agreeing
+    * family members (std ≈ √(J(1−J)/numHashes)).
+    *
+    * 100 TB shape: the corpus-wide work is ONE map-side-combined
+    * aggregation emitting G fixed-width signatures (G = #groups — tiny);
+    * the G² compare runs on that aggregated frame, never on documents.
+    * `verifyExact = true` additionally joins the distinct (group,
+    * shingle) sets pairwise for exact intersection counts — the
+    * oracle/audit configuration; production estimates from signatures
+    * alone.
+    *
+    * Output: (a, b, n_hashes, n_matches, n_sh_a, n_sh_b[, n_common]) —
+    * all integer, so with the md5 base the whole pipeline is
+    * DuckDB-replayable.
+    */
+  def corpusOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                    numHashes: Int = 128, n: Int = 3,
+                    base: Hashers.Base = Hashers.xx64Base,
+                    verifyExact: Boolean = false): DataFrame = {
+    val shd = shingles(docs, groupCol, textCol, n)
+    val sig = signaturesFromShingles(shd, groupCol, numHashes, base)
+    val sizes = shd.groupBy(col(groupCol)).agg(count(lit(1)).as("n_sh"))
+    val side = sig.join(sizes, Seq(groupCol))
+    val lhs = side.select(col(groupCol).as("a"), col("sig").as("sa"),
+      col("n_sh").as("n_sh_a"))
+    val rhs = side.select(col(groupCol).as("b"), col("sig").as("sb"),
+      col("n_sh").as("n_sh_b"))
+    // Deliberate G×G product of the aggregated signature frame (G groups,
+    // fixed-width rows) — broadcast, never the document corpus.
+    val pairs = lhs.join(broadcast(rhs), col("a") < col("b"))
+      .select(col("a"), col("b"), lit(numHashes.toLong).as("n_hashes"),
+        expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0L, " +
+             "(acc, v) -> acc + v)").as("n_matches"),
+        col("n_sh_a"), col("n_sh_b"))
+    if (!verifyExact) pairs
+    else {
+      val la = shd.select(col(groupCol).as("a"), col("shingle"))
+      val lb = shd.select(col(groupCol).as("b"), col("shingle"))
+      val common = la.join(lb, Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      pairs.join(common, Seq("a", "b"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+    }
+  }
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     thresholdNum: Long = 2L, thresholdDen: Long = 5L,
                     nlist: Int = 16,

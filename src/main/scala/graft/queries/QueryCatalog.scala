@@ -223,6 +223,16 @@ object QueryCatalog {
   private val lshSigSql =
     (0 until lshNumHashes)
       .map(i => s"min((h1m + ${i + 1} * h2m) % $lshP) AS mh$i").mkString(", ")
+  /** 128-way signature-agreement count for the corpus-overlap oracle.
+    * A list literal + list_filter, NOT a chained `+` — DuckDB's binder
+    * recurses per binary op and overflows its 128-deep limit on a
+    * 128-term sum; a 128-element list literal binds flat.
+    */
+  private val overlapMatchSql =
+    (0 until lshNumHashes)
+      .map(i => s"sa.mh$i = sb.mh$i")
+      .mkString("len(list_filter([", ", ", "], x -> x))")
+
   private val lshBandsSql = {
     val r = lshNumHashes / lshBandCount
     (0 until lshBandCount).map { b =>
@@ -2039,6 +2049,26 @@ object QueryCatalog {
             .cast("long").as("fn"))
     }),
 
+    "x_corpus_overlap" -> ((s, dir) =>
+      // Corpus-overlap audit: pairwise source↔source shingle-set overlap
+      // from per-source minhash signatures + exact intersection counts
+      // (verifyExact — the audit/oracle config; DuckDB replays the md5
+      // K-M family, the G² signature compare, and the exact set join).
+      Dedup.corpusOverlap(t(s, dir, "documents"), "source", "text",
+          numHashes = lshNumHashes, base = Dedup.Hashers.md5Base,
+          verifyExact = true)
+        .orderBy("a", "b")),
+
+    "x_corpus_overlap_fast" -> ((s, dir) =>
+      // PRODUCTION overlap configuration: xx64 family, estimator only —
+      // the corpus-wide cost is ONE signature aggregation; no pairwise
+      // shingle join at all. Rows-only (xxhash64 not oracle-replayable);
+      // estimator-vs-exact agreement is spec-pinned (DedupSpec).
+      Dedup.corpusOverlap(t(s, dir, "documents"), "source", "text",
+          numHashes = lshNumHashes, base = Dedup.Hashers.xx64Base,
+          verifyExact = false)
+        .orderBy("a", "b")),
+
     "x_dedup_editdist" -> ((s, dir) =>
       // Character-level fuzzy dedup: LSH band candidates verified by
       // normalized Levenshtein (all-integer threshold test). md5Base so
@@ -2994,6 +3024,35 @@ object QueryCatalog {
           |       coalesce(array_to_string(kept, ' '), '') AS text_clipped,
           |       CAST(n - len(kept) AS BIGINT) AS n_tokens_removed
           |FROM cl ORDER BY doc_id""".stripMargin,
+
+      "x_corpus_overlap" ->
+        s"""WITH words AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+           |sh0 AS (SELECT source,
+           |          unnest([array_to_string(w[i:i+2], ' ')
+           |                  for i in range(1, len(w) - 1)]) AS shingle
+           |          FROM words),
+           |shd AS (SELECT DISTINCT source, shingle FROM sh0),
+           |shh AS (SELECT source,
+           |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $lshP AS h1m,
+           |  ('0x' || substr(md5(shingle), 17, 15))::BIGINT % $lshP AS h2m
+           |  FROM shd),
+           |sig AS (SELECT source, $lshSigSql FROM shh GROUP BY source),
+           |sizes AS (SELECT source, count(*) AS n_sh FROM shd GROUP BY source),
+           |common AS (SELECT a.source AS a, b.source AS b, count(*) AS n_common
+           |             FROM shd a JOIN shd b
+           |               ON a.shingle = b.shingle AND a.source < b.source
+           |             GROUP BY 1, 2)
+           |SELECT sa.source AS a, sb.source AS b,
+           |  CAST($lshNumHashes AS BIGINT) AS n_hashes,
+           |  CAST($overlapMatchSql AS BIGINT) AS n_matches,
+           |  CAST(za.n_sh AS BIGINT) AS n_sh_a,
+           |  CAST(zb.n_sh AS BIGINT) AS n_sh_b,
+           |  CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
+           |FROM sig sa JOIN sig sb ON sa.source < sb.source
+           |JOIN sizes za ON za.source = sa.source
+           |JOIN sizes zb ON zb.source = sb.source
+           |LEFT JOIN common c ON c.a = sa.source AND c.b = sb.source
+           |ORDER BY a, b""".stripMargin,
 
       "x_dedup_editdist" ->
         s"""WITH $shinglesSql,

@@ -17,6 +17,31 @@ class OperatorSpec extends AnyFunSuite {
   lazy val docs = Tables.load(spark, dir, "documents").cache()
   lazy val emb = Tables.load(spark, dir, "embeddings").cache()
 
+  test("corpusOverlap: minhash estimate tracks exact Jaccard in BOTH hash families") {
+    def jac(r: org.apache.spark.sql.Row): Double = {
+      val common = r.getAs[Long]("n_common").toDouble
+      common / (r.getAs[Long]("n_sh_a") + r.getAs[Long]("n_sh_b") - common)
+    }
+    val exact = Dedup.corpusOverlap(docs, "lang", "text",
+        base = Dedup.Hashers.md5Base, verifyExact = true)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (jac(r), r.getAs[Long]("n_matches").toDouble / r.getAs[Long]("n_hashes"))))
+      .toMap
+    assert(exact.nonEmpty)
+    // 128 hashes ⇒ estimator std ≈ √(J(1−J)/128) ≤ 0.045; 0.15 is > 3σ.
+    exact.values.foreach { case (j, est) =>
+      assert(math.abs(j - est) <= 0.15, s"md5 estimate $est vs exact $j") }
+    // The production xx64 family is an independent estimator of the SAME
+    // exact overlap — agreement with exact pins it without an oracle.
+    val fast = Dedup.corpusOverlap(docs, "lang", "text",
+        base = Dedup.Hashers.xx64Base, verifyExact = false)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("n_matches").toDouble / r.getAs[Long]("n_hashes"))).toMap
+    assert(fast.keySet == exact.keySet)
+    fast.foreach { case (k, est) =>
+      assert(math.abs(exact(k)._1 - est) <= 0.15, s"xx64 estimate $est vs exact ${exact(k)._1}") }
+  }
+
   test("ANN LSH recall vs brute force is usable (>= 0.5 @ k=10)") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
