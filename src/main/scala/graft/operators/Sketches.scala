@@ -238,6 +238,80 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** K-MINIMUM-VALUES distinct-count sketch as a typed Aggregator — the
+    * fourth classic mergeable summary here (count-min: frequencies;
+    * space-saving: top-k; pair-compaction: quantiles; KMV: distinct
+    * counts, Beyer et al. 2007). State = the `capacity` smallest
+    * DISTINCT hash values seen, so per-group (or per-stream-window)
+    * memory is O(capacity) regardless of cardinality; estimate =
+    * `(capacity−1) · 2⁶⁰ / h_k` with `h_k` the k-th minimum (relative
+    * std ≈ 1/√(capacity−2)), or the EXACT distinct count while the
+    * buffer is under capacity.
+    *
+    * Unlike space-saving, the merge (union, keep k smallest) is
+    * associative+commutative with NO tie-order sensitivity — the sketch
+    * is a pure function of the input SET in BOTH regimes, so with an
+    * oracle-replayable hash (md5-hex-prefix, as [[Dedup.Hashers.md5Base]])
+    * even the estimator regime hash-verifies cross-engine: the k-th
+    * minimum is just a rank selection any engine can replay.
+    *
+    * Inputs are the 60-bit hash values (callers hash in the DataFrame
+    * expression — codegen'd, and the choice of md5 vs xxhash64 stays a
+    * plan-level decision exactly like the minhash families).
+    */
+  final class KmvDistinctAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Long] {
+    require(capacity >= 2, "KmvDistinctAgg: capacity must be >= 2")
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      b.foldLeft(a)(insert)
+    // invariant: sorted ascending, distinct, size ≤ capacity
+    private def insert(b: Seq[Long], h: Long): Seq[Long] = {
+      val i = b.indexWhere(_ >= h)
+      if (i >= 0 && b(i) == h) b // already present
+      else if (i < 0 && b.size >= capacity) b // larger than the k-th min
+      else {
+        val pos = if (i < 0) b.size else i
+        val ins = (b.take(pos) :+ h) ++ b.drop(pos)
+        if (ins.size > capacity) ins.take(capacity) else ins
+      }
+    }
+    override def finish(b: Seq[Long]): Long =
+      if (b.size < capacity) b.size.toLong
+      else ((BigInt(capacity - 1) << 60) / BigInt(b.last).max(1)).toLong
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** The md5-hex-prefix 60-bit hash feeding [[KmvDistinctAgg]] in
+    * oracle-replayable configurations — DuckDB computes the identical
+    * value as `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    */
+  def kmvHash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Per-group distinct-count report: the KMV estimate next to the exact
+    * `count(DISTINCT)` — the accuracy-audit configuration (the exact
+    * column is what the estimate is judged against). PRODUCTION at
+    * 100 TB drops `withExact`: the sketch's partial buffers merge
+    * map-side and only `capacity` longs per group cross the exchange,
+    * vs. the exact path shuffling every distinct item.
+    */
+  def kmvDistinct(items: DataFrame, groupCol: String, itemCol: String,
+                  capacity: Int = 1024, withExact: Boolean = true): DataFrame = {
+    val agg = udaf(new KmvDistinctAgg(capacity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val base = items.filter(col(itemCol).isNotNull)
+    val est = agg(kmvHash60(col(itemCol))).as("n_distinct_est")
+    if (withExact)
+      base.groupBy(col(groupCol))
+        .agg(countDistinct(col(itemCol)).as("n_distinct"), est)
+    else base.groupBy(col(groupCol)).agg(est)
+  }
+
   /** Per-executor deserialized-sketch cache: the broadcast ships bytes
     * (CountMinSketch is Serializable but re-deserializing per row would
     * dominate); each executor inflates it once.

@@ -529,6 +529,52 @@ object QueryCatalog {
     csvStagePath
   }
 
+  /** Deterministic JSONL staging fixture derived from the documents table:
+    * one JSON object per line, with every `doc_id % 13 == 0` line
+    * TRUNCATED (last two chars dropped — malformed JSON) to exercise the
+    * PERMISSIVE quarantine path. Driver-side file IO mirrors the CSV
+    * staging fixture above; the engine work under test is the
+    * schema-driven distributed parse + corrupt-record routing.
+    */
+  private val jsonlStagePath = "/tmp/graft_jsonl_stage.jsonl"
+  private def writeJsonlStageFixture(s: SparkSession, dir: String): String = synchronized {
+    val rows = t(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .orderBy("doc_id").collect()
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val line = s"""{"doc_id": $id, "lang": ${graft.Verify.jsonEscape(r.getString(1))}, """ +
+        s""""source": ${graft.Verify.jsonEscape(r.getString(2))}, """ +
+        s""""n_chars": ${r.getLong(3)}, "text": ${graft.Verify.jsonEscape(r.getString(4))}}"""
+      sb.append(if (id % 13 == 0) line.dropRight(2) else line).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(jsonlStagePath),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    jsonlStagePath
+  }
+
+  /** Schema-driven PERMISSIVE JSONL read with corrupt-record quarantine —
+    * the 100 TB ingestion surface: JSONL is line-splittable, so the parse
+    * distributes; an explicit schema (never inference, which would scan
+    * the corpus twice) types the clean rows; malformed lines survive
+    * whole in `_corrupt_record` for the quarantine sink instead of
+    * failing the job (FAILFAST) or vanishing (DROPMALFORMED).
+    */
+  private def readJsonlStage(s: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   val referenceOracles: Map[String, String] = Map(
     "ref_layer_points" ->
       """SELECT c_custkey, c_name, c_acctbal AS x,
@@ -1597,6 +1643,63 @@ object QueryCatalog {
       graft.streaming.StreamHeavyHitters.runOnce(s, dir, "events.parquet",
           schema, "user_id", k = 5, capacity = 512)
         .orderBy("window_start_ms", "rank")
+    }),
+
+    "x_ingest_jsonl" -> ((s, dir) => {
+      // Robust JSONL ingestion — the format 100 TB web corpora actually
+      // arrive in, where some fraction of lines is always damaged. Spark
+      // reads with an EXPLICIT schema in PERMISSIVE mode: malformed lines
+      // land whole in _corrupt_record (never killing the job, never
+      // silently dropped) and the clean rows parse typed. The oracle
+      // re-reads the SAME staged file line-wise in DuckDB and replays the
+      // parse with json_valid + json_extract — so the check covers the
+      // quarantine semantics, not just the fixture round trip.
+      val path = writeJsonlStageFixture(s, dir)
+      readJsonlStage(s, path)
+        .filter(col("_corrupt_record").isNull)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "x_ingest_jsonl_report" -> ((s, dir) => {
+      // The ingestion health report over the same permissive read: rows
+      // and char mass per language, with damaged lines grouped under
+      // '__quarantine' — the per-batch monitoring view an ingestion
+      // pipeline alerts on (quarantine ratio spike = upstream breakage).
+      val path = writeJsonlStageFixture(s, dir)
+      readJsonlStage(s, path)
+        .groupBy(coalesce(col("lang"), lit("__quarantine")).as("lang_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"))
+        .orderBy("lang_bucket")
+    }),
+
+    "x_kmv_distinct" -> ((s, dir) =>
+      // Per-source distinct-text cardinality: KMV sketch estimate NEXT TO
+      // the exact count (the accuracy audit). Capacity 16 < the ~25
+      // distinct texts per source, so this deliberately exercises the
+      // ESTIMATOR regime — which still hash-verifies, because KMV's
+      // k-th-minimum is a rank selection DuckDB replays over the same
+      // md5-prefix hashes (merge = set union, no tie-order sensitivity).
+      graft.operators.Sketches.kmvDistinct(t(s, dir, "documents"),
+          "source", "text", capacity = 16)
+        .orderBy("source")),
+
+    "x_stream_distinct" -> ((s, dir) => {
+      // Streaming per-window distinct users through a REAL stream via the
+      // mergeable KMV sketch as watermarked window state. Capacity 512 >
+      // the fixture's 150 users, so the buffer holds every distinct hash
+      // and the emitted value IS the exact per-window distinct count —
+      // replayed by DuckDB count(DISTINCT); the estimator regime is
+      // spec-pinned (SketchesSpec).
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      graft.streaming.StreamDistinct.runOnce(s, dir, "events.parquet",
+          schema, "user_id", capacity = 512)
+        .orderBy("window_start_ms")
     }),
 
     "x_stream_quantiles" -> ((s, dir) => {
@@ -3875,6 +3978,70 @@ object QueryCatalog {
           |FROM ranked CROSS JOIN mx
           |WHERE rank <= 5 AND window_start_ms + 3600000 <= mts
           |ORDER BY window_start_ms, rank""".stripMargin,
+
+      "x_ingest_jsonl" ->
+        // line-wise re-read of the SAME staged file: json_valid replays
+        // the PERMISSIVE quarantine split (extraction only AFTER the
+        // validity filter — DuckDB's json_extract errors on malformed
+        // input even in dead CASE branches of the same projection)
+        s"""WITH raw AS (SELECT column0 AS line
+           |  FROM read_csv('$jsonlStagePath', header=false, delim=chr(1),
+           |                quote='', columns={'column0': 'VARCHAR'})),
+           |good AS (SELECT line FROM raw WHERE json_valid(line))
+           |SELECT CAST(json_extract(line, '$$.doc_id') AS BIGINT) AS doc_id,
+           |  json_extract_string(line, '$$.lang') AS lang,
+           |  json_extract_string(line, '$$.source') AS source,
+           |  CAST(json_extract(line, '$$.n_chars') AS BIGINT) AS n_chars
+           |FROM good ORDER BY doc_id""".stripMargin,
+
+      "x_ingest_jsonl_report" ->
+        s"""WITH raw AS (SELECT column0 AS line
+           |  FROM read_csv('$jsonlStagePath', header=false, delim=chr(1),
+           |                quote='', columns={'column0': 'VARCHAR'})),
+           |g AS (SELECT json_extract_string(line, '$$.lang') AS lang_bucket,
+           |        CAST(json_extract(line, '$$.n_chars') AS BIGINT) AS nc,
+           |        0 AS corrupt
+           |      FROM (SELECT line FROM raw WHERE json_valid(line))),
+           |b AS (SELECT '__quarantine' AS lang_bucket, 0 AS nc, 1 AS corrupt
+           |      FROM raw WHERE NOT json_valid(line)),
+           |u AS (SELECT * FROM g UNION ALL SELECT * FROM b)
+           |SELECT lang_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+           |  CAST(sum(corrupt) AS BIGINT) AS n_corrupt
+           |FROM u GROUP BY lang_bucket ORDER BY lang_bucket""".stripMargin,
+
+      "x_kmv_distinct" ->
+        // KMV replay: per-source md5-prefix hashes of the distinct texts;
+        // under capacity (16) the estimate is the distinct count itself,
+        // at/over capacity it is (15 · 2⁶⁰) // h₁₆ with h₁₆ the 16th
+        // smallest hash — HUGEINT intermediate, BIGINT result.
+        """WITH d AS (SELECT DISTINCT source, text FROM documents),
+          |h AS (SELECT source,
+          |        ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv FROM d),
+          |r AS (SELECT source, hv,
+          |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rk,
+          |        count(*) OVER (PARTITION BY source) AS nd FROM h),
+          |kth AS (SELECT source, max(nd) AS nd,
+          |          max(CASE WHEN rk = 16 THEN hv END) AS hk
+          |        FROM r GROUP BY source)
+          |SELECT source, CAST(nd AS BIGINT) AS n_distinct,
+          |  CAST(CASE WHEN nd < 16 THEN nd
+          |       ELSE (15::HUGEINT * 1152921504606846976::HUGEINT)
+          |            // greatest(hk, 1) END AS BIGINT) AS n_distinct_est
+          |FROM kth ORDER BY source""".stripMargin,
+
+      "x_stream_distinct" ->
+        // exact-regime replay (capacity > distinct users per window):
+        // per-window count(DISTINCT), append-mode cutoff from max(ts)
+        """WITH wc AS (
+          |  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+          |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_est
+          |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+          |mx AS (SELECT epoch_ms(max(ts)) AS mts FROM events)
+          |SELECT window_start_ms, n_distinct_est
+          |FROM wc CROSS JOIN mx
+          |WHERE window_start_ms + 3600000 <= mts
+          |ORDER BY window_start_ms""".stripMargin,
 
       "x_stream_quantiles" ->
         // sorted-rank selection per window (ties share the value, so

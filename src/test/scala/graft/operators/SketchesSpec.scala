@@ -146,4 +146,32 @@ class SketchesSpec extends AnyFunSuite {
     // summed: x10 y9 z2 w3 v1 → top-3 by (cnt desc, item asc): x, y, w
     assert(a.merge(left, right) == Map("x" -> 10L, "y" -> 9L, "w" -> 3L))
   }
+
+  test("KmvDistinctAgg: exact under capacity, ~1/sqrt(k) error over it") {
+    val items = (0 until 5000).map(i => s"item_$i")
+      .toDF("v").union((0 until 5000).map(i => s"item_$i").toDF("v")) // dups
+    // exact regime: capacity above cardinality → exact distinct count
+    val exact = Sketches.kmvDistinct(items.withColumn("g", lit("all")),
+      "g", "v", capacity = 8192).select("n_distinct", "n_distinct_est")
+      .as[(Long, Long)].head()
+    assert(exact == ((5000L, 5000L)), s"exact regime broke: $exact")
+    // estimator regime: capacity 256 over 5000 distinct → ±25% (>4σ)
+    val est = Sketches.kmvDistinct(items.withColumn("g", lit("all")),
+      "g", "v", capacity = 256).select("n_distinct_est").as[Long].head()
+    assert(math.abs(est - 5000L) <= 1250, s"KMV estimate $est vs 5000")
+  }
+
+  test("KmvDistinctAgg: pure function of the input set in BOTH regimes") {
+    // KMV merge = set union keep-k-smallest: partitioning/merge order
+    // must not change even the ESTIMATOR-regime output (unlike
+    // space-saving, whose eviction is order-dependent). This is what
+    // lets the catalog entry run oracle-hashed at capacity < distinct.
+    val items = (0 until 3000).map(i => s"k_$i").toDF("v")
+      .withColumn("g", lit("all"))
+    val ests = Seq(1, 7, 32).map { p =>
+      Sketches.kmvDistinct(items.repartition(p), "g", "v", capacity = 64)
+        .select("n_distinct_est").as[Long].head()
+    }
+    assert(ests.distinct.size == 1, s"partitioning changed the estimate: $ests")
+  }
 }
