@@ -81,6 +81,27 @@ object Multimodal {
     withMeta(encoded, idCol, "image/png")
   }
 
+  /** Attach a REAL JPEG payload: the same deterministic frames, but
+    * DCT-compressed through the pure-JVM baseline JPEG encoder (4:2:0) —
+    * the lossy format that dominates real web-crawl images, exercising
+    * the full marker/Huffman/IDCT/upsample path on decode. Unlike the
+    * BMP/PNG payloads the pixels round-trip only to within quantization
+    * error; everything downstream of decode must treat them as signal,
+    * not identity — exactly as with real crawled JPEGs.
+    */
+  def withJpegPayload(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val encoded = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val frames = Bmp.decodeAll(encodeFrames(text.getBytes("UTF-8")))
+        (id, Array.concat(frames.map(f => Jpeg.encode(f, subsample420 = true)): _*))
+      })
+      .toDF(idCol, "payload")
+    withMeta(encoded, idCol, "image/jpeg")
+  }
+
   /** Deterministic multi-frame BMP stream from seed bytes: frame count,
     * dimensions, and pixels are all functions of the content alone
     * (partition- and order-invariant, spec-pinnable).
@@ -139,6 +160,7 @@ object Multimodal {
   private def imagesOf(bytes: Array[Byte]): Option[Seq[Bmp.Image]] =
     if (Bmp.looksLikeBmp(bytes)) Some(Bmp.decodeAll(bytes))
     else if (Png.looksLikePng(bytes)) Some(Png.decodeAll(bytes))
+    else if (Jpeg.looksLikeJpeg(bytes)) Some(Jpeg.decodeAll(bytes))
     else None
 
   private def decodeOne(id: Long, bytes: Array[Byte]): Seq[DecodedFrame] =
@@ -333,12 +355,16 @@ object Multimodal {
         // silently converts PNG input to BMP output would corrupt any
         // downstream consumer keyed on the column's media type
         val isPng = Png.looksLikePng(bytes)
+        val isJpeg = !isPng && Jpeg.looksLikeJpeg(bytes)
         val frames =
           if (isPng)
             Png.decodeAll(bytes).map(f => Png.encode(Bmp.resize(f, targetW, targetH)))
+          else if (isJpeg)
+            Jpeg.decodeAll(bytes).map(f =>
+              Jpeg.encode(Bmp.resize(f, targetW, targetH), subsample420 = true))
           else Bmp.decodeAll(bytes).map(f => Bmp.encode(Bmp.resize(f, targetW, targetH)))
-        val mt = (if (isPng) "image/png" else "image/bmp") +
-          s";resized=${targetW}x$targetH"
+        val mt = (if (isPng) "image/png" else if (isJpeg) "image/jpeg"
+                  else "image/bmp") + s";resized=${targetW}x$targetH"
         (id, Array.concat(frames: _*), mt)
       })
       .toDF(idCol, "payload", "__media_type")

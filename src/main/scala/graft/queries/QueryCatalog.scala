@@ -2765,6 +2765,21 @@ object QueryCatalog {
           "doc_id")
         .orderBy("id", "frame_no")),
 
+    "x_multimodal_jpeg" -> ((s, dir) => { // real JPEG codec: rows-only oracle
+      // Full baseline-JPEG path: deterministic frames DCT-compressed as
+      // true 4:2:0 JFIF (Annex-K tables, Huffman entropy coding), then
+      // decode → resize → re-encode-as-JPEG → decode again. Lossy by
+      // nature, deterministic by construction; round-trip error bounds
+      // and the marker/Huffman/upsample machinery are spec-pinned
+      // (JpegSpec) — emitted surface is dims + decoded intensities of the
+      // resized frames, like the PNG twin below.
+      val jpegs = Multimodal.withJpegPayload(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.decodeFrames(
+          Multimodal.resizeImages(jpegs, "doc_id", 6, 4), "doc_id")
+        .orderBy("id", "frame_no")
+    }),
+
     "x_multimodal_png" -> ((s, dir) => { // real PNG codec: rows-only oracle
       // Full PNG path: deterministic frames zlib-encoded as true PNGs
       // (chunk layout + CRCs + deflate), then decode → resize →

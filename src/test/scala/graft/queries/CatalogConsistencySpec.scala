@@ -29,6 +29,7 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_sim_ivf_trained",   // approximate by design (k-means centroids)
       "x_multimodal_frames",   // real BMP decode, pinned by ScalaTest
       "x_multimodal_png",      // real PNG codec round-trip, pinned by PngSpec
+      "x_multimodal_jpeg",     // real baseline-JPEG codec, pinned by JpegSpec
       "x_multimodal_features", // decoded-pixel features → ANN, pinned by ScalaTest
       "x_multimodal_audio",    // real WAV decode, pinned by ScalaTest
       "x_text_surprisal",      // float log-probs, pinned by ScalaTest
