@@ -587,4 +587,40 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .groupBy((length(bin(col("c"))) - 1).as("log2_freq"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("n_occurrences"))
+
+  /** Compression-ratio quality signal: deflate each document (zlib,
+    * fixed level) and report bytes-out per mille of bytes-in — the
+    * Gopher/RefinedWeb-family heuristic where extreme compressibility
+    * flags boilerplate/repetition and extreme incompressibility flags
+    * binary junk or gibberish. Pure per-partition projection: one
+    * `Deflater` per task, payloads never shuffle. Deterministic for a
+    * fixed JDK zlib (spec-pinned monotonicity, not bit-pinned across
+    * JDKs — hence rows-only in the catalog).
+    *
+    * Output: (id, raw_len, deflate_len, compress_permille) — permille is
+    * exact integer arithmetic, floor(1000·out/in).
+    */
+  def compressibility(docs: DataFrame, idCol: String, textCol: String,
+                      level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](1 << 16)
+        val d = new java.util.zip.Deflater(level)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          d.reset()
+          d.setInput(raw); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          (id, raw.length.toLong, n)
+        }
+      }
+      .toDF(idCol, "raw_len", "deflate_len")
+      .withColumn("compress_permille",
+        when(col("raw_len") === 0, 0L)
+          .otherwise(expr("(deflate_len * 1000) div raw_len")))
+  }
 }

@@ -850,6 +850,69 @@ object QueryCatalog {
         .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_e4"))),
 
+    "q13_customer_distribution" -> ((s, dir) => {
+      // TPC-H Q13 shape: LEFT outer join with an IN-JOIN predicate (the
+      // filter belongs to the join, so customers whose only orders are
+      // urgent still count as zero-order customers), then a distribution
+      // over the per-customer counts — two aggregations, the second on a
+      // tiny key space. count(o_orderkey) (not count(*)) makes the
+      // unmatched-row count 0, the outer-join subtlety the shape exists
+      // to exercise.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: quarterly revenue per supplier, then the
+      // argmax-by-scalar-subquery join (revenue = max(revenue)) — ties
+      // all surface, exactly as the spec's view formulation does. The
+      // 1-row max aggregate is broadcast; revenue is exact e4 integer so
+      // the equality join has no float boundary.
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+                col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("total_revenue_e4"))
+      val mx = rev.agg(max(col("total_revenue_e4")).as("__mx"))
+      rev.join(broadcast(mx), col("total_revenue_e4") === col("__mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      // TPC-H Q17 shape: per-part average-quantity gate re-joined against
+      // the fact table — the correlated-aggregate decorrelation pattern.
+      // The 0.2·avg threshold runs in EXACT integer space:
+      // qty < 0.2·(sum/n) ⟺ 5·qty·n < sum (quantities are integral
+      // doubles), so no boundary row flips between engines. Both the
+      // stats aggregation and the probe shuffle on l_partkey — at scale
+      // they co-partition, one exchange feeds both.
+      val li = t(s, dir, "lineitem")
+      val brandParts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val fact = li.join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"))
+      val stats = fact.groupBy(col("l_partkey").as("__pk"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast("long")).as("__sum_qty"))
+      fact.join(stats, col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity").cast("long") * 5 * col("__n") <
+          col("__sum_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     "q22_dormant_customers" -> ((s, dir) => {
       // TPC-H Q22 shape (adapted: every fixture customer has SOME order,
       // so "no orders at all" is degenerate — the anti-join runs against
@@ -1302,6 +1365,43 @@ object QueryCatalog {
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
+    "q13_customer_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_quantity_revenue" ->
+      """WITH fact AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |stats AS (
+        |  SELECT l_partkey AS pk, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM fact GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM fact JOIN stats ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n < sum_qty""".stripMargin,
+
     "q22_dormant_customers" ->
       """WITH pos AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents,
@@ -1643,6 +1743,60 @@ object QueryCatalog {
       graft.streaming.StreamHeavyHitters.runOnce(s, dir, "events.parquet",
           schema, "user_id", k = 5, capacity = 512)
         .orderBy("window_start_ms", "rank")
+    }),
+
+    "x_text_compress" -> ((s, dir) =>
+      // Compression-ratio quality signal (rows-only: deflate output is a
+      // JDK-zlib artifact no SQL engine replays; the length relations and
+      // repetition-monotonicity are spec-pinned in OperatorSpec).
+      TextAnalysis.compressibility(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_event_funnel" -> ((s, dir) => {
+      // Ordered conversion funnel view→click→purchase: each stage is the
+      // user's FIRST qualifying event strictly after the previous stage —
+      // the sequence constraint is what separates a funnel from three
+      // independent counts. Three shuffles, all keyed on user_id (at
+      // scale they co-partition: one exchange feeds every stage), then a
+      // 1-row×1-row crossJoin of the stage counts.
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+      val vc = v.join(clicks,
+          col("user_id") === col("c_uid") && col("c_ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("c_ts")).as("t_click"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      val vcp = vc.join(buys,
+          col("user_id") === col("p_uid") && col("p_ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("p_ts")).as("t_buy"))
+      ev.agg(countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(v.agg(count(lit(1)).as("n_view")))
+        .crossJoin(vc.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(vcp.agg(count(lit(1)).as("n_full_funnel")))
+    }),
+
+    "x_cohort_retention" -> ((s, dir) => {
+      // Weekly cohort retention: cohort = week of the user's first event,
+      // activity = distinct (user, week), offset = exact integer week
+      // difference (both engines truncate weeks to Monday UTC, so the
+      // millisecond difference is an exact multiple of 604800000). The
+      // classic growth-analytics triangle view.
+      val ev = t(s, dir, "events")
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"),
+          unix_millis(date_trunc("week", col("first_ts"))).as("cohort_ms"))
+      val activity = ev.select(col("user_id"),
+        unix_millis(date_trunc("week", col("ts"))).as("week_ms")).distinct()
+      cohort.join(activity, Seq("user_id"))
+        .withColumn("week_offset",
+          expr("(week_ms - cohort_ms) div 604800000")) // exact integer weeks
+        .groupBy(col("cohort_ms"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_ms", "week_offset")
     }),
 
     "x_ingest_jsonl" -> ((s, dir) => {
@@ -3993,6 +4147,37 @@ object QueryCatalog {
           |FROM ranked CROSS JOIN mx
           |WHERE rank <= 5 AND window_start_ms + 3600000 <= mts
           |ORDER BY window_start_ms, rank""".stripMargin,
+
+      "x_event_funnel" ->
+        """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           |       WHERE event_type = 'view' GROUP BY 1),
+           |c AS (SELECT v.user_id, min(e.ts) AS t_click
+           |      FROM v JOIN events e ON e.user_id = v.user_id
+           |        AND e.event_type = 'click' AND e.ts > v.t_view
+           |      GROUP BY 1),
+           |p AS (SELECT c.user_id, min(e.ts) AS t_buy
+           |      FROM c JOIN events e ON e.user_id = c.user_id
+           |        AND e.event_type = 'purchase' AND e.ts > c.t_click
+           |      GROUP BY 1)
+           |SELECT
+           |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel""".stripMargin,
+
+      "x_cohort_retention" ->
+        """WITH cohort AS (
+           |  SELECT user_id,
+           |         epoch_ms(date_trunc('week', min(ts))) AS cohort_ms
+           |  FROM events GROUP BY user_id),
+           |activity AS (
+           |  SELECT DISTINCT user_id,
+           |         epoch_ms(date_trunc('week', ts)) AS week_ms
+           |  FROM events)
+           |SELECT cohort_ms, (week_ms - cohort_ms) // 604800000 AS week_offset,
+           |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+           |FROM cohort c JOIN activity a ON c.user_id = a.user_id
+           |GROUP BY 1, 2 ORDER BY cohort_ms, week_offset""".stripMargin,
 
       "x_ingest_jsonl" ->
         // line-wise re-read of the SAME staged file: json_valid replays

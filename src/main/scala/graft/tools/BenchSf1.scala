@@ -247,6 +247,37 @@ object BenchSf1 {
       "stream_drift" -> ((dir, _) =>
         graft.queries.QueryCatalog.all("x_stream_drift")(spark, dir)
           .count()),
+      // corpus-overlap audit, production config: group count is POLICY
+      // (the same 20 sources at both scales) — corpus-wide work is one
+      // signature aggregation, the G² compare is constant-sized
+      "corpus_overlap_est" -> ((dir, _) =>
+        Dedup.corpusOverlap(docs(spark, dir), "source", "text",
+          base = Dedup.Hashers.xx64Base, verifyExact = false).count()),
+      // KMV distinct sketch, production config (no exact column): one
+      // map-side-combined aggregation, capacity longs per group cross
+      // the exchange regardless of cardinality
+      "kmv_distinct" -> ((dir, _) =>
+        graft.operators.Sketches.kmvDistinct(docs(spark, dir), "source",
+          "text", capacity = 1024, withExact = false).count()),
+      // streaming sketches: window count is policy (same event-time range
+      // at both scales), 10× rows AND 10× distinct users per window —
+      // summaries must stay capacity-bounded while throughput scales
+      "stream_heavyhitters" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("x_stream_heavyhitters")(spark, dir)
+          .count()),
+      "stream_distinct" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("x_stream_distinct")(spark, dir)
+          .count()),
+      // media transcode: per-row codec work (JPEG decode→resize→re-encode
+      // in executors) — must price as a linear scan, payloads never shuffle
+      // to the driver
+      "jpeg_transcode" -> ((dir, _) => {
+        val jpegs = graft.operators.Multimodal.withJpegPayload(
+          docs(spark, dir), "doc_id", "text")
+        graft.operators.Multimodal.decodeFrames(
+          graft.operators.Multimodal.resizeImages(jpegs, "doc_id", 6, 4),
+          "doc_id").count()
+      }),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)

@@ -17,6 +17,33 @@ class OperatorSpec extends AnyFunSuite {
   lazy val docs = Tables.load(spark, dir, "documents").cache()
   lazy val emb = Tables.load(spark, dir, "embeddings").cache()
 
+  test("compressibility: sane bounds and repetition-monotonic") {
+    val fix = Seq(
+      (1L, ("ab " * 500).trim),                            // highly repetitive
+      (2L, (0 until 500).map(i => s"w${i * 7919}").mkString(" ")), // diverse
+      (3L, "")                                             // empty guard
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.compressibility(fix, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "raw_len", "deflate_len", "compress_permille")
+      .as[(Long, Long, Long, Long)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // deflate output is nonempty and bounded by raw + small header slack
+    rows.filter(_._1 != 3L).foreach { case (_, raw, defl, pm) =>
+      assert(defl > 0 && defl <= raw + 64)
+      assert(pm == defl * 1000 / raw)
+    }
+    // boilerplate compresses far better than diverse text
+    assert(byId(1L)._4 < byId(2L)._4 / 2,
+      s"repetitive ${byId(1L)._4} vs diverse ${byId(2L)._4}")
+    assert(byId(3L)._4 == 0L) // empty doc: defined, not a crash
+    // partition-invariant (one Deflater per task, reset per row)
+    val repartitioned = TextAnalysis.compressibility(
+      fix.repartition(3), "doc_id", "text")
+      .select("doc_id", "deflate_len").as[(Long, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._3).toMap == repartitioned)
+  }
+
   test("corpusOverlap: minhash estimate tracks exact Jaccard in BOTH hash families") {
     def jac(r: org.apache.spark.sql.Row): Double = {
       val common = r.getAs[Long]("n_common").toDouble

@@ -43,6 +43,7 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_stream_incremental",  // xx64 stream-vs-corpus hits, spec-pinned
       "x_decontam_bloom",      // bloom-filter bits not SQL-replayable; spec-pinned
       "x_corpus_overlap_fast", // xx64 production config, spec-pinned vs exact
+      "x_text_compress",       // JDK-zlib output sizes, spec-pinned monotonicity
       "x_multimodal_imagehash") // real BMP decode → aHash, pinned by ImageHashSpec
     )
   }

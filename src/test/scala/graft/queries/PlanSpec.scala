@@ -274,6 +274,35 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("Q13 keeps the outer join outer (zero-order customers survive)") {
+    val p = planOf("q13_customer_distribution")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q15 argmax gate joins the 1-row max as a broadcast, never a shuffle") {
+    val p = planOf("q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("Q17 per-part stats and probe share the partkey exchange shape") {
+    val p = planOf("q17_small_quantity_revenue")
+    // the brand dimension stays broadcast; the correlated-aggregate
+    // decorrelation must not plan a nested-loop product
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("event funnel: every stage join is keyed (no nested-loop product)") {
+    val p = planOf("x_event_funnel")
+    // the 1-row stage-count combination is BNLJ by design (crossJoin of
+    // four aggregates); the USER-KEYED stage joins must not be
+    val keyed = "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+    assert(keyed.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("hosted write with key requires ordered range distribution") {
     // The write declares RequiresDistributionAndOrdering; Spark plans a
     // range repartition by key before the write tasks.
