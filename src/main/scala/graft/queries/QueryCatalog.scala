@@ -575,6 +575,39 @@ object QueryCatalog {
       .json(path)
   }
 
+  /** Two-era parquet fixture for schema-evolution ingestion: era v1
+    * (even doc ids) has the original column set, era v2 (odd ids) adds a
+    * BIGINT `score` column. Each era lands as ONE plain parquet file so
+    * the oracle can address the identical files by path.
+    */
+  private val evoDir = "/tmp/graft_evo"
+  private def writeEvolutionFixture(s: SparkSession, dir: String): (String, String) = synchronized {
+    def rmRec(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        finally walk.close()
+      }
+    def writeOne(df: DataFrame, name: String): String = {
+      val tmp = s"$evoDir/__tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val target = java.nio.file.Paths.get(s"$evoDir/$name.parquet")
+      java.nio.file.Files.deleteIfExists(target)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, target)
+      rmRec(java.nio.file.Paths.get(tmp))
+      target.toString
+    }
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    val v1 = writeOne(docs.filter(col("doc_id") % 2 === 0), "v1")
+    val v2 = writeOne(docs.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("score", (col("n_chars") * 2).cast("long")), "v2")
+    (v1, v2)
+  }
+
   val referenceOracles: Map[String, String] = Map(
     "ref_layer_points" ->
       """SELECT c_custkey, c_name, c_acctbal AS x,
@@ -1985,6 +2018,77 @@ object QueryCatalog {
           countDistinct(col("source")).as("n_sources"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("cell")
+    }),
+
+    "x_eval_clusters" -> ((s, dir) => {
+      // CLUSTERING evaluation — the third evaluation pillar next to
+      // retrieval (x_eval_retrieval) and dedup (x_eval_dedup): the
+      // deterministic semantic cells scored against the embeddings
+      // fixture's ground-truth labels. Per cell: members, majority-label
+      // mass (purity numerator), label spread — all exact integers, ties
+      // resolved (count desc, label asc) identically in both engines.
+      val cells = Dedup.semanticCells(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 16)
+        .select(col("id").as("vec_id"), col("cell"))
+      val counts = cells
+        .join(t(s, dir, "embeddings").select("vec_id", "label"), Seq("vec_id"))
+        .groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("cell"))
+        .agg(sum(col("n")).as("n_members"),
+          max(struct(col("n"), (lit(0L) - col("label")).as("negl"))).as("__mx"),
+          countDistinct(col("label")).as("n_labels"))
+        .select(col("cell"), col("n_members"),
+          col("__mx.n").as("n_majority"),
+          (lit(0L) - col("__mx.negl")).as("majority_label"),
+          col("n_labels"))
+        .orderBy("cell")
+    }),
+
+    "x_curate_lengthclip" -> ((s, dir) => {
+      // Sketch-driven length clipping: per-language p05/p95 of doc length
+      // from the mergeable quantile sketch (exact regime at fixture
+      // scales — selection-only semantics, so the bounds are actual data
+      // values DuckDB replays by sorted rank), broadcast back as the keep
+      // band. The "trim the length-outlier tails per language" curation
+      // step, with the POLICY derived from a sketch instead of a global
+      // sort.
+      val qa = udaf(new graft.operators.Sketches.QuantileSketchAgg(
+        4096, Seq(0.05, 0.95)), org.apache.spark.sql.Encoders.scalaDouble)
+      val docs = t(s, dir, "documents")
+      val bounds = docs.groupBy(col("lang"))
+        .agg(qa(col("n_chars").cast("double")).as("__qs"),
+          count(lit(1)).as("n_total"))
+        .select(col("lang"),
+          element_at(col("__qs"), 1).cast("long").as("lo_chars"),
+          element_at(col("__qs"), 2).cast("long").as("hi_chars"),
+          col("n_total"))
+      docs.join(broadcast(bounds), Seq("lang"))
+        .filter(col("n_chars") >= col("lo_chars") &&
+          col("n_chars") <= col("hi_chars"))
+        .groupBy(col("lang"))
+        .agg(max(col("lo_chars")).as("lo_chars"),
+          max(col("hi_chars")).as("hi_chars"),
+          count(lit(1)).as("n_kept"),
+          (max(col("n_total")) - count(lit(1))).as("n_dropped"))
+        .orderBy("lang")
+    }),
+
+    "x_ingest_evolution" -> ((s, dir) => {
+      // Schema-evolution ingestion: two parquet "crawl eras" staged with
+      // DIFFERENT schemas (the newer era adds a score column), read as
+      // one corpus via mergeSchema — the absent column surfaces as NULL
+      // for old-era rows instead of failing the scan or silently
+      // dropping files. The per-lang report pins the union semantics;
+      // DuckDB replays with read_parquet(union_by_name).
+      val (v1, v2) = writeEvolutionFixture(s, dir)
+      val merged = s.read.option("mergeSchema", "true").parquet(v1, v2)
+      merged.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("score").isNotNull, 1L).otherwise(0L))
+            .as("n_with_score"),
+          sum(coalesce(col("score"), lit(0L))).as("sum_score"))
+        .orderBy("lang")
     }),
 
     "x_snapshot_diff" -> ((s, dir) => {
@@ -4147,6 +4251,73 @@ object QueryCatalog {
           |FROM ranked CROSS JOIN mx
           |WHERE rank <= 5 AND window_start_ms + 3600000 <= mts
           |ORDER BY window_start_ms, rank""".stripMargin,
+
+      "x_eval_clusters" ->
+        s"""WITH qv AS (
+           |  SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS q
+           |  FROM embeddings),
+           |qn AS (SELECT vec_id, q, list_dot_product(q, q) AS nq2 FROM qv),
+           |cents AS (SELECT vec_id AS cid, q AS cq, nq2 AS nc2 FROM qn
+           |          WHERE nq2 > 0 ORDER BY vec_id LIMIT 16),
+           |scored AS (SELECT v.vec_id, c.cid,
+           |             list_dot_product(v.q, c.cq) / sqrt(c.nc2) AS score
+           |           FROM qn v CROSS JOIN cents c),
+           |assigned AS (SELECT vec_id, cid AS cell FROM (
+           |  SELECT vec_id, cid,
+           |         row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY score DESC, cid) AS rn
+           |  FROM scored) WHERE rn = 1),
+           |counts AS (SELECT cell, label, count(*) AS n
+           |           FROM assigned JOIN embeddings USING (vec_id)
+           |           GROUP BY 1, 2),
+           |ranked AS (SELECT cell, label, n,
+           |             row_number() OVER (PARTITION BY cell
+           |                                ORDER BY n DESC, label) AS rn
+           |           FROM counts),
+           |agg AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_members,
+           |          CAST(count(DISTINCT label) AS BIGINT) AS n_labels
+           |        FROM counts GROUP BY cell)
+           |SELECT a.cell, a.n_members, CAST(r.n AS BIGINT) AS n_majority,
+           |  CAST(r.label AS BIGINT) AS majority_label, a.n_labels
+           |FROM agg a JOIN ranked r ON r.cell = a.cell AND r.rn = 1
+           |ORDER BY a.cell""".stripMargin,
+
+      "x_curate_lengthclip" ->
+        // exact-regime sketch replay: the p05/p95 bounds are the elements
+        // at rank max(1, ceil(q·n)) of the per-language sorted lengths
+        """WITH b AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          |r AS (SELECT lang, n_chars,
+          |        row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk
+          |      FROM documents),
+          |lo AS (SELECT r.lang, CAST(n_chars AS BIGINT) AS lo_chars
+          |       FROM r JOIN b USING (lang)
+          |       -- CAST AS DOUBLE: the sketch computes ceil(q·n) in IEEE
+          |       -- doubles (0.05·100 = 5.000000000000001 → rank 6); a
+          |       -- DECIMAL 0.05 would give the exact 5 and pick the
+          |       -- wrong boundary element
+          |       WHERE rk = greatest(1, CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT))),
+          |hi AS (SELECT r.lang, CAST(n_chars AS BIGINT) AS hi_chars
+          |       FROM r JOIN b USING (lang)
+          |       WHERE rk = greatest(1, CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)))
+          |SELECT d.lang, max(lo_chars) AS lo_chars, max(hi_chars) AS hi_chars,
+          |       CAST(count(*) AS BIGINT) AS n_kept,
+          |       CAST(max(b.n) - count(*) AS BIGINT) AS n_dropped
+          |FROM documents d
+          |JOIN b ON b.lang = d.lang
+          |JOIN lo ON lo.lang = d.lang
+          |JOIN hi ON hi.lang = d.lang
+          |WHERE d.n_chars >= lo_chars AND d.n_chars <= hi_chars
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+      "x_ingest_evolution" ->
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN score IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_with_score,
+           |  CAST(sum(coalesce(score, 0)) AS BIGINT) AS sum_score
+           |FROM read_parquet(['$evoDir/v1.parquet', '$evoDir/v2.parquet'],
+           |                  union_by_name=true)
+           |GROUP BY lang ORDER BY lang""".stripMargin,
 
       "x_event_funnel" ->
         """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
