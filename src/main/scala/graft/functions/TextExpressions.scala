@@ -252,7 +252,75 @@ case class RatioLookup(child: Expression, keys: Array[String],
     copy(child = newChild)
 }
 
+/** Unicode text canonicalization — the normalize-before-hashing step
+  * every dedup/decontamination pipeline needs once the corpus stops
+  * being ASCII: visually-identical strings (composed é vs e+◌́, ﬁ
+  * ligature vs fi, fullwidth vs ASCII digits) must hash identically or
+  * every exact/minhash dedup silently misses them.
+  *
+  * Modes (all public-knowledge Unicode algorithms via
+  * `java.text.Normalizer`):
+  *  - `nfc`  — canonical composition (the web-canonical form);
+  *  - `nfkc` — + compatibility foldings (ligatures, width variants);
+  *  - `fold` — NFKD → strip combining marks (`\p{Mn}`) → ROOT-locale
+  *    lowercase: the aggressive dedup-canonicalization key.
+  *
+  * Runs inside whole-stage codegen via one virtual call per row on the
+  * plan-constant expression object (`addReferenceObj`) — no UDF boxing,
+  * no per-row mode dispatch (the mode resolves once at plan time).
+  */
+case class NormalizeText(child: Expression, mode: String)
+  extends UnaryExpression {
+  require(NormalizeText.Modes.contains(mode),
+    s"normalize_text: unknown mode '$mode' (expected ${NormalizeText.Modes.mkString("/")})")
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"normalize_text requires a string input, got ${other.simpleString(10)}")
+    }
+
+  /** Public so generated code can call it on the referenced object. */
+  def normalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(NormalizeText.run(s.toString, mode))
+
+  override def nullSafeEval(a: Any): Any =
+    normalize(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("normExpr", this,
+      classOf[NormalizeText].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.normalize($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  val Modes: Set[String] = Set("nfc", "nfkc", "fold")
+  private val MnStrip = java.util.regex.Pattern.compile("\\p{Mn}+")
+  def run(s: String, mode: String): String = mode match {
+    case "nfc" =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    case "nfkc" =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+    case "fold" =>
+      MnStrip.matcher(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD))
+        .replaceAll("")
+        .toLowerCase(java.util.Locale.ROOT)
+  }
+}
+
 object TextFunctions {
+  /** Unicode canonicalization of a string column; see [[NormalizeText]]. */
+  def normalize_text(c: Column, mode: String): Column =
+    toColumn(NormalizeText(toExpression(c), mode))
+
   /** Greedy longest-match subword segmentation of a string column against
     * a constant vocab (single-character fallback, lossless concat).
     */

@@ -1778,6 +1778,22 @@ object QueryCatalog {
         .orderBy("window_start_ms", "rank")
     }),
 
+    "x_text_normalize" -> ((s, dir) => {
+      // Unicode canonicalization audit: the fold key (NFKD → strip marks
+      // → ROOT lowercase) every cross-script dedup hashes instead of raw
+      // text, emitted as md5 + changed flag. On the ASCII fixture the
+      // fold is the identity, so the oracle (DuckDB strip_accents ∘
+      // nfc_normalize ∘ lower) validates the plumbing + the ASCII
+      // subset; Unicode behavior (composed/decomposed, ligatures,
+      // fullwidth forms) is spec-pinned in FunctionsSpec.
+      import graft.functions.TextFunctions.normalize_text
+      val folded = normalize_text(col("text"), "fold")
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(folded).as("canon_md5"),
+          when(folded === col("text"), 0L).otherwise(1L).as("changed"))
+        .orderBy("doc_id")
+    }),
+
     "x_text_compress" -> ((s, dir) =>
       // Compression-ratio quality signal (rows-only: deflate output is a
       // JDK-zlib artifact no SQL engine replays; the length relations and
@@ -2018,6 +2034,28 @@ object QueryCatalog {
           countDistinct(col("source")).as("n_sources"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("cell")
+    }),
+
+    "x_export_manifest" -> ((s, dir) => {
+      // Shard manifest — the exactly-what-shipped audit a trainer
+      // validates a delivered dataset against: per deterministic shard,
+      // row count, token/char mass, and an ORDER-INDEPENDENT content
+      // checksum (Σ md5-prefix(id|text) mod P — modular so the partial
+      // sums can merge map-side in any order without overflow; ANSI-mode
+      // long sums would throw on a plain 60-bit sum past 8 rows).
+      val P = 1000000007L
+      val sharded = Curation.shuffleShards(
+        t(s, dir, "documents"), "doc_id", 8)
+      sharded
+        .withColumn("__h", conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit("|"), col("text"))), 1, 15),
+          16, 10).cast("long") % P)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          (sum(col("__h")) % P).as("checksum"))
+        .orderBy("shard")
     }),
 
     "x_eval_clusters" -> ((s, dir) => {
@@ -4252,6 +4290,23 @@ object QueryCatalog {
           |WHERE rank <= 5 AND window_start_ms + 3600000 <= mts
           |ORDER BY window_start_ms, rank""".stripMargin,
 
+      "x_export_manifest" ->
+        """WITH h AS (SELECT doc_id, text,
+          |             md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+          |sh AS (SELECT doc_id, text,
+          |         ('0x' || substr(hx, 1, 15))::BIGINT % 8 AS shard FROM h),
+          |c AS (SELECT shard,
+          |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT
+          |          % 1000000007 AS hv,
+          |        len(string_split(text, ' ')) AS ntok,
+          |        length(text) AS nch
+          |      FROM sh)
+          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+          |  CAST(sum(nch) AS BIGINT) AS n_chars,
+          |  CAST(sum(hv) % 1000000007 AS BIGINT) AS checksum
+          |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
+
       "x_eval_clusters" ->
         s"""WITH qv AS (
            |  SELECT vec_id,
@@ -4318,6 +4373,13 @@ object QueryCatalog {
            |FROM read_parquet(['$evoDir/v1.parquet', '$evoDir/v2.parquet'],
            |                  union_by_name=true)
            |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "x_text_normalize" ->
+        """SELECT doc_id,
+          |  md5(lower(strip_accents(nfc_normalize(text)))) AS canon_md5,
+          |  CAST(CASE WHEN lower(strip_accents(nfc_normalize(text))) = text
+          |       THEN 0 ELSE 1 END AS BIGINT) AS changed
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "x_event_funnel" ->
         """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.Tables
@@ -192,5 +193,41 @@ class FunctionsSpec extends AnyFunSuite {
     val recall = (exact & ivf).size.toDouble / exact.size
     info(f"IVF recall@10 (nlist=16, nprobe=4): $recall%.3f")
     assert(recall >= 0.3, s"recall $recall") // quarter of cells probed
+  }
+
+  test("normalize_text: composed/decomposed, ligatures, width, case, marks") {
+    import graft.functions.TextFunctions.normalize_text
+    val composed = "café"            // é precomposed
+    val decomposed = "café"         // e + combining acute
+    val rows = Seq(
+      (1L, composed), (2L, decomposed),
+      (3L, "ﬁle"),                   // ﬁ ligature + "le"
+      (4L, "１２３"),         // fullwidth 123
+      (5L, "MiXeD CaSe"),
+      (6L, "plain ascii text"),
+      (7L, "")
+    ).toDF("id", "s")
+      .select(col("id"),
+        normalize_text(col("s"), "nfc").as("nfc"),
+        normalize_text(col("s"), "nfkc").as("nfkc"),
+        normalize_text(col("s"), "fold").as("fold"))
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // NFC unifies composed/decomposed; both hash-keys agree
+    assert(rows(1L)._2 == rows(2L)._2 && rows(1L)._2 == composed)
+    assert(rows(1L)._4 == rows(2L)._4)
+    // NFKC expands compatibility forms
+    assert(rows(3L)._3 == "file")
+    assert(rows(4L)._3 == "123" && rows(4L)._4 == "123")
+    // fold: lowercased, accent marks stripped
+    assert(rows(5L)._4 == "mixed case")
+    assert(rows(1L)._4 == "cafe")
+    // ASCII text and empty strings are fixed points of every mode
+    assert(rows(6L)._2 == "plain ascii text" &&
+      rows(6L)._3 == "plain ascii text" && rows(6L)._4 == "plain ascii text")
+    assert(rows(7L)._2 == "" && rows(7L)._4 == "")
+    // unknown mode fails loudly at construction, not per row
+    assertThrows[IllegalArgumentException](
+      Seq(("x")).toDF("s").select(normalize_text(col("s"), "nfd")).collect())
   }
 }
