@@ -41,8 +41,6 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  final case class Merge(rank: Int, lhs: String, rhs: String, count: Long)
-
   /** Corpus word frequencies: whitespace pre-tokenization, optionally
     * keeping only words fully matching `wordPattern` (anchored). The one
     * corpus-scale pass of BPE training.
@@ -169,16 +167,55 @@ object Bpe {
     runMergeLoop(vocab0, numMerges)
   }
 
+  /** WORDPIECE-scored training (Wu et al. 2016 / BERT): the same merge
+    * loop as BPE, but each round picks the pair maximizing
+    * `count(pair) / (count(lhs) · count(rhs))` — likelihood gain of the
+    * merge under a unigram factorization — instead of raw pair count.
+    * Same corpus pass, same vocab-capped rounds, same greedy
+    * left-to-right substitution; with [[train]] (count-scored),
+    * [[trainBytes]] (byte-level) and [[Unigram]] (prune-based) this
+    * completes the classic subword-trainer families.
+    *
+    * Score comparison is CROSS-ENGINE EXACT despite being a ratio: cnt,
+    * lhs_cnt·rhs_cnt are integers ≤ 2⁵³, so the IEEE double division is
+    * correctly rounded from exact operands — Spark and DuckDB compute
+    * bit-identical scores, and the (score desc, lhs, rhs) argmax picks
+    * the same pair. (Two genuinely different rationals closer than one
+    * ulp tie on the double and break by symbol order — identically in
+    * both engines.)
+    *
+    * Returns (merge table with the score's integer factors, final
+    * segmentation) — the emitted columns are all BIGINT/STRING so the
+    * oracle hash-gates the whole run.
+    */
+  def trainWordPiece(docs: DataFrame, textCol: String, numMerges: Int,
+                     maxWords: Int = 10000,
+                     wordPattern: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    require(numMerges >= 1, "trainWordPiece: numMerges must be >= 1")
+    val vocab0 = wordCounts(docs, textCol, wordPattern)
+      .orderBy(desc("freq"), col("word"))
+      .limit(maxWords)
+      .select(col("word"), col("freq"),
+        array_remove(split(col("word"), ""), "").as("syms"))
+      .localCheckpoint(true)
+    runMergeLoop(vocab0, numMerges, wordPiece = true)
+  }
+
   /** The shared merge loop over an initialized (word, freq, syms) vocab
     * table — per round: pair counts, one-row argmax collect, HOF
     * substitution, lineage cut. Char-level [[trainWithVocab]] and
-    * byte-level [[trainBytes]] differ only in how `syms` is seeded.
+    * byte-level [[trainBytes]] differ only in how `syms` is seeded;
+    * `wordPiece = true` swaps the round objective for the
+    * likelihood-gain score (see [[trainWordPiece]]) and adds the score's
+    * integer factors to the merge table.
     */
-  private def runMergeLoop(vocab0: DataFrame,
-                           numMerges: Int): (DataFrame, DataFrame) = {
+  private def runMergeLoop(vocab0: DataFrame, numMerges: Int,
+                           wordPiece: Boolean = false)
+      : (DataFrame, DataFrame) = {
     val spark = vocab0.sparkSession
     var vocab = vocab0
-    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long, Long)]
     var r = 0
     while (r < numMerges) {
       val pairs = vocab.select(col("freq"),
@@ -188,20 +225,48 @@ object Bpe {
             (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum("freq").as("cnt"))
-      val best = pairs.orderBy(desc("cnt"), col("lhs"), col("rhs"))
-        .limit(1).collect()
+      val best =
+        if (!wordPiece)
+          pairs.orderBy(desc("cnt"), col("lhs"), col("rhs"))
+            .withColumn("lc", lit(0L)).withColumn("rc", lit(0L))
+            .select("lhs", "rhs", "cnt", "lc", "rc")
+            .limit(1).collect()
+        else {
+          // per-symbol weighted counts (vocab-sized aggregation, like the
+          // pair counts); both factors ≤ Σfreq·len ≪ 2⁵³
+          val symCnt = vocab
+            .select(explode(col("syms")).as("sym"), col("freq"))
+            .groupBy(col("sym")).agg(sum("freq").as("scnt"))
+          pairs
+            .join(symCnt.select(col("sym").as("lhs"), col("scnt").as("lc")),
+              Seq("lhs"))
+            .join(symCnt.select(col("sym").as("rhs"), col("scnt").as("rc")),
+              Seq("rhs"))
+            .withColumn("__score",
+              col("cnt").cast("double") /
+                (col("lc") * col("rc")).cast("double"))
+            .orderBy(desc("__score"), col("lhs"), col("rhs"))
+            .select("lhs", "rhs", "cnt", "lc", "rc")
+            .limit(1).collect()
+        }
       if (best.isEmpty)
         throw new IllegalStateException(
           s"bpeTrain: corpus exhausted after ${merges.size} merges " +
             s"($numMerges requested) — every word is a single symbol")
-      val Row(l: String, rh: String, c: Long) = best(0)
-      merges += Merge(r + 1, l, rh, c)
+      val Row(l: String, rh: String, c: Long, lc: Long, rc: Long) = best(0)
+      merges += ((r + 1, l, rh, c, lc, rc))
       vocab = vocab.withColumn("syms", mergeFold(col("syms"), l, rh))
         .localCheckpoint(true)
       r += 1
     }
     import spark.implicits._
-    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt"), vocab)
+    val mergeDf =
+      if (wordPiece)
+        merges.toSeq.toDF("merge_rank", "lhs", "rhs", "cnt", "lhs_cnt", "rhs_cnt")
+      else
+        merges.toSeq.map(m => (m._1, m._2, m._3, m._4))
+          .toDF("merge_rank", "lhs", "rhs", "cnt")
+    (mergeDf, vocab)
   }
 
   /** The DuckDB oracle: the IDENTICAL training loop as one generated
@@ -441,7 +506,8 @@ object Bpe {
   }
 
   private def oracleChain(table: String, textCol: String, numMerges: Int,
-                          maxWords: Int, wordPattern: String): String =
+                          maxWords: Int, wordPattern: String,
+                          wordPiece: Boolean = false): String =
     s"""WITH wc AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split($textCol, ' ')) AS w FROM $table)
@@ -450,24 +516,71 @@ object Bpe {
        |),
        |vocab AS MATERIALIZED (SELECT word, freq FROM wc ORDER BY freq DESC, word LIMIT $maxWords),
        |syms0 AS (SELECT word, freq, string_split(word, '') AS syms FROM vocab),
-       |${oracleRounds(numMerges)}""".stripMargin
+       |${oracleRounds(numMerges, wordPiece)}""".stripMargin
+
+  /** Oracle for [[trainWordPiece]]'s merge table: the scored round chain,
+    * emitting the score's integer factors alongside each merge.
+    */
+  def wordPieceOracleSql(table: String, textCol: String, numMerges: Int,
+                         maxWords: Int, wordPattern: String): String = {
+    val union = (1 to numMerges)
+      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, cnt, lc AS lhs_cnt, rc AS rhs_cnt FROM best$r")
+      .mkString("\nUNION ALL\n")
+    oracleChain(table, textCol, numMerges, maxWords, wordPattern,
+      wordPiece = true) +
+      s"""
+         |SELECT merge_rank, lhs, rhs, cnt, lhs_cnt, rhs_cnt FROM (
+         |$union
+         |) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Oracle for [[trainWordPiece]]'s final segmentation table. */
+  def wordPieceSegmentOracleSql(table: String, textCol: String,
+                                numMerges: Int, maxWords: Int,
+                                wordPattern: String): String =
+    oracleChain(table, textCol, numMerges, maxWords, wordPattern,
+      wordPiece = true) +
+      s"""
+         |SELECT word, freq, array_to_string(syms, '|') AS segmentation
+         |FROM syms$numMerges ORDER BY word""".stripMargin
 
   /** The shared per-round relational merge replay (see [[oracleChain]]'s
     * callers for the even-rank-in-run greedy argument).
     */
-  private def oracleRounds(numMerges: Int): String = {
+  private def oracleRounds(numMerges: Int,
+                           wordPiece: Boolean = false): String = {
     val rounds = (1 to numMerges).map { r =>
       val prev = if (r == 1) "syms0" else s"syms${r - 1}"
+      val bestCte =
+        if (!wordPiece)
+          s"""best$r AS MATERIALIZED (
+             |  SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+             |  FROM pos$r WHERE nxt IS NOT NULL
+             |  GROUP BY sym, nxt ORDER BY cnt DESC, lhs, rhs LIMIT 1
+             |)""".stripMargin
+        else
+          // WordPiece round objective: cnt/(lc·rc), compared as the IEEE
+          // double division of exact integers — bit-identical to Spark
+          s"""sc$r AS MATERIALIZED (
+             |  SELECT sym, CAST(SUM(freq) AS BIGINT) AS scnt
+             |  FROM pos$r GROUP BY sym
+             |),
+             |best$r AS MATERIALIZED (
+             |  SELECT lhs, rhs, cnt, l.scnt AS lc, rr.scnt AS rc
+             |  FROM (SELECT sym AS lhs, nxt AS rhs,
+             |          CAST(SUM(freq) AS BIGINT) AS cnt
+             |        FROM pos$r WHERE nxt IS NOT NULL GROUP BY sym, nxt) p
+             |  JOIN sc$r l ON l.sym = p.lhs
+             |  JOIN sc$r rr ON rr.sym = p.rhs
+             |  ORDER BY CAST(cnt AS DOUBLE) / CAST(lc * rc AS DOUBLE) DESC,
+             |           lhs, rhs LIMIT 1
+             |)""".stripMargin
       s"""pos$r AS MATERIALIZED (
          |  SELECT word, freq, i, syms[i] AS sym,
          |         lead(syms[i]) OVER (PARTITION BY word ORDER BY i) AS nxt
          |  FROM $prev, UNNEST(range(1, len(syms)+1)) AS u(i)
          |),
-         |best$r AS MATERIALIZED (
-         |  SELECT sym AS lhs, nxt AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
-         |  FROM pos$r WHERE nxt IS NOT NULL
-         |  GROUP BY sym, nxt ORDER BY cnt DESC, lhs, rhs LIMIT 1
-         |),
+         |$bestCte,
          |mg$r AS (
          |  SELECT word, freq, i, sym, mt,
          |         CASE WHEN mt = 1 AND (ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) - 1) % 2 = 0

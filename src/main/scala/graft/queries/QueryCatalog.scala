@@ -1794,6 +1794,20 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_dedup_canonical" -> ((s, dir) => {
+      // Exact dedup under the CANONICALIZATION key instead of raw text:
+      // groups agree whenever their fold keys agree (catches case/width/
+      // mark variants raw exact dedup misses). Same hash-aggregate
+      // shape as x_dedup_exact, keyed on the codegen'd fold expression.
+      import graft.functions.TextFunctions.normalize_text
+      val canon = t(s, dir, "documents")
+        .select(col("doc_id"), normalize_text(col("text"), "fold").as("__k"))
+      canon.groupBy(col("__k"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
     "x_text_compress" -> ((s, dir) =>
       // Compression-ratio quality signal (rows-only: deflate output is a
       // JDK-zlib artifact no SQL engine replays; the length relations and
@@ -1859,7 +1873,12 @@ object QueryCatalog {
       // quarantine semantics, not just the fixture round trip.
       val path = writeJsonlStageFixture(s, dir)
       readJsonlStage(s, path)
-        .filter(col("_corrupt_record").isNull)
+        // the doc_id conjunct keeps a DATA column referenced even when a
+        // count() prunes the projection away — a filter touching ONLY
+        // _corrupt_record is disallowed on raw JSON reads (Spark's
+        // corrupt-record rule) and failed the bench's count-only run;
+        // semantically identical (quarantined rows parse doc_id as null)
+        .filter(col("_corrupt_record").isNull && col("doc_id").isNotNull)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),
@@ -2736,6 +2755,26 @@ object QueryCatalog {
       graft.operators.Bpe.train(t(s, dir, "documents"), "text",
           numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
         .orderBy("merge_rank")),
+
+    "x_wordpiece_train" -> ((s, dir) =>
+      // WORDPIECE training (Wu et al. / BERT): the BPE loop with the
+      // likelihood-gain objective cnt/(cnt_lhs·cnt_rhs) per round —
+      // scores compared as IEEE double divisions of exact integers, so
+      // the argmax is bit-identical cross-engine and the whole 12-round
+      // run hash-verifies. Emits the score's integer factors per merge.
+      graft.operators.Bpe.trainWordPiece(t(s, dir, "documents"), "text",
+          numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))._1
+        .orderBy("merge_rank")),
+
+    "x_wordpiece_segment" -> ((s, dir) =>
+      // The WordPiece-trained segmentation of the vocab table (tokens
+      // joined with '|'): the trainer's second output surface, replayed
+      // by the same scored CTE chain.
+      graft.operators.Bpe.trainWordPiece(t(s, dir, "documents"), "text",
+          numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))._2
+        .select(col("word"), col("freq"),
+          array_join(col("syms"), "|").as("segmentation"))
+        .orderBy("word")),
 
     "x_bpe_bytes" -> ((s, dir) =>
       // BYTE-LEVEL BPE (the GPT-2/tiktoken family): GPT-2-style regex
@@ -4374,6 +4413,13 @@ object QueryCatalog {
            |                  union_by_name=true)
            |GROUP BY lang ORDER BY lang""".stripMargin,
 
+      "x_dedup_canonical" ->
+        """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+          |FROM (SELECT doc_id,
+          |        lower(strip_accents(nfc_normalize(text))) AS k
+          |      FROM documents)
+          |GROUP BY k ORDER BY doc_id""".stripMargin,
+
       "x_text_normalize" ->
         """SELECT doc_id,
           |  md5(lower(strip_accents(nfc_normalize(text)))) AS canon_md5,
@@ -4615,6 +4661,14 @@ object QueryCatalog {
 
       "x_bpe_train" ->
         graft.operators.Bpe.oracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
+
+      "x_wordpiece_train" ->
+        graft.operators.Bpe.wordPieceOracleSql("documents", "text",
+          numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
+
+      "x_wordpiece_segment" ->
+        graft.operators.Bpe.wordPieceSegmentOracleSql("documents", "text",
           numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+"),
 
       "x_bpe_bytes" ->

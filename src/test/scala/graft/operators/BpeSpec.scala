@@ -118,4 +118,25 @@ class BpeSpec extends AnyFunSuite {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(m == Seq((1, "z", "z", 2L)))
   }
+
+  test("WordPiece objective diverges from raw-count BPE where it should") {
+    // pair (a,b) is the most FREQUENT (10) but sits between very common
+    // symbols (a: 100, b: 100 → score 10/10000); pair (x,y) is rare (3)
+    // but exclusive (x: 3, y: 3 → score 3/9). Count-scored BPE merges
+    // (a,b); likelihood-scored WordPiece must merge (x,y).
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(90)("a") ++
+      Seq.fill(90)("b") ++ Seq.fill(3)("xy")).mkString(" ")
+    val docs = corpus(text)
+    val bpe = Bpe.train(docs, "text", 1, wordPattern = Some("[a-z]+"))
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(bpe == Seq((1, "a", "b", 10L)))
+    val (wp, seg) = Bpe.trainWordPiece(docs, "text", 1,
+      wordPattern = Some("[a-z]+"))
+    val wpm = wp.as[(Int, String, String, Long, Long, Long)].collect().toSeq
+    assert(wpm == Seq((1, "x", "y", 3L, 3L, 3L)))
+    // and the substitution actually applied to the vocab table
+    val xy = seg.filter(col("word") === "xy")
+      .select(array_join(col("syms"), "|")).as[String].head()
+    assert(xy == "xy")
+  }
 }

@@ -23,6 +23,17 @@ class CatalogConsistencySpec extends AnyFunSuite {
     assert((oracles.keySet -- all.keySet).isEmpty)
   }
 
+  test("corrupt-record quarantine query survives count-only execution") {
+    // The bench times every entry as fn(...).count(): column pruning can
+    // reduce a raw-JSON read to referencing ONLY _corrupt_record, which
+    // Spark disallows (this failed the r8 bench once). Pin the
+    // count-only path, not just the full-projection Verify path.
+    val spark = graft.SparkTestBase.spark
+    val n = all("x_ingest_jsonl")(spark, "/root/testdata/sf0.001").count()
+    val r = all("x_ingest_jsonl_report")(spark, "/root/testdata/sf0.001").count()
+    assert(n > 0 && r > 0)
+  }
+
   test("rows-only queries are exactly the known approximate/stub set") {
     assert(all.keySet -- oracles.keySet == Set(
       "x_approx_distinct",   // HLL sketch (engine-specific)
