@@ -1924,6 +1924,19 @@ object QueryCatalog {
         .orderBy("window_start_ms")
     }),
 
+    "x_stream_latedata" -> ((s, dir) => {
+      // Late-data accounting through a REAL two-micro-batch stream: the
+      // second batch replays early events behind the advanced watermark
+      // and the report carries numRowsDroppedByWatermark — the metric a
+      // production stream alerts on. Rows-only by design (the drop
+      // counter is engine telemetry, not SQL-replayable); emitted-window
+      // integrity vs the batch aggregation is spec-pinned
+      // (LateDataSpec).
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      graft.streaming.LateData.runOnce(s, dir)
+    }),
+
     "x_stream_quantiles" -> ((s, dir) => {
       // Streaming per-window value percentiles (p50/p90/p99) through a
       // REAL stream via the mergeable quantile sketch as window state.
@@ -2382,6 +2395,30 @@ object QueryCatalog {
           budgeted.select("doc_id", "lang", "n_tokens", "cum_before"),
           "doc_id", 4)
         .orderBy("doc_id")
+    }),
+
+    "x_pipeline_observe" -> ((s, dir) => {
+      // In-flight pipeline observability via Spark's observe() API:
+      // input-side metrics (row count, char mass) accumulate DURING the
+      // same pass that computes the gated output — accumulator-backed,
+      // NO second scan of the input. At 100 TB this is the difference
+      // between metrics-for-free and re-reading the corpus to count it.
+      // The four scalars are bounded metadata (an Observation row, like
+      // the BPE argmax), not row data.
+      val docs = t(s, dir, "documents")
+      val obs = org.apache.spark.sql.Observation(s"curate_obs_${System.nanoTime()}")
+      val gated = docs
+        .observe(obs, count(lit(1)).as("n_in"),
+          sum(length(col("text"))).cast("long").as("chars_in"))
+        .filter(col("n_chars") >= 100)
+      val out = gated.agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("text"), " "))).cast("long").as("tokens_kept"))
+        .head()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_in").asInstanceOf[Long], m("chars_in").asInstanceOf[Long],
+        out.getLong(0), out.getLong(1)))
+        .toDF("n_in", "chars_in", "n_kept", "tokens_kept")
     }),
 
     "x_pipeline_funnel" -> ((s, dir) =>
@@ -4426,6 +4463,14 @@ object QueryCatalog {
           |  CAST(CASE WHEN lower(strip_accents(nfc_normalize(text))) = text
           |       THEN 0 ELSE 1 END AS BIGINT) AS changed
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "x_pipeline_observe" ->
+        """SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_in,
+          |  (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) AS chars_in,
+          |  CAST(count(*) AS BIGINT) AS n_kept,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_kept
+          |FROM documents WHERE n_chars >= 100""".stripMargin,
 
       "x_event_funnel" ->
         """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

@@ -55,6 +55,7 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_decontam_bloom",      // bloom-filter bits not SQL-replayable; spec-pinned
       "x_corpus_overlap_fast", // xx64 production config, spec-pinned vs exact
       "x_text_compress",       // JDK-zlib output sizes, spec-pinned monotonicity
+      "x_stream_latedata",     // engine drop-telemetry, spec-pinned integrity
       "x_multimodal_imagehash") // real BMP decode → aHash, pinned by ImageHashSpec
     )
   }
