@@ -278,6 +278,21 @@ object BenchSf1 {
           graft.operators.Multimodal.resizeImages(jpegs, "doc_id", 6, 4),
           "doc_id").count()
       }),
+      // WordPiece training: model size (merge count) is policy; only the
+      // one-pass word count grows — rounds run on the capped vocab table
+      // at every scale, like bpe_train/unigram_train
+      "wordpiece_train" -> ((dir, _) =>
+        graft.operators.Bpe.trainWordPiece(docs(spark, dir), "text",
+          numMerges = 8, maxWords = 5000,
+          wordPattern = Some("[a-z]+x?[0-9]*"))._1.count()),
+      // event analytics: every stage join keyed on user_id; users grow
+      // 10× (copy-unique), events per user constant — linear shuffles
+      "event_funnel" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("x_event_funnel")(spark, dir)
+          .count()),
+      "cohort_retention" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("x_cohort_retention")(spark, dir)
+          .count()),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)
