@@ -176,13 +176,16 @@ object Bpe {
     * [[trainBytes]] (byte-level) and [[Unigram]] (prune-based) this
     * completes the classic subword-trainer families.
     *
-    * Score comparison is CROSS-ENGINE EXACT despite being a ratio: cnt,
-    * lhs_cnt·rhs_cnt are integers ≤ 2⁵³, so the IEEE double division is
-    * correctly rounded from exact operands — Spark and DuckDB compute
+    * Score comparison is CROSS-ENGINE DETERMINISTIC despite being a
+    * ratio: each factor (cnt, lhs_cnt, rhs_cnt) is an integer ≤ 2⁵³,
+    * exactly representable as a double; the product and division are
+    * single correctly-rounded IEEE ops — Spark and DuckDB compute
     * bit-identical scores, and the (score desc, lhs, rhs) argmax picks
-    * the same pair. (Two genuinely different rationals closer than one
-    * ulp tie on the double and break by symbol order — identically in
-    * both engines.)
+    * the same pair. (Each factor is cast to double BEFORE multiplying —
+    * the integer product lc·rc could exceed 2⁶³ at corpus scale, where
+    * Spark would wrap and DuckDB would raise. Two genuinely different
+    * rationals closer than one ulp tie on the double and break by
+    * symbol order — identically in both engines.)
     *
     * Returns (merge table with the score's integer factors, final
     * segmentation) — the emitted columns are all BIGINT/STRING so the
@@ -242,9 +245,14 @@ object Bpe {
               Seq("lhs"))
             .join(symCnt.select(col("sym").as("rhs"), col("scnt").as("rc")),
               Seq("rhs"))
+            // each FACTOR is cast to double before multiplying: the long
+            // product lc·rc can exceed 2⁶³ on a web-scale corpus (Spark
+            // would wrap silently, DuckDB would raise); double×double
+            // cannot overflow and both engines round the product
+            // identically from exactly-represented ≤2⁵³ factors
             .withColumn("__score",
               col("cnt").cast("double") /
-                (col("lc") * col("rc")).cast("double"))
+                (col("lc").cast("double") * col("rc").cast("double")))
             .orderBy(desc("__score"), col("lhs"), col("rhs"))
             .select("lhs", "rhs", "cnt", "lc", "rc")
             .limit(1).collect()
@@ -572,7 +580,8 @@ object Bpe {
              |        FROM pos$r WHERE nxt IS NOT NULL GROUP BY sym, nxt) p
              |  JOIN sc$r l ON l.sym = p.lhs
              |  JOIN sc$r rr ON rr.sym = p.rhs
-             |  ORDER BY CAST(cnt AS DOUBLE) / CAST(lc * rc AS DOUBLE) DESC,
+             |  ORDER BY CAST(cnt AS DOUBLE)
+             |             / (CAST(lc AS DOUBLE) * CAST(rc AS DOUBLE)) DESC,
              |           lhs, rhs LIMIT 1
              |)""".stripMargin
       s"""pos$r AS MATERIALIZED (

@@ -1342,7 +1342,17 @@ object Dedup {
     val shd = shingles(docs, groupCol, textCol, n)
     val sig = signaturesFromShingles(shd, groupCol, numHashes, base)
     val sizes = shd.groupBy(col(groupCol)).agg(count(lit(1)).as("n_sh"))
-    val side = sig.join(sizes, Seq(groupCol))
+    // EVERY group appears, even one whose documents are all too short to
+    // shingle (no signature): its pairs report n_sh = 0 / 0 matches —
+    // an absent row would silently read as "no overlap" when the truth
+    // is "never measured"
+    val groups = docs.select(col(groupCol)).distinct()
+    val side = groups
+      .join(sig, Seq(groupCol), "left")
+      .join(sizes, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(col("sig"), array().cast("array<long>")).as("sig"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"))
     val lhs = side.select(col(groupCol).as("a"), col("sig").as("sa"),
       col("n_sh").as("n_sh_a"))
     val rhs = side.select(col(groupCol).as("b"), col("sig").as("sb"),

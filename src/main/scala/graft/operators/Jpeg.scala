@@ -532,17 +532,28 @@ object Jpeg {
     def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
 
     while (!sosSeen) {
-      require(pos + 4 <= bytes.length, "truncated JPEG (marker)")
+      require(pos + 2 <= bytes.length, "truncated JPEG (marker)")
       require((bytes(pos) & 0xff) == 0xff,
         f"bad marker alignment at $pos: 0x${bytes(pos) & 0xff}%02x")
-      val m = bytes(pos + 1) & 0xff
-      val segLen = u16(pos + 2)
-      val body = pos + 4
-      require(pos + 2 + segLen <= bytes.length, f"truncated JPEG segment 0x$m%02x")
+      // any number of 0xFF FILL bytes may precede the marker code
+      // (T.81 B.1.1.2) — some encoders pad with them
+      var mp = pos + 1
+      while (mp < bytes.length && (bytes(mp) & 0xff) == 0xff) mp += 1
+      require(mp < bytes.length, "truncated JPEG (marker)")
+      val m = bytes(mp) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // length-less markers (TEM, stray RSTn): no segment to read
+        pos = mp + 1
+      } else {
+      require(mp + 3 <= bytes.length, "truncated JPEG (segment length)")
+      val segLen = u16(mp + 1)
+      val body = mp + 3
+      val segEnd = mp + 1 + segLen
+      require(segEnd <= bytes.length, f"truncated JPEG segment 0x$m%02x")
       m match {
         case 0xdb => // DQT: one or more tables
           var p = body
-          while (p < pos + 2 + segLen) {
+          while (p < segEnd) {
             val pq = (bytes(p) >> 4) & 0x0f
             val tq = bytes(p) & 0x0f
             require(pq == 0, "12/16-bit quantization tables not supported")
@@ -559,9 +570,16 @@ object Jpeg {
           require(nc == 1 || nc == 3, s"unsupported component count $nc")
           comps = Array.tabulate(nc) { c =>
             val p = body + 6 + 3 * c
-            val comp = Component(bytes(p) & 0xff,
-              (bytes(p + 1) >> 4) & 0x0f, bytes(p + 1) & 0x0f,
-              bytes(p + 2) & 0x0f)
+            // a SINGLE-component scan is non-interleaved per T.81 A.2.3:
+            // its MCU is ONE data unit regardless of the declared
+            // sampling factors (they only scale components against each
+            // other) — decoding a 2×2-declared grayscale interleaved
+            // would desync the Huffman stream on a valid file
+            val comp =
+              if (nc == 1) Component(bytes(p) & 0xff, 1, 1, bytes(p + 2) & 0x0f)
+              else Component(bytes(p) & 0xff,
+                (bytes(p + 1) >> 4) & 0x0f, bytes(p + 1) & 0x0f,
+                bytes(p + 2) & 0x0f)
             require(comp.hSamp >= 1 && comp.hSamp <= 2 &&
               comp.vSamp >= 1 && comp.vSamp <= 2,
               s"unsupported sampling ${comp.hSamp}x${comp.vSamp}")
@@ -574,7 +592,7 @@ object Jpeg {
             f"unsupported SOF type 0x$c%02x (baseline only)")
         case 0xc4 => // DHT: one or more tables
           var p = body
-          while (p < pos + 2 + segLen) {
+          while (p < segEnd) {
             val tc = (bytes(p) >> 4) & 0x0f
             val th = bytes(p) & 0x0f
             val bits = new Array[Int](17)
@@ -610,7 +628,8 @@ object Jpeg {
           sosSeen = true
         case _ => () // APPn / COM / other ancillary segments skipped
       }
-      pos += 2 + segLen // for SOS this lands exactly on the entropy data
+      pos = segEnd // for SOS this lands exactly on the entropy data
+      }
     }
 
     require(width > 0 && height > 0, "bad dimensions")

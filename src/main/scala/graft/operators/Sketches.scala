@@ -268,6 +268,11 @@ object Sketches {
       b.foldLeft(a)(insert)
     // invariant: sorted ascending, distinct, size ≤ capacity
     private def insert(b: Seq[Long], h: Long): Seq[Long] = {
+      // O(1) hot path: once the buffer is full, the overwhelming
+      // majority of inputs exceed the k-th minimum — reject on the tail
+      // element before the O(capacity) scan (indexWhere would otherwise
+      // walk the whole buffer per row just to conclude "too large")
+      if (b.size >= capacity && h >= b.last) return b
       val i = b.indexWhere(_ >= h)
       if (i >= 0 && b(i) == h) b // already present
       else if (i < 0 && b.size >= capacity) b // larger than the k-th min

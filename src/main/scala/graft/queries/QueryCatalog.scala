@@ -582,29 +582,13 @@ object QueryCatalog {
     */
   private val evoDir = "/tmp/graft_evo"
   private def writeEvolutionFixture(s: SparkSession, dir: String): (String, String) = synchronized {
-    def rmRec(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(q => java.nio.file.Files.deleteIfExists(q))
-        finally walk.close()
-      }
-    def writeOne(df: DataFrame, name: String): String = {
-      val tmp = s"$evoDir/__tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val target = java.nio.file.Paths.get(s"$evoDir/$name.parquet")
-      java.nio.file.Files.deleteIfExists(target)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath, target)
-      rmRec(java.nio.file.Paths.get(tmp))
-      target.toString
-    }
     val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
-    val v1 = writeOne(docs.filter(col("doc_id") % 2 === 0), "v1")
-    val v2 = writeOne(docs.filter(col("doc_id") % 2 =!= 0)
-      .withColumn("score", (col("n_chars") * 2).cast("long")), "v2")
+    val v1 = graft.core.ParquetStage.stageSingleFile(
+      docs.filter(col("doc_id") % 2 === 0), evoDir, "v1")
+    val v2 = graft.core.ParquetStage.stageSingleFile(
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("score", (col("n_chars") * 2).cast("long")),
+      evoDir, "v2")
     (v1, v2)
   }
 
@@ -3526,22 +3510,28 @@ object QueryCatalog {
            |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $lshP AS h1m,
            |  ('0x' || substr(md5(shingle), 17, 15))::BIGINT % $lshP AS h2m
            |  FROM shd),
+           |srcs AS (SELECT DISTINCT source FROM documents),
            |sig AS (SELECT source, $lshSigSql FROM shh GROUP BY source),
            |sizes AS (SELECT source, count(*) AS n_sh FROM shd GROUP BY source),
            |common AS (SELECT a.source AS a, b.source AS b, count(*) AS n_common
            |             FROM shd a JOIN shd b
            |               ON a.shingle = b.shingle AND a.source < b.source
            |             GROUP BY 1, 2)
-           |SELECT sa.source AS a, sb.source AS b,
+           |-- pairs enumerate from the full group list (LEFT JOINs): a
+           |-- group whose docs are all too short to shingle still rows
+           |-- out with n_sh 0 / 0 matches instead of vanishing
+           |SELECT a.source AS a, b.source AS b,
            |  CAST($lshNumHashes AS BIGINT) AS n_hashes,
            |  CAST($overlapMatchSql AS BIGINT) AS n_matches,
-           |  CAST(za.n_sh AS BIGINT) AS n_sh_a,
-           |  CAST(zb.n_sh AS BIGINT) AS n_sh_b,
+           |  CAST(coalesce(za.n_sh, 0) AS BIGINT) AS n_sh_a,
+           |  CAST(coalesce(zb.n_sh, 0) AS BIGINT) AS n_sh_b,
            |  CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common
-           |FROM sig sa JOIN sig sb ON sa.source < sb.source
-           |JOIN sizes za ON za.source = sa.source
-           |JOIN sizes zb ON zb.source = sb.source
-           |LEFT JOIN common c ON c.a = sa.source AND c.b = sb.source
+           |FROM srcs a JOIN srcs b ON a.source < b.source
+           |LEFT JOIN sig sa ON sa.source = a.source
+           |LEFT JOIN sig sb ON sb.source = b.source
+           |LEFT JOIN sizes za ON za.source = a.source
+           |LEFT JOIN sizes zb ON zb.source = b.source
+           |LEFT JOIN common c ON c.a = a.source AND c.b = b.source
            |ORDER BY a, b""".stripMargin,
 
       "x_dedup_editdist" ->

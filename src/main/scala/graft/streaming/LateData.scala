@@ -4,57 +4,52 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Late-data ACCOUNTING: how many rows the watermark dropped, per query
-  * — the monitoring surface a production stream alerts on (a sudden
-  * spike in `numRowsDroppedByWatermark` means an upstream producer fell
-  * behind the horizon and data is silently vanishing from every
-  * windowed aggregate).
+import graft.core.ParquetStage
+
+/** Late-data ACCOUNTING: what the watermark dropped, per query — the
+  * monitoring surface a production stream alerts on (a sudden spike in
+  * `numRowsDroppedByWatermark` means an upstream producer fell behind
+  * the horizon and data is silently vanishing from every windowed
+  * aggregate).
   *
   * The engine exposes this through `StreamingQueryProgress`
   * (`stateOperators.numRowsDroppedByWatermark`) — no custom state, no
-  * second pass; the replay harness stages the corpus as two files and
-  * runs one-file-per-micro-batch, so the second batch's replayed early
-  * events genuinely arrive behind the advanced watermark and are
-  * genuinely dropped, exactly as a late producer's would be.
+  * second pass. TWO metric caveats a monitor must know, both baked
+  * into this harness and its spec:
+  *
+  *  1. The data-late filter applies the watermark the engine had
+  *     OBSERVED before the batch — one batch after it is computed — so
+  *     late data arriving in the very next batch slips the filter (and
+  *     re-emits its windows as duplicate append rows).
+  *  2. The counter counts state-store INPUTS dropped, i.e. per-batch
+  *     PARTIAL AGGREGATES, not raw input rows: with map-side partial
+  *     aggregation, N late rows spread over W windows inside one
+  *     micro-batch report as W drops, and late rows landing in a
+  *     still-open window are not dropped at all. The counter is a
+  *     lateness SIGNAL (zero ⇔ nothing late), not a lost-row census —
+  *     a dashboard that plots it as "rows lost" under-reports.
   */
 object LateData {
 
   /** Hourly event counts with late-arrival accounting over a staged
-    * three-batch replay (see the staging comment below for why three).
+    * three-micro-batch replay (see the staging comment below for why
+    * three).
     *
-    * Returns ONE row: (n_batches, rows_dropped_late, n_windows,
-    * n_rows_counted) — rows_dropped_late = the replayed row count is
-    * the accounting working; n_windows/n_rows_counted equal the batch
-    * truth (late replays never corrupt the emitted aggregates).
+    * Returns ONE row: (n_batches, late_partials_dropped, n_windows,
+    * n_rows_counted) — late_partials_dropped is the drop telemetry
+    * firing (= the number of distinct closed windows the late replay
+    * touched, per caveat 2 above); n_windows/n_rows_counted equal the
+    * batch truth (the late replay never corrupts emitted aggregates).
     */
   def runOnce(spark: SparkSession, dir: String,
               stageDir: String = "/tmp/graft_latedata",
               lateFraction: Int = 10): DataFrame = {
     val ev = graft.api.Tables.load(spark, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
-    def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$stageDir/__tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val target = java.nio.file.Paths.get(s"$stageDir/$name.parquet")
-      java.nio.file.Files.deleteIfExists(target)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath, target)
-      // explicit mtimes force the file-source processing order:
-      // full corpus first, late replay second
-      target.toFile.setLastModified(mtime)
-      def rm(p: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(q => java.nio.file.Files.deleteIfExists(q))
-        finally walk.close()
-      }
-      rm(java.nio.file.Paths.get(tmp))
-    }
-    // clean slate: stale files from a previous run would join the stream
-    val root = new java.io.File(stageDir)
-    if (root.exists()) root.listFiles().foreach(_.delete())
+    // clean slate: stale files (including a crashed run's leftover
+    // __tmp_* DIRECTORY, which a flat delete would silently skip) would
+    // join the new stream and inflate every window
+    ParquetStage.rmRec(stageDir)
     // Three micro-batches, because the data-late filter applies the
     // watermark the engine had OBSERVED before the batch — one batch
     // after it is computed (verified empirically: a replay arriving in
@@ -64,13 +59,14 @@ object LateData {
     //     information (its rows land in the final never-emitted-in-
     //     append window) but lets the engine observe the watermark;
     //  3. the late replay — now genuinely behind the observed watermark
-    //     and dropped row-for-row, exactly as a late producer's would be.
+    //     and dropped, exactly as a late producer's rows would be.
     val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    stageOne(ev, "ontime", 1000000L)
-    stageOne(ev.filter(col("ts") === lit(mx)), "heartbeat", 2000000L)
-    stageOne(ev.filter(col("event_id") % lateFraction === 0 &&
-        col("ts") < lit(mx)),
-      "late_replay", 3000000L)
+    ParquetStage.stageSingleFile(ev, stageDir, "ontime", Some(1000000L))
+    ParquetStage.stageSingleFile(ev.filter(col("ts") === lit(mx)),
+      stageDir, "heartbeat", Some(2000000L))
+    ParquetStage.stageSingleFile(
+      ev.filter(col("event_id") % lateFraction === 0 && col("ts") < lit(mx)),
+      stageDir, "late_replay", Some(3000000L))
 
     val schema = spark.read.parquet(s"$stageDir/ontime.parquet").schema
     val raw = spark.readStream.schema(schema)
@@ -95,6 +91,7 @@ object LateData {
     val nCounted = emitted.agg(sum(col("n_events"))).head().getLong(0)
     import spark.implicits._
     Seq((progress.length.toLong, dropped, nWindows, nCounted))
-      .toDF("n_batches", "rows_dropped_late", "n_windows", "n_rows_counted")
+      .toDF("n_batches", "late_partials_dropped", "n_windows",
+        "n_rows_counted")
   }
 }

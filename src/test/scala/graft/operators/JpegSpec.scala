@@ -113,6 +113,34 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.decode("definitely text".getBytes("UTF-8")))
   }
 
+  test("spec-legal variations decode: fill bytes, TEM, gray with 2x2 sampling") {
+    val base = Jpeg.encodeGray(ramp(16, 16))
+    val reference = Jpeg.decode(base)._1
+    def findMarker(bs: Array[Byte], m: Int): Int =
+      bs.indices.dropRight(1).find(i =>
+        (bs(i) & 0xff) == 0xff && (bs(i + 1) & 0xff) == m).get
+    def insertAt(bs: Array[Byte], at: Int, ins: Array[Byte]): Array[Byte] =
+      bs.take(at) ++ ins ++ bs.drop(at)
+    // 0xFF fill bytes before a marker (T.81 B.1.1.2)
+    val dht = findMarker(base, 0xc4)
+    val filled = insertAt(base, dht, Array(0xff.toByte, 0xff.toByte))
+    assert(Jpeg.decode(filled)._1.rgb.sameElements(reference.rgb))
+    assert(Jpeg.decode(filled)._2 == filled.length)
+    // a stray length-less TEM marker between segments
+    val dqt = findMarker(base, 0xdb)
+    val temmed = insertAt(base, dqt, Array(0xff.toByte, 0x01.toByte))
+    assert(Jpeg.decode(temmed)._1.rgb.sameElements(reference.rgb))
+    // grayscale declaring 2x2 sampling: a 1-component scan is
+    // NON-interleaved per T.81 A.2.3 — the declared factors must not
+    // change the decode (interleaved reading would desync Huffman)
+    val sof = findMarker(base, 0xc0)
+    val sampOff = sof + 2 + 2 + 6 + 1 // marker, len, prec+dims+nc, comp id
+    assert((base(sampOff) & 0xff) == 0x11)
+    val gray22 = base.clone()
+    gray22(sampOff) = 0x22.toByte
+    assert(Jpeg.decode(gray22)._1.rgb.sameElements(reference.rgb))
+  }
+
   test("JPEG payloads route through the shared RGB surface like BMP/PNG") {
     val img = ramp(32, 8)
     val viaJpeg = Jpeg.decode(Jpeg.encode(img))._1

@@ -69,6 +69,25 @@ class OperatorSpec extends AnyFunSuite {
       assert(math.abs(exact(k)._1 - est) <= 0.15, s"xx64 estimate $est vs exact ${exact(k)._1}") }
   }
 
+  test("corpusOverlap: a group too short to shingle still rows out, marked unmeasured") {
+    val fix = Seq(
+      (1L, "alpha beta gamma delta epsilon", "g1"),
+      (2L, "alpha beta gamma other words", "g2"),
+      (3L, "xy", "g3") // < 3 words: no shingles at all
+    ).toDF("doc_id", "text", "src")
+    val out = Dedup.corpusOverlap(fix, "src", "text", verifyExact = true)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("n_sh_a"),
+         r.getAs[Long]("n_sh_b"), r.getAs[Long]("n_common")))).toMap
+    // all 3 pairs present — g3 did NOT vanish from the matrix
+    assert(out.keySet == Set(("g1", "g2"), ("g1", "g3"), ("g2", "g3")))
+    // g3's pairs are visibly unmeasured (n_sh = 0), not "zero overlap"
+    assert(out(("g1", "g3")) == ((0L, 3L, 0L, 0L)))
+    assert(out(("g2", "g3")) == ((0L, 3L, 0L, 0L)))
+    // and the measured pair genuinely overlaps
+    assert(out(("g1", "g2"))._4 > 0L)
+  }
+
   test("ANN LSH recall vs brute force is usable (>= 0.5 @ k=10)") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)

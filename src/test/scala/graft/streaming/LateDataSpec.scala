@@ -39,10 +39,20 @@ class LateDataSpec extends AnyFunSuite {
     assert(nCounted == batchRows,
       s"emitted row mass $nCounted vs batch truth $batchRows " +
         "(late replay leaked into an emitted window)")
-    // and the drop count is exactly the replayed late rows, row for row
-    val lateTruth = ev
+    // The counter counts state-store INPUT PARTIALS dropped, not raw
+    // rows: the late batch's rows pre-aggregate map-side, so the exact
+    // expectation is the number of DISTINCT closed windows the replay
+    // touched (== rows only when every late row lands in its own
+    // window — true at sf0.001's ~1.4 events/hour, which is why a naive
+    // rows==drops assertion would pass here and lie at every denser
+    // scale).
+    val lateWindows = graft.core.TimestampNorm.normalizeEventTime(
+        ev.filter(col("event_id") % 10 === 0 && col("ts") < lit(mx)))
+      .select(date_trunc("hour", col("ts"))).distinct().count()
+    assert(dropped == lateWindows,
+      s"dropped $dropped partials vs distinct late windows $lateWindows")
+    val lateRows = ev
       .filter(col("event_id") % 10 === 0 && col("ts") < lit(mx)).count()
-    assert(dropped == lateTruth,
-      s"dropped $dropped vs late-replay truth $lateTruth")
+    assert(dropped <= lateRows, "partials can never exceed raw late rows")
   }
 }

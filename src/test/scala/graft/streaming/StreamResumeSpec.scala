@@ -27,32 +27,14 @@ class StreamResumeSpec extends AnyFunSuite {
   private val stageDir = "/tmp/graft_resume_stage"
   private val ckptDir = "/tmp/graft_resume_ckpt"
 
-  private def rmRec(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(q => java.nio.file.Files.deleteIfExists(q))
-      finally walk.close()
-    }
-  }
-
-  private def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
-    val tmp = s"$stageDir/__tmp_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val target = java.nio.file.Paths.get(s"$stageDir/$name.parquet")
-    java.nio.file.Files.deleteIfExists(target)
-    val part = new File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath, target)
-    target.toFile.setLastModified(mtime)
-    rmRec(tmp)
-  }
+  private def stageOne(df: DataFrame, name: String, mtime: Long): Unit =
+    graft.core.ParquetStage.stageSingleFile(df, stageDir, name, Some(mtime))
 
   test("restarted query resumes offsets and window state from the checkpoint") {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Exception => () }
-    rmRec(stageDir); rmRec(ckptDir)
+    graft.core.ParquetStage.rmRec(stageDir)
+    graft.core.ParquetStage.rmRec(ckptDir)
     new File(stageDir).mkdirs()
     val ev = Tables.load(spark, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
