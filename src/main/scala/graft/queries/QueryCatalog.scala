@@ -3081,6 +3081,21 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_stream_tokenize" -> ((s, dir) => {
+      // Streaming tokenizer-apply: the codegen'd greedy subword encoder
+      // (plan-constant vocab) folded WITHIN each arriving row — zero
+      // streaming state, bit-identical to the batch segmentation, so
+      // the live stream hash-verifies against the SAME recursive-CTE
+      // oracle as x_subword_tokenize.
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.bpePairCounts(docs, "text", 50)
+        .collect().map(_.getString(0))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.StreamTokenize.runOnce(s, dir, "documents.parquet",
+          schema, vocab, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "x_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
         .orderBy("source")),
@@ -3243,6 +3258,30 @@ object QueryCatalog {
       Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
         .orderBy("a", "b")
     }))
+
+  /** Greedy-subword segmentation replay (recursive CTE over (word,
+    * position) states) — shared verbatim by the batch entry
+    * (x_subword_tokenize) and its stateless streaming twin
+    * (x_stream_tokenize): the stream's per-row fold is bit-identical to
+    * the batch aggregation, so one oracle hash-gates both.
+    */
+  private lazy val subwordTokenizeOracle: String =
+    s"""WITH RECURSIVE ${bpeCtes(50)},
+       |words0 AS (SELECT doc_id,
+       |             unnest(string_split(text, ' ')) AS w FROM documents),
+       |dw AS (SELECT DISTINCT w FROM words0),
+       |seg AS (
+       |  SELECT w, 1 AS pos, 0 AS k FROM dw
+       |  UNION ALL
+       |  SELECT s.w, s.pos + (CASE WHEN v.pair IS NULL THEN 1 ELSE 2 END),
+       |         s.k + 1
+       |  FROM seg s LEFT JOIN bpt v ON v.pair = substring(s.w, s.pos, 2)
+       |  WHERE s.pos <= length(s.w)),
+       |done AS (SELECT w, k FROM seg WHERE pos = length(w) + 1)
+       |SELECT w0.doc_id, count(*) AS n_words,
+       |  CAST(sum(d.k) AS BIGINT) AS n_subwords
+       |FROM words0 w0 JOIN done d USING (w)
+       |GROUP BY w0.doc_id ORDER BY doc_id""".stripMargin
 
   val extensionOracles: Map[String, String] = {
     val stop = Seq("the", "a", "of", "and")
@@ -4942,22 +4981,9 @@ object QueryCatalog {
         // over (word, position) states: a matched vocab pair advances 2,
         // otherwise 1 (the single-char fallback); k counts emitted
         // subwords. Runs over DISTINCT words, then joins back per doc.
-        s"""WITH RECURSIVE ${bpeCtes(50)},
-           |words0 AS (SELECT doc_id,
-           |             unnest(string_split(text, ' ')) AS w FROM documents),
-           |dw AS (SELECT DISTINCT w FROM words0),
-           |seg AS (
-           |  SELECT w, 1 AS pos, 0 AS k FROM dw
-           |  UNION ALL
-           |  SELECT s.w, s.pos + (CASE WHEN v.pair IS NULL THEN 1 ELSE 2 END),
-           |         s.k + 1
-           |  FROM seg s LEFT JOIN bpt v ON v.pair = substring(s.w, s.pos, 2)
-           |  WHERE s.pos <= length(s.w)),
-           |done AS (SELECT w, k FROM seg WHERE pos = length(w) + 1)
-           |SELECT w0.doc_id, count(*) AS n_words,
-           |  CAST(sum(d.k) AS BIGINT) AS n_subwords
-           |FROM words0 w0 JOIN done d USING (w)
-           |GROUP BY w0.doc_id ORDER BY doc_id""".stripMargin,
+        subwordTokenizeOracle,
+
+      "x_stream_tokenize" -> subwordTokenizeOracle,
 
       "x_text_stats" ->
         """SELECT doc_id, length(text) AS len_chars,
