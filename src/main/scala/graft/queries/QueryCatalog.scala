@@ -1882,6 +1882,25 @@ object QueryCatalog {
         .orderBy("lang_bucket")
     }),
 
+    "x_ingest_orc" -> ((s, dir) => {
+      // Columnar interchange beyond parquet: the corpus staged as ORC
+      // (Spark-native writer; footer-stats/predicate pushdown work like
+      // parquet's — PlanSpec gates it), read back and aggregated.
+      // DuckDB cannot read ORC, so the oracle aggregates the SOURCE
+      // table instead — which is exactly what makes this a LOSSLESS
+      // round-trip check: any value damaged in the ORC write/read path
+      // hash-mismatches.
+      val orcDir = "/tmp/graft_orc_stage"
+      t(s, dir, "documents").write.mode("overwrite").orc(orcDir)
+      s.read.orc(orcDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"))
+        .orderBy("lang")
+    }),
+
     "x_kmv_distinct" -> ((s, dir) =>
       // Per-source distinct-text cardinality: KMV sketch estimate NEXT TO
       // the exact count (the accuracy audit). Capacity 16 < the ~25
@@ -4562,6 +4581,13 @@ object QueryCatalog {
            |  CAST(sum(nc) AS BIGINT) AS sum_chars,
            |  CAST(sum(corrupt) AS BIGINT) AS n_corrupt
            |FROM u GROUP BY lang_bucket ORDER BY lang_bucket""".stripMargin,
+
+      "x_ingest_orc" ->
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "x_kmv_distinct" ->
         // KMV replay: per-source md5-prefix hashes of the distinct texts;

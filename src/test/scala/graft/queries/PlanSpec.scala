@@ -294,6 +294,18 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ORC scans push filters and prune columns like parquet") {
+    import org.apache.spark.sql.functions._
+    val orcDir = "/tmp/graft_orc_planspec"
+    graft.api.Tables.load(spark, dir, "documents")
+      .write.mode("overwrite").orc(orcDir)
+    val p = spark.read.orc(orcDir)
+      .filter(col("doc_id") > 100).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
   test("event funnel: every stage join is keyed (no nested-loop product)") {
     val p = planOf("x_event_funnel")
     // the 1-row stage-count combination is BNLJ by design (crossJoin of
