@@ -1226,6 +1226,43 @@ object QueryCatalog {
       graft.streaming.Sessionize.sessions(t(s, dir, "events"), "30 minutes")
         .orderBy("user_id", "session_start_ms")),
 
+    "x_session_funnel" -> ((s, dir) => {
+      // SESSION-scoped conversion: the view→click→purchase machine run
+      // WITHIN each 30-minute gap session — per-visit funnel depth, the
+      // product-analytics refinement of the corpus-wide x_event_funnel.
+      // Sessions are lag/cumsum islands (deterministic: ordered by
+      // (tms, event_id) — unique, so no tie-order divergence); the
+      // stage machine is a codegen'd HOF fold over the session's
+      // time-ordered event codes, replayed by DuckDB list_reduce. The
+      // per-user windows are bounded by per-user activity, the same
+      // budget as sessionization itself.
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tms"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3)
+          .otherwise(0).as("code"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tms", "event_id")
+      val sess = ev
+        .withColumn("brk", when(col("tms") -
+          lag("tms", 1).over(ord) >= 1800000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(ord.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("tms")).as("session_start_ms"),
+          count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("tms"), col("event_id"),
+            col("code")))).as("__evs"))
+        .withColumn("funnel_depth",
+          expr("CAST(aggregate(transform(__evs, e -> e.code), 0, (a, b) -> " +
+            "CASE WHEN b = 1 AND a = 0 THEN 1 " +
+            "WHEN b = 2 AND a = 1 THEN 2 " +
+            "WHEN b = 3 AND a = 2 THEN 3 ELSE a END) AS BIGINT)"))
+        .select("session_start_ms", "user_id", "n_events", "funnel_depth")
+        .orderBy("user_id", "session_start_ms")
+    }),
+
     "x_stream_anomaly" -> ((s, dir) => {
       // Custom keyed state (flatMapGroupsWithState) with an ORACLE-HASHED
       // output: per-user running anomaly gate on exact integer cents —
@@ -1635,6 +1672,33 @@ object QueryCatalog {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value_cents
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin,
+
+    "x_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'purchase' THEN 3 ELSE 0 END AS code
+        |  FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN tms - lag(tms) OVER
+        |      (PARTITION BY user_id ORDER BY tms, event_id) >= 1800000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |      ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, sid, min(tms) AS session_start_ms,
+        |         count(*) AS n_events,
+        |         list(code ORDER BY tms, event_id) AS codes
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT session_start_ms, user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(list_reduce(list_prepend(0, codes),
+        |    (a, b) -> CASE WHEN b = 1 AND a = 0 THEN 1
+        |                   WHEN b = 2 AND a = 1 THEN 2
+        |                   WHEN b = 3 AND a = 2 THEN 3 ELSE a END) AS BIGINT)
+        |    AS funnel_depth
+        |FROM agg ORDER BY user_id, session_start_ms""".stripMargin,
 
     "x_stream_anomaly" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms,
@@ -3057,6 +3121,27 @@ object QueryCatalog {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       graft.streaming.StreamDsir.runOnce(s, dir, "documents.parquet",
           schema, ratios, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "x_stream_route" -> ((s, dir) => {
+      // Streaming dead-letter ROUTING: every micro-batch splits across
+      // two hosted tables (accepted → main corpus, rejected →
+      // quarantine) inside one foreachBatch; both sinks write UPSERT
+      // keyed on doc_id, so replayed batches re-apply idempotently —
+      // exactly-once by merge semantics, no manual batch-id tracking.
+      // The union of both tables is a pure function of each row, so the
+      // full multi-sink streaming run hash-verifies.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val docs = t(s, dir, "documents")
+      val weights = TextAnalysis.nbTokenWeights(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"), "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.StreamRouter.runOnce(s, dir, "documents.parquet",
+          schema, weights, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -4693,6 +4778,12 @@ object QueryCatalog {
         s"""WITH ${nbCtes()}
            |SELECT doc_id, n_tokens, score,
            |  CAST(score > 0 AS INTEGER) AS label
+           |FROM nbscore ORDER BY doc_id""".stripMargin,
+
+      "x_stream_route" ->
+        s"""WITH ${nbCtes()}
+           |SELECT doc_id, n_tokens, score,
+           |  CASE WHEN score > 0 THEN 'main' ELSE 'quarantine' END AS route
            |FROM nbscore ORDER BY doc_id""".stripMargin,
 
       "x_text_bm25" ->
