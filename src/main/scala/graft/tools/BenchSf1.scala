@@ -293,6 +293,16 @@ object BenchSf1 {
       "cohort_retention" -> ((dir, _) =>
         graft.queries.QueryCatalog.all("x_cohort_retention")(spark, dir)
           .count()),
+      // session analytics: per-user windows bounded by per-user activity;
+      // 10× users (copy-unique), constant events per user — linear
+      "session_funnel" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("x_session_funnel")(spark, dir)
+          .count()),
+      // streaming multi-sink routing: stateless scoring + two upsert
+      // sinks per micro-batch — linear in the document stream
+      "stream_route" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("x_stream_route")(spark, dir)
+          .count()),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)
