@@ -891,6 +891,98 @@ object Dedup {
     cand.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Bitset buffer for the replayable Bloom: reduce sets the k
+    * double-hashed bit positions of one shingle, merge ORs — an
+    * associative fold, so partial bitsets combine map-side exactly like
+    * the minhash family buffers.
+    */
+  private final class BloomBitsAgg(numBits: Int, k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long), Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte]((numBits + 7) / 8)
+    override def reduce(buf: Array[Byte], in: (Long, Long)): Array[Byte] = {
+      val (h1, h2) = in
+      val P = Hashers.P
+      var g = h1
+      var i = 0
+      while (i < k) {
+        g += h2
+        if (g >= P) g -= P
+        val bit = (g % numBits).toInt
+        buf(bit >> 3) = (buf(bit >> 3) | (1 << (bit & 7))).toByte
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(buf: Array[Byte]): Array[Byte] = buf
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** REPLAYABLE Bloom decontamination: same shape as
+    * [[decontaminateNgramBloom]] (reference n-grams folded into one
+    * broadcast bitset, candidates stream through a membership probe —
+    * fixed MBs of filter state regardless of reference size), but the
+    * bit positions come from the md5 Kirsch–Mitzenmacher family
+    * (`bit_i = (h1 + (i+1)·h2) mod P mod numBits`) instead of an opaque
+    * murmur sketch — so a SQL oracle can rebuild the EXACT bit pattern
+    * and replay membership, false positives included. The engine-side
+    * cost is identical (one keyed hash per shingle, k adds); choose the
+    * murmur variant only when md5 throughput matters more than
+    * replayability.
+    *
+    * One-sided like every Bloom: no false negatives (every truly
+    * contaminated doc drops), false-positive rate ≈ (1−e^{−kN/m})^k.
+    */
+  def decontaminateNgramBloomReplayable(cand: DataFrame, ref: DataFrame,
+                                        idCol: String, textCol: String,
+                                        n: Int = 13, numBits: Int = 1 << 20,
+                                        numHashes: Int = 7): DataFrame = {
+    require(numBits > 0 && numHashes > 0, "need positive numBits/numHashes")
+    val spark = cand.sparkSession
+    val base = Hashers.md5Base
+    val refSh = shingles(ref, idCol, textCol, n).select("shingle").distinct()
+    val agg = udaf(new BloomBitsAgg(numBits, numHashes),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val bitsRow = refSh
+      .select(base.h1(col("shingle")).as("h1"), base.h2(col("shingle")).as("h2"))
+      .agg(agg(col("h1"), col("h2")).as("bits"))
+      .head()
+    val bitsBc = spark.sparkContext.broadcast(bitsRow.getAs[Array[Byte]](0))
+    val P = Hashers.P
+    val k = numHashes
+    val nb = numBits
+    val mightContain = udf { (h1: Long, h2: Long) =>
+      val bits = bitsBc.value
+      var g = h1
+      var all = true
+      var i = 0
+      while (i < k && all) {
+        g += h2
+        if (g >= P) g -= P
+        val bit = (g % nb).toInt
+        all = (bits(bit >> 3) & (1 << (bit & 7))) != 0
+        i += 1
+      }
+      all
+    }
+    val contaminated = shingleRows(cand, idCol, textCol, n)
+      .select(col(idCol), base.h1(col("shingle")).as("h1"),
+        base.h2(col("shingle")).as("h2"))
+      .filter(mightContain(col("h1"), col("h2")))
+      .select(col(idCol)).distinct()
+    cand.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-space (semantic) decontamination report — the semantic
     * member of the decontamination family ([[ngramOverlapReport]] is the
     * exact-text member): for each corpus vector, how many reference

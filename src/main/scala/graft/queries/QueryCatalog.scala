@@ -2364,14 +2364,18 @@ object QueryCatalog {
 
     "x_decontam_bloom" -> ((s, dir) => {
       // Memory-lean production decontamination: reference n-grams folded
-      // into a broadcast Bloom filter (fixed MBs vs GBs of strings at
-      // benchmark-suite scale). Rows-only — the filter's bit pattern
-      // isn't replayable in SQL; the spec pins no-false-negatives and
-      // bounded overkill against the exact operator.
+      // into ONE broadcast bitset (fixed KBs vs GBs of strings at
+      // benchmark-suite scale), candidates stream through the membership
+      // probe. The md5 double-hash bit family makes the ENTIRE filter —
+      // bit pattern, membership tests, false positives included —
+      // SQL-replayable, so this probabilistic operator runs under the
+      // hard hash gate (flipped from rows-only in round 8; the murmur
+      // variant remains for raw-throughput deployments, spec-pinned).
       val docs = t(s, dir, "documents")
-      Dedup.decontaminateNgramBloom(docs.filter(col("doc_id") % 7 =!= 0),
+      Dedup.decontaminateNgramBloomReplayable(
+          docs.filter(col("doc_id") % 7 =!= 0),
           docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", n = 8,
-          expectedNgrams = 1000000L, fpp = 0.01)
+          numBits = 1 << 20, numHashes = 7)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
@@ -3641,6 +3645,39 @@ object QueryCatalog {
           |       coalesce(array_to_string(kept, ' '), '') AS text_clipped,
           |       CAST(n - len(kept) AS BIGINT) AS n_tokens_removed
           |FROM cl ORDER BY doc_id""".stripMargin,
+
+      "x_decontam_bloom" ->
+        // full Bloom replay: rebuild the reference bitset's position set
+        // from the same md5 double-hash family, then a candidate shingle
+        // "might contain" iff ALL 7 of its positions are present —
+        // false positives reproduce exactly, so the probabilistic filter
+        // hash-verifies
+        s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |sh8 AS (SELECT doc_id,
+           |          unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+           |                                for i in range(1, len(w) - 6)])) AS shingle
+           |          FROM words),
+           |refh AS (SELECT DISTINCT
+           |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $lshP AS h1m,
+           |    ('0x' || substr(md5(shingle), 17, 15))::BIGINT % $lshP AS h2m
+           |  FROM sh8 WHERE doc_id % 7 = 0),
+           |refpos AS (SELECT DISTINCT (h1m + i * h2m) % $lshP % ${1 << 20} AS b
+           |           FROM refh, UNNEST(range(1, 8)) AS u(i)),
+           |candh AS (SELECT DISTINCT doc_id, shingle,
+           |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $lshP AS h1m,
+           |    ('0x' || substr(md5(shingle), 17, 15))::BIGINT % $lshP AS h2m
+           |  FROM sh8 WHERE doc_id % 7 <> 0),
+           |cpos AS (SELECT doc_id, shingle,
+           |           (h1m + i * h2m) % $lshP % ${1 << 20} AS b
+           |         FROM candh, UNNEST(range(1, 8)) AS u(i)),
+           |found AS (SELECT c.doc_id, c.shingle, count(r.b) AS nf
+           |          FROM cpos c LEFT JOIN refpos r ON r.b = c.b
+           |          GROUP BY 1, 2),
+           |flagged AS (SELECT DISTINCT doc_id FROM found WHERE nf = 7)
+           |SELECT d.doc_id, d.lang, d.source FROM documents d
+           |WHERE d.doc_id % 7 <> 0
+           |  AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+           |ORDER BY d.doc_id""".stripMargin,
 
       "x_corpus_overlap" ->
         s"""WITH words AS (SELECT source, string_split(text, ' ') AS w FROM documents),

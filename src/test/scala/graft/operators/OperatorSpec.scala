@@ -665,6 +665,17 @@ class OperatorSpec extends AnyFunSuite {
     val overkill = (exactClean -- bloomClean).size.toDouble / exactClean.size.max(1)
     info(f"bloom overkill at fpp=0.01: $overkill%.4f (${(exactClean -- bloomClean).size} docs)")
     assert(overkill <= 0.05, s"overkill $overkill too high")
+    // the REPLAYABLE (md5 double-hash bitset) twin: same one-sided
+    // guarantee, same bound — the catalog runs this one under the hash
+    // gate; the murmur variant above stays the raw-throughput option
+    val replayClean = Dedup.decontaminateNgramBloomReplayable(cand, ref,
+        "doc_id", "text", n = 8, numBits = 1 << 20, numHashes = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert((replayClean -- exactClean).isEmpty,
+      s"replayable bloom kept contaminated docs: ${(replayClean -- exactClean).take(5)}")
+    val overkill2 = (exactClean -- replayClean).size.toDouble / exactClean.size.max(1)
+    info(f"replayable-bloom overkill: $overkill2%.4f")
+    assert(overkill2 <= 0.05, s"overkill $overkill2 too high")
   }
 
   test("domain mix honors per-domain caps in deterministic hash order") {

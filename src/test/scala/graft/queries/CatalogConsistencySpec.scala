@@ -52,7 +52,6 @@ class CatalogConsistencySpec extends AnyFunSuite {
       "x_dedup_incremental_fast", // xx64+estimator production config
       "x_stream_neardup",      // xx64 streaming detector, spec-pinned vs batch
       "x_stream_incremental",  // xx64 stream-vs-corpus hits, spec-pinned
-      "x_decontam_bloom",      // bloom-filter bits not SQL-replayable; spec-pinned
       "x_corpus_overlap_fast", // xx64 production config, spec-pinned vs exact
       "x_text_compress",       // JDK-zlib output sizes, spec-pinned monotonicity
       "x_stream_latedata",     // engine drop-telemetry, spec-pinned integrity
