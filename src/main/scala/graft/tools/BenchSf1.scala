@@ -152,6 +152,12 @@ object BenchSf1 {
       "ngram_decontam" -> ((dir, _) =>
         Dedup.decontaminateNgram(docs(spark, dir), refSet, "doc_id", "text",
           n = 8).count()),
+      // bloom decontamination: reference folds into ONE fixed-size
+      // bitset regardless of scale; candidates stream through the
+      // membership probe — must price as a linear scan
+      "bloom_decontam" -> ((dir, _) =>
+        Dedup.decontaminateNgramBloomReplayable(docs(spark, dir), refSet,
+          "doc_id", "text", n = 8).count()),
       "semantic_dedup" -> ((dir, m) =>
         Dedup.semanticDedup(emb(spark, dir), "vec_id", "embedding",
           nlist = 64 * m, maxCellSize = Some(250)).count()),
