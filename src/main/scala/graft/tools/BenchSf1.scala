@@ -299,6 +299,12 @@ object BenchSf1 {
       "cohort_retention" -> ((dir, _) =>
         graft.queries.QueryCatalog.all("x_cohort_retention")(spark, dir)
           .count()),
+      // sessionization: session_window state is per-user; 10× users
+      // (copy-unique) at constant per-user activity — linear state,
+      // linear work (the NOTES backlog item on session-state scaling)
+      "sessionize" -> ((dir, _) =>
+        graft.queries.QueryCatalog.all("x_sessionize")(spark, dir)
+          .count()),
       // session analytics: per-user windows bounded by per-user activity;
       // 10× users (copy-unique), constant events per user — linear
       "session_funnel" -> ((dir, _) =>
