@@ -3204,6 +3204,24 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_corpus_heaps" -> ((s, dir) => {
+      // Heaps'-law vocabulary growth: distinct-token counts at nested
+      // corpus prefixes (20%..100% by doc id) — the curve tokenizer
+      // vocab budgets and "is more data still adding words" decisions
+      // are read from. One token scan, five conditional distinct aggs;
+      // prefix cuts are exact integer comparisons (doc_id·100 ≤ max·f).
+      // At 100 TB the same report runs on KMV sketches (one pass,
+      // capacity longs per prefix) instead of exact count(DISTINCT).
+      val docs = t(s, dir, "documents")
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val aggs = Seq(20, 40, 60, 80, 100).map(f =>
+        countDistinct(when(col("doc_id") * 100 <= lit(mx) * f, col("tok")))
+          .as(s"v$f"))
+      toks.agg(aggs.head, aggs.tail: _*)
+    }),
+
     "x_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
         .orderBy("source")),
@@ -4790,6 +4808,18 @@ object QueryCatalog {
           |  CAST(min(n_chars) AS BIGINT) AS min_chars,
           |  CAST(max(n_chars) AS BIGINT) AS max_chars
           |FROM documents""".stripMargin,
+
+      "x_corpus_heaps" ->
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |           FROM documents),
+          |m AS (SELECT max(doc_id) AS mx FROM documents)
+          |SELECT
+          |  CAST(count(DISTINCT CASE WHEN doc_id * 100 <= mx * 20 THEN tok END) AS BIGINT) AS v20,
+          |  CAST(count(DISTINCT CASE WHEN doc_id * 100 <= mx * 40 THEN tok END) AS BIGINT) AS v40,
+          |  CAST(count(DISTINCT CASE WHEN doc_id * 100 <= mx * 60 THEN tok END) AS BIGINT) AS v60,
+          |  CAST(count(DISTINCT CASE WHEN doc_id * 100 <= mx * 80 THEN tok END) AS BIGINT) AS v80,
+          |  CAST(count(DISTINCT tok) AS BIGINT) AS v100
+          |FROM t CROSS JOIN m""".stripMargin,
 
       "x_text_vocab" ->
         """WITH toks AS (
