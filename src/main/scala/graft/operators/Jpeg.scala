@@ -554,6 +554,7 @@ object Jpeg {
         case 0xdb => // DQT: one or more tables
           var p = body
           while (p < segEnd) {
+            require(p + 65 <= segEnd, "truncated DQT table")
             val pq = (bytes(p) >> 4) & 0x0f
             val tq = bytes(p) & 0x0f
             require(pq == 0, "12/16-bit quantization tables not supported")
@@ -593,12 +594,14 @@ object Jpeg {
         case 0xc4 => // DHT: one or more tables
           var p = body
           while (p < segEnd) {
+            require(p + 17 <= segEnd, "truncated DHT table header")
             val tc = (bytes(p) >> 4) & 0x0f
             val th = bytes(p) & 0x0f
             val bits = new Array[Int](17)
             var total = 0
             var l = 1
             while (l <= 16) { bits(l) = bytes(p + l) & 0xff; total += bits(l); l += 1 }
+            require(p + 17 + total <= segEnd, "truncated DHT table values")
             val vals = new Array[Byte](total)
             System.arraycopy(bytes, p + 17, vals, 0, total)
             val t = new DecTable(bits, vals)
@@ -727,10 +730,17 @@ object Jpeg {
     }
     br.align()
     pos = br.pos
-    // entropy data may be followed by padding FFs before EOI
-    while (pos + 1 < bytes.length &&
-      !((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) == 0xd9)) pos += 1
-    require(pos + 1 < bytes.length, "missing EOI")
+    // entropy data may be followed only by 0xFF FILL bytes (T.81
+    // B.1.1.2) — plus at most one stuffed 0x00 the bit reader left
+    // unconsumed — before EOI. Anything else is a corrupt or missing
+    // EOI and must fail loudly: skipping arbitrary bytes here would,
+    // in a concatenated stream, silently consume the next frame up to
+    // ITS EOI and drop a frame.
+    if (pos < bytes.length && (bytes(pos) & 0xff) == 0x00) pos += 1
+    while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+      (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+    require(pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+      (bytes(pos + 1) & 0xff) == 0xd9, "missing EOI after entropy data")
     pos += 2
 
     // reconstruct RGB: upsample chroma by sample replication

@@ -311,10 +311,20 @@ object Sketches {
       org.apache.spark.sql.Encoders.scalaLong)
     val base = items.filter(col(itemCol).isNotNull)
     val est = agg(kmvHash60(col(itemCol))).as("n_distinct_est")
-    if (withExact)
-      base.groupBy(col(groupCol))
-        .agg(countDistinct(col(itemCol)).as("n_distinct"), est)
-    else base.groupBy(col(groupCol)).agg(est)
+    val counted =
+      if (withExact)
+        base.groupBy(col(groupCol))
+          .agg(countDistinct(col(itemCol)).as("n_distinct"), est)
+      else base.groupBy(col(groupCol)).agg(est)
+    // a group whose items are ALL null must row out with 0 distinct,
+    // not vanish — the same silent-absence failure mode corpusOverlap
+    // guards against (an absent row reads as "no items" only if the
+    // reader already knows the group existed)
+    val zeroCols =
+      if (withExact) Seq("n_distinct", "n_distinct_est") else Seq("n_distinct_est")
+    items.select(col(groupCol)).distinct()
+      .join(counted, Seq(groupCol), "left")
+      .na.fill(0L, zeroCols)
   }
 
   /** Per-executor deserialized-sketch cache: the broadcast ships bytes

@@ -609,13 +609,25 @@ object TextAnalysis {
       .mapPartitions { it =>
         val buf = new Array[Byte](1 << 16)
         val d = new java.util.zip.Deflater(level)
-        it.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
-          d.reset()
-          d.setInput(raw); d.finish()
-          var n = 0L
-          while (!d.finished()) n += d.deflate(buf)
-          (id, raw.length.toLong, n)
+        // release the native zlib stream deterministically when the
+        // partition iterator is exhausted — end() on finalization only
+        // would pin native memory until GC on long-lived executors
+        new Iterator[(Long, Long, Long)] {
+          private var ended = false
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !ended) { d.end(); ended = true }
+            h
+          }
+          def next(): (Long, Long, Long) = {
+            val (id, text) = it.next()
+            val raw = text.getBytes("UTF-8")
+            d.reset()
+            d.setInput(raw); d.finish()
+            var n = 0L
+            while (!d.finished()) n += d.deflate(buf)
+            (id, raw.length.toLong, n)
+          }
         }
       }
       .toDF(idCol, "raw_len", "deflate_len")

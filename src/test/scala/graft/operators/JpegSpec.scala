@@ -141,6 +141,39 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(gray22)._1.rgb.sameElements(reference.rgb))
   }
 
+  test("frame missing its EOI fails loudly instead of eating the next frame") {
+    // drop frame A's EOI and concatenate frame B: after A's entropy data
+    // the decoder sees B's SOI (FF D8), not EOI (FF D9). Scanning forward
+    // to "find" an EOI would silently consume all of B and drop a frame;
+    // the codec must throw instead.
+    val a = Jpeg.encode(ramp(8, 8))
+    val b = Jpeg.encode(ramp(16, 8))
+    val glued = Array.concat(a.take(a.length - 2), b)
+    val e = intercept[IllegalArgumentException](Jpeg.decodeAll(glued))
+    assert(e.getMessage.contains("EOI"), s"unexpected error: ${e.getMessage}")
+  }
+
+  test("truncated DQT/DHT tables fail with a descriptive error") {
+    def findMarker(bs: Array[Byte], m: Int): Int =
+      bs.indices.dropRight(1).find(i =>
+        (bs(i) & 0xff) == 0xff && (bs(i + 1) & 0xff) == m).get
+    // shrink the DQT segment's declared length so the (single) 65-byte
+    // table no longer fits: the multi-table loop must bound-check
+    // against segEnd, not read into the following segment
+    val good = Jpeg.encode(ramp(8, 8))
+    val dqt = findMarker(good, 0xdb)
+    val badDqt = good.clone()
+    badDqt(dqt + 3) = (badDqt(dqt + 3) - 1).toByte // low byte of segLen
+    val e1 = intercept[IllegalArgumentException](Jpeg.decode(badDqt))
+    assert(e1.getMessage.contains("DQT"), s"unexpected error: ${e1.getMessage}")
+    // same for DHT: shrink so the declared code counts overflow segEnd
+    val dht = findMarker(good, 0xc4)
+    val badDht = good.clone()
+    badDht(dht + 3) = (badDht(dht + 3) - 1).toByte
+    val e2 = intercept[IllegalArgumentException](Jpeg.decode(badDht))
+    assert(e2.getMessage.contains("DHT"), s"unexpected error: ${e2.getMessage}")
+  }
+
   test("JPEG payloads route through the shared RGB surface like BMP/PNG") {
     val img = ramp(32, 8)
     val viaJpeg = Jpeg.decode(Jpeg.encode(img))._1

@@ -174,4 +174,16 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(ests.distinct.size == 1, s"partitioning changed the estimate: $ests")
   }
+
+  test("kmvDistinct: a group whose items are ALL null rows out with 0") {
+    // silent-absence guard: filtering nulls before the groupBy would
+    // make an all-null group vanish — "no overlap" when the truth is
+    // "never measured". The report must carry every input group.
+    val items = Seq(("a", Some("x")), ("a", None), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val rows = Sketches.kmvDistinct(items, "g", "v", capacity = 16)
+      .orderBy("g").select("g", "n_distinct", "n_distinct_est")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("a", 1L, 1L), ("b", 0L, 0L)), s"got $rows")
+  }
 }
