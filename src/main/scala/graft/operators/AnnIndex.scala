@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes: train once, write the index artifacts as
+  * parquet, reload and SERVE without ever touching the training path
+  * again. At 100 TB nobody re-derives centroids or codebooks per query —
+  * [[Similarity.ivfTopK]]/[[Similarity.pqTopK]] stay the exploratory
+  * one-shot surface; this is the production lifecycle
+  * (build → save → load → serve) over the identical kernels, so the
+  * serving plan and every score bit match the in-memory variants
+  * (gated in PlanSpec and the query catalog's oracle replays).
+  *
+  * IVF layout under `path`:
+  *  - `centroids/` — (cid long, cvec array double, cnorm double); nlist
+  *    rows, read driver-side per serve (bytes).
+  *  - `cells/` — (id, vec, norm) PARTITIONED BY cid: the inverted lists.
+  *    Serving filters to the probed cids, so the scan prunes to
+  *    `nprobe/nlist` of the index at the PARTITION level — the file-skip
+  *    analogue of FAISS reading only the probed inverted lists.
+  *
+  * PQ layout under `path`:
+  *  - `codebooks/` — (s int, j int, cvec array double): m·ks subvector
+  *    centroids, read driver-side per serve (KBs).
+  *  - `codes/` — (id, code array int): the PQ-encoded corpus, ~8-64×
+  *    smaller than the float vectors it stands in for — the table the
+  *    ADC scan reads INSTEAD of the corpus.
+  *
+  * Build writes the artifacts and then RE-READS them for every
+  * derivation step (cell assignment reads the persisted centroids, the
+  * code table is encoded from the persisted codebooks), so what is on
+  * disk is the source of truth — a build that trained one thing and
+  * persisted another would be caught by the serve-equals-in-memory
+  * gates.
+  */
+object AnnIndex {
+
+  // ------------------------------------------------------------- IVF
+
+  /** Train and persist an IVF index. Centroids are id-sampled
+    * (deterministic, oracle-replayable — [[Similarity.ivfTopK]]'s
+    * choice) unless `trainedSeed` is given, which swaps in the spark.ml
+    * k-means path of [[Similarity.ivfTopKTrained]]. One corpus pass for
+    * assignment; the cells write shuffles each vector once into its
+    * cid partition.
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               path: String, nlist: Int = 16,
+               trainedSeed: Option[Long] = None): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = trainedSeed match {
+      case Some(seed) =>
+        Similarity.kmeansCentroids(corpus, idCol, vecCol, nlist, seed)
+      case None =>
+        Similarity.idSampledCentroids(corpus, idCol, vecCol, nlist)
+    }
+    // nlist rows: one file, not 32 near-empty ones
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cents = loadIvfCentroids(spark, path)
+    Similarity.assignCells(Similarity.ensureParallelism(corpus),
+        idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /** The persisted centroid table, collected driver-side (nlist rows). */
+  private[graft] def loadIvfCentroids(spark: SparkSession,
+                                      path: String): Array[(Long, Seq[Double], Double)] =
+    Similarity.collectCents(spark.read.parquet(s"$path/centroids"))
+
+  /** Serve top-k from a persisted IVF index: NO training, NO cell
+    * assignment — probe selection is a pure projection over the loaded
+    * centroid literals, and the cells scan carries an explicit
+    * partition filter on the probed cids (collected driver-side first:
+    * ≤ |queries|·nprobe longs — serving is by definition the bounded-
+    * query regime; a corpus-sized probe side belongs to
+    * [[Similarity.knnGraph]]). Scoring and ranking are the exact
+    * kernels of the in-memory path, so results are bit-identical to
+    * [[Similarity.ivfTopK]]/[[Similarity.ivfTopKTrained]] over the same
+    * centroids.
+    */
+  def ivfServe(spark: SparkSession, path: String, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+               keepCosine: Boolean = false): DataFrame = {
+    val cents = loadIvfCentroids(spark, path)
+    val probes = Similarity.probeCells(queries, idCol, vecCol, cents, nprobe)
+    // the probed-cid set is the serve-time "query plan": tiny, and as a
+    // LITERAL IN-filter on the partition column it prunes the index
+    // scan statically (PartitionFilters in explain — PlanSpec-gated)
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+      .withColumn("cid", col("cid").cast("long"))
+      .filter(col("cid").isInCollection(probedCids))
+    Similarity.rankTopK(
+      Similarity.broadcastProbeScores(cells, probes), k, keepCosine)
+  }
+
+  // -------------------------------------------------------------- PQ
+
+  /** Train and persist a PQ index: codebooks via the deterministic
+    * [[Similarity.pqTrain]] (or [[Similarity.pqTrainSampled]] Lloyd
+    * iterations when `sampled`), then the corpus PQ-encoded from the
+    * PERSISTED codebooks — one projection pass, zero shuffles.
+    */
+  def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+              path: String, m: Int = 8, ks: Int = 16,
+              sampled: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    val codebooks =
+      if (sampled) Similarity.pqTrainSampled(corpus, idCol, vecCol, m, ks)
+      else Similarity.pqTrain(corpus, idCol, vecCol, m, ks)
+    val rows = for {
+      s <- 0 until codebooks.length
+      j <- 0 until codebooks(s).length
+    } yield (s, j, codebooks(s)(j).toSeq)
+    spark.createDataFrame(rows).toDF("s", "j", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Similarity.pqEncode(corpus, idCol, vecCol, loadPqCodebooks(spark, path))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** The persisted codebooks, reshaped to the m × ks × sub driver array
+    * every PQ kernel takes (KBs).
+    */
+  def loadPqCodebooks(spark: SparkSession,
+                      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("s").cast("int"), col("j").cast("int"), col("cvec"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = rows.keys.map(_._1).max + 1
+    val ks = rows.keys.map(_._2).max + 1
+    Array.tabulate(m, ks)((s, j) => rows((s, j)))
+  }
+
+  /** Serve top-k from a persisted PQ index: the ADC scan reads the
+    * persisted CODE table (never the float corpus); `corpus` supplies
+    * only the true vectors for the exact shortlist re-rank —
+    * `rerank·k·|queries|` point lookups. Identical kernels to
+    * [[Similarity.pqTopK]], so results match it bit-for-bit for the
+    * same codebooks.
+    */
+  def pqServe(spark: SparkSession, path: String, corpus: DataFrame,
+              queries: DataFrame, idCol: String, vecCol: String, k: Int,
+              rerank: Int = 4): DataFrame =
+    Similarity.pqTopKWithCodes(spark.read.parquet(s"$path/codes"),
+      corpus, queries, idCol, vecCol, k, rerank,
+      loadPqCodebooks(spark, path))
+}

@@ -34,7 +34,7 @@ import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 object Similarity {
 
   /** Cosine similarity from a precomputed-norm pair of (vec, norm). */
-  private def cosineFromNorms(va: Column, na: Column, vb: Column, nb: Column): Column =
+  private[graft] def cosineFromNorms(va: Column, na: Column, vb: Column, nb: Column): Column =
     vec_dot(va, vb) / (na * nb)
 
   /** Cosine similarity of two array columns (norms computed inline —
@@ -68,8 +68,8 @@ object Similarity {
     * scale probe the kNN graph's window shuffled ~1 KB/candidate instead
     * of 24 B and the stage went superlinear (BENCH_SF1 round 5).
     */
-  private def rankTopK(scored: DataFrame, k: Int,
-                       keepCosine: Boolean = false): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int,
+                              keepCosine: Boolean = false): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
     val ranked = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -239,8 +239,8 @@ object Similarity {
     * one cell each (a zero-norm centroid scores NaN against every query —
     * NaN sorts maximal, so each query would waste a probe on that cell).
     */
-  private def idSampledCentroids(corpus: DataFrame, idCol: String,
-                                 vecCol: String, nlist: Int): DataFrame =
+  private[graft] def idSampledCentroids(corpus: DataFrame, idCol: String,
+                                        vecCol: String, nlist: Int): DataFrame =
     corpus.select(col(idCol).as("cid"),
         col(vecCol).cast("array<double>").as("cvec"),
         vec_norm(col(vecCol)).as("cnorm"))
@@ -254,22 +254,30 @@ object Similarity {
     */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, nlist: Int = 16,
-                     nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
+                     nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe,
+      kmeansCentroids(corpus, idCol, vecCol, nlist, seed))
+
+  /** The k-means centroid table (cid, cvec, cnorm) behind
+    * [[ivfTopKTrained]] — exposed to [[AnnIndex]] so a persisted index
+    * trains through the identical spark.ml path (fixed seed).
+    */
+  private[graft] def kmeansCentroids(corpus: DataFrame, idCol: String,
+                                     vecCol: String, nlist: Int,
+                                     seed: Long): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val train = corpus.select(col(idCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(train)
-    val centroids = spark.createDataFrame(
+    spark.createDataFrame(
       model.clusterCenters.zipWithIndex.map { case (c, i) =>
         (i.toLong, c.toArray)
       }.toIndexedSeq).toDF("cid", "cvec")
       .select(col("cid"), col("cvec"),
         vec_norm(col("cvec")).as("cnorm"))
-    ivfWithCentroids(corpus, queries, idCol, vecCol, k, nprobe, centroids)
   }
 
   private def centMatrix(cents: Array[(Long, Seq[Double], Double)]): Array[Array[Double]] =
@@ -428,7 +436,7 @@ object Similarity {
     * the sf1 probe caught the whole kNN pipeline running single-task
     * behind a 13 MB parquet file.
     */
-  private def ensureParallelism(df: DataFrame): DataFrame = {
+  private[graft] def ensureParallelism(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
@@ -439,41 +447,61 @@ object Similarity {
                                broadcastProbes: Boolean = true,
                                cellCap: Int = 1024,
                                keepCosine: Boolean = false): DataFrame = {
-    val cents = centroids
-      .select(col("cid").cast("long"), col("cvec"), col("cnorm"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val cents = collectCents(centroids)
     val cells = assignCells(ensureParallelism(corpus), idCol, vecCol, cents)
     // probe-side selection is the same O(nlist) dots per row — when the
     // probe side IS the corpus (kNN graph), it needs the same guard
     val qSrc = if (broadcastProbes) queries else ensureParallelism(queries)
-    val q = qSrc.filter(col(vecCol).isNotNull)
+    val probes = probeCells(qSrc, idCol, vecCol, cents, nprobe)
+    val scored =
+      if (broadcastProbes) broadcastProbeScores(cells, probes)
+      else cellCoGroupScores(cells, probes, k, cellCap)
+    rankTopK(scored, k, keepCosine)
+  }
+
+  /** Driver-side centroid collection: nlist rows — bytes. Shared with
+    * [[AnnIndex]], whose persisted centroid table round-trips through
+    * the identical (cid, cvec, cnorm) shape.
+    */
+  private[graft] def collectCents(centroids: DataFrame): Array[(Long, Seq[Double], Double)] =
+    centroids
+      .select(col("cid").cast("long"), col("cvec"), col("cnorm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+
+  /** Top-nprobe cells per query — (qid, qvec, qnorm, cid), one exploded
+    * row per probed cell. One loop-shaped VecTopIds selection over the
+    * dots array — cos desc with ties to the smallest cid, identical to
+    * the sort-reverse-slice-over-structs order it replaces, but with
+    * generated code O(1) in nlist (the 64 KB-limit fix). A pure
+    * projection over literal centroids: no join, no shuffle.
+    */
+  private[graft] def probeCells(queries: DataFrame, idCol: String,
+                                vecCol: String,
+                                cents: Array[(Long, Seq[Double], Double)],
+                                nprobe: Int): DataFrame = {
+    val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("qid"),
         col(vecCol).as("qvec"),
         vec_norm(col(vecCol)).as("qnorm"))
-    // Top-nprobe cells per query: one loop-shaped VecTopIds selection over
-    // the dots array — cos desc with ties to the smallest cid, identical
-    // to the sort-reverse-slice-over-structs order it replaces, but with
-    // generated code O(1) in nlist (the 64 KB-limit fix).
-    val probes = q
-      .withColumn("__cd", graft.functions.VectorFunctions.vec_dot_matrix(
+    q.withColumn("__cd", graft.functions.VectorFunctions.vec_dot_matrix(
         col("qvec"), centMatrix(cents)))
       .withColumn("cid", explode(graft.functions.VectorFunctions.vec_top_ids(
         col("__cd"), col("qnorm"), cents.map(_._3), cents.map(_._1), nprobe)))
       .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
-    val scored =
-      if (broadcastProbes)
-        // small query set: broadcast the probe table, score in the join
-        // projection, keep only (qid, id, cosine) — the rank window's qid
-        // exchange must never carry the vectors
-        cells.join(broadcast(probes), Seq("cid"))
-          .filter(col("id") =!= col("qid"))
-          .select(col("qid"), col("id"),
-            cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm"))
-              .as("cosine"))
-      else cellCoGroupScores(cells, probes, k, cellCap)
-    rankTopK(scored, k, keepCosine)
   }
+
+  /** Small-query-set scoring: broadcast the probe table, score in the
+    * join projection, keep only (qid, id, cosine) — the rank window's
+    * qid exchange must never carry the vectors.
+    */
+  private[graft] def broadcastProbeScores(cells: DataFrame,
+                                          probes: DataFrame): DataFrame =
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosineFromNorms(col("vec"), col("norm"), col("qvec"), col("qnorm"))
+          .as("cosine"))
 
   /** Corpus-sized probe side (kNN graph): score by CO-GROUPING both sides
     * on the cell id instead of a row-level join. A row-level cid join
@@ -676,11 +704,25 @@ object Similarity {
              rerank: Int = 4,
              codebooksIn: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val codebooks = codebooksIn.getOrElse(pqTrain(corpus, idCol, vecCol, m, ks))
+    pqTopKWithCodes(pqEncode(corpus, idCol, vecCol, codebooks),
+      corpus, queries, idCol, vecCol, k, rerank, codebooks)
+  }
+
+  /** ADC scan + exact re-rank over an ALREADY-ENCODED code table
+    * (id, code) — the serving half of [[pqTopK]], split out so
+    * [[AnnIndex.pqServe]] can run it against persisted codes without
+    * re-encoding the corpus. `corpus` supplies only the true vectors for
+    * the shortlist re-rank (`rerank·k·|queries|` rows — point lookups,
+    * never a scan of the float vectors).
+    */
+  private[graft] def pqTopKWithCodes(codes: DataFrame, corpus: DataFrame,
+                                     queries: DataFrame, idCol: String,
+                                     vecCol: String, k: Int, rerank: Int,
+                                     codebooks: Array[Array[Array[Double]]]): DataFrame = {
     // LUT/ADC indexing must follow the ACTUAL codebook shape — trusting
     // the m/ks parameters against a caller-supplied codebook of different
     // shape would silently misalign the flat-LUT lookups
     val (mEff, ksEff) = (codebooks.length, codebooks(0).length)
-    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
     val q0 = queries.select(col(idCol).as("qid"),
       unitized(col(vecCol).cast("array<double>")).as("__q"))
     // flat LUT: entry s·ks + j = q_s · cb_s[j] — exactly the pqMatrix row

@@ -575,6 +575,24 @@ object QueryCatalog {
       .json(path)
   }
 
+  /** Persisted-ANN-index staging: build the IVF/PQ index ONCE per
+    * (path, sf-dir) per JVM — the serve entries then price load+serve,
+    * not a rebuild per invocation (the whole point of index
+    * persistence). Keyed by dir so a JVM that switches scale factors
+    * rebuilds; overwrite-mode writes make the rebuild safe.
+    */
+  private val ivfIdxDir = "/tmp/graft_ivf_idx"
+  private val pqIdxDir = "/tmp/graft_pq_idx"
+  private val builtIndexes = scala.collection.mutable.Map[String, String]()
+  private def stageIndex(path: String, dir: String)(build: => Unit): String =
+    synchronized {
+      if (!builtIndexes.get(path).contains(dir)) {
+        build
+        builtIndexes(path) = dir
+      }
+      path
+    }
+
   /** Two-era parquet fixture for schema-evolution ingestion: era v1
     * (even doc ids) has the original column set, era v2 (odd ids) adds a
     * BIGINT `score` column. Each era lands as ONE plain parquet file so
@@ -2751,6 +2769,37 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_ivf_persisted" -> ((s, dir) => { // oracle: replay OVER the persisted index tables
+      // The production ANN lifecycle: the IVF index (centroid table +
+      // cid-partitioned inverted lists) is BUILT ONCE and persisted;
+      // serving loads the nlist-row centroid table, probes as a pure
+      // projection, and scans ONLY the probed cid partitions — no
+      // training, no cell assignment, no corpus pass. Same params as
+      // x_sim_ivf, so the result is bit-identical to the in-memory
+      // variant (AnnIndexSpec pins the equality; the oracle replays
+      // probe+score+rank in DuckDB directly over the persisted parquet).
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfIdxDir, dir)(
+        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+          ivfIdxDir, nlist = 16))
+      graft.operators.AnnIndex.ivfServe(s, path,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_sim_pq_persisted" -> ((s, dir) => { // oracle: ADC+rerank replay over persisted codebooks/codes
+      // PQ twin of the persisted lifecycle: codebooks + the PQ-encoded
+      // corpus persist; the ADC scan reads the CODE table (8-64× smaller
+      // than the float corpus), and only the shortlist re-rank touches
+      // true vectors. Same params as x_sim_pq → bit-identical results.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(pqIdxDir, dir)(
+        graft.operators.AnnIndex.pqBuild(emb, "vec_id", "embedding", pqIdxDir))
+      graft.operators.AnnIndex.pqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_text_surprisal" -> ((s, dir) => { // float log-probs: rows-only oracle
       // CCNet-style quality signal: score every doc under a bigram LM
       // trained on the even-id half of the corpus.
@@ -4372,6 +4421,80 @@ object QueryCatalog {
           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
           |  FROM exact) WHERE rank <= 10
           |ORDER BY qid, rank""".stripMargin,
+
+      "x_sim_ivf_persisted" ->
+        // Replay DIRECTLY over the persisted index tables: centroids and
+        // the cid-partitioned cells (including the STORED norms) are read
+        // from the parquet the build wrote — probing, scoring, and
+        // ranking replay the serve path; only the query vectors come
+        // from the embeddings table. Same float parity as x_sim_ivf
+        // (float→double element loads, mul-then-div cosine).
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |nq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
+           |          FROM read_parquet('$ivfIdxDir/centroids/*.parquet')),
+           |cell AS (SELECT CAST(cid AS BIGINT) AS cid, id,
+           |                CAST(vec AS DOUBLE[]) AS mv, norm AS mn
+           |         FROM read_parquet('$ivfIdxDir/cells/*/*.parquet',
+           |                           hive_partitioning = true)),
+           |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nq WHERE vec_id < 5),
+           |probe AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT q.qid, c.cid,
+           |           row_number() OVER (PARTITION BY q.qid
+           |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+           |                      c.cid) AS rn
+           |    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+           |cand AS (
+           |  SELECT q.qid, m.id,
+           |         list_dot_product(m.mv, q.qv) / (m.mn * q.qn) AS cos
+           |  FROM probe p JOIN q ON q.qid = p.qid
+           |  JOIN cell m ON m.cid = p.cid
+           |  WHERE m.id <> q.qid)
+           |SELECT qid, id, rank FROM (
+           |  SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |  FROM cand) WHERE rank <= 10
+           |ORDER BY qid, rank""".stripMargin,
+
+      "x_sim_pq_persisted" ->
+        // ADC + exact re-rank replayed over the PERSISTED codebooks and
+        // code table (no train/encode CTEs — the artifacts on disk are
+        // the input). Each (qid, id) folds its m subvector-dot lookups
+        // in s order from 0.0 (float sums are order-sensitive; Spark's
+        // aggregate() folds ascending), exactly like x_sim_pq.
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |u AS (SELECT vec_id,
+           |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
+           |      FROM n),
+           |cb AS (SELECT s, j, cvec FROM read_parquet('$pqIdxDir/codebooks/*.parquet')),
+           |codes AS (SELECT id, code FROM read_parquet('$pqIdxDir/codes/*.parquet')),
+           |q0 AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
+           |lut AS (SELECT q0.qid, c.s, c.j,
+           |          list_dot_product(q0.quv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) AS d
+           |        FROM q0 CROSS JOIN cb c),
+           |adc AS (SELECT l.qid, co.id, list(l.d ORDER BY l.s) AS ds
+           |        FROM codes co JOIN lut l ON l.j = co.code[l.s + 1]
+           |        WHERE co.id <> l.qid
+           |        GROUP BY l.qid, co.id),
+           |scored AS (SELECT qid, id,
+           |    0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8] AS score
+           |  FROM adc),
+           |short AS (SELECT qid, id FROM (
+           |    SELECT qid, id,
+           |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+           |    FROM scored) WHERE rk <= 40),
+           |exact AS (SELECT sh.qid, sh.id,
+           |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+           |          FROM short sh
+           |          JOIN embeddings ec ON ec.vec_id = sh.id
+           |          JOIN embeddings eq ON eq.vec_id = sh.qid)
+           |SELECT qid, id, rank FROM (
+           |  SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |  FROM exact) WHERE rank <= 10
+           |ORDER BY qid, rank""".stripMargin,
 
       "x_dedup_embedding_pairs" -> {
         val sigUnion = (0 until hpTables).map(tb =>

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the persisted-ANN-index lifecycle: build → save → load → serve
+  * must return BIT-IDENTICAL rows to the in-memory one-shot paths (same
+  * centroids/codebooks ⇒ same kernels ⇒ same scores), and the serving
+  * plan must be the serve-only shape — no training, no cell
+  * re-assignment, a partition-pruned index scan.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def emb = graft.api.Tables.load(spark, dir, "embeddings")
+  private def queries = emb.filter(col("vec_id") < 5)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+    df.select(col("qid").cast("long"), col("id").cast("long"),
+        col("rank").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+
+  test("persisted IVF serves bit-identically to the in-memory path") {
+    val path = "/tmp/graft_test_ivf_idx"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val served = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val inMem = rows(Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4))
+    assert(served.nonEmpty && served == inMem)
+  }
+
+  test("persisted k-means IVF serves bit-identically to ivfTopKTrained") {
+    val path = "/tmp/graft_test_ivf_idx_trained"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 8,
+      trainedSeed = Some(42L))
+    val served = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val inMem = rows(Similarity.ivfTopKTrained(emb, queries,
+      "vec_id", "embedding", k = 10, nlist = 8, nprobe = 4, seed = 42L))
+    assert(served.nonEmpty && served == inMem)
+  }
+
+  test("persisted PQ serves bit-identically to the in-memory path") {
+    val path = "/tmp/graft_test_pq_idx"
+    AnnIndex.pqBuild(emb, "vec_id", "embedding", path)
+    val served = rows(AnnIndex.pqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10))
+    val inMem = rows(Similarity.pqTopK(emb, queries,
+      "vec_id", "embedding", k = 10))
+    assert(served.nonEmpty && served == inMem)
+  }
+
+  test("PQ codebooks round-trip the persistence bit-exactly") {
+    val path = "/tmp/graft_test_pq_idx_rt"
+    AnnIndex.pqBuild(emb, "vec_id", "embedding", path)
+    val trained = Similarity.pqTrain(emb, "vec_id", "embedding")
+    val loaded = AnnIndex.loadPqCodebooks(spark, path)
+    assert(loaded.length == trained.length)
+    for (s <- trained.indices; j <- trained(s).indices)
+      assert(java.util.Arrays.equals(loaded(s)(j), trained(s)(j)),
+        s"codebook ($s, $j) changed across persistence")
+  }
+
+  test("IVF serve plan: partition-pruned index scan, no re-assignment") {
+    val path = "/tmp/graft_test_ivf_idx"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val p = AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    val lower = p.toLowerCase
+    // the probed-cid literal IN-filter prunes the cells scan at the
+    // PARTITION level — only nprobe/nlist of the index is read (the
+    // INSET shows in PartitionFilters; Spark layers a dynamic-pruning
+    // subquery on top for free)
+    assert(lower.contains("partitionfilters: [cid") && lower.contains("inset"), p)
+    // NO cell re-assignment at serve time: the assignment argmax
+    // (VecArgMaxId) must not appear anywhere in the serving plan — the
+    // only centroid-matrix work (VecDotMatrix) is the probe-side
+    // projection over the QUERY scan. Contrast: the in-memory path's
+    // plan carries the assignment argmax over the corpus.
+    assert(!lower.contains("vecargmaxid"), p)
+    assert(lower.contains("vecdotmatrix"), p)
+    val inMemPlan = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nlist = 16, nprobe = 4)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(inMemPlan.contains("vecargmaxid"), inMemPlan)
+    // probes broadcast; the rank window never sees vectors (same gates
+    // as the in-memory path)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+}
