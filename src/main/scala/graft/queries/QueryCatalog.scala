@@ -3432,7 +3432,43 @@ object QueryCatalog {
         .select(col("id"), col("ahash"))
       Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
         .orderBy("a", "b")
+    }),
+
+    "x_dedup_images" -> ((s, dir) => {
+      // The image member of the dedup family as an ORACLE-HASHED miner:
+      // web-crawl multimodal dedup is hash-then-bucket, never pairwise —
+      // the input is a persisted SIGNATURE table (one 64-bit aHash per
+      // image; the decode chain that produces it stays rows-only as a
+      // JDK artifact, pinned by ImageHashSpec), and the miner is
+      // hamming-LSH: 8 byte-bands (pigeonhole-exact recall at ≤7 bits,
+      // the minhash banding logic made lossless), capped buckets,
+      // bit_count(xor) verify. DuckDB replays band+verify over the SAME
+      // staged parquet, so candidate pruning is hash-gated end to end.
+      val staged = stageImageHashes(s, dir)
+      Multimodal.imageNearDupPairs(s.read.parquet(staged), maxHamming = 6)
+        .orderBy("a", "b")
     }))
+
+  /** Staged signature table for [[x_dedup_images]]: the x_multimodal_
+    * imagehash chain (doubled corpus → real BMP decode → frame-0 aHash)
+    * persisted as one parquet file per (JVM, sf-dir) — at production
+    * scale the signature table is a first-class persisted artifact,
+    * exactly like the ANN index.
+    */
+  private val imgHashStageDir = "/tmp/graft_imghash_stage"
+  private def stageImageHashes(s: SparkSession, dir: String): String = {
+    stageIndex(imgHashStageDir, dir) {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      val hashes = Multimodal.imageHashes(
+          Multimodal.withBmpPayload(doubled, "doc_id", "text"), "doc_id")
+        .filter(col("frame_no") === 0)
+        .select(col("id"), col("ahash"))
+      graft.core.ParquetStage.stageSingleFile(hashes, imgHashStageDir, "hashes")
+    }
+    s"$imgHashStageDir/hashes.parquet"
+  }
 
   /** Greedy-subword segmentation replay (recursive CTE over (word,
     * position) states) — shared verbatim by the batch entry
@@ -4495,6 +4531,27 @@ object QueryCatalog {
            |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
            |  FROM exact) WHERE rank <= 10
            |ORDER BY qid, rank""".stripMargin,
+
+      "x_dedup_images" ->
+        // Hamming-LSH replay over the SAME staged signature parquet: the
+        // 8 byte-bands ((h >> 8b) & 255 — arithmetic-vs-logical shift is
+        // irrelevant under the low-8-bit mask for b ≤ 7), the capped
+        // band-bucket candidate join, and the bit_count(xor) verify are
+        // all 64-bit integer arithmetic both engines compute identically.
+        s"""WITH h AS (SELECT id, ahash
+           |  FROM read_parquet('$imgHashStageDir/hashes.parquet')),
+           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
+           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) >= 2 AND count(*) <= 1000),
+           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |pairs AS (SELECT DISTINCT c1.id AS a, c2.id AS b,
+           |            c1.ahash AS ha, c2.ahash AS hb
+           |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
+           |            AND c1.bv = c2.bv AND c1.id < c2.id)
+           |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+           |FROM pairs WHERE bit_count(xor(ha, hb)) <= 6
+           |ORDER BY a, b""".stripMargin,
 
       "x_dedup_embedding_pairs" -> {
         val sigUnion = (0 until hpTables).map(tb =>
