@@ -875,11 +875,49 @@ object Dedup {
     * false positives (rate `fpp`) drop a few clean docs too, which costs
     * training data, never eval integrity. The spec pins the no-false-
     * negative side and bounds the overkill against the exact operator.
+    *
+    * This public entry sizes the filter from (expectedNgrams, fpp) with
+    * the standard formulas and runs the REPLAYABLE md5
+    * Kirsch–Mitzenmacher path ([[decontaminateNgramBloomReplayable]]) —
+    * the oracle-hashed default. Pass `murmur = true` for the
+    * `DataFrameStatFunctions.bloomFilter` sketch variant
+    * ([[decontaminateNgramBloomMurmur]]): same one-sided semantics,
+    * xxhash-family throughput, no cross-engine replay.
     */
   def decontaminateNgramBloom(cand: DataFrame, ref: DataFrame, idCol: String,
                               textCol: String, n: Int = 13,
                               expectedNgrams: Long = 1000000L,
-                              fpp: Double = 0.01): DataFrame = {
+                              fpp: Double = 0.01,
+                              murmur: Boolean = false): DataFrame =
+    if (murmur)
+      decontaminateNgramBloomMurmur(cand, ref, idCol, textCol, n,
+        expectedNgrams, fpp)
+    else {
+      require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+      // m = -n·ln p / (ln 2)², k = (m/n)·ln 2 — the textbook optimum
+      val m = math.ceil(
+        -expectedNgrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+      require(m <= Int.MaxValue,
+        s"computed $m filter bits exceeds Int range — call " +
+          "decontaminateNgramBloomReplayable with explicit numBits")
+      val k = math.max(1,
+        math.round(m.toDouble / expectedNgrams * math.log(2)).toInt)
+      decontaminateNgramBloomReplayable(cand, ref, idCol, textCol, n,
+        m.toInt, k)
+    }
+
+  /** The raw-throughput Bloom variant behind [[decontaminateNgramBloom]]
+    * (`murmur = true`): Spark's built-in `stat.bloomFilter` sketch probed
+    * by a per-row UDF — Spark exposes no public `might_contain`
+    * expression for these sketches, and the murmur bit pattern is not
+    * replayable cross-engine, so the md5 bitset fold is the public
+    * default and this stays the opt-in.
+    */
+  private[graft] def decontaminateNgramBloomMurmur(
+      cand: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int = 13,
+      expectedNgrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
     val spark = cand.sparkSession
     val refSh = shingles(ref, idCol, textCol, n).select("shingle").distinct()
     val bloom = refSh.stat.bloomFilter("shingle", expectedNgrams, fpp)

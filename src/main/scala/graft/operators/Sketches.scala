@@ -327,6 +327,38 @@ object Sketches {
       .na.fill(0L, zeroCols)
   }
 
+  /** Heaps'-law vocabulary-growth curve on KMV sketches — the 100 TB
+    * form of the exact `x_corpus_heaps` report: distinct-token estimates
+    * at nested corpus prefixes (by id percentile), ONE token pass, state
+    * = `capacity` longs per prefix instead of an exact `count(DISTINCT)`
+    * whose per-prefix distinct sets all shuffle. Each token row explodes
+    * to its qualifying prefixes (≤ |fractions| compact (pct, hash) rows,
+    * collapsed map-side by the mergeable KMV partials), so the exchange
+    * carries |fractions|·capacity longs TOTAL regardless of corpus size.
+    *
+    * Estimator-regime oracle-replayable for the same reason as
+    * [[kmvDistinct]]: with the md5-prefix hash the k-th minimum is a
+    * rank selection any engine replays exactly.
+    *
+    * Output: (pct, n_distinct_est) — one row per fraction.
+    */
+  def heapsKmv(docs: DataFrame, idCol: String, textCol: String,
+               capacity: Int = 4096,
+               fractions: Seq[Int] = Seq(20, 40, 60, 80, 100)): DataFrame = {
+    // the max-id probe is a 1-row agg action, the same prefix-anchor
+    // the exact variant takes (percentile cuts are policy over ids)
+    val mx = docs.agg(max(col(idCol))).head().getLong(0)
+    val agg = udaf(new KmvDistinctAgg(capacity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .select(kmvHash60(col("tok")).as("h"),
+        explode(expr(s"filter(array(${fractions.mkString(", ")}), " +
+          s"f -> __id * 100 <= ${mx}L * f)")).as("pct"))
+      .groupBy(col("pct"))
+      .agg(agg(col("h")).as("n_distinct_est"))
+  }
+
   /** Per-executor deserialized-sketch cache: the broadcast ships bytes
     * (CountMinSketch is Serializable but re-deserializing per row would
     * dominate); each executor inflates it once.

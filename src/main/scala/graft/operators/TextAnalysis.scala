@@ -264,21 +264,24 @@ object TextAnalysis {
     * so this is spec-pinned rather than oracle-hashed (log is not
     * bit-reproducible across engines).
     */
+  /** (…cols, w1, w2) — one row per adjacent word pair of `textCol`. */
+  private def bigramRows(df: DataFrame, textCol: String,
+                         cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(cols :+ split(col(textCol), " ").as("w"): _*)
+      .filter(size(col("w")) >= 2)
+      .select(cols :+ posexplode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as(Seq("i", "bg")): _*)
+      .select(cols :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+
   def bigramSurprisal(docs: DataFrame, ref: DataFrame, idCol: String,
                       textCol: String, k: Double = 0.5,
                       broadcastModel: Boolean = true): DataFrame = {
     require(k > 0, "add-k smoothing needs k > 0")
     def maybeB(df: DataFrame): DataFrame =
       if (broadcastModel) broadcast(df) else df
-    def bigramRows(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
-      df.select(cols :+ split(col(textCol), " ").as("w"): _*)
-        .filter(size(col("w")) >= 2)
-        .select(cols :+ posexplode(expr(
-          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
-          .as(Seq("i", "bg")): _*)
-        .select(cols :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
     // model: c(w1, w2), c(w1), |V| from the reference corpus
-    val refBi = bigramRows(ref, Seq.empty)
+    val refBi = bigramRows(ref, textCol, Seq.empty)
     val biCounts = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uniCounts = refBi.groupBy("w1").agg(count(lit(1)).as("c1"))
     // one-row driver probe (like the Similarity dimension probe): |V| is
@@ -288,7 +291,7 @@ object TextAnalysis {
     require(vocab > 0,
       "bigramSurprisal needs a non-empty reference corpus to train on")
     // score: P(w2|w1) = (c12 + k) / (c1 + k·|V|); unseen w1 → c1 = 0
-    val scored = bigramRows(docs, Seq(col(idCol)))
+    val scored = bigramRows(docs, textCol, Seq(col(idCol)))
       .join(maybeB(biCounts), Seq("w1", "w2"), "left")
       .join(maybeB(uniCounts), Seq("w1"), "left")
       .withColumn("p",
@@ -297,6 +300,44 @@ object TextAnalysis {
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         (-avg(log2(col("p")))).as("avg_surprisal"))
+  }
+
+  /** INTEGER-EXACT twin of [[bigramSurprisal]] at k = 1/2 — the
+    * hash-verifiable configuration (the `x_unigram_train_exact`
+    * pattern: rational scores, unchanged production plan). With
+    * k = 1/2, P(w2|w1) = (2·c12 + 1) / (2·c1 + |V|) exactly in
+    * integers, so the per-bigram surprisal −log₂P is scored as the
+    * BIT-LENGTH difference
+    *   `length(bin(2·c1 + |V|)) − length(bin(2·c12 + 1))`
+    * (= ⌊log₂ den⌋ − ⌊log₂ num⌋, within ±1 bit of the float surprisal
+    * per term) — pure integer string length in BOTH engines, the same
+    * no-floating-log trick as the token frequency spectrum. Identical
+    * model tables, identical broadcast-join plan; only the projection
+    * arithmetic changes.
+    *
+    * Output: (id, n_bigrams, sum_surprisal_bits).
+    */
+  def bigramSurprisalExact(docs: DataFrame, ref: DataFrame, idCol: String,
+                           textCol: String,
+                           broadcastModel: Boolean = true): DataFrame = {
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastModel) broadcast(df) else df
+    val refBi = bigramRows(ref, textCol, Seq.empty)
+    val biCounts = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uniCounts = refBi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = ref.select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(countDistinct(col("tok"))).first().getLong(0)
+    require(vocab > 0,
+      "bigramSurprisalExact needs a non-empty reference corpus to train on")
+    bigramRows(docs, textCol, Seq(col(idCol)))
+      .join(maybeB(biCounts), Seq("w1", "w2"), "left")
+      .join(maybeB(uniCounts), Seq("w1"), "left")
+      .withColumn("sbits",
+        (length(bin(coalesce(col("c1"), lit(0L)) * 2 + lit(vocab))) -
+         length(bin(coalesce(col("c12"), lit(0L)) * 2 + lit(1L)))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("sbits")).as("sum_surprisal_bits"))
   }
 
   /** Linear Naive-Bayes-margin quality classifier — the integer-exact

@@ -2809,6 +2809,17 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_text_surprisal_exact" -> ((s, dir) => { // hash-gated integer twin
+      // Same bigram LM and broadcast-join plan as x_text_surprisal, at
+      // the k = 1/2 rational configuration: per-bigram surprisal scored
+      // as the bit-length difference of the exact integer ratio —
+      // no floating log anywhere, so the report hash-verifies.
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramSurprisalExact(docs,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "x_text_vocab" -> ((s, dir) =>
       TextAnalysis.vocab(t(s, dir, "documents"), "doc_id", "text", 50)
         .orderBy(col("tf").desc, col("tok"))),
@@ -3270,6 +3281,20 @@ object QueryCatalog {
           .as(s"v$f"))
       toks.agg(aggs.head, aggs.tail: _*)
     }),
+
+    "x_corpus_heaps_kmv" -> ((s, dir) =>
+      // The 100 TB Heaps curve: same nested-prefix report as
+      // x_corpus_heaps but on per-prefix KMV sketches — one token pass,
+      // capacity longs per prefix cross the exchange instead of the
+      // exact variant's per-prefix distinct sets. Capacity 16 < the
+      // fixture's ~31 distinct tokens, so every prefix runs in the
+      // ESTIMATOR regime — which still hash-verifies: the k-th minimum
+      // of md5-prefix hashes is a rank selection DuckDB replays exactly
+      // (same trust as x_kmv_distinct). Production capacity (~4k) is a
+      // knob, not a code path: both regimes are one Aggregator.
+      graft.operators.Sketches.heapsKmv(t(s, dir, "documents"),
+          "doc_id", "text", capacity = 16)
+        .orderBy("pct")),
 
     "x_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(t(s, dir, "documents"), "source", "text")
@@ -4929,6 +4954,32 @@ object QueryCatalog {
           |            // greatest(hk, 1) END AS BIGINT) AS n_distinct_est
           |FROM kth ORDER BY source""".stripMargin,
 
+      "x_corpus_heaps_kmv" ->
+        // Per-prefix KMV replay: distinct qualifying tokens per prefix,
+        // md5-prefix 60-bit hashes, k-th-minimum rank selection —
+        // (15 · 2⁶⁰) // h₁₆ in the estimator regime, the distinct
+        // count itself under capacity. HUGEINT intermediate, BIGINT out.
+        """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+          |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |      FROM documents),
+          |pf AS (SELECT f.pct, t.tok
+          |       FROM t CROSS JOIN m
+          |       CROSS JOIN (SELECT unnest([20, 40, 60, 80, 100]) AS pct) f
+          |       WHERE t.doc_id * 100 <= m.mx * f.pct),
+          |d AS (SELECT DISTINCT pct, tok FROM pf),
+          |h AS (SELECT pct,
+          |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM d),
+          |r AS (SELECT pct, hv,
+          |        row_number() OVER (PARTITION BY pct ORDER BY hv) AS rk,
+          |        count(*) OVER (PARTITION BY pct) AS nd FROM h),
+          |kth AS (SELECT pct, max(nd) AS nd,
+          |          max(CASE WHEN rk = 16 THEN hv END) AS hk
+          |        FROM r GROUP BY pct)
+          |SELECT pct, CAST(CASE WHEN nd < 16 THEN nd
+          |     ELSE (15::HUGEINT * 1152921504606846976::HUGEINT)
+          |          // greatest(hk, 1) END AS BIGINT) AS n_distinct_est
+          |FROM kth ORDER BY pct""".stripMargin,
+
       "x_stream_distinct" ->
         // exact-regime replay (capacity > distinct users per window):
         // per-window count(DISTINCT), append-mode cutoff from max(ts)
@@ -5000,6 +5051,37 @@ object QueryCatalog {
           |  CAST(count(DISTINCT CASE WHEN doc_id * 100 <= mx * 80 THEN tok END) AS BIGINT) AS v80,
           |  CAST(count(DISTINCT tok) AS BIGINT) AS v100
           |FROM t CROSS JOIN m""".stripMargin,
+
+      "x_text_surprisal_exact" ->
+        // Bigram-LM replay in pure integers: reference counts c(w1,w2),
+        // c(w1), |V|; each doc bigram scores
+        // length(bin(2·c1 + V)) − length(bin(2·c12 + 1)) — integer
+        // string lengths, no log (the frequency-spectrum trick).
+        """WITH refw AS (SELECT string_split(text, ' ') AS w
+          |             FROM documents WHERE doc_id % 2 = 0),
+          |rb AS (SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+          |  SELECT unnest([{'w1': w[i], 'w2': w[i + 1]}
+          |                 for i in range(1, len(w))]) AS bg
+          |  FROM refw WHERE len(w) >= 2)),
+          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM rb GROUP BY w1, w2),
+          |c1 AS (SELECT w1, count(*) AS c1 FROM rb GROUP BY w1),
+          |v AS (SELECT count(DISTINCT tok) AS v FROM (
+          |  SELECT unnest(string_split(text, ' ')) AS tok
+          |  FROM documents WHERE doc_id % 2 = 0)),
+          |db AS (SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+          |  SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i + 1]}
+          |                         for i in range(1, len(w))]) AS bg
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          |  WHERE len(w) >= 2)),
+          |sc AS (SELECT d.doc_id,
+          |         length(bin(2 * coalesce(u.c1, 0) + (SELECT v FROM v))) -
+          |         length(bin(2 * coalesce(b.c12, 0) + 1)) AS sbits
+          |       FROM db d
+          |       LEFT JOIN c12 b ON b.w1 = d.w1 AND b.w2 = d.w2
+          |       LEFT JOIN c1 u ON u.w1 = d.w1)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  CAST(sum(sbits) AS BIGINT) AS sum_surprisal_bits
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "x_text_vocab" ->
         """WITH toks AS (

@@ -117,6 +117,70 @@ object BenchSf1 {
     rmRec(java.nio.file.Paths.get(tmpEv))
   }
 
+  // ---- per-scale staged artifacts for the ingestion/serve probes ----
+  // (written OUTSIDE the timed probes: the probe prices the operator —
+  // the distributed parse/scan/serve — not fixture generation, exactly
+  // like buildSf1 itself)
+  private val ingestDir = "/tmp/graft_sf1_ingest"
+  private val ivfIdxDir = "/tmp/graft_sf1_ivfidx"
+  private val imgHashDir = "/tmp/graft_sf1_imghash"
+  private def tagOf(dir: String): String = if (dir == sf01) "sf01" else "sf1"
+
+  /** JSONL (with the doc_id%13 truncation corruption of the catalog
+    * fixture, written DISTRIBUTED as text part files — line-splittable
+    * either way), ORC, and the two schema-evolution parquet eras.
+    */
+  private def stageIngest(s: SparkSession, dir: String): Unit = {
+    val tag = tagOf(dir)
+    val d = docs(s, dir)
+    d.select(col("doc_id"), to_json(struct(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text"))).as("js"))
+      .select(when(col("doc_id") % 13 === 0,
+        expr("substring(js, 1, length(js) - 2)")).otherwise(col("js")).as("value"))
+      .write.mode("overwrite").text(s"$ingestDir/$tag/jsonl")
+    d.write.mode("overwrite").orc(s"$ingestDir/$tag/orc")
+    val evo = d.select("doc_id", "lang", "n_chars")
+    evo.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$ingestDir/$tag/evo_v1")
+    evo.filter(col("doc_id") % 2 =!= 0)
+      .withColumn("score", (col("n_chars") * 2).cast("long"))
+      .write.mode("overwrite").parquet(s"$ingestDir/$tag/evo_v2")
+  }
+
+  /** Persisted IVF index per scale: nlist grows with the corpus (the
+    * 100 TB posture — constant cell size), so SERVING a fixed query set
+    * should price ~flat: the probed-cid partition pruning reads the same
+    * absolute volume at both scales.
+    */
+  private def buildServeIndex(s: SparkSession, dir: String, m: Int): Unit =
+    graft.operators.AnnIndex.ivfBuild(emb(s, dir), "vec_id", "embedding",
+      s"$ivfIdxDir/${tagOf(dir)}", nlist = 64 * m)
+
+  /** Signature table per scale for the image near-dup miner (BMP decode
+    * is priced by jpeg_transcode; this probe prices the band join).
+    */
+  private def stageImageHashes(s: SparkSession, dir: String): Unit =
+    graft.operators.Multimodal.imageHashes(
+        graft.operators.Multimodal.withBmpPayload(
+          docs(s, dir), "doc_id", "text"), "doc_id")
+      .filter(col("frame_no") === 0)
+      .select(col("id"), col("ahash"))
+      .write.mode("overwrite").parquet(s"$imgHashDir/${tagOf(dir)}")
+
+  private val jsonlSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_corrupt_record",
+      org.apache.spark.sql.types.StringType)))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -129,6 +193,12 @@ object BenchSf1 {
     spark.sparkContext.setLogLevel("ERROR")
     CodegenErrors.install()
     buildSf1(spark)
+    Seq(sf01, sf1Dir).foreach { d =>
+      stageIngest(spark, d)
+      stageImageHashes(spark, d)
+    }
+    buildServeIndex(spark, sf01, 1)
+    buildServeIndex(spark, sf1Dir, copies)
     // fixed-size reference/batch set (an eval suite does not grow with
     // the training corpus): every 10th BASE doc, both scales
     val refSet = docs(spark, sf01).filter(col("doc_id") % 10 === 0)
@@ -315,6 +385,62 @@ object BenchSf1 {
       "stream_route" -> ((dir, _) =>
         graft.queries.QueryCatalog.all("x_stream_route")(spark, dir)
           .count()),
+      // ingestion, the first 100 TB stage: schema-driven PERMISSIVE
+      // JSONL parse + quarantine health report — line-splittable, the
+      // parse distributes; must price as one linear scan + tiny agg
+      "ingest_jsonl" -> ((dir, _) => {
+        val parsed = spark.read.schema(jsonlSchema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$ingestDir/${tagOf(dir)}/jsonl")
+        parsed.select(
+            when(col("_corrupt_record").isNotNull, lit("__quarantine"))
+              .otherwise(col("lang")).as("lang_bucket"),
+            coalesce(col("n_chars"), lit(0L)).as("nc"),
+            when(col("_corrupt_record").isNotNull, 1L).otherwise(0L).as("corrupt"))
+          .groupBy("lang_bucket")
+          .agg(count(lit(1)).as("n_rows"), sum("nc").as("sum_chars"),
+            sum("corrupt").as("n_corrupt"))
+          .count()
+      }),
+      // columnar interchange beyond parquet: ORC scan + agg, with the
+      // same pushdown posture — linear scan
+      "ingest_orc" -> ((dir, _) =>
+        spark.read.orc(s"$ingestDir/${tagOf(dir)}/orc")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            countDistinct("source").as("n_sources"))
+          .count()),
+      // schema evolution: mergeSchema over two eras — footer merge is
+      // per-file metadata work; the data scan stays linear
+      "ingest_evolution" -> ((dir, _) => {
+        val tag = tagOf(dir)
+        spark.read.option("mergeSchema", "true")
+          .parquet(s"$ingestDir/$tag/evo_v1", s"$ingestDir/$tag/evo_v2")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("score").as("sum_score"))
+          .count()
+      }),
+      // Heaps curve on KMV sketches: one token pass, |fractions|·capacity
+      // longs total cross the exchange — must price as a linear scan
+      "heaps_kmv" -> ((dir, _) =>
+        graft.operators.Sketches.heapsKmv(docs(spark, dir),
+          "doc_id", "text", capacity = 1024).count()),
+      // persisted-index SERVING: nlist grows with the corpus (constant
+      // cell size), query set fixed — the probed-cid partition pruning
+      // reads ~the same absolute volume at both scales, so serve should
+      // price ~FLAT (the whole point of index persistence)
+      "ivf_serve" -> ((dir, _) =>
+        graft.operators.AnnIndex.ivfServe(spark,
+          s"$ivfIdxDir/${tagOf(dir)}",
+          emb(spark, sf01).filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, nprobe = 8).count()),
+      // image near-dup miner over the staged signature table: 8 compact
+      // band rows per image shuffle, capped buckets — linear
+      "image_dedup" -> ((dir, _) =>
+        graft.operators.Multimodal.imageNearDupPairs(
+          spark.read.parquet(s"$imgHashDir/${tagOf(dir)}"),
+          maxHamming = 6).count()),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)

@@ -654,8 +654,10 @@ class OperatorSpec extends AnyFunSuite {
     val cand = docs.filter(col("doc_id") % 7 =!= 0)
     val exactClean = Dedup.decontaminateNgram(cand, ref, "doc_id", "text", n = 8)
       .select("doc_id").as[Long].collect().toSet
+    // the raw-throughput murmur opt-in (murmur = true): the sketch path
+    // behind the public default
     val bloomClean = Dedup.decontaminateNgramBloom(cand, ref, "doc_id", "text",
-        n = 8, expectedNgrams = 100000L, fpp = 0.01)
+        n = 8, expectedNgrams = 100000L, fpp = 0.01, murmur = true)
       .select("doc_id").as[Long].collect().toSet
     // one-sided error: everything the bloom keeps, the exact path keeps
     // (no contaminated doc survives — no false negatives)
@@ -676,6 +678,16 @@ class OperatorSpec extends AnyFunSuite {
     val overkill2 = (exactClean -- replayClean).size.toDouble / exactClean.size.max(1)
     info(f"replayable-bloom overkill: $overkill2%.4f")
     assert(overkill2 <= 0.05, s"overkill $overkill2 too high")
+    // the PUBLIC DEFAULT (no murmur flag) sizes the filter from
+    // (expectedNgrams, fpp) and runs the replayable md5 path — same
+    // one-sided guarantee through the ergonomic entry
+    val defaultClean = Dedup.decontaminateNgramBloom(cand, ref,
+        "doc_id", "text", n = 8, expectedNgrams = 100000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert((defaultClean -- exactClean).isEmpty,
+      s"default bloom kept contaminated docs: ${(defaultClean -- exactClean).take(5)}")
+    val overkill3 = (exactClean -- defaultClean).size.toDouble / exactClean.size.max(1)
+    assert(overkill3 <= 0.05, s"overkill $overkill3 too high")
   }
 
   test("domain mix honors per-domain caps in deterministic hash order") {
@@ -764,6 +776,25 @@ class OperatorSpec extends AnyFunSuite {
     info(f"surprisal in-domain ${s(inId)}%.2f vs gibberish ${s(999999L)}%.2f")
     assert(s(999999L) > s(inId),
       s"gibberish should surprise a reference-trained LM more: $s")
+    // the integer-exact twin (k = 1/2, bit-length scoring) tracks the
+    // float surprisal within 1 bit per bigram — the quantization bound
+    // of floor-log2 scoring on both the numerator and denominator —
+    // and preserves the in-domain < gibberish ordering
+    val ex = TextAnalysis.bigramSurprisalExact(probe, ref, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val float = TextAnalysis.bigramSurprisal(probe, ref, "doc_id", "text",
+        k = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // (orderings separated by LESS than a bit — like this fixture's
+    // 0.2-bit gap — can legitimately flip under the quantization; the
+    // pinned contract is the per-bigram bound, not sub-bit ordering)
+    ex.foreach { case (id, (nBi, bits)) =>
+      val avgBits = bits.toDouble / nBi
+      assert(math.abs(avgBits - float(id)) <= 1.0,
+        s"doc $id: exact twin $avgBits bits vs float ${float(id)}")
+    }
   }
 
   test("shuffleShards: contiguous in-shard positions, deterministic, balanced") {
