@@ -63,6 +63,38 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
   }
 
+  /** Rebuild the inverted lists under an EXISTING centroid table (e.g.
+    * another index's persisted centroids, or an externally governed
+    * set): centroids are the index's identity — re-deriving them on a
+    * rebuild would silently orphan every previously assigned cell.
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               path: String, centroids: DataFrame): Unit = {
+    val spark = corpus.sparkSession
+    centroids.select(col("cid").cast("long"), col("cvec"), col("cnorm"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cents = loadIvfCentroids(spark, path)
+    Similarity.assignCells(Similarity.ensureParallelism(corpus),
+        idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /** Append a new corpus batch to a persisted IVF index — the
+    * incremental lifecycle ([[graft.operators.Dedup.incrementalDedup]]'s
+    * ANN sibling): the batch is assigned against the PERSISTED centroids
+    * (never retrained — that would orphan the existing cells) and its
+    * rows land append-mode in the cid partitions. O(batch) work per
+    * increment; the existing index is never read or rewritten.
+    */
+  def ivfAppend(batch: DataFrame, idCol: String, vecCol: String,
+                path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = loadIvfCentroids(spark, path)
+    Similarity.assignCells(Similarity.ensureParallelism(batch),
+        idCol, vecCol, cents)
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+  }
+
   /** The persisted centroid table, collected driver-side (nlist rows). */
   private[graft] def loadIvfCentroids(spark: SparkSession,
                                       path: String): Array[(Long, Seq[Double], Double)] =
@@ -118,6 +150,17 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     Similarity.pqEncode(corpus, idCol, vecCol, loadPqCodebooks(spark, path))
       .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Append a new corpus batch to a persisted PQ index: the batch is
+    * encoded with the PERSISTED codebooks (the index's identity, like
+    * IVF centroids) and its codes land append-mode. O(batch) work.
+    */
+  def pqAppend(batch: DataFrame, idCol: String, vecCol: String,
+               path: String): Unit = {
+    val spark = batch.sparkSession
+    Similarity.pqEncode(batch, idCol, vecCol, loadPqCodebooks(spark, path))
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** The persisted codebooks, reshaped to the m × ks × sub driver array

@@ -582,6 +582,7 @@ object QueryCatalog {
     * rebuilds; overwrite-mode writes make the rebuild safe.
     */
   private val ivfIdxDir = "/tmp/graft_ivf_idx"
+  private val ivfAppIdxDir = "/tmp/graft_ivf_idx_app"
   private val pqIdxDir = "/tmp/graft_pq_idx"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
@@ -2787,6 +2788,27 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_ivf_appended" -> ((s, dir) => { // oracle: replay over the APPENDED index
+      // The incremental index lifecycle (incrementalDedup's ANN
+      // sibling): centroids trained on the even-id half, the odd-id
+      // batch appended later against the PERSISTED centroids — O(batch)
+      // work, the existing inverted lists never rewritten. The oracle
+      // replays probe/score/rank over the final on-disk parquet, so the
+      // hash proves build+append composed to exactly the full index.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfAppIdxDir, dir) {
+        graft.operators.AnnIndex.ivfBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          ivfAppIdxDir, nlist = 16)
+        graft.operators.AnnIndex.ivfAppend(
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          ivfAppIdxDir)
+      }
+      graft.operators.AnnIndex.ivfServe(s, path,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_pq_persisted" -> ((s, dir) => { // oracle: ADC+rerank replay over persisted codebooks/codes
       // PQ twin of the persisted lifecycle: codebooks + the PQ-encoded
       // corpus persist; the ADC scan reads the CODE table (8-64× smaller
@@ -3568,6 +3590,38 @@ object QueryCatalog {
     def ivfReplaySql(nlist: Int, nprobe: Int, k: Int, queryPred: String) =
       s"""WITH ${ivfKnnCtes(nlist, nprobe, k, queryPred)}
          |SELECT qid, id, rank FROM knn ORDER BY qid, rank""".stripMargin
+
+    // Replay over a PERSISTED IVF index directory: centroids and the
+    // cid-partitioned cells (incl. STORED norms) come from the parquet
+    // on disk; only the query vectors come from the embeddings table.
+    def ivfPersistedReplay(idxDir: String): String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
+         |          FROM read_parquet('$idxDir/centroids/*.parquet')),
+         |cell AS (SELECT CAST(cid AS BIGINT) AS cid, id,
+         |                CAST(vec AS DOUBLE[]) AS mv, norm AS mn
+         |         FROM read_parquet('$idxDir/cells/*/*.parquet',
+         |                           hive_partitioning = true)),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nq WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+         |                      c.cid) AS rn
+         |    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT q.qid, m.id,
+         |         list_dot_product(m.mv, q.qv) / (m.mn * q.qn) AS cos
+         |  FROM probe p JOIN q ON q.qid = p.qid
+         |  JOIN cell m ON m.cid = p.cid
+         |  WHERE m.id <> q.qid)
+         |SELECT qid, id, rank FROM (
+         |  SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+         |  FROM cand) WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
 
     Map(
       "x_sim_ivf" -> ivfReplaySql(nlist = 16, nprobe = 4, k = 10,
@@ -4490,33 +4544,13 @@ object QueryCatalog {
         // ranking replay the serve path; only the query vectors come
         // from the embeddings table. Same float parity as x_sim_ivf
         // (float→double element loads, mul-then-div cosine).
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |nq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-           |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
-           |          FROM read_parquet('$ivfIdxDir/centroids/*.parquet')),
-           |cell AS (SELECT CAST(cid AS BIGINT) AS cid, id,
-           |                CAST(vec AS DOUBLE[]) AS mv, norm AS mn
-           |         FROM read_parquet('$ivfIdxDir/cells/*/*.parquet',
-           |                           hive_partitioning = true)),
-           |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nq WHERE vec_id < 5),
-           |probe AS (
-           |  SELECT qid, cid FROM (
-           |    SELECT q.qid, c.cid,
-           |           row_number() OVER (PARTITION BY q.qid
-           |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
-           |                      c.cid) AS rn
-           |    FROM q CROSS JOIN cents c) WHERE rn <= 4),
-           |cand AS (
-           |  SELECT q.qid, m.id,
-           |         list_dot_product(m.mv, q.qv) / (m.mn * q.qn) AS cos
-           |  FROM probe p JOIN q ON q.qid = p.qid
-           |  JOIN cell m ON m.cid = p.cid
-           |  WHERE m.id <> q.qid)
-           |SELECT qid, id, rank FROM (
-           |  SELECT qid, id,
-           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
-           |  FROM cand) WHERE rank <= 10
-           |ORDER BY qid, rank""".stripMargin,
+        ivfPersistedReplay(ivfIdxDir),
+
+      "x_sim_ivf_appended" ->
+        // Identical replay over the build-on-evens + append-odds index:
+        // the on-disk parquet is the only input, so the hash proves the
+        // incremental lifecycle composed to exactly the full index.
+        ivfPersistedReplay(ivfAppIdxDir),
 
       "x_sim_pq_persisted" ->
         // ADC + exact re-rank replayed over the PERSISTED codebooks and

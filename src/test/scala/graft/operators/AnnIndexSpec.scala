@@ -64,6 +64,58 @@ class AnnIndexSpec extends AnyFunSuite {
         s"codebook ($s, $j) changed across persistence")
   }
 
+  test("ivfAppend: build-on-half + append-half serves identically to a full build under the same centroids") {
+    val pathA = "/tmp/graft_test_ivf_idx_app"
+    val pathB = "/tmp/graft_test_ivf_idx_appfull"
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+    // incremental lifecycle: centroids trained on the first batch only,
+    // later batches assigned against the PERSISTED centroids
+    AnnIndex.ivfBuild(evens, "vec_id", "embedding", pathA, nlist = 16)
+    AnnIndex.ivfAppend(odds, "vec_id", "embedding", pathA)
+    // reference: one-shot rebuild of the FULL corpus under the SAME
+    // persisted centroid table (centroids are the index identity)
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", pathB,
+      spark.read.parquet(s"$pathA/centroids"))
+    val inc = rows(AnnIndex.ivfServe(spark, pathA, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val full = rows(AnnIndex.ivfServe(spark, pathB, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(inc.nonEmpty && inc == full)
+  }
+
+  test("pqAppend: incremental encode serves identically to one-shot over the same codebooks") {
+    val path = "/tmp/graft_test_pq_idx_app"
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnIndex.pqBuild(evens, "vec_id", "embedding", path)
+    AnnIndex.pqAppend(odds, "vec_id", "embedding", path)
+    val served = rows(AnnIndex.pqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10))
+    // in-memory reference under the SAME (evens-trained) codebooks
+    val cbs = AnnIndex.loadPqCodebooks(spark, path)
+    val inMem = rows(Similarity.pqTopK(emb, queries,
+      "vec_id", "embedding", k = 10, codebooksIn = Some(cbs)))
+    assert(served.nonEmpty && served == inMem)
+  }
+
+  test("PQ serve plan: code-table scan, no re-encode of the corpus") {
+    val path = "/tmp/graft_test_pq_idx"
+    AnnIndex.pqBuild(emb, "vec_id", "embedding", path)
+    val p = AnnIndex.pqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10)
+      .queryExecution.executedPlan.toString.toLowerCase
+    // the encode argmax (VecBlockArgMax) must not appear at serve time —
+    // the ADC scan reads persisted codes; the only VecDotMatrix is the
+    // per-query LUT projection
+    assert(!p.contains("vecblockargmax"), p)
+    assert(p.contains("vecdotmatrix"), p)
+    val inMemPlan = Similarity.pqTopK(emb, queries,
+      "vec_id", "embedding", k = 10)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(inMemPlan.contains("vecblockargmax"), inMemPlan)
+  }
+
   test("IVF serve plan: partition-pruned index scan, no re-assignment") {
     val path = "/tmp/graft_test_ivf_idx"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
