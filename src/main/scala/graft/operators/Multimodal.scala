@@ -428,16 +428,24 @@ object Multimodal {
     * (constant-color corpora collapse a byte-band) are capped like every
     * other bucket miner: pass `maxBandSize` to drop saturated buckets.
     */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
-                        maxBandSize: Option[Int] = Some(1000)): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming must be in [0, 7] (8-band recall bound), got $maxHamming")
-    val bands = hashes.select(col("id"), col("ahash"),
+  /** (id, ahash, band, bv): the 8 byte-bands of each 64-bit hash — the
+    * hamming-LSH bucketing key shared by the batch pair miner and the
+    * streaming vs-index detector (they MUST band identically or the
+    * pigeonhole recall argument breaks across the pair).
+    */
+  private[graft] def bandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("id"), col("ahash"),
         explode(array((0 until 8).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("ahash"), b * 8)
               .bitwiseAND(lit(255L)).as("bv"))): _*)).as("e"))
       .select(col("id"), col("ahash"), col("e.band"), col("e.bv"))
+
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
+                        maxBandSize: Option[Int] = Some(1000)): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (8-band recall bound), got $maxHamming")
+    val bands = bandRows(hashes)
     val ok = bands.groupBy("band", "bv").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2 &&
         col("n") <= lit(maxBandSize.getOrElse(Int.MaxValue)))

@@ -3494,6 +3494,23 @@ object QueryCatalog {
       val staged = stageImageHashes(s, dir)
       Multimodal.imageNearDupPairs(s.read.parquet(staged), maxHamming = 6)
         .orderBy("a", "b")
+    }),
+
+    "x_stream_imagehash" -> ((s, dir) => { // LIVE stream, oracle-hashed
+      // Streaming multimodal dedup: the id-shifted copy half of the
+      // signature table ARRIVES as a stream (readStream → stateless
+      // 8-band explode → stream-static join vs the cached corpus band
+      // index → hamming verify → memory sink). Pure 64-bit integer
+      // arithmetic end to end, so the REAL streaming path hash-verifies
+      // like x_stream_classify; one row per colliding band (the
+      // vsCorpusHits convention — consumers dropDuplicates for a flag).
+      val staged = stageImageHashes(s, dir)
+      val sigs = s.read.parquet(staged)
+      val index = graft.streaming.StreamImageDedup.indexBands(
+        sigs.filter(col("id") < 100000L)).cache()
+      graft.streaming.StreamImageDedup.runOnce(s, imgHashStageDir,
+          "hashes.parquet", sigs.schema, col("id") >= 100000L, index)
+        .orderBy("id", "corpus_id", "band")
     }))
 
   /** Staged signature table for [[x_dedup_images]]: the x_multimodal_
@@ -4611,6 +4628,30 @@ object QueryCatalog {
            |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
            |FROM pairs WHERE bit_count(xor(ha, hb)) <= 6
            |ORDER BY a, b""".stripMargin,
+
+      "x_stream_imagehash" ->
+        // Stream-vs-index replay over the SAME staged signature parquet:
+        // corpus half (< 100000) bands with the BUILD-TIME bucket cap,
+        // stream half (≥ 100000) bands uncapped, equi-join + hamming —
+        // one row per colliding band, no distinct (matching the stream's
+        // append-mode emission).
+        s"""WITH h AS (SELECT id, ahash
+           |  FROM read_parquet('$imgHashStageDir/hashes.parquet')),
+           |bb AS (SELECT unnest(range(0, 8)) AS band),
+           |cb AS (SELECT c.id AS corpus_id, c.ahash AS chash, bb.band,
+           |         (c.ahash >> (bb.band * 8)) & 255 AS bv
+           |       FROM h c CROSS JOIN bb WHERE c.id < 100000),
+           |ok AS (SELECT band, bv FROM cb GROUP BY band, bv
+           |       HAVING count(*) <= 1000),
+           |cbo AS (SELECT cb.* FROM cb JOIN ok USING (band, bv)),
+           |sb AS (SELECT s.id, s.ahash, bb.band,
+           |         (s.ahash >> (bb.band * 8)) & 255 AS bv
+           |       FROM h s CROSS JOIN bb WHERE s.id >= 100000)
+           |SELECT sb.id, cbo.corpus_id, sb.band,
+           |  CAST(bit_count(xor(sb.ahash, cbo.chash)) AS INTEGER) AS hamming
+           |FROM sb JOIN cbo ON cbo.band = sb.band AND cbo.bv = sb.bv
+           |WHERE bit_count(xor(sb.ahash, cbo.chash)) <= 6
+           |ORDER BY 1, 2, 3""".stripMargin,
 
       "x_dedup_embedding_pairs" -> {
         val sigUnion = (0 until hpTables).map(tb =>
