@@ -156,6 +156,15 @@ object BenchSf1 {
     graft.operators.AnnIndex.ivfBuild(emb(s, dir), "vec_id", "embedding",
       s"$ivfIdxDir/${tagOf(dir)}", nlist = 64 * m)
 
+  /** Persisted PQ index per scale: codebooks are model-sized (policy,
+    * fixed m·ks at both scales); the code table grows linearly — the
+    * ADC serve scan must price as a linear scan of 8-byte-ish codes.
+    */
+  private val pqIdxDir = "/tmp/graft_sf1_pqidx"
+  private def buildPqIndex(s: SparkSession, dir: String): Unit =
+    graft.operators.AnnIndex.pqBuild(emb(s, dir), "vec_id", "embedding",
+      s"$pqIdxDir/${tagOf(dir)}")
+
   /** Signature table per scale for the image near-dup miner (BMP decode
     * is priced by jpeg_transcode; this probe prices the band join).
     */
@@ -199,6 +208,8 @@ object BenchSf1 {
     }
     buildServeIndex(spark, sf01, 1)
     buildServeIndex(spark, sf1Dir, copies)
+    buildPqIndex(spark, sf01)
+    buildPqIndex(spark, sf1Dir)
     // fixed-size reference/batch set (an eval suite does not grow with
     // the training corpus): every 10th BASE doc, both scales
     val refSet = docs(spark, sf01).filter(col("doc_id") % 10 === 0)
@@ -441,6 +452,25 @@ object BenchSf1 {
         graft.operators.Multimodal.imageNearDupPairs(
           spark.read.parquet(s"$imgHashDir/${tagOf(dir)}"),
           maxHamming = 6).count()),
+      // PQ serving: the ADC scan reads the persisted CODE table (grows
+      // linearly but ~32× smaller than vectors); LUT build is per-query
+      // constant; re-rank touches rerank·k·|queries| true vectors — must
+      // price as a linear compact scan
+      "pq_serve" -> ((dir, _) =>
+        graft.operators.AnnIndex.pqServe(spark,
+          s"$pqIdxDir/${tagOf(dir)}", emb(spark, dir),
+          emb(spark, sf01).filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10).count()),
+      // streaming image dedup (batch form of the stream-static plan —
+      // the stream twin adds only trigger overhead, priced by the other
+      // stream probes): fixed-size probe batch vs a growing capped index
+      "stream_imagehash" -> ((dir, _) => {
+        val sigs = spark.read.parquet(s"$imgHashDir/${tagOf(dir)}")
+        val probes = spark.read.parquet(s"$imgHashDir/sf01")
+          .filter(col("id") < 500)
+        graft.streaming.StreamImageDedup.vsIndexHits(probes,
+          graft.streaming.StreamImageDedup.indexBands(sigs)).count()
+      }),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)
