@@ -95,6 +95,36 @@ object AnnIndex {
       .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
   }
 
+  /** Compact the inverted lists after a run of appends — the VACUUM of
+    * the index lifecycle (build → append* → COMPACT → serve): every
+    * append lands its own part files in each touched cid partition, and
+    * a long append history turns serving into a small-files problem
+    * (listing + task-per-file overhead — exactly what the ivf_serve sf1
+    * probe showed grows while scanned bytes stay flat). Rewrites the
+    * cells to ONE file per cid (`repartition(cid)` routes all of a
+    * cid's rows to one task, so partitionBy emits a single file), then
+    * swaps directories. Content is untouched — serve-before ≡
+    * serve-after is spec-gated. The swap is a driver-side metadata
+    * rename (at production scale: a catalog/manifest pointer flip).
+    */
+  def ivfCompact(spark: SparkSession, path: String): Unit = {
+    val tmp = s"$path/cells__compact"
+    spark.read.parquet(s"$path/cells")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    val fs = new java.io.File(s"$path/cells")
+    val old = new java.io.File(s"$path/cells__old")
+    def rmRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRec)
+      f.delete(); ()
+    }
+    if (old.exists) rmRec(old)
+    require(fs.renameTo(old), s"ivfCompact: could not stage $fs aside")
+    require(new java.io.File(tmp).renameTo(fs),
+      s"ivfCompact: could not publish $tmp")
+    rmRec(old)
+  }
+
   /** The persisted centroid table, collected driver-side (nlist rows). */
   private[graft] def loadIvfCentroids(spark: SparkSession,
                                       path: String): Array[(Long, Seq[Double], Double)] =

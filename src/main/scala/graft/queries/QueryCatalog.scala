@@ -583,6 +583,7 @@ object QueryCatalog {
     */
   private val ivfIdxDir = "/tmp/graft_ivf_idx"
   private val ivfAppIdxDir = "/tmp/graft_ivf_idx_app"
+  private val ivfCompactIdxDir = "/tmp/graft_ivf_idx_compact"
   private val pqIdxDir = "/tmp/graft_pq_idx"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
@@ -2809,6 +2810,27 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_ivf_compacted" -> ((s, dir) => { // oracle: replay over the COMPACTED index
+      // The full index lifecycle: build → append → COMPACT → serve.
+      // Compaction rewrites the inverted lists to one file per cid (the
+      // small-files VACUUM the append history accumulates) and must be
+      // content-neutral — the oracle replays over the compacted parquet,
+      // so the hash proves the rewrite changed layout, not data.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfCompactIdxDir, dir) {
+        graft.operators.AnnIndex.ivfBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          ivfCompactIdxDir, nlist = 16)
+        graft.operators.AnnIndex.ivfAppend(
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          ivfCompactIdxDir)
+        graft.operators.AnnIndex.ivfCompact(s, ivfCompactIdxDir)
+      }
+      graft.operators.AnnIndex.ivfServe(s, path,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_pq_persisted" -> ((s, dir) => { // oracle: ADC+rerank replay over persisted codebooks/codes
       // PQ twin of the persisted lifecycle: codebooks + the PQ-encoded
       // corpus persist; the ADC scan reads the CODE table (8-64× smaller
@@ -4568,6 +4590,11 @@ object QueryCatalog {
         // the on-disk parquet is the only input, so the hash proves the
         // incremental lifecycle composed to exactly the full index.
         ivfPersistedReplay(ivfAppIdxDir),
+
+      "x_sim_ivf_compacted" ->
+        // Identical replay over the build+append+COMPACT index: the
+        // compaction rewrite must be content-neutral.
+        ivfPersistedReplay(ivfCompactIdxDir),
 
       "x_sim_pq_persisted" ->
         // ADC + exact re-rank replayed over the PERSISTED codebooks and

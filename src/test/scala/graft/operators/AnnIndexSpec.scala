@@ -84,6 +84,33 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("ivfCompact: one file per cid afterwards, serve results untouched") {
+    val path = "/tmp/graft_test_ivf_idx_compact"
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnIndex.ivfBuild(evens, "vec_id", "embedding", path, nlist = 16)
+    AnnIndex.ivfAppend(odds, "vec_id", "embedding", path)
+    def partFiles(dir: java.io.File): Seq[java.io.File] =
+      dir.listFiles().toSeq.filter(_.getName.startsWith("cid="))
+        .flatMap(_.listFiles().toSeq.filter(_.getName.endsWith(".parquet")))
+    val cells = new java.io.File(s"$path/cells")
+    val before = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    // an append history leaves >1 file in at least one partition
+    assert(partFiles(cells).size >
+      cells.listFiles().count(_.getName.startsWith("cid=")),
+      "fixture broke: append produced no extra part files")
+    AnnIndex.ivfCompact(spark, path)
+    val dirs = cells.listFiles().toSeq.filter(_.getName.startsWith("cid="))
+    dirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"partition ${d.getName} not compacted to one file")
+    }
+    val after = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(after == before, "compaction changed serve results")
+  }
+
   test("pqAppend: incremental encode serves identically to one-shot over the same codebooks") {
     val path = "/tmp/graft_test_pq_idx_app"
     val evens = emb.filter(col("vec_id") % 2 === 0)
