@@ -121,4 +121,28 @@ object Scale {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Compact a fragmented parquet directory to ~`targetBytes` output
+    * files — the generic small-files maintenance pass (a long append /
+    * streaming / per-trigger write history turns every downstream scan
+    * into a listing + task-per-file problem; the 100 TB fix is periodic
+    * rewrite, not bigger drivers). Output file count =
+    * `ceil(input bytes / targetBytes)` (≥ 1), sized from the actual
+    * file footprint via Hadoop's listing (no data pass, no RDD
+    * materialization). Round-robin repartition — compaction balances
+    * bytes; keep a layout pass ([[zorderBy]], `partitionBy`) separate
+    * when ordering matters. Content-neutral by gate: the catalog entry
+    * hash-verifies the compacted copy against the original table.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+  }
 }

@@ -584,6 +584,8 @@ object QueryCatalog {
   private val ivfIdxDir = "/tmp/graft_ivf_idx"
   private val ivfAppIdxDir = "/tmp/graft_ivf_idx_app"
   private val ivfCompactIdxDir = "/tmp/graft_ivf_idx_compact"
+  private val fragInDir = "/tmp/graft_frag_in"
+  private val fragOutDir = "/tmp/graft_frag_out"
   private val pqIdxDir = "/tmp/graft_pq_idx"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
@@ -2771,6 +2773,27 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_layout_compact" -> ((s, dir) => { // oracle: content-neutrality hash
+      // Generic small-files maintenance: a 64-way-fragmented copy of the
+      // documents table is compacted to file count = ceil(bytes/target)
+      // (here: ONE file, sized from the actual Hadoop listing — no data
+      // pass), then aggregated. The oracle computes the same aggregate
+      // over the ORIGINAL table, so the hash proves the rewrite changed
+      // layout, not content; CompactSpec pins the file counts.
+      val outDir = stageIndex(fragOutDir, dir) {
+        t(s, dir, "documents").repartition(64)
+          .write.mode("overwrite").parquet(fragInDir)
+        graft.operators.Scale.compactParquet(s, fragInDir, fragOutDir,
+          targetBytes = 1L << 30)
+      }
+      s.read.parquet(outDir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("lang")
+    }),
+
     "x_sim_ivf_persisted" -> ((s, dir) => { // oracle: replay OVER the persisted index tables
       // The production ANN lifecycle: the IVF index (centroid table +
       // cid-partitioned inverted lists) is BUILT ONCE and persisted;
@@ -4595,6 +4618,14 @@ object QueryCatalog {
         // Identical replay over the build+append+COMPACT index: the
         // compaction rewrite must be content-neutral.
         ivfPersistedReplay(ivfCompactIdxDir),
+
+      "x_layout_compact" ->
+        // the compacted copy must aggregate identically to the ORIGINAL
+        // table — content neutrality of the rewrite, hash-gated
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       "x_sim_pq_persisted" ->
         // ADC + exact re-rank replayed over the PERSISTED codebooks and
