@@ -58,9 +58,7 @@ object AnnIndex {
     // nlist rows: one file, not 32 near-empty ones
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cents = loadIvfCentroids(spark, path)
-    Similarity.assignCells(Similarity.ensureParallelism(corpus),
-        idCol, vecCol, cents)
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    writeCells(corpus, idCol, vecCol, cents, path)
   }
 
   /** Rebuild the inverted lists under an EXISTING centroid table (e.g.
@@ -74,10 +72,26 @@ object AnnIndex {
     centroids.select(col("cid").cast("long"), col("cvec"), col("cnorm"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cents = loadIvfCentroids(spark, path)
+    writeCells(corpus, idCol, vecCol, cents, path)
+  }
+
+  /** One-shot inverted-list write: ONE file per cid (repartition on cid
+    * routes each cell's rows to a single task before partitionBy) — the
+    * cid partition is the index's unit of read, and a build that left
+    * task-parallelism-many files per cell hands every serve a
+    * small-files tax (32 files/cell measured as most of the ivf_serve
+    * probe's metadata growth). The cid shuffle is the build's one
+    * corpus move — an index build IS moving every vector into its list.
+    * Appends stay task-parallel (small batches); [[ivfCompact]] restores
+    * the one-file invariant after an append history.
+    */
+  private def writeCells(corpus: DataFrame, idCol: String, vecCol: String,
+                         cents: Array[(Long, Seq[Double], Double)],
+                         path: String): Unit =
     Similarity.assignCells(Similarity.ensureParallelism(corpus),
         idCol, vecCol, cents)
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
-  }
 
   /** Append a new corpus batch to a persisted IVF index — the
     * incremental lifecycle ([[graft.operators.Dedup.incrementalDedup]]'s
