@@ -587,6 +587,7 @@ object QueryCatalog {
   private val fragInDir = "/tmp/graft_frag_in"
   private val fragOutDir = "/tmp/graft_frag_out"
   private val pqIdxDir = "/tmp/graft_pq_idx"
+  private val pqAppIdxDir = "/tmp/graft_pq_idx_app"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
     synchronized {
@@ -2867,6 +2868,26 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_pq_appended" -> ((s, dir) => { // oracle: ADC+rerank replay over the APPENDED index
+      // PQ twin of the incremental lifecycle: codebooks trained on the
+      // even-id half, the odd-id batch encoded later with the PERSISTED
+      // codebooks and appended. The oracle reads only the final on-disk
+      // codebooks + codes, so the hash proves encode-and-append composed
+      // to one consistent index.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(pqAppIdxDir, dir) {
+        graft.operators.AnnIndex.pqBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          pqAppIdxDir)
+        graft.operators.AnnIndex.pqAppend(
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          pqAppIdxDir)
+      }
+      graft.operators.AnnIndex.pqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_text_surprisal" -> ((s, dir) => { // float log-probs: rows-only oracle
       // CCNet-style quality signal: score every doc under a bigram LM
       // trained on the even-id half of the corpus.
@@ -3684,6 +3705,43 @@ object QueryCatalog {
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
          |  FROM cand) WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin
+
+    // Replay over a PERSISTED PQ index directory: codebooks and the
+    // encoded code table come from the parquet on disk; queries and the
+    // re-rank vectors come from the embeddings table.
+    def pqPersistedReplay(idxDir: String): String =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |u AS (SELECT vec_id,
+           |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
+           |      FROM n),
+           |cb AS (SELECT s, j, cvec FROM read_parquet('$idxDir/codebooks/*.parquet')),
+           |codes AS (SELECT id, code FROM read_parquet('$idxDir/codes/*.parquet')),
+           |q0 AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
+           |lut AS (SELECT q0.qid, c.s, c.j,
+           |          list_dot_product(q0.quv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) AS d
+           |        FROM q0 CROSS JOIN cb c),
+           |adc AS (SELECT l.qid, co.id, list(l.d ORDER BY l.s) AS ds
+           |        FROM codes co JOIN lut l ON l.j = co.code[l.s + 1]
+           |        WHERE co.id <> l.qid
+           |        GROUP BY l.qid, co.id),
+           |scored AS (SELECT qid, id,
+           |    0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8] AS score
+           |  FROM adc),
+           |short AS (SELECT qid, id FROM (
+           |    SELECT qid, id,
+           |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+           |    FROM scored) WHERE rk <= 40),
+           |exact AS (SELECT sh.qid, sh.id,
+           |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+           |          FROM short sh
+           |          JOIN embeddings ec ON ec.vec_id = sh.id
+           |          JOIN embeddings eq ON eq.vec_id = sh.qid)
+           |SELECT qid, id, rank FROM (
+           |  SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+           |  FROM exact) WHERE rank <= 10
+           |ORDER BY qid, rank""".stripMargin
 
     Map(
       "x_sim_ivf" -> ivfReplaySql(nlist = 16, nprobe = 4, k = 10,
@@ -4633,38 +4691,12 @@ object QueryCatalog {
         // the input). Each (qid, id) folds its m subvector-dot lookups
         // in s order from 0.0 (float sums are order-sensitive; Spark's
         // aggregate() folds ascending), exactly like x_sim_pq.
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-           |u AS (SELECT vec_id,
-           |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
-           |      FROM n),
-           |cb AS (SELECT s, j, cvec FROM read_parquet('$pqIdxDir/codebooks/*.parquet')),
-           |codes AS (SELECT id, code FROM read_parquet('$pqIdxDir/codes/*.parquet')),
-           |q0 AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
-           |lut AS (SELECT q0.qid, c.s, c.j,
-           |          list_dot_product(q0.quv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) AS d
-           |        FROM q0 CROSS JOIN cb c),
-           |adc AS (SELECT l.qid, co.id, list(l.d ORDER BY l.s) AS ds
-           |        FROM codes co JOIN lut l ON l.j = co.code[l.s + 1]
-           |        WHERE co.id <> l.qid
-           |        GROUP BY l.qid, co.id),
-           |scored AS (SELECT qid, id,
-           |    0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8] AS score
-           |  FROM adc),
-           |short AS (SELECT qid, id FROM (
-           |    SELECT qid, id,
-           |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
-           |    FROM scored) WHERE rk <= 40),
-           |exact AS (SELECT sh.qid, sh.id,
-           |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
-           |          FROM short sh
-           |          JOIN embeddings ec ON ec.vec_id = sh.id
-           |          JOIN embeddings eq ON eq.vec_id = sh.qid)
-           |SELECT qid, id, rank FROM (
-           |  SELECT qid, id,
-           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
-           |  FROM exact) WHERE rank <= 10
-           |ORDER BY qid, rank""".stripMargin,
+        pqPersistedReplay(pqIdxDir),
+
+      "x_sim_pq_appended" ->
+        // identical replay over the build-on-evens + append-odds PQ
+        // index: on-disk codebooks + codes are the only inputs
+        pqPersistedReplay(pqAppIdxDir),
 
       "x_dedup_images" ->
         // Hamming-LSH replay over the SAME staged signature parquet: the
