@@ -69,10 +69,15 @@ object AnnIndex {
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
                path: String, centroids: DataFrame): Unit = {
     val spark = corpus.sparkSession
-    centroids.select(col("cid").cast("long"), col("cvec"), col("cnorm"))
+    // collect BEFORE overwriting (nlist rows — bytes): the natural call
+    // rebuilds an index under its own persisted centroid table, and
+    // writing a path that is also the plan's source throws ("Cannot
+    // overwrite a path that is also being read from"); the driver-side
+    // copy detaches the write from any source under `path`
+    val cents = Similarity.collectCents(centroids)
+    spark.createDataFrame(cents.toIndexedSeq).toDF("cid", "cvec", "cnorm")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val cents = loadIvfCentroids(spark, path)
-    writeCells(corpus, idCol, vecCol, cents, path)
+    writeCells(corpus, idCol, vecCol, loadIvfCentroids(spark, path), path)
   }
 
   /** One-shot inverted-list write: ONE file per cid (repartition on cid
@@ -126,17 +131,20 @@ object AnnIndex {
     spark.read.parquet(s"$path/cells")
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    val fs = new java.io.File(s"$path/cells")
-    val old = new java.io.File(s"$path/cells__old")
-    def rmRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmRec)
-      f.delete(); ()
-    }
-    if (old.exists) rmRec(old)
-    require(fs.renameTo(old), s"ivfCompact: could not stage $fs aside")
-    require(new java.io.File(tmp).renameTo(fs),
-      s"ivfCompact: could not publish $tmp")
-    rmRec(old)
+    // Hadoop-FS rename, not java.io.File: the rest of the lifecycle
+    // accepts any filesystem scheme (hdfs://, s3a://, local), and the
+    // swap must too — a java.io rename would silently return false on
+    // anything but a bare local path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val staged = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(s"$path/cells__old")
+    val fs = cells.getFileSystem(conf)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(cells, old), s"ivfCompact: could not stage $cells aside")
+    require(fs.rename(staged, cells), s"ivfCompact: could not publish $staged")
+    fs.delete(old, true)
+    ()
   }
 
   /** The persisted centroid table, collected driver-side (nlist rows). */

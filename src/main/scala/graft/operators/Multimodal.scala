@@ -411,6 +411,19 @@ object Multimodal {
     }
   }
 
+  /** (id, ahash, band, bv): the 8 byte-bands of each 64-bit hash — the
+    * hamming-LSH bucketing key shared by the batch pair miner and the
+    * streaming vs-index detector (they MUST band identically or the
+    * pigeonhole recall argument breaks across the pair).
+    */
+  private[graft] def bandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("id"), col("ahash"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("ahash"), b * 8)
+              .bitwiseAND(lit(255L)).as("bv"))): _*)).as("e"))
+      .select(col("id"), col("ahash"), col("e.band"), col("e.bv"))
+
   /** Near-duplicate frame pairs by perceptual hash: pairs whose aHash
     * Hamming distance is ≤ `maxHamming` (default 6 — the conventional
     * aHash near-dup band). Candidates come from an 8×8-bit BAND join
@@ -428,19 +441,6 @@ object Multimodal {
     * (constant-color corpora collapse a byte-band) are capped like every
     * other bucket miner: pass `maxBandSize` to drop saturated buckets.
     */
-  /** (id, ahash, band, bv): the 8 byte-bands of each 64-bit hash — the
-    * hamming-LSH bucketing key shared by the batch pair miner and the
-    * streaming vs-index detector (they MUST band identically or the
-    * pigeonhole recall argument breaks across the pair).
-    */
-  private[graft] def bandRows(hashes: DataFrame): DataFrame =
-    hashes.select(col("id"), col("ahash"),
-        explode(array((0 until 8).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("ahash"), b * 8)
-              .bitwiseAND(lit(255L)).as("bv"))): _*)).as("e"))
-      .select(col("id"), col("ahash"), col("e.band"), col("e.bv"))
-
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
                         maxBandSize: Option[Int] = Some(1000)): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,

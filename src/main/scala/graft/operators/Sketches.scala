@@ -263,7 +263,13 @@ object Sketches {
       extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Long] {
     require(capacity >= 2, "KmvDistinctAgg: capacity must be >= 2")
     override def zero: Seq[Long] = Seq.empty
-    override def reduce(b: Seq[Long], h: Long): Seq[Long] = insert(b, h)
+    // negative input = the null-item sentinel (callers encode "nothing
+    // to count" as -1 so the group still AGGREGATES — the hash families
+    // feeding this are 60-bit, always >= 0); skipping here keeps the
+    // whole operator one-pass for all-null groups instead of a second
+    // scan + join to resurrect them
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+      if (h < 0) b else insert(b, h)
     override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
       b.foldLeft(a)(insert)
     // invariant: sorted ascending, distinct, size ≤ capacity
@@ -309,22 +315,20 @@ object Sketches {
                   capacity: Int = 1024, withExact: Boolean = true): DataFrame = {
     val agg = udaf(new KmvDistinctAgg(capacity),
       org.apache.spark.sql.Encoders.scalaLong)
-    val base = items.filter(col(itemCol).isNotNull)
-    val est = agg(kmvHash60(col(itemCol))).as("n_distinct_est")
-    val counted =
-      if (withExact)
-        base.groupBy(col(groupCol))
-          .agg(countDistinct(col(itemCol)).as("n_distinct"), est)
-      else base.groupBy(col(groupCol)).agg(est)
     // a group whose items are ALL null must row out with 0 distinct,
     // not vanish — the same silent-absence failure mode corpusOverlap
     // guards against (an absent row reads as "no items" only if the
-    // reader already knows the group existed)
-    val zeroCols =
-      if (withExact) Seq("n_distinct", "n_distinct_est") else Seq("n_distinct_est")
-    items.select(col(groupCol)).distinct()
-      .join(counted, Seq(groupCol), "left")
-      .na.fill(0L, zeroCols)
+    // reader already knows the group existed). Null items feed the
+    // aggregator as the -1 sentinel it skips, so the guard costs
+    // NOTHING: one groupBy over the unfiltered input (null GROUP KEYS
+    // stay groups too — Spark groupBy keeps them), no second scan, no
+    // resurrection join.
+    val est = agg(when(col(itemCol).isNotNull, kmvHash60(col(itemCol)))
+      .otherwise(lit(-1L))).as("n_distinct_est")
+    if (withExact)
+      items.groupBy(col(groupCol))
+        .agg(countDistinct(col(itemCol)).as("n_distinct"), est)
+    else items.groupBy(col(groupCol)).agg(est)
   }
 
   /** Heaps'-law vocabulary-growth curve on KMV sketches — the 100 TB

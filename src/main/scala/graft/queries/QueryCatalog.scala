@@ -3574,9 +3574,12 @@ object QueryCatalog {
       val sigs = s.read.parquet(staged)
       val index = graft.streaming.StreamImageDedup.indexBands(
         sigs.filter(col("id") < 100000L)).cache()
-      graft.streaming.StreamImageDedup.runOnce(s, imgHashStageDir,
-          "hashes.parquet", sigs.schema, col("id") >= 100000L, index)
-        .orderBy("id", "corpus_id", "band")
+      val hits = graft.streaming.StreamImageDedup.runOnce(s, imgHashStageDir,
+        "hashes.parquet", sigs.schema, col("id") >= 100000L, index)
+      // the stream has terminated (AvailableNow) and the hits are
+      // checkpointed off the sink — release the per-invocation index
+      index.unpersist(false)
+      hits.orderBy("id", "corpus_id", "band")
     }))
 
   /** Staged signature table for [[x_dedup_images]]: the x_multimodal_

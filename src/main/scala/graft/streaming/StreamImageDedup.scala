@@ -76,6 +76,12 @@ object StreamImageDedup {
       .writeStream.format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
     q.awaitTermination()
-    spark.table(name)
+    // detach the result from the sink's temp view and drop it — a
+    // bench/catalog loop would otherwise accumulate one driver-held
+    // hit table per invocation (the ContextCleaner reclaims the
+    // checkpoint blocks once the returned frame is unreachable)
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 }

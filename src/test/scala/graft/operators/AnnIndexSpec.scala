@@ -84,6 +84,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("ivfBuild rebuilds in place under the index's OWN persisted centroids") {
+    // the natural rebuild call reads the centroid table from the same
+    // path it overwrites — must not throw "Cannot overwrite a path that
+    // is also being read from" (the driver-side collect detaches it)
+    val path = "/tmp/graft_test_ivf_idx_inplace"
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    AnnIndex.ivfBuild(evens, "vec_id", "embedding", path, nlist = 16)
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path,
+      spark.read.parquet(s"$path/centroids"))
+    val inPlace = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    // identical to the cross-path rebuild under the same centroid set
+    val pathB = "/tmp/graft_test_ivf_idx_inplace_ref"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", pathB,
+      spark.read.parquet(s"$path/centroids"))
+    val crossPath = rows(AnnIndex.ivfServe(spark, pathB, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(inPlace.nonEmpty && inPlace == crossPath)
+  }
+
   test("ivfCompact: one file per cid afterwards, serve results untouched") {
     val path = "/tmp/graft_test_ivf_idx_compact"
     val evens = emb.filter(col("vec_id") % 2 === 0)

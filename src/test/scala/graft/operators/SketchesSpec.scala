@@ -178,12 +178,18 @@ class SketchesSpec extends AnyFunSuite {
   test("kmvDistinct: a group whose items are ALL null rows out with 0") {
     // silent-absence guard: filtering nulls before the groupBy would
     // make an all-null group vanish — "no overlap" when the truth is
-    // "never measured". The report must carry every input group.
-    val items = Seq(("a", Some("x")), ("a", None), ("b", None), ("b", None))
+    // "never measured". The report must carry every input group —
+    // INCLUDING a null group KEY (an equi-join resurrection would drop
+    // it: null never equi-matches null).
+    val items = Seq((Some("a"), Some("x")), (Some("a"), None),
+        (Some("b"), None), (Some("b"), None),
+        (None, Some("y")), (None, Some("z")), (None, None))
       .toDF("g", "v")
     val rows = Sketches.kmvDistinct(items, "g", "v", capacity = 16)
-      .orderBy("g").select("g", "n_distinct", "n_distinct_est")
-      .as[(String, Long, Long)].collect().toSeq
-    assert(rows == Seq(("a", 1L, 1L), ("b", 0L, 0L)), s"got $rows")
+      .select("g", "n_distinct", "n_distinct_est")
+      .as[(Option[String], Long, Long)].collect().toSeq
+      .sortBy(_._1.getOrElse(""))
+    assert(rows == Seq((None, 2L, 2L), (Some("a"), 1L, 1L),
+      (Some("b"), 0L, 0L)), s"got $rows")
   }
 }
