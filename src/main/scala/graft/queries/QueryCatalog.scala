@@ -2868,6 +2868,23 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_stream_ann_serve" -> ((s, dir) => { // LIVE stream, shares the persisted replay
+      // Streaming retrieval serving: query vectors ARRIVE as a stream
+      // and each micro-batch serves against the persisted IVF index via
+      // foreachBatch (a per-query rank is not a streaming aggregation).
+      // Per-query results are batch-invariant — a query's top-k depends
+      // only on its row + the static index — so the live path shares
+      // x_sim_ivf_persisted's oracle replay verbatim.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfIdxDir, dir)(
+        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+          ivfIdxDir, nlist = 16))
+      graft.streaming.StreamAnnServe.runOnce(s, dir, "embeddings.parquet",
+          s.read.parquet(s"$dir/embeddings.parquet").schema,
+          col("vec_id") < 5, path, "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_pq_appended" -> ((s, dir) => { // oracle: ADC+rerank replay over the APPENDED index
       // PQ twin of the incremental lifecycle: codebooks trained on the
       // even-id half, the odd-id batch encoded later with the PERSISTED
@@ -4679,6 +4696,11 @@ object QueryCatalog {
         // Identical replay over the build+append+COMPACT index: the
         // compaction rewrite must be content-neutral.
         ivfPersistedReplay(ivfCompactIdxDir),
+
+      "x_stream_ann_serve" ->
+        // the LIVE foreachBatch serving path shares the persisted-index
+        // replay: per-query results are batch-invariant
+        ivfPersistedReplay(ivfIdxDir),
 
       "x_layout_compact" ->
         // the compacted copy must aggregate identically to the ORIGINAL

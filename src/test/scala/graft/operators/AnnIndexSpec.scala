@@ -163,6 +163,18 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(inMemPlan.contains("vecblockargmax"), inMemPlan)
   }
 
+  test("streaming serve (foreachBatch) equals the batch serve row for row") {
+    val path = "/tmp/graft_test_ivf_idx_stream"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val streamed = rows(graft.streaming.StreamAnnServe.runOnce(spark, dir,
+      "embeddings.parquet",
+      spark.read.parquet(s"$dir/embeddings.parquet").schema,
+      col("vec_id") < 5, path, "vec_id", "embedding", k = 10, nprobe = 4))
+    val batch = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("IVF serve plan: partition-pruned index scan, no re-assignment") {
     val path = "/tmp/graft_test_ivf_idx"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
