@@ -126,23 +126,51 @@ object AnnIndex {
     * serve-after is spec-gated. The swap is a driver-side metadata
     * rename (at production scale: a catalog/manifest pointer flip).
     */
-  def ivfCompact(spark: SparkSession, path: String): Unit = {
-    val tmp = s"$path/cells__compact"
-    spark.read.parquet(s"$path/cells")
+  def ivfCompact(spark: SparkSession, path: String): Unit =
+    rewriteCells(spark, path)(identity)
+
+  /** Delete ids from a persisted IVF index — the takedown /
+    * right-to-be-forgotten lifecycle step (at 100 TB, removal requests
+    * against served indexes are a compliance requirement, not an edge
+    * case). The deletion list is bounded policy data, so it broadcasts;
+    * the rewrite is one anti-join pass over the cells and also restores
+    * the one-file-per-cid invariant. Centroids are untouched: deletion
+    * changes membership, never the index identity.
+    */
+  def ivfDelete(spark: SparkSession, path: String, ids: DataFrame,
+                idCol: String): Unit = {
+    val del = broadcast(ids.select(col(idCol).cast("long").as("id")).distinct())
+    rewriteCells(spark, path)(_.join(del, Seq("id"), "left_anti"))
+  }
+
+  /** Shared rewrite-and-swap: transform the cells, rewrite one file per
+    * cid, publish atomically (per this filesystem's rename).
+    */
+  private def rewriteCells(spark: SparkSession, path: String)
+                          (f: DataFrame => DataFrame): Unit = {
+    val tmp = s"$path/cells__rewrite"
+    f(spark.read.parquet(s"$path/cells"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    // Hadoop-FS rename, not java.io.File: the rest of the lifecycle
-    // accepts any filesystem scheme (hdfs://, s3a://, local), and the
-    // swap must too — a java.io rename would silently return false on
-    // anything but a bare local path
+    publishSwap(spark, s"$path/cells", tmp)
+  }
+
+  /** Hadoop-FS directory swap, not java.io.File: the rest of the
+    * lifecycle accepts any filesystem scheme (hdfs://, s3a://, local)
+    * and the publish must too — a java.io rename would silently return
+    * false on anything but a bare local path. (At production scale:
+    * a catalog/manifest pointer flip.)
+    */
+  private def publishSwap(spark: SparkSession, target: String,
+                          staged: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val cells = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val staged = new org.apache.hadoop.fs.Path(tmp)
-    val old = new org.apache.hadoop.fs.Path(s"$path/cells__old")
-    val fs = cells.getFileSystem(conf)
+    val tgt = new org.apache.hadoop.fs.Path(target)
+    val stg = new org.apache.hadoop.fs.Path(staged)
+    val old = new org.apache.hadoop.fs.Path(s"${target}__old")
+    val fs = tgt.getFileSystem(conf)
     if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(cells, old), s"ivfCompact: could not stage $cells aside")
-    require(fs.rename(staged, cells), s"ivfCompact: could not publish $staged")
+    require(fs.rename(tgt, old), s"publishSwap: could not stage $tgt aside")
+    require(fs.rename(stg, tgt), s"publishSwap: could not publish $stg")
     fs.delete(old, true)
     ()
   }
@@ -213,6 +241,20 @@ object AnnIndex {
     val spark = batch.sparkSession
     Similarity.pqEncode(batch, idCol, vecCol, loadPqCodebooks(spark, path))
       .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Delete ids from a persisted PQ index: one broadcast anti-join pass
+    * over the code table, swap-published. Codebooks are untouched
+    * (model identity, like IVF centroids).
+    */
+  def pqDelete(spark: SparkSession, path: String, ids: DataFrame,
+               idCol: String): Unit = {
+    val del = broadcast(ids.select(col(idCol).cast("long").as("id")).distinct())
+    val tmp = s"$path/codes__rewrite"
+    spark.read.parquet(s"$path/codes")
+      .join(del, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp)
+    publishSwap(spark, s"$path/codes", tmp)
   }
 
   /** The persisted codebooks, reshaped to the m × ks × sub driver array

@@ -586,8 +586,10 @@ object QueryCatalog {
   private val ivfCompactIdxDir = "/tmp/graft_ivf_idx_compact"
   private val fragInDir = "/tmp/graft_frag_in"
   private val fragOutDir = "/tmp/graft_frag_out"
+  private val ivfDelIdxDir = "/tmp/graft_ivf_idx_del"
   private val pqIdxDir = "/tmp/graft_pq_idx"
   private val pqAppIdxDir = "/tmp/graft_pq_idx_app"
+  private val pqDelIdxDir = "/tmp/graft_pq_idx_del"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
     synchronized {
@@ -2868,6 +2870,38 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_ivf_deleted" -> ((s, dir) => { // oracle: replay over the post-takedown index
+      // The takedown / right-to-be-forgotten lifecycle step: odd-id
+      // vectors are DELETED from the persisted index (broadcast
+      // anti-join rewrite, centroids untouched — membership changes,
+      // identity doesn't). The oracle replays over the resulting
+      // on-disk parquet, so the hash proves deletion removed exactly
+      // the listed members and nothing else.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfDelIdxDir, dir) {
+        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+          ivfDelIdxDir, nlist = 16)
+        graft.operators.AnnIndex.ivfDelete(s, ivfDelIdxDir,
+          emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+      }
+      graft.operators.AnnIndex.ivfServe(s, path,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_sim_pq_deleted" -> ((s, dir) => { // oracle: ADC+rerank replay post-takedown
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(pqDelIdxDir, dir) {
+        graft.operators.AnnIndex.pqBuild(emb, "vec_id", "embedding",
+          pqDelIdxDir)
+        graft.operators.AnnIndex.pqDelete(s, pqDelIdxDir,
+          emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+      }
+      graft.operators.AnnIndex.pqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_stream_ann_serve" -> ((s, dir) => { // LIVE stream, shares the persisted replay
       // Streaming retrieval serving: query vectors ARRIVE as a stream
       // and each micro-batch serves against the persisted IVF index via
@@ -4701,6 +4735,15 @@ object QueryCatalog {
         // the LIVE foreachBatch serving path shares the persisted-index
         // replay: per-query results are batch-invariant
         ivfPersistedReplay(ivfIdxDir),
+
+      "x_sim_ivf_deleted" ->
+        // identical replay over the post-takedown index: the on-disk
+        // cells are the only corpus input, so the hash proves exactly
+        // the listed members vanished
+        ivfPersistedReplay(ivfDelIdxDir),
+
+      "x_sim_pq_deleted" ->
+        pqPersistedReplay(pqDelIdxDir),
 
       "x_layout_compact" ->
         // the compacted copy must aggregate identically to the ORIGINAL

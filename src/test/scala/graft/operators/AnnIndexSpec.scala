@@ -163,6 +163,39 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(inMemPlan.contains("vecblockargmax"), inMemPlan)
   }
 
+  test("ivfDelete: takedown equals a rebuild on the remainder, deleted ids never serve") {
+    val path = "/tmp/graft_test_ivf_idx_del"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    AnnIndex.ivfDelete(spark, path,
+      emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+    val served = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(served.nonEmpty && served.forall(_._2 % 2 == 0),
+      s"deleted ids still serving: ${served.filter(_._2 % 2 != 0).take(5)}")
+    // identical to rebuilding on the remainder under the SAME centroids
+    // (deletion changes membership, never the index identity)
+    val ref = "/tmp/graft_test_ivf_idx_del_ref"
+    AnnIndex.ivfBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", ref, spark.read.parquet(s"$path/centroids"))
+    val rebuilt = rows(AnnIndex.ivfServe(spark, ref, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(served == rebuilt)
+  }
+
+  test("pqDelete: takedown equals in-memory search over the remainder") {
+    val path = "/tmp/graft_test_pq_idx_del"
+    AnnIndex.pqBuild(emb, "vec_id", "embedding", path)
+    AnnIndex.pqDelete(spark, path,
+      emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+    val served = rows(AnnIndex.pqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10))
+    assert(served.nonEmpty && served.forall(_._2 % 2 == 0))
+    val cbs = AnnIndex.loadPqCodebooks(spark, path)
+    val inMem = rows(Similarity.pqTopK(emb.filter(col("vec_id") % 2 === 0),
+      queries, "vec_id", "embedding", k = 10, codebooksIn = Some(cbs)))
+    assert(served == inMem)
+  }
+
   test("streaming serve (foreachBatch) equals the batch serve row for row") {
     val path = "/tmp/graft_test_ivf_idx_stream"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
