@@ -109,9 +109,20 @@ object AnnIndex {
                 path: String): Unit = {
     val spark = batch.sparkSession
     val cents = loadIvfCentroids(spark, path)
-    Similarity.assignCells(Similarity.ensureParallelism(batch),
-        idCol, vecCol, cents)
-      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+    val assigned = Similarity.assignCells(
+      Similarity.ensureParallelism(batch), idCol, vecCol, cents)
+    // a FULLY-taken-down index holds one unpartitioned empty file (see
+    // rewriteCells) — appending hive-partitioned files next to it would
+    // mix layouts and break the next read; re-establish the partitioned
+    // layout with an overwrite instead (nothing is lost: it is empty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new org.apache.hadoop.fs.Path(s"$path/cells/cid=*")
+    val partitioned = glob.getFileSystem(conf).globStatus(glob).nonEmpty
+    if (partitioned)
+      assigned.write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+    else
+      assigned.repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
   }
 
   /** Compact the inverted lists after a run of appends — the VACUUM of
@@ -138,10 +149,17 @@ object AnnIndex {
     * changes membership, never the index identity.
     */
   def ivfDelete(spark: SparkSession, path: String, ids: DataFrame,
-                idCol: String): Unit = {
-    val del = broadcast(ids.select(col(idCol).cast("long").as("id")).distinct())
-    rewriteCells(spark, path)(_.join(del, Seq("id"), "left_anti"))
-  }
+                idCol: String): Unit =
+    rewriteCells(spark, path)(_.join(deletionSet(ids, idCol),
+      Seq("id"), "left_anti"))
+
+  /** The broadcast takedown list, in the id column's NATIVE type — a
+    * cast here would turn e.g. string ids into nulls and make the
+    * anti-join silently delete NOTHING, the worst failure mode a
+    * compliance API can have.
+    */
+  private def deletionSet(ids: DataFrame, idCol: String): DataFrame =
+    broadcast(ids.select(col(idCol).as("id")).distinct())
 
   /** Shared rewrite-and-swap: transform the cells, rewrite one file per
     * cid, publish atomically (per this filesystem's rename).
@@ -149,9 +167,17 @@ object AnnIndex {
   private def rewriteCells(spark: SparkSession, path: String)
                           (f: DataFrame => DataFrame): Unit = {
     val tmp = s"$path/cells__rewrite"
-    f(spark.read.parquet(s"$path/cells"))
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    val out = f(spark.read.parquet(s"$path/cells"))
+    // a FULL takedown must leave a READABLE empty index: an empty
+    // partitionBy write emits no part files at all (only _SUCCESS) and
+    // the next read cannot infer a schema — write the empty frame
+    // unpartitioned instead (a schema-bearing part file; there is
+    // nothing left to prune anyway)
+    if (out.isEmpty)
+      out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    else
+      out.repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
     publishSwap(spark, s"$path/cells", tmp)
   }
 
@@ -249,10 +275,9 @@ object AnnIndex {
     */
   def pqDelete(spark: SparkSession, path: String, ids: DataFrame,
                idCol: String): Unit = {
-    val del = broadcast(ids.select(col(idCol).cast("long").as("id")).distinct())
     val tmp = s"$path/codes__rewrite"
     spark.read.parquet(s"$path/codes")
-      .join(del, Seq("id"), "left_anti")
+      .join(deletionSet(ids, idCol), Seq("id"), "left_anti")
       .write.mode("overwrite").parquet(tmp)
     publishSwap(spark, s"$path/codes", tmp)
   }

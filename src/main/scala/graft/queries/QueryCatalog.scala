@@ -2913,9 +2913,12 @@ object QueryCatalog {
       val path = stageIndex(ivfIdxDir, dir)(
         graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
           ivfIdxDir, nlist = 16))
+      // emb.schema IS the file schema (Tables.load only normalizes
+      // timestamp columns, and embeddings has none) — no second footer
+      // read just for the stream-reader schema
       graft.streaming.StreamAnnServe.runOnce(s, dir, "embeddings.parquet",
-          s.read.parquet(s"$dir/embeddings.parquet").schema,
-          col("vec_id") < 5, path, "vec_id", "embedding", 10, nprobe = 4)
+          emb.schema, col("vec_id") < 5, path, "vec_id", "embedding", 10,
+          nprobe = 4)
         .orderBy("qid", "rank")
     }),
 

@@ -29,24 +29,27 @@ object StreamAnnServe {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileGlob).parquet(queryDir)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // the result schema comes from the SERVE PATH itself (qid/id keep
+    // the query table's native id type — a hardcoded copy here would
+    // drift the moment an index serves non-long ids)
+    val outSchema =
+      new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.types.StructType]
     val q = raw.filter(queryPred).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        buf.synchronized {
-          buf ++= graft.operators.AnnIndex.ivfServe(spark, idxPath,
-            batch, idCol, vecCol, k, nprobe).collect()
-          ()
-        }
+        val served = graft.operators.AnnIndex.ivfServe(spark, idxPath,
+          batch, idCol, vecCol, k, nprobe)
+        outSchema.compareAndSet(null, served.schema)
+        buf.synchronized { buf ++= served.collect(); () }
       }
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
     q.awaitTermination()
-    val out = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("qid",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("rank",
-        org.apache.spark.sql.types.IntegerType)))
+    // zero-batch stream: derive the schema by serving an empty frame of
+    // the input shape (one trivially empty probe job)
+    val schemaOut = Option(outSchema.get).getOrElse(
+      graft.operators.AnnIndex.ivfServe(spark, idxPath,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+        idCol, vecCol, k, nprobe).schema)
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(buf.synchronized(buf.toList).asJava, out)
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schemaOut)
   }
 }

@@ -182,6 +182,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served == rebuilt)
   }
 
+  test("FULL takedown leaves a servable empty index; append repopulates it") {
+    val path = "/tmp/graft_test_ivf_idx_fulldel"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    AnnIndex.ivfDelete(spark, path, emb.select("vec_id"), "vec_id")
+    // an emptied index must still READ (schema-bearing empty file, not
+    // a part-less directory) and serve zero rows, not throw
+    val served = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(served.isEmpty)
+    // maintenance on the empty index keeps working
+    AnnIndex.ivfCompact(spark, path)
+    // append re-establishes the partitioned layout (an append-mode
+    // write next to the unpartitioned empty file would mix layouts)
+    AnnIndex.ivfAppend(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path)
+    val again = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(again.nonEmpty && again.forall(_._2 % 2 == 0))
+  }
+
   test("pqDelete: takedown equals in-memory search over the remainder") {
     val path = "/tmp/graft_test_pq_idx_del"
     AnnIndex.pqBuild(emb, "vec_id", "embedding", path)
