@@ -471,6 +471,20 @@ object BenchSf1 {
         graft.streaming.StreamImageDedup.vsIndexHits(probes,
           graft.streaming.StreamImageDedup.indexBands(sigs)).count()
       }),
+      // index maintenance: build + takedown rewrite, both linear passes
+      // (the deletion list is fixed-size and broadcast). Build is INSIDE
+      // the timing deliberately — a delete mutates the index, so pricing
+      // it alone would hand the second timing run a shrunken input; the
+      // combined probe is a fixed two-pass pipeline at both scales.
+      "ivf_build_delete" -> ((dir, _) => {
+        val idx = s"$ivfIdxDir/${tagOf(dir)}_del"
+        graft.operators.AnnIndex.ivfBuild(emb(spark, dir),
+          "vec_id", "embedding", idx, nlist = 64)
+        graft.operators.AnnIndex.ivfDelete(spark, idx,
+          emb(spark, sf01).filter(col("vec_id") % 100 === 0)
+            .select("vec_id"), "vec_id")
+        spark.read.parquet(s"$idx/cells").count()
+      }),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)
