@@ -119,4 +119,64 @@ object Embeddings {
         round(when(col("qscale") === 0 || not(finite(x)), lit(0.0))
           .otherwise(xd(x) / col("qscale") * 127.0)).cast("tinyint")))
   }
+
+  /** Export the embedding column as float32 `.npy` shard files — the
+    * tensor interchange training stacks actually load — plus an id
+    * manifest parquet (shard, pos, id) so predictions join back to ids
+    * by (shard, row).
+    *
+    * Determinism end to end: rows assign to md5-hash shards in md5
+    * order (the [[Curation.shuffleShards]] convention — a reproducible
+    * permutation independent of input partitioning), each complete
+    * shard serializes in pos order to ONE [[Npy]] file written
+    * executor-side through the Hadoop FS, and the returned report
+    * (shard_no, n_rows, n_dim, byte_len, sha256) is a pure function of
+    * the input set — the sha256 column is what the determinism spec
+    * pins across runs and partitionings.
+    *
+    * Scale budget: one shard = one task's memory
+    * (`rows/numShards · dim · 4` bytes) — size `numShards` like any
+    * capped `collect_list` bucket; the shuffle moves each vector once.
+    * Executors resolve the output filesystem from the URI with the
+    * classpath Hadoop configuration (what a real cluster ships).
+    */
+  def exportNpy(df: DataFrame, idCol: String, vecCol: String,
+                outDir: String, numShards: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sharded = Curation.shuffleShards(
+      df.select(col(idCol), col(vecCol)), idCol, numShards)
+    sharded.select(col("shard"), col("pos"), col(idCol).as("id"))
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    val out = outDir
+    val report = sharded
+      .select(col("shard").cast("int"), col("pos"),
+        col(vecCol).cast("array<float>").as("v"))
+      .as[(Int, Long, Array[Float])]
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .mapPartitions { it =>
+        // rows arrive sorted by (shard, pos) with every shard complete
+        // in this task (hash-partitioned on shard): emit one file per
+        // contiguous shard run
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(out),
+          new org.apache.hadoop.conf.Configuration())
+        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator
+          .map { case (shard, rows) =>
+            val mat = rows.sortBy(_._2).map(_._3).toArray
+            val bytes = Npy.encodeF32(mat)
+            val p = new org.apache.hadoop.fs.Path(out, f"shard_$shard%05d.npy")
+            val os = fs.create(p, true)
+            try os.write(bytes) finally os.close()
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(bytes).map(b => f"$b%02x").mkString
+            (shard, mat.length.toLong,
+              (if (mat.isEmpty) 0 else mat(0).length).toLong,
+              bytes.length.toLong, sha)
+          }
+      }
+      .toDF("shard_no", "n_rows", "n_dim", "byte_len", "sha256")
+    report
+  }
 }

@@ -2797,6 +2797,19 @@ object QueryCatalog {
         .orderBy("lang")
     }),
 
+    "x_export_npy" -> ((s, dir) =>
+      // Tensor export for training stacks: the embedding column lands as
+      // float32 .npy shard files (public NumPy format, pure-JVM codec) +
+      // an id manifest. The hashed projection is the SQL-replayable
+      // sizing report — md5-shard row counts and the exact NPY
+      // byte-length arithmetic (magic + 64-aligned header + n·dim·4);
+      // the report's sha256 column is a binary artifact, pinned instead
+      // by NpySpec's cross-partitioning determinism test.
+      graft.operators.Embeddings.exportNpy(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "/tmp/graft_npy_export", numShards = 8)
+        .select("shard_no", "n_rows", "n_dim", "byte_len")
+        .orderBy("shard_no")),
+
     "x_sim_ivf_persisted" -> ((s, dir) => { // oracle: replay OVER the persisted index tables
       // The production ANN lifecycle: the IVF index (centroid table +
       // cid-partitioned inverted lists) is BUILT ONCE and persisted;
@@ -4738,6 +4751,24 @@ object QueryCatalog {
         // the LIVE foreachBatch serving path shares the persisted-index
         // replay: per-query results are batch-invariant
         ivfPersistedReplay(ivfIdxDir),
+
+      "x_export_npy" ->
+        // shard assignment = the x_shuffle_shards md5 formula; byte_len
+        // replays the NPY v1.0 header math: 6 magic + 2 version + 2 len
+        // + dict + pad-to-64 + '\n' + n·64·4 payload
+        """WITH sh AS (SELECT ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+          |           FROM embeddings),
+          |c AS (SELECT CAST(shard AS INTEGER) AS shard_no, count(*) AS n
+          |      FROM sh GROUP BY shard),
+          |d AS (SELECT shard_no, n,
+          |        length(concat('{''descr'': ''<f4'', ''fortran_order'': False, ''shape'': (',
+          |          CAST(n AS VARCHAR), ', 64), }')) AS dlen
+          |      FROM c)
+          |SELECT shard_no, CAST(n AS BIGINT) AS n_rows,
+          |  CAST(64 AS BIGINT) AS n_dim,
+          |  CAST(10 + dlen + ((64 - (11 + dlen) % 64) % 64) + 1 + n * 64 * 4
+          |       AS BIGINT) AS byte_len
+          |FROM d ORDER BY shard_no""".stripMargin,
 
       "x_sim_ivf_deleted" ->
         // identical replay over the post-takedown index: the on-disk
