@@ -485,6 +485,13 @@ object BenchSf1 {
             .select("vec_id"), "vec_id")
         spark.read.parquet(s"$idx/cells").count()
       }),
+      // tensor export: one shard shuffle + per-shard NPY encode+write —
+      // linear bytes; shards scale with the corpus so per-task memory
+      // stays constant (the collect_list-bucket budget)
+      "npy_export" -> ((dir, m) =>
+        graft.operators.Embeddings.exportNpy(emb(spark, dir),
+          "vec_id", "embedding", s"/tmp/graft_sf1_npy/${tagOf(dir)}",
+          numShards = 16 * m).count()),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)
