@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application: turn an append-only change log
+  * (insert / update / delete rows stamped with a monotone sequence) into
+  * the current snapshot, or into SCD2-style validity history.
+  *
+  * This is the merge-on-read half of the lakehouse story the engine
+  * already tells on the write side ([[graft.core.Merge]] upserts,
+  * [[Scale.compactParquet]], `x_snapshot_diff`): at 100 TB the change
+  * log is what actually arrives (Debezium/binlog-shaped), and the
+  * snapshot is DERIVED, never stored row-by-row.
+  *
+  * Scale posture: [[applyLog]] is ONE hash-aggregate — `max_by(struct)`
+  * partial-aggregates map-side, so the shuffle carries at most one row
+  * per (partition, key), not the log. The window variant (row_number
+  * over key) would full-sort every key group; `max_by` is the plan that
+  * survives a log with billions of superseded rows. [[history]] does
+  * need the per-key sort (it emits every version), but the window is
+  * keyed — no global sort, no single-partition stage.
+  */
+object Cdc {
+
+  /** Current snapshot of `log`: for every key keep the row with the
+    * highest `seqCol`, then drop keys whose last operation is
+    * `deleteOp`. Payload columns = everything except key/seq/op.
+    *
+    * Ties on (key, seq) are undefined — a CDC log's sequence is unique
+    * per key by construction (binlog offset, commit LSN); callers with
+    * a coarser stamp must refine it first.
+    */
+  def applyLog(log: DataFrame, keyCol: String, seqCol: String,
+               opCol: String, deleteOp: String = "D"): DataFrame = {
+    val payload = log.columns.toSeq.filterNot(c =>
+      c == keyCol || c == seqCol || c == opCol)
+    require(payload.nonEmpty, "applyLog: log has no payload columns")
+    val last = struct((opCol +: payload).map(col): _*)
+    log.groupBy(col(keyCol))
+      .agg(max_by(last, col(seqCol)).as("__last"))
+      .filter(col(s"__last.$opCol") =!= lit(deleteOp))
+      .select(col(keyCol) +: payload.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
+  /** SCD2 validity intervals: one row per log version with
+    * `seq_from` = its own sequence and `seq_to` = the next version's
+    * sequence for the same key (null while current). Delete rows are
+    * kept — they close the preceding interval and carry `op = D`, which
+    * is how a consumer distinguishes "current" from "tombstoned".
+    */
+  def history(log: DataFrame, keyCol: String, seqCol: String,
+              opCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    log.withColumn("seq_from", col(seqCol).cast("long"))
+      .withColumn("seq_to", lead(col(seqCol), 1).over(w).cast("long"))
+      .withColumn("is_current",
+        col("seq_to").isNull && col(opCol) =!= lit("D"))
+      .drop(seqCol)
+  }
+}

@@ -540,6 +540,74 @@ object Curation {
         coalesce(lag(col("n_rows"), 1).over(w) - col("n_rows"), lit(0L)))
   }
 
+  /** Turn-level SFT view of a conversation table: rows grouped by
+    * `convCol`, ordered by `orderCol`, alternate user/assistant roles
+    * (first turn = user), and each turn gets its token interval
+    * [tok_start, tok_end) in the assembled sequence — the LOSS MASK a
+    * trainer applies (loss only where `loss_turn`, i.e. assistant
+    * turns). Token cost of a turn = whitespace tokens of its text + 1
+    * for the role tag; same arithmetic as [[sftAssemble]] so intervals
+    * align with the assembled string's token stream.
+    *
+    * Scale: one keyed window (partitioned by conversation) — role
+    * parity and the running offset are per-key, never a global sort.
+    */
+  def sftTurns(docs: DataFrame, convCol: String, orderCol: String,
+               textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(orderCol))
+    docs
+      .withColumn("turn_idx", row_number().over(w).cast("long"))
+      .withColumn("role",
+        when(col("turn_idx") % 2 === 1, lit("user"))
+          .otherwise(lit("assistant")))
+      .withColumn("turn_tokens",
+        (size(split(col(textCol), " ")) + 1).cast("long"))
+      .withColumn("tok_end",
+        sum(col("turn_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tok_start", col("tok_end") - col("turn_tokens"))
+      .withColumn("loss_turn", col("role") === "assistant")
+      .select(col(convCol), col("turn_idx"), col("role"),
+        col("turn_tokens"), col("tok_start"), col("tok_end"),
+        col("loss_turn"))
+  }
+
+  /** Assemble chat-format SFT examples: one row per conversation with
+    * the tagged text (`<|user|>\n…\n<|assistant|>\n…`), turn count,
+    * total tokens, and `loss_tokens` (assistant-turn tokens — the
+    * denominator of a trainer's per-example loss normalization).
+    *
+    * The per-conversation `collect_list` is bounded by conversation
+    * length — the same budget argument as sequence packing, NOT a
+    * corpus-sized collect; the groupBy shuffles each turn once, keyed
+    * by conversation.
+    */
+  def sftAssemble(docs: DataFrame, convCol: String, orderCol: String,
+                  textCol: String,
+                  userTag: String = "<|user|>",
+                  assistantTag: String = "<|assistant|>"): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(orderCol))
+    val turns = docs
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__role_tag",
+        when(col("__rn") % 2 === 1, lit(userTag)).otherwise(lit(assistantTag)))
+      .withColumn("__tagged",
+        concat(col("__role_tag"), lit("\n"), col(textCol)))
+      .withColumn("__toks", (size(split(col(textCol), " ")) + 1).cast("long"))
+    turns.groupBy(col(convCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_turns"),
+        sum("__toks").cast("long").as("total_tokens"),
+        sum(when(col("__rn") % 2 === 0, col("__toks")).otherwise(lit(0L)))
+          .cast("long").as("loss_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__rn"), col("__tagged")))),
+            s => s.getField("__tagged")),
+          "\n").as("sft_text"))
+      .withColumn("sft_md5", md5(col("sft_text")))
+  }
+
   def scrubPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol,
       regexp_replace(

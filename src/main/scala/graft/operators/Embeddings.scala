@@ -120,6 +120,54 @@ object Embeddings {
           .otherwise(xd(x) / col("qscale") * 127.0)).cast("tinyint")))
   }
 
+  /** TRAINED scalar quantization (the FAISS `SQ8`-style storage path):
+    * per-DIMENSION corpus min/max define an affine grid, every element
+    * maps to `⌊(x − min_d)·levels / (max_d − min_d)⌋` — where
+    * [[quantizeInt8]] scales each vector by its own max-abs (no training,
+    * instant, per-row), this is the trained variant whose grid is shared
+    * corpus-wide, so codes are comparable ACROSS vectors and the
+    * dequantized corpus is what a serving tier actually memory-maps.
+    *
+    * Exactness contract: elements are first fixed-pointed at
+    * `⌊x·2^scaleBits⌋` (exact — float→double is exact, ×2^k is exact),
+    * then every downstream step is LONG arithmetic: min/max, the
+    * integral-divide code, and the reconstruction error
+    * `|xi·levels − (min_d·levels + code·(max_d − min_d))|` (the residual
+    * on the ×levels grid). Bit-replayable by any engine; no float
+    * rounding anywhere past the fixed-point step.
+    *
+    * Scale posture: one posexplode shuffle keyed (pos) for the dim-sized
+    * stats table (broadcast back), one groupBy(id) to reassemble —
+    * both partial-aggregate; nothing driver-side, no whole-vector
+    * shuffle beyond the unavoidable explode/reassemble pair.
+    */
+  def scalarQuantizeTrained(df: DataFrame, idCol: String, vecCol: String,
+                            levels: Int = 255,
+                            scaleBits: Int = 20): DataFrame = {
+    require(levels > 0 && levels <= 65535, "levels must fit uint16")
+    val scale = math.pow(2.0, scaleBits) // exact power of two
+    val fx = df
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idCol), col("pos"),
+        floor(col("x").cast("double") * lit(scale)).cast("long").as("xi"))
+    val st = fx.groupBy("pos").agg(min("xi").as("mn"), max("xi").as("mx"))
+    val coded = fx.join(broadcast(st), Seq("pos"))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          expr(s"(xi - mn) * $levels div (mx - mn)")).otherwise(lit(0L)))
+      .withColumn("err",
+        abs(col("xi") * levels -
+          (col("mn") * levels + col("code") * (col("mx") - col("mn")))))
+    coded.groupBy(col(idCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("code")))),
+          s => s.getField("code").cast("int")).as("codes"),
+        sum("err").cast("long").as("err_scaled"),
+        count(lit(1)).cast("long").as("n_dims"))
+      .withColumn("code_digest",
+        md5(concat_ws(",", transform(col("codes"), _.cast("string")))))
+  }
+
   /** Export the embedding column as float32 `.npy` shard files — the
     * tensor interchange training stacks actually load — plus an id
     * manifest parquet (shard, pos, id) so predictions join back to ids

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{HostedTables, Tables}
 import graft.core.{Chunker, ServiceName, WriteMode}
-import graft.operators.{Curation, Dedup, Embeddings, GraphOps, Multimodal, Profiling, Scale, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Cdc, Curation, Dedup, Embeddings, GraphOps, HtmlText, Multimodal, Profiling, Scale, Similarity, Sketches, TextAnalysis}
 import graft.sinks.HostedStore
 import graft.streaming.EventStreams
 
@@ -40,6 +40,30 @@ object QueryCatalog {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** The Debezium-shaped change log shared by the x_cdc_* queries:
+    * synthesized from `documents` (no staging) — full initial insert,
+    * then updates, deletes, and re-inserts at later sequence numbers.
+    * Doc 14-style keys (≡0 mod 7 AND ≡3 mod 11) exercise the full
+    * I→U→D→I lifecycle on one key. Both oracles rebuild this log with
+    * the same UNION ALL arithmetic.
+    */
+  private def cdcLog(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang", "source")
+    val nullStr = lit(null).cast("string")
+    docs.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), nullStr.as("text"), nullStr.as("lang"),
+          nullStr.as("source"))
+        .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+      .unionByName(docs
+        .filter(col("doc_id") % 11 === 3 && col("doc_id") % 2 === 0)
+        .withColumn("text", concat(col("text"), lit(" v3")))
+        .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+  }
 
   /** The point-layer fixture shared by the ref_layer_* queries: customer
     * attributes with geometry = (c_acctbal, c_custkey·0.5), written to a
@@ -2269,6 +2293,81 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_cdc_snapshot" -> ((s, dir) =>
+      // Merge-on-read over a Debezium-shaped change log (insert all →
+      // update every 7th → delete every 11th+3 → re-insert the even
+      // deletes): ONE max_by hash-aggregate, partial-aggregable — the
+      // plan that survives a log with billions of superseded rows (a
+      // row_number window would full-sort every key group).
+      Cdc.applyLog(cdcLog(s, dir), "doc_id", "seq", "op")
+        .orderBy("doc_id")),
+
+    "x_cdc_history" -> ((s, dir) =>
+      // SCD2 validity intervals over the same log: every version carries
+      // [seq_from, seq_to) via a KEYED lead() window; tombstones close
+      // their predecessor and are never "current".
+      Cdc.history(cdcLog(s, dir), "doc_id", "seq", "op")
+        .select("doc_id", "op", "seq_from", "seq_to", "is_current")
+        .orderBy("doc_id", "seq_from")),
+
+    "x_emb_sq8" -> ((s, dir) =>
+      // Trained FAISS-SQ8-style scalar quantization: per-dimension
+      // corpus min/max grid, integer-exact codes + reconstruction error
+      // on the fixed-point lattice — the 4× storage path whose codes are
+      // comparable ACROSS vectors (unlike the per-vector max-abs
+      // quantizeInt8).
+      Embeddings.scalarQuantizeTrained(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select("vec_id", "code_digest", "err_scaled", "n_dims")
+        .orderBy("vec_id")),
+
+    "x_text_extract_html" -> ((s, dir) => {
+      // CommonCrawl step-1: markup → training text. Pages are
+      // synthesized from the documents table (title with an entity,
+      // style/script/comment subtrees to drop, block tags, anchors
+      // injected around 'table' tokens) so the extractor faces every
+      // branch; the oracle rebuilds the same pages and replays the
+      // identical RE2∩Java regex chain.
+      val docs = t(s, dir, "documents")
+      val body = regexp_replace(col("text"),
+        " table ", " <a href=t>table</a> ")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; "), col("source"),
+        lit("</title><style>p { color: red }</style>"),
+        lit("<script>if (1 &lt; 2) { go() }</script></head>"),
+        lit("<body><!-- nav boilerplate --><h1>"), upper(col("lang")),
+        lit("</h1><p>"), body,
+        lit("</p><div>&nbsp;&quot;"), col("lang"),
+        lit("&#39;s&quot; x &gt; y</div></body></html>"))
+      HtmlText.extract(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy("doc_id")
+    }),
+
+    "x_sft_format" -> ((s, dir) =>
+      // Chat-format SFT assembly: documents grouped by source into
+      // conversations (ordered by doc_id, alternating user/assistant),
+      // tagged, joined, with total vs LOSS token counts — the
+      // post-training data-prep step between curation and the trainer.
+      Curation.sftAssemble(
+          t(s, dir, "documents"), "source", "doc_id", "text")
+        .select(col("source").as("conv_id"), col("n_turns"),
+          col("total_tokens"), col("loss_tokens"), col("sft_md5"))
+        .orderBy("conv_id")),
+
+    "x_sft_spans" -> ((s, dir) =>
+      // The loss mask itself: per-turn token intervals [tok_start,
+      // tok_end) in the assembled sequence, loss only on assistant
+      // turns — a keyed running-sum window, aligned by construction
+      // with x_sft_format's token arithmetic.
+      Curation.sftTurns(
+          t(s, dir, "documents"), "source", "doc_id", "text")
+        .select(col("source").as("conv_id"), col("turn_idx"), col("role"),
+          col("turn_tokens"), col("tok_start"), col("tok_end"),
+          col("loss_turn"))
+        .orderBy("conv_id", "turn_idx")),
+
     "x_contrastive_triplets" -> ((s, dir) => {
       // (anchor, positive, negative) training triplets: positives = mined
       // jaccard near-dups, negatives = deterministic per-shard md5
@@ -3701,6 +3800,46 @@ object QueryCatalog {
       s"${ws.map(w => markerCountSql(s" $w ")).mkString(" + ")} AS score_$lang"
     }.mkString(",\n  ")
 
+    // The x_cdc_* change log — must stay textually in ONE place: both
+    // oracles and the Spark-side cdcLog helper encode the same
+    // I→U→D→I arithmetic.
+    val cdcLogSql =
+      """cdclog AS (
+        |  SELECT doc_id, text, lang, source, CAST(1 AS BIGINT) AS seq, 'I' AS op FROM documents
+        |  UNION ALL SELECT doc_id, text || ' v2', lang, source, 2, 'U' FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 3, 'D' FROM documents WHERE doc_id % 11 = 3
+        |  UNION ALL SELECT doc_id, text || ' v3', lang, source, 4, 'I' FROM documents WHERE doc_id % 11 = 3 AND doc_id % 2 = 0)""".stripMargin
+
+    // The x_text_extract_html page fixture + extraction chain, shared
+    // between the result columns: one CTE per regexp_replace step of
+    // HtmlText.extractText, applied in lockstep to the body (c) and the
+    // title (tc). Sequential CTEs, not nested calls — deep expression
+    // nesting hits DuckDB's binder recursion limit.
+    val htmlSteps: Seq[(String, String)] = Seq(
+      "(?is)<head\\b[^>]*>.*?</head[^>]*>" -> "' '",
+      "(?is)<script[^>]*>.*?</script>" -> "' '",
+      "(?is)<style[^>]*>.*?</style>" -> "' '",
+      "(?s)<!--.*?-->" -> "' '",
+      "(?i)</?(p|br|div|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>" -> "chr(10)",
+      "<[^>]*>" -> "' '",
+      "&lt;" -> "'<'",
+      "&gt;" -> "'>'",
+      "&quot;" -> "'\"'",
+      "&#39;" -> "chr(39)",
+      "&nbsp;" -> "' '",
+      "&amp;" -> "'&'",
+      "[ \\t\\r]+" -> "' '",
+      " ?\\n[ \\n]*" -> "chr(10)",
+      "^[ \\n]+" -> "''",
+      "[ \\n]+$" -> "''")
+    val htmlChainCtes = htmlSteps.zipWithIndex.map { case ((pat, rep), i) =>
+      val prev = if (i == 0) "t0" else s"s$i"
+      s"""s${i + 1} AS (SELECT doc_id, html,
+         |  regexp_replace(c, '$pat', $rep, 'g') AS c,
+         |  regexp_replace(tc, '$pat', $rep, 'g') AS tc FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val htmlLast = s"s${htmlSteps.size}"
+
     // Full IVF probe+rerank replay: id-sampled centroids, nearest-centroid
     // cell assignment, top-nprobe probe cells per query, exact cosine
     // re-rank of probed candidates. Every score both engines compare is
@@ -4235,6 +4374,91 @@ object QueryCatalog {
           |            WHEN n.doc_id IS NULL THEN 'removed'
           |            WHEN o.f <> n.f THEN 'changed' END) IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
+
+      "x_cdc_snapshot" ->
+        s"""WITH $cdcLogSql,
+           |lastv AS (SELECT doc_id,
+           |            arg_max(op, seq) AS op, arg_max(text, seq) AS text,
+           |            arg_max(lang, seq) AS lang, arg_max(source, seq) AS source
+           |          FROM cdclog GROUP BY doc_id)
+           |SELECT doc_id, text, lang, source FROM lastv
+           |WHERE op <> 'D' ORDER BY doc_id""".stripMargin,
+
+      "x_cdc_history" ->
+        s"""WITH $cdcLogSql
+           |SELECT doc_id, op, seq AS seq_from,
+           |  lead(seq) OVER w AS seq_to,
+           |  (lead(seq) OVER w IS NULL AND op <> 'D') AS is_current
+           |FROM cdclog WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+           |ORDER BY doc_id, seq_from""".stripMargin,
+
+      "x_emb_sq8" ->
+        """WITH fx AS (SELECT vec_id, i - 1 AS pos,
+          |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS xi
+          |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+          |st AS (SELECT pos, min(xi) AS mn, max(xi) AS mx FROM fx GROUP BY pos),
+          |cd AS (SELECT vec_id, pos, xi, mn, mx,
+          |    CASE WHEN mx > mn THEN (xi - mn) * 255 // (mx - mn)
+          |         ELSE CAST(0 AS BIGINT) END AS code
+          |  FROM fx JOIN st USING (pos))
+          |SELECT vec_id,
+          |  md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos)) AS code_digest,
+          |  CAST(sum(abs(xi * 255 - (mn * 255 + code * (mx - mn)))) AS BIGINT) AS err_scaled,
+          |  CAST(count(*) AS BIGINT) AS n_dims
+          |FROM cd GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      "x_text_extract_html" ->
+        s"""WITH h AS (SELECT doc_id,
+           |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; ' || source ||
+           |    '</title><style>p { color: red }</style>' ||
+           |    '<script>if (1 &lt; 2) { go() }</script></head>' ||
+           |    '<body><!-- nav boilerplate --><h1>' || upper(lang) || '</h1><p>' ||
+           |    regexp_replace(text, ' table ', ' <a href=t>table</a> ', 'g') ||
+           |    '</p><div>&nbsp;&quot;' || lang || '&#39;s&quot; x &gt; y</div></body></html>' AS html
+           |  FROM documents),
+           |t0 AS (SELECT doc_id, html, html AS c,
+           |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS tc
+           |  FROM h),
+           |$htmlChainCtes
+           |SELECT doc_id, tc AS title, c AS text,
+           |  len(regexp_extract_all(html, '(?i)<a[ >]')) AS n_links,
+           |  len(regexp_extract_all(html, '</?[a-zA-Z][^>]*>')) AS n_tags,
+           |  CAST(length(c) AS BIGINT) AS text_chars
+           |FROM $htmlLast ORDER BY doc_id""".stripMargin,
+
+      "x_sft_format" ->
+        """WITH turns AS (
+          |  SELECT source, doc_id, text,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          |  FROM documents),
+          |tagged AS (
+          |  SELECT source, rn,
+          |    (CASE WHEN rn % 2 = 1 THEN '<|user|>' ELSE '<|assistant|>' END)
+          |      || chr(10) || text AS tg,
+          |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS toks
+          |  FROM turns)
+          |SELECT source AS conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+          |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+          |  CAST(sum(CASE WHEN rn % 2 = 0 THEN toks ELSE 0 END) AS BIGINT) AS loss_tokens,
+          |  md5(string_agg(tg, chr(10) ORDER BY rn)) AS sft_md5
+          |FROM tagged GROUP BY source ORDER BY conv_id""".stripMargin,
+
+      "x_sft_spans" ->
+        """WITH turns AS (
+          |  SELECT source, doc_id,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+          |    CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS toks
+          |  FROM documents),
+          |run AS (
+          |  SELECT source, rn, toks,
+          |    CAST(sum(toks) OVER (PARTITION BY source ORDER BY rn
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+          |  FROM turns)
+          |SELECT source AS conv_id, CAST(rn AS BIGINT) AS turn_idx,
+          |  CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+          |  toks AS turn_tokens, tok_end - toks AS tok_start, tok_end,
+          |  (rn % 2 = 0) AS loss_turn
+          |FROM run ORDER BY conv_id, turn_idx""".stripMargin,
 
       "x_contrastive_triplets" ->
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))},

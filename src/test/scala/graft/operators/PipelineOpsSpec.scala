@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-9 pipeline additions: CDC merge-on-read / SCD2
+  * history, trained scalar quantization, HTML text extraction, and SFT
+  * chat assembly with loss masks.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- CDC
+
+  private def log() = Seq(
+    // key 1: I → U → U (current = v2)
+    (1L, 1L, "I", "a0"), (1L, 2L, "U", "a1"), (1L, 3L, "U", "a2"),
+    // key 2: I → D (tombstoned)
+    (2L, 1L, "I", "b0"), (2L, 4L, "D", null.asInstanceOf[String]),
+    // key 3: I → D → I (revived)
+    (3L, 1L, "I", "c0"), (3L, 2L, "D", null.asInstanceOf[String]),
+    (3L, 5L, "I", "c1"),
+    // key 4: single insert
+    (4L, 7L, "I", "d0")
+  ).toDF("k", "seq", "op", "payload")
+
+  test("applyLog: last-write-wins, tombstones drop, re-inserts revive") {
+    val snap = Cdc.applyLog(log(), "k", "seq", "op")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(snap == Seq((1L, "a2"), (3L, "c1"), (4L, "d0")))
+  }
+
+  test("applyLog aggregates without a window sort (partial-agg plan)") {
+    val plan = Cdc.applyLog(log(), "k", "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregate in:\n$plan")
+  }
+
+  test("applyLog refuses a payload-less log") {
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyLog(log().select("k", "seq", "op"), "k", "seq", "op")
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
+  test("history: keyed validity intervals, tombstones never current") {
+    val h = Cdc.history(log(), "k", "seq", "op")
+      .select("k", "op", "seq_from", "seq_to", "is_current")
+      .orderBy("k", "seq_from")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(h == Seq(
+      (1L, "I", 1L, Some(2L), false), (1L, "U", 2L, Some(3L), false),
+      (1L, "U", 3L, None, true),
+      (2L, "I", 1L, Some(4L), false), (2L, "D", 4L, None, false),
+      (3L, "I", 1L, Some(2L), false), (3L, "D", 2L, Some(5L), false),
+      (3L, "I", 5L, None, true),
+      (4L, "I", 7L, None, true)))
+  }
+
+  // ------------------------------------------- trained scalar quantizer
+
+  test("scalarQuantizeTrained: exact codes on a planted grid") {
+    // dim0 spans [0,1] → codes 0 / 127 / 255; dim1 constant → code 0,
+    // zero error (mx == mn branch)
+    val df = Seq(
+      (1L, Array(0.0f, 5.0f)),
+      (2L, Array(0.5f, 5.0f)),
+      (3L, Array(1.0f, 5.0f))
+    ).toDF("id", "vec")
+    val out = Embeddings.scalarQuantizeTrained(df, "id", "vec")
+      .orderBy("id")
+      .select("id", "codes", "err_scaled", "n_dims")
+      .as[(Long, Seq[Int], Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(Seq(0, 0), Seq(127, 0), Seq(255, 0)))
+    assert(out.map(_._4) == Seq(2L, 2L, 2L))
+    // 0.5·2^20 is exactly representable → code 127 with residual
+    // (xi·255 − code·range) = 2^19·255 − 127·2^20 = 2^19 exactly
+    assert(out.map(_._3) == Seq(0L, 1L << 19, 0L))
+  }
+
+  test("scalarQuantizeTrained: per-element error bounded by the grid step") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val coded = Embeddings.scalarQuantizeTrained(emb, "vec_id", "embedding")
+    val dims = coded.select(max("n_dims")).as[Long].head()
+    // |err per element| < (mx − mn) on the ×255 lattice → summed bound
+    val fx = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x").cast("double") * lit(1048576.0)).cast("long").as("xi"))
+    val worstRange = fx.groupBy("pos")
+      .agg((max("xi") - min("xi")).as("range"))
+      .select(max("range")).as[Long].head()
+    val worstErr = coded.select(max("err_scaled")).as[Long].head()
+    assert(worstErr <= dims * worstRange,
+      s"err $worstErr exceeds dims($dims) * worst range($worstRange)")
+    // codes stay on the 0..255 grid
+    val bad = coded.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0)
+  }
+
+  // ------------------------------------------------------- HTML extract
+
+  test("HtmlText.extract: scripts/styles/comments drop, entities decode") {
+    val html =
+      """<html><head><title>T &amp; U</title>
+        |<style>div { color: red }</style>
+        |<script>if (a &lt; b) { document.write("<div>x</div>") }</script>
+        |</head><body><!-- chrome --><h1>Head</h1>
+        |<p>first&nbsp;para with &quot;quotes&quot; &#39;s</p>
+        |<div>second <a href="/x">link</a> here</div>
+        |<span>unclosed span</body></html>""".stripMargin
+    val out = HtmlText.extract(
+        Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .select("title", "text", "n_links", "n_tags")
+      .as[(String, String, Int, Int)].head()
+    assert(out._1 == "T & U")
+    // NOTE the script's "<div>x</div>" payload must NOT leak into text
+    assert(out._2 ==
+      "Head\nfirst para with \"quotes\" 's\nsecond link here\nunclosed span")
+    assert(out._3 == 1)
+    assert(out._4 > 5)
+  }
+
+  test("HtmlText.extract degrades on tagless text (no exception, identity-ish)") {
+    val out = HtmlText.extract(
+        Seq((1L, "plain  text   only")).toDF("id", "html"), "id", "html")
+      .select("title", "text", "n_links", "n_tags")
+      .as[(String, String, Int, Int)].head()
+    assert(out == (("", "plain text only", 0, 0)))
+  }
+
+  // ------------------------------------------------------- SFT assembly
+
+  private def conv() = Seq(
+    (10L, "c1", "hello there"),        // user  (2+1 toks)
+    (11L, "c1", "hi how can I help"),  // asst  (5+1 toks)
+    (12L, "c1", "fix my bug"),         // user  (3+1 toks)
+    (13L, "c1", "done"),               // asst  (1+1 toks)
+    (20L, "c2", "solo message")        // user only → zero loss tokens
+  ).toDF("doc_id", "conv", "text")
+
+  test("sftTurns: roles alternate, token intervals tile the sequence") {
+    val t = Curation.sftTurns(conv(), "conv", "doc_id", "text")
+      .orderBy("conv", "turn_idx")
+      .select("conv", "turn_idx", "role", "turn_tokens", "tok_start",
+        "tok_end", "loss_turn")
+      .as[(String, Long, String, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(t == Seq(
+      ("c1", 1L, "user", 3L, 0L, 3L, false),
+      ("c1", 2L, "assistant", 6L, 3L, 9L, true),
+      ("c1", 3L, "user", 4L, 9L, 13L, false),
+      ("c1", 4L, "assistant", 2L, 13L, 15L, true),
+      ("c2", 1L, "user", 3L, 0L, 3L, false)))
+  }
+
+  test("sftAssemble: tagged text, totals, and loss tokens agree with turns") {
+    val a = Curation.sftAssemble(conv(), "conv", "doc_id", "text")
+      .orderBy("conv")
+      .select("conv", "n_turns", "total_tokens", "loss_tokens", "sft_text")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(a.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq(("c1", 4L, 15L, 8L), ("c2", 1L, 3L, 0L)))
+    assert(a.head._5 ==
+      "<|user|>\nhello there\n<|assistant|>\nhi how can I help\n" +
+      "<|user|>\nfix my bug\n<|assistant|>\ndone")
+    assert(a(1)._5 == "<|user|>\nsolo message")
+  }
+}
