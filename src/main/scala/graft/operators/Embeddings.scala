@@ -141,20 +141,52 @@ object Embeddings {
     * both partial-aggregate; nothing driver-side, no whole-vector
     * shuffle beyond the unavoidable explode/reassemble pair.
     */
-  def scalarQuantizeTrained(df: DataFrame, idCol: String, vecCol: String,
-                            levels: Int = 255,
-                            scaleBits: Int = 20): DataFrame = {
-    require(levels > 0 && levels <= 65535, "levels must fit uint16")
+  /** The per-dimension fixed-point elements: (id, pos, xi) with
+    * `xi = ⌊x·2^scaleBits⌋` — both the grid trainer and the coder
+    * start here so they can never disagree on the lattice.
+    */
+  private def fixedPoint(df: DataFrame, idCol: String, vecCol: String,
+                         scaleBits: Int): DataFrame = {
     val scale = math.pow(2.0, scaleBits) // exact power of two
-    val fx = df
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col(idCol), col("pos"),
         floor(col("x").cast("double") * lit(scale)).cast("long").as("xi"))
-    val st = fx.groupBy("pos").agg(min("xi").as("mn"), max("xi").as("mx"))
+  }
+
+  /** Train the quantization grid: per-dimension (pos, mn, mx) on the
+    * fixed-point lattice. dim rows — persist it next to the exported
+    * codes; it is everything a loader needs to dequantize.
+    */
+  def scalarGrid(df: DataFrame, idCol: String, vecCol: String,
+                 scaleBits: Int = 20): DataFrame =
+    fixedPoint(df, idCol, vecCol, scaleBits)
+      .groupBy("pos").agg(min("xi").as("mn"), max("xi").as("mx"))
+
+  def scalarQuantizeTrained(df: DataFrame, idCol: String, vecCol: String,
+                            levels: Int = 255,
+                            scaleBits: Int = 20): DataFrame =
+    scalarQuantizeWithGrid(df, idCol, vecCol,
+      scalarGrid(df, idCol, vecCol, scaleBits), levels, scaleBits)
+
+  /** Quantize against an EXISTING grid (the incremental-batch path: the
+    * grid trains once, later corpus slices encode against it without a
+    * second stats pass — same identity argument as the persisted ANN
+    * index). Codes clamp to [0, levels]: out-of-grid values in a later
+    * batch saturate rather than escape the uint range.
+    */
+  def scalarQuantizeWithGrid(df: DataFrame, idCol: String, vecCol: String,
+                             grid: DataFrame, levels: Int = 255,
+                             scaleBits: Int = 20): DataFrame = {
+    require(levels > 0 && levels <= 65535, "levels must fit uint16")
+    val fx = fixedPoint(df, idCol, vecCol, scaleBits)
+    val st = grid.select(col("pos"), col("mn"), col("mx"))
     val coded = fx.join(broadcast(st), Seq("pos"))
       .withColumn("code",
-        when(col("mx") > col("mn"),
-          expr(s"(xi - mn) * $levels div (mx - mn)")).otherwise(lit(0L)))
+        // clamp is identity when the grid was trained on this corpus;
+        // it only bites for out-of-grid values in a later batch
+        greatest(lit(0L), least(lit(levels.toLong),
+          when(col("mx") > col("mn"),
+            expr(s"(xi - mn) * $levels div (mx - mn)")).otherwise(lit(0L)))))
       .withColumn("err",
         abs(col("xi") * levels -
           (col("mn") * levels + col("code") * (col("mx") - col("mn")))))
@@ -166,6 +198,62 @@ object Embeddings {
         count(lit(1)).cast("long").as("n_dims"))
       .withColumn("code_digest",
         md5(concat_ws(",", transform(col("codes"), _.cast("string")))))
+  }
+
+  /** Export the corpus scalar-quantized: uint8 `.npy` shard files
+    * (4× smaller than [[exportNpy]]'s float32 — the artifact a serving
+    * tier actually memory-maps), the id manifest, AND the trained grid
+    * as a parquet sidecar (`outDir/grid`: pos, mn, mx, levels,
+    * scale_bits — everything a loader needs to dequantize
+    * `mn/2^s + code·(mx−mn)/(levels·2^s)`).
+    *
+    * The grid trains in ONE stats pass and both persists and feeds the
+    * coder — the sidecar and the codes can never disagree. Sharding,
+    * manifest, per-shard file writes, and the (shard_no, n_rows, n_dim,
+    * byte_len, sha256) report all follow [[exportNpy]]'s determinism
+    * contract.
+    */
+  def exportNpyQuantized(df: DataFrame, idCol: String, vecCol: String,
+                         outDir: String, numShards: Int = 16,
+                         levels: Int = 255,
+                         scaleBits: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = scalarGrid(df, idCol, vecCol, scaleBits)
+    grid.withColumn("levels", lit(levels))
+      .withColumn("scale_bits", lit(scaleBits))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/grid")
+    val reloaded = spark.read.parquet(s"$outDir/grid")
+    val codes = scalarQuantizeWithGrid(df, idCol, vecCol, reloaded,
+      levels, scaleBits).select(col(idCol), col("codes"))
+    val sharded = Curation.shuffleShards(codes, idCol, numShards)
+    sharded.select(col("shard"), col("pos"), col(idCol).as("id"))
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+    val out = outDir
+    sharded
+      .select(col("shard").cast("int"), col("pos"), col("codes"))
+      .as[(Int, Long, Array[Int])]
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .mapPartitions { it =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(out),
+          new org.apache.hadoop.conf.Configuration())
+        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator
+          .map { case (shard, rows) =>
+            val mat = rows.sortBy(_._2).map(_._3).toArray
+            val bytes = Npy.encodeU8(mat)
+            val p = new org.apache.hadoop.fs.Path(out, f"shard_$shard%05d.npy")
+            val os = fs.create(p, true)
+            try os.write(bytes) finally os.close()
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(bytes).map(b => f"$b%02x").mkString
+            (shard, mat.length.toLong,
+              (if (mat.isEmpty) 0 else mat(0).length).toLong,
+              bytes.length.toLong, sha)
+          }
+      }
+      .toDF("shard_no", "n_rows", "n_dim", "byte_len", "sha256")
   }
 
   /** Export the embedding column as float32 `.npy` shard files — the

@@ -2909,6 +2909,16 @@ object QueryCatalog {
         .select("shard_no", "n_rows", "n_dim", "byte_len")
         .orderBy("shard_no")),
 
+    "x_export_npy_int8" -> ((s, dir) =>
+      // The quantized serving artifact: uint8 .npy shards (4× smaller)
+      // + the trained grid sidecar, codes from the SQ8 lattice — same
+      // md5-shard determinism contract as x_export_npy, u8 header math
+      // in the oracle (payload n·dim·1).
+      graft.operators.Embeddings.exportNpyQuantized(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "/tmp/graft_npy_export_u8", numShards = 8)
+        .select("shard_no", "n_rows", "n_dim", "byte_len")
+        .orderBy("shard_no")),
+
     "x_sim_ivf_persisted" -> ((s, dir) => { // oracle: replay OVER the persisted index tables
       // The production ANN lifecycle: the IVF index (centroid table +
       // cid-partitioned inverted lists) is BUILT ONCE and persisted;
@@ -4991,6 +5001,23 @@ object QueryCatalog {
           |SELECT shard_no, CAST(n AS BIGINT) AS n_rows,
           |  CAST(64 AS BIGINT) AS n_dim,
           |  CAST(10 + dlen + ((64 - (11 + dlen) % 64) % 64) + 1 + n * 64 * 4
+          |       AS BIGINT) AS byte_len
+          |FROM d ORDER BY shard_no""".stripMargin,
+
+      "x_export_npy_int8" ->
+        // u8 twin: identical shard assignment and header arithmetic,
+        // '|u1' descr (same 3-char length as '<f4'), payload n·64·1
+        """WITH sh AS (SELECT ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+          |           FROM embeddings),
+          |c AS (SELECT CAST(shard AS INTEGER) AS shard_no, count(*) AS n
+          |      FROM sh GROUP BY shard),
+          |d AS (SELECT shard_no, n,
+          |        length(concat('{''descr'': ''|u1'', ''fortran_order'': False, ''shape'': (',
+          |          CAST(n AS VARCHAR), ', 64), }')) AS dlen
+          |      FROM c)
+          |SELECT shard_no, CAST(n AS BIGINT) AS n_rows,
+          |  CAST(64 AS BIGINT) AS n_dim,
+          |  CAST(10 + dlen + ((64 - (11 + dlen) % 64) % 64) + 1 + n * 64
           |       AS BIGINT) AS byte_len
           |FROM d ORDER BY shard_no""".stripMargin,
 

@@ -69,4 +69,65 @@ class NpySpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(shard0(0), firstVec),
       "shard row 0 is not the manifest's first id's vector")
   }
+
+  test("u8 codec round trip is exact over the full 0..255 range") {
+    val m = Array(Array(0, 1, 127, 128), Array(254, 255, 17, 99))
+    val back = Npy.decodeU8(Npy.encodeU8(m))
+    assert(back.map(_.toSeq).toSeq == m.map(_.toSeq).toSeq)
+    assert(Npy.decodeU8(Npy.encodeU8(Array.empty)).isEmpty)
+    // header declares the byte-order-free uint8 dtype
+    val hdr = new String(Npy.encodeU8(m).slice(10, 80), "US-ASCII")
+    assert(hdr.contains("'descr': '|u1'"))
+    val bad = intercept[IllegalArgumentException] {
+      Npy.encodeU8(Array(Array(256)))
+    }
+    assert(bad.getMessage.contains("out of range"))
+  }
+
+  test("exportNpyQuantized: u8 shards dequantize within one grid step") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.api.Tables.load(spark, dir, "embeddings")
+    val out = "/tmp/graft_test_npy_u8"
+    val r1 = Embeddings.exportNpyQuantized(emb, "vec_id", "embedding", out, 8)
+      .orderBy("shard_no").collect().map(_.toSeq).toSeq
+    val r2 = Embeddings.exportNpyQuantized(emb.repartition(13),
+        "vec_id", "embedding", out, 8)
+      .orderBy("shard_no").collect().map(_.toSeq).toSeq
+    assert(r1 == r2, "export not a pure function of the input set")
+    assert(r1.map(_(1).asInstanceOf[Long]).sum == emb.count())
+    // u8 payload: byte_len strictly smaller than the f32 export's would
+    // be for the same shard (n·dim vs n·dim·4 + same header shape)
+    val shard0 = Npy.decodeU8(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/shard_00000.npy")))
+    val manifest = spark.read.parquet(s"$out/manifest")
+    val ids = manifest.filter(col("shard") === 0).orderBy("pos")
+      .select("id").as[Long].collect()
+    assert(shard0.length == ids.length)
+    // dequantize row 0 via the persisted grid sidecar: every element
+    // lands within one grid step of the original
+    val grid = spark.read.parquet(s"$out/grid")
+      .orderBy("pos")
+      .select("mn", "mx", "levels", "scale_bits")
+      .as[(Long, Long, Int, Int)].collect()
+    val firstVec = emb.filter(col("vec_id") === ids(0))
+      .select("embedding").as[Array[Float]].head()
+    val s = math.pow(2.0, grid(0)._4)
+    for (j <- firstVec.indices) {
+      val (mn, mx, levels, _) = grid(j)
+      val deq = (mn.toDouble + shard0(0)(j).toDouble * (mx - mn) / levels) / s
+      val step = math.max((mx - mn).toDouble / levels / s, 1.0 / s)
+      assert(math.abs(deq - firstVec(j)) <= step + 1.0 / s,
+        s"dim $j: dequant $deq vs ${firstVec(j)} exceeds grid step $step")
+    }
+  }
+
+  test("scalarQuantizeWithGrid saturates out-of-grid batches at the rails") {
+    val base = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("id", "vec")
+    val grid = Embeddings.scalarGrid(base, "id", "vec")
+    val later = Seq((3L, Array(2.5f, -1.5f))).toDF("id", "vec")
+    val codes = Embeddings.scalarQuantizeWithGrid(later, "id", "vec", grid)
+      .select("codes").as[Seq[Int]].head()
+    assert(codes == Seq(255, 0), s"expected rail saturation, got $codes")
+  }
 }
