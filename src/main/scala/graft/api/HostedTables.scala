@@ -47,6 +47,28 @@ object HostedTables {
       _ = if (properties.nonEmpty) HostedSinks.active.setProperties(itemId, properties)
     } yield res)
 
+  /** Delete rows by key value (the service's `delete_features` verb):
+    * row-level takedown on a serving table and the D-leg of a CDC
+    * apply. Requires a unique index on `keyCol` (ensured here with the
+    * same poll budget as the merge modes); key values must carry the
+    * stored runtime type. Empty key lists are rejected loudly, matching
+    * [[write]]'s empty-DataFrame contract. Returns rows removed —
+    * already-absent keys silently count 0, which is what makes a
+    * replayed delete idempotent.
+    */
+  def deleteRows(itemId: String, keyCol: String,
+                 keys: Seq[Any]): Either[String, Long] =
+    audited(s"delete $itemId key=$keyCol n=${keys.size}")(for {
+      _ <- if (!HostedSinks.active.exists(itemId))
+             Left(s"no hosted table '$itemId'") else Right(())
+      _ <- if (keys.isEmpty) Left("no keys to delete") else Right(())
+      _ <- if (graft.core.IndexPoll.ensureUniqueIndex(
+               HostedSinks.active, itemId, keyCol)) Right(())
+           else Left(s"unique index on '$keyCol' never became visible")
+      n <- try Right(HostedSinks.active.deleteByKey(itemId, keyCol, keys))
+           catch { case e: IllegalArgumentException => Left(e.getMessage) }
+    } yield n)
+
   private def doWrite(
       df: DataFrame,
       itemId: String,

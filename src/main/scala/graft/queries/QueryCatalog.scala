@@ -2310,6 +2310,27 @@ object QueryCatalog {
         .select("doc_id", "op", "seq_from", "seq_to", "is_current")
         .orderBy("doc_id", "seq_from")),
 
+    "x_stream_cdc" -> ((s, dir) => {
+      // The LIVE CDC applier: the same change log staged one file per
+      // commit slice, consumed readStream → foreachBatch (LWW reduce,
+      // seq guard vs the stored snapshot, upserts + delete_features
+      // against the hosted table) under maxFilesPerTrigger=1 — four
+      // micro-batches crossing the guard. Must converge to the exact
+      // x_cdc_snapshot table; the oracle IS x_cdc_snapshot's.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val log = cdcLog(s, dir)
+      val stage =
+        s"/tmp/graft_stream_cdc/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      (1L to 4L).foreach { n =>
+        log.filter(col("seq") === n).coalesce(1).write
+          .mode(if (n == 1L) "overwrite" else "append").parquet(stage)
+      }
+      graft.streaming.StreamCdc.runOnce(s, stage, log.schema,
+          "doc_id", "seq", "op")
+        .orderBy("doc_id")
+    }),
+
     "x_emb_sq8" -> ((s, dir) =>
       // Trained FAISS-SQ8-style scalar quantization: per-dimension
       // corpus min/max grid, integer-exact codes + reconstruction error
@@ -3820,6 +3841,15 @@ object QueryCatalog {
         |  UNION ALL SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 3, 'D' FROM documents WHERE doc_id % 11 = 3
         |  UNION ALL SELECT doc_id, text || ' v3', lang, source, 4, 'I' FROM documents WHERE doc_id % 11 = 3 AND doc_id % 2 = 0)""".stripMargin
 
+    val cdcSnapshotSql =
+      s"""WITH $cdcLogSql,
+         |lastv AS (SELECT doc_id,
+         |            arg_max(op, seq) AS op, arg_max(text, seq) AS text,
+         |            arg_max(lang, seq) AS lang, arg_max(source, seq) AS source
+         |          FROM cdclog GROUP BY doc_id)
+         |SELECT doc_id, text, lang, source FROM lastv
+         |WHERE op <> 'D' ORDER BY doc_id""".stripMargin
+
     // The x_text_extract_html page fixture + extraction chain, shared
     // between the result columns: one CTE per regexp_replace step of
     // HtmlText.extractText, applied in lockstep to the body (c) and the
@@ -4385,14 +4415,11 @@ object QueryCatalog {
           |            WHEN o.f <> n.f THEN 'changed' END) IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
 
-      "x_cdc_snapshot" ->
-        s"""WITH $cdcLogSql,
-           |lastv AS (SELECT doc_id,
-           |            arg_max(op, seq) AS op, arg_max(text, seq) AS text,
-           |            arg_max(lang, seq) AS lang, arg_max(source, seq) AS source
-           |          FROM cdclog GROUP BY doc_id)
-           |SELECT doc_id, text, lang, source FROM lastv
-           |WHERE op <> 'D' ORDER BY doc_id""".stripMargin,
+      "x_cdc_snapshot" -> cdcSnapshotSql,
+
+      // the STREAMING applier must converge to the identical snapshot —
+      // shared oracle is the whole point
+      "x_stream_cdc" -> cdcSnapshotSql,
 
       "x_cdc_history" ->
         s"""WITH $cdcLogSql

@@ -198,6 +198,32 @@ object HostedStore {
         committedParts = Set.empty), ())
     }
 
+  /** Delete the rows whose `keyField` value is in `keys` (the service's
+    * `delete_features` verb — row-level takedown and the D-leg of a CDC
+    * apply). Same contract as the merge modes: requires a unique index
+    * on `keyField` so a key addresses at most one row; key values must
+    * be the exact runtime type the rows store (a Long key never matches
+    * an Int cell). Missing keys are a no-op, so the call is naturally
+    * idempotent; `batchId` additionally short-circuits replays the way
+    * [[appendBatch]] does. Returns rows removed.
+    */
+  def deleteByKey(itemId: String, keyField: String, keys: Seq[Any],
+                  batchId: Option[String] = None): Long =
+    computeItem(itemId) { t =>
+      if (batchId.exists(t.appliedBatches.contains)) (t, 0L)
+      else {
+        require(t.uniqueIndexes.contains(keyField.toLowerCase),
+          s"delete requires a unique index on '$keyField'")
+        val ki = t.schema.fieldIndex(keyField)
+        val ks = keys.toSet
+        val (removed, kept) = t.rows.partition(r => ks.contains(r.get(ki)))
+        val t1 = t.copy(rows = kept)
+        (batchId.fold(t1)(id =>
+          t1.copy(appliedBatches = t1.appliedBatches + id)),
+          removed.size.toLong)
+      }
+    }
+
   /** Register a unique index (`add_to_definition({"indexes":[…]})`,
     * `src/agol_pandas.py:293-300`), named the way the reference names it.
     * Idempotent; returns the index name. Creation is *asynchronous* when

@@ -52,6 +52,14 @@ trait HostedTableSink {
   def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                   key: Option[String], batchId: Option[String] = None): Long
 
+  /** Delete rows by key (the service's `delete_features` — row-level
+    * takedown and the D-leg of a CDC apply). Requires a unique index on
+    * `keyField`; missing keys no-op; `batchId` dedupes replays like
+    * [[appendBatch]].
+    */
+  def deleteByKey(itemId: String, keyField: String, keys: Seq[Any],
+                  batchId: Option[String] = None): Long
+
   /** Stage one chunk of a task attempt's rows without applying them.
     * `partKey` names the logical write partition (stable across retries);
     * `attemptId` distinguishes attempts; `chunkId` is the chunk's ordinal
@@ -127,6 +135,9 @@ object InProcessHostedSink extends HostedTableSink {
   override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                            key: Option[String], batchId: Option[String]): Long =
     HostedStore.appendBatch(itemId, batch, mode, key, batchId)
+  override def deleteByKey(itemId: String, keyField: String, keys: Seq[Any],
+                           batchId: Option[String]): Long =
+    HostedStore.deleteByKey(itemId, keyField, keys, batchId)
   override def stageBatch(itemId: String, partKey: String, attemptId: Long,
                           chunkId: Int, batch: Seq[Row]): Unit =
     HostedStore.stageBatch(itemId, partKey, attemptId, chunkId, batch)

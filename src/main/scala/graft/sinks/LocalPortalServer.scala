@@ -188,6 +188,22 @@ final class LocalPortalServer(token: String, port: Int = 0) {
           }
         })
 
+      case ("POST", "items" :: id :: "deleteByKey" :: Nil) =>
+        dataPlaneGate().getOrElse(withItem(id) { _ =>
+          val b = body(ex)
+          val keys = b.get("keys").elements().asScala
+            .map(PortalJson.decodeValue).toSeq
+          val batchId = Option(b.get("batchId")).map(_.asText())
+          try {
+            val affected = HostedStore.deleteByKey(id,
+              b.get("keyField").asText(), keys, batchId)
+            val n = PortalJson.obj(); n.put("affected", affected); 200 -> n
+          } catch {
+            // missing unique index is a contract violation, not retryable
+            case e: IllegalArgumentException => 400 -> err(e.getMessage)
+          }
+        })
+
       case ("POST", "items" :: id :: "stage" :: Nil) =>
         dataPlaneGate().getOrElse(withItem(id) { _ =>
           val b = body(ex)

@@ -141,6 +141,16 @@ class RestHostedService(portalUrl: String, token: String,
     post(s"/items/$itemId/append", b).get("affected").asLong()
   }
 
+  override def deleteByKey(itemId: String, keyField: String, keys: Seq[Any],
+                           batchId: Option[String]): Long = {
+    val b = PortalJson.obj()
+    b.put("keyField", keyField)
+    batchId.foreach(b.put("batchId", _))
+    val ks = PortalJson.arr(); keys.foreach(k => ks.add(PortalJson.encodeValue(k)))
+    b.set[JsonNode]("keys", ks)
+    post(s"/items/$itemId/deleteByKey", b).get("affected").asLong()
+  }
+
   override def stageBatch(itemId: String, partKey: String, attemptId: Long,
                           chunkId: Int, batch: Seq[Row]): Unit = {
     val b = PortalJson.obj()

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.api.HostedTables
+import graft.core.WriteMode
+
+/** Streaming CDC apply: maintain a hosted-table SNAPSHOT from a live
+  * change stream (the streaming twin of [[graft.operators.Cdc.applyLog]]
+  * — what a Debezium/binlog consumer actually runs). Each micro-batch
+  * is (1) LWW-reduced per key with the same `max_by` the batch operator
+  * uses, (2) seq-GUARDED against the stored snapshot (a change only
+  * applies if its sequence is ≥ the stored row's — so a replayed or
+  * out-of-order batch can never regress a row), then (3) split into
+  * upserts (I/U) and key deletes (D) against the connector —
+  * [[graft.api.HostedTables.deleteRows]] is the D-leg the
+  * `delete_features` verb exists for.
+  *
+  * Exactly-once: upserts are MERGE-idempotent, deletes of absent keys
+  * count zero, and the seq guard blocks replay regressions — no manual
+  * batch-id bookkeeping. Ordering contract: per-key changes must not
+  * arrive in DECREASING seq order across batches once a delete removed
+  * the row (a tombstone-free snapshot cannot tell "never existed" from
+  * "deleted, stale insert arriving late") — exactly the per-key
+  * ordering a keyed change topic guarantees.
+  *
+  * Scale posture: the guard is a keyed lookup join against the serving
+  * table (batch-sized left side); the delete key set collects
+  * driver-side because the service's delete verb takes explicit keys —
+  * both bounded by the micro-batch, never by the table.
+  */
+object StreamCdc {
+
+  /** Apply `changes` (a streaming frame with key/seq/op + payload
+    * columns) onto the hosted table `title` (created if absent; schema =
+    * key + seq + payload, no op column — the snapshot stores versions,
+    * not operations). Returns the item id after the stream drains.
+    */
+  def apply(spark: SparkSession, changes: DataFrame, keyCol: String,
+            seqCol: String, opCol: String, title: String): String = {
+    val payload = changes.columns.toSeq.filterNot(c =>
+      c == keyCol || c == seqCol || c == opCol)
+    require(payload.nonEmpty, "cdc stream has no payload columns")
+    val snapFields = changes.schema.fields.filter(_.name != opCol)
+    val snapSchema = StructType(snapFields)
+    val norm = graft.core.ServiceName.normalize(title).fold(sys.error, identity)
+    val id = graft.sinks.HostedSinks.active.resolveByTitle(norm)
+      .getOrElse(graft.sinks.HostedSinks.active.create(norm, snapSchema))
+    val q = changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cols = opCol +: seqCol +: payload
+          val last = struct(cols.map(col): _*)
+          val lww = batch.groupBy(col(keyCol))
+            .agg(max_by(last, col(seqCol)).as("__last"))
+            .select(col(keyCol) +:
+              cols.map(c => col(s"__last.$c").as(c)): _*)
+          val stored = HostedTables.read(spark, id)
+            .select(col(keyCol), col(seqCol).as("__stored_seq"))
+          val guarded = lww.join(stored, Seq(keyCol), "left")
+            .filter(col("__stored_seq").isNull ||
+              col(seqCol) >= col("__stored_seq"))
+            .drop("__stored_seq")
+          val ups = guarded.filter(col(opCol) =!= lit("D"))
+            .select(snapSchema.fieldNames.toSeq.map(col): _*)
+          val dels = guarded.filter(col(opCol) === lit("D"))
+            .select(col(keyCol)).collect().map(_.get(0)).toSeq
+          if (!ups.isEmpty)
+            HostedTables.write(ups, id, WriteMode.Upsert, Some(keyCol))
+              .fold(sys.error, identity)
+          if (dels.nonEmpty)
+            HostedTables.deleteRows(id, keyCol, dels).fold(sys.error, identity)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    id
+  }
+
+  /** Drive the applier over a staged parquet change log (one file per
+    * commit slice → micro-batches arrive in commit order under
+    * `maxFilesPerTrigger = 1`, exercising the cross-batch guard) and
+    * return the resulting snapshot without the bookkeeping seq column —
+    * deterministic, so the batch operator's oracle replays it.
+    */
+  def runOnce(spark: SparkSession, stageDir: String, schema: StructType,
+              keyCol: String, seqCol: String, opCol: String): DataFrame = {
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stageDir)
+    val tag = s"cdc_${System.nanoTime()}"
+    val id = apply(spark, raw, keyCol, seqCol, opCol, s"stream cdc $tag")
+    HostedTables.read(spark, id).drop(seqCol)
+  }
+}

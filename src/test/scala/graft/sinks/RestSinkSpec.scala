@@ -78,6 +78,25 @@ class RestSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteByKey crosses the wire; absent keys count zero (idempotent)") {
+    withRestSink { (_, _) =>
+      val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .limit(100)
+      HostedStore.dropByTitle("rest_delete")
+      val (id, _) = HostedTables.save(docs, "rest_delete", Some("doc_id"))
+        .fold(e => fail(e), identity)
+      val n = HostedTables.deleteRows(id, "doc_id", Seq(0L, 1L, 2L, 999999L))
+        .fold(e => fail(e), identity)
+      assert(n == 3)
+      assert(HostedTables.read(spark, id).count() == 97)
+      // replayed delete: every key already absent → 0 affected
+      assert(HostedTables.deleteRows(id, "doc_id", Seq(0L, 1L, 2L))
+        .fold(e => fail(e), identity) == 0L)
+      // the wrapper's loud-empty contract matches write's
+      assert(HostedTables.deleteRows(id, "doc_id", Seq.empty).isLeft)
+    }
+  }
+
   test("transient 500s are retried; 4xx contract violations are not") {
     withRestSink { (server, client) =>
       val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(20)

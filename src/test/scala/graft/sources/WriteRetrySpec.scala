@@ -56,6 +56,9 @@ class WriteRetrySpec extends AnyFunSuite {
     override def appendBatch(itemId: String, batch: Seq[Row], mode: WriteMode,
                              key: Option[String], batchId: Option[String]): Long =
       delegate.appendBatch(itemId, batch, mode, key, batchId)
+    override def deleteByKey(itemId: String, keyField: String, keys: Seq[Any],
+                             batchId: Option[String]): Long =
+      delegate.deleteByKey(itemId, keyField, keys, batchId)
     override def resolveByTitle(title: String) = delegate.resolveByTitle(title)
     override def create(title: String, schema: StructType, properties: Map[String, String]) =
       delegate.create(title, schema, properties)
