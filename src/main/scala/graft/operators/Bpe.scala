@@ -398,6 +398,27 @@ object Bpe {
          |SELECT word, array_to_string(syms, '|') AS segmentation
          |FROM aov$numMerges ORDER BY word""".stripMargin
 
+  /** Oracle for the PERSISTED-tokenizer apply (`x_bpe_persisted`): the
+    * merge rounds read their (lhs, rhs) from the saved merge-table
+    * parquet instead of re-deriving them from the corpus — proving the
+    * on-disk artifact alone reproduces the trained segmentation. The
+    * probe words are derived from the merges themselves (`lhs‖rhs‖qq`,
+    * guaranteed OOV), so serve time touches NO corpus table at all.
+    */
+  def persistedApplyOracleSql(mergesGlob: String, numMerges: Int): String = {
+    val bests = (1 to numMerges)
+      .map(r => s"best$r AS (SELECT lhs, rhs FROM m WHERE merge_rank = $r)")
+      .mkString(",\n")
+    s"""WITH m AS (SELECT merge_rank, lhs, rhs
+       |           FROM read_parquet('$mergesGlob')),
+       |$bests,
+       |vocab AS (SELECT DISTINCT lhs || rhs || 'qq' AS word FROM m),
+       |aov0 AS (SELECT word, string_split(word, '') AS syms FROM vocab),
+       |${applyRoundsSql(numMerges)}
+       |SELECT word, array_to_string(syms, '|') AS segmentation
+       |FROM aov$numMerges ORDER BY word""".stripMargin
+  }
+
   /** The shared OOV-apply rounds: one relational greedy-merge round per
     * trained rank, reading each round's (lhs, rhs) from the training
     * chain's `best$r` CTEs.

@@ -612,6 +612,7 @@ object QueryCatalog {
   private val fragOutDir = "/tmp/graft_frag_out"
   private val ivfDelIdxDir = "/tmp/graft_ivf_idx_del"
   private val pqIdxDir = "/tmp/graft_pq_idx"
+  private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val pqAppIdxDir = "/tmp/graft_pq_idx_app"
   private val pqDelIdxDir = "/tmp/graft_pq_idx_del"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
@@ -3318,6 +3319,31 @@ object QueryCatalog {
         .orderBy("word")
     }),
 
+    "x_bpe_persisted" -> ((s, dir) => {
+      // The tokenizer lifecycle the ANN index already has: train ONCE,
+      // persist the merge table as parquet, reload, and segment
+      // guaranteed-OOV probe words (lhs‖rhs‖qq, derived from the merges
+      // themselves) from the persisted artifact ONLY — serve time never
+      // touches the corpus. The oracle reads the SAME parquet via
+      // read_parquet and replays the apply rounds, so the hash proves
+      // the on-disk bytes alone reproduce the trained segmentation.
+      val path = stageIndex(bpeIdxDir, dir) {
+        graft.operators.Bpe.train(t(s, dir, "documents"), "text",
+            numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$bpeIdxDir/merges")
+      }
+      val mergesDf = s.read.parquet(s"$path/merges")
+      val merges = mergesDf.orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = mergesDf
+        .select(concat(col("lhs"), col("rhs"), lit("qq")).as("word"))
+        .distinct()
+      graft.operators.Bpe.applyMerges(words, "word", merges)
+        .select(col("word"), array_join(col("syms"), "|").as("segmentation"))
+        .orderBy("word")
+    }),
+
     "x_bpe_segment" -> ((s, dir) => {
       // BPE INFERENCE via the trained vocab table: every in-vocabulary
       // word's final segmentation after the 12 merges (broadcast this
@@ -5768,6 +5794,10 @@ object QueryCatalog {
         graft.operators.Bpe.applyOracleSql("documents", "text",
           numMerges = 12, maxWords = 5000, wordPattern = "[a-z]+",
           suffix = "qq"),
+
+      "x_bpe_persisted" ->
+        graft.operators.Bpe.persistedApplyOracleSql(
+          s"$bpeIdxDir/merges/*.parquet", numMerges = 12),
 
       "x_split_leakfree" ->
         // cluster replay (recursive CTE) + the q_train_test_split hash

@@ -500,7 +500,46 @@ object BenchSf1 {
             array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
         graft.operators.TextAnalysis.bm25TopK(d, qs,
           "doc_id", "text", "qid", "qtext", 10).count()
-      }))
+      }),
+      // CDC apply: the change log grows linearly; the snapshot is ONE
+      // partial-aggregable max_by hash-agg — must price as scan+shuffle
+      "cdc_apply" -> ((dir, _) => {
+        val d = docs(spark, dir).select("doc_id", "text", "lang", "source")
+        val log = d.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+          .unionByName(d.filter(col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" v2")))
+            .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+          .unionByName(d.filter(col("doc_id") % 11 === 3)
+            .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+        graft.operators.Cdc.applyLog(log, "doc_id", "seq", "op").count()
+      }),
+      // HTML extraction: pure codegen regexp chain, no shuffle — the
+      // sum(text_chars) forces the chain past count-only pruning
+      "html_extract" -> ((dir, _) => {
+        val d = docs(spark, dir)
+        val html = concat(
+          lit("<html><head><title>D</title><style>p { }</style></head>"),
+          lit("<body><!-- chrome --><h1>T</h1><p>"),
+          regexp_replace(col("text"), " table ", " <a href=t>table</a> "),
+          lit("</p>&nbsp;&amp; tail</body></html>"))
+        graft.operators.HtmlText.extract(
+            d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+          .agg(sum("text_chars")).head().getLong(0)
+      }),
+      // trained SQ8: stats pass + code pass, dim-sized broadcast back;
+      // summing err and digest length defeats unused-agg pruning
+      "emb_sq8" -> ((dir, _) =>
+        graft.operators.Embeddings.scalarQuantizeTrained(emb(spark, dir),
+            "vec_id", "embedding")
+          .agg(sum("err_scaled"), max(length(col("code_digest"))))
+          .head().getLong(0)),
+      // SFT assembly: keyed window + per-conversation collect; forcing
+      // the assembled string's length prices the concat too
+      "sft_assemble" -> ((dir, _) =>
+        graft.operators.Curation.sftAssemble(docs(spark, dir),
+            "source", "doc_id", "text")
+          .agg(sum("total_tokens"), max(length(col("sft_text"))))
+          .head().getLong(0)))
 
     def releaseSessionState(): Unit = {
       spark.catalog.clearCache()

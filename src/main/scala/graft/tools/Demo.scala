@@ -58,6 +58,14 @@ object Demo {
     println(s"== update: ${HostedTables.read(spark, id).count()} rows (unchanged)")
     HostedTables.write(orders, id, WriteMode.Overwrite).fold(sys.error, identity)
     println(s"== overwrite: ${HostedTables.read(spark, id).count()} rows (back to input)")
+    val delKeys = orders.filter($"o_orderkey" % 7 === 0)
+      .select("o_orderkey").as[Long].collect().toSeq
+    val deleted = HostedTables.deleteRows(id, "o_orderkey", delKeys)
+      .fold(sys.error, identity)
+    println(s"== delete_features: $deleted rows removed, " +
+      s"${HostedTables.read(spark, id).count()} remain; replay removes " +
+      s"${HostedTables.deleteRows(id, "o_orderkey", delKeys).fold(sys.error, identity)}")
+    HostedTables.write(orders, id, WriteMode.Overwrite).fold(sys.error, identity)
 
     // 4. Error paths: bad mode config + empty input.
     println(s"== upsert w/o key  -> ${HostedTables.write(orders, id, WriteMode.Upsert, None).left.getOrElse("?!")}")

@@ -133,6 +133,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == (("", "plain text only", 0, 0)))
   }
 
+  // ------------------------------------------- tokenizer persistence
+
+  test("BPE merges survive a parquet round trip: loaded apply ≡ in-memory") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val mergesDf = Bpe.train(docs, "text", numMerges = 8, maxWords = 2000,
+      wordPattern = Some("[a-z]+"))
+    val path = "/tmp/graft_test_bpe_idx/merges"
+    mergesDf.coalesce(1).write.mode("overwrite").parquet(path)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    val inMem = ranked(mergesDf)
+    val loaded = ranked(spark.read.parquet(path))
+    assert(loaded == inMem, "merge table changed across the round trip")
+    val words = Seq("spark", "tablesqq", "zzz").toDF("word")
+    val a = Bpe.applyMerges(words, "word", inMem)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    val b = Bpe.applyMerges(words, "word", loaded)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(a == b, "persisted tokenizer segments differently")
+  }
+
   // ------------------------------------------------------- SFT assembly
 
   private def conv() = Seq(
