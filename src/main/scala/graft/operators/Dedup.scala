@@ -557,6 +557,44 @@ object Dedup {
       .select(col("a"), col("b"), col("__d").as("edit_distance"))
   }
 
+  /** RECORD LINKAGE (entity resolution) on short structured strings —
+    * names, titles, addresses — where [[editDistancePairs]]' shingle-LSH
+    * banding is the wrong blocker (3-gram shingles of a 15-char name are
+    * nearly all distinct). Classic blocked matching instead: normalize
+    * (case-fold, strip non-alphanumerics), block on the normalized
+    * SUFFIX (`suffixLen` chars — the stable tail survives prefix-heavy
+    * templated names and most typos), pair only within a block, verify
+    * with exact Levenshtein ≤ `maxDist`.
+    *
+    * Scale posture: the self-join is keyed by block, and blocks are
+    * count-capped BEFORE pairing (same discipline as the LSH bucket
+    * caps) — a degenerate block ("smith") prices as its cap, never as
+    * its square. Returns (a, b, dist) with a < b.
+    */
+  def blockedFuzzyMatch(df: DataFrame, idCol: String, nameCol: String,
+                        maxDist: Int = 2, suffixLen: Int = 5,
+                        maxBlockSize: Option[Int] = Some(100)): DataFrame = {
+    val keyed = df.select(col(idCol).as("__id"),
+        regexp_replace(lower(col(nameCol)), "[^a-z0-9]", "").as("__norm"))
+      .withColumn("__blk", expr(s"right(__norm, $suffixLen)"))
+    val capped = maxBlockSize match {
+      case Some(cap) =>
+        val sizes = keyed.groupBy("__blk")
+          .agg(count(lit(1)).as("__bc")).filter(col("__bc") <= cap)
+        keyed.join(sizes.select("__blk"), Seq("__blk"))
+      case None => keyed
+    }
+    val l = capped.select(col("__blk"), col("__id").as("a"),
+      col("__norm").as("__na"))
+    val r = capped.select(col("__blk"), col("__id").as("b"),
+      col("__norm").as("__nb"))
+    l.join(r, Seq("__blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("__na"), col("__nb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 128, bands: Int = 16,
                       n: Int = 3,

@@ -65,6 +65,26 @@ object QueryCatalog {
         .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
   }
 
+  /** The synthesized web page shared by x_text_extract_html and its
+    * streaming twin: title with an entity, style/script/comment
+    * subtrees to drop, block tags, anchors injected around 'table'
+    * tokens — every branch of the extraction chain exercised. The
+    * oracle rebuilds the identical string with `||` concatenation.
+    */
+  private def syntheticHtml: org.apache.spark.sql.Column = {
+    val body = regexp_replace(col("text"),
+      " table ", " <a href=t>table</a> ")
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; "), col("source"),
+      lit("</title><style>p { color: red }</style>"),
+      lit("<script>if (1 &lt; 2) { go() }</script></head>"),
+      lit("<body><!-- nav boilerplate --><h1>"), upper(col("lang")),
+      lit("</h1><p>"), body,
+      lit("</p><div>&nbsp;&quot;"), col("lang"),
+      lit("&#39;s&quot; x &gt; y</div></body></html>"))
+  }
+
   /** The point-layer fixture shared by the ref_layer_* queries: customer
     * attributes with geometry = (c_acctbal, c_custkey·0.5), written to a
     * fresh layer and read back through the connector. Both oracles replay
@@ -2351,20 +2371,31 @@ object QueryCatalog {
       // branch; the oracle rebuilds the same pages and replays the
       // identical RE2∩Java regex chain.
       val docs = t(s, dir, "documents")
-      val body = regexp_replace(col("text"),
-        " table ", " <a href=t>table</a> ")
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit(" &amp; "), col("source"),
-        lit("</title><style>p { color: red }</style>"),
-        lit("<script>if (1 &lt; 2) { go() }</script></head>"),
-        lit("<body><!-- nav boilerplate --><h1>"), upper(col("lang")),
-        lit("</h1><p>"), body,
-        lit("</p><div>&nbsp;&quot;"), col("lang"),
-        lit("&#39;s&quot; x &gt; y</div></body></html>"))
       HtmlText.extract(
-          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+          docs.select(col("doc_id"), syntheticHtml.as("html")),
+          "doc_id", "html")
         .orderBy("doc_id")
+    }),
+
+    "x_stream_extract" -> ((s, dir) => {
+      // The extraction chain is a PURE projection, so it runs unchanged
+      // on a live stream with zero state — ingest-time text extraction
+      // where the crawl lands. Shares x_text_extract_html's oracle: the
+      // real readStream run must hash-match the batch chain.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val name = s"stream_extract_${System.nanoTime()}"
+      val q = HtmlText.extract(
+          raw.select(col("doc_id"), syntheticHtml.as("html")),
+          "doc_id", "html")
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      s.table(name).orderBy("doc_id")
     }),
 
     "x_sft_format" -> ((s, dir) =>
@@ -2753,6 +2784,25 @@ object QueryCatalog {
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    "x_entity_resolution" -> ((s, dir) => {
+      // Record linkage on structured names: every 10th customer gets a
+      // re-keyed doppelganger with one character replaced, and the
+      // blocked matcher (normalize → suffix block → capped pairs →
+      // exact Levenshtein ≤ 2) must link each variant back to its
+      // original — the classic MDM/dedupe step for short strings where
+      // shingle-LSH blocking has nothing to band on.
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_name").as("name"))
+      val variants = cust.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(substring(col("name"), 1, 9), lit("X"),
+            expr("substring(name, 11)")).as("name"))
+      Dedup.blockedFuzzyMatch(cust.unionByName(variants), "id", "name",
+          maxDist = 2, suffixLen = 5)
+        .orderBy("a", "b")
+    }),
 
     "x_dedup_embedding_pairs" -> ((s, dir) =>
       // Quantized-hyperplane LSH candidates + exact re-rank — the corpus×
@@ -3905,6 +3955,24 @@ object QueryCatalog {
          |  regexp_replace(tc, '$pat', $rep, 'g') AS tc FROM $prev)""".stripMargin
     }.mkString(",\n")
     val htmlLast = s"s${htmlSteps.size}"
+    val htmlExtractSql =
+      s"""WITH h AS (SELECT doc_id,
+         |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; ' || source ||
+         |    '</title><style>p { color: red }</style>' ||
+         |    '<script>if (1 &lt; 2) { go() }</script></head>' ||
+         |    '<body><!-- nav boilerplate --><h1>' || upper(lang) || '</h1><p>' ||
+         |    regexp_replace(text, ' table ', ' <a href=t>table</a> ', 'g') ||
+         |    '</p><div>&nbsp;&quot;' || lang || '&#39;s&quot; x &gt; y</div></body></html>' AS html
+         |  FROM documents),
+         |t0 AS (SELECT doc_id, html, html AS c,
+         |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS tc
+         |  FROM h),
+         |$htmlChainCtes
+         |SELECT doc_id, tc AS title, c AS text,
+         |  len(regexp_extract_all(html, '(?i)<a[ >]')) AS n_links,
+         |  len(regexp_extract_all(html, '</?[a-zA-Z][^>]*>')) AS n_tags,
+         |  CAST(length(c) AS BIGINT) AS text_chars
+         |FROM $htmlLast ORDER BY doc_id""".stripMargin
 
     // Full IVF probe+rerank replay: id-sampled centroids, nearest-centroid
     // cell assignment, top-nprobe probe cells per query, exact cosine
@@ -4470,24 +4538,11 @@ object QueryCatalog {
           |  CAST(count(*) AS BIGINT) AS n_dims
           |FROM cd GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
-      "x_text_extract_html" ->
-        s"""WITH h AS (SELECT doc_id,
-           |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; ' || source ||
-           |    '</title><style>p { color: red }</style>' ||
-           |    '<script>if (1 &lt; 2) { go() }</script></head>' ||
-           |    '<body><!-- nav boilerplate --><h1>' || upper(lang) || '</h1><p>' ||
-           |    regexp_replace(text, ' table ', ' <a href=t>table</a> ', 'g') ||
-           |    '</p><div>&nbsp;&quot;' || lang || '&#39;s&quot; x &gt; y</div></body></html>' AS html
-           |  FROM documents),
-           |t0 AS (SELECT doc_id, html, html AS c,
-           |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS tc
-           |  FROM h),
-           |$htmlChainCtes
-           |SELECT doc_id, tc AS title, c AS text,
-           |  len(regexp_extract_all(html, '(?i)<a[ >]')) AS n_links,
-           |  len(regexp_extract_all(html, '</?[a-zA-Z][^>]*>')) AS n_tags,
-           |  CAST(length(c) AS BIGINT) AS text_chars
-           |FROM $htmlLast ORDER BY doc_id""".stripMargin,
+      "x_text_extract_html" -> htmlExtractSql,
+
+      // the live readStream run is a pure projection — identical chain,
+      // identical oracle
+      "x_stream_extract" -> htmlExtractSql,
 
       "x_sft_format" ->
         """WITH turns AS (
@@ -4930,6 +4985,25 @@ object QueryCatalog {
            |  ${(0 until 16).map(i =>
               s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")} AS simhash
            |FROM votes ORDER BY doc_id""".stripMargin,
+
+      "x_entity_resolution" ->
+        """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name
+          |              FROM customer),
+          |vars AS (SELECT id + 1000000 AS id,
+          |           substring(name, 1, 9) || 'X' || substring(name, 11) AS name
+          |         FROM cust WHERE id % 10 = 0),
+          |allr AS (SELECT * FROM cust UNION ALL SELECT * FROM vars),
+          |k AS (SELECT id,
+          |        regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+          |      FROM allr),
+          |kb AS (SELECT id, norm, right(norm, 5) AS blk FROM k),
+          |sz AS (SELECT blk FROM kb GROUP BY blk HAVING count(*) <= 100),
+          |c AS (SELECT kb.* FROM kb JOIN sz USING (blk))
+          |SELECT l.id AS a, r.id AS b,
+          |  CAST(levenshtein(l.norm, r.norm) AS BIGINT) AS dist
+          |FROM c l JOIN c r ON l.blk = r.blk AND l.id < r.id
+          |WHERE levenshtein(l.norm, r.norm) <= 2
+          |ORDER BY a, b""".stripMargin,
 
       "x_sim_ann_lsh" ->
         // Full LSH-ANN replay: quantized-hyperplane bucket assignment

@@ -133,6 +133,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == (("", "plain text only", 0, 0)))
   }
 
+  // ------------------------------------------------- record linkage
+
+  test("blockedFuzzyMatch links typos within a block, respects cap and bound") {
+    val rows = Seq(
+      (1L, "Acme Corp 12345"), (2L, "Acme Corpn 12345"),  // dist 1, linked
+      (3L, "Zenith 99999"), (4L, "Zenith 99999"),          // exact dup
+      (5L, "Acme Corp 54321"),                              // other block
+      (6L, "Acmex Cyrpz 12345")                             // dist 3 > max
+    ).toDF("id", "name")
+    val got = Dedup.blockedFuzzyMatch(rows, "id", "name", maxDist = 2)
+      .orderBy("a", "b").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L), (3L, 4L, 0L)))
+    // a capped block prices as nothing: every row in one block, cap 3
+    val flood = (1L to 10L).map(i => (i, s"same tail 777")).toDF("id", "name")
+    assert(Dedup.blockedFuzzyMatch(flood, "id", "name",
+      maxBlockSize = Some(3)).count() == 0)
+  }
+
   // ------------------------------------------- tokenizer persistence
 
   test("BPE merges survive a parquet round trip: loaded apply ≡ in-memory") {
