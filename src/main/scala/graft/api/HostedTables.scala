@@ -54,10 +54,13 @@ object HostedTables {
     * stored runtime type. Empty key lists are rejected loudly, matching
     * [[write]]'s empty-DataFrame contract. Returns rows removed —
     * already-absent keys silently count 0, which is what makes a
-    * replayed delete idempotent.
+    * replayed delete idempotent. Pass `batchId` when the caller retries
+    * on transport faults (the REST path does): a replay of an
+    * already-applied delete then short-circuits with its TRUE affected
+    * count semantics rather than re-counting the now-absent keys as 0.
     */
-  def deleteRows(itemId: String, keyCol: String,
-                 keys: Seq[Any]): Either[String, Long] =
+  def deleteRows(itemId: String, keyCol: String, keys: Seq[Any],
+                 batchId: Option[String] = None): Either[String, Long] =
     audited(s"delete $itemId key=$keyCol n=${keys.size}")(for {
       _ <- if (!HostedSinks.active.exists(itemId))
              Left(s"no hosted table '$itemId'") else Right(())
@@ -65,7 +68,8 @@ object HostedTables {
       _ <- if (graft.core.IndexPoll.ensureUniqueIndex(
                HostedSinks.active, itemId, keyCol)) Right(())
            else Left(s"unique index on '$keyCol' never became visible")
-      n <- try Right(HostedSinks.active.deleteByKey(itemId, keyCol, keys))
+      n <- try Right(HostedSinks.active.deleteByKey(itemId, keyCol, keys,
+             batchId))
            catch { case e: IllegalArgumentException => Left(e.getMessage) }
     } yield n)
 

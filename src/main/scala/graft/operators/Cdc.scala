@@ -40,7 +40,12 @@ object Cdc {
     val last = struct((opCol +: payload).map(col): _*)
     log.groupBy(col(keyCol))
       .agg(max_by(last, col(seqCol)).as("__last"))
-      .filter(col(s"__last.$opCol") =!= lit(deleteOp))
+      // coalesce-into-raise: a NULL op is a corrupt record, and under a
+      // bare =!= it would silently act as a tombstone (the filter's
+      // NULL drops the key) — fail loudly instead
+      .filter(coalesce(col(s"__last.$opCol"),
+        raise_error(concat(lit("applyLog: null op for key "),
+          col(keyCol).cast("string")))) =!= lit(deleteOp))
       .select(col(keyCol) +: payload.map(c => col(s"__last.$c").as(c)): _*)
   }
 
@@ -51,12 +56,12 @@ object Cdc {
     * is how a consumer distinguishes "current" from "tombstoned".
     */
   def history(log: DataFrame, keyCol: String, seqCol: String,
-              opCol: String): DataFrame = {
+              opCol: String, deleteOp: String = "D"): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
     log.withColumn("seq_from", col(seqCol).cast("long"))
       .withColumn("seq_to", lead(col(seqCol), 1).over(w).cast("long"))
       .withColumn("is_current",
-        col("seq_to").isNull && col(opCol) =!= lit("D"))
+        col("seq_to").isNull && col(opCol) =!= lit(deleteOp))
       .drop(seqCol)
   }
 }

@@ -552,16 +552,25 @@ object Curation {
     * Scale: one keyed window (partitioned by conversation) — role
     * parity and the running offset are per-key, never a global sort.
     */
+  /** The ONE place the SFT token/role arithmetic lives: a turn costs
+    * its whitespace tokens + 1 for the role tag; odd turns (1-based)
+    * are the user, even turns the assistant (= the loss turns).
+    * [[sftTurns]]' intervals are only valid against [[sftAssemble]]'s
+    * assembled text because BOTH route through these.
+    */
+  private def sftTurnTokens(textCol: String): Column =
+    (size(split(col(textCol), " ")) + 1).cast("long")
+  private def sftIsUser(turnIdx: Column): Column = turnIdx % 2 === 1
+
   def sftTurns(docs: DataFrame, convCol: String, orderCol: String,
                textCol: String): DataFrame = {
     val w = Window.partitionBy(col(convCol)).orderBy(col(orderCol))
     docs
       .withColumn("turn_idx", row_number().over(w).cast("long"))
       .withColumn("role",
-        when(col("turn_idx") % 2 === 1, lit("user"))
+        when(sftIsUser(col("turn_idx")), lit("user"))
           .otherwise(lit("assistant")))
-      .withColumn("turn_tokens",
-        (size(split(col(textCol), " ")) + 1).cast("long"))
+      .withColumn("turn_tokens", sftTurnTokens(textCol))
       .withColumn("tok_end",
         sum(col("turn_tokens")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -590,15 +599,15 @@ object Curation {
     val turns = docs
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__role_tag",
-        when(col("__rn") % 2 === 1, lit(userTag)).otherwise(lit(assistantTag)))
+        when(sftIsUser(col("__rn")), lit(userTag)).otherwise(lit(assistantTag)))
       .withColumn("__tagged",
         concat(col("__role_tag"), lit("\n"), col(textCol)))
-      .withColumn("__toks", (size(split(col(textCol), " ")) + 1).cast("long"))
+      .withColumn("__toks", sftTurnTokens(textCol))
     turns.groupBy(col(convCol))
       .agg(
         count(lit(1)).cast("long").as("n_turns"),
         sum("__toks").cast("long").as("total_tokens"),
-        sum(when(col("__rn") % 2 === 0, col("__toks")).otherwise(lit(0L)))
+        sum(when(!sftIsUser(col("__rn")), col("__toks")).otherwise(lit(0L)))
           .cast("long").as("loss_tokens"),
         array_join(
           transform(

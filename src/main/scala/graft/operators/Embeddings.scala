@@ -180,7 +180,15 @@ object Embeddings {
     require(levels > 0 && levels <= 65535, "levels must fit uint16")
     val fx = fixedPoint(df, idCol, vecCol, scaleBits)
     val st = grid.select(col("pos"), col("mn"), col("mx"))
-    val coded = fx.join(broadcast(st), Seq("pos"))
+    // LEFT join + coalesce-into-raise: an inner join would silently DROP
+    // any dimension the grid never saw (a 128-dim batch against a 64-dim
+    // grid would truncate every vector with no error); a dimension
+    // mismatch must fail loudly
+    val coded = fx.join(broadcast(st), Seq("pos"), "left")
+      .withColumn("mn", coalesce(col("mn"),
+        raise_error(concat(
+          lit("scalarQuantizeWithGrid: dimension "), col("pos").cast("string"),
+          lit(" absent from the grid"))).cast("long")))
       .withColumn("code",
         // clamp is identity when the grid was trained on this corpus;
         // it only bites for out-of-grid values in a later batch
@@ -217,8 +225,12 @@ object Embeddings {
                          outDir: String, numShards: Int = 16,
                          levels: Int = 255,
                          scaleBits: Int = 20): DataFrame = {
+    // fail FAST: the quantizer itself accepts uint16 levels, but these
+    // shards are '|u1' — discovering levels=1023 executor-side would
+    // kill the job after the grid and manifest already landed
+    require(levels > 0 && levels <= 255,
+      s"u8 export requires levels <= 255, got $levels")
     val spark = df.sparkSession
-    import spark.implicits._
     val grid = scalarGrid(df, idCol, vecCol, scaleBits)
     grid.withColumn("levels", lit(levels))
       .withColumn("scale_bits", lit(scaleBits))
@@ -227,33 +239,11 @@ object Embeddings {
     val codes = scalarQuantizeWithGrid(df, idCol, vecCol, reloaded,
       levels, scaleBits).select(col(idCol), col("codes"))
     val sharded = Curation.shuffleShards(codes, idCol, numShards)
-    sharded.select(col("shard"), col("pos"), col(idCol).as("id"))
-      .write.mode("overwrite").parquet(s"$outDir/manifest")
-    val out = outDir
-    sharded
-      .select(col("shard").cast("int"), col("pos"), col("codes"))
-      .as[(Int, Long, Array[Int])]
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions("shard", "pos")
-      .mapPartitions { it =>
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(out),
-          new org.apache.hadoop.conf.Configuration())
-        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator
-          .map { case (shard, rows) =>
-            val mat = rows.sortBy(_._2).map(_._3).toArray
-            val bytes = Npy.encodeU8(mat)
-            val p = new org.apache.hadoop.fs.Path(out, f"shard_$shard%05d.npy")
-            val os = fs.create(p, true)
-            try os.write(bytes) finally os.close()
-            val sha = java.security.MessageDigest.getInstance("SHA-256")
-              .digest(bytes).map(b => f"$b%02x").mkString
-            (shard, mat.length.toLong,
-              (if (mat.isEmpty) 0 else mat(0).length).toLong,
-              bytes.length.toLong, sha)
-          }
-      }
-      .toDF("shard_no", "n_rows", "n_dim", "byte_len", "sha256")
+    writeNpyShards(sharded, idCol, "codes", outDir, numShards) { rows =>
+      val mat = rows.map(_.getSeq[Int](2).toArray).toArray
+      (Npy.encodeU8(mat), mat.length.toLong,
+        (if (mat.isEmpty) 0 else mat(0).length).toLong)
+    }
   }
 
   /** Export the embedding column as float32 `.npy` shard files — the
@@ -278,41 +268,71 @@ object Embeddings {
     */
   def exportNpy(df: DataFrame, idCol: String, vecCol: String,
                 outDir: String, numShards: Int = 16): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val sharded = Curation.shuffleShards(
-      df.select(col(idCol), col(vecCol)), idCol, numShards)
-    sharded.select(col("shard"), col("pos"), col(idCol).as("id"))
-      .write.mode("overwrite").parquet(s"$outDir/manifest")
-    val out = outDir
-    val report = sharded
-      .select(col("shard").cast("int"), col("pos"),
-        col(vecCol).cast("array<float>").as("v"))
-      .as[(Int, Long, Array[Float])]
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions("shard", "pos")
-      .mapPartitions { it =>
-        // rows arrive sorted by (shard, pos) with every shard complete
-        // in this task (hash-partitioned on shard): emit one file per
-        // contiguous shard run
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(out),
-          new org.apache.hadoop.conf.Configuration())
-        it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator
-          .map { case (shard, rows) =>
-            val mat = rows.sortBy(_._2).map(_._3).toArray
-            val bytes = Npy.encodeF32(mat)
-            val p = new org.apache.hadoop.fs.Path(out, f"shard_$shard%05d.npy")
-            val os = fs.create(p, true)
-            try os.write(bytes) finally os.close()
-            val sha = java.security.MessageDigest.getInstance("SHA-256")
-              .digest(bytes).map(b => f"$b%02x").mkString
-            (shard, mat.length.toLong,
-              (if (mat.isEmpty) 0 else mat(0).length).toLong,
-              bytes.length.toLong, sha)
-          }
-      }
-      .toDF("shard_no", "n_rows", "n_dim", "byte_len", "sha256")
-    report
+      df.select(col(idCol), col(vecCol).cast("array<float>").as(vecCol)),
+      idCol, numShards)
+    writeNpyShards(sharded, idCol, vecCol, outDir, numShards) { rows =>
+      val mat = rows.map(_.getSeq[Float](2).toArray).toArray
+      (Npy.encodeF32(mat), mat.length.toLong,
+        (if (mat.isEmpty) 0 else mat(0).length).toLong)
+    }
+  }
+
+  /** The shared shard-writer behind [[exportNpy]] and
+    * [[exportNpyQuantized]]: persist the sharded frame (the manifest
+    * write and the shard write are two actions — without the cache the
+    * whole upstream pipeline would execute twice), DELETE stale
+    * `shard_*.npy` from a previous export (the manifest overwrites, but
+    * shard files are keyed by number — a narrower re-export would leave
+    * orphans that a globbing loader reads as live data), write one file
+    * per shard executor-side, and return the report EAGERLY (numShards
+    * rows, collected so the cache releases before returning).
+    *
+    * `encodeShard` sees one shard's rows pre-sorted by pos as
+    * (shard, pos, vector) Rows and returns (bytes, n_rows, n_dim).
+    */
+  private def writeNpyShards(sharded: DataFrame, idCol: String,
+                             vecCol: String, outDir: String, numShards: Int)
+                            (encodeShard: Seq[org.apache.spark.sql.Row] =>
+                              (Array[Byte], Long, Long)): DataFrame = {
+    val spark = sharded.sparkSession
+    import spark.implicits._
+    val cached = sharded.persist()
+    try {
+      cached.select(col("shard"), col("pos"), col(idCol).as("id"))
+        .write.mode("overwrite").parquet(s"$outDir/manifest")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val dfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(outDir), conf)
+      Option(dfs.globStatus(
+          new org.apache.hadoop.fs.Path(outDir, "shard_*.npy")))
+        .toSeq.flatten.foreach(st => dfs.delete(st.getPath, false))
+      val out = outDir
+      val report = cached
+        .select(col("shard").cast("int"), col("pos"), col(vecCol))
+        .repartition(numShards, col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .mapPartitions { it =>
+          // rows arrive sorted by (shard, pos) with every shard complete
+          // in this task (hash-partitioned on shard): emit one file per
+          // contiguous shard run
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new java.net.URI(out),
+            new org.apache.hadoop.conf.Configuration())
+          it.toSeq.groupBy(_.getInt(0)).toSeq.sortBy(_._1).iterator
+            .map { case (shard, rows) =>
+              val (bytes, n, dim) = encodeShard(rows.sortBy(_.getLong(1)))
+              val p = new org.apache.hadoop.fs.Path(out, f"shard_$shard%05d.npy")
+              val os = fs.create(p, true)
+              try os.write(bytes) finally os.close()
+              val sha = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(bytes).map(b => f"$b%02x").mkString
+              (shard, n, dim, bytes.length.toLong, sha)
+            }
+        }
+        .collect().toSeq
+      spark.createDataset(report)
+        .toDF("shard_no", "n_rows", "n_dim", "byte_len", "sha256")
+    } finally cached.unpersist()
   }
 }

@@ -28,8 +28,10 @@ object HtmlText {
   def extractText(html: Column): Column = {
     // the whole head subtree is chrome, not content — title text must
     // not leak into the body (it has its own column via extractTitle)
-    // \b so HTML5 <header> subtrees (real content) don't match <head
-    var c = regexp_replace(html, "(?is)<head\\b[^>]*>.*?</head[^>]*>", " ")
+    // \b on the open tag and a whitespace-only close so HTML5 <header>
+    // subtrees (real content) match NEITHER side — `</head[^>]*>` would
+    // swallow everything up to a `</header>` on pages missing </head>
+    var c = regexp_replace(html, "(?is)<head\\b[^>]*>.*?</head[ \t\n]*>", " ")
     c = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     c = regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
     c = regexp_replace(c, "(?s)<!--.*?-->", " ")

@@ -3932,7 +3932,7 @@ object QueryCatalog {
     // title (tc). Sequential CTEs, not nested calls — deep expression
     // nesting hits DuckDB's binder recursion limit.
     val htmlSteps: Seq[(String, String)] = Seq(
-      "(?is)<head\\b[^>]*>.*?</head[^>]*>" -> "' '",
+      "(?is)<head\\b[^>]*>.*?</head[ \\t\\n]*>" -> "' '",
       "(?is)<script[^>]*>.*?</script>" -> "' '",
       "(?is)<style[^>]*>.*?</style>" -> "' '",
       "(?s)<!--.*?-->" -> "' '",

@@ -50,7 +50,7 @@ object StreamCdc {
     val id = graft.sinks.HostedSinks.active.resolveByTitle(norm)
       .getOrElse(graft.sinks.HostedSinks.active.create(norm, snapSchema))
     val q = changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val cols = opCol +: seqCol +: payload
           val last = struct(cols.map(col): _*)
@@ -72,7 +72,11 @@ object StreamCdc {
             HostedTables.write(ups, id, WriteMode.Upsert, Some(keyCol))
               .fold(sys.error, identity)
           if (dels.nonEmpty)
-            HostedTables.deleteRows(id, keyCol, dels).fold(sys.error, identity)
+            // batch-id dedupe on top of the seq guard: a replayed
+            // micro-batch's delete short-circuits service-side
+            HostedTables.deleteRows(id, keyCol, dels,
+                Some(s"cdcdel_${id}_$batchId"))
+              .fold(sys.error, identity)
         }
         ()
       }

@@ -121,6 +121,30 @@ class NpySpec extends AnyFunSuite {
     }
   }
 
+  test("re-export with fewer shards leaves no stale shard files behind") {
+    val emb = graft.api.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").limit(64)
+    val out = "/tmp/graft_test_npy_stale"
+    Embeddings.exportNpy(emb, "vec_id", "embedding", out, numShards = 8)
+    Embeddings.exportNpy(emb, "vec_id", "embedding", out, numShards = 2)
+    val shards = new java.io.File(out).listFiles()
+      .filter(_.getName.matches("shard_\\d+\\.npy")).map(_.getName).sorted
+    assert(shards.toSeq == Seq("shard_00000.npy", "shard_00001.npy"),
+      s"stale shards survived the re-export: ${shards.mkString(",")}")
+  }
+
+  test("exportNpyQuantized rejects levels that cannot fit uint8, fail-fast") {
+    val emb = graft.api.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").limit(8)
+    val e = intercept[IllegalArgumentException] {
+      Embeddings.exportNpyQuantized(emb, "vec_id", "embedding",
+        "/tmp/graft_test_npy_badlevels", levels = 1023)
+    }
+    assert(e.getMessage.contains("levels"))
+    // fail-fast: nothing landed on disk
+    assert(!new java.io.File("/tmp/graft_test_npy_badlevels").exists())
+  }
+
   test("scalarQuantizeWithGrid saturates out-of-grid batches at the rails") {
     val base = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
       .toDF("id", "vec")

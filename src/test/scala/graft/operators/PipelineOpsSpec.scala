@@ -60,6 +60,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       (4L, "I", 7L, None, true)))
   }
 
+  test("applyLog fails loudly on a null op instead of silently tombstoning") {
+    val bad = Seq((1L, 1L, "I", "a0"),
+      (1L, 2L, null.asInstanceOf[String], "a1")).toDF("k", "seq", "op", "p")
+    val e = intercept[Exception] {
+      Cdc.applyLog(bad, "k", "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("null op"))
+  }
+
+  test("history honors a non-default delete op code") {
+    val h = Cdc.history(
+        Seq((1L, 1L, "INS", "x"), (1L, 2L, "DEL",
+          null.asInstanceOf[String])).toDF("k", "seq", "op", "p"),
+        "k", "seq", "op", deleteOp = "DEL")
+      .orderBy("seq_from").select("op", "is_current")
+      .as[(String, Boolean)].collect().toSeq
+    assert(h == Seq(("INS", false), ("DEL", false)),
+      "a DEL tombstone must never be current")
+  }
+
   // ------------------------------------------- trained scalar quantizer
 
   test("scalarQuantizeTrained: exact codes on a planted grid") {
@@ -102,6 +122,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("scalarQuantizeWithGrid fails loudly on a dimension the grid never saw") {
+    val base = Seq((1L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    val grid = Embeddings.scalarGrid(base, "id", "vec")
+    val wider = Seq((2L, Array(0.5f, 0.5f, 0.5f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Embeddings.scalarQuantizeWithGrid(wider, "id", "vec", grid).collect()
+    }
+    assert(e.getMessage.contains("absent from the grid"))
+  }
+
   // ------------------------------------------------------- HTML extract
 
   test("HtmlText.extract: scripts/styles/comments drop, entities decode") {
@@ -123,6 +153,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       "Head\nfirst para with \"quotes\" 's\nsecond link here\nunclosed span")
     assert(out._3 == 1)
     assert(out._4 > 5)
+  }
+
+  test("a page missing </head> keeps its <header> content (close-tag anchoring)") {
+    // `</head[^>]*>` would swallow everything up to </header> here
+    val html = "<head><title>T</title><body><header>Nav</header>" +
+      "<p>Main text</p>"
+    val out = HtmlText.extract(
+        Seq((1L, html)).toDF("id", "html"), "id", "html")
+      .select("text").as[String].head()
+    assert(out.contains("Main text"), s"body swallowed: '$out'")
+    assert(out.contains("Nav"), s"header subtree swallowed: '$out'")
   }
 
   test("HtmlText.extract degrades on tagless text (no exception, identity-ish)") {
