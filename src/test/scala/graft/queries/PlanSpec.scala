@@ -334,4 +334,41 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       case _                       =>
     }
   }
+
+  test("CDC snapshot: max_by partial-aggregates map-side, no window over the log") {
+    val p = planOf("x_cdc_snapshot")
+    assert(!p.contains("Window"), p)
+    // the property that survives a billion-row log: superseded versions
+    // collapse BEFORE the exchange (partial_max_by below it, final
+    // max_by above it) — struct-valued max_by plans as SortAggregate,
+    // which is fine; a per-key row_number Window would not partial-agg
+    assert(p.contains("partial_max_by"), p)
+    assert("max_by".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("trained SQ8: the dim-sized grid broadcasts back, never shuffles the corpus side twice") {
+    val p = planOf("x_emb_sq8")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("record linkage: block-keyed join, no cartesian, no global window") {
+    val p = planOf("x_entity_resolution")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("HTML extraction stays one whole-stage-codegen projection (no shuffle)") {
+    // gate the OPERATOR, not the catalog entry — the entry's final
+    // orderBy adds a presentation-only range exchange
+    import org.apache.spark.sql.functions._
+    val docs = graft.api.Tables.load(spark, dir, "documents")
+    val p = graft.operators.HtmlText.extract(
+        docs.select(col("doc_id"), col("text").as("html")), "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    // codegen'd nodes print with the "*(n)" stage prefix
+    assert(p.contains("*(1) Project"), p)
+  }
 }
