@@ -2377,6 +2377,24 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_pipeline_web" -> ((s, dir) => {
+      // End-to-end web-corpus slice: synthesize pages → extract text →
+      // quality gate (min chars + link-density cap, the boilerplate
+      // signal n_links exists for) → exact dedup on the EXTRACTED text
+      // keeping the smallest id — the first stages of a crawl pipeline
+      // composed, hash-replayed as one chain.
+      val docs = t(s, dir, "documents")
+      HtmlText.extract(
+          docs.select(col("doc_id"), syntheticHtml.as("html")),
+          "doc_id", "html")
+        .filter(col("text_chars") >= 50 && col("n_links") <= 5)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min("doc_id").as("doc_id"),
+          count(lit(1)).cast("long").as("n_dups"))
+        .select("doc_id", "text_md5", "n_dups")
+        .orderBy("doc_id")
+    }),
+
     "x_stream_extract" -> ((s, dir) => {
       // The extraction chain is a PURE projection, so it runs unchanged
       // on a live stream with zero state — ingest-time text extraction
@@ -3955,8 +3973,10 @@ object QueryCatalog {
          |  regexp_replace(tc, '$pat', $rep, 'g') AS tc FROM $prev)""".stripMargin
     }.mkString(",\n")
     val htmlLast = s"s${htmlSteps.size}"
-    val htmlExtractSql =
-      s"""WITH h AS (SELECT doc_id,
+    // the WITH body (page fixture + chain), reusable by every oracle
+    // that consumes extracted pages; htmlLast names its final CTE
+    val htmlCoreCtes =
+      s"""h AS (SELECT doc_id,
          |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; ' || source ||
          |    '</title><style>p { color: red }</style>' ||
          |    '<script>if (1 &lt; 2) { go() }</script></head>' ||
@@ -3967,7 +3987,9 @@ object QueryCatalog {
          |t0 AS (SELECT doc_id, html, html AS c,
          |    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS tc
          |  FROM h),
-         |$htmlChainCtes
+         |$htmlChainCtes""".stripMargin
+    val htmlExtractSql =
+      s"""WITH $htmlCoreCtes
          |SELECT doc_id, tc AS title, c AS text,
          |  len(regexp_extract_all(html, '(?i)<a[ >]')) AS n_links,
          |  len(regexp_extract_all(html, '</?[a-zA-Z][^>]*>')) AS n_tags,
@@ -4543,6 +4565,19 @@ object QueryCatalog {
       // the live readStream run is a pure projection — identical chain,
       // identical oracle
       "x_stream_extract" -> htmlExtractSql,
+
+      "x_pipeline_web" ->
+        s"""WITH $htmlCoreCtes,
+           |ex AS (SELECT doc_id, c AS text,
+           |         len(regexp_extract_all(html, '(?i)<a[ >]')) AS n_links,
+           |         length(c) AS text_chars
+           |       FROM $htmlLast),
+           |keep AS (SELECT doc_id, text FROM ex
+           |         WHERE text_chars >= 50 AND n_links <= 5),
+           |dd AS (SELECT md5(text) AS text_md5, min(doc_id) AS doc_id,
+           |         CAST(count(*) AS BIGINT) AS n_dups
+           |       FROM keep GROUP BY md5(text))
+           |SELECT doc_id, text_md5, n_dups FROM dd ORDER BY doc_id""".stripMargin,
 
       "x_sft_format" ->
         """WITH turns AS (
