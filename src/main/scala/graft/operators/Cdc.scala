@@ -49,6 +49,18 @@ object Cdc {
       .select(col(keyCol) +: payload.map(c => col(s"__last.$c").as(c)): _*)
   }
 
+  /** Point-in-time snapshot (time travel): the table as it stood after
+    * applying every change with `seq ≤ asOfSeq` — the log IS the
+    * history, so "AS OF" is just a pushed-down sequence filter in front
+    * of the same one-aggregate apply (and the filter prunes at the
+    * scan, so old snapshots get cheaper, not costlier).
+    */
+  def snapshotAsOf(log: DataFrame, keyCol: String, seqCol: String,
+                   opCol: String, asOfSeq: Long,
+                   deleteOp: String = "D"): DataFrame =
+    applyLog(log.filter(col(seqCol) <= asOfSeq), keyCol, seqCol, opCol,
+      deleteOp)
+
   /** SCD2 validity intervals: one row per log version with
     * `seq_from` = its own sequence and `seq_to` = the next version's
     * sequence for the same key (null while current). Delete rows are

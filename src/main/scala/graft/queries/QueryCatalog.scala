@@ -2331,6 +2331,13 @@ object QueryCatalog {
         .select("doc_id", "op", "seq_from", "seq_to", "is_current")
         .orderBy("doc_id", "seq_from")),
 
+    "x_cdc_asof" -> ((s, dir) =>
+      // Time travel: the table AS OF seq 2 — after the updates, before
+      // any delete or re-insert ever happened. Same one-aggregate
+      // apply behind a pushed-down sequence filter.
+      Cdc.snapshotAsOf(cdcLog(s, dir), "doc_id", "seq", "op", asOfSeq = 2L)
+        .orderBy("doc_id")),
+
     "x_stream_cdc" -> ((s, dir) => {
       // The LIVE CDC applier: the same change log staged one file per
       // commit slice, consumed readStream → foreachBatch (LWW reduce,
@@ -4536,6 +4543,15 @@ object QueryCatalog {
       // the STREAMING applier must converge to the identical snapshot —
       // shared oracle is the whole point
       "x_stream_cdc" -> cdcSnapshotSql,
+
+      "x_cdc_asof" ->
+        s"""WITH $cdcLogSql,
+           |lastv AS (SELECT doc_id,
+           |            arg_max(op, seq) AS op, arg_max(text, seq) AS text,
+           |            arg_max(lang, seq) AS lang, arg_max(source, seq) AS source
+           |          FROM cdclog WHERE seq <= 2 GROUP BY doc_id)
+           |SELECT doc_id, text, lang, source FROM lastv
+           |WHERE op <> 'D' ORDER BY doc_id""".stripMargin,
 
       "x_cdc_history" ->
         s"""WITH $cdcLogSql

@@ -60,6 +60,16 @@ class PipelineOpsSpec extends AnyFunSuite {
       (4L, "I", 7L, None, true)))
   }
 
+  test("snapshotAsOf time-travels across delete and revive boundaries") {
+    def at(seq: Long) = Cdc.snapshotAsOf(log(), "k", "seq", "op", seq)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(at(1L) == Seq((1L, "a0"), (2L, "b0"), (3L, "c0"))) // 4 lands at 7
+    assert(at(2L) == Seq((1L, "a1"), (2L, "b0")))  // 3 deleted at seq 2
+    assert(at(4L) == Seq((1L, "a2")))              // 2 deleted at 4, 3 still gone
+    assert(at(5L) == Seq((1L, "a2"), (3L, "c1")))  // 3 revived at 5
+    assert(at(99L) == Seq((1L, "a2"), (3L, "c1"), (4L, "d0")))
+  }
+
   test("applyLog fails loudly on a null op instead of silently tombstoning") {
     val bad = Seq((1L, 1L, "I", "a0"),
       (1L, 2L, null.asInstanceOf[String], "a1")).toDF("k", "seq", "op", "p")
