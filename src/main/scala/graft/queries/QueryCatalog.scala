@@ -633,6 +633,7 @@ object QueryCatalog {
   private val ivfDelIdxDir = "/tmp/graft_ivf_idx_del"
   private val pqIdxDir = "/tmp/graft_pq_idx"
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
+  private val nbIdxDir = "/tmp/graft_nb_idx"
   private val pqAppIdxDir = "/tmp/graft_pq_idx_app"
   private val pqDelIdxDir = "/tmp/graft_pq_idx_del"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
@@ -3200,6 +3201,27 @@ object QueryCatalog {
       TextAnalysis.nbQualityScore(docs,
           docs.filter(col("source") === "src0"),
           docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "x_classifier_persisted" -> ((s, dir) => {
+      // The model-registry lifecycle for the quality gate: train the
+      // NB token-weight table ONCE, persist it as parquet, reload, and
+      // score every document from the artifact alone (the codegen'd
+      // O(1) weight probe — no training tables touched at serve time).
+      // The oracle scores FROM the same parquet via read_parquet, so
+      // the hash proves the persisted model reproduces the gate.
+      val path = stageIndex(nbIdxDir, dir) {
+        val docs = t(s, dir, "documents")
+        TextAnalysis.nbTokenWeights(
+            docs.filter(col("source") === "src0"),
+            docs.filter(col("source") =!= "src0"), "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$nbIdxDir/weights")
+      }
+      val weights = s.read.parquet(s"$path/weights")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.streaming.StreamClassify.score(
+          t(s, dir, "documents"), weights, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -5804,6 +5826,19 @@ object QueryCatalog {
            |SELECT doc_id, n_tokens, score,
            |  CAST(score > 0 AS INTEGER) AS label
            |FROM nbscore ORDER BY doc_id""".stripMargin,
+
+      "x_classifier_persisted" ->
+        // scoring replays FROM the persisted weight table — the serve
+        // path's only model input is the artifact
+        s"""WITH nbtoks AS (SELECT doc_id,
+           |         unnest(string_split(text, ' ')) AS tok FROM documents),
+           |m AS (SELECT tok, weight
+           |      FROM read_parquet('$nbIdxDir/weights/*.parquet'))
+           |SELECT t.doc_id, count(*) AS n_tokens,
+           |  CAST(sum(coalesce(m.weight, 0)) AS BIGINT) AS score,
+           |  CAST(CAST(sum(coalesce(m.weight, 0)) AS BIGINT) > 0 AS INTEGER) AS label
+           |FROM nbtoks t LEFT JOIN m ON m.tok = t.tok
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
       "x_stream_route" ->
         s"""WITH ${nbCtes()}
