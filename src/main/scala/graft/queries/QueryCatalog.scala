@@ -634,6 +634,7 @@ object QueryCatalog {
   private val pqIdxDir = "/tmp/graft_pq_idx"
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val nbIdxDir = "/tmp/graft_nb_idx"
+  private val takedownIdxDir = "/tmp/graft_ivf_idx_cdc"
   private val pqAppIdxDir = "/tmp/graft_pq_idx_app"
   private val pqDelIdxDir = "/tmp/graft_pq_idx_del"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
@@ -3090,6 +3091,30 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_takedown_pipeline" -> ((s, dir) => { // oracle: replay over the post-takedown index
+      // COMPLIANCE COMPOSITION: the CDC change log drives the ANN-index
+      // takedown — keys whose LAST operation is a tombstone (deleted,
+      // never revived) are exactly what ivfDelete must remove from the
+      // persisted index. This is the GDPR flow end-to-end: the log is
+      // the source of truth, the serving index follows it; the oracle
+      // replays retrieval over the post-takedown parquet, proving the
+      // tombstoned members are unfindable and everything else is intact.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(takedownIdxDir, dir) {
+        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+          takedownIdxDir, nlist = 16)
+        val tombstoned = cdcLog(s, dir).groupBy("doc_id")
+          .agg(max_by(col("op"), col("seq")).as("op"))
+          .filter(col("op") === "D")
+          .select(col("doc_id").as("vec_id"))
+        graft.operators.AnnIndex.ivfDelete(s, takedownIdxDir,
+          tombstoned, "vec_id")
+      }
+      graft.operators.AnnIndex.ivfServe(s, path,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_ivf_deleted" -> ((s, dir) => { // oracle: replay over the post-takedown index
       // The takedown / right-to-be-forgotten lifecycle step: odd-id
       // vectors are DELETED from the persisted index (broadcast
@@ -5226,6 +5251,10 @@ object QueryCatalog {
         // cells are the only corpus input, so the hash proves exactly
         // the listed members vanished
         ivfPersistedReplay(ivfDelIdxDir),
+
+      "x_takedown_pipeline" ->
+        // same replay shape over the CDC-driven takedown index
+        ivfPersistedReplay(takedownIdxDir),
 
       "x_sim_pq_deleted" ->
         pqPersistedReplay(pqDelIdxDir),
