@@ -539,7 +539,41 @@ object BenchSf1 {
         graft.operators.Curation.sftAssemble(docs(spark, dir),
             "source", "doc_id", "text")
           .agg(sum("total_tokens"), max(length(col("sft_text"))))
-          .head().getLong(0)))
+          .head().getLong(0)),
+      // streaming CDC: four micro-batches against a 10× table — prices
+      // the per-batch seq-guard read of the growing snapshot
+      "cdc_stream" -> ((dir, _) => {
+        val d = docs(spark, dir).select("doc_id", "text", "lang", "source")
+        val log = d.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+          .unionByName(d.filter(col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" v2")))
+            .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+          .unionByName(d.filter(col("doc_id") % 11 === 3)
+            .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+          .unionByName(d.filter(col("doc_id") % 22 === 3)
+            .withColumn("text", concat(col("text"), lit(" v3")))
+            .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+        val stage = s"/tmp/graft_sf1_cdcstream/${tagOf(dir)}"
+        (1L to 4L).foreach { n =>
+          log.filter(col("seq") === n).coalesce(1).write
+            .mode(if (n == 1L) "overwrite" else "append").parquet(stage)
+        }
+        graft.streaming.StreamCdc.runOnce(spark, stage, log.schema,
+          "doc_id", "seq", "op").count()
+      }),
+      // record linkage: suffix blocks stay small as the corpus grows
+      // (ids diversify the tails) — must price as join + per-pair O(1)
+      "entity_resolution" -> ((dir, _) => {
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").cast("long").as("id"),
+            col("c_name").as("name"))
+        val variants = cust.filter(col("id") % 10 === 0)
+          .select((col("id") + 100000000L).as("id"),
+            concat(substring(col("name"), 1, 9), lit("X"),
+              expr("substring(name, 11)")).as("name"))
+        graft.operators.Dedup.blockedFuzzyMatch(
+          cust.unionByName(variants), "id", "name", maxDist = 2).count()
+      }))
 
     def releaseSessionState(): Unit = {
       spark.catalog.clearCache()
