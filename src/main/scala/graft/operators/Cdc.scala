@@ -49,6 +49,21 @@ object Cdc {
       .select(col(keyCol) +: payload.map(c => col(s"__last.$c").as(c)): _*)
   }
 
+  /** The keys whose LAST operation is a tombstone (deleted, never
+    * revived) — the delete set a downstream serving artifact (ANN
+    * index, feature store) must purge. Shares [[applyLog]]'s
+    * fail-loud null-op contract: a corrupt record must never mean
+    * "delete nothing", the worst failure mode a compliance path has.
+    */
+  def tombstones(log: DataFrame, keyCol: String, seqCol: String,
+                 opCol: String, deleteOp: String = "D"): DataFrame =
+    log.groupBy(col(keyCol))
+      .agg(max_by(col(opCol), col(seqCol)).as("__op"))
+      .filter(coalesce(col("__op"),
+        raise_error(concat(lit("tombstones: null op for key "),
+          col(keyCol).cast("string")))) === lit(deleteOp))
+      .select(col(keyCol))
+
   /** Point-in-time snapshot (time travel): the table as it stood after
     * applying every change with `seq ≤ asOfSeq` — the log IS the
     * history, so "AS OF" is just a pushed-down sequence filter in front

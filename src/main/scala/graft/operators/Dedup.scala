@@ -84,6 +84,15 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "n_copies")
 
+  /** [[exact]] with the content hash exposed — the join/export key a
+    * pipeline wants alongside the keeper id.
+    */
+  def exactWithHash(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), md5(col(textCol)).as("text_md5"), col("n_copies"))
+
   /** Word `n`-gram shingle rows per document (with duplicates). Built with
     * higher-order functions (transform/slice) — stays in whole-stage
     * codegen. No shuffle.

@@ -2334,10 +2334,13 @@ object QueryCatalog {
         .orderBy("doc_id", "seq_from")),
 
     "x_cdc_asof" -> ((s, dir) =>
-      // Time travel: the table AS OF seq 2 — after the updates, before
-      // any delete or re-insert ever happened. Same one-aggregate
-      // apply behind a pushed-down sequence filter.
-      Cdc.snapshotAsOf(cdcLog(s, dir), "doc_id", "seq", "op", asOfSeq = 2L)
+      // Time travel: the table AS OF seq 3 — after the deletes, before
+      // the revives, so the cut EXERCISES the tombstone branch (an
+      // asOf inside the I/U prefix would leave the oracle's op <> 'D'
+      // filter and arg_max's null-payload handling as dead code in the
+      // only cross-engine check). Same one-aggregate apply behind a
+      // pushed-down sequence filter.
+      Cdc.snapshotAsOf(cdcLog(s, dir), "doc_id", "seq", "op", asOfSeq = 3L)
         .orderBy("doc_id")),
 
     "x_stream_cdc" -> ((s, dir) => {
@@ -2352,10 +2355,8 @@ object QueryCatalog {
       val log = cdcLog(s, dir)
       val stage =
         s"/tmp/graft_stream_cdc/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      (1L to 4L).foreach { n =>
-        log.filter(col("seq") === n).coalesce(1).write
-          .mode(if (n == 1L) "overwrite" else "append").parquet(stage)
-      }
+      graft.streaming.StreamCdc.stageLogSlices(log, "seq", stage,
+        (1L to 4L).map(Seq(_)))
       graft.streaming.StreamCdc.runOnce(s, stage, log.schema,
           "doc_id", "seq", "op")
         .orderBy("doc_id")
@@ -2393,14 +2394,12 @@ object QueryCatalog {
       // keeping the smallest id — the first stages of a crawl pipeline
       // composed, hash-replayed as one chain.
       val docs = t(s, dir, "documents")
-      HtmlText.extract(
-          docs.select(col("doc_id"), syntheticHtml.as("html")),
-          "doc_id", "html")
-        .filter(col("text_chars") >= 50 && col("n_links") <= 5)
-        .groupBy(md5(col("text")).as("text_md5"))
-        .agg(min("doc_id").as("doc_id"),
-          count(lit(1)).cast("long").as("n_dups"))
-        .select("doc_id", "text_md5", "n_dups")
+      Dedup.exactWithHash(
+          HtmlText.extract(
+              docs.select(col("doc_id"), syntheticHtml.as("html")),
+              "doc_id", "html")
+            .filter(col("text_chars") >= 50 && col("n_links") <= 5),
+          "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -3103,9 +3102,8 @@ object QueryCatalog {
       val path = stageIndex(takedownIdxDir, dir) {
         graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
           takedownIdxDir, nlist = 16)
-        val tombstoned = cdcLog(s, dir).groupBy("doc_id")
-          .agg(max_by(col("op"), col("seq")).as("op"))
-          .filter(col("op") === "D")
+        val tombstoned = Cdc.tombstones(cdcLog(s, dir),
+            "doc_id", "seq", "op")
           .select(col("doc_id").as("vec_id"))
         graft.operators.AnnIndex.ivfDelete(s, takedownIdxDir,
           tombstoned, "vec_id")
@@ -4596,7 +4594,7 @@ object QueryCatalog {
            |lastv AS (SELECT doc_id,
            |            arg_max(op, seq) AS op, arg_max(text, seq) AS text,
            |            arg_max(lang, seq) AS lang, arg_max(source, seq) AS source
-           |          FROM cdclog WHERE seq <= 2 GROUP BY doc_id)
+           |          FROM cdclog WHERE seq <= 3 GROUP BY doc_id)
            |SELECT doc_id, text, lang, source FROM lastv
            |WHERE op <> 'D' ORDER BY doc_id""".stripMargin,
 
@@ -4638,9 +4636,9 @@ object QueryCatalog {
            |keep AS (SELECT doc_id, text FROM ex
            |         WHERE text_chars >= 50 AND n_links <= 5),
            |dd AS (SELECT md5(text) AS text_md5, min(doc_id) AS doc_id,
-           |         CAST(count(*) AS BIGINT) AS n_dups
+           |         CAST(count(*) AS BIGINT) AS n_copies
            |       FROM keep GROUP BY md5(text))
-           |SELECT doc_id, text_md5, n_dups FROM dd ORDER BY doc_id""".stripMargin,
+           |SELECT doc_id, text_md5, n_copies FROM dd ORDER BY doc_id""".stripMargin,
 
       "x_sft_format" ->
         """WITH turns AS (

@@ -86,6 +86,20 @@ object StreamCdc {
     id
   }
 
+  /** Stage a change log as one parquet file per commit slice — the
+    * staging discipline [[runOnce]]'s ordering contract depends on
+    * (sequential writes → monotone mtimes → maxFilesPerTrigger=1
+    * delivers slices in commit order). The ONE place this lives: the
+    * catalog entry, the scale probe, and the specs all stage through
+    * here.
+    */
+  def stageLogSlices(log: DataFrame, seqCol: String, dir: String,
+                     slices: Seq[Seq[Long]]): Unit =
+    slices.zipWithIndex.foreach { case (seqs, i) =>
+      log.filter(col(seqCol).isin(seqs: _*)).coalesce(1).write
+        .mode(if (i == 0) "overwrite" else "append").parquet(dir)
+    }
+
   /** Drive the applier over a staged parquet change log (one file per
     * commit slice → micro-batches arrive in commit order under
     * `maxFilesPerTrigger = 1`, exercising the cross-batch guard) and

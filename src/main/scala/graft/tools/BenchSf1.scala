@@ -554,10 +554,8 @@ object BenchSf1 {
             .withColumn("text", concat(col("text"), lit(" v3")))
             .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
         val stage = s"/tmp/graft_sf1_cdcstream/${tagOf(dir)}"
-        (1L to 4L).foreach { n =>
-          log.filter(col("seq") === n).coalesce(1).write
-            .mode(if (n == 1L) "overwrite" else "append").parquet(stage)
-        }
+        graft.streaming.StreamCdc.stageLogSlices(log, "seq", stage,
+          (1L to 4L).map(Seq(_)))
         graft.streaming.StreamCdc.runOnce(spark, stage, log.schema,
           "doc_id", "seq", "op").count()
       }),
@@ -567,8 +565,12 @@ object BenchSf1 {
         val cust = spark.read.parquet(s"$dir/customer.parquet")
           .select(col("c_custkey").cast("long").as("id"),
             col("c_name").as("name"))
+        // offset OUTSIDE the inflated key space: buildSf1 shifts copies
+        // by i·1e8, so a 1e8 variant offset would collide with the next
+        // copy's real custkeys and the a<b dedup would silently drop
+        // variant↔original pairs
         val variants = cust.filter(col("id") % 10 === 0)
-          .select((col("id") + 100000000L).as("id"),
+          .select((col("id") + 10000000000L).as("id"),
             concat(substring(col("name"), 1, 9), lit("X"),
               expr("substring(name, 11)")).as("name"))
         graft.operators.Dedup.blockedFuzzyMatch(

@@ -79,6 +79,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null op"))
   }
 
+  test("tombstones: deleted-never-revived keys only, null op raises") {
+    val t = Cdc.tombstones(log(), "k", "seq", "op")
+      .orderBy("k").as[Long].collect().toSeq
+    assert(t == Seq(2L), "key 3 revived, key 2 stays tombstoned")
+    val bad = Seq((9L, 1L, null.asInstanceOf[String], "x"))
+      .toDF("k", "seq", "op", "p")
+    val e = intercept[Exception] {
+      Cdc.tombstones(bad, "k", "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("null op"))
+  }
+
   test("history honors a non-default delete op code") {
     val h = Cdc.history(
         Seq((1L, 1L, "INS", "x"), (1L, 2L, "DEL",

@@ -22,12 +22,8 @@ class StreamCdcSpec extends AnyFunSuite {
   ).toDF("k", "seq", "op", "payload")
 
   private def stageSlices(df: DataFrame, dir: String,
-                          slices: Seq[Seq[Long]]): Unit = {
-    slices.zipWithIndex.foreach { case (seqs, i) =>
-      df.filter(col("seq").isin(seqs: _*)).coalesce(1).write
-        .mode(if (i == 0) "overwrite" else "append").parquet(dir)
-    }
-  }
+                          slices: Seq[Seq[Long]]): Unit =
+    StreamCdc.stageLogSlices(df, "seq", dir, slices)
 
   test("stream apply over 3 micro-batches converges to the batch snapshot") {
     val dir = "/tmp/graft_test_streamcdc_1"
