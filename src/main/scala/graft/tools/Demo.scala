@@ -101,6 +101,18 @@ object Demo {
     println(s"== top-5 vocab (tf)             -> ${TextAnalysis.vocab(docs, "doc_id", "text", 5).select("tok").as[String].collect().mkString(" ")}")
     println(s"== int8-quantized embeddings    -> ${graft.operators.Embeddings.quantizeInt8(emb, "embedding").filter(col("qscale") > 0).count()} vectors")
     println(s"== PQ ANN top-10 (ADC + re-rank) -> ${Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10).count()} rows")
+    // CDC: merge-on-read snapshot + time travel over a synthesized log.
+    val cdcLog = docs.select($"doc_id", $"text")
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      .unionByName(docs.filter($"doc_id" % 9 === 0)
+        .select($"doc_id", lit(null).cast("string").as("text"))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D")))
+    println(s"== CDC snapshot / as-of        -> ${graft.operators.Cdc.applyLog(cdcLog, "doc_id", "seq", "op").count()} rows now, ${graft.operators.Cdc.snapshotAsOf(cdcLog, "doc_id", "seq", "op", 1L).count()} as of seq 1")
+    // Web extraction + SFT assembly: the text-pipeline bookends.
+    val page = docs.limit(100).select($"doc_id",
+      concat(lit("<html><body><p>"), $"text", lit("</p></body></html>")).as("html"))
+    println(s"== HTML -> text extraction      -> ${graft.operators.HtmlText.extract(page, "doc_id", "html").agg(sum("text_chars")).first().getLong(0)} chars from 100 pages")
+    println(s"== SFT chat assembly            -> ${Curation.sftAssemble(docs, "source", "doc_id", "text").agg(sum("loss_tokens")).first().getLong(0)} loss tokens across ${docs.select("source").distinct().count()} conversations")
     // Multimodal: real codecs — BMP frame decode and WAV audio stats.
     import graft.operators.Multimodal
     val bmp = Multimodal.withBmpPayload(docs.limit(50), "doc_id", "text")
