@@ -220,6 +220,17 @@ object Unigram {
         array_join(col("pieces"), "|").as("segmentation"))
   }
 
+  /** Segment arbitrary (word, freq) rows under a LOADED exact model —
+    * the persisted-tokenizer serve path: [[trainExact]]'s output table
+    * read back as (piece → cnt) and broadcast; no corpus, no training
+    * tables. Same integer-objective DP as training-time segmentation.
+    */
+  def segmentExactWithModel(words: DataFrame, vocab: Map[String, Long],
+                            maxPieceLen: Int = 4): DataFrame =
+    segmentedExact(words, vocab, maxPieceLen)
+      .select(col("word"), col("freq"),
+        array_join(col("pieces"), "|").as("segmentation"))
+
   /** Shared EM loop of the exact trainer: capped+length-filtered words
     * plus the final (post-prune) model with its TRAINING weights.
     */
@@ -474,12 +485,34 @@ object Unigram {
     * EM blocks, and the final segmentation pass under the shipped vocab
     * (exposing `pieces{rounds+1}` / `cnt{rounds+1}` / `vocab{rounds}`).
     */
-  private def exactOracleChain(table: String, textCol: String, vocabSize: Int,
-                               rounds: Int, maxPieceLen: Int, seedSize: Int,
-                               maxWords: Int, maxWordLen: Int,
-                               wordPattern: String): String = {
-    // one E-step (segment + count) under vocab `vin`, producing cnt`p`
-    def segmentPass(p: Int, vin: String): String = {
+  /** Oracle for the PERSISTED-model serve path
+    * (`x_unigram_persisted`): probe words derived from the saved vocab
+    * itself (`piece‖qq` for every multi-char piece — serve time touches
+    * NO corpus table) segment under the vocab read DIRECTLY from the
+    * persisted parquet, through the same unrolled positional DP the
+    * training oracles use.
+    */
+  def persistedSegmentOracleSql(vocabGlob: String,
+                                maxPieceLen: Int): String = {
+    val mwl = maxPieceLen + 2 // probe word = piece (≤ maxPieceLen) + "qq"
+    s"""WITH pv AS MATERIALIZED (
+       |  SELECT piece, cnt FROM read_parquet('$vocabGlob')),
+       |wcap AS (SELECT DISTINCT piece || 'qq' AS word,
+       |           CAST(1 AS BIGINT) AS freq
+       |         FROM pv WHERE length(piece) > 1),
+       |${segmentPassSql(1, "pv", maxPieceLen, mwl)}
+       |SELECT word, freq,
+       |       string_agg(piece, '|' ORDER BY i) AS segmentation
+       |FROM pieces1 GROUP BY word, freq ORDER BY word""".stripMargin
+  }
+
+  /** One exact-DP segment+count pass as SQL CTEs: segments `wcap`'s
+    * words under vocab relation `vin`, exposing `pieces$p` / `cnt$p`.
+    * Shared by the training-oracle chain and the persisted-model serve
+    * oracle — the DP must be textually ONE definition.
+    */
+  private def segmentPassSql(p: Int, vin: String, maxPieceLen: Int,
+                             maxWordLen: Int): String = {
       val dp0 =
         s"""dp${p}_0 AS (
            |  SELECT word, freq, 0 AS i, 0 AS np, CAST(0 AS BIGINT) AS s, -1 AS bj
@@ -524,7 +557,15 @@ object Unigram {
            |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
            |  FROM pieces$p GROUP BY piece)""".stripMargin
       (Seq(dp0) ++ dps ++ Seq(wk0) ++ wks ++ Seq(pieces, cnt)).mkString(",\n")
-    }
+  }
+
+  private def exactOracleChain(table: String, textCol: String, vocabSize: Int,
+                               rounds: Int, maxPieceLen: Int, seedSize: Int,
+                               maxWords: Int, maxWordLen: Int,
+                               wordPattern: String): String = {
+    // one E-step (segment + count) under vocab `vin`, producing cnt`p`
+    def segmentPass(p: Int, vin: String): String =
+      segmentPassSql(p, vin, maxPieceLen, maxWordLen)
     // prune cnt`p` under previous vocab `vin` → vocab`p`
     def prunePass(p: Int, vin: String, isLast: Boolean): String = {
       val target =

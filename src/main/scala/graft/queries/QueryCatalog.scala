@@ -634,6 +634,7 @@ object QueryCatalog {
   private val pqIdxDir = "/tmp/graft_pq_idx"
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val nbIdxDir = "/tmp/graft_nb_idx"
+  private val unigramIdxDir = "/tmp/graft_unigram_idx"
   private val takedownIdxDir = "/tmp/graft_ivf_idx_cdc"
   private val pqAppIdxDir = "/tmp/graft_pq_idx_app"
   private val pqDelIdxDir = "/tmp/graft_pq_idx_del"
@@ -3283,6 +3284,32 @@ object QueryCatalog {
           maxWords = 5000, wordPattern = Some("[a-z]+"))
         .orderBy("rank")),
 
+    "x_unigram_persisted" -> ((s, dir) => {
+      // The third persisted tokenizer: the exact unigram model (piece,
+      // cnt) trains once, persists as parquet, and serve time segments
+      // guaranteed-OOV probe words (piece‖qq for every multi-char
+      // piece) under the LOADED model only. The oracle reads the same
+      // parquet via read_parquet and replays the positional DP — the
+      // hash proves the on-disk model alone reproduces segmentation.
+      val path = stageIndex(unigramIdxDir, dir) {
+        graft.operators.Unigram.trainExact(t(s, dir, "documents"), "text",
+            vocabSize = 300, rounds = 1, maxPieceLen = 4, seedSize = 500,
+            maxWords = 5000, maxWordLen = 20, wordPattern = Some("[a-z]+"))
+          .select("piece", "cnt")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$unigramIdxDir/vocab")
+      }
+      val pv = s.read.parquet(s"$path/vocab")
+      val vocab = pv.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val words = pv.filter(length(col("piece")) > 1)
+        .select(concat(col("piece"), lit("qq")).as("word"),
+          lit(1L).as("freq"))
+        .distinct()
+      graft.operators.Unigram.segmentExactWithModel(words, vocab,
+          maxPieceLen = 4)
+        .orderBy("word")
+    }),
+
     "x_unigram_train_exact" -> ((s, dir) =>
       // INTEGER-EXACT unigram training — the hash-verifiable twin of
       // x_unigram_train: hard-EM under (fewest pieces, max Σcnt,
@@ -5931,6 +5958,10 @@ object QueryCatalog {
         graft.operators.Unigram.trainExactOracleSql("documents", "text",
           vocabSize = 300, rounds = 1, maxPieceLen = 4, seedSize = 500,
           maxWords = 5000, maxWordLen = 20, wordPattern = "[a-z]+"),
+
+      "x_unigram_persisted" ->
+        graft.operators.Unigram.persistedSegmentOracleSql(
+          s"$unigramIdxDir/vocab/*.parquet", maxPieceLen = 4),
 
       "x_unigram_segment_exact" ->
         graft.operators.Unigram.segmentExactOracleSql("documents", "text",
