@@ -208,6 +208,51 @@ object Embeddings {
         md5(concat_ws(",", transform(col("codes"), _.cast("string")))))
   }
 
+  /** PROJECTION-ONLY encode against a LOADED grid: (mn, mx) ride the
+    * plan as two dim-length constant arrays and codes compute per row
+    * with an indexed `transform` — no join, no shuffle, ZERO streaming
+    * state, so the same expression serves a live embedding stream
+    * (the ingest-time featurizer). Identical codes to
+    * [[scalarQuantizeWithGrid]] by construction: same fixed-point
+    * lattice, same integral divide, same rail clamp. Fails loudly on a
+    * vector whose length differs from the grid's dimensionality.
+    */
+  def encodeWithGridProjection(df: DataFrame, idCol: String,
+                               vecCol: String,
+                               grid: Seq[(Int, Long, Long)],
+                               levels: Int = 255,
+                               scaleBits: Int = 20): DataFrame = {
+    val sorted = grid.sortBy(_._1)
+    require(sorted.nonEmpty &&
+      sorted.map(_._1) == (0 until sorted.size).toSeq,
+      "grid positions must be dense 0..dim-1")
+    val dim = sorted.size
+    val mnArr = array(sorted.map(g => lit(g._2)): _*)
+    val mxArr = array(sorted.map(g => lit(g._3)): _*)
+    val scale = math.pow(2.0, scaleBits)
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__mn", mnArr)
+      .withColumn("__mx", mxArr)
+      // the size check lives INSIDE the codes expression (as the
+      // transform's source), so no projection pruning can bypass it
+      .withColumn("codes", expr(
+        s"""transform(
+           |  CASE WHEN size($vecCol) <> $dim
+           |    THEN raise_error(concat(
+           |      'encodeWithGridProjection: expected $dim dims, got ',
+           |      CAST(size($vecCol) AS STRING)))
+           |    ELSE $vecCol END,
+           |  (x, i) ->
+           |  CAST(greatest(CAST(0 AS BIGINT), least(CAST($levels AS BIGINT),
+           |    CASE WHEN __mx[i] > __mn[i]
+           |      THEN (CAST(floor(CAST(x AS DOUBLE) * ${scale}D) AS BIGINT) - __mn[i])
+           |             * $levels div (__mx[i] - __mn[i])
+           |      ELSE CAST(0 AS BIGINT) END)) AS INT))""".stripMargin))
+      .withColumn("code_digest",
+        md5(concat_ws(",", transform(col("codes"), _.cast("string")))))
+      .drop("__mn", "__mx")
+  }
+
   /** Export the corpus scalar-quantized: uint8 `.npy` shard files
     * (4× smaller than [[exportNpy]]'s float32 — the artifact a serving
     * tier actually memory-maps), the id manifest, AND the trained grid

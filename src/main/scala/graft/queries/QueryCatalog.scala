@@ -635,6 +635,8 @@ object QueryCatalog {
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val nbIdxDir = "/tmp/graft_nb_idx"
   private val unigramIdxDir = "/tmp/graft_unigram_idx"
+  private val wordpieceIdxDir = "/tmp/graft_wordpiece_idx"
+  private val sq8IdxDir = "/tmp/graft_sq8_idx"
   private val takedownIdxDir = "/tmp/graft_ivf_idx_cdc"
   private val pqAppIdxDir = "/tmp/graft_pq_idx_app"
   private val pqDelIdxDir = "/tmp/graft_pq_idx_del"
@@ -2404,6 +2406,35 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_stream_sq8" -> ((s, dir) => {
+      // Ingest-time embedding featurization: arriving vectors encode
+      // against the FROZEN persisted grid through the projection-only
+      // encoder (grid = plan-constant arrays, indexed transform — no
+      // join, zero state). The oracle recodes from the same grid
+      // parquet, so the live stream hash-proves the frozen-grid codes.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val path = stageIndex(sq8IdxDir, dir) {
+        graft.operators.Embeddings.scalarGrid(
+            t(s, dir, "embeddings"), "vec_id", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(s"$sq8IdxDir/grid")
+      }
+      val grid = s.read.parquet(s"$path/grid")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val name = s"stream_sq8_${System.nanoTime()}"
+      val q = graft.operators.Embeddings.encodeWithGridProjection(
+          raw, "vec_id", "embedding", grid)
+        .select("vec_id", "code_digest")
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+      s.table(name).orderBy("vec_id")
+    }),
+
     "x_stream_extract" -> ((s, dir) => {
       // The extraction chain is a PURE projection, so it runs unchanged
       // on a live stream with zero state — ingest-time text extraction
@@ -3366,6 +3397,29 @@ object QueryCatalog {
       graft.operators.Bpe.trainWordPiece(t(s, dir, "documents"), "text",
           numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))._1
         .orderBy("merge_rank")),
+
+    "x_wordpiece_persisted" -> ((s, dir) => {
+      // WordPiece joins the persisted-tokenizer registry: the trained
+      // merge table (with its likelihood-score factors) persists, and
+      // serve segments merge-derived OOV words from the artifact alone
+      // — same contract and oracle machinery as x_bpe_persisted (the
+      // apply rounds only consume lhs/rhs in rank order).
+      val path = stageIndex(wordpieceIdxDir, dir) {
+        graft.operators.Bpe.trainWordPiece(t(s, dir, "documents"), "text",
+            numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))._1
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$wordpieceIdxDir/merges")
+      }
+      val mergesDf = s.read.parquet(s"$path/merges")
+      val merges = mergesDf.orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = mergesDf
+        .select(concat(col("lhs"), col("rhs"), lit("qq")).as("word"))
+        .distinct()
+      graft.operators.Bpe.applyMerges(words, "word", merges)
+        .select(col("word"), array_join(col("syms"), "|").as("segmentation"))
+        .orderBy("word")
+    }),
 
     "x_wordpiece_segment" -> ((s, dir) =>
       // The WordPiece-trained segmentation of the vocab table (tokens
@@ -4653,6 +4707,22 @@ object QueryCatalog {
       // the live readStream run is a pure projection — identical chain,
       // identical oracle
       "x_stream_extract" -> htmlExtractSql,
+
+      "x_stream_sq8" ->
+        s"""WITH fx AS (SELECT vec_id, i - 1 AS pos,
+           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS xi
+           |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+           |g AS (SELECT CAST(pos AS BIGINT) AS pos, mn, mx
+           |      FROM read_parquet('$sq8IdxDir/grid/*.parquet')),
+           |cd AS (SELECT vec_id, pos,
+           |    CASE WHEN mx > mn
+           |      THEN GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+           |             (xi - mn) * 255 // (mx - mn)))
+           |      ELSE CAST(0 AS BIGINT) END AS code
+           |  FROM fx JOIN g USING (pos))
+           |SELECT vec_id,
+           |  md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos)) AS code_digest
+           |FROM cd GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
       "x_pipeline_web" ->
         s"""WITH $htmlCoreCtes,
@@ -6016,6 +6086,10 @@ object QueryCatalog {
       "x_bpe_persisted" ->
         graft.operators.Bpe.persistedApplyOracleSql(
           s"$bpeIdxDir/merges/*.parquet", numMerges = 12),
+
+      "x_wordpiece_persisted" ->
+        graft.operators.Bpe.persistedApplyOracleSql(
+          s"$wordpieceIdxDir/merges/*.parquet", numMerges = 12),
 
       "x_split_leakfree" ->
         // cluster replay (recursive CTE) + the q_train_test_split hash

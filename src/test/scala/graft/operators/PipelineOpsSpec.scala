@@ -154,6 +154,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("absent from the grid"))
   }
 
+  test("projection encoder: codes identical to the join path, no shuffle, size guard") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val gridDf = Embeddings.scalarGrid(emb, "vec_id", "embedding")
+    val grid = gridDf.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaJoin = Embeddings
+      .scalarQuantizeWithGrid(emb, "vec_id", "embedding", gridDf)
+      .select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val proj = Embeddings
+      .encodeWithGridProjection(emb, "vec_id", "embedding", grid)
+    val viaProj = proj.select(col("vec_id"), col("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(viaProj == viaJoin, "projection and join paths disagree")
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // wrong dimensionality must raise, not truncate or null out
+    val bad = Seq((99L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Embeddings.encodeWithGridProjection(bad, "vec_id", "embedding", grid)
+        .select("code_digest").collect()
+    }
+    assert(e.getMessage.contains("expected"))
+  }
+
   // ------------------------------------------------------- HTML extract
 
   test("HtmlText.extract: scripts/styles/comments drop, entities decode") {
