@@ -559,6 +559,17 @@ object BenchSf1 {
         graft.streaming.StreamCdc.runOnce(spark, stage, log.schema,
           "doc_id", "seq", "op").count()
       }),
+      // frozen-grid projection encode: grid is plan-constant, work is a
+      // per-row indexed transform — must price as a linear scan
+      "sq8_encode" -> ((dir, _) => {
+        val e = emb(spark, dir)
+        val grid = graft.operators.Embeddings
+          .scalarGrid(emb(spark, sf01), "vec_id", "embedding")
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        graft.operators.Embeddings
+          .encodeWithGridProjection(e, "vec_id", "embedding", grid)
+          .agg(max(length(col("code_digest")))).head().getInt(0).toLong
+      }),
       // record linkage: suffix blocks stay small as the corpus grows
       // (ids diversify the tails) — must price as join + per-pair O(1)
       "entity_resolution" -> ((dir, _) => {
