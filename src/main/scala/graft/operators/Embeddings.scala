@@ -214,8 +214,10 @@ object Embeddings {
     * state, so the same expression serves a live embedding stream
     * (the ingest-time featurizer). Identical codes to
     * [[scalarQuantizeWithGrid]] by construction: same fixed-point
-    * lattice, same integral divide, same rail clamp. Fails loudly on a
-    * vector whose length differs from the grid's dimensionality.
+    * lattice, same integral divide, same rail clamp — including the
+    * NULL-vector contract (dropped, exactly as the join path's
+    * posexplode drops them). Fails loudly on a NON-null vector whose
+    * length differs from the grid's dimensionality.
     */
   def encodeWithGridProjection(df: DataFrame, idCol: String,
                                vecCol: String,
@@ -231,6 +233,7 @@ object Embeddings {
     val mxArr = array(sorted.map(g => lit(g._3)): _*)
     val scale = math.pow(2.0, scaleBits)
     df.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
       .withColumn("__mn", mnArr)
       .withColumn("__mx", mxArr)
       // the size check lives INSIDE the codes expression (as the

@@ -215,9 +215,7 @@ object Unigram {
                          wordPattern: Option[String] = None): DataFrame = {
     val (words, vocab) = trainExactCore(docs, textCol, vocabSize, rounds,
       maxPieceLen, seedSize, maxWords, maxWordLen, wordPattern)
-    segmentedExact(words, vocab, maxPieceLen)
-      .select(col("word"), col("freq"),
-        array_join(col("pieces"), "|").as("segmentation"))
+    segmentExactWithModel(words, vocab, maxPieceLen)
   }
 
   /** Segment arbitrary (word, freq) rows under a LOADED exact model —

@@ -41,6 +41,30 @@ object QueryCatalog {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared serve path of the persisted merge-table tokenizers
+    * (`x_bpe_persisted`, `x_wordpiece_persisted`): stage the trained
+    * merges once, reload, and segment merge-derived OOV probe words
+    * (`lhs‖rhs‖qq`) from the artifact alone. ONE definition — the two
+    * entries must never drift in probe-word or column conventions,
+    * and both share [[graft.operators.Bpe.persistedApplyOracleSql]].
+    */
+  private def persistedTokenizerApply(s: SparkSession, idxDir: String,
+                                      dir: String)
+                                     (train: => DataFrame): DataFrame = {
+    val path = stageIndex(idxDir, dir) {
+      train.coalesce(1).write.mode("overwrite").parquet(s"$idxDir/merges")
+    }
+    val mergesDf = s.read.parquet(s"$path/merges")
+    val merges = mergesDf.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = mergesDf
+      .select(concat(col("lhs"), col("rhs"), lit("qq")).as("word"))
+      .distinct()
+    graft.operators.Bpe.applyMerges(words, "word", merges)
+      .select(col("word"), array_join(col("syms"), "|").as("segmentation"))
+      .orderBy("word")
+  }
+
   /** The Debezium-shaped change log shared by the x_cdc_* queries:
     * synthesized from `documents` (no staging) — full initial insert,
     * then updates, deletes, and re-inserts at later sequence numbers.
@@ -3404,21 +3428,9 @@ object QueryCatalog {
       // serve segments merge-derived OOV words from the artifact alone
       // — same contract and oracle machinery as x_bpe_persisted (the
       // apply rounds only consume lhs/rhs in rank order).
-      val path = stageIndex(wordpieceIdxDir, dir) {
+      persistedTokenizerApply(s, wordpieceIdxDir, dir)(
         graft.operators.Bpe.trainWordPiece(t(s, dir, "documents"), "text",
-            numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))._1
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$wordpieceIdxDir/merges")
-      }
-      val mergesDf = s.read.parquet(s"$path/merges")
-      val merges = mergesDf.orderBy("merge_rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val words = mergesDf
-        .select(concat(col("lhs"), col("rhs"), lit("qq")).as("word"))
-        .distinct()
-      graft.operators.Bpe.applyMerges(words, "word", merges)
-        .select(col("word"), array_join(col("syms"), "|").as("segmentation"))
-        .orderBy("word")
+          numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))._1)
     }),
 
     "x_wordpiece_segment" -> ((s, dir) =>
@@ -3528,21 +3540,9 @@ object QueryCatalog {
       // touches the corpus. The oracle reads the SAME parquet via
       // read_parquet and replays the apply rounds, so the hash proves
       // the on-disk bytes alone reproduce the trained segmentation.
-      val path = stageIndex(bpeIdxDir, dir) {
+      persistedTokenizerApply(s, bpeIdxDir, dir)(
         graft.operators.Bpe.train(t(s, dir, "documents"), "text",
-            numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$bpeIdxDir/merges")
-      }
-      val mergesDf = s.read.parquet(s"$path/merges")
-      val merges = mergesDf.orderBy("merge_rank").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val words = mergesDf
-        .select(concat(col("lhs"), col("rhs"), lit("qq")).as("word"))
-        .distinct()
-      graft.operators.Bpe.applyMerges(words, "word", merges)
-        .select(col("word"), array_join(col("syms"), "|").as("segmentation"))
-        .orderBy("word")
+          numMerges = 12, maxWords = 5000, wordPattern = Some("[a-z]+")))
     }),
 
     "x_bpe_segment" -> ((s, dir) => {

@@ -169,7 +169,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val viaProj = proj.select(col("vec_id"), col("codes"))
       .as[(Long, Seq[Int])].collect().toMap
     assert(viaProj == viaJoin, "projection and join paths disagree")
-    val plan = proj.queryExecution.executedPlan.toString
+    // plan gate on an un-limited scan — the spec's own limit(50) above
+    // adds a SinglePartition exchange that has nothing to do with the
+    // encoder
+    val full = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Embeddings
+      .encodeWithGridProjection(full, "vec_id", "embedding", grid)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     // wrong dimensionality must raise, not truncate or null out
     val bad = Seq((99L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
