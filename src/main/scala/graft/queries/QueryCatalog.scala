@@ -661,6 +661,7 @@ object QueryCatalog {
   private val unigramIdxDir = "/tmp/graft_unigram_idx"
   private val wordpieceIdxDir = "/tmp/graft_wordpiece_idx"
   private val sq8IdxDir = "/tmp/graft_sq8_idx"
+  private val binIngestDir = "/tmp/graft_bin_ingest"
   private val takedownIdxDir = "/tmp/graft_ivf_idx_cdc"
   private val pqAppIdxDir = "/tmp/graft_pq_idx_app"
   private val pqDelIdxDir = "/tmp/graft_pq_idx_del"
@@ -2043,6 +2044,46 @@ object QueryCatalog {
           sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
             .as("n_corrupt"))
         .orderBy("lang_bucket")
+    }),
+
+    "x_ingest_binary" -> ((s, dir) => {
+      // Multimodal ingest step 0: raw image FILES through Spark's
+      // binaryFile source (path/length/content — what a crawl's media
+      // sidecar actually is on disk). BMP payloads stage
+      // deterministically from the documents fixture, executor-side
+      // through the Hadoop FS; the oracle reads the SAME files via
+      // DuckDB read_blob. Integrity column = md5 over the lowercase hex
+      // of the bytes — both engines hash the same ASCII string, where a
+      // blob→varchar cast would die on non-UTF8 bytes.
+      val staged = stageIndex(binIngestDir, dir) {
+        val out = binIngestDir
+        graft.operators.Multimodal.withBmpPayload(
+            t(s, dir, "documents").filter(col("doc_id") < 100),
+            "doc_id", "text")
+          .select(col("doc_id"), col("payload"))
+          .repartition(8)
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              new java.net.URI(out),
+              new org.apache.hadoop.conf.Configuration())
+            it.foreach { r =>
+              val p = new org.apache.hadoop.fs.Path(
+                out, f"doc_${r.getLong(0)}%05d.bmp")
+              val os = fs.create(p, true)
+              try os.write(r.getAs[Array[Byte]](1)) finally os.close()
+            }
+          }
+      }
+      // pathGlobFilter instead of a glob IN the path: a glob path trips
+      // FileStreamSink's metadata probe into logging a WARN + stack
+      // every run, which would dirty the bench's clean-tail gate
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bmp")
+        .load(staged)
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          col("length").as("n_bytes"),
+          md5(lower(hex(col("content")))).as("content_md5"))
+        .orderBy("fname")
     }),
 
     "x_ingest_orc" -> ((s, dir) => {
@@ -5768,6 +5809,13 @@ object QueryCatalog {
            |  CAST(sum(nc) AS BIGINT) AS sum_chars,
            |  CAST(sum(corrupt) AS BIGINT) AS n_corrupt
            |FROM u GROUP BY lang_bucket ORDER BY lang_bucket""".stripMargin,
+
+      "x_ingest_binary" ->
+        s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+           |  CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           |  md5(lower(hex(content))) AS content_md5
+           |FROM read_blob('$binIngestDir/*.bmp')
+           |ORDER BY fname""".stripMargin,
 
       "x_ingest_orc" ->
         """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
