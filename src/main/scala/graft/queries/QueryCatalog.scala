@@ -4027,6 +4027,31 @@ object QueryCatalog {
         .orderBy("a", "b")
     }),
 
+    "x_eval_image_dedup" -> ((s, dir) => {
+      // The image member of the EVAL pillar: banding recall vs exact
+      // hamming truth. At ≤7 bits over 8 byte-bands the pigeonhole
+      // bound says recall MUST be 100% with uncapped buckets — this
+      // entry measures it instead of asserting it (the all-pairs truth
+      // is eval-only, bounded to fixture scale like x_eval_dedup's).
+      val staged = stageImageHashes(s, dir)
+      val h = s.read.parquet(staged)
+      val found = Multimodal
+        .imageNearDupPairs(h, maxHamming = 6, maxBandSize = None)
+        .select("a", "b")
+      val truth = h.select(col("id").as("a"), col("ahash").as("ha"))
+        .crossJoin(h.select(col("id").as("b"), col("ahash").as("hb")))
+        .filter(col("a") < col("b"))
+        .filter(expr("bit_count(ha ^ hb) <= 6"))
+        .select("a", "b")
+      val nTruth = truth.count()
+      val nFound = found.count()
+      val nHit = truth.join(found, Seq("a", "b")).count()
+      import s.implicits._
+      Seq((nTruth, nFound, nHit,
+        if (nTruth == 0) 100L else nHit * 100L / nTruth))
+        .toDF("n_truth", "n_found", "n_hit", "recall_pct")
+    }),
+
     "x_stream_imagehash" -> ((s, dir) => { // LIVE stream, oracle-hashed
       // Streaming multimodal dedup: the id-shifted copy half of the
       // signature table ARRIVES as a stream (readStream → stateless
@@ -5436,6 +5461,36 @@ object QueryCatalog {
            |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
            |FROM pairs WHERE bit_count(xor(ha, hb)) <= 6
            |ORDER BY a, b""".stripMargin,
+
+      "x_eval_image_dedup" ->
+        // truth = exact all-pairs hamming; found = uncapped band mining;
+        // the pigeonhole bound predicts recall_pct = 100 and the oracle
+        // MEASURES it over the same staged signatures
+        s"""WITH h AS (SELECT id, ahash
+           |  FROM read_parquet('$imgHashStageDir/hashes.parquet')),
+           |truth AS (SELECT h1.id AS a, h2.id AS b
+           |          FROM h h1 JOIN h h2 ON h1.id < h2.id
+           |          WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 6),
+           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
+           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) >= 2),
+           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |found AS (SELECT DISTINCT c1.id AS a, c2.id AS b
+           |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
+           |            AND c1.bv = c2.bv AND c1.id < c2.id
+           |          WHERE bit_count(xor(c1.ahash, c2.ahash)) <= 6),
+           |agg AS (SELECT
+           |    (SELECT count(*) FROM truth) AS n_truth,
+           |    (SELECT count(*) FROM found) AS n_found,
+           |    (SELECT count(*) FROM truth t JOIN found f
+           |       ON t.a = f.a AND t.b = f.b) AS n_hit)
+           |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           |  CAST(n_found AS BIGINT) AS n_found,
+           |  CAST(n_hit AS BIGINT) AS n_hit,
+           |  CAST(CASE WHEN n_truth = 0 THEN 100
+           |       ELSE n_hit * 100 // n_truth END AS BIGINT) AS recall_pct
+           |FROM agg""".stripMargin,
 
       "x_stream_imagehash" ->
         // Stream-vs-index replay over the SAME staged signature parquet:
