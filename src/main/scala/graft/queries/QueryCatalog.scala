@@ -2401,6 +2401,25 @@ object QueryCatalog {
         .select("doc_id", "op", "seq_from", "seq_to", "is_current")
         .orderBy("doc_id", "seq_from")),
 
+    "x_cdc_report" -> ((s, dir) => {
+      // Change-log health report — the observability a CDC consumer
+      // alarms on: per sequence slice, operation mix, keys touched, and
+      // the NET row delta the snapshot will see (inserts of absent keys
+      // minus deletes of present ones is what applyLog's count moves
+      // by; here the per-op tallies that feed that reasoning).
+      val log = cdcLog(s, dir)
+      log.groupBy(col("seq"))
+        .agg(
+          count(lit(1)).cast("long").as("n_changes"),
+          countDistinct(col("doc_id")).cast("long").as("n_keys"),
+          sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_insert"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_update"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_delete"),
+          sum(when(col("text").isNull && col("op") =!= "D", 1L)
+            .otherwise(0L)).as("n_suspect_null_payload"))
+        .orderBy("seq")
+    }),
+
     "x_cdc_asof" -> ((s, dir) =>
       // Time travel: the table AS OF seq 3 — after the deletes, before
       // the revives, so the cut EXERCISES the tombstone branch (an
@@ -4735,6 +4754,17 @@ object QueryCatalog {
       // the STREAMING applier must converge to the identical snapshot —
       // shared oracle is the whole point
       "x_stream_cdc" -> cdcSnapshotSql,
+
+      "x_cdc_report" ->
+        s"""WITH $cdcLogSql
+           |SELECT seq, CAST(count(*) AS BIGINT) AS n_changes,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+           |  CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+           |  CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+           |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+           |  CAST(sum(CASE WHEN text IS NULL AND op <> 'D' THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_suspect_null_payload
+           |FROM cdclog GROUP BY seq ORDER BY seq""".stripMargin,
 
       "x_cdc_asof" ->
         s"""WITH $cdcLogSql,
