@@ -73,6 +73,52 @@ object HostedTables {
            catch { case e: IllegalArgumentException => Left(e.getMessage) }
     } yield n)
 
+  /** Distributed delete — the at-scale form of [[deleteRows]]. Partitions
+    * a tombstone key frame by key hash and issues per-task `deleteByKey`
+    * batches FROM EXECUTORS, mirroring the DataWriter's per-partition
+    * commit path: a purge-heavy CDC batch (an AvailableNow catch-up over
+    * a takedown-heavy log) never materializes its key set on the driver.
+    *
+    * Replay idempotence: `batchTag`, when given, stamps every service
+    * call with `(tag, partition, chunk)`. The partition count is pinned
+    * explicitly (AQE cannot re-coalesce it), hash partitioning is a pure
+    * function of the key, and chunks are cut over the partition-SORTED
+    * iterator — so a re-executed micro-batch (or a retried task attempt)
+    * re-issues byte-identical batch ids that short-circuit service-side,
+    * exactly like [[write]]'s staged commits. Returns rows removed; the
+    * only driver materialization is one Long per partition.
+    */
+  def deleteFrame(keys: DataFrame, itemId: String, keyCol: String,
+                  chunkSize: Int = 100000,
+                  batchTag: Option[String] = None): Either[String, Long] =
+    audited(s"deleteFrame $itemId key=$keyCol")(for {
+      _ <- if (!HostedSinks.active.exists(itemId))
+             Left(s"no hosted table '$itemId'") else Right(())
+      _ <- if (chunkSize <= 0) Left(s"bad chunkSize $chunkSize") else Right(())
+      _ <- if (graft.core.IndexPoll.ensureUniqueIndex(
+               HostedSinks.active, itemId, keyCol)) Right(())
+           else Left(s"unique index on '$keyCol' never became visible")
+      n <- try {
+        val spark = keys.sparkSession
+        val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val parts = keys.select(col(keyCol))
+          .repartition(np, col(keyCol)).sortWithinPartitions(keyCol)
+        val removed = parts.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val sink = HostedSinks.active
+          var total = 0L
+          var chunk = 0
+          it.grouped(chunkSize).foreach { rows =>
+            total += sink.deleteByKey(itemId, keyCol, rows.map(_.get(0)),
+              batchTag.map(t => s"${t}_p${pid}_c$chunk"))
+            chunk += 1
+          }
+          Iterator.single(total)
+        }(org.apache.spark.sql.Encoders.scalaLong)
+        Right(removed.collect().sum) // one Long per partition, not per key
+      } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+    } yield n)
+
   private def doWrite(
       df: DataFrame,
       itemId: String,

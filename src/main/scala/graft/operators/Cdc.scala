@@ -85,7 +85,14 @@ object Cdc {
   def history(log: DataFrame, keyCol: String, seqCol: String,
               opCol: String, deleteOp: String = "D"): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
-    log.withColumn("seq_from", col(seqCol).cast("long"))
+    // Same coalesce-into-raise contract as applyLog/tombstones: guard
+    // the op column itself (every row), not just the is_current leg —
+    // And short-circuits in codegen, so a guard only on the conjunction
+    // would skip rows whose seq_to is non-null.
+    log.withColumn(opCol, coalesce(col(opCol),
+        raise_error(concat(lit("history: null op for key "),
+          col(keyCol).cast("string")))))
+      .withColumn("seq_from", col(seqCol).cast("long"))
       .withColumn("seq_to", lead(col(seqCol), 1).over(w).cast("long"))
       .withColumn("is_current",
         col("seq_to").isNull && col(opCol) =!= lit(deleteOp))

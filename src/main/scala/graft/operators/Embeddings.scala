@@ -198,12 +198,27 @@ object Embeddings {
       .withColumn("err",
         abs(col("xi") * levels -
           (col("mn") * levels + col("code") * (col("mx") - col("mn")))))
+    // the left-join guard above catches dims the grid never saw (vector
+    // LONGER than the grid); this one catches the converse — a vector
+    // SHORTER than the grid joins every one of its dims and would
+    // silently emit a short code row, diverging from
+    // encodeWithGridProjection's fail-loud length contract
+    val gridDim = st.agg(count(lit(1)).cast("long").as("__grid_dim"))
     coded.groupBy(col(idCol))
       .agg(
         transform(array_sort(collect_list(struct(col("pos"), col("code")))),
           s => s.getField("code").cast("int")).as("codes"),
         sum("err").cast("long").as("err_scaled"),
         count(lit(1)).cast("long").as("n_dims"))
+      .crossJoin(broadcast(gridDim))
+      .withColumn("n_dims",
+        when(col("n_dims") === col("__grid_dim"), col("n_dims"))
+          .otherwise(raise_error(concat(
+            lit("scalarQuantizeWithGrid: expected "),
+            col("__grid_dim").cast("string"), lit(" dims, got "),
+            col("n_dims").cast("string"), lit(" for id "),
+            col(idCol).cast("string"))).cast("long")))
+      .drop("__grid_dim")
       .withColumn("code_digest",
         md5(concat_ws(",", transform(col("codes"), _.cast("string")))))
   }
@@ -312,7 +327,8 @@ object Embeddings {
     * (`rows/numShards · dim · 4` bytes) — size `numShards` like any
     * capped `collect_list` bucket; the shuffle moves each vector once.
     * Executors resolve the output filesystem from the URI with the
-    * classpath Hadoop configuration (what a real cluster ships).
+    * SESSION Hadoop configuration (broadcast), so `spark.hadoop.*`
+    * credentials and fs impls apply on a real cluster.
     */
   def exportNpy(df: DataFrame, idCol: String, vecCol: String,
                 outDir: String, numShards: Int = 16): DataFrame = {
@@ -349,9 +365,15 @@ object Embeddings {
     try {
       cached.select(col("shard"), col("pos"), col(idCol).as("id"))
         .write.mode("overwrite").parquet(s"$outDir/manifest")
-      val conf = new org.apache.hadoop.conf.Configuration()
+      // the session's Hadoop conf (spark.hadoop.* credentials, fs impls)
+      // resolves the filesystem on BOTH sides: directly on the driver,
+      // broadcast to the tasks — a bare `new Configuration()` would drop
+      // every session-level setting on a real cluster
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val bconf = spark.sparkContext.broadcast(
+        new graft.core.SerializableHadoopConf(hconf))
       val dfs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(outDir), conf)
+        new java.net.URI(outDir), hconf)
       Option(dfs.globStatus(
           new org.apache.hadoop.fs.Path(outDir, "shard_*.npy")))
         .toSeq.flatten.foreach(st => dfs.delete(st.getPath, false))
@@ -361,15 +383,23 @@ object Embeddings {
         .repartition(numShards, col("shard"))
         .sortWithinPartitions("shard", "pos")
         .mapPartitions { it =>
-          // rows arrive sorted by (shard, pos) with every shard complete
-          // in this task (hash-partitioned on shard): emit one file per
-          // contiguous shard run
+          // rows arrive SORTED by (shard, pos) with every shard complete
+          // in this task (hash-partitioned on shard): stream the iterator
+          // and cut a file on each shard boundary — one shard buffered at
+          // a time (inherent: the .npy header needs the row count), never
+          // the whole task
           val fs = org.apache.hadoop.fs.FileSystem.get(
-            new java.net.URI(out),
-            new org.apache.hadoop.conf.Configuration())
-          it.toSeq.groupBy(_.getInt(0)).toSeq.sortBy(_._1).iterator
-            .map { case (shard, rows) =>
-              val (bytes, n, dim) = encodeShard(rows.sortBy(_.getLong(1)))
+            new java.net.URI(out), bconf.value.value)
+          val buf = it.buffered
+          new Iterator[(Int, Long, Long, Long, String)] {
+            override def hasNext: Boolean = buf.hasNext
+            override def next(): (Int, Long, Long, Long, String) = {
+              val shard = buf.head.getInt(0)
+              val rows = scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.spark.sql.Row]
+              while (buf.hasNext && buf.head.getInt(0) == shard)
+                rows += buf.next()
+              val (bytes, n, dim) = encodeShard(rows.toSeq) // pos-sorted
               val p = new org.apache.hadoop.fs.Path(out, f"shard_$shard%05d.npy")
               val os = fs.create(p, true)
               try os.write(bytes) finally os.close()
@@ -377,6 +407,7 @@ object Embeddings {
                 .digest(bytes).map(b => f"$b%02x").mkString
               (shard, n, dim, bytes.length.toLong, sha)
             }
+          }
         }
         .collect().toSeq
       spark.createDataset(report)

@@ -28,9 +28,13 @@ import graft.core.WriteMode
   * ordering a keyed change topic guarantees.
   *
   * Scale posture: the guard is a keyed lookup join against the serving
-  * table (batch-sized left side); the delete key set collects
-  * driver-side because the service's delete verb takes explicit keys —
-  * both bounded by the micro-batch, never by the table.
+  * table (batch-sized left side); deletes go through
+  * [[graft.api.HostedTables.deleteFrame]] — per-task `deleteByKey`
+  * batches issued from executors with deterministic (batch, partition,
+  * chunk) replay ids — so a purge-heavy catch-up batch never collects
+  * its tombstone keys on the driver. Null ops fail loudly (the same
+  * coalesce-into-raise contract as the batch [[graft.operators.Cdc]]):
+  * a corrupt record must never silently vanish from both legs.
   */
 object StreamCdc {
 
@@ -64,18 +68,24 @@ object StreamCdc {
             .filter(col("__stored_seq").isNull ||
               col(seqCol) >= col("__stored_seq"))
             .drop("__stored_seq")
+            // coalesce-into-raise, same contract as the batch applyLog:
+            // under bare =!=/=== a NULL op filters out of BOTH legs and
+            // the corrupt record silently vanishes from the snapshot
+            .withColumn(opCol, coalesce(col(opCol),
+              raise_error(concat(lit("stream cdc: null op for key "),
+                col(keyCol).cast("string")))))
           val ups = guarded.filter(col(opCol) =!= lit("D"))
             .select(snapSchema.fieldNames.toSeq.map(col): _*)
           val dels = guarded.filter(col(opCol) === lit("D"))
-            .select(col(keyCol)).collect().map(_.get(0)).toSeq
+            .select(col(keyCol))
           if (!ups.isEmpty)
             HostedTables.write(ups, id, WriteMode.Upsert, Some(keyCol))
               .fold(sys.error, identity)
-          if (dels.nonEmpty)
-            // batch-id dedupe on top of the seq guard: a replayed
-            // micro-batch's delete short-circuits service-side
-            HostedTables.deleteRows(id, keyCol, dels,
-                Some(s"cdcdel_${id}_$batchId"))
+          if (!dels.isEmpty)
+            // distributed per-task delete batches; the (batch, partition,
+            // chunk) replay ids dedupe on top of the seq guard
+            HostedTables.deleteFrame(dels, id, keyCol,
+                batchTag = Some(s"cdcdel_${id}_$batchId"))
               .fold(sys.error, identity)
         }
         ()
@@ -110,8 +120,16 @@ object StreamCdc {
               keyCol: String, seqCol: String, opCol: String): DataFrame = {
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
-    val tag = s"cdc_${System.nanoTime()}"
-    val id = apply(spark, raw, keyCol, seqCol, opCol, s"stream cdc $tag")
+    // Stable title keyed by the stage dir: re-runs rebuild the SAME
+    // hosted table (dropped first) instead of accumulating one
+    // full-snapshot table per invocation in the in-process store.
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(stageDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val title = s"stream cdc $tag"
+    val norm = graft.core.ServiceName.normalize(title).fold(sys.error, identity)
+    graft.sinks.HostedSinks.active.resolveByTitle(norm)
+      .foreach(graft.sinks.HostedSinks.active.drop)
+    val id = apply(spark, raw, keyCol, seqCol, opCol, title)
     HostedTables.read(spark, id).drop(seqCol)
   }
 }

@@ -565,6 +565,20 @@ object BenchSf1 {
         graft.streaming.StreamCdc.runOnce(spark, stage, log.schema,
           "doc_id", "seq", "op").count()
       }),
+      // purge-heavy CDC: one insert batch, then ONE batch tombstoning
+      // half the table — prices the distributed deleteFrame path (per-
+      // task delete batches, no driver-side key collect) at 10× volume
+      "cdc_purge" -> ((dir, _) => {
+        val d = docs(spark, dir).select("doc_id", "text", "lang", "source")
+        val log = d.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+          .unionByName(d.filter(col("doc_id") % 2 === 0)
+            .withColumn("seq", lit(2L)).withColumn("op", lit("D")))
+        val stage = s"/tmp/graft_sf1_cdcpurge/${tagOf(dir)}"
+        graft.streaming.StreamCdc.stageLogSlices(log, "seq", stage,
+          Seq(Seq(1L), Seq(2L)))
+        graft.streaming.StreamCdc.runOnce(spark, stage, log.schema,
+          "doc_id", "seq", "op").count()
+      }),
       // frozen-grid projection encode: grid is plan-constant, work is a
       // per-row indexed transform — must price as a linear scan
       "sq8_encode" -> ((dir, _) =>

@@ -91,6 +91,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null op"))
   }
 
+  test("history fails loudly on a null op instead of a null is_current") {
+    val bad = Seq((1L, 1L, "I", "a0"),
+      (1L, 2L, null.asInstanceOf[String], "a1")).toDF("k", "seq", "op", "p")
+    val e = intercept[Exception] {
+      Cdc.history(bad, "k", "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("null op"))
+  }
+
   test("history honors a non-default delete op code") {
     val h = Cdc.history(
         Seq((1L, 1L, "INS", "x"), (1L, 2L, "DEL",
@@ -152,6 +161,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       Embeddings.scalarQuantizeWithGrid(wider, "id", "vec", grid).collect()
     }
     assert(e.getMessage.contains("absent from the grid"))
+  }
+
+  test("scalarQuantizeWithGrid fails loudly on a vector SHORTER than the grid") {
+    // the converse of the absent-dimension guard: a short vector joins
+    // every one of its dims, so only the n_dims check can catch it —
+    // matching encodeWithGridProjection's length contract
+    val base = Seq((1L, Array(0.0f, 1.0f, 2.0f))).toDF("id", "vec")
+    val grid = Embeddings.scalarGrid(base, "id", "vec")
+    val shorter = Seq((2L, Array(0.5f, 0.5f))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Embeddings.scalarQuantizeWithGrid(shorter, "id", "vec", grid).collect()
+    }
+    assert(e.getMessage.contains("expected 3 dims, got 2"),
+      s"wrong failure: ${e.getMessage}")
   }
 
   test("projection encoder: codes identical to the join path, no shuffle, size guard") {

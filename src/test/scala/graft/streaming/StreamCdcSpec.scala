@@ -62,4 +62,76 @@ class StreamCdcSpec extends AnyFunSuite {
     assert(after == Seq((1L, "a1"), (3L, "c1")),
       s"stale replay regressed the snapshot: $after")
   }
+
+  test("a null op fails the stream loudly instead of vanishing from both legs") {
+    val dir = "/tmp/graft_test_streamcdc_nullop"
+    Seq((1L, 1L, "I", "a0"), (2L, 2L, null.asInstanceOf[String], "b0"))
+      .toDF("k", "seq", "op", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = logDf().schema
+    val e = intercept[Exception] {
+      StreamCdc.runOnce(spark, dir, schema, "k", "seq", "op").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("null op")),
+      s"expected the null-op raise, got: ${messages(e)}")
+  }
+
+  test("purge-heavy batch: 100k tombstones delete through the distributed path") {
+    val n = 100000L
+    val dir = "/tmp/graft_test_streamcdc_purge"
+    val ins = spark.range(n).select(col("id").as("k"), lit(1L).as("seq"),
+      lit("I").as("op"), concat(lit("v"), col("id")).as("payload"))
+    val dels = spark.range(n).select(col("id").as("k"), lit(2L).as("seq"),
+      lit("D").as("op"), lit(null).cast("string").as("payload"))
+    val log = ins.unionAll(dels)
+    StreamCdc.stageLogSlices(log, "seq", dir, Seq(Seq(1L), Seq(2L)))
+    val snap = StreamCdc.runOnce(spark, dir, log.schema, "k", "seq", "op")
+    assert(snap.count() == 0L, "every key was tombstoned in the purge batch")
+  }
+
+  test("deleteFrame: per-task batches remove rows; a tagged replay short-circuits") {
+    val df = spark.range(1000).select(col("id").as("k"),
+      concat(lit("p"), col("id")).as("v"))
+    val title = "deleteframe spec"
+    graft.sinks.HostedStore.dropByTitle(
+      graft.core.ServiceName.normalize(title).fold(sys.error, identity))
+    val id = HostedTables.createTable(df, title, Some("k"))
+      .fold(sys.error, identity)
+    HostedTables.write(df, id, graft.core.WriteMode.Upsert, Some("k"))
+      .fold(sys.error, identity)
+    val keys = spark.range(400).select(col("id").as("k"))
+    val n1 = HostedTables.deleteFrame(keys, id, "k",
+      batchTag = Some("dfspec_b1")).fold(sys.error, identity)
+    assert(n1 == 400L)
+    assert(HostedTables.read(spark, id).count() == 600L)
+    // replay with the SAME tag: every (partition, chunk) batch id has
+    // been applied, so the service short-circuits — still 600 rows
+    val n2 = HostedTables.deleteFrame(keys, id, "k",
+      batchTag = Some("dfspec_b1")).fold(sys.error, identity)
+    assert(n2 == 0L, s"replayed delete re-applied: $n2")
+    assert(HostedTables.read(spark, id).count() == 600L)
+    // an UNTAGGED delete of already-absent keys idempotently counts 0
+    val n3 = HostedTables.deleteFrame(keys, id, "k").fold(sys.error, identity)
+    assert(n3 == 0L)
+  }
+
+  test("deleteFrame chunks within a partition carry distinct batch ids") {
+    val df = spark.range(500).select(col("id").as("k"), lit("x").as("v"))
+    val title = "deleteframe chunk spec"
+    graft.sinks.HostedStore.dropByTitle(
+      graft.core.ServiceName.normalize(title).fold(sys.error, identity))
+    val id = HostedTables.createTable(df, title, Some("k"))
+      .fold(sys.error, identity)
+    HostedTables.write(df, id, graft.core.WriteMode.Upsert, Some("k"))
+      .fold(sys.error, identity)
+    // chunkSize 7 forces multi-chunk partitions; all 500 must go
+    val n = HostedTables.deleteFrame(df.select("k"), id, "k",
+      chunkSize = 7, batchTag = Some("dfspec_chunks"))
+      .fold(sys.error, identity)
+    assert(n == 500L)
+    assert(HostedTables.read(spark, id).count() == 0L)
+  }
 }
