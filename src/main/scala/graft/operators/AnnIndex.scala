@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *    `nprobe/nlist` of the index at the PARTITION level — the file-skip
   *    analogue of FAISS reading only the probed inverted lists.
   *
+  * Shared under either `path`:
+  *  - `tombstones/` — (id): the deletion-vector sidecar. Takedowns
+  *    ([[ivfDelete]]/[[pqDelete]]) append here in O(ids); every serve
+  *    anti-joins the broadcast sidecar; compaction folds it into the
+  *    data files and clears it. N takedowns cost O(N), not O(index).
+  *
   * PQ layout under `path`:
   *  - `codebooks/` — (s int, j int, cvec array double): m·ks subvector
   *    centroids, read driver-side per serve (KBs).
@@ -59,6 +65,9 @@ object AnnIndex {
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cents = loadIvfCentroids(spark, path)
     writeCells(corpus, idCol, vecCol, cents, path)
+    // a REBUILD over a path with pending takedowns must not inherit
+    // them — the fresh index's membership is exactly the corpus given
+    clearTombstones(spark, path)
   }
 
   /** Rebuild the inverted lists under an EXISTING centroid table (e.g.
@@ -78,6 +87,7 @@ object AnnIndex {
     spark.createDataFrame(cents.toIndexedSeq).toDF("cid", "cvec", "cnorm")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     writeCells(corpus, idCol, vecCol, loadIvfCentroids(spark, path), path)
+    clearTombstones(spark, path)
   }
 
   /** One-shot inverted-list write: ONE file per cid (repartition on cid
@@ -125,41 +135,82 @@ object AnnIndex {
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
   }
 
-  /** Compact the inverted lists after a run of appends — the VACUUM of
-    * the index lifecycle (build → append* → COMPACT → serve): every
-    * append lands its own part files in each touched cid partition, and
-    * a long append history turns serving into a small-files problem
-    * (listing + task-per-file overhead — exactly what the ivf_serve sf1
-    * probe showed grows while scanned bytes stay flat). Rewrites the
-    * cells to ONE file per cid (`repartition(cid)` routes all of a
-    * cid's rows to one task, so partitionBy emits a single file), then
-    * swaps directories. Content is untouched — serve-before ≡
-    * serve-after is spec-gated. The swap is a driver-side metadata
-    * rename (at production scale: a catalog/manifest pointer flip).
+  /** Compact the inverted lists after a run of appends and takedowns —
+    * the VACUUM of the index lifecycle (build → appends/deletes →
+    * COMPACT → serve): every append lands its own part files in each
+    * touched cid partition, and a long append history turns serving
+    * into a small-files problem (listing + task-per-file overhead —
+    * exactly what the ivf_serve sf1 probe showed grows while scanned
+    * bytes stay flat). Rewrites the cells to ONE file per cid
+    * (`repartition(cid)` routes all of a cid's rows to one task, so
+    * partitionBy emits a single file), FOLDING IN the tombstone sidecar
+    * (the deleted rows physically leave the index here — [[ivfDelete]]
+    * only marks them), then swaps directories and clears the sidecar.
+    * Served content is untouched — serve-before ≡ serve-after is
+    * spec-gated. The swap is a driver-side metadata rename (at
+    * production scale: a catalog/manifest pointer flip).
     */
-  def ivfCompact(spark: SparkSession, path: String): Unit =
-    rewriteCells(spark, path)(identity)
+  def ivfCompact(spark: SparkSession, path: String): Unit = {
+    rewriteCells(spark, path)(minusTombstones(spark, path, _))
+    clearTombstones(spark, path)
+  }
 
   /** Delete ids from a persisted IVF index — the takedown /
     * right-to-be-forgotten lifecycle step (at 100 TB, removal requests
     * against served indexes are a compliance requirement, not an edge
-    * case). The deletion list is bounded policy data, so it broadcasts;
-    * the rewrite is one anti-join pass over the cells and also restores
-    * the one-file-per-cid invariant. Centroids are untouched: deletion
-    * changes membership, never the index identity.
+    * case). DELETION-VECTOR semantics: the ids are APPENDED to a
+    * tombstone sidecar (`path/tombstones` — O(ids) work and bytes, the
+    * index itself is never read or rewritten), every serve anti-joins
+    * the broadcast sidecar, and [[ivfCompact]] folds it into the cells
+    * and clears it. A daily takedown trickle therefore costs O(trickle)
+    * per day, not O(index) — the previous rewrite-per-call behavior is
+    * exactly what [[ivfCompact]] now amortizes over many takedowns.
+    * Centroids are untouched: deletion changes membership, never the
+    * index identity. Re-inserting a taken-down id requires a compact
+    * first — while the tombstone is pending, the sidecar suppresses the
+    * id at serve regardless of appends.
     */
   def ivfDelete(spark: SparkSession, path: String, ids: DataFrame,
                 idCol: String): Unit =
-    rewriteCells(spark, path)(_.join(deletionSet(ids, idCol),
-      Seq("id"), "left_anti"))
+    appendTombstones(path, ids, idCol)
 
-  /** The broadcast takedown list, in the id column's NATIVE type — a
-    * cast here would turn e.g. string ids into nulls and make the
-    * anti-join silently delete NOTHING, the worst failure mode a
-    * compliance API can have.
+  /** Append takedown ids to the index's tombstone sidecar, in the id
+    * column's NATIVE type — a cast here would turn e.g. string ids into
+    * nulls and make the serve-time anti-join silently delete NOTHING,
+    * the worst failure mode a compliance API can have. One small file
+    * per takedown call (the sidecar is bounded policy data); duplicates
+    * across calls are harmless — the reader distincts.
     */
-  private def deletionSet(ids: DataFrame, idCol: String): DataFrame =
-    broadcast(ids.select(col(idCol).as("id")).distinct())
+  private def appendTombstones(path: String, ids: DataFrame,
+                               idCol: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  /** The pending tombstone set, if any takedowns have not been folded
+    * yet (None ⇒ no sidecar ⇒ serve skips the anti-join entirely).
+    */
+  private[graft] def loadTombstones(spark: SparkSession,
+                                    path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$path/tombstones").distinct())
+    else None
+  }
+
+  /** Suppress tombstoned members: broadcast anti-join on the `id`
+    * column (bounded policy data — never a shuffle of the index side).
+    */
+  private def minusTombstones(spark: SparkSession, path: String,
+                              df: DataFrame): DataFrame =
+    loadTombstones(spark, path)
+      .fold(df)(t => df.join(broadcast(t), Seq("id"), "left_anti"))
+
+  private[graft] def clearTombstones(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
 
   /** Shared rewrite-and-swap: transform the cells, rewrite one file per
     * cid, publish atomically (per this filesystem's rename).
@@ -227,9 +278,10 @@ object AnnIndex {
     // scan statically (PartitionFilters in explain — PlanSpec-gated)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val cells = spark.read.parquet(s"$path/cells")
-      .withColumn("cid", col("cid").cast("long"))
-      .filter(col("cid").isInCollection(probedCids))
+    val cells = minusTombstones(spark, path,
+      spark.read.parquet(s"$path/cells")
+        .withColumn("cid", col("cid").cast("long"))
+        .filter(col("cid").isInCollection(probedCids)))
     Similarity.rankTopK(
       Similarity.broadcastProbeScores(cells, probes), k, keepCosine)
   }
@@ -256,6 +308,8 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     Similarity.pqEncode(corpus, idCol, vecCol, loadPqCodebooks(spark, path))
       .write.mode("overwrite").parquet(s"$path/codes")
+    // rebuild semantics: no inherited takedowns (see ivfBuild)
+    clearTombstones(spark, path)
   }
 
   /** Append a new corpus batch to a persisted PQ index: the batch is
@@ -269,17 +323,33 @@ object AnnIndex {
       .write.mode("append").parquet(s"$path/codes")
   }
 
-  /** Delete ids from a persisted PQ index: one broadcast anti-join pass
-    * over the code table, swap-published. Codebooks are untouched
-    * (model identity, like IVF centroids).
+  /** Delete ids from a persisted PQ index — same DELETION-VECTOR
+    * semantics as [[ivfDelete]]: O(ids) sidecar append, serve-time
+    * broadcast anti-join, folded by [[pqCompact]]. Codebooks are
+    * untouched (model identity, like IVF centroids).
     */
   def pqDelete(spark: SparkSession, path: String, ids: DataFrame,
-               idCol: String): Unit = {
+               idCol: String): Unit =
+    appendTombstones(path, ids, idCol)
+
+  /** Compact a persisted PQ code table: fold the tombstone sidecar in
+    * (one broadcast anti-join pass) and rewrite the append history's
+    * small files at `targetBytes` granularity (the
+    * [[Scale.compactParquet]] sizing rule), swap-published; then clear
+    * the sidecar. The PQ twin of [[ivfCompact]].
+    */
+  def pqCompact(spark: SparkSession, path: String,
+                targetBytes: Long = 128L << 20): Unit = {
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(codesPath).getLength
+    val parts = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
     val tmp = s"$path/codes__rewrite"
-    spark.read.parquet(s"$path/codes")
-      .join(deletionSet(ids, idCol), Seq("id"), "left_anti")
+    minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
+      .repartition(parts)
       .write.mode("overwrite").parquet(tmp)
     publishSwap(spark, s"$path/codes", tmp)
+    clearTombstones(spark, path)
   }
 
   /** The persisted codebooks, reshaped to the m × ks × sub driver array
@@ -307,7 +377,8 @@ object AnnIndex {
   def pqServe(spark: SparkSession, path: String, corpus: DataFrame,
               queries: DataFrame, idCol: String, vecCol: String, k: Int,
               rerank: Int = 4): DataFrame =
-    Similarity.pqTopKWithCodes(spark.read.parquet(s"$path/codes"),
+    Similarity.pqTopKWithCodes(
+      minusTombstones(spark, path, spark.read.parquet(s"$path/codes")),
       corpus, queries, idCol, vecCol, k, rerank,
       loadPqCodebooks(spark, path))
 }

@@ -665,6 +665,8 @@ object QueryCatalog {
   private val takedownIdxDir = "/tmp/graft_ivf_idx_cdc"
   private val pqAppIdxDir = "/tmp/graft_pq_idx_app"
   private val pqDelIdxDir = "/tmp/graft_pq_idx_del"
+  private val ivfDelCmpIdxDir = "/tmp/graft_ivf_idx_delcmp"
+  private val pqDelCmpIdxDir = "/tmp/graft_pq_idx_delcmp"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
     synchronized {
@@ -3206,13 +3208,13 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
-    "x_takedown_pipeline" -> ((s, dir) => { // oracle: replay over the post-takedown index
+    "x_takedown_pipeline" -> ((s, dir) => { // oracle: sidecar-path replay (tombstoned)
       // COMPLIANCE COMPOSITION: the CDC change log drives the ANN-index
       // takedown — keys whose LAST operation is a tombstone (deleted,
-      // never revived) are exactly what ivfDelete must remove from the
-      // persisted index. This is the GDPR flow end-to-end: the log is
-      // the source of truth, the serving index follows it; the oracle
-      // replays retrieval over the post-takedown parquet, proving the
+      // never revived) are exactly what ivfDelete marks in the
+      // deletion-vector sidecar. This is the GDPR flow end-to-end: the
+      // log is the source of truth, the serving index follows it; the
+      // oracle replays retrieval over cells + sidecar, proving the
       // tombstoned members are unfindable and everything else is intact.
       val emb = t(s, dir, "embeddings")
       val path = stageIndex(takedownIdxDir, dir) {
@@ -3229,32 +3231,67 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
-    "x_sim_ivf_deleted" -> ((s, dir) => { // oracle: replay over the post-takedown index
-      // The takedown / right-to-be-forgotten lifecycle step: odd-id
-      // vectors are DELETED from the persisted index (broadcast
-      // anti-join rewrite, centroids untouched — membership changes,
-      // identity doesn't). The oracle replays over the resulting
-      // on-disk parquet, so the hash proves deletion removed exactly
-      // the listed members and nothing else.
+    "x_sim_ivf_deleted" -> ((s, dir) => { // oracle: sidecar-path replay (tombstoned)
+      // The takedown / right-to-be-forgotten lifecycle step with
+      // DELETION-VECTOR semantics: odd-id vectors are tombstoned into
+      // the O(ids) sidecar — the cells parquet is NOT rewritten — and
+      // serve suppresses them with a broadcast anti-join. Two separate
+      // ivfDelete calls prove takedowns accumulate. The oracle replays
+      // cells + tombstones, so the hash proves the sidecar path
+      // suppresses exactly the listed members and nothing else.
       val emb = t(s, dir, "embeddings")
       val path = stageIndex(ivfDelIdxDir, dir) {
         graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
           ivfDelIdxDir, nlist = 16)
         graft.operators.AnnIndex.ivfDelete(s, ivfDelIdxDir,
-          emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+          emb.filter(col("vec_id") % 4 === 1).select("vec_id"), "vec_id")
+        graft.operators.AnnIndex.ivfDelete(s, ivfDelIdxDir,
+          emb.filter(col("vec_id") % 4 === 3).select("vec_id"), "vec_id")
       }
       graft.operators.AnnIndex.ivfServe(s, path,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
         .orderBy("qid", "rank")
     }),
 
-    "x_sim_pq_deleted" -> ((s, dir) => { // oracle: ADC+rerank replay post-takedown
+    "x_sim_ivf_del_compacted" -> ((s, dir) => { // oracle: PLAIN replay post-fold
+      // COMPACTION FOLDS THE SIDECAR: after ivfCompact the tombstoned
+      // rows physically leave the cells and the sidecar is cleared —
+      // the oracle replays the cells ALONE (no tombstone clause), so
+      // the hash proves fold-in ≡ the sidecar-path suppression.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfDelCmpIdxDir, dir) {
+        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+          ivfDelCmpIdxDir, nlist = 16)
+        graft.operators.AnnIndex.ivfDelete(s, ivfDelCmpIdxDir,
+          emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+        graft.operators.AnnIndex.ivfCompact(s, ivfDelCmpIdxDir)
+      }
+      graft.operators.AnnIndex.ivfServe(s, path,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_sim_pq_deleted" -> ((s, dir) => { // oracle: sidecar-path ADC+rerank replay
       val emb = t(s, dir, "embeddings")
       val path = stageIndex(pqDelIdxDir, dir) {
         graft.operators.AnnIndex.pqBuild(emb, "vec_id", "embedding",
           pqDelIdxDir)
         graft.operators.AnnIndex.pqDelete(s, pqDelIdxDir,
           emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+      }
+      graft.operators.AnnIndex.pqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_sim_pq_del_compacted" -> ((s, dir) => { // oracle: PLAIN ADC replay post-fold
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(pqDelCmpIdxDir, dir) {
+        graft.operators.AnnIndex.pqBuild(emb, "vec_id", "embedding",
+          pqDelCmpIdxDir)
+        graft.operators.AnnIndex.pqDelete(s, pqDelCmpIdxDir,
+          emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+        graft.operators.AnnIndex.pqCompact(s, pqDelCmpIdxDir)
       }
       graft.operators.AnnIndex.pqServe(s, path, emb,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
@@ -4260,7 +4297,15 @@ object QueryCatalog {
     // Replay over a PERSISTED IVF index directory: centroids and the
     // cid-partitioned cells (incl. STORED norms) come from the parquet
     // on disk; only the query vectors come from the embeddings table.
-    def ivfPersistedReplay(idxDir: String): String =
+    // `tombstoned = true` replays THROUGH the deletion-vector sidecar:
+    // the cells keep the taken-down rows on disk (ivfDelete is O(ids)),
+    // and the serve path suppresses them with an anti-join — the oracle
+    // must apply the same NOT IN over the sidecar parquet.
+    def ivfPersistedReplay(idxDir: String,
+                           tombstoned: Boolean = false): String = {
+      val dv = if (tombstoned)
+        s" WHERE id NOT IN (SELECT id FROM read_parquet('$idxDir/tombstones/*.parquet'))"
+      else ""
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |nq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
@@ -4268,7 +4313,7 @@ object QueryCatalog {
          |cell AS (SELECT CAST(cid AS BIGINT) AS cid, id,
          |                CAST(vec AS DOUBLE[]) AS mv, norm AS mn
          |         FROM read_parquet('$idxDir/cells/*/*.parquet',
-         |                           hive_partitioning = true)),
+         |                           hive_partitioning = true)$dv),
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nq WHERE vec_id < 5),
          |probe AS (
          |  SELECT qid, cid FROM (
@@ -4288,18 +4333,24 @@ object QueryCatalog {
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
          |  FROM cand) WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin
+    }
 
     // Replay over a PERSISTED PQ index directory: codebooks and the
     // encoded code table come from the parquet on disk; queries and the
-    // re-rank vectors come from the embeddings table.
-    def pqPersistedReplay(idxDir: String): String =
+    // re-rank vectors come from the embeddings table. `tombstoned` as
+    // in ivfPersistedReplay: replay the deletion-vector anti-join.
+    def pqPersistedReplay(idxDir: String,
+                          tombstoned: Boolean = false): String = {
+      val dv = if (tombstoned)
+        s" WHERE id NOT IN (SELECT id FROM read_parquet('$idxDir/tombstones/*.parquet'))"
+      else ""
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
            |u AS (SELECT vec_id,
            |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
            |      FROM n),
            |cb AS (SELECT s, j, cvec FROM read_parquet('$idxDir/codebooks/*.parquet')),
-           |codes AS (SELECT id, code FROM read_parquet('$idxDir/codes/*.parquet')),
+           |codes AS (SELECT id, code FROM read_parquet('$idxDir/codes/*.parquet')$dv),
            |q0 AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
            |lut AS (SELECT q0.qid, c.s, c.j,
            |          list_dot_product(q0.quv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) AS d
@@ -4325,6 +4376,7 @@ object QueryCatalog {
            |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
            |  FROM exact) WHERE rank <= 10
            |ORDER BY qid, rank""".stripMargin
+    }
 
     Map(
       "x_sim_ivf" -> ivfReplaySql(nlist = 16, nprobe = 4, k = 10,
@@ -5438,17 +5490,27 @@ object QueryCatalog {
           |FROM d ORDER BY shard_no""".stripMargin,
 
       "x_sim_ivf_deleted" ->
-        // identical replay over the post-takedown index: the on-disk
-        // cells are the only corpus input, so the hash proves exactly
-        // the listed members vanished
-        ivfPersistedReplay(ivfDelIdxDir),
+        // replay THROUGH the deletion-vector sidecar: the cells keep
+        // the taken-down rows (delete is O(ids)); the oracle applies
+        // the same tombstone anti-join as serve, so the hash proves
+        // exactly the listed members are suppressed
+        ivfPersistedReplay(ivfDelIdxDir, tombstoned = true),
+
+      "x_sim_ivf_del_compacted" ->
+        // after ivfCompact FOLDS the sidecar the rows are physically
+        // gone and the sidecar is cleared — the PLAIN replay over the
+        // cells alone must equal the sidecar-path result above
+        ivfPersistedReplay(ivfDelCmpIdxDir),
 
       "x_takedown_pipeline" ->
-        // same replay shape over the CDC-driven takedown index
-        ivfPersistedReplay(takedownIdxDir),
+        // same sidecar replay shape over the CDC-driven takedown index
+        ivfPersistedReplay(takedownIdxDir, tombstoned = true),
 
       "x_sim_pq_deleted" ->
-        pqPersistedReplay(pqDelIdxDir),
+        pqPersistedReplay(pqDelIdxDir, tombstoned = true),
+
+      "x_sim_pq_del_compacted" ->
+        pqPersistedReplay(pqDelCmpIdxDir),
 
       "x_layout_compact" ->
         // the compacted copy must aggregate identically to the ORIGINAL

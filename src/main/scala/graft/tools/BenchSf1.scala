@@ -477,11 +477,28 @@ object BenchSf1 {
         graft.streaming.StreamImageDedup.vsIndexHits(probes,
           graft.streaming.StreamImageDedup.indexBands(sigs)).count()
       }),
-      // index maintenance: build + takedown rewrite, both linear passes
-      // (the deletion list is fixed-size and broadcast). Build is INSIDE
-      // the timing deliberately — a delete mutates the index, so pricing
-      // it alone would hand the second timing run a shrunken input; the
-      // combined probe is a fixed two-pass pipeline at both scales.
+      // takedown TRICKLE against the staged serving index: 10 sidecar
+      // appends (O(ids) each — the deletion-vector path; the previous
+      // rewrite-per-delete behavior would price O(index)·10 here) plus
+      // one tombstone-suppressed serve; the sidecar is cleared at the
+      // end so repeat timing runs see identical state. Must price ~FLAT
+      // while the index underneath is 10× — rewrite bytes are zero.
+      "ivf_takedown" -> ((dir, _) => {
+        val idx = s"$ivfIdxDir/${tagOf(dir)}"
+        (0 until 10).foreach { i =>
+          graft.operators.AnnIndex.ivfDelete(spark, idx,
+            emb(spark, sf01).filter(col("vec_id") % 1000 === i)
+              .select("vec_id"), "vec_id")
+        }
+        val n = graft.operators.AnnIndex.ivfServe(spark, idx,
+          emb(spark, sf01).filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, nprobe = 8).count()
+        graft.operators.AnnIndex.clearTombstones(spark, idx)
+        n
+      }),
+      // index maintenance: build + sidecar takedown + full-index scan —
+      // linear passes (the deletion list is fixed-size). Build is INSIDE
+      // the timing deliberately: a fixed pipeline at both scales.
       "ivf_build_delete" -> ((dir, _) => {
         val idx = s"$ivfIdxDir/${tagOf(dir)}_del"
         graft.operators.AnnIndex.ivfBuild(emb(spark, dir),

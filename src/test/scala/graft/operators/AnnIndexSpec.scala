@@ -216,6 +216,84 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served == inMem)
   }
 
+  test("takedowns are O(ids): cells untouched by N deletes; compact folds + clears") {
+    val path = "/tmp/graft_test_ivf_idx_dv"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    def cellsListing(): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/cells"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sorted
+    }
+    val before = cellsListing()
+    // N takedown calls: the index data files must not be rewritten —
+    // identical paths, sizes, AND mtimes (O(ids) sidecar appends only)
+    (1 to 5).foreach { i =>
+      AnnIndex.ivfDelete(spark, path,
+        emb.filter(col("vec_id") % 10 === i).select("vec_id"), "vec_id")
+    }
+    assert(cellsListing() == before,
+      "a takedown rewrote the cells — deletes must be O(ids), not O(index)")
+    assert(new java.io.File(s"$path/tombstones").exists(),
+      "no tombstone sidecar written")
+    val viaSidecar = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(viaSidecar.nonEmpty &&
+      viaSidecar.forall(r => r._2 % 10 == 0 || r._2 % 10 > 5),
+      "tombstoned members (vec_id % 10 in 1..5) still serving")
+    // compact folds the sidecar: rows physically gone, sidecar cleared,
+    // serve results identical to the sidecar path
+    AnnIndex.ivfCompact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compact did not clear the folded sidecar")
+    val folded = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(folded == viaSidecar, "fold changed serve results")
+    val foldedIds = spark.read.parquet(s"$path/cells")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(foldedIds.forall(id => (id % 10 == 0) || (id % 10 > 5)),
+      "folded cells still contain tombstoned members")
+  }
+
+  test("pqCompact folds the sidecar and clears it; serve unchanged") {
+    val path = "/tmp/graft_test_pq_idx_dv"
+    AnnIndex.pqBuild(emb, "vec_id", "embedding", path)
+    def codesListing(): Seq[(String, Long, Long)] =
+      new java.io.File(s"$path/codes").listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sorted
+    val before = codesListing()
+    AnnIndex.pqDelete(spark, path,
+      emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+    assert(codesListing() == before,
+      "pqDelete rewrote the code table — must be O(ids)")
+    val viaSidecar = rows(AnnIndex.pqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10))
+    assert(viaSidecar.nonEmpty && viaSidecar.forall(_._2 % 2 == 0))
+    AnnIndex.pqCompact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val folded = rows(AnnIndex.pqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10))
+    assert(folded == viaSidecar)
+    val ids = spark.read.parquet(s"$path/codes")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 2 == 0), "folded codes keep tombstoned members")
+  }
+
+  test("a rebuild clears a stale sidecar: fresh membership = the corpus given") {
+    val path = "/tmp/graft_test_ivf_idx_stale"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    AnnIndex.ivfDelete(spark, path,
+      emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+    // rebuild over the same path: the pending takedowns must NOT leak
+    // into the fresh index
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val served = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(served.exists(_._2 % 2 != 0),
+      "stale sidecar suppressed fresh members after a rebuild")
+  }
+
   test("streaming serve (foreachBatch) equals the batch serve row for row") {
     val path = "/tmp/graft_test_ivf_idx_stream"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
