@@ -76,6 +76,54 @@ object Cdc {
     applyLog(log.filter(col(seqCol) <= asOfSeq), keyCol, seqCol, opCol,
       deleteOp)
 
+  /** Compact the change log at a checkpoint sequence — the maintenance
+    * op that keeps an append-only log from growing forever (the CDC
+    * twin of [[Scale.compactParquet]] / [[AnnIndex.ivfCompact]]): every
+    * key's pre-checkpoint run of versions collapses to ONE insert row
+    * (its live payload, stamped with its last pre-checkpoint sequence),
+    * keys DEAD at the checkpoint vanish entirely (their tombstones and
+    * every superseded version with them), and the tail
+    * (`seq > asOfSeq`) is kept verbatim.
+    *
+    * Invariants (spec- and oracle-gated): `applyLog(compacted)` ≡
+    * `applyLog(original)`, and `snapshotAsOf(compacted, s)` ≡
+    * `snapshotAsOf(original, s)` for every `s ≥ asOfSeq`. Time travel
+    * BELOW the checkpoint is deliberately truncated — the same
+    * retention contract as folding a deletion sidecar or vacuuming old
+    * table versions. [[history]] over the compacted log shows one
+    * synthetic `insertOp` version per checkpointed key.
+    *
+    * Scale posture: the checkpoint is [[applyLog]]'s one partial-
+    * aggregable hash-aggregate over the head; the tail is a pushed-down
+    * scan filter. Writing `checkpoint ∪ tail` to a new directory and
+    * pointer-flipping it over the old one (the [[Scale.compactParquet]]
+    * publish discipline) is what keeps `snapshotAsOf` scans cheap as
+    * the log ages.
+    */
+  def compactLog(log: DataFrame, keyCol: String, seqCol: String,
+                 opCol: String, asOfSeq: Long, deleteOp: String = "D",
+                 insertOp: String = "I"): DataFrame = {
+    val payload = log.columns.toSeq.filterNot(c =>
+      c == keyCol || c == seqCol || c == opCol)
+    require(payload.nonEmpty, "compactLog: log has no payload columns")
+    val last = struct((seqCol +: opCol +: payload).map(col): _*)
+    val checkpoint = log.filter(col(seqCol) <= asOfSeq)
+      .groupBy(col(keyCol))
+      .agg(max_by(last, col(seqCol)).as("__last"))
+      // same fail-loud null-op contract as applyLog: a corrupt record
+      // must never silently drop a key from the checkpoint
+      .filter(coalesce(col(s"__last.$opCol"),
+        raise_error(concat(lit("compactLog: null op for key "),
+          col(keyCol).cast("string")))) =!= lit(deleteOp))
+      .select(log.columns.toSeq.map {
+        case c if c == keyCol => col(keyCol)
+        case c if c == seqCol => col(s"__last.$seqCol").as(seqCol)
+        case c if c == opCol  => lit(insertOp).as(opCol)
+        case c                => col(s"__last.$c").as(c)
+      }: _*)
+    checkpoint.unionByName(log.filter(col(seqCol) > asOfSeq))
+  }
+
   /** SCD2 validity intervals: one row per log version with
     * `seq_from` = its own sequence and `seq_to` = the next version's
     * sequence for the same key (null while current). Delete rows are

@@ -667,6 +667,7 @@ object QueryCatalog {
   private val pqDelIdxDir = "/tmp/graft_pq_idx_del"
   private val ivfDelCmpIdxDir = "/tmp/graft_ivf_idx_delcmp"
   private val pqDelCmpIdxDir = "/tmp/graft_pq_idx_delcmp"
+  private val cdcCheckpointDir = "/tmp/graft_cdc_checkpoint"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
     synchronized {
@@ -2430,6 +2431,33 @@ object QueryCatalog {
       // only cross-engine check). Same one-aggregate apply behind a
       // pushed-down sequence filter.
       Cdc.snapshotAsOf(cdcLog(s, dir), "doc_id", "seq", "op", asOfSeq = 3L)
+        .orderBy("doc_id")),
+
+    "x_cdc_checkpoint" -> ((s, dir) => {
+      // LOG COMPACTION is content-neutral for the snapshot: compact at
+      // seq 3 (checkpoint AFTER the deletes, so dead keys vanish with
+      // their tombstones; the seq-4 revives stay in the tail verbatim),
+      // write the compacted log to parquet, and derive the snapshot
+      // from the RE-READ artifact alone. Shares x_cdc_snapshot's oracle
+      // — applyLog(compacted) ≡ applyLog(original) IS the hash gate
+      // (the x_layout_compact content-neutrality pattern).
+      val staged = stageIndex(cdcCheckpointDir, dir) {
+        Cdc.compactLog(cdcLog(s, dir), "doc_id", "seq", "op", asOfSeq = 3L)
+          .write.mode("overwrite").parquet(cdcCheckpointDir)
+      }
+      Cdc.applyLog(s.read.parquet(staged), "doc_id", "seq", "op")
+        .orderBy("doc_id")
+    }),
+
+    "x_cdc_checkpoint_asof" -> ((s, dir) =>
+      // Time travel AT/ABOVE the checkpoint survives compaction across
+      // the delete seam: compact at seq 2 (checkpoint BEFORE the
+      // deletes), then AS OF seq 3 — the tail's tombstones must still
+      // delete checkpointed keys, and the revives must stay invisible.
+      // Shares x_cdc_asof's oracle verbatim.
+      Cdc.snapshotAsOf(
+          Cdc.compactLog(cdcLog(s, dir), "doc_id", "seq", "op", asOfSeq = 2L),
+          "doc_id", "seq", "op", asOfSeq = 3L)
         .orderBy("doc_id")),
 
     "x_stream_cdc" -> ((s, dir) => {
@@ -4199,6 +4227,15 @@ object QueryCatalog {
          |SELECT doc_id, text, lang, source FROM lastv
          |WHERE op <> 'D' ORDER BY doc_id""".stripMargin
 
+    val cdcAsofSql =
+      s"""WITH $cdcLogSql,
+         |lastv AS (SELECT doc_id,
+         |            arg_max(op, seq) AS op, arg_max(text, seq) AS text,
+         |            arg_max(lang, seq) AS lang, arg_max(source, seq) AS source
+         |          FROM cdclog WHERE seq <= 3 GROUP BY doc_id)
+         |SELECT doc_id, text, lang, source FROM lastv
+         |WHERE op <> 'D' ORDER BY doc_id""".stripMargin
+
     // The x_text_extract_html page fixture + extraction chain, shared
     // between the result columns: one CTE per regexp_replace step of
     // HtmlText.extractText, applied in lockstep to the body (c) and the
@@ -4818,14 +4855,13 @@ object QueryCatalog {
            |       AS BIGINT) AS n_suspect_null_payload
            |FROM cdclog GROUP BY seq ORDER BY seq""".stripMargin,
 
-      "x_cdc_asof" ->
-        s"""WITH $cdcLogSql,
-           |lastv AS (SELECT doc_id,
-           |            arg_max(op, seq) AS op, arg_max(text, seq) AS text,
-           |            arg_max(lang, seq) AS lang, arg_max(source, seq) AS source
-           |          FROM cdclog WHERE seq <= 3 GROUP BY doc_id)
-           |SELECT doc_id, text, lang, source FROM lastv
-           |WHERE op <> 'D' ORDER BY doc_id""".stripMargin,
+      "x_cdc_asof" -> cdcAsofSql,
+
+      // compaction is content-neutral: the compacted log's snapshot /
+      // as-of view must hash-match the ORIGINAL log's — both entries
+      // share the uncompacted oracles verbatim
+      "x_cdc_checkpoint" -> cdcSnapshotSql,
+      "x_cdc_checkpoint_asof" -> cdcAsofSql,
 
       "x_cdc_history" ->
         s"""WITH $cdcLogSql

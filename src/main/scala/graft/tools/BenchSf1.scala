@@ -536,6 +536,23 @@ object BenchSf1 {
             .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
         graft.operators.Cdc.applyLog(log, "doc_id", "seq", "op").count()
       }),
+      // CDC log compaction: checkpoint hash-agg over the head + tail
+      // passthrough, written as the new log artifact — the maintenance
+      // pass must price like cdc_apply (one aggregate + one write)
+      "cdc_compact" -> ((dir, _) => {
+        val d = docs(spark, dir).select("doc_id", "text", "lang", "source")
+        val log = d.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+          .unionByName(d.filter(col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" v2")))
+            .withColumn("seq", lit(2L)).withColumn("op", lit("U")))
+          .unionByName(d.filter(col("doc_id") % 11 === 3)
+            .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+        val out = s"/tmp/graft_sf1_cdccompact/${tagOf(dir)}"
+        graft.operators.Cdc.compactLog(log, "doc_id", "seq", "op",
+            asOfSeq = 2L)
+          .write.mode("overwrite").parquet(out)
+        spark.read.parquet(out).count()
+      }),
       // HTML extraction: pure codegen regexp chain, no shuffle — the
       // sum(text_chars) forces the chain past count-only pruning
       "html_extract" -> ((dir, _) => {

@@ -70,6 +70,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(at(99L) == Seq((1L, "a2"), (3L, "c1"), (4L, "d0")))
   }
 
+  test("compactLog: snapshot and >=checkpoint time travel invariant at EVERY seam") {
+    val l = log()
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      Cdc.applyLog(df, "k", "seq", "op")
+        .orderBy("k").as[(Long, String)].collect().toSeq
+    def asOf(df: org.apache.spark.sql.DataFrame, s: Long): Seq[(Long, String)] =
+      Cdc.snapshotAsOf(df, "k", "seq", "op", s)
+        .orderBy("k").as[(Long, String)].collect().toSeq
+    val full = snap(l)
+    // every checkpoint position crosses a different seam: inside the
+    // insert prefix, on each delete, on the revive, past the end
+    for (cut <- 0L to 8L) {
+      val c = Cdc.compactLog(l, "k", "seq", "op", cut)
+      assert(snap(c) == full, s"applyLog changed at checkpoint $cut")
+      for (s <- cut to 8L)
+        assert(asOf(c, s) == asOf(l, s),
+          s"snapshotAsOf($s) changed at checkpoint $cut")
+    }
+  }
+
+  test("compactLog: dead keys vanish with their tombstones, tail verbatim") {
+    // checkpoint at 4: key 1 collapses to one insert at its last seq,
+    // keys 2 (D@4) and 3 (D@2, revive in tail) vanish from the head,
+    // keys 3 and 4 survive only via tail rows
+    val c = Cdc.compactLog(log(), "k", "seq", "op", asOfSeq = 4L)
+      .orderBy("k", "seq")
+      .as[(Long, Long, String, Option[String])].collect().toSeq
+    assert(c == Seq(
+      (1L, 3L, "I", Some("a2")),  // checkpoint row: op=I, ORIGINAL seq
+      (3L, 5L, "I", Some("c1")),  // tail revive, verbatim
+      (4L, 7L, "I", Some("d0"))), // tail insert, verbatim
+      s"unexpected compacted log: $c")
+    // time travel BELOW the checkpoint is truncated by contract: the
+    // pre-checkpoint versions are gone (key 1's seq-1 payload, keys
+    // 2/3's pre-delete lives are unrecoverable)
+    val below = Cdc.snapshotAsOf(
+        Cdc.compactLog(log(), "k", "seq", "op", 4L), "k", "seq", "op", 1L)
+      .as[(Long, String)].collect().toSeq
+    assert(below.isEmpty, s"below-checkpoint travel should be empty: $below")
+  }
+
+  test("compactLog fails loudly on a null op in the head") {
+    val bad = Seq((1L, 1L, "I", "a0"),
+      (1L, 2L, null.asInstanceOf[String], "a1")).toDF("k", "seq", "op", "p")
+    val e = intercept[Exception] {
+      Cdc.compactLog(bad, "k", "seq", "op", asOfSeq = 5L).collect()
+    }
+    assert(e.getMessage.contains("null op"))
+  }
+
   test("applyLog fails loudly on a null op instead of silently tombstoning") {
     val bad = Seq((1L, 1L, "I", "a0"),
       (1L, 2L, null.asInstanceOf[String], "a1")).toDF("k", "seq", "op", "p")
