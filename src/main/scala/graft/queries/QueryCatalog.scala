@@ -273,6 +273,38 @@ object QueryCatalog {
     * query (Spark and DuckDB sides both). */
   private val jaccardFreqCap = 20
 
+  /** Sampling modulus for the sampled-truth eval twins: a doc is in the
+    * truth sample iff its shuffleShards hash (15 md5 hex chars as a
+    * non-negative long) ≡ 0 (mod this). 2 keeps the sf-fixture counts
+    * non-trivial; a 100 TB deployment raises it to taste — the
+    * estimator's shape is modulus-independent.
+    */
+  private val evalSampleMod = 2
+
+  /** The sampled exact-Jaccard truth CTEs (`samp …, sjac`): the
+    * [[jaccardPairsSql]] chain restricted to the md5-sampled doc subset,
+    * with CTE names disjoint from the LSH chain's so the eval oracle can
+    * hold both in one WITH.
+    */
+  private def jaccardPairsSampledSql(mod: Int): String =
+    s"""samp AS (SELECT doc_id, text FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $mod = 0),
+       |swords AS (SELECT doc_id, string_split(text, ' ') AS w FROM samp),
+       |ssh AS (SELECT doc_id,
+       |          unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+       |                                for i in range(1, len(w) - 1)])) AS shingle
+       |        FROM swords),
+       |ssizes AS (SELECT doc_id, count(*) AS n_sh FROM ssh GROUP BY doc_id),
+       |scommon AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+       |              FROM ssh a JOIN ssh b
+       |                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |              GROUP BY 1, 2),
+       |sjac AS (SELECT c.a, c.b,
+       |                c.n_common / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+       |           FROM scommon c
+       |           JOIN ssizes sa ON sa.doc_id = c.a
+       |           JOIN ssizes sb ON sb.doc_id = c.b)""".stripMargin
+
   // LSH banding for the oracle-facing minhash-pairs query: the md5Base
   // double-hash family, so DuckDB can replay the exact signature/band/
   // bucket pipeline bit-for-bit (the operator's production default is the
@@ -2924,6 +2956,39 @@ object QueryCatalog {
             .cast("long").as("fn"))
     }),
 
+    "x_eval_dedup_sampled" -> ((s, dir) => {
+      // THE 100 TB FORM of the eval pillar's truth: exact-Jaccard is
+      // quadratic, so truth restricts to a deterministic md5-sampled id
+      // subset (the shuffleShards hash convention — engine-replayable,
+      // partition-independent), while the CANDIDATE side stays the full
+      // production banding filtered to sampled pairs. Sampled recall
+      // estimates production recall at O(corpus) mining + O((n/S)²)
+      // truth — the form that still runs when the corpus is 100 TB.
+      // The exact x_eval_dedup stays the fixture-scale gold.
+      val docs = t(s, dir, "documents")
+      def inSample(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+          .cast("long") % evalSampleMod === 0
+      val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+          numHashes = lshNumHashes, bands = lshBandCount,
+          base = Dedup.Hashers.md5Base, maxBucketSize = Some(lshBucketCap))
+        .filter(inSample(col("a")) && inSample(col("b")))
+        .withColumn("__c", lit(1))
+      val truth = Dedup.jaccardPairs(docs.filter(inSample(col("doc_id"))),
+          "doc_id", "text", 0.7)
+        .select(col("a"), col("b")).withColumn("__t", lit(1))
+      cand.join(truth, Seq("a", "b"), "full_outer")
+        .agg(
+          sum(when(col("__t") === 1, 1).otherwise(0)).cast("long")
+            .as("n_truth"),
+          sum(when(col("__c") === 1, 1).otherwise(0)).cast("long")
+            .as("n_candidates"),
+          sum(when(col("__c") === 1 && col("__t") === 1, 1).otherwise(0))
+            .cast("long").as("tp"),
+          sum(when(col("__t") === 1 && col("__c").isNull, 1).otherwise(0))
+            .cast("long").as("fn"))
+    }),
+
     "x_corpus_overlap" -> ((s, dir) =>
       // Corpus-overlap audit: pairwise source↔source shingle-set overlap
       // from per-source minhash signatures + exact intersection counts
@@ -4124,6 +4189,36 @@ object QueryCatalog {
         .select("a", "b")
       val truth = h.select(col("id").as("a"), col("ahash").as("ha"))
         .crossJoin(h.select(col("id").as("b"), col("ahash").as("hb")))
+        .filter(col("a") < col("b"))
+        .filter(expr("bit_count(ha ^ hb) <= 6"))
+        .select("a", "b")
+      val nTruth = truth.count()
+      val nFound = found.count()
+      val nHit = truth.join(found, Seq("a", "b")).count()
+      import s.implicits._
+      Seq((nTruth, nFound, nHit,
+        if (nTruth == 0) 100L else nHit * 100L / nTruth))
+        .toDF("n_truth", "n_found", "n_hit", "recall_pct")
+    }),
+
+    "x_eval_image_dedup_sampled" -> ((s, dir) => {
+      // Sampled-truth twin of x_eval_image_dedup (the 100 TB form, like
+      // x_eval_dedup_sampled): the exact-hamming truth crossJoin runs
+      // over the md5-sampled signature subset only — (n/S)² work — while
+      // the found side is the full production band mining filtered to
+      // sampled pairs. Same recall arithmetic.
+      val staged = stageImageHashes(s, dir)
+      val h = s.read.parquet(staged)
+      def inSample(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c.cast("string")), 1, 15), 16, 10)
+          .cast("long") % evalSampleMod === 0
+      val hs = h.filter(inSample(col("id")))
+      val found = Multimodal
+        .imageNearDupPairs(h, maxHamming = 6, maxBandSize = None)
+        .filter(inSample(col("a")) && inSample(col("b")))
+        .select("a", "b")
+      val truth = hs.select(col("id").as("a"), col("ahash").as("ha"))
+        .crossJoin(hs.select(col("id").as("b"), col("ahash").as("hb")))
         .filter(col("a") < col("b"))
         .filter(expr("bit_count(ha ^ hb) <= 6"))
         .select("a", "b")
@@ -5349,6 +5444,35 @@ object QueryCatalog {
            |  CAST((SELECT count(*) FROM truth t LEFT JOIN cand c
            |        ON t.a = c.a AND t.b = c.b WHERE c.a IS NULL) AS BIGINT) AS fn""".stripMargin,
 
+      "x_eval_dedup_sampled" ->
+        // truth over the md5-sampled subset only (sjac); candidates =
+        // the FULL production banding filtered to sampled pairs — the
+        // sampled estimator of x_eval_dedup's exact measurement
+        s"""WITH ${jaccardPairsSampledSql(evalSampleMod)},
+           |$shinglesSql,
+           |$lshBaseSql,
+           |sig AS (SELECT doc_id, $lshSigSql FROM shh GROUP BY doc_id),
+           |bands_all AS (
+           |  $lshBandsSql),
+           |bucket_ok AS (SELECT band, key FROM bands_all
+           |              GROUP BY band, key HAVING count(*) <= $lshBucketCap),
+           |bands AS (SELECT ba.doc_id, ba.band, ba.key
+           |            FROM bands_all ba JOIN bucket_ok USING (band, key)),
+           |cand0 AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |           FROM bands l JOIN bands r
+           |             ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+           |cand AS (SELECT a, b FROM cand0
+           |  WHERE ('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 15))::BIGINT % $evalSampleMod = 0
+           |    AND ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % $evalSampleMod = 0),
+           |truth AS (SELECT a, b FROM sjac WHERE jaccard >= 0.7)
+           |SELECT
+           |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           |  CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           |  CAST((SELECT count(*) FROM cand c JOIN truth t
+           |        ON t.a = c.a AND t.b = c.b) AS BIGINT) AS tp,
+           |  CAST((SELECT count(*) FROM truth t LEFT JOIN cand c
+           |        ON t.a = c.a AND t.b = c.b WHERE c.a IS NULL) AS BIGINT) AS fn""".stripMargin,
+
       "x_dedup_simhash" ->
         s"""WITH toks AS (
            |  SELECT doc_id, md5(tok) AS h
@@ -5608,6 +5732,41 @@ object QueryCatalog {
            |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
            |            AND c1.bv = c2.bv AND c1.id < c2.id
            |          WHERE bit_count(xor(c1.ahash, c2.ahash)) <= 6),
+           |agg AS (SELECT
+           |    (SELECT count(*) FROM truth) AS n_truth,
+           |    (SELECT count(*) FROM found) AS n_found,
+           |    (SELECT count(*) FROM truth t JOIN found f
+           |       ON t.a = f.a AND t.b = f.b) AS n_hit)
+           |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           |  CAST(n_found AS BIGINT) AS n_found,
+           |  CAST(n_hit AS BIGINT) AS n_hit,
+           |  CAST(CASE WHEN n_truth = 0 THEN 100
+           |       ELSE n_hit * 100 // n_truth END AS BIGINT) AS recall_pct
+           |FROM agg""".stripMargin,
+
+      "x_eval_image_dedup_sampled" ->
+        // sampled-truth twin: exact hamming truth over the md5-sampled
+        // signature subset; found = full band mining filtered to
+        // sampled pairs (same shape as x_eval_dedup_sampled)
+        s"""WITH h AS (SELECT id, ahash
+           |  FROM read_parquet('$imgHashStageDir/hashes.parquet')),
+           |hs AS (SELECT id, ahash FROM h
+           |  WHERE ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % $evalSampleMod = 0),
+           |truth AS (SELECT h1.id AS a, h2.id AS b
+           |          FROM hs h1 JOIN hs h2 ON h1.id < h2.id
+           |          WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 6),
+           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
+           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) >= 2),
+           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |found0 AS (SELECT DISTINCT c1.id AS a, c2.id AS b
+           |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
+           |            AND c1.bv = c2.bv AND c1.id < c2.id
+           |          WHERE bit_count(xor(c1.ahash, c2.ahash)) <= 6),
+           |found AS (SELECT a, b FROM found0
+           |  WHERE ('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 15))::BIGINT % $evalSampleMod = 0
+           |    AND ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 15))::BIGINT % $evalSampleMod = 0),
            |agg AS (SELECT
            |    (SELECT count(*) FROM truth) AS n_truth,
            |    (SELECT count(*) FROM found) AS n_found,

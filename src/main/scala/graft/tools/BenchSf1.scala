@@ -230,6 +230,17 @@ object BenchSf1 {
         Dedup.duplicateClusters(
           Dedup.minhashLshPairs(docs(spark, dir), "doc_id", "text", 0.7,
             verifyExact = false)).count()),
+      // sampled-truth eval: exact-Jaccard truth over an md5-sampled doc
+      // subset whose MODULUS scales with the corpus (constant sample
+      // size — the 100 TB discipline), so the quadratic truth stays
+      // FLAT while the corpus is 10×; must price ~1×
+      "eval_truth_sampled" -> ((dir, m) => {
+        val mod = 2 * m
+        val sampled = docs(spark, dir).filter(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % mod === 0)
+        Dedup.jaccardPairs(sampled, "doc_id", "text", 0.7).count()
+      }),
       "cross_decontam_est" -> ((dir, _) =>
         Dedup.crossCorpusPairs(docs(spark, dir), refSet, "doc_id", "text", 0.7,
           verifyExact = false).count()),
