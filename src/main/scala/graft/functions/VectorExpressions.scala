@@ -108,6 +108,126 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Late-interaction (ColBERT-style) MaxSim between two TOKEN MATRICES,
+  * each flattened row-major into one array column with a shared token
+  * dimension `dim`: `score = Σ_{i ∈ query tokens} max_{j ∈ doc tokens}
+  * (q_i · d_j)` — the member of this family where BOTH sides are data
+  * (VecDotMatrix's matrix is a plan constant; a retrieval corpus's token
+  * matrices are not).
+  *
+  * The HOF formulation (nested `transform`/`aggregate` over re-sliced
+  * arrays) allocates a slice per (i, j) pair; this generates three tight
+  * primitive loops with zero allocation inside whole-stage codegen.
+  * Accumulation order: per-dot ascending element index, max over doc
+  * tokens ascending j, sum over query tokens ascending i — on the
+  * engine's `floor(x·10⁶)` fixed-point lattice every intermediate is an
+  * exact integer-valued double, so any engine replays the score
+  * bit-for-bit (the x_retrieval_maxsim oracle does, with
+  * `list_dot_product` over the same slices).
+  *
+  * Empty token matrices and lengths not divisible by `dim` are data
+  * corruption — fail loudly (max over an empty doc is undefined; a
+  * truncated matrix would silently score garbage).
+  */
+case class VecMaxSim(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression {
+
+  require(dim > 0, s"vec_maxsim: dim must be positive, got $dim")
+
+  private def elemGet(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case _                       => "getDouble"
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _                                                  => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_maxsim requires array<float>/array<double> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val d = b.asInstanceOf[ArrayData]
+    val nq = q.numElements()
+    val nd = d.numElements()
+    if (nq == 0 || nd == 0 || nq % dim != 0 || nd % dim != 0)
+      throw new IllegalArgumentException(
+        s"vec_maxsim: token matrices must be non-empty multiples of dim=$dim, " +
+          s"got $nq and $nd")
+    val qf = elemGet(left) == "getFloat"
+    val df = elemGet(right) == "getFloat"
+    var score = 0.0
+    var qi = 0
+    while (qi < nq) {
+      var best = Double.NegativeInfinity
+      var dj = 0
+      while (dj < nd) {
+        var dot = 0.0
+        var e = 0
+        while (e < dim) {
+          val x = if (qf) q.getFloat(qi + e).toDouble else q.getDouble(qi + e)
+          val y = if (df) d.getFloat(dj + e).toDouble else d.getDouble(dj + e)
+          dot += x * y
+          e += 1
+        }
+        if (dot > best) best = dot
+        dj += dim
+      }
+      score += best
+      qi += dim
+    }
+    score
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qGet = elemGet(left)
+    val dGet = elemGet(right)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nq = ctx.freshName("nq")
+      val nd = ctx.freshName("nd")
+      val qi = ctx.freshName("qi")
+      val dj = ctx.freshName("dj")
+      val e = ctx.freshName("e")
+      val dot = ctx.freshName("dot")
+      val best = ctx.freshName("best")
+      val score = ctx.freshName("score")
+      s"""
+         |int $nq = $a.numElements();
+         |int $nd = $b.numElements();
+         |if ($nq == 0 || $nd == 0 || $nq % $dim != 0 || $nd % $dim != 0) {
+         |  throw new IllegalArgumentException(
+         |    "vec_maxsim: token matrices must be non-empty multiples of dim=$dim, got "
+         |      + $nq + " and " + $nd);
+         |}
+         |double $score = 0.0;
+         |for (int $qi = 0; $qi < $nq; $qi += $dim) {
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  for (int $dj = 0; $dj < $nd; $dj += $dim) {
+         |    double $dot = 0.0;
+         |    for (int $e = 0; $e < $dim; $e++) {
+         |      $dot += ((double) $a.$qGet($qi + $e)) * ((double) $b.$dGet($dj + $e));
+         |    }
+         |    if ($dot > $best) $best = $dot;
+         |  }
+         |  $score += $best;
+         |}
+         |${ev.value} = $score;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All dot products of one vector column against a CONSTANT row matrix, in
   * one pass: `out[t] = Σ_i v_i · matrix[t][i]` (optionally with the
   * engine's exact `floor(v_i · 10⁶)` quantization fused into the load).
@@ -810,4 +930,11 @@ object VectorFunctions {
   /** Cell-local kNN top-k kernel over co-grouped member/query lists. */
   def cell_top_k(ms: Column, qs: Column, k: Int): Column =
     toColumn(CellTopK(toExpression(ms), toExpression(qs), k))
+
+  /** Late-interaction MaxSim of two row-major flattened token matrices
+    * with shared token dimension `dim`:
+    * `Σ_{query token} max_{doc token} dot`.
+    */
+  def vec_maxsim(q: Column, d: Column, dim: Int): Column =
+    toColumn(VecMaxSim(toExpression(q), toExpression(d), dim))
 }

@@ -61,6 +61,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Late-interaction retrieval (ColBERT-style MaxSim): each document
+    * and query carries a TOKEN MATRIX (row-major flattened array, token
+    * width `tokenDim`), and the relevance score is
+    * `Σ_{query token} max_{doc token} dot` — the late-interaction member
+    * of the retrieval family next to BM25 (lexical), dense top-k (one
+    * vector), and RRF fusion. Scoring runs in [[graft.functions
+    * .VectorFunctions.vec_maxsim]], a zero-allocation codegen kernel.
+    *
+    * Scale posture: identical to [[bruteForceTopK]] — queries broadcast
+    * (bounded serving set), the corpus streams through ONE scan, and the
+    * rank window carries only (qid, id, score), never the token
+    * matrices. On the `floor(x·10⁶)` fixed-point lattice the score is
+    * integer-exact, so ranks replay cross-engine.
+    */
+  def maxsimTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 tokCol: String, k: Int, tokenDim: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(tokCol).as("__qt"))
+    val c = corpus.select(col(idCol).as("id"), col(tokCol).as("__dt"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        graft.functions.VectorFunctions
+          .vec_maxsim(col("__qt"), col("__dt"), tokenDim).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** Shared rank-and-trim tail of every top-k path. `scored` MUST already
     * be projected down to (qid, id, cosine): the rank window repartitions
     * by qid, and a pre-window projection that still carries the embedding

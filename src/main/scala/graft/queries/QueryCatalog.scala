@@ -3099,6 +3099,46 @@ object QueryCatalog {
         .orderBy("qid")
     }),
 
+    "x_retrieval_maxsim" -> ((s, dir) => {
+      // LATE-INTERACTION retrieval (ColBERT-style MaxSim) — the fourth
+      // member of the retrieval family after BM25 (lexical), dense
+      // top-k, and RRF fusion: token-level embeddings synthesized by
+      // reading the 64-dim fixture vector as a 4×16 row-major token
+      // matrix on the floor(x·10⁶) fixed-point lattice, scored by the
+      // vec_maxsim codegen kernel (Σ over query tokens of max over doc
+      // tokens of dot). Every dot/max/sum is an exact integer-valued
+      // double, so the ranks replay in DuckDB via list_dot_product over
+      // the same slices.
+      val toks = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("toks"))
+      Similarity.maxsimTopK(toks, toks.filter(col("vec_id") < 5),
+          "vec_id", "toks", 10, tokenDim = 16)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_eval_maxsim" -> ((s, dir) => {
+      // Late-interaction EVAL alongside x_eval_retrieval: maxsim@10
+      // joined against the exact dense-cosine top-10 — hits@10 and
+      // top-1 agreement per query measure how much late interaction
+      // moves the ranking vs whole-vector retrieval on this corpus.
+      // All integer, two-pipeline composite hash.
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+        .select(col("qid"), col("id")).withColumn("__in", lit(1))
+      val toks = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("toks"))
+      Similarity.maxsimTopK(toks, toks.filter(col("vec_id") < 5),
+          "vec_id", "toks", 10, tokenDim = 16)
+        .join(truth, Seq("qid", "id"), "left")
+        .groupBy("qid")
+        .agg(
+          sum(coalesce(col("__in"), lit(0))).cast("long").as("hits_at_10"),
+          max(when(col("rank") === 1 && col("__in") === 1, 1).otherwise(0))
+            .cast("long").as("top1_in_truth"))
+        .orderBy("qid")
+    }),
+
     "x_corpus_datacard" -> ((s, dir) => {
       // The corpus DATA CARD: the one-row summary a dataset release
       // ships — volume, vocabulary of sources/langs, exact-duplicate
@@ -4322,6 +4362,16 @@ object QueryCatalog {
          |SELECT doc_id, text, lang, source FROM lastv
          |WHERE op <> 'D' ORDER BY doc_id""".stripMargin
 
+    // MaxSim score replay: 4 query tokens × 4 doc tokens of width 16
+    // over the flattened 64-dim quantized vector — greatest() of the 4
+    // doc-token dots per query token, summed (exact integers)
+    val maxsimScoreSql: String = (0 until 4).map { i =>
+      val dots = (0 until 4).map { j =>
+        s"list_dot_product(qt[${i * 16 + 1}:${i * 16 + 16}], dt[${j * 16 + 1}:${j * 16 + 16}])"
+      }.mkString(", ")
+      s"greatest($dots)"
+    }.mkString(" + ")
+
     val cdcAsofSql =
       s"""WITH $cdcLogSql,
          |lastv AS (SELECT doc_id,
@@ -5513,6 +5563,56 @@ object QueryCatalog {
         // cosine re-rank. Same signature trust as x_dedup_embedding_pairs.
         (lshAnnOracleChain + "\n" +
           "SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank"),
+
+      "x_retrieval_maxsim" ->
+        // maxsim replay: same 4×16 token split on the fixed-point
+        // lattice, 16 slice dot products per pair, greatest() per query
+        // token, summed — exact integers, so ranks replay bit-for-bit
+        s"""WITH qv AS (SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS t
+           |       FROM embeddings),
+           |q AS (SELECT vec_id AS qid, t AS qt FROM qv WHERE vec_id < 5),
+           |d AS (SELECT vec_id AS id, t AS dt FROM qv),
+           |scored AS (SELECT q.qid, d.id,
+           |    $maxsimScoreSql AS score
+           |  FROM q CROSS JOIN d WHERE d.id <> q.qid)
+           |SELECT qid, id, rank FROM (
+           |  SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+           |  FROM scored) WHERE rank <= 10
+           |ORDER BY qid, rank""".stripMargin,
+
+      "x_eval_maxsim" ->
+        // maxsim top-10 joined against the exact dense-cosine top-10
+        // (the x_eval_retrieval composite shape)
+        s"""WITH qv AS (SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS t
+           |       FROM embeddings),
+           |q AS (SELECT vec_id AS qid, t AS qt FROM qv WHERE vec_id < 5),
+           |d AS (SELECT vec_id AS id, t AS dt FROM qv),
+           |scored AS (SELECT q.qid, d.id,
+           |    $maxsimScoreSql AS score
+           |  FROM q CROSS JOIN d WHERE d.id <> q.qid),
+           |mr AS (SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+           |       FROM scored),
+           |m10 AS (SELECT qid, id, rank FROM mr WHERE rank <= 10),
+           |eq0 AS (SELECT vec_id AS qid, embedding AS qv2 FROM embeddings WHERE vec_id < 5),
+           |escored AS (
+           |  SELECT eq0.qid, e.vec_id AS id,
+           |    list_cosine_similarity(e.embedding, eq0.qv2) AS cos
+           |  FROM embeddings e, eq0 WHERE e.vec_id <> eq0.qid),
+           |er AS (SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rk
+           |       FROM escored),
+           |truth AS (SELECT qid, id FROM er WHERE rk <= 10)
+           |SELECT m.qid,
+           |  CAST(sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_10,
+           |  CAST(max(CASE WHEN m.rank = 1 AND t.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS top1_in_truth
+           |FROM m10 m LEFT JOIN truth t ON t.qid = m.qid AND t.id = m.id
+           |GROUP BY m.qid ORDER BY m.qid""".stripMargin,
 
       "x_eval_retrieval" ->
         // ANN quality evaluation: the LSH chain's top-10 joined against

@@ -526,6 +526,19 @@ object BenchSf1 {
         graft.operators.Embeddings.exportNpy(emb(spark, dir),
           "vec_id", "embedding", s"/tmp/graft_sf1_npy/${tagOf(dir)}",
           numShards = 16 * m).count()),
+      // late-interaction retrieval: fixed query set, corpus token
+      // matrices grow linearly — one broadcast join + the zero-
+      // allocation vec_maxsim kernel per pair; must price linear
+      "maxsim_topk" -> ((dir, _) => {
+        def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
+            .as("toks"))
+        graft.operators.Similarity.maxsimTopK(
+          toks(emb(spark, dir)),
+          toks(emb(spark, sf01).filter(col("vec_id") < 5)),
+          "vec_id", "toks", 10, tokenDim = 16).count()
+      }),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)

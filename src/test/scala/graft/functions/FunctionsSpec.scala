@@ -230,4 +230,60 @@ class FunctionsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Seq(("x")).toDF("s").select(normalize_text(col("s"), "nfd")).collect())
   }
+
+  test("vec_maxsim: codegen and interpreted agree with the HOF reference") {
+    import graft.functions.VectorFunctions.vec_maxsim
+    import org.apache.spark.sql.functions._
+    // 2 query tokens x 3 doc tokens of width 2, hand-checkable values
+    val q = Seq(1.0, 0.0, /**/ 0.0, 2.0)
+    val d = Seq(3.0, 1.0, /**/ -1.0, 5.0, /**/ 2.0, 2.0)
+    // token dots: q0·d = [3, -1, 2]  -> max 3
+    //             q1·d = [2, 10, 4]  -> max 10
+    val expect = 13.0
+    val df = Seq((q, d)).toDF("q", "d")
+    val got = df.select(vec_maxsim(col("q"), col("d"), 2).as("s"))
+      .as[Double].head()
+    assert(got == expect, s"codegen path: $got")
+    // interpreted path (direct eval)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val ev = graft.functions.VecMaxSim(
+      Literal.create(q, ArrayType(DoubleType, containsNull = false)),
+      Literal.create(d, ArrayType(DoubleType, containsNull = false)), 2).eval()
+    assert(ev == expect, s"interpreted path: $ev")
+    // float inputs load exactly like the double path
+    val gotF = Seq((q.map(_.toFloat), d.map(_.toFloat))).toDF("q", "d")
+      .select(vec_maxsim(col("q"), col("d"), 2).as("s")).as[Double].head()
+    assert(gotF == expect, s"float path: $gotF")
+    // HOF reference formulation on the engine side agrees
+    val hof = Seq((q, d)).toDF("q", "d").selectExpr(
+      """aggregate(sequence(0, 1), 0D, (acc, i) ->
+        |  acc + aggregate(sequence(0, 2), cast('-Infinity' as double), (best, j) ->
+        |    greatest(best, aggregate(sequence(0, 1), 0D,
+        |      (s, e) -> s + q[i * 2 + e] * d[j * 2 + e]))))""".stripMargin + " AS s")
+      .as[Double].head()
+    assert(hof == expect)
+  }
+
+  test("vec_maxsim fails loudly on empty or non-multiple-of-dim matrices") {
+    import graft.functions.VectorFunctions.vec_maxsim
+    import org.apache.spark.sql.functions._
+    for (bad <- Seq(
+        (Seq(1.0, 2.0), Seq.empty[Double]),       // empty doc matrix
+        (Seq.empty[Double], Seq(1.0, 2.0)),       // empty query matrix
+        (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))) {   // truncated matrix
+      val ex = intercept[Exception] {
+        Seq(bad).toDF("q", "d")
+          .select(vec_maxsim(col("q"), col("d"), 2)).collect()
+      }
+      assert(ex.getMessage.contains("non-empty multiples of dim"),
+        ex.getMessage)
+    }
+    // null matrix -> null score (BinaryExpression null propagation)
+    val r = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("q", "d")
+      .select(vec_maxsim(col("q"), col("d"), 2).as("s"))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
