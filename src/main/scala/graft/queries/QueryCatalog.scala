@@ -3116,6 +3116,21 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_stream_maxsim" -> ((s, dir) => { // LIVE stream, shares x_retrieval_maxsim's replay
+      // Streaming late-interaction serving: query vectors ARRIVE as a
+      // stream; each micro-batch is lattice-tokenized and maxsim-scored
+      // against the static token corpus via foreachBatch. Per-query
+      // results are batch-invariant, so the live path shares the batch
+      // entry's oracle verbatim (the x_stream_ann_serve convention).
+      val emb = t(s, dir, "embeddings")
+      val toks = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("toks"))
+      graft.streaming.StreamAnnServe.runOnceMaxsim(s, dir,
+          "embeddings.parquet", emb.schema, col("vec_id") < 5,
+          toks, "vec_id", "embedding", "toks", 10, tokenDim = 16)
+        .orderBy("qid", "rank")
+    }),
+
     "x_eval_maxsim" -> ((s, dir) => {
       // Late-interaction EVAL alongside x_eval_retrieval: maxsim@10
       // joined against the exact dense-cosine top-10 — hits@10 and
@@ -4372,6 +4387,22 @@ object QueryCatalog {
       s"greatest($dots)"
     }.mkString(" + ")
 
+    val maxsimReplaySql =
+      s"""WITH qv AS (SELECT vec_id,
+         |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+         |          for x in embedding] AS t
+         |       FROM embeddings),
+         |q AS (SELECT vec_id AS qid, t AS qt FROM qv WHERE vec_id < 5),
+         |d AS (SELECT vec_id AS id, t AS dt FROM qv),
+         |scored AS (SELECT q.qid, d.id,
+         |    $maxsimScoreSql AS score
+         |  FROM q CROSS JOIN d WHERE d.id <> q.qid)
+         |SELECT qid, id, rank FROM (
+         |  SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+         |  FROM scored) WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+
     val cdcAsofSql =
       s"""WITH $cdcLogSql,
          |lastv AS (SELECT doc_id,
@@ -5568,20 +5599,12 @@ object QueryCatalog {
         // maxsim replay: same 4×16 token split on the fixed-point
         // lattice, 16 slice dot products per pair, greatest() per query
         // token, summed — exact integers, so ranks replay bit-for-bit
-        s"""WITH qv AS (SELECT vec_id,
-           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
-           |          for x in embedding] AS t
-           |       FROM embeddings),
-           |q AS (SELECT vec_id AS qid, t AS qt FROM qv WHERE vec_id < 5),
-           |d AS (SELECT vec_id AS id, t AS dt FROM qv),
-           |scored AS (SELECT q.qid, d.id,
-           |    $maxsimScoreSql AS score
-           |  FROM q CROSS JOIN d WHERE d.id <> q.qid)
-           |SELECT qid, id, rank FROM (
-           |  SELECT qid, id,
-           |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
-           |  FROM scored) WHERE rank <= 10
-           |ORDER BY qid, rank""".stripMargin,
+        maxsimReplaySql,
+
+      "x_stream_maxsim" ->
+        // the LIVE foreachBatch serving path shares the batch replay:
+        // per-query maxsim ranks are batch-invariant
+        maxsimReplaySql,
 
       "x_eval_maxsim" ->
         // maxsim top-10 joined against the exact dense-cosine top-10

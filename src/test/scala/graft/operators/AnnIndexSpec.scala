@@ -294,6 +294,20 @@ class AnnIndexSpec extends AnyFunSuite {
       "stale sidecar suppressed fresh members after a rebuild")
   }
 
+  test("streaming maxsim serve equals the batch maxsim row for row") {
+    val toks = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
+        .as("toks"))
+    val streamed = rows(graft.streaming.StreamAnnServe.runOnceMaxsim(spark,
+      dir, "embeddings.parquet",
+      spark.read.parquet(s"$dir/embeddings.parquet").schema,
+      col("vec_id") < 5, toks, "vec_id", "embedding", "toks", 10,
+      tokenDim = 16))
+    val batch = rows(Similarity.maxsimTopK(toks,
+      toks.filter(col("vec_id") < 5), "vec_id", "toks", 10, tokenDim = 16))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming serve (foreachBatch) equals the batch serve row for row") {
     val path = "/tmp/graft_test_ivf_idx_stream"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
