@@ -87,6 +87,56 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** The SCALE PATH for late-interaction retrieval ([[maxsimTopK]] is
+    * the exact baseline, same contract as bruteForce vs IVF): stage 1
+    * shortlists `k·rerank` candidates per query by the POOLED dot —
+    * token-sum vector against token-sum vector, one `tokenDim`-wide dot
+    * per pair instead of a full MaxSim — and stage 2 re-ranks only the
+    * shortlist with the exact [[graft.functions.VectorFunctions
+    * .vec_maxsim]] kernel. Pooling is SUM (not mean — same ordering for
+    * a fixed token count, and on the fixed-point lattice the sum stays
+    * an exact integer, so both stages replay cross-engine).
+    *
+    * Scale posture: the corpus is scanned once for the pooled stage
+    * (tokenDim doubles per row cross the rank exchange, never the token
+    * matrices); the MaxSim kernel touches only `k·rerank·|queries|`
+    * pairs — at a ColBERT-style 100× token blowup that is the
+    * difference between scanning 100 TB of token matrices per query
+    * batch and scanning 1 TB of pooled vectors. The shortlist join
+    * fetches each candidate's token matrix by key (point lookups).
+    */
+  def maxsimTopKPruned(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, tokCol: String, k: Int,
+                       tokenDim: Int, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    def pooled(df: DataFrame, id: String, out: String) =
+      df.select(col(idCol).as(id),
+        expr(s"""transform(sequence(0, ${tokenDim - 1}, 1), e ->
+                |  aggregate(sequence(0, size($tokCol) div $tokenDim - 1, 1),
+                |    0D, (acc, i) -> acc + $tokCol[i * $tokenDim + e]))"""
+          .stripMargin).as(out))
+    val qp = pooled(queries, "qid", "__qp")
+    val cp = pooled(corpus, "id", "__cp")
+    val shortlist = rankTopK(
+      cp.crossJoin(broadcast(qp))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          graft.functions.VectorFunctions
+            .vec_dot(col("__qp"), col("__cp")).as("cosine")),
+      k * rerank)
+      .select("qid", "id")
+    // exact MaxSim over the shortlist only: token matrices fetched by
+    // key for k·rerank·|queries| rows, never scanned corpus-wide
+    val qt = queries.select(col(idCol).as("qid"), col(tokCol).as("__qt"))
+    val ct = corpus.select(col(idCol).as("id"), col(tokCol).as("__dt"))
+    rankTopK(
+      shortlist.join(ct, Seq("id")).join(broadcast(qt), Seq("qid"))
+        .select(col("qid"), col("id"),
+          graft.functions.VectorFunctions
+            .vec_maxsim(col("__qt"), col("__dt"), tokenDim).as("cosine")),
+      k)
+  }
+
   /** Shared rank-and-trim tail of every top-k path. `scored` MUST already
     * be projected down to (qid, id, cosine): the rank window repartitions
     * by qid, and a pre-window projection that still carries the embedding

@@ -3116,6 +3116,20 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_retrieval_maxsim_pruned" -> ((s, dir) => {
+      // THE SCALE PATH for late interaction (x_retrieval_maxsim is the
+      // exact baseline, same contract as bruteforce→IVF): stage 1
+      // shortlists k·rerank per query by the POOLED token-sum dot (one
+      // 16-wide dot per pair), stage 2 re-ranks the shortlist with the
+      // exact vec_maxsim kernel. Both stages integer-exact on the
+      // lattice — the oracle replays shortlist AND re-rank bit-for-bit.
+      val toks = t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("toks"))
+      Similarity.maxsimTopKPruned(toks, toks.filter(col("vec_id") < 5),
+          "vec_id", "toks", 10, tokenDim = 16, rerank = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_stream_maxsim" -> ((s, dir) => { // LIVE stream, shares x_retrieval_maxsim's replay
       // Streaming late-interaction serving: query vectors ARRIVE as a
       // stream; each micro-batch is lattice-tokenized and maxsim-scored
@@ -5605,6 +5619,37 @@ object QueryCatalog {
         // the LIVE foreachBatch serving path shares the batch replay:
         // per-query maxsim ranks are batch-invariant
         maxsimReplaySql,
+
+      "x_retrieval_maxsim_pruned" ->
+        // two-stage replay: pooled token-SUM dot shortlist (integer-
+        // exact 16-dim sums), then the same 16-slice maxsim arithmetic
+        // over shortlist pairs only
+        s"""WITH qv AS (SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS t
+           |       FROM embeddings),
+           |p AS (SELECT vec_id,
+           |        [t[e] + t[e + 16] + t[e + 32] + t[e + 48]
+           |         for e in range(1, 17)] AS pv
+           |      FROM qv),
+           |qp AS (SELECT vec_id AS qid, pv AS qpv FROM p WHERE vec_id < 5),
+           |dp AS (SELECT vec_id AS id, pv AS dpv FROM p),
+           |s1 AS (SELECT qid, id, list_dot_product(qpv, dpv) AS pd
+           |       FROM qp CROSS JOIN dp WHERE id <> qid),
+           |short AS (SELECT qid, id FROM (
+           |    SELECT qid, id,
+           |           row_number() OVER (PARTITION BY qid ORDER BY pd DESC, id) AS rk
+           |    FROM s1) WHERE rk <= 40),
+           |q AS (SELECT vec_id AS qid, t AS qt FROM qv WHERE vec_id < 5),
+           |d AS (SELECT vec_id AS id, t AS dt FROM qv),
+           |scored AS (SELECT sh.qid, sh.id,
+           |    $maxsimScoreSql AS score
+           |  FROM short sh JOIN q ON q.qid = sh.qid JOIN d ON d.id = sh.id)
+           |SELECT qid, id, rank FROM (
+           |  SELECT qid, id,
+           |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+           |  FROM scored) WHERE rank <= 10
+           |ORDER BY qid, rank""".stripMargin,
 
       "x_eval_maxsim" ->
         // maxsim top-10 joined against the exact dense-cosine top-10

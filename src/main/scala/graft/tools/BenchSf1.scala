@@ -539,6 +539,20 @@ object BenchSf1 {
           toks(emb(spark, sf01).filter(col("vec_id") < 5)),
           "vec_id", "toks", 10, tokenDim = 16).count()
       }),
+      // two-stage maxsim (the scale path): pooled 16-dim dot shortlist
+      // over the growing corpus + exact maxsim on a FIXED k·rerank
+      // shortlist — stage 2 flat, stage 1 linear in pooled (not token-
+      // matrix) bytes
+      "maxsim_pruned" -> ((dir, _) => {
+        def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("vec_id"),
+          expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
+            .as("toks"))
+        graft.operators.Similarity.maxsimTopKPruned(
+          toks(emb(spark, dir)),
+          toks(emb(spark, sf01).filter(col("vec_id") < 5)),
+          "vec_id", "toks", 10, tokenDim = 16, rerank = 4).count()
+      }),
       // retrieval: query set fixed, corpus tf/df/dl tables grow linearly
       "bm25_topk" -> ((dir, _) => {
         val d = docs(spark, dir)

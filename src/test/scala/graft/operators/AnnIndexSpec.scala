@@ -294,6 +294,32 @@ class AnnIndexSpec extends AnyFunSuite {
       "stale sidecar suppressed fresh members after a rebuild")
   }
 
+  test("pruned maxsim with a covering shortlist equals the exact kernel") {
+    val toks = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
+        .as("toks"))
+    val qs = toks.filter(col("vec_id") < 5)
+    val exact = rows(Similarity.maxsimTopK(toks, qs, "vec_id", "toks", 10,
+      tokenDim = 16))
+    // rerank wide enough that the pooled shortlist covers the corpus —
+    // the two-stage path must then return the exact ranking
+    val n = toks.count().toInt
+    val covering = rows(Similarity.maxsimTopKPruned(toks, qs, "vec_id",
+      "toks", 10, tokenDim = 16, rerank = n / 10 + 1))
+    assert(covering == exact, "covering shortlist diverged from exact maxsim")
+    // the production rerank returns a full, well-formed top-k per query
+    val pruned = rows(Similarity.maxsimTopKPruned(toks, qs, "vec_id",
+      "toks", 10, tokenDim = 16, rerank = 4))
+    assert(pruned.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._3).sorted == (1 to 10) })
+    // pruned recall vs exact (fixture sanity, not a guaranteed bound):
+    // the pooled prefilter should keep most of the true top-10
+    val hits = pruned.map(t => (t._1, t._2)).toSet
+      .intersect(exact.map(t => (t._1, t._2)).toSet).size
+    assert(hits >= exact.size / 2,
+      s"pooled prefilter recall collapsed: $hits of ${exact.size}")
+  }
+
   test("streaming maxsim serve equals the batch maxsim row for row") {
     val toks = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
