@@ -252,6 +252,36 @@ object AnnIndex {
     ()
   }
 
+  /** Synchronize a persisted IVF index with a CDC change-log TAIL — the
+    * maintenance loop that keeps a serving index following its source
+    * table ([[Cdc.applyLog]]'s snapshot) without a rebuild:
+    *
+    *  1. tombstone every key the tail touches (O(tail) sidecar append);
+    *  2. fold the sidecar ([[ivfCompact]]) — required, not optional:
+    *     the deletion vector suppresses ids unconditionally, so an
+    *     updated or revived id could never re-enter while its
+    *     tombstone is pending;
+    *  3. LWW-reduce the tail ([[Cdc.applyLog]] over the tail alone —
+    *     correct because a keyed change topic delivers each key's full
+    *     history once it appears) and append the surviving current
+    *     versions against the PERSISTED centroids.
+    *
+    * Deletes in the tail simply never re-append. Cost: O(tail) + one
+    * fold — batch the tail (hourly/daily) to amortize the fold, exactly
+    * like CDC log compaction itself. Equivalence with a full rebuild of
+    * the post-tail snapshot under the same centroids is spec-gated.
+    */
+  def ivfSyncFromLog(spark: SparkSession, path: String, tail: DataFrame,
+                     keyCol: String, seqCol: String, opCol: String,
+                     vecCol: String, deleteOp: String = "D"): Unit = {
+    val touched = tail.select(col(keyCol).as("id")).distinct()
+    ivfDelete(spark, path, touched, "id")
+    ivfCompact(spark, path)
+    val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
+      .select(col(keyCol), col(vecCol))
+    if (!live.isEmpty) ivfAppend(live, keyCol, vecCol, path)
+  }
+
   /** The persisted centroid table, collected driver-side (nlist rows). */
   private[graft] def loadIvfCentroids(spark: SparkSession,
                                       path: String): Array[(Long, Seq[Double], Double)] =

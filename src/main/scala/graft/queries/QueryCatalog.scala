@@ -700,6 +700,7 @@ object QueryCatalog {
   private val ivfDelCmpIdxDir = "/tmp/graft_ivf_idx_delcmp"
   private val pqDelCmpIdxDir = "/tmp/graft_pq_idx_delcmp"
   private val cdcCheckpointDir = "/tmp/graft_cdc_checkpoint"
+  private val cdcSyncIdxDir = "/tmp/graft_ivf_idx_cdcsync"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
     synchronized {
@@ -3393,6 +3394,42 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_cdc_index_sync" -> ((s, dir) => { // oracle: plain replay over the SYNCED index
+      // THE MAINTENANCE LOOP END TO END: a CDC change log of embedding
+      // rows (update every 7th with a jittered vector, delete every
+      // 11th+3, revive the even deletes) drives ivfSyncFromLog —
+      // tombstone touched keys (O(tail) sidecar), fold, re-append the
+      // LWW-current versions against the persisted centroids. The
+      // serving index FOLLOWS the table; equivalence with a full
+      // rebuild is spec-gated (AnnIndexSpec), and the oracle replays
+      // retrieval over the final on-disk artifact — updated vectors
+      // serve, tombstoned members are unfindable.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(cdcSyncIdxDir, dir) {
+        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+          cdcSyncIdxDir, nlist = 16)
+        val vt = emb.schema("embedding").dataType
+        val tail = emb.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x + 0.125 as float))")
+              .as("embedding"))
+          .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+          .unionByName(emb.filter(col("vec_id") % 11 === 3)
+            .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+            .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+          .unionByName(emb.filter(col("vec_id") % 22 === 3)
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x - 0.25 as float))")
+                .as("embedding"))
+            .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+        graft.operators.AnnIndex.ivfSyncFromLog(s, cdcSyncIdxDir, tail,
+          "vec_id", "seq", "op", "embedding")
+      }
+      graft.operators.AnnIndex.ivfServe(s, path,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_ivf_deleted" -> ((s, dir) => { // oracle: sidecar-path replay (tombstoned)
       // The takedown / right-to-be-forgotten lifecycle step with
       // DELETION-VECTOR semantics: odd-id vectors are tombstoned into
@@ -5833,6 +5870,12 @@ object QueryCatalog {
       "x_takedown_pipeline" ->
         // same sidecar replay shape over the CDC-driven takedown index
         ivfPersistedReplay(takedownIdxDir, tombstoned = true),
+
+      "x_cdc_index_sync" ->
+        // the synced index ends folded (sidecar cleared), so the PLAIN
+        // replay reads the final cells alone: updated vectors serve,
+        // tombstoned members are gone from the bytes
+        ivfPersistedReplay(cdcSyncIdxDir),
 
       "x_sim_pq_deleted" ->
         pqPersistedReplay(pqDelIdxDir, tombstoned = true),

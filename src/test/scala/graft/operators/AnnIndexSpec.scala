@@ -320,6 +320,48 @@ class AnnIndexSpec extends AnyFunSuite {
       s"pooled prefilter recall collapsed: $hits of ${exact.size}")
   }
 
+  test("ivfSyncFromLog: synced index serves identically to a full rebuild") {
+    val path = "/tmp/graft_test_ivf_idx_sync"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    // tail: update every 7th (jittered vector), delete every 11th+3,
+    // revive the even deletes with a second new vector — every seam
+    val vt = emb.schema("embedding").dataType
+    val upd = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x + 0.125 as float))")
+          .as("embedding"))
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val del = emb.filter(col("vec_id") % 11 === 3)
+      .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+      .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
+    val rev = emb.filter(col("vec_id") % 22 === 3)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x - 0.25 as float))")
+          .as("embedding"))
+      .withColumn("seq", lit(4L)).withColumn("op", lit("I"))
+    val tail = upd.unionByName(del).unionByName(rev)
+    AnnIndex.ivfSyncFromLog(spark, path, tail, "vec_id", "seq", "op",
+      "embedding")
+    val synced = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    // reference: rebuild the post-tail snapshot under the SAME centroids
+    val full = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      .unionByName(tail)
+    val snap = Cdc.applyLog(full, "vec_id", "seq", "op")
+    val ref = "/tmp/graft_test_ivf_idx_sync_ref"
+    AnnIndex.ivfBuild(snap, "vec_id", "embedding", ref,
+      spark.read.parquet(s"$path/centroids"))
+    val rebuilt = rows(AnnIndex.ivfServe(spark, ref, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(synced.nonEmpty && synced == rebuilt,
+      "incremental sync diverged from the full rebuild")
+    // the deleted-never-revived ids are unfindable in the synced index
+    val deletedOdd = synced.map(_._2).toSet
+      .exists(id => id % 11 == 3 && id % 22 != 3)
+    assert(!deletedOdd, "a tombstoned member survived the sync")
+  }
+
   test("streaming maxsim serve equals the batch maxsim row for row") {
     val toks = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
