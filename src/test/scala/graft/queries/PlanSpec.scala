@@ -359,6 +359,43 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(!p.contains("Window"), p)
   }
 
+  test("tombstoned IVF serve: broadcast anti-join, partition pruning intact") {
+    val p = planOf("x_sim_ivf_deleted")
+    // the deletion sidecar is bounded policy data: it must broadcast
+    // into a LeftAnti hash join, never shuffle the index side
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the probed-cid partition filter survives the anti-join: the scan
+    // still prunes to the probed inverted lists
+    assert(p.contains("PartitionFilters: [cid"), p)
+  }
+
+  test("maxsim: rank exchange carries scores only, never token matrices") {
+    val p = planOf("x_retrieval_maxsim")
+    // one broadcast of the bounded query side; the corpus is never
+    // shuffled with its token arrays — the window exchange moves
+    // (qid, id, score) rows
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(l => l.contains("__dt") || l.contains("toks")),
+      s"token matrices cross the rank exchange:\n${exchanges.mkString("\n")}")
+    // the kernel is codegen'd (no fallback eval)
+    assert(p.toLowerCase.contains("vecmaxsim") ||
+      p.toLowerCase.contains("vec_maxsim"), p)
+  }
+
+  test("pruned maxsim: pooled stage exchanges 16-dim sums, exact stage is shortlist-sized") {
+    val p = planOf("x_retrieval_maxsim_pruned")
+    // stage 2's query-side join broadcasts; no cartesian beyond the
+    // deliberate pooled query broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(!exchanges.exists(_.contains("__qt")),
+      s"query token matrices cross an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("HTML extraction stays one whole-stage-codegen projection (no shuffle)") {
     // gate the OPERATOR, not the catalog entry — the entry's final
     // orderBy adds a presentation-only range exchange
