@@ -305,6 +305,55 @@ object Multimodal {
       .toDF()
   }
 
+  case class AudioPrint(id: Long, afp: Long)
+
+  /** 64-bit perceptual AUDIO fingerprint — the audio member of the
+    * signature family next to the image aHash: decode, split the clip
+    * into 64 equal-span energy windows, and set bit i iff
+    * `energy(i) > energy((i+1) mod 64)` (the energy-delta sign pattern
+    * of the Haitsma–Kalker fingerprint family, reduced to one band).
+    * Pure integer arithmetic over decoded samples — deterministic in
+    * the payload bytes alone, so the staged signature table is
+    * oracle-replayable exactly like the image hashes.
+    */
+  def audioFingerprints(withBytes: DataFrame, idCol: String): DataFrame = {
+    val spark = withBytes.sparkSession
+    import spark.implicits._
+    withBytes.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val a = Wav.decode(bytes)
+        val n = a.samples.length
+        val e = Array.fill(64)(0L)
+        var i = 0
+        while (i < n) {
+          // balanced spans: window w covers [w·n/64, (w+1)·n/64)
+          e((i.toLong * 64 / math.max(n, 1)).toInt) += math.abs(a.samples(i).toLong)
+          i += 1
+        }
+        var fp = 0L
+        var w = 0
+        while (w < 64) {
+          if (e(w) > e((w + 1) % 64)) fp |= (1L << w)
+          w += 1
+        }
+        AudioPrint(id, fp)
+      })
+      .toDF()
+  }
+
+  /** Audio near-dup mining: the hamming-LSH band miner is MODALITY-
+    * AGNOSTIC — any 64-bit perceptual signature mines with the same 8
+    * byte-bands (pigeonhole-exact recall at ≤7 bits), capped buckets,
+    * and `bit_count(xor)` verify. This is [[imageNearDupPairs]] over
+    * the audio fingerprint column; one miner, two modalities, one
+    * oracle replay shape.
+    */
+  def audioNearDupPairs(prints: DataFrame, maxHamming: Int = 6,
+                        maxBandSize: Option[Int] = Some(1000)): DataFrame =
+    imageNearDupPairs(prints.select(col("id"), col("afp").as("ahash")),
+      maxHamming, maxBandSize)
+
   /** REAL audio resample: decode, nearest-neighbor rate-convert,
     * re-encode with refreshed metadata — [[resizeImages]] for the audio
     * modality.

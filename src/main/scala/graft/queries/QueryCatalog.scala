@@ -4267,6 +4267,18 @@ object QueryCatalog {
         .orderBy("a", "b")
     }),
 
+    "x_dedup_audio" -> ((s, dir) => {
+      // The AUDIO member of the dedup family: one 64-bit energy-delta
+      // fingerprint per clip (Haitsma–Kalker family, integer-exact in
+      // the payload bytes), persisted as a signature table, then the
+      // SAME modality-agnostic hamming-LSH miner as x_dedup_images —
+      // one miner, two modalities, one oracle replay shape. DuckDB
+      // replays band + verify over the staged parquet.
+      val staged = stageAudioPrints(s, dir)
+      Multimodal.audioNearDupPairs(s.read.parquet(staged), maxHamming = 6)
+        .orderBy("a", "b")
+    }),
+
     "x_dedup_images" -> ((s, dir) => {
       // The image member of the dedup family as an ORACLE-HASHED miner:
       // web-crawl multimodal dedup is hash-then-bucket, never pairwise —
@@ -4376,6 +4388,24 @@ object QueryCatalog {
       graft.core.ParquetStage.stageSingleFile(hashes, imgHashStageDir, "hashes")
     }
     s"$imgHashStageDir/hashes.parquet"
+  }
+
+  /** Staged audio-fingerprint table for [[x_dedup_audio]] — the audio
+    * twin of [[stageImageHashes]]: doubled corpus → real WAV encode →
+    * 64-bit energy-delta fingerprint, one parquet per (JVM, sf-dir).
+    */
+  private val audioPrintStageDir = "/tmp/graft_audioprint_stage"
+  private def stageAudioPrints(s: SparkSession, dir: String): String = {
+    stageIndex(audioPrintStageDir, dir) {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(100000L)))
+      val prints = Multimodal.audioFingerprints(
+        Multimodal.withWavPayload(doubled, "doc_id", "text"), "doc_id")
+      graft.core.ParquetStage.stageSingleFile(prints, audioPrintStageDir,
+        "prints")
+    }
+    s"$audioPrintStageDir/prints.parquet"
   }
 
   /** Greedy-subword segmentation replay (recursive CTE over (word,
@@ -5903,6 +5933,24 @@ object QueryCatalog {
         // identical replay over the build-on-evens + append-odds PQ
         // index: on-disk codebooks + codes are the only inputs
         pqPersistedReplay(pqAppIdxDir),
+
+      "x_dedup_audio" ->
+        // the SAME hamming-LSH replay shape as x_dedup_images, over the
+        // staged audio fingerprints — the miner is modality-agnostic
+        s"""WITH h AS (SELECT id, afp AS ahash
+           |  FROM read_parquet('$audioPrintStageDir/prints.parquet')),
+           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
+           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) >= 2 AND count(*) <= 1000),
+           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |pairs AS (SELECT DISTINCT c1.id AS a, c2.id AS b,
+           |            c1.ahash AS ha, c2.ahash AS hb
+           |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
+           |            AND c1.bv = c2.bv AND c1.id < c2.id)
+           |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+           |FROM pairs WHERE bit_count(xor(ha, hb)) <= 6
+           |ORDER BY a, b""".stripMargin,
 
       "x_dedup_images" ->
         // Hamming-LSH replay over the SAME staged signature parquet: the

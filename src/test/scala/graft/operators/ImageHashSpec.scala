@@ -128,4 +128,43 @@ class ImageHashSpec extends AnyFunSuite {
     // (bands 2-7 are unique to 1L; bands 0-1 are saturated and dropped)
     assert(capped.count(h => h._1 == 101L && h._2 == 1L) == 6)
   }
+
+  test("audio fingerprints: identical clips match, miner finds the copies exactly") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow")
+    ).toDF("doc_id", "text")
+    val doubled = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + lit(100L)))
+    val prints = Multimodal.audioFingerprints(
+      Multimodal.withWavPayload(doubled, "doc_id", "text"), "doc_id")
+    val byId = prints.as[(Long, Long)].collect().toMap
+    // determinism + copy identity: same text -> same WAV -> same print
+    assert((1L to 3L).forall(i => byId(i) == byId(i + 100L)))
+    // distinct clips should not collide on the full 64-bit print
+    assert(byId(1L) != byId(2L) && byId(2L) != byId(3L))
+    // the modality-agnostic miner finds exactly the copy pairs vs the
+    // exact all-pairs hamming truth on this fixture
+    val found = Multimodal.audioNearDupPairs(prints, maxHamming = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val ids = byId.keys.toSeq
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(byId(a) ^ byId(b)) <= 6
+    } yield (a, b)).toSet
+    assert(found == truth, s"found $found, truth $truth")
+    assert((1L to 3L).forall(i => found.contains((i, i + 100L))))
+  }
+
+  test("audio fingerprint is a pure function of decoded samples (re-encode invariant)") {
+    val docs = Seq((7L, "resampling must not change identity of identical bytes"))
+      .toDF("doc_id", "text")
+    val wav = Multimodal.withWavPayload(docs, "doc_id", "text")
+    val p1 = Multimodal.audioFingerprints(wav, "doc_id")
+      .as[(Long, Long)].head()
+    val p2 = Multimodal.audioFingerprints(wav, "doc_id")
+      .as[(Long, Long)].head()
+    assert(p1 == p2)
+  }
 }
