@@ -631,4 +631,63 @@ object Curation {
         // amounts, and version strings in real corpora
         "(?<![\\d.])\\+?\\d{0,2}[\\s.]?\\(?\\d{3}\\)?[\\s.-]\\d{3}[\\s.-]\\d{4}(?![\\d.])",
         "<PHONE>"))
+
+  /** DPO/RLHF preference-pair assembly — the post-training sibling of
+    * [[sftAssemble]]: per prompt GROUP, rank candidate responses by
+    * `(score desc, id asc)` and pair the single best ("chosen") against
+    * each of the next `maxPairs` strictly-worse candidates
+    * ("rejected"). Ties are NOT preferences — an equal-scored runner-up
+    * produces no pair (a tie teaches the reward model nothing and a
+    * deterministic tie-break would fabricate a preference).
+    *
+    * Scale posture: one keyed rank window (no global sort) and a keyed
+    * best-vs-rest join; output ≤ maxPairs rows per group.
+    */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String, maxPairs: Int = 3): DataFrame = {
+    require(maxPairs >= 1, s"maxPairs must be >= 1, got $maxPairs")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = df.select(col(groupCol), col(idCol), col(scoreCol))
+      .withColumn("__rk", row_number().over(w))
+    val best = ranked.filter(col("__rk") === 1)
+      .select(col(groupCol), col(idCol).as("chosen_id"),
+        col(scoreCol).as("__cs"))
+    val rest = ranked.filter(col("__rk") > 1 && col("__rk") <= maxPairs + 1)
+      .select(col(groupCol), col(idCol).as("rejected_id"),
+        col(scoreCol).as("__rs"))
+    best.join(rest, Seq(groupCol))
+      .filter(col("__rs") < col("__cs"))
+      .select(col(groupCol), col("chosen_id"), col("rejected_id"),
+        (col("__cs") - col("__rs")).as("margin"))
+  }
+
+  /** k-anonymity audit over quasi-identifier columns — the release gate
+    * a data card needs before publishing rows with demographic-ish
+    * attributes: one row per quasi-identifier combination with its
+    * population and an `at_risk` flag (`n_rows < k` ⇒ the combination
+    * identifies fewer than k individuals). ONE partial-aggregable
+    * hash-aggregate; no row-level data leaves the executors.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: no quasi-identifier columns")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
+
+  /** Enforcement twin of [[kAnonymityAudit]]: SUPPRESS every row whose
+    * quasi-identifier combination has fewer than k members (the
+    * standard k-anonymization-by-suppression baseline). Broadcast-anti
+    * shape when the risky-group set is small — which is exactly the
+    * regime suppression is for.
+    */
+  def kAnonymitySuppress(df: DataFrame, quasiCols: Seq[String],
+                         k: Long): DataFrame = {
+    val risky = kAnonymityAudit(df, quasiCols, k)
+      .filter(col("at_risk")).select(quasiCols.map(col): _*)
+    df.join(broadcast(risky), quasiCols, "left_anti")
+  }
 }

@@ -2626,6 +2626,34 @@ object QueryCatalog {
           col("loss_turn"))
         .orderBy("conv_id", "turn_idx")),
 
+    "x_pref_pairs" -> ((s, dir) =>
+      // DPO/RLHF preference-pair assembly — the post-training sibling
+      // of x_sft_format: per prompt group (source), the best-scored
+      // candidate pairs against each of the next 3 STRICTLY-worse ones
+      // (ties are not preferences). One keyed rank window + a keyed
+      // best-vs-rest join; margin is integer-exact.
+      Curation.preferencePairs(t(s, dir, "documents"),
+          "source", "doc_id", "n_chars", maxPairs = 3)
+        .orderBy("source", "rejected_id")),
+
+    "x_privacy_kanon" -> ((s, dir) =>
+      // k-anonymity release audit over quasi-identifiers (nation ×
+      // market segment): one partial-aggregable hash-agg; at_risk
+      // combinations identify fewer than k=10 individuals — the data
+      // card's privacy gate next to the PII scrub.
+      Curation.kAnonymityAudit(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    "x_privacy_suppress" -> ((s, dir) =>
+      // the enforcement twin: suppress every row in an at-risk
+      // quasi-identifier group (broadcast anti-join — the risky-group
+      // set is policy-sized by construction)
+      Curation.kAnonymitySuppress(t(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")),
+
     "x_contrastive_triplets" -> ((s, dir) => {
       // (anchor, positive, negative) training triplets: positives = mined
       // jaccard near-dups, negatives = deterministic per-shard md5
@@ -5177,6 +5205,38 @@ object QueryCatalog {
            |         CAST(count(*) AS BIGINT) AS n_copies
            |       FROM keep GROUP BY md5(text))
            |SELECT doc_id, text_md5, n_copies FROM dd ORDER BY doc_id""".stripMargin,
+
+      "x_pref_pairs" ->
+        """WITH ranked AS (SELECT source, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM documents),
+          |best AS (SELECT source, doc_id AS chosen_id, n_chars AS cs
+          |         FROM ranked WHERE rk = 1),
+          |rest AS (SELECT source, doc_id AS rejected_id, n_chars AS rs
+          |         FROM ranked WHERE rk > 1 AND rk <= 4)
+          |SELECT b.source, b.chosen_id, r.rejected_id,
+          |  CAST(b.cs - r.rs AS BIGINT) AS margin
+          |FROM best b JOIN rest r ON r.source = b.source
+          |WHERE r.rs < b.cs
+          |ORDER BY b.source, r.rejected_id""".stripMargin,
+
+      "x_privacy_kanon" ->
+        """SELECT c_nationkey, c_mktsegment,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  count(*) < 10 AS at_risk
+          |FROM customer GROUP BY 1, 2
+          |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+      "x_privacy_suppress" ->
+        """WITH g AS (SELECT c_nationkey, c_mktsegment FROM customer
+          |           GROUP BY 1, 2 HAVING count(*) < 10)
+          |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+          |FROM customer c
+          |LEFT JOIN g ON g.c_nationkey = c.c_nationkey
+          |           AND g.c_mktsegment = c.c_mktsegment
+          |WHERE g.c_nationkey IS NULL
+          |ORDER BY c.c_custkey""".stripMargin,
 
       "x_sft_format" ->
         """WITH turns AS (

@@ -161,6 +161,45 @@ class PipelineOpsSpec extends AnyFunSuite {
       "a DEL tombstone must never be current")
   }
 
+  // ---------------------------------------- preference pairs / privacy
+
+  test("preferencePairs: best-vs-rest, ties excluded, cap respected") {
+    val df = Seq(
+      // group a: clear ranking 10 > 8 > 7 > 6 > 5 — cap at 3 pairs
+      ("a", 1L, 10L), ("a", 2L, 8L), ("a", 3L, 7L), ("a", 4L, 6L), ("a", 5L, 5L),
+      // group b: runner-up TIES the best — no pair for it, one for the worse
+      ("b", 6L, 9L), ("b", 7L, 9L), ("b", 8L, 2L),
+      // group c: single candidate — no pairs at all
+      ("c", 9L, 4L)
+    ).toDF("grp", "id", "score")
+    val got = Curation.preferencePairs(df, "grp", "id", "score", maxPairs = 3)
+      .orderBy("grp", "rejected_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 2L, 2L), ("a", 1L, 3L, 3L), ("a", 1L, 4L, 4L), // id 5 capped
+      ("b", 6L, 8L, 7L)                                        // tie id 7 skipped
+    ), s"got $got")
+  }
+
+  test("k-anonymity: audit flags exactly the small groups; suppression leaves a k-anonymous table") {
+    val df = (1 to 20).map(i => (i.toLong, "US", "A")) ++
+      (21 to 24).map(i => (i.toLong, "US", "B")) ++   // 4 rows — at risk at k=5
+      (25 to 30).map(i => (i.toLong, "DE", "A"))
+    val t = df.toDF("id", "country", "segment")
+    val audit = Curation.kAnonymityAudit(t, Seq("country", "segment"), k = 5)
+      .orderBy("country", "segment")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(audit == Seq(("DE", "A", 6L, false), ("US", "A", 20L, false),
+      ("US", "B", 4L, true)))
+    val kept = Curation.kAnonymitySuppress(t, Seq("country", "segment"), k = 5)
+    assert(kept.count() == 26L)
+    assert(kept.filter(col("segment") === "B").count() == 0L)
+    // the suppressed output is itself k-anonymous: re-audit finds no risk
+    val reaudit = Curation.kAnonymityAudit(kept, Seq("country", "segment"), 5)
+      .filter(col("at_risk")).count()
+    assert(reaudit == 0L)
+  }
+
   // ------------------------------------------- trained scalar quantizer
 
   test("scalarQuantizeTrained: exact codes on a planted grid") {
