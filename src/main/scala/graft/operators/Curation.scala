@@ -678,6 +678,24 @@ object Curation {
       .withColumn("at_risk", col("n_rows") < k)
   }
 
+  /** l-diversity audit — [[kAnonymityAudit]]'s companion: a group can
+    * be k-anonymous yet still leak if everyone in it shares the same
+    * SENSITIVE value (the homogeneity attack). One row per
+    * quasi-identifier combination with its population, the number of
+    * distinct sensitive values, and `at_risk` when that diversity is
+    * below l. Same one-aggregate shape (count + count distinct
+    * partial-aggregate together).
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversityAudit: no quasi-identifier columns")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col(sensitiveCol)).cast("long").as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
   /** Enforcement twin of [[kAnonymityAudit]]: SUPPRESS every row whose
     * quasi-identifier combination has fewer than k members (the
     * standard k-anonymization-by-suppression baseline). Broadcast-anti

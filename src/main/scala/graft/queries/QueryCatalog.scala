@@ -2654,6 +2654,17 @@ object QueryCatalog {
         .select("c_custkey", "c_nationkey", "c_mktsegment")
         .orderBy("c_custkey")),
 
+    "x_privacy_ldiv" -> ((s, dir) =>
+      // l-diversity audit — the homogeneity-attack companion to
+      // x_privacy_kanon: a (nation, segment) group where EVERY member
+      // shares the same account-balance sign leaks the sensitive
+      // attribute even when k-anonymous. Same one-aggregate shape.
+      Curation.lDiversityAudit(
+          t(s, dir, "customer").withColumn("bal_sign",
+            when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos"))),
+          Seq("c_nationkey", "c_mktsegment"), "bal_sign", l = 2)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     "x_contrastive_triplets" -> ((s, dir) => {
       // (anchor, positive, negative) training triplets: positives = mined
       // jaccard near-dups, negatives = deterministic per-shard md5
@@ -5237,6 +5248,16 @@ object QueryCatalog {
           |           AND g.c_mktsegment = c.c_mktsegment
           |WHERE g.c_nationkey IS NULL
           |ORDER BY c.c_custkey""".stripMargin,
+
+      "x_privacy_ldiv" ->
+        """SELECT c_nationkey, c_mktsegment,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+          |                           ELSE 'pos' END) AS BIGINT) AS n_sensitive,
+          |  count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+          |                      ELSE 'pos' END) < 2 AS at_risk
+          |FROM customer GROUP BY 1, 2
+          |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
       "x_sft_format" ->
         """WITH turns AS (

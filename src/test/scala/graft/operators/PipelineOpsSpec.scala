@@ -200,6 +200,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(reaudit == 0L)
   }
 
+  test("l-diversity: homogeneous sensitive values flagged even when k-anonymous") {
+    val t = (
+      (1 to 10).map(i => (i.toLong, "US", "A", "pos")) ++      // k-anon, l=1 -> risk
+      (11 to 20).map(i => (i.toLong, "US", "B",
+        if (i % 2 == 0) "pos" else "neg"))                      // diverse -> fine
+    ).toDF("id", "country", "segment", "sign")
+    val audit = Curation.lDiversityAudit(t, Seq("country", "segment"),
+        "sign", l = 2)
+      .orderBy("country", "segment")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(audit == Seq(("US", "A", 10L, 1L, true),
+      ("US", "B", 10L, 2L, false)))
+  }
+
   // ------------------------------------------- trained scalar quantizer
 
   test("scalarQuantizeTrained: exact codes on a planted grid") {
