@@ -701,6 +701,8 @@ object QueryCatalog {
   private val pqDelCmpIdxDir = "/tmp/graft_pq_idx_delcmp"
   private val cdcCheckpointDir = "/tmp/graft_cdc_checkpoint"
   private val cdcSyncIdxDir = "/tmp/graft_ivf_idx_cdcsync"
+  private val streamTdIdxDir = "/tmp/graft_ivf_idx_streamtd"
+  private val streamTdStageDir = "/tmp/graft_streamtd_log"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
     synchronized {
@@ -3469,6 +3471,35 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_stream_takedown" -> ((s, dir) => { // oracle: sidecar replay over the stream-fed index
+      // STREAMING COMPLIANCE, end to end: the LIVE CDC applier
+      // maintains the hosted snapshot AND pushes every micro-batch's
+      // tombstones into the serving index's deletion-vector sidecar —
+      // x_takedown_pipeline with the log arriving as a stream (the
+      // index follows the STREAM, O(dels) per batch, no rewrite). The
+      // oracle replays retrieval over cells + sidecar: the streamed
+      // tombstones are unfindable, everything else intact.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(streamTdIdxDir, dir) {
+        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+          streamTdIdxDir, nlist = 16)
+        val vt = emb.schema("embedding").dataType
+        val log = emb.select(col("vec_id"), col("embedding"))
+          .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+          .unionByName(emb.filter(col("vec_id") % 11 === 3)
+            .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+            .withColumn("seq", lit(2L)).withColumn("op", lit("D")))
+        graft.streaming.StreamCdc.stageLogSlices(log, "seq",
+          streamTdStageDir, Seq(Seq(1L), Seq(2L)))
+        graft.streaming.StreamCdc.runOnce(s, streamTdStageDir, log.schema,
+          "vec_id", "seq", "op", takedownIndexPath = Some(streamTdIdxDir))
+        ()
+      }
+      graft.operators.AnnIndex.ivfServe(s, path,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_ivf_deleted" -> ((s, dir) => { // oracle: sidecar-path replay (tombstoned)
       // The takedown / right-to-be-forgotten lifecycle step with
       // DELETION-VECTOR semantics: odd-id vectors are tombstoned into
@@ -5981,6 +6012,10 @@ object QueryCatalog {
       "x_takedown_pipeline" ->
         // same sidecar replay shape over the CDC-driven takedown index
         ivfPersistedReplay(takedownIdxDir, tombstoned = true),
+
+      "x_stream_takedown" ->
+        // the stream-fed sidecar replay: same shape as x_takedown_pipeline
+        ivfPersistedReplay(streamTdIdxDir, tombstoned = true),
 
       "x_cdc_index_sync" ->
         // the synced index ends folded (sidecar cleared), so the PLAIN

@@ -44,7 +44,8 @@ object StreamCdc {
     * not operations). Returns the item id after the stream drains.
     */
   def apply(spark: SparkSession, changes: DataFrame, keyCol: String,
-            seqCol: String, opCol: String, title: String): String = {
+            seqCol: String, opCol: String, title: String,
+            takedownIndexPath: Option[String] = None): String = {
     val payload = changes.columns.toSeq.filterNot(c =>
       c == keyCol || c == seqCol || c == opCol)
     require(payload.nonEmpty, "cdc stream has no payload columns")
@@ -81,12 +82,20 @@ object StreamCdc {
           if (!ups.isEmpty)
             HostedTables.write(ups, id, WriteMode.Upsert, Some(keyCol))
               .fold(sys.error, identity)
-          if (!dels.isEmpty)
+          if (!dels.isEmpty) {
             // distributed per-task delete batches; the (batch, partition,
             // chunk) replay ids dedupe on top of the seq guard
             HostedTables.deleteFrame(dels, id, keyCol,
                 batchTag = Some(s"cdcdel_${id}_$batchId"))
               .fold(sys.error, identity)
+            // STREAMING TAKEDOWN PROPAGATION: the same tombstone keys go
+            // into the serving index's deletion-vector sidecar — O(dels)
+            // per batch, the index is never rewritten mid-stream; a
+            // replayed batch appends duplicate ids, which the sidecar
+            // reader distincts (idempotent)
+            takedownIndexPath.foreach(p =>
+              graft.operators.AnnIndex.ivfDelete(spark, p, dels, keyCol))
+          }
         }
         ()
       }
@@ -117,7 +126,8 @@ object StreamCdc {
     * deterministic, so the batch operator's oracle replays it.
     */
   def runOnce(spark: SparkSession, stageDir: String, schema: StructType,
-              keyCol: String, seqCol: String, opCol: String): DataFrame = {
+              keyCol: String, seqCol: String, opCol: String,
+              takedownIndexPath: Option[String] = None): DataFrame = {
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stageDir)
     // Stable title keyed by the stage dir: re-runs rebuild the SAME
@@ -129,7 +139,8 @@ object StreamCdc {
     val norm = graft.core.ServiceName.normalize(title).fold(sys.error, identity)
     graft.sinks.HostedSinks.active.resolveByTitle(norm)
       .foreach(graft.sinks.HostedSinks.active.drop)
-    val id = apply(spark, raw, keyCol, seqCol, opCol, title)
+    val id = apply(spark, raw, keyCol, seqCol, opCol, title,
+      takedownIndexPath)
     HostedTables.read(spark, id).drop(seqCol)
   }
 }

@@ -134,4 +134,28 @@ class StreamCdcSpec extends AnyFunSuite {
     assert(n == 500L)
     assert(HostedTables.read(spark, id).count() == 0L)
   }
+
+  test("streaming takedown propagation: batch tombstones land in the index sidecar") {
+    val emb = graft.api.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = "/tmp/graft_test_streamtd_idx"
+    graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding", idx,
+      nlist = 16)
+    val vt = emb.schema("embedding").dataType
+    val log = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      .unionByName(emb.filter(col("vec_id") % 2 =!= 0)
+        .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D")))
+    val stage = "/tmp/graft_test_streamtd_log"
+    StreamCdc.stageLogSlices(log, "seq", stage, Seq(Seq(1L), Seq(2L)))
+    StreamCdc.runOnce(spark, stage, log.schema, "vec_id", "seq", "op",
+      takedownIndexPath = Some(idx))
+    assert(new java.io.File(s"$idx/tombstones").exists(),
+      "stream did not write the deletion sidecar")
+    val served = graft.operators.AnnIndex.ivfServe(spark, idx,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
+      .select("id").collect().map(_.getLong(0))
+    assert(served.nonEmpty && served.forall(_ % 2 == 0),
+      s"streamed tombstones still serving: ${served.filter(_ % 2 != 0).take(5).toSeq}")
+  }
 }
