@@ -282,6 +282,40 @@ object AnnIndex {
     if (!live.isEmpty) ivfAppend(live, keyCol, vecCol, path)
   }
 
+  /** Index health report — the observability row an index operator
+    * alarms on (the ANN sibling of [[Cdc]]'s change-log report):
+    * centroid count, stored members, PENDING tombstones (distinct ids
+    * awaiting a fold), the serving membership (stored minus
+    * suppressed), and the small-files pressure (parquet files per cid
+    * partition ×100 — the number [[ivfCompact]] resets to 100). All
+    * counts are metadata/aggregate scans — nothing collects beyond the
+    * one-row report.
+    */
+  def describeIvf(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val cells = spark.read.parquet(s"$path/cells")
+      .withColumn("cid", col("cid").cast("long"))
+    val nlist = spark.read.parquet(s"$path/centroids").count()
+    val nMembers = cells.count()
+    val pending = loadTombstones(spark, path)
+    val nTomb = pending.fold(0L)(_.count())
+    val nServing = pending.fold(nMembers)(t =>
+      cells.join(broadcast(t), Seq("id"), "left_anti").count())
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = cellsPath.getFileSystem(conf)
+    val it = fs.listFiles(cellsPath, true)
+    var nFiles = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
+    val nParts = cells.select("cid").distinct().count()
+    Seq((nlist, nMembers, nTomb, nServing,
+        if (nParts == 0) 0L else nFiles * 100L / nParts))
+      .toDF("nlist", "n_members", "n_pending_tombstones", "n_serving",
+        "files_per_cid_x100")
+  }
+
   /** The persisted centroid table, collected driver-side (nlist rows). */
   private[graft] def loadIvfCentroids(spark: SparkSession,
                                       path: String): Array[(Long, Seq[Double], Double)] =

@@ -3509,18 +3509,21 @@ object QueryCatalog {
       // cells + tombstones, so the hash proves the sidecar path
       // suppresses exactly the listed members and nothing else.
       val emb = t(s, dir, "embeddings")
-      val path = stageIndex(ivfDelIdxDir, dir) {
-        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
-          ivfDelIdxDir, nlist = 16)
-        graft.operators.AnnIndex.ivfDelete(s, ivfDelIdxDir,
-          emb.filter(col("vec_id") % 4 === 1).select("vec_id"), "vec_id")
-        graft.operators.AnnIndex.ivfDelete(s, ivfDelIdxDir,
-          emb.filter(col("vec_id") % 4 === 3).select("vec_id"), "vec_id")
-      }
+      val path = stageIvfDeleted(s, dir)
       graft.operators.AnnIndex.ivfServe(s, path,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10, nprobe = 4)
         .orderBy("qid", "rank")
     }),
+
+    "x_index_report" -> ((s, dir) =>
+      // Index observability — the ANN sibling of x_cdc_report: one row
+      // of centroid count, stored members, PENDING tombstones, serving
+      // membership (stored minus suppressed), and small-files pressure
+      // (parquet files per cid ×100). Shares x_sim_ivf_deleted's staged
+      // index so the numbers describe a real mid-lifecycle state; the
+      // oracle recomputes every figure from the artifact alone
+      // (filename= gives DuckDB the file census).
+      graft.operators.AnnIndex.describeIvf(s, stageIvfDeleted(s, dir))),
 
     "x_sim_ivf_del_compacted" -> ((s, dir) => { // oracle: PLAIN replay post-fold
       // COMPACTION FOLDS THE SIDECAR: after ivfCompact the tombstoned
@@ -4458,6 +4461,23 @@ object QueryCatalog {
       graft.core.ParquetStage.stageSingleFile(hashes, imgHashStageDir, "hashes")
     }
     s"$imgHashStageDir/hashes.parquet"
+  }
+
+  /** The deleted-index fixture shared by x_sim_ivf_deleted (serve
+    * through the sidecar) and x_index_report (describe the
+    * mid-lifecycle state): full build, then TWO takedown calls covering
+    * the odd ids — takedowns accumulate in the sidecar.
+    */
+  private def stageIvfDeleted(s: SparkSession, dir: String): String = {
+    val emb = t(s, dir, "embeddings")
+    stageIndex(ivfDelIdxDir, dir) {
+      graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+        ivfDelIdxDir, nlist = 16)
+      graft.operators.AnnIndex.ivfDelete(s, ivfDelIdxDir,
+        emb.filter(col("vec_id") % 4 === 1).select("vec_id"), "vec_id")
+      graft.operators.AnnIndex.ivfDelete(s, ivfDelIdxDir,
+        emb.filter(col("vec_id") % 4 === 3).select("vec_id"), "vec_id")
+    }
   }
 
   /** Staged audio-fingerprint table for [[x_dedup_audio]] — the audio
@@ -6016,6 +6036,24 @@ object QueryCatalog {
       "x_stream_takedown" ->
         // the stream-fed sidecar replay: same shape as x_takedown_pipeline
         ivfPersistedReplay(streamTdIdxDir, tombstoned = true),
+
+      "x_index_report" ->
+        // every figure recomputed from the artifact alone; filename=
+        // gives DuckDB the parquet file census for the small-files gauge
+        s"""WITH cells AS (SELECT id, CAST(cid AS BIGINT) AS cid, filename
+           |  FROM read_parquet('$ivfDelIdxDir/cells/*/*.parquet',
+           |                    hive_partitioning = true, filename = true)),
+           |tomb AS (SELECT DISTINCT id
+           |  FROM read_parquet('$ivfDelIdxDir/tombstones/*.parquet'))
+           |SELECT
+           |  CAST((SELECT count(*)
+           |        FROM read_parquet('$ivfDelIdxDir/centroids/*.parquet')) AS BIGINT) AS nlist,
+           |  CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_members,
+           |  CAST((SELECT count(*) FROM tomb) AS BIGINT) AS n_pending_tombstones,
+           |  CAST((SELECT count(*) FROM cells
+           |        WHERE id NOT IN (SELECT id FROM tomb)) AS BIGINT) AS n_serving,
+           |  CAST((SELECT count(DISTINCT filename) FROM cells) * 100
+           |       // (SELECT count(DISTINCT cid) FROM cells) AS BIGINT) AS files_per_cid_x100""".stripMargin,
 
       "x_cdc_index_sync" ->
         // the synced index ends folded (sidecar cleared), so the PLAIN
