@@ -678,6 +678,59 @@ object Curation {
       .withColumn("at_risk", col("n_rows") < k)
   }
 
+  /** Water-filling token-budget allocation across domains — the
+    * optimizer behind a training-mix spec: given per-domain available
+    * tokens and a total budget B, find the level L with
+    * `Σ min(available_d, L) = B` and allocate `min(available_d, L)` —
+    * small domains keep everything, large domains are capped at a
+    * COMMON level (maximally flat mix under the budget; the classic
+    * water-filling solution). All-integer and EXACT: the fractional
+    * level splits into `L = (B − P_sat) div n_unsat` plus a remainder
+    * distributed as +1 to the first `r` unsaturated domains in
+    * (available asc, domain asc) order, so Σ allocated ≡ B when
+    * B ≤ Σ available (everything saturates otherwise).
+    *
+    * Scale posture: corpus work is ONE groupBy count; the sort windows
+    * run over the DOMAIN table (vocabulary-sized — the same budget
+    * argument as every broadcast model table), never the corpus.
+    */
+  def domainWaterfill(df: DataFrame, domainCol: String, tokensCol: String,
+                      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val avail = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("long").as("available"))
+    val w = Window.orderBy(col("available").asc, col(domainCol).asc)
+    val ranked = avail
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__p", sum("available").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = avail.agg(count(lit(1)).cast("long").as("__n"))
+    // a domain saturates iff raising everyone to ITS level is
+    // affordable: P_{k-1} + c_k·(n−k+1) ≤ B — a prefix of the asc order
+    val flagged = ranked.crossJoin(broadcast(tot))
+      .withColumn("saturated",
+        col("__p") - col("available") +
+          col("available") * (col("__n") - col("__k") + 1) <= budget)
+    val satStats = flagged.agg(
+      sum(when(col("saturated"), 1L).otherwise(0L)).cast("long").as("__i"),
+      sum(when(col("saturated"), col("available")).otherwise(0L))
+        .cast("long").as("__pi"))
+    flagged.crossJoin(broadcast(satStats))
+      .withColumn("__rem_n", col("__n") - col("__i"))
+      .withColumn("__level",
+        when(col("__rem_n") > 0,
+          expr(s"(${budget}L - __pi) div __rem_n")).otherwise(lit(0L)))
+      .withColumn("__r",
+        when(col("__rem_n") > 0,
+          expr(s"(${budget}L - __pi) % __rem_n")).otherwise(lit(0L)))
+      .withColumn("allocated",
+        when(col("saturated"), col("available"))
+          .otherwise(col("__level") +
+            when(col("__k") - col("__i") <= col("__r"), 1L).otherwise(0L)))
+      .select(col(domainCol), col("available"), col("allocated"),
+        col("saturated"))
+  }
+
   /** l-diversity audit — [[kAnonymityAudit]]'s companion: a group can
     * be k-anonymous yet still leak if everyone in it shares the same
     * SENSITIVE value (the homogeneity attack). One row per

@@ -2656,6 +2656,18 @@ object QueryCatalog {
         .select("c_custkey", "c_nationkey", "c_mktsegment")
         .orderBy("c_custkey")),
 
+    "x_mix_waterfill" -> ((s, dir) => {
+      // Water-filling budget allocation across sources at 60% of the
+      // corpus: small domains keep everything, large ones cap at a
+      // common level, Σ allocated ≡ budget EXACTLY (integer level +
+      // deterministic remainder rule). The sort windows run over the
+      // domain table, never the corpus.
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+      Curation.domainWaterfill(docs, "source", "n_chars", total * 6 / 10)
+        .orderBy("source")
+    }),
+
     "x_privacy_ldiv" -> ((s, dir) =>
       // l-diversity audit — the homogeneity-attack companion to
       // x_privacy_kanon: a (nation, segment) group where EVERY member
@@ -5299,6 +5311,36 @@ object QueryCatalog {
           |           AND g.c_mktsegment = c.c_mktsegment
           |WHERE g.c_nationkey IS NULL
           |ORDER BY c.c_custkey""".stripMargin,
+
+      "x_mix_waterfill" ->
+        // the same closed-form waterfill: saturated = affordable-level
+        // prefix of the asc order, integer level + remainder to the
+        // first r unsaturated domains (// and % agree with Spark's
+        // div/% on the non-negative operands here)
+        """WITH avail AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available
+          |               FROM documents GROUP BY source),
+          |b AS (SELECT CAST(sum(n_chars) AS BIGINT) * 6 // 10 AS budget FROM documents),
+          |ranked AS (SELECT source, available,
+          |    row_number() OVER (ORDER BY available ASC, source ASC) AS k,
+          |    sum(available) OVER (ORDER BY available ASC, source ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+          |    count(*) OVER () AS n
+          |  FROM avail),
+          |flagged AS (SELECT r.*, b.budget,
+          |    (p - available + available * (n - k + 1)) <= b.budget AS saturated
+          |  FROM ranked r CROSS JOIN b),
+          |st AS (SELECT CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT) AS i,
+          |              CAST(sum(CASE WHEN saturated THEN available ELSE 0 END) AS BIGINT) AS pi
+          |       FROM flagged)
+          |SELECT f.source, f.available,
+          |  CAST(CASE WHEN f.saturated THEN f.available
+          |       ELSE (f.budget - st.pi) // (f.n - st.i) +
+          |            (CASE WHEN f.k - st.i <= (f.budget - st.pi) % (f.n - st.i)
+          |                  THEN 1 ELSE 0 END)
+          |       END AS BIGINT) AS allocated,
+          |  f.saturated
+          |FROM flagged f CROSS JOIN st
+          |ORDER BY f.source""".stripMargin,
 
       "x_privacy_ldiv" ->
         """SELECT c_nationkey, c_mktsegment,

@@ -214,6 +214,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("US", "B", 10L, 2L, false)))
   }
 
+  test("domainWaterfill: exact budget split, small domains whole, level capped") {
+    // availabilities (2, 4, 8, 100) built from split rows, budget 20:
+    // levels 2 and 4 are affordable (saturate a, b), level =
+    // (20-6) div 2 = 7 with remainder 0 -> allocations (2, 4, 7, 7)
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L),
+      ("c", 4L), ("c", 4L), ("d", 50L), ("d", 50L))
+      .toDF("domain", "tokens")
+    val got = Curation.domainWaterfill(df, "domain", "tokens", budget = 20L)
+      .orderBy("domain")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("a", 2L, 2L, true), ("b", 4L, 4L, true),
+      ("c", 8L, 7L, false), ("d", 100L, 7L, false)), s"got $got")
+    // a budget with a nonzero remainder: 21 -> the smaller unsaturated
+    // domain (c) takes the extra token
+    val odd = Curation.domainWaterfill(df, "domain", "tokens", budget = 21L)
+      .orderBy("domain")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(odd.map(_._3) == Seq(2L, 4L, 8L, 7L), s"got $odd")
+    assert(odd.map(_._3).sum == 21L, "allocations must sum to the budget")
+    assert(got.forall(t => t._3 <= t._2), "allocation exceeds availability")
+    // budget >= total: everything saturates
+    val all = Curation.domainWaterfill(df, "domain", "tokens", budget = 1000L)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(all.forall(t => t._3 == t._2 && t._4))
+  }
+
   // ------------------------------------------- trained scalar quantizer
 
   test("scalarQuantizeTrained: exact codes on a planted grid") {
