@@ -678,6 +678,30 @@ object Curation {
       .withColumn("at_risk", col("n_rows") < k)
   }
 
+  /** Sharded JSONL corpus export — the TEXT sibling of
+    * [[Embeddings.exportNpy]] and what a dataset release actually
+    * ships: deterministic md5-hash shards ([[shuffleShards]]), one
+    * `.jsonl` file per shard written executor-side with rows in shard
+    * order and a trailing newline, plus the id manifest. `lineCol`
+    * carries the caller's CANONICAL serialized line (explicit field
+    * order and escaping — the exporter never re-serializes, so the
+    * bytes are a pure function of the input set). The returned report's
+    * sha256 is over the exact file bytes — unlike the `.npy` report the
+    * WHOLE row (counts, lengths, digest) is cross-engine replayable.
+    */
+  def exportJsonl(df: DataFrame, idCol: String, lineCol: String,
+                  outDir: String, numShards: Int = 16): DataFrame = {
+    val sharded = shuffleShards(
+      df.select(col(idCol), col(lineCol).cast("string").as(lineCol)),
+      idCol, numShards)
+    Embeddings.writeShards(sharded, idCol, lineCol, outDir, numShards,
+      "jsonl") { rows =>
+      val sb = new java.lang.StringBuilder
+      rows.foreach { r => sb.append(r.getString(2)).append('\n') }
+      (sb.toString.getBytes("UTF-8"), rows.size.toLong, 0L)
+    }
+  }
+
   /** Water-filling token-budget allocation across domains — the
     * optimizer behind a training-mix spec: given per-domain available
     * tokens and a total budget B, find the level L with

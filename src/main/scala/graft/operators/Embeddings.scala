@@ -358,6 +358,19 @@ object Embeddings {
   private def writeNpyShards(sharded: DataFrame, idCol: String,
                              vecCol: String, outDir: String, numShards: Int)
                             (encodeShard: Seq[org.apache.spark.sql.Row] =>
+                              (Array[Byte], Long, Long)): DataFrame =
+    writeShards(sharded, idCol, vecCol, outDir, numShards, "npy")(encodeShard)
+
+  /** The payload-agnostic form of the shard writer: `ext` names the
+    * shard files (`shard_NNNNN.<ext>`); everything else — persist,
+    * manifest, stale-shard deletion, streamed boundary cutting, the
+    * (shard_no, n_rows, n_dim, byte_len, sha256) report — is shared by
+    * the `.npy` tensor exporters and the `.jsonl` corpus exporter.
+    */
+  private[graft] def writeShards(sharded: DataFrame, idCol: String,
+                             vecCol: String, outDir: String, numShards: Int,
+                             ext: String)
+                            (encodeShard: Seq[org.apache.spark.sql.Row] =>
                               (Array[Byte], Long, Long)): DataFrame = {
     val spark = sharded.sparkSession
     import spark.implicits._
@@ -375,7 +388,7 @@ object Embeddings {
       val dfs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(outDir), hconf)
       Option(dfs.globStatus(
-          new org.apache.hadoop.fs.Path(outDir, "shard_*.npy")))
+          new org.apache.hadoop.fs.Path(outDir, s"shard_*.$ext")))
         .toSeq.flatten.foreach(st => dfs.delete(st.getPath, false))
       val out = outDir
       val report = cached
@@ -400,7 +413,8 @@ object Embeddings {
               while (buf.hasNext && buf.head.getInt(0) == shard)
                 rows += buf.next()
               val (bytes, n, dim) = encodeShard(rows.toSeq) // pos-sorted
-              val p = new org.apache.hadoop.fs.Path(out, f"shard_$shard%05d.npy")
+              val p = new org.apache.hadoop.fs.Path(out,
+                f"shard_$shard%05d." + ext)
               val os = fs.create(p, true)
               try os.write(bytes) finally os.close()
               val sha = java.security.MessageDigest.getInstance("SHA-256")

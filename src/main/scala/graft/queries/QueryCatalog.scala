@@ -2656,6 +2656,26 @@ object QueryCatalog {
         .select("c_custkey", "c_nationkey", "c_mktsegment")
         .orderBy("c_custkey")),
 
+    "x_export_jsonl" -> ((s, dir) => {
+      // Sharded JSONL corpus release: canonical hand-assembled lines
+      // (explicit field order, backslash-then-quote escaping — never an
+      // engine's own JSON serializer, whose spacing/unicode choices
+      // differ), md5 shards, one file per shard. UNLIKE the .npy
+      // report, the ENTIRE report row replays cross-engine — including
+      // the sha256 of the exact file bytes (DuckDB string_agg in shard
+      // order || trailing newline hashes to the same digest).
+      val docs = t(s, dir, "documents")
+      val esc = replace(replace(col("text"), lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\""))
+      val line = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+        lit(",\"lang\":\""), col("lang"), lit("\",\"source\":\""),
+        col("source"), lit("\",\"text\":\""), esc, lit("\"}"))
+      Curation.exportJsonl(docs.select(col("doc_id"), line.as("line")),
+          "doc_id", "line", "/tmp/graft_export_jsonl", numShards = 8)
+        .select("shard_no", "n_rows", "byte_len", "sha256")
+        .orderBy("shard_no")
+    }),
+
     "x_mix_waterfill" -> ((s, dir) => {
       // Water-filling budget allocation across sources at 60% of the
       // corpus: small domains keep everything, large ones cap at a
@@ -5311,6 +5331,28 @@ object QueryCatalog {
           |           AND g.c_mktsegment = c.c_mktsegment
           |WHERE g.c_nationkey IS NULL
           |ORDER BY c.c_custkey""".stripMargin,
+
+      "x_export_jsonl" ->
+        // full-report replay: same canonical lines, same md5 shard
+        // assignment and (md5, id) order, sha256 over the identical
+        // byte stream (strlen = UTF-8 bytes on VARCHAR)
+        """WITH lines AS (SELECT doc_id,
+          |    '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang ||
+          |    '","source":"' || source || '","text":"' ||
+          |    replace(replace(text, '\', '\\'), '"', '\"') || '"}' AS line
+          |  FROM documents),
+          |sh AS (SELECT doc_id, line,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+          |    md5(CAST(doc_id AS VARCHAR)) AS hx
+          |  FROM lines),
+          |agg AS (SELECT CAST(shard AS INTEGER) AS shard_no,
+          |    CAST(count(*) AS BIGINT) AS n_rows,
+          |    string_agg(line, chr(10) ORDER BY hx, doc_id) || chr(10) AS blob
+          |  FROM sh GROUP BY shard)
+          |SELECT shard_no, n_rows,
+          |  CAST(strlen(blob) AS BIGINT) AS byte_len,
+          |  sha256(blob) AS sha256
+          |FROM agg ORDER BY shard_no""".stripMargin,
 
       "x_mix_waterfill" ->
         // the same closed-form waterfill: saturated = affordable-level

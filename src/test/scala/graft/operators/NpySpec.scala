@@ -154,4 +154,37 @@ class NpySpec extends AnyFunSuite {
       .select("codes").as[Seq[Int]].head()
     assert(codes == Seq(255, 0), s"expected rail saturation, got $codes")
   }
+
+  test("exportJsonl: deterministic report incl. sha; files are valid JSONL") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.api.Tables.load(spark, dir, "documents")
+    val esc = replace(replace(col("text"), lit("\\"), lit("\\\\")),
+      lit("\""), lit("\\\""))
+    val line = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+      lit(",\"text\":\""), esc, lit("\"}"))
+    val in = docs.select(col("doc_id"), line.as("line"))
+    val out = "/tmp/graft_test_jsonl"
+    val r1 = Curation.exportJsonl(in, "doc_id", "line", out, 4)
+      .orderBy("shard_no").collect().map(_.toSeq).toSeq
+    val r2 = Curation.exportJsonl(in.repartition(13), "doc_id", "line", out, 4)
+      .orderBy("shard_no").collect().map(_.toSeq).toSeq
+    assert(r1 == r2, "export not a pure function of the input set")
+    assert(r1.map(_(1).asInstanceOf[Long]).sum == docs.count())
+    // the written file's bytes hash to the reported sha, and every
+    // line round-trips through a real JSON parser to the source doc
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/shard_00000.jsonl"))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map(b => f"$b%02x").mkString
+    assert(sha == r1.head(4).asInstanceOf[String], "file sha != report sha")
+    val lines = new String(bytes, "UTF-8").split("\n")
+    assert(lines.length == r1.head(1).asInstanceOf[Long])
+    val parsed = spark.read.json(spark.createDataset(lines.toSeq))
+    assert(parsed.columns.sorted.toSeq == Seq("doc_id", "text"))
+    assert(parsed.count() == lines.length, "a line failed to parse as JSON")
+    val joined = parsed.join(docs, Seq("doc_id"))
+    assert(joined.count() == lines.length)
+    assert(joined.filter(parsed("text") =!= docs("text")).count() == 0,
+      "escaping did not round-trip through a real JSON parser")
+  }
 }
