@@ -755,6 +755,28 @@ object Curation {
         col("saturated"))
   }
 
+  /** Enforce a [[domainWaterfill]] allocation: per domain, take rows in
+    * `keyCol` order until the domain's allocated token budget is
+    * reached — each domain may overrun by at most one document
+    * (`cum_before < allocated`, the [[takeByBudget]] convention, here
+    * per-domain so the cumulative sum is a KEYED window, never a
+    * global sort). The end-to-end "fill the mix to budget B" step:
+    * allocate with water-filling, then select.
+    */
+  def waterfillTake(df: DataFrame, domainCol: String, keyCol: String,
+                    tokensCol: String, budget: Long): DataFrame = {
+    val alloc = domainWaterfill(df, domainCol, tokensCol, budget)
+      .select(col(domainCol), col("allocated"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(keyCol))
+    df.withColumn("__cum_before",
+        sum(col(tokensCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+          col(tokensCol))
+      .join(broadcast(alloc), Seq(domainCol))
+      .filter(col("__cum_before") < col("allocated"))
+      .drop("__cum_before", "allocated")
+  }
+
   /** l-diversity audit — [[kAnonymityAudit]]'s companion: a group can
     * be k-anonymous yet still leak if everyone in it shares the same
     * SENSITIVE value (the homogeneity attack). One row per

@@ -2688,6 +2688,18 @@ object QueryCatalog {
         .orderBy("source")
     }),
 
+    "x_mix_waterfill_take" -> ((s, dir) => {
+      // the allocation ENFORCED: per source, docs in doc_id order until
+      // the water-filled budget is reached (≤ one-doc overrun per
+      // domain — the takeByBudget convention, keyed per domain)
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(sum(col("n_chars")).cast("long")).head().getLong(0)
+      Curation.waterfillTake(docs, "source", "doc_id", "n_chars",
+          total * 6 / 10)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "x_privacy_ldiv" -> ((s, dir) =>
       // l-diversity audit — the homogeneity-attack companion to
       // x_privacy_kanon: a (nation, segment) group where EVERY member
@@ -5383,6 +5395,40 @@ object QueryCatalog {
           |  f.saturated
           |FROM flagged f CROSS JOIN st
           |ORDER BY f.source""".stripMargin,
+
+      "x_mix_waterfill_take" ->
+        // the same allocation CTEs, then a per-domain cumulative-sum
+        // take (cum_before < allocated — one-doc overrun max)
+        """WITH avail AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available
+          |               FROM documents GROUP BY source),
+          |b AS (SELECT CAST(sum(n_chars) AS BIGINT) * 6 // 10 AS budget FROM documents),
+          |ranked AS (SELECT source, available,
+          |    row_number() OVER (ORDER BY available ASC, source ASC) AS k,
+          |    sum(available) OVER (ORDER BY available ASC, source ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+          |    count(*) OVER () AS n
+          |  FROM avail),
+          |flagged AS (SELECT r.*, b.budget,
+          |    (p - available + available * (n - k + 1)) <= b.budget AS saturated
+          |  FROM ranked r CROSS JOIN b),
+          |st AS (SELECT CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT) AS i,
+          |              CAST(sum(CASE WHEN saturated THEN available ELSE 0 END) AS BIGINT) AS pi
+          |       FROM flagged),
+          |alloc AS (SELECT f.source,
+          |    CAST(CASE WHEN f.saturated THEN f.available
+          |         ELSE (f.budget - st.pi) // (f.n - st.i) +
+          |              (CASE WHEN f.k - st.i <= (f.budget - st.pi) % (f.n - st.i)
+          |                    THEN 1 ELSE 0 END)
+          |         END AS BIGINT) AS allocated
+          |  FROM flagged f CROSS JOIN st),
+          |cum AS (SELECT doc_id, source, n_chars,
+          |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS cb
+          |  FROM documents)
+          |SELECT c.doc_id, c.source, c.n_chars
+          |FROM cum c JOIN alloc a ON a.source = c.source
+          |WHERE c.cb < a.allocated
+          |ORDER BY c.doc_id""".stripMargin,
 
       "x_privacy_ldiv" ->
         """SELECT c_nationkey, c_mktsegment,

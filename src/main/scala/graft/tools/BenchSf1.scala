@@ -519,6 +519,21 @@ object BenchSf1 {
             .select("vec_id"), "vec_id")
         spark.read.parquet(s"$idx/cells").count()
       }),
+      // corpus release export: canonical line assembly + shard shuffle
+      // + per-shard .jsonl write — linear bytes, same memory budget as
+      // the tensor export
+      "jsonl_export" -> ((dir, m) => {
+        val d = docs(spark, dir)
+        val line = concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+          lit(",\"text\":\""),
+          org.apache.spark.sql.functions.replace(
+            org.apache.spark.sql.functions.replace(col("text"),
+              lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
+          lit("\"}"))
+        graft.operators.Curation.exportJsonl(
+          d.select(col("doc_id"), line.as("line")), "doc_id", "line",
+          s"/tmp/graft_sf1_jsonl/${tagOf(dir)}", numShards = 16 * m).count()
+      }),
       // tensor export: one shard shuffle + per-shard NPY encode+write —
       // linear bytes; shards scale with the corpus so per-task memory
       // stays constant (the collect_list-bucket budget)

@@ -240,6 +240,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(all.forall(t => t._3 == t._2 && t._4))
   }
 
+  test("waterfillTake: per-domain budgets enforced with <= one-doc overrun") {
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 2L),
+      ("b", 3L, 10L), ("b", 4L, 10L), ("b", 5L, 10L),
+      ("c", 6L, 50L), ("c", 7L, 50L)).toDF("domain", "id", "tokens")
+    // availabilities (4, 30, 100), budget 40: a saturates (4),
+    // level = (40-4) div 2 = 18 -> b gets 18, c gets 18
+    val alloc = Curation.domainWaterfill(df, "domain", "tokens", 40L)
+      .orderBy("domain").as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(alloc == Seq(("a", 4L, 4L, true), ("b", 30L, 18L, false),
+      ("c", 100L, 18L, false)), s"alloc $alloc")
+    val taken = Curation.waterfillTake(df, "domain", "id", "tokens", 40L)
+      .orderBy("id").as[(String, Long, Long)].collect().toSeq
+    // a: both docs (4 = alloc); b: docs 3,4 (cum_before 0,10 < 18 —
+    // overrun to 20, doc 5 cum_before 20 >= 18 stops); c: doc 6 only
+    assert(taken.map(_._2) == Seq(1L, 2L, 3L, 4L, 6L), s"taken $taken")
+    // overrun bound: per domain, taken tokens < allocated + max doc
+    val byDom = taken.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDom("a") == 4L && byDom("b") == 20L && byDom("c") == 50L)
+  }
+
   // ------------------------------------------- trained scalar quantizer
 
   test("scalarQuantizeTrained: exact codes on a planted grid") {
