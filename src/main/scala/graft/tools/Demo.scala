@@ -136,6 +136,25 @@ object Demo {
     sq.processAllAvailable(); sq.stop()
     println(s"== streamed tail rows -> ${spark.table("demo_tail").count()}")
 
+    // Round-10 surfaces: distributed deletes, CDC log compaction, the
+    // deletion-vector index lifecycle, late-interaction retrieval, and
+    // water-filled mix budgeting.
+    val delFrame = orders.filter($"o_orderkey" % 11 === 0).select($"o_orderkey")
+    println(s"== distributed deleteFrame     -> ${HostedTables.deleteFrame(delFrame, id, "o_orderkey").fold(sys.error, identity)} rows removed in per-task batches")
+    println(s"== CDC log compaction          -> ${cdcLog.count()} change rows -> ${graft.operators.Cdc.compactLog(cdcLog, "doc_id", "seq", "op", 1L).count()} after checkpoint@1")
+    locally {
+      val idxDir = "/tmp/graft_demo_ivf"
+      graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding", idxDir, nlist = 16)
+      graft.operators.AnnIndex.ivfDelete(spark, idxDir,
+        emb.filter($"vec_id" % 2 === 1).select("vec_id"), "vec_id")
+      val report = graft.operators.AnnIndex.describeIvf(spark, idxDir).first()
+      println(s"== deletion-vector takedown    -> ${report.getAs[Long]("n_pending_tombstones")} ids pending, ${report.getAs[Long]("n_serving")} of ${report.getAs[Long]("n_members")} serving (index bytes untouched)")
+    }
+    val demoToks = emb.select($"vec_id",
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))").as("toks"))
+    println(s"== MaxSim late interaction     -> ${Similarity.maxsimTopK(demoToks, demoToks.filter($"vec_id" < 3), "vec_id", "toks", 5, tokenDim = 16).count()} ranked rows for 3 query token-matrices")
+    println(s"== water-filled 60% mix        -> ${Curation.domainWaterfill(docs, "source", "n_chars", docs.agg(sum($"n_chars").cast("long")).first().getLong(0) * 6 / 10).filter(!col("saturated")).count()} domains capped at the common level")
+
     // 8. The same engine over a REAL HTTP boundary: spin the in-process
     // portal double, swap the REST client in as the active sink, and run
     // a full save/filtered-read cycle whose scan pages and write batches
