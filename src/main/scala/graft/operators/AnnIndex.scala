@@ -416,6 +416,32 @@ object AnnIndex {
     clearTombstones(spark, path)
   }
 
+  /** Synchronize a persisted PQ index with a CDC change-log TAIL — the
+    * PQ member of the maintenance loop, same contract as
+    * [[ivfSyncFromLog]]: tombstone every key the tail touches (O(tail)
+    * sidecar append), fold the sidecar ([[pqCompact]] — required, not
+    * optional: the deletion vector suppresses ids unconditionally, so
+    * an updated or revived id could never re-enter while its tombstone
+    * is pending), then LWW-reduce the tail ([[Cdc.applyLog]] over the
+    * tail alone) and re-encode the surviving current versions against
+    * the PERSISTED codebooks ([[pqAppend]] — the codebooks are the
+    * index's identity and are never retrained by maintenance). Deletes
+    * in the tail simply never re-append. Cost: O(tail) + one fold —
+    * batch the tail to amortize, exactly like the IVF member.
+    * Equivalence with re-encoding the full post-tail snapshot under the
+    * same codebooks is spec-gated (AnnIndexSpec).
+    */
+  def pqSyncFromLog(spark: SparkSession, path: String, tail: DataFrame,
+                    keyCol: String, seqCol: String, opCol: String,
+                    vecCol: String, deleteOp: String = "D"): Unit = {
+    val touched = tail.select(col(keyCol).as("id")).distinct()
+    pqDelete(spark, path, touched, "id")
+    pqCompact(spark, path)
+    val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
+      .select(col(keyCol), col(vecCol))
+    if (!live.isEmpty) pqAppend(live, keyCol, vecCol, path)
+  }
+
   /** The persisted codebooks, reshaped to the m × ks × sub driver array
     * every PQ kernel takes (KBs).
     */

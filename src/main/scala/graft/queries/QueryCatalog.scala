@@ -701,6 +701,7 @@ object QueryCatalog {
   private val pqDelCmpIdxDir = "/tmp/graft_pq_idx_delcmp"
   private val cdcCheckpointDir = "/tmp/graft_cdc_checkpoint"
   private val cdcSyncIdxDir = "/tmp/graft_ivf_idx_cdcsync"
+  private val pqSyncIdxDir = "/tmp/graft_pq_idx_cdcsync"
   private val streamTdIdxDir = "/tmp/graft_ivf_idx_streamtd"
   private val streamTdStageDir = "/tmp/graft_streamtd_log"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
@@ -3515,6 +3516,48 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_cdc_pq_sync" -> ((s, dir) => { // oracle: ADC+rerank replay over the SYNCED codes
+      // THE PQ MEMBER OF THE MAINTENANCE LOOP: the same CDC tail shape
+      // as x_cdc_index_sync drives pqSyncFromLog — tombstone every
+      // touched key (O(tail) sidecar), fold (pqCompact), re-encode the
+      // LWW-current versions against the PERSISTED codebooks (the
+      // model is never retrained by maintenance). The exact re-rank
+      // corpus is the POST-TAIL snapshot — the source table the same
+      // log maintains — composed from the batch CDC operator.
+      // Equivalence with a full re-encode is spec-gated (AnnIndexSpec);
+      // the oracle replays ADC + exact re-rank over the final on-disk
+      // codes, rebuilding the updated float vectors with the same IEEE
+      // arithmetic.
+      val emb = t(s, dir, "embeddings")
+      val vt = emb.schema("embedding").dataType
+      def tail = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x + 0.125 as float))")
+            .as("embedding"))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+        .unionByName(emb.filter(col("vec_id") % 11 === 3)
+          .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+          .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+        .unionByName(emb.filter(col("vec_id") % 22 === 3)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x - 0.25 as float))")
+              .as("embedding"))
+          .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+      val path = stageIndex(pqSyncIdxDir, dir) {
+        graft.operators.AnnIndex.pqBuild(emb, "vec_id", "embedding",
+          pqSyncIdxDir)
+        graft.operators.AnnIndex.pqSyncFromLog(s, pqSyncIdxDir, tail,
+          "vec_id", "seq", "op", "embedding")
+      }
+      val post = emb.select("vec_id", "embedding")
+        .join(tail.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .unionByName(Cdc.applyLog(tail, "vec_id", "seq", "op")
+          .select("vec_id", "embedding"))
+      graft.operators.AnnIndex.pqServe(s, path, post,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_stream_takedown" -> ((s, dir) => { // oracle: sidecar replay over the stream-fed index
       // STREAMING COMPLIANCE, end to end: the LIVE CDC applier
       // maintains the hosted snapshot AND pushes every micro-batch's
@@ -4768,11 +4811,14 @@ object QueryCatalog {
     // re-rank vectors come from the embeddings table. `tombstoned` as
     // in ivfPersistedReplay: replay the deletion-vector anti-join.
     def pqPersistedReplay(idxDir: String,
-                          tombstoned: Boolean = false): String = {
+                          tombstoned: Boolean = false,
+                          rerankCte: String = "",
+                          rerankTable: String = "embeddings"): String = {
       val dv = if (tombstoned)
         s" WHERE id NOT IN (SELECT id FROM read_parquet('$idxDir/tombstones/*.parquet'))"
       else ""
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH $rerankCte
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
            |u AS (SELECT vec_id,
            |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
@@ -4797,7 +4843,7 @@ object QueryCatalog {
            |exact AS (SELECT sh.qid, sh.id,
            |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
            |          FROM short sh
-           |          JOIN embeddings ec ON ec.vec_id = sh.id
+           |          JOIN $rerankTable ec ON ec.vec_id = sh.id
            |          JOIN embeddings eq ON eq.vec_id = sh.qid)
            |SELECT qid, id, rank FROM (
            |  SELECT qid, id,
@@ -6190,6 +6236,25 @@ object QueryCatalog {
         // replay reads the final cells alone: updated vectors serve,
         // tombstoned members are gone from the bytes
         ivfPersistedReplay(cdcSyncIdxDir),
+
+      "x_cdc_pq_sync" ->
+        // the synced PQ index ends folded (sidecar cleared), so the
+        // plain replay reads the final on-disk codes alone; the exact
+        // re-rank joins the POST-TAIL corpus, whose updated float
+        // vectors are rebuilt with the identical IEEE float arithmetic
+        // (x promoted to DOUBLE, the exact-in-binary delta added, the
+        // sum rounded back to FLOAT). CASE order encodes the LWW fold:
+        // revive (seq 4) over delete (seq 3) over update (seq 2).
+        pqPersistedReplay(pqSyncIdxDir,
+          rerankCte = """post AS (SELECT vec_id,
+            |    CASE WHEN vec_id % 22 = 3
+            |           THEN [CAST(CAST(x AS DOUBLE) - 0.25 AS FLOAT) for x in embedding]
+            |         WHEN vec_id % 7 = 0
+            |           THEN [CAST(CAST(x AS DOUBLE) + 0.125 AS FLOAT) for x in embedding]
+            |         ELSE embedding END AS embedding
+            |  FROM embeddings
+            |  WHERE NOT (vec_id % 11 = 3 AND vec_id % 22 <> 3)),""".stripMargin,
+          rerankTable = "post"),
 
       "x_sim_pq_deleted" ->
         pqPersistedReplay(pqDelIdxDir, tombstoned = true),

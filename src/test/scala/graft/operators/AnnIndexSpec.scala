@@ -362,6 +362,52 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!deletedOdd, "a tombstoned member survived the sync")
   }
 
+  test("pqSyncFromLog: synced codes equal a re-encode of the post-tail snapshot") {
+    val path = "/tmp/graft_test_pq_idx_sync"
+    AnnIndex.pqBuild(emb, "vec_id", "embedding", path)
+    val vt = emb.schema("embedding").dataType
+    val upd = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x + 0.125 as float))")
+          .as("embedding"))
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val del = emb.filter(col("vec_id") % 11 === 3)
+      .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+      .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
+    val rev = emb.filter(col("vec_id") % 22 === 3)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x - 0.25 as float))")
+          .as("embedding"))
+      .withColumn("seq", lit(4L)).withColumn("op", lit("I"))
+    val tail = upd.unionByName(del).unionByName(rev)
+    AnnIndex.pqSyncFromLog(spark, path, tail, "vec_id", "seq", "op",
+      "embedding")
+    // reference: the post-tail snapshot re-encoded under the SAME
+    // persisted codebooks (maintenance never retrains the model)
+    val full = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      .unionByName(tail)
+    val snap = Cdc.applyLog(full, "vec_id", "seq", "op")
+    val cb = AnnIndex.loadPqCodebooks(spark, path)
+    val refCodes = Similarity.pqEncode(snap, "vec_id", "embedding", cb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    val syncedCodes = spark.read.parquet(s"$path/codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    assert(syncedCodes.nonEmpty && syncedCodes == refCodes,
+      "synced code table diverged from the post-tail re-encode")
+    // serving through the synced index equals serving the re-encode
+    val synced = rows(AnnIndex.pqServe(spark, path, snap, queries,
+      "vec_id", "embedding", k = 10))
+    val rebuilt = rows(Similarity.pqTopKWithCodes(
+      Similarity.pqEncode(snap, "vec_id", "embedding", cb),
+      snap, queries, "vec_id", "embedding", 10, 4, cb))
+    assert(synced.nonEmpty && synced == rebuilt,
+      "incremental PQ sync diverged from the full re-encode")
+    val deletedOdd = synced.map(_._2).toSet
+      .exists(id => id % 11 == 3 && id % 22 != 3)
+    assert(!deletedOdd, "a tombstoned member survived the PQ sync")
+  }
+
   test("streaming maxsim serve equals the batch maxsim row for row") {
     val toks = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
