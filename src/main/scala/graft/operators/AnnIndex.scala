@@ -316,6 +316,81 @@ object AnnIndex {
         "files_per_cid_x100")
   }
 
+  /** Autotune the serving knob: sweep `nprobe` over a candidate list
+    * and measure recall@k against the exact brute-force truth on a
+    * SAMPLED query set — the measurement loop that picks the
+    * latency/recall trade-off before a deployment ships (running it on
+    * every query would cost more than serving exactly; running it on
+    * none ships a guess). One report row per candidate `nprobe`
+    * (`n_queries`, `hits`, `possible`, `recall_pctx100`) plus a
+    * `chosen` flag on the smallest candidate meeting
+    * `targetRecallPctx100` (falling back to the largest candidate if
+    * none does — best effort is explicit, never silent).
+    *
+    * Cost shape, by construction: ONE scored candidate pass at
+    * `max(nprobes)` (probe ranks kept by [[Similarity.probeCellsRanked]]
+    * — a candidate found via the cell at probe rank r is exactly what
+    * an `nprobe ≥ r` serve sees, so every sweep point re-ranks the same
+    * persisted frame instead of re-scanning the index), and one exact
+    * truth pass = |sample| × |members| — the standard recall-eval cost,
+    * bounded by the sample. The report is computed EAGERLY (the scored
+    * frame is persisted across the sweep's rank passes and unpersisted
+    * before returning the P-row result).
+    */
+  def tuneIvf(spark: SparkSession, path: String, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobes: Seq[Int],
+              targetRecallPctx100: Long = 9500L): DataFrame = {
+    import spark.implicits._
+    require(nprobes.nonEmpty, "tuneIvf: nprobes must be non-empty")
+    val cents = loadIvfCentroids(spark, path)
+    val maxP = nprobes.max
+    val probes = Similarity.probeCellsRanked(queries, idCol, vecCol,
+      cents, maxP)
+    // bounded by |sample|·maxP longs — the serve-regime collect
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val members = minusTombstones(spark, path,
+      spark.read.parquet(s"$path/cells")
+        .withColumn("cid", col("cid").cast("long")))
+    val scored = members.filter(col("cid").isInCollection(probedCids))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("probe_rank"),
+        Similarity.cosineFromNorms(col("vec"), col("norm"),
+          col("qvec"), col("qnorm")).as("cosine"))
+      .persist()
+    val truth = Similarity.bruteForceTopK(
+        members.select(col("id").as(idCol), col("vec").as(vecCol)),
+        queries, idCol, vecCol, k)
+      .select(col("qid"), col("id")).withColumn("__in", lit(1))
+      .persist()
+    val perP = nprobes.map { p =>
+      Similarity.rankTopK(scored.filter(col("probe_rank") <= p)
+          .select("qid", "id", "cosine"), k)
+        .withColumn("nprobe", lit(p))
+    }.reduce(_.unionByName(_))
+    val hits = perP.join(truth, Seq("qid", "id"), "left")
+      .groupBy("nprobe")
+      .agg(sum(coalesce(col("__in"), lit(0))).cast("long").as("hits"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val possible = truth.count()
+    val nQueries = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol)).distinct().count()
+    scored.unpersist()
+    truth.unpersist()
+    val report = nprobes.sorted.map { p =>
+      val h = hits.getOrElse(p, 0L)
+      val rec = if (possible == 0L) 0L else h * 10000L / possible
+      (p, nQueries, h, possible, rec)
+    }
+    val pick = report.find(_._5 >= targetRecallPctx100).map(_._1)
+      .getOrElse(nprobes.max)
+    report.map(r => (r._1, r._2, r._3, r._4, r._5,
+        if (r._1 == pick) 1 else 0))
+      .toDF("nprobe", "n_queries", "hits", "possible", "recall_pctx100",
+        "chosen")
+  }
+
   /** The persisted centroid table, collected driver-side (nlist rows). */
   private[graft] def loadIvfCentroids(spark: SparkSession,
                                       path: String): Array[(Long, Seq[Double], Double)] =

@@ -572,6 +572,30 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
   }
 
+  /** [[probeCells]] with the probe ORDER kept: posexplode of the same
+    * VecTopIds selection, so each probed cell carries its 1-based rank
+    * in the query's centroid-closeness order. A candidate found via
+    * cell at probe_rank r is exactly the candidate an `nprobe = p ≥ r`
+    * serve would see — one scored pass at max(nprobe) prices an entire
+    * nprobe sweep ([[AnnIndex.tuneIvf]]).
+    */
+  private[graft] def probeCellsRanked(queries: DataFrame, idCol: String,
+                                      vecCol: String,
+                                      cents: Array[(Long, Seq[Double], Double)],
+                                      nprobe: Int): DataFrame = {
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("qid"),
+        col(vecCol).as("qvec"),
+        vec_norm(col(vecCol)).as("qnorm"))
+    q.withColumn("__cd", graft.functions.VectorFunctions.vec_dot_matrix(
+        col("qvec"), centMatrix(cents)))
+      .select(col("qid"), col("qvec"), col("qnorm"),
+        posexplode(graft.functions.VectorFunctions.vec_top_ids(
+          col("__cd"), col("qnorm"), cents.map(_._3), cents.map(_._1), nprobe)))
+      .select(col("qid"), col("qvec"), col("qnorm"),
+        (col("pos") + 1).cast("int").as("probe_rank"), col("col").as("cid"))
+  }
+
   /** Small-query-set scoring: broadcast the probe table, score in the
     * join projection, keep only (qid, id, cosine) — the rank window's
     * qid exchange must never carry the vectors.

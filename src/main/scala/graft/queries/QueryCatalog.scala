@@ -3516,6 +3516,26 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_ann_autotune" -> ((s, dir) => { // oracle: full sweep+recall replay over the persisted index
+      // THE KNOB-PICKING LOOP: before an IVF deployment ships, sweep
+      // nprobe over candidates and measure recall@10 against the exact
+      // brute-force truth on a deterministic sampled query set (1-in-10
+      // here) — one scored pass at max(nprobe) prices the whole sweep
+      // (probe ranks kept, every sweep point re-ranks the same frame),
+      // one |sample|×|members| pass prices the truth. The report picks
+      // the smallest nprobe meeting the 95% target (explicit best-effort
+      // fallback to the largest). Integer-exact throughout: hits,
+      // possible, and the // -quantized recall replay bit-for-bit.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfIdxDir, dir)(
+        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+          ivfIdxDir, nlist = 16))
+      graft.operators.AnnIndex.tuneIvf(s, path,
+          emb.filter(col("vec_id") % 10 === 7), "vec_id", "embedding",
+          10, Seq(1, 2, 4, 8))
+        .orderBy("nprobe")
+    }),
+
     "x_cdc_pq_sync" -> ((s, dir) => { // oracle: ADC+rerank replay over the SYNCED codes
       // THE PQ MEMBER OF THE MAINTENANCE LOOP: the same CDC tail shape
       // as x_cdc_index_sync drives pqSyncFromLog — tombstone every
@@ -6236,6 +6256,67 @@ object QueryCatalog {
         // replay reads the final cells alone: updated vectors serve,
         // tombstoned members are gone from the bytes
         ivfPersistedReplay(cdcSyncIdxDir),
+
+      "x_ann_autotune" ->
+        // the full sweep replayed from the artifact: probe ranks to
+        // max(nprobe), one candidate CTE, per-nprobe re-rank, exact
+        // truth, integer recall (// is floor ≡ Spark's / on BIGINTs
+        // here — both operands non-negative), and the same
+        // smallest-meeting-target-else-largest pick
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |nq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+           |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
+           |          FROM read_parquet('$ivfIdxDir/centroids/*.parquet')),
+           |cell AS (SELECT CAST(cid AS BIGINT) AS cid, id,
+           |                CAST(vec AS DOUBLE[]) AS mv, norm AS mn
+           |         FROM read_parquet('$ivfIdxDir/cells/*/*.parquet',
+           |                           hive_partitioning = true)),
+           |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nq
+           |      WHERE vec_id % 10 = 7),
+           |probe AS (SELECT qid, cid, rn AS probe_rank FROM (
+           |    SELECT q.qid, c.cid,
+           |           row_number() OVER (PARTITION BY q.qid
+           |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+           |                      c.cid) AS rn
+           |    FROM q CROSS JOIN cents c) WHERE rn <= 8),
+           |cand AS (SELECT q.qid, m.id, p.probe_rank,
+           |                list_dot_product(m.mv, q.qv) / (m.mn * q.qn) AS cos
+           |         FROM probe p JOIN q ON q.qid = p.qid
+           |         JOIN cell m ON m.cid = p.cid
+           |         WHERE m.id <> q.qid),
+           |ps AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+           |perp AS (SELECT nprobe, qid, id FROM (
+           |    SELECT ps.nprobe, c.qid, c.id,
+           |           row_number() OVER (PARTITION BY ps.nprobe, c.qid
+           |             ORDER BY c.cos DESC, c.id) AS rk
+           |    FROM ps JOIN cand c ON c.probe_rank <= ps.nprobe) WHERE rk <= 10),
+           |truth AS (SELECT qid, id FROM (
+           |    SELECT q.qid, m.id,
+           |           row_number() OVER (PARTITION BY q.qid
+           |             ORDER BY list_dot_product(m.mv, q.qv) / (m.mn * q.qn) DESC,
+           |                      m.id) AS rk
+           |    FROM q CROSS JOIN cell m WHERE m.id <> q.qid) WHERE rk <= 10),
+           |hit AS (SELECT p.nprobe, count(*) AS hits
+           |        FROM perp p JOIN truth t ON t.qid = p.qid AND t.id = p.id
+           |        GROUP BY p.nprobe),
+           |base AS (SELECT (SELECT count(*) FROM truth) AS possible,
+           |                (SELECT count(DISTINCT qid) FROM q) AS n_queries),
+           |rep AS (SELECT ps.nprobe,
+           |               CAST(b.n_queries AS BIGINT) AS n_queries,
+           |               CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           |               CAST(b.possible AS BIGINT) AS possible,
+           |               CAST(coalesce(h.hits, 0) * 10000 // b.possible AS BIGINT)
+           |                 AS recall_pctx100
+           |        FROM ps CROSS JOIN base b
+           |        LEFT JOIN hit h ON h.nprobe = ps.nprobe),
+           |pick AS (SELECT coalesce(
+           |    min(nprobe) FILTER (WHERE recall_pctx100 >= 9500),
+           |    (SELECT max(nprobe) FROM ps)) AS pn FROM rep)
+           |SELECT CAST(r.nprobe AS INTEGER) AS nprobe, r.n_queries, r.hits,
+           |       r.possible, r.recall_pctx100,
+           |       CAST(CASE WHEN r.nprobe = (SELECT pn FROM pick)
+           |            THEN 1 ELSE 0 END AS INTEGER) AS chosen
+           |FROM rep r ORDER BY r.nprobe""".stripMargin,
 
       "x_cdc_pq_sync" ->
         // the synced PQ index ends folded (sidecar cleared), so the

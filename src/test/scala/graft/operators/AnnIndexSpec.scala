@@ -362,6 +362,29 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!deletedOdd, "a tombstoned member survived the sync")
   }
 
+  test("tuneIvf: recall is monotone in nprobe, full probe is exact, one knob chosen") {
+    val path = "/tmp/graft_test_ivf_idx_tune"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val rep = AnnIndex.tuneIvf(spark, path,
+        emb.filter(col("vec_id") % 10 === 7), "vec_id", "embedding",
+        10, Seq(1, 2, 4, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).sortBy(_._1)
+    assert(rep.map(_._1).toSeq == Seq(1, 2, 4, 16))
+    // recall@k can only grow as more cells are probed (candidate sets nest)
+    assert(rep.map(_._4).toSeq == rep.map(_._4).toSeq.sorted,
+      "recall not monotone in nprobe")
+    // probing every cell IS the exact scan: recall must be 100.00%
+    val full = rep.last
+    assert(full._2 == full._3 && full._4 == 10000L,
+      s"full probe missed truth: $full")
+    // exactly one chosen row, and it is the smallest meeting the target
+    val chosen = rep.filter(_._5 == 1)
+    assert(chosen.length == 1, s"expected one chosen knob, got $chosen")
+    val meeting = rep.filter(_._4 >= 9500L).map(_._1)
+    assert(chosen.head._1 == (if (meeting.nonEmpty) meeting.min else 16))
+  }
+
   test("pqSyncFromLog: synced codes equal a re-encode of the post-tail snapshot") {
     val path = "/tmp/graft_test_pq_idx_sync"
     AnnIndex.pqBuild(emb, "vec_id", "embedding", path)
