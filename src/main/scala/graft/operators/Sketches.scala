@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -361,6 +362,92 @@ object Sketches {
           s"f -> __id * 100 <= ${mx}L * f)")).as("pct"))
       .groupBy(col("pct"))
       .agg(agg(col("h")).as("n_distinct_est"))
+  }
+
+  /** Pairwise corpus-overlap estimates from KMV sketches — the SET
+    * ALGEBRA the mergeable k-min summary buys (Beyer et al. 2007):
+    * for every unordered group pair, estimated |A|, |B|, |A∪B|, |A∩B|
+    * and a Jaccard figure, WITHOUT ever joining the corpora on content.
+    * The k-min of A∪B is the k-min of (k-min(A) ∪ k-min(B)) — union
+    * sketches compose from the per-group buffers — and the classic
+    * intersection estimator is ρ·|A∪B|_est with ρ the fraction of the
+    * union buffer present in BOTH input buffers.
+    *
+    * Scale shape: ONE distinct shuffle of (group, hash) is the only
+    * data-sized op; everything after runs on capacity-bounded buffers
+    * (G·cap rows), the pair matrix is G²·cap compact longs — the
+    * inherent output size — and NOTHING collects to the driver (the
+    * exact pairwise twin x_corpus_overlap joins corpora on content;
+    * this replaces that join with sketch algebra).
+    *
+    * Integer-exact cross-engine: the estimate `(cap−1)·2⁶⁰ // h_k`
+    * overflows BIGINT, so it is computed in DECIMAL(38,0) with the
+    * exact-floor identity `floor(N/h) = (N − N % h) / h` — the
+    * subtraction makes the division exact-integer, which decimal
+    * arithmetic represents exactly (a bare decimal division rounds at
+    * result scale and could flip the floor). DuckDB replays in HUGEINT.
+    *
+    * Output, one row per pair (ga < gb): group ests, `n_union_est`,
+    * `n_inter_est`, raw `n_matched`/`k_union`, and
+    * `jaccard_pctx100 = matched·10⁴ // k_union`.
+    */
+  def kmvOverlapMatrix(items: DataFrame, groupCol: String, itemCol: String,
+                       capacity: Int = 1024): DataFrame = {
+    require(capacity >= 2, "kmvOverlapMatrix: capacity must be >= 2")
+    val numLit = lit((BigInt(capacity - 1) << 60).toString)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    def floorDiv(n: org.apache.spark.sql.Column,
+                 d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((n - n % d) / d).cast("long")
+    def estExpr(sz: org.apache.spark.sql.Column,
+                hk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(sz < capacity, sz.cast("long"))
+        .otherwise(floorDiv(numLit, greatest(hk, lit(1L))))
+    val hd = items.filter(col(itemCol).isNotNull)
+      .select(col(groupCol).as("g"), kmvHash60(col(itemCol)).as("h"))
+      .distinct()
+    val w = Window.partitionBy("g").orderBy("h")
+    val buf = hd.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= capacity).select("g", "h")
+    val gest = buf.groupBy("g")
+      .agg(count(lit(1)).as("sz"), max("h").as("hk"))
+      .select(col("g"), estExpr(col("sz"), col("hk")).as("est"))
+    // every buffer row fans out to its group's G−1 pairs; distinct folds
+    // a hash present in both buffers to ONE union-candidate row
+    val gs = buf.select(col("g").as("g2")).distinct()
+    val comb = buf.join(broadcast(gs), col("g") =!= col("g2"))
+      .select(least(col("g"), col("g2")).as("ga"),
+        greatest(col("g"), col("g2")).as("gb"), col("h"))
+      .distinct()
+    val wp = Window.partitionBy("ga", "gb").orderBy("h")
+    val ubuf = comb.withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= capacity).select("ga", "gb", "h")
+    val flagged = ubuf
+      .join(buf.select(col("g").as("ga"), col("h"), lit(1).as("in_a")),
+        Seq("ga", "h"), "left")
+      .join(buf.select(col("g").as("gb"), col("h"), lit(1).as("in_b")),
+        Seq("gb", "h"), "left")
+    val pstats = flagged.groupBy("ga", "gb").agg(
+      count(lit(1)).as("k_union"),
+      max("h").as("hk"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0))
+        .cast("long").as("n_matched"))
+    val prod = col("n_matched")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("n_union_est")
+    pstats
+      .select(col("ga"), col("gb"), col("n_matched"), col("k_union"),
+        estExpr(col("k_union"), col("hk")).as("n_union_est"))
+      .join(gest.select(col("g").as("ga"), col("est").as("n_a_est")), "ga")
+      .join(gest.select(col("g").as("gb"), col("est").as("n_b_est")), "gb")
+      .select(col("ga"), col("gb"), col("n_a_est"), col("n_b_est"),
+        col("n_union_est"),
+        floorDiv(prod, col("k_union")).as("n_inter_est"),
+        col("n_matched"),
+        col("k_union").cast("long").as("k_union"),
+        // integer floor division (both operands non-negative) — a bare
+        // `/` on longs is DOUBLE division in Spark
+        expr("CAST(n_matched * 10000 DIV k_union AS BIGINT)")
+          .as("jaccard_pctx100"))
   }
 
   /** Per-executor deserialized-sketch cache: the broadcast ships bytes

@@ -3096,6 +3096,21 @@ object QueryCatalog {
           verifyExact = false)
         .orderBy("a", "b")),
 
+    "x_corpus_overlap_kmv" -> ((s, dir) =>
+      // SKETCH SET ALGEBRA joining the overlap family: x_corpus_overlap
+      // joins the corpora on content (exact), x_corpus_overlap_fast
+      // estimates via minhash signatures (rows-only); the KMV matrix
+      // estimates |A|, |B|, |A∪B|, |A∩B| and Jaccard per source pair
+      // from capacity-16 k-min buffers ALONE — one (group, hash)
+      // distinct shuffle, then pure sketch algebra on G·cap longs. And
+      // because the k-min sketch is a pure function of the input SET,
+      // even the estimator regime hash-verifies (the x_kmv_distinct
+      // argument, lifted to pairs — ~25 docs/source at sf0.01 puts
+      // every group and pair over capacity).
+      graft.operators.Sketches.kmvOverlapMatrix(
+          t(s, dir, "documents"), "source", "text", capacity = 16)
+        .orderBy("ga", "gb")),
+
     "x_dedup_editdist" -> ((s, dir) =>
       // Character-level fuzzy dedup: LSH band candidates verified by
       // normalized Levenshtein (all-integer threshold test). md5Base so
@@ -6874,6 +6889,59 @@ object QueryCatalog {
           |       ELSE (15::HUGEINT * 1152921504606846976::HUGEINT)
           |            // greatest(hk, 1) END AS BIGINT) AS n_distinct_est
           |FROM kth ORDER BY source""".stripMargin,
+
+      "x_corpus_overlap_kmv" ->
+        // full sketch-algebra replay: per-source k-min buffers (rank
+        // selection over md5-prefix hashes), pair union buffers = k-min
+        // of the two buffers' union, matched = union-buffer rows present
+        // in BOTH inputs, estimates in HUGEINT (Spark computes the same
+        // floors via the exact-decimal (N - N % h) / h identity)
+        """WITH d AS (SELECT DISTINCT source AS g, text
+          |           FROM documents WHERE text IS NOT NULL),
+          |hd AS (SELECT DISTINCT g,
+          |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM d),
+          |buf AS (SELECT g, h FROM (
+          |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+          |    FROM hd) WHERE rk <= 16),
+          |gs AS (SELECT DISTINCT g AS g2 FROM buf),
+          |comb AS (SELECT DISTINCT least(b.g, g2.g2) AS ga,
+          |                greatest(b.g, g2.g2) AS gb, b.h
+          |         FROM buf b JOIN gs g2 ON g2.g2 <> b.g),
+          |ubuf AS (SELECT ga, gb, h FROM (
+          |    SELECT ga, gb, h,
+          |           row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+          |    FROM comb) WHERE rk <= 16),
+          |fl AS (SELECT u.ga, u.gb, u.h,
+          |         CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+          |         CASE WHEN bb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+          |       FROM ubuf u
+          |       LEFT JOIN buf a ON a.g = u.ga AND a.h = u.h
+          |       LEFT JOIN buf bb ON bb.g = u.gb AND bb.h = u.h),
+          |pstats AS (SELECT ga, gb, count(*) AS k_union, max(h) AS hk,
+          |             sum(in_a * in_b) AS n_matched
+          |           FROM fl GROUP BY ga, gb),
+          |gstats AS (SELECT g, count(*) AS sz, max(h) AS hk
+          |           FROM buf GROUP BY g),
+          |gest AS (SELECT g, CAST(CASE WHEN sz < 16 THEN sz
+          |           ELSE (15::HUGEINT * 1152921504606846976::HUGEINT)
+          |                // greatest(hk, 1) END AS BIGINT) AS est
+          |         FROM gstats),
+          |pest AS (SELECT ga, gb, n_matched, k_union,
+          |           CAST(CASE WHEN k_union < 16 THEN k_union
+          |             ELSE (15::HUGEINT * 1152921504606846976::HUGEINT)
+          |                  // greatest(hk, 1) END AS BIGINT) AS n_union_est
+          |         FROM pstats)
+          |SELECT p.ga, p.gb, a.est AS n_a_est, b.est AS n_b_est,
+          |  p.n_union_est,
+          |  CAST((p.n_matched::HUGEINT * p.n_union_est::HUGEINT)
+          |       // p.k_union AS BIGINT) AS n_inter_est,
+          |  CAST(p.n_matched AS BIGINT) AS n_matched,
+          |  CAST(p.k_union AS BIGINT) AS k_union,
+          |  CAST(p.n_matched * 10000 // p.k_union AS BIGINT) AS jaccard_pctx100
+          |FROM pest p
+          |JOIN gest a ON a.g = p.ga
+          |JOIN gest b ON b.g = p.gb
+          |ORDER BY p.ga, p.gb""".stripMargin,
 
       "x_corpus_heaps_kmv" ->
         // Per-prefix KMV replay: distinct qualifying tokens per prefix,

@@ -175,6 +175,45 @@ class SketchesSpec extends AnyFunSuite {
     assert(ests.distinct.size == 1, s"partitioning changed the estimate: $ests")
   }
 
+  test("kmvOverlapMatrix: exact regime recovers true set cardinalities") {
+    // A = 0..59, B = 40..99 (overlap 40..59), C disjoint; capacity 256
+    // keeps every buffer under capacity → the "estimates" are the exact
+    // set sizes and the pair algebra must recover the truth precisely
+    val items = ((0 until 60).map(i => ("A", s"v_$i"))
+      ++ (40 until 100).map(i => ("B", s"v_$i"))
+      ++ (0 until 30).map(i => ("C", s"c_$i"))).toDF("g", "v")
+    val rows = Sketches.kmvOverlapMatrix(items, "g", "v", capacity = 256)
+      .select("ga", "gb", "n_a_est", "n_b_est", "n_union_est",
+        "n_inter_est", "jaccard_pctx100")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(rows.map(r => (r._1, r._2)) == Seq(("A", "B"), ("A", "C"), ("B", "C")))
+    val ab = rows.head
+    assert(ab == (("A", "B", 60L, 60L, 100L, 20L, 2000L)), s"A-B: $ab")
+    val ac = rows(1)
+    assert((ac._5, ac._6, ac._7) == ((90L, 0L, 0L)), s"A-C: $ac")
+  }
+
+  test("kmvOverlapMatrix: estimator regime is a pure function of the set") {
+    // over-capacity buffers: estimates within KMV error AND invariant
+    // to partitioning + duplication (set semantics), the property that
+    // lets the catalog entry run oracle-hashed in the estimator regime
+    val base = ((0 until 2000).map(i => ("A", s"v_$i"))
+      ++ (1000 until 3000).map(i => ("B", s"v_$i"))).toDF("g", "v")
+    val out = Seq(1, 7, 32).map { p =>
+      Sketches.kmvOverlapMatrix(base.repartition(p).union(base), "g", "v",
+          capacity = 128)
+        .select("n_a_est", "n_b_est", "n_union_est", "n_inter_est")
+        .as[(Long, Long, Long, Long)].head()
+    }
+    assert(out.distinct.size == 1, s"partitioning changed the matrix: $out")
+    val (na, nb, nu, ni) = out.head
+    assert(math.abs(na - 2000) <= 600 && math.abs(nb - 2000) <= 600,
+      s"group ests off: $na $nb")
+    assert(math.abs(nu - 3000) <= 900, s"union est off: $nu")
+    assert(math.abs(ni - 1000) <= 600, s"intersection est off: $ni")
+  }
+
   test("kmvDistinct: a group whose items are ALL null rows out with 0") {
     // silent-absence guard: filtering nulls before the groupBy would
     // make an all-null group vanish — "no overlap" when the truth is
