@@ -117,4 +117,67 @@ object GraphOps {
     }
     lab
   }
+
+  /** Exact triangle counting with local clustering coefficients over an
+    * undirected view of the edge list — the density diagnostic that
+    * separates "near-duplicate clique" neighborhoods (coefficient → 1)
+    * from "hub stitched to strangers" ones (→ 0) on a kNN graph, the
+    * triangle-grain complement of [[labelPropagation]]'s communities.
+    *
+    * Algorithm: degree-ordered compact-forward (Latapy 2008, public
+    * knowledge). Every canonical edge is ORIENTED from its
+    * (degree, id)-smaller endpoint to the larger, wedges are generated
+    * only at a triangle's smallest corner with the two out-neighbors in
+    * (degree, id) order, and the closing edge is looked up in the same
+    * oriented table — each triangle found exactly once, no dedup pass.
+    *
+    * Scale shape: the wedge self-join is the ONLY quadratic-risk op and
+    * the orientation is precisely what bounds it — an oriented
+    * out-degree never exceeds O(√m), so wedge volume is O(m^{3/2})
+    * regardless of hubs, where a naive neighbor join explodes on the
+    * hottest node. Three hash joins + one aggregation, all on compact
+    * id/degree longs; nothing collects.
+    *
+    * Output per node: `degree`, `n_triangles`, and
+    * `clustering_pctx100 = 2·T·10⁴ // (d·(d−1))` (0 for degree < 2) —
+    * all-integer, replayable by any engine.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient a→b (a < b) from the (deg, id)-smaller endpoint; the id
+    // tie-break is already the canonical order, so only a strictly
+    // smaller b-degree flips the edge. Explicit boolean conditions, not
+    // struct comparison — the oracle replays the identical CASE.
+    val o = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("db") < col("da"), col("b")).otherwise(col("a")).as("src"),
+        when(col("db") < col("da"), col("a")).otherwise(col("b")).as("dst"),
+        when(col("db") < col("da"), col("da")).otherwise(col("db")).as("dd"))
+    val e1 = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val e2 = o.select(col("src"), col("dst").as("wn"), col("dd").as("dw"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("wn")))
+    val closing = o.select(col("src").as("v"), col("dst").as("wn"))
+    val tri = wedges.join(closing, Seq("v", "wn"))
+      .select(col("src").as("u"), col("v"), col("wn"))
+    val tcnt = tri
+      .select(explode(array(col("u"), col("v"), col("wn"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.join(tcnt, Seq("node"), "left")
+      .select(col("node"),
+        col("deg").cast("long").as("degree"),
+        coalesce(col("t"), lit(0L)).cast("long").as("n_triangles"),
+        expr("CAST(CASE WHEN deg >= 2 THEN" +
+          " 2 * coalesce(t, 0) * 10000 DIV (deg * (deg - 1))" +
+          " ELSE 0 END AS BIGINT)").as("clustering_pctx100"))
+  }
 }

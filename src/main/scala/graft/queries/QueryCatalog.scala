@@ -2771,6 +2771,19 @@ object QueryCatalog {
         .orderBy("vec_id")
     }),
 
+    "x_graph_triangles" -> ((s, dir) => { // triangle census of the kNN graph
+      // Exact triangles + local clustering coefficients over the same
+      // kNN similarity graph as pagerank/labelprop: coefficient → 1
+      // flags near-duplicate clique neighborhoods, → 0 flags hubs
+      // stitched to strangers. Degree-ordered compact-forward keeps the
+      // wedge join O(m^1.5) at any hub; every figure is integer so the
+      // whole census hash-verifies through the full kNN replay.
+      val edges = Similarity.knnGraph(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 5, nlist = 64, nprobe = 8)
+      GraphOps.triangleCount(edges, "qid", "id")
+        .orderBy("node")
+    }),
+
     "x_quality_topquartile" -> ((s, dir) => {
       // Relative quality gate: top 25% per language by stopword ratio,
       // integer rank-vs-count test (no percentile estimate).
@@ -4909,6 +4922,45 @@ object QueryCatalog {
            |SELECT p.qid AS anchor, p.positive, p.pos_cos,
            |       n.negative, n.neg_cos
            |FROM p JOIN neg n ON n.qid = p.qid ORDER BY anchor""".stripMargin,
+
+      "x_graph_triangles" ->
+        // compact-forward replay over the same kNN CTEs: canonical
+        // undirected edges, (deg, id) orientation via the identical
+        // CASE, wedge join ordered by (dd, dst), closing-edge lookup,
+        // per-corner explode — all integer joins both engines compute
+        // identically
+        s"""WITH ${ivfKnnCtes(nlist = 64, nprobe = 8, k = 5,
+             queryPred = "TRUE")},
+           |und AS (SELECT DISTINCT least(qid, id) AS a,
+           |               greatest(qid, id) AS b
+           |        FROM knn WHERE qid <> id),
+           |deg AS (SELECT node, count(*) AS deg FROM (
+           |    SELECT a AS node FROM und
+           |    UNION ALL SELECT b FROM und) GROUP BY node),
+           |o AS (SELECT CASE WHEN db.deg < da.deg THEN u.b ELSE u.a END AS src,
+           |             CASE WHEN db.deg < da.deg THEN u.a ELSE u.b END AS dst,
+           |             CASE WHEN db.deg < da.deg THEN da.deg ELSE db.deg END AS dd
+           |      FROM und u
+           |      JOIN deg da ON da.node = u.a
+           |      JOIN deg db ON db.node = u.b),
+           |wedge AS (SELECT e1.src, e1.dst AS v, e2.dst AS wn
+           |          FROM o e1 JOIN o e2 ON e2.src = e1.src
+           |          WHERE e1.dd < e2.dd
+           |             OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+           |tri AS (SELECT wg.src AS u, wg.v, wg.wn
+           |        FROM wedge wg JOIN o e3
+           |          ON e3.src = wg.v AND e3.dst = wg.wn),
+           |tcnt AS (SELECT node, count(*) AS t FROM (
+           |    SELECT u AS node FROM tri
+           |    UNION ALL SELECT v FROM tri
+           |    UNION ALL SELECT wn FROM tri) GROUP BY node)
+           |SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+           |  CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+           |  CAST(CASE WHEN d.deg >= 2 THEN
+           |      2 * coalesce(t.t, 0) * 10000 // (d.deg * (d.deg - 1))
+           |    ELSE 0 END AS BIGINT) AS clustering_pctx100
+           |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+           |ORDER BY d.node""".stripMargin,
 
       "x_graph_pagerank" -> {
         // fixed-iteration power steps as chained CTEs; per-node in-flow
