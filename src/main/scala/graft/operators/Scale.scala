@@ -145,4 +145,40 @@ object Scale {
       .repartition(parts)
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Zone-map prune report — MEASURE how much a layout lets file
+    * skipping actually skip, instead of trusting that it does: per
+    * storage unit, the min/max "footer stats" of each value column plus
+    * a `prune_<col>` flag (1 = the unit's [min, max] is disjoint from
+    * the predicate's [lo, hi] and a stats-aware scan never opens it).
+    * Run it against a [[zorderBy]] layout vs. an unordered one and the
+    * difference IS the layout's value — the companion gauge to
+    * [[compactParquet]]'s small-files census, for the pruning axis.
+    *
+    * One aggregation pass over the table (count + min/max per column),
+    * grouped by `fileLabel` — `input_file_name()` by default, the unit
+    * parquet footer stats attach to. Deterministic-replay configuration:
+    * label by a hive-partition bucket column instead (physical file
+    * names carry write-time UUIDs; a bucket label makes the report a
+    * pure function of the DATA, which is what lets the catalog entry
+    * hash-verify the census cross-engine).
+    */
+  def pruneStats(df: DataFrame, valueCols: Seq[String],
+                 predicates: Seq[(String, Long, Long)],
+                 fileLabel: org.apache.spark.sql.Column = input_file_name()): DataFrame = {
+    require(valueCols.nonEmpty, "pruneStats: valueCols must be non-empty")
+    predicates.foreach { case (c, lo, hi) =>
+      require(valueCols.contains(c),
+        s"pruneStats: predicate column $c not in valueCols")
+      require(lo <= hi, s"pruneStats: empty predicate range [$lo, $hi] on $c")
+    }
+    val aggs = valueCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val base = df.groupBy(fileLabel.as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    predicates.foldLeft(base) { case (acc, (c, lo, hi)) =>
+      acc.withColumn(s"prune_$c",
+        when(col(s"max_$c") < lo || col(s"min_$c") > hi, 1).otherwise(0))
+    }
+  }
 }

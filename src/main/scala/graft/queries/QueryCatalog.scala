@@ -702,6 +702,7 @@ object QueryCatalog {
   private val cdcCheckpointDir = "/tmp/graft_cdc_checkpoint"
   private val cdcSyncIdxDir = "/tmp/graft_ivf_idx_cdcsync"
   private val pqSyncIdxDir = "/tmp/graft_pq_idx_cdcsync"
+  private val pruneStatsDir = "/tmp/graft_zorder_layout"
   private val streamTdIdxDir = "/tmp/graft_ivf_idx_streamtd"
   private val streamTdStageDir = "/tmp/graft_streamtd_log"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
@@ -3000,6 +3001,46 @@ object QueryCatalog {
           graft.operators.Scale.zValue(pmod(col("o_custkey"), lit(1024L)),
             pmod(col("o_orderkey"), lit(1024L)), 10).as("z"))
         .orderBy("o_orderkey")
+    }),
+
+    "x_layout_prunestats" -> ((s, dir) => { // oracle: census replay over the staged layout
+      // FILE SKIPPING, MEASURED: orders written in z-order of
+      // (custkey, orderkey) buckets, 64 z-range units (top-6 Morton
+      // bits as a hive bucket — the deterministic stand-in for the
+      // write-time-UUID part files footer stats attach to), then the
+      // zone-map census: per-unit min/max of BOTH dimensions and
+      // whether a mid-range predicate on either one skips the unit.
+      // This is the gauge that PROVES a layout prunes (the x_layout_
+      // zorder values are the mechanism; this is the measurement) —
+      // and it hash-verifies because the bucketed layout is a pure
+      // function of the data.
+      val staged = stageIndex(pruneStatsDir, dir) {
+        val o = t(s, dir, "orders")
+        // MONOTONE affine bucketization into [0, 1024) from the actual
+        // key bounds (a pmod wrap mixes low and high raw values into
+        // one bucket and its zone map spans the whole domain — pmod on
+        // the sparse orderkey measurably pruned ZERO units; and a fixed
+        // div that underfills the bit space collapses every row into
+        // bucket 0). The two bounds are a 1-row staging-time aggregate;
+        // the oracle never replays staging — it reads the artifact.
+        val b = o.agg(min("o_custkey"), max("o_custkey"),
+          min("o_orderkey"), max("o_orderkey")).head()
+        val (ckMn, ckMx, okMn, okMx) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val z = graft.operators.Scale.zValue(
+          expr(s"CAST((o_custkey - $ckMn) * 1024 DIV ${ckMx - ckMn + 1} AS BIGINT)"),
+          expr(s"CAST((o_orderkey - $okMn) * 1024 DIV ${okMx - okMn + 1} AS BIGINT)"),
+          10)
+        o.select(col("o_orderkey"), col("o_custkey"))
+          .withColumn("zb", shiftrightunsigned(z, 14))
+          .repartition(col("zb"))
+          .write.mode("overwrite").partitionBy("zb").parquet(pruneStatsDir)
+      }
+      graft.operators.Scale.pruneStats(s.read.parquet(staged),
+          Seq("o_custkey", "o_orderkey"),
+          Seq(("o_custkey", 100L, 199L), ("o_orderkey", 10000L, 19999L)),
+          fileLabel = col("zb").cast("long"))
+        .orderBy("file")
     }),
 
     "x_token_budget" -> ((s, dir) => {
@@ -5932,6 +5973,25 @@ object QueryCatalog {
            |           JOIN documents d USING (doc_id))
            |SELECT doc_id, cluster_id, n_members, n_chars, rk = 1 AS keep
            |FROM scored ORDER BY doc_id""".stripMargin,
+
+      "x_layout_prunestats" ->
+        // the same census from the staged artifact alone: hive bucket
+        // as the unit label (CAST on both sides — Spark infers the
+        // partition column INT, DuckDB may type it VARCHAR), min/max
+        // zone maps, disjointness flags
+        s"""WITH r AS (SELECT o_custkey, o_orderkey, CAST(zb AS BIGINT) AS file
+           |  FROM read_parquet('$pruneStatsDir/*/*.parquet',
+           |                    hive_partitioning = true))
+           |SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(o_custkey) AS min_o_custkey,
+           |  max(o_custkey) AS max_o_custkey,
+           |  min(o_orderkey) AS min_o_orderkey,
+           |  max(o_orderkey) AS max_o_orderkey,
+           |  CAST(CASE WHEN max(o_custkey) < 100 OR min(o_custkey) > 199
+           |       THEN 1 ELSE 0 END AS INTEGER) AS prune_o_custkey,
+           |  CAST(CASE WHEN max(o_orderkey) < 10000 OR min(o_orderkey) > 19999
+           |       THEN 1 ELSE 0 END AS INTEGER) AS prune_o_orderkey
+           |FROM r GROUP BY file ORDER BY file""".stripMargin,
 
       "x_layout_zorder" -> {
         val zTerms = (0 until 10).map(i =>

@@ -79,4 +79,40 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == plain)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("pruneStats: disjoint-range flags match a hand census; inputs validated") {
+    // 3 "files" with value ranges [0,9], [10,19], [20,29] on v, and a
+    // second column w anti-correlated — predicate v in [12, 15] prunes
+    // files 0 and 2; predicate w in [0, 100] prunes nothing
+    val rows = (0 until 30).map(i => (i / 10, i.toLong, (29 - i).toLong))
+    val df = rows.toDF("f", "v", "w")
+    val out = Scale.pruneStats(df, Seq("v", "w"),
+        Seq(("v", 12L, 15L), ("w", 0L, 100L)), fileLabel = col("f"))
+      .orderBy("file")
+      .select("file", "n_rows", "min_v", "max_v", "prune_v", "prune_w")
+      .as[(Int, Long, Long, Long, Int, Int)].collect().toSeq
+    assert(out == Seq((0, 10L, 0L, 9L, 1, 0), (1, 10L, 10L, 19L, 0, 0),
+      (2, 10L, 20L, 29L, 1, 0)), s"got $out")
+    intercept[IllegalArgumentException] {
+      Scale.pruneStats(df, Seq("v"), Seq(("w", 0L, 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      Scale.pruneStats(df, Seq("v"), Seq(("v", 5L, 1L)))
+    }
+  }
+
+  test("pruneStats: a z-ordered layout prunes where a shuffled one cannot") {
+    // same data, two layouts: files cut along v (sorted) vs files cut
+    // round-robin — the sorted layout's zone maps prune a narrow
+    // predicate, the shuffled layout's maps all span the domain
+    val n = 400
+    val sorted = (0 until n).map(i => (i / 50, i.toLong)).toDF("f", "v")
+    val shuffled = (0 until n).map(i => (i % 8, i.toLong)).toDF("f", "v")
+    def pruned(df: org.apache.spark.sql.DataFrame): Long =
+      Scale.pruneStats(df, Seq("v"), Seq(("v", 100L, 120L)),
+          fileLabel = col("f"))
+        .agg(sum("prune_v")).head().getLong(0)
+    assert(pruned(sorted) == 7L, "sorted layout should prune 7 of 8 files")
+    assert(pruned(shuffled) == 0L, "round-robin layout cannot prune")
+  }
 }
