@@ -689,6 +689,63 @@ object BenchSf1 {
               expr("substring(name, 11)")).as("name"))
         graft.operators.Dedup.blockedFuzzyMatch(
           cust.unionByName(variants), "id", "name", maxDist = 2).count()
+      }),
+      // autotune sweep: ONE scored pass at max(nprobe) over probed
+      // partitions (probed volume ~flat — nlist grows with the corpus)
+      // + the |sample|·|members| exact truth pass — must price ~linear,
+      // truth-dominated
+      "ann_autotune" -> ((dir, _) =>
+        graft.operators.AnnIndex.tuneIvf(spark, s"$ivfIdxDir/${tagOf(dir)}",
+          emb(spark, sf01).filter(col("vec_id") % 100 === 7),
+          "vec_id", "embedding", 10, Seq(1, 4, 16)).count()),
+      // triangle census over the kNN graph: n·k compact edges, the
+      // degree-ordered wedge join bounded O(m^1.5) — near-linear
+      "graph_triangles" -> ((dir, m) =>
+        graft.operators.GraphOps.triangleCount(
+          graft.operators.Similarity.knnGraph(emb(spark, dir),
+            "vec_id", "embedding", 5, nlist = 64 * m, nprobe = 8),
+          "qid", "id").count()),
+      // KMV pair matrix: ONE (group, hash) distinct shuffle (linear),
+      // then sketch algebra on G·cap longs — G and capacity are policy
+      "overlap_kmv" -> ((dir, _) =>
+        graft.operators.Sketches.kmvOverlapMatrix(docs(spark, dir),
+          "source", "text", capacity = 256).count()),
+      // PQ maintenance loop on the 10× index: O(tail) tombstone + the
+      // amortized codes fold (linear rewrite) + O(tail) re-encode.
+      // Update-only tail: membership is preserved, so the shared serve
+      // probes see an identical row census on repeat runs
+      "pq_sync" -> ((dir, _) => {
+        val tail = emb(spark, sf01).filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x + 0.125 as float))")
+              .as("embedding"))
+          .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+        graft.operators.AnnIndex.pqSyncFromLog(spark,
+          s"$pqIdxDir/${tagOf(dir)}", tail, "vec_id", "seq", "op",
+          "embedding")
+        spark.read.parquet(s"$pqIdxDir/${tagOf(dir)}/codes").count()
+      }),
+      // zone-map census: one z-layout write (shuffle, linear bytes) +
+      // one min/max aggregation pass (linear scan)
+      "prune_stats" -> ((dir, _) => {
+        val o = spark.read.parquet(s"$dir/orders.parquet")
+        val b = o.agg(min("o_custkey"), max("o_custkey"),
+          min("o_orderkey"), max("o_orderkey")).head()
+        val (ckMn, ckMx, okMn, okMx) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val z = graft.operators.Scale.zValue(
+          expr(s"CAST((o_custkey - $ckMn) * 1024 DIV ${ckMx - ckMn + 1} AS BIGINT)"),
+          expr(s"CAST((o_orderkey - $okMn) * 1024 DIV ${okMx - okMn + 1} AS BIGINT)"),
+          10)
+        val out = s"/tmp/graft_sf1_zlayout/${tagOf(dir)}"
+        o.select(col("o_orderkey"), col("o_custkey"))
+          .withColumn("zb", shiftrightunsigned(z, 14))
+          .repartition(col("zb"))
+          .write.mode("overwrite").partitionBy("zb").parquet(out)
+        graft.operators.Scale.pruneStats(spark.read.parquet(out),
+          Seq("o_custkey", "o_orderkey"),
+          Seq(("o_custkey", 100L, 199L), ("o_orderkey", 10000L, 19999L)),
+          fileLabel = col("zb").cast("long")).count()
       }))
 
     def releaseSessionState(): Unit = {
