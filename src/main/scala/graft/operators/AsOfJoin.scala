@@ -113,4 +113,56 @@ object AsOfJoin {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     trainTestSplit(labeled, "cluster_id", trainPct)
   }
+
+  /** Keyless range-containment join at scale: every `points` row joined
+    * to every `intervals` row with `start ≤ pt ≤ end` (inclusive), when
+    * there is NO equi key to hash on. Spark's native plan for a pure
+    * inequality join is BroadcastNestedLoopJoin — quadratic work and a
+    * driver-sized broadcast that falls over once the interval side
+    * grows. Bin-and-refine restores a shuffled equi-join: the domain is
+    * quantized into `binWidth` bins, each interval EXPLODES across the
+    * bins it touches, points join on their single bin, and the exact
+    * containment predicate refines. Each (point, interval) match is
+    * found exactly once — in the point's bin — so no dedup pass.
+    *
+    * Work = |points| + Σ(span/binWidth) + true matches: pick `binWidth`
+    * near the typical interval span so each interval explodes to ~2
+    * rows. Guards are DECLARATIVE fail-loud (raise_error inside the
+    * projection, codegen-friendly): negative domains (integer DIV
+    * truncates toward zero — a negative value would bin wrong, not
+    * error), inverted intervals, and per-interval explosion above
+    * `maxBinsPerInterval` (a domain-spanning interval silently turning
+    * the explode quadratic is the failure mode the cap exists for).
+    * Column names from both sides pass through — callers disambiguate.
+    */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+                      ptCol: String, startCol: String, endCol: String,
+                      binWidth: Long,
+                      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    require(maxBinsPerInterval >= 1,
+      s"maxBinsPerInterval must be >= 1, got $maxBinsPerInterval")
+    val p = points.withColumn("__bin",
+      when(col(ptCol) < 0L,
+        raise_error(lit(s"binnedRangeJoin: negative $ptCol"))
+          .cast("long"))
+      .otherwise(expr(s"CAST(`$ptCol` DIV $binWidth AS BIGINT)")))
+    val iv = intervals
+      .withColumn("__sb",
+        when(col(startCol) < 0L || col(endCol) < col(startCol),
+          raise_error(lit(s"binnedRangeJoin: negative or inverted " +
+            s"[$startCol, $endCol] interval")).cast("long"))
+        .otherwise(expr(s"CAST(`$startCol` DIV $binWidth AS BIGINT)")))
+      .withColumn("__eb", expr(s"CAST(`$endCol` DIV $binWidth AS BIGINT)"))
+      .withColumn("__bin", explode(
+        when(col("__eb") - col("__sb") >= maxBinsPerInterval.toLong,
+          raise_error(lit(s"binnedRangeJoin: interval spans more than " +
+            s"$maxBinsPerInterval bins — raise binWidth or the cap"))
+            .cast("array<long>"))
+        .otherwise(sequence(col("__sb"), col("__eb")))))
+      .drop("__sb", "__eb")
+    p.join(iv, Seq("__bin"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("__bin")
+  }
 }

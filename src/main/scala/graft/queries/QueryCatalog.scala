@@ -1223,6 +1223,31 @@ object QueryCatalog {
         .orderBy("user_id", "click_ms", "purchase_ms")
     }),
 
+    "x_range_join_binned" -> ((s, dir) => {
+      // KEYLESS range containment at scale: no user_id to hash on —
+      // Spark's native plan for the bare inequality join is a
+      // BroadcastNestedLoopJoin (quadratic, driver-bound broadcast).
+      // Bin-and-refine restores an equi-join: the 5 busiest hours (by
+      // event count) become incident windows, every event lands in its
+      // epoch-hour bin, windows explode across their bins (~1 each),
+      // and the exact containment predicate refines. PlanSpec gates the
+      // no-BNL shape; the oracle replays with DuckDB's native
+      // inequality join — same rows, different plan.
+      val ev = t(s, dir, "events")
+      val windows = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("h")).limit(5)
+        .select(unix_millis(col("h")).as("w_start"),
+          (unix_millis(col("h")) + lit(3599999L)).as("w_end"))
+      val points = ev.select(unix_millis(col("ts")).as("ev_ms"),
+        col("event_id"), col("event_type"))
+      graft.operators.AsOfJoin.binnedRangeJoin(points, windows, "ev_ms",
+          "w_start", "w_end", binWidth = 3600000L)
+        .select("w_start", "event_id", "ev_ms", "event_type")
+        .orderBy("w_start", "event_id")
+    }),
+
     "q_events_json" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -1674,6 +1699,22 @@ object QueryCatalog {
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         |LIMIT 20""".stripMargin,
+
+    "x_range_join_binned" ->
+      // DuckDB replays with its NATIVE inequality join — identical rows
+      // prove bin-and-refine changed the plan, not the result
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |          FROM events GROUP BY 1),
+        |top AS (SELECT h FROM h ORDER BY n DESC, h LIMIT 5),
+        |iv AS (SELECT CAST(epoch_ms(h) AS BIGINT) AS w_start,
+        |              CAST(epoch_ms(h) + 3599999 AS BIGINT) AS w_end
+        |       FROM top),
+        |p AS (SELECT CAST(epoch_ms(ts) AS BIGINT) AS ev_ms, event_id,
+        |             event_type
+        |      FROM events)
+        |SELECT iv.w_start, p.event_id, p.ev_ms, p.event_type
+        |FROM p JOIN iv ON p.ev_ms BETWEEN iv.w_start AND iv.w_end
+        |ORDER BY iv.w_start, p.event_id""".stripMargin,
 
     "q_interval_join" ->
       """SELECT c.user_id, epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class AsOfJoinSpec extends AnyFunSuite {
@@ -82,5 +83,49 @@ class AsOfJoinSpec extends AnyFunSuite {
     val got = AsOfJoin.joinAsOf(left, right, Seq("k"), "ts", "ts", Seq("tag"))
       .select("id", "asof_tag").as[(Long, Option[String])].collect().toMap
     assert(got == Map(1L -> Some("real"), 2L -> None))
+  }
+
+  test("binnedRangeJoin equals the naive inequality join on random fixtures") {
+    // deterministic pseudo-random points/intervals, including bin-edge
+    // values (multiples of the width) and intervals crossing bins
+    val w = 10L
+    val pts = (0 until 300)
+      .map(i => ((i * 7919L) % 997L, i.toLong)).toDF("pt", "pid")
+    val ivs = (0 until 40).map { i =>
+      val s = (i * 6007L) % 950L
+      (s, s + (i * 13L) % 60L, i.toLong)
+    }.toDF("s", "e", "iid")
+    val binned = AsOfJoin.binnedRangeJoin(pts, ivs, "pt", "s", "e", w)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    val naive = pts.join(ivs, col("pt") >= col("s") && col("pt") <= col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(binned.nonEmpty && binned == naive,
+      s"binned ${binned.size} vs naive ${naive.size}")
+  }
+
+  test("binnedRangeJoin: boundary containment is inclusive on both ends") {
+    val pts = Seq((10L, 1L), (20L, 2L), (9L, 3L), (21L, 4L)).toDF("pt", "pid")
+    val ivs = Seq((10L, 20L, 100L)).toDF("s", "e", "iid")
+    val got = AsOfJoin.binnedRangeJoin(pts, ivs, "pt", "s", "e", 7L)
+      .select("pid").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("binnedRangeJoin guards: negative domain, inverted interval, span cap") {
+    val pts = Seq((5L, 1L)).toDF("pt", "pid")
+    val ivs = Seq((0L, 9L, 1L)).toDF("s", "e", "iid")
+    def boom(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception](f.collect())
+      assert(e.getMessage.contains("binnedRangeJoin"), e.getMessage)
+    }
+    boom(AsOfJoin.binnedRangeJoin(Seq((-1L, 1L)).toDF("pt", "pid"), ivs,
+      "pt", "s", "e", 10L))
+    boom(AsOfJoin.binnedRangeJoin(pts, Seq((9L, 3L, 1L)).toDF("s", "e", "iid"),
+      "pt", "s", "e", 10L))
+    boom(AsOfJoin.binnedRangeJoin(pts, Seq((0L, 1000L, 1L)).toDF("s", "e", "iid"),
+      "pt", "s", "e", 10L, maxBinsPerInterval = 4))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.binnedRangeJoin(pts, ivs, "pt", "s", "e", 0L)
+    }
   }
 }

@@ -408,4 +408,14 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // codegen'd nodes print with the "*(n)" stage prefix
     assert(p.contains("*(1) Project"), p)
   }
+
+  test("binned range join: keyless containment plans as an equi-join, never BNL") {
+    // the whole point of bin-and-refine — the bare inequality join's
+    // only Spark plan is BroadcastNestedLoopJoin; the binned form must
+    // hash/broadcast-join on the bin key with the range as a residual
+    val p = planOf("x_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
