@@ -676,4 +676,55 @@ object TextAnalysis {
         when(col("raw_len") === 0, 0L)
           .otherwise(expr("(deflate_len * 1000) div raw_len")))
   }
+
+  /** Corpus-level line deduplication (CCNet / RefinedWeb practice,
+    * public knowledge): a line occurring in ≥ `minDocs` DISTINCT
+    * documents is boilerplate — navigation chrome, cookie banners,
+    * license headers — and is removed from every document while the
+    * rest of each document survives verbatim, in order. The
+    * within-document complement of the whole-document dedup family:
+    * exact/minhash dedup drops copies of a page; this strips the
+    * template the pages share.
+    *
+    * Scale shape: one posexplode (line rows carry (id, pos, line) —
+    * no document ever shuffles whole), one distinct-count aggregation
+    * keyed by line (partial-aggregable), one anti-join of line rows
+    * against the boilerplate set (small by construction — only lines
+    * crossing the threshold), and a per-document reassembly whose
+    * collect_list is bounded by document size. Documents whose EVERY
+    * line is boilerplate still row out (empty text, full counts) — the
+    * silent-absence guard.
+    *
+    * Output per document: `text_clean`, `n_lines`, `n_removed`.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2L, s"dedupLines: minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))))
+      .toDF("__id", "pos", "line")
+    val boiler = lines.filter(length(trim(col("line"))) > 0)
+      .groupBy("line").agg(countDistinct("__id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val totals = lines.groupBy("__id")
+      .agg(count(lit(1)).as("n_lines"))
+    val assembled = kept.groupBy("__id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("pos").as("p"), col("line").as("l")))),
+            x => x.getField("l")),
+          sep).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    totals.join(assembled, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines").cast("long").as("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
 }

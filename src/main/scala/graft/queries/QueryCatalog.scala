@@ -3191,6 +3191,25 @@ object QueryCatalog {
           verifyExact = false)
         .orderBy("a", "b")),
 
+    "x_text_linededup" -> ((s, dir) => {
+      // CORPUS-LEVEL LINE DEDUP (CCNet / RefinedWeb practice): any line
+      // shared verbatim by >= 2 documents is template chrome — cookie
+      // banners, navigation, license headers — struck from EVERY
+      // document while the rest survives in order. The within-document
+      // complement of whole-document dedup: exact/minhash drops copies
+      // of a page, this strips the template the pages share. The
+      // single-line fixture docs are re-lined into 8-word rows first
+      // (~4% of line rows are shared template at sf0.01).
+      val docs = t(s, dir, "documents")
+      val lined = docs.select(col("doc_id"),
+        expr("array_join(transform(" +
+          "sequence(0, (size(split(text, ' ')) - 1) DIV 8)," +
+          " i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))," +
+          " '\\n')").as("text"))
+      TextAnalysis.dedupLines(lined, "doc_id", "text", minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
     "x_corpus_overlap_kmv" -> ((s, dir) =>
       // SKETCH SET ALGEBRA joining the overlap family: x_corpus_overlap
       // joins the corpora on content (exact), x_corpus_overlap_fast
@@ -7042,6 +7061,37 @@ object QueryCatalog {
           |       ELSE (15::HUGEINT * 1152921504606846976::HUGEINT)
           |            // greatest(hk, 1) END AS BIGINT) AS n_distinct_est
           |FROM kth ORDER BY source""".stripMargin,
+
+      "x_text_linededup" ->
+        // identical re-lining (ceil(n/8) chunks — range((len+7)//8) ≡
+        // sequence(0,(n-1) DIV 8)), distinct-doc line counts, NOT IN
+        // against the boilerplate set, ordered string_agg reassembly;
+        // all-lines-removed docs still row out via the tot LEFT JOIN
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+          |           FROM documents),
+          |lined AS (SELECT doc_id,
+          |    list_transform(range((len(ws) + 7) // 8),
+          |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS ls
+          |  FROM w),
+          |lines AS (SELECT doc_id, unnest(range(len(ls))) AS pos,
+          |                 unnest(ls) AS line
+          |          FROM lined),
+          |boiler AS (SELECT line FROM (
+          |    SELECT line, count(DISTINCT doc_id) AS df FROM lines
+          |    WHERE length(trim(line)) > 0 GROUP BY line) WHERE df >= 2),
+          |kept AS (SELECT * FROM lines
+          |         WHERE line NOT IN (SELECT line FROM boiler)),
+          |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines
+          |        GROUP BY doc_id),
+          |asm AS (SELECT doc_id,
+          |          string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+          |          count(*) AS n_kept
+          |        FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+          |  CAST(t.n_lines AS BIGINT) AS n_lines,
+          |  CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+          |FROM tot t LEFT JOIN asm a ON a.doc_id = t.doc_id
+          |ORDER BY t.doc_id""".stripMargin,
 
       "x_corpus_overlap_kmv" ->
         // full sketch-algebra replay: per-source k-min buffers (rank

@@ -1397,4 +1397,24 @@ class OperatorSpec extends AnyFunSuite {
       .orderBy("doc_id").select("lang_pred").as[String].collect().toSeq
     assert(got == Seq("en", "de", "fr", "es"))
   }
+
+  test("dedupLines strikes shared template lines, keeps order, never drops docs") {
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\nfooter nav"),
+      (2L, "cookie banner\nunique text two\nfooter nav"),
+      (3L, "cookie banner\nfooter nav"),          // ALL lines boilerplate
+      (4L, "standalone doc\n\nwith an empty line")) // empty line kept
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "real content one", 3L, 2L),
+      (2L, "unique text two", 3L, 2L),
+      (3L, "", 2L, 2L),
+      (4L, "standalone doc\n\nwith an empty line", 3L, 0L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dedupLines(docs, "doc_id", "text", minDocs = 1)
+    }
+  }
 }
