@@ -3315,6 +3315,32 @@ object QueryCatalog {
         .orderBy("qid")
     }),
 
+    "x_eval_matryoshka" -> ((s, dir) => {
+      // MATRYOSHKA TRUNCATION EVAL (MRL practice, Kusupati et al. 2022
+      // — public knowledge): retrieval quality of the 16-dim PREFIX of
+      // the 64-dim embedding against the full-vector exact top-10 —
+      // the measurement that decides whether a 4× cheaper prefix index
+      // serves well enough before anyone ships it. Same integer
+      // hits@10 / top-1-agreement shape as x_eval_retrieval; pure
+      // composition of existing kernels (slice + bruteForceTopK).
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val pre = emb.select(col("vec_id"),
+        expr("slice(embedding, 1, 16)").as("embedding"))
+      val truth = Similarity.bruteForceTopK(emb, qs,
+          "vec_id", "embedding", 10)
+        .select(col("qid"), col("id")).withColumn("__in", lit(1))
+      Similarity.bruteForceTopK(pre, pre.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .join(truth, Seq("qid", "id"), "left")
+        .groupBy("qid")
+        .agg(
+          sum(coalesce(col("__in"), lit(0))).cast("long").as("hits_at_10"),
+          max(when(col("rank") === 1 && col("__in") === 1, 1).otherwise(0))
+            .cast("long").as("top1_in_truth"))
+        .orderBy("qid")
+    }),
+
     "x_retrieval_maxsim" -> ((s, dir) => {
       // LATE-INTERACTION retrieval (ColBERT-style MaxSim) — the fourth
       // member of the retrieval family after BM25 (lexical), dense
@@ -6284,6 +6310,38 @@ object QueryCatalog {
            |  CAST(max(CASE WHEN a.rank = 1 AND t.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS top1_in_truth
            |FROM ann a LEFT JOIN truth t ON t.qid = a.qid AND t.id = a.id
            |GROUP BY a.qid ORDER BY a.qid""".stripMargin),
+
+      "x_eval_matryoshka" ->
+        // both rankings replayed brute-force: the prefix side slices
+        // the same float lists ([1:16] — DuckDB list slicing is
+        // end-inclusive, matching Spark's slice(v, 1, 16)), cosine on
+        // the slices, integer hits/agreement
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+          |                 embedding[1:16] AS qp
+          |          FROM embeddings WHERE vec_id < 5),
+          |fs AS (SELECT q.qid, e.vec_id AS id,
+          |         list_cosine_similarity(e.embedding, q.qv) AS cos
+          |       FROM embeddings e, q WHERE e.vec_id <> q.qid),
+          |truth AS (SELECT qid, id FROM (
+          |    SELECT qid, id,
+          |           row_number() OVER (PARTITION BY qid
+          |             ORDER BY cos DESC, id) AS rank
+          |    FROM fs) WHERE rank <= 10),
+          |ps AS (SELECT q.qid, e.vec_id AS id,
+          |         list_cosine_similarity(e.embedding[1:16], q.qp) AS cos
+          |       FROM embeddings e, q WHERE e.vec_id <> q.qid),
+          |pre AS (SELECT qid, id, rank FROM (
+          |    SELECT qid, id,
+          |           row_number() OVER (PARTITION BY qid
+          |             ORDER BY cos DESC, id) AS rank
+          |    FROM ps) WHERE rank <= 10)
+          |SELECT p.qid,
+          |  CAST(sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS hits_at_10,
+          |  CAST(max(CASE WHEN p.rank = 1 AND t.id IS NOT NULL
+          |       THEN 1 ELSE 0 END) AS BIGINT) AS top1_in_truth
+          |FROM pre p LEFT JOIN truth t ON t.qid = p.qid AND t.id = p.id
+          |GROUP BY p.qid ORDER BY p.qid""".stripMargin,
 
       "x_sim_pq" ->
         // Full product-quantization replay: codebooks (unit-normalized
