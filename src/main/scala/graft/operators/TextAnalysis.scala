@@ -697,6 +697,24 @@ object TextAnalysis {
     *
     * Output per document: `text_clean`, `n_lines`, `n_removed`.
     */
+  /** The mined template set behind [[dedupLines]] — (line, df) for
+    * every non-blank line occurring in ≥ `minDocs` distinct documents.
+    * Exposed separately because the set is a deployable MODEL: the
+    * streaming twin ships it as a plan constant and cleans documents
+    * with a zero-state projection.
+    */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2L,
+      s"boilerplateLines: minDocs must be >= 2, got $minDocs")
+    docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy("line").agg(countDistinct("__id").as("df"))
+      .filter(col("df") >= minDocs)
+  }
+
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2L, s"dedupLines: minDocs must be >= 2, got $minDocs")
@@ -704,9 +722,7 @@ object TextAnalysis {
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(sep))))
       .toDF("__id", "pos", "line")
-    val boiler = lines.filter(length(trim(col("line"))) > 0)
-      .groupBy("line").agg(countDistinct("__id").as("df"))
-      .filter(col("df") >= minDocs)
+    val boiler = boilerplateLines(docs, idCol, textCol, minDocs, sep)
       .select("line")
     val kept = lines.join(boiler, Seq("line"), "left_anti")
     val totals = lines.groupBy("__id")

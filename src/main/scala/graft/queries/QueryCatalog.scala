@@ -703,6 +703,16 @@ object QueryCatalog {
   private val cdcSyncIdxDir = "/tmp/graft_ivf_idx_cdcsync"
   private val pqSyncIdxDir = "/tmp/graft_pq_idx_cdcsync"
   private val pruneStatsDir = "/tmp/graft_zorder_layout"
+
+  /** The 8-word re-lining shared by the line-dedup batch entry, its
+    * streaming twin, and their common oracle (the fixture's documents
+    * are single-line; real corpora arrive with newlines).
+    */
+  private def relinedText: org.apache.spark.sql.Column =
+    expr("array_join(transform(" +
+      "sequence(0, (size(split(text, ' ')) - 1) DIV 8)," +
+      " i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))," +
+      " '\\n')")
   private val streamTdIdxDir = "/tmp/graft_ivf_idx_streamtd"
   private val streamTdStageDir = "/tmp/graft_streamtd_log"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
@@ -3201,12 +3211,30 @@ object QueryCatalog {
       // single-line fixture docs are re-lined into 8-word rows first
       // (~4% of line rows are shared template at sf0.01).
       val docs = t(s, dir, "documents")
-      val lined = docs.select(col("doc_id"),
-        expr("array_join(transform(" +
-          "sequence(0, (size(split(text, ' ')) - 1) DIV 8)," +
-          " i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))," +
-          " '\\n')").as("text"))
+      val lined = docs.select(col("doc_id"), relinedText.as("text"))
       TextAnalysis.dedupLines(lined, "doc_id", "text", minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    "x_stream_linededup" -> ((s, dir) => { // LIVE stream, shares x_text_linededup's oracle
+      // INGEST-TIME template removal: the boilerplate set mined in
+      // batch (boilerplateLines) is the deployed model; each ARRIVING
+      // document is cleaned by a zero-state, order-preserving array
+      // filter against the plan-constant set — no explode, no per-doc
+      // streaming aggregation, one O(1) hash probe per line. Converges
+      // to the batch operator's exact table, so the oracle is shared
+      // verbatim (the x_stream_extract convention).
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val docs = t(s, dir, "documents")
+      val boiler = TextAnalysis.boilerplateLines(
+          docs.select(col("doc_id"), relinedText.as("text")),
+          "doc_id", "text", minDocs = 2)
+        .select("line").collect().map(_.getString(0)).toSet
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.StreamLineDedup.runOnce(s, dir, "documents.parquet",
+          schema, boiler, "doc_id", "text",
+          prep = df => df.select(col("doc_id"), relinedText.as("text")))
         .orderBy("doc_id")
     }),
 
@@ -4985,6 +5013,38 @@ object QueryCatalog {
     // encoded code table come from the parquet on disk; queries and the
     // re-rank vectors come from the embeddings table. `tombstoned` as
     // in ivfPersistedReplay: replay the deletion-vector anti-join.
+    // Shared by the batch line-dedup entry and its live streaming
+    // twin: identical re-lining (ceil(n/8) chunks — range((len+7)//8)
+    // ≡ sequence(0,(n-1) DIV 8)), distinct-doc line counts, NOT IN
+    // against the boilerplate set, ordered string_agg reassembly;
+    // all-lines-removed docs still row out via the tot LEFT JOIN.
+    val lineDedupReplay: String =
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |lined AS (SELECT doc_id,
+        |    list_transform(range((len(ws) + 7) // 8),
+        |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS ls
+        |  FROM w),
+        |lines AS (SELECT doc_id, unnest(range(len(ls))) AS pos,
+        |                 unnest(ls) AS line
+        |          FROM lined),
+        |boiler AS (SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df FROM lines
+        |    WHERE length(trim(line)) > 0 GROUP BY line) WHERE df >= 2),
+        |kept AS (SELECT * FROM lines
+        |         WHERE line NOT IN (SELECT line FROM boiler)),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines
+        |        GROUP BY doc_id),
+        |asm AS (SELECT doc_id,
+        |          string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(t.n_lines AS BIGINT) AS n_lines,
+        |  CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN asm a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+
     def pqPersistedReplay(idxDir: String,
                           tombstoned: Boolean = false,
                           rerankCte: String = "",
@@ -7120,36 +7180,11 @@ object QueryCatalog {
           |            // greatest(hk, 1) END AS BIGINT) AS n_distinct_est
           |FROM kth ORDER BY source""".stripMargin,
 
-      "x_text_linededup" ->
-        // identical re-lining (ceil(n/8) chunks — range((len+7)//8) ≡
-        // sequence(0,(n-1) DIV 8)), distinct-doc line counts, NOT IN
-        // against the boilerplate set, ordered string_agg reassembly;
-        // all-lines-removed docs still row out via the tot LEFT JOIN
-        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-          |           FROM documents),
-          |lined AS (SELECT doc_id,
-          |    list_transform(range((len(ws) + 7) // 8),
-          |      i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS ls
-          |  FROM w),
-          |lines AS (SELECT doc_id, unnest(range(len(ls))) AS pos,
-          |                 unnest(ls) AS line
-          |          FROM lined),
-          |boiler AS (SELECT line FROM (
-          |    SELECT line, count(DISTINCT doc_id) AS df FROM lines
-          |    WHERE length(trim(line)) > 0 GROUP BY line) WHERE df >= 2),
-          |kept AS (SELECT * FROM lines
-          |         WHERE line NOT IN (SELECT line FROM boiler)),
-          |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines
-          |        GROUP BY doc_id),
-          |asm AS (SELECT doc_id,
-          |          string_agg(line, chr(10) ORDER BY pos) AS text_clean,
-          |          count(*) AS n_kept
-          |        FROM kept GROUP BY doc_id)
-          |SELECT t.doc_id, coalesce(a.text_clean, '') AS text_clean,
-          |  CAST(t.n_lines AS BIGINT) AS n_lines,
-          |  CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
-          |FROM tot t LEFT JOIN asm a ON a.doc_id = t.doc_id
-          |ORDER BY t.doc_id""".stripMargin,
+      "x_text_linededup" -> lineDedupReplay,
+
+      "x_stream_linededup" ->
+        // the LIVE run converges to the identical table — shared replay
+        lineDedupReplay,
 
       "x_corpus_overlap_kmv" ->
         // full sketch-algebra replay: per-source k-min buffers (rank

@@ -1417,4 +1417,25 @@ class OperatorSpec extends AnyFunSuite {
       TextAnalysis.dedupLines(docs, "doc_id", "text", minDocs = 1)
     }
   }
+
+  test("StreamLineDedup.clean equals the batch dedupLines row for row") {
+    // the zero-state serve kernel (plan-constant template set, in-row
+    // array filter) must reproduce the mine-and-anti-join batch table
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\nfooter nav"),
+      (2L, "cookie banner\nunique text two\nfooter nav"),
+      (3L, "cookie banner\nfooter nav"),
+      (4L, "standalone doc\n\nwith an empty line")).toDF("doc_id", "text")
+    val batch = TextAnalysis.dedupLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    val model = TextAnalysis.boilerplateLines(docs, "doc_id", "text", 2)
+      .select("line").as[String].collect().toSet
+    val served = graft.streaming.StreamLineDedup
+      .clean(docs, model, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(served == batch, s"served $served vs batch $batch")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamLineDedup.clean(docs, Set.empty, "doc_id", "text")
+    }
+  }
 }
