@@ -491,6 +491,39 @@ object AnnIndex {
     clearTombstones(spark, path)
   }
 
+  /** PQ index health report — [[describeIvf]]'s sibling for the code
+    * table: codebook shape (m subspaces × ks codes — the model
+    * identity), stored codes, PENDING tombstones awaiting a
+    * [[pqCompact]] fold, the serving membership, and the append
+    * history's small-files pressure (parquet file count — what
+    * [[pqCompact]] resets to the targetBytes sizing). All figures are
+    * metadata/aggregate scans; nothing collects beyond the one-row
+    * report.
+    */
+  def describePq(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("s"))).head().getInt(0) + 1L
+    val ks = cb.agg(max(col("j"))).head().getInt(0) + 1L
+    val codes = spark.read.parquet(s"$path/codes")
+    val nCodes = codes.count()
+    val pending = loadTombstones(spark, path)
+    val nTomb = pending.fold(0L)(_.count())
+    val nServing = pending.fold(nCodes)(t =>
+      codes.join(broadcast(t), Seq("id"), "left_anti").count())
+    val conf = spark.sparkContext.hadoopConfiguration
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesPath.getFileSystem(conf)
+    val it = fs.listFiles(codesPath, true)
+    var nFiles = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
+    Seq((m, ks, nCodes, nTomb, nServing, nFiles))
+      .toDF("m", "ks", "n_codes", "n_pending_tombstones", "n_serving",
+        "n_files")
+  }
+
   /** Synchronize a persisted PQ index with a CDC change-log TAIL — the
     * PQ member of the maintenance loop, same contract as
     * [[ivfSyncFromLog]]: tombstone every key the tail touches (O(tail)

@@ -3846,6 +3846,22 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_pq_report" -> ((s, dir) => { // oracle: census recomputed from the artifact
+      // describeIvf's PQ sibling over the SAME pending-takedown index
+      // as x_sim_pq_deleted: codebook shape (model identity), stored
+      // codes, tombstone debt awaiting the fold, serving membership,
+      // and the append history's file count — the figures a PQ index
+      // operator alarms on.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(pqDelIdxDir, dir) {
+        graft.operators.AnnIndex.pqBuild(emb, "vec_id", "embedding",
+          pqDelIdxDir)
+        graft.operators.AnnIndex.pqDelete(s, pqDelIdxDir,
+          emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+      }
+      graft.operators.AnnIndex.describePq(s, path)
+    }),
+
     "x_sim_pq_del_compacted" -> ((s, dir) => { // oracle: PLAIN ADC replay post-fold
       val emb = t(s, dir, "embeddings")
       val path = stageIndex(pqDelCmpIdxDir, dir) {
@@ -6555,6 +6571,24 @@ object QueryCatalog {
            |        WHERE id NOT IN (SELECT id FROM tomb)) AS BIGINT) AS n_serving,
            |  CAST((SELECT count(DISTINCT filename) FROM cells) * 100
            |       // (SELECT count(DISTINCT cid) FROM cells) AS BIGINT) AS files_per_cid_x100""".stripMargin,
+
+      "x_pq_report" ->
+        // every figure recomputed from the artifact alone (the
+        // x_index_report convention); filename= gives the file census
+        s"""WITH codes AS (SELECT id, filename
+           |  FROM read_parquet('$pqDelIdxDir/codes/*.parquet', filename = true)),
+           |tomb AS (SELECT DISTINCT id
+           |  FROM read_parquet('$pqDelIdxDir/tombstones/*.parquet'))
+           |SELECT
+           |  CAST((SELECT max(s) + 1
+           |        FROM read_parquet('$pqDelIdxDir/codebooks/*.parquet')) AS BIGINT) AS m,
+           |  CAST((SELECT max(j) + 1
+           |        FROM read_parquet('$pqDelIdxDir/codebooks/*.parquet')) AS BIGINT) AS ks,
+           |  CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_codes,
+           |  CAST((SELECT count(*) FROM tomb) AS BIGINT) AS n_pending_tombstones,
+           |  CAST((SELECT count(*) FROM codes
+           |        WHERE id NOT IN (SELECT id FROM tomb)) AS BIGINT) AS n_serving,
+           |  CAST((SELECT count(DISTINCT filename) FROM codes) AS BIGINT) AS n_files""".stripMargin,
 
       "x_cdc_index_sync" ->
         // the synced index ends folded (sidecar cleared), so the PLAIN
