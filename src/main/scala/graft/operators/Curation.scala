@@ -264,6 +264,34 @@ object Curation {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — the STABLE
+    * alternative to `hash(key) % N` ([[shuffleShards]]' modulus):
+    * growing N → N+1 remaps EVERY key whose modulus changes (~all of
+    * them), which at 100 TB means a full re-export because capacity was
+    * added. HRW (Thaler & Ravishankar 1996, public knowledge) scores
+    * every (key, shard) pair with an independent hash and assigns the
+    * argmax — so adding a shard moves exactly the keys the NEW shard
+    * now wins (≈ 1/(N+1) of them, and they ALL move TO the new shard),
+    * and removing one moves only its own keys. Spec-pinned, both ways.
+    *
+    * A pure projection: N md5-derived 60-bit scores folded by a
+    * struct-ordered array_max, O(N) work per row with NO shuffle —
+    * right for policy-sized shard counts (≤ 1024 enforced; consistent
+    * hashing with virtual nodes is the same idea when N must be huge).
+    * md5 keeps the argmax replayable in any engine.
+    */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"rendezvousShard: nShards must be in [1, 1024], got $nShards")
+    val entries = (0 until nShards).map { sid =>
+      struct(
+        Sketches.kmvHash60(
+          concat(id.cast("string"), lit(":"), lit(sid))).as("h"),
+        lit(sid).as("s"))
+    }
+    array_max(array(entries: _*)).getField("s")
+  }
+
   /** Take rows in `orderCols` order until a global token budget is
     * exhausted — "fill the training mix with the best documents first,
     * stop at N tokens". Emits every row whose running-total-before

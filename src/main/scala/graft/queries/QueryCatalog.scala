@@ -3106,6 +3106,20 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_shards_rendezvous" -> ((s, dir) =>
+      // STABLE sharding under capacity change: hash%N (x_shuffle_shards)
+      // remaps nearly every key when N grows; rendezvous/HRW moves only
+      // the keys the NEW shard wins — and they all move TO it. The
+      // entry materializes assignments at N=8 and N=9 side by side with
+      // the moved flag, so the minimal-movement property is in the
+      // hashed output itself (~1/9 of rows moved, all to shard 8).
+      t(s, dir, "documents").select(col("doc_id"),
+          Curation.rendezvousShard(col("doc_id"), 8).as("shard_n8"),
+          Curation.rendezvousShard(col("doc_id"), 9).as("shard_n9"))
+        .withColumn("moved",
+          (col("shard_n8") =!= col("shard_n9")).cast("int"))
+        .orderBy("doc_id")),
+
     "x_shuffle_shards" -> ((s, dir) =>
       // Deterministic global shuffle: md5-derived shard + in-shard
       // position, the export permutation before sequential training reads.
@@ -6175,6 +6189,36 @@ object QueryCatalog {
           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
           |       CAST(cum_before AS BIGINT) AS cum_before
           |FROM c WHERE cum_before < 5000 ORDER BY doc_id""".stripMargin,
+
+      "x_shards_rendezvous" ->
+        // per-(key, shard) md5 60-bit scores, argmax via the ranked
+        // window (h DESC, s DESC ties — matching array_max's
+        // lexicographic struct order where the larger s wins equal h)
+        """WITH g8 AS (SELECT unnest(range(8)) AS s),
+          |g9 AS (SELECT unnest(range(9)) AS s),
+          |h8 AS (SELECT d.doc_id, g8.s,
+          |         ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || g8.s::VARCHAR),
+          |                         1, 15))::BIGINT AS h
+          |       FROM documents d CROSS JOIN g8),
+          |h9 AS (SELECT d.doc_id, g9.s,
+          |         ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || g9.s::VARCHAR),
+          |                         1, 15))::BIGINT AS h
+          |       FROM documents d CROSS JOIN g9),
+          |s8 AS (SELECT doc_id, CAST(s AS INTEGER) AS shard_n8 FROM (
+          |    SELECT doc_id, s,
+          |           row_number() OVER (PARTITION BY doc_id
+          |             ORDER BY h DESC, s DESC) AS rk
+          |    FROM h8) WHERE rk = 1),
+          |s9 AS (SELECT doc_id, CAST(s AS INTEGER) AS shard_n9 FROM (
+          |    SELECT doc_id, s,
+          |           row_number() OVER (PARTITION BY doc_id
+          |             ORDER BY h DESC, s DESC) AS rk
+          |    FROM h9) WHERE rk = 1)
+          |SELECT s8.doc_id, s8.shard_n8, s9.shard_n9,
+          |  CAST(CASE WHEN s8.shard_n8 <> s9.shard_n9 THEN 1 ELSE 0 END
+          |       AS INTEGER) AS moved
+          |FROM s8 JOIN s9 ON s9.doc_id = s8.doc_id
+          |ORDER BY s8.doc_id""".stripMargin,
 
       "x_shuffle_shards" ->
         """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),

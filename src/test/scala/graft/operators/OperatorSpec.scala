@@ -1418,6 +1418,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("rendezvousShard: growth moves only what the new shard wins; removal only its own") {
+    val ids = (0L until 2000L).toDF("id")
+    val a = ids.select(col("id"),
+        Curation.rendezvousShard(col("id"), 8).as("s8"),
+        Curation.rendezvousShard(col("id"), 9).as("s9"))
+      .as[(Long, Int, Int)].collect().toSeq
+    // every mover moved TO the new shard — the HRW defining property
+    val movers = a.filter(t => t._2 != t._3)
+    assert(movers.nonEmpty && movers.forall(_._3 == 8),
+      s"a grow-mover landed off the new shard: ${movers.take(5)}")
+    // movement mass ≈ 1/9 (binomial, generous 3x bound)
+    assert(movers.size > 2000 / 9 / 3 && movers.size < 2000 / 9 * 3,
+      s"moved ${movers.size} of 2000")
+    // removal symmetry: dropping shard 8 restores the N=8 assignment
+    // EXACTLY for every key (HRW argmax over a subset)
+    assert(a.forall(t => t._3 != 8 || t._2 == a.find(_._1 == t._1).get._2))
+    val back = a.filter(_._3 != 8)
+    assert(back.forall(t => t._2 == t._3), "a non-8 key changed shards")
+    // every shard is populated (balance sanity)
+    assert(a.map(_._3).distinct.sorted == (0 to 8), "empty shard at N=9")
+    intercept[IllegalArgumentException] {
+      Curation.rendezvousShard(col("id"), 0)
+    }
+  }
+
   test("StreamLineDedup.clean equals the batch dedupLines row for row") {
     // the zero-state serve kernel (plan-constant template set, in-row
     // array filter) must reproduce the mine-and-anti-join batch table
