@@ -4450,6 +4450,28 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_tokenizer_domains" -> ((s, dir) => {
+      // TOKENIZER EVAL BY DOMAIN: fertility (subwords per word,
+      // permille) per source under the induced vocab — the per-domain
+      // gate a tokenizer choice is actually judged by: a tokenizer fine
+      // for web prose can be terrible for code or tables, and the
+      // corpus-global x_bpe_fertility average hides exactly that.
+      // Composition of existing kernels; the same recursive-CTE
+      // segmentation replays the rollup.
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.bpePairCounts(docs, "text", 50)
+        .collect().map(_.getString(0)).toSeq
+      TextAnalysis.subwordTokenCounts(docs, "doc_id", "text", vocab)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(countDistinct("doc_id").cast("long").as("n_docs"),
+          sum("n_words").cast("long").as("n_words"),
+          sum("n_subwords").cast("long").as("n_subwords"))
+        .withColumn("fertility_permille",
+          expr("CAST(n_subwords * 1000 DIV n_words AS BIGINT)"))
+        .orderBy("source")
+    }),
+
     "x_stream_tokenize" -> ((s, dir) => {
       // Streaming tokenizer-apply: the codegen'd greedy subword encoder
       // (plan-constant vocab) folded WITHIN each arriving row — zero
@@ -4824,8 +4846,10 @@ object QueryCatalog {
     * (x_stream_tokenize): the stream's per-row fold is bit-identical to
     * the batch aggregation, so one oracle hash-gates both.
     */
-  private lazy val subwordTokenizeOracle: String =
-    s"""WITH RECURSIVE ${bpeCtes(50)},
+  // the greedy-segmentation CTE chain shared by the per-doc tokenize
+  // replays and the per-domain fertility rollup
+  private lazy val subwordSegCtes: String =
+    s"""${bpeCtes(50)},
        |words0 AS (SELECT doc_id,
        |             unnest(string_split(text, ' ')) AS w FROM documents),
        |dw AS (SELECT DISTINCT w FROM words0),
@@ -4836,7 +4860,10 @@ object QueryCatalog {
        |         s.k + 1
        |  FROM seg s LEFT JOIN bpt v ON v.pair = substring(s.w, s.pos, 2)
        |  WHERE s.pos <= length(s.w)),
-       |done AS (SELECT w, k FROM seg WHERE pos = length(w) + 1)
+       |done AS (SELECT w, k FROM seg WHERE pos = length(w) + 1)""".stripMargin
+
+  private lazy val subwordTokenizeOracle: String =
+    s"""WITH RECURSIVE $subwordSegCtes
        |SELECT w0.doc_id, count(*) AS n_words,
        |  CAST(sum(d.k) AS BIGINT) AS n_subwords
        |FROM words0 w0 JOIN done d USING (w)
@@ -7818,6 +7845,19 @@ object QueryCatalog {
         subwordTokenizeOracle,
 
       "x_stream_tokenize" -> subwordTokenizeOracle,
+
+      "x_tokenizer_domains" ->
+        // same segmentation CTEs, rolled up by source with the
+        // integer-permille fertility
+        s"""WITH RECURSIVE $subwordSegCtes
+           |SELECT d.source,
+           |  CAST(count(DISTINCT w0.doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(dn.k) AS BIGINT) AS n_subwords,
+           |  CAST(sum(dn.k) * 1000 // count(*) AS BIGINT) AS fertility_permille
+           |FROM words0 w0 JOIN done dn USING (w)
+           |JOIN documents d ON d.doc_id = w0.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
       "x_text_stats" ->
         """SELECT doc_id, length(text) AS len_chars,
