@@ -3336,6 +3336,21 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_bitext_margin" -> ((s, dir) => {
+      // MARGIN-BASED BITEXT MINING (Artetxe & Schwenk / CCMatrix): the
+      // even-id half of the embeddings plays the source language, the
+      // odd-id half the target; mined pairs are mutual nearest
+      // neighbors scored by the ratio margin against each side's top-8
+      // neighborhood. Everything on the floor(x·1e6) lattice — dots,
+      // top-k sums, and the permille margin are exact integers.
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", 8)
+        .orderBy("sid")
+    }),
+
     "x_eval_retrieval" -> ((s, dir) => {
       // ANN quality EVALUATION — the measurement loop every retrieval
       // deployment needs: LSH-ANN top-10 scored against the exact
@@ -7020,6 +7035,40 @@ object QueryCatalog {
           |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
           |      FROM scored)
           |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+      "x_bitext_margin" ->
+        // full quantized-lattice replay: same floor(x·1e6) components,
+        // same integer dots, same paired rank/top-k-sum windows, same
+        // positive-operand integer division. The dot is an explicit
+        // BIGINT product-sum comprehension — list_dot_product
+        // accumulates in FLOAT and drifts at this magnitude, and a
+        // bare `x * 1000000.0` lambda multiplies in FLOAT too (the
+        // DECIMAL literal coerces down); CAST(x AS DOUBLE) first.
+        """WITH s AS (SELECT vec_id AS sid,
+          |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          |     for x in embedding] AS sv
+          |  FROM embeddings WHERE vec_id % 2 = 0),
+          |tg AS (SELECT vec_id AS tid,
+          |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+          |     for x in embedding] AS tv
+          |  FROM embeddings WHERE vec_id % 2 = 1),
+          |scored AS (SELECT sid, tid,
+          |    CAST(list_sum([sv[i] * tv[i]
+          |                   for i in range(1, len(sv) + 1)]) AS BIGINT) AS d
+          |  FROM s, tg),
+          |r AS (SELECT sid, tid, d,
+          |    row_number() OVER (PARTITION BY sid ORDER BY d DESC, tid) AS frank,
+          |    row_number() OVER (PARTITION BY tid ORDER BY d DESC, sid) AS brank
+          |  FROM scored),
+          |w AS (SELECT *,
+          |    sum(CASE WHEN frank <= 8 THEN d END) OVER (PARTITION BY sid) AS fsum,
+          |    sum(CASE WHEN brank <= 8 THEN d END) OVER (PARTITION BY tid) AS bsum
+          |  FROM r)
+          |SELECT sid, tid, d,
+          |  CAST((2000 * 8 * d) // (fsum + bsum) AS BIGINT) AS margin_permille
+          |FROM w
+          |WHERE frank = 1 AND brank = 1 AND d > 0 AND fsum + bsum > 0
+          |ORDER BY sid""".stripMargin,
 
       "x_stream_drift" -> {
         // per-category conditional counts replayed per window; χ² terms

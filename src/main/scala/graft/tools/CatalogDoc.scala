@@ -67,6 +67,17 @@ object CatalogDoc {
     "x_event" -> "Event analytics",
     "x_cohort" -> "Event analytics",
     "x_hybrid" -> "Retrieval",
+    "x_retrieval" -> "Retrieval",
+    "x_bitext" -> "Bitext mining",
+    "x_tokenizer" -> "Token accounting",
+    "x_ann" -> "Similarity / ANN",
+    "x_pq" -> "Similarity / ANN",
+    "x_index" -> "Similarity / ANN",
+    "x_privacy" -> "Privacy / compliance",
+    "x_pref" -> "SFT / post-training",
+    "x_mix" -> "Domain mixing",
+    "x_shards" -> "Storage layout",
+    "x_range" -> "Relational / TPC-H-style",
     "x_sft" -> "SFT / post-training",
     "x_cluster" -> "Similarity / ANN",
     "x_distinct" -> "Text analysis",

@@ -88,6 +88,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(("g1", "g2"))._4 > 0L)
   }
 
+  test("bitextMine: mutual neighbors only, hand-computed integer margins") {
+    // src s0=(.5,0) s2=(0,.5); tgt t1=(.4,0) t3=(0,.4) t5=(.1,.1).
+    // On the floor(x·1e6) lattice: d(s0,t1)=d(s2,t3)=2e11,
+    // d(·,t5)=5e10, cross dots 0. k=2: fsum=2.5e11, bsum=2e11 →
+    // margin = 2000·2·2e11 div 4.5e11 = 1777. t5's best source is s0
+    // by the id tiebreak, but s0's rank-1 target is t1 — not mutual.
+    val src = Seq((0L, Seq(0.5f, 0.0f)), (2L, Seq(0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(0.4f, 0.0f)), (3L, Seq(0.0f, 0.4f)),
+      (5L, Seq(0.1f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(src, tgt, "vec_id", "embedding", 2)
+      .orderBy("sid")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1L, 200000000000L, 1777L),
+      (2L, 3L, 200000000000L, 1777L)))
+  }
+
+  test("bitextMine: hub target mined at most once (mutuality de-hubs)") {
+    // every source's nearest target is the hub t1, but t1's rank-1
+    // source is unique — raw-NN mining would emit 3 hub pairs, the
+    // mutual margin mine emits exactly one
+    val src = Seq((0L, Seq(0.5f, 0.0f)), (2L, Seq(0.45f, 0.0f)),
+      (4L, Seq(0.4f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(0.5f, 0.0f)), (3L, Seq(0.0f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bitextMine(src, tgt, "vec_id", "embedding", 2)
+      .select("sid", "tid").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 1L)))
+  }
+
   test("ANN LSH recall vs brute force is usable (>= 0.5 @ k=10)") {
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)

@@ -67,6 +67,20 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("bitext mining: one broadcast scoring pass, exactly two data shuffles") {
+    val p = planOf("x_bitext_margin")
+    // source side broadcast into the scoring pass
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // rank + top-k-sum windows are PAIRED per partitioning: the whole
+    // margin tail is the sid exchange and the tid exchange — a third
+    // hash exchange means a window stopped sharing its partner's
+    // shuffle (the final presentation sort is range partitioning)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx\n$p")
+  }
+
   test("bm25: query terms broadcast; ranking never globally sorts") {
     val p = planOf("x_text_bm25")
     // the query-term list is the tiny side of every join — the corpus tf
