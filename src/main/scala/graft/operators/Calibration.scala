@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Score calibration for corpus quality classifiers.
+  *
+  * A margin score (e.g. [[TextAnalysis.nbQualityScore]]) ranks documents,
+  * but thresholding and mixing decisions need a PROBABILITY — "keep docs
+  * with ≥ 60% curated-likelihood", "weight domains by expected quality".
+  * Isotonic regression (Zadrozny & Elkan, KDD 2002) is the standard
+  * nonparametric mapping: the monotone step function minimizing squared
+  * error against observed outcomes, classically fit with the
+  * pool-adjacent-violators algorithm (Barlow et al. 1972).
+  */
+object Calibration {
+
+  /** Isotonic (PAVA) calibration of a score column against a binary
+    * outcome column, on equal-width score buckets.
+    *
+    * Shape: ONE distributed pass buckets the corpus and aggregates
+    * per-bucket `(n, positives)` — a partial-aggregable hash
+    * aggregation, the only stage that touches data volume. The fit
+    * itself runs on the model-sized bucket table (≤ `buckets` rows)
+    * via the max-min characterization of isotonic regression
+    * (`fit(i) = max_{j≤i} min_{k≥i} mean(j..k)`, Robertson–Wright–
+    * Dykstra) — O(B³) interval work expressed declaratively, which at
+    * B ≤ 64 is thousands of rows, not a driver-side loop. Equivalent
+    * to sequential PAVA pooling, but every comparison is a plain
+    * double comparison of identical correctly-rounded quotients, so
+    * the fit replays bit-for-bit cross-engine.
+    *
+    * Output, one row per non-empty bucket, score-ascending:
+    * `(bucket, lo, hi, n, pos, rate_permille, fitted_permille)` —
+    * `lo`/`hi` the observed score bounds, `rate_permille` the raw
+    * bucket rate (integer `1000·pos div n`), `fitted_permille` the
+    * isotonic fit (`floor(1000·fit)`, non-decreasing in score).
+    *
+    * Contracts: `labelCol` must be 0/1; `scoreCol` integral (the
+    * engine's margin scores are exact integers); `(max−min+1)·buckets`
+    * must fit in a long (margin scores are ≤ ~2³⁰, so any sane bucket
+    * count does).
+    */
+  def isotonicCalibrate(scored: DataFrame, scoreCol: String,
+                        labelCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"isotonicCalibrate: buckets must be >= 1, got $buckets")
+    val probe = scored.agg(min(col(scoreCol)).cast("long"),
+      max(col(scoreCol)).cast("long")).first()
+    require(!probe.isNullAt(0), "isotonicCalibrate: empty input")
+    val minS = probe.getLong(0)
+    val span = probe.getLong(1) - minS + 1
+    val agg = scored.select(
+        expr(s"CAST((($scoreCol - ${minS}L) * ${buckets}L) DIV ${span}L AS BIGINT)")
+          .as("bucket"),
+        col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bucket")
+      .agg(min("s").as("lo"), max("s").as("hi"),
+        count(lit(1)).as("n"), sum("y").as("pos"))
+    // everything below is model-sized (≤ buckets rows): the unpartitioned
+    // windows and inequality joins are deliberate, not a scale hazard
+    val w = Window.orderBy("bucket")
+    val idx = agg
+      .withColumn("i", row_number().over(w))
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cy", sum("pos").over(w))
+    val jside = idx.select(col("i").as("ji"),
+      (col("cn") - col("n")).as("pn"), (col("cy") - col("pos")).as("py"))
+    val kside = idx.select(col("i").as("ki"),
+      col("cn").as("kn"), col("cy").as("ky"))
+    val intervals = jside.join(kside, col("ki") >= col("ji"))
+      .select(col("ji"), col("ki"),
+        ((col("ky") - col("py")).cast("double") /
+         (col("kn") - col("pn")).cast("double")).as("rate"))
+    val fitted = idx.select(col("i"))
+      .join(intervals, col("ji") <= col("i") && col("ki") >= col("i"))
+      .groupBy("i", "ji").agg(min("rate").as("minr"))
+      .groupBy("i").agg(max("minr").as("fit"))
+    idx.join(fitted, "i")
+      .select(col("bucket"), col("lo"), col("hi"), col("n"), col("pos"),
+        expr("CAST(1000 * pos DIV n AS BIGINT)").as("rate_permille"),
+        floor(col("fit") * lit(1000.0)).cast("long").as("fitted_permille"))
+  }
+}

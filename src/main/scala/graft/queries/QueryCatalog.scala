@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{HostedTables, Tables}
 import graft.core.{Chunker, ServiceName, WriteMode}
-import graft.operators.{Cdc, Curation, Dedup, Embeddings, GraphOps, HtmlText, Multimodal, Profiling, Scale, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Calibration, Cdc, Curation, Dedup, Embeddings, GraphOps, HtmlText, Multimodal, Profiling, Scale, Similarity, Sketches, TextAnalysis}
 import graft.sinks.HostedStore
 import graft.streaming.EventStreams
 
@@ -3987,6 +3987,22 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_quality_calibrate" -> ((s, dir) => {
+      // ISOTONIC CALIBRATION of the NB quality margin: the raw score
+      // ranks docs, but threshold/mixing decisions need P(curated) —
+      // fit the monotone step function against the src0 truth label
+      // on 24 equal-width score buckets. One corpus pass; the PAVA
+      // fit runs max-min on the model-sized bucket table.
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.nbQualityScore(docs,
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("y", (col("source") === "src0").cast("long"))
+      Calibration.isotonicCalibrate(scored, "score", "y", 24)
+        .orderBy("bucket")
+    }),
+
     "x_classifier_persisted" -> ((s, dir) => {
       // The model-registry lifecycle for the quality gate: train the
       // NB token-weight table ONCE, persist it as parquet, reload, and
@@ -7547,6 +7563,39 @@ object QueryCatalog {
            |SELECT doc_id, n_tokens, score,
            |  CAST(score > 0 AS INTEGER) AS label
            |FROM nbscore ORDER BY doc_id""".stripMargin,
+
+      "x_quality_calibrate" ->
+        // same NB score chain, then the identical bucket → prefix-sum →
+        // max-min isotonic fit; every rate is the same correctly-rounded
+        // double quotient in both engines, so min/max/floor agree
+        s"""WITH ${nbCtes()},
+           |lab AS (SELECT s.doc_id, s.score,
+           |    CAST(d.source = 'src0' AS BIGINT) AS y
+           |  FROM nbscore s JOIN documents d USING (doc_id)),
+           |bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM lab),
+           |bk AS (SELECT
+           |    ((score - (SELECT mn FROM bounds)) * 24)
+           |      // ((SELECT mx FROM bounds) - (SELECT mn FROM bounds) + 1)
+           |      AS bucket,
+           |    score, y FROM lab),
+           |cagg AS (SELECT bucket, min(score) AS lo, max(score) AS hi,
+           |    count(*) AS n, sum(y) AS pos FROM bk GROUP BY bucket),
+           |cidx AS (SELECT *, row_number() OVER (ORDER BY bucket) AS i,
+           |    sum(n) OVER (ORDER BY bucket) AS cn,
+           |    sum(pos) OVER (ORDER BY bucket) AS cy FROM cagg),
+           |civ AS (SELECT j.i AS ji, k.i AS ki,
+           |    CAST(k.cy - (j.cy - j.pos) AS DOUBLE)
+           |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS rate
+           |  FROM cidx j JOIN cidx k ON k.i >= j.i),
+           |cmm AS (SELECT b.i, civ.ji, min(civ.rate) AS minr
+           |  FROM cidx b JOIN civ ON civ.ji <= b.i AND civ.ki >= b.i
+           |  GROUP BY b.i, civ.ji),
+           |cft AS (SELECT i, max(minr) AS fit FROM cmm GROUP BY i)
+           |SELECT cidx.bucket, cidx.lo, cidx.hi,
+           |  CAST(cidx.n AS BIGINT) AS n, CAST(cidx.pos AS BIGINT) AS pos,
+           |  CAST(1000 * cidx.pos // cidx.n AS BIGINT) AS rate_permille,
+           |  CAST(floor(fit * CAST(1000 AS DOUBLE)) AS BIGINT) AS fitted_permille
+           |FROM cidx JOIN cft USING (i) ORDER BY cidx.bucket""".stripMargin,
 
       "x_classifier_persisted" ->
         // scoring replays FROM the persisted weight table — the serve

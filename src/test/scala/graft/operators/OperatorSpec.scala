@@ -88,6 +88,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(("g1", "g2"))._4 > 0L)
   }
 
+  test("isotonicCalibrate: adjacent violators pool, fit is monotone") {
+    // bucket rates 1.0, 0.0, 0.5 — PAVA pools all three to 3/6 = 0.5
+    val fix = Seq((0L, 1L), (0L, 1L), (1L, 0L), (1L, 0L), (2L, 1L), (2L, 0L))
+      .toDF("score", "y")
+    val got = Calibration.isotonicCalibrate(fix, "score", "y", 3)
+      .orderBy("bucket")
+      .select("bucket", "n", "pos", "rate_permille", "fitted_permille")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 2L, 2L, 1000L, 500L),
+      (1L, 2L, 0L, 0L, 500L),
+      (2L, 2L, 1L, 500L, 500L)))
+  }
+
+  test("isotonicCalibrate: already-monotone rates pass through; fit never decreases") {
+    val fix = Seq((0L, 0L), (0L, 0L), (5L, 0L), (5L, 1L), (9L, 1L), (9L, 1L))
+      .toDF("score", "y")
+    val got = Calibration.isotonicCalibrate(fix, "score", "y", 5)
+      .orderBy("bucket")
+      .select("rate_permille", "fitted_permille")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) === got.map(_._2)) // monotone input: fit == raw
+    assert(got.map(_._2) === got.map(_._2).sorted)
+  }
+
   test("bitextMine: mutual neighbors only, hand-computed integer margins") {
     // src s0=(.5,0) s2=(0,.5); tgt t1=(.4,0) t3=(0,.4) t5=(.1,.1).
     // On the floor(x·1e6) lattice: d(s0,t1)=d(s2,t3)=2e11,
