@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{HostedTables, Tables}
 import graft.core.{Chunker, ServiceName, WriteMode}
-import graft.operators.{Calibration, Cdc, Curation, Dedup, Embeddings, GraphOps, HtmlText, Multimodal, Profiling, Scale, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Calibration, Cdc, Curation, Dedup, Embeddings, GraphOps, HtmlText, Multimodal, Profiling, Regression, Scale, Similarity, Sketches, TextAnalysis}
 import graft.sinks.HostedStore
 import graft.streaming.EventStreams
 
@@ -4003,6 +4003,21 @@ object QueryCatalog {
         .orderBy("bucket")
     }),
 
+    "x_quality_regress" -> ((s, dir) => {
+      // LENGTH-BIAS AUDIT of the quality classifier: per-domain OLS of
+      // NB margin score against doc length (tokens) by the normal
+      // equations — one sufficient-statistics pass, exact Cramer solve
+      // in DECIMAL(38,0). A large |slope| with high R² means the gate
+      // is pricing length, not quality, in that domain.
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.nbQualityScore(docs,
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      Regression.groupedLinearFit(scored, "source", "n_tokens", "score")
+        .orderBy("source")
+    }),
+
     "x_classifier_persisted" -> ((s, dir) => {
       // The model-registry lifecycle for the quality gate: train the
       // NB token-weight table ONCE, persist it as parquet, reload, and
@@ -7596,6 +7611,37 @@ object QueryCatalog {
            |  CAST(1000 * cidx.pos // cidx.n AS BIGINT) AS rate_permille,
            |  CAST(floor(fit * CAST(1000 AS DOUBLE)) AS BIGINT) AS fitted_permille
            |FROM cidx JOIN cft USING (i) ORDER BY cidx.bucket""".stripMargin,
+
+      "x_quality_regress" ->
+        // same NB chain; sufficient statistics in HUGEINT, Cramer
+        // quotients via the exact-divisible identity (N − N % det) //
+        // det — truncated-remainder % matches Spark, and // on an
+        // exactly-divisible numerator equals truncation for either sign
+        s"""WITH ${nbCtes()},
+           |rl AS (SELECT s.doc_id, CAST(s.n_tokens AS HUGEINT) AS x,
+           |    CAST(s.score AS HUGEINT) AS y, d.source
+           |  FROM nbscore s JOIN documents d USING (doc_id)),
+           |rs AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+           |  FROM rl GROUP BY source),
+           |rc AS (SELECT source, n,
+           |    n * sxx - sx * sx AS det,
+           |    n * sxy - sx * sy AS covn,
+           |    n * syy - sy * sy AS vary,
+           |    sxx * sy - sx * sxy AS icn
+           |  FROM rs)
+           |SELECT source, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN det > 0 THEN CAST(
+           |    (1000000 * covn - (1000000 * covn) % det) // det AS BIGINT)
+           |  END AS slope_ppm,
+           |  CASE WHEN det > 0 THEN CAST(
+           |    (1000000 * icn - (1000000 * icn) % det) // det AS BIGINT)
+           |  END AS intercept_ppm,
+           |  CASE WHEN det > 0 AND vary > 0 THEN CAST(
+           |    (1000 * covn * covn - (1000 * covn * covn) % (det * vary))
+           |      // (det * vary) AS BIGINT)
+           |  END AS r2_permille
+           |FROM rc ORDER BY source""".stripMargin,
 
       "x_classifier_persisted" ->
         // scoring replays FROM the persisted weight table — the serve

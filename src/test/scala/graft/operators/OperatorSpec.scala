@@ -88,6 +88,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(("g1", "g2"))._4 > 0L)
   }
 
+  test("groupedLinearFit: hand-computed OLS, null guards, trunc-toward-zero") {
+    val fix = Seq(
+      ("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L),   // exact slope 2
+      ("b", 0L, 1L), ("b", 1L, 1L), ("b", 2L, 1L),   // flat y: r2 null
+      ("c", 1L, 5L), ("c", 1L, 7L),                  // zero x-var: all null
+      // det=11, covn=-3: slope -3e6/11 = -272727.27 → TRUNCATES to
+      // -272727 (floor would give -272728); r2 = 9000/33 = 272
+      ("d", 0L, 1L), ("d", 0L, 0L), ("d", 1L, 0L), ("d", 2L, 0L)
+    ).toDF("g", "x", "y")
+    val got = Regression.groupedLinearFit(fix, "g", "x", "y")
+      .orderBy("g")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got === Seq(
+      ("a", 3L, Some(2000000L), Some(0L), Some(1000L)),
+      ("b", 3L, Some(0L), Some(1000000L), None),
+      ("c", 2L, None, None, None),
+      ("d", 4L, Some(-272727L), Some(454545L), Some(272L))))
+  }
+
   test("isotonicCalibrate: adjacent violators pool, fit is monotone") {
     // bucket rates 1.0, 0.0, 0.5 — PAVA pools all three to 3/6 = 0.5
     val fix = Seq((0L, 1L), (0L, 1L), (1L, 0L), (1L, 0L), (2L, 1L), (2L, 0L))
