@@ -95,6 +95,70 @@ object Embeddings {
       .agg(count(lit(1)).as("n_vecs"),
         sum(floor(col("x").cast("double") * scale).cast("long")).as("sum_scaled"))
 
+  /** Dominant covariance direction of the embedding corpus by power
+    * iteration on the fix-point lattice, reported as per-label
+    * projection mass — the drift/anisotropy diagnostic behind
+    * "all-but-the-top" postprocessing (Mu & Viswanath, ICLR 2018) and
+    * embedding-health dashboards: one overwhelming direction shared by
+    * every label means the space is collapsing; strongly label-split
+    * projection sums mean the top PC encodes the class.
+    *
+    * Exactness: vectors quantize to `floor(x·10⁶)`; ONE corpus pass
+    * aggregates the flattened `[q⊗q ++ q ++ [1]]` statistics array
+    * (map-side partial aggregation — the shuffle carries d²+d+1 partial
+    * sums per partition, never vectors; sums in DECIMAL(38,0), no
+    * wrap). The scaled covariance `M = n·Σqqᵀ − (Σq)(Σq)ᵀ` (same
+    * eigenvectors as the covariance, integer-exact) is model-sized
+    * (d², KB-bounded collect), and `iters` rounds of
+    * `v ← trunc((M·v)·10⁶ / max|M·v|)` run in BigInt on the driver —
+    * every iterate is an exact integer, so the direction and every
+    * projection replay bit-for-bit cross-engine (the oracle unrolls
+    * the same iterations as CTEs in HUGEINT). The final scoring pass
+    * broadcasts the direction as a literal into a codegen'd dot.
+    *
+    * Output: one row per label — (label, n_vecs, sum_proj,
+    * sum_abs_proj), projections on the `floor(x·10⁶)` × `10⁶`-scaled
+    * direction lattice.
+    */
+  def dominantDirectionReport(df: DataFrame, vecCol: String,
+                              labelCol: String, iters: Int = 12): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    import org.apache.spark.sql.types.DecimalType
+    val qcol = transform(col(vecCol), x => floor(x * lit(1000000.0)).cast("double"))
+    val dim = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "dominantDirectionReport: no non-null vectors"))
+    val statArr = concat(
+      flatten(transform(qcol, x => transform(qcol, y => x * y))),
+      qcol, array(lit(1.0)))
+    val sums = df.select(posexplode(statArr).as(Seq("k", "v")))
+      .groupBy("k").agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
+    val n = sums(dim * dim + dim)
+    require(n > 0, "dominantDirectionReport: empty corpus")
+    val cs = Array.tabulate(dim)(i => sums(dim * dim + i))
+    val m = Array.tabulate(dim, dim)((i, j) => n * sums(i * dim + j) - cs(i) * cs(j))
+    val scale = BigInt(1000000L)
+    var v = Array.fill(dim)(BigInt(1))
+    for (_ <- 0 until iters) {
+      val raw = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val mx = raw.map(_.abs).max
+      require(mx > 0, "dominantDirectionReport: zero covariance matrix")
+      v = raw.map(r => (r * scale) / mx) // BigInt /: truncation toward zero
+    }
+    val vlit = array(v.map(x => lit(x.toDouble)): _*)
+    df.select(col(labelCol).as("label"),
+        vec_dot(qcol, vlit).cast("long").as("p"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("p").as("sum_proj"),
+        sum(abs(col("p"))).as("sum_abs_proj"))
+  }
+
   /** Symmetric int8 quantization per vector: `q_i = round(x_i / s · 127)`
     * with `s = max|x_i|` over the FINITE elements, emitted as (`qvec`
     * tinyint array, `qscale`) — a 4× memory cut for ANN candidate storage

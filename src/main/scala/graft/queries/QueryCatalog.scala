@@ -446,6 +446,47 @@ object QueryCatalog {
     * margins (`//` ≡ Spark's `div` on non-negative counts);
     * sum(BIGINT) is HUGEINT in DuckDB → cast back to BIGINT.
     */
+  /** Power-iteration PCA oracle: replays Embeddings.dominantDirectionReport
+    * to the bit — quantized HUGEINT Gram + column sums in one pass over
+    * the 64-dim fixture, scaled covariance M = n·G − ssᵀ, then the SAME
+    * 12 iterations of v ← trunc((M·v)·10⁶ / max|M·v|) unrolled as CTE
+    * pairs (matvec, then the exact-divisible truncation identity — `%`
+    * is truncated-remainder in both engines, and `//` of an exactly
+    * divisible numerator equals truncation for either sign).
+    */
+  private lazy val pcaOracle: String = {
+    val iters = (1 to 12).map { k =>
+      val prev = if (k == 1) "pcav0" else s"pcav${k - 1}"
+      // MATERIALIZED: pcav_k reads pcaw_k twice (values + max-abs) —
+      // inlined, the chain re-expands 2^k times and never finishes
+      s"""pcaw$k AS MATERIALIZED (SELECT m.i, sum(m.val * v.val) AS raw
+         |  FROM pcam m JOIN $prev v ON v.i = m.j GROUP BY m.i),
+         |pcav$k AS MATERIALIZED (SELECT i,
+         |    (raw * 1000000 - (raw * 1000000) % mx) // mx AS val
+         |  FROM pcaw$k, (SELECT max(abs(raw)) AS mx FROM pcaw$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pcaq AS MATERIALIZED (SELECT vec_id, label,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS HUGEINT)
+       |     for x in embedding] AS q
+       |  FROM embeddings),
+       |pcan AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM pcaq),
+       |pcag AS (SELECT i, j, sum(q[i] * q[j]) AS g
+       |  FROM pcaq, range(1, 65) r1(i), range(1, 65) r2(j) GROUP BY i, j),
+       |pcas AS (SELECT i, sum(q[i]) AS s
+       |  FROM pcaq, range(1, 65) r(i) GROUP BY i),
+       |pcam AS (SELECT g.i, g.j,
+       |    (SELECT n FROM pcan) * g.g - si.s * sj.s AS val
+       |  FROM pcag g JOIN pcas si ON si.i = g.i JOIN pcas sj ON sj.i = g.j),
+       |pcav0 AS (SELECT i, CAST(1 AS HUGEINT) AS val FROM range(1, 65) r(i)),
+       |$iters,
+       |pcap AS (SELECT vec_id, label, sum(q[v.i] * v.val) AS p
+       |  FROM pcaq, pcav12 v GROUP BY vec_id, label)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(p) AS BIGINT) AS sum_proj,
+       |  CAST(sum(abs(p)) AS BIGINT) AS sum_abs_proj
+       |FROM pcap GROUP BY label ORDER BY label""".stripMargin
+  }
+
   private def nbCtes(): String =
     """nbtoks AS (SELECT doc_id, source,
       |         unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -3525,6 +3566,16 @@ object QueryCatalog {
       Embeddings.poolSums(t(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("pos"), col("n_vecs"), col("sum_scaled").as("sum_e6"))
         .orderBy("label", "pos")),
+
+    "x_emb_pca" -> ((s, dir) =>
+      // ANISOTROPY / DRIFT DIAGNOSTIC: dominant covariance direction by
+      // fix-point power iteration (one stats pass, BigInt driver solve,
+      // broadcast-literal scoring), reported as per-label projection
+      // mass. Exact to the bit — the oracle unrolls the same 12
+      // iterations in HUGEINT.
+      Embeddings.dominantDirectionReport(t(s, dir, "embeddings"),
+          "embedding", "label")
+        .orderBy("label")),
 
     "x_sim_ivf" -> ((s, dir) => { // oracle: full IVF probe+rerank replay
       val emb = t(s, dir, "embeddings")
@@ -8092,6 +8143,8 @@ object QueryCatalog {
            |  len(regexp_extract_all(text, '$pat')) / len(string_split(text, ' ')) AS bpe_per_ws
            |FROM documents ORDER BY doc_id""".stripMargin
       },
+
+      "x_emb_pca" -> pcaOracle,
 
       "x_emb_pool" ->
         """SELECT label, i - 1 AS pos, count(*) AS n_vecs,

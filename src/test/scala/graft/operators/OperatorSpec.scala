@@ -88,6 +88,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(("g1", "g2"))._4 > 0L)
   }
 
+  test("dominantDirectionReport: collinear fixture recovers the exact direction") {
+    // all vectors on the line y = 2x: covariance M ∝ [[1,2],[2,4]],
+    // power iteration fixes at v = (500000, 1000000). Projections are
+    // exact lattice dots — note float −0.1f quantizes to −100001
+    // (floor of −100000.0015), so label 2's projection is
+    // −100001·5e5 − 200001·1e6 = −250001500000, not a rounded −2.5e11
+    val fix = Seq(
+      (1, Seq(0.1f, 0.2f)), (1, Seq(0.2f, 0.4f)), (2, Seq(-0.1f, -0.2f))
+    ).toDF("label", "embedding")
+    val got = Embeddings.dominantDirectionReport(fix, "embedding", "label")
+      .orderBy("label")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, 2L, 750000000000L, 750000000000L),
+      (2, 1L, -250001500000L, 250001500000L)))
+  }
+
   test("groupedLinearFit: hand-computed OLS, null guards, trunc-toward-zero") {
     val fix = Seq(
       ("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L),   // exact slope 2
