@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,5 +81,49 @@ object Calibration {
       .select(col("bucket"), col("lo"), col("hi"), col("n"), col("pos"),
         expr("CAST(1000 * pos DIV n AS BIGINT)").as("rate_permille"),
         floor(col("fit") * lit(1000.0)).cast("long").as("fitted_permille"))
+  }
+
+  /** Serve a persisted calibration table: map each row's score to the
+    * fitted rate of the bucket with the greatest `lo ≤ score` (the
+    * step-function serve of isotonic regression); scores below the
+    * trained range clamp to the first bucket's fit, above it the last
+    * bucket's `lo` matches. The calibration table is model-sized, so
+    * the inequality join is a broadcast fan-out of ≤ `buckets` rows per
+    * document — bounded, never a data×data product.
+    *
+    * Output: (idCol, score, calibrated_permille). [[stepColumn]] is the
+    * plan-constant (zero-join, streaming-safe) form of the same step
+    * function; the two agree row-for-row.
+    */
+  def applyCalibration(scored: DataFrame, idCol: String, scoreCol: String,
+                       calib: DataFrame): DataFrame = {
+    val first = calib.orderBy("lo").select("fitted_permille").limit(1).collect()
+    require(first.nonEmpty, "applyCalibration: empty calibration table")
+    val firstFit = first(0).getLong(0)
+    val steps = broadcast(calib.select(col("lo"), col("fitted_permille").as("__fit")))
+    scored.select(col(idCol), col(scoreCol).cast("long").as("score"))
+      .join(steps, col("score") >= col("lo"), "left")
+      .groupBy(idCol, "score")
+      // lexicographic max over (lo, fit): lo is unique per bucket, so
+      // this is exactly "fit of the greatest matching lo"; an unmatched
+      // (below-range) row aggregates a single null struct → coalesce
+      .agg(max(struct(col("lo"), col("__fit"))).as("__m"))
+      .select(col(idCol), col("score"),
+        coalesce(col("__m").getField("__fit"), lit(firstFit))
+          .as("calibrated_permille"))
+  }
+
+  /** The calibration step function as a plan-constant Column: a
+    * when-chain over the sorted (lo → fitted_permille) steps — an O(B)
+    * projection with no join and no state, the form a streaming serve
+    * path folds into each arriving row. Agrees with [[applyCalibration]]
+    * on every score, including below-range clamping.
+    */
+  def stepColumn(score: Column, steps: Seq[(Long, Long)]): Column = {
+    require(steps.nonEmpty, "stepColumn: empty calibration steps")
+    val sorted = steps.sortBy(_._1)
+    sorted.foldLeft(lit(sorted.head._2): Column) { case (acc, (lo, fit)) =>
+      when(score >= lit(lo), lit(fit)).otherwise(acc)
+    }
   }
 }

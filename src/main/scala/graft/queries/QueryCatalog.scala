@@ -446,6 +446,33 @@ object QueryCatalog {
     * margins (`//` ≡ Spark's `div` on non-negative counts);
     * sum(BIGINT) is HUGEINT in DuckDB → cast back to BIGINT.
     */
+  /** Persisted-calibration serve oracle — shared verbatim by
+    * x_quality_calibrate_serve (batch join serve) and x_stream_calibrate
+    * (plan-constant streaming fold): both converge to the identical
+    * table, and scoring + calibration replay FROM the staged parquet
+    * artifacts alone (greatest-lo step semantics, below-range clamps to
+    * the first bucket).
+    */
+  private lazy val calibrateServeOracle: String =
+    s"""WITH m AS (SELECT tok, weight
+       |    FROM read_parquet('$calIdxDir/weights/*.parquet')),
+       |ct AS (SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS tok FROM documents),
+       |sc AS (SELECT t.doc_id,
+       |    CAST(sum(coalesce(m.weight, 0)) AS BIGINT) AS score
+       |  FROM ct t LEFT JOIN m ON m.tok = t.tok GROUP BY t.doc_id),
+       |cal AS (SELECT lo, fitted_permille
+       |    FROM read_parquet('$calIdxDir/calib/*.parquet')),
+       |j AS (SELECT s.doc_id, s.score, max(c.lo) AS blo
+       |  FROM sc s LEFT JOIN cal c ON s.score >= c.lo
+       |  GROUP BY s.doc_id, s.score)
+       |SELECT j.doc_id, j.score,
+       |  coalesce(c2.fitted_permille,
+       |    (SELECT fitted_permille FROM cal ORDER BY lo LIMIT 1))
+       |    AS calibrated_permille
+       |FROM j LEFT JOIN cal c2 ON c2.lo = j.blo
+       |ORDER BY j.doc_id""".stripMargin
+
   /** Power-iteration PCA oracle: replays Embeddings.dominantDirectionReport
     * to the bit — quantized HUGEINT Gram + column sums in one pass over
     * the 64-dim fixture, scaled covariance M = n·G − ssᵀ, then the SAME
@@ -731,6 +758,7 @@ object QueryCatalog {
   private val pqIdxDir = "/tmp/graft_pq_idx"
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val nbIdxDir = "/tmp/graft_nb_idx"
+  private val calIdxDir = "/tmp/graft_cal_idx"
   private val unigramIdxDir = "/tmp/graft_unigram_idx"
   private val wordpieceIdxDir = "/tmp/graft_wordpiece_idx"
   private val sq8IdxDir = "/tmp/graft_sq8_idx"
@@ -4052,6 +4080,65 @@ object QueryCatalog {
         .withColumn("y", (col("source") === "src0").cast("long"))
       Calibration.isotonicCalibrate(scored, "score", "y", 24)
         .orderBy("bucket")
+    }),
+
+    "x_quality_calibrate_serve" -> ((s, dir) => {
+      // PERSISTED-CALIBRATION SERVE: both model artifacts (NB token
+      // weights, isotonic calibration table) staged as parquet once,
+      // then every document scored and calibrated FROM the artifacts
+      // alone — the deployment shape of the quality gate. The oracle
+      // replays from the same parquet files.
+      val path = stageIndex(calIdxDir, dir) {
+        val docs = t(s, dir, "documents")
+        val good = docs.filter(col("source") === "src0")
+        val bad = docs.filter(col("source") =!= "src0")
+        TextAnalysis.nbTokenWeights(good, bad, "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/weights")
+        val scored = TextAnalysis.nbQualityScore(docs, good, bad,
+            "doc_id", "text")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .withColumn("y", (col("source") === "src0").cast("long"))
+        Calibration.isotonicCalibrate(scored, "score", "y", 24)
+          .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/calib")
+      }
+      val weights = s.read.parquet(s"$path/weights")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val calib = s.read.parquet(s"$path/calib")
+      val scored = graft.streaming.StreamClassify.score(
+        t(s, dir, "documents"), weights, "doc_id", "text")
+      Calibration.applyCalibration(scored, "doc_id", "score", calib)
+        .orderBy("doc_id")
+    }),
+
+    "x_stream_calibrate" -> ((s, dir) => {
+      // Streaming twin of the calibrated serve: NB fold + the isotonic
+      // step function as plan constants over arriving rows — zero
+      // streaming state, shares x_quality_calibrate_serve's oracle
+      // verbatim (convergence to the identical table IS the gate).
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val path = stageIndex(calIdxDir, dir) {
+        val docs = t(s, dir, "documents")
+        val good = docs.filter(col("source") === "src0")
+        val bad = docs.filter(col("source") =!= "src0")
+        TextAnalysis.nbTokenWeights(good, bad, "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/weights")
+        val scored = TextAnalysis.nbQualityScore(docs, good, bad,
+            "doc_id", "text")
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .withColumn("y", (col("source") === "src0").cast("long"))
+        Calibration.isotonicCalibrate(scored, "score", "y", 24)
+          .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/calib")
+      }
+      val weights = s.read.parquet(s"$path/weights")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val steps = s.read.parquet(s"$path/calib")
+        .select("lo", "fitted_permille")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.StreamCalibrate.runOnce(s, dir, "documents.parquet",
+          schema, weights, steps, "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     "x_quality_regress" -> ((s, dir) => {
@@ -7662,6 +7749,10 @@ object QueryCatalog {
            |  CAST(1000 * cidx.pos // cidx.n AS BIGINT) AS rate_permille,
            |  CAST(floor(fit * CAST(1000 AS DOUBLE)) AS BIGINT) AS fitted_permille
            |FROM cidx JOIN cft USING (i) ORDER BY cidx.bucket""".stripMargin,
+
+      "x_quality_calibrate_serve" -> calibrateServeOracle,
+
+      "x_stream_calibrate" -> calibrateServeOracle,
 
       "x_quality_regress" ->
         // same NB chain; sufficient statistics in HUGEINT, Cramer

@@ -105,6 +105,23 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("calibration serve: join form and plan-constant step agree, below-range clamps") {
+    val calib = Seq((0L, 100L), (10L, 250L), (20L, 900L))
+      .toDF("lo", "fitted_permille")
+    val steps = Seq(0L -> 100L, 10L -> 250L, 20L -> 900L)
+    val scored = Seq((1L, -5L), (2L, 0L), (3L, 9L), (4L, 10L), (5L, 19L),
+      (6L, 20L), (7L, 99L)).toDF("id", "score")
+    val joined = Calibration.applyCalibration(scored, "id", "score", calib)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val expected = Seq((1L, -5L, 100L), (2L, 0L, 100L), (3L, 9L, 100L),
+      (4L, 10L, 250L), (5L, 19L, 250L), (6L, 20L, 900L), (7L, 99L, 900L))
+    assert(joined === expected)
+    val stepped = scored.select(col("id"), col("score"),
+        Calibration.stepColumn(col("score"), steps).as("c"))
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(stepped === expected)
+  }
+
   test("groupedLinearFit: hand-computed OLS, null guards, trunc-toward-zero") {
     val fix = Seq(
       ("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L),   // exact slope 2
