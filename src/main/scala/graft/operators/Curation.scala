@@ -645,6 +645,70 @@ object Curation {
       .withColumn("sft_md5", md5(col("sft_text")))
   }
 
+  /** T5-style span corruption (Raffel et al., JMLR 2020 §3.1.4): turn
+    * each document into a denoising training pair — mask ~`maskPermille`
+    * of whitespace tokens, collapse each RUN of masked tokens to one
+    * sentinel in the input, and emit the masked runs (prefixed by their
+    * sentinel) as the target. The objective-data op every
+    * encoder-decoder / UL2 pretraining pipeline runs over the whole
+    * corpus.
+    *
+    * Masking is a deterministic integer hash of (doc, position) — the
+    * shuffle-shards convention, no RNG state — so the pairs are a pure
+    * function of the corpus and hash-verify cross-engine:
+    * `masked(i) ⇔ (((doc_id % 1000003)·31 + i) % 1000003)·2654435761
+    * % 1000000007 % 1000 < maskPermille` (every intermediate ≤ ~2.7·10¹⁵,
+    * exact in BIGINT everywhere).
+    *
+    * Shape: posexplode → two per-doc windows (lag for run starts, a
+    * running sum for sentinel numbering) → ordered reassembly via the
+    * sorted-struct collect. Everything is keyed by document — per-doc
+    * sort + bounded collect_list, never a global window; one shuffle of
+    * (doc, pos, token) rows.
+    *
+    * Output: (idCol, n_tokens, n_masked, n_spans, input_text,
+    * target_text) — e.g. "a <extra_id_0> d" / "<extra_id_0> b c".
+    */
+  def spanCorruptionPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maskPermille: Int = 150): DataFrame = {
+    require(maskPermille >= 0 && maskPermille <= 1000,
+      s"spanCorruptionPairs: maskPermille must be in [0,1000], got $maskPermille")
+    val e = docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("m",
+        expr(s"((($idCol % 1000003L) * 31L + pos) % 1000003L) * 2654435761L" +
+          s" % 1000000007L % 1000L < ${maskPermille}L"))
+    val w = Window.partitionBy(col(idCol)).orderBy("pos")
+    val spans = e
+      .withColumn("start", col("m") &&
+        !coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("k",
+        sum(col("start").cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+    val pieces = spans
+      .withColumn("in_piece",
+        when(!col("m"), col("tok"))
+          .when(col("start"), sentinel))           // null for span tails
+      .withColumn("tgt_piece",
+        when(col("m") && col("start"), concat(sentinel, lit(" "), col("tok")))
+          .when(col("m"), col("tok")))             // null for kept tokens
+    // collect_list skips the null structs of non-contributing rows
+    def joined(piece: String): Column =
+      array_join(
+        transform(
+          array_sort(collect_list(when(col(piece).isNotNull,
+            struct(col("pos"), col(piece).as("p"))))),
+          s => s.getField("p")),
+        " ")
+    pieces.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("m").cast("long")).as("n_masked"),
+        sum(col("start").cast("long")).as("n_spans"),
+        joined("in_piece").as("input_text"),
+        joined("tgt_piece").as("target_text"))
+  }
+
   def scrubPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol,
       regexp_replace(

@@ -2750,6 +2750,14 @@ object QueryCatalog {
           col("loss_turn"))
         .orderBy("conv_id", "turn_idx")),
 
+    "x_sft_span_corrupt" -> ((s, dir) =>
+      // T5-style SPAN CORRUPTION pairs: deterministic hash-masked token
+      // runs collapse to sentinels in the input; the masked runs become
+      // the target — the denoising-objective data prep, exact to the
+      // string (no RNG state, pure function of the corpus).
+      Curation.spanCorruptionPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "x_pref_pairs" -> ((s, dir) =>
       // DPO/RLHF preference-pair assembly — the post-training sibling
       // of x_sft_format: per prompt group (source), the best-scored
@@ -6034,6 +6042,38 @@ object QueryCatalog {
           |  toks AS turn_tokens, tok_end - toks AS tok_start, tok_end,
           |  (rn % 2 = 0) AS loss_turn
           |FROM run ORDER BY conv_id, turn_idx""".stripMargin,
+
+      "x_sft_span_corrupt" ->
+        // same (doc, pos) hash mask, lag-run starts, running sentinel
+        // numbering, ordered reassembly; empty aggregates coalesce to ''
+        // to match array_join over an empty array
+        """WITH sctoks AS (SELECT doc_id, i - 1 AS pos,
+          |    string_split(text, ' ')[i] AS tok
+          |  FROM documents,
+          |    unnest(range(1, len(string_split(text, ' ')) + 1)) t(i)),
+          |scmk AS (SELECT doc_id, pos, tok,
+          |    ((((doc_id % 1000003) * 31 + pos) % 1000003) * 2654435761)
+          |      % 1000000007 % 1000 < 150 AS m
+          |  FROM sctoks),
+          |scst AS (SELECT *, m AND NOT coalesce(
+          |    lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false) AS start
+          |  FROM scmk),
+          |scks AS (SELECT *, CAST(sum(CASE WHEN start THEN 1 ELSE 0 END)
+          |    OVER (PARTITION BY doc_id ORDER BY pos
+          |          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS k
+          |  FROM scst),
+          |scpc AS (SELECT doc_id, pos, m, start,
+          |    CASE WHEN NOT m THEN tok
+          |         WHEN start THEN '<extra_id_' || k || '>' END AS in_piece,
+          |    CASE WHEN m AND start THEN '<extra_id_' || k || '> ' || tok
+          |         WHEN m THEN tok END AS tgt_piece
+          |  FROM scks)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+          |  CAST(sum(CASE WHEN start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+          |  coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+          |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text
+          |FROM scpc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "x_contrastive_triplets" ->
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))},

@@ -105,6 +105,36 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("spanCorruptionPairs: sentinel interleave reconstructs the original text") {
+    val sub = docs.filter(col("doc_id") < 30).select("doc_id", "text")
+    val orig = sub.as[(Long, String)].collect().toMap
+    val pairs = Curation.spanCorruptionPairs(sub, "doc_id", "text").collect()
+    assert(pairs.length === orig.size)
+    var sawMask = false
+    pairs.foreach { r =>
+      val (id, nTok, nMasked, nSpans) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (input, target) = (r.getString(4), r.getString(5))
+      if (nMasked > 0) sawMask = true
+      val spans: Map[Int, Array[String]] =
+        if (target.isEmpty) Map.empty
+        else target.split("<extra_id_").filter(_.nonEmpty).map { part =>
+          val Array(k, rest) = part.split(">", 2)
+          k.toInt -> rest.trim.split(" ").filter(_.nonEmpty)
+        }.toMap
+      assert(spans.size.toLong === nSpans, s"doc $id span count")
+      assert(spans.values.map(_.length.toLong).sum === nMasked, s"doc $id mask count")
+      val rebuilt = input.split(" ").flatMap { tok =>
+        if (tok.startsWith("<extra_id_"))
+          spans(tok.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Array(tok)
+      }.mkString(" ")
+      assert(rebuilt === orig(id), s"doc $id roundtrip")
+      assert(rebuilt.split(" ").length.toLong === nTok, s"doc $id token count")
+    }
+    assert(sawMask, "fixture produced no masked spans — test is vacuous")
+  }
+
   test("calibration serve: join form and plan-constant step agree, below-range clamps") {
     val calib = Seq((0L, 100L), (10L, 250L), (20L, 900L))
       .toDF("lo", "fitted_permille")
