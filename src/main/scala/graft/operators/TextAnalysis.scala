@@ -424,7 +424,28 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, queries: DataFrame,
                idCol: String, textCol: String,
                qidCol: String, qtextCol: String, k: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Rank(docs, idCol, textCol,
+      bm25QueryTerms(queries, qidCol, qtextCol), k, k1, b)
+
+  /** The distinct (qid, tok) term frame of a (qid, qtext) query table —
+    * the shared front of [[bm25TopK]] and [[bm25Prf]].
+    */
+  private def bm25QueryTerms(queries: DataFrame, qidCol: String,
+                             qtextCol: String): DataFrame =
+    queries.select(col(qidCol).as("qid"),
+        explode(split(col(qtextCol), " ")).as("tok"))
+      .distinct()
+
+  /** BM25 ranking against an explicit (qid, tok) term frame — the core
+    * both public entry points share. Each call derives the corpus
+    * statistics (tf/df/dl/avgdl) afresh; a two-pass caller like
+    * [[bm25Prf]] pays that twice, which is the price of keeping every
+    * pass a self-contained one-shot plan.
+    */
+  private def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+                       qTerms: DataFrame, k: Int,
+                       k1: Double, b: Double): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(split(col(textCol), " ")).as("tok"))
     val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
@@ -438,9 +459,6 @@ object TextAnalysis {
     val nDocs = probe.getLong(0)
     require(nDocs > 0, "bm25TopK needs a non-empty corpus")
     val avgdl = probe.getLong(1).toDouble / nDocs.toDouble
-    val qTerms = queries.select(col(qidCol).as("qid"),
-        explode(split(col(qtextCol), " ")).as("tok"))
-      .distinct()
     // per-(query, doc, term) BM25 contribution — parenthesization is the
     // cross-engine contract, mirrored exactly in the oracle SQL
     val term =
@@ -459,6 +477,44 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "rank")
+  }
+
+  /** Pseudo-relevance-feedback retrieval (RM3-lite, Lavrenko & Croft's
+    * relevance models by way of Jaleel et al.'s RM3): run BM25, treat
+    * the top `fbDocs` documents per query as relevant, mine the
+    * `fbTerms` most frequent NEW terms from them (original query terms
+    * anti-joined away — expansion must expand), append them to the
+    * query term set, and re-run BM25. The classic recall-boosting
+    * second pass every lexical retrieval stack ships.
+    *
+    * Determinism: expansion-term selection is integer counts with
+    * term-alphabetical tie-break; both BM25 passes are the ordered
+    * float fold of [[bm25TopK]] — the whole two-pass composite
+    * hash-verifies cross-engine.
+    *
+    * Scale shape: both passes are broadcast-query-term plans; the
+    * feedback mining joins the (k·|queries|)-row feedback set to the
+    * token table on doc id and ranks per query — bounded by feedback
+    * size, never corpus².
+    */
+  def bm25Prf(docs: DataFrame, queries: DataFrame,
+              idCol: String, textCol: String,
+              qidCol: String, qtextCol: String, k: Int = 10,
+              fbDocs: Int = 5, fbTerms: Int = 10,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1,
+      s"bm25Prf: fbDocs/fbTerms must be >= 1, got $fbDocs/$fbTerms")
+    val qorig = bm25QueryTerms(queries, qidCol, qtextCol)
+    val fb = bm25Rank(docs, idCol, textCol, qorig, fbDocs, k1, b)
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val fcnt = fb.select("qid", "id").join(toks, Seq("id"))
+      .join(qorig, Seq("qid", "tok"), "left_anti")
+      .groupBy("qid", "tok").agg(count(lit(1)).as("c"))
+    val wq = Window.partitionBy("qid").orderBy(col("c").desc, col("tok"))
+    val fsel = fcnt.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= fbTerms).select("qid", "tok")
+    bm25Rank(docs, idCol, textCol, qorig.union(fsel), k, k1, b)
   }
 
   /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.'s

@@ -538,33 +538,48 @@ object QueryCatalog {
     * (list_reduce ≡ aggregate(sort_array, 0.0, +); 0.0 + x is exact for
     * x > 0).
     */
-  private def bm25Ctes(k: Int, k1: Double = 1.2, b: Double = 0.75): String =
-    s"""btoks AS (SELECT doc_id AS id,
-       |         unnest(string_split(text, ' ')) AS tok FROM documents),
-       |btf AS (SELECT id, tok, count(*) AS tf FROM btoks GROUP BY 1, 2),
-       |bdf AS (SELECT tok, count(*) AS df FROM
-       |         (SELECT DISTINCT id, tok FROM btoks) GROUP BY tok),
-       |bdl AS (SELECT id, count(*) AS dl FROM btoks GROUP BY id),
-       |bst AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-       |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
-       |           / CAST(count(*) AS DOUBLE) AS avgdl
-       |       FROM documents),
-       |bq AS (SELECT DISTINCT doc_id AS qid,
-       |        unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
-       |      FROM documents WHERE doc_id < 3),
-       |bcontrib AS (SELECT bq.qid, btf.id, bq.tok,
+  /** The corpus-statistics half of the BM25 oracle (tf/df/dl/avgdl) plus
+    * the default prefix-query term set `bq`.
+    */
+  private def bm25CorpusCtes: String =
+    """btoks AS (SELECT doc_id AS id,
+      |         unnest(string_split(text, ' ')) AS tok FROM documents),
+      |btf AS (SELECT id, tok, count(*) AS tf FROM btoks GROUP BY 1, 2),
+      |bdf AS (SELECT tok, count(*) AS df FROM
+      |         (SELECT DISTINCT id, tok FROM btoks) GROUP BY tok),
+      |bdl AS (SELECT id, count(*) AS dl FROM btoks GROUP BY id),
+      |bst AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+      |           / CAST(count(*) AS DOUBLE) AS avgdl
+      |       FROM documents),
+      |bq AS (SELECT DISTINCT doc_id AS qid,
+      |        unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+      |      FROM documents WHERE doc_id < 3)""".stripMargin
+
+  /** One BM25 scoring chain against a (qid, tok) query CTE, ending in
+    * `<lexName>(qid, id, rank ≤ k)` — reused for the plain ranking and
+    * for each pass of the PRF composite.
+    */
+  private def bm25Chain(queryCte: String, contribName: String,
+                        scoredName: String, lexName: String, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): String =
+    s"""$contribName AS (SELECT q.qid, btf.id, q.tok,
        |    ((bst.n - bdf.df + 0.5) / (bdf.df + 0.5))
        |      * (btf.tf * ${k1 + 1.0})
        |      / (btf.tf + $k1 * (${1.0 - b} + $b * (bdl.dl / bst.avgdl))) AS t
-       |  FROM bq JOIN btf ON btf.tok = bq.tok JOIN bdf ON bdf.tok = bq.tok
+       |  FROM $queryCte q JOIN btf ON btf.tok = q.tok JOIN bdf ON bdf.tok = q.tok
        |  JOIN bdl ON bdl.id = btf.id, bst),
-       |bscored AS (SELECT qid, id,
+       |$scoredName AS (SELECT qid, id,
        |    list_reduce(list(t ORDER BY tok), (a, x) -> a + x) AS score
-       |  FROM bcontrib GROUP BY qid, id),
-       |lex AS (SELECT qid, id, rank FROM
+       |  FROM $contribName GROUP BY qid, id),
+       |$lexName AS (SELECT qid, id, rank FROM
        |        (SELECT qid, id,
        |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
-       |         FROM bscored) WHERE rank <= $k)""".stripMargin
+       |         FROM $scoredName) WHERE rank <= $k)""".stripMargin
+
+  private def bm25Ctes(k: Int, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""$bm25CorpusCtes,
+       |${bm25Chain("bq", "bcontrib", "bscored", "lex", k, k1, b)}""".stripMargin
 
   // ------------------------------------------------- reference surface
 
@@ -4193,6 +4208,19 @@ object QueryCatalog {
         .select(col("doc_id").as("qid"),
           array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
       TextAnalysis.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_retrieval_prf" -> ((s, dir) => {
+      // PSEUDO-RELEVANCE FEEDBACK (RM3-lite): BM25 top-5 per query →
+      // mine the 10 most frequent NEW terms from the feedback docs →
+      // expand → re-run BM25. Same prefix queries as x_text_bm25, so
+      // the rank drift between the two entries IS the feedback effect.
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      TextAnalysis.bm25Prf(docs, qs, "doc_id", "text", "qid", "qtext", 10)
         .orderBy("qid", "rank")
     }),
 
@@ -7848,6 +7876,26 @@ object QueryCatalog {
         s"""WITH ${bm25Ctes(10)}
            |SELECT qid, id, CAST(rank AS INTEGER) AS rank
            |FROM lex ORDER BY qid, rank""".stripMargin,
+
+      "x_retrieval_prf" ->
+        // feedback pass (k=5) shares the corpus CTEs; expansion terms =
+        // top-10 new terms by count (alphabetical tie-break), anti-joined
+        // against the original query terms; second chain re-ranks
+        s"""WITH $bm25CorpusCtes,
+           |${bm25Chain("bq", "bcontrib", "bscored", "lex", 5)},
+           |pft AS (SELECT f.qid, bt.tok
+           |  FROM lex f JOIN btoks bt ON bt.id = f.id),
+           |pfc AS (SELECT t.qid, t.tok, count(*) AS c
+           |  FROM pft t LEFT JOIN bq qo ON qo.qid = t.qid AND qo.tok = t.tok
+           |  WHERE qo.tok IS NULL GROUP BY t.qid, t.tok),
+           |pfs AS (SELECT qid, tok FROM (SELECT qid, tok,
+           |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, tok) AS rk
+           |  FROM pfc) WHERE rk <= 10),
+           |pq AS (SELECT qid, tok FROM bq
+           |       UNION ALL SELECT qid, tok FROM pfs),
+           |${bm25Chain("pq", "pcontrib", "pscored", "plex", 10)}
+           |SELECT qid, id, CAST(rank AS INTEGER) AS rank
+           |FROM plex ORDER BY qid, rank""".stripMargin,
 
       "x_hybrid_retrieval" ->
         // RRF = Σ 1/(60+rank): 1.0 must be cast to DOUBLE (a bare 1.0

@@ -105,6 +105,22 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("bm25Prf: feedback terms retrieve docs the original query cannot") {
+    val corpus = Seq((1L, "apple banana"), (2L, "banana banana banana"),
+      (3L, "cherry cherry")).toDF("doc_id", "text")
+    val qs = Seq((0L, "apple")).toDF("qid", "qtext")
+    val plain = TextAnalysis.bm25TopK(corpus, qs, "doc_id", "text",
+        "qid", "qtext", 10)
+      .select("id").as[Long].collect().toSet
+    assert(plain === Set(1L)) // "apple" only matches d1
+    val prf = TextAnalysis.bm25Prf(corpus, qs, "doc_id", "text",
+        "qid", "qtext", 10, fbDocs = 1, fbTerms = 1)
+      .select("id").as[Long].collect().toSet
+    // feedback doc d1 contributes "banana" (the original term is
+    // anti-joined away), and the expanded query now reaches d2
+    assert(prf === Set(1L, 2L))
+  }
+
   test("spanCorruptionPairs: sentinel interleave reconstructs the original text") {
     val sub = docs.filter(col("doc_id") < 30).select("doc_id", "text")
     val orig = sub.as[(Long, String)].collect().toMap
