@@ -746,6 +746,71 @@ object BenchSf1 {
           Seq("o_custkey", "o_orderkey"),
           Seq(("o_custkey", 100L, 199L), ("o_orderkey", 10000L, 19999L)),
           fileLabel = col("zb").cast("long")).count()
+      }),
+      // per-domain tokenizer fertility: vocab fixed (trained on the base
+      // corpus), corpus grows — segmentation + rollup must price linear
+      "tokenizer_domains" -> ((dir, _) => {
+        val vocab = graft.operators.TextAnalysis
+          .bpePairCounts(docs(spark, sf01), "text", 50)
+          .collect().map(_.getString(0)).toSeq
+        val d = docs(spark, dir)
+        graft.operators.TextAnalysis
+          .subwordTokenCounts(d, "doc_id", "text", vocab)
+          .join(d.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(sum("n_words").as("w"), sum("n_subwords").as("s"))
+          .count()
+      }),
+      // bitext mining: the mining BATCH is fixed (broadcast src side),
+      // the target corpus grows — scoring is one linear scan of tgt;
+      // both rank windows carry only (sid, tid, d)
+      "bitext_mine" -> ((dir, _) =>
+        Similarity.bitextMine(
+          emb(spark, sf01).filter(col("vec_id") % 2 === 0),
+          emb(spark, dir).filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", 8).count()),
+      // isotonic calibration: NB scoring pass + ONE bucket aggregation;
+      // the PAVA fit runs on the model-sized bucket table at any scale
+      "quality_calibrate" -> ((dir, _) => {
+        val d = docs(spark, dir)
+        val scored = graft.operators.TextAnalysis.nbQualityScore(d,
+            d.filter(col("source") === "src0"),
+            d.filter(col("source") =!= "src0"), "doc_id", "text")
+          .join(d.select("doc_id", "source"), Seq("doc_id"))
+          .withColumn("y", (col("source") === "src0").cast("long"))
+        graft.operators.Calibration
+          .isotonicCalibrate(scored, "score", "y", 24).count()
+      }),
+      // normal-equations OLS: sufficient statistics are one hash agg;
+      // the Cramer solve is per-group constant work
+      "quality_regress" -> ((dir, _) => {
+        val d = docs(spark, dir)
+        val scored = graft.operators.TextAnalysis.nbQualityScore(d,
+            d.filter(col("source") === "src0"),
+            d.filter(col("source") =!= "src0"), "doc_id", "text")
+          .join(d.select("doc_id", "source"), Seq("doc_id"))
+        graft.operators.Regression
+          .groupedLinearFit(scored, "source", "n_tokens", "score").count()
+      }),
+      // power-iteration PCA: the d²+d+1 statistics array partial-aggs
+      // map-side; the iteration is driver-constant, scoring one scan
+      "emb_pca" -> ((dir, _) =>
+        graft.operators.Embeddings.dominantDirectionReport(
+          emb(spark, dir), "embedding", "label").count()),
+      // span corruption: per-doc windows + bounded collect — linear
+      "span_corrupt" -> ((dir, _) =>
+        graft.operators.Curation.spanCorruptionPairs(
+          docs(spark, dir), "doc_id", "text")
+          .agg(sum("n_masked"), max(length(col("input_text")))).count()),
+      // PRF: fixed query set, both BM25 passes scan the grown corpus
+      // once each — must price as ~2 linear passes
+      "retrieval_prf" -> ((dir, _) => {
+        val d = docs(spark, dir)
+        val qs = d.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("qid"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+        graft.operators.TextAnalysis.bm25Prf(d, qs, "doc_id", "text",
+          "qid", "qtext", 10).count()
       }))
 
     def releaseSessionState(): Unit = {
