@@ -454,6 +454,63 @@ object Dedup {
     bandKeysFromSignatures(
       signaturesFromShingles(sh, idCol, numHashes, base), idCol, numHashes, bands)
 
+  /** Dedup-serve from a PERSISTED signature registry: flag near-dups of
+    * an arriving batch against a corpus whose minhash signatures were
+    * computed once and stored — the corpus TEXT is never re-read. This
+    * is the artifact story the ANN indexes and tokenizer models already
+    * have, applied to the dedup pillar: at 100 TB the signature table is
+    * ~1 KB/doc of fixed-width longs, and a daily ingest touches only it.
+    *
+    * `corpusSig` is a (idCol, sig) frame as produced by
+    * [[signaturesFromShingles]] (typically `spark.read.parquet` of the
+    * registry). Plan shape: the batch is
+    * signed once (bounded, checkpointed); its band keys broadcast as a
+    * semi-join filter over the corpus band keys — ONE scan of the
+    * registry, no corpus-side shuffle before the filter; surviving
+    * buckets are capped (`maxBucketSize`) on the corpus side; candidates
+    * verify by SIGNATURE AGREEMENT (`n_agree / numHashes` estimates
+    * Jaccard, std ≈ √(J(1−J)/numHashes)) — two fixed-width arrays per
+    * candidate, no shingle re-join. `threshold` becomes the integer gate
+    * `n_agree ≥ ⌈threshold·numHashes⌉`, so the whole serve is
+    * oracle-hashable under the md5 base.
+    *
+    * Output: (idCol = batch doc, corpus_id, n_agree), one row per
+    * flagged (batch, corpus) near-pair.
+    */
+  def dedupeAgainstSignatures(batch: DataFrame, corpusSig: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.7,
+                              numHashes: Int = 128, bands: Int = 16,
+                              n: Int = 3,
+                              base: Hashers.Base = Hashers.xx64Base,
+                              maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    val minAgree = math.ceil(threshold * numHashes).toLong
+    val bSig = signaturesFromShingles(shingles(batch, idCol, textCol, n),
+      idCol, numHashes, base).localCheckpoint(true)
+    val bKeys = bandKeysFromSignatures(bSig, idCol, numHashes, bands)
+      .select(col(idCol).as("bid"), col("band"), col("key"))
+    val cKeys = bandKeysFromSignatures(corpusSig, idCol, numHashes, bands)
+      .select(col(idCol).as("cid"), col("band"), col("key"))
+    val hitKeys = bKeys.select("band", "key").distinct()
+    val cHit = cKeys.join(broadcast(hitKeys), Seq("band", "key"))
+    val ok = cHit.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= lit(maxBucketSize.getOrElse(Int.MaxValue)))
+      .select("band", "key")
+    val cand = cHit.join(ok, Seq("band", "key"))
+      .join(broadcast(bKeys), Seq("band", "key"))
+      .select("cid", "bid").distinct()
+    cand
+      .join(corpusSig.select(col(idCol).as("cid"), col("sig").as("sc")),
+        Seq("cid"))
+      .join(broadcast(bSig.select(col(idCol).as("bid"), col("sig").as("sb"))),
+        Seq("bid"))
+      .withColumn("n_agree",
+        expr("aggregate(zip_with(sc, sb, (x, y) -> IF(x = y, 1, 0)), 0L, " +
+             "(acc, v) -> acc + v)"))
+      .filter(col("n_agree") >= minAgree)
+      .select(col("bid").as(idCol), col("cid").as("corpus_id"), col("n_agree"))
+  }
+
   /** The raw LSH CANDIDATE pairs — band-bucket co-membership BEFORE any
     * verification — exposed for banding-quality evaluation: scoring this
     * set against the exact-Jaccard truth separates the banding's recall

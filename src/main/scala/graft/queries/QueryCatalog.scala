@@ -341,6 +341,51 @@ object QueryCatalog {
     }.mkString("\n  UNION ALL ")
   }
 
+  /** Persisted-signature dedup-serve oracle: batch signatures recomputed
+    * from text (as the operator does), corpus signatures and band keys
+    * read FROM the staged parquet registry; semi-join on the batch's
+    * band keys, corpus-side bucket cap, 128-way agreement as a flat
+    * list literal (binder-depth lesson), integer gate ⌈0.7·128⌉ = 90.
+    */
+  private lazy val sigPersistedOracle: String = {
+    val r = lshNumHashes / lshBandCount
+    val batchBands = (0 until lshBandCount).map { b =>
+      val key = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS key FROM bsig"
+    }.mkString("\n  UNION ALL ")
+    val corpBands = (0 until lshBandCount).map { b =>
+      val key = (b * r + 1 to (b + 1) * r).map(i => s"sig[$i]").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS key FROM csig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until lshNumHashes).map(i => s"c.sig[${i + 1}] = b.mh$i")
+      .mkString("len(list_filter([", ", ", "], x -> x))")
+    s"""WITH $shinglesSql,
+       |$lshBaseSql,
+       |bsig AS (SELECT doc_id, $lshSigSql FROM shh
+       |         WHERE doc_id % 5 = 0 GROUP BY doc_id),
+       |csig AS (SELECT doc_id, sig
+       |         FROM read_parquet('$sigIdxDir/sigs/*.parquet')),
+       |bbands AS (
+       |  $batchBands),
+       |cbands AS (
+       |  $corpBands),
+       |hitk AS (SELECT DISTINCT band, key FROM bbands),
+       |chit AS (SELECT c.doc_id, c.band, c.key
+       |         FROM cbands c JOIN hitk USING (band, key)),
+       |okk AS (SELECT band, key FROM chit
+       |        GROUP BY band, key HAVING count(*) <= $lshBucketCap),
+       |cand AS (SELECT DISTINCT ch.doc_id AS cid, bb.doc_id AS bid
+       |         FROM chit ch JOIN okk USING (band, key)
+       |         JOIN bbands bb USING (band, key)),
+       |ver AS (SELECT cand.bid, cand.cid,
+       |    CAST($agree AS BIGINT) AS n_agree
+       |  FROM cand JOIN csig c ON c.doc_id = cand.cid
+       |  JOIN bsig b ON b.doc_id = cand.bid)
+       |SELECT bid AS doc_id, cid AS corpus_id, n_agree
+       |FROM ver WHERE n_agree >= 90
+       |ORDER BY doc_id, corpus_id""".stripMargin
+  }
+
   // Quantized-hyperplane LSH for the oracle-facing embedding-pairs query.
   // Embedding components are quantized to floor(x·10⁶) — every product
   // against the integer hyperplane weights and every dot-product sum is
@@ -774,6 +819,7 @@ object QueryCatalog {
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val nbIdxDir = "/tmp/graft_nb_idx"
   private val calIdxDir = "/tmp/graft_cal_idx"
+  private val sigIdxDir = "/tmp/graft_sig_idx"
   private val unigramIdxDir = "/tmp/graft_unigram_idx"
   private val wordpieceIdxDir = "/tmp/graft_wordpiece_idx"
   private val sq8IdxDir = "/tmp/graft_sq8_idx"
@@ -2403,6 +2449,27 @@ object QueryCatalog {
           docs.filter(col("doc_id") % 5 =!= 0),
           "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
         .orderBy("doc_id")
+    }),
+
+    "x_dedup_sig_persisted" -> ((s, dir) => {
+      // PERSISTED SIGNATURE REGISTRY serve: the corpus's 128-long
+      // minhash signatures staged as parquet once; the arriving batch
+      // (every 5th doc) dedups against the ARTIFACT alone — corpus text
+      // never re-read, verification by signature agreement (integer
+      // gate n_agree ≥ ⌈0.7·128⌉ = 90). The estimator path, made
+      // oracle-hashable by the md5 family + the persisted replay.
+      val path = stageIndex(sigIdxDir, dir) {
+        val corp = t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+        Dedup.signaturesFromShingles(
+            Dedup.shingles(corp, "doc_id", "text", 3),
+            "doc_id", 128, Dedup.Hashers.md5Base)
+          .coalesce(1).write.mode("overwrite").parquet(s"$sigIdxDir/sigs")
+      }
+      Dedup.dedupeAgainstSignatures(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          s.read.parquet(s"$path/sigs"),
+          "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
+        .orderBy("doc_id", "corpus_id")
     }),
 
     "x_dedup_incremental_fast" -> ((s, dir) => { // rows-only: production config
@@ -5697,6 +5764,8 @@ object QueryCatalog {
            |WHERE levenshtein(da.text, db.text) * 1000
            |      <= 300 * greatest(length(da.text), length(db.text))
            |ORDER BY c.a, c.b""".stripMargin,
+
+      "x_dedup_sig_persisted" -> sigPersistedOracle,
 
       "x_dedup_incremental" ->
         s"""WITH ${jaccardPairsSql(None)},

@@ -105,6 +105,24 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("dedupeAgainstSignatures: planted dup flagged from the registry alone") {
+    val text0 = docs.filter(col("doc_id") === 0).select("text")
+      .as[String].head()
+    val corpSig = Dedup.signaturesFromShingles(
+      Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", 128,
+      Dedup.Hashers.xx64Base)
+    val batch = Seq(
+      (9001L, text0),                                    // exact copy of doc 0
+      (9002L, (0 until 40).map(i => s"zq${i * 7919}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupeAgainstSignatures(batch, corpSig, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    val hit = got.filter(r => r._1 == 9001L && r._2 == 0L)
+    assert(hit.nonEmpty, s"exact copy not flagged: $got")
+    assert(hit.head._3 === 128L) // identical shingle set → full agreement
+    assert(!got.exists(_._1 == 9002L), "unrelated batch doc falsely flagged")
+  }
+
   test("bm25Prf: feedback terms retrieve docs the original query cannot") {
     val corpus = Seq((1L, "apple banana"), (2L, "banana banana banana"),
       (3L, "cherry cherry")).toDF("doc_id", "text")
