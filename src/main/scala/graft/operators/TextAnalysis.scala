@@ -547,6 +547,68 @@ object TextAnalysis {
       .select("qid", "id", "rank")
   }
 
+  /** Truncated rank-biased overlap RBO@k (Webber, Moffat & Zobel, TOIS
+    * 2010) between two top-k rankings — the ranking-similarity measure
+    * retrieval evaluation actually uses (top-weighted, defined on
+    * non-conjoint lists), e.g. "how much did PRF expansion move the
+    * ranking" or pre/post-index-rebuild drift audits.
+    *
+    * `RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ T_{1..d}| / d`
+    * with persistence `p = pNum/pDen`. Computed EXACTLY in integers: a
+    * joined id with ranks (ra, rb) contributes to every depth
+    * d ≥ m = max(ra, rb), so RBO's double sum collapses to one
+    * suffix-weight lookup per common id —
+    * `Σ_common W_m` with `W_m = Σ_{d=m..k} pNum^{d−1}·pDen^{k−d}·(L/d)`
+    * (L = lcm(1..k)) precomputed as exact BigInt literals; the final
+    * score is the positive integer division
+    * `rbo_e5 = 10⁵·(pDen−pNum)·Σ W_m div (pDen^k·L·pDen^0…)` — every
+    * step replayable to the bit. Truncation means the maximum is
+    * `(1−p^k)·10⁵` (65132 at p=0.9, k=10), reached by identical lists.
+    *
+    * Output: one row per qid of ranking `a` — (qid, n_common, rbo_e5);
+    * queries with zero overlap score 0. Scale shape: both inputs are
+    * already top-k'd (k·|queries| rows); one equi-join + one keyed agg.
+    */
+  /** The exact-integer RBO lattice: (suffix weights W_1..W_k, the 10⁵
+    * numerator, the denominator) — package-private so the oracle inlines
+    * the identical literals.
+    */
+  private[graft] def rboWeights(k: Int, pNum: Int,
+                                pDen: Int): (Seq[Long], Long, Long) = {
+    require(k >= 1 && pNum > 0 && pDen > pNum,
+      s"rboAtK: need k >= 1 and 0 < pNum < pDen, got k=$k p=$pNum/$pDen")
+    val lcm = (1 to k).map(BigInt(_)).reduce((x, y) => x * y / x.gcd(y))
+    val wd = (1 to k).map(d =>
+      BigInt(pNum).pow(d - 1) * BigInt(pDen).pow(k - d) * (lcm / d))
+    val suffix = (1 to k).map(m => wd.drop(m - 1).sum)
+    val den = BigInt(pDen).pow(k) * lcm
+    val num = BigInt(100000) * (pDen - pNum)
+    // exact worst case: identical lists → Σ_m W_m = Σ_d d·w_d
+    val maxSw = (1 to k).map(d => wd(d - 1) * d).sum
+    require((num * maxSw).isValidLong && maxSw.isValidLong,
+      s"rboAtK: k=$k p=$pNum/$pDen overflows the exact integer lattice")
+    (suffix.map(_.toLong), num.toLong, den.toLong)
+  }
+
+  def rboAtK(a: DataFrame, b: DataFrame, k: Int = 10,
+             pNum: Int = 9, pDen: Int = 10): DataFrame = {
+    val (suffix, numL, denL) = rboWeights(k, pNum, pDen)
+    val wLit = array(suffix.map(lit(_)): _*)
+    val joined = a.select(col("qid"), col("id"), col("rank").as("ra"))
+      .join(b.select(col("qid"), col("id"), col("rank").as("rb")),
+        Seq("qid", "id"))
+      .select(col("qid"),
+        element_at(wLit, greatest(col("ra"), col("rb")).cast("int")).as("w"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_common"), sum("w").as("sw"))
+    a.select("qid").distinct()
+      .join(joined, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr(s"CAST(coalesce(sw, 0L) * ${numL}L DIV ${denL}L AS BIGINT)")
+          .as("rbo_e5"))
+  }
+
   /** One round of byte-pair-encoding vocabulary induction: the
     * adjacent-symbol-pair frequency table over the corpus, weighted by
     * word frequency — the top row is the first BPE merge; iterating this

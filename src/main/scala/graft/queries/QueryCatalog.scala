@@ -4278,6 +4278,23 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_eval_rbo" -> ((s, dir) => {
+      // RANKING-DRIFT MEASUREMENT: truncated RBO@10 (p=0.9) between the
+      // plain BM25 ranking and its PRF-expanded re-ranking, per query —
+      // top-weighted overlap on the exact integer lattice, so the drift
+      // score itself hash-verifies. The eval companion to
+      // x_retrieval_prf (how much did feedback move the list?).
+      val docs = t(s, dir, "documents")
+      val qs = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
+      val bm = TextAnalysis.bm25TopK(docs, qs, "doc_id", "text",
+        "qid", "qtext", 10)
+      val prf = TextAnalysis.bm25Prf(docs, qs, "doc_id", "text",
+        "qid", "qtext", 10)
+      TextAnalysis.rboAtK(bm, prf, 10).orderBy("qid")
+    }),
+
     "x_retrieval_prf" -> ((s, dir) => {
       // PSEUDO-RELEVANCE FEEDBACK (RM3-lite): BM25 top-5 per query →
       // mine the 10 most frequent NEW terms from the feedback docs →
@@ -7945,6 +7962,37 @@ object QueryCatalog {
         s"""WITH ${bm25Ctes(10)}
            |SELECT qid, id, CAST(rank AS INTEGER) AS rank
            |FROM lex ORDER BY qid, rank""".stripMargin,
+
+      "x_eval_rbo" -> {
+        // the identical suffix-weight lattice the operator bakes
+        val (suffix, numL, denL) =
+          graft.operators.TextAnalysis.rboWeights(10, 9, 10)
+        val wlist = suffix.mkString("[", ", ", "]")
+        s"""WITH $bm25CorpusCtes,
+           |${bm25Chain("bq", "c1", "s1", "fblex", 5)},
+           |pft AS (SELECT f.qid, bt.tok
+           |  FROM fblex f JOIN btoks bt ON bt.id = f.id),
+           |pfc AS (SELECT t.qid, t.tok, count(*) AS c
+           |  FROM pft t LEFT JOIN bq qo ON qo.qid = t.qid AND qo.tok = t.tok
+           |  WHERE qo.tok IS NULL GROUP BY t.qid, t.tok),
+           |pfs AS (SELECT qid, tok FROM (SELECT qid, tok,
+           |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, tok) AS rk
+           |  FROM pfc) WHERE rk <= 10),
+           |pq AS (SELECT qid, tok FROM bq
+           |       UNION ALL SELECT qid, tok FROM pfs),
+           |${bm25Chain("pq", "c2", "s2", "plex", 10)},
+           |${bm25Chain("bq", "c3", "s3", "blex", 10)},
+           |wj AS (SELECT a.qid,
+           |    ($wlist)[greatest(a.rank, b.rank)] AS w
+           |  FROM blex a JOIN plex b ON a.qid = b.qid AND a.id = b.id),
+           |ag AS (SELECT qid, count(*) AS n_common, sum(w) AS sw
+           |       FROM wj GROUP BY qid)
+           |SELECT q.qid,
+           |  CAST(coalesce(ag.n_common, 0) AS BIGINT) AS n_common,
+           |  CAST(coalesce(ag.sw, 0) * $numL // $denL AS BIGINT) AS rbo_e5
+           |FROM (SELECT DISTINCT qid FROM blex) q
+           |LEFT JOIN ag ON ag.qid = q.qid ORDER BY q.qid""".stripMargin
+      },
 
       "x_retrieval_prf" ->
         // feedback pass (k=5) shares the corpus CTEs; expansion terms =

@@ -105,6 +105,32 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("rboAtK: identical=65132, disjoint=0, partial matches per-depth formula") {
+    def frame(ranks: Seq[(Long, Long, Long)]) = ranks.toDF("qid", "id", "rank")
+    val ident = frame((1L to 10L).map(r => (1L, r, r)))
+    val same = TextAnalysis.rboAtK(ident, ident, 10)
+      .as[(Long, Long, Long)].head()
+    assert(same === ((1L, 10L, 65132L))) // floor(1e5·(1 − 0.9¹⁰))
+    val other = frame((1L to 10L).map(r => (1L, r + 100L, r)))
+    val disj = TextAnalysis.rboAtK(ident, other, 10)
+      .as[(Long, Long, Long)].head()
+    assert(disj === ((1L, 0L, 0L)))
+    // partial overlap: independent per-depth o_d computation in exact
+    // BigInt rationals must agree with the operator's per-id suffix form
+    val a = frame(Seq((1L, 11L, 1L), (1L, 12L, 2L), (1L, 13L, 3L)))
+    val b = frame(Seq((1L, 12L, 1L), (1L, 11L, 2L), (1L, 99L, 3L)))
+    val got = TextAnalysis.rboAtK(a, b, 10).as[(Long, Long, Long)].head()
+    val ra = Map(11L -> 1, 12L -> 2, 13L -> 3)
+    val rb = Map(12L -> 1, 11L -> 2, 99L -> 3)
+    val lcm = BigInt(2520)
+    val scaled = (1 to 10).map { d =>
+      val od = ra.keySet.count(id => ra(id) <= d && rb.getOrElse(id, 99) <= d)
+      BigInt(9).pow(d - 1) * BigInt(10).pow(10 - d) * (lcm / d) * od
+    }.sum
+    val expected = scaled * 100000 * 1 / (BigInt(10).pow(10) * lcm)
+    assert(got === ((1L, 2L, expected.toLong)))
+  }
+
   test("dedupeAgainstSignatures: planted dup flagged from the registry alone") {
     val text0 = docs.filter(col("doc_id") === 0).select("text")
       .as[String].head()
