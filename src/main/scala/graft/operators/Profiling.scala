@@ -122,4 +122,54 @@ object Profiling {
     }: _*)
     wide.select(explode(rows).as("p")).select("p.*")
   }
+
+  /** Distribution-drift monitor between two slices of an integer metric
+    * (classifier scores week-over-week, quality margins per ingest
+    * source): per-bucket mass gap and TOTAL VARIATION distance on shared
+    * equal-width buckets — the alarm a scoring pipeline wires before
+    * thresholds silently rot. TV = ½ Σ_b |n_a/N_A − n_b/N_B|, computed
+    * as the exact common-denominator integers
+    * `gap_b = |n_a·N_B − n_b·N_A|` in DECIMAL(38,0) (no float, no
+    * overflow at any corpus size), quantized per bucket and in total as
+    * ppm: `⌊10⁶·gap / (2·N_A·N_B)⌋`.
+    *
+    * One union + ONE hash aggregation over both slices (map-side
+    * partial); the B-row tail (window total) is model-sized. Output,
+    * bucket-ascending: (bucket, n_a, n_b, gap_ppm, tv_ppm) — tv_ppm is
+    * the corpus-level reading repeated per row (0 = identical
+    * distributions, 10⁶ = disjoint).
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                        buckets: Int): DataFrame = {
+    require(buckets >= 1, s"distributionDrift: buckets must be >= 1, got $buckets")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u = a.select(col(valueCol).cast("long").as("v"), lit(1L).as("__sa"))
+      .unionByName(
+        b.select(col(valueCol).cast("long").as("v"), lit(0L).as("__sa")))
+    val probe = u.agg(min("v"), max("v"), sum("__sa"), count(lit(1))).first()
+    require(!probe.isNullAt(0), "distributionDrift: empty input")
+    val minV = probe.getLong(0)
+    val span = probe.getLong(1) - minV + 1
+    val na = probe.getLong(2)
+    val nb = probe.getLong(3) - na
+    require(na > 0 && nb > 0, "distributionDrift: both slices must be non-empty")
+    val agg = u.select(
+        expr(s"CAST(((v - ${minV}L) * ${buckets}L) DIV ${span}L AS BIGINT)")
+          .as("bucket"),
+        col("__sa"))
+      .groupBy("bucket")
+      .agg(sum("__sa").as("n_a"), (count(lit(1)) - sum("__sa")).as("n_b"))
+    // exact-divisible floor: all quantities non-negative
+    def ppm(gap: Column): Column = {
+      val n = gap * lit(1000000L).cast(dec)
+      val d = (lit(na).cast(dec) * lit(nb).cast(dec)) * lit(2).cast(dec)
+      ((n - n % d) / d).cast("long")
+    }
+    val gap = abs(col("n_a").cast(dec) * lit(nb).cast(dec) -
+      col("n_b").cast(dec) * lit(na).cast(dec))
+    agg.withColumn("__gap", gap)
+      .withColumn("gap_ppm", ppm(col("__gap")))
+      .withColumn("tv_ppm", ppm(sum(col("__gap")).over(Window.partitionBy())))
+      .select("bucket", "n_a", "n_b", "gap_ppm", "tv_ppm")
+  }
 }

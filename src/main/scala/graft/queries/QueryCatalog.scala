@@ -4246,6 +4246,23 @@ object QueryCatalog {
         .orderBy("source")
     }),
 
+    "x_classifier_drift" -> ((s, dir) => {
+      // SCORE-DISTRIBUTION DRIFT: total-variation distance between the
+      // NB margin distributions of the curated slice and the rest, on
+      // 16 shared equal-width buckets — the alarm that tells you the
+      // gate's threshold has rotted (here it doubles as a separation
+      // diagnostic: high TV = the classifier actually splits the two).
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.nbQualityScore(docs,
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      Profiling.distributionDrift(
+          scored.filter(col("source") === "src0"),
+          scored.filter(col("source") =!= "src0"), "score", 16)
+        .orderBy("bucket")
+    }),
+
     "x_classifier_persisted" -> ((s, dir) => {
       // The model-registry lifecycle for the quality gate: train the
       // NB token-weight table ONCE, persist it as parquet, reload, and
@@ -7938,6 +7955,35 @@ object QueryCatalog {
            |      // (det * vary) AS BIGINT)
            |  END AS r2_permille
            |FROM rc ORDER BY source""".stripMargin,
+
+      "x_classifier_drift" ->
+        // same NB chain; common-denominator gaps in HUGEINT, all
+        // operands non-negative so // replays the decimal floor
+        s"""WITH ${nbCtes()},
+           |dl AS (SELECT s.doc_id, s.score,
+           |    CAST(d.source = 'src0' AS BIGINT) AS sa
+           |  FROM nbscore s JOIN documents d USING (doc_id)),
+           |db AS (SELECT min(score) AS mn, max(score) AS mx,
+           |    CAST(sum(sa) AS HUGEINT) AS na,
+           |    CAST(count(*) - sum(sa) AS HUGEINT) AS nb FROM dl),
+           |dk AS (SELECT ((score - (SELECT mn FROM db)) * 16)
+           |    // ((SELECT mx FROM db) - (SELECT mn FROM db) + 1) AS bucket,
+           |    sa FROM dl),
+           |dg AS (SELECT bucket, sum(sa) AS n_a,
+           |    count(*) - sum(sa) AS n_b FROM dk GROUP BY bucket),
+           |dc AS (SELECT bucket, n_a, n_b,
+           |    abs(CAST(n_a AS HUGEINT) * (SELECT nb FROM db)
+           |      - CAST(n_b AS HUGEINT) * (SELECT na FROM db)) AS gap
+           |  FROM dg)
+           |SELECT bucket, CAST(n_a AS BIGINT) AS n_a,
+           |  CAST(n_b AS BIGINT) AS n_b,
+           |  CAST(gap * 1000000
+           |    // (2 * (SELECT na FROM db) * (SELECT nb FROM db)) AS BIGINT)
+           |    AS gap_ppm,
+           |  CAST(sum(gap) OVER () * 1000000
+           |    // (2 * (SELECT na FROM db) * (SELECT nb FROM db)) AS BIGINT)
+           |    AS tv_ppm
+           |FROM dc ORDER BY bucket""".stripMargin,
 
       "x_classifier_persisted" ->
         // scoring replays FROM the persisted weight table — the serve

@@ -105,6 +105,26 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("distributionDrift: identical=0, disjoint=1e6, unequal sizes exact") {
+    def f(vs: Long*) = vs.map(Tuple1(_)).toDF("score")
+    val same = Profiling.distributionDrift(f(0, 1, 2), f(0, 1, 2), "score", 3)
+      .select("tv_ppm").distinct().as[Long].collect().toSeq
+    assert(same === Seq(0L))
+    val disj = Profiling.distributionDrift(f(0, 0), f(10, 10), "score", 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(disj === Seq(
+      (0L, 2L, 0L, 500000L, 1000000L),
+      (1L, 0L, 2L, 500000L, 1000000L)))
+    // TV(δ₀, ½δ₀+½δ₁₀) = ½ exactly, with N_A=1 vs N_B=2
+    val half = Profiling.distributionDrift(f(0), f(0, 10), "score", 2)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(half === Seq(
+      (0L, 1L, 1L, 250000L, 500000L),
+      (1L, 0L, 1L, 250000L, 500000L)))
+  }
+
   test("rboAtK: identical=65132, disjoint=0, partial matches per-depth formula") {
     def frame(ranks: Seq[(Long, Long, Long)]) = ranks.toDF("qid", "id", "rank")
     val ident = frame((1L to 10L).map(r => (1L, r, r)))
