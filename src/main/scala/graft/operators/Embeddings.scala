@@ -159,6 +159,61 @@ object Embeddings {
         sum(abs(col("p"))).as("sum_abs_proj"))
   }
 
+  /** Greedy k-center exemplar selection (Gonzalez 1985's farthest-point
+    * traversal — the 2-approximation behind coreset data pruning à la
+    * Sener & Savarese, ICLR 2018): pick the corpus's `k` most mutually
+    * distant embeddings — seed topics, eval probes, or the "keep the
+    * diverse ones" side of aggressive semantic dedup.
+    *
+    * Exact on the `floor(x·10⁶)` lattice: squared L2 distance is the
+    * integer `‖a‖² + ‖b‖² − 2⟨a,b⟩`; round 0 picks the max-norm vector
+    * (tie → min id), round r the vector maximizing its min distance to
+    * the already-selected set (ties → min id). Deterministic, so the
+    * whole selection replays cross-engine.
+    *
+    * Scale shape: k passes over the corpus, each a pure projection
+    * against ≤ k broadcast-literal vectors followed by a TakeOrdered
+    * argmax (one-row collect per round — the kmeans/BPE round budget);
+    * the selected set is model-sized driver state. The corpus is never
+    * shuffled.
+    *
+    * Output: (round, idCol, score) — score is the selection criterion
+    * (norm² for round 0, min-squared-distance-to-prior for the rest).
+    */
+  def kcenterExemplars(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.vec_dot
+    require(k >= 1, s"kcenterExemplars: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val qcol = transform(col(vecCol), x => floor(x * lit(1000000.0)).cast("double"))
+    val base = df.select(col(idCol).as("__id"), qcol.as("__q"))
+      .withColumn("__n2", vec_dot(col("__q"), col("__q")).cast("long"))
+    // (id, vector, norm2, score) of everything selected so far
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Long, Long)]
+    def pick(scored: DataFrame): Unit = {
+      val r = scored
+        .filter(!col("__id").isin(selected.map(_._1).toSeq: _*))
+        .orderBy(col("__score").desc, col("__id"))
+        .limit(1).collect()
+      require(r.nonEmpty, s"kcenterExemplars: k=$k exceeds the corpus size")
+      val row = r(0)
+      selected += ((row.getLong(0), row.getSeq[Double](1),
+        row.getLong(2), row.getLong(3)))
+    }
+    pick(base.withColumn("__score", col("__n2")))
+    (1 until k).foreach { _ =>
+      val mind = selected.map { case (_, v, n2, _) =>
+        col("__n2") + lit(n2) -
+          lit(2L) * vec_dot(col("__q"), array(v.map(lit(_)): _*)).cast("long")
+      }.reduce(least(_, _))
+      pick(base.withColumn("__score", mind))
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, _, _, score), r) => (r.toLong, id, score) }
+      .toSeq.toDF("round", idCol, "score")
+  }
+
   /** Symmetric int8 quantization per vector: `q_i = round(x_i / s · 127)`
     * with `s = max|x_i|` over the FINITE elements, emitted as (`qvec`
     * tinyint array, `qscale`) — a 4× memory cut for ANN candidate storage

@@ -518,6 +518,40 @@ object QueryCatalog {
        |FROM j LEFT JOIN cal c2 ON c2.lo = j.blo
        |ORDER BY j.doc_id""".stripMargin
 
+  /** Greedy k-center oracle: the same 8 farthest-point rounds unrolled —
+    * integer squared distances on the quantized lattice, max-min-dist
+    * argmax with id tie-break. Every CTE that is read more than once is
+    * MATERIALIZED (inlined, the selected-set chain re-expands
+    * exponentially — the PCA-oracle lesson).
+    */
+  private lazy val kcenterOracle: String = {
+    val rounds = (1 until 8).map { r =>
+      s"""km$r AS MATERIALIZED (SELECT c.vec_id, c.q, c.n2,
+         |    min(c.n2 + s.n2 - 2 * CAST(list_sum(
+         |      [c.q[i] * s.q[i] for i in range(1, len(c.q) + 1)]) AS BIGINT))
+         |      AS md
+         |  FROM kn c, ksel${r - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM ksel${r - 1})
+         |  GROUP BY c.vec_id, c.q, c.n2),
+         |kp$r AS MATERIALIZED (SELECT $r AS round, vec_id, q, n2, md AS score
+         |  FROM km$r ORDER BY md DESC, vec_id LIMIT 1),
+         |ksel$r AS MATERIALIZED (SELECT * FROM ksel${r - 1}
+         |  UNION ALL SELECT * FROM kp$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kq AS MATERIALIZED (SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+       |     for x in embedding] AS q
+       |  FROM embeddings),
+       |kn AS MATERIALIZED (SELECT vec_id, q,
+       |    CAST(list_sum([q[i] * q[i]
+       |                   for i in range(1, len(q) + 1)]) AS BIGINT) AS n2
+       |  FROM kq),
+       |ksel0 AS MATERIALIZED (SELECT 0 AS round, vec_id, q, n2, n2 AS score
+       |  FROM kn ORDER BY n2 DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT round, vec_id, score FROM ksel7 ORDER BY round""".stripMargin
+  }
+
   /** Power-iteration PCA oracle: replays Embeddings.dominantDirectionReport
     * to the bit — quantized HUGEINT Gram + column sums in one pass over
     * the 64-dim fixture, scaled covariance M = n·G − ssᵀ, then the SAME
@@ -3684,6 +3718,15 @@ object QueryCatalog {
       Embeddings.poolSums(t(s, dir, "embeddings"), "label", "embedding")
         .select(col("label"), col("pos"), col("n_vecs"), col("sum_scaled").as("sum_e6"))
         .orderBy("label", "pos")),
+
+    "x_emb_kcenter" -> ((s, dir) =>
+      // DIVERSE EXEMPLAR SELECTION: greedy k-center (farthest-point)
+      // over the embedding corpus on the exact integer lattice — 8
+      // rounds, each one corpus scan + a TakeOrdered argmax; the oracle
+      // unrolls the same rounds.
+      Embeddings.kcenterExemplars(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 8)
+        .orderBy("round")),
 
     "x_emb_pca" -> ((s, dir) =>
       // ANISOTROPY / DRIFT DIAGNOSTIC: dominant covariance direction by
@@ -8487,6 +8530,8 @@ object QueryCatalog {
       },
 
       "x_emb_pca" -> pcaOracle,
+
+      "x_emb_kcenter" -> kcenterOracle,
 
       "x_emb_pool" ->
         """SELECT label, i - 1 AS pos, count(*) AS n_vecs,

@@ -105,6 +105,23 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("kcenterExemplars: farthest-point picks, hand-computed distances") {
+    // dyadic floats (exact in float32) so quantization is exact:
+    // a=(.5,0) n²=2.5e11, b=(0,.25), c=(−.25,0), d=(.125,.125).
+    // r0: max-norm → a; r1: farthest from a → c (5.625e11);
+    // r2: max min-dist to {a,c} → d (1.5625e11 vs b's 1.25e11)
+    val fix = Seq(
+      (1L, Seq(0.5f, 0.0f)), (2L, Seq(0.0f, 0.25f)),
+      (3L, Seq(-0.25f, 0.0f)), (4L, Seq(0.125f, 0.125f))
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.kcenterExemplars(fix, "vec_id", "embedding", 3)
+      .orderBy("round").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1L, 250000000000L),
+      (1L, 3L, 562500000000L),
+      (2L, 4L, 156250000000L)))
+  }
+
   test("distributionDrift: identical=0, disjoint=1e6, unequal sizes exact") {
     def f(vs: Long*) = vs.map(Tuple1(_)).toDF("score")
     val same = Profiling.distributionDrift(f(0, 1, 2), f(0, 1, 2), "score", 3)
