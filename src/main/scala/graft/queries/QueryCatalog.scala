@@ -491,6 +491,42 @@ object QueryCatalog {
     * margins (`//` ≡ Spark's `div` on non-negative counts);
     * sum(BIGINT) is HUGEINT in DuckDB → cast back to BIGINT.
     */
+  /** Span-corruption oracle — shared verbatim by x_sft_span_corrupt
+    * (batch: explode + keyed windows) and x_stream_spancorrupt (the
+    * row-local zero-state fold): same (doc, pos) hash mask, lag-run
+    * starts, running sentinel numbering, ordered reassembly; empty
+    * aggregates coalesce to '' to match array_join over an empty array.
+    * Convergence to the identical table IS the twin gate.
+    */
+  private lazy val spanCorruptOracle: String =
+    """WITH sctoks AS (SELECT doc_id, i - 1 AS pos,
+      |    string_split(text, ' ')[i] AS tok
+      |  FROM documents,
+      |    unnest(range(1, len(string_split(text, ' ')) + 1)) t(i)),
+      |scmk AS (SELECT doc_id, pos, tok,
+      |    ((((doc_id % 1000003) * 31 + pos) % 1000003) * 2654435761)
+      |      % 1000000007 % 1000 < 150 AS m
+      |  FROM sctoks),
+      |scst AS (SELECT *, m AND NOT coalesce(
+      |    lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false) AS start
+      |  FROM scmk),
+      |scks AS (SELECT *, CAST(sum(CASE WHEN start THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS k
+      |  FROM scst),
+      |scpc AS (SELECT doc_id, pos, m, start,
+      |    CASE WHEN NOT m THEN tok
+      |         WHEN start THEN '<extra_id_' || k || '>' END AS in_piece,
+      |    CASE WHEN m AND start THEN '<extra_id_' || k || '> ' || tok
+      |         WHEN m THEN tok END AS tgt_piece
+      |  FROM scks)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |  CAST(sum(CASE WHEN start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+      |  coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+      |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text
+      |FROM scpc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Persisted-calibration serve oracle — shared verbatim by
     * x_quality_calibrate_serve (batch join serve) and x_stream_calibrate
     * (plan-constant streaming fold): both converge to the identical
@@ -2873,6 +2909,18 @@ object QueryCatalog {
       // string (no RNG state, pure function of the corpus).
       Curation.spanCorruptionPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    "x_stream_spancorrupt" -> ((s, dir) => {
+      // Streaming twin of x_sft_span_corrupt: the SAME denoising pairs
+      // folded row-locally with array HOFs — no explode, no window,
+      // zero streaming state; shares the batch oracle verbatim.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.StreamSpanCorrupt.runOnce(s, dir,
+          "documents.parquet", schema, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
 
     "x_pref_pairs" -> ((s, dir) =>
       // DPO/RLHF preference-pair assembly — the post-training sibling
@@ -6217,37 +6265,9 @@ object QueryCatalog {
           |  (rn % 2 = 0) AS loss_turn
           |FROM run ORDER BY conv_id, turn_idx""".stripMargin,
 
-      "x_sft_span_corrupt" ->
-        // same (doc, pos) hash mask, lag-run starts, running sentinel
-        // numbering, ordered reassembly; empty aggregates coalesce to ''
-        // to match array_join over an empty array
-        """WITH sctoks AS (SELECT doc_id, i - 1 AS pos,
-          |    string_split(text, ' ')[i] AS tok
-          |  FROM documents,
-          |    unnest(range(1, len(string_split(text, ' ')) + 1)) t(i)),
-          |scmk AS (SELECT doc_id, pos, tok,
-          |    ((((doc_id % 1000003) * 31 + pos) % 1000003) * 2654435761)
-          |      % 1000000007 % 1000 < 150 AS m
-          |  FROM sctoks),
-          |scst AS (SELECT *, m AND NOT coalesce(
-          |    lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false) AS start
-          |  FROM scmk),
-          |scks AS (SELECT *, CAST(sum(CASE WHEN start THEN 1 ELSE 0 END)
-          |    OVER (PARTITION BY doc_id ORDER BY pos
-          |          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS k
-          |  FROM scst),
-          |scpc AS (SELECT doc_id, pos, m, start,
-          |    CASE WHEN NOT m THEN tok
-          |         WHEN start THEN '<extra_id_' || k || '>' END AS in_piece,
-          |    CASE WHEN m AND start THEN '<extra_id_' || k || '> ' || tok
-          |         WHEN m THEN tok END AS tgt_piece
-          |  FROM scks)
-          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          |  CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
-          |  CAST(sum(CASE WHEN start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
-          |  coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
-          |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target_text
-          |FROM scpc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "x_sft_span_corrupt" -> spanCorruptOracle,
+
+      "x_stream_spancorrupt" -> spanCorruptOracle,
 
       "x_contrastive_triplets" ->
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))},

@@ -105,6 +105,17 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("span corruption: row-local fold is bit-identical to the windowed batch op") {
+    val sub = docs.filter(col("doc_id") < 100).select("doc_id", "text")
+    val batch = Curation.spanCorruptionPairs(sub, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    val rowLocal = graft.streaming.StreamSpanCorrupt.pairs(sub, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(rowLocal === batch)
+  }
+
   test("kcenterExemplars: farthest-point picks, hand-computed distances") {
     // dyadic floats (exact in float32) so quantization is exact:
     // a=(.5,0) n²=2.5e11, b=(0,.25), c=(−.25,0), d=(.125,.125).
