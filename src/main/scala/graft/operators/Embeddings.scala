@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column aggregation: group-level mean pooling (class
@@ -340,6 +340,56 @@ object Embeddings {
       .drop("__grid_dim")
       .withColumn("code_digest",
         md5(concat_ws(",", transform(col("codes"), _.cast("string")))))
+  }
+
+  /** Two-stage RESIDUAL scalar quantization — the scalar form of the
+    * residual-quantizer idea (faiss RQ / Chen, Guan & Wang's RVQ):
+    * stage 1 codes each dimension on the trained SQ grid; stage 2
+    * trains a second grid ON THE RECONSTRUCTION RESIDUALS and codes
+    * those. Two uint8 codes per dimension recover most of the fidelity
+    * a single 8-bit grid loses — `reduction_permille` quantifies it per
+    * vector (‖stage-2 error‖ / ‖stage-1 error‖, both on their exact
+    * lattices).
+    *
+    * All integer-exact: fixed-point `⌊x·2^scaleBits⌋` components,
+    * stage-1 residual `r = xi·levels − (mn₁·levels + code₁·(mx₁−mn₁))`
+    * stays integral, stage 2 repeats the identical grid arithmetic on
+    * `r` (error lattice ×levels²). Plan: two grid aggregations + two
+    * broadcast joins over the exploded corpus — the exact
+    * [[scalarQuantizeTrained]] shape, twice.
+    *
+    * Output per vector: (idCol, code1_digest, code2_digest, err1_scaled,
+    * err2_scaled, reduction_permille) — reduction is null when stage 1
+    * was already exact.
+    */
+  def residualQuantize(df: DataFrame, idCol: String, vecCol: String,
+                       levels: Int = 255, scaleBits: Int = 20): DataFrame = {
+    require(levels > 0 && levels <= 65535, "levels must fit uint16")
+    val fx = fixedPoint(df, idCol, vecCol, scaleBits)
+    val g1 = fx.groupBy("pos").agg(min("xi").as("mn1"), max("xi").as("mx1"))
+    val c1 = fx.join(broadcast(g1), Seq("pos"))
+      .withColumn("code1", when(col("mx1") > col("mn1"),
+        expr(s"(xi - mn1) * $levels div (mx1 - mn1)")).otherwise(lit(0L)))
+      .withColumn("r", col("xi") * levels -
+        (col("mn1") * levels + col("code1") * (col("mx1") - col("mn1"))))
+    val g2 = c1.groupBy("pos").agg(min("r").as("mn2"), max("r").as("mx2"))
+    val c2 = c1.join(broadcast(g2), Seq("pos"))
+      .withColumn("code2", when(col("mx2") > col("mn2"),
+        expr(s"(r - mn2) * $levels div (mx2 - mn2)")).otherwise(lit(0L)))
+      .withColumn("err2", abs(col("r") * levels -
+        (col("mn2") * levels + col("code2") * (col("mx2") - col("mn2")))))
+    def digest(codeCol: String): Column =
+      md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("pos"), col(codeCol)))),
+          s => s.getField(codeCol).cast("string"))))
+    c2.groupBy(col(idCol))
+      .agg(digest("code1").as("code1_digest"),
+        digest("code2").as("code2_digest"),
+        sum(abs(col("r"))).cast("long").as("err1_scaled"),
+        sum("err2").cast("long").as("err2_scaled"))
+      .withColumn("reduction_permille",
+        when(col("err1_scaled") > 0,
+          expr(s"CAST(err2_scaled * 1000 DIV (err1_scaled * $levels) AS BIGINT)")))
   }
 
   /** PROJECTION-ONLY encode against a LOADED grid: (mn, mx) ride the

@@ -3767,6 +3767,14 @@ object QueryCatalog {
         .select(col("label"), col("pos"), col("n_vecs"), col("sum_scaled").as("sum_e6"))
         .orderBy("label", "pos")),
 
+    "x_emb_rq8" -> ((s, dir) =>
+      // RESIDUAL quantization: a second SQ8 stage trained on stage 1's
+      // reconstruction residuals — two uint8 codes/dim, per-vector
+      // error-reduction accounting, all on exact integer lattices.
+      Embeddings.residualQuantize(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     "x_emb_kcenter" -> ((s, dir) =>
       // DIVERSE EXEMPLAR SELECTION: greedy k-center (farthest-point)
       // over the embedding corpus on the exact integer lattice — 8
@@ -6067,6 +6075,40 @@ object QueryCatalog {
           |  CAST(sum(abs(xi * 255 - (mn * 255 + code * (mx - mn)))) AS BIGINT) AS err_scaled,
           |  CAST(count(*) AS BIGINT) AS n_dims
           |FROM cd GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      "x_emb_rq8" ->
+        // identical two-stage grid arithmetic; (r − mn2) is non-negative
+        // so // matches div, and r·255 keeps sign symmetric in both
+        """WITH fx AS (SELECT vec_id, i - 1 AS pos,
+          |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS xi
+          |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+          |g1 AS (SELECT pos, min(xi) AS mn1, max(xi) AS mx1 FROM fx GROUP BY pos),
+          |c1 AS (SELECT vec_id, pos, xi, mn1, mx1,
+          |    CASE WHEN mx1 > mn1 THEN (xi - mn1) * 255 // (mx1 - mn1)
+          |         ELSE CAST(0 AS BIGINT) END AS code1
+          |  FROM fx JOIN g1 USING (pos)),
+          |r1 AS (SELECT vec_id, pos, code1,
+          |    xi * 255 - (mn1 * 255 + code1 * (mx1 - mn1)) AS r
+          |  FROM c1),
+          |g2 AS (SELECT pos, min(r) AS mn2, max(r) AS mx2 FROM r1 GROUP BY pos),
+          |c2 AS (SELECT vec_id, pos, code1, r, mn2, mx2,
+          |    CASE WHEN mx2 > mn2 THEN (r - mn2) * 255 // (mx2 - mn2)
+          |         ELSE CAST(0 AS BIGINT) END AS code2
+          |  FROM r1 JOIN g2 USING (pos)),
+          |e2 AS (SELECT vec_id, pos, code1, code2, r,
+          |    abs(r * 255 - (mn2 * 255 + code2 * (mx2 - mn2))) AS err2
+          |  FROM c2),
+          |ag AS (SELECT vec_id,
+          |    md5(string_agg(CAST(code1 AS VARCHAR), ',' ORDER BY pos)) AS code1_digest,
+          |    md5(string_agg(CAST(code2 AS VARCHAR), ',' ORDER BY pos)) AS code2_digest,
+          |    CAST(sum(abs(r)) AS BIGINT) AS err1_scaled,
+          |    CAST(sum(err2) AS BIGINT) AS err2_scaled
+          |  FROM e2 GROUP BY vec_id)
+          |SELECT vec_id, code1_digest, code2_digest, err1_scaled, err2_scaled,
+          |  CASE WHEN err1_scaled > 0 THEN
+          |    CAST(err2_scaled * 1000 // (err1_scaled * 255) AS BIGINT) END
+          |    AS reduction_permille
+          |FROM ag ORDER BY vec_id""".stripMargin,
 
       "x_text_extract_html" -> htmlExtractSql,
 

@@ -105,6 +105,19 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("residualQuantize: stage 2 recovers >=10x of stage 1's error") {
+    val got = Embeddings.residualQuantize(emb, "vec_id", "embedding")
+      .select("err1_scaled", "err2_scaled", "reduction_permille")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (e1, e2, red) =>
+      assert(e1 > 0 && red.isDefined)
+      // same lattice: stage-2 residual error vs stage-1 error × 255
+      assert(e2 < e1 * 255, s"stage 2 made it worse: $e1 vs $e2")
+      assert(red.get < 100, s"reduction only ${red.get} permille")
+    }
+  }
+
   test("span corruption: row-local fold is bit-identical to the windowed batch op") {
     val sub = docs.filter(col("doc_id") < 100).select("doc_id", "text")
     val batch = Curation.spanCorruptionPairs(sub, "doc_id", "text")
