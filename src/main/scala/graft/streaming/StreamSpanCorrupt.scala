@@ -35,31 +35,45 @@ object StreamSpanCorrupt {
             maskPermille: Int = 150): DataFrame = {
     require(maskPermille >= 0 && maskPermille <= 1000,
       s"spanCorruptionPairs: maskPermille must be in [0,1000], got $maskPermille")
-    val toks = split(col(textCol), " ")
-    val n = size(toks)
-    val idxs = sequence(lit(0), n - 1)
-    val m = transform(idxs, i => maskOf(col(idCol), i, maskPermille))
-    val prevm = concat(array(lit(false)), slice(m, lit(1), n - 1))
-    val start = zip_with(m, prevm, (a, b) => a && !b)
-    val ps = filter(idxs, i => element_at(start, i + 1))
+    // Each intermediate array is MATERIALIZED as its own column, layer
+    // by layer: a single nested select would inline the whole upstream
+    // expression tree into every element_at() reference (transform()
+    // arrays re-derived per element access — O(tokens²) per row and a
+    // ~50× bench regression when first written that way); as layered
+    // non-cheap multi-referenced aliases, CollapseProject keeps each
+    // array computed once per row.
     def sentinel(i: Column): Column =
       concat(lit("<extra_id_"),
-        (array_position(ps, i) - 1).cast("string"), lit(">"))
-    val inPieces = transform(
-      filter(idxs, i => !element_at(m, i + 1) || element_at(start, i + 1)),
-      i => when(element_at(start, i + 1), sentinel(i))
-        .otherwise(element_at(toks, i + 1)))
-    val tgtPieces = transform(
-      filter(idxs, i => element_at(m, i + 1)),
-      i => when(element_at(start, i + 1),
-          concat(sentinel(i), lit(" "), element_at(toks, i + 1)))
-        .otherwise(element_at(toks, i + 1)))
-    docs.filter(col(textCol).isNotNull).select(col(idCol),
-      n.cast("long").as("n_tokens"),
-      size(filter(idxs, i => element_at(m, i + 1))).cast("long").as("n_masked"),
-      size(ps).cast("long").as("n_spans"),
-      array_join(inPieces, " ").as("input_text"),
-      array_join(tgtPieces, " ").as("target_text"))
+        (array_position(col("__ps"), i) - 1).cast("string"), lit(">"))
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__idx", sequence(lit(0), size(col("__toks")) - 1))
+      .withColumn("__m",
+        transform(col("__idx"), i => maskOf(col(idCol), i, maskPermille)))
+      .withColumn("__start",
+        zip_with(col("__m"),
+          concat(array(lit(false)),
+            slice(col("__m"), lit(1), size(col("__toks")) - 1)),
+          (a, b) => a && !b))
+      .withColumn("__ps",
+        filter(col("__idx"), i => element_at(col("__start"), i + 1)))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(filter(col("__idx"), i => element_at(col("__m"), i + 1)))
+          .cast("long").as("n_masked"),
+        size(col("__ps")).cast("long").as("n_spans"),
+        array_join(transform(
+          filter(col("__idx"), i =>
+            !element_at(col("__m"), i + 1) || element_at(col("__start"), i + 1)),
+          i => when(element_at(col("__start"), i + 1), sentinel(i))
+            .otherwise(element_at(col("__toks"), i + 1))), " ")
+          .as("input_text"),
+        array_join(transform(
+          filter(col("__idx"), i => element_at(col("__m"), i + 1)),
+          i => when(element_at(col("__start"), i + 1),
+              concat(sentinel(i), lit(" "), element_at(col("__toks"), i + 1)))
+            .otherwise(element_at(col("__toks"), i + 1))), " ")
+          .as("target_text"))
   }
 
   /** Drive the stream end-to-end (AvailableNow → memory sink) and return
