@@ -130,10 +130,13 @@ object Embeddings {
       .headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
         "dominantDirectionReport: no non-null vectors"))
+    // quantize ONCE per row as a materialized column — inlined into the
+    // outer-product lambda it would re-derive all d floors per element
     val statArr = concat(
-      flatten(transform(qcol, x => transform(qcol, y => x * y))),
-      qcol, array(lit(1.0)))
-    val sums = df.select(posexplode(statArr).as(Seq("k", "v")))
+      flatten(transform(col("__q"), x => transform(col("__q"), y => x * y))),
+      col("__q"), array(lit(1.0)))
+    val sums = df.withColumn("__q", qcol)
+      .select(posexplode(statArr).as(Seq("k", "v")))
       .groupBy("k").agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
       .collect()
       .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
