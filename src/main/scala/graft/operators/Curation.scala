@@ -887,6 +887,50 @@ object Curation {
       .withColumn("at_risk", col("n_sensitive") < l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third member of the privacy trilogy: a group can be k-anonymous
+    * AND l-diverse yet still leak when its sensitive-value
+    * DISTRIBUTION deviates from the corpus's (a group that is 90% one
+    * diagnosis reveals plenty even with several distinct values
+    * present). One row per quasi-identifier group with its
+    * total-variation distance (permille) from the global distribution
+    * and `at_risk` when it exceeds `tPermille`.
+    *
+    * Exact common-denominator arithmetic: per (group, value) the gap
+    * is `|n_gv·N − N_v·n_g|` in DECIMAL(38,0) (no float, no overflow),
+    * `tv_permille = ⌊10³·Σ_v gap / (2·n_g·N)⌋` — values ABSENT from
+    * the group contribute their full global mass (the broadcast
+    * cross of groups × the value-domain table makes absences explicit;
+    * the sensitive domain is policy-bounded, so the fan-out is a
+    * constant factor on the group table).
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, tPermille: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tClosenessAudit: no quasi-identifier columns")
+    require(tPermille >= 0 && tPermille <= 1000,
+      s"tClosenessAudit: tPermille must be in [0,1000], got $tPermille")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.select(quasiCols.map(col) :+ col(sensitiveCol).as("__s"): _*)
+    val n = rows.count()
+    require(n > 0, "tClosenessAudit: empty input")
+    val globals = rows.groupBy("__s").agg(count(lit(1)).as("__nv"))
+    val gv = rows.groupBy(quasiCols.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__ngv"))
+    val g = gv.groupBy(quasiCols.map(col): _*).agg(sum("__ngv").as("__ng"))
+    val gap = abs(
+      coalesce(col("__ngv"), lit(0L)).cast(dec) * lit(n).cast(dec) -
+        col("__nv").cast(dec) * col("__ng").cast(dec))
+    val num = sum(gap).cast(dec) * lit(1000L).cast(dec)
+    val den = col("__ng").cast(dec) * lit(n).cast(dec) * lit(2L).cast(dec)
+    g.crossJoin(broadcast(globals))
+      .join(gv, quasiCols :+ "__s", "left")
+      .groupBy(quasiCols.map(col) :+ col("__ng"): _*)
+      .agg(((num - num % den) / den).cast("long").as("tv_permille"))
+      .select(quasiCols.map(col) :+ col("__ng").as("n_rows") :+
+        col("tv_permille") :+
+        (col("tv_permille") > tPermille).as("at_risk"): _*)
+  }
+
   /** Enforcement twin of [[kAnonymityAudit]]: SUPPRESS every row whose
     * quasi-identifier combination has fewer than k members (the
     * standard k-anonymization-by-suppression baseline). Broadcast-anti

@@ -3005,6 +3005,18 @@ object QueryCatalog {
           Seq("c_nationkey", "c_mktsegment"), "bal_sign", l = 2)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    "x_privacy_tclose" -> ((s, dir) =>
+      // t-closeness audit — the distribution-skew companion completing
+      // the k-anonymity / l-diversity trilogy: a (nation, segment)
+      // group whose balance-sign mix deviates >300‰ (total variation)
+      // from the corpus-wide mix leaks the sensitive attribute even
+      // when k-anonymous and l-diverse.
+      Curation.tClosenessAudit(
+          t(s, dir, "customer").withColumn("bal_sign",
+            when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos"))),
+          Seq("c_nationkey", "c_mktsegment"), "bal_sign", tPermille = 300)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     "x_contrastive_triplets" -> ((s, dir) => {
       // (anchor, positive, negative) training triplets: positives = mined
       // jaccard near-dups, negatives = deterministic per-shard md5
@@ -6272,6 +6284,33 @@ object QueryCatalog {
           |                      ELSE 'pos' END) < 2 AS at_risk
           |FROM customer GROUP BY 1, 2
           |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+      "x_privacy_tclose" ->
+        // common-denominator TV gaps in HUGEINT; absent values enter
+        // via the groups × value-domain cross; all operands non-negative
+        """WITH tr AS (SELECT c_nationkey, c_mktsegment,
+          |    CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS s
+          |  FROM customer),
+          |tn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM tr),
+          |tg AS (SELECT s, CAST(count(*) AS HUGEINT) AS nv FROM tr GROUP BY s),
+          |tgv AS (SELECT c_nationkey, c_mktsegment, s, count(*) AS ngv
+          |  FROM tr GROUP BY 1, 2, 3),
+          |tgg AS (SELECT c_nationkey, c_mktsegment,
+          |    CAST(sum(ngv) AS HUGEINT) AS ng FROM tgv GROUP BY 1, 2),
+          |tx AS (SELECT g.c_nationkey, g.c_mktsegment, g.ng, v.nv,
+          |    CAST(coalesce(x.ngv, 0) AS HUGEINT) AS ngv
+          |  FROM tgg g CROSS JOIN tg v
+          |  LEFT JOIN tgv x ON x.c_nationkey = g.c_nationkey
+          |    AND x.c_mktsegment = g.c_mktsegment AND x.s = v.s),
+          |ta AS (SELECT c_nationkey, c_mktsegment, ng,
+          |    sum(abs(ngv * (SELECT n FROM tn) - nv * ng)) AS gap
+          |  FROM tx GROUP BY 1, 2, 3)
+          |SELECT c_nationkey, c_mktsegment, CAST(ng AS BIGINT) AS n_rows,
+          |  CAST(gap * 1000 // (2 * ng * (SELECT n FROM tn)) AS BIGINT)
+          |    AS tv_permille,
+          |  CAST(gap * 1000 // (2 * ng * (SELECT n FROM tn)) AS BIGINT) > 300
+          |    AS at_risk
+          |FROM ta ORDER BY 1, 2""".stripMargin,
 
       "x_sft_format" ->
         """WITH turns AS (

@@ -105,6 +105,19 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("tClosenessAudit: skewed groups flag, global-matching group passes") {
+    // global mix is 50/50 x/y; groups a (all x) and c (all y) sit at
+    // TV = 1/2 = 500 permille, group b matches the global exactly
+    val fix = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"),
+      ("c", "y"), ("c", "y")).toDF("g", "s")
+    val got = Curation.tClosenessAudit(fix, Seq("g"), "s", tPermille = 300)
+      .orderBy("g").as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      ("a", 2L, 500L, true),
+      ("b", 2L, 0L, false),
+      ("c", 2L, 500L, true)))
+  }
+
   test("residualQuantize: stage 2 recovers >=10x of stage 1's error") {
     val got = Embeddings.residualQuantize(emb, "vec_id", "embedding")
       .select("err1_scaled", "err2_scaled", "reduction_permille")
