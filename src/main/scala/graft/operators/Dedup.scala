@@ -1476,6 +1476,45 @@ object Dedup {
     * doubles — every value and dot-product sum stays far below 2⁵³, so the
     * arithmetic is EXACT and engine-independent) and `nq2 = q·q`.
     */
+  /** Cell-cohesion report — index observability for the semantic-cell
+    * pillar: per cell, how tightly its members align with the centroid
+    * they were assigned to. The health check behind IVF/SemDeDup
+    * parameter choices: a cell whose min own-dot is ≤ 0 holds
+    * anti-aligned members (assignment by least-bad centroid — nlist too
+    * small), and a huge max/min spread marks a cell that needs
+    * splitting. Exact: member→own-centroid dots are integer lattice
+    * values (the same one [[graft.functions.VecDotMatrix]] pass that
+    * assigns cells also yields the dot — one projection, no second
+    * scoring scan), so the whole report hash-verifies.
+    *
+    * Output per cell: (cell, n_members, sum_dot, min_dot, max_dot,
+    * n_antialigned).
+    */
+  def cellCohesionReport(emb: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot_matrix, vec_arg_max_id}
+    val base = quantizedWithNorm(emb, idCol, vecCol)
+    val cents = base.filter(col("nq2") > 0).orderBy("id").limit(nlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(cents.nonEmpty, "cellCohesionReport: no non-zero vectors to seed centroids")
+    // centroid id → 1-based slot in the dot array, as a map literal
+    val slotOf = map(cents.zipWithIndex.flatMap { case ((cid, _, _), i) =>
+      Seq(lit(cid), lit(i + 1)) }: _*)
+    base
+      .withColumn("__cd", vec_dot_matrix(col("q"), cents.map(_._2.toArray)))
+      .withColumn("cell", vec_arg_max_id(
+        col("__cd"), lit(1.0), cents.map(c => math.sqrt(c._3)), cents.map(_._1)))
+      .withColumn("own_dot",
+        element_at(col("__cd"), element_at(slotOf, col("cell"))).cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum("own_dot").as("sum_dot"),
+        min("own_dot").as("min_dot"),
+        max("own_dot").as("max_dot"),
+        sum(when(col("own_dot") <= 0, 1L).otherwise(0L)).as("n_antialigned"))
+  }
+
   private def quantizedWithNorm(emb: DataFrame, idCol: String,
                                 vecCol: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot

@@ -2568,6 +2568,16 @@ object QueryCatalog {
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")),
 
+    "x_cluster_cohesion" -> ((s, dir) =>
+      // CELL HEALTH: per semantic cell, member→own-centroid dot
+      // statistics (exact lattice integers from the same VecDotMatrix
+      // pass that assigns the cell) — the observability that tells you
+      // nlist is too small (anti-aligned members) or a cell needs
+      // splitting (huge spread).
+      Dedup.cellCohesionReport(t(s, dir, "embeddings"),
+          "vec_id", "embedding", 16)
+        .orderBy("cell")),
+
     "x_corpus_topics" -> ((s, dir) => {
       // Corpus TOPIC report: the deterministic semantic cells ("topics")
       // joined to document metadata — per topic: volume, language and
@@ -5985,6 +5995,34 @@ object QueryCatalog {
            |                            ORDER BY score DESC, cid) AS rn
            |  FROM scored) WHERE rn = 1
            |ORDER BY vec_id""".stripMargin,
+
+      "x_cluster_cohesion" ->
+        // the x_cluster_assign argmax chain, plus the EXACT own-dot via
+        // the BIGINT comprehension (list_dot_product floats only rank)
+        s"""WITH qv AS (
+           |  SELECT vec_id,
+           |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)
+           |          for x in embedding] AS q
+           |  FROM embeddings),
+           |qn AS (SELECT vec_id, q, list_dot_product(q, q) AS nq2 FROM qv),
+           |cents AS (SELECT vec_id AS cid, q AS cq, nq2 AS nc2 FROM qn
+           |          WHERE nq2 > 0 ORDER BY vec_id LIMIT 16),
+           |scored AS (SELECT v.vec_id, c.cid,
+           |             list_dot_product(v.q, c.cq) / sqrt(c.nc2) AS score,
+           |             CAST(list_sum([CAST(v.q[i] AS BIGINT) * CAST(c.cq[i] AS BIGINT)
+           |                            for i in range(1, len(v.q) + 1)]) AS BIGINT) AS d
+           |           FROM qn v CROSS JOIN cents c),
+           |own AS (SELECT vec_id, cid AS cell, d FROM (
+           |  SELECT vec_id, cid, d,
+           |         row_number() OVER (PARTITION BY vec_id
+           |                            ORDER BY score DESC, cid) AS rn
+           |  FROM scored) WHERE rn = 1)
+           |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+           |  CAST(sum(d) AS BIGINT) AS sum_dot,
+           |  min(d) AS min_dot, max(d) AS max_dot,
+           |  CAST(sum(CASE WHEN d <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_antialigned
+           |FROM own GROUP BY cell ORDER BY cell""".stripMargin,
 
       "x_corpus_topics" ->
         s"""WITH qv AS (

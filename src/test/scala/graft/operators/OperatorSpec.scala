@@ -105,6 +105,16 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("cellCohesionReport: member counts match the cell assignment exactly") {
+    val rep = Dedup.cellCohesionReport(emb, "vec_id", "embedding", 16)
+      .select("cell", "n_members").as[(Long, Long)].collect().toMap
+    val assign = Dedup.semanticCells(emb, "vec_id", "embedding", 16)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(rep === assign)
+    assert(rep.values.sum === emb.count())
+  }
+
   test("tClosenessAudit: skewed groups flag, global-matching group passes") {
     // global mix is 50/50 x/y; groups a (all x) and c (all y) sit at
     // TV = 1/2 = 500 permille, group b matches the global exactly
