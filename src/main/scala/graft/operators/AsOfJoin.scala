@@ -23,13 +23,27 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Left rows + `rightCols` from the as-of matched right row (null when
-    * no right row precedes). Output columns: all of `left`, then
-    * `rightCols` prefixed with `asof_`.
+    * nothing matches). Output columns: all of `left`, then `rightCols`
+    * prefixed with `asof_`.
+    *
+    * `direction` (the pandas `merge_asof` trio, same semantics):
+    *  - `"backward"` (default): latest right with `rts ≤ lts`;
+    *  - `"forward"`: earliest right with `rts ≥ lts` (the same one
+    *    union-merge pass traversed in descending time);
+    *  - `"nearest"`: the closer of the two, ties to backward. The
+    *    distance comparison subtracts the ORIGINAL ts values (numeric
+    *    stays numeric, timestamps compare as exact day-time intervals —
+    *    no epoch-to-double rounding sits on the tie boundary). Both
+    *    window passes share the one key exchange; only the sort runs
+    *    twice.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"joinAsOf: direction must be backward|forward|nearest, got $direction")
     val keyCols = keys.map(col)
     val lPayload = struct(left.columns.map(col).toIndexedSeq: _*).as("__l")
     val rPayload = struct((rightTs +: rightCols).map(col).toIndexedSeq: _*).as("__r")
@@ -47,12 +61,31 @@ object AsOfJoin {
         lit(0).as("__is_left"), rPayload): _*)
       .withColumn("__l", lit(null).cast(left.schema))
 
-    val w = Window.partitionBy(keyCols: _*)
+    val wB = Window.partitionBy(keyCols: _*)
       .orderBy(col("__ts"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts").desc, col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
 
-    lTagged.unionByName(rTagged)
-      .withColumn("__rmatch", last(col("__r"), ignoreNulls = true).over(w))
+    val union = lTagged.unionByName(rTagged)
+    val matched = direction match {
+      case "backward" =>
+        union.withColumn("__rmatch", last(col("__r"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        union.withColumn("__rmatch", last(col("__r"), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        union
+          .withColumn("__bm", last(col("__r"), ignoreNulls = true).over(wB))
+          .withColumn("__fm", last(col("__r"), ignoreNulls = true).over(wF))
+          .withColumn("__rmatch",
+            when(col("__bm").isNull, col("__fm"))
+              .when(col("__fm").isNull, col("__bm"))
+              .when(col("__ts") - col("__bm").getField(rightTs) <=
+                    col("__fm").getField(rightTs) - col("__ts"), col("__bm"))
+              .otherwise(col("__fm")))
+    }
+    matched
       .filter(col("__is_left") === 1)
       .select(left.columns.map(c => col(s"__l.$c").as(c)).toIndexedSeq ++
         rightCols.map(c => col(s"__rmatch.$c").as(s"asof_$c")) :+

@@ -1576,6 +1576,46 @@ object QueryCatalog {
         .orderBy("event_id")
     }),
 
+    "q_asof_forward" -> ((s, dir) => {
+      // forward as-of: each purchase matched to the user's EARLIEST
+      // click at-or-after it (post-purchase engagement) — the same
+      // union-merge pass traversed in descending time.
+      val events = t(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = events.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.operators.AsOfJoin.joinAsOf(purchases, clicks,
+          Seq("user_id"), "ts", "ts", Seq("click_value"),
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("asof_ts")).as("click_ts_ms"),
+          (col("asof_click_value").cast("decimal(18,2)") * 100)
+            .cast("long").as("click_value_cents"))
+        .orderBy("event_id")
+    }),
+
+    "q_asof_nearest" -> ((s, dir) => {
+      // nearest as-of (attribution): each purchase matched to the
+      // user's CLOSEST click either side, ties to the earlier one —
+      // exact interval comparison, never epoch-to-double rounding.
+      val events = t(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = events.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+      graft.operators.AsOfJoin.joinAsOf(purchases, clicks,
+          Seq("user_id"), "ts", "ts", Seq("click_value"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("asof_ts")).as("click_ts_ms"),
+          (col("asof_click_value").cast("decimal(18,2)") * 100)
+            .cast("long").as("click_value_cents"))
+        .orderBy("event_id")
+    }),
+
     "q_train_test_split" -> ((s, dir) =>
       graft.operators.AsOfJoin.trainTestSplit(
           t(s, dir, "orders"), "o_orderkey", 80)
@@ -2032,6 +2072,40 @@ object QueryCatalog {
         |FROM purchases p ASOF LEFT JOIN signups s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      // DuckDB native ASOF with the <= comparator IS the forward join
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+        |  epoch_ms(c.ts) AS click_ts_ms,
+        |  CAST(CAST(c.click_value AS DECIMAL(18,2)) * 100 AS BIGINT) AS click_value_cents
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      // nearest = argmin over the user's clicks by (|Δt|, backward
+      // preferred) — equivalent to closer-of(backward-latest,
+      // forward-earliest) with ties to backward
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.ts AS cts, c.click_value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+        |               (c.ts <= p.ts) DESC) AS rn
+        |  FROM purchases p LEFT JOIN clicks c ON c.user_id = p.user_id)
+        |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |  epoch_ms(cts) AS click_ts_ms,
+        |  CAST(CAST(click_value AS DECIMAL(18,2)) * 100 AS BIGINT) AS click_value_cents
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_train_test_split" ->
       """SELECT CASE WHEN ((o_orderkey % 1000003) * 2654435761) % 1000000007 % 100 < 80

@@ -9,6 +9,23 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("joinAsOf directions: forward and nearest, distance ties to backward") {
+    val left = Seq((1L, "k", 5L), (2L, "k", 6L), (3L, "k", 2L), (4L, "k", 9L))
+      .toDF("id", "key", "ts")
+    val right = Seq(("k", 3L, 30L), ("k", 7L, 70L)).toDF("key", "rts", "v")
+    def run(d: String) =
+      AsOfJoin.joinAsOf(left, right, Seq("key"), "ts", "rts", Seq("v"), d)
+        .select("id", "asof_v").orderBy("id")
+        .as[(Long, Option[Long])].collect().toSeq
+    assert(run("backward") === Seq(
+      (1L, Some(30L)), (2L, Some(30L)), (3L, None), (4L, Some(70L))))
+    assert(run("forward") === Seq(
+      (1L, Some(70L)), (2L, Some(70L)), (3L, Some(30L)), (4L, None)))
+    // id 1 sits exactly between (|5−3| = |7−5|): the tie goes backward
+    assert(run("nearest") === Seq(
+      (1L, Some(30L)), (2L, Some(70L)), (3L, Some(30L)), (4L, Some(70L))))
+  }
+
   test("as-of join picks the latest right row at or before each left ts") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 00:00:10")),
