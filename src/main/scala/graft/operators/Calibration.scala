@@ -113,6 +113,50 @@ object Calibration {
           .as("calibrated_permille"))
   }
 
+  /** Calibration-quality evaluation: the Brier score of the calibrated
+    * probabilities against the observed 0/1 outcomes, and the SKILL
+    * relative to the climatological baseline (the constant base-rate
+    * predictor) — `skill = 1 − Brier_cal/Brier_base`, the standard
+    * "did calibrating actually buy predictive value" number (Brier
+    * 1950; skill-score form per Murphy 1973).
+    *
+    * Exact in ONE aggregation pass: squared errors live on the permille
+    * lattice (`(p − 1000·y)²`), and the baseline sum needs no second
+    * pass — with `p₀ = ⌊1000·pos/n⌋`,
+    * `Brier_base_sum = n·p₀² − 2000·p₀·pos + 10⁶·pos` algebraically.
+    * The skill quotient is DECIMAL(38,0) with the exact-divisible
+    * truncation identity (sign-safe: a calibrator can be WORSE than
+    * the base rate and the negative skill must replay too).
+    *
+    * Input: one row per example with `pCol` (calibrated permille) and
+    * `yCol` (0/1). Output, one row: (n, pos, base_rate_permille,
+    * brier_cal_sum, brier_base_sum, skill_permille).
+    */
+  def calibrationEval(df: DataFrame, pCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column) = c.cast(dec)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(col(yCol).cast("long")).as("pos"),
+      sum(d(col(pCol) - lit(1000L) * col(yCol)) *
+          d(col(pCol) - lit(1000L) * col(yCol))).as("brier_cal_sum"))
+      .withColumn("base_rate_permille",
+        expr("CAST(1000 * pos DIV n AS BIGINT)"))
+    val p0 = d(col("base_rate_permille"))
+    val base = d(col("n")) * p0 * p0 -
+      d(lit(2000L)) * p0 * d(col("pos")) + d(lit(1000000L)) * d(col("pos"))
+    val num = (base - col("__cal")) * d(lit(1000L))
+    agg
+      .withColumn("__cal", col("brier_cal_sum").cast(dec))
+      .withColumn("__base", base)
+      .select(col("n"), col("pos"), col("base_rate_permille"),
+        col("__cal").cast("long").as("brier_cal_sum"),
+        col("__base").cast("long").as("brier_base_sum"),
+        when(col("__base") > 0,
+          ((num - num % col("__base")) / col("__base")).cast("long"))
+          .as("skill_permille"))
+  }
+
   /** The calibration step function as a plan-constant Column: a
     * when-chain over the sorted (lo → fitted_permille) steps — an O(B)
     * projection with no join and no state, the form a streaming serve

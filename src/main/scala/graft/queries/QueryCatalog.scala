@@ -916,6 +916,25 @@ object QueryCatalog {
   private val streamTdIdxDir = "/tmp/graft_ivf_idx_streamtd"
   private val streamTdStageDir = "/tmp/graft_streamtd_log"
   private val builtIndexes = scala.collection.mutable.Map[String, String]()
+  /** Stage the quality-gate model artifacts (NB token weights + isotonic
+    * calibration table) once per (JVM, sf-dir) — shared by the serve,
+    * streaming, and evaluation entries of the calibration pillar.
+    */
+  private def stagedCalibration(s: SparkSession, dir: String): String =
+    stageIndex(calIdxDir, dir) {
+      val docs = t(s, dir, "documents")
+      val good = docs.filter(col("source") === "src0")
+      val bad = docs.filter(col("source") =!= "src0")
+      TextAnalysis.nbTokenWeights(good, bad, "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/weights")
+      val scored = TextAnalysis.nbQualityScore(docs, good, bad,
+          "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("y", (col("source") === "src0").cast("long"))
+      Calibration.isotonicCalibrate(scored, "score", "y", 24)
+        .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/calib")
+    }
+
   private def stageIndex(path: String, dir: String)(build: => Unit): String =
     synchronized {
       if (!builtIndexes.get(path).contains(dir)) {
@@ -4373,19 +4392,7 @@ object QueryCatalog {
       // then every document scored and calibrated FROM the artifacts
       // alone — the deployment shape of the quality gate. The oracle
       // replays from the same parquet files.
-      val path = stageIndex(calIdxDir, dir) {
-        val docs = t(s, dir, "documents")
-        val good = docs.filter(col("source") === "src0")
-        val bad = docs.filter(col("source") =!= "src0")
-        TextAnalysis.nbTokenWeights(good, bad, "text")
-          .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/weights")
-        val scored = TextAnalysis.nbQualityScore(docs, good, bad,
-            "doc_id", "text")
-          .join(docs.select("doc_id", "source"), Seq("doc_id"))
-          .withColumn("y", (col("source") === "src0").cast("long"))
-        Calibration.isotonicCalibrate(scored, "score", "y", 24)
-          .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/calib")
-      }
+      val path = stagedCalibration(s, dir)
       val weights = s.read.parquet(s"$path/weights")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val calib = s.read.parquet(s"$path/calib")
@@ -4395,6 +4402,25 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_eval_calibration" -> ((s, dir) => {
+      // CALIBRATION QUALITY: Brier score of the served calibrated
+      // probabilities vs the src0 truth, and the skill over the
+      // constant base-rate predictor — "did calibrating buy predictive
+      // value", one exact aggregation pass (the baseline sum is
+      // algebraic in (n, pos, p0), no second scan).
+      val path = stagedCalibration(s, dir)
+      val weights = s.read.parquet(s"$path/weights")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val calib = s.read.parquet(s"$path/calib")
+      val docs = t(s, dir, "documents")
+      val scored = graft.streaming.StreamClassify.score(
+        docs, weights, "doc_id", "text")
+      val withY = Calibration.applyCalibration(scored, "doc_id", "score", calib)
+        .join(docs.select(col("doc_id"),
+          (col("source") === "src0").cast("long").as("y")), Seq("doc_id"))
+      Calibration.calibrationEval(withY, "calibrated_permille", "y")
+    }),
+
     "x_stream_calibrate" -> ((s, dir) => {
       // Streaming twin of the calibrated serve: NB fold + the isotonic
       // step function as plan constants over arriving rows — zero
@@ -4402,19 +4428,7 @@ object QueryCatalog {
       // verbatim (convergence to the identical table IS the gate).
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () }
-      val path = stageIndex(calIdxDir, dir) {
-        val docs = t(s, dir, "documents")
-        val good = docs.filter(col("source") === "src0")
-        val bad = docs.filter(col("source") =!= "src0")
-        TextAnalysis.nbTokenWeights(good, bad, "text")
-          .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/weights")
-        val scored = TextAnalysis.nbQualityScore(docs, good, bad,
-            "doc_id", "text")
-          .join(docs.select("doc_id", "source"), Seq("doc_id"))
-          .withColumn("y", (col("source") === "src0").cast("long"))
-        Calibration.isotonicCalibrate(scored, "score", "y", 24)
-          .coalesce(1).write.mode("overwrite").parquet(s"$calIdxDir/calib")
-      }
+      val path = stagedCalibration(s, dir)
       val weights = s.read.parquet(s"$path/weights")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val steps = s.read.parquet(s"$path/calib")
@@ -8178,6 +8192,44 @@ object QueryCatalog {
            |FROM cidx JOIN cft USING (i) ORDER BY cidx.bucket""".stripMargin,
 
       "x_quality_calibrate_serve" -> calibrateServeOracle,
+
+      "x_eval_calibration" ->
+        // the serve chain + truth join; baseline sum algebraic in
+        // (n, pos, p0); skill via the sign-safe exact-divisible identity
+        s"""WITH m AS (SELECT tok, weight
+           |    FROM read_parquet('$calIdxDir/weights/*.parquet')),
+           |ct AS (SELECT doc_id,
+           |    unnest(string_split(text, ' ')) AS tok FROM documents),
+           |sc AS (SELECT t.doc_id,
+           |    CAST(sum(coalesce(m.weight, 0)) AS BIGINT) AS score
+           |  FROM ct t LEFT JOIN m ON m.tok = t.tok GROUP BY t.doc_id),
+           |cal AS (SELECT lo, fitted_permille
+           |    FROM read_parquet('$calIdxDir/calib/*.parquet')),
+           |j AS (SELECT s.doc_id, s.score, max(c.lo) AS blo
+           |  FROM sc s LEFT JOIN cal c ON s.score >= c.lo
+           |  GROUP BY s.doc_id, s.score),
+           |served AS (SELECT j.doc_id,
+           |    coalesce(c2.fitted_permille,
+           |      (SELECT fitted_permille FROM cal ORDER BY lo LIMIT 1)) AS p
+           |  FROM j LEFT JOIN cal c2 ON c2.lo = j.blo),
+           |ey AS (SELECT CAST(s.p AS HUGEINT) AS p,
+           |    CAST(d.source = 'src0' AS HUGEINT) AS y
+           |  FROM served s JOIN documents d USING (doc_id)),
+           |eg AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(y) AS pos,
+           |    sum((p - 1000 * y) * (p - 1000 * y)) AS cal_sum FROM ey),
+           |e0 AS (SELECT n, pos, 1000 * pos // n AS p0, cal_sum FROM eg),
+           |eb AS (SELECT *,
+           |    n * p0 * p0 - 2000 * p0 * pos + 1000000 * pos AS base_sum
+           |  FROM e0)
+           |SELECT CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           |  CAST(p0 AS BIGINT) AS base_rate_permille,
+           |  CAST(cal_sum AS BIGINT) AS brier_cal_sum,
+           |  CAST(base_sum AS BIGINT) AS brier_base_sum,
+           |  CASE WHEN base_sum > 0 THEN CAST(
+           |    ((base_sum - cal_sum) * 1000
+           |      - ((base_sum - cal_sum) * 1000) % base_sum) // base_sum
+           |    AS BIGINT) END AS skill_permille
+           |FROM eb""".stripMargin,
 
       "x_stream_calibrate" -> calibrateServeOracle,
 

@@ -105,6 +105,18 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("calibrationEval: perfect predictor skill=1000, inverted predictor negative") {
+    val perfect = Seq((1000L, 1L), (1000L, 1L), (0L, 0L), (0L, 0L))
+      .toDF("p", "y")
+    val g1 = Calibration.calibrationEval(perfect, "p", "y")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    assert(g1 === ((4L, 2L, 500L, 0L, 1000000L, Some(1000L))))
+    val inverted = Seq((0L, 1L), (1000L, 0L)).toDF("p", "y")
+    val g2 = Calibration.calibrationEval(inverted, "p", "y")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    assert(g2 === ((2L, 1L, 500L, 2000000L, 500000L, Some(-3000L))))
+  }
+
   test("cellCohesionReport: member counts match the cell assignment exactly") {
     val rep = Dedup.cellCohesionReport(emb, "vec_id", "embedding", 16)
       .select("cell", "n_members").as[(Long, Long)].collect().toMap
