@@ -157,6 +157,47 @@ object Calibration {
           .as("skill_permille"))
   }
 
+  /** Exact ROC AUC of an integer score against 0/1 outcomes — the
+    * discrimination companion to [[calibrationEval]]'s Brier
+    * (calibration and discrimination are independent failure modes; a
+    * gate needs both numbers). Computed as the Mann–Whitney U
+    * statistic on the score-VALUE lattice with midrank tie handling:
+    * group by distinct score → (n_pos, n_neg) per value, one ordered
+    * cumulative pass, `U₂ = Σ_s n_pos(s)·(2·cum_neg_below(s) + n_neg(s))`
+    * (the ×2 lattice keeps half-ranks integral), and
+    * `auc_e6 = ⌊10⁶·U₂ / (2·pos·neg)⌋` in DECIMAL(38,0).
+    *
+    * Scale shape: the corpus compacts to its DISTINCT score values in
+    * one partial-aggregated pass (the [[Profiling.exactQuantiles]]
+    * argument — bounded-domain metrics compact orders of magnitude
+    * below row count); the single unpartitioned cumulative window runs
+    * over that compact table only.
+    *
+    * Output, one row: (n, pos, neg, u2, auc_e6) — auc_e6 null when
+    * either class is empty (AUC undefined).
+    */
+  def aucEval(df: DataFrame, scoreCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column) = c.cast(dec)
+    val byScore = df.select(col(scoreCol).cast("long").as("s"),
+        col(yCol).cast("long").as("y"))
+      .groupBy("s")
+      .agg(sum("y").as("np"), (count(lit(1)) - sum("y")).as("nn"))
+    val w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    val agg = byScore
+      .withColumn("cnb", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(sum(d(col("np")) * (d(lit(2L)) * d(col("cnb")) + d(col("nn"))))
+          .as("u2"),
+        sum("np").as("pos"), sum("nn").as("neg"))
+    val den = d(lit(2L)) * d(col("pos")) * d(col("neg"))
+    val num = col("u2") * d(lit(1000000L))
+    agg.select(
+      (col("pos") + col("neg")).as("n"), col("pos"), col("neg"),
+      col("u2").cast("long").as("u2"),
+      when(col("pos") > 0 && col("neg") > 0,
+        ((num - num % den) / den).cast("long")).as("auc_e6"))
+  }
+
   /** The calibration step function as a plan-constant Column: a
     * when-chain over the sorted (lo → fitted_permille) steps — an O(B)
     * projection with no join and no state, the form a streaming serve

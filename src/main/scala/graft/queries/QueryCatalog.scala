@@ -4402,6 +4402,20 @@ object QueryCatalog {
         .orderBy("doc_id")
     }),
 
+    "x_eval_auc" -> ((s, dir) => {
+      // DISCRIMINATION: exact ROC AUC (Mann–Whitney with midrank ties)
+      // of the raw NB margin against the src0 truth — the companion
+      // number to x_eval_calibration's Brier: a gate can rank perfectly
+      // yet be miscalibrated, and vice versa.
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.nbQualityScore(docs,
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"), "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("y", (col("source") === "src0").cast("long"))
+      Calibration.aucEval(scored, "score", "y")
+    }),
+
     "x_eval_calibration" -> ((s, dir) => {
       // CALIBRATION QUALITY: Brier score of the served calibrated
       // probabilities vs the src0 truth, and the skill over the
@@ -8192,6 +8206,30 @@ object QueryCatalog {
            |FROM cidx JOIN cft USING (i) ORDER BY cidx.bucket""".stripMargin,
 
       "x_quality_calibrate_serve" -> calibrateServeOracle,
+
+      "x_eval_auc" ->
+        // same NB chain; U on the ×2 midrank lattice, quotient via the
+        // exact-divisible identity (operands non-negative)
+        s"""WITH ${nbCtes()},
+           |al AS (SELECT s.score,
+           |    CAST(d.source = 'src0' AS HUGEINT) AS y
+           |  FROM nbscore s JOIN documents d USING (doc_id)),
+           |ab AS (SELECT score AS s, sum(y) AS np,
+           |    count(*) - sum(y) AS nn FROM al GROUP BY score),
+           |ac AS (SELECT s, np, nn,
+           |    coalesce(sum(nn) OVER (ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+           |  FROM ab),
+           |ag AS (SELECT sum(CAST(np AS HUGEINT) *
+           |      (2 * CAST(cnb AS HUGEINT) + CAST(nn AS HUGEINT))) AS u2,
+           |    CAST(sum(np) AS HUGEINT) AS pos,
+           |    CAST(sum(nn) AS HUGEINT) AS neg FROM ac)
+           |SELECT CAST(pos + neg AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           |  CAST(neg AS BIGINT) AS neg, CAST(u2 AS BIGINT) AS u2,
+           |  CASE WHEN pos > 0 AND neg > 0 THEN CAST(
+           |    (u2 * 1000000 - (u2 * 1000000) % (2 * pos * neg))
+           |      // (2 * pos * neg) AS BIGINT) END AS auc_e6
+           |FROM ag""".stripMargin,
 
       "x_eval_calibration" ->
         // the serve chain + truth join; baseline sum algebraic in

@@ -117,6 +117,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(g2 === ((2L, 1L, 500L, 2000000L, 500000L, Some(-3000L))))
   }
 
+  test("aucEval: perfect=1e6, inverted=0, ties and mixed pairs at midrank") {
+    def auc(rows: Seq[(Long, Long)]): Option[Long] =
+      Calibration.aucEval(rows.toDF("s", "y"), "s", "y")
+        .select("auc_e6").as[Option[Long]].head()
+    assert(auc(Seq((10L, 1L), (20L, 1L), (1L, 0L), (2L, 0L))) === Some(1000000L))
+    assert(auc(Seq((1L, 1L), (2L, 1L), (10L, 0L), (20L, 0L))) === Some(0L))
+    assert(auc(Seq((5L, 1L), (5L, 0L), (5L, 1L))) === Some(500000L)) // all tied
+    // pairs (1,2)=loss, (3,2)=win → AUC = 1/2
+    assert(auc(Seq((1L, 1L), (2L, 0L), (3L, 1L))) === Some(500000L))
+    assert(auc(Seq((1L, 1L), (2L, 1L))) === None) // one-class: undefined
+  }
+
   test("cellCohesionReport: member counts match the cell assignment exactly") {
     val rep = Dedup.cellCohesionReport(emb, "vec_id", "embedding", 16)
       .select("cell", "n_members").as[(Long, Long)].collect().toMap
