@@ -168,6 +168,16 @@ object BenchSf1 {
   /** Signature table per scale for the image near-dup miner (BMP decode
     * is priced by jpeg_transcode; this probe prices the band join).
     */
+  private val sigRegDir = "/tmp/graft_sf1_sigreg"
+  // the corpus signature REGISTRY (every non-batch doc), built once per
+  // scale — the serve probe times only the batch-vs-registry pass
+  private def stageSigRegistry(s: SparkSession, dir: String): Unit =
+    Dedup.signaturesFromShingles(
+        Dedup.shingles(docs(s, dir).filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", 3),
+        "doc_id", 128, Dedup.Hashers.xx64Base)
+      .write.mode("overwrite").parquet(s"$sigRegDir/${tagOf(dir)}")
+
   private def stageImageHashes(s: SparkSession, dir: String): Unit =
     graft.operators.Multimodal.imageHashes(
         graft.operators.Multimodal.withBmpPayload(
@@ -205,6 +215,7 @@ object BenchSf1 {
     Seq(sf01, sf1Dir).foreach { d =>
       stageIngest(spark, d)
       stageImageHashes(spark, d)
+      stageSigRegistry(spark, d)
     }
     buildServeIndex(spark, sf01, 1)
     buildServeIndex(spark, sf1Dir, copies)
@@ -811,6 +822,58 @@ object BenchSf1 {
             array_join(slice(split(col("text"), " "), 1, 5), " ").as("qtext"))
         graft.operators.TextAnalysis.bm25Prf(d, qs, "doc_id", "text",
           "qid", "qtext", 10).count()
+      }),
+      // signature-registry serve: registry staged OUTSIDE the timed
+      // region (one-time index build); the timed serve signs the FIXED
+      // batch and streams the grown registry through the broadcast
+      // semi-join once — must price as one registry scan
+      "sig_registry_serve" -> ((dir, _) => {
+        val reg = spark.read.parquet(s"$sigRegDir/${tagOf(dir)}")
+        Dedup.dedupeAgainstSignatures(
+          docs(spark, sf01).filter(col("doc_id") % 5 === 0),
+          reg, "doc_id", "text").count()
+      }),
+      // k-center: k fixed (selection budget is policy), each round one
+      // corpus scan + a TakeOrdered argmax — must price ~k linear scans
+      "kcenter_select" -> ((dir, _) =>
+        graft.operators.Embeddings.kcenterExemplars(
+          emb(spark, dir), "vec_id", "embedding", 8).count()),
+      // cell cohesion: one VecDotMatrix projection + one hash agg
+      "cluster_cohesion" -> ((dir, m) =>
+        Dedup.cellCohesionReport(emb(spark, dir), "vec_id", "embedding",
+          16 * m).count()),
+      // t-closeness: two hash aggs + a value-domain-bounded fan-out
+      "privacy_tclose" -> ((dir, _) =>
+        graft.operators.Curation.tClosenessAudit(
+          spark.read.parquet(s"$dir/customer.parquet")
+            .withColumn("bal_sign",
+              when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos"))),
+          Seq("c_nationkey", "c_mktsegment"), "bal_sign", 300).count()),
+      // nearest as-of: one key shuffle, two per-partition sorts
+      "asof_nearest" -> ((dir, _) => {
+        val events = spark.read.parquet(s"$dir/events.parquet")
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = events.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+        graft.operators.AsOfJoin.joinAsOf(purchases, clicks,
+          Seq("user_id"), "ts", "ts", Seq("click_value"),
+          direction = "nearest").count()
+      }),
+      // residual quantization: two grid aggs + two broadcast joins
+      "emb_rq8" -> ((dir, _) =>
+        graft.operators.Embeddings.residualQuantize(
+          emb(spark, dir), "vec_id", "embedding").count()),
+      // exact AUC: corpus compacts to distinct scores in one pass; the
+      // cumulative window runs over the compact table only
+      "eval_auc" -> ((dir, _) => {
+        val d = docs(spark, dir)
+        val scored = graft.operators.TextAnalysis.nbQualityScore(d,
+            d.filter(col("source") === "src0"),
+            d.filter(col("source") =!= "src0"), "doc_id", "text")
+          .join(d.select("doc_id", "source"), Seq("doc_id"))
+          .withColumn("y", (col("source") === "src0").cast("long"))
+        graft.operators.Calibration.aucEval(scored, "score", "y").count()
       }))
 
     def releaseSessionState(): Unit = {

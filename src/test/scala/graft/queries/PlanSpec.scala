@@ -67,6 +67,22 @@ class PlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("signature-registry serve: batch keys broadcast; corpus never sort-merge joins") {
+    val p = planOf("x_dedup_sig_persisted")
+    // the batch side (keys + signatures) rides broadcasts; the registry
+    // streams through semi-join filters — a SortMergeJoin here means the
+    // corpus-sized signature table started shuffling toward the batch
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("calibration serve: model-sized inequality join stays broadcast") {
+    val p = planOf("x_quality_calibrate_serve")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bitext mining: one broadcast scoring pass, exactly two data shuffles") {
     val p = planOf("x_bitext_margin")
     // source side broadcast into the scoring pass
