@@ -347,7 +347,7 @@ object QueryCatalog {
     * band keys, corpus-side bucket cap, 128-way agreement as a flat
     * list literal (binder-depth lesson), integer gate ⌈0.7·128⌉ = 90.
     */
-  private lazy val sigPersistedOracle: String = {
+  private def sigServeOracle(registryCte: String): String = {
     val r = lshNumHashes / lshBandCount
     val batchBands = (0 until lshBandCount).map { b =>
       val key = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(" || '|' || ")
@@ -363,8 +363,7 @@ object QueryCatalog {
        |$lshBaseSql,
        |bsig AS (SELECT doc_id, $lshSigSql FROM shh
        |         WHERE doc_id % 5 = 0 GROUP BY doc_id),
-       |csig AS (SELECT doc_id, sig
-       |         FROM read_parquet('$sigIdxDir/sigs/*.parquet')),
+       |csig AS ($registryCte),
        |bbands AS (
        |  $batchBands),
        |cbands AS (
@@ -385,6 +384,10 @@ object QueryCatalog {
        |FROM ver WHERE n_agree >= 90
        |ORDER BY doc_id, corpus_id""".stripMargin
   }
+
+  private lazy val sigPersistedOracle: String = sigServeOracle(
+    s"""SELECT doc_id, sig
+       |         FROM read_parquet('$sigIdxDir/sigs/*.parquet')""".stripMargin)
 
   // Quantized-hyperplane LSH for the oracle-facing embedding-pairs query.
   // Embedding components are quantized to floor(x·10⁶) — every product
@@ -890,6 +893,29 @@ object QueryCatalog {
   private val nbIdxDir = "/tmp/graft_nb_idx"
   private val calIdxDir = "/tmp/graft_cal_idx"
   private val sigIdxDir = "/tmp/graft_sig_idx"
+  private val sigLifeDir = "/tmp/graft_sig_life"
+
+  /** Stage the signature-registry LIFECYCLE fixture: base registry
+    * (corpus slices 1–2) overwritten, slices 3–4 APPENDED as new files
+    * (no rewrite of the base — the O(batch) ingest path), plus a
+    * tombstone sidecar (every 20th corpus doc) for the O(ids) takedown
+    * path. Shared by the appended and deleted serve entries.
+    */
+  private def stagedSigLifecycle(s: SparkSession, dir: String): String =
+    stageIndex(sigLifeDir, dir) {
+      val docs = t(s, dir, "documents")
+      def sigs(f: org.apache.spark.sql.Column) =
+        Dedup.signaturesFromShingles(
+          Dedup.shingles(docs.filter(f), "doc_id", "text", 3),
+          "doc_id", 128, Dedup.Hashers.md5Base)
+      sigs(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+        .coalesce(1).write.mode("overwrite").parquet(s"$sigLifeDir/sigs")
+      sigs(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+        .coalesce(1).write.mode("append").parquet(s"$sigLifeDir/sigs")
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 20 === 1)
+        .select("doc_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$sigLifeDir/tombstones")
+    }
   private val unigramIdxDir = "/tmp/graft_unigram_idx"
   private val wordpieceIdxDir = "/tmp/graft_wordpiece_idx"
   private val sq8IdxDir = "/tmp/graft_sq8_idx"
@@ -2632,6 +2658,34 @@ object QueryCatalog {
           t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
           s.read.parquet(s"$path/sigs"),
           "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
+        .orderBy("doc_id", "corpus_id")
+    }),
+
+    "x_dedup_sig_appended" -> ((s, dir) => {
+      // REGISTRY APPEND lifecycle: later corpus slices land as NEW
+      // parquet files next to the base (no rewrite — O(batch) ingest);
+      // the serve reads the combined registry and must match the
+      // recomputed oracle over the same files.
+      val path = stagedSigLifecycle(s, dir)
+      Dedup.dedupeAgainstSignatures(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          s.read.parquet(s"$path/sigs"),
+          "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
+        .orderBy("doc_id", "corpus_id")
+    }),
+
+    "x_dedup_sig_deleted" -> ((s, dir) => {
+      // REGISTRY TAKEDOWN: tombstoned corpus docs (an O(ids) sidecar,
+      // never an O(registry) rewrite — the ANN deletion-vector
+      // convention) are anti-joined out at serve; their near-dup flags
+      // disappear from the report.
+      val path = stagedSigLifecycle(s, dir)
+      val reg = s.read.parquet(s"$path/sigs")
+        .join(broadcast(s.read.parquet(s"$path/tombstones")),
+          Seq("doc_id"), "left_anti")
+      Dedup.dedupeAgainstSignatures(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          reg, "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
         .orderBy("doc_id", "corpus_id")
     }),
 
@@ -6023,6 +6077,16 @@ object QueryCatalog {
            |ORDER BY c.a, c.b""".stripMargin,
 
       "x_dedup_sig_persisted" -> sigPersistedOracle,
+
+      "x_dedup_sig_appended" -> sigServeOracle(
+        s"""SELECT doc_id, sig
+           |         FROM read_parquet('$sigLifeDir/sigs/*.parquet')""".stripMargin),
+
+      "x_dedup_sig_deleted" -> sigServeOracle(
+        s"""SELECT doc_id, sig
+           |         FROM read_parquet('$sigLifeDir/sigs/*.parquet')
+           |         WHERE doc_id NOT IN (SELECT doc_id
+           |           FROM read_parquet('$sigLifeDir/tombstones/*.parquet'))""".stripMargin),
 
       "x_dedup_incremental" ->
         s"""WITH ${jaccardPairsSql(None)},

@@ -239,6 +239,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === ((1L, 2L, expected.toLong)))
   }
 
+  test("signature registry lifecycle: append preserves content; takedown is surgical") {
+    def rows(name: String) =
+      graft.queries.QueryCatalog.all(name)(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+    val persisted = rows("x_dedup_sig_persisted")
+    val appended = rows("x_dedup_sig_appended")
+    // base+appended files hold the same logical registry as the
+    // one-shot build — the serve must not care how the files landed
+    assert(appended === persisted)
+    val deleted = rows("x_dedup_sig_deleted")
+    val tombs = spark.read.parquet("/tmp/graft_sig_life/tombstones")
+      .as[Long].collect().toSet
+    assert(deleted.subsetOf(appended))
+    assert(deleted === appended.filterNot(r => tombs.contains(r._2)))
+  }
+
   test("dedupeAgainstSignatures: planted dup flagged from the registry alone") {
     val text0 = docs.filter(col("doc_id") === 0).select("text")
       .as[String].head()
