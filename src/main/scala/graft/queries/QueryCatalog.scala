@@ -2689,6 +2689,28 @@ object QueryCatalog {
         .orderBy("doc_id", "corpus_id")
     }),
 
+    "x_stream_sigdedup" -> ((s, dir) => {
+      // LIVE ingest-dedup against the persisted registry: each arriving
+      // micro-batch is signed and flagged via foreachBatch — corpus text
+      // never read, per-doc results batch-invariant, so this shares
+      // x_dedup_sig_persisted's oracle verbatim.
+      try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Exception => () }
+      val path = stageIndex(sigIdxDir, dir) {
+        val corp = t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+        Dedup.signaturesFromShingles(
+            Dedup.shingles(corp, "doc_id", "text", 3),
+            "doc_id", 128, Dedup.Hashers.md5Base)
+          .coalesce(1).write.mode("overwrite").parquet(s"$sigIdxDir/sigs")
+      }
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      graft.streaming.StreamSigDedup.runOnce(s, dir, "documents.parquet",
+          schema, col("doc_id") % 5 === 0,
+          s.read.parquet(s"$path/sigs"), "doc_id", "text", 0.7,
+          base = Dedup.Hashers.md5Base)
+        .orderBy("doc_id", "corpus_id")
+    }),
+
     "x_dedup_incremental_fast" -> ((s, dir) => { // rows-only: production config
       // Same increment-vs-corpus report priced at the production settings
       // (xxhash64 family, signature-estimator verify) — what a daily 100 TB
@@ -6077,6 +6099,8 @@ object QueryCatalog {
            |ORDER BY c.a, c.b""".stripMargin,
 
       "x_dedup_sig_persisted" -> sigPersistedOracle,
+
+      "x_stream_sigdedup" -> sigPersistedOracle,
 
       "x_dedup_sig_appended" -> sigServeOracle(
         s"""SELECT doc_id, sig

@@ -60,10 +60,10 @@ object StreamAnnServe {
     * its id type; a zero-batch stream derives it by serving an empty
     * frame of the input shape (one trivially empty job).
     */
-  private def runForeach(spark: SparkSession, queryDir: String,
-                         fileGlob: String, schema: StructType,
-                         queryPred: Column)
-                        (serve: DataFrame => DataFrame): DataFrame = {
+  private[streaming] def runForeach(spark: SparkSession, queryDir: String,
+                                    fileGlob: String, schema: StructType,
+                                    queryPred: Column)
+                                   (serve: DataFrame => DataFrame): DataFrame = {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", fileGlob).parquet(queryDir)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
