@@ -155,6 +155,23 @@ object Demo {
     println(s"== MaxSim late interaction     -> ${Similarity.maxsimTopK(demoToks, demoToks.filter($"vec_id" < 3), "vec_id", "toks", 5, tokenDim = 16).count()} ranked rows for 3 query token-matrices")
     println(s"== water-filled 60% mix        -> ${Curation.domainWaterfill(docs, "source", "n_chars", docs.agg(sum($"n_chars").cast("long")).first().getLong(0) * 6 / 10).filter(!col("saturated")).count()} domains capped at the common level")
 
+    // round-10 extension surfaces, driven end to end
+    println(s"== bitext margin mining        -> ${Similarity.bitextMine(emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", 8).count()} mutual pairs mined")
+    val demoScored = TextAnalysis.nbQualityScore(docs,
+        docs.filter($"source" === "src0"), docs.filter($"source" =!= "src0"),
+        "doc_id", "text")
+      .join(docs.select($"doc_id", ($"source" === "src0").cast("long").as("y")), Seq("doc_id"))
+    val demoCalib = graft.operators.Calibration
+      .isotonicCalibrate(demoScored, "score", "y", 12)
+    println(s"== isotonic calibration        -> ${demoCalib.count()} buckets, fit monotone; AUC = ${graft.operators.Calibration.aucEval(demoScored, "score", "y").select("auc_e6").first().getLong(0)} e-6")
+    println(s"== span-corruption pairs       -> ${Curation.spanCorruptionPairs(docs, "doc_id", "text").agg(sum("n_spans")).first().getLong(0)} masked spans across the corpus")
+    println(s"== PRF-expanded retrieval      -> ${TextAnalysis.bm25Prf(docs, docs.filter($"doc_id" < 3).select($"doc_id".as("qid"), array_join(slice(split($"text", " "), 1, 5), " ").as("qtext")), "doc_id", "text", "qid", "qtext", 10).count()} ranked rows after feedback")
+    val demoReg = Dedup.signaturesFromShingles(
+      Dedup.shingles(docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", 3),
+      "doc_id", 128, Dedup.Hashers.xx64Base)
+    println(s"== registry dedup-serve        -> ${Dedup.dedupeAgainstSignatures(docs.filter($"doc_id" % 5 === 0), demoReg, "doc_id", "text").count()} near-pairs flagged without re-reading corpus text")
+    println(s"== k-center exemplars          -> ${graft.operators.Embeddings.kcenterExemplars(emb, "vec_id", "embedding", 4).count()} diverse seeds selected")
+
     // 8. The same engine over a REAL HTTP boundary: spin the in-process
     // portal double, swap the REST client in as the active sink, and run
     // a full save/filtered-read cycle whose scan pages and write batches
