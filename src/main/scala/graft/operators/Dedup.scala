@@ -1515,6 +1515,28 @@ object Dedup {
         sum(when(col("own_dot") <= 0, 1L).otherwise(0L)).as("n_antialigned"))
   }
 
+  /** Signature-registry health report — observability symmetry with
+    * `describeIvf`/`describePq`: document count, parquet FILE census
+    * (append-heavy registries accumulate small files; this is the gauge
+    * a compaction policy reads), signature-width bounds (a mixed-width
+    * registry means two incompatible hash configs got appended — the
+    * serve would silently under-agree), and pending tombstones. One
+    * listing-sized aggregation over the artifact.
+    */
+  def describeSigRegistry(spark: org.apache.spark.sql.SparkSession,
+                          path: String): DataFrame = {
+    // input_file_name() must be projected BEFORE the aggregate (a
+    // non-deterministic expression cannot sit inside countDistinct)
+    val sigs = spark.read.parquet(s"$path/sigs")
+      .withColumn("__file", input_file_name())
+    val tombs = spark.read.parquet(s"$path/tombstones")
+    sigs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__file")).as("n_files"),
+        min(size(col("sig"))).cast("long").as("sig_width_min"),
+        max(size(col("sig"))).cast("long").as("sig_width_max"))
+      .crossJoin(tombs.agg(count(lit(1)).as("n_tombstones")))
+  }
+
   private def quantizedWithNorm(emb: DataFrame, idCol: String,
                                 vecCol: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot

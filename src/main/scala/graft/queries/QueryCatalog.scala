@@ -2711,6 +2711,16 @@ object QueryCatalog {
         .orderBy("doc_id", "corpus_id")
     }),
 
+    "x_dedup_sig_report" -> ((s, dir) => {
+      // REGISTRY OBSERVABILITY: doc count, parquet-file census (the
+      // compaction gauge for append-heavy registries), signature-width
+      // bounds, pending tombstones — the describeIvf of the dedup
+      // pillar; the oracle replays the file census via
+      // read_parquet(filename = true).
+      val path = stagedSigLifecycle(s, dir)
+      Dedup.describeSigRegistry(s, path)
+    }),
+
     "x_dedup_incremental_fast" -> ((s, dir) => { // rows-only: production config
       // Same increment-vs-corpus report priced at the production settings
       // (xxhash64 family, signature-estimator verify) — what a daily 100 TB
@@ -6101,6 +6111,18 @@ object QueryCatalog {
       "x_dedup_sig_persisted" -> sigPersistedOracle,
 
       "x_stream_sigdedup" -> sigPersistedOracle,
+
+      "x_dedup_sig_report" ->
+        s"""WITH sgf AS (SELECT doc_id, sig, filename
+           |  FROM read_parquet('$sigLifeDir/sigs/*.parquet', filename = true))
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+           |  CAST(min(len(sig)) AS BIGINT) AS sig_width_min,
+           |  CAST(max(len(sig)) AS BIGINT) AS sig_width_max,
+           |  (SELECT CAST(count(*) AS BIGINT)
+           |   FROM read_parquet('$sigLifeDir/tombstones/*.parquet'))
+           |    AS n_tombstones
+           |FROM sgf""".stripMargin,
 
       "x_dedup_sig_appended" -> sigServeOracle(
         s"""SELECT doc_id, sig
