@@ -177,14 +177,18 @@ object AnnIndex {
   /** Append takedown ids to the index's tombstone sidecar, in the id
     * column's NATIVE type — a cast here would turn e.g. string ids into
     * nulls and make the serve-time anti-join silently delete NOTHING,
-    * the worst failure mode a compliance API can have. One small file
-    * per takedown call (the sidecar is bounded policy data); duplicates
-    * across calls are harmless — the reader distincts.
+    * the worst failure mode a compliance API can have. Duplicates across
+    * calls are harmless — the reader distincts. File sizing is NOT
+    * `coalesce(1)`: a mass-takedown batch (10⁸ ids) through one task is
+    * a straggler and an ever-growing single-file lineage. The `distinct`
+    * already shuffles, so AQE's post-shuffle coalescing sizes the output
+    * to `spark.sql.adaptive.advisoryPartitionSizeInBytes` — a trickle
+    * takedown still lands as one small file, a bulk one fans out.
     */
   private def appendTombstones(path: String, ids: DataFrame,
                                idCol: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
-      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append").parquet(s"$path/tombstones")
 
   /** The pending tombstone set, if any takedowns have not been folded
     * yet (None ⇒ no sidecar ⇒ serve skips the anti-join entirely).

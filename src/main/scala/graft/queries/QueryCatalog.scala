@@ -281,6 +281,14 @@ object QueryCatalog {
     */
   private val evalSampleMod = 2
 
+  /** Query-sampling modulus for the IVF autotune sweep — the same
+    * md5-residue convention as [[evalSampleMod]] (deterministic,
+    * partition-independent, engine-replayable); at production scale
+    * this grows with the corpus so the |sample|·|members| truth pass
+    * stays flat (the BenchSf1 `ann_autotune` probe's regime).
+    */
+  private val annTuneSampleMod = 10
+
   /** The sampled exact-Jaccard truth CTEs (`samp …, sjac`): the
     * [[jaccardPairsSql]] chain restricted to the md5-sampled doc subset,
     * with CTE names disjoint from the LSH chain's so the eval oracle can
@@ -4200,8 +4208,14 @@ object QueryCatalog {
     "x_ann_autotune" -> ((s, dir) => { // oracle: full sweep+recall replay over the persisted index
       // THE KNOB-PICKING LOOP: before an IVF deployment ships, sweep
       // nprobe over candidates and measure recall@10 against the exact
-      // brute-force truth on a deterministic sampled query set (1-in-10
-      // here) — one scored pass at max(nprobe) prices the whole sweep
+      // brute-force truth on a deterministic md5-sampled query set —
+      // the SAME sampling convention as x_eval_dedup_sampled (hash the
+      // id, take a residue class), so the sample is partition-independent
+      // and engine-replayable, and at scale the modulus grows with the
+      // corpus to hold the sample COUNT constant (the BenchSf1
+      // ann_autotune probe's regime — truth is |sample|·|members|, so a
+      // constant sample keeps the quadratic leg flat while the index
+      // grows). One scored pass at max(nprobe) prices the whole sweep
       // (probe ranks kept, every sweep point re-ranks the same frame),
       // one |sample|×|members| pass prices the truth. The report picks
       // the smallest nprobe meeting the 95% target (explicit best-effort
@@ -4211,9 +4225,11 @@ object QueryCatalog {
       val path = stageIndex(ivfIdxDir, dir)(
         graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
           ivfIdxDir, nlist = 16))
+      val sampleQ = emb.filter(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % annTuneSampleMod === 7)
       graft.operators.AnnIndex.tuneIvf(s, path,
-          emb.filter(col("vec_id") % 10 === 7), "vec_id", "embedding",
-          10, Seq(1, 2, 4, 8))
+          sampleQ, "vec_id", "embedding", 10, Seq(1, 2, 4, 8))
         .orderBy("nprobe")
     }),
 
@@ -7431,7 +7447,8 @@ object QueryCatalog {
            |         FROM read_parquet('$ivfIdxDir/cells/*/*.parquet',
            |                           hive_partitioning = true)),
            |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nq
-           |      WHERE vec_id % 10 = 7),
+           |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+           |            % $annTuneSampleMod = 7),
            |probe AS (SELECT qid, cid, rn AS probe_rank FROM (
            |    SELECT q.qid, c.cid,
            |           row_number() OVER (PARTITION BY q.qid

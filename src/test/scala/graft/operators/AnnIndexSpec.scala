@@ -280,6 +280,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ids.forall(_ % 2 == 0), "folded codes keep tombstoned members")
   }
 
+  test("mass takedown fans out: a 10^7-id batch is not a single-task funnel") {
+    val path = "/tmp/graft_test_ivf_idx_massdel"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    // a bulk compliance batch: 10^7 ids in one call (tombstones are
+    // policy data — ids that were never indexed are legal and inert)
+    AnnIndex.ivfDelete(spark, path,
+      spark.range(10000000L).select(col("id").as("vec_id")), "vec_id")
+    val files = new java.io.File(s"$path/tombstones").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1,
+      s"bulk takedown landed in ${files.length} file(s) — the append " +
+        "must fan out with the distinct's shuffle, not coalesce(1)")
+    // suppression still holds end-to-end over the multi-file sidecar
+    // (every sf0.001 vec_id is < 10^7, so the index is fully suppressed)
+    val served = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(served.isEmpty, "ids tombstoned by the bulk batch still serve")
+    // a trickle takedown after the bulk one still appends O(ids) — the
+    // cells are untouched throughout (no rewrite, no re-read)
+    AnnIndex.ivfDelete(spark, path,
+      emb.limit(1).select("vec_id"), "vec_id")
+    assert(new java.io.File(s"$path/tombstones").listFiles()
+      .count(_.getName.endsWith(".parquet")) > files.length)
+  }
+
   test("a rebuild clears a stale sidecar: fresh membership = the corpus given") {
     val path = "/tmp/graft_test_ivf_idx_stale"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
