@@ -5355,6 +5355,44 @@ object QueryCatalog {
         .orderBy("a", "b")
     }),
 
+    "x_pipeline_multimodal" -> ((s, dir) => {
+      // THE MULTIMODAL COMPOSITE — completes the per-pillar composite
+      // pattern (curate/rag/semantic/pretrain/web/tokenizer): decode →
+      // signature table (staged like the ANN index — the decode chain is
+      // pinned by ImageHashSpec, the artifact is the replay root) →
+      // hamming-LSH near-dup mining → connected components → keep each
+      // cluster's canonical (min-id) copy → shard manifest of exactly
+      // what ships. ONE DataFrame program, ONE replay chain: every step
+      // past the staged signatures is pure 64-bit integer arithmetic,
+      // so the end-to-end pipeline is hash-gated, not step-by-step.
+      val staged = stageImageHashes(s, dir)
+      val h = s.read.parquet(staged)
+      val clusters = Dedup.duplicateClusters(
+        Multimodal.imageNearDupPairs(h, maxHamming = 6))
+      // kept set = cluster canonicals + every unpaired image (absent
+      // from the cluster table by definition) — one broadcast anti-join
+      // of the small non-canonical id set against the signature table
+      val gone = clusters.filter(!col("keep")).select(col("doc_id").as("id"))
+      val kept = h.join(broadcast(gone), Seq("id"), "left_anti")
+      // manifest: deterministic md5 shards + order-independent modular
+      // checksum over (id|ahash) — the x_export_manifest convention, so
+      // a trainer can validate the delivered shards without re-mining
+      val P = 1000000007L
+      kept
+        .withColumn("shard",
+          conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 8)
+        .withColumn("__h", conv(substring(md5(concat(
+            col("id").cast("string"), lit("|"), col("ahash").cast("string"))),
+          1, 15), 16, 10).cast("long") % P)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_images"),
+          (sum(col("__h")) % P).as("checksum"),
+          min("id").as("min_id"),
+          max("id").as("max_id"))
+        .orderBy("shard")
+    }),
+
     "x_eval_image_dedup" -> ((s, dir) => {
       // The image member of the EVAL pillar: banding recall vs exact
       // hamming truth. At ≤7 bits over 8 byte-bands the pigeonhole
@@ -7578,6 +7616,46 @@ object QueryCatalog {
            |SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
            |FROM pairs WHERE bit_count(xor(ha, hb)) <= 6
            |ORDER BY a, b""".stripMargin,
+
+      "x_pipeline_multimodal" ->
+        // the whole composite replayed as one chain over the staged
+        // signatures: band mining (the x_dedup_images CTEs) → recursive
+        // min-label components → keep canonicals → md5 shards + modular
+        // checksum (the x_export_manifest convention)
+        s"""WITH RECURSIVE h AS (SELECT id, ahash
+           |  FROM read_parquet('$imgHashStageDir/hashes.parquet')),
+           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
+           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+           |       HAVING count(*) >= 2 AND count(*) <= 1000),
+           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |pairs AS (SELECT DISTINCT c1.id AS a, c2.id AS b,
+           |            c1.ahash AS ha, c2.ahash AS hb
+           |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
+           |            AND c1.bv = c2.bv AND c1.id < c2.id),
+           |np AS (SELECT a, b FROM pairs WHERE bit_count(xor(ha, hb)) <= 6),
+           |edges AS (SELECT a AS src, b AS dst FROM np
+           |          UNION SELECT b, a FROM np),
+           |reach AS (
+           |  SELECT DISTINCT src AS node, src AS label FROM edges
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |lab AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+           |gone AS (SELECT node AS id FROM lab WHERE node <> cluster),
+           |kept AS (SELECT h.id, h.ahash FROM h
+           |         LEFT JOIN gone g ON g.id = h.id WHERE g.id IS NULL),
+           |sh AS (SELECT id, ahash,
+           |         ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT % 8
+           |           AS shard,
+           |         ('0x' || substr(md5(CAST(id AS VARCHAR) || '|' ||
+           |                             CAST(ahash AS VARCHAR)), 1, 15))::BIGINT
+           |           % 1000000007 AS hv
+           |       FROM kept)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_images,
+           |  CAST(sum(hv) % 1000000007 AS BIGINT) AS checksum,
+           |  CAST(min(id) AS BIGINT) AS min_id,
+           |  CAST(max(id) AS BIGINT) AS max_id
+           |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
       "x_eval_image_dedup" ->
         // truth = exact all-pairs hamming; found = uncapped band mining;

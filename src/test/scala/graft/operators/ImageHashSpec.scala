@@ -157,6 +157,31 @@ class ImageHashSpec extends AnyFunSuite {
     assert((1L to 3L).forall(i => found.contains((i, i + 100L))))
   }
 
+  test("multimodal pipeline composite: manifest accounting reconciles with the mined clusters") {
+    val dir = "/root/testdata/sf0.001"
+    val manifest = graft.queries.QueryCatalog
+      .all("x_pipeline_multimodal")(spark, dir).collect()
+    // the entry stages the signature table at this keyed path — reconcile
+    // the manifest against an independent count over the same artifact
+    val h = spark.read.parquet("/tmp/graft_imghash_stage/hashes.parquet")
+    val dropped = Dedup.duplicateClusters(
+        Multimodal.imageNearDupPairs(h, maxHamming = 6))
+      .filter(!col("keep")).count()
+    val total = h.count()
+    assert(dropped > 0,
+      "doubled corpus guarantees exact-dup pairs — nothing was dropped")
+    assert(manifest.map(_.getAs[Long]("n_images")).sum == total - dropped,
+      "manifest image count != kept set size")
+    val shards = manifest.map(_.getAs[Long]("shard"))
+    assert(shards.toSet.subsetOf((0L to 7L).toSet) &&
+      shards.length == shards.toSet.size)
+    assert(manifest.forall { r =>
+      val c = r.getAs[Long]("checksum")
+      c >= 0L && c < 1000000007L &&
+        r.getAs[Long]("min_id") <= r.getAs[Long]("max_id")
+    })
+  }
+
   test("audio fingerprint is a pure function of decoded samples (re-encode invariant)") {
     val docs = Seq((7L, "resampling must not change identity of identical bytes"))
       .toDF("doc_id", "text")
