@@ -485,6 +485,15 @@ object HostedStore {
     staged.remove((itemId, partKey, attemptId))
     ()
   }
+
+  /** Observability: attempts still holding staged (unpublished) buffers
+    * for an item. After a completed write this must be 0 — attempts that
+    * died without abort are purged when their partition publishes, so a
+    * non-zero here after job end means a staging leak (the fault drill's
+    * post-kill invariant).
+    */
+  def stagedBufferCount(itemId: String): Int =
+    staged.keySet.asScala.count(_._1 == itemId)
 }
 
 /** Service-side evaluation of Spark source filters over stored rows —

@@ -112,6 +112,32 @@ object HostedSinks {
   @volatile var active: HostedTableSink = InProcessHostedSink
 }
 
+/** Serializable pointer to a portal service. Connector options
+  * (`portal_url` + `token`) carry it into tasks; each EXECUTOR JVM then
+  * constructs — and caches — its own [[RestHostedService]] from it. This
+  * is what makes the connector multi-process-correct: on a real cluster
+  * (or `local-cluster` in the fault drill) executors are separate JVMs
+  * where the [[HostedSinks.active]] global would silently point at an
+  * executor-local in-memory store. The service itself is never shipped
+  * (it is not serializable by design) — only this two-string ref is.
+  */
+case class ServiceRef(url: String, token: String)
+
+/** Per-JVM resolution of the sink a task should talk to: an explicit
+  * [[ServiceRef]] wins (cached one client per (url, token) per JVM — the
+  * HttpClient pools connections across that JVM's tasks); absent one,
+  * the process-global [[HostedSinks.active]] (local mode and tests).
+  */
+object SinkResolver {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[ServiceRef, HostedTableSink]()
+  def resolve(ref: Option[ServiceRef]): HostedTableSink = ref match {
+    case None    => HostedSinks.active
+    case Some(r) =>
+      cache.computeIfAbsent(r, rr => new RestHostedService(rr.url, rr.token))
+  }
+}
+
 /** [[HostedStore]] exposed through the sink seam. */
 object InProcessHostedSink extends HostedTableSink {
   override def resolveByTitle(title: String): Option[String] = HostedStore.resolveByTitle(title)

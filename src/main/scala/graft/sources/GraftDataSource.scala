@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.WriteMode
-import graft.sinks.{FilterEval, HostedSinks}
+import graft.sinks.{FilterEval, HostedSinks, ServiceRef, SinkResolver}
 
 /** DataSource V2 connector for hosted tables: `format("graft")`.
   *
@@ -46,7 +46,11 @@ import graft.sinks.{FilterEval, HostedSinks}
   * driver-side sort-then-slice (`:193-208`).
   *
   * Options: `itemId` (read/write existing), `pageSize` (read, default
-  * 10000), `writeMode` (append|upsert|update|insert), `key`, `chunkSize`.
+  * 10000), `writeMode` (append|upsert|update|insert), `key`, `chunkSize`,
+  * `portal_url` + `token` (cluster deployments: every task constructs its
+  * own [[graft.sinks.RestHostedService]] from these — without them the
+  * connector talks to the process-global sink, which is only correct in
+  * single-JVM `local` mode).
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
@@ -58,7 +62,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    HostedSinks.active.schemaOf(itemId(options))
+    SinkResolver.resolve(GraftDataSource.svcOf(options)).schemaOf(itemId(options))
 
   override def getTable(
       schema: StructType,
@@ -67,6 +71,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new GraftTable(itemId(opts), schema, opts)
   }
+}
+
+object GraftDataSource {
+  /** The explicit service pointer, if the options carry one. */
+  private[sources] def svcOf(o: CaseInsensitiveStringMap): Option[ServiceRef] =
+    Option(o.get("portal_url"))
+      .map(u => ServiceRef(u, Option(o.get("token")).getOrElse("")))
 }
 
 class GraftTable(itemId: String, schema: StructType, options: CaseInsensitiveStringMap)
@@ -80,15 +91,18 @@ class GraftTable(itemId: String, schema: StructType, options: CaseInsensitiveStr
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(itemId, schema,
-      math.max(1, Option(o.get("pageSize")).map(_.toLong).getOrElse(10000L)))
+      math.max(1, Option(o.get("pageSize")).map(_.toLong).getOrElse(10000L)),
+      GraftDataSource.svcOf(o).orElse(GraftDataSource.svcOf(options)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(itemId, info)
+    new GraftWriteBuilder(itemId, info,
+      GraftDataSource.svcOf(info.options).orElse(GraftDataSource.svcOf(options)))
 }
 
 // ---------------------------------------------------------------- read path
 
-class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
+class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long,
+                       svc: Option[ServiceRef] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -185,8 +199,8 @@ class GraftScanBuilder(itemId: String, fullSchema: StructType, pageSize: Long)
 
   override def build(): Scan = pushedStats match {
     case Some((groups, specs)) =>
-      new GraftStatsScan(itemId, fullSchema, pushed, groups, specs)
-    case None => new GraftScan(itemId, required, pushed, limit, pageSize)
+      new GraftStatsScan(itemId, fullSchema, pushed, groups, specs, svc)
+    case None => new GraftScan(itemId, required, pushed, limit, pageSize, svc)
   }
 }
 
@@ -201,7 +215,7 @@ case class StatSpec(op: String, field: Option[String])
   */
 class GraftStatsScan(itemId: String, tableSchema: StructType,
                      filters: Array[Filter], groupFields: Seq[String],
-                     specs: Seq[StatSpec])
+                     specs: Seq[StatSpec], svc: Option[ServiceRef] = None)
     extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(
@@ -231,20 +245,22 @@ class GraftStatsScan(itemId: String, tableSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     Array(GraftStatsPartition(itemId, filters, groupFields, specs))
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftStatsReaderFactory(readSchema())
+    GraftStatsReaderFactory(readSchema(), svc)
 }
 
 case class GraftStatsPartition(itemId: String, filters: Array[Filter],
                                groupFields: Seq[String], specs: Seq[StatSpec])
     extends InputPartition
 
-case class GraftStatsReaderFactory(schema: StructType) extends PartitionReaderFactory {
+case class GraftStatsReaderFactory(schema: StructType,
+                                   svc: Option[ServiceRef] = None)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[GraftStatsPartition]
     new PartitionReader[InternalRow] {
       private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
       private val it: Iterator[Row] = {
-        val sink = HostedSinks.active
+        val sink = SinkResolver.resolve(svc)
         if (sp.groupFields.isEmpty) {
           val values = sp.specs.map {
             case StatSpec("count", _) => sink.queryCount(sp.itemId, sp.filters)
@@ -271,7 +287,8 @@ case class GraftStatsReaderFactory(schema: StructType) extends PartitionReaderFa
 }
 
 class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
-                limit: Option[Long], pageSize: Long)
+                limit: Option[Long], pageSize: Long,
+                svc: Option[ServiceRef] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -283,7 +300,7 @@ class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
   // partition planning (each extra call is a remote round-trip in the
   // REST deployment).
   private lazy val matchingRows: Long = {
-    val matching = HostedSinks.active.queryCount(itemId, filters)
+    val matching = SinkResolver.resolve(svc).queryCount(itemId, filters)
     limit.fold(matching)(math.min(matching, _))
   }
 
@@ -299,7 +316,7 @@ class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(itemId, schema, filters, pageSize)
+    new GraftMicroBatchStream(itemId, schema, filters, pageSize, svc)
 
   /** Post-pushdown row/size estimates so Catalyst can pick broadcast
     * joins for small hosted tables (reuses the scan's single count call).
@@ -322,7 +339,7 @@ class GraftScan(itemId: String, schema: StructType, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(schema.fieldNames, filters, schema)
+    GraftReaderFactory(schema.fieldNames, filters, schema, svc)
 }
 
 case class GraftInputPartition(itemId: String, offset: Long, count: Long)
@@ -335,13 +352,14 @@ case class GraftOffset(position: Long)
 }
 
 class GraftMicroBatchStream(itemId: String, schema: StructType,
-                            filters: Array[Filter], pageSize: Long)
+                            filters: Array[Filter], pageSize: Long,
+                            svc: Option[ServiceRef] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   override def initialOffset(): Offset = GraftOffset(0L)
   override def latestOffset(): Offset =
-    GraftOffset(HostedSinks.active.queryCount(itemId, filters))
+    GraftOffset(SinkResolver.resolve(svc).queryCount(itemId, filters))
   override def deserializeOffset(json: String): Offset = {
     val p = json.replaceAll("[^0-9]", "")
     GraftOffset(if (p.isEmpty) 0L else p.toLong)
@@ -364,20 +382,23 @@ class GraftMicroBatchStream(itemId: String, schema: StructType,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(schema.fieldNames, filters, schema)
+    GraftReaderFactory(schema.fieldNames, filters, schema, svc)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 case class GraftReaderFactory(cols: Array[String], filters: Array[Filter],
-                              schema: StructType) extends PartitionReaderFactory {
+                              schema: StructType,
+                              svc: Option[ServiceRef] = None)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
     new PartitionReader[InternalRow] {
-      // Each task fetches its own page — in production this is the task's
-      // own HTTP query with resultOffset/resultRecordCount.
-      private val it =
-        HostedSinks.active.queryPage(gp.itemId, gp.offset, gp.count, cols, filters)
+      // Each task fetches its own page — with `portal_url` set this IS
+      // the task's own HTTP query with resultOffset/resultRecordCount,
+      // constructed executor-side from the serializable ref.
+      private val it = SinkResolver.resolve(svc)
+        .queryPage(gp.itemId, gp.offset, gp.count, cols, filters)
       private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -399,7 +420,8 @@ case class GraftReaderFactory(cols: Array[String], filters: Array[Filter],
   * That is exactly how a hosted-table sink should consume an updating
   * aggregation (no complete-mode re-emit of the whole result table).
   */
-class GraftWriteBuilder(itemId: String, info: LogicalWriteInfo)
+class GraftWriteBuilder(itemId: String, info: LogicalWriteInfo,
+                        svc: Option[ServiceRef] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.GraftStreamingUpdateAsAppend {
   private var truncateFirst = false
@@ -415,13 +437,13 @@ class GraftWriteBuilder(itemId: String, info: LogicalWriteInfo)
     WriteMode.validate(mode, key).left.foreach(e => throw new IllegalArgumentException(e))
     val chunkSize = Option(o.get("chunkSize")).map(_.toInt).getOrElse(100000)
     new GraftWrite(itemId, info.schema(), mode, key, chunkSize, truncateFirst,
-      info.queryId())
+      info.queryId(), svc)
   }
 }
 
 class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
                  key: Option[String], chunkSize: Int, truncateFirst: Boolean,
-                 queryId: String)
+                 queryId: String, svc: Option[ServiceRef] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   // With a merge key, ask Catalyst for a range distribution ordered by the
@@ -442,9 +464,10 @@ class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
       // Driver-side, exactly-once setup: truncate for overwrite
       // (src/agol_pandas.py:395-396) and index-ensure for merge modes
       // (src/agol_pandas.py:410-412).
-      if (truncateFirst || mode == WriteMode.Overwrite) HostedSinks.active.truncate(itemId)
+      if (truncateFirst || mode == WriteMode.Overwrite)
+        SinkResolver.resolve(svc).truncate(itemId)
       key.foreach { k =>
-        if (!graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, itemId, k))
+        if (!graft.core.IndexPoll.ensureUniqueIndex(SinkResolver.resolve(svc), itemId, k))
           throw new IllegalStateException(
             s"unique index on '$k' never became visible on '$itemId'")
       }
@@ -452,7 +475,7 @@ class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
       // it are stable across task retries, so replayed flushes dedup
       // service-side (exactly-once on at-least-once attempts).
       GraftWriterFactory(itemId, schema, mode, key, chunkSize,
-        java.util.UUID.randomUUID().toString)
+        java.util.UUID.randomUUID().toString, svc)
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val report = messages.toSeq.map(_.asInstanceOf[GraftCommitMessage])
@@ -474,11 +497,12 @@ class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
     override def createStreamingWriterFactory(
         i: PhysicalWriteInfo): wstream.StreamingDataWriterFactory = {
       key.foreach { k =>
-        if (!graft.core.IndexPoll.ensureUniqueIndex(HostedSinks.active, itemId, k))
+        if (!graft.core.IndexPoll.ensureUniqueIndex(SinkResolver.resolve(svc), itemId, k))
           throw new IllegalStateException(
             s"unique index on '$k' never became visible on '$itemId'")
       }
-      GraftStreamingWriterFactory(itemId, schema, mode, key, chunkSize, queryId)
+      GraftStreamingWriterFactory(itemId, schema, mode, key, chunkSize, queryId,
+        svc)
     }
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       GraftWriteReports.record(itemId,
@@ -489,12 +513,13 @@ class GraftWrite(itemId: String, schema: StructType, mode: WriteMode,
 
 case class GraftStreamingWriterFactory(itemId: String, schema: StructType,
                                        mode: WriteMode, key: Option[String],
-                                       chunkSize: Int, queryId: String)
+                                       chunkSize: Int, queryId: String,
+                                       svc: Option[ServiceRef] = None)
     extends wstream.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(itemId, schema, mode, key, chunkSize, partitionId,
-      s"$queryId:e$epochId", taskId)
+      s"$queryId:e$epochId", taskId, svc)
 }
 
 case class GraftCommitMessage(partitionId: Int, rows: Long, batches: Int,
@@ -513,11 +538,11 @@ object GraftWriteReports {
 
 case class GraftWriterFactory(itemId: String, schema: StructType,
                               mode: WriteMode, key: Option[String], chunkSize: Int,
-                              writeId: String)
+                              writeId: String, svc: Option[ServiceRef] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(itemId, schema, mode, key, chunkSize, partitionId,
-      writeId, taskId)
+      writeId, taskId, svc)
 }
 
 /** Buffers up to `chunkSize` rows, then STAGES the chunk — one service
@@ -537,10 +562,14 @@ case class GraftWriterFactory(itemId: String, schema: StructType,
   */
 class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
                       key: Option[String], chunkSize: Int, partitionId: Int,
-                      writeId: String, attemptId: Long)
+                      writeId: String, attemptId: Long,
+                      svc: Option[ServiceRef] = None)
     extends DataWriter[InternalRow] {
 
   private val partKey = s"$writeId:p$partitionId"
+  // resolved lazily IN THE TASK: with `portal_url` set, this is the
+  // executor JVM's own cached HTTP client, never a shipped object
+  private def sink = SinkResolver.resolve(svc)
 
   private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
   private val keyIdx = key.map(schema.fieldIndex)
@@ -576,21 +605,21 @@ class GraftDataWriter(itemId: String, schema: StructType, mode: WriteMode,
   private def flush(): Unit = if (buf.nonEmpty) {
     // chunk ordinal keys the stage PUT: a transport retry of this call
     // re-posts the same buffer under the same id — idempotent
-    HostedSinks.active.stageBatch(itemId, partKey, attemptId, batches, buf.toSeq)
+    sink.stageBatch(itemId, partKey, attemptId, batches, buf.toSeq)
     batches += 1
     buf.clear()
   }
 
   override def commit(): WriterCommitMessage = {
     flush()
-    HostedSinks.active.commitStaged(itemId, partKey, attemptId, mode, key)
+    sink.commitStaged(itemId, partKey, attemptId, mode, key)
     GraftCommitMessage(partitionId, rows, batches,
       Option(minKeyVal).map(String.valueOf).getOrElse(""),
       Option(maxKeyVal).map(String.valueOf).getOrElse(""))
   }
   override def abort(): Unit = {
     buf.clear()
-    HostedSinks.active.discardStaged(itemId, partKey, attemptId)
+    sink.discardStaged(itemId, partKey, attemptId)
   }
   override def close(): Unit = ()
 }
