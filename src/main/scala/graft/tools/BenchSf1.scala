@@ -29,6 +29,19 @@ object BenchSf1 {
   private val sf1Dir = "/tmp/graft_sf1"
   private val copies = 10
 
+  /** The heaviest sf1 probes (by sf1 wall time in BENCH_SF1.json) — the
+    * small-heap drill re-runs exactly these at sf1 under a deliberately
+    * starved heap (`SPARK_DRIVER_MEM=2g SPARK_GRAFT_CPUS=8 sbt "runMain
+    * graft.tools.BenchSf1 smallheap"`) to back the bounded-state claims
+    * (capped collect_list buckets, capacity sketches, cellCap, one-shard
+    * exporter buffering) with an EMPIRICAL zero-OOM run, not just size
+    * assertions in specs. Writes BENCH_SMALLHEAP.json.
+    */
+  private val smallHeapProbes = Set(
+    "stream_heavyhitters", "stream_distinct", "split_leakfree", "emb_pca",
+    "dup_clusters", "cdc_stream", "minhash_lsh_est", "cross_decontam_est",
+    "incremental_est", "cdc_purge", "graph_triangles", "ivf_takedown")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     graft.api.Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -202,6 +215,7 @@ object BenchSf1 {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val smallHeap = args.contains("smallheap")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -211,6 +225,15 @@ object BenchSf1 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     CodegenErrors.install()
+    if (smallHeap) {
+      val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      require(heapMb <= 2200,
+        s"small-heap drill launched with ${heapMb}MB heap; run with " +
+          "SPARK_DRIVER_MEM=2g SPARK_GRAFT_CPUS=8")
+      // the 100 TB partition-sizing discipline: under a starved heap you
+      // size shuffle partitions DOWN in bytes (more of them), not up
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+    }
     buildSf1(spark)
     Seq(sf01, sf1Dir).foreach { d =>
       stageIngest(spark, d)
@@ -900,6 +923,33 @@ object BenchSf1 {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       ts.minOption
+    }
+
+    if (smallHeap) {
+      val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+      val sel = probes.filter(p => smallHeapProbes(p._1))
+      val missing = smallHeapProbes -- probes.map(_._1).toSet
+      require(missing.isEmpty, s"small-heap probes not found: $missing")
+      val rows = sel.map { case (name, run) =>
+        val t = timeMin(name, 2)(run(sf1Dir, copies))
+        println(s"== smallheap ${name.padTo(22, ' ')} " +
+          t.fold("FAIL")(v => f"$v%7.2f s"))
+        (name, t)
+      }
+      val num = (o: Option[Double]) => o.fold("null")(t => f"$t%.3f")
+      val qjson = rows.map { case (n, t) => s""""$n":${num(t)}""" }
+        .mkString("{", ",", "}")
+      val json =
+        s"""{"metric":"smallheap_sf1_seconds","heap_mb":$heapMb,""" +
+        s""""cpus":$cpus,"shuffle_partitions":64,"copies":$copies,""" +
+        s""""queries":$qjson,""" +
+        s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""codegen_errors":${CodegenErrors.total}}"""
+      Files.writeString(Paths.get("BENCH_SMALLHEAP.json"), json + "\n")
+      spark.stop()
+      println(json)
+      if (failures.nonEmpty) sys.exit(1)
+      return
     }
 
     val rows = probes.map { case (name, run) =>
