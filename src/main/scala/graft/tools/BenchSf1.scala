@@ -130,6 +130,61 @@ object BenchSf1 {
     rmRec(java.nio.file.Paths.get(tmpEv))
   }
 
+  /** Synthesize the 100× corpus for the SF10 PLATEAU RUN — only the
+    * tables the four attributed regime-boundary probes read (documents,
+    * events, customer). Built FROM the materialized sf1 data as 10 more
+    * copy-shifted copies (two-level inflation: copy index = a·10 + b),
+    * so id spaces nest: sf1 shifts doc ids by i·10⁷ / relational keys by
+    * i·10⁸ / event users by i·10⁸; this level shifts everything by
+    * a·10⁹, keeping every id unique and — for customer — below the
+    * entity_resolution probe's 10¹⁰ variant offset. Texts get a
+    * copy-unique `y$a` word suffix exactly like sf1's `x$i`, so the
+    * 100× corpus has no cross-copy exact duplicates the miners would
+    * quadratically collapse.
+    */
+  private val sf10Dir = "/tmp/graft_sf10"
+  private val copies10 = 100
+  private def buildSf10(s: SparkSession): Unit = {
+    val lvl2 = 10
+    val stride2 = 1000000000L
+    val d1 = s.read.parquet(s"$sf1Dir/documents.parquet")
+    (0 until lvl2).map { a =>
+      val shifted = d1.withColumn("doc_id", col("doc_id") + lit(a * stride2))
+      if (a == 0) shifted
+      else shifted.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1y" + a))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$sf10Dir/documents.parquet")
+    val c1 = s.read.parquet(s"$sf1Dir/customer.parquet")
+    (0 until lvl2).map(a =>
+        c1.withColumn("c_custkey", col("c_custkey") + lit(a * stride2)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$sf10Dir/customer.parquet")
+    // events: same event-time range (window count is policy), 100× rows
+    // and users; ONE plain file for the streams' leaf-name glob
+    val e1 = s.read.parquet(s"$sf1Dir/events.parquet")
+    val tmpEv = s"$sf10Dir/__events_tmp"
+    (0 until lvl2).map(a =>
+        e1.withColumn("user_id", col("user_id") + lit(a * stride2)))
+      .reduce(_ unionByName _)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmpEv)
+    def rmRec(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        finally walk.close()
+      }
+    val target = java.nio.file.Paths.get(s"$sf10Dir/events.parquet")
+    rmRec(target)
+    val part = new java.io.File(tmpEv).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, target)
+    rmRec(java.nio.file.Paths.get(tmpEv))
+  }
+
   // ---- per-scale staged artifacts for the ingestion/serve probes ----
   // (written OUTSIDE the timed probes: the probe prices the operator —
   // the distributed parse/scan/serve — not fixture generation, exactly
@@ -137,7 +192,8 @@ object BenchSf1 {
   private val ingestDir = "/tmp/graft_sf1_ingest"
   private val ivfIdxDir = "/tmp/graft_sf1_ivfidx"
   private val imgHashDir = "/tmp/graft_sf1_imghash"
-  private def tagOf(dir: String): String = if (dir == sf01) "sf01" else "sf1"
+  private def tagOf(dir: String): String =
+    if (dir == sf01) "sf01" else if (dir == sf10Dir) "sf10" else "sf1"
 
   /** JSONL (with the doc_id%13 truncation corruption of the catalog
     * fixture, written DISTRIBUTED as text part files — line-splittable
@@ -216,6 +272,7 @@ object BenchSf1 {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val smallHeap = args.contains("smallheap")
+    val sf10Mode = args.contains("sf10")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -235,15 +292,22 @@ object BenchSf1 {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }
     buildSf1(spark)
-    Seq(sf01, sf1Dir).foreach { d =>
-      stageIngest(spark, d)
-      stageImageHashes(spark, d)
-      stageSigRegistry(spark, d)
+    if (sf10Mode) {
+      // the plateau run stages only what its four probes read
+      buildSf10(spark)
+      stageImageHashes(spark, sf1Dir)
+      stageImageHashes(spark, sf10Dir)
+    } else {
+      Seq(sf01, sf1Dir).foreach { d =>
+        stageIngest(spark, d)
+        stageImageHashes(spark, d)
+        stageSigRegistry(spark, d)
+      }
+      buildServeIndex(spark, sf01, 1)
+      buildServeIndex(spark, sf1Dir, copies)
+      buildPqIndex(spark, sf01)
+      buildPqIndex(spark, sf1Dir)
     }
-    buildServeIndex(spark, sf01, 1)
-    buildServeIndex(spark, sf1Dir, copies)
-    buildPqIndex(spark, sf01)
-    buildPqIndex(spark, sf1Dir)
     // fixed-size reference/batch set (an eval suite does not grow with
     // the training corpus): every 10th BASE doc, both scales
     val refSet = docs(spark, sf01).filter(col("doc_id") % 10 === 0)
@@ -923,6 +987,44 @@ object BenchSf1 {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       ts.minOption
+    }
+
+    if (sf10Mode) {
+      // THE SECOND DECADE: the four probes whose sf0.1→sf1 ratios were
+      // attributed to regime boundaries (sketch eviction onset, capped
+      // candidate space, fixture density) claim a PLATEAU — the bounded
+      // structures stop growing once saturated, so the next 10× must
+      // price closer to linear than the first. This run measures
+      // sf1→sf10 directly; compare against BENCH_SF1.json's ratios.
+      val names = Seq("image_dedup", "stream_heavyhitters",
+        "stream_distinct", "entity_resolution")
+      val byName = probes.toMap
+      val missing = names.filterNot(byName.contains)
+      require(missing.isEmpty, s"sf10 probes not found: $missing")
+      val rows = names.map { name =>
+        val run = byName(name)
+        val t1 = timeMin(name, 2)(run(sf1Dir, copies))
+        val t10 = timeMin(name, 2)(run(sf10Dir, copies10))
+        val ratio = for (a <- t1; b <- t10) yield b / a
+        val show = (o: Option[Double]) => o.fold("   FAIL")(t => f"$t%7.2f")
+        println(s"== sf10 ${name.padTo(22, ' ')} sf1 ${show(t1)} s   " +
+          s"sf10 ${show(t10)} s" + ratio.fold("")(r => f"   ratio $r%5.1fx"))
+        (name, t1, t10, ratio)
+      }
+      val num = (o: Option[Double]) => o.fold("null")(t => f"$t%.3f")
+      val qjson = rows.map { case (n, a, b, r) =>
+        s""""$n":{"sf1":${num(a)},"sf10":${num(b)},"ratio":${num(r)}}"""
+      }.mkString("{", ",", "}")
+      val json =
+        s"""{"metric":"sf10_scale_ratio","unit":"x","copies":$copies10,""" +
+        s""""queries":$qjson,""" +
+        s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""codegen_errors":${CodegenErrors.total}}"""
+      Files.writeString(Paths.get("BENCH_SF10.json"), json + "\n")
+      spark.stop()
+      println(json)
+      if (failures.nonEmpty) sys.exit(1)
+      return
     }
 
     if (smallHeap) {
