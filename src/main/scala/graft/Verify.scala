@@ -33,6 +33,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The rows-only invariant, enforced at the correctness gate itself:
+    // a new query missing its oracle (or a typo'd oracle key) must fail
+    // the dump loudly, not silently downgrade to a rows-only check.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    require(rowsOnly == graft.queries.QueryCatalog.rowsOnlyByDesign,
+      "rows-only set drifted from QueryCatalog.rowsOnlyByDesign: " +
+        s"unexpected=${rowsOnly -- graft.queries.QueryCatalog.rowsOnlyByDesign} " +
+        s"missing=${graft.queries.QueryCatalog.rowsOnlyByDesign -- rowsOnly}")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -9086,4 +9086,23 @@ object QueryCatalog {
     referenceQueries ++ relationalQueries ++ extensionQueries
   val oracles: Map[String, String] =
     referenceOracles ++ relationalOracles ++ extensionOracles
+
+  /** THE ROWS-ONLY INVARIANT: exactly these queries ship without a
+    * DuckDB oracle, each for a declared reason (engine-specific sketch
+    * internals, JDK float/zlib artifacts, xx64 production configs whose
+    * md5 twins ARE oracle-hashed, real codec output pinned by ScalaTests)
+    * — the set has been stable since round 8 and every NEW catalog entry
+    * must be oracle-hashed. [[graft.Verify]] fails the whole correctness
+    * dump if the catalog drifts from this list, and
+    * CatalogConsistencySpec pins the same set in the test suite; growing
+    * it is a deliberate, reviewed act, never a side effect.
+    */
+  val rowsOnlyByDesign: Set[String] = Set(
+    "x_approx_distinct", "x_sim_ivf_trained", "x_multimodal_frames",
+    "x_multimodal_png", "x_multimodal_jpeg", "x_multimodal_features",
+    "x_multimodal_audio", "x_text_surprisal", "x_dedup_minhash_fast",
+    "x_dedup_cross_fast", "x_text_heavyhitters", "x_unigram_train",
+    "x_unigram_segment", "x_dedup_incremental_fast", "x_stream_neardup",
+    "x_stream_incremental", "x_corpus_overlap_fast", "x_text_compress",
+    "x_stream_latedata", "x_multimodal_imagehash")
 }

@@ -35,7 +35,12 @@ class CatalogConsistencySpec extends AnyFunSuite {
   }
 
   test("rows-only queries are exactly the known approximate/stub set") {
-    assert(all.keySet -- oracles.keySet == Set(
+    // the catalog's own declared invariant (also enforced by Verify at
+    // the correctness gate) must match the catalog's actual state...
+    assert(all.keySet -- oracles.keySet == QueryCatalog.rowsOnlyByDesign)
+    // ...and the set itself is pinned VERBATIM here, so growing it takes
+    // an explicit edit in two places — a reviewed act, not a drift
+    assert(QueryCatalog.rowsOnlyByDesign == Set(
       "x_approx_distinct",   // HLL sketch (engine-specific)
       "x_sim_ivf_trained",   // approximate by design (k-means centroids)
       "x_multimodal_frames",   // real BMP decode, pinned by ScalaTest
