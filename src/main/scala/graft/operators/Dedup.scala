@@ -1026,6 +1026,12 @@ object Dedup {
     val refSh = shingles(ref, idCol, textCol, n).select("shingle").distinct()
     val bloom = refSh.stat.bloomFilter("shingle", expectedNgrams, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
+    // A UDF is UNAVOIDABLE here, not an oversight: Spark's built-in
+    // `might_contain` expression only accepts `bloom_filter_agg` binaries
+    // (never a util.sketch.BloomFilter), and the murmur bit layout has no
+    // public Expression. Do not "fix" this into an expression — the
+    // public, codegen-friendly default is the md5 bitset fold below;
+    // this murmur variant exists only as the raw-throughput opt-in.
     val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
     val contaminated = shingleRows(cand, idCol, textCol, n)
       .filter(mightContain(col("shingle")))

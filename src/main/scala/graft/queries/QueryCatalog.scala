@@ -822,6 +822,12 @@ object QueryCatalog {
     val rows = t(s, dir, "documents")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id").collect()
+    // driver-side fixture staging is fixture-scale BY DESIGN (mirrors the
+    // reference's temp-file path); refuse corpus-scale inputs instead of
+    // silently materializing them on the driver
+    require(rows.length <= 200000,
+      s"CSV staging fixture collects driver-side: ${rows.length} docs " +
+        "is corpus-scale — point this at an sf<=0.1 fixture dir")
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     val base = java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 0)
     val sb = new StringBuilder("doc_id,lang,source,n_chars,score,created\n")
@@ -850,6 +856,10 @@ object QueryCatalog {
     val rows = t(s, dir, "documents")
       .select("doc_id", "lang", "source", "n_chars", "text")
       .orderBy("doc_id").collect()
+    // same fixture-scale guard as the CSV staging twin above
+    require(rows.length <= 200000,
+      s"JSONL staging fixture collects driver-side: ${rows.length} docs " +
+        "is corpus-scale — point this at an sf<=0.1 fixture dir")
     val sb = new StringBuilder
     rows.foreach { r =>
       val id = r.getLong(0)
