@@ -416,14 +416,40 @@ object AnnIndex {
                keepCosine: Boolean = false): DataFrame = {
     val cents = loadIvfCentroids(spark, path)
     val probes = Similarity.probeCells(queries, idCol, vecCol, cents, nprobe)
-    // the probed-cid set is the serve-time "query plan": tiny, and as a
-    // LITERAL IN-filter on the partition column it prunes the index
-    // scan statically (PartitionFilters in explain — PlanSpec-gated)
+    // the probed-cid set is the serve-time "query plan": tiny, and the
+    // scan is ROOTED at exactly the probed partition directories (via
+    // `basePath`), so file LISTING is O(probed dirs) — a generic read of
+    // `cells/` would recursively list all nlist partitions BEFORE the
+    // partition filter prunes, which at a production nlist of 10⁵+ makes
+    // every serve pay a full metastore/FS sweep. One shallow listStatus
+    // of the partition-directory NAMES (nlist entries, no recursion)
+    // resolves which probed cells exist; the literal IN-filter stays on
+    // top both as the partition-pruning gate (PlanSpec) and to suppress
+    // rows when a probed cid's directory is absent.
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = cellsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(cellsRoot).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("cid="))
+    val raw =
+      if (partDirs.isEmpty)
+        // unpartitioned layout: the schema-bearing empty file a FULL
+        // takedown + compact leaves behind — generic read, nothing to list
+        spark.read.parquet(s"$path/cells")
+      else {
+        val have = partDirs.map(nm => nm.stripPrefix("cid=").toLong -> nm).toMap
+        val selected = probedCids.flatMap(have.get)
+          .map(nm => s"$path/cells/$nm")
+        // every probed cell may be memberless (dirless): root the scan at
+        // one real dir and let the IN-filter empty it — still O(1) listing
+        val roots = if (selected.nonEmpty) selected.toSeq
+                    else Seq(s"$path/cells/${partDirs.head}")
+        spark.read.option("basePath", s"$path/cells").parquet(roots: _*)
+      }
     val cells = minusTombstones(spark, path,
-      spark.read.parquet(s"$path/cells")
-        .withColumn("cid", col("cid").cast("long"))
+      raw.withColumn("cid", col("cid").cast("long"))
         .filter(col("cid").isInCollection(probedCids)))
     Similarity.rankTopK(
       Similarity.broadcastProbeScores(cells, probes), k, keepCosine)

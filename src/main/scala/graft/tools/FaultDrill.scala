@@ -288,6 +288,68 @@ object FaultDrill {
         "wall_s" -> f"$secs%.1f")
     }
 
+    // --------------------------- drill D: streaming write, killed mid-epoch
+    // The epoch-keyed exactly-once contract under REAL process death: a
+    // 4-micro-batch append stream (one file per trigger) through the DSv2
+    // sink, with the executor halted inside the first epoch's write task
+    // (staged chunks orphaned, no abort). The epoch's task retries on the
+    // survivor; replayed stage/commit calls dedup service-side.
+    locally {
+      val n = 8000L
+      val perFile = 2000L
+      val itemId = HostedSinks.active.create("drill_stream",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType, nullable = true))))
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_drill_stream_src").toString
+      val data = spark.range(n)
+        .select($"id".as("k"), md5($"id".cast("string")).as("v"))
+      (0L until n by perFile).zipWithIndex.foreach { case (lo, i) =>
+        data.filter($"k" >= lo && $"k" < lo + perFile).coalesce(1)
+          .write.mode("overwrite").parquet(s"$srcDir/f$i")
+      }
+      val schema = data.schema
+      val marker = s"/tmp/graft_drill_kill_stream_${System.nanoTime()}"
+      val removedBefore = execsRemoved.get()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_drill_stream_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*")
+        .as[(Long, String)]
+        .mapPartitions(armKill(_, marker, killPart = 0, killRow = 500))
+        .toDF("k", "v")
+        .writeStream.format("graft")
+        .option("itemId", itemId)
+        .option("portal_url", server.url).option("token", Token)
+        .option("chunkSize", "64")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val killed = execsRemoved.get() - removedBefore
+      val back = readBack(itemId)
+        .agg(count(lit(1)).as("rows"), countDistinct($"k").as("distinct_k"))
+        .head()
+      check(new java.io.File(marker).exists(), "stream: kill never armed")
+      check(killed >= 1, "stream: no executor was removed")
+      check(back.getAs[Long]("rows") == n,
+        s"stream: rows ${back.getAs[Long]("rows")} != $n (epoch replay duplicated or lost)")
+      check(back.getAs[Long]("distinct_k") == n, "stream: duplicate keys")
+      check(HostedStore.stagedBufferCount(itemId) == 0,
+        "stream: orphaned staging buffers leaked")
+      jline("stream_kill_in_epoch", "rows" -> back.getAs[Long]("rows"),
+        "executors_killed" -> killed, "tasks_failed" -> tasksFailed.get(),
+        "staged_leaks" -> HostedStore.stagedBufferCount(itemId),
+        "wall_s" -> f"$secs%.1f")
+    }
+
     val ok = failures.isEmpty
     jline("summary", "ok" -> ok, "executors_killed_total" -> execsRemoved.get(),
       "executors_respawned" -> (execsAdded.get() - 2),

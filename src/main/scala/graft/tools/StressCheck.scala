@@ -23,6 +23,31 @@ object StressCheck {
       println(f"== $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
 
+    // `listing` arg: the wide-fanout serve check — per-serve cost must be
+    // ~flat in nlist now that the cells scan is rooted at probed partition
+    // dirs (O(probed) listing); before r11 a generic read listed all nlist
+    // partitions per serve. 2048 dirs is enough to see an O(nlist) term.
+    if (args.contains("listing")) {
+      val emb = graft.api.Tables.load(spark, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      Seq(64, 512, 2048).foreach { nlist =>
+        val path = s"/tmp/graft_stress_ivf_$nlist"
+        graft.operators.AnnIndex.ivfBuild(emb, "vec_id", "embedding",
+          path, nlist = nlist)
+        // warm once (codegen), then time 10 serves
+        graft.operators.AnnIndex.ivfServe(spark, path, qs,
+          "vec_id", "embedding", 10, nprobe = 4).count()
+        time(f"ivfServe x10, nlist=$nlist%-5d") {
+          (1 to 10).foreach { _ =>
+            graft.operators.AnnIndex.ivfServe(spark, path, qs,
+              "vec_id", "embedding", 10, nprobe = 4).count()
+          }
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // ~6M lineitem rows (10 copies)
     val li = graft.api.Tables.load(spark, dir, "lineitem")
     val li10 = (0 until 10).map(i =>

@@ -280,6 +280,27 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ids.forall(_ % 2 == 0), "folded codes keep tombstoned members")
   }
 
+  test("serve listing is O(probed): the cells scan is rooted at probed partition dirs only") {
+    val path = "/tmp/graft_test_ivf_idx_listing"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val served = AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 2)
+    // string-based like the other plan gates (AQE wraps the physical
+    // plan, so node-level collect misses the scan)
+    val p = served.queryExecution.executedPlan.toString
+    val loc = p.linesIterator
+      .find(l => l.contains("Location") && l.contains("cells"))
+      .getOrElse(fail(s"no cells scan location in the serve plan:\n$p"))
+    // rooted at `cid=` PARTITION DIRECTORIES, never the whole table —
+    // a generic read would recursively list all nlist partitions before
+    // pruning, which at nlist=10^5 makes every serve a full FS sweep
+    assert(loc.contains("cells/cid="), loc)
+    val nPaths = "\\((\\d+) paths\\)".r.findFirstMatchIn(loc).map(_.group(1).toInt)
+    assert(nPaths.exists(n => n >= 1 && n < 16),
+      s"scan rooted at $nPaths dirs — looks like the whole index, not the probed subset: $loc")
+    assert(rows(served).nonEmpty)
+  }
+
   test("mass takedown fans out: a 10^7-id batch is not a single-task funnel") {
     val path = "/tmp/graft_test_ivf_idx_massdel"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
