@@ -220,9 +220,16 @@ object AnnIndex {
     * cid, publish atomically (per this filesystem's rename).
     */
   private def rewriteCells(spark: SparkSession, path: String)
-                          (f: DataFrame => DataFrame): Unit = {
-    val tmp = s"$path/cells__rewrite"
-    val out = f(spark.read.parquet(s"$path/cells"))
+                          (f: DataFrame => DataFrame): Unit =
+    rewritePartitioned(spark, s"$path/cells")(f)
+
+  /** The cid-partitioned rewrite shared by the cells and IVF-PQ code
+    * tables: transform, rewrite one file per cid, publish atomically.
+    */
+  private def rewritePartitioned(spark: SparkSession, dir: String)
+                                (f: DataFrame => DataFrame): Unit = {
+    val tmp = s"${dir}__rewrite"
+    val out = f(spark.read.parquet(dir))
     // a FULL takedown must leave a READABLE empty index: an empty
     // partitionBy write emits no part files at all (only _SUCCESS) and
     // the next read cannot infer a schema — write the empty frame
@@ -233,7 +240,7 @@ object AnnIndex {
     else
       out.repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    publishSwap(spark, s"$path/cells", tmp)
+    publishSwap(spark, dir, tmp)
   }
 
   /** Hadoop-FS directory swap, not java.io.File: the rest of the
@@ -428,31 +435,42 @@ object AnnIndex {
     // rows when a probed cid's directory is absent.
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val cellsRoot = new org.apache.hadoop.fs.Path(s"$path/cells")
-    val fs = cellsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partDirs = fs.listStatus(cellsRoot).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("cid="))
-    val raw =
-      if (partDirs.isEmpty)
-        // unpartitioned layout: the schema-bearing empty file a FULL
-        // takedown + compact leaves behind — generic read, nothing to list
-        spark.read.parquet(s"$path/cells")
-      else {
-        val have = partDirs.map(nm => nm.stripPrefix("cid=").toLong -> nm).toMap
-        val selected = probedCids.flatMap(have.get)
-          .map(nm => s"$path/cells/$nm")
-        // every probed cell may be memberless (dirless): root the scan at
-        // one real dir and let the IN-filter empty it — still O(1) listing
-        val roots = if (selected.nonEmpty) selected.toSeq
-                    else Seq(s"$path/cells/${partDirs.head}")
-        spark.read.option("basePath", s"$path/cells").parquet(roots: _*)
-      }
     val cells = minusTombstones(spark, path,
-      raw.withColumn("cid", col("cid").cast("long"))
+      readProbedPartitions(spark, s"$path/cells", probedCids.toSeq)
+        .withColumn("cid", col("cid").cast("long"))
         .filter(col("cid").isInCollection(probedCids)))
     Similarity.rankTopK(
       Similarity.broadcastProbeScores(cells, probes), k, keepCosine)
+  }
+
+  /** Root a read at the probed `cid=` partition directories of `root`:
+    * ONE shallow `listStatus` of the partition-directory NAMES (nlist
+    * entries, no recursion) resolves which probed cells exist, and the
+    * `basePath` option keeps the partition column — so file listing per
+    * serve is O(probed dirs), never the recursive O(nlist) sweep a
+    * generic read performs before pruning. Callers keep the literal
+    * IN-filter on top (the partition-pruning plan gate, and the row
+    * suppressor when a probed cell is dirless). Falls back to the
+    * generic read for an unpartitioned layout (the schema-bearing empty
+    * file a FULL takedown + compact leaves behind).
+    */
+  private def readProbedPartitions(spark: SparkSession, root: String,
+                                   probedCids: Seq[Long]): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("cid="))
+    if (partDirs.isEmpty) spark.read.parquet(root)
+    else {
+      val have = partDirs.map(nm => nm.stripPrefix("cid=").toLong -> nm).toMap
+      val selected = probedCids.flatMap(have.get).map(nm => s"$root/$nm")
+      // every probed cell may be memberless (dirless): root the scan at
+      // one real dir and let the IN-filter empty it — still O(1) listing
+      val roots = if (selected.nonEmpty) selected
+                  else Seq(s"$root/${partDirs.head}")
+      spark.read.option("basePath", root).parquet(roots: _*)
+    }
   }
 
   // -------------------------------------------------------------- PQ
@@ -609,4 +627,93 @@ object AnnIndex {
       minusTombstones(spark, path, spark.read.parquet(s"$path/codes")),
       corpus, queries, idCol, vecCol, k, rerank,
       loadPqCodebooks(spark, path))
+
+  // ----------------------------------------------------------- IVF-PQ
+
+  /** Composed IVF-PQ index — the canonical memory-side ANN layout at
+    * 100 TB (Jégou, Douze & Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — public knowledge; the layout every
+    * large-scale ANN system composes): a coarse quantizer partitions the
+    * corpus into nlist inverted lists, and each member is stored as an
+    * m-subspace PQ code INSIDE its list. A serve therefore touches only
+    * the probed cells' code partitions (O(probed) listing, like
+    * [[ivfServe]]) and scores them with the LUT/ADC kernel — compact
+    * integer codes stream through m table lookups per member, and no
+    * float vector is read until the exact re-rank of the rerank·k
+    * shortlist. Flat [[pqBuild]] scans every code for every query; flat
+    * [[ivfBuild]] stores full vectors in its cells; this composition is
+    * what serves a corpus whose VECTORS do not fit the cluster.
+    *
+    * Codes quantize the raw (unit) vectors, not centroid residuals: the
+    * exact re-rank repairs the accuracy difference at fixture scale,
+    * every stored byte replays as engine-neutral SQL, and swapping
+    * residual encoding in later touches only the encode/LUT projections
+    * — never the layout, lifecycle, or plan shape.
+    *
+    * Layout: `centroids/` (the IVF identity), `codebooks/` (the PQ model
+    * identity), `codes/` partitioned by cid with (id, code), plus the
+    * shared `tombstones/` deletion-vector sidecar. Maintenance reuses
+    * the family's conventions: O(ids) takedowns, compact folds + clears.
+    */
+  def ivfpqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String, nlist: Int = 16, m: Int = 8,
+                 ks: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val live = corpus.filter(col(vecCol).isNotNull)
+    Similarity.idSampledCentroids(live, idCol, vecCol, nlist)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val codebooks = Similarity.pqTrain(live, idCol, vecCol, m, ks)
+    val cbRows = for {
+      s <- 0 until codebooks.length
+      j <- 0 until codebooks(s).length
+    } yield (s, j, codebooks(s)(j).toSeq)
+    spark.createDataFrame(cbRows).toDF("s", "j", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val cents = loadIvfCentroids(spark, path)
+    // one corpus pass assigns, one encodes; the cid repartition routes
+    // each cell's codes to one file (the writeCells small-files rule)
+    val assigned = Similarity.assignCells(
+        Similarity.ensureParallelism(live), idCol, vecCol, cents)
+      .select(col("cid"), col("id"))
+    Similarity.pqEncode(live, idCol, vecCol, loadPqCodebooks(spark, path))
+      .join(assigned, Seq("id"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    clearTombstones(spark, path)
+  }
+
+  /** Serve top-k from a persisted IVF-PQ index: probe → read ONLY the
+    * probed code partitions → broadcast (qid, cid, LUT) plan → ADC →
+    * exact re-rank of the shortlist against `corpus` vectors.
+    */
+  def ivfpqServe(spark: SparkSession, path: String, corpus: DataFrame,
+                 queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                 nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    val cents = loadIvfCentroids(spark, path)
+    val probes = Similarity.probeCells(queries, idCol, vecCol, cents, nprobe)
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = minusTombstones(spark, path,
+      readProbedPartitions(spark, s"$path/codes", probedCids.toSeq)
+        .withColumn("cid", col("cid").cast("long"))
+        .filter(col("cid").isInCollection(probedCids)))
+    Similarity.ivfpqTopKWithCodes(codes, probes, corpus, queries,
+      idCol, vecCol, k, rerank, loadPqCodebooks(spark, path))
+  }
+
+  /** O(ids) takedown — the same deletion-vector sidecar as
+    * [[ivfDelete]]/[[pqDelete]]; folded by [[ivfpqCompact]].
+    */
+  def ivfpqDelete(spark: SparkSession, path: String, ids: DataFrame,
+                  idCol: String): Unit =
+    appendTombstones(path, ids, idCol)
+
+  /** Fold the sidecar into the cid-partitioned code table (one file per
+    * cid restored) and clear it — the IVF-PQ member of the compact
+    * family.
+    */
+  def ivfpqCompact(spark: SparkSession, path: String): Unit = {
+    rewritePartitioned(spark, s"$path/codes")(minusTombstones(spark, path, _))
+    clearTombstones(spark, path)
+  }
 }

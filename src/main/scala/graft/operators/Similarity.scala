@@ -841,15 +841,31 @@ object Similarity {
     // LUT (≈1 KB/row) or the code arrays — same rule as rankTopK
     val adc = codes.join(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), expr(
-        s"aggregate(sequence(0, ${mEff - 1}), 0D, " +
-        s"(acc, s) -> acc + element_at(lut, s * $ksEff + element_at(code, s + 1) + 1))")
-        .as("score"))
+      .select(col("qid"), col("id"),
+        adcScoreExpr(mEff, ksEff).as("score"))
+    adcShortlistRerank(adc, corpus, queries, idCol, vecCol, k, rerank)
+  }
+
+  /** The ADC score: m flat-LUT lookups folded in ascending subspace
+    * order (the add order is part of the cross-engine contract — the
+    * oracle sums the same doubles in the same sequence).
+    */
+  private def adcScoreExpr(mEff: Int, ksEff: Int): Column = expr(
+    s"aggregate(sequence(0, ${mEff - 1}), 0D, " +
+    s"(acc, s) -> acc + element_at(lut, s * $ksEff + element_at(code, s + 1) + 1))")
+
+  /** Shared tail of the ADC family (flat PQ and IVF-PQ): shortlist the
+    * rerank·k best ADC candidates per query, then exact cosine re-rank
+    * of the shortlist against the original vectors.
+    */
+  private def adcShortlistRerank(adc: DataFrame, corpus: DataFrame,
+                                 queries: DataFrame, idCol: String,
+                                 vecCol: String, k: Int,
+                                 rerank: Int): DataFrame = {
     val wAdc = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     val shortlist = adc.withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= k * rerank)
       .select("qid", "id")
-    // exact re-rank of the shortlist only
     val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"),
       vec_norm(col(vecCol)).as("__cn"))
     val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
@@ -859,6 +875,33 @@ object Similarity {
         cosineFromNorms(col("__cv"), col("__cn"), col("__qv"), col("__qn"))
           .as("cosine"))
     rankTopK(exact, k)
+  }
+
+  /** The IVF-PQ scoring kernel: each query ADC-scores ONLY its probed
+    * cells. The (qid, cid) probe plan joined with the per-query LUT is
+    * |queries|·nprobe rows (≈1 KB each) — broadcast into the code scan,
+    * so the probed code partitions stream through m LUT lookups per
+    * member with zero shuffles of the code table. Same shortlist +
+    * exact-re-rank tail as [[pqTopKWithCodes]].
+    */
+  private[graft] def ivfpqTopKWithCodes(codes: DataFrame, probes: DataFrame,
+                                        corpus: DataFrame, queries: DataFrame,
+                                        idCol: String, vecCol: String, k: Int,
+                                        rerank: Int,
+                                        codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val (mEff, ksEff) = (codebooks.length, codebooks(0).length)
+    val q0 = queries.select(col(idCol).as("qid"),
+      unitized(col(vecCol).cast("array<double>")).as("__q"))
+    val (lutRows, lutStarts) = pqMatrix(codebooks)
+    val q = q0.select(col("qid"),
+      graft.functions.VectorFunctions.vec_dot_matrix(
+        col("__q"), lutRows, rowStarts = lutStarts).as("lut"))
+    val probePlan = probes.select("qid", "cid").join(q, Seq("qid"))
+    val adc = codes.join(broadcast(probePlan), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        adcScoreExpr(mEff, ksEff).as("score"))
+    adcShortlistRerank(adc, corpus, queries, idCol, vecCol, k, rerank)
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based

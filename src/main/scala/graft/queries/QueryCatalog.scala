@@ -907,6 +907,8 @@ object QueryCatalog {
   private val fragOutDir = "/tmp/graft_frag_out"
   private val ivfDelIdxDir = "/tmp/graft_ivf_idx_del"
   private val pqIdxDir = "/tmp/graft_pq_idx"
+  private val ivfpqIdxDir = "/tmp/graft_ivfpq_idx"
+  private val ivfpqDelIdxDir = "/tmp/graft_ivfpq_idx_del"
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val nbIdxDir = "/tmp/graft_nb_idx"
   private val calIdxDir = "/tmp/graft_cal_idx"
@@ -4156,6 +4158,46 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_ivfpq_persisted" -> ((s, dir) => { // oracle: probe-restricted ADC+rerank replay
+      // THE COMPOSED 100 TB ANN SHAPE (IVF-PQ, Jégou et al. TPAMI 2011):
+      // coarse cells PARTITION the PQ code table, so a serve reads only
+      // the probed cells' code partitions (O(probed) listing, like the
+      // IVF serve) and ADC-scores compact integer codes — no float
+      // vector is touched until the exact re-rank of the shortlist.
+      // Flat PQ scans every code for every query; flat IVF stores full
+      // vectors in its cells; the composition is what serves a corpus
+      // whose vectors do not fit the cluster. The oracle replays probe →
+      // cell-restricted ADC → shortlist → exact re-rank entirely from
+      // the on-disk artifact (centroids, codebooks, cid-partitioned
+      // codes), the same double arithmetic in the same order.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfpqIdxDir, dir)(
+        graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+          ivfpqIdxDir, nlist = 16))
+      graft.operators.AnnIndex.ivfpqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_sim_ivfpq_deleted" -> ((s, dir) => { // oracle: tombstoned probe-restricted ADC replay
+      // Deletion-vector lifecycle on the COMPOSED index: odd ids
+      // tombstoned O(ids), serve suppresses via the broadcast sidecar
+      // anti-join, code bytes untouched (spec pins the byte-identity);
+      // the oracle replays THROUGH the sidecar like the ivf/pq twins.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfpqDelIdxDir, dir) {
+        graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+          ivfpqDelIdxDir, nlist = 16)
+        graft.operators.AnnIndex.ivfpqDelete(s, ivfpqDelIdxDir,
+          emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+      }
+      graft.operators.AnnIndex.ivfpqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_takedown_pipeline" -> ((s, dir) => { // oracle: sidecar-path replay (tombstoned)
       // COMPLIANCE COMPOSITION: the CDC change log drives the ANN-index
       // takedown — keys whose LAST operation is a tombstone (deleted,
@@ -5795,6 +5837,64 @@ object QueryCatalog {
         |  CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM tot t LEFT JOIN asm a ON a.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin
+
+    // Replay over a PERSISTED IVF-PQ index: probe from the persisted
+    // centroids (raw double vectors, the probeCells arithmetic), ADC
+    // restricted to each query's probed cells (codes join probe join
+    // lut), explicit ascending subspace sum, shortlist, exact re-rank
+    // from the embeddings table — the composed form of the ivf and pq
+    // replays, every step the same double arithmetic in the same order.
+    def ivfpqPersistedReplay(idxDir: String,
+                             tombstoned: Boolean = false): String = {
+      val dv = if (tombstoned)
+        s" WHERE id NOT IN (SELECT id FROM read_parquet('$idxDir/tombstones/*.parquet'))"
+      else ""
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |u AS (SELECT vec_id,
+         |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
+         |      FROM n),
+         |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
+         |          FROM read_parquet('$idxDir/centroids/*.parquet')),
+         |cb AS (SELECT s, j, cvec FROM read_parquet('$idxDir/codebooks/*.parquet')),
+         |codes AS (SELECT CAST(cid AS BIGINT) AS cid, id, code
+         |          FROM read_parquet('$idxDir/codes/*/*.parquet',
+         |                            hive_partitioning = true)$dv),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+         |qu AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
+         |probe AS (SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+         |                      c.cid) AS rn
+         |    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+         |lut AS (SELECT qu.qid, c.s, c.j,
+         |          list_dot_product(qu.quv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) AS d
+         |        FROM qu CROSS JOIN cb c),
+         |adc AS (SELECT l.qid, co.id, list(l.d ORDER BY l.s) AS ds
+         |        FROM codes co
+         |        JOIN probe p ON p.cid = co.cid
+         |        JOIN lut l ON l.qid = p.qid AND l.j = co.code[l.s + 1]
+         |        WHERE co.id <> l.qid
+         |        GROUP BY l.qid, co.id),
+         |scored AS (SELECT qid, id,
+         |    0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8] AS score
+         |  FROM adc),
+         |short AS (SELECT qid, id FROM (
+         |    SELECT qid, id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk
+         |    FROM scored) WHERE rk <= 40),
+         |exact AS (SELECT sh.qid, sh.id,
+         |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+         |          FROM short sh
+         |          JOIN embeddings ec ON ec.vec_id = sh.id
+         |          JOIN embeddings eq ON eq.vec_id = sh.qid)
+         |SELECT qid, id, rank FROM (
+         |  SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+         |  FROM exact) WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+    }
 
     def pqPersistedReplay(idxDir: String,
                           tombstoned: Boolean = false,
@@ -7563,6 +7663,12 @@ object QueryCatalog {
 
       "x_sim_pq_deleted" ->
         pqPersistedReplay(pqDelIdxDir, tombstoned = true),
+
+      "x_sim_ivfpq_persisted" ->
+        ivfpqPersistedReplay(ivfpqIdxDir),
+
+      "x_sim_ivfpq_deleted" ->
+        ivfpqPersistedReplay(ivfpqDelIdxDir, tombstoned = true),
 
       "x_sim_pq_del_compacted" ->
         pqPersistedReplay(pqDelCmpIdxDir),

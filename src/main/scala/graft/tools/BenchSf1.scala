@@ -234,6 +234,15 @@ object BenchSf1 {
     graft.operators.AnnIndex.pqBuild(emb(s, dir), "vec_id", "embedding",
       s"$pqIdxDir/${tagOf(dir)}")
 
+  /** Composed IVF-PQ index per scale: nlist scales with the corpus so
+    * probed-cell volume stays ~flat (the ivf_serve convention) while
+    * each probed member is a compact code (the pq_serve convention).
+    */
+  private val ivfpqIdxDir = "/tmp/graft_sf1_ivfpqidx"
+  private def buildIvfPqIndex(s: SparkSession, dir: String, m: Int): Unit =
+    graft.operators.AnnIndex.ivfpqBuild(emb(s, dir), "vec_id", "embedding",
+      s"$ivfpqIdxDir/${tagOf(dir)}", nlist = 64 * m)
+
   /** Signature table per scale for the image near-dup miner (BMP decode
     * is priced by jpeg_transcode; this probe prices the band join).
     */
@@ -307,6 +316,8 @@ object BenchSf1 {
       buildServeIndex(spark, sf1Dir, copies)
       buildPqIndex(spark, sf01)
       buildPqIndex(spark, sf1Dir)
+      buildIvfPqIndex(spark, sf01, 1)
+      buildIvfPqIndex(spark, sf1Dir, copies)
     }
     // fixed-size reference/batch set (an eval suite does not grow with
     // the training corpus): every 10th BASE doc, both scales
@@ -576,6 +587,14 @@ object BenchSf1 {
           s"$pqIdxDir/${tagOf(dir)}", emb(spark, dir),
           emb(spark, sf01).filter(col("vec_id") < 5),
           "vec_id", "embedding", 10).count()),
+      // composed IVF-PQ serving: probed-cell code volume ~flat (nlist
+      // scales with the corpus), ADC per member O(m), re-rank bounded —
+      // the one serve shape that should price FLAT-ish as data grows
+      "ivfpq_serve" -> ((dir, _) =>
+        graft.operators.AnnIndex.ivfpqServe(spark,
+          s"$ivfpqIdxDir/${tagOf(dir)}", emb(spark, dir),
+          emb(spark, sf01).filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, nprobe = 8).count()),
       // streaming image dedup (batch form of the stream-static plan —
       // the stream twin adds only trigger overhead, priced by the other
       // stream probes): fixed-size probe batch vs a growing capped index

@@ -340,6 +340,59 @@ class AnnIndexSpec extends AnyFunSuite {
       "stale sidecar suppressed fresh members after a rebuild")
   }
 
+  test("IVF-PQ with a full probe equals the flat PQ serve (same codebooks)") {
+    val pathA = "/tmp/graft_test_ivfpq_idx"
+    val pathB = "/tmp/graft_test_ivfpq_ref_pq"
+    // pqTrain is deterministic, so both indexes carry identical codebooks;
+    // with nprobe = nlist every cell is probed → candidate set, ADC
+    // scores, shortlist, and exact re-rank all coincide with flat PQ
+    AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", pathA, nlist = 8)
+    AnnIndex.pqBuild(emb, "vec_id", "embedding", pathB)
+    val composed = rows(AnnIndex.ivfpqServe(spark, pathA, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8))
+    val flat = rows(AnnIndex.pqServe(spark, pathB, emb, queries,
+      "vec_id", "embedding", k = 10))
+    assert(composed.nonEmpty && composed == flat)
+  }
+
+  test("IVF-PQ serve scans only probed code partitions; deletes are O(ids); compact folds") {
+    val path = "/tmp/graft_test_ivfpq_idx_life"
+    AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val served = AnnIndex.ivfpqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 2)
+    val p = served.queryExecution.executedPlan.toString
+    val loc = p.linesIterator
+      .find(l => l.contains("Location") && l.contains("codes"))
+      .getOrElse(fail(s"no codes scan location in the serve plan:\n$p"))
+    assert(loc.contains("codes/cid="), loc)
+    assert(rows(served).nonEmpty)
+    // takedown: codes untouched (O(ids) sidecar), suppressed at serve
+    def codesListing(): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/codes"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sorted
+    }
+    val before = codesListing()
+    AnnIndex.ivfpqDelete(spark, path,
+      emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+    assert(codesListing() == before,
+      "ivfpqDelete rewrote the code table — must be O(ids)")
+    val viaSidecar = rows(AnnIndex.ivfpqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(viaSidecar.nonEmpty && viaSidecar.forall(_._2 % 2 == 0),
+      "tombstoned members still serving")
+    // compact folds the sidecar and clears it; serve results unchanged
+    AnnIndex.ivfpqCompact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val folded = rows(AnnIndex.ivfpqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(folded == viaSidecar)
+    val ids = spark.read.parquet(s"$path/codes")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 2 == 0), "folded codes keep tombstoned members")
+  }
+
   test("pruned maxsim with a covering shortlist equals the exact kernel") {
     val toks = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
