@@ -716,4 +716,62 @@ object AnnIndex {
     rewritePartitioned(spark, s"$path/codes")(minusTombstones(spark, path, _))
     clearTombstones(spark, path)
   }
+
+  /** O(batch) incremental ingest for the composed index: the batch is
+    * assigned against the PERSISTED centroids and encoded against the
+    * PERSISTED codebooks (neither is ever retrained by ingest — they are
+    * the index identity, like [[ivfAppend]]/[[pqAppend]]), then lands
+    * append-mode in the cid partitions. Same empty-layout re-establish
+    * rule as [[ivfAppend]].
+    */
+  def ivfpqAppend(batch: DataFrame, idCol: String, vecCol: String,
+                  path: String): Unit = {
+    val spark = batch.sparkSession
+    val live = batch.filter(col(vecCol).isNotNull)
+    val cents = loadIvfCentroids(spark, path)
+    val assigned = Similarity.assignCells(
+        Similarity.ensureParallelism(live), idCol, vecCol, cents)
+      .select(col("cid"), col("id"))
+    val coded = Similarity.pqEncode(live, idCol, vecCol,
+        loadPqCodebooks(spark, path))
+      .join(assigned, Seq("id"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new org.apache.hadoop.fs.Path(s"$path/codes/cid=*")
+    val partitioned = glob.getFileSystem(conf).globStatus(glob).nonEmpty
+    if (partitioned)
+      coded.write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+    else
+      coded.repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+  }
+
+  /** IVF-PQ health report — the composed sibling of [[describeIvf]] and
+    * [[describePq]]: coarse-list count (nlist), codebook shape (m × ks —
+    * the model identity), stored codes, pending tombstone debt, serving
+    * membership, and the append history's files-per-cid pressure (what
+    * [[ivfpqCompact]] resets to one file per cid). Metadata/aggregate
+    * scans only; one row out.
+    */
+  def describeIvfPq(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val nlist = spark.read.parquet(s"$path/centroids").count()
+    val cb = spark.read.parquet(s"$path/codebooks")
+    val m = cb.agg(max(col("s"))).head().getInt(0) + 1L
+    val ks = cb.agg(max(col("j"))).head().getInt(0) + 1L
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("__file", input_file_name())
+    val stats = codes.agg(count(lit(1)).as("n"),
+        countDistinct(col("__file")).as("nf"),
+        countDistinct(col("cid")).as("nc")).head()
+    val nCodes = stats.getLong(0)
+    val pending = loadTombstones(spark, path)
+    val nTomb = pending.fold(0L)(_.count())
+    val nServing = pending.fold(nCodes)(t =>
+      codes.join(broadcast(t), Seq("id"), "left_anti").count())
+    val filesPerCidX100 =
+      if (stats.getLong(2) == 0) 0L else stats.getLong(1) * 100 / stats.getLong(2)
+    Seq((nlist, m, ks, nCodes, nTomb, nServing, filesPerCidX100))
+      .toDF("nlist", "m", "ks", "n_codes", "n_pending_tombstones",
+        "n_serving", "files_per_cid_x100")
+  }
 }

@@ -909,6 +909,7 @@ object QueryCatalog {
   private val pqIdxDir = "/tmp/graft_pq_idx"
   private val ivfpqIdxDir = "/tmp/graft_ivfpq_idx"
   private val ivfpqDelIdxDir = "/tmp/graft_ivfpq_idx_del"
+  private val ivfpqAppIdxDir = "/tmp/graft_ivfpq_idx_app"
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val nbIdxDir = "/tmp/graft_nb_idx"
   private val calIdxDir = "/tmp/graft_cal_idx"
@@ -4195,6 +4196,61 @@ object QueryCatalog {
       graft.operators.AnnIndex.ivfpqServe(s, path, emb,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
           nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_sim_ivfpq_appended" -> ((s, dir) => { // oracle: replay over the APPENDED artifact
+      // Incremental ingest on the composed index: centroids AND
+      // codebooks trained on the even-id half (the index identity), the
+      // odd-id batch assigned + encoded later against the PERSISTED
+      // models and appended into the cid partitions — O(batch). The
+      // oracle reads only the final on-disk artifact, so the hash proves
+      // assign-encode-append composed exactly.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfpqAppIdxDir, dir) {
+        graft.operators.AnnIndex.ivfpqBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          ivfpqAppIdxDir, nlist = 16)
+        graft.operators.AnnIndex.ivfpqAppend(
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          ivfpqAppIdxDir)
+      }
+      graft.operators.AnnIndex.ivfpqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_ivfpq_report" -> ((s, dir) =>
+      // Observability for the composed index over the SAME mid-lifecycle
+      // (pending-takedown) artifact as x_sim_ivfpq_deleted — nlist,
+      // codebook shape, stored codes, tombstone debt, serving
+      // membership, files-per-cid pressure; the oracle recomputes every
+      // figure from the artifact alone (the x_index_report convention).
+      graft.operators.AnnIndex.describeIvfPq(s, {
+        val emb = t(s, dir, "embeddings")
+        stageIndex(ivfpqDelIdxDir, dir) {
+          graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+            ivfpqDelIdxDir, nlist = 16)
+          graft.operators.AnnIndex.ivfpqDelete(s, ivfpqDelIdxDir,
+            emb.filter(col("vec_id") % 2 =!= 0).select("vec_id"), "vec_id")
+        }
+      })),
+
+    "x_stream_ivfpq_serve" -> ((s, dir) => { // LIVE stream, shares the persisted replay
+      // Streaming serving on the COMPOSED index: query vectors arrive
+      // as a stream, each micro-batch probes + ADC-scores + re-ranks
+      // against the persisted artifact via foreachBatch. Per-query
+      // results are batch-invariant, so the live path shares
+      // x_sim_ivfpq_persisted's oracle verbatim (the convention every
+      // persisted artifact here follows).
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfpqIdxDir, dir)(
+        graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+          ivfpqIdxDir, nlist = 16))
+      graft.streaming.StreamAnnServe.runOnceIvfPq(s, dir,
+          "embeddings.parquet", emb.schema, col("vec_id") < 5, path, emb,
+          "vec_id", "embedding", 10, nprobe = 4)
         .orderBy("qid", "rank")
     }),
 
@@ -7669,6 +7725,37 @@ object QueryCatalog {
 
       "x_sim_ivfpq_deleted" ->
         ivfpqPersistedReplay(ivfpqDelIdxDir, tombstoned = true),
+
+      "x_sim_ivfpq_appended" ->
+        // the replay reads only the FINAL on-disk artifact — appended
+        // partitions are indistinguishable from built ones by design
+        ivfpqPersistedReplay(ivfpqAppIdxDir),
+
+      // batch-invariant live serve shares the persisted oracle verbatim
+      "x_stream_ivfpq_serve" ->
+        ivfpqPersistedReplay(ivfpqIdxDir),
+
+      "x_ivfpq_report" ->
+        // every figure recomputed from the artifact alone; filename=
+        // gives DuckDB the parquet file census (the report-family rule)
+        s"""WITH codes AS (SELECT id, CAST(cid AS BIGINT) AS cid, filename
+           |  FROM read_parquet('$ivfpqDelIdxDir/codes/*/*.parquet',
+           |                    hive_partitioning = true, filename = true)),
+           |tomb AS (SELECT DISTINCT id
+           |  FROM read_parquet('$ivfpqDelIdxDir/tombstones/*.parquet')),
+           |cb AS (SELECT s, j
+           |  FROM read_parquet('$ivfpqDelIdxDir/codebooks/*.parquet'))
+           |SELECT
+           |  CAST((SELECT count(*)
+           |        FROM read_parquet('$ivfpqDelIdxDir/centroids/*.parquet')) AS BIGINT) AS nlist,
+           |  CAST((SELECT max(s) + 1 FROM cb) AS BIGINT) AS m,
+           |  CAST((SELECT max(j) + 1 FROM cb) AS BIGINT) AS ks,
+           |  CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_codes,
+           |  CAST((SELECT count(*) FROM tomb) AS BIGINT) AS n_pending_tombstones,
+           |  CAST((SELECT count(*) FROM codes
+           |        WHERE id NOT IN (SELECT id FROM tomb)) AS BIGINT) AS n_serving,
+           |  CAST((SELECT count(DISTINCT filename) FROM codes) * 100
+           |       // (SELECT count(DISTINCT cid) FROM codes) AS BIGINT) AS files_per_cid_x100""".stripMargin,
 
       "x_sim_pq_del_compacted" ->
         pqPersistedReplay(pqDelCmpIdxDir),

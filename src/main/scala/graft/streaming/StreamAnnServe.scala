@@ -36,6 +36,20 @@ object StreamAnnServe {
       graft.operators.AnnIndex.ivfServe(spark, idxPath, batch,
         idCol, vecCol, k, nprobe))
 
+  /** Composed-index twin: each micro-batch of query vectors serves
+    * against the persisted IVF-PQ artifact ([[graft.operators.AnnIndex
+    * .ivfpqServe]] — probed code partitions + ADC + exact re-rank per
+    * trigger). Batch-invariant per query like [[runOnce]], so the live
+    * path shares the batch entry's persisted-artifact oracle.
+    */
+  def runOnceIvfPq(spark: SparkSession, queryDir: String, fileGlob: String,
+                   schema: StructType, queryPred: Column,
+                   idxPath: String, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nprobe: Int = 4): DataFrame =
+    runForeach(spark, queryDir, fileGlob, schema, queryPred)(batch =>
+      graft.operators.AnnIndex.ivfpqServe(spark, idxPath, corpus, batch,
+        idCol, vecCol, k, nprobe))
+
   /** Late-interaction twin: each micro-batch of raw query vectors is
     * encoded onto the `floor(x·10⁶)` fixed-point token lattice (the
     * x_retrieval_maxsim synthesis — `tokenDim`-wide row-major tokens)

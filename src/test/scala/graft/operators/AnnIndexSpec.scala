@@ -355,6 +355,24 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(composed.nonEmpty && composed == flat)
   }
 
+  test("ivfpqAppend: build-on-half + append-half equals flat PQ under the persisted codebooks") {
+    val path = "/tmp/graft_test_ivfpq_app"
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+    // centroids + codebooks trained on the first batch only; the later
+    // batch is assigned + encoded against the PERSISTED models. With a
+    // full probe the composed serve must equal flat PQ over the same
+    // codebooks — which pins append completeness AND encode identity.
+    AnnIndex.ivfpqBuild(evens, "vec_id", "embedding", path, nlist = 8)
+    AnnIndex.ivfpqAppend(odds, "vec_id", "embedding", path)
+    val composed = rows(AnnIndex.ivfpqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8))
+    val cbs = AnnIndex.loadPqCodebooks(spark, path)
+    val flat = rows(Similarity.pqTopK(emb, queries,
+      "vec_id", "embedding", k = 10, codebooksIn = Some(cbs)))
+    assert(composed.nonEmpty && composed == flat)
+  }
+
   test("IVF-PQ serve scans only probed code partitions; deletes are O(ids); compact folds") {
     val path = "/tmp/graft_test_ivfpq_idx_life"
     AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", path, nlist = 16)
