@@ -745,6 +745,27 @@ object AnnIndex {
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
   }
 
+  /** Synchronize a persisted IVF-PQ index with a CDC change-log TAIL —
+    * the composed member of the maintenance loop, same contract as
+    * [[ivfSyncFromLog]]/[[pqSyncFromLog]]: tombstone every key the tail
+    * touches (O(tail) sidecar), fold ([[ivfpqCompact]] — required: the
+    * deletion vector suppresses unconditionally, so an updated or
+    * revived id could never re-enter while its tombstone is pending),
+    * then LWW-reduce the tail and assign + encode the surviving current
+    * versions against the PERSISTED centroids and codebooks
+    * ([[ivfpqAppend]] — maintenance never retrains the index identity).
+    */
+  def ivfpqSyncFromLog(spark: SparkSession, path: String, tail: DataFrame,
+                       keyCol: String, seqCol: String, opCol: String,
+                       vecCol: String, deleteOp: String = "D"): Unit = {
+    val touched = tail.select(col(keyCol).as("id")).distinct()
+    ivfpqDelete(spark, path, touched, "id")
+    ivfpqCompact(spark, path)
+    val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
+      .select(col(keyCol), col(vecCol))
+    if (!live.isEmpty) ivfpqAppend(live, keyCol, vecCol, path)
+  }
+
   /** IVF-PQ health report — the composed sibling of [[describeIvf]] and
     * [[describePq]]: coarse-list count (nlist), codebook shape (m × ks —
     * the model identity), stored codes, pending tombstone debt, serving

@@ -910,6 +910,7 @@ object QueryCatalog {
   private val ivfpqIdxDir = "/tmp/graft_ivfpq_idx"
   private val ivfpqDelIdxDir = "/tmp/graft_ivfpq_idx_del"
   private val ivfpqAppIdxDir = "/tmp/graft_ivfpq_idx_app"
+  private val ivfpqSyncIdxDir = "/tmp/graft_ivfpq_idx_cdcsync"
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val nbIdxDir = "/tmp/graft_nb_idx"
   private val calIdxDir = "/tmp/graft_cal_idx"
@@ -4383,6 +4384,48 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_cdc_ivfpq_sync" -> ((s, dir) => { // oracle: probe-restricted ADC replay over the SYNCED artifact
+      // THE COMPOSED MEMBER OF THE MAINTENANCE LOOP: the same CDC tail
+      // shape as x_cdc_index_sync / x_cdc_pq_sync drives
+      // ivfpqSyncFromLog — tombstone every touched key (O(tail)
+      // sidecar), fold (ivfpqCompact), assign + re-encode the
+      // LWW-current versions against the PERSISTED centroids and
+      // codebooks (maintenance never retrains the index identity). The
+      // exact re-rank corpus is the POST-TAIL snapshot the same log
+      // maintains; the oracle replays probe → cell-restricted ADC →
+      // re-rank over the final on-disk artifact, rebuilding the updated
+      // float vectors with the identical IEEE arithmetic.
+      val emb = t(s, dir, "embeddings")
+      val vt = emb.schema("embedding").dataType
+      def tail = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x + 0.125 as float))")
+            .as("embedding"))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+        .unionByName(emb.filter(col("vec_id") % 11 === 3)
+          .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+          .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+        .unionByName(emb.filter(col("vec_id") % 22 === 3)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x - 0.25 as float))")
+              .as("embedding"))
+          .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+      val path = stageIndex(ivfpqSyncIdxDir, dir) {
+        graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+          ivfpqSyncIdxDir, nlist = 16)
+        graft.operators.AnnIndex.ivfpqSyncFromLog(s, ivfpqSyncIdxDir, tail,
+          "vec_id", "seq", "op", "embedding")
+      }
+      val post = emb.select("vec_id", "embedding")
+        .join(tail.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .unionByName(Cdc.applyLog(tail, "vec_id", "seq", "op")
+          .select("vec_id", "embedding"))
+      graft.operators.AnnIndex.ivfpqServe(s, path, post,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_stream_takedown" -> ((s, dir) => { // oracle: sidecar replay over the stream-fed index
       // STREAMING COMPLIANCE, end to end: the LIVE CDC applier
       // maintains the hosted snapshot AND pushes every micro-batch's
@@ -5901,11 +5944,14 @@ object QueryCatalog {
     // from the embeddings table — the composed form of the ivf and pq
     // replays, every step the same double arithmetic in the same order.
     def ivfpqPersistedReplay(idxDir: String,
-                             tombstoned: Boolean = false): String = {
+                             tombstoned: Boolean = false,
+                             rerankCte: String = "",
+                             rerankTable: String = "embeddings"): String = {
       val dv = if (tombstoned)
         s" WHERE id NOT IN (SELECT id FROM read_parquet('$idxDir/tombstones/*.parquet'))"
       else ""
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH $rerankCte
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |u AS (SELECT vec_id,
          |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
@@ -5943,7 +5989,7 @@ object QueryCatalog {
          |exact AS (SELECT sh.qid, sh.id,
          |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
          |          FROM short sh
-         |          JOIN embeddings ec ON ec.vec_id = sh.id
+         |          JOIN $rerankTable ec ON ec.vec_id = sh.id
          |          JOIN embeddings eq ON eq.vec_id = sh.qid)
          |SELECT qid, id, rank FROM (
          |  SELECT qid, id,
@@ -7730,6 +7776,23 @@ object QueryCatalog {
         // the replay reads only the FINAL on-disk artifact — appended
         // partitions are indistinguishable from built ones by design
         ivfpqPersistedReplay(ivfpqAppIdxDir),
+
+      "x_cdc_ivfpq_sync" ->
+        // synced index ends folded (sidecar cleared) → plain replay of
+        // the final artifact; exact re-rank joins the POST-TAIL
+        // snapshot, updated floats rebuilt with identical IEEE
+        // arithmetic (the x_cdc_pq_sync convention; CASE order encodes
+        // the LWW fold: revive seq 4 over delete seq 3 over update 2)
+        ivfpqPersistedReplay(ivfpqSyncIdxDir,
+          rerankCte = """post AS (SELECT vec_id,
+            |    CASE WHEN vec_id % 22 = 3
+            |           THEN [CAST(CAST(x AS DOUBLE) - 0.25 AS FLOAT) for x in embedding]
+            |         WHEN vec_id % 7 = 0
+            |           THEN [CAST(CAST(x AS DOUBLE) + 0.125 AS FLOAT) for x in embedding]
+            |         ELSE embedding END AS embedding
+            |  FROM embeddings
+            |  WHERE NOT (vec_id % 11 = 3 AND vec_id % 22 <> 3)),""".stripMargin,
+          rerankTable = "post"),
 
       // batch-invariant live serve shares the persisted oracle verbatim
       "x_stream_ivfpq_serve" ->

@@ -502,6 +502,60 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(chosen.head._1 == (if (meeting.nonEmpty) meeting.min else 16))
   }
 
+  test("ivfpqSyncFromLog: synced composed index equals the post-tail re-encode") {
+    val path = "/tmp/graft_test_ivfpq_idx_sync"
+    AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", path, nlist = 8)
+    val vt = emb.schema("embedding").dataType
+    val tail = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x + 0.125 as float))")
+          .as("embedding"))
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+      .unionByName(emb.filter(col("vec_id") % 11 === 3)
+        .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+        .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+      .unionByName(emb.filter(col("vec_id") % 22 === 3)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x - 0.25 as float))")
+            .as("embedding"))
+        .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+    AnnIndex.ivfpqSyncFromLog(spark, path, tail, "vec_id", "seq", "op",
+      "embedding")
+    val full = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      .unionByName(tail)
+    val snap = Cdc.applyLog(full, "vec_id", "seq", "op")
+    // codes AND cell assignments equal a fresh assign+encode of the
+    // post-tail snapshot under the PERSISTED models (never retrained)
+    val cb = AnnIndex.loadPqCodebooks(spark, path)
+    val refCodes = Similarity.pqEncode(snap, "vec_id", "embedding", cb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    val onDisk = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
+      .collect()
+    val syncedCodes = onDisk
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    assert(syncedCodes.nonEmpty && syncedCodes == refCodes,
+      "synced code table diverged from the post-tail re-encode")
+    val cents = AnnIndex.loadIvfCentroids(spark, path)
+    val refCids = Similarity.assignCells(snap, "vec_id", "embedding", cents)
+      .select(col("id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val syncedCids = onDisk.map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(syncedCids == refCids,
+      "synced cell assignment diverged from the persisted-centroid assign")
+    // full-probe serve over the synced index equals flat PQ over the
+    // post-tail snapshot under the same codebooks
+    val synced = rows(AnnIndex.ivfpqServe(spark, path, snap, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8))
+    val flat = rows(Similarity.pqTopK(snap, queries,
+      "vec_id", "embedding", k = 10, codebooksIn = Some(cb)))
+    assert(synced.nonEmpty && synced == flat)
+    val deletedOdd = synced.map(_._2).toSet
+      .exists(id => id % 11 == 3 && id % 22 != 3)
+    assert(!deletedOdd, "a tombstoned member survived the IVF-PQ sync")
+  }
+
   test("pqSyncFromLog: synced codes equal a re-encode of the post-tail snapshot") {
     val path = "/tmp/graft_test_pq_idx_sync"
     AnnIndex.pqBuild(emb, "vec_id", "embedding", path)
