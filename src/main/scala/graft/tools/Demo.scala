@@ -150,6 +150,17 @@ object Demo {
       val report = graft.operators.AnnIndex.describeIvf(spark, idxDir).first()
       println(s"== deletion-vector takedown    -> ${report.getAs[Long]("n_pending_tombstones")} ids pending, ${report.getAs[Long]("n_serving")} of ${report.getAs[Long]("n_members")} serving (index bytes untouched)")
     }
+    // round-11 surface: the composed IVF-PQ index — probed code
+    // partitions + ADC + exact re-rank, full lifecycle
+    locally {
+      val idxDir = "/tmp/graft_demo_ivfpq"
+      graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+        idxDir, nlist = 16)
+      val served = graft.operators.AnnIndex.ivfpqServe(spark, idxDir, emb,
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", 5, nprobe = 4)
+      val rep = graft.operators.AnnIndex.describeIvfPq(spark, idxDir).first()
+      println(s"== IVF-PQ composed serve       -> ${served.count()} ranked rows from ${rep.getAs[Long]("nlist")} cells x ${rep.getAs[Long]("m")}x${rep.getAs[Long]("ks")} codebooks over ${rep.getAs[Long]("n_codes")} codes")
+    }
     val demoToks = emb.select($"vec_id",
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))").as("toks"))
     println(s"== MaxSim late interaction     -> ${Similarity.maxsimTopK(demoToks, demoToks.filter($"vec_id" < 3), "vec_id", "toks", 5, tokenDim = 16).count()} ranked rows for 3 query token-matrices")
