@@ -766,6 +766,73 @@ object AnnIndex {
     if (!live.isEmpty) ivfpqAppend(live, keyCol, vecCol, path)
   }
 
+  /** Autotune the composed index's serving knob — [[tuneIvf]]'s IVF-PQ
+    * sibling: sweep `nprobe`, measure recall@k against the exact
+    * brute-force truth over the SERVING membership's true vectors (from
+    * `corpus`), pick the smallest candidate meeting the target (largest
+    * as the explicit best-effort fallback). Cost shape: ONE ADC pass at
+    * max(nprobe) with probe ranks riding along
+    * ([[Similarity.ivfpqAdcRanked]]) prices the whole sweep — each
+    * sweep point re-shortlists + re-ranks the same persisted frame
+    * (k·rerank exact scores per query per point, never a re-scan of the
+    * codes) — plus the standard |sample|·|members| truth pass.
+    */
+  def tuneIvfPq(spark: SparkSession, path: String, corpus: DataFrame,
+                queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                nprobes: Seq[Int], rerank: Int = 4,
+                targetRecallPctx100: Long = 9500L): DataFrame = {
+    import spark.implicits._
+    require(nprobes.nonEmpty, "tuneIvfPq: nprobes must be non-empty")
+    val cents = loadIvfCentroids(spark, path)
+    val maxP = nprobes.max
+    val probes = Similarity.probeCellsRanked(queries, idCol, vecCol,
+      cents, maxP)
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = minusTombstones(spark, path,
+      readProbedPartitions(spark, s"$path/codes", probedCids.toSeq)
+        .withColumn("cid", col("cid").cast("long"))
+        .filter(col("cid").isInCollection(probedCids)))
+    val codebooks = loadPqCodebooks(spark, path)
+    val scored = Similarity.ivfpqAdcRanked(codes, probes, queries,
+      idCol, vecCol, codebooks).persist()
+    // truth = exact top-k over the serving membership's TRUE vectors
+    val serving = minusTombstones(spark, path,
+        spark.read.parquet(s"$path/codes"))
+      .select(col("id").as(idCol)).distinct()
+    val truth = Similarity.bruteForceTopK(
+        corpus.join(serving, Seq(idCol)), queries, idCol, vecCol, k)
+      .select(col("qid"), col("id")).withColumn("__in", lit(1))
+      .persist()
+    val perP = nprobes.map { p =>
+      Similarity.adcShortlistRerank(
+          scored.filter(col("probe_rank") <= p)
+            .select("qid", "id", "score"),
+          corpus, queries, idCol, vecCol, k, rerank)
+        .withColumn("nprobe", lit(p))
+    }.reduce(_.unionByName(_))
+    val hits = perP.join(truth, Seq("qid", "id"), "left")
+      .groupBy("nprobe")
+      .agg(sum(coalesce(col("__in"), lit(0))).cast("long").as("hits"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val possible = truth.count()
+    val nQueries = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol)).distinct().count()
+    scored.unpersist()
+    truth.unpersist()
+    val report = nprobes.sorted.map { p =>
+      val h = hits.getOrElse(p, 0L)
+      val rec = if (possible == 0L) 0L else h * 10000L / possible
+      (p, nQueries, h, possible, rec)
+    }
+    val pick = report.find(_._5 >= targetRecallPctx100).map(_._1)
+      .getOrElse(nprobes.max)
+    report.map(r => (r._1, r._2, r._3, r._4, r._5,
+        if (r._1 == pick) 1 else 0))
+      .toDF("nprobe", "n_queries", "hits", "possible", "recall_pctx100",
+        "chosen")
+  }
+
   /** IVF-PQ health report — the composed sibling of [[describeIvf]] and
     * [[describePq]]: coarse-list count (nlist), codebook shape (m × ks —
     * the model identity), stored codes, pending tombstone debt, serving

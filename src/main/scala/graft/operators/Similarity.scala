@@ -856,9 +856,11 @@ object Similarity {
 
   /** Shared tail of the ADC family (flat PQ and IVF-PQ): shortlist the
     * rerank·k best ADC candidates per query, then exact cosine re-rank
-    * of the shortlist against the original vectors.
+    * of the shortlist against the original vectors. `private[graft]`
+    * because [[AnnIndex.tuneIvfPq]] re-runs the tail per sweep point
+    * over ONE persisted ADC pass.
     */
-  private def adcShortlistRerank(adc: DataFrame, corpus: DataFrame,
+  private[graft] def adcShortlistRerank(adc: DataFrame, corpus: DataFrame,
                                  queries: DataFrame, idCol: String,
                                  vecCol: String, k: Int,
                                  rerank: Int): DataFrame = {
@@ -884,6 +886,33 @@ object Similarity {
     * member with zero shuffles of the code table. Same shortlist +
     * exact-re-rank tail as [[pqTopKWithCodes]].
     */
+  /** The sweep-priceable form of the IVF-PQ ADC pass: like the scoring
+    * half of [[ivfpqTopKWithCodes]] but the probe RANK rides along
+    * (each id lives in exactly one cell, so its rank per query is
+    * unique) — a candidate scored via the cell at probe rank r is
+    * exactly what an `nprobe ≥ r` serve sees, so one pass at
+    * max(nprobe) prices an entire sweep ([[AnnIndex.tuneIvfPq]]).
+    * Output: (qid, id, probe_rank, score).
+    */
+  private[graft] def ivfpqAdcRanked(codes: DataFrame, probesRanked: DataFrame,
+                                    queries: DataFrame, idCol: String,
+                                    vecCol: String,
+                                    codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val (mEff, ksEff) = (codebooks.length, codebooks(0).length)
+    val q0 = queries.select(col(idCol).as("qid"),
+      unitized(col(vecCol).cast("array<double>")).as("__q"))
+    val (lutRows, lutStarts) = pqMatrix(codebooks)
+    val q = q0.select(col("qid"),
+      graft.functions.VectorFunctions.vec_dot_matrix(
+        col("__q"), lutRows, rowStarts = lutStarts).as("lut"))
+    val probePlan = probesRanked.select("qid", "cid", "probe_rank")
+      .join(q, Seq("qid"))
+    codes.join(broadcast(probePlan), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("probe_rank"),
+        adcScoreExpr(mEff, ksEff).as("score"))
+  }
+
   private[graft] def ivfpqTopKWithCodes(codes: DataFrame, probes: DataFrame,
                                         corpus: DataFrame, queries: DataFrame,
                                         idCol: String, vecCol: String, k: Int,

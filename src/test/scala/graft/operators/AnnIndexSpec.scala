@@ -502,6 +502,37 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(chosen.head._1 == (if (meeting.nonEmpty) meeting.min else 16))
   }
 
+  test("tuneIvfPq: recall monotone in nprobe, full probe equals flat-PQ recall, one knob chosen") {
+    val path = "/tmp/graft_test_ivfpq_idx_tune"
+    AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val sample = emb.filter(col("vec_id") % 10 === 7)
+    val rep = AnnIndex.tuneIvfPq(spark, path, emb, sample,
+        "vec_id", "embedding", 10, Seq(1, 2, 4, 16))
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).sortBy(_._1)
+    assert(rep.map(_._1).toSeq == Seq(1, 2, 4, 16))
+    // candidate sets nest as more cells are probed → recall monotone
+    assert(rep.map(_._4).toSeq == rep.map(_._4).toSeq.sorted,
+      "recall not monotone in nprobe")
+    // a FULL probe sees every code — its recall is exactly flat PQ's
+    // (quantization + shortlist loss, repaired only within rerank·k),
+    // NOT necessarily 100%: compute flat-PQ hits directly and compare
+    val cbs = AnnIndex.loadPqCodebooks(spark, path)
+    val flat = Similarity.pqTopK(emb, sample, "vec_id", "embedding",
+        k = 10, codebooksIn = Some(cbs))
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceTopK(emb, sample,
+        "vec_id", "embedding", 10)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = rep.last
+    assert(full._2 == (flat & truth).size.toLong,
+      s"full-probe hits ${full._2} != flat-PQ hits ${(flat & truth).size}")
+    val chosen = rep.filter(_._5 == 1)
+    assert(chosen.length == 1, s"expected one chosen knob, got $chosen")
+    val meeting = rep.filter(_._4 >= 9500L).map(_._1)
+    assert(chosen.head._1 == (if (meeting.nonEmpty) meeting.min else 16))
+  }
+
   test("ivfpqSyncFromLog: synced composed index equals the post-tail re-encode") {
     val path = "/tmp/graft_test_ivfpq_idx_sync"
     AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", path, nlist = 8)
