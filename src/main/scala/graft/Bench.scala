@@ -101,8 +101,13 @@ object Bench {
     // fail loudly if a rename silently un-prices a representative
     val missing = representatives -- catalog.keySet
     require(missing.isEmpty, s"bench representatives not in catalog: $missing")
+    // The relational suite is matched PRECISELY (TPC-H q<N>_… and the
+    // q_… relational/windowing entries), not by a bare "q" prefix — a
+    // future catalog key that merely starts with 'q' (e.g. "quality")
+    // must not silently join the headline tier the way the enumerated
+    // representatives set cannot.
     def inHeadline(name: String): Boolean =
-      name.startsWith("ref_") || name.startsWith("q") ||
+      name.startsWith("ref_") || name.matches("q(\\d+)?_.*") ||
         name.startsWith("x_pipeline_") || representatives.contains(name)
     val timed =
       if (tier == "full") catalog else catalog.filter(q => inHeadline(q._1))

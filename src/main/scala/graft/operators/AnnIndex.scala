@@ -183,12 +183,31 @@ object AnnIndex {
     * a straggler and an ever-growing single-file lineage. The `distinct`
     * already shuffles, so AQE's post-shuffle coalescing sizes the output
     * to `spark.sql.adaptive.advisoryPartitionSizeInBytes` — a trickle
-    * takedown still lands as one small file, a bulk one fans out.
+    * takedown still lands as one small file, a bulk one fans out. The
+    * API is public and callers control the session, so an AQE-disabled
+    * session gets an EXPLICIT size guard instead: without it, every
+    * trickle takedown would land `spark.sql.shuffle.partitions` near-
+    * empty files, and the sidecar is re-read and broadcast on every
+    * serve — file count would grow O(calls × partitions) until compact.
     */
   private def appendTombstones(path: String, ids: DataFrame,
-                               idCol: String): Unit =
-    ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+                               idCol: String): Unit = {
+    val spark = ids.sparkSession
+    val d = ids.select(col(idCol).as("id")).distinct()
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      .equalsIgnoreCase("true")
+    if (aqe) d.write.mode("append").parquet(s"$path/tombstones")
+    else {
+      // one counted pass sizes the write (4M ids ≈ one compact file);
+      // persist so the distinct is not recomputed for the write itself
+      d.persist()
+      try {
+        val n = d.count()
+        d.repartition(math.max(1L, n / 4000000L).toInt)
+          .write.mode("append").parquet(s"$path/tombstones")
+      } finally { d.unpersist(); () }
+    }
+  }
 
   /** The pending tombstone set, if any takedowns have not been folded
     * yet (None ⇒ no sidecar ⇒ serve skips the anti-join entirely).
@@ -353,8 +372,11 @@ object AnnIndex {
               targetRecallPctx100: Long = 9500L): DataFrame = {
     import spark.implicits._
     require(nprobes.nonEmpty, "tuneIvf: nprobes must be non-empty")
+    // dedupe: a repeated candidate would emit duplicate report rows and
+    // mark `chosen` on both copies, breaking the one-chosen-knob contract
+    val cand = nprobes.distinct.sorted
     val cents = loadIvfCentroids(spark, path)
-    val maxP = nprobes.max
+    val maxP = cand.max
     val probes = Similarity.probeCellsRanked(queries, idCol, vecCol,
       cents, maxP)
     // bounded by |sample|·maxP longs — the serve-regime collect
@@ -375,7 +397,7 @@ object AnnIndex {
         queries, idCol, vecCol, k)
       .select(col("qid"), col("id")).withColumn("__in", lit(1))
       .persist()
-    val perP = nprobes.map { p =>
+    val perP = cand.map { p =>
       Similarity.rankTopK(scored.filter(col("probe_rank") <= p)
           .select("qid", "id", "cosine"), k)
         .withColumn("nprobe", lit(p))
@@ -389,13 +411,13 @@ object AnnIndex {
       .select(col(idCol)).distinct().count()
     scored.unpersist()
     truth.unpersist()
-    val report = nprobes.sorted.map { p =>
+    val report = cand.map { p =>
       val h = hits.getOrElse(p, 0L)
       val rec = if (possible == 0L) 0L else h * 10000L / possible
       (p, nQueries, h, possible, rec)
     }
     val pick = report.find(_._5 >= targetRecallPctx100).map(_._1)
-      .getOrElse(nprobes.max)
+      .getOrElse(cand.max)
     report.map(r => (r._1, r._2, r._3, r._4, r._5,
         if (r._1 == pick) 1 else 0))
       .toDF("nprobe", "n_queries", "hits", "possible", "recall_pctx100",
@@ -458,7 +480,19 @@ object AnnIndex {
                                    probedCids: Seq[Long]): DataFrame = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partDirs = fs.listStatus(rootPath).toSeq
+    // a never-built path (or one vanishing under a concurrent rewrite —
+    // maintenance is single-writer, but serve-vs-writer is not locked)
+    // must surface the SAME clear AnalysisException the generic read
+    // throws, not a raw Hadoop FileNotFoundException from listStatus
+    val listed =
+      try {
+        if (fs.exists(rootPath)) Some(fs.listStatus(rootPath).toSeq)
+        else None
+      } catch {
+        case _: java.io.FileNotFoundException => None
+      }
+    if (listed.isEmpty) return spark.read.parquet(root)
+    val partDirs = listed.get
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("cid="))
     if (partDirs.isEmpty) spark.read.parquet(root)
@@ -783,8 +817,11 @@ object AnnIndex {
                 targetRecallPctx100: Long = 9500L): DataFrame = {
     import spark.implicits._
     require(nprobes.nonEmpty, "tuneIvfPq: nprobes must be non-empty")
+    // dedupe, like tuneIvf: one report row and at most one `chosen` per
+    // distinct candidate
+    val cand = nprobes.distinct.sorted
     val cents = loadIvfCentroids(spark, path)
-    val maxP = nprobes.max
+    val maxP = cand.max
     val probes = Similarity.probeCellsRanked(queries, idCol, vecCol,
       cents, maxP)
     val probedCids = probes.select(col("cid")).distinct()
@@ -804,7 +841,7 @@ object AnnIndex {
         corpus.join(serving, Seq(idCol)), queries, idCol, vecCol, k)
       .select(col("qid"), col("id")).withColumn("__in", lit(1))
       .persist()
-    val perP = nprobes.map { p =>
+    val perP = cand.map { p =>
       Similarity.adcShortlistRerank(
           scored.filter(col("probe_rank") <= p)
             .select("qid", "id", "score"),
@@ -820,13 +857,13 @@ object AnnIndex {
       .select(col(idCol)).distinct().count()
     scored.unpersist()
     truth.unpersist()
-    val report = nprobes.sorted.map { p =>
+    val report = cand.map { p =>
       val h = hits.getOrElse(p, 0L)
       val rec = if (possible == 0L) 0L else h * 10000L / possible
       (p, nQueries, h, possible, rec)
     }
     val pick = report.find(_._5 >= targetRecallPctx100).map(_._1)
-      .getOrElse(nprobes.max)
+      .getOrElse(cand.max)
     report.map(r => (r._1, r._2, r._3, r._4, r._5,
         if (r._1 == pick) 1 else 0))
       .toDF("nprobe", "n_queries", "hits", "possible", "recall_pctx100",

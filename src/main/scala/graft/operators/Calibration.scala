@@ -175,10 +175,27 @@ object Calibration {
     *
     * Output, one row: (n, pos, neg, u2, auc_e6) — auc_e6 null when
     * either class is empty (AUC undefined).
+    *
+    * The cumulative window's single partition is bounded by DISTINCT
+    * score cardinality, which for the quantized integer scores this
+    * pipeline produces (permille/e6 scales) is model-sized — but the
+    * API is public, and a caller passing raw 64-bit scores would get a
+    * silent single-partition sort of ~corpus-distinct rows. An eager
+    * cardinality probe (the [[Profiling.distributionDrift]] pattern —
+    * it probes min/max eagerly for the same reason) fails LOUDLY past
+    * `maxDistinctScores` with the fix in the message: bucketize first.
     */
-  def aucEval(df: DataFrame, scoreCol: String, yCol: String): DataFrame = {
+  def aucEval(df: DataFrame, scoreCol: String, yCol: String,
+              maxDistinctScores: Long = 1L << 22): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def d(c: Column) = c.cast(dec)
+    val nDistinct = df.agg(
+      approx_count_distinct(col(scoreCol))).first().getLong(0)
+    require(nDistinct <= maxDistinctScores,
+      s"aucEval: ~$nDistinct distinct scores exceeds the " +
+        s"$maxDistinctScores bound of the single-partition rank window — " +
+        "bucketize/quantize the score first (distributionDrift's bucket " +
+        "projection), or raise maxDistinctScores deliberately")
     val byScore = df.select(col(scoreCol).cast("long").as("s"),
         col(yCol).cast("long").as("y"))
       .groupBy("s")

@@ -441,10 +441,20 @@ object HostedStore {
 
   def stageBatch(itemId: String, partKey: String, attemptId: Long,
                  chunkId: Int, batch: Seq[Row]): Unit = {
-    get(itemId) // 404 on unknown item
+    // A speculative or zombie attempt can stage AFTER the winning
+    // attempt's commit already purged this partKey (purge runs once, at
+    // commit) — buffering it would leak until job end and trip the
+    // stagedBufferCount==0 invariant with a spurious "leak". A committed
+    // partKey accepts no new staging: the data is already durable, and
+    // the loser's own commit would be a committedParts no-op anyway.
+    if (get(itemId).committedParts.contains(partKey)) return
     staged.merge((itemId, partKey, attemptId), Map(chunkId -> batch.toVector),
       (old, one) => old ++ one)
-    ()
+    // Close the check-then-merge race: a commit that lands between the
+    // check above and the merge has already run its purge, so purge the
+    // just-merged buffer ourselves the moment the partKey shows committed.
+    if (get(itemId).committedParts.contains(partKey))
+      purgeStaged(itemId, partKey)
   }
 
   /** Drop every attempt's staging for a partition (called once the

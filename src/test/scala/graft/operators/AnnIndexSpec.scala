@@ -502,6 +502,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(chosen.head._1 == (if (meeting.nonEmpty) meeting.min else 16))
   }
 
+  test("tuneIvf dedupes duplicate nprobe candidates: one row each, one chosen") {
+    // a caller-supplied Seq(1,2,2,4) must not emit duplicate report rows
+    // or mark `chosen` twice — the one-chosen-knob contract
+    val path = "/tmp/graft_test_ivf_idx_tune_dup"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val rep = AnnIndex.tuneIvf(spark, path,
+        emb.filter(col("vec_id") % 10 === 3), "vec_id", "embedding",
+        10, Seq(2, 1, 2, 4, 4))
+      .collect().map(r => (r.getInt(0), r.getInt(5)))
+    assert(rep.map(_._1).toSeq.sorted == Seq(1, 2, 4), s"rows: ${rep.toSeq}")
+    assert(rep.count(_._2 == 1) == 1, s"expected exactly one chosen: ${rep.toSeq}")
+  }
+
+  test("AQE-off trickle takedown still lands a bounded sidecar file count") {
+    // callers control the session: with adaptive execution disabled the
+    // sidecar write sizes itself from an explicit count instead of AQE
+    // post-shuffle coalescing — a 3-id takedown must not land
+    // spark.sql.shuffle.partitions near-empty files
+    val path = "/tmp/graft_test_ivf_idx_aqeoff"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 8)
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      AnnIndex.ivfDelete(spark, path, Seq(1L, 2L, 3L).toDF("vec_id"), "vec_id")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/tombstones"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(files == 1, s"trickle takedown wrote $files sidecar files")
+    // and the takedown is still effective at serve
+    val served = AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8)
+    assert(served.filter(col("id").isin(1L, 2L, 3L)).count() == 0)
+  }
+
   test("tuneIvfPq: recall monotone in nprobe, full probe equals flat-PQ recall, one knob chosen") {
     val path = "/tmp/graft_test_ivfpq_idx_tune"
     AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", path, nlist = 16)

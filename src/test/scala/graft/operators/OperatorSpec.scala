@@ -129,6 +129,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(auc(Seq((1L, 1L), (2L, 1L))) === None) // one-class: undefined
   }
 
+  test("aucEval fails loudly past the distinct-score cardinality bound") {
+    // the rank window runs one partition bounded by DISTINCT scores; raw
+    // high-cardinality scores must be rejected with the fix in the
+    // message, never silently single-partition-sorted
+    val raw = Seq((101L, 1L), (202L, 0L), (303L, 1L), (404L, 0L))
+      .toDF("s", "y")
+    val e = intercept[IllegalArgumentException] {
+      Calibration.aucEval(raw, "s", "y", maxDistinctScores = 2L)
+    }
+    assert(e.getMessage.contains("bucketize"))
+    // quantized scores under the bound still evaluate
+    assert(Calibration.aucEval(raw, "s", "y", maxDistinctScores = 16L)
+      .select("auc_e6").as[Option[Long]].head().isDefined)
+  }
+
   test("cellCohesionReport: member counts match the cell assignment exactly") {
     val rep = Dedup.cellCohesionReport(emb, "vec_id", "embedding", 16)
       .select("cell", "n_members").as[(Long, Long)].collect().toMap

@@ -171,6 +171,27 @@ class WriteRetrySpec extends AnyFunSuite {
     assert(HostedStore.rowCount(id) == 50)
   }
 
+  test("a zombie stage landing AFTER the winning commit self-purges") {
+    // spark.speculation can run two attempts of one partition: the loser's
+    // in-flight stageBatch may land after the winner's commit already ran
+    // its one-shot purge for the partKey. Without the committed-partKey
+    // guard that buffer would leak to job end and read as a false
+    // staging-leak in the fault drill's stagedBufferCount==0 invariant.
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(20)
+    val rows = orders.collect().toSeq
+    HostedStore.dropByTitle("retry_zombie")
+    val id = HostedStore.create("retry_zombie", orders.schema)
+    HostedStore.stageBatch(id, "w:p0", attemptId = 1L, chunkId = 0, rows)
+    assert(HostedStore.commitStaged(id, "w:p0", 1L, WriteMode.Append, None) == 20)
+    // the speculative loser arrives late, for the already-committed part
+    HostedStore.stageBatch(id, "w:p0", attemptId = 2L, chunkId = 0, rows)
+    assert(HostedStore.stagedBufferCount(id) == 0,
+      "late speculative stage for a committed partition must not leak")
+    // and its replayed commit stays a no-op (exactly-once holds)
+    assert(HostedStore.commitStaged(id, "w:p0", 2L, WriteMode.Append, None) == 0)
+    assert(HostedStore.rowCount(id) == 20)
+  }
+
   test("a fault on every attempt exhausts maxTaskFailures and fails the write") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(100)
     HostedStore.dropByTitle("retry_fatal")
