@@ -282,31 +282,206 @@ object AnnIndex {
     ()
   }
 
+  /** Fold the pending tombstone sidecar into ONLY the cid partitions
+    * that actually hold tombstoned members — the maintenance-loop fold
+    * the `SyncFromLog` family uses instead of a full compact. An hourly
+    * CDC tail touches a handful of cells, and the fold must cost
+    * O(touched cells), never a full-index rewrite: the old cell of every
+    * tombstoned id is IN the partitioned table, so one column-pruned
+    * (id, cid) scan against the broadcast sidecar yields the touched-cid
+    * set (bounded by nlist, collected as longs); only those partition
+    * directories are re-read, anti-joined, and swapped per-directory.
+    * Cells the sidecar never touches keep their bytes — and their file
+    * layout — untouched, so a sync's write cost follows the tail, not
+    * the index. [[ivfCompact]]/[[ivfpqCompact]] remain the full VACUUM
+    * (they also restore one-file-per-cid EVERYWHERE; this fold only
+    * removes rows, restoring the invariant in touched cells alone).
+    *
+    * The sidecar ids fold COMPLETELY here — any id absent from the index
+    * folds to nothing — so the caller clears the sidecar afterwards.
+    * Maintenance is single-writer (the family's standing assumption);
+    * each touched directory's delete-then-rename is the same per-unit
+    * publish window the full compact's swap has, narrowed to the
+    * touched subset.
+    */
+  private def foldTombstonesTargeted(spark: SparkSession, path: String,
+                                     dir: String): Unit =
+    loadTombstones(spark, path).foreach { tombs =>
+      foldTargetedPartitioned(spark, path, dir, tombs)
+    }
+
+  private def foldTargetedPartitioned(spark: SparkSession, path: String,
+                                      dir: String,
+                                      tombs: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = rootPath.getFileSystem(conf)
+    val partDirs = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("cid="))
+    if (partDirs.isEmpty) {
+      // unpartitioned layout = the schema-bearing EMPTY index a full
+      // takedown leaves behind; the generic rewrite is O(empty)
+      rewritePartitioned(spark, dir)(minusTombstones(spark, path, _))
+      return
+    }
+    // touched-cid set: column-pruned scan of (id × partition col) against
+    // the broadcast sidecar — reads the id column once, writes nothing
+    val touched = spark.read.parquet(dir)
+      .join(broadcast(tombs), Seq("id"))
+      .select(col("cid").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) return // no tombstoned id is stored: nothing to fold
+    val touchedDirs = partDirs.filter(nm =>
+      touched.contains(nm.stripPrefix("cid=").toLong))
+    val tmp = s"${dir}__fold"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val subset = spark.read.option("basePath", dir)
+      .parquet(touchedDirs.map(nm => s"$dir/$nm"): _*)
+    val schema = subset.schema
+    subset.join(broadcast(tombs), Seq("id"), "left_anti")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    // per-directory swap: each touched cell is replaced by its survivors;
+    // a cell the fold emptied is simply removed (partitionBy writes no
+    // directory for an empty partition)
+    touchedDirs.foreach { nm =>
+      val oldDir = new org.apache.hadoop.fs.Path(s"$dir/$nm")
+      val newDir = new org.apache.hadoop.fs.Path(s"$tmp/$nm")
+      fs.delete(oldDir, true)
+      if (fs.exists(newDir))
+        require(fs.rename(newDir, oldDir),
+          s"targeted fold: could not publish $newDir")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // a fold that emptied EVERY cell must leave a READABLE empty index —
+    // the rewritePartitioned rule: re-establish the unpartitioned
+    // schema-bearing layout (the next append re-partitions it)
+    val anyLeft = fs.listStatus(rootPath).toSeq
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+    if (!anyLeft) {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** [[foldTombstonesTargeted]]'s sibling for the FLAT (unpartitioned)
+    * PQ code table, where the unit of rewrite is the FILE: the files
+    * holding tombstoned rows are identified by one column-pruned
+    * `input_file_name` scan against the broadcast sidecar, their
+    * survivors are rewritten grouped BY SOURCE FILE, and each touched
+    * file is swapped for its survivor file in place (original name kept
+    * — a re-run after an interruption finds already-swapped files hold
+    * no tombstoned ids and skips them). Files without tombstoned rows
+    * are never read again or rewritten, so a sync's write cost is
+    * O(touched files), not O(code table). Single-writer, like the
+    * partitioned fold; [[pqCompact]] remains the full VACUUM that also
+    * re-sizes the file layout.
+    */
+  private def foldTombstonesTargetedFlat(spark: SparkSession, path: String,
+                                         dir: String): Unit =
+    loadTombstones(spark, path).foreach { tombs =>
+      foldTargetedFlat(spark, dir, tombs)
+    }
+
+  private def foldTargetedFlat(spark: SparkSession, dir: String,
+                               tombs: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = rootPath.getFileSystem(conf)
+    val codes = spark.read.parquet(dir)
+    val schema = codes.schema
+    val touchedFiles = codes.withColumn("__src", input_file_name())
+      .join(broadcast(tombs), Seq("id"))
+      .select("__src").distinct().collect().map(_.getString(0)).sorted
+    if (touchedFiles.isEmpty) return
+    def key(f: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tmp = s"${dir}__fold"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // survivors grouped by source file: one output file per touched
+    // input file (repartition on the source key routes each file's rows
+    // to one task), so the swap below is file-for-file
+    spark.read.parquet(touchedFiles.toIndexedSeq: _*)
+      .withColumn("__srckey", expr("md5(input_file_name())"))
+      .join(broadcast(tombs), Seq("id"), "left_anti")
+      .repartition(col("__srckey"))
+      .write.mode("overwrite").partitionBy("__srckey").parquet(tmp)
+    // GUARD before any old file is dropped: every survivor group must map
+    // back to a touched file — an orphan means the executor-side
+    // input_file_name string drifted from the driver-side one (path
+    // normalization), and proceeding would silently drop those survivors
+    val keys = touchedFiles.map(key).toSet
+    val orphans = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName.stripPrefix("__srckey="))
+      .filterNot(keys.contains)
+    require(orphans.isEmpty,
+      s"targeted flat fold: survivor group(s) matched no touched file: $orphans")
+    touchedFiles.foreach { f =>
+      val oldFile = new org.apache.hadoop.fs.Path(f)
+      val partDir = new org.apache.hadoop.fs.Path(s"$tmp/__srckey=${key(f)}")
+      fs.delete(oldFile, false)
+      if (fs.exists(partDir)) {
+        val part = fs.listStatus(partDir).toSeq
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1,
+          s"targeted flat fold: expected one survivor file, got $part")
+        // keep the original name: the dir's file census stays stable and
+        // a rerun recognizes the swapped file as clean
+        require(fs.rename(part.head, oldFile),
+          s"targeted flat fold: could not publish ${part.head}")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // all files consumed with no survivors ⇒ re-establish the readable
+    // empty layout (schema-bearing single file)
+    val anyLeft = fs.listStatus(rootPath).toSeq
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (!anyLeft) {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+  }
+
   /** Synchronize a persisted IVF index with a CDC change-log TAIL — the
     * maintenance loop that keeps a serving index following its source
     * table ([[Cdc.applyLog]]'s snapshot) without a rebuild:
     *
     *  1. tombstone every key the tail touches (O(tail) sidecar append);
-    *  2. fold the sidecar ([[ivfCompact]]) — required, not optional:
-    *     the deletion vector suppresses ids unconditionally, so an
-    *     updated or revived id could never re-enter while its
-    *     tombstone is pending;
+    *  2. fold the sidecar TARGETED ([[foldTombstonesTargeted]]) —
+    *     required, not optional: the deletion vector suppresses ids
+    *     unconditionally, so an updated or revived id could never
+    *     re-enter while its tombstone is pending. Targeted: only the
+    *     cells that hold a tombstoned member are rewritten, so the fold
+    *     costs O(touched cells), never the O(index) rewrite a full
+    *     [[ivfCompact]] pays — at 100 TB an hourly tail touches a
+    *     handful of cells and a full-index fold per sync batch would be
+    *     the maintenance loop's scale-killer;
     *  3. LWW-reduce the tail ([[Cdc.applyLog]] over the tail alone —
     *     correct because a keyed change topic delivers each key's full
     *     history once it appears) and append the surviving current
     *     versions against the PERSISTED centroids.
     *
     * Deletes in the tail simply never re-append. Cost: O(tail) + one
-    * fold — batch the tail (hourly/daily) to amortize the fold, exactly
-    * like CDC log compaction itself. Equivalence with a full rebuild of
-    * the post-tail snapshot under the same centroids is spec-gated.
+    * touched-cells fold — batch the tail (hourly/daily) to amortize,
+    * exactly like CDC log compaction itself. Equivalence with a full
+    * rebuild of the post-tail snapshot under the same centroids is
+    * spec-gated; StressCheck's `sync` mode measures the flat-in-index-
+    * size cost.
     */
   def ivfSyncFromLog(spark: SparkSession, path: String, tail: DataFrame,
                      keyCol: String, seqCol: String, opCol: String,
                      vecCol: String, deleteOp: String = "D"): Unit = {
     val touched = tail.select(col(keyCol).as("id")).distinct()
     ivfDelete(spark, path, touched, "id")
-    ivfCompact(spark, path)
+    // TARGETED fold, not a full compact: only the cells holding a
+    // tombstoned member are rewritten, so an hourly tail costs O(touched
+    // cells) + O(tail), never an O(index) rewrite per sync batch
+    foldTombstonesTargeted(spark, path, s"$path/cells")
+    clearTombstones(spark, path)
     val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
       .select(col(keyCol), col(vecCol))
     if (!live.isEmpty) ivfAppend(live, keyCol, vecCol, path)
@@ -609,15 +784,18 @@ object AnnIndex {
   /** Synchronize a persisted PQ index with a CDC change-log TAIL — the
     * PQ member of the maintenance loop, same contract as
     * [[ivfSyncFromLog]]: tombstone every key the tail touches (O(tail)
-    * sidecar append), fold the sidecar ([[pqCompact]] — required, not
-    * optional: the deletion vector suppresses ids unconditionally, so
-    * an updated or revived id could never re-enter while its tombstone
-    * is pending), then LWW-reduce the tail ([[Cdc.applyLog]] over the
-    * tail alone) and re-encode the surviving current versions against
-    * the PERSISTED codebooks ([[pqAppend]] — the codebooks are the
-    * index's identity and are never retrained by maintenance). Deletes
-    * in the tail simply never re-append. Cost: O(tail) + one fold —
-    * batch the tail to amortize, exactly like the IVF member.
+    * sidecar append), fold the sidecar TARGETED at the FILE level
+    * ([[foldTombstonesTargetedFlat]] — required, not optional: the
+    * deletion vector suppresses ids unconditionally, so an updated or
+    * revived id could never re-enter while its tombstone is pending;
+    * targeted: only the code files holding a tombstoned row are
+    * rewritten, O(touched files) not O(code table)), then LWW-reduce
+    * the tail ([[Cdc.applyLog]] over the tail alone) and re-encode the
+    * surviving current versions against the PERSISTED codebooks
+    * ([[pqAppend]] — the codebooks are the index's identity and are
+    * never retrained by maintenance). Deletes in the tail simply never
+    * re-append. Cost: O(tail) + one touched-files fold — batch the
+    * tail to amortize, exactly like the IVF member.
     * Equivalence with re-encoding the full post-tail snapshot under the
     * same codebooks is spec-gated (AnnIndexSpec).
     */
@@ -626,7 +804,10 @@ object AnnIndex {
                     vecCol: String, deleteOp: String = "D"): Unit = {
     val touched = tail.select(col(keyCol).as("id")).distinct()
     pqDelete(spark, path, touched, "id")
-    pqCompact(spark, path)
+    // targeted FILE-level fold (the flat table's unit of rewrite): only
+    // the code files holding a tombstoned row are rewritten
+    foldTombstonesTargetedFlat(spark, path, s"$path/codes")
+    clearTombstones(spark, path)
     val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
       .select(col(keyCol), col(vecCol))
     if (!live.isEmpty) pqAppend(live, keyCol, vecCol, path)
@@ -782,19 +963,24 @@ object AnnIndex {
   /** Synchronize a persisted IVF-PQ index with a CDC change-log TAIL —
     * the composed member of the maintenance loop, same contract as
     * [[ivfSyncFromLog]]/[[pqSyncFromLog]]: tombstone every key the tail
-    * touches (O(tail) sidecar), fold ([[ivfpqCompact]] — required: the
-    * deletion vector suppresses unconditionally, so an updated or
-    * revived id could never re-enter while its tombstone is pending),
-    * then LWW-reduce the tail and assign + encode the surviving current
-    * versions against the PERSISTED centroids and codebooks
-    * ([[ivfpqAppend]] — maintenance never retrains the index identity).
+    * touches (O(tail) sidecar), fold TARGETED
+    * ([[foldTombstonesTargeted]] — required: the deletion vector
+    * suppresses unconditionally, so an updated or revived id could
+    * never re-enter while its tombstone is pending; only the probed
+    * code cells holding a tombstoned member are rewritten — O(touched
+    * cells), not O(index)), then LWW-reduce the tail and assign +
+    * encode the surviving current versions against the PERSISTED
+    * centroids and codebooks ([[ivfpqAppend]] — maintenance never
+    * retrains the index identity).
     */
   def ivfpqSyncFromLog(spark: SparkSession, path: String, tail: DataFrame,
                        keyCol: String, seqCol: String, opCol: String,
                        vecCol: String, deleteOp: String = "D"): Unit = {
     val touched = tail.select(col(keyCol).as("id")).distinct()
     ivfpqDelete(spark, path, touched, "id")
-    ivfpqCompact(spark, path)
+    // targeted fold (see ivfSyncFromLog): O(touched cells), not O(index)
+    foldTombstonesTargeted(spark, path, s"$path/codes")
+    clearTombstones(spark, path)
     val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
       .select(col(keyCol), col(vecCol))
     if (!live.isEmpty) ivfpqAppend(live, keyCol, vecCol, path)

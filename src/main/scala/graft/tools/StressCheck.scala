@@ -48,6 +48,36 @@ object StressCheck {
       return
     }
 
+    // `sync` arg: the CDC-sync fold must cost O(touched cells), not
+    // O(index) — r12: SyncFromLog folds TARGETED (only cells holding a
+    // tombstoned member are rewritten). Grow the corpus 1x → 16x at a
+    // fixed nlist and sync the SAME 8-key tail each time: under the old
+    // full-compact fold the sync rewrote the whole index (time ~linear
+    // in corpus); under the targeted fold the write is ≤8 cells and the
+    // only corpus-sized term is the column-pruned id scan that locates
+    // them. Wall time should stay near-flat across the sweep.
+    if (args.contains("sync")) {
+      val emb = graft.api.Tables.load(spark, dir, "embeddings")
+      val vt = emb.schema("embedding").dataType
+      Seq(1, 4, 16).foreach { mult =>
+        val corpus = (0 until mult).map(i =>
+            emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+        val path = s"/tmp/graft_stress_sync_$mult"
+        graft.operators.AnnIndex.ivfBuild(corpus, "vec_id", "embedding",
+          path, nlist = 64)
+        val tail = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+          .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+        time(f"ivfSyncFromLog 8-key tail @x$mult%-3d") {
+          graft.operators.AnnIndex.ivfSyncFromLog(spark, path, tail,
+            "vec_id", "seq", "op", "embedding")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // ~6M lineitem rows (10 copies)
     val li = graft.api.Tables.load(spark, dir, "lineitem")
     val li10 = (0 until 10).map(i =>

@@ -479,6 +479,86 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!deletedOdd, "a tombstoned member survived the sync")
   }
 
+  test("sync fold is cell-targeted: untouched cid partitions keep their exact files") {
+    val path = "/tmp/graft_test_ivf_idx_targeted"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def census(): Map[String, Seq[(String, Long, Long)]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/cells")).toSeq
+        .filter(_.isDirectory).map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath).toSeq
+            .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+            .sortBy(_._1)
+        }.toMap
+    // the victim member and the one cell its tombstone touches
+    val victim = spark.read.parquet(s"$path/cells")
+      .select(col("id").cast("long"), col("cid").cast("long")).head()
+    val (vid, vcid) = (victim.getLong(0), victim.getLong(1))
+    val before = census()
+    val vt = emb.schema("embedding").dataType
+    val tail = emb.filter(col("vec_id") === vid)
+      .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+      .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+    AnnIndex.ivfSyncFromLog(spark, path, tail, "vec_id", "seq", "op",
+      "embedding")
+    val after = census()
+    // every cell the tombstone does NOT touch is bit-stable on disk:
+    // same file names, lengths, and modification times — the O(touched
+    // cells) claim as a filesystem fact, not a wall-clock impression
+    before.foreach { case (nm, files) =>
+      if (nm != s"cid=$vcid")
+        assert(after.get(nm).contains(files), s"untouched cell $nm rewritten")
+    }
+    assert(after(s"cid=$vcid") != before(s"cid=$vcid"),
+      "the touched cell was not rewritten")
+    // the fold was complete: sidecar cleared, victim unfindable
+    assert(AnnIndex.loadTombstones(spark, path).isEmpty)
+    val served = AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 16)
+    assert(served.filter(col("id") === vid).count() == 0)
+  }
+
+  test("flat-PQ sync fold is file-targeted: untouched code files keep name+bytes+mtime") {
+    val path = "/tmp/graft_test_pq_idx_targeted"
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnIndex.pqBuild(evens, "vec_id", "embedding", path)
+    AnnIndex.pqAppend(odds, "vec_id", "embedding", path) // extra files
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def census(): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/codes")).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime))
+        .toMap
+    val victim = spark.read.parquet(s"$path/codes")
+      .select(col("id").cast("long"),
+        expr("reverse(split(input_file_name(), '/'))[0]").as("f")).head()
+    val (vid, vfile) = (victim.getLong(0), victim.getString(1))
+    val before = census()
+    assert(before.size >= 2, s"need a multi-file layout, got ${before.size}")
+    val vt = emb.schema("embedding").dataType
+    val tail = emb.filter(col("vec_id") === vid)
+      .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+      .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+    AnnIndex.pqSyncFromLog(spark, path, tail, "vec_id", "seq", "op",
+      "embedding")
+    val after = census()
+    // file names are stable across the fold (survivors keep the original
+    // name); only the touched file's bytes/mtime change
+    assert(after.keySet == before.keySet,
+      s"file census changed: ${before.keySet} -> ${after.keySet}")
+    before.foreach { case (nm, meta) =>
+      if (nm != vfile) assert(after(nm) == meta, s"untouched file $nm rewritten")
+    }
+    assert(after(vfile) != before(vfile), "the touched file was not rewritten")
+    assert(AnnIndex.loadTombstones(spark, path).isEmpty)
+    val served = AnnIndex.pqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10)
+    assert(served.filter(col("id") === vid).count() == 0)
+  }
+
   test("tuneIvf: recall is monotone in nprobe, full probe is exact, one knob chosen") {
     val path = "/tmp/graft_test_ivf_idx_tune"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
