@@ -49,8 +49,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // resolve @@ANNDIR|..@@ placeholders NOW (post-staging): the oracle
+    // must replay the pointer-resolved serving dirs, not a stale version
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
+      .map { case (k, v) =>
+        s"${jsonEscape(k)}: ${jsonEscape(graft.queries.QueryCatalog.resolveOracleDirs(v))}"
+      }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

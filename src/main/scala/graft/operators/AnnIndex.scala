@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   *    Serving filters to the probed cids, so the scan prunes to
   *    `nprobe/nlist` of the index at the PARTITION level — the file-skip
   *    analogue of FAISS reading only the probed inverted lists.
+  *    Compactions publish REWRITES of this dir (and the PQ `codes/`)
+  *    through a versioned-dir + pointer-manifest flip (`cells__v<N>` +
+  *    `cells__versions/`); readers resolve the pointer, so a serve
+  *    racing a compact never sees a missing or half-renamed directory.
   *
   * Shared under either `path`:
   *  - `tombstones/` — (id): the deletion-vector sidecar. Takedowns
@@ -102,11 +106,15 @@ object AnnIndex {
     */
   private def writeCells(corpus: DataFrame, idCol: String, vecCol: String,
                          cents: Array[(Long, Seq[Double], Double)],
-                         path: String): Unit =
+                         path: String): Unit = {
+    // a (re)build resets the version history: the fresh legacy dir is
+    // version 0 and readers resolve straight to it
+    clearVersions(corpus.sparkSession, path, "cells")
     Similarity.assignCells(Similarity.ensureParallelism(corpus),
         idCol, vecCol, cents)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
 
   /** Append a new corpus batch to a persisted IVF index — the
     * incremental lifecycle ([[graft.operators.Dedup.incrementalDedup]]'s
@@ -121,18 +129,22 @@ object AnnIndex {
     val cents = loadIvfCentroids(spark, path)
     val assigned = Similarity.assignCells(
       Similarity.ensureParallelism(batch), idCol, vecCol, cents)
+    // appends land IN the current version dir (pointer-resolved): an
+    // append is additive, not a rewrite, so it needs no new version
+    val cellsDir = resolveDir(spark, path, "cells")
     // a FULLY-taken-down index holds one unpartitioned empty file (see
-    // rewriteCells) — appending hive-partitioned files next to it would
-    // mix layouts and break the next read; re-establish the partitioned
-    // layout with an overwrite instead (nothing is lost: it is empty)
+    // rewritePartitioned) — appending hive-partitioned files next to it
+    // would mix layouts and break the next read; re-establish the
+    // partitioned layout with an overwrite instead (nothing is lost: it
+    // is empty)
     val conf = spark.sparkContext.hadoopConfiguration
-    val glob = new org.apache.hadoop.fs.Path(s"$path/cells/cid=*")
+    val glob = new org.apache.hadoop.fs.Path(s"$cellsDir/cid=*")
     val partitioned = glob.getFileSystem(conf).globStatus(glob).nonEmpty
     if (partitioned)
-      assigned.write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+      assigned.write.mode("append").partitionBy("cid").parquet(cellsDir)
     else
       assigned.repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+        .write.mode("overwrite").partitionBy("cid").parquet(cellsDir)
   }
 
   /** Compact the inverted lists after a run of appends and takedowns —
@@ -147,8 +159,10 @@ object AnnIndex {
     * (the deleted rows physically leave the index here — [[ivfDelete]]
     * only marks them), then swaps directories and clears the sidecar.
     * Served content is untouched — serve-before ≡ serve-after is
-    * spec-gated. The swap is a driver-side metadata rename (at
-    * production scale: a catalog/manifest pointer flip).
+    * spec-gated. The publish is a versioned-dir + pointer-manifest flip
+    * (one atomic create — see the versioned-publish section): a reader
+    * racing the compact resolves either the old or the new complete
+    * directory, never a missing or half-renamed one.
     */
   def ivfCompact(spark: SparkSession, path: String): Unit = {
     rewriteCells(spark, path)(minusTombstones(spark, path, _))
@@ -235,12 +249,12 @@ object AnnIndex {
     ()
   }
 
-  /** Shared rewrite-and-swap: transform the cells, rewrite one file per
-    * cid, publish atomically (per this filesystem's rename).
+  /** Shared rewrite: transform the cells, rewrite one file per cid,
+    * publish via the versioned pointer flip (no missing-dir window).
     */
   private def rewriteCells(spark: SparkSession, path: String)
                           (f: DataFrame => DataFrame): Unit =
-    rewritePartitioned(spark, s"$path/cells")(f)
+    rewriteVersioned(spark, path, "cells")(f)
 
   /** The cid-partitioned rewrite shared by the cells and IVF-PQ code
     * tables: transform, rewrite one file per cid, publish atomically.
@@ -262,11 +276,143 @@ object AnnIndex {
     publishSwap(spark, dir, tmp)
   }
 
+  // --------------------------------------------- versioned publish
+  //
+  // The rewriteable artifact directories (`cells`, `codes`) publish
+  // compactions through a VERSIONED-DIR + POINTER-MANIFEST flip, never
+  // an in-place directory swap: a rewrite lands complete as
+  // `<name>__v<N>` and becomes the serving directory the instant its
+  // manifest entry (`<name>__versions/v<13-digit-N>`, a one-line file
+  // naming the dir) is atomically CREATED (overwrite=false — a
+  // concurrent second publisher fails loudly instead of interleaving).
+  // Readers resolve the highest manifest entry; there is NO window in
+  // which the serving directory is missing or half-renamed. The
+  // PREVIOUS version's directory is retained through one publish — a
+  // reader that resolved it mid-compact keeps a complete directory to
+  // finish on — and pruned by the next. The unversioned `<name>`
+  // directory a build writes is version 0 of the same scheme, so a
+  // never-compacted index has no manifest and no extra indirection.
+
+  private def manifestDir(path: String, name: String): String =
+    s"$path/${name}__versions"
+
+  /** (current version, current data dir NAME) — (0, name) when no
+    * manifest exists (the build-fresh legacy layout).
+    */
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, name: String): (Long, String) = {
+    val mf = new org.apache.hadoop.fs.Path(manifestDir(path, name))
+    if (!fs.exists(mf)) (0L, name)
+    else {
+      val entries = fs.listStatus(mf).toSeq.map(_.getPath)
+        .filter(_.getName.matches("v\\d{13}"))
+      if (entries.isEmpty) (0L, name)
+      else {
+        val top = entries.maxBy(_.getName)
+        val in = fs.open(top)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        (top.getName.stripPrefix("v").toLong, content)
+      }
+    }
+  }
+
+  /** The CURRENT serving directory for a versioned artifact — what
+    * every read path (serve, describe, tune, append, fold) resolves
+    * before touching files. Public within the library so tools and the
+    * oracle-replay dump can read the same bytes the engine serves.
+    */
+  private[graft] def resolveDir(spark: SparkSession, path: String,
+                                name: String): String =
+    resolveDirPath(path, name, spark.sparkContext.hadoopConfiguration)
+
+  /** Spark-free resolution (a bare Hadoop conf suffices) — the
+    * oracle-SQL dump uses this to rewrite `@@ANNDIR|path|name@@`
+    * placeholders into the dir DuckDB must replay.
+    */
+  private[graft] def resolveDirPath(path: String, name: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): String = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    s"$path/${currentVersion(fs, path, name)._2}"
+  }
+
+  /** Publish a staged rewrite as the next version: place the complete
+    * directory, flip the pointer with one atomic create, prune history
+    * older than the PREVIOUS version (kept for in-flight readers).
+    */
+  private def publishVersioned(spark: SparkSession, path: String,
+                               name: String, staged: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val (cur, _) = currentVersion(fs, path, name)
+    val next = cur + 1
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/${name}__v$next")
+    // a leftover dir from a publish that crashed BEFORE its manifest
+    // create is invisible to readers — safe to clear and reuse
+    fs.delete(dataDir, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staged), dataDir),
+      s"publishVersioned: could not place $staged")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(manifestDir(path, name)))
+    val entry = new org.apache.hadoop.fs.Path(manifestDir(path, name),
+      f"v$next%013d")
+    val out = fs.create(entry, false) // atomic pointer flip
+    try out.write(s"${name}__v$next".getBytes("UTF-8")) finally out.close()
+    (0L until cur).foreach { v =>
+      val dirName = if (v == 0L) name else s"${name}__v$v"
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$dirName"), true)
+      if (v > 0L)
+        fs.delete(new org.apache.hadoop.fs.Path(manifestDir(path, name),
+          f"v$v%013d"), false)
+    }
+  }
+
+  /** Builds RESET the version history: a rebuild's membership is exactly
+    * the corpus given, and the fresh legacy dir is version 0 again.
+    */
+  private def clearVersions(spark: SparkSession, path: String,
+                            name: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(manifestDir(path, name)), true)
+    if (fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.matches(java.util.regex.Pattern.quote(name) + "__v\\d+"))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Versioned rewrite for a cid-partitioned artifact: read the CURRENT
+    * version, stage the transform complete, pointer-flip. The read and
+    * the staged write are different directories, so the source is never
+    * overwritten mid-plan and a racing reader keeps a whole directory.
+    */
+  private def rewriteVersioned(spark: SparkSession, path: String,
+                               name: String)
+                              (f: DataFrame => DataFrame): Unit = {
+    val src = resolveDir(spark, path, name)
+    val tmp = s"$path/${name}__stage"
+    val out = f(spark.read.parquet(src))
+    // empty-index rule: see rewritePartitioned
+    if (out.isEmpty)
+      out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    else
+      out.repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    publishVersioned(spark, path, name, tmp)
+  }
+
   /** Hadoop-FS directory swap, not java.io.File: the rest of the
     * lifecycle accepts any filesystem scheme (hdfs://, s3a://, local)
     * and the publish must too — a java.io rename would silently return
-    * false on anything but a bare local path. (At production scale:
-    * a catalog/manifest pointer flip.)
+    * false on anything but a bare local path. Compactions publish via
+    * [[publishVersioned]] (no missing-dir window); this in-place swap
+    * remains only for the targeted fold's empty-layout rewrite, where
+    * the directory being swapped holds zero rows.
     */
   private def publishSwap(spark: SparkSession, target: String,
                           staged: String): Unit = {
@@ -480,7 +626,7 @@ object AnnIndex {
     // TARGETED fold, not a full compact: only the cells holding a
     // tombstoned member are rewritten, so an hourly tail costs O(touched
     // cells) + O(tail), never an O(index) rewrite per sync batch
-    foldTombstonesTargeted(spark, path, s"$path/cells")
+    foldTombstonesTargeted(spark, path, resolveDir(spark, path, "cells"))
     clearTombstones(spark, path)
     val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
       .select(col(keyCol), col(vecCol))
@@ -498,7 +644,8 @@ object AnnIndex {
     */
   def describeIvf(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val cells = spark.read.parquet(s"$path/cells")
+    val cellsDir = resolveDir(spark, path, "cells")
+    val cells = spark.read.parquet(cellsDir)
       .withColumn("cid", col("cid").cast("long"))
     val nlist = spark.read.parquet(s"$path/centroids").count()
     val nMembers = cells.count()
@@ -507,7 +654,7 @@ object AnnIndex {
     val nServing = pending.fold(nMembers)(t =>
       cells.join(broadcast(t), Seq("id"), "left_anti").count())
     val conf = spark.sparkContext.hadoopConfiguration
-    val cellsPath = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val cellsPath = new org.apache.hadoop.fs.Path(cellsDir)
     val fs = cellsPath.getFileSystem(conf)
     val it = fs.listFiles(cellsPath, true)
     var nFiles = 0L
@@ -558,7 +705,7 @@ object AnnIndex {
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
     val members = minusTombstones(spark, path,
-      spark.read.parquet(s"$path/cells")
+      spark.read.parquet(resolveDir(spark, path, "cells"))
         .withColumn("cid", col("cid").cast("long")))
     val scored = members.filter(col("cid").isInCollection(probedCids))
       .join(broadcast(probes), Seq("cid"))
@@ -633,7 +780,8 @@ object AnnIndex {
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
     val cells = minusTombstones(spark, path,
-      readProbedPartitions(spark, s"$path/cells", probedCids.toSeq)
+      readProbedPartitions(spark, resolveDir(spark, path, "cells"),
+          probedCids.toSeq)
         .withColumn("cid", col("cid").cast("long"))
         .filter(col("cid").isInCollection(probedCids)))
     Similarity.rankTopK(
@@ -702,6 +850,7 @@ object AnnIndex {
     } yield (s, j, codebooks(s)(j).toSeq)
     spark.createDataFrame(rows).toDF("s", "j", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    clearVersions(spark, path, "codes") // rebuild resets the pointer history
     Similarity.pqEncode(corpus, idCol, vecCol, loadPqCodebooks(spark, path))
       .write.mode("overwrite").parquet(s"$path/codes")
     // rebuild semantics: no inherited takedowns (see ivfBuild)
@@ -716,7 +865,7 @@ object AnnIndex {
                path: String): Unit = {
     val spark = batch.sparkSession
     Similarity.pqEncode(batch, idCol, vecCol, loadPqCodebooks(spark, path))
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("append").parquet(resolveDir(spark, path, "codes"))
   }
 
   /** Delete ids from a persisted PQ index — same DELETION-VECTOR
@@ -736,15 +885,16 @@ object AnnIndex {
     */
   def pqCompact(spark: SparkSession, path: String,
                 targetBytes: Long = 128L << 20): Unit = {
-    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val src = resolveDir(spark, path, "codes")
+    val codesPath = new org.apache.hadoop.fs.Path(src)
     val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(codesPath).getLength
     val parts = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
-    val tmp = s"$path/codes__rewrite"
-    minusTombstones(spark, path, spark.read.parquet(s"$path/codes"))
+    val tmp = s"$path/codes__stage"
+    minusTombstones(spark, path, spark.read.parquet(src))
       .repartition(parts)
       .write.mode("overwrite").parquet(tmp)
-    publishSwap(spark, s"$path/codes", tmp)
+    publishVersioned(spark, path, "codes", tmp)
     clearTombstones(spark, path)
   }
 
@@ -762,14 +912,15 @@ object AnnIndex {
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("s"))).head().getInt(0) + 1L
     val ks = cb.agg(max(col("j"))).head().getInt(0) + 1L
-    val codes = spark.read.parquet(s"$path/codes")
+    val codesDir = resolveDir(spark, path, "codes")
+    val codes = spark.read.parquet(codesDir)
     val nCodes = codes.count()
     val pending = loadTombstones(spark, path)
     val nTomb = pending.fold(0L)(_.count())
     val nServing = pending.fold(nCodes)(t =>
       codes.join(broadcast(t), Seq("id"), "left_anti").count())
     val conf = spark.sparkContext.hadoopConfiguration
-    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val codesPath = new org.apache.hadoop.fs.Path(codesDir)
     val fs = codesPath.getFileSystem(conf)
     val it = fs.listFiles(codesPath, true)
     var nFiles = 0L
@@ -806,7 +957,7 @@ object AnnIndex {
     pqDelete(spark, path, touched, "id")
     // targeted FILE-level fold (the flat table's unit of rewrite): only
     // the code files holding a tombstoned row are rewritten
-    foldTombstonesTargetedFlat(spark, path, s"$path/codes")
+    foldTombstonesTargetedFlat(spark, path, resolveDir(spark, path, "codes"))
     clearTombstones(spark, path)
     val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
       .select(col(keyCol), col(vecCol))
@@ -839,7 +990,8 @@ object AnnIndex {
               queries: DataFrame, idCol: String, vecCol: String, k: Int,
               rerank: Int = 4): DataFrame =
     Similarity.pqTopKWithCodes(
-      minusTombstones(spark, path, spark.read.parquet(s"$path/codes")),
+      minusTombstones(spark, path,
+        spark.read.parquet(resolveDir(spark, path, "codes"))),
       corpus, queries, idCol, vecCol, k, rerank,
       loadPqCodebooks(spark, path))
 
@@ -872,29 +1024,98 @@ object AnnIndex {
     */
   def ivfpqBuild(corpus: DataFrame, idCol: String, vecCol: String,
                  path: String, nlist: Int = 16, m: Int = 8,
-                 ks: Int = 16): Unit = {
+                 ks: Int = 16, residual: Boolean = false,
+                 trainedSeed: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     val live = corpus.filter(col(vecCol).isNotNull)
-    Similarity.idSampledCentroids(live, idCol, vecCol, nlist)
+    // trainedSeed swaps in the spark.ml k-means coarse quantizer
+    // ([[ivfBuild]]'s option) — the composition residual encoding wants:
+    // trained cells make residuals small, which is where quantizing the
+    // residual pays off (id-sampled cells leave residuals vector-sized)
+    val centroids = trainedSeed match {
+      case Some(seed) =>
+        Similarity.kmeansCentroids(live, idCol, vecCol, nlist, seed)
+      case None =>
+        Similarity.idSampledCentroids(live, idCol, vecCol, nlist)
+    }
+    centroids
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val codebooks = Similarity.pqTrain(live, idCol, vecCol, m, ks)
-    val cbRows = for {
-      s <- 0 until codebooks.length
-      j <- 0 until codebooks(s).length
-    } yield (s, j, codebooks(s)(j).toSeq)
-    spark.createDataFrame(cbRows).toDF("s", "j", "cvec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     val cents = loadIvfCentroids(spark, path)
     // one corpus pass assigns, one encodes; the cid repartition routes
     // each cell's codes to one file (the writeCells small-files rule)
     val assigned = Similarity.assignCells(
         Similarity.ensureParallelism(live), idCol, vecCol, cents)
       .select(col("cid"), col("id"))
-    Similarity.pqEncode(live, idCol, vecCol, loadPqCodebooks(spark, path))
+    // residual=true is IVFADC proper (the PQ paper's composed form):
+    // codes quantize u(x) − u(centroid(x)), so the codebook spends its
+    // ks levels on the WITHIN-cell spread instead of re-describing the
+    // coarse structure the centroid already captured — at production
+    // nlist the raw-encoding recall penalty grows and the exact re-rank
+    // budget pays for it. The serve adds the coarse term u(q)·u(c) back
+    // per probed cell. residual=false (default) keeps the raw encoding
+    // whose every stored byte replays as engine-neutral SQL.
+    val codebooks =
+      if (residual)
+        Similarity.pqTrainRaw(
+          residualFrame(live, idCol, vecCol, assigned, cents),
+          "id", "__r", m, ks)
+      else Similarity.pqTrain(live, idCol, vecCol, m, ks)
+    val cbRows = for {
+      s <- 0 until codebooks.length
+      j <- 0 until codebooks(s).length
+    } yield (s, j, codebooks(s)(j).toSeq)
+    spark.createDataFrame(cbRows).toDF("s", "j", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // the encoding flavor is part of the index identity: persist it so
+    // serve/append/tune resolve it from disk, never from call-site lore
+    spark.createDataFrame(Seq(Tuple1(residual))).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    clearVersions(spark, path, "codes") // rebuild resets the pointer history
+    val encoded =
+      if (residual)
+        Similarity.pqEncode(
+          residualFrame(live, idCol, vecCol, assigned, cents),
+          "id", "__r", loadPqCodebooks(spark, path), unitize = false)
+      else
+        Similarity.pqEncode(live, idCol, vecCol, loadPqCodebooks(spark, path))
+    encoded
       .join(assigned, Seq("id"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
     clearTombstones(spark, path)
+  }
+
+  /** `u(x) − u(centroid(cid))` per assigned member — the IVFADC residual
+    * the composed index quantizes when built with `residual = true`.
+    * One broadcast join against the nlist-row unit-centroid table; the
+    * arithmetic (unitize, subtract) is a pure projection.
+    */
+  private def residualFrame(live: DataFrame, idCol: String, vecCol: String,
+                            assigned: DataFrame,
+                            cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    val spark = live.sparkSession
+    val cu = spark.createDataFrame(
+        cents.map { case (cid, cv, cn) =>
+          (cid, if (cn == 0) cv else cv.map(_ / cn))
+        }.toIndexedSeq)
+      .toDF("cid", "__cu")
+    live.select(col(idCol).as("id"),
+        Similarity.unitized(col(vecCol).cast("array<double>")).as("__u"))
+      .join(assigned, Seq("id"))
+      .join(broadcast(cu), Seq("cid"))
+      .select(col("id"),
+        zip_with(col("__u"), col("__cu"), (a, b) => a - b).as("__r"))
+  }
+
+  /** The persisted encoding flavor (false for indexes built before the
+    * residual option existed — raw was the only encoding then).
+    */
+  private[graft] def ivfpqIsResidual(spark: SparkSession,
+                                     path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      spark.read.parquet(s"$path/meta").select("residual").head().getBoolean(0)
   }
 
   /** Serve top-k from a persisted IVF-PQ index: probe → read ONLY the
@@ -909,11 +1130,14 @@ object AnnIndex {
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = minusTombstones(spark, path,
-      readProbedPartitions(spark, s"$path/codes", probedCids.toSeq)
+      readProbedPartitions(spark, resolveDir(spark, path, "codes"),
+          probedCids.toSeq)
         .withColumn("cid", col("cid").cast("long"))
         .filter(col("cid").isInCollection(probedCids)))
+    val residualCents =
+      if (ivfpqIsResidual(spark, path)) Some(cents) else None
     Similarity.ivfpqTopKWithCodes(codes, probes, corpus, queries,
-      idCol, vecCol, k, rerank, loadPqCodebooks(spark, path))
+      idCol, vecCol, k, rerank, loadPqCodebooks(spark, path), residualCents)
   }
 
   /** O(ids) takedown — the same deletion-vector sidecar as
@@ -928,7 +1152,7 @@ object AnnIndex {
     * family.
     */
   def ivfpqCompact(spark: SparkSession, path: String): Unit = {
-    rewritePartitioned(spark, s"$path/codes")(minusTombstones(spark, path, _))
+    rewriteVersioned(spark, path, "codes")(minusTombstones(spark, path, _))
     clearTombstones(spark, path)
   }
 
@@ -947,17 +1171,23 @@ object AnnIndex {
     val assigned = Similarity.assignCells(
         Similarity.ensureParallelism(live), idCol, vecCol, cents)
       .select(col("cid"), col("id"))
-    val coded = Similarity.pqEncode(live, idCol, vecCol,
-        loadPqCodebooks(spark, path))
-      .join(assigned, Seq("id"))
+    val coded = (
+      if (ivfpqIsResidual(spark, path))
+        Similarity.pqEncode(
+          residualFrame(live, idCol, vecCol, assigned, cents),
+          "id", "__r", loadPqCodebooks(spark, path), unitize = false)
+      else
+        Similarity.pqEncode(live, idCol, vecCol, loadPqCodebooks(spark, path))
+    ).join(assigned, Seq("id"))
+    val codesDir = resolveDir(spark, path, "codes")
     val conf = spark.sparkContext.hadoopConfiguration
-    val glob = new org.apache.hadoop.fs.Path(s"$path/codes/cid=*")
+    val glob = new org.apache.hadoop.fs.Path(s"$codesDir/cid=*")
     val partitioned = glob.getFileSystem(conf).globStatus(glob).nonEmpty
     if (partitioned)
-      coded.write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+      coded.write.mode("append").partitionBy("cid").parquet(codesDir)
     else
       coded.repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+        .write.mode("overwrite").partitionBy("cid").parquet(codesDir)
   }
 
   /** Synchronize a persisted IVF-PQ index with a CDC change-log TAIL —
@@ -979,7 +1209,7 @@ object AnnIndex {
     val touched = tail.select(col(keyCol).as("id")).distinct()
     ivfpqDelete(spark, path, touched, "id")
     // targeted fold (see ivfSyncFromLog): O(touched cells), not O(index)
-    foldTombstonesTargeted(spark, path, s"$path/codes")
+    foldTombstonesTargeted(spark, path, resolveDir(spark, path, "codes"))
     clearTombstones(spark, path)
     val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
       .select(col(keyCol), col(vecCol))
@@ -1012,16 +1242,19 @@ object AnnIndex {
       cents, maxP)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
+    val codesDir = resolveDir(spark, path, "codes")
     val codes = minusTombstones(spark, path,
-      readProbedPartitions(spark, s"$path/codes", probedCids.toSeq)
+      readProbedPartitions(spark, codesDir, probedCids.toSeq)
         .withColumn("cid", col("cid").cast("long"))
         .filter(col("cid").isInCollection(probedCids)))
     val codebooks = loadPqCodebooks(spark, path)
+    val residualCents =
+      if (ivfpqIsResidual(spark, path)) Some(cents) else None
     val scored = Similarity.ivfpqAdcRanked(codes, probes, queries,
-      idCol, vecCol, codebooks).persist()
+      idCol, vecCol, codebooks, residualCents).persist()
     // truth = exact top-k over the serving membership's TRUE vectors
     val serving = minusTombstones(spark, path,
-        spark.read.parquet(s"$path/codes"))
+        spark.read.parquet(codesDir))
       .select(col("id").as(idCol)).distinct()
     val truth = Similarity.bruteForceTopK(
         corpus.join(serving, Seq(idCol)), queries, idCol, vecCol, k)
@@ -1069,7 +1302,7 @@ object AnnIndex {
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("s"))).head().getInt(0) + 1L
     val ks = cb.agg(max(col("j"))).head().getInt(0) + 1L
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(resolveDir(spark, path, "codes"))
       .withColumn("__file", input_file_name())
     val stats = codes.agg(count(lit(1)).as("n"),
         countDistinct(col("__file")).as("nf"),

@@ -748,7 +748,7 @@ object Similarity {
     * through), so subvector dot products against the unit-normalized
     * codebooks compose to cosine.
     */
-  private def unitized(vec: Column): Column = {
+  private[graft] def unitized(vec: Column): Column = {
     val n = vec_norm(vec)
     when(n === 0, vec).otherwise(transform(vec, x => x / n))
   }
@@ -774,9 +774,14 @@ object Similarity {
     * for). Each subvector's code is the L2-nearest codebook centroid,
     * computed as a projection-level argmax over plan constants — like
     * [[assignCells]], ZERO joins and ZERO shuffles over the corpus.
+    *
+    * `unitize = false` encodes the vector AS GIVEN — the residual-
+    * encoding path (IVFADC): residuals are small deltas whose MAGNITUDE
+    * is the signal, and re-normalizing them would destroy it.
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+               codebooks: Array[Array[Array[Double]]],
+               unitize: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.{vec_block_arg_max, vec_dot_matrix}
     val m = codebooks.length
     val ks = codebooks(0).length
@@ -787,11 +792,67 @@ object Similarity {
     // with m·ks toward the same 64 KB codegen cliff as centroid scoring)
     val cbNorm2 = Array.tabulate(m * ks)(i =>
       codebooks(i / ks)(i % ks).map(x => x * x).sum)
-    corpus.select(col(idCol).as("id"),
-        unitized(col(vecCol).cast("array<double>")).as("__v"))
+    val prepared =
+      if (unitize) unitized(col(vecCol).cast("array<double>"))
+      else col(vecCol).cast("array<double>")
+    corpus.select(col(idCol).as("id"), prepared.as("__v"))
       .withColumn("__pd",
         vec_dot_matrix(col("__v"), pqRows, rowStarts = pqStarts))
       .select(col("id"), vec_block_arg_max(col("__pd"), cbNorm2, m).as("code"))
+  }
+
+  /** [[pqTrainSampled]]'s residual sibling: per-subspace Lloyd
+    * iterations on the `sampleSize` smallest-id vectors of an
+    * already-prepared frame, taken AS GIVEN (no unit normalization —
+    * see [[pqEncode]]'s `unitize` note; residuals are small deltas
+    * whose magnitude IS the signal). Lloyd matters here more than for
+    * the raw encoding: residual clouds are centered near zero, so
+    * arbitrary sample vectors as codewords collapse the ADC ranking —
+    * trained centroids are what make residual encoding beat raw.
+    * Deterministic: smallest-id sample, first-ks init, stable ties.
+    */
+  private[graft] def pqTrainRaw(frame: DataFrame, idCol: String,
+                                vecCol: String, m: Int, ks: Int,
+                                sampleSize: Int = 1024,
+                                iters: Int = 10): Array[Array[Array[Double]]] = {
+    val sample = frame.select(col(idCol),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(col(idCol)).limit(sampleSize)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= ks,
+      s"pqTrainRaw: sample ${sample.length} smaller than ks=$ks")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrainRaw: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val points = sample.map(_.slice(s * sub, (s + 1) * sub))
+      var cents = Array.tabulate(ks)(j => points(j).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ks, sub)(0.0)
+        val counts = Array.fill(ks)(0)
+        points.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < ks) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = p(i) - cents(j)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ks) { j =>
+          if (counts(j) == 0) cents(j)
+          else Array.tabulate(sub)(i => sums(j)(i) / counts(j))
+        }
+        it += 1
+      }
+      cents
+    }
   }
 
   /** Approximate top-k via product quantization with asymmetric distance
@@ -894,10 +955,38 @@ object Similarity {
     * max(nprobe) prices an entire sweep ([[AnnIndex.tuneIvfPq]]).
     * Output: (qid, id, probe_rank, score).
     */
+  /** The per-(qid, cid) coarse term of a RESIDUAL (IVFADC) score:
+    * `u(q)·u(c)` — the probe plan joins the nlist-row centroid table
+    * (broadcast literal data) and the serve's approximate score becomes
+    * `u(q)·u(c) + Σ_s lut[code_s]`, since the codes quantize
+    * `u(x) − u(centroid(x))` instead of `u(x)`. Raw-encoded indexes pass
+    * None and keep the original arithmetic bit-for-bit.
+    */
+  private def withCoarseTerm(probePlan: DataFrame,
+                             residualCents: Option[Array[(Long, Seq[Double], Double)]]): DataFrame =
+    residualCents match {
+      case None => probePlan
+      case Some(cents) =>
+        val spark = probePlan.sparkSession
+        val cdf = spark.createDataFrame(
+            cents.map { case (cid, cv, cn) => (cid, cv, cn) }.toIndexedSeq)
+          .toDF("cid", "__cv", "__cn")
+        probePlan.join(broadcast(cdf), Seq("cid"))
+          .withColumn("__qc", cosineFromNorms(col("__cv"), col("__cn"),
+            col("qvec"), col("qnorm")))
+          .drop("__cv", "__cn")
+    }
+
+  private def adcTotal(mEff: Int, ksEff: Int,
+                       residual: Boolean): Column =
+    if (residual) col("__qc") + adcScoreExpr(mEff, ksEff)
+    else adcScoreExpr(mEff, ksEff)
+
   private[graft] def ivfpqAdcRanked(codes: DataFrame, probesRanked: DataFrame,
                                     queries: DataFrame, idCol: String,
                                     vecCol: String,
-                                    codebooks: Array[Array[Array[Double]]]): DataFrame = {
+                                    codebooks: Array[Array[Array[Double]]],
+                                    residualCents: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
     val (mEff, ksEff) = (codebooks.length, codebooks(0).length)
     val q0 = queries.select(col(idCol).as("qid"),
       unitized(col(vecCol).cast("array<double>")).as("__q"))
@@ -905,19 +994,22 @@ object Similarity {
     val q = q0.select(col("qid"),
       graft.functions.VectorFunctions.vec_dot_matrix(
         col("__q"), lutRows, rowStarts = lutStarts).as("lut"))
-    val probePlan = probesRanked.select("qid", "cid", "probe_rank")
+    val probePlan = withCoarseTerm(probesRanked, residualCents)
+      .select(Seq(col("qid"), col("cid"), col("probe_rank")) ++
+        (if (residualCents.isDefined) Seq(col("__qc")) else Nil): _*)
       .join(q, Seq("qid"))
     codes.join(broadcast(probePlan), Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), col("probe_rank"),
-        adcScoreExpr(mEff, ksEff).as("score"))
+        adcTotal(mEff, ksEff, residualCents.isDefined).as("score"))
   }
 
   private[graft] def ivfpqTopKWithCodes(codes: DataFrame, probes: DataFrame,
                                         corpus: DataFrame, queries: DataFrame,
                                         idCol: String, vecCol: String, k: Int,
                                         rerank: Int,
-                                        codebooks: Array[Array[Array[Double]]]): DataFrame = {
+                                        codebooks: Array[Array[Array[Double]]],
+                                        residualCents: Option[Array[(Long, Seq[Double], Double)]] = None): DataFrame = {
     val (mEff, ksEff) = (codebooks.length, codebooks(0).length)
     val q0 = queries.select(col(idCol).as("qid"),
       unitized(col(vecCol).cast("array<double>")).as("__q"))
@@ -925,11 +1017,14 @@ object Similarity {
     val q = q0.select(col("qid"),
       graft.functions.VectorFunctions.vec_dot_matrix(
         col("__q"), lutRows, rowStarts = lutStarts).as("lut"))
-    val probePlan = probes.select("qid", "cid").join(q, Seq("qid"))
+    val probePlan = withCoarseTerm(probes, residualCents)
+      .select(Seq(col("qid"), col("cid")) ++
+        (if (residualCents.isDefined) Seq(col("__qc")) else Nil): _*)
+      .join(q, Seq("qid"))
     val adc = codes.join(broadcast(probePlan), Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        adcScoreExpr(mEff, ksEff).as("score"))
+        adcTotal(mEff, ksEff, residualCents.isDefined).as("score"))
     adcShortlistRerank(adc, corpus, queries, idCol, vecCol, k, rerank)
   }
 

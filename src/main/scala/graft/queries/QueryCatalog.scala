@@ -911,6 +911,7 @@ object QueryCatalog {
   private val ivfpqDelIdxDir = "/tmp/graft_ivfpq_idx_del"
   private val ivfpqAppIdxDir = "/tmp/graft_ivfpq_idx_app"
   private val ivfpqSyncIdxDir = "/tmp/graft_ivfpq_idx_cdcsync"
+  private val ivfpqResIdxDir = "/tmp/graft_ivfpq_idx_res"
   private val bpeIdxDir = "/tmp/graft_bpe_idx"
   private val nbIdxDir = "/tmp/graft_nb_idx"
   private val calIdxDir = "/tmp/graft_cal_idx"
@@ -4182,6 +4183,26 @@ object QueryCatalog {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_ivfpq_residual" -> ((s, dir) => { // oracle: residual (IVFADC) ADC replay
+      // IVFADC proper (the PQ paper's composed form): codes quantize the
+      // RESIDUAL u(x) − u(centroid(x)) against Lloyd-trained residual
+      // codebooks, and the serve adds the coarse term u(q)·u(c) back per
+      // probed cell — at production nlist this is what keeps recall up
+      // without growing the re-rank budget (the A/B spec and committed
+      // recall table show residual ≥ raw at every nprobe under trained
+      // cells). The oracle replays probe (carrying the coarse dot) →
+      // cell-restricted ADC (qc + LUT lookups, parenthesized to Spark's
+      // add tree) → shortlist → exact re-rank from the on-disk artifact.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfpqResIdxDir, dir)(
+        graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+          ivfpqResIdxDir, nlist = 16, residual = true))
+      graft.operators.AnnIndex.ivfpqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_ivfpq_deleted" -> ((s, dir) => { // oracle: tombstoned probe-restricted ADC replay
       // Deletion-vector lifecycle on the COMPOSED index: odd ids
       // tombstoned O(ids), serve suppresses via the broadcast sidecar
@@ -5899,7 +5920,7 @@ object QueryCatalog {
          |          FROM read_parquet('$idxDir/centroids/*.parquet')),
          |cell AS (SELECT CAST(cid AS BIGINT) AS cid, id,
          |                CAST(vec AS DOUBLE[]) AS mv, norm AS mn
-         |         FROM read_parquet('$idxDir/cells/*/*.parquet',
+         |         FROM read_parquet('@@ANNDIR|$idxDir|cells@@/*/*.parquet',
          |                           hive_partitioning = true)$dv),
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nq WHERE vec_id < 5),
          |probe AS (
@@ -5967,10 +5988,25 @@ object QueryCatalog {
     def ivfpqPersistedReplay(idxDir: String,
                              tombstoned: Boolean = false,
                              rerankCte: String = "",
-                             rerankTable: String = "embeddings"): String = {
+                             rerankTable: String = "embeddings",
+                             residual: Boolean = false): String = {
       val dv = if (tombstoned)
         s" WHERE id NOT IN (SELECT id FROM read_parquet('$idxDir/tombstones/*.parquet'))"
       else ""
+      // residual (IVFADC) replay: the probe carries the coarse term
+      // u(q)·u(c) and the ADC score becomes qc + Σ lut lookups — the
+      // codes on disk quantize u(x) − u(centroid), so the centroid dot
+      // must be added back, parenthesized to match Spark's add tree
+      // (__qc + aggregate(...)) exactly
+      val qcSel = if (residual)
+        ", list_dot_product(q.qv, c.cv) / (q.qn * c.cn) AS qc" else ""
+      val qcCol = if (residual) ", qc" else ""
+      val qcAdc = if (residual) ", p.qc" else ""
+      val scoreExpr =
+        if (residual)
+          "qc + (0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8])"
+        else
+          "0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8]"
       s"""WITH $rerankCte
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -5981,12 +6017,12 @@ object QueryCatalog {
          |          FROM read_parquet('$idxDir/centroids/*.parquet')),
          |cb AS (SELECT s, j, cvec FROM read_parquet('$idxDir/codebooks/*.parquet')),
          |codes AS (SELECT CAST(cid AS BIGINT) AS cid, id, code
-         |          FROM read_parquet('$idxDir/codes/*/*.parquet',
+         |          FROM read_parquet('@@ANNDIR|$idxDir|codes@@/*/*.parquet',
          |                            hive_partitioning = true)$dv),
          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
          |qu AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
-         |probe AS (SELECT qid, cid FROM (
-         |    SELECT q.qid, c.cid,
+         |probe AS (SELECT qid, cid$qcCol FROM (
+         |    SELECT q.qid, c.cid$qcSel,
          |           row_number() OVER (PARTITION BY q.qid
          |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
          |                      c.cid) AS rn
@@ -5994,14 +6030,14 @@ object QueryCatalog {
          |lut AS (SELECT qu.qid, c.s, c.j,
          |          list_dot_product(qu.quv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) AS d
          |        FROM qu CROSS JOIN cb c),
-         |adc AS (SELECT l.qid, co.id, list(l.d ORDER BY l.s) AS ds
+         |adc AS (SELECT l.qid, co.id$qcAdc, list(l.d ORDER BY l.s) AS ds
          |        FROM codes co
          |        JOIN probe p ON p.cid = co.cid
          |        JOIN lut l ON l.qid = p.qid AND l.j = co.code[l.s + 1]
          |        WHERE co.id <> l.qid
-         |        GROUP BY l.qid, co.id),
+         |        GROUP BY l.qid, co.id$qcAdc),
          |scored AS (SELECT qid, id,
-         |    0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8] AS score
+         |    $scoreExpr AS score
          |  FROM adc),
          |short AS (SELECT qid, id FROM (
          |    SELECT qid, id,
@@ -6033,7 +6069,7 @@ object QueryCatalog {
            |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
            |      FROM n),
            |cb AS (SELECT s, j, cvec FROM read_parquet('$idxDir/codebooks/*.parquet')),
-           |codes AS (SELECT id, code FROM read_parquet('$idxDir/codes/*.parquet')$dv),
+           |codes AS (SELECT id, code FROM read_parquet('@@ANNDIR|$idxDir|codes@@/*.parquet')$dv),
            |q0 AS (SELECT vec_id AS qid, uv AS quv FROM u WHERE vec_id < 5),
            |lut AS (SELECT q0.qid, c.s, c.j,
            |          list_dot_product(q0.quv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) AS d
@@ -7665,7 +7701,7 @@ object QueryCatalog {
         // every figure recomputed from the artifact alone; filename=
         // gives DuckDB the parquet file census for the small-files gauge
         s"""WITH cells AS (SELECT id, CAST(cid AS BIGINT) AS cid, filename
-           |  FROM read_parquet('$ivfDelIdxDir/cells/*/*.parquet',
+           |  FROM read_parquet('@@ANNDIR|$ivfDelIdxDir|cells@@/*/*.parquet',
            |                    hive_partitioning = true, filename = true)),
            |tomb AS (SELECT DISTINCT id
            |  FROM read_parquet('$ivfDelIdxDir/tombstones/*.parquet'))
@@ -7683,7 +7719,7 @@ object QueryCatalog {
         // every figure recomputed from the artifact alone (the
         // x_index_report convention); filename= gives the file census
         s"""WITH codes AS (SELECT id, filename
-           |  FROM read_parquet('$pqDelIdxDir/codes/*.parquet', filename = true)),
+           |  FROM read_parquet('@@ANNDIR|$pqDelIdxDir|codes@@/*.parquet', filename = true)),
            |tomb AS (SELECT DISTINCT id
            |  FROM read_parquet('$pqDelIdxDir/tombstones/*.parquet'))
            |SELECT
@@ -7715,7 +7751,7 @@ object QueryCatalog {
            |          FROM read_parquet('$ivfIdxDir/centroids/*.parquet')),
            |cell AS (SELECT CAST(cid AS BIGINT) AS cid, id,
            |                CAST(vec AS DOUBLE[]) AS mv, norm AS mn
-           |         FROM read_parquet('$ivfIdxDir/cells/*/*.parquet',
+           |         FROM read_parquet('@@ANNDIR|$ivfIdxDir|cells@@/*/*.parquet',
            |                           hive_partitioning = true)),
            |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nq
            |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
@@ -7790,6 +7826,9 @@ object QueryCatalog {
       "x_sim_ivfpq_persisted" ->
         ivfpqPersistedReplay(ivfpqIdxDir),
 
+      "x_sim_ivfpq_residual" ->
+        ivfpqPersistedReplay(ivfpqResIdxDir, residual = true),
+
       "x_sim_ivfpq_deleted" ->
         ivfpqPersistedReplay(ivfpqDelIdxDir, tombstoned = true),
 
@@ -7813,7 +7852,7 @@ object QueryCatalog {
            |          FROM read_parquet('$ivfpqIdxDir/centroids/*.parquet')),
            |cb AS (SELECT s, j, cvec FROM read_parquet('$ivfpqIdxDir/codebooks/*.parquet')),
            |codes AS (SELECT CAST(cid AS BIGINT) AS cid, id, code
-           |          FROM read_parquet('$ivfpqIdxDir/codes/*/*.parquet',
+           |          FROM read_parquet('@@ANNDIR|$ivfpqIdxDir|codes@@/*/*.parquet',
            |                            hive_partitioning = true)),
            |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
            |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
@@ -7912,7 +7951,7 @@ object QueryCatalog {
         // every figure recomputed from the artifact alone; filename=
         // gives DuckDB the parquet file census (the report-family rule)
         s"""WITH codes AS (SELECT id, CAST(cid AS BIGINT) AS cid, filename
-           |  FROM read_parquet('$ivfpqDelIdxDir/codes/*/*.parquet',
+           |  FROM read_parquet('@@ANNDIR|$ivfpqDelIdxDir|codes@@/*/*.parquet',
            |                    hive_partitioning = true, filename = true)),
            |tomb AS (SELECT DISTINCT id
            |  FROM read_parquet('$ivfpqDelIdxDir/tombstones/*.parquet')),
@@ -9462,6 +9501,21 @@ object QueryCatalog {
     referenceQueries ++ relationalQueries ++ extensionQueries
   val oracles: Map[String, String] =
     referenceOracles ++ relationalOracles ++ extensionOracles
+
+  /** Oracle SQL references the VERSIONED ANN artifact directories
+    * (`cells`/`codes` — compactions publish them via a pointer-manifest
+    * flip, see [[graft.operators.AnnIndex]]) through
+    * `@@ANNDIR|<index path>|<name>@@` placeholders. The serving
+    * directory is pointer-resolved at DUMP time — after the staged
+    * lifecycles ran — so DuckDB replays exactly the bytes the engine
+    * serves; a static path would read the stale RETAINED previous
+    * version after a compact published a new one. Verify/VerifyOne
+    * apply this to every oracle before writing oracle_sql.json.
+    */
+  def resolveOracleDirs(sql: String): String =
+    "@@ANNDIR\\|([^|@]+)\\|([^|@]+)@@".r.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        graft.operators.AnnIndex.resolveDirPath(m.group(1), m.group(2))))
 
   /** THE ROWS-ONLY INVARIANT: exactly these queries ship without a
     * DuckDB oracle, each for a declared reason (engine-specific sketch

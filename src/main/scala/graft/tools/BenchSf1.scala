@@ -634,7 +634,8 @@ object BenchSf1 {
         graft.operators.AnnIndex.ivfDelete(spark, idx,
           emb(spark, sf01).filter(col("vec_id") % 100 === 0)
             .select("vec_id"), "vec_id")
-        spark.read.parquet(s"$idx/cells").count()
+        spark.read.parquet(
+          graft.operators.AnnIndex.resolveDir(spark, idx, "cells")).count()
       }),
       // corpus release export: canonical line assembly + shard shuffle
       // + per-shard .jsonl write — linear bytes, same memory budget as
@@ -840,7 +841,8 @@ object BenchSf1 {
         graft.operators.AnnIndex.pqSyncFromLog(spark,
           s"$pqIdxDir/${tagOf(dir)}", tail, "vec_id", "seq", "op",
           "embedding")
-        spark.read.parquet(s"$pqIdxDir/${tagOf(dir)}/codes").count()
+        spark.read.parquet(graft.operators.AnnIndex.resolveDir(spark,
+          s"$pqIdxDir/${tagOf(dir)}", "codes")).count()
       }),
       // zone-map census: one z-layout write (shuffle, linear bytes) +
       // one min/max aggregation pass (linear scan)

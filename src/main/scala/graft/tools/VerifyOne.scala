@@ -32,7 +32,10 @@ object VerifyOne {
       fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }
     val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${graft.Verify.jsonEscape(k)}: ${graft.Verify.jsonEscape(v)}" }
+      .map { case (k, v) =>
+        s"${graft.Verify.jsonEscape(k)}: ${graft.Verify.jsonEscape(
+          graft.queries.QueryCatalog.resolveOracleDirs(v))}"
+      }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

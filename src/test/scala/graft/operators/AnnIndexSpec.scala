@@ -121,7 +121,11 @@ class AnnIndexSpec extends AnyFunSuite {
       cells.listFiles().count(_.getName.startsWith("cid=")),
       "fixture broke: append produced no extra part files")
     AnnIndex.ivfCompact(spark, path)
-    val dirs = cells.listFiles().toSeq.filter(_.getName.startsWith("cid="))
+    // the compact PUBLISHED a new version: resolve the pointer, don't
+    // inspect the retained previous directory
+    val compacted = new java.io.File(AnnIndex.resolveDir(spark, path, "cells"))
+    assert(compacted.getName != "cells", "compact did not publish a version")
+    val dirs = compacted.listFiles().toSeq.filter(_.getName.startsWith("cid="))
     dirs.foreach { d =>
       assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
         s"partition ${d.getName} not compacted to one file")
@@ -249,7 +253,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val folded = rows(AnnIndex.ivfServe(spark, path, queries,
       "vec_id", "embedding", k = 10, nprobe = 4))
     assert(folded == viaSidecar, "fold changed serve results")
-    val foldedIds = spark.read.parquet(s"$path/cells")
+    val foldedIds = spark.read.parquet(AnnIndex.resolveDir(spark, path, "cells"))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(foldedIds.forall(id => (id % 10 == 0) || (id % 10 > 5)),
       "folded cells still contain tombstoned members")
@@ -275,7 +279,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val folded = rows(AnnIndex.pqServe(spark, path, emb, queries,
       "vec_id", "embedding", k = 10))
     assert(folded == viaSidecar)
-    val ids = spark.read.parquet(s"$path/codes")
+    val ids = spark.read.parquet(AnnIndex.resolveDir(spark, path, "codes"))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids.forall(_ % 2 == 0), "folded codes keep tombstoned members")
   }
@@ -406,7 +410,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val folded = rows(AnnIndex.ivfpqServe(spark, path, emb, queries,
       "vec_id", "embedding", k = 10, nprobe = 4))
     assert(folded == viaSidecar)
-    val ids = spark.read.parquet(s"$path/codes")
+    val ids = spark.read.parquet(AnnIndex.resolveDir(spark, path, "codes"))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids.forall(_ % 2 == 0), "folded codes keep tombstoned members")
   }
@@ -479,6 +483,51 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!deletedOdd, "a tombstoned member survived the sync")
   }
 
+  test("a reader racing ivfCompact never observes a missing or mixed directory") {
+    val path = "/tmp/graft_test_ivf_idx_race"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 8)
+    val expect = spark.read
+      .parquet(AnnIndex.resolveDir(spark, path, "cells")).count()
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      try {
+        while (!stop) {
+          // resolve-then-read, exactly like a serve: under the pointer
+          // flip this must never hit a missing dir or a partial rewrite
+          val n = spark.read
+            .parquet(AnnIndex.resolveDir(spark, path, "cells")).count()
+          if (n != expect)
+            throw new AssertionError(s"mixed/partial read: $n != $expect")
+          reads.incrementAndGet()
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    (1 to 5).foreach(_ => AnnIndex.ivfCompact(spark, path))
+    stop = true
+    reader.join(60000)
+    failure.foreach(t => fail(s"racing reader failed: ${t.getMessage}"))
+    assert(reads.get() >= 2, "reader never overlapped the compacts")
+    // retention: current + one previous version only; the legacy dir and
+    // older versions are pruned, manifest entries match
+    val names = new java.io.File(path).listFiles().map(_.getName).toSet
+    val vdirs = names.filter(_.matches("cells__v\\d+"))
+    assert(vdirs.size <= 2, s"version dirs not pruned: $vdirs")
+    assert(!names.contains("cells"),
+      "legacy v0 dir survived multiple publishes")
+    // a REBUILD resets the pointer history back to the legacy layout
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 8)
+    val rebuilt = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(rebuilt.contains("cells") &&
+      !rebuilt.exists(_.matches("cells__v\\d+")) &&
+      !rebuilt.contains("cells__versions"),
+      s"rebuild did not reset versions: $rebuilt")
+    assert(spark.read.parquet(AnnIndex.resolveDir(spark, path, "cells"))
+      .count() == expect)
+  }
+
   test("sync fold is cell-targeted: untouched cid partitions keep their exact files") {
     val path = "/tmp/graft_test_ivf_idx_targeted"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 16)
@@ -492,7 +541,7 @@ class AnnIndexSpec extends AnyFunSuite {
             .sortBy(_._1)
         }.toMap
     // the victim member and the one cell its tombstone touches
-    val victim = spark.read.parquet(s"$path/cells")
+    val victim = spark.read.parquet(AnnIndex.resolveDir(spark, path, "cells"))
       .select(col("id").cast("long"), col("cid").cast("long")).head()
     val (vid, vcid) = (victim.getLong(0), victim.getLong(1))
     val before = census()
@@ -532,7 +581,7 @@ class AnnIndexSpec extends AnyFunSuite {
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime))
         .toMap
-    val victim = spark.read.parquet(s"$path/codes")
+    val victim = spark.read.parquet(AnnIndex.resolveDir(spark, path, "codes"))
       .select(col("id").cast("long"),
         expr("reverse(split(input_file_name(), '/'))[0]").as("f")).head()
     val (vid, vfile) = (victim.getLong(0), victim.getString(1))
@@ -677,7 +726,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val cb = AnnIndex.loadPqCodebooks(spark, path)
     val refCodes = Similarity.pqEncode(snap, "vec_id", "embedding", cb)
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
-    val onDisk = spark.read.parquet(s"$path/codes")
+    val onDisk = spark.read.parquet(AnnIndex.resolveDir(spark, path, "codes"))
       .select(col("id"), col("code"), col("cid").cast("long").as("cid"))
       .collect()
     val syncedCodes = onDisk
@@ -732,7 +781,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val cb = AnnIndex.loadPqCodebooks(spark, path)
     val refCodes = Similarity.pqEncode(snap, "vec_id", "embedding", cb)
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
-    val syncedCodes = spark.read.parquet(s"$path/codes")
+    val syncedCodes = spark.read.parquet(AnnIndex.resolveDir(spark, path, "codes"))
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
     assert(syncedCodes.nonEmpty && syncedCodes == refCodes,
       "synced code table diverged from the post-tail re-encode")
@@ -747,6 +796,64 @@ class AnnIndexSpec extends AnyFunSuite {
     val deletedOdd = synced.map(_._2).toSet
       .exists(id => id % 11 == 3 && id % 22 != 3)
     assert(!deletedOdd, "a tombstoned member survived the PQ sync")
+  }
+
+  test("residual IVF-PQ (IVFADC): lifecycle works and recall@k >= raw at equal knobs") {
+    val pathRaw = "/tmp/graft_test_ivfpq_raw_ab"
+    val pathRes = "/tmp/graft_test_ivfpq_res_ab"
+    // identical knobs and (k-means, seeded) coarse centroids — the A/B
+    // isolates the ENCODING: raw u(x) vs residual u(x) − u(centroid).
+    // TRAINED cells are the composition residual encoding is for:
+    // they make residuals small (id-sampled cells leave them
+    // vector-sized, where the empirical A/B showed raw ahead)
+    AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", pathRaw, nlist = 16,
+      trainedSeed = Some(42L))
+    AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", pathRes, nlist = 16,
+      residual = true, trainedSeed = Some(42L))
+    assert(!AnnIndex.ivfpqIsResidual(spark, pathRaw))
+    assert(AnnIndex.ivfpqIsResidual(spark, pathRes))
+    val sample = emb.filter(col("vec_id") % 10 === 7)
+    def recalls(path: String): Seq[(Int, Long)] =
+      AnnIndex.tuneIvfPq(spark, path, emb, sample,
+          "vec_id", "embedding", 10, Seq(1, 2, 4, 16))
+        .collect().map(r => (r.getInt(0), r.getLong(4))).toSeq.sortBy(_._1)
+    val raw = recalls(pathRaw)
+    val res = recalls(pathRes)
+    info(s"recall_pctx100 by nprobe — raw: $raw residual: $res")
+    assert(raw.map(_._1) == res.map(_._1))
+    // the PQ paper's claim at this composition: quantizing the residual
+    // spends the codebook on within-cell spread, so ADC ranks candidates
+    // at least as well — recall@k must not regress at any sweep point
+    raw.zip(res).foreach { case ((p, rRaw), (_, rRes)) =>
+      assert(rRes >= rRaw,
+        s"residual recall regressed at nprobe=$p: $rRes < $rRaw " +
+          s"(raw=$raw res=$res)")
+    }
+    // and must strictly win somewhere unless raw is already perfect
+    assert(res.map(_._2).sum >= raw.map(_._2).sum)
+    // the lifecycle composes: append + delete + sync on the residual
+    // index keep serving (appends re-encode residuals per the meta flag)
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+    val pathInc = "/tmp/graft_test_ivfpq_res_inc"
+    AnnIndex.ivfpqBuild(evens, "vec_id", "embedding", pathInc, nlist = 16,
+      residual = true)
+    AnnIndex.ivfpqAppend(odds, "vec_id", "embedding", pathInc)
+    val served = rows(AnnIndex.ivfpqServe(spark, pathInc, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 16))
+    // full-probe residual serve with exact re-rank over a rerank-k
+    // shortlist must at least return k rows per query and never a
+    // tombstoned/absent id
+    assert(served.nonEmpty && served.groupBy(_._1).forall(_._2.size == 10))
+    AnnIndex.ivfpqDelete(spark, pathInc,
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id")
+    val afterDel = rows(AnnIndex.ivfpqServe(spark, pathInc, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 16))
+    assert(afterDel.nonEmpty && afterDel.forall(_._2 % 3 != 0))
+    AnnIndex.ivfpqCompact(spark, pathInc)
+    val afterCompact = rows(AnnIndex.ivfpqServe(spark, pathInc, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 16))
+    assert(afterCompact == afterDel, "compact changed residual serve results")
   }
 
   test("streaming maxsim serve equals the batch maxsim row for row") {
