@@ -504,6 +504,22 @@ object HostedStore {
     */
   def stagedBufferCount(itemId: String): Int =
     staged.keySet.asScala.count(_._1 == itemId)
+
+  /** Admin recovery verb: drop EVERY staged buffer for an item. A DRIVER
+    * that dies mid-batch-write orphans the staging of its uncommitted
+    * partitions under partKeys no future run will publish (the partKey
+    * embeds the dead run's writeId, and per-partition purge is keyed by
+    * the exact partKey) — visible data is unaffected (staging is
+    * invisible until commit), but the buffers would otherwise sit
+    * forever. Returns the number of buffers dropped; the fault drill's
+    * driver-loss scenario quantifies the orphans and then proves this
+    * clears them.
+    */
+  def purgeAllStaged(itemId: String): Int = {
+    val keys = staged.keySet.asScala.filter(_._1 == itemId).toList
+    keys.foreach(staged.remove)
+    keys.size
+  }
 }
 
 /** Service-side evaluation of Spark source filters over stored rows —

@@ -350,6 +350,97 @@ object FaultDrill {
         "wall_s" -> f"$secs%.1f")
     }
 
+    // ------------------------- drill E: DRIVER loss mid-batch-write
+    // Drills A–D kill EXECUTORS under a surviving driver. Here the whole
+    // Spark application — driver included — is a CHILD JVM writing
+    // against this process's portal, and it halts ITSELF mid-write
+    // (content-armed: group k%16==12 staged ~12 chunks, slowed so every
+    // other partition commits first). The portal state then proves, from
+    // this fresh process:
+    //   (a) NO PARTIAL PARTITION PUBLISH: every k%16 group is either
+    //       fully present or fully absent (staging is invisible until
+    //       the per-partition commit, and the armed group's commit never
+    //       ran);
+    //   (b) the dead run's uncommitted staging is ORPHANED (its partKeys
+    //       embed a writeId no future run publishes) — quantified, then
+    //       cleared by the admin purge verb;
+    //   (c) a RERUN converges: upsert(key=k) over the partial base lands
+    //       exactly one row per key with the rerun's values — documented
+    //       at-least-once for append, exactly-once for keyed upsert.
+    locally {
+      val n = 20000L
+      val groups = 16L
+      val perGroup = n / groups
+      val itemId = HostedSinks.active.create("drill_driverloss",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType, nullable = true))))
+      def runChild(mode: String, prefix: String): Int = {
+        val javaBin = s"${sys.props("java.home")}/bin/java"
+        val log = java.nio.file.Files
+          .createTempFile("graft_drill_driverloss", ".log").toFile
+        val cmd: java.util.List[String] = java.util.Arrays.asList(
+          (Seq(javaBin) ++ addOpens.split(" ") ++ Seq(
+            "-Xmx2g", "-cp", sys.props("java.class.path"),
+            "graft.tools.DriverLossChild",
+            server.url, Token, itemId, n.toString, mode, prefix)): _*)
+        val p = new ProcessBuilder(cmd)
+          .redirectOutput(log).redirectErrorStream(true).start()
+        val exit = p.waitFor()
+        if (exit != 0 && mode != "armed-append") {
+          scala.io.Source.fromFile(log).getLines().toSeq.takeRight(30)
+            .foreach(l => System.err.println(s"[driverloss child] $l"))
+        }
+        exit
+      }
+      val t0 = System.nanoTime()
+      val exit1 = runChild("armed-append", "v0_")
+      check(exit1 == 137, s"driver child exited $exit1, expected halt(137)")
+      // (a) per-group atomicity of the partial state
+      val partial = readBack(itemId)
+        .groupBy(($"k" % groups).as("g"))
+        .agg(count(lit(1)).as("c"), countDistinct($"k").as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      partial.foreach { case (g, c, d) =>
+        check(c == perGroup && d == perGroup,
+          s"driverloss: group $g partially published ($c of $perGroup rows)")
+      }
+      val committedGroups = partial.length
+      check(committedGroups >= 1,
+        "driverloss: no partition committed before the halt")
+      check(committedGroups < groups,
+        "driverloss: every partition committed — the halt landed too late")
+      // (b) the dead run's staging is orphaned, then cleared explicitly
+      val orphans = HostedStore.stagedBufferCount(itemId)
+      check(orphans >= 1,
+        "driverloss: expected orphaned staging from the dead driver")
+      val purged = HostedStore.purgeAllStaged(itemId)
+      check(purged == orphans && HostedStore.stagedBufferCount(itemId) == 0,
+        "driverloss: admin purge did not clear the orphans")
+      // (c) rerun converges to exactly-once under the merge key
+      val exit2 = runChild("upsert", "v1_")
+      check(exit2 == 0, s"driverloss: rerun exited $exit2")
+      val back = readBack(itemId)
+        .agg(count(lit(1)).as("rows"), countDistinct($"k").as("distinct_k"),
+          sum(when($"v".startsWith("v1_"), 1L).otherwise(0L)).as("fresh"))
+        .head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      check(back.getAs[Long]("rows") == n,
+        s"driverloss: rerun rows ${back.getAs[Long]("rows")} != $n")
+      check(back.getAs[Long]("distinct_k") == n, "driverloss: duplicate keys")
+      check(back.getAs[Long]("fresh") == n,
+        "driverloss: stale values survived the keyed rerun")
+      check(HostedStore.stagedBufferCount(itemId) == 0,
+        "driverloss: staging leaked after the rerun")
+      jline("driver_loss_mid_batch_write",
+        "committed_groups_at_death" -> committedGroups,
+        "orphaned_buffers" -> orphans, "purged" -> purged,
+        "rows_after_rerun" -> back.getAs[Long]("rows"),
+        "wall_s" -> f"$secs%.1f")
+    }
+
     val ok = failures.isEmpty
     jline("summary", "ok" -> ok, "executors_killed_total" -> execsRemoved.get(),
       "executors_respawned" -> (execsAdded.get() - 2),

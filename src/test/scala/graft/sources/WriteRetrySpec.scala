@@ -192,6 +192,25 @@ class WriteRetrySpec extends AnyFunSuite {
     assert(HostedStore.rowCount(id) == 20)
   }
 
+  test("purgeAllStaged clears a dead run's orphans without touching visible data") {
+    // a DRIVER that dies mid-write leaves staging under partKeys no
+    // future run publishes (the partKey embeds the dead writeId) — the
+    // admin verb is the recovery path the driver-loss drill exercises
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(30)
+    val rows = orders.collect().toSeq
+    HostedStore.dropByTitle("retry_purgeall")
+    val id = HostedStore.create("retry_purgeall", orders.schema)
+    HostedStore.stageBatch(id, "deadWrite:p0", 1L, 0, rows)
+    HostedStore.stageBatch(id, "deadWrite:p1", 1L, 0, rows)
+    HostedStore.stageBatch(id, "liveWrite:p0", 1L, 0, rows)
+    assert(HostedStore.commitStaged(id, "liveWrite:p0", 1L,
+      WriteMode.Append, None) == 30)
+    assert(HostedStore.stagedBufferCount(id) == 2) // the dead run's two
+    assert(HostedStore.purgeAllStaged(id) == 2)
+    assert(HostedStore.stagedBufferCount(id) == 0)
+    assert(HostedStore.rowCount(id) == 30, "purge touched visible data")
+  }
+
   test("a fault on every attempt exhausts maxTaskFailures and fails the write") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders").limit(100)
     HostedStore.dropByTitle("retry_fatal")
