@@ -1349,5 +1349,115 @@ private[queries] object CatalogHelpers {
            |ORDER BY qid, rank""".stripMargin
     }
 
+  /** Residual-serve replay, shared VERBATIM by the batch entry
+    * (`x_sim_ivfpq_residual`) and its streaming twin
+    * (`x_stream_ivfpq_res_serve`) — the shared-oracle convention: a
+    * single hoisted string means the two can never drift.
+    */
+  val ivfpqResidualReplaySql: String =
+    ivfpqPersistedReplay(ivfpqResIdxDir, residual = true)
 
+  /** The composed-autotune sweep replay, parameterized over the
+    * encoding flavor: ranked probes to max(nprobe), ONE cell-restricted
+    * ADC with the probe rank kept, per-nprobe shortlist + exact
+    * re-rank, exact truth over the serving ids' true vectors, integer
+    * recall, smallest-meeting-target-else-largest pick. With
+    * `residual = true` the probe carries the coarse term
+    * `u(q)·u(c)` and the ADC score becomes `qc + Σ lut lookups`,
+    * parenthesized to Spark's add tree.
+    */
+  def ivfpqAutotuneReplay(idxDir: String,
+                          residual: Boolean = false): String = {
+    val qcSel = if (residual)
+      ", list_dot_product(q.qv, c.cv) / (q.qn * c.cn) AS qc" else ""
+    val qcCol = if (residual) ", qc" else ""
+    val qcAdc = if (residual) ", p.qc" else ""
+    val scoreExpr =
+      if (residual)
+        "qc + (0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8])"
+      else
+        "0.0 + ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6] + ds[7] + ds[8]"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |u AS (SELECT vec_id,
+       |        CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS uv
+       |      FROM n),
+       |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
+       |          FROM read_parquet('$idxDir/centroids/*.parquet')),
+       |cb AS (SELECT s, j, cvec FROM read_parquet('$idxDir/codebooks/*.parquet')),
+       |codes AS (SELECT CAST(cid AS BIGINT) AS cid, id, code
+       |          FROM read_parquet('@@ANNDIR|$idxDir|codes@@/*/*.parquet',
+       |                            hive_partitioning = true)),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |            % $annTuneSampleMod = 7),
+       |qu AS (SELECT nq.vec_id AS qid, nq.uv AS quv FROM u nq
+       |       JOIN q ON q.qid = nq.vec_id),
+       |probe AS (SELECT qid, cid, rn AS probe_rank$qcCol FROM (
+       |    SELECT q.qid, c.cid$qcSel,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+       |                      c.cid) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= 8),
+       |lut AS (SELECT qu.qid, c.s, c.j,
+       |          list_dot_product(qu.quv[c.s * 8 + 1 : c.s * 8 + 8], c.cvec) AS d
+       |        FROM qu CROSS JOIN cb c),
+       |adc0 AS (SELECT l.qid, co.id, p.probe_rank$qcAdc,
+       |           list(l.d ORDER BY l.s) AS ds
+       |         FROM codes co
+       |         JOIN probe p ON p.cid = co.cid
+       |         JOIN lut l ON l.qid = p.qid AND l.j = co.code[l.s + 1]
+       |         WHERE co.id <> l.qid
+       |         GROUP BY l.qid, co.id, p.probe_rank$qcAdc),
+       |scored AS (SELECT qid, id, probe_rank,
+       |    $scoreExpr AS score
+       |  FROM adc0),
+       |ps AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       |short AS (SELECT nprobe, qid, id FROM (
+       |    SELECT ps.nprobe, sc.qid, sc.id,
+       |           row_number() OVER (PARTITION BY ps.nprobe, sc.qid
+       |             ORDER BY sc.score DESC, sc.id) AS rk
+       |    FROM ps JOIN scored sc ON sc.probe_rank <= ps.nprobe)
+       |  WHERE rk <= 40),
+       |exact AS (SELECT sh.nprobe, sh.qid, sh.id,
+       |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+       |          FROM short sh
+       |          JOIN embeddings ec ON ec.vec_id = sh.id
+       |          JOIN embeddings eq ON eq.vec_id = sh.qid),
+       |perp AS (SELECT nprobe, qid, id FROM (
+       |    SELECT nprobe, qid, id,
+       |           row_number() OVER (PARTITION BY nprobe, qid
+       |             ORDER BY cos DESC, id) AS rank
+       |    FROM exact) WHERE rank <= 10),
+       |serving AS (SELECT DISTINCT id FROM codes),
+       |tc AS (SELECT n.vec_id, n.v, n.nrm FROM n
+       |       JOIN serving sv ON sv.id = n.vec_id),
+       |truth AS (SELECT qid, id FROM (
+       |    SELECT q.qid, m.vec_id AS id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(m.v, q.qv) / (m.nrm * q.qn) DESC,
+       |                      m.vec_id) AS rk
+       |    FROM q CROSS JOIN tc m WHERE m.vec_id <> q.qid) WHERE rk <= 10),
+       |hit AS (SELECT p.nprobe, count(*) AS hits
+       |        FROM perp p JOIN truth t ON t.qid = p.qid AND t.id = p.id
+       |        GROUP BY p.nprobe),
+       |base AS (SELECT (SELECT count(*) FROM truth) AS possible,
+       |                (SELECT count(DISTINCT qid) FROM q) AS n_queries),
+       |rep AS (SELECT ps.nprobe,
+       |               CAST(b.n_queries AS BIGINT) AS n_queries,
+       |               CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |               CAST(b.possible AS BIGINT) AS possible,
+       |               CAST(coalesce(h.hits, 0) * 10000 // b.possible AS BIGINT)
+       |                 AS recall_pctx100
+       |        FROM ps CROSS JOIN base b
+       |        LEFT JOIN hit h ON h.nprobe = ps.nprobe),
+       |pick AS (SELECT coalesce(
+       |    min(nprobe) FILTER (WHERE recall_pctx100 >= 9500),
+       |    (SELECT max(nprobe) FROM ps)) AS pn FROM rep)
+       |SELECT CAST(r.nprobe AS INTEGER) AS nprobe, r.n_queries, r.hits,
+       |       r.possible, r.recall_pctx100,
+       |       CAST(CASE WHEN r.nprobe = (SELECT pn FROM pick)
+       |            THEN 1 ELSE 0 END AS INTEGER) AS chosen
+       |FROM rep r ORDER BY r.nprobe""".stripMargin
+  }
 }

@@ -599,7 +599,15 @@ private[queries] object ExtensionOraclesB {
         ivfpqPersistedReplay(ivfpqIdxDir),
 
       "x_sim_ivfpq_residual" ->
-        ivfpqPersistedReplay(ivfpqResIdxDir, residual = true),
+        ivfpqResidualReplaySql,
+
+      // the streaming twin shares the batch entry's oracle VERBATIM
+      // (one hoisted string — the two can never drift)
+      "x_stream_ivfpq_res_serve" ->
+        ivfpqResidualReplaySql,
+
+      "x_ann_autotune_residual" ->
+        ivfpqAutotuneReplay(ivfpqResIdxDir, residual = true),
 
       "x_sim_ivfpq_deleted" ->
         ivfpqPersistedReplay(ivfpqDelIdxDir, tombstoned = true),

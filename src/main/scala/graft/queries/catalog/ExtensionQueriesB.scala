@@ -902,6 +902,42 @@ private[queries] object ExtensionQueriesB {
         .orderBy("qid", "rank")
     }),
 
+    "x_stream_ivfpq_res_serve" -> ((s, dir) => { // LIVE stream over the RESIDUAL index
+      // Streaming serving on the residual (IVFADC) composed index: the
+      // foreachBatch serve resolves the encoding flavor from the
+      // persisted meta/, so the twin is the identical drive loop as
+      // x_stream_ivfpq_serve pointed at the residual artifact.
+      // Batch-invariant per query ⇒ shares x_sim_ivfpq_residual's
+      // oracle verbatim (the hoisted ivfpqResidualReplaySql).
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfpqResIdxDir, dir)(
+        graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+          ivfpqResIdxDir, nlist = 16, residual = true))
+      graft.streaming.StreamAnnServe.runOnceIvfPq(s, dir,
+          "embeddings.parquet", emb.schema, col("vec_id") < 5, path, emb,
+          "vec_id", "embedding", 10, nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_ann_autotune_residual" -> ((s, dir) => { // oracle: residual sweep+recall replay
+      // x_ann_autotune_ivfpq's residual sibling — the sweep the A/B in
+      // AnnIndexSpec runs, oracle-hashed: the ONE ranked ADC pass now
+      // carries the coarse term u(q)·u(c) per probed cell (tuneIvfPq
+      // resolves the flavor from meta/), truth and the pick rule are
+      // identical. Pricing the residual index's latency/recall trade is
+      // exactly what a deployment does before flipping the encoding.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfpqResIdxDir, dir)(
+        graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+          ivfpqResIdxDir, nlist = 16, residual = true))
+      val sampleQ = emb.filter(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % annTuneSampleMod === 7)
+      graft.operators.AnnIndex.tuneIvfPq(s, path, emb, sampleQ,
+          "vec_id", "embedding", 10, Seq(1, 2, 4, 8))
+        .orderBy("nprobe")
+    }),
+
     "x_takedown_pipeline" -> ((s, dir) => { // oracle: sidecar-path replay (tombstoned)
       // COMPLIANCE COMPOSITION: the CDC change log drives the ANN-index
       // takedown — keys whose LAST operation is a tombstone (deleted,

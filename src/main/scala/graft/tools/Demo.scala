@@ -161,6 +161,16 @@ object Demo {
       val rep = graft.operators.AnnIndex.describeIvfPq(spark, idxDir).first()
       println(s"== IVF-PQ composed serve       -> ${served.count()} ranked rows from ${rep.getAs[Long]("nlist")} cells x ${rep.getAs[Long]("m")}x${rep.getAs[Long]("ks")} codebooks over ${rep.getAs[Long]("n_codes")} codes")
     }
+    // round-12 surface: residual encoding (IVFADC proper) — codes
+    // quantize u(x) − u(centroid), serve adds the coarse term back
+    locally {
+      val idxDir = "/tmp/graft_demo_ivfpq_res"
+      graft.operators.AnnIndex.ivfpqBuild(emb, "vec_id", "embedding",
+        idxDir, nlist = 16, residual = true, trainedSeed = Some(42L))
+      val served = graft.operators.AnnIndex.ivfpqServe(spark, idxDir, emb,
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", 5, nprobe = 4)
+      println(s"== IVF-PQ residual (IVFADC)    -> ${served.count()} ranked rows; flavor persisted in meta/ = ${graft.operators.AnnIndex.ivfpqIsResidual(spark, idxDir)}")
+    }
     val demoToks = emb.select($"vec_id",
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))").as("toks"))
     println(s"== MaxSim late interaction     -> ${Similarity.maxsimTopK(demoToks, demoToks.filter($"vec_id" < 3), "vec_id", "toks", 5, tokenDim = 16).count()} ranked rows for 3 query token-matrices")
