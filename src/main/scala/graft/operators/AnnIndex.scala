@@ -239,8 +239,22 @@ object AnnIndex {
     */
   private def minusTombstones(spark: SparkSession, path: String,
                               df: DataFrame): DataFrame =
-    loadTombstones(spark, path)
-      .fold(df)(t => df.join(broadcast(t), Seq("id"), "left_anti"))
+    minusTombstonesPre(loadTombstones(spark, path), df)
+
+  /** The PRELOADED-sidecar form, for serve paths that must fix the
+    * load order: compact publishes the folded version FIRST and clears
+    * the sidecar SECOND, so a reader that loads the sidecar BEFORE
+    * resolving the version pointer can never pair an old (unfolded)
+    * directory with an already-cleared sidecar — the one interleaving
+    * that would serve deleted ids. (Sidecar present ⇒ suppression is
+    * correct against either version; sidecar absent ⇒ the pointer
+    * already names the folded version.) Evaluating the index read
+    * first — which is what a plain `minusTombstones(resolveDir(...))`
+    * call does, arguments first — has exactly that window.
+    */
+  private def minusTombstonesPre(tombs: Option[DataFrame],
+                                 df: DataFrame): DataFrame =
+    tombs.fold(df)(t => df.join(broadcast(t), Seq("id"), "left_anti"))
 
   private[graft] def clearTombstones(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -494,10 +508,19 @@ object AnnIndex {
     touchedDirs.foreach { nm =>
       val oldDir = new org.apache.hadoop.fs.Path(s"$dir/$nm")
       val newDir = new org.apache.hadoop.fs.Path(s"$tmp/$nm")
-      fs.delete(oldDir, true)
+      // rename ASIDE (dot-prefixed — invisible to Spark listings), never
+      // delete-then-rename: an interruption between the two steps must
+      // leave the cell's surviving bytes ON DISK (hidden, recoverable),
+      // not deleted with their only other copy sitting in a tmp dir the
+      // next run clears
+      val aside = new org.apache.hadoop.fs.Path(s"$dir/.${nm}__fold_old")
+      fs.delete(aside, true)
+      require(fs.rename(oldDir, aside),
+        s"targeted fold: could not stage $oldDir aside")
       if (fs.exists(newDir))
         require(fs.rename(newDir, oldDir),
           s"targeted fold: could not publish $newDir")
+      fs.delete(aside, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     // a fold that emptied EVERY cell must leave a READABLE empty index —
@@ -568,7 +591,14 @@ object AnnIndex {
     touchedFiles.foreach { f =>
       val oldFile = new org.apache.hadoop.fs.Path(f)
       val partDir = new org.apache.hadoop.fs.Path(s"$tmp/__srckey=${key(f)}")
-      fs.delete(oldFile, false)
+      // aside-then-in, like the partitioned fold: the dot-prefix hides
+      // the staged-aside file from Spark reads, and an interruption
+      // leaves the survivors' bytes recoverable instead of deleted
+      val aside = new org.apache.hadoop.fs.Path(oldFile.getParent,
+        s".${oldFile.getName}__fold_old")
+      fs.delete(aside, false)
+      require(fs.rename(oldFile, aside),
+        s"targeted flat fold: could not stage $oldFile aside")
       if (fs.exists(partDir)) {
         val part = fs.listStatus(partDir).toSeq
           .map(_.getPath).filter(_.getName.endsWith(".parquet"))
@@ -579,6 +609,7 @@ object AnnIndex {
         require(fs.rename(part.head, oldFile),
           s"targeted flat fold: could not publish ${part.head}")
       }
+      fs.delete(aside, false)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     // all files consumed with no survivors ⇒ re-establish the readable
@@ -644,12 +675,13 @@ object AnnIndex {
     */
   def describeIvf(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val pending = loadTombstones(spark, path)
     val cellsDir = resolveDir(spark, path, "cells")
     val cells = spark.read.parquet(cellsDir)
       .withColumn("cid", col("cid").cast("long"))
     val nlist = spark.read.parquet(s"$path/centroids").count()
     val nMembers = cells.count()
-    val pending = loadTombstones(spark, path)
     val nTomb = pending.fold(0L)(_.count())
     val nServing = pending.fold(nMembers)(t =>
       cells.join(broadcast(t), Seq("id"), "left_anti").count())
@@ -704,7 +736,9 @@ object AnnIndex {
     // bounded by |sample|·maxP longs — the serve-regime collect
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val members = minusTombstones(spark, path,
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val tombs = loadTombstones(spark, path)
+    val members = minusTombstonesPre(tombs,
       spark.read.parquet(resolveDir(spark, path, "cells"))
         .withColumn("cid", col("cid").cast("long")))
     val scored = members.filter(col("cid").isInCollection(probedCids))
@@ -779,7 +813,9 @@ object AnnIndex {
     // rows when a probed cid's directory is absent.
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val cells = minusTombstones(spark, path,
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val tombs = loadTombstones(spark, path)
+    val cells = minusTombstonesPre(tombs,
       readProbedPartitions(spark, resolveDir(spark, path, "cells"),
           probedCids.toSeq)
         .withColumn("cid", col("cid").cast("long"))
@@ -912,10 +948,11 @@ object AnnIndex {
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("s"))).head().getInt(0) + 1L
     val ks = cb.agg(max(col("j"))).head().getInt(0) + 1L
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val pending = loadTombstones(spark, path)
     val codesDir = resolveDir(spark, path, "codes")
     val codes = spark.read.parquet(codesDir)
     val nCodes = codes.count()
-    val pending = loadTombstones(spark, path)
     val nTomb = pending.fold(0L)(_.count())
     val nServing = pending.fold(nCodes)(t =>
       codes.join(broadcast(t), Seq("id"), "left_anti").count())
@@ -988,12 +1025,15 @@ object AnnIndex {
     */
   def pqServe(spark: SparkSession, path: String, corpus: DataFrame,
               queries: DataFrame, idCol: String, vecCol: String, k: Int,
-              rerank: Int = 4): DataFrame =
+              rerank: Int = 4): DataFrame = {
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val tombs = loadTombstones(spark, path)
     Similarity.pqTopKWithCodes(
-      minusTombstones(spark, path,
+      minusTombstonesPre(tombs,
         spark.read.parquet(resolveDir(spark, path, "codes"))),
       corpus, queries, idCol, vecCol, k, rerank,
       loadPqCodebooks(spark, path))
+  }
 
   // ----------------------------------------------------------- IVF-PQ
 
@@ -1129,7 +1169,9 @@ object AnnIndex {
     val probes = Similarity.probeCells(queries, idCol, vecCol, cents, nprobe)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val codes = minusTombstones(spark, path,
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val tombs = loadTombstones(spark, path)
+    val codes = minusTombstonesPre(tombs,
       readProbedPartitions(spark, resolveDir(spark, path, "codes"),
           probedCids.toSeq)
         .withColumn("cid", col("cid").cast("long"))
@@ -1242,8 +1284,10 @@ object AnnIndex {
       cents, maxP)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val tombs = loadTombstones(spark, path)
     val codesDir = resolveDir(spark, path, "codes")
-    val codes = minusTombstones(spark, path,
+    val codes = minusTombstonesPre(tombs,
       readProbedPartitions(spark, codesDir, probedCids.toSeq)
         .withColumn("cid", col("cid").cast("long"))
         .filter(col("cid").isInCollection(probedCids)))
@@ -1253,7 +1297,7 @@ object AnnIndex {
     val scored = Similarity.ivfpqAdcRanked(codes, probes, queries,
       idCol, vecCol, codebooks, residualCents).persist()
     // truth = exact top-k over the serving membership's TRUE vectors
-    val serving = minusTombstones(spark, path,
+    val serving = minusTombstonesPre(tombs,
         spark.read.parquet(codesDir))
       .select(col("id").as(idCol)).distinct()
     val truth = Similarity.bruteForceTopK(
@@ -1302,13 +1346,14 @@ object AnnIndex {
     val cb = spark.read.parquet(s"$path/codebooks")
     val m = cb.agg(max(col("s"))).head().getInt(0) + 1L
     val ks = cb.agg(max(col("j"))).head().getInt(0) + 1L
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val pending = loadTombstones(spark, path)
     val codes = spark.read.parquet(resolveDir(spark, path, "codes"))
       .withColumn("__file", input_file_name())
     val stats = codes.agg(count(lit(1)).as("n"),
         countDistinct(col("__file")).as("nf"),
         countDistinct(col("cid")).as("nc")).head()
     val nCodes = stats.getLong(0)
-    val pending = loadTombstones(spark, path)
     val nTomb = pending.fold(0L)(_.count())
     val nServing = pending.fold(nCodes)(t =>
       codes.join(broadcast(t), Seq("id"), "left_anti").count())
