@@ -929,6 +929,17 @@ object Similarity {
     val shortlist = adc.withColumn("rk", row_number().over(wAdc))
       .filter(col("rk") <= k * rerank)
       .select("qid", "id")
+    exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact cosine re-rank of a (qid, id) shortlist against true vectors
+    * — the shared tail of every compressed-scan family (ADC, binary
+    * quantization): `|shortlist|` point lookups into the corpus, never
+    * a scan of the float vectors.
+    */
+  private[graft] def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+                                 queries: DataFrame, idCol: String,
+                                 vecCol: String, k: Int): DataFrame = {
     val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"),
       vec_norm(col(vecCol)).as("__cn"))
     val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
@@ -938,6 +949,72 @@ object Similarity {
         cosineFromNorms(col("__cv"), col("__cn"), col("__qv"), col("__qn"))
           .as("cosine"))
     rankTopK(exact, k)
+  }
+
+  // ------------------------------------------------- binary quantization
+
+  /** Sign-bit binary quantization: pack `x_i > 0` into `dim/32` words of
+    * 32 bits each (stored `array<long>`) — a 64× byte reduction against
+    * float vectors, the coarsest useful embedding compression. 32 bits
+    * per word, not 64: every packed value stays positive in two's
+    * complement, and the cross-engine replay stays exact (a `1 << 63`
+    * term overflows DuckDB's CHECKED shift). Sign is scale-invariant, so
+    * no unit normalization is needed or performed; zero elements pack as
+    * 0. One projection pass, no joins, no shuffles.
+    */
+  def bqEncode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim > 0 && dim % 32 == 0,
+      s"bqEncode: dim $dim must be a positive multiple of 32")
+    val words = (0 until dim / 32).map { w =>
+      expr(s"aggregate(sequence(1, 32), 0L, (acc, b) -> acc + " +
+        s"IF(element_at(__v, ${w * 32} + b) > 0D, shiftleft(1L, b - 1), 0L))")
+    }
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("id"), array(words: _*).as("sig"))
+  }
+
+  /** The embedding dimension, from one row (a limit(1) schema probe). */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .limit(1).collect().headOption
+      .map(_.getSeq[Any](0).length).getOrElse(0)
+
+  /** Approximate top-k via binary quantization: the corpus scans as
+    * packed sign bits (64× smaller than the float vectors), each
+    * candidate is scored by HAMMING distance to the query's packed bits
+    * (xor + bit_count per word — integer ops, no float arithmetic per
+    * pair), the `rerank·k` smallest-Hamming candidates are re-ranked
+    * exactly against the true vectors. The memory-side scan floor below
+    * even PQ (1 bit/dimension vs PQ's ~1 byte/subvector); compose with
+    * the IVF probe plan for sublinear candidate volume the same way
+    * [[AnnIndex.ivfpqServe]] composes ADC. With `rerank·k ≥ |corpus|`
+    * the shortlist is total and the result EQUALS [[bruteForceTopK]]
+    * bit-for-bit (the spec gate).
+    */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, rerank: Int = 4): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim > 0 && dim % 32 == 0,
+      s"bqTopK: dim $dim must be a positive multiple of 32")
+    val nW = dim / 32
+    val codes = bqEncode(corpus, idCol, vecCol)
+    val q = bqEncode(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("sig").as("qsig"))
+    // hamming inside the join projection; only (qid, id, ham) reaches
+    // the shortlist window's qid exchange (the rank-window rule)
+    val ham = expr(s"aggregate(sequence(1, $nW), 0L, (acc, i) -> " +
+      "acc + CAST(bit_count(element_at(sig, i) ^ element_at(qsig, i)) AS BIGINT))")
+    val scored = codes.join(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), ham.as("ham"))
+    val wHam = Window.partitionBy("qid").orderBy(col("ham").asc, col("id"))
+    val shortlist = scored.withColumn("rk", row_number().over(wHam))
+      .filter(col("rk") <= k * rerank)
+      .select("qid", "id")
+    exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
   }
 
   /** The IVF-PQ scoring kernel: each query ADC-scores ONLY its probed

@@ -334,6 +334,38 @@ private[queries] object ExtensionOraclesB {
           |FROM pre p LEFT JOIN truth t ON t.qid = p.qid AND t.id = p.id
           |GROUP BY p.qid ORDER BY p.qid""".stripMargin,
 
+      "x_sim_bq" ->
+        // sign-bit packing (32 bits/word — a 1<<63 term would overflow
+        // DuckDB's checked shift), per-word xor+bit_count hamming with
+        // the id tiebreak, exact cosine re-rank of the 40-shortlist
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |sig AS (SELECT vec_id,
+          |         [CAST(list_sum([CASE WHEN v[(w - 1) * 32 + b] > 0
+          |                         THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END
+          |                         for b in generate_series(1, 32)]) AS BIGINT)
+          |          for w in generate_series(1, 2)] AS s
+          |        FROM e),
+          |q AS (SELECT vec_id AS qid, s AS qs FROM sig WHERE vec_id < 5),
+          |ham AS (SELECT q.qid, c.vec_id AS id,
+          |          CAST(list_sum([bit_count(xor(c.s[i], q.qs[i]))
+          |                         for i in generate_series(1, 2)]) AS BIGINT) AS hd
+          |        FROM sig c CROSS JOIN q
+          |        WHERE c.vec_id <> q.qid),
+          |short AS (SELECT qid, id FROM (
+          |    SELECT qid, id,
+          |           row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS rk
+          |    FROM ham) WHERE rk <= 40),
+          |exact AS (SELECT sh.qid, sh.id,
+          |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+          |          FROM short sh
+          |          JOIN embeddings ec ON ec.vec_id = sh.id
+          |          JOIN embeddings eq ON eq.vec_id = sh.qid)
+          |SELECT qid, id, rank FROM (
+          |  SELECT qid, id,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+          |  FROM exact) WHERE rank <= 10
+          |ORDER BY qid, rank""".stripMargin,
+
       "x_sim_pq" ->
         // Full product-quantization replay: codebooks (unit-normalized
         // subvectors of the 16 smallest-id vectors), per-subspace argmax

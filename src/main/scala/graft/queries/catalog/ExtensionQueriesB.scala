@@ -660,6 +660,22 @@ private[queries] object ExtensionQueriesB {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_bq" -> ((s, dir) => { // oracle: sign-pack + hamming + exact-rerank replay
+      // Binary quantization — the scan floor below even PQ: the corpus
+      // scans as 1 bit/dimension (sign bits packed 32 to a word),
+      // candidates score by HAMMING distance (xor + bit_count, integer
+      // ops only), and the rerank·k smallest re-rank exactly against
+      // the true vectors. At 100 TB the packed corpus is 64× the float
+      // bytes' reduction, and the kernel composes with the IVF probe
+      // plan exactly like ADC does. Every step replays in DuckDB: the
+      // packing is integer comparisons, hamming is bit_count, ranks
+      // carry the id tiebreak.
+      val emb = t(s, dir, "embeddings")
+      Similarity.bqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_pq" -> ((s, dir) => { // oracle: full PQ train/encode/ADC replay
       // Product-quantization ADC scan + exact re-rank: the corpus scans as
       // m-byte codes (projection-encoded, zero shuffle) and only the

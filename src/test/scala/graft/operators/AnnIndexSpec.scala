@@ -856,6 +856,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(afterCompact == afterDel, "compact changed residual serve results")
   }
 
+  test("binary quantization: packing is exact, total shortlist equals brute force") {
+    import spark.implicits._
+    // hand-computed packing: 64-dim vector with known sign pattern —
+    // word 1 packs dims 1..32 (bit b-1 set iff x > 0), word 2 dims 33..64
+    val v = (1 to 64).map(i =>
+      if (i == 1 || i == 33 || i == 64) 1.0f else -1.0f).toArray
+    val packed = Similarity.bqEncode(
+        Seq((7L, v)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .select("sig").head().getSeq[Long](0)
+    assert(packed == Seq(1L, 1L | (1L << 31)),
+      s"sign packing drifted: $packed")
+    // with rerank·k covering the whole corpus the shortlist is total, so
+    // bqTopK must equal the exact brute force BIT-FOR-BIT
+    val qs = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val viaBq = rows(Similarity.bqTopK(emb, qs, "vec_id", "embedding",
+      k = 10, rerank = n))
+    val exact = rows(Similarity.bruteForceTopK(emb, qs,
+      "vec_id", "embedding", 10))
+    assert(viaBq.nonEmpty && viaBq == exact)
+    // at the production rerank the hamming shortlist still recalls most
+    // of the truth (sign bits carry real signal, not noise)
+    val approx = rows(Similarity.bqTopK(emb, qs, "vec_id", "embedding",
+      k = 10, rerank = 4)).map(r => (r._1, r._2)).toSet
+    val truthSet = exact.map(r => (r._1, r._2)).toSet
+    val recall = (approx & truthSet).size.toDouble / truthSet.size
+    assert(recall >= 0.5, f"bq recall@10 collapsed: $recall%.2f")
+  }
+
   test("streaming maxsim serve equals the batch maxsim row for row") {
     val toks = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
