@@ -966,15 +966,22 @@ object Similarity {
     val dim = vecDim(corpus, vecCol)
     require(dim > 0 && dim % 32 == 0,
       s"bqEncode: dim $dim must be a positive multiple of 32")
-    val words = (0 until dim / 32).map { w =>
-      expr(s"aggregate(sequence(1, 32), 0L, (acc, b) -> acc + " +
-        s"IF(element_at(__v, ${w * 32} + b) > 0D, shiftleft(1L, b - 1), 0L))")
-    }
     corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("__v"))
-      .select(col("id"), array(words: _*).as("sig"))
+      .select(col("id"), array(bqWordExprs(dim / 32): _*).as("sig"))
   }
+
+  /** The per-word sign-packing projections over a `__v` double-array
+    * column — shared by [[bqEncode]] and the cell-restricted composed
+    * scan ([[ivfbqTopK]]), which packs directly on the assigned frame
+    * instead of paying a join back to a separate code table.
+    */
+  private def bqWordExprs(nWords: Int): Seq[Column] =
+    (0 until nWords).map { w =>
+      expr(s"aggregate(sequence(1, 32), 0L, (acc, b) -> acc + " +
+        s"IF(element_at(__v, ${w * 32} + b) > 0D, shiftleft(1L, b - 1), 0L))")
+    }
 
   /** The embedding dimension, from one row (a limit(1) schema probe). */
   private def vecDim(df: DataFrame, vecCol: String): Int =
@@ -1010,11 +1017,58 @@ object Similarity {
     val scored = codes.join(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), ham.as("ham"))
+    hammingShortlistRerank(scored, corpus, queries, idCol, vecCol, k, rerank)
+  }
+
+  /** Shared tail of the BQ family: shortlist the `rerank·k`
+    * smallest-Hamming candidates per query (id tiebreak), exact cosine
+    * re-rank against the true vectors.
+    */
+  private def hammingShortlistRerank(scored: DataFrame, corpus: DataFrame,
+                                     queries: DataFrame, idCol: String,
+                                     vecCol: String, k: Int,
+                                     rerank: Int): DataFrame = {
     val wHam = Window.partitionBy("qid").orderBy(col("ham").asc, col("id"))
     val shortlist = scored.withColumn("rk", row_number().over(wHam))
       .filter(col("rk") <= k * rerank)
       .select("qid", "id")
     exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** The COMPOSED form — binary quantization inside the IVF probe plan
+    * ([[ivfpqTopKWithCodes]]'s sibling at the 1-bit/dimension point):
+    * the coarse quantizer partitions the corpus into nlist cells
+    * (deterministic id-sampled centroids, [[ivfTopK]]'s choice), each
+    * member's sign bits are packed IN the assigned frame (no join back
+    * to a code table), and each query Hamming-scores ONLY its probed
+    * cells via the broadcast (qid, cid, qsig) probe plan — integer ops
+    * over `nprobe/nlist` of the packed corpus, floats touched only at
+    * the exact re-rank of the `rerank·k` shortlist. With a full probe
+    * the candidate set is total, so the result equals [[bqTopK]]
+    * bit-for-bit (spec-gated).
+    */
+  def ivfbqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                rerank: Int = 4): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim > 0 && dim % 32 == 0,
+      s"ivfbqTopK: dim $dim must be a positive multiple of 32")
+    val nW = dim / 32
+    val cents = collectCents(idSampledCentroids(corpus, idCol, vecCol, nlist))
+    val memberSigs = assignCells(ensureParallelism(corpus), idCol, vecCol,
+        cents)
+      .withColumn("__v", col("vec").cast("array<double>"))
+      .select(col("cid"), col("id"), array(bqWordExprs(nW): _*).as("sig"))
+    val qsig = bqEncode(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("sig").as("qsig"))
+    val probePlan = probeCells(queries, idCol, vecCol, cents, nprobe)
+      .select("qid", "cid").join(qsig, Seq("qid"))
+    val ham = expr(s"aggregate(sequence(1, $nW), 0L, (acc, i) -> " +
+      "acc + CAST(bit_count(element_at(sig, i) ^ element_at(qsig, i)) AS BIGINT))")
+    val scored = memberSigs.join(broadcast(probePlan), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), ham.as("ham"))
+    hammingShortlistRerank(scored, corpus, queries, idCol, vecCol, k, rerank)
   }
 
   /** The IVF-PQ scoring kernel: each query ADC-scores ONLY its probed

@@ -366,6 +366,60 @@ private[queries] object ExtensionOraclesB {
           |  FROM exact) WHERE rank <= 10
           |ORDER BY qid, rank""".stripMargin,
 
+      "x_sim_ivfbq" ->
+        // the composed replay: id-sampled centroids + argmax cell
+        // assignment + top-nprobe probes (the x_sim_ivf formulation),
+        // sign packing + probe-restricted hamming (the x_sim_bq
+        // formulation), exact re-rank of the 40-shortlist
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+          |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE nrm > 0
+          |          ORDER BY vec_id LIMIT 16),
+          |cell AS (
+          |  SELECT vec_id, cid FROM (
+          |    SELECT n.vec_id, c.cid,
+          |           row_number() OVER (PARTITION BY n.vec_id
+          |             ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC,
+          |                      c.cid) AS rn
+          |    FROM n CROSS JOIN cents c) WHERE rn = 1),
+          |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+          |probe AS (
+          |  SELECT qid, cid FROM (
+          |    SELECT q.qid, c.cid,
+          |           row_number() OVER (PARTITION BY q.qid
+          |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+          |                      c.cid) AS rn
+          |    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+          |sig AS (SELECT vec_id,
+          |         [CAST(list_sum([CASE WHEN v[(w - 1) * 32 + b] > 0
+          |                         THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END
+          |                         for b in generate_series(1, 32)]) AS BIGINT)
+          |          for w in generate_series(1, 2)] AS s
+          |        FROM e),
+          |qs AS (SELECT q.qid, s.s AS qsig FROM q JOIN sig s ON s.vec_id = q.qid),
+          |ham AS (SELECT p.qid, ce.vec_id AS id,
+          |          CAST(list_sum([bit_count(xor(ms.s[i], k.qsig[i]))
+          |                         for i in generate_series(1, 2)]) AS BIGINT) AS hd
+          |        FROM probe p
+          |        JOIN cell ce ON ce.cid = p.cid
+          |        JOIN sig ms ON ms.vec_id = ce.vec_id
+          |        JOIN qs k ON k.qid = p.qid
+          |        WHERE ce.vec_id <> p.qid),
+          |short AS (SELECT qid, id FROM (
+          |    SELECT qid, id,
+          |           row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS rk
+          |    FROM ham) WHERE rk <= 40),
+          |exact AS (SELECT sh.qid, sh.id,
+          |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+          |          FROM short sh
+          |          JOIN embeddings ec ON ec.vec_id = sh.id
+          |          JOIN embeddings eq ON eq.vec_id = sh.qid)
+          |SELECT qid, id, rank FROM (
+          |  SELECT qid, id,
+          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+          |  FROM exact) WHERE rank <= 10
+          |ORDER BY qid, rank""".stripMargin,
+
       "x_sim_pq" ->
         // Full product-quantization replay: codebooks (unit-normalized
         // subvectors of the 16 smallest-id vectors), per-subspace argmax

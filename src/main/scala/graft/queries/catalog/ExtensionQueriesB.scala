@@ -676,6 +676,19 @@ private[queries] object ExtensionQueriesB {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_ivfbq" -> ((s, dir) => { // oracle: probe-restricted hamming replay
+      // The composed form of x_sim_bq — binary quantization INSIDE the
+      // IVF probe plan (the ADC composition at the 1-bit/dimension
+      // point): members' sign bits pack in the assigned frame, each
+      // query Hamming-scores only its probed cells via the broadcast
+      // (qid, cid, qsig) plan, exact re-rank repairs the shortlist.
+      // Integer ops over nprobe/nlist of a 64x-compressed corpus.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfbqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_pq" -> ((s, dir) => { // oracle: full PQ train/encode/ADC replay
       // Product-quantization ADC scan + exact re-rank: the corpus scans as
       // m-byte codes (projection-encoded, zero shuffle) and only the

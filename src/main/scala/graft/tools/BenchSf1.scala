@@ -376,6 +376,21 @@ object BenchSf1 {
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10, nlist = 64, nprobe = 8).count()
       }),
+      // binary-quantized scan: sign packing + integer hamming over the
+      // whole corpus (the 1-bit/dimension floor) + bounded exact
+      // re-rank — linear in members, 64x fewer scanned vector bytes
+      "sim_bq" -> ((dir, _) => {
+        val e = emb(spark, dir)
+        Similarity.bqTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10).count()
+      }),
+      // the composed form: hamming restricted to the probed cells —
+      // candidate volume (and time) follows nprobe/nlist, not corpus
+      "sim_ivfbq" -> ((dir, m) => {
+        val e = emb(spark, dir)
+        Similarity.ivfbqTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, nlist = 64 * m, nprobe = 8).count()
+      }),
       "embedding_pairs" -> ((dir, _) =>
         Dedup.embeddingTopPairsLsh(emb(spark, dir), "vec_id", "embedding",
           20).count()),

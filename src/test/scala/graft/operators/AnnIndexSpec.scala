@@ -885,6 +885,18 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"bq recall@10 collapsed: $recall%.2f")
   }
 
+  test("composed IVF-BQ with a full probe equals the flat BQ scan") {
+    // probing every cell makes the candidate set total, so the composed
+    // kernel must return flat bqTopK's rows bit-for-bit — the same
+    // full-probe gate the IVF-PQ composition carries
+    val qs = emb.filter(col("vec_id") < 5)
+    val composed = rows(Similarity.ivfbqTopK(emb, qs, "vec_id", "embedding",
+      k = 10, nlist = 16, nprobe = 16, rerank = 4))
+    val flat = rows(Similarity.bqTopK(emb, qs, "vec_id", "embedding",
+      k = 10, rerank = 4))
+    assert(composed.nonEmpty && composed == flat)
+  }
+
   test("streaming maxsim serve equals the batch maxsim row for row") {
     val toks = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
