@@ -106,15 +106,16 @@ object AnnIndex {
     */
   private def writeCells(corpus: DataFrame, idCol: String, vecCol: String,
                          cents: Array[(Long, Seq[Double], Double)],
-                         path: String): Unit = {
-    // a (re)build resets the version history: the fresh legacy dir is
-    // version 0 and readers resolve straight to it
-    clearVersions(corpus.sparkSession, path, "cells")
-    Similarity.assignCells(Similarity.ensureParallelism(corpus),
-        idCol, vecCol, cents)
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
-  }
+                         path: String): Unit =
+    // staged: the fresh cells land complete, THEN the version history
+    // resets and the stage renames into the legacy v0 slot — a failed
+    // build never destroys the serving index
+    publishBuild(corpus.sparkSession, path, "cells") { stage =>
+      Similarity.assignCells(Similarity.ensureParallelism(corpus),
+          idCol, vecCol, cents)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(stage)
+    }
 
   /** Append a new corpus batch to a persisted IVF index — the
     * incremental lifecycle ([[graft.operators.Dedup.incrementalDedup]]'s
@@ -311,24 +312,31 @@ object AnnIndex {
     s"$path/${name}__versions"
 
   /** (current version, current data dir NAME) — (0, name) when no
-    * manifest exists (the build-fresh legacy layout).
+    * manifest exists (the build-fresh legacy layout). The dir name is
+    * DERIVED from the entry's file name (`v<N>` ⇒ `<name>__v<N>`),
+    * never read from its content: the entry file is created before its
+    * one informational line is written, and a reader racing that window
+    * (or racing a prune of the entry it just listed) must still resolve
+    * correctly — one atomic `create` is the entire pointer flip.
     */
   private def currentVersion(fs: org.apache.hadoop.fs.FileSystem,
                              path: String, name: String): (Long, String) = {
     val mf = new org.apache.hadoop.fs.Path(manifestDir(path, name))
-    if (!fs.exists(mf)) (0L, name)
-    else {
-      val entries = fs.listStatus(mf).toSeq.map(_.getPath)
-        .filter(_.getName.matches("v\\d{13}"))
-      if (entries.isEmpty) (0L, name)
-      else {
-        val top = entries.maxBy(_.getName)
-        val in = fs.open(top)
-        val content =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        (top.getName.stripPrefix("v").toLong, content)
+    val entries =
+      try {
+        if (fs.exists(mf))
+          fs.listStatus(mf).toSeq.map(_.getPath.getName)
+            .filter(_.matches("v\\d{13}"))
+        else Seq.empty
+      } catch {
+        // manifest dir deleted by a concurrent clearVersions (a rebuild):
+        // resolve to the legacy layout the rebuild is re-establishing
+        case _: java.io.FileNotFoundException => Seq.empty
       }
+    if (entries.isEmpty) (0L, name)
+    else {
+      val n = entries.max.stripPrefix("v").toLong
+      (n, s"${name}__v$n")
     }
   }
 
@@ -380,6 +388,28 @@ object AnnIndex {
         fs.delete(new org.apache.hadoop.fs.Path(manifestDir(path, name),
           f"v$v%013d"), false)
     }
+  }
+
+  /** Staged (re)build publish: write the fresh artifact COMPLETE next
+    * to the live tree, then reset the version history and rename it
+    * into the legacy v0 slot. A build that fails mid-write therefore
+    * leaves the previously-serving index fully intact, and the
+    * reader-visible window shrinks from the entire build (minutes at
+    * scale) to two driver-side metadata ops — rebuilds remain
+    * single-writer-vs-serve, like all maintenance verbs.
+    */
+  private def publishBuild(spark: SparkSession, path: String, name: String)
+                          (write: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val stage = s"$path/${name}__build"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    write(stage)
+    clearVersions(spark, path, name)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$name"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(stage),
+        new org.apache.hadoop.fs.Path(s"$path/$name")),
+      s"publishBuild: could not place $stage")
   }
 
   /** Builds RESET the version history: a rebuild's membership is exactly
@@ -476,9 +506,17 @@ object AnnIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(dir)
     val fs = rootPath.getFileSystem(conf)
-    val partDirs = fs.listStatus(rootPath).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("cid="))
+    val listing = fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+    // FAIL-LOUD on an unfinished previous fold: a leftover aside dir
+    // means a crash landed between its rename-aside and rename-in — the
+    // hidden dir holds that cell's only surviving bytes, and proceeding
+    // would eventually delete them. Recovery = rename the aside back
+    // over its cell, then re-run the sync.
+    val leftovers = listing.filter(_.endsWith("__fold_old"))
+    require(leftovers.isEmpty,
+      s"targeted fold: unfinished fold detected in $dir — recover " +
+        s"$leftovers (rename each back over its cell) before syncing again")
+    val partDirs = listing.filter(_.startsWith("cid="))
     if (partDirs.isEmpty) {
       // unpartitioned layout = the schema-bearing EMPTY index a full
       // takedown leaves behind; the generic rewrite is O(empty)
@@ -514,7 +552,6 @@ object AnnIndex {
       // not deleted with their only other copy sitting in a tmp dir the
       // next run clears
       val aside = new org.apache.hadoop.fs.Path(s"$dir/.${nm}__fold_old")
-      fs.delete(aside, true)
       require(fs.rename(oldDir, aside),
         s"targeted fold: could not stage $oldDir aside")
       if (fs.exists(newDir))
@@ -561,6 +598,12 @@ object AnnIndex {
     val fs = rootPath.getFileSystem(conf)
     val codes = spark.read.parquet(dir)
     val schema = codes.schema
+    // FAIL-LOUD on an unfinished previous fold (see the partitioned twin)
+    val leftoverFiles = fs.listStatus(rootPath).toSeq
+      .map(_.getPath.getName).filter(_.endsWith("__fold_old"))
+    require(leftoverFiles.isEmpty,
+      s"targeted flat fold: unfinished fold detected in $dir — recover " +
+        s"$leftoverFiles (rename each back to its original name) first")
     val touchedFiles = codes.withColumn("__src", input_file_name())
       .join(broadcast(tombs), Seq("id"))
       .select("__src").distinct().collect().map(_.getString(0)).sorted
@@ -596,7 +639,6 @@ object AnnIndex {
       // leaves the survivors' bytes recoverable instead of deleted
       val aside = new org.apache.hadoop.fs.Path(oldFile.getParent,
         s".${oldFile.getName}__fold_old")
-      fs.delete(aside, false)
       require(fs.rename(oldFile, aside),
         s"targeted flat fold: could not stage $oldFile aside")
       if (fs.exists(partDir)) {
@@ -886,9 +928,11 @@ object AnnIndex {
     } yield (s, j, codebooks(s)(j).toSeq)
     spark.createDataFrame(rows).toDF("s", "j", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    clearVersions(spark, path, "codes") // rebuild resets the pointer history
-    Similarity.pqEncode(corpus, idCol, vecCol, loadPqCodebooks(spark, path))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    // staged rebuild: see writeCells
+    publishBuild(spark, path, "codes") { stage =>
+      Similarity.pqEncode(corpus, idCol, vecCol, loadPqCodebooks(spark, path))
+        .write.mode("overwrite").parquet(stage)
+    }
     // rebuild semantics: no inherited takedowns (see ivfBuild)
     clearTombstones(spark, path)
   }
@@ -1110,7 +1154,6 @@ object AnnIndex {
     // serve/append/tune resolve it from disk, never from call-site lore
     spark.createDataFrame(Seq(Tuple1(residual))).toDF("residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    clearVersions(spark, path, "codes") // rebuild resets the pointer history
     val encoded =
       if (residual)
         Similarity.pqEncode(
@@ -1118,10 +1161,13 @@ object AnnIndex {
           "id", "__r", loadPqCodebooks(spark, path), unitize = false)
       else
         Similarity.pqEncode(live, idCol, vecCol, loadPqCodebooks(spark, path))
-    encoded
-      .join(assigned, Seq("id"))
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    // staged rebuild: see writeCells
+    publishBuild(spark, path, "codes") { stage =>
+      encoded
+        .join(assigned, Seq("id"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(stage)
+    }
     clearTombstones(spark, path)
   }
 

@@ -189,10 +189,13 @@ object Calibration {
               maxDistinctScores: Long = 1L << 22): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def d(c: Column) = c.cast(dec)
+    // EXACT distinct count: an approximate (HLL) probe against a hard
+    // require would spuriously fail legitimate inputs near the bound
+    // (and silently pass ones just over it)
     val nDistinct = df.agg(
-      approx_count_distinct(col(scoreCol))).first().getLong(0)
+      countDistinct(col(scoreCol))).first().getLong(0)
     require(nDistinct <= maxDistinctScores,
-      s"aucEval: ~$nDistinct distinct scores exceeds the " +
+      s"aucEval: $nDistinct distinct scores exceeds the " +
         s"$maxDistinctScores bound of the single-partition rank window — " +
         "bucketize/quantize the score first (distributionDrift's bucket " +
         "projection), or raise maxDistinctScores deliberately")

@@ -966,11 +966,28 @@ object Similarity {
     val dim = vecDim(corpus, vecCol)
     require(dim > 0 && dim % 32 == 0,
       s"bqEncode: dim $dim must be a positive multiple of 32")
+    bqEncodeDim(corpus, idCol, vecCol, dim)
+  }
+
+  /** [[bqEncode]] with the dimension supplied by the caller — the
+    * kernels probe the CORPUS dimension once and thread it through, so
+    * an empty query frame encodes to an empty frame (composable, like
+    * every other top-k kernel) instead of tripping a misleading dim
+    * probe, and no per-call re-probing happens.
+    */
+  private def bqEncodeDim(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int): DataFrame =
     corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("__v"))
       .select(col("id"), array(bqWordExprs(dim / 32): _*).as("sig"))
-  }
+
+  /** Per-pair Hamming distance over the packed words — shared by the
+    * flat and composed scans so the two can never drift.
+    */
+  private def bqHammingExpr(nWords: Int): Column =
+    expr(s"aggregate(sequence(1, $nWords), 0L, (acc, i) -> " +
+      "acc + CAST(bit_count(element_at(sig, i) ^ element_at(qsig, i)) AS BIGINT))")
 
   /** The per-word sign-packing projections over a `__v` double-array
     * column — shared by [[bqEncode]] and the cell-restricted composed
@@ -1003,20 +1020,19 @@ object Similarity {
     */
   def bqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, rerank: Int = 4): DataFrame = {
+    // ONE dim probe, threaded through both encodes (empty queries then
+    // flow through to an empty result, like the other kernels)
     val dim = vecDim(corpus, vecCol)
     require(dim > 0 && dim % 32 == 0,
       s"bqTopK: dim $dim must be a positive multiple of 32")
-    val nW = dim / 32
-    val codes = bqEncode(corpus, idCol, vecCol)
-    val q = bqEncode(queries, idCol, vecCol)
+    val codes = bqEncodeDim(corpus, idCol, vecCol, dim)
+    val q = bqEncodeDim(queries, idCol, vecCol, dim)
       .select(col("id").as("qid"), col("sig").as("qsig"))
     // hamming inside the join projection; only (qid, id, ham) reaches
     // the shortlist window's qid exchange (the rank-window rule)
-    val ham = expr(s"aggregate(sequence(1, $nW), 0L, (acc, i) -> " +
-      "acc + CAST(bit_count(element_at(sig, i) ^ element_at(qsig, i)) AS BIGINT))")
     val scored = codes.join(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), ham.as("ham"))
+      .select(col("qid"), col("id"), bqHammingExpr(dim / 32).as("ham"))
     hammingShortlistRerank(scored, corpus, queries, idCol, vecCol, k, rerank)
   }
 
@@ -1059,15 +1075,13 @@ object Similarity {
         cents)
       .withColumn("__v", col("vec").cast("array<double>"))
       .select(col("cid"), col("id"), array(bqWordExprs(nW): _*).as("sig"))
-    val qsig = bqEncode(queries, idCol, vecCol)
+    val qsig = bqEncodeDim(queries, idCol, vecCol, dim)
       .select(col("id").as("qid"), col("sig").as("qsig"))
     val probePlan = probeCells(queries, idCol, vecCol, cents, nprobe)
       .select("qid", "cid").join(qsig, Seq("qid"))
-    val ham = expr(s"aggregate(sequence(1, $nW), 0L, (acc, i) -> " +
-      "acc + CAST(bit_count(element_at(sig, i) ^ element_at(qsig, i)) AS BIGINT))")
     val scored = memberSigs.join(broadcast(probePlan), Seq("cid"))
       .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), ham.as("ham"))
+      .select(col("qid"), col("id"), bqHammingExpr(nW).as("ham"))
     hammingShortlistRerank(scored, corpus, queries, idCol, vecCol, k, rerank)
   }
 

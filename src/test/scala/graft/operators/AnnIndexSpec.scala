@@ -883,6 +883,12 @@ class AnnIndexSpec extends AnyFunSuite {
     val truthSet = exact.map(r => (r._1, r._2)).toSet
     val recall = (approx & truthSet).size.toDouble / truthSet.size
     assert(recall >= 0.5, f"bq recall@10 collapsed: $recall%.2f")
+    // empty query frames compose like every other kernel: empty result,
+    // never a misleading dim-probe failure
+    assert(Similarity.bqTopK(emb, emb.filter(col("vec_id") < 0),
+      "vec_id", "embedding", 5).isEmpty)
+    assert(Similarity.ivfbqTopK(emb, emb.filter(col("vec_id") < 0),
+      "vec_id", "embedding", 5).isEmpty)
   }
 
   test("composed IVF-BQ with a full probe equals the flat BQ scan") {
