@@ -635,14 +635,14 @@ object Dedup {
     * Scale posture: the self-join is keyed by block, and blocks are
     * count-capped BEFORE pairing (same discipline as the LSH bucket
     * caps) — a degenerate block ("smith") prices as its cap, never as
-    * its square. Returns (a, b, dist) with a < b.
+    * its square. What the cap excludes is never silent:
+    * [[blockedFuzzyMatchDropped]] is the census of over-cap blocks and
+    * their row counts. Returns (a, b, dist) with a < b.
     */
   def blockedFuzzyMatch(df: DataFrame, idCol: String, nameCol: String,
                         maxDist: Int = 2, suffixLen: Int = 5,
                         maxBlockSize: Option[Int] = Some(100)): DataFrame = {
-    val keyed = df.select(col(idCol).as("__id"),
-        regexp_replace(lower(col(nameCol)), "[^a-z0-9]", "").as("__norm"))
-      .withColumn("__blk", expr(s"right(__norm, $suffixLen)"))
+    val keyed = fuzzyBlockKeyed(df, idCol, nameCol, suffixLen)
     val capped = maxBlockSize match {
       case Some(cap) =>
         val sizes = keyed.groupBy("__blk")
@@ -660,6 +660,37 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
   }
+
+  /** Shared normalize-and-block derivation for the fuzzy matcher and its
+    * dropped-blocks census — one definition so the census counts exactly
+    * the blocks the matcher keys on.
+    */
+  private def fuzzyBlockKeyed(df: DataFrame, idCol: String, nameCol: String,
+                              suffixLen: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        regexp_replace(lower(col(nameCol)), "[^a-z0-9]", "").as("__norm"))
+      .withColumn("__blk", expr(s"right(__norm, $suffixLen)"))
+
+  /** THE NO-SILENT-CAPS CENSUS for [[blockedFuzzyMatch]]: the blocks its
+    * `maxBlockSize` cap EXCLUDES, with their row counts — so a user knows
+    * what the cap priced away instead of discovering a degenerate block
+    * ("smith") produced zero links with no trace. One row per over-cap
+    * block: (blk, block_size). `sum(block_size)` is the dropped-rows
+    * total; an empty result certifies the matcher saw every row.
+    *
+    * Scale posture: one hash aggregation over the normalized keys —
+    * strictly cheaper than the matcher itself — and the output is
+    * bounded by the number of DEGENERATE blocks, which is what the
+    * report exists to surface.
+    */
+  def blockedFuzzyMatchDropped(df: DataFrame, idCol: String, nameCol: String,
+                               suffixLen: Int = 5,
+                               maxBlockSize: Int = 100): DataFrame =
+    fuzzyBlockKeyed(df, idCol, nameCol, suffixLen)
+      .groupBy("__blk")
+      .agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlockSize)
+      .select(col("__blk").as("blk"), col("block_size"))
 
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 128, bands: Int = 16,

@@ -200,6 +200,20 @@ private[queries] object ExtensionOraclesB {
           |WHERE levenshtein(l.norm, r.norm) <= 2
           |ORDER BY a, b""".stripMargin,
 
+      "x_entity_resolution_dropped" ->
+        """WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+          |         CASE WHEN c_custkey % 3 = 0
+          |              THEN 'Customer#' || CAST(c_custkey AS VARCHAR) || ' MegaCorp'
+          |              ELSE c_name END AS name
+          |       FROM customer),
+          |k AS (SELECT id,
+          |        regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+          |      FROM cust),
+          |kb AS (SELECT right(norm, 5) AS blk FROM k)
+          |SELECT blk, CAST(count(*) AS BIGINT) AS block_size
+          |FROM kb GROUP BY blk HAVING count(*) > 100
+          |ORDER BY blk""".stripMargin,
+
       "x_sim_ann_lsh" ->
         // Full LSH-ANN replay: quantized-hyperplane bucket assignment
         // (12 tables × 4 planes — exact integer dot signs, same literals

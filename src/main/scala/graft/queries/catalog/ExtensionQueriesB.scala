@@ -390,6 +390,25 @@ private[queries] object ExtensionQueriesB {
         .orderBy("a", "b")
     }),
 
+    "x_entity_resolution_dropped" -> ((s, dir) => {
+      // The no-silent-caps twin of x_entity_resolution: every third
+      // customer is renamed to share one normalized tail (a planted
+      // "smith"-style degenerate block), and the census reports exactly
+      // the blocks the matcher's count cap excludes — (blk, block_size),
+      // sum(block_size) = rows the cap priced away. At 100 TB this report
+      // rides along with the pair mining so capped work is visible, never
+      // silently absent from the links.
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit("Customer#"), col("c_custkey").cast("string"),
+              lit(" MegaCorp")))
+            .otherwise(col("c_name")).as("name"))
+      Dedup.blockedFuzzyMatchDropped(cust, "id", "name",
+          suffixLen = 5, maxBlockSize = 100)
+        .orderBy("blk")
+    }),
+
     "x_dedup_embedding_pairs" -> ((s, dir) =>
       // Quantized-hyperplane LSH candidates + exact re-rank — the corpus×
       // corpus product is never formed. The oracle replays the identical

@@ -418,6 +418,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       maxBlockSize = Some(3)).count() == 0)
   }
 
+  test("blockedFuzzyMatchDropped censuses exactly the over-cap blocks") {
+    // planted degenerate block: 10 rows share tail "l 777" (cap 3 drops
+    // it); a healthy pair and a singleton stay under cap and NEVER appear
+    val rows = ((1L to 10L).map(i => (i, "same tail 777")) ++
+      Seq((11L, "Acme Corp 12345"), (12L, "Acme Corpn 12345"),
+          (13L, "Zenith 99999"))).toDF("id", "name")
+    val census = Dedup.blockedFuzzyMatchDropped(rows, "id", "name",
+        suffixLen = 5, maxBlockSize = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(census == Seq(("il777", 10L)),
+      s"dropped census mismatch: $census")
+    // the census + the matcher partition the work: the dropped block's
+    // rows produce zero pairs, the surviving blocks still link
+    val pairs = Dedup.blockedFuzzyMatch(rows, "id", "name",
+        maxBlockSize = Some(3)).as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((11L, 12L, 1L)))
+    // empty census certifies the cap excluded nothing
+    assert(Dedup.blockedFuzzyMatchDropped(rows, "id", "name",
+      suffixLen = 5, maxBlockSize = 100).count() == 0)
+  }
+
   // ------------------------------------------- tokenizer persistence
 
   test("BPE merges survive a parquet round trip: loaded apply ≡ in-memory") {
