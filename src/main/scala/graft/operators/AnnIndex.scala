@@ -458,8 +458,8 @@ object AnnIndex {
     * remains only for the targeted fold's empty-layout rewrite, where
     * the directory being swapped holds zero rows.
     */
-  private def publishSwap(spark: SparkSession, target: String,
-                          staged: String): Unit = {
+  private[operators] def publishSwap(spark: SparkSession, target: String,
+                                     staged: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val tgt = new org.apache.hadoop.fs.Path(target)
     val stg = new org.apache.hadoop.fs.Path(staged)
@@ -1408,5 +1408,87 @@ object AnnIndex {
     Seq((nlist, m, ks, nCodes, nTomb, nServing, filesPerCidX100))
       .toDF("nlist", "m", "ks", "n_codes", "n_pending_tombstones",
         "n_serving", "files_per_cid_x100")
+  }
+
+  // ------------------------------------------- auto-compaction policy
+
+  /** Parquet FILE census of one artifact directory subtree — a recursive
+    * listing, no data pass. The same figure the describe* gauges report;
+    * shared so the policy and the gauges can never disagree.
+    */
+  private[graft] def parquetFileCount(spark: SparkSession,
+                                      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+  }
+
+  /** The shared compaction TRIGGER: fire when the artifact's file census
+    * exceeds `maxFiles` (small-files pressure — the serve-latency tax an
+    * append history accrues) or the pending-tombstone fraction exceeds
+    * `maxTombstoneFracPct` percent of stored rows (dead-weight pressure —
+    * every serve re-reads and anti-joins the sidecar). Cost shape: one
+    * recursive listing always; the tombstone check adds two counts ONLY
+    * when a sidecar exists — a quiet index prices as a listing.
+    */
+  private def needsCompact(spark: SparkSession, path: String, name: String,
+                           maxFiles: Long,
+                           maxTombstoneFracPct: Int): Boolean = {
+    // sidecar BEFORE pointer (see minusTombstonesPre) — kept even though
+    // maintenance is single-writer, so every read path shares one order
+    val tombs = loadTombstones(spark, path)
+    val dir = resolveDir(spark, path, name)
+    if (parquetFileCount(spark, dir) > maxFiles) true
+    else tombs.fold(false) { t =>
+      val nTomb = t.count()
+      nTomb > 0L && {
+        val nRows = spark.read.parquet(dir).count()
+        nTomb * 100L > maxTombstoneFracPct.toLong * math.max(nRows, 1L)
+      }
+    }
+  }
+
+  /** Thresholded auto-compaction — the ACTOR behind [[describeIvf]]'s
+    * gauges: at 100 TB an append-heavy index degrades (file listings,
+    * sidecar anti-joins) until something decides to compact, and a gauge
+    * with no actor means that something is a human. Call it after each
+    * maintenance batch (append / delete / sync); it fires [[ivfCompact]]
+    * when either threshold trips and is a cheap no-op otherwise (one
+    * listing; plus two counts only while a sidecar is pending). Returns
+    * whether a compact ran — callers log it; the artifact's state is
+    * observable via [[describeIvf]] either way.
+    */
+  def ivfCompactIfNeeded(spark: SparkSession, path: String,
+                         maxFiles: Long = 512,
+                         maxTombstoneFracPct: Int = 20): Boolean = {
+    val go = needsCompact(spark, path, "cells", maxFiles, maxTombstoneFracPct)
+    if (go) ivfCompact(spark, path)
+    go
+  }
+
+  /** [[ivfCompactIfNeeded]]'s PQ sibling — fires [[pqCompact]]. */
+  def pqCompactIfNeeded(spark: SparkSession, path: String,
+                        maxFiles: Long = 512,
+                        maxTombstoneFracPct: Int = 20): Boolean = {
+    val go = needsCompact(spark, path, "codes", maxFiles, maxTombstoneFracPct)
+    if (go) pqCompact(spark, path)
+    go
+  }
+
+  /** [[ivfCompactIfNeeded]]'s IVF-PQ sibling — fires [[ivfpqCompact]]. */
+  def ivfpqCompactIfNeeded(spark: SparkSession, path: String,
+                           maxFiles: Long = 512,
+                           maxTombstoneFracPct: Int = 20): Boolean = {
+    val go = needsCompact(spark, path, "codes", maxFiles, maxTombstoneFracPct)
+    if (go) ivfpqCompact(spark, path)
+    go
   }
 }

@@ -1574,6 +1574,78 @@ object Dedup {
       .crossJoin(tombs.agg(count(lit(1)).as("n_tombstones")))
   }
 
+  /** Compact a persisted signature registry — the VACUUM of the dedup
+    * artifact lifecycle, symmetric with `AnnIndex.ivfCompact`: fold the
+    * tombstone sidecar into the sigs table (broadcast anti-join on the
+    * registry's id column), rewrite the append history's small files at
+    * `targetBytes` granularity (the [[graft.operators.Scale.compactParquet]]
+    * sizing rule — file count derived from the actual byte footprint, no
+    * data pass), publish staged-then-swap (a failed rewrite never
+    * destroys the serving registry), then RESET the sidecar to an empty
+    * schema-bearing file — [[describeSigRegistry]] reads it
+    * unconditionally, so clearing must not delete the directory.
+    */
+  def compactSigRegistry(spark: org.apache.spark.sql.SparkSession,
+                         path: String, idCol: String = "doc_id",
+                         targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    val sigsDir = s"$path/sigs"
+    val tombsDir = s"$path/tombstones"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sigsPath = new org.apache.hadoop.fs.Path(sigsDir)
+    val fs = sigsPath.getFileSystem(conf)
+    val tombs =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tombsDir)))
+        Some(spark.read.parquet(tombsDir)
+          .select(col(idCol)).distinct().localCheckpoint(true))
+      else None
+    val live = tombs.fold(spark.read.parquet(sigsDir))(t =>
+      spark.read.parquet(sigsDir)
+        .join(broadcast(t), Seq(idCol), "left_anti"))
+    val bytes = fs.getContentSummary(sigsPath).getLength
+    val parts = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
+    val stage = s"$path/sigs__stage"
+    live.repartition(parts).write.mode("overwrite").parquet(stage)
+    AnnIndex.publishSwap(spark, sigsDir, stage)
+    // sidecar reset: empty but schema-bearing (the checkpointed tombstone
+    // frame outlives the directory it was read from)
+    tombs.foreach(t =>
+      t.limit(0).coalesce(1).write.mode("overwrite").parquet(tombsDir))
+  }
+
+  /** Thresholded auto-compaction for the signature registry — the ACTOR
+    * behind [[describeSigRegistry]]'s gauges, `AnnIndex.ivfCompactIfNeeded`'s
+    * dedup sibling: fires [[compactSigRegistry]] when the sigs file census
+    * exceeds `maxFiles` (small-files pressure — every serve scans the
+    * registry once, and listing+task-per-file grows with the append
+    * history) or pending tombstones exceed `maxTombstoneFracPct` percent
+    * of stored rows (every serve anti-joins the sidecar). A quiet
+    * registry prices as one listing. Returns whether a compact ran.
+    */
+  def sigRegistryCompactIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, idCol: String = "doc_id",
+                                 maxFiles: Long = 512,
+                                 maxTombstoneFracPct: Int = 20,
+                                 targetBytes: Long = 128L << 20): Boolean = {
+    val sigsDir = s"$path/sigs"
+    val tombsDir = s"$path/tombstones"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(sigsDir).getFileSystem(conf)
+    val go =
+      if (AnnIndex.parquetFileCount(spark, sigsDir) > maxFiles) true
+      else if (!fs.exists(new org.apache.hadoop.fs.Path(tombsDir))) false
+      else {
+        val nTomb = spark.read.parquet(tombsDir)
+          .select(col(idCol)).distinct().count()
+        nTomb > 0L && {
+          val nRows = spark.read.parquet(sigsDir).count()
+          nTomb * 100L > maxTombstoneFracPct.toLong * math.max(nRows, 1L)
+        }
+      }
+    if (go) compactSigRegistry(spark, path, idCol, targetBytes)
+    go
+  }
+
   private def quantizedWithNorm(emb: DataFrame, idCol: String,
                                 vecCol: String): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
