@@ -483,6 +483,61 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(!deletedOdd, "a tombstoned member survived the sync")
   }
 
+  test("trained (k-means) IVF artifact: append + serve + sync run the full lifecycle") {
+    // lifecycle parity for the TRAINED coarse quantizer: every
+    // maintenance verb reads the PERSISTED centroids, so it must not
+    // matter how they were derived — but until r13 the append/sync
+    // lifecycle only ever ran on id-sampled cells. Build on half the
+    // corpus with k-means centroids, append the rest, then push a CDC
+    // tail through: each stage must equal the reference computed under
+    // the SAME persisted centroids.
+    val path = "/tmp/graft_test_ivf_idx_trained_lc"
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnIndex.ivfBuild(evens, "vec_id", "embedding", path, nlist = 8,
+      trainedSeed = Some(42L))
+    AnnIndex.ivfAppend(odds, "vec_id", "embedding", path)
+    val served = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val refFull = "/tmp/graft_test_ivf_idx_trained_lc_full"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", refFull,
+      spark.read.parquet(s"$path/centroids"))
+    val full = rows(AnnIndex.ivfServe(spark, refFull, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(served.nonEmpty && served == full,
+      "trained build+append diverged from the full trained build")
+    // CDC tail: update / delete / revive — the sync must keep serving
+    // the post-tail snapshot under the unchanged trained centroids
+    val vt = emb.schema("embedding").dataType
+    val upd = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x + 0.125 as float))")
+          .as("embedding"))
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val del = emb.filter(col("vec_id") % 11 === 3)
+      .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+      .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
+    val tail = upd.unionByName(del)
+    AnnIndex.ivfSyncFromLog(spark, path, tail, "vec_id", "seq", "op",
+      "embedding")
+    val synced = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val snap = Cdc.applyLog(
+      emb.select(col("vec_id"), col("embedding"))
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+        .unionByName(tail),
+      "vec_id", "seq", "op")
+    val refSync = "/tmp/graft_test_ivf_idx_trained_lc_sync"
+    AnnIndex.ivfBuild(snap, "vec_id", "embedding", refSync,
+      spark.read.parquet(s"$path/centroids"))
+    val rebuilt = rows(AnnIndex.ivfServe(spark, refSync, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(synced.nonEmpty && synced == rebuilt,
+      "trained-artifact sync diverged from the full rebuild")
+    assert(!synced.map(_._2).exists(_ % 11 == 3),
+      "a tombstoned member survived the trained-artifact sync")
+  }
+
   test("a reader racing ivfCompact never observes a missing or mixed directory") {
     val path = "/tmp/graft_test_ivf_idx_race"
     AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 8)
