@@ -130,9 +130,9 @@ object BenchSf1 {
     rmRec(java.nio.file.Paths.get(tmpEv))
   }
 
-  /** Synthesize the 100× corpus for the SF10 PLATEAU RUN — only the
-    * tables the four attributed regime-boundary probes read (documents,
-    * events, customer). Built FROM the materialized sf1 data as 10 more
+  /** Synthesize the 100× corpus for the SF10 RUN — only the tables its
+    * probe set reads (documents, events, customer, embeddings). Built
+    * FROM the materialized sf1 data as 10 more
     * copy-shifted copies (two-level inflation: copy index = a·10 + b),
     * so id spaces nest: sf1 shifts doc ids by i·10⁷ / relational keys by
     * i·10⁸ / event users by i·10⁸; this level shifts everything by
@@ -160,6 +160,18 @@ object BenchSf1 {
         c1.withColumn("c_custkey", col("c_custkey") + lit(a * stride2)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$sf10Dir/customer.parquet")
+    // embeddings for the serve/ANN probes: per-element jitter per copy,
+    // exactly like buildSf1's second level — a constant per-copy offset
+    // would pile every copy into the same few cells (see buildSf1)
+    val emb1 = s.read.parquet(s"$sf1Dir/embeddings.parquet")
+    (0 until lvl2).map { a =>
+      val shifted = emb1.withColumn("vec_id", col("vec_id") + lit(a * stride2))
+      if (a == 0) shifted
+      else shifted.withColumn("embedding",
+        expr(s"transform(embedding, (x, p) -> cast(x + " +
+             s"((vec_id * 37 + p * 11 + $a * 17) % 100 - 50) * 0.002 as float))"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$sf10Dir/embeddings.parquet")
     // events: same event-time range (window count is policy), 100× rows
     // and users; ONE plain file for the streams' leaf-name glob
     val e1 = s.read.parquet(s"$sf1Dir/events.parquet")
@@ -302,10 +314,17 @@ object BenchSf1 {
     }
     buildSf1(spark)
     if (sf10Mode) {
-      // the plateau run stages only what its four probes read
+      // stage what the sf10 probe set reads: image hashes + signature
+      // registries + the persisted serve indexes at BOTH scales (nlist
+      // grows with the corpus — 64·m, the constant-cell-size posture)
       buildSf10(spark)
-      stageImageHashes(spark, sf1Dir)
-      stageImageHashes(spark, sf10Dir)
+      Seq((sf1Dir, copies), (sf10Dir, copies10)).foreach { case (d, m) =>
+        stageImageHashes(spark, d)
+        stageSigRegistry(spark, d)
+        buildServeIndex(spark, d, m)
+        buildPqIndex(spark, d)
+        buildIvfPqIndex(spark, d, m)
+      }
     } else {
       Seq(sf01, sf1Dir).foreach { d =>
         stageIngest(spark, d)
@@ -1026,14 +1045,21 @@ object BenchSf1 {
     }
 
     if (sf10Mode) {
-      // THE SECOND DECADE: the four probes whose sf0.1→sf1 ratios were
+      // TWO CLAIMS, measured at the second decade (sf1→sf10, 100×):
+      // (a) PLATEAU — the four probes whose sf0.1→sf1 ratios were
       // attributed to regime boundaries (sketch eviction onset, capped
-      // candidate space, fixture density) claim a PLATEAU — the bounded
-      // structures stop growing once saturated, so the next 10× must
-      // price closer to linear than the first. This run measures
-      // sf1→sf10 directly; compare against BENCH_SF1.json's ratios.
+      // candidate space, fixture density) have bounded structures that
+      // stop growing once saturated, so the next 10× must price closer
+      // to linear than the first (compare BENCH_SF1.json's ratios);
+      // (b) FLAT SERVES — the persisted-index serve family and the
+      // signature-registry serve read O(probed)/O(registry-scan) volume
+      // by construction, so a 10× corpus underneath must price ~1×
+      // (nlist grows with the corpus: probed volume constant), and the
+      // banded LSH miner + leakage-free split must stay ~linear.
       val names = Seq("image_dedup", "stream_heavyhitters",
-        "stream_distinct", "entity_resolution")
+        "stream_distinct", "entity_resolution",
+        "ivf_serve", "pq_serve", "ivfpq_serve", "sim_ivfbq",
+        "sig_registry_serve", "minhash_lsh_est", "split_leakfree")
       val byName = probes.toMap
       val missing = names.filterNot(byName.contains)
       require(missing.isEmpty, s"sf10 probes not found: $missing")

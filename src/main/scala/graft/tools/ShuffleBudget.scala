@@ -1,0 +1,110 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-byte BUDGETS for the headline heavies — the one cluster-scale
+  * cost the local bench cannot price (absolute network bytes transfer to
+  * a real cluster; wall time does not). Measures, per query, the total
+  * shuffle bytes WRITTEN across every job the entry triggers (batch
+  * actions, eager localCheckpoints, streaming micro-batches — a
+  * task-level listener sees them all, where QueryExecutionListener
+  * misses streams), and commits them as SHUFFLE_BUDGET.json. A plan
+  * regression that doubles exchange volume — a lost broadcast, a
+  * pre-aggregation that stopped combining map-side, a join that started
+  * shuffling its small side — becomes structurally visible as a >2×
+  * budget breach, judged by `ShuffleBudgetSpec` against its own pinned
+  * test-environment numbers each `sbt test`.
+  *
+  * Each query runs TWICE: the first run stages memoized index artifacts
+  * and warms caches (attributing one-time staging shuffles to whichever
+  * query runs first would make budgets order-dependent); only the second
+  * run is measured. Listener delivery is asynchronous, so the tally is
+  * read after a quiescence poll, never immediately.
+  */
+object ShuffleBudget {
+
+  final class Tally extends SparkListener {
+    private val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    def bytes: Long = acc.get()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+    }
+  }
+
+  /** Wait until the async listener bus has drained for this tally:
+    * stable reading across two consecutive polls (bounded, loud on
+    * timeout — a silent early read would under-count the budget).
+    */
+  private def quiesce(t: Tally, timeoutMs: Long = 10000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last = -1L
+    var stable = 0
+    while (stable < 2) {
+      require(System.currentTimeMillis() < deadline,
+        "shuffle tally never quiesced — listener bus backed up")
+      Thread.sleep(200L)
+      val now = t.bytes
+      if (now == last) stable += 1 else { stable = 0; last = now }
+    }
+  }
+
+  /** Measured shuffle-bytes per catalog entry (second-run semantics, see
+    * object doc). Shared by the committed-artifact main and the
+    * per-round spec gate so the two can never measure differently.
+    */
+  def measure(spark: SparkSession, names: Seq[String],
+              sfDir: String): Seq[(String, Long)] = {
+    val tally = new Tally
+    spark.sparkContext.addSparkListener(tally)
+    try names.map { n =>
+      val fn = graft.queries.QueryCatalog.all(n)
+      fn(spark, sfDir).count() // warmup: stage artifacts, prime memos
+      quiesce(tally)
+      val before = tally.bytes
+      fn(spark, sfDir).count()
+      quiesce(tally)
+      n -> (tally.bytes - before)
+    }
+    finally spark.sparkContext.removeSparkListener(tally)
+  }
+
+  /** The budgeted set: the ten most expensive headline entries by the
+    * r12 headline bench — the queries whose exchange volume dominates
+    * what a cluster run would move.
+    */
+  val budgetedQueries: Seq[String] = Seq(
+    "x_emb_pca", "x_dedup_incremental", "x_knn_components",
+    "x_split_leakfree", "x_dedup_clusters", "q_stream_hourly",
+    "x_ann_autotune_ivfpq", "x_dedup_best", "x_eval_dedup_sampled",
+    "x_dedup_cross")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = measure(spark, budgetedQueries, sfDir)
+    rows.foreach { case (n, b) =>
+      println(f"== $n%-28s ${b / 1024.0 / 1024.0}%9.2f MiB shuffled")
+    }
+    val qjson = rows.map { case (n, b) => s""""$n":$b""" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"shuffle_bytes_written","unit":"bytes",""" +
+      s""""cpus":$cpus,"shuffle_partitions":$cpus,"sf":"$sfDir",""" +
+      s""""queries":$qjson}"""
+    Files.writeString(Paths.get("SHUFFLE_BUDGET.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
