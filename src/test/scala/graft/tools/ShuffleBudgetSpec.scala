@@ -29,16 +29,16 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     * plan change moves a budget.
     */
   val pinned: Map[String, Long] = Map(
-    "x_emb_pca" -> 0L,
-    "x_dedup_incremental" -> 0L,
-    "x_knn_components" -> 0L,
-    "x_split_leakfree" -> 0L,
-    "x_dedup_clusters" -> 0L,
-    "q_stream_hourly" -> 0L,
-    "x_ann_autotune_ivfpq" -> 0L,
-    "x_dedup_best" -> 0L,
-    "x_eval_dedup_sampled" -> 0L,
-    "x_dedup_cross" -> 0L)
+    "x_emb_pca" -> 69154L,
+    "x_dedup_incremental" -> 2083963L,
+    "x_knn_components" -> 1436993L,
+    "x_split_leakfree" -> 2143702L,
+    "x_dedup_clusters" -> 2139824L,
+    "q_stream_hourly" -> 196056L,
+    "x_ann_autotune_ivfpq" -> 242901L,
+    "x_dedup_best" -> 2140008L,
+    "x_eval_dedup_sampled" -> 1402887L,
+    "x_dedup_cross" -> 2502116L)
 
   test("headline heavies stay within 2x of their shuffle-byte budgets") {
     val measured = ShuffleBudget.measure(spark,
