@@ -964,7 +964,16 @@ object AnnIndex {
     * the sidecar. The PQ twin of [[ivfCompact]].
     */
   def pqCompact(spark: SparkSession, path: String,
-                targetBytes: Long = 128L << 20): Unit = {
+                targetBytes: Long = 128L << 20): Unit =
+    compactFlatCodes(spark, path, targetBytes)
+
+  /** The flat code-table compact shared by [[pqCompact]] and
+    * [[bqCompact]]: fold the sidecar in (one broadcast anti-join pass),
+    * rewrite the append history at `targetBytes` granularity, publish
+    * versioned, clear the sidecar.
+    */
+  private def compactFlatCodes(spark: SparkSession, path: String,
+                               targetBytes: Long): Unit = {
     val src = resolveDir(spark, path, "codes")
     val codesPath = new org.apache.hadoop.fs.Path(src)
     val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1077,6 +1086,231 @@ object AnnIndex {
         spark.read.parquet(resolveDir(spark, path, "codes"))),
       corpus, queries, idCol, vecCol, k, rerank,
       loadPqCodebooks(spark, path))
+  }
+
+  // -------------------------------------------------------------- BQ
+
+  /** Persist a binary-quantized index: `codes/` = (id, sig array<long>)
+    * — 1 sign bit per dimension packed 32/word, the scan floor below
+    * even PQ (64× fewer bytes than the float corpus). There is NO model
+    * artifact at all: sign packing is parameter-free (the "codebook" is
+    * the sign function), so the build is ONE projection pass and every
+    * maintenance verb trivially preserves the index identity. Serving
+    * needs only the codes plus the corpus for the exact re-rank.
+    */
+  def bqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+              path: String): Unit = {
+    val spark = corpus.sparkSession
+    // staged rebuild: see writeCells
+    publishBuild(spark, path, "codes") { stage =>
+      Similarity.bqEncode(corpus, idCol, vecCol)
+        .write.mode("overwrite").parquet(stage)
+    }
+    // rebuild semantics: no inherited takedowns (see ivfBuild)
+    clearTombstones(spark, path)
+  }
+
+  /** Append a batch to a persisted BQ index — O(batch): pack, append.
+    * The stored signature WIDTH is the one structural invariant (a
+    * mixed-width code table would make every Hamming distance garbage),
+    * so a non-empty index rejects a batch of a different dimension.
+    */
+  def bqAppend(batch: DataFrame, idCol: String, vecCol: String,
+               path: String): Unit = {
+    val spark = batch.sparkSession
+    val coded = Similarity.bqEncode(batch, idCol, vecCol)
+    val dir = resolveDir(spark, path, "codes")
+    val stored = spark.read.parquet(dir)
+      .select(size(col("sig"))).limit(1).collect()
+    val batchW = coded.select(size(col("sig"))).limit(1).collect()
+    (stored.headOption, batchW.headOption) match {
+      case (Some(s), Some(b)) =>
+        require(s.getInt(0) == b.getInt(0),
+          s"bqAppend: batch signature width ${b.getInt(0)} != stored " +
+            s"${s.getInt(0)} — different embedding dimension")
+      case _ => ()
+    }
+    coded.write.mode("append").parquet(dir)
+  }
+
+  /** Delete ids from a persisted BQ index — the shared deletion-vector
+    * sidecar, O(ids), folded by [[bqCompact]].
+    */
+  def bqDelete(spark: SparkSession, path: String, ids: DataFrame,
+               idCol: String): Unit =
+    appendTombstones(path, ids, idCol)
+
+  /** Compact a persisted BQ code table — [[pqCompact]]'s twin on the
+    * same flat (id, …) layout: fold the sidecar, rewrite at
+    * `targetBytes`, publish versioned, clear.
+    */
+  def bqCompact(spark: SparkSession, path: String,
+                targetBytes: Long = 128L << 20): Unit =
+    compactFlatCodes(spark, path, targetBytes)
+
+  /** Serve top-k from a persisted BQ index: the packed codes stream
+    * through xor+bit_count Hamming against the broadcast query
+    * signatures (integer ops, 1/64 the corpus bytes), floats touched
+    * only at the exact re-rank — bit-identical to
+    * [[Similarity.bqTopK]] (same kernels over the same signatures).
+    */
+  def bqServe(spark: SparkSession, path: String, corpus: DataFrame,
+              queries: DataFrame, idCol: String, vecCol: String, k: Int,
+              rerank: Int = 4): DataFrame = {
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val tombs = loadTombstones(spark, path)
+    Similarity.bqTopKWithSigs(
+      minusTombstonesPre(tombs,
+        spark.read.parquet(resolveDir(spark, path, "codes"))),
+      corpus, queries, idCol, vecCol, k, rerank)
+  }
+
+  /** BQ index health report — [[describePq]]'s sibling: stored codes,
+    * signature-width bounds (mixed widths = two embedding dimensions
+    * got appended — every Hamming distance would be garbage), pending
+    * tombstones, serving membership, file census.
+    */
+  def describeBq(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val pending = loadTombstones(spark, path)
+    val dir = resolveDir(spark, path, "codes")
+    val codes = spark.read.parquet(dir)
+    val stats = codes.agg(count(lit(1)), min(size(col("sig"))),
+      max(size(col("sig")))).head()
+    val nCodes = stats.getLong(0)
+    val nTomb = pending.fold(0L)(_.count())
+    val nServing = pending.fold(nCodes)(t =>
+      codes.join(broadcast(t), Seq("id"), "left_anti").count())
+    Seq((nCodes, stats.getInt(1).toLong, stats.getInt(2).toLong,
+        nTomb, nServing, parquetFileCount(spark, dir)))
+      .toDF("n_codes", "sig_words_min", "sig_words_max",
+        "n_pending_tombstones", "n_serving", "n_files")
+  }
+
+  /** [[ivfCompactIfNeeded]]'s BQ sibling — fires [[bqCompact]]. */
+  def bqCompactIfNeeded(spark: SparkSession, path: String,
+                        maxFiles: Long = 512,
+                        maxTombstoneFracPct: Int = 20): Boolean = {
+    val go = needsCompact(spark, path, "codes", maxFiles, maxTombstoneFracPct)
+    if (go) bqCompact(spark, path)
+    go
+  }
+
+  // ---------------------------------------------------------- IVF-BQ
+
+  /** Persist the COMPOSED binary-quantized index — [[ivfpqBuild]]'s
+    * sibling at the 1-bit/dimension point: a coarse quantizer partitions
+    * the packed signatures into nlist inverted lists (`codes/`
+    * partitioned by cid with (id, sig)), so a serve Hamming-scores only
+    * the probed cells' packed words — O(probed) listing, integer ops,
+    * floats only at the exact re-rank. Centroids are id-sampled
+    * (oracle-replayable) or k-means (`trainedSeed`), exactly
+    * [[ivfBuild]]'s choice; they are the index identity and maintenance
+    * never retrains them.
+    */
+  def ivfbqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String, nlist: Int = 16,
+                 trainedSeed: Option[Long] = None): Unit = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(col(vecCol)).filter(col(vecCol).isNotNull)
+      .limit(1).collect().headOption
+      .map(_.getSeq[Any](0).length).getOrElse(0)
+    require(dim > 0 && dim % 32 == 0,
+      s"ivfbqBuild: dim $dim must be a positive multiple of 32")
+    val centroids = trainedSeed match {
+      case Some(seed) =>
+        Similarity.kmeansCentroids(corpus, idCol, vecCol, nlist, seed)
+      case None =>
+        Similarity.idSampledCentroids(corpus, idCol, vecCol, nlist)
+    }
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cents = loadIvfCentroids(spark, path)
+    publishBuild(spark, path, "codes") { stage =>
+      Similarity.bqPackAssigned(
+          Similarity.assignCells(Similarity.ensureParallelism(corpus),
+            idCol, vecCol, cents), dim)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(stage)
+    }
+    clearTombstones(spark, path)
+  }
+
+  /** O(batch) append to the composed BQ index: assign against the
+    * PERSISTED centroids, pack, land in the cid partitions. Same
+    * empty-layout re-establish rule as [[ivfAppend]].
+    */
+  def ivfbqAppend(batch: DataFrame, idCol: String, vecCol: String,
+                  path: String): Unit = {
+    val spark = batch.sparkSession
+    val live = batch.filter(col(vecCol).isNotNull)
+    val dim = live.select(col(vecCol)).limit(1).collect().headOption
+      .map(_.getSeq[Any](0).length).getOrElse(0)
+    if (dim == 0) return
+    require(dim % 32 == 0,
+      s"ivfbqAppend: dim $dim must be a positive multiple of 32")
+    val cents = loadIvfCentroids(spark, path)
+    val coded = Similarity.bqPackAssigned(
+      Similarity.assignCells(Similarity.ensureParallelism(live),
+        idCol, vecCol, cents), dim)
+    val codesDir = resolveDir(spark, path, "codes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new org.apache.hadoop.fs.Path(s"$codesDir/cid=*")
+    val partitioned = glob.getFileSystem(conf).globStatus(glob).nonEmpty
+    if (partitioned)
+      coded.write.mode("append").partitionBy("cid").parquet(codesDir)
+    else
+      coded.repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(codesDir)
+  }
+
+  /** O(ids) takedown on the composed BQ index (shared sidecar). */
+  def ivfbqDelete(spark: SparkSession, path: String, ids: DataFrame,
+                  idCol: String): Unit =
+    appendTombstones(path, ids, idCol)
+
+  /** Fold the sidecar into the cid-partitioned signature table (one
+    * file per cid restored) and clear it — [[ivfpqCompact]]'s twin.
+    */
+  def ivfbqCompact(spark: SparkSession, path: String): Unit = {
+    rewriteVersioned(spark, path, "codes")(minusTombstones(spark, path, _))
+    clearTombstones(spark, path)
+  }
+
+  /** Serve top-k from the persisted composed BQ index: probe selection
+    * over the persisted centroids, an O(probed-dirs) rooted read of the
+    * probed cid partitions, Hamming + shortlist + exact re-rank — the
+    * identical kernels of [[Similarity.ivfbqTopK]], so results are
+    * bit-identical over the same centroids.
+    */
+  def ivfbqServe(spark: SparkSession, path: String, corpus: DataFrame,
+                 queries: DataFrame, idCol: String, vecCol: String,
+                 k: Int, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    val cents = loadIvfCentroids(spark, path)
+    val probedCids = Similarity.probeCells(queries, idCol, vecCol,
+        cents, nprobe)
+      .select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val tombs = loadTombstones(spark, path)
+    val memberSigs = minusTombstonesPre(tombs,
+      readProbedPartitions(spark, resolveDir(spark, path, "codes"),
+          probedCids.toSeq)
+        .withColumn("cid", col("cid").cast("long"))
+        .filter(col("cid").isInCollection(probedCids)))
+    Similarity.ivfbqTopKWithSigs(memberSigs, corpus, queries,
+      idCol, vecCol, cents, k, nprobe, rerank)
+  }
+
+  /** [[ivfCompactIfNeeded]]'s composed-BQ sibling — fires
+    * [[ivfbqCompact]].
+    */
+  def ivfbqCompactIfNeeded(spark: SparkSession, path: String,
+                           maxFiles: Long = 512,
+                           maxTombstoneFracPct: Int = 20): Boolean = {
+    val go = needsCompact(spark, path, "codes", maxFiles, maxTombstoneFracPct)
+    if (go) ivfbqCompact(spark, path)
+    go
   }
 
   // ----------------------------------------------------------- IVF-PQ

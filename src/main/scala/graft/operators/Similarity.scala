@@ -1025,12 +1025,34 @@ object Similarity {
     val dim = vecDim(corpus, vecCol)
     require(dim > 0 && dim % 32 == 0,
       s"bqTopK: dim $dim must be a positive multiple of 32")
-    val codes = bqEncodeDim(corpus, idCol, vecCol, dim)
+    bqTopKWithSigsDim(bqEncodeDim(corpus, idCol, vecCol, dim), dim,
+      corpus, queries, idCol, vecCol, k, rerank)
+  }
+
+  /** [[bqTopK]] over a PRECOMPUTED packed-signature table
+    * (`(id, sig array<long>)` — [[AnnIndex.bqServe]]'s path): the codes
+    * scan reads the persisted artifact instead of re-packing the corpus,
+    * then the identical Hamming + shortlist + exact-re-rank kernels run,
+    * so a persisted serve is bit-identical to the in-memory scan.
+    */
+  def bqTopKWithSigs(codes: DataFrame, corpus: DataFrame,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, rerank: Int = 4): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim > 0 && dim % 32 == 0,
+      s"bqTopKWithSigs: dim $dim must be a positive multiple of 32")
+    bqTopKWithSigsDim(codes, dim, corpus, queries, idCol, vecCol, k, rerank)
+  }
+
+  private def bqTopKWithSigsDim(codes: DataFrame, dim: Int,
+                                corpus: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String, k: Int,
+                                rerank: Int): DataFrame = {
     val q = bqEncodeDim(queries, idCol, vecCol, dim)
       .select(col("id").as("qid"), col("sig").as("qsig"))
     // hamming inside the join projection; only (qid, id, ham) reaches
     // the shortlist window's qid exchange (the rank-window rule)
-    val scored = codes.join(broadcast(q))
+    val scored = codes.select(col("id"), col("sig")).join(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), bqHammingExpr(dim / 32).as("ham"))
     hammingShortlistRerank(scored, corpus, queries, idCol, vecCol, k, rerank)
@@ -1069,12 +1091,38 @@ object Similarity {
     val dim = vecDim(corpus, vecCol)
     require(dim > 0 && dim % 32 == 0,
       s"ivfbqTopK: dim $dim must be a positive multiple of 32")
-    val nW = dim / 32
     val cents = collectCents(idSampledCentroids(corpus, idCol, vecCol, nlist))
-    val memberSigs = assignCells(ensureParallelism(corpus), idCol, vecCol,
-        cents)
+    val memberSigs = bqPackAssigned(
+      assignCells(ensureParallelism(corpus), idCol, vecCol, cents), dim)
+    ivfbqTopKWithSigs(memberSigs, corpus, queries, idCol, vecCol, cents,
+      k, nprobe, rerank)
+  }
+
+  /** Pack sign bits directly on an [[assignCells]] frame — no join back
+    * to a separate code table. Output: (cid, id, sig) — the composed
+    * index's member-signature layout, shared by the in-memory scan and
+    * [[AnnIndex.ivfbqBuild]]'s persisted artifact.
+    */
+  private[graft] def bqPackAssigned(assigned: DataFrame,
+                                    dim: Int): DataFrame =
+    assigned
       .withColumn("__v", col("vec").cast("array<double>"))
-      .select(col("cid"), col("id"), array(bqWordExprs(nW): _*).as("sig"))
+      .select(col("cid"), col("id"), array(bqWordExprs(dim / 32): _*).as("sig"))
+
+  /** [[ivfbqTopK]] over a PRECOMPUTED (cid, id, sig) member-signature
+    * table and caller-supplied centroids — [[AnnIndex.ivfbqServe]]'s
+    * path: the probe plan, Hamming kernel, shortlist, and exact re-rank
+    * are the identical code, so the persisted serve is bit-identical to
+    * the in-memory composed scan over the same centroids.
+    */
+  private[graft] def ivfbqTopKWithSigs(memberSigs: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Long, Seq[Double], Double)], k: Int, nprobe: Int,
+      rerank: Int): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim > 0 && dim % 32 == 0,
+      s"ivfbqTopKWithSigs: dim $dim must be a positive multiple of 32")
+    val nW = dim / 32
     val qsig = bqEncodeDim(queries, idCol, vecCol, dim)
       .select(col("id").as("qid"), col("sig").as("qsig"))
     val probePlan = probeCells(queries, idCol, vecCol, cents, nprobe)

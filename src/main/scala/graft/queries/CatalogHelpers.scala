@@ -804,6 +804,8 @@ private[queries] object CatalogHelpers {
   val calIdxDir = "/tmp/graft_cal_idx"
   val sigIdxDir = "/tmp/graft_sig_idx"
   val sigLifeDir = "/tmp/graft_sig_life"
+  val bqIdxDir = "/tmp/graft_bq_idx"
+  val ivfbqIdxDir = "/tmp/graft_ivfbq_idx"
 
   /** Stage the signature-registry LIFECYCLE fixture: base registry
     * (corpus slices 1–2) overwritten, slices 3–4 APPENDED as new files
@@ -825,6 +827,35 @@ private[queries] object CatalogHelpers {
       docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 20 === 1)
         .select("doc_id")
         .coalesce(1).write.mode("overwrite").parquet(s"$sigLifeDir/tombstones")
+    }
+  val sigCmpDir = "/tmp/graft_sig_life_cmp"
+
+  /** The registry lifecycle fixture COMPACTED BY THE POLICY ACTOR: same
+    * base + appended slices + tombstone sidecar as
+    * [[stagedSigLifecycle]], then `Dedup.sigRegistryCompactIfNeeded`
+    * runs with a threshold the fixture's ~5% tombstone fraction trips —
+    * the staged artifact is therefore whatever the auto-compaction
+    * actually wrote: sigs folded to appended-minus-tombstoned, sidecar
+    * reset to an empty schema-bearing file. The serve entry hashes the
+    * result, so the fold is oracle-gated end to end.
+    */
+  def stagedSigCompacted(s: SparkSession, dir: String): String =
+    stageIndex(sigCmpDir, dir) {
+      val docs = t(s, dir, "documents")
+      def sigs(f: org.apache.spark.sql.Column) =
+        Dedup.signaturesFromShingles(
+          Dedup.shingles(docs.filter(f), "doc_id", "text", 3),
+          "doc_id", 128, Dedup.Hashers.md5Base)
+      sigs(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
+        .coalesce(1).write.mode("overwrite").parquet(s"$sigCmpDir/sigs")
+      sigs(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
+        .coalesce(1).write.mode("append").parquet(s"$sigCmpDir/sigs")
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 20 === 1)
+        .select("doc_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$sigCmpDir/tombstones")
+      val fired = Dedup.sigRegistryCompactIfNeeded(s, sigCmpDir,
+        maxFiles = 1000000, maxTombstoneFracPct = 1)
+      require(fired, "stagedSigCompacted: the compaction policy did not fire")
     }
   val unigramIdxDir = "/tmp/graft_unigram_idx"
   val wordpieceIdxDir = "/tmp/graft_wordpiece_idx"

@@ -379,6 +379,14 @@ private[queries] object ExtensionOraclesA {
            |         WHERE doc_id NOT IN (SELECT doc_id
            |           FROM read_parquet('$sigLifeDir/tombstones/*.parquet'))""".stripMargin),
 
+      "x_dedup_sig_compacted" -> sigServeOracle(
+        // the compacted registry is read AS-IS — the fold already
+        // removed the tombstoned docs, so a bare scan of the rewritten
+        // parquet must serve exactly what the sidecar-suppressed
+        // lifecycle serves
+        s"""SELECT doc_id, sig
+           |         FROM read_parquet('$sigCmpDir/sigs/*.parquet')""".stripMargin),
+
       "x_dedup_incremental" ->
         s"""WITH ${jaccardPairsSql(None)},
            |$lshBaseSql,

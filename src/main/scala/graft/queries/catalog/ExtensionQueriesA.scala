@@ -474,6 +474,23 @@ private[queries] object ExtensionQueriesA {
         .orderBy("doc_id", "corpus_id")
     }),
 
+    "x_dedup_sig_compacted" -> ((s, dir) => {
+      // REGISTRY AUTO-COMPACTION: the lifecycle fixture's tombstone
+      // fraction trips `sigRegistryCompactIfNeeded`, which FOLDS the
+      // sidecar into the sigs table and resets it — the maintenance
+      // verb the describe gauge was waiting for. The serve then reads
+      // the folded registry DIRECTLY (no anti-join left to do), and its
+      // rows must equal x_dedup_sig_deleted's suppressed serve: the
+      // fold removed exactly the tombstoned docs and nothing else,
+      // oracle-hashed over the compacted parquet alone.
+      val path = stagedSigCompacted(s, dir)
+      Dedup.dedupeAgainstSignatures(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          s.read.parquet(s"$path/sigs"),
+          "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
+        .orderBy("doc_id", "corpus_id")
+    }),
+
     "x_stream_sigdedup" -> ((s, dir) => {
       // LIVE ingest-dedup against the persisted registry: each arriving
       // micro-batch is signed and flagged via foreachBatch — corpus text

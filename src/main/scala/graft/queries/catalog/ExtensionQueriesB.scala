@@ -708,6 +708,39 @@ private[queries] object ExtensionQueriesB {
         .orderBy("qid", "rank")
     }),
 
+    "x_sim_bq_persisted" -> ((s, dir) => { // oracle: hamming+rerank over the persisted codes
+      // The scan floor, PERSISTED: the packed sign bits are built once
+      // as the codes artifact (no model at all — the "codebook" is the
+      // sign function) and serving reads 1/64 the corpus bytes through
+      // integer Hamming + exact re-rank. Bit-identical to x_sim_bq
+      // (AnnIndexSpec pins it); the oracle replays DIRECTLY over the
+      // persisted parquet, so the hash proves the on-disk bytes serve.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(bqIdxDir, dir)(
+        graft.operators.AnnIndex.bqBuild(emb, "vec_id", "embedding",
+          bqIdxDir))
+      graft.operators.AnnIndex.bqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_sim_ivfbq_persisted" -> ((s, dir) => { // oracle: probe-restricted hamming over the persisted artifact
+      // The composed scan floor, PERSISTED — ivfpq_persisted's sibling
+      // at the 1-bit/dimension point: packed signatures live IN their
+      // cid partitions, a serve probes the persisted centroids and
+      // Hamming-scores only the probed partitions (O(probed) listing,
+      // readProbedPartitions), floats touched only at the re-rank.
+      // The oracle probes/scores/ranks over the on-disk parquet alone.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfbqIdxDir, dir)(
+        graft.operators.AnnIndex.ivfbqBuild(emb, "vec_id", "embedding",
+          ivfbqIdxDir, nlist = 16))
+      graft.operators.AnnIndex.ivfbqServe(s, path, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_pq" -> ((s, dir) => { // oracle: full PQ train/encode/ADC replay
       // Product-quantization ADC scan + exact re-rank: the corpus scans as
       // m-byte codes (projection-encoded, zero shuffle) and only the

@@ -958,6 +958,81 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(composed.nonEmpty && composed == flat)
   }
 
+  test("persisted BQ: serve bit-identical to the in-memory scan, full lifecycle") {
+    val path = "/tmp/graft_test_bq_idx"
+    AnnIndex.bqBuild(emb, "vec_id", "embedding", path)
+    val served = rows(AnnIndex.bqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10))
+    val inMem = rows(Similarity.bqTopK(emb, queries,
+      "vec_id", "embedding", k = 10))
+    assert(served.nonEmpty && served == inMem)
+    // no model artifact ⇒ build-on-half + append-half trivially equals
+    // the full build; the append path itself is what's under test
+    val pathApp = "/tmp/graft_test_bq_idx_app"
+    AnnIndex.bqBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", pathApp)
+    AnnIndex.bqAppend(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", pathApp)
+    assert(rows(AnnIndex.bqServe(spark, pathApp, emb, queries,
+      "vec_id", "embedding", k = 10)) == served)
+    // the width guard: a different embedding dimension must be rejected
+    // loudly, never silently appended (mixed widths = garbage Hamming)
+    val narrower = emb.select(col("vec_id"),
+      expr("slice(embedding, 1, 32)").as("embedding"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.bqAppend(narrower, "vec_id", "embedding", pathApp)
+    }
+    // O(ids) takedown suppresses at serve; the policy sees the ~33%
+    // tombstone fraction, folds, and the fold is serve-neutral
+    AnnIndex.bqDelete(spark, path,
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id")
+    val afterDel = rows(AnnIndex.bqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10))
+    assert(afterDel.nonEmpty && afterDel.forall(_._2 % 3 != 0))
+    assert(AnnIndex.bqCompactIfNeeded(spark, path,
+      maxFiles = 10000, maxTombstoneFracPct = 20))
+    assert(rows(AnnIndex.bqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10)) == afterDel)
+    val d = AnnIndex.describeBq(spark, path).head()
+    assert(d.getAs[Long]("n_pending_tombstones") == 0L)
+    assert(d.getAs[Long]("sig_words_min") == 2L &&
+      d.getAs[Long]("sig_words_max") == 2L)
+  }
+
+  test("persisted IVF-BQ: serve bit-identical to the composed scan, full probe equals flat") {
+    val path = "/tmp/graft_test_ivfbq_idx"
+    AnnIndex.ivfbqBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val served = rows(AnnIndex.ivfbqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val inMem = rows(Similarity.ivfbqTopK(emb, queries,
+      "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4))
+    assert(served.nonEmpty && served == inMem)
+    // full probe ⇒ total candidate set ⇒ flat BQ's rows bit-for-bit
+    val full = rows(AnnIndex.ivfbqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 16))
+    val flat = rows(Similarity.bqTopK(emb, queries,
+      "vec_id", "embedding", k = 10))
+    assert(full == flat)
+    // lifecycle: append against the persisted centroids, O(ids)
+    // takedown, compact folds serve-neutrally
+    val pathInc = "/tmp/graft_test_ivfbq_idx_app"
+    AnnIndex.ivfbqBuild(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", pathInc, nlist = 8)
+    AnnIndex.ivfbqAppend(emb.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", pathInc)
+    // full probe over the appended index ⇒ flat equality again
+    assert(rows(AnnIndex.ivfbqServe(spark, pathInc, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8)) == flat)
+    AnnIndex.ivfbqDelete(spark, pathInc,
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id")
+    val afterDel = rows(AnnIndex.ivfbqServe(spark, pathInc, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8))
+    assert(afterDel.nonEmpty && afterDel.forall(_._2 % 3 != 0))
+    AnnIndex.ivfbqCompact(spark, pathInc)
+    assert(rows(AnnIndex.ivfbqServe(spark, pathInc, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8)) == afterDel)
+  }
+
   test("streaming maxsim serve equals the batch maxsim row for row") {
     val toks = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
