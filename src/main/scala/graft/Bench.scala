@@ -40,6 +40,7 @@ object Bench {
     // similarity / ANN lifecycles + tuning
     "x_knn_graph", "x_knn_components", "x_sim_ivf_persisted",
     "x_sim_ivf_deleted", "x_sim_pq_persisted", "x_sim_ivfpq_persisted",
+    "x_sim_bq_persisted", "x_sim_ivfbq_persisted",
     "x_cdc_ivfpq_sync", "x_ann_autotune", "x_ann_autotune_ivfpq",
     "x_ann_autotune_residual",
     "x_retrieval_maxsim_pruned", "x_hybrid_retrieval",

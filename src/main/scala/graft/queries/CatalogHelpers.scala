@@ -807,6 +807,44 @@ private[queries] object CatalogHelpers {
   val bqIdxDir = "/tmp/graft_bq_idx"
   val ivfbqIdxDir = "/tmp/graft_ivfbq_idx"
 
+  /** Replay over the persisted BQ code table: member signatures from
+    * the parquet the build wrote (the one artifact the serve reads —
+    * no model exists); only the query vectors pack fresh from the
+    * embeddings table. Hoisted so the batch entry
+    * (`x_sim_bq_persisted`) and its live foreachBatch twin
+    * (`x_stream_bq_serve`) share the STRING verbatim — per-query
+    * results are batch-invariant, so the two can never drift.
+    */
+  lazy val bqPersistedReplay: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid,
+       |       [CAST(list_sum([CASE WHEN v[(w - 1) * 32 + b] > 0
+       |                       THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END
+       |                       for b in generate_series(1, 32)]) AS BIGINT)
+       |        for w in generate_series(1, 2)] AS qs
+       |      FROM e WHERE vec_id < 5),
+       |codes AS (SELECT id, sig
+       |          FROM read_parquet('@@ANNDIR|$bqIdxDir|codes@@/*.parquet')),
+       |ham AS (SELECT q.qid, c.id,
+       |          CAST(list_sum([bit_count(xor(c.sig[i], q.qs[i]))
+       |                         for i in generate_series(1, 2)]) AS BIGINT) AS hd
+       |        FROM codes c CROSS JOIN q
+       |        WHERE c.id <> q.qid),
+       |short AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS rk
+       |    FROM ham) WHERE rk <= 40),
+       |exact AS (SELECT sh.qid, sh.id,
+       |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+       |          FROM short sh
+       |          JOIN embeddings ec ON ec.vec_id = sh.id
+       |          JOIN embeddings eq ON eq.vec_id = sh.qid)
+       |SELECT qid, id, rank FROM (
+       |  SELECT qid, id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+       |  FROM exact) WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
   /** Stage the signature-registry LIFECYCLE fixture: base registry
     * (corpus slices 1–2) overwritten, slices 3–4 APPENDED as new files
     * (no rewrite of the base — the O(batch) ingest path), plus a

@@ -84,6 +84,22 @@ private[queries] object ExtensionQueriesC {
         .orderBy("qid", "rank")
     }),
 
+    "x_stream_bq_serve" -> ((s, dir) => { // LIVE stream, shares the persisted-BQ replay
+      // Streaming serving at the scan floor: query vectors arrive as a
+      // stream and each micro-batch Hamming-serves against the
+      // persisted BQ codes via foreachBatch, exact re-rank per trigger.
+      // Per-query results are batch-invariant, so the live path shares
+      // x_sim_bq_persisted's oracle replay verbatim.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(bqIdxDir, dir)(
+        graft.operators.AnnIndex.bqBuild(emb, "vec_id", "embedding",
+          bqIdxDir))
+      graft.streaming.StreamAnnServe.runOnceBq(s, dir,
+          "embeddings.parquet", emb.schema, col("vec_id") < 5,
+          path, emb, "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_sim_pq_appended" -> ((s, dir) => { // oracle: ADC+rerank replay over the APPENDED index
       // PQ twin of the incremental lifecycle: codebooks trained on the
       // even-id half, the odd-id batch encoded later with the PERSISTED

@@ -50,6 +50,21 @@ object StreamAnnServe {
       graft.operators.AnnIndex.ivfpqServe(spark, idxPath, corpus, batch,
         idCol, vecCol, k, nprobe))
 
+  /** Scan-floor twin: each micro-batch of query vectors serves against
+    * the persisted BQ codes ([[graft.operators.AnnIndex.bqServe]] —
+    * integer Hamming over the packed artifact, exact re-rank per
+    * trigger). Batch-invariant per query like [[runOnce]], so the live
+    * path shares x_sim_bq_persisted's persisted-artifact oracle
+    * verbatim.
+    */
+  def runOnceBq(spark: SparkSession, queryDir: String, fileGlob: String,
+                schema: StructType, queryPred: Column,
+                idxPath: String, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, rerank: Int = 4): DataFrame =
+    runForeach(spark, queryDir, fileGlob, schema, queryPred)(batch =>
+      graft.operators.AnnIndex.bqServe(spark, idxPath, corpus, batch,
+        idCol, vecCol, k, rerank))
+
   /** Late-interaction twin: each micro-batch of raw query vectors is
     * encoded onto the `floor(x·10⁶)` fixed-point token lattice (the
     * x_retrieval_maxsim synthesis — `tokenDim`-wide row-major tokens)

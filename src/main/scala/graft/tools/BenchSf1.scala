@@ -255,6 +255,26 @@ object BenchSf1 {
     graft.operators.AnnIndex.ivfpqBuild(emb(s, dir), "vec_id", "embedding",
       s"$ivfpqIdxDir/${tagOf(dir)}", nlist = 64 * m)
 
+  /** Persisted BQ codes per scale: the scan-floor serve — the code
+    * table grows linearly but is 1/64 the float bytes, so the Hamming
+    * scan must price as a compact linear scan (the pq_serve shape at
+    * even fewer bytes).
+    */
+  private val bqIdxDirB = "/tmp/graft_sf1_bqidx"
+  private def buildBqIndex(s: SparkSession, dir: String): Unit =
+    graft.operators.AnnIndex.bqBuild(emb(s, dir), "vec_id", "embedding",
+      s"$bqIdxDirB/${tagOf(dir)}")
+
+  /** Composed persisted IVF-BQ per scale: nlist scales with the corpus,
+    * so probed packed-signature volume stays ~flat — the serve shape
+    * that must price ~1× as the index underneath grows (the one-shot
+    * sim_ivfbq probe prices the per-call rebuild this build amortizes).
+    */
+  private val ivfbqIdxDirB = "/tmp/graft_sf1_ivfbqidx"
+  private def buildIvfBqIndex(s: SparkSession, dir: String, m: Int): Unit =
+    graft.operators.AnnIndex.ivfbqBuild(emb(s, dir), "vec_id", "embedding",
+      s"$ivfbqIdxDirB/${tagOf(dir)}", nlist = 64 * m)
+
   /** Signature table per scale for the image near-dup miner (BMP decode
     * is priced by jpeg_transcode; this probe prices the band join).
     */
@@ -324,6 +344,8 @@ object BenchSf1 {
         buildServeIndex(spark, d, m)
         buildPqIndex(spark, d)
         buildIvfPqIndex(spark, d, m)
+        buildBqIndex(spark, d)
+        buildIvfBqIndex(spark, d, m)
       }
     } else {
       Seq(sf01, sf1Dir).foreach { d =>
@@ -331,12 +353,13 @@ object BenchSf1 {
         stageImageHashes(spark, d)
         stageSigRegistry(spark, d)
       }
-      buildServeIndex(spark, sf01, 1)
-      buildServeIndex(spark, sf1Dir, copies)
-      buildPqIndex(spark, sf01)
-      buildPqIndex(spark, sf1Dir)
-      buildIvfPqIndex(spark, sf01, 1)
-      buildIvfPqIndex(spark, sf1Dir, copies)
+      Seq((sf01, 1), (sf1Dir, copies)).foreach { case (d, m) =>
+        buildServeIndex(spark, d, m)
+        buildPqIndex(spark, d)
+        buildIvfPqIndex(spark, d, m)
+        buildBqIndex(spark, d)
+        buildIvfBqIndex(spark, d, m)
+      }
     }
     // fixed-size reference/batch set (an eval suite does not grow with
     // the training corpus): every 10th BASE doc, both scales
@@ -627,6 +650,22 @@ object BenchSf1 {
       "ivfpq_serve" -> ((dir, _) =>
         graft.operators.AnnIndex.ivfpqServe(spark,
           s"$ivfpqIdxDir/${tagOf(dir)}", emb(spark, dir),
+          emb(spark, sf01).filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10, nprobe = 8).count()),
+      // persisted scan-floor serving: the packed-code scan grows
+      // linearly at 1/64 the float bytes (integer Hamming), re-rank
+      // bounded — must price as a compact linear scan
+      "bq_serve" -> ((dir, _) =>
+        graft.operators.AnnIndex.bqServe(spark,
+          s"$bqIdxDirB/${tagOf(dir)}", emb(spark, dir),
+          emb(spark, sf01).filter(col("vec_id") < 5),
+          "vec_id", "embedding", 10).count()),
+      // composed persisted scan-floor serving: probed packed volume
+      // ~flat (nlist scales with the corpus) — the amortized form of
+      // the one-shot sim_ivfbq probe; must price ~FLAT
+      "ivfbq_serve" -> ((dir, _) =>
+        graft.operators.AnnIndex.ivfbqServe(spark,
+          s"$ivfbqIdxDirB/${tagOf(dir)}", emb(spark, dir),
           emb(spark, sf01).filter(col("vec_id") < 5),
           "vec_id", "embedding", 10, nprobe = 8).count()),
       // streaming image dedup (batch form of the stream-static plan —
@@ -1059,6 +1098,7 @@ object BenchSf1 {
       val names = Seq("image_dedup", "stream_heavyhitters",
         "stream_distinct", "entity_resolution",
         "ivf_serve", "pq_serve", "ivfpq_serve", "sim_ivfbq",
+        "bq_serve", "ivfbq_serve",
         "sig_registry_serve", "minhash_lsh_est", "split_leakfree")
       val byName = probes.toMap
       val missing = names.filterNot(byName.contains)

@@ -171,6 +171,20 @@ object Demo {
         emb.filter($"vec_id" < 3), "vec_id", "embedding", 5, nprobe = 4)
       println(s"== IVF-PQ residual (IVFADC)    -> ${served.count()} ranked rows; flavor persisted in meta/ = ${graft.operators.AnnIndex.ivfpqIsResidual(spark, idxDir)}")
     }
+    // round-13 surface: the persisted scan floor — packed sign bits as
+    // the codes artifact, Hamming serve, auto-compaction policy actor
+    locally {
+      val idxDir = "/tmp/graft_demo_bq"
+      graft.operators.AnnIndex.bqBuild(emb, "vec_id", "embedding", idxDir)
+      val served = graft.operators.AnnIndex.bqServe(spark, idxDir, emb,
+        emb.filter($"vec_id" < 3), "vec_id", "embedding", 5)
+      graft.operators.AnnIndex.bqDelete(spark, idxDir,
+        emb.filter($"vec_id" % 3 === 0).select("vec_id"), "vec_id")
+      val fired = graft.operators.AnnIndex.bqCompactIfNeeded(spark, idxDir,
+        maxFiles = 10000, maxTombstoneFracPct = 20)
+      val rep = graft.operators.AnnIndex.describeBq(spark, idxDir).first()
+      println(s"== BQ persisted scan floor     -> ${served.count()} ranked rows over ${rep.getAs[Long]("n_codes")} packed codes (${rep.getAs[Long]("sig_words_max")} words/vec); policy compact fired = $fired, ${rep.getAs[Long]("n_pending_tombstones")} tombstones pending after")
+    }
     val demoToks = emb.select($"vec_id",
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))").as("toks"))
     println(s"== MaxSim late interaction     -> ${Similarity.maxsimTopK(demoToks, demoToks.filter($"vec_id" < 3), "vec_id", "toks", 5, tokenDim = 16).count()} ranked rows for 3 query token-matrices")
