@@ -364,8 +364,8 @@ object AnnIndex {
     * directory, flip the pointer with one atomic create, prune history
     * older than the PREVIOUS version (kept for in-flight readers).
     */
-  private def publishVersioned(spark: SparkSession, path: String,
-                               name: String, staged: String): Unit = {
+  private[operators] def publishVersioned(spark: SparkSession, path: String,
+                                          name: String, staged: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val (cur, _) = currentVersion(fs, path, name)
@@ -727,14 +727,9 @@ object AnnIndex {
     val nTomb = pending.fold(0L)(_.count())
     val nServing = pending.fold(nMembers)(t =>
       cells.join(broadcast(t), Seq("id"), "left_anti").count())
-    val conf = spark.sparkContext.hadoopConfiguration
-    val cellsPath = new org.apache.hadoop.fs.Path(cellsDir)
-    val fs = cellsPath.getFileSystem(conf)
-    val it = fs.listFiles(cellsPath, true)
-    var nFiles = 0L
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
-    }
+    // same census as the compaction policy (parquetFileCount) — the
+    // gauge and the actor read one implementation
+    val nFiles = parquetFileCount(spark, cellsDir)
     val nParts = cells.select("cid").distinct().count()
     Seq((nlist, nMembers, nTomb, nServing,
         if (nParts == 0) 0L else nFiles * 100L / nParts))
@@ -1009,15 +1004,9 @@ object AnnIndex {
     val nTomb = pending.fold(0L)(_.count())
     val nServing = pending.fold(nCodes)(t =>
       codes.join(broadcast(t), Seq("id"), "left_anti").count())
-    val conf = spark.sparkContext.hadoopConfiguration
-    val codesPath = new org.apache.hadoop.fs.Path(codesDir)
-    val fs = codesPath.getFileSystem(conf)
-    val it = fs.listFiles(codesPath, true)
-    var nFiles = 0L
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
-    }
-    Seq((m, ks, nCodes, nTomb, nServing, nFiles))
+    // same census as the compaction policy (parquetFileCount) — the
+    // gauge and the actor read one implementation
+    Seq((m, ks, nCodes, nTomb, nServing, parquetFileCount(spark, codesDir)))
       .toDF("m", "ks", "n_codes", "n_pending_tombstones", "n_serving",
         "n_files")
   }
@@ -1101,9 +1090,18 @@ object AnnIndex {
   def bqBuild(corpus: DataFrame, idCol: String, vecCol: String,
               path: String): Unit = {
     val spark = corpus.sparkSession
+    // uniform-dimension guard (one aggregate pass — a build scans the
+    // corpus anyway): the packing projection would silently zero-pad a
+    // short vector, where the IVF kernels throw (see bqAppend)
+    val live = corpus.filter(col(vecCol).isNotNull)
+    val dims = live.agg(min(size(col(vecCol))), max(size(col(vecCol))))
+      .head()
+    require(!dims.isNullAt(0) && dims.getInt(0) == dims.getInt(1),
+      s"bqBuild: corpus vector dimensions not uniform " +
+        s"(${if (dims.isNullAt(0)) "no vectors" else s"${dims.getInt(0)}...${dims.getInt(1)}"})")
     // staged rebuild: see writeCells
     publishBuild(spark, path, "codes") { stage =>
-      Similarity.bqEncode(corpus, idCol, vecCol)
+      Similarity.bqEncode(live, idCol, vecCol)
         .write.mode("overwrite").parquet(stage)
     }
     // rebuild semantics: no inherited takedowns (see ivfBuild)
@@ -1113,24 +1111,35 @@ object AnnIndex {
   /** Append a batch to a persisted BQ index — O(batch): pack, append.
     * The stored signature WIDTH is the one structural invariant (a
     * mixed-width code table would make every Hamming distance garbage),
-    * so a non-empty index rejects a batch of a different dimension.
+    * and unlike the IVF family — whose VecDotMatrix assignment kernel
+    * already throws on a wrong-length vector — the flat packing
+    * projection would silently ZERO-PAD a short vector, so the guard
+    * here checks EVERY batch row (one min/max aggregate over the
+    * batch — O(batch), the verb's contract) against the stored width.
+    * An empty (or all-null-vector) batch is a no-op, like every
+    * sibling append verb.
     */
   def bqAppend(batch: DataFrame, idCol: String, vecCol: String,
                path: String): Unit = {
     val spark = batch.sparkSession
-    val coded = Similarity.bqEncode(batch, idCol, vecCol)
+    val live = batch.filter(col(vecCol).isNotNull)
+    val dims = live.agg(min(size(col(vecCol))), max(size(col(vecCol))))
+      .head()
+    if (dims.isNullAt(0)) return // empty batch: nothing to append
+    require(dims.getInt(0) == dims.getInt(1),
+      s"bqAppend: mixed vector dimensions ${dims.getInt(0)}..." +
+        s"${dims.getInt(1)} in one batch — zero-padded signatures would " +
+        "serve wrong neighbors silently")
     val dir = resolveDir(spark, path, "codes")
     val stored = spark.read.parquet(dir)
       .select(size(col("sig"))).limit(1).collect()
-    val batchW = coded.select(size(col("sig"))).limit(1).collect()
-    (stored.headOption, batchW.headOption) match {
-      case (Some(s), Some(b)) =>
-        require(s.getInt(0) == b.getInt(0),
-          s"bqAppend: batch signature width ${b.getInt(0)} != stored " +
-            s"${s.getInt(0)} — different embedding dimension")
-      case _ => ()
+    stored.headOption.foreach { s =>
+      require(s.getInt(0) * 32 == dims.getInt(0),
+        s"bqAppend: batch dimension ${dims.getInt(0)} != stored " +
+          s"${s.getInt(0) * 32} — different embedding dimension")
     }
-    coded.write.mode("append").parquet(dir)
+    Similarity.bqEncode(live, idCol, vecCol)
+      .write.mode("append").parquet(dir)
   }
 
   /** Delete ids from a persisted BQ index — the shared deletion-vector
@@ -1176,8 +1185,12 @@ object AnnIndex {
     val pending = loadTombstones(spark, path)
     val dir = resolveDir(spark, path, "codes")
     val codes = spark.read.parquet(dir)
-    val stats = codes.agg(count(lit(1)), min(size(col("sig"))),
-      max(size(col("sig")))).head()
+    // coalesce: min/max aggregate to NULL over an emptied index (the
+    // schema-bearing empty layout a full-takedown compact writes), and
+    // the gauge must report zeros there, not NPE
+    val stats = codes.agg(count(lit(1)),
+      coalesce(min(size(col("sig"))), lit(0)),
+      coalesce(max(size(col("sig"))), lit(0))).head()
     val nCodes = stats.getLong(0)
     val nTomb = pending.fold(0L)(_.count())
     val nServing = pending.fold(nCodes)(t =>
@@ -1679,16 +1692,30 @@ object AnnIndex {
     // sidecar BEFORE pointer (see minusTombstonesPre) — kept even though
     // maintenance is single-writer, so every read path shares one order
     val tombs = loadTombstones(spark, path)
-    val dir = resolveDir(spark, path, name)
-    if (parquetFileCount(spark, dir) > maxFiles) true
+    compactionDue(spark, resolveDir(spark, path, name), tombs,
+      maxFiles, maxTombstoneFracPct)
+  }
+
+  /** The ONE trigger-evaluation implementation, shared by every
+    * CompactIfNeeded verb in the library (the five ANN families here
+    * and `Dedup.sigRegistryCompactIfNeeded`) — the policy semantics
+    * (file census vs maxFiles; DISTINCT pending tombstones vs frac% of
+    * stored rows, both counts only while a sidecar exists) live in
+    * exactly one place so the verbs can never drift. `tombs` is the
+    * caller's already-distinct sidecar frame, loaded sidecar-first.
+    */
+  private[operators] def compactionDue(spark: SparkSession, dataDir: String,
+                                       tombs: Option[DataFrame],
+                                       maxFiles: Long,
+                                       maxTombstoneFracPct: Int): Boolean =
+    if (parquetFileCount(spark, dataDir) > maxFiles) true
     else tombs.fold(false) { t =>
       val nTomb = t.count()
       nTomb > 0L && {
-        val nRows = spark.read.parquet(dir).count()
+        val nRows = spark.read.parquet(dataDir).count()
         nTomb * 100L > maxTombstoneFracPct.toLong * math.max(nRows, 1L)
       }
     }
-  }
 
   /** Thresholded auto-compaction — the ACTOR behind [[describeIvf]]'s
     * gauges: at 100 TB an append-heavy index degrades (file listings,

@@ -1563,8 +1563,10 @@ object Dedup {
   def describeSigRegistry(spark: org.apache.spark.sql.SparkSession,
                           path: String): DataFrame = {
     // input_file_name() must be projected BEFORE the aggregate (a
-    // non-deterministic expression cannot sit inside countDistinct)
-    val sigs = spark.read.parquet(s"$path/sigs")
+    // non-deterministic expression cannot sit inside countDistinct).
+    // The sigs dir is pointer-resolved: compactions publish versioned
+    // (a never-compacted registry resolves to the plain layout).
+    val sigs = spark.read.parquet(AnnIndex.resolveDir(spark, path, "sigs"))
       .withColumn("__file", input_file_name())
     val tombs = spark.read.parquet(s"$path/tombstones")
     sigs.agg(count(lit(1)).as("n_docs"),
@@ -1574,31 +1576,70 @@ object Dedup {
       .crossJoin(tombs.agg(count(lit(1)).as("n_tombstones")))
   }
 
+  /** The registry's pending tombstone set (distinct ids), if any —
+    * the sidecar load every registry read path does FIRST, before
+    * resolving the sigs version pointer (the AnnIndex serve-ordering
+    * rule: compact publishes the folded version, THEN resets the
+    * sidecar, so sidecar-before-pointer can never pair an old unfolded
+    * directory with an already-reset sidecar).
+    */
+  private def loadSigTombstones(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$path/tombstones")
+        .select(col(idCol)).distinct())
+    else None
+  }
+
+  /** Append a signature batch to a persisted registry — the O(batch)
+    * ingest verb. The write lands in the CURRENT sigs version
+    * (pointer-resolved): after a versioned compact the plain `sigs/`
+    * directory is the RETAINED PREVIOUS version, and a direct-path
+    * write there would silently vanish from every serve.
+    */
+  def appendSignatures(sigs: DataFrame, path: String): Unit =
+    sigs.write.mode("append").parquet(
+      AnnIndex.resolveDir(sigs.sparkSession, path, "sigs"))
+
+  /** Append takedown ids to the registry's tombstone sidecar — O(ids),
+    * the deletion-vector convention; [[compactSigRegistry]] folds it.
+    */
+  def tombstoneSignatures(ids: DataFrame, path: String,
+                          idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
   /** Compact a persisted signature registry — the VACUUM of the dedup
     * artifact lifecycle, symmetric with `AnnIndex.ivfCompact`: fold the
     * tombstone sidecar into the sigs table (broadcast anti-join on the
     * registry's id column), rewrite the append history's small files at
     * `targetBytes` granularity (the [[graft.operators.Scale.compactParquet]]
     * sizing rule — file count derived from the actual byte footprint, no
-    * data pass), publish staged-then-swap (a failed rewrite never
-    * destroys the serving registry), then RESET the sidecar to an empty
+    * data pass), publish through the SAME versioned-dir + atomic
+    * pointer-manifest flip the ANN compactions use (a reader racing the
+    * compact resolves either the old or the new COMPLETE directory —
+    * never a missing one — and a failed rewrite leaves the serving
+    * registry untouched), then RESET the sidecar to an empty
     * schema-bearing file — [[describeSigRegistry]] reads it
     * unconditionally, so clearing must not delete the directory.
+    * Readers resolve the serving dir via `AnnIndex.resolveDirPath(path,
+    * "sigs")`; a never-compacted registry has no manifest and resolves
+    * to the plain `sigs/` layout, so existing artifacts need no change.
     */
   def compactSigRegistry(spark: org.apache.spark.sql.SparkSession,
                          path: String, idCol: String = "doc_id",
                          targetBytes: Long = 128L << 20): Unit = {
     require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
-    val sigsDir = s"$path/sigs"
-    val tombsDir = s"$path/tombstones"
-    val conf = spark.sparkContext.hadoopConfiguration
+    // sidecar BEFORE pointer (see loadSigTombstones); checkpointed so
+    // the frame outlives the sidecar reset below
+    val tombs = loadSigTombstones(spark, path, idCol)
+      .map(_.localCheckpoint(true))
+    val sigsDir = AnnIndex.resolveDir(spark, path, "sigs")
     val sigsPath = new org.apache.hadoop.fs.Path(sigsDir)
-    val fs = sigsPath.getFileSystem(conf)
-    val tombs =
-      if (fs.exists(new org.apache.hadoop.fs.Path(tombsDir)))
-        Some(spark.read.parquet(tombsDir)
-          .select(col(idCol)).distinct().localCheckpoint(true))
-      else None
+    val fs = sigsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = tombs.fold(spark.read.parquet(sigsDir))(t =>
       spark.read.parquet(sigsDir)
         .join(broadcast(t), Seq(idCol), "left_anti"))
@@ -1606,42 +1647,33 @@ object Dedup {
     val parts = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
     val stage = s"$path/sigs__stage"
     live.repartition(parts).write.mode("overwrite").parquet(stage)
-    AnnIndex.publishSwap(spark, sigsDir, stage)
-    // sidecar reset: empty but schema-bearing (the checkpointed tombstone
-    // frame outlives the directory it was read from)
+    AnnIndex.publishVersioned(spark, path, "sigs", stage)
+    // sidecar reset AFTER the pointer flip: empty but schema-bearing
     tombs.foreach(t =>
-      t.limit(0).coalesce(1).write.mode("overwrite").parquet(tombsDir))
+      t.limit(0).coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/tombstones"))
   }
 
   /** Thresholded auto-compaction for the signature registry — the ACTOR
     * behind [[describeSigRegistry]]'s gauges, `AnnIndex.ivfCompactIfNeeded`'s
-    * dedup sibling: fires [[compactSigRegistry]] when the sigs file census
+    * dedup sibling, sharing the ONE trigger implementation
+    * (`AnnIndex.compactionDue`) so the five policy verbs can never
+    * drift: fires [[compactSigRegistry]] when the sigs file census
     * exceeds `maxFiles` (small-files pressure — every serve scans the
-    * registry once, and listing+task-per-file grows with the append
-    * history) or pending tombstones exceed `maxTombstoneFracPct` percent
-    * of stored rows (every serve anti-joins the sidecar). A quiet
-    * registry prices as one listing. Returns whether a compact ran.
+    * registry once) or pending tombstones exceed `maxTombstoneFracPct`
+    * percent of stored rows (every serve anti-joins the sidecar). A
+    * quiet registry prices as one listing. Returns whether a compact ran.
     */
   def sigRegistryCompactIfNeeded(spark: org.apache.spark.sql.SparkSession,
                                  path: String, idCol: String = "doc_id",
                                  maxFiles: Long = 512,
                                  maxTombstoneFracPct: Int = 20,
                                  targetBytes: Long = 128L << 20): Boolean = {
-    val sigsDir = s"$path/sigs"
-    val tombsDir = s"$path/tombstones"
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(sigsDir).getFileSystem(conf)
-    val go =
-      if (AnnIndex.parquetFileCount(spark, sigsDir) > maxFiles) true
-      else if (!fs.exists(new org.apache.hadoop.fs.Path(tombsDir))) false
-      else {
-        val nTomb = spark.read.parquet(tombsDir)
-          .select(col(idCol)).distinct().count()
-        nTomb > 0L && {
-          val nRows = spark.read.parquet(sigsDir).count()
-          nTomb * 100L > maxTombstoneFracPct.toLong * math.max(nRows, 1L)
-        }
-      }
+    // sidecar BEFORE pointer (see loadSigTombstones)
+    val tombs = loadSigTombstones(spark, path, idCol)
+    val go = AnnIndex.compactionDue(spark,
+      AnnIndex.resolveDir(spark, path, "sigs"), tombs,
+      maxFiles, maxTombstoneFracPct)
     if (go) compactSigRegistry(spark, path, idCol, targetBytes)
     go
   }

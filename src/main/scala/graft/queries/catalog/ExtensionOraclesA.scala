@@ -380,12 +380,14 @@ private[queries] object ExtensionOraclesA {
            |           FROM read_parquet('$sigLifeDir/tombstones/*.parquet'))""".stripMargin),
 
       "x_dedup_sig_compacted" -> sigServeOracle(
-        // the compacted registry is read AS-IS — the fold already
-        // removed the tombstoned docs, so a bare scan of the rewritten
+        // the compacted registry is read AS-IS through the version
+        // POINTER (the compact publishes sigs__v<N>; the plain sigs/
+        // path is the retained previous version) — the fold already
+        // removed the tombstoned docs, so a bare scan of the published
         // parquet must serve exactly what the sidecar-suppressed
         // lifecycle serves
         s"""SELECT doc_id, sig
-           |         FROM read_parquet('$sigCmpDir/sigs/*.parquet')""".stripMargin),
+           |         FROM read_parquet('@@ANNDIR|$sigCmpDir|sigs@@/*.parquet')""".stripMargin),
 
       "x_dedup_incremental" ->
         s"""WITH ${jaccardPairsSql(None)},

@@ -486,7 +486,10 @@ private[queries] object ExtensionQueriesA {
       val path = stagedSigCompacted(s, dir)
       Dedup.dedupeAgainstSignatures(
           t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-          s.read.parquet(s"$path/sigs"),
+          // pointer-resolved: the compact published a VERSIONED sigs
+          // dir; the plain sigs/ path is the retained previous version
+          s.read.parquet(
+            graft.operators.AnnIndex.resolveDir(s, path, "sigs")),
           "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
         .orderBy("doc_id", "corpus_id")
     }),

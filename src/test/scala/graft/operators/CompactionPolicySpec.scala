@@ -149,14 +149,18 @@ class CompactionPolicySpec extends AnyFunSuite {
     var deleted = Set.empty[Long]
     var compacts = 0
     for (i <- 1 to cycles) {
-      sigs.filter(col("doc_id") % 10 === i % 10)
-        .select((col("doc_id") + lit(i * 1000L)).as("doc_id"), col("sig"))
-        .write.mode("append").parquet(s"$path/sigs")
+      // the registry verbs, not direct-path writes: after a versioned
+      // compact the plain sigs/ dir is the retained PREVIOUS version,
+      // and a direct write there would silently vanish from serves
+      Dedup.appendSignatures(
+        sigs.filter(col("doc_id") % 10 === i % 10)
+          .select((col("doc_id") + lit(i * 1000L)).as("doc_id"),
+            col("sig")),
+        path)
       if (i > 1) {
         import spark.implicits._
         val victim = firstIdOfResidue((i - 1) % 10) + (i - 1) * 1000L
-        Seq(victim).toDF("doc_id")
-          .write.mode("append").parquet(s"$path/tombstones")
+        Dedup.tombstoneSignatures(Seq(victim).toDF("doc_id"), path)
         deleted += victim
       }
       if (Dedup.sigRegistryCompactIfNeeded(spark, path,
@@ -164,7 +168,8 @@ class CompactionPolicySpec extends AnyFunSuite {
     }
     info(s"registry soak: $compacts compacts over $cycles cycles")
     assert(compacts >= 1, "the policy never fired across the whole soak")
-    val census = AnnIndex.parquetFileCount(spark, s"$path/sigs")
+    val census = AnnIndex.parquetFileCount(spark,
+      AnnIndex.resolveDir(spark, path, "sigs"))
     assert(census <= maxFiles + 8,
       s"file census $census escaped the policy bound $maxFiles")
     // describe still works after a fold (empty sidecar stays READABLE)
@@ -175,7 +180,8 @@ class CompactionPolicySpec extends AnyFunSuite {
     // vs the logically-identical single-shot registry
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val pending = spark.read.parquet(s"$path/tombstones")
-    val regSoak = spark.read.parquet(s"$path/sigs")
+    val regSoak = spark.read
+      .parquet(AnnIndex.resolveDir(spark, path, "sigs"))
       .join(broadcast(pending.select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
     val cyclesDf = spark.range(1, cycles + 1).select(col("id").as("cyc"))
