@@ -1174,6 +1174,30 @@ object AnnIndex {
       corpus, queries, idCol, vecCol, k, rerank)
   }
 
+  /** Synchronize a persisted BQ index with a CDC change-log TAIL — the
+    * scan-floor member of the maintenance loop, same contract as
+    * [[pqSyncFromLog]]: tombstone every key the tail touches (O(tail)
+    * sidecar append), fold TARGETED at the FILE level (only the code
+    * files holding a tombstoned row are rewritten — required, not
+    * optional: the deletion vector suppresses ids unconditionally, so
+    * an updated or revived id could never re-enter while its tombstone
+    * is pending), then LWW-reduce the tail and re-pack the surviving
+    * current versions ([[bqAppend]] — sign packing has no model to
+    * retrain, so maintenance trivially preserves the index identity).
+    * Cost: O(tail) + one touched-files fold.
+    */
+  def bqSyncFromLog(spark: SparkSession, path: String, tail: DataFrame,
+                    keyCol: String, seqCol: String, opCol: String,
+                    vecCol: String, deleteOp: String = "D"): Unit = {
+    val touched = tail.select(col(keyCol).as("id")).distinct()
+    bqDelete(spark, path, touched, "id")
+    foldTombstonesTargetedFlat(spark, path, resolveDir(spark, path, "codes"))
+    clearTombstones(spark, path)
+    val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
+      .select(col(keyCol), col(vecCol))
+    if (!live.isEmpty) bqAppend(live, keyCol, vecCol, path)
+  }
+
   /** BQ index health report — [[describePq]]'s sibling: stored codes,
     * signature-width bounds (mixed widths = two embedding dimensions
     * got appended — every Hamming distance would be garbage), pending
@@ -1313,6 +1337,24 @@ object AnnIndex {
         .filter(col("cid").isInCollection(probedCids)))
     Similarity.ivfbqTopKWithSigs(memberSigs, corpus, queries,
       idCol, vecCol, cents, k, nprobe, rerank)
+  }
+
+  /** Synchronize the persisted composed BQ index with a CDC tail —
+    * [[ivfpqSyncFromLog]]'s sibling at the 1-bit/dimension point:
+    * O(tail) tombstones, CELL-TARGETED fold (only the cid partitions
+    * holding a tombstoned member are rewritten), LWW-reduce, re-assign
+    * + re-pack against the PERSISTED centroids ([[ivfbqAppend]]).
+    */
+  def ivfbqSyncFromLog(spark: SparkSession, path: String, tail: DataFrame,
+                       keyCol: String, seqCol: String, opCol: String,
+                       vecCol: String, deleteOp: String = "D"): Unit = {
+    val touched = tail.select(col(keyCol).as("id")).distinct()
+    ivfbqDelete(spark, path, touched, "id")
+    foldTombstonesTargeted(spark, path, resolveDir(spark, path, "codes"))
+    clearTombstones(spark, path)
+    val live = Cdc.applyLog(tail, keyCol, seqCol, opCol, deleteOp)
+      .select(col(keyCol), col(vecCol))
+    if (!live.isEmpty) ivfbqAppend(live, keyCol, vecCol, path)
   }
 
   /** [[ivfCompactIfNeeded]]'s composed-BQ sibling — fires

@@ -807,16 +807,18 @@ private[queries] object CatalogHelpers {
   val bqIdxDir = "/tmp/graft_bq_idx"
   val ivfbqIdxDir = "/tmp/graft_ivfbq_idx"
 
-  /** Replay over the persisted BQ code table: member signatures from
-    * the parquet the build wrote (the one artifact the serve reads —
-    * no model exists); only the query vectors pack fresh from the
-    * embeddings table. Hoisted so the batch entry
-    * (`x_sim_bq_persisted`) and its live foreachBatch twin
-    * (`x_stream_bq_serve`) share the STRING verbatim — per-query
-    * results are batch-invariant, so the two can never drift.
+  /** Replay over a persisted BQ code table: member signatures from the
+    * parquet the build/maintenance wrote (the one artifact the serve
+    * reads — no model exists); query vectors pack fresh from the
+    * embeddings table; the exact re-rank joins candidate vectors from
+    * `rerankTable` (the POST-TAIL snapshot for the CDC-sync entry) and
+    * query vectors from the original embeddings, mirroring the serve's
+    * (corpus, queries) split.
     */
-  lazy val bqPersistedReplay: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  def bqPersistedReplaySql(idxDir: String, rerankCte: String = "",
+                           rerankTable: String = "embeddings"): String =
+    s"""WITH $rerankCte
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |q AS (SELECT vec_id AS qid,
        |       [CAST(list_sum([CASE WHEN v[(w - 1) * 32 + b] > 0
        |                       THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END
@@ -824,7 +826,7 @@ private[queries] object CatalogHelpers {
        |        for w in generate_series(1, 2)] AS qs
        |      FROM e WHERE vec_id < 5),
        |codes AS (SELECT id, sig
-       |          FROM read_parquet('@@ANNDIR|$bqIdxDir|codes@@/*.parquet')),
+       |          FROM read_parquet('@@ANNDIR|$idxDir|codes@@/*.parquet')),
        |ham AS (SELECT q.qid, c.id,
        |          CAST(list_sum([bit_count(xor(c.sig[i], q.qs[i]))
        |                         for i in generate_series(1, 2)]) AS BIGINT) AS hd
@@ -837,13 +839,93 @@ private[queries] object CatalogHelpers {
        |exact AS (SELECT sh.qid, sh.id,
        |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
        |          FROM short sh
-       |          JOIN embeddings ec ON ec.vec_id = sh.id
+       |          JOIN $rerankTable ec ON ec.vec_id = sh.id
        |          JOIN embeddings eq ON eq.vec_id = sh.qid)
        |SELECT qid, id, rank FROM (
        |  SELECT qid, id,
        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
        |  FROM exact) WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
+
+  /** The batch persisted-BQ serve replay, shared VERBATIM by
+    * `x_sim_bq_persisted` and its live foreachBatch twin
+    * `x_stream_bq_serve` (batch-invariant per-query results — the
+    * shared-oracle convention, so the two can never drift).
+    */
+  lazy val bqPersistedReplay: String = bqPersistedReplaySql(bqIdxDir)
+
+  /** Replay over a persisted composed IVF-BQ artifact: centroids and
+    * the cid-partitioned signatures come from the parquet on disk (cid
+    * from the hive partition, CAST BIGINT both sides); probe selection,
+    * probe-restricted hamming, shortlist, exact re-rank are the
+    * x_sim_ivfbq arithmetic; `rerankCte`/`rerankTable` as in
+    * [[bqPersistedReplaySql]].
+    */
+  def ivfbqPersistedReplaySql(idxDir: String, rerankCte: String = "",
+                              rerankTable: String = "embeddings"): String =
+    s"""WITH $rerankCte
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
+       |          FROM read_parquet('$idxDir/centroids/*.parquet')),
+       |codes AS (SELECT CAST(cid AS BIGINT) AS cid, id, sig
+       |          FROM read_parquet('@@ANNDIR|$idxDir|codes@@/*/*.parquet',
+       |                            hive_partitioning = true)),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+       |                      c.cid) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= 4),
+       |qs AS (SELECT vec_id AS qid,
+       |       [CAST(list_sum([CASE WHEN v[(w - 1) * 32 + b] > 0
+       |                       THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END
+       |                       for b in generate_series(1, 32)]) AS BIGINT)
+       |        for w in generate_series(1, 2)] AS qsig
+       |      FROM e WHERE vec_id < 5),
+       |ham AS (SELECT p.qid, c.id,
+       |          CAST(list_sum([bit_count(xor(c.sig[i], k.qsig[i]))
+       |                         for i in generate_series(1, 2)]) AS BIGINT) AS hd
+       |        FROM probe p
+       |        JOIN codes c ON c.cid = p.cid
+       |        JOIN qs k ON k.qid = p.qid
+       |        WHERE c.id <> p.qid),
+       |short AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS rk
+       |    FROM ham) WHERE rk <= 40),
+       |exact AS (SELECT sh.qid, sh.id,
+       |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+       |          FROM short sh
+       |          JOIN $rerankTable ec ON ec.vec_id = sh.id
+       |          JOIN embeddings eq ON eq.vec_id = sh.qid)
+       |SELECT qid, id, rank FROM (
+       |  SELECT qid, id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+       |  FROM exact) WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  val bqSyncIdxDir = "/tmp/graft_bq_idx_cdcsync"
+  val ivfbqSyncIdxDir = "/tmp/graft_ivfbq_idx_cdcsync"
+
+  /** The POST-TAIL snapshot CTE the BQ sync replays re-rank against —
+    * the same update/delete/revive tail shape as x_cdc_pq_sync, with
+    * the updated float vectors rebuilt by identical IEEE arithmetic
+    * (x promoted to DOUBLE, the exact-in-binary delta added, the sum
+    * rounded back to FLOAT). CASE order encodes the LWW fold: revive
+    * (seq 4) over delete (seq 3) over update (seq 2).
+    */
+  val bqSyncPostCte: String =
+    """post AS (SELECT vec_id,
+      |    CASE WHEN vec_id % 22 = 3
+      |           THEN [CAST(CAST(x AS DOUBLE) - 0.25 AS FLOAT) for x in embedding]
+      |         WHEN vec_id % 7 = 0
+      |           THEN [CAST(CAST(x AS DOUBLE) + 0.125 AS FLOAT) for x in embedding]
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings
+      |  WHERE NOT (vec_id % 11 = 3 AND vec_id % 22 <> 3)),""".stripMargin
 
   /** Stage the signature-registry LIFECYCLE fixture: base registry
     * (corpus slices 1–2) overwritten, slices 3–4 APPENDED as new files

@@ -444,54 +444,29 @@ private[queries] object ExtensionOraclesB {
         // replay: per-query results are batch-invariant
         bqPersistedReplay,
 
+      "x_cdc_bq_sync" ->
+        // the synced scan-floor index ends folded (sidecar cleared), so
+        // the replay reads the final on-disk signatures alone; exact
+        // re-rank against the POST-TAIL corpus (rebuilt IEEE floats)
+        bqPersistedReplaySql(bqSyncIdxDir,
+          rerankCte = bqSyncPostCte, rerankTable = "post"),
+
       "x_sim_ivfbq_persisted" ->
         // Replay over the persisted composed artifact: centroids and the
         // cid-partitioned signatures come from the parquet on disk
         // (cid from the hive partition, CAST BIGINT both sides); probe
         // selection, probe-restricted hamming, shortlist, and exact
-        // re-rank are the x_sim_ivfbq arithmetic.
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-           |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
-           |          FROM read_parquet('$ivfbqIdxDir/centroids/*.parquet')),
-           |codes AS (SELECT CAST(cid AS BIGINT) AS cid, id, sig
-           |          FROM read_parquet('@@ANNDIR|$ivfbqIdxDir|codes@@/*/*.parquet',
-           |                            hive_partitioning = true)),
-           |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-           |probe AS (
-           |  SELECT qid, cid FROM (
-           |    SELECT q.qid, c.cid,
-           |           row_number() OVER (PARTITION BY q.qid
-           |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
-           |                      c.cid) AS rn
-           |    FROM q CROSS JOIN cents c) WHERE rn <= 4),
-           |qs AS (SELECT vec_id AS qid,
-           |       [CAST(list_sum([CASE WHEN v[(w - 1) * 32 + b] > 0
-           |                       THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END
-           |                       for b in generate_series(1, 32)]) AS BIGINT)
-           |        for w in generate_series(1, 2)] AS qsig
-           |      FROM e WHERE vec_id < 5),
-           |ham AS (SELECT p.qid, c.id,
-           |          CAST(list_sum([bit_count(xor(c.sig[i], k.qsig[i]))
-           |                         for i in generate_series(1, 2)]) AS BIGINT) AS hd
-           |        FROM probe p
-           |        JOIN codes c ON c.cid = p.cid
-           |        JOIN qs k ON k.qid = p.qid
-           |        WHERE c.id <> p.qid),
-           |short AS (SELECT qid, id FROM (
-           |    SELECT qid, id,
-           |           row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS rk
-           |    FROM ham) WHERE rk <= 40),
-           |exact AS (SELECT sh.qid, sh.id,
-           |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
-           |          FROM short sh
-           |          JOIN embeddings ec ON ec.vec_id = sh.id
-           |          JOIN embeddings eq ON eq.vec_id = sh.qid)
-           |SELECT qid, id, rank FROM (
-           |  SELECT qid, id,
-           |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
-           |  FROM exact) WHERE rank <= 10
-           |ORDER BY qid, rank""".stripMargin,
+        // re-rank are the x_sim_ivfbq arithmetic (hoisted helper —
+        // shared with the CDC-sync replay).
+        ivfbqPersistedReplaySql(ivfbqIdxDir),
+
+      "x_cdc_ivfbq_sync" ->
+        // the synced composed index ends folded (sidecar cleared), so
+        // the replay reads the final on-disk signatures alone; the
+        // exact re-rank joins the POST-TAIL corpus (same rebuilt IEEE
+        // floats as x_cdc_pq_sync's replay)
+        ivfbqPersistedReplaySql(ivfbqSyncIdxDir,
+          rerankCte = bqSyncPostCte, rerankTable = "post"),
 
       "x_sim_pq" ->
         // Full product-quantization replay: codebooks (unit-normalized

@@ -1148,6 +1148,80 @@ private[queries] object ExtensionQueriesB {
         .orderBy("qid", "rank")
     }),
 
+    "x_cdc_bq_sync" -> ((s, dir) => { // oracle: hamming+rerank replay over the SYNCED codes
+      // THE SCAN-FLOOR MEMBER OF THE MAINTENANCE LOOP: the same CDC
+      // tail shape as x_cdc_pq_sync drives bqSyncFromLog — tombstone
+      // every touched key (O(tail) sidecar), file-targeted fold,
+      // re-pack the LWW-current versions (no model to retrain at all).
+      // The exact re-rank corpus is the POST-TAIL snapshot; the oracle
+      // replays hamming + re-rank over the final on-disk signatures,
+      // rebuilding the updated floats with identical IEEE arithmetic.
+      val emb = t(s, dir, "embeddings")
+      val vt = emb.schema("embedding").dataType
+      def tail = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x + 0.125 as float))")
+            .as("embedding"))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+        .unionByName(emb.filter(col("vec_id") % 11 === 3)
+          .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+          .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+        .unionByName(emb.filter(col("vec_id") % 22 === 3)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x - 0.25 as float))")
+              .as("embedding"))
+          .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+      val path = stageIndex(bqSyncIdxDir, dir) {
+        graft.operators.AnnIndex.bqBuild(emb, "vec_id", "embedding",
+          bqSyncIdxDir)
+        graft.operators.AnnIndex.bqSyncFromLog(s, bqSyncIdxDir, tail,
+          "vec_id", "seq", "op", "embedding")
+      }
+      val post = emb.select("vec_id", "embedding")
+        .join(tail.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .unionByName(Cdc.applyLog(tail, "vec_id", "seq", "op")
+          .select("vec_id", "embedding"))
+      graft.operators.AnnIndex.bqServe(s, path, post,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .orderBy("qid", "rank")
+    }),
+
+    "x_cdc_ivfbq_sync" -> ((s, dir) => { // oracle: probe-restricted replay over the SYNCED artifact
+      // The composed scan-floor maintenance loop: same tail, cell-
+      // targeted fold, re-assign + re-pack against the PERSISTED
+      // centroids. Oracle replays probe/hamming/re-rank over the final
+      // on-disk cid-partitioned signatures + the post-tail corpus.
+      val emb = t(s, dir, "embeddings")
+      val vt = emb.schema("embedding").dataType
+      def tail = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x + 0.125 as float))")
+            .as("embedding"))
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+        .unionByName(emb.filter(col("vec_id") % 11 === 3)
+          .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+          .withColumn("seq", lit(3L)).withColumn("op", lit("D")))
+        .unionByName(emb.filter(col("vec_id") % 22 === 3)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x - 0.25 as float))")
+              .as("embedding"))
+          .withColumn("seq", lit(4L)).withColumn("op", lit("I")))
+      val path = stageIndex(ivfbqSyncIdxDir, dir) {
+        graft.operators.AnnIndex.ivfbqBuild(emb, "vec_id", "embedding",
+          ivfbqSyncIdxDir, nlist = 16)
+        graft.operators.AnnIndex.ivfbqSyncFromLog(s, ivfbqSyncIdxDir, tail,
+          "vec_id", "seq", "op", "embedding")
+      }
+      val post = emb.select("vec_id", "embedding")
+        .join(tail.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .unionByName(Cdc.applyLog(tail, "vec_id", "seq", "op")
+          .select("vec_id", "embedding"))
+      graft.operators.AnnIndex.ivfbqServe(s, path, post,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+          nprobe = 4)
+        .orderBy("qid", "rank")
+    }),
+
     "x_ann_autotune_ivfpq" -> ((s, dir) => { // oracle: full sweep+recall replay over the composed artifact
       // tuneIvf's composed sibling: ONE ADC pass at max(nprobe) with
       // probe ranks riding along prices the whole sweep (each sweep

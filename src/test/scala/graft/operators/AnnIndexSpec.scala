@@ -1033,6 +1033,51 @@ class AnnIndexSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 10, nprobe = 8)) == afterDel)
   }
 
+  test("BQ sync: synced flat and composed indexes serve the post-tail snapshot") {
+    val vt = emb.schema("embedding").dataType
+    val upd = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x + 0.125 as float))")
+          .as("embedding"))
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val del = emb.filter(col("vec_id") % 11 === 3)
+      .select(col("vec_id"), lit(null).cast(vt).as("embedding"))
+      .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
+    val tail = upd.unionByName(del)
+    val post = emb.select("vec_id", "embedding")
+      .join(tail.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .unionByName(Cdc.applyLog(tail, "vec_id", "seq", "op")
+        .select("vec_id", "embedding"))
+    // flat: synced codes must serve exactly a fresh build of the
+    // post-tail snapshot (sign packing has no model identity)
+    val pathFlat = "/tmp/graft_test_bq_idx_sync"
+    AnnIndex.bqBuild(emb, "vec_id", "embedding", pathFlat)
+    AnnIndex.bqSyncFromLog(spark, pathFlat, tail, "vec_id", "seq", "op",
+      "embedding")
+    val syncedFlat = rows(AnnIndex.bqServe(spark, pathFlat, post, queries,
+      "vec_id", "embedding", k = 10))
+    val refFlat = "/tmp/graft_test_bq_idx_sync_ref"
+    AnnIndex.bqBuild(post, "vec_id", "embedding", refFlat)
+    assert(syncedFlat.nonEmpty && syncedFlat ==
+      rows(AnnIndex.bqServe(spark, refFlat, post, queries,
+        "vec_id", "embedding", k = 10)),
+      "flat BQ sync diverged from the post-tail rebuild")
+    assert(!syncedFlat.map(_._2).exists(_ % 11 == 3),
+      "a tombstoned member survived the flat BQ sync")
+    // composed: full probe over the synced artifact equals the flat
+    // scan of the post-tail snapshot (layout-free equality)
+    val pathC = "/tmp/graft_test_ivfbq_idx_sync"
+    AnnIndex.ivfbqBuild(emb, "vec_id", "embedding", pathC, nlist = 8)
+    AnnIndex.ivfbqSyncFromLog(spark, pathC, tail, "vec_id", "seq", "op",
+      "embedding")
+    val syncedC = rows(AnnIndex.ivfbqServe(spark, pathC, post, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8))
+    val flatPost = rows(Similarity.bqTopK(post, queries,
+      "vec_id", "embedding", k = 10))
+    assert(syncedC.nonEmpty && syncedC == flatPost,
+      "composed BQ sync diverged from the flat post-tail scan")
+  }
+
   test("streaming maxsim serve equals the batch maxsim row for row") {
     val toks = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0) as double))")
