@@ -42,7 +42,7 @@ object Bench {
     "x_sim_ivf_deleted", "x_sim_pq_persisted", "x_sim_ivfpq_persisted",
     "x_sim_bq_persisted", "x_sim_ivfbq_persisted",
     "x_cdc_ivfpq_sync", "x_ann_autotune", "x_ann_autotune_ivfpq",
-    "x_ann_autotune_residual",
+    "x_ann_autotune_residual", "x_ann_autotune_ivfbq",
     "x_retrieval_maxsim_pruned", "x_hybrid_retrieval",
     // embeddings analytics
     "x_emb_pca", "x_emb_kcenter", "x_emb_pool",

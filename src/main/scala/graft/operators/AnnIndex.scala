@@ -804,17 +804,7 @@ object AnnIndex {
       .select(col(idCol)).distinct().count()
     scored.unpersist()
     truth.unpersist()
-    val report = cand.map { p =>
-      val h = hits.getOrElse(p, 0L)
-      val rec = if (possible == 0L) 0L else h * 10000L / possible
-      (p, nQueries, h, possible, rec)
-    }
-    val pick = report.find(_._5 >= targetRecallPctx100).map(_._1)
-      .getOrElse(cand.max)
-    report.map(r => (r._1, r._2, r._3, r._4, r._5,
-        if (r._1 == pick) 1 else 0))
-      .toDF("nprobe", "n_queries", "hits", "possible", "recall_pctx100",
-        "chosen")
+    tuneReport(spark, cand, hits, possible, nQueries, targetRecallPctx100)
   }
 
   /** The persisted centroid table, collected driver-side (nlist rows). */
@@ -1655,6 +1645,20 @@ object AnnIndex {
       .select(col(idCol)).distinct().count()
     scored.unpersist()
     truth.unpersist()
+    tuneReport(spark, cand, hits, possible, nQueries, targetRecallPctx100)
+  }
+
+  /** The shared sweep-report assembly of the tune family (tuneIvf /
+    * tuneIvfPq / tuneIvfBq): one row per candidate, recall in pct×100,
+    * `chosen` on the smallest candidate meeting the target (largest as
+    * the explicit best-effort fallback) — report semantics live in one
+    * place so the three tuners can never drift.
+    */
+  private def tuneReport(spark: SparkSession, cand: Seq[Int],
+                         hits: Map[Int, Long], possible: Long,
+                         nQueries: Long,
+                         targetRecallPctx100: Long): DataFrame = {
+    import spark.implicits._
     val report = cand.map { p =>
       val h = hits.getOrElse(p, 0L)
       val rec = if (possible == 0L) 0L else h * 10000L / possible
@@ -1666,6 +1670,60 @@ object AnnIndex {
         if (r._1 == pick) 1 else 0))
       .toDF("nprobe", "n_queries", "hits", "possible", "recall_pctx100",
         "chosen")
+  }
+
+  /** Autotune the composed scan floor's serving knob — [[tuneIvfPq]]'s
+    * BQ sibling: sweep `nprobe`, recall@k against the exact brute-force
+    * truth over the serving membership's true vectors. Cost shape: ONE
+    * Hamming pass at max(nprobe) with probe ranks riding along
+    * ([[Similarity.ivfbqHammingRanked]]) prices the whole sweep — each
+    * sweep point re-shortlists + re-ranks the same persisted frame —
+    * plus the standard |sample|·|members| truth pass.
+    */
+  def tuneIvfBq(spark: SparkSession, path: String, corpus: DataFrame,
+                queries: DataFrame, idCol: String, vecCol: String, k: Int,
+                nprobes: Seq[Int], rerank: Int = 4,
+                targetRecallPctx100: Long = 9500L): DataFrame = {
+    require(nprobes.nonEmpty, "tuneIvfBq: nprobes must be non-empty")
+    val cand = nprobes.distinct.sorted
+    val cents = loadIvfCentroids(spark, path)
+    val probes = Similarity.probeCellsRanked(queries, idCol, vecCol,
+      cents, cand.max)
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // sidecar BEFORE pointer (see minusTombstonesPre)
+    val tombs = loadTombstones(spark, path)
+    val codesDir = resolveDir(spark, path, "codes")
+    val sigs = minusTombstonesPre(tombs,
+      readProbedPartitions(spark, codesDir, probedCids.toSeq)
+        .withColumn("cid", col("cid").cast("long"))
+        .filter(col("cid").isInCollection(probedCids)))
+    val scored = Similarity.ivfbqHammingRanked(sigs, probes, queries,
+      idCol, vecCol).persist()
+    val serving = minusTombstonesPre(tombs,
+        spark.read.parquet(codesDir))
+      .select(col("id").as(idCol)).distinct()
+    val truth = Similarity.bruteForceTopK(
+        corpus.join(serving, Seq(idCol)), queries, idCol, vecCol, k)
+      .select(col("qid"), col("id")).withColumn("__in", lit(1))
+      .persist()
+    val perP = cand.map { p =>
+      Similarity.hammingShortlistRerank(
+          scored.filter(col("probe_rank") <= p)
+            .select("qid", "id", "ham"),
+          corpus, queries, idCol, vecCol, k, rerank)
+        .withColumn("nprobe", lit(p))
+    }.reduce(_.unionByName(_))
+    val hits = perP.join(truth, Seq("qid", "id"), "left")
+      .groupBy("nprobe")
+      .agg(sum(coalesce(col("__in"), lit(0))).cast("long").as("hits"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val possible = truth.count()
+    val nQueries = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol)).distinct().count()
+    scored.unpersist()
+    truth.unpersist()
+    tuneReport(spark, cand, hits, possible, nQueries, targetRecallPctx100)
   }
 
   /** IVF-PQ health report — the composed sibling of [[describeIvf]] and

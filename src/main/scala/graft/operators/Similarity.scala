@@ -1058,14 +1058,38 @@ object Similarity {
     hammingShortlistRerank(scored, corpus, queries, idCol, vecCol, k, rerank)
   }
 
+  /** The sweep-priceable form of the composed BQ Hamming pass: probe
+    * RANKS ride along (each id lives in exactly one cell, so its rank
+    * per query is unique) — a candidate scored via the cell at probe
+    * rank r is exactly what an `nprobe ≥ r` serve sees, so ONE pass at
+    * max(nprobe) prices an entire [[AnnIndex.tuneIvfBq]] sweep.
+    * `probesRanked` is [[probeCellsRanked]]'s output. Output:
+    * (qid, id, probe_rank, ham).
+    */
+  private[graft] def ivfbqHammingRanked(memberSigs: DataFrame,
+      probesRanked: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val nWRow = memberSigs.select(size(col("sig"))).limit(1).collect()
+    require(nWRow.nonEmpty, "ivfbqHammingRanked: empty signature table")
+    val nW = nWRow.head.getInt(0)
+    val qsig = bqEncodeDim(queries, idCol, vecCol, nW * 32)
+      .select(col("id").as("qid"), col("sig").as("qsig"))
+    val plan = probesRanked.select("qid", "cid", "probe_rank")
+      .join(qsig, Seq("qid"))
+    memberSigs.join(broadcast(plan), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("probe_rank"),
+        bqHammingExpr(nW).as("ham"))
+  }
+
   /** Shared tail of the BQ family: shortlist the `rerank·k`
     * smallest-Hamming candidates per query (id tiebreak), exact cosine
     * re-rank against the true vectors.
     */
-  private def hammingShortlistRerank(scored: DataFrame, corpus: DataFrame,
-                                     queries: DataFrame, idCol: String,
-                                     vecCol: String, k: Int,
-                                     rerank: Int): DataFrame = {
+  private[graft] def hammingShortlistRerank(scored: DataFrame, corpus: DataFrame,
+                                            queries: DataFrame, idCol: String,
+                                            vecCol: String, k: Int,
+                                            rerank: Int): DataFrame = {
     val wHam = Window.partitionBy("qid").orderBy(col("ham").asc, col("id"))
     val shortlist = scored.withColumn("rk", row_number().over(wHam))
       .filter(col("rk") <= k * rerank)

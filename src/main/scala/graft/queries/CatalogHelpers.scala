@@ -1517,6 +1517,92 @@ private[queries] object CatalogHelpers {
     * `u(q)·u(c)` and the ADC score becomes `qc + Σ lut lookups`,
     * parenthesized to Spark's add tree.
     */
+  /** Sweep+recall replay over a persisted composed-BQ artifact — the
+    * scan-floor sibling of [[ivfpqAutotuneReplay]]: probe ranks ride
+    * the ONE Hamming pass (rn ≤ max nprobe), each sweep point
+    * re-shortlists (ascending Hamming, id tiebreak) + exact-re-ranks,
+    * truth is the exact brute force over the serving membership on the
+    * md5-sampled query set, recall in pct×100 with the
+    * smallest-meeting-target pick (largest as fallback).
+    */
+  def ivfbqAutotuneReplay(idxDir: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cvec AS cv, cnorm AS cn
+       |          FROM read_parquet('$idxDir/centroids/*.parquet')),
+       |codes AS (SELECT CAST(cid AS BIGINT) AS cid, id, sig
+       |          FROM read_parquet('@@ANNDIR|$idxDir|codes@@/*/*.parquet',
+       |                            hive_partitioning = true)),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+       |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+       |            % $annTuneSampleMod = 7),
+       |qs AS (SELECT nq.vec_id AS qid,
+       |       [CAST(list_sum([CASE WHEN nq.v[(w - 1) * 32 + b] > 0
+       |                       THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END
+       |                       for b in generate_series(1, 32)]) AS BIGINT)
+       |        for w in generate_series(1, 2)] AS qsig
+       |      FROM e nq JOIN q ON q.qid = nq.vec_id),
+       |probe AS (SELECT qid, cid, rn AS probe_rank FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC,
+       |                      c.cid) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= 8),
+       |ham0 AS (SELECT p.qid, co.id, p.probe_rank,
+       |          CAST(list_sum([bit_count(xor(co.sig[i], k.qsig[i]))
+       |                         for i in generate_series(1, 2)]) AS BIGINT) AS hd
+       |        FROM codes co
+       |        JOIN probe p ON p.cid = co.cid
+       |        JOIN qs k ON k.qid = p.qid
+       |        WHERE co.id <> p.qid),
+       |ps AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+       |short AS (SELECT nprobe, qid, id FROM (
+       |    SELECT ps.nprobe, h.qid, h.id,
+       |           row_number() OVER (PARTITION BY ps.nprobe, h.qid
+       |             ORDER BY h.hd, h.id) AS rk
+       |    FROM ps JOIN ham0 h ON h.probe_rank <= ps.nprobe)
+       |  WHERE rk <= 40),
+       |exact AS (SELECT sh.nprobe, sh.qid, sh.id,
+       |            list_cosine_similarity(ec.embedding, eq.embedding) AS cos
+       |          FROM short sh
+       |          JOIN embeddings ec ON ec.vec_id = sh.id
+       |          JOIN embeddings eq ON eq.vec_id = sh.qid),
+       |perp AS (SELECT nprobe, qid, id FROM (
+       |    SELECT nprobe, qid, id,
+       |           row_number() OVER (PARTITION BY nprobe, qid
+       |             ORDER BY cos DESC, id) AS rank
+       |    FROM exact) WHERE rank <= 10),
+       |serving AS (SELECT DISTINCT id FROM codes),
+       |tc AS (SELECT n.vec_id, n.v, n.nrm FROM n
+       |       JOIN serving sv ON sv.id = n.vec_id),
+       |truth AS (SELECT qid, id FROM (
+       |    SELECT q.qid, m.vec_id AS id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(m.v, q.qv) / (m.nrm * q.qn) DESC,
+       |                      m.vec_id) AS rk
+       |    FROM q CROSS JOIN tc m WHERE m.vec_id <> q.qid) WHERE rk <= 10),
+       |hit AS (SELECT p.nprobe, count(*) AS hits
+       |        FROM perp p JOIN truth t ON t.qid = p.qid AND t.id = p.id
+       |        GROUP BY p.nprobe),
+       |base AS (SELECT (SELECT count(*) FROM truth) AS possible,
+       |                (SELECT count(DISTINCT qid) FROM q) AS n_queries),
+       |rep AS (SELECT ps.nprobe,
+       |               CAST(b.n_queries AS BIGINT) AS n_queries,
+       |               CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |               CAST(b.possible AS BIGINT) AS possible,
+       |               CAST(coalesce(h.hits, 0) * 10000 // b.possible AS BIGINT)
+       |                 AS recall_pctx100
+       |        FROM ps CROSS JOIN base b
+       |        LEFT JOIN hit h ON h.nprobe = ps.nprobe),
+       |pick AS (SELECT coalesce(
+       |    min(nprobe) FILTER (WHERE recall_pctx100 >= 9500),
+       |    (SELECT max(nprobe) FROM ps)) AS pn FROM rep)
+       |SELECT CAST(r.nprobe AS INTEGER) AS nprobe, r.n_queries, r.hits,
+       |       r.possible, r.recall_pctx100,
+       |       CAST(CASE WHEN r.nprobe = (SELECT pn FROM pick)
+       |            THEN 1 ELSE 0 END AS INTEGER) AS chosen
+       |FROM rep r ORDER BY r.nprobe""".stripMargin
+
   def ivfpqAutotuneReplay(idxDir: String,
                           residual: Boolean = false): String = {
     val qcSel = if (residual)

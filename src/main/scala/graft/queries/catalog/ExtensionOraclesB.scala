@@ -707,6 +707,12 @@ private[queries] object ExtensionOraclesB {
            |            THEN 1 ELSE 0 END AS INTEGER) AS chosen
            |FROM rep r ORDER BY r.nprobe""".stripMargin,
 
+      "x_ann_autotune_ivfbq" ->
+        // the scan-floor sweep replay: probe ranks ride the one hamming
+        // pass, per-point shortlist + exact re-rank, brute-force truth
+        // over the serving membership, integer recall + pick
+        ivfbqAutotuneReplay(ivfbqIdxDir),
+
       "x_cdc_pq_sync" ->
         // the synced PQ index ends folded (sidecar cleared), so the
         // plain replay reads the final on-disk codes alone; the exact

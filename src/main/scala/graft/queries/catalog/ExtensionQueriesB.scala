@@ -1243,6 +1243,26 @@ private[queries] object ExtensionQueriesB {
         .orderBy("nprobe")
     }),
 
+    "x_ann_autotune_ivfbq" -> ((s, dir) => { // oracle: ranked-hamming sweep+recall replay
+      // tuneIvfPq's scan-floor sibling: ONE Hamming pass at max(nprobe)
+      // with probe ranks riding along prices the whole sweep (each
+      // sweep point re-shortlists + re-ranks the same frame); truth is
+      // the exact brute force over the serving membership on the
+      // md5-sampled query set (the annTuneSampleMod convention). The
+      // measurement loop that picks the latency/recall knob for the
+      // cheapest index in the family.
+      val emb = t(s, dir, "embeddings")
+      val path = stageIndex(ivfbqIdxDir, dir)(
+        graft.operators.AnnIndex.ivfbqBuild(emb, "vec_id", "embedding",
+          ivfbqIdxDir, nlist = 16))
+      val sampleQ = emb.filter(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % annTuneSampleMod === 7)
+      graft.operators.AnnIndex.tuneIvfBq(s, path, emb, sampleQ,
+          "vec_id", "embedding", 10, Seq(1, 2, 4, 8))
+        .orderBy("nprobe")
+    }),
+
     "x_cdc_ivfpq_sync" -> ((s, dir) => { // oracle: probe-restricted ADC replay over the SYNCED artifact
       // THE COMPOSED MEMBER OF THE MAINTENANCE LOOP: the same CDC tail
       // shape as x_cdc_index_sync / x_cdc_pq_sync drives

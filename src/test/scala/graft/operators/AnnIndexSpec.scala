@@ -1033,6 +1033,32 @@ class AnnIndexSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 10, nprobe = 8)) == afterDel)
   }
 
+  test("tuneIvfBq: recall monotone in nprobe, full probe equals flat-BQ recall, one knob chosen") {
+    val path = "/tmp/graft_test_ivfbq_idx_tune"
+    AnnIndex.ivfbqBuild(emb, "vec_id", "embedding", path, nlist = 8)
+    val sample = emb.filter(col("vec_id") % 10 === 7)
+    val rep = AnnIndex.tuneIvfBq(spark, path, emb, sample,
+        "vec_id", "embedding", 10, Seq(1, 2, 4, 8))
+      .collect().sortBy(_.getInt(0))
+    assert(rep.length == 4, "one report row per candidate")
+    assert(rep.map(_.getInt(5)).sum == 1, "exactly one chosen knob")
+    val recalls = rep.map(_.getLong(4))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${recalls.toSeq}")
+    // nprobe = nlist probes every cell → the candidate set is total, so
+    // the sweep's last point must equal the FLAT BQ scan's recall
+    // against the same truth (quantization, not probing, is the loss)
+    val truth = Similarity.bruteForceTopK(emb, sample,
+        "vec_id", "embedding", 10)
+      .select(col("qid"), col("id"))
+    val possible = truth.count()
+    val flatHits = Similarity.bqTopK(emb, sample, "vec_id", "embedding", 10)
+      .select(col("qid"), col("id")).intersect(truth).count()
+    assert(recalls.last == flatHits * 10000L / possible,
+      s"full-probe recall ${recalls.last} != flat-BQ recall " +
+        s"${flatHits * 10000L / possible}")
+  }
+
   test("BQ sync: synced flat and composed indexes serve the post-tail snapshot") {
     val vt = emb.schema("embedding").dataType
     val upd = emb.filter(col("vec_id") % 7 === 0)
