@@ -473,28 +473,57 @@ object Multimodal {
               .bitwiseAND(lit(255L)).as("bv"))): _*)).as("e"))
       .select(col("id"), col("ahash"), col("e.band"), col("e.bv"))
 
+  /** (id, ahash, band, bv): the C(8,2) = 28 byte-band PAIRS of each
+    * 64-bit hash — band = i·8+j, bv = bv_i·256+bv_j, a 16-bit bucket
+    * value space. Pigeonhole-EXACT for hamming ≤ 6: each flipped bit
+    * dirties exactly one byte-band, so 6 flips leave ≥ 2 of the 8 bands
+    * clean and that pair's key matches. The single-band key (256 values
+    * per band) SATURATES at corpus scale — by pigeonhole every bucket
+    * holds ≥ n/256 ids, so candidates grow Ω(n²/2048) no matter how the
+    * corpus is distributed (measured: 100 s for 100 k signatures, with
+    * the 1000-cap silently dropping most buckets at the next decade);
+    * the 65 536-value pair key holds the same exactness bound to ~10⁸
+    * signatures.
+    */
+  private[graft] def pairBandRows(hashes: DataFrame): DataFrame = {
+    val combos = for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
+    hashes.select(col("id"), col("ahash"),
+        explode(array(combos.map { case (i, j) =>
+          struct(lit(i * 8 + j).as("band"),
+            (shiftrightunsigned(col("ahash"), i * 8)
+               .bitwiseAND(lit(255L)) * lit(256L) +
+             shiftrightunsigned(col("ahash"), j * 8)
+               .bitwiseAND(lit(255L))).as("bv"))
+        }: _*)).as("e"))
+      .select(col("id"), col("ahash"), col("e.band"), col("e.bv"))
+  }
+
   /** Near-duplicate frame pairs by perceptual hash: pairs whose aHash
     * Hamming distance is ≤ `maxHamming` (default 6 — the conventional
-    * aHash near-dup band). Candidates come from an 8×8-bit BAND join
-    * (ids sharing any of the 8 byte-bands of the hash), so recall is
-    * EXACT for any `maxHamming ≤ 7`: 7 differing bits cannot cover all
-    * 8 bands, hence every qualifying pair shares at least one band —
-    * pigeonhole, the same banding logic as minhash LSH but lossless at
-    * this threshold.
+    * aHash near-dup band). Candidates come from a BAND-PAIR join
+    * ([[pairBandRows]]: ids sharing any of the 28 byte-band pairs), so
+    * recall is EXACT for `maxHamming ≤ 6` — ≤ 6 flipped bits dirty at
+    * most 6 of the 8 byte-bands, leaving a clean PAIR — while the
+    * 16-bit bucket key keeps candidate generation linear where 8-bit
+    * single-band buckets saturate (see [[pairBandRows]]). `maxHamming
+    * = 7` needs only one clean band and falls back to the single-band
+    * key, accepting its saturation (callers at that threshold are
+    * bounded fixtures).
     *
-    * Scale shape: the join shuffles (band, byte, id, hash) rows — 8
-    * compact rows per FRAME, never pixels; in-band candidate pairs are
-    * verified with one `bit_count(xor)` projection. `hashes` must carry
-    * ONE row per id (select a frame upstream — pairs are per-id, and a
-    * multi-frame id would alias its pairs). Degenerate bands
-    * (constant-color corpora collapse a byte-band) are capped like every
+    * Scale shape: the join shuffles (band, bucket, id, hash) rows — 28
+    * compact rows per FRAME, never pixels; in-bucket candidate pairs
+    * are verified with one `bit_count(xor)` projection. `hashes` must
+    * carry ONE row per id (select a frame upstream — pairs are per-id,
+    * and a multi-frame id would alias its pairs). Degenerate buckets
+    * (constant-color corpora collapse a band) are capped like every
     * other bucket miner: pass `maxBandSize` to drop saturated buckets.
     */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
                         maxBandSize: Option[Int] = Some(1000)): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7] (8-band recall bound), got $maxHamming")
-    val bands = bandRows(hashes)
+    val bands = if (maxHamming <= 6) pairBandRows(hashes)
+                else bandRows(hashes)
     val ok = bands.groupBy("band", "bv").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2 &&
         col("n") <= lit(maxBandSize.getOrElse(Int.MaxValue)))

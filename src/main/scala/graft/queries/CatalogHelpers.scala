@@ -1076,7 +1076,13 @@ private[queries] object CatalogHelpers {
           Multimodal.withBmpPayload(doubled, "doc_id", "text"), "doc_id")
         .filter(col("frame_no") === 0)
         .select(col("id"), col("ahash"))
-      graft.core.ParquetStage.stageSingleFile(hashes, imgHashStageDir, "hashes")
+      // repartition = a shuffle BARRIER between the decode projection and
+      // the single-file write: stageSingleFile's coalesce(1) propagates
+      // upstream through narrow deps, which would run the whole BMP
+      // decode in ONE task (measured 55 s vs 3.6 s at sf1). The shuffle
+      // moves only (id, ahash) — 16 bytes/row — so the barrier is free.
+      graft.core.ParquetStage.stageSingleFile(hashes.repartition(
+        s.sessionState.conf.numShufflePartitions), imgHashStageDir, "hashes")
     }
     s"$imgHashStageDir/hashes.parquet"
   }
@@ -1110,7 +1116,11 @@ private[queries] object CatalogHelpers {
         docs.withColumn("doc_id", col("doc_id") + lit(100000L)))
       val prints = Multimodal.audioFingerprints(
         Multimodal.withWavPayload(doubled, "doc_id", "text"), "doc_id")
-      graft.core.ParquetStage.stageSingleFile(prints, audioPrintStageDir,
+      // same decode/write barrier as stageImageHashes: without it the
+      // coalesce(1) runs the WAV encode+fingerprint single-threaded
+      // (measured 76 s vs a parallel handful at sf1)
+      graft.core.ParquetStage.stageSingleFile(prints.repartition(
+        s.sessionState.conf.numShufflePartitions), audioPrintStageDir,
         "prints")
     }
     s"$audioPrintStageDir/prints.parquet"

@@ -19,6 +19,27 @@ import graft.streaming.EventStreams
 private[queries] object ExtensionOraclesB {
   import CatalogHelpers._
 
+  /** DuckDB replay of [[graft.operators.Multimodal.pairBandRows]] —
+    * the C(8,2)=28 byte-band-PAIR hamming-LSH bucketing (band = i·8+j,
+    * bv = bv_i·256+bv_j, pigeonhole-exact recall at hamming ≤ 6).
+    * Expects an `h(id, ahash)` CTE upstream; yields `bands`/`ok`/`cap`.
+    * `cap = None` replays the uncapped (recall-eval) form.
+    */
+  private def pairBandCtes(cap: Option[Int] = Some(1000)): String = {
+    val capSql = cap.map(c => s" AND count(*) <= $c").getOrElse("")
+    s"""bands AS (SELECT id, ahash, p.band,
+       |            ((ahash >> (p.i * 8)) & 255) * 256 +
+       |            ((ahash >> (p.j * 8)) & 255) AS bv
+       |          FROM h CROSS JOIN (
+       |            SELECT a.i AS i, b.j AS j, a.i * 8 + b.j AS band
+       |            FROM (SELECT unnest(range(0, 8)) AS i) a,
+       |                 (SELECT unnest(range(0, 8)) AS j) b
+       |            WHERE a.i < b.j) p),
+       |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+       |       HAVING count(*) >= 2$capSql),
+       |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv))""".stripMargin
+  }
+
   val entries: Map[String, String] = Map(
 
       "x_layout_prunestats" ->
@@ -918,11 +939,7 @@ private[queries] object ExtensionOraclesB {
         // staged audio fingerprints — the miner is modality-agnostic
         s"""WITH h AS (SELECT id, afp AS ahash
            |  FROM read_parquet('$audioPrintStageDir/prints.parquet')),
-           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
-           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
-           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
-           |       HAVING count(*) >= 2 AND count(*) <= 1000),
-           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |${pairBandCtes()},
            |pairs AS (SELECT DISTINCT c1.id AS a, c2.id AS b,
            |            c1.ahash AS ha, c2.ahash AS hb
            |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
@@ -939,11 +956,7 @@ private[queries] object ExtensionOraclesB {
         // all 64-bit integer arithmetic both engines compute identically.
         s"""WITH h AS (SELECT id, ahash
            |  FROM read_parquet('$imgHashStageDir/hashes.parquet')),
-           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
-           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
-           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
-           |       HAVING count(*) >= 2 AND count(*) <= 1000),
-           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |${pairBandCtes()},
            |pairs AS (SELECT DISTINCT c1.id AS a, c2.id AS b,
            |            c1.ahash AS ha, c2.ahash AS hb
            |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
@@ -959,11 +972,7 @@ private[queries] object ExtensionOraclesB {
         // checksum (the x_export_manifest convention)
         s"""WITH RECURSIVE h AS (SELECT id, ahash
            |  FROM read_parquet('$imgHashStageDir/hashes.parquet')),
-           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
-           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
-           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
-           |       HAVING count(*) >= 2 AND count(*) <= 1000),
-           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |${pairBandCtes()},
            |pairs AS (SELECT DISTINCT c1.id AS a, c2.id AS b,
            |            c1.ahash AS ha, c2.ahash AS hb
            |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
@@ -1001,11 +1010,7 @@ private[queries] object ExtensionOraclesB {
            |truth AS (SELECT h1.id AS a, h2.id AS b
            |          FROM h h1 JOIN h h2 ON h1.id < h2.id
            |          WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 6),
-           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
-           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
-           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
-           |       HAVING count(*) >= 2),
-           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |${pairBandCtes(cap = None)},
            |found AS (SELECT DISTINCT c1.id AS a, c2.id AS b
            |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
            |            AND c1.bv = c2.bv AND c1.id < c2.id
@@ -1033,11 +1038,7 @@ private[queries] object ExtensionOraclesB {
            |truth AS (SELECT h1.id AS a, h2.id AS b
            |          FROM hs h1 JOIN hs h2 ON h1.id < h2.id
            |          WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 6),
-           |bands AS (SELECT id, ahash, bb.band, (ahash >> (bb.band * 8)) & 255 AS bv
-           |          FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
-           |ok AS (SELECT band, bv FROM bands GROUP BY band, bv
-           |       HAVING count(*) >= 2),
-           |cap AS (SELECT b.* FROM bands b JOIN ok USING (band, bv)),
+           |${pairBandCtes(cap = None)},
            |found0 AS (SELECT DISTINCT c1.id AS a, c2.id AS b
            |          FROM cap c1 JOIN cap c2 ON c1.band = c2.band
            |            AND c1.bv = c2.bv AND c1.id < c2.id

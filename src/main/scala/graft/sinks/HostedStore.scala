@@ -74,7 +74,19 @@ object HostedStore {
       appliedBatches: Set[String] = Set.empty,
       committedParts: Set[String] = Set.empty,
       kind: String = "table",
-      shadowedLayer: Option[DatasetState] = None)
+      shadowedLayer: Option[DatasetState] = None,
+      /** Maintained key→row-position index for the ACTIVE merge key
+        * (lowercased field → value → index into `rows`). This is the
+        * service-contract cost model: a real hosted upsert goes through
+        * the unique index at O(batch·log n), so the double must not
+        * charge O(table) per partition commit (32 writer partitions ×
+        * full-table rebuild priced a 10× corpus at ~25× — measured on
+        * `ref_write_upsert` at sf1). Built lazily on first merge use,
+        * maintained incrementally by merge applies, and INVALIDATED by
+        * append/delete/truncate (and by a merge on a different key —
+        * replaced rows may change the other key's values).
+        */
+      keyPos: Map[String, Map[Any, Int]] = Map.empty)
 
   private val tables = new ConcurrentHashMap[String, TableState]()
   private val nextId = new AtomicLong(1000)
@@ -173,7 +185,8 @@ object HostedStore {
         schema = tableSchema, rows = Vector.empty, kind = "table",
         shadowedLayer = Some(DatasetState(t.schema, t.rows)),
         uniqueIndexes = Set.empty, indexes = Vector.empty,
-        appliedBatches = Set.empty, committedParts = Set.empty), ())
+        appliedBatches = Set.empty, committedParts = Set.empty,
+        keyPos = Map.empty), ())
     }
 
   def kindOf(itemId: String): String = get(itemId).kind
@@ -195,7 +208,7 @@ object HostedStore {
       // committed partitions so an overwrite re-posting identical content
       // isn't spuriously deduped.
       (t.copy(rows = Vector.empty, appliedBatches = Set.empty,
-        committedParts = Set.empty), ())
+        committedParts = Set.empty, keyPos = Map.empty), ())
     }
 
   /** Delete the rows whose `keyField` value is in `keys` (the service's
@@ -217,7 +230,7 @@ object HostedStore {
         val ki = t.schema.fieldIndex(keyField)
         val ks = keys.toSet
         val (removed, kept) = t.rows.partition(r => ks.contains(r.get(ki)))
-        val t1 = t.copy(rows = kept)
+        val t1 = t.copy(rows = kept, keyPos = Map.empty)
         (batchId.fold(t1)(id =>
           t1.copy(appliedBatches = t1.appliedBatches + id)),
           removed.size.toLong)
@@ -384,7 +397,8 @@ object HostedStore {
     val (t1, affected): (TableState, Long) = mode match {
       case WriteMode.Append | WriteMode.Overwrite =>
         // Overwrite's truncate already happened once, driver-side.
-        (t.copy(rows = t.rows ++ batch), batch.size.toLong)
+        (t.copy(rows = t.rows ++ batch, keyPos = Map.empty),
+          batch.size.toLong)
       case WriteMode.Upsert | WriteMode.Update | WriteMode.Insert =>
         val k = key.getOrElse(
           throw new IllegalArgumentException(s"mode ${mode.name} requires a key"))
@@ -404,24 +418,68 @@ object HostedStore {
             if (!collapsed.contains(kv)) collapsed.put(kv, r)
           } else collapsed.put(kv, r)
         }
-        val existingKeys = t.rows.iterator.map(_.get(ki)).toSet
-        val updated = t.rows.map { r =>
-          collapsed.get(r.get(ki)) match {
-            case Some(nr) if mode != WriteMode.Insert => nr
-            case _                                    => r
-          }
+        // Apply through the key→position index (see TableState.keyPos):
+        // O(batch) per commit, not O(table). Build lazily if append/
+        // delete/truncate (or a different merge key) invalidated it; a
+        // table that somehow carries DUPLICATE key values (possible via
+        // unchecked appends after the index was registered) falls back to
+        // the legacy full-scan apply, which replaces every occurrence —
+        // byte-identical behavior in that broken-contract corner.
+        val kl = k.toLowerCase
+        val builtPos: Option[Map[Any, Int]] = t.keyPos.get(kl).orElse {
+          val b = Map.newBuilder[Any, Int]
+          var i = 0
+          t.rows.foreach { r => b += (r.get(ki) -> i); i += 1 }
+          val m = b.result()
+          if (m.size == t.rows.size) Some(m) else None
         }
-        val inserts =
-          if (mode == WriteMode.Update) Vector.empty
-          else collapsed.valuesIterator
-            .filterNot(r => existingKeys.contains(r.get(ki))).toVector
-        val affected = (mode match {
-          case WriteMode.Update =>
-            collapsed.keysIterator.count(existingKeys.contains)
-          case WriteMode.Insert => inserts.size
-          case _                => collapsed.size
-        }).toLong
-        (t.copy(rows = updated ++ inserts), affected)
+        builtPos match {
+          case Some(pos0) =>
+            var rowsV = t.rows
+            var pos = pos0
+            var matched = 0L
+            var inserted = 0L
+            collapsed.foreach { case (kv, nr) =>
+              pos.get(kv) match {
+                case Some(i) =>
+                  matched += 1
+                  if (mode != WriteMode.Insert) rowsV = rowsV.updated(i, nr)
+                case None =>
+                  if (mode != WriteMode.Update) {
+                    pos = pos.updated(kv, rowsV.size)
+                    rowsV = rowsV :+ nr
+                    inserted += 1
+                  }
+              }
+            }
+            val affected = mode match {
+              case WriteMode.Update => matched
+              case WriteMode.Insert => inserted
+              case _                => collapsed.size.toLong
+            }
+            // Replaced rows may change OTHER indexed columns' values, so
+            // only the active key's map survives this apply.
+            (t.copy(rows = rowsV, keyPos = Map(kl -> pos)), affected)
+          case None =>
+            val existingKeys = t.rows.iterator.map(_.get(ki)).toSet
+            val updated = t.rows.map { r =>
+              collapsed.get(r.get(ki)) match {
+                case Some(nr) if mode != WriteMode.Insert => nr
+                case _                                    => r
+              }
+            }
+            val inserts =
+              if (mode == WriteMode.Update) Vector.empty
+              else collapsed.valuesIterator
+                .filterNot(r => existingKeys.contains(r.get(ki))).toVector
+            val affected = (mode match {
+              case WriteMode.Update =>
+                collapsed.keysIterator.count(existingKeys.contains)
+              case WriteMode.Insert => inserts.size
+              case _                => collapsed.size
+            }).toLong
+            (t.copy(rows = updated ++ inserts, keyPos = Map.empty), affected)
+        }
     }
     // Only a *successfully applied* batch is recorded — a failed apply
     // (contract violation above) must stay replayable.

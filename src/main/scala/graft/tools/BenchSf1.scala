@@ -50,13 +50,42 @@ object BenchSf1 {
   /** Synthesize the 10× corpus once per run (materialized to parquet so
     * both scales read from files and timings compare like-for-like).
     */
+  /** Copy-unique text perturbation. The per-word suffix decorrelates the
+    * SHINGLE space (dup density stays linear for text dedup), but it
+    * barely moves the 8×8 block means of the rendered ASCII byte stream,
+    * so PAYLOAD-derived signatures (BMP aHash, WAV energy fingerprints)
+    * of all ten copies stayed within hamming ≤ 6 of each other and the
+    * image/audio dup density grew QUADRATICALLY with copies (measured:
+    * 740 k near-dup pairs at sf1 vs the 50 k planted exact dups — the
+    * masquerade this builder's scaladoc warns about for text, reproduced
+    * in pixel space). Fix: each copy also TRANSLATES a copy-rotated set
+    * of frequent letters to copy-unique 2-byte UTF-8 codepoints — a
+    * different ~quarter of the byte positions expands per copy, so the
+    * byte offsets (and with them every downsample block) avalanche
+    * between copies while copy 0 stays byte-identical to the base.
+    * `pool` must differ per inflation LEVEL (sf1 vs sf10) because level
+    * 2 perturbs already-translated text: it has to draw from letters the
+    * first level left intact.
+    */
+  private def perturbText(tcol: org.apache.spark.sql.Column, tag: String,
+                          i: Int, pool: String,
+                          dstBase: Int = 0x100): org.apache.spark.sql.Column = {
+    // contiguous rotated window: any two copies differ in ≥1 source
+    // letter, and ONE differing letter's 2-byte expansion shifts every
+    // downstream byte offset — full positional avalanche (a step-2
+    // rotation would hand all same-parity copies the identical set)
+    val src = new String(Array.tabulate(5)(k => pool((i + k) % pool.length)))
+    val dst = new String(Array.tabulate(5)(k => (dstBase + i * 8 + k).toChar))
+    translate(regexp_replace(tcol, "(\\S+)", "$1" + tag + i), src, dst)
+  }
+
   private def buildSf1(s: SparkSession): Unit = {
     val d0 = docs(s, sf01)
     val inflatedDocs = (0 until copies).map { i =>
       val shifted = d0.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
       if (i == 0) shifted
-      else shifted.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", "$1x" + i))
+      else shifted.withColumn("text", perturbText(col("text"), "x", i,
+        "aeiounsrtl"))
     }.reduce(_ unionByName _)
     inflatedDocs.write.mode("overwrite").parquet(s"$sf1Dir/documents.parquet")
     val e0 = emb(s, sf01)
@@ -151,8 +180,11 @@ object BenchSf1 {
     (0 until lvl2).map { a =>
       val shifted = d1.withColumn("doc_id", col("doc_id") + lit(a * stride2))
       if (a == 0) shifted
-      else shifted.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", "$1y" + a))
+      // level-2 pool draws from letters level 1 leaves intact (its five
+      // rotated sources come out of "aeiounsrtl"), and its translate
+      // targets live in a disjoint codepoint block
+      else shifted.withColumn("text", perturbText(col("text"), "y", a,
+        "cdhmpbgfvk", dstBase = 0x180))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$sf10Dir/documents.parquet")
     val c1 = s.read.parquet(s"$sf1Dir/customer.parquet")
@@ -333,6 +365,12 @@ object BenchSf1 {
       spark.conf.set("spark.sql.shuffle.partitions", "64")
     }
     buildSf1(spark)
+    if (args.contains("buildonly")) {
+      // fixture-(re)generation mode for targeted drills (TimeQuery,
+      // ad-hoc headline runs at sf1) without paying for the probe sweep
+      println(s"[bench-sf1] built $sf1Dir (buildonly)")
+      spark.stop(); return
+    }
     if (sf10Mode) {
       // stage what the sf10 probe set reads: image hashes + signature
       // registries + the persisted serve indexes at BOTH scales (nlist
