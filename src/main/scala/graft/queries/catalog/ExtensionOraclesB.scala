@@ -1060,21 +1060,26 @@ private[queries] object ExtensionOraclesB {
 
       "x_stream_imagehash" ->
         // Stream-vs-index replay over the SAME staged signature parquet:
-        // corpus half (< 100000) bands with the BUILD-TIME bucket cap,
-        // stream half (≥ 100000) bands uncapped, equi-join + hamming —
-        // one row per colliding band, no distinct (matching the stream's
-        // append-mode emission).
+        // corpus half (< 100000) band PAIRS with the BUILD-TIME bucket
+        // cap, stream half (≥ 100000) band pairs uncapped, equi-join +
+        // hamming — one row per colliding band pair, no distinct
+        // (matching the stream's append-mode emission).
         s"""WITH h AS (SELECT id, ahash
            |  FROM read_parquet('$imgHashStageDir/hashes.parquet')),
-           |bb AS (SELECT unnest(range(0, 8)) AS band),
+           |bb AS (SELECT a.i AS i, b.j AS j, a.i * 8 + b.j AS band
+           |       FROM (SELECT unnest(range(0, 8)) AS i) a,
+           |            (SELECT unnest(range(0, 8)) AS j) b
+           |       WHERE a.i < b.j),
            |cb AS (SELECT c.id AS corpus_id, c.ahash AS chash, bb.band,
-           |         (c.ahash >> (bb.band * 8)) & 255 AS bv
+           |         ((c.ahash >> (bb.i * 8)) & 255) * 256 +
+           |         ((c.ahash >> (bb.j * 8)) & 255) AS bv
            |       FROM h c CROSS JOIN bb WHERE c.id < 100000),
            |ok AS (SELECT band, bv FROM cb GROUP BY band, bv
            |       HAVING count(*) <= 1000),
            |cbo AS (SELECT cb.* FROM cb JOIN ok USING (band, bv)),
            |sb AS (SELECT s.id, s.ahash, bb.band,
-           |         (s.ahash >> (bb.band * 8)) & 255 AS bv
+           |         ((s.ahash >> (bb.i * 8)) & 255) * 256 +
+           |         ((s.ahash >> (bb.j * 8)) & 255) AS bv
            |       FROM h s CROSS JOIN bb WHERE s.id >= 100000)
            |SELECT sb.id, cbo.corpus_id, sb.band,
            |  CAST(bit_count(xor(sb.ahash, cbo.chash)) AS INTEGER) AS hamming

@@ -1141,10 +1141,10 @@ private[queries] object ExtensionQueriesC {
     "x_stream_imagehash" -> ((s, dir) => { // LIVE stream, oracle-hashed
       // Streaming multimodal dedup: the id-shifted copy half of the
       // signature table ARRIVES as a stream (readStream → stateless
-      // 8-band explode → stream-static join vs the cached corpus band
-      // index → hamming verify → memory sink). Pure 64-bit integer
+      // 28-band-pair explode → stream-static join vs the cached corpus
+      // band index → hamming verify → memory sink). Pure 64-bit integer
       // arithmetic end to end, so the REAL streaming path hash-verifies
-      // like x_stream_classify; one row per colliding band (the
+      // like x_stream_classify; one row per colliding band pair (the
       // vsCorpusHits convention — consumers dropDuplicates for a flag).
       val staged = stageImageHashes(s, dir)
       val sigs = s.read.parquet(staged)

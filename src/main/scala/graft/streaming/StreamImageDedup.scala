@@ -10,11 +10,15 @@ import org.apache.spark.sql.types.StructType
   * ([[StreamDedup.vsCorpusHits]]' hamming sibling): arriving image
   * SIGNATURES (64-bit aHash rows — the decode→hash step is stateless
   * per-row work upstream, [[graft.operators.Multimodal.imageHashes]])
-  * explode to their 8 byte-bands and join stream-static against the
-  * corpus band index; in-band candidates verify with one
+  * explode to their 28 byte-band PAIRS and join stream-static against
+  * the corpus band index; in-bucket candidates verify with one
   * `bit_count(xor) ≤ maxHamming` projection. Recall is pigeonhole-exact
-  * at `maxHamming ≤ 7`, exactly like the batch miner — the two MUST
-  * band identically ([[graft.operators.Multimodal.bandRows]] is shared).
+  * at `maxHamming ≤ 6`, exactly like the batch miner — the two sides
+  * MUST band identically
+  * ([[graft.operators.Multimodal.pairBandRows]] is shared; single
+  * 8-bit bands saturate their 256-value space at corpus scale, so the
+  * build-time cap would silently drop most of a big corpus's buckets —
+  * see the batch miner's scaladoc).
   *
   * Scale posture: ZERO streaming state — signing and banding are
   * projections, the join is stream-static against a cached index, and
@@ -33,7 +37,7 @@ object StreamImageDedup {
     */
   def indexBands(signatures: DataFrame,
                  maxBandSize: Option[Int] = Some(1000)): DataFrame = {
-    val banded = graft.operators.Multimodal.bandRows(signatures)
+    val banded = graft.operators.Multimodal.pairBandRows(signatures)
       .select(col("band"), col("bv"),
         col("id").as("corpus_id"), col("ahash").as("chash"))
     maxBandSize match {
@@ -51,9 +55,9 @@ object StreamImageDedup {
     */
   def vsIndexHits(stream: DataFrame, index: DataFrame,
                   maxHamming: Int = 6): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"maxHamming must be in [0, 7] (8-band recall bound), got $maxHamming")
-    graft.operators.Multimodal.bandRows(stream)
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"maxHamming must be in [0, 6] (band-pair recall bound), got $maxHamming")
+    graft.operators.Multimodal.pairBandRows(stream)
       .join(index, Seq("band", "bv"))
       .select(col("id"), col("corpus_id"), col("band"),
         bit_count(col("ahash").bitwiseXOR(col("chash"))).cast("int")

@@ -84,12 +84,14 @@ class ImageHashSpec extends AnyFunSuite {
     assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
   }
 
-  test("stream-vs-index hits: exact copy collides on all 8 bands at hamming 0") {
+  test("stream-vs-index hits: exact copy collides on all 28 band pairs " +
+       "at hamming 0") {
     import graft.streaming.StreamImageDedup
     val corpus = Seq((1L, 0xdeadbeefcafe1234L), (2L, 0x0123456789abcdefL))
       .toDF("id", "ahash")
-    // 3L is an exact copy of corpus 1L; 4L differs in one low bit
-    // (still collides on the 7 untouched bands); 5L is unrelated
+    // 3L is an exact copy of corpus 1L; 4L differs in one low bit (band
+    // 0 is dirty, so it still collides on the C(7,2) = 21 clean pairs);
+    // 5L is unrelated
     val stream = Seq((3L, 0xdeadbeefcafe1234L),
         (4L, 0xdeadbeefcafe1235L), (5L, 0x7777777777777777L))
       .toDF("id", "ahash")
@@ -97,19 +99,21 @@ class ImageHashSpec extends AnyFunSuite {
         StreamImageDedup.indexBands(corpus), maxHamming = 6)
       .as[(Long, Long, Int, Int)].collect()
     val byId = hits.groupBy(_._1)
-    // exact copy: one row PER colliding band (append-mode convention)
-    assert(byId(3L).length == 8 && byId(3L).forall(h => h._2 == 1L && h._4 == 0))
-    assert(byId(4L).length == 7 && byId(4L).forall(h => h._2 == 1L && h._4 == 1))
+    // exact copy: one row PER colliding band pair (append-mode convention)
+    assert(byId(3L).length == 28 && byId(3L).forall(h => h._2 == 1L && h._4 == 0))
+    assert(byId(4L).length == 21 && byId(4L).forall(h => h._2 == 1L && h._4 == 1))
     assert(!byId.contains(5L))
   }
 
   test("stream-vs-index: saturated corpus buckets are dropped at BUILD time") {
     import graft.streaming.StreamImageDedup
-    // 50 fillers (i << 56 | 0x42): bands 0-6 shared (saturate past the
-    // cap of 10), band 7 = i (unique singletons). Probe 100L (= 0x42)
-    // sits in every saturated bucket at hamming popcount(i) ≤ 6 — so
-    // the UNCAPPED index produces hits and the capped one must not
-    // (this isolates the cap: the hamming filter alone would pass them).
+    // 50 fillers (i << 56 | 0x42): every band PAIR within bytes 0-6
+    // shares one value across all fillers (21 saturated buckets past
+    // the cap of 10); pairs touching byte 7 (= i) are unique
+    // singletons. Probe 100L (= 0x42) sits in every saturated bucket
+    // at hamming popcount(i) ≤ 6 — so the UNCAPPED index produces hits
+    // and the capped one must not (this isolates the cap: the hamming
+    // filter alone would pass them).
     val filler = (10L until 60L).map(i => (i, (i << 56) | 0x42L))
     val corpus = (filler :+ (1L, 0xdeadbeefcafe0042L)).toDF("id", "ahash")
     val stream = Seq((100L, 0x42L),
@@ -124,9 +128,10 @@ class ImageHashSpec extends AnyFunSuite {
         maxHamming = 6)
       .as[(Long, Long, Int, Int)].collect()
     assert(!capped.exists(_._1 == 100L), s"capped bucket leaked: ${capped.toSeq}")
-    // the exact corpus copy still hits via 1L's six surviving bands
-    // (bands 2-7 are unique to 1L; bands 0-1 are saturated and dropped)
-    assert(capped.count(h => h._1 == 101L && h._2 == 1L) == 6)
+    // the exact corpus copy still hits via 1L's surviving pair buckets:
+    // of its 28, only pair (0,1) = (0x42, 0x00) coincides with the
+    // filler-shared value and is saturated-dropped — 27 survive
+    assert(capped.count(h => h._1 == 101L && h._2 == 1L) == 27)
   }
 
   test("audio fingerprints: identical clips match, miner finds the copies exactly") {
