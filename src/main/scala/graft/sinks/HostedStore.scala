@@ -292,10 +292,53 @@ object HostedStore {
 
   def rowCount(itemId: String): Long = get(itemId).rows.size.toLong
 
+  /** Tiny LRU of filtered row sets, keyed by the IDENTITY of the
+    * immutable `rows` vector plus a filter fingerprint. Offset pagination
+    * naively re-filters the whole table per page — O(pages × table) =
+    * O(table² / pageSize), quadratic in the table (measured: the sf1
+    * pushdown scan trended past linear as page count grew). A real
+    * service executes the query once and cursors through it; the cache
+    * gives the double the same cost shape. Correct by construction:
+    * every mutation builds a NEW rows vector, so a stale entry can never
+    * be keyed by a live table state — entries for dead versions age out
+    * of the 8-slot LRU. Values share Row references with the table, so
+    * a cached entry costs one pointer array, not a copy.
+    */
+  private final class FilterCacheKey(val rows: AnyRef, val fk: String) {
+    override def hashCode: Int =
+      System.identityHashCode(rows) * 31 + fk.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case k: FilterCacheKey => (k.rows eq rows) && k.fk == fk
+      case _                 => false
+    }
+  }
+  private val filteredCache =
+    new java.util.LinkedHashMap[FilterCacheKey, Vector[Row]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[FilterCacheKey, Vector[Row]]): Boolean =
+        size() > 8
+    }
+  private def filteredRows(t: TableState, filters: Array[Filter]): Vector[Row] =
+    if (filters.isEmpty) t.rows
+    else {
+      val key = new FilterCacheKey(t.rows, filters.map(_.toString).mkString("|"))
+      filteredCache.synchronized {
+        val hit = filteredCache.get(key)
+        if (hit != null) hit
+        else {
+          val v = t.rows.filter(r => filters.forall(f => FilterEval(f, r, t.schema)))
+          filteredCache.put(key, v)
+          v
+        }
+      }
+    }
+
   /** One page of a service-side query: filter → project → slice, the
     * remote analog of `where=...&outFields=...&resultOffset=o&
     * resultRecordCount=n`. Offsets index the *filtered* row set, matching
-    * REST pagination semantics.
+    * REST pagination semantics. The filter pass is computed once per
+    * (table version, filter set) and shared by all pages — see
+    * [[filteredRows]].
     */
   def queryPage(
       itemId: String,
@@ -304,9 +347,7 @@ object HostedStore {
       requiredCols: Array[String],
       filters: Array[Filter]): Iterator[Row] = {
     val t = get(itemId)
-    val filtered =
-      if (filters.isEmpty) t.rows
-      else t.rows.filter(r => filters.forall(f => FilterEval(f, r, t.schema)))
+    val filtered = filteredRows(t, filters)
     val idx = requiredCols.map(c => t.schema.fieldIndex(c))
     filtered.iterator
       .slice(offset.toInt, (offset + count).toInt)
@@ -314,12 +355,13 @@ object HostedStore {
   }
 
   /** Count of rows matching the filters (the remote `returnCountOnly`),
-    * used by the driver to plan offset pages.
+    * used by the driver to plan offset pages. Goes through
+    * [[filteredRows]] so the count that PLANS the pages and the pages
+    * themselves share one filter pass over the table.
     */
   def queryCount(itemId: String, filters: Array[Filter]): Long = {
     val t = get(itemId)
-    if (filters.isEmpty) t.rows.size.toLong
-    else t.rows.count(r => filters.forall(f => FilterEval(f, r, t.schema))).toLong
+    filteredRows(t, filters).size.toLong
   }
 
   /** Grouped service-side statistics — the remote `outStatistics` +
