@@ -222,6 +222,31 @@ object Similarity {
       .select(col("id"), col("b.t"), col("b.sig"))
   }
 
+  /** Planes for a target LSH bucket occupancy: the signature space is
+    * 2^planes PER TABLE, so a fixed `planes` saturates exactly like a
+    * fixed `nlist` — at n vectors the average bucket holds n/2^planes
+    * ids no matter what the data looks like, candidate volume grows
+    * Ω(n²/2^planes), and once typical buckets cross `maxBucketSize`
+    * the cap starts silently dropping RECALL, not just work (the
+    * image-dedup band-saturation lesson, hyperplane edition). The scale
+    * posture is the same as IVF's nlist ∝ corpus: grow the bit budget
+    * logarithmically so occupancy stays constant — each extra plane
+    * halves expected bucket size at the cost of one more sign bit of
+    * selectivity (recall is retuned with `tables`, which is the
+    * recall/cost knob; planes is the occupancy knob). Defaults give
+    * planes = 8 at n ≈ 5 000 (the judged fixture), 12 at 50 k,
+    * 19 at 10 M, capped at 24 (16 M buckets — past that, shard the
+    * corpus like every other bucket miner here).
+    */
+  def autoPlanes(n: Long, targetOccupancy: Int = 20,
+                 minPlanes: Int = 4, maxPlanes: Int = 24): Int = {
+    require(n >= 0 && targetOccupancy >= 1 && minPlanes >= 1 &&
+      maxPlanes >= minPlanes, "autoPlanes: invalid bounds")
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(maxPlanes, math.max(minPlanes, needed))
+  }
+
   /** Candidate near-dup pairs (a < b) from quantized random-hyperplane
     * LSH: ids sharing a (table, signature) bucket in ANY of `tables`
     * independent hash tables of `planes` bits. One projection computes all
@@ -229,7 +254,9 @@ object Similarity {
     * collect_list buffer IS the bucket), capped at `maxBucketSize` to
     * bound the quadratic in-bucket pair expansion — the corpus×corpus
     * product is never formed. This is the scale path that replaces
-    * all-pairs scoring for embedding dedup.
+    * all-pairs scoring for embedding dedup. Size `planes` to the corpus
+    * with [[autoPlanes]] — a fixed bit budget saturates its 2^planes
+    * bucket space exactly like a fixed nlist (see autoPlanes).
     */
   def hyperplaneCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                                tables: Int = 16, planes: Int = 8,

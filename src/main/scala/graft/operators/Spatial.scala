@@ -60,6 +60,66 @@ object Spatial {
       .select("a", "b", "dist2")
   }
 
+  /** DBSCAN clustering over the point layer: core points (≥ `minPts`
+    * neighbors within `eps`, INCLUDING the point itself — the standard
+    * definition), clusters = connected components of the core-core
+    * eps-graph labeled by min core id, border points (non-core within
+    * eps of a core) attached to the MINIMUM label among their core
+    * neighbors — canonical DBSCAN leaves border assignment
+    * scan-order-dependent; min is the deterministic pin, the same
+    * convention as every min-id component labeling in this engine —
+    * and everything else labeled NULL with role `noise`.
+    *
+    * Scale shape: ONE grid-bucketed neighbor join ([[neighborPairs]],
+    * checkpointed and reused for the degree screen, the core-core edge
+    * set, and the border attach), a hash-agg degree count, and
+    * pointer-jumping components over CORE-CORE edges only — the
+    * density screen prunes the graph BEFORE the iterative stage, so
+    * component work scales with the clustered subset, not the corpus.
+    * Output: (idCol, label: nullable long, role: core|border|noise).
+    */
+  def dbscanClusters(points: DataFrame, idCol: String, eps: Double,
+                     minPts: Int): DataFrame = {
+    require(minPts >= 1, s"dbscanClusters: minPts must be >= 1, got $minPts")
+    val pairs = neighborPairs(points, idCol, eps).select("a", "b")
+      .localCheckpoint(true)
+    val touch = pairs.select(col("a").as("id"))
+      .unionAll(pairs.select(col("b").as("id")))
+    // degree over ALL spatially-present points (left join, zero-filled):
+    // a zero-neighbor point IS core at minPts = 1 but never appears in
+    // the pair set — deriving cores from pair touches alone drops it
+    val present = points.select(col(idCol).as("id"),
+        graft.api.Geometry.x(points).as("__x"),
+        graft.api.Geometry.y(points).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .select("id")
+    val core = present
+      .join(touch.groupBy("id").agg(count(lit(1)).as("__n")), Seq("id"), "left")
+      .filter(coalesce(col("__n"), lit(0L)) + lit(1) >= lit(minPts))
+      .select("id")
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
+    val cc = Dedup.duplicateClusters(coreEdges)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    // a core with no core neighbor anchors its own (possibly 1-core)
+    // cluster — it is absent from the edge set, so it labels itself
+    val coreLabels = core.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("label"))
+    val adj = pairs.select(col("a").as("cid"), col("b").as("id"))
+      .unionAll(pairs.select(col("b").as("cid"), col("a").as("id")))
+    val borderLabels = adj
+      .join(coreLabels.select(col("id").as("cid"), col("label")), Seq("cid"))
+      .join(core, Seq("id"), "left_anti")
+      .groupBy("id").agg(min("label").as("label"))
+    points.select(col(idCol).as("id"))
+      .join(coreLabels.withColumn("role", lit("core"))
+        .unionByName(borderLabels.withColumn("role", lit("border"))),
+        Seq("id"), "left")
+      .select(col("id").as(idCol), col("label"),
+        coalesce(col("role"), lit("noise")).as("role"))
+  }
+
   /** Count of neighbors within `eps` per point (density profile — the
     * DBSCAN-style core-point screen). Points with no neighbor report 0.
     */

@@ -228,6 +228,52 @@ private[queries] object ExtensionOraclesA {
           |WHERE (p.x - r.x) * (p.x - r.x) + (p.y - r.y) * (p.y - r.y) <= 2500.0
           |ORDER BY a, b""".stripMargin,
 
+      "x_spatial_dbscan" ->
+        // the full DBSCAN replay: brute-force eps-pairs (same IEEE
+        // arithmetic as x_spatial_neighbors), degree screen (>= minPts
+        // incl. self), recursive min-label components over core-core
+        // edges (the x_pipeline_multimodal CC shape), min-label border
+        // attach, NULL-labeled noise
+        """WITH RECURSIVE pts AS (
+          |  SELECT c_custkey AS id, c_acctbal AS x,
+          |         CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM customer),
+          |np AS (SELECT p.id AS a, r.id AS b
+          |       FROM pts p JOIN pts r ON p.id < r.id
+          |       WHERE (p.x - r.x) * (p.x - r.x) +
+          |             (p.y - r.y) * (p.y - r.y) <= 2500.0),
+          |deg AS (SELECT id, count(*) AS n FROM
+          |          (SELECT a AS id FROM np UNION ALL SELECT b FROM np)
+          |        GROUP BY id),
+          |core AS (SELECT id FROM deg WHERE n + 1 >= 3),
+          |ce AS (SELECT np.a, np.b FROM np
+          |       JOIN core ca ON ca.id = np.a
+          |       JOIN core cb ON cb.id = np.b),
+          |edges AS (SELECT a AS src, b AS dst FROM ce
+          |          UNION SELECT b, a FROM ce),
+          |reach AS (
+          |  SELECT DISTINCT src AS node, src AS label FROM edges
+          |  UNION
+          |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+          |lab AS (SELECT node, min(label) AS label FROM reach GROUP BY node),
+          |corelab AS (SELECT c.id, coalesce(l.label, c.id) AS label
+          |            FROM core c LEFT JOIN lab l ON l.node = c.id),
+          |adj AS (SELECT a AS cid, b AS id FROM np
+          |        UNION ALL SELECT b, a FROM np),
+          |border AS (SELECT adj.id, min(cl.label) AS label
+          |           FROM adj JOIN corelab cl ON cl.id = adj.cid
+          |           WHERE adj.id NOT IN (SELECT id FROM core)
+          |           GROUP BY adj.id)
+          |SELECT p.id AS c_custkey,
+          |  coalesce(cl.label, b.label) AS label,
+          |  CASE WHEN cl.id IS NOT NULL THEN 'core'
+          |       WHEN b.id IS NOT NULL THEN 'border'
+          |       ELSE 'noise' END AS role
+          |FROM pts p
+          |LEFT JOIN corelab cl ON cl.id = p.id
+          |LEFT JOIN border b ON b.id = p.id
+          |ORDER BY c_custkey""".stripMargin,
+
       "x_dedup_jaccard" ->
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))}
            |SELECT a, b, n_common, n_a, n_b, jaccard FROM jac

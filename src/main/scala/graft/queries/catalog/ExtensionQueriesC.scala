@@ -1000,6 +1000,20 @@ private[queries] object ExtensionQueriesC {
         .orderBy("a", "b")
     }),
 
+    "x_spatial_dbscan" -> ((s, dir) => {
+      // DBSCAN over the point layer: density screen (core = >= 3
+      // points within eps incl. self) -> min-id components over the
+      // core-core eps-graph -> min-label border attach -> NULL noise.
+      // Every step past the grid-bucketed neighbor join is integer/
+      // min-label arithmetic, so DuckDB replays the whole clustering
+      // (brute-force pairs + recursive min-label CC) hash-exactly.
+      val back = customerPointLayer(s, dir, "q_layer_spatial")
+      graft.operators.Spatial.dbscanClusters(
+          back.select(col("c_custkey"), col("geometry")), "c_custkey",
+          eps = 50.0, minPts = 3)
+        .orderBy("c_custkey")
+    }),
+
     "x_multimodal_imagehash" -> ((s, dir) => { // real BMP decode: rows-only oracle
       // Perceptual image dedup: REAL BMP decode → 8×8 aHash → byte-band
       // candidate join → exact Hamming verify (recall is pigeonhole-exact

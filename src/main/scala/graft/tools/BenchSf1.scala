@@ -471,9 +471,13 @@ object BenchSf1 {
         Similarity.ivfbqTopK(e, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", 10, nlist = 64 * m, nprobe = 8).count()
       }),
-      "embedding_pairs" -> ((dir, _) =>
+      // planes scale with the corpus (autoPlanes: the occupancy knob,
+      // log₂ growth — the hyperplane analog of nlist = 64·m): a fixed
+      // 8-bit signature space saturates at sf1 and the bucket cap would
+      // price as a flat ratio while silently dropping recall
+      "embedding_pairs" -> ((dir, m) =>
         Dedup.embeddingTopPairsLsh(emb(spark, dir), "vec_id", "embedding",
-          20).count()),
+          20, planes = Similarity.autoPlanes(5000L * m)).count()),
       // tokenizer-apply: vocab fixed (model metadata), corpus grows —
       // segmentation must price as a linear scan + count agg
       "subword_tokenize" -> ((dir, _) => {

@@ -502,6 +502,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed planted pairs: ${exact -- lsh}")
   }
 
+  test("autoPlanes holds bucket occupancy constant as the corpus grows") {
+    import graft.operators.Similarity.autoPlanes
+    // occupancy invariant: n / 2^planes stays within [target/2, target]
+    // while planes is inside the clamp band
+    Seq(5000L, 50000L, 500000L, 10000000L).foreach { n =>
+      val p = autoPlanes(n)
+      val occ = n.toDouble / (1L << p)
+      assert(occ <= 20.0 && occ > 5.0, s"n=$n planes=$p occupancy=$occ")
+    }
+    assert(autoPlanes(5000L) == 8,   "judged-fixture scale must keep planes=8")
+    assert(autoPlanes(0L) == 4 && autoPlanes(10L) == 4, "min clamp")
+    assert(autoPlanes(Long.MaxValue) == 24, "max clamp (shard past 16M buckets)")
+    intercept[IllegalArgumentException](autoPlanes(100L, targetOccupancy = 0))
+    // the LSH miner still reproduces exact planted pairs under a grown
+    // bit budget (more planes = finer buckets, recall retuned by tables)
+    val base = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16.0 + d + 1).toFloat))
+    }
+    val dups = (0 until 4).map { i =>
+      (1000L + i, base(i)._2.zipWithIndex.map {
+        case (v, d) => if (d == 0) v + 0.001f else v })
+    }
+    val emb2 = (base ++ dups).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingTopPairsLsh(emb2, "vec_id", "embedding", 4,
+        planes = autoPlanes(104L))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == (0 until 4).map(i => (i.toLong, 1000L + i)).toSet,
+      s"auto-planes LSH missed planted pairs: $got")
+  }
+
   test("minhash LSH finds the high-jaccard planted near-dups") {
     val exactPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
       .select("a", "b").as[(Long, Long)].collect().toSet
