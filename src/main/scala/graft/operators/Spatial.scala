@@ -93,10 +93,14 @@ object Spatial {
         graft.api.Geometry.y(points).as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
       .select("id")
+    // checkpointed like `pairs`: the core set feeds FOUR consumers (two
+    // semi-joins, the label join, the border anti-join) — without the
+    // barrier each re-runs the corpus scan + degree aggregation
     val core = present
       .join(touch.groupBy("id").agg(count(lit(1)).as("__n")), Seq("id"), "left")
       .filter(coalesce(col("__n"), lit(0L)) + lit(1) >= lit(minPts))
       .select("id")
+      .localCheckpoint(true)
     val coreEdges = pairs
       .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(core.select(col("id").as("b")), Seq("b"), "left_semi")

@@ -118,11 +118,19 @@ object HostedStore {
     */
   @volatile var indexCreationPollDelay: Int = 0
 
-  def reset(): Unit = { tables.clear(); pendingPolls.clear(); staged.clear() }
+  def reset(): Unit = {
+    tables.clear(); pendingPolls.clear(); staged.clear()
+    filteredCache.synchronized(filteredCache.clear())
+  }
 
   def drop(itemId: String): Unit = {
     tables.remove(itemId)
     staged.keySet.removeIf(_._1 == itemId)
+    // cache keys pin their table's rows vector — a dropped multi-GB
+    // table must not stay reachable through the scan cache until eight
+    // later misses happen to evict it (drops are rare; clearing the
+    // 8-slot cache wholesale is cheaper than mapping itemId -> keys)
+    filteredCache.synchronized(filteredCache.clear())
   }
 
   def dropByTitle(title: String): Unit =
@@ -304,7 +312,10 @@ object HostedStore {
     * of the 8-slot LRU. Values share Row references with the table, so
     * a cached entry costs one pointer array, not a copy.
     */
-  private final class FilterCacheKey(val rows: AnyRef, val fk: String) {
+  private final class FilterCacheKey(val rows: AnyRef, val fk: Seq[Filter]) {
+    // the filter part compares STRUCTURALLY (Filter case classes):
+    // a stringified fingerprint would erase value types and let crafted
+    // string values collide across delimiter boundaries
     override def hashCode: Int =
       System.identityHashCode(rows) * 31 + fk.hashCode
     override def equals(o: Any): Boolean = o match {
@@ -321,15 +332,17 @@ object HostedStore {
   private def filteredRows(t: TableState, filters: Array[Filter]): Vector[Row] =
     if (filters.isEmpty) t.rows
     else {
-      val key = new FilterCacheKey(t.rows, filters.map(_.toString).mkString("|"))
-      filteredCache.synchronized {
-        val hit = filteredCache.get(key)
-        if (hit != null) hit
-        else {
-          val v = t.rows.filter(r => filters.forall(f => FilterEval(f, r, t.schema)))
-          filteredCache.put(key, v)
-          v
-        }
+      val key = new FilterCacheKey(t.rows, filters.toSeq)
+      // the O(table) filter pass runs OUTSIDE the lock: holding the
+      // global cache mutex through it would serialize cold scans of
+      // UNRELATED tables (concurrent same-key misses just compute twice
+      // and the second put wins — both values are identical)
+      val hit = filteredCache.synchronized(filteredCache.get(key))
+      if (hit != null) hit
+      else {
+        val v = t.rows.filter(r => filters.forall(f => FilterEval(f, r, t.schema)))
+        filteredCache.synchronized(filteredCache.put(key, v))
+        v
       }
     }
 

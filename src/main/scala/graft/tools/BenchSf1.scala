@@ -475,9 +475,14 @@ object BenchSf1 {
       // log₂ growth — the hyperplane analog of nlist = 64·m): a fixed
       // 8-bit signature space saturates at sf1 and the bucket cap would
       // price as a flat ratio while silently dropping recall
-      "embedding_pairs" -> ((dir, m) =>
-        Dedup.embeddingTopPairsLsh(emb(spark, dir), "vec_id", "embedding",
-          20, planes = Similarity.autoPlanes(5000L * m)).count()),
+      "embedding_pairs" -> ((dir, _) => {
+        // sized from the ACTUAL fixture count (a parquet-metadata read,
+        // not a scan) — a hardcoded rows-per-copy assumption would
+        // silently reintroduce bucket saturation if the fixture changes
+        val e = emb(spark, dir)
+        Dedup.embeddingTopPairsLsh(e, "vec_id", "embedding",
+          20, planes = Similarity.autoPlanes(e.count())).count()
+      }),
       // tokenizer-apply: vocab fixed (model metadata), corpus grows —
       // segmentation must price as a linear scan + count agg
       "subword_tokenize" -> ((dir, _) => {

@@ -58,10 +58,13 @@ object ProfileWrite {
       time("read-back count") {
         HostedTables.read(spark, id).count()
       }
-      time("read-back orderBy collect-hash") {
+      time("read-back sorted materialize") {
+        // foreachPartition forces the full Sort to execute — an agg on
+        // top would let EliminateSorts delete it and this stage would
+        // silently re-measure the plain count above
         HostedTables.read(spark, id)
           .orderBy("o_orderkey", "o_totalprice")
-          .agg(count(lit(1))).collect()
+          .foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
       }
     }
     spark.stop()
