@@ -928,6 +928,21 @@ object BenchSf1 {
         graft.operators.Dedup.blockedFuzzyMatch(
           cust.unionByName(variants), "id", "name", maxDist = 2).count()
       }),
+      // DBSCAN at 10×: the point extent grows WITH the corpus (y =
+      // custkey·0.5, copies 5e7 apart in y), so eps-grid cell count
+      // grows linearly and occupancy stays flat — the spatial analog of
+      // nlist ∝ corpus; degree screen + core-only CC must price
+      // near-linear
+      "spatial_dbscan" -> ((dir, _) => {
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+        val pts = graft.api.Geometry.withPointGeometry(
+          cust.select(col("c_custkey").cast("long").as("id"),
+            col("c_acctbal").cast("double").as("x"),
+            (col("c_custkey").cast("double") * 0.5).as("y")), "x", "y")
+          .select("id", "geometry")
+        graft.operators.Spatial.dbscanClusters(pts, "id",
+          eps = 50.0, minPts = 3).count()
+      }),
       // autotune sweep: ONE scored pass at max(nprobe) over probed
       // partitions (probed volume ~flat — nlist grows with the corpus)
       // + the |sample|·|members| exact truth pass — must price ~linear,
