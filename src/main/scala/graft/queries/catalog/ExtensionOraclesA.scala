@@ -274,6 +274,61 @@ private[queries] object ExtensionOraclesA {
           |LEFT JOIN border b ON b.id = p.id
           |ORDER BY c_custkey""".stripMargin,
 
+      "x_spatial_join" ->
+        """WITH cpts AS (
+          |  SELECT c_custkey AS id, c_acctbal AS x,
+          |         CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM customer),
+          |spts AS (
+          |  SELECT s_suppkey AS id, s_acctbal AS x,
+          |         CAST(s_suppkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM supplier)
+          |SELECT c.id AS a, s.id AS b,
+          |       (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+          |FROM cpts c JOIN spts s
+          |  ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2500.0
+          |ORDER BY a, b""".stripMargin,
+
+      "x_spatial_nearest" ->
+        // left-join nearest replay: rank candidate pairs by (dist2, b)
+        // per customer — IEEE-double comparisons, both engines pick the
+        // identical row — then attach rank-1 to EVERY customer id
+        """WITH cpts AS (
+          |  SELECT c_custkey AS id, c_acctbal AS x,
+          |         CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM customer),
+          |spts AS (
+          |  SELECT s_suppkey AS id, s_acctbal AS x,
+          |         CAST(s_suppkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM supplier),
+          |cand AS (
+          |  SELECT c.id AS a, s.id AS b,
+          |         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+          |  FROM cpts c JOIN spts s
+          |    ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2500.0),
+          |best AS (SELECT a, b, dist2 FROM (
+          |  SELECT a, b, dist2,
+          |         row_number() OVER (PARTITION BY a ORDER BY dist2, b) AS rn
+          |  FROM cand) WHERE rn = 1)
+          |SELECT c.id AS a, best.b, best.dist2
+          |FROM cpts c LEFT JOIN best ON best.a = c.id
+          |ORDER BY a""".stripMargin,
+
+      "x_spatial_dropped" ->
+        // the census replay: home-cell occupancy over the SAME floor(x/eps)
+        // grid arithmetic, cells over the cap only
+        """WITH pts AS (
+          |  SELECT c_custkey AS id, c_acctbal AS x,
+          |         CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM customer)
+          |SELECT CAST(floor(x / 500.0) AS BIGINT) AS cellx,
+          |       CAST(floor(y / 500.0) AS BIGINT) AS celly,
+          |       CAST(count(*) AS BIGINT) AS cell_size
+          |FROM pts
+          |GROUP BY 1, 2
+          |HAVING count(*) > 25
+          |ORDER BY cellx, celly""".stripMargin,
+
       "x_dedup_jaccard" ->
         s"""WITH ${jaccardPairsSql(Some(jaccardFreqCap))}
            |SELECT a, b, n_common, n_a, n_b, jaccard FROM jac

@@ -1014,6 +1014,49 @@ private[queries] object ExtensionQueriesC {
         .orderBy("c_custkey")
     }),
 
+    "x_spatial_join" -> ((s, dir) => {
+      // TWO-TABLE spatial eps-join: customer layer × supplier layer,
+      // all cross-layer pairs within planar eps=50. Same grid shape as
+      // x_spatial_neighbors (left home cell vs right 3×3 — every
+      // qualifying pair meets on exactly one key), per-side cell caps.
+      // The oracle brute-forces the same IEEE arithmetic: candidate
+      // pruning must never change the answer.
+      val c = customerPointLayer(s, dir, "q_layer_spatial_l")
+      val sup = supplierPointLayer(s, dir, "q_layer_spatial_r")
+      graft.operators.Spatial.epsJoin(
+          c.select(col("c_custkey"), col("geometry")), "c_custkey",
+          sup.select(col("s_suppkey"), col("geometry")), "s_suppkey", 50.0)
+        .orderBy("a", "b")
+    }),
+
+    "x_spatial_nearest" -> ((s, dir) => {
+      // Nearest supplier within eps per customer (left-join semantics:
+      // NULL when none) — deterministic ties by (dist2, min right id),
+      // picked with ONE min(struct) hash agg, never a per-id window
+      // over the pair set. dist2 compares as IEEE doubles, so DuckDB's
+      // row_number replay picks the identical row.
+      val c = customerPointLayer(s, dir, "q_layer_spatial_l")
+      val sup = supplierPointLayer(s, dir, "q_layer_spatial_r")
+      graft.operators.Spatial.nearestWithinEps(
+          c.select(col("c_custkey"), col("geometry")), "c_custkey",
+          sup.select(col("s_suppkey"), col("geometry")), "s_suppkey", 50.0)
+        .orderBy("a")
+    }),
+
+    "x_spatial_dropped" -> ((s, dir) => {
+      // THE NO-SILENT-CAPS CENSUS for the spatial grid miners: the cells
+      // a maxCellSize gate would exclude, with their occupancy — the
+      // blockedFuzzyMatchDropped discipline applied to the eps-join
+      // family. eps=500 coarsens the grid until natural cells exceed the
+      // deliberately small cap, so the census is NON-EMPTY on the judged
+      // fixture (an always-empty census would test nothing).
+      val back = customerPointLayer(s, dir, "q_layer_spatial")
+      graft.operators.Spatial.neighborPairsDroppedCells(
+          back.select(col("c_custkey"), col("geometry")), "c_custkey",
+          eps = 500.0, maxCellSize = 25)
+        .orderBy("cellx", "celly")
+    }),
+
     "x_multimodal_imagehash" -> ((s, dir) => { // real BMP decode: rows-only oracle
       // Perceptual image dedup: REAL BMP decode → 8×8 aHash → byte-band
       // candidate join → exact Hamming verify (recall is pigeonhole-exact

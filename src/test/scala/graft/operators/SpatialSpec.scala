@@ -92,6 +92,99 @@ class SpatialSpec extends AnyFunSuite {
     assert(solo == Map(5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("per-cell cap drops a planted degenerate cell's points entirely " +
+       "and the census reports exactly those cells") {
+    // a degenerate blob: 12 coincident points in one cell, plus a normal
+    // neighborhood two cells away (so the cap must surgically remove the
+    // blob without touching the healthy pairs)
+    val blob = (100L until 112L).map(i => (i, 5.0, 5.0))
+    val ok = Seq((1L, 30.0, 5.0), (2L, 31.0, 5.0))
+    val df = Geometry.withPointGeometry(
+      (blob ++ ok).toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    val capped = Spatial.neighborPairs(df, "id", eps = 10.0,
+        maxCellSize = Some(10))
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(capped == Set((1L, 2L)),
+      s"blob pairs must be dropped wholesale, healthy pair kept: $capped")
+    // uncapped: the blob prices as its pair product (12*11/2) + healthy
+    val uncapped = Spatial.neighborPairs(df, "id", eps = 10.0,
+        maxCellSize = None).count()
+    assert(uncapped == 12L * 11L / 2L + 1L)
+    // census: exactly the blob's home cell, with its occupancy
+    val census = Spatial.neighborPairsDroppedCells(df, "id", eps = 10.0,
+        maxCellSize = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(census == Set((0L, 0L, 12L)), s"census: $census")
+    // an over-default-threshold census over healthy data is empty —
+    // certifying the miner saw every point
+    assert(Spatial.neighborPairsDroppedCells(df, "id", eps = 10.0,
+      maxCellSize = 12).isEmpty)
+  }
+
+  test("epsJoin equals the brute-force cross-table pair set and caps " +
+       "each side independently") {
+    val eps = 9.0
+    val (lp, ldf) = fixture(200, eps)
+    val rp = (0 until 150).map { i =>
+      val x = ((i * 1099087573L) % 1000L).toDouble / 7.0
+      val y = ((i * 48271L) % 1000L).toDouble / 7.0
+      (1000L + i, x, y)
+    }
+    val rdf = Geometry.withPointGeometry(
+      rp.toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    val got = Spatial.epsJoin(ldf, "id", rdf, "id", eps)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    val want = (for {
+      (a, ax, ay) <- lp; (b, bx, by) <- rp
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      if d2 <= eps * eps
+    } yield (a, b) -> d2).toMap
+    assert(got.keySet == want.keySet,
+      s"missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}")
+    assert(want.nonEmpty, "fixture produced no cross-table pairs")
+    want.foreach { case (k, d2) => assert(got(k) == d2, s"dist2 drift at $k") }
+    // side-tagged census: plant a degenerate RIGHT cell; left stays clean
+    val rblob = Geometry.withPointGeometry(
+      ((0 until 20).map(i => (2000L + i, 3.0, 3.0)) ++ rp)
+        .toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    val census = Spatial.epsJoinDroppedCells(ldf, "id", rblob, "id", eps,
+        maxCellSize = 15)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(census.nonEmpty && census.forall(_._1 == "right"), s"$census")
+    // the capped join omits every pair whose RIGHT endpoint shares the
+    // blob's over-cap home cell (capping drops points, not pairs) but
+    // keeps the rest
+    val droppedRight = rp.filter(p =>
+      math.floor(p._2 / eps) == 0 && math.floor(p._3 / eps) == 0)
+      .map(_._1).toSet
+    val capped = Spatial.epsJoin(ldf, "id", rblob, "id", eps,
+        maxCellSize = Some(15))
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(capped == want.keySet.filterNot(p => droppedRight(p._2)))
+  }
+
+  test("nearestWithinEps: left-join semantics, ties pick min right id") {
+    val left = Geometry.withPointGeometry(
+      Seq((1L, 0.0, 0.0), (2L, 100.0, 0.0), (3L, 500.0, 500.0))
+        .toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    // right 10/11 are EQUIDISTANT from left 1 (tie → min right id);
+    // right 12 is nearest to left 2; nothing within eps of left 3
+    val right = Geometry.withPointGeometry(
+      Seq((11L, 3.0, 0.0), (10L, -3.0, 0.0), (12L, 101.0, 0.0),
+          (13L, 120.0, 0.0))
+        .toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    val got = Spatial.nearestWithinEps(left, "id", right, "id", eps = 25.0)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) == (Some(10L), Some(9.0)), s"tie must pick min id: ${got(1L)}")
+    assert(got(2L) == (Some(12L), Some(1.0)), got(2L).toString)
+    assert(got(3L) == (None, None), s"no-neighbor left keeps NULLs: ${got(3L)}")
+    assert(got.size == 3, "every left id appears exactly once")
+  }
+
   test("null geometry components are excluded, not crashed on") {
     val df = Seq((1L, Some(0.0), Some(0.0)), (2L, None, Some(1.0)),
         (3L, Some(0.5), Some(0.5)))
