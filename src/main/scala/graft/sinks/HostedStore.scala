@@ -75,6 +75,15 @@ object HostedStore {
       committedParts: Set[String] = Set.empty,
       kind: String = "table",
       shadowedLayer: Option[DatasetState] = None,
+      /** Monotone per-item ROWS version, bumped centrally by
+        * [[computeItem]] whenever a mutation replaces the rows vector
+        * (and never otherwise — index/property-only updates keep it).
+        * The scan cache keys on (itemId, version): a superseded
+        * version's entries are invalidated eagerly at rotation, so the
+        * 8-slot LRU can never pin a dead multi-large-table rows vector
+        * until later misses happen to evict it.
+        */
+      version: Long = 0L,
       /** Maintained key→row-position index for the ACTIVE merge key
         * (lowercased field → value → index into `rows`). This is the
         * service-contract cost model: a real hosted upsert goes through
@@ -103,9 +112,17 @@ object HostedStore {
     var out: Option[A] = None
     tables.compute(itemId, (_: String, t: TableState) => {
       if (t == null) throw new NoSuchElementException(s"no hosted table '$itemId'")
-      val (nt, a) = f(t)
+      val (nt0, a) = f(t)
       out = Some(a)
-      nt
+      // Central rows-version bump + eager scan-cache invalidation: every
+      // mutation flows through here, so ordinary version rotation
+      // (append/upsert between scans) can never leave a superseded rows
+      // vector pinned by the cache. Index/property-only updates keep the
+      // version (their cached filter passes stay valid — same rows).
+      if (nt0.rows ne t.rows) {
+        invalidateFilterCache(itemId)
+        nt0.copy(version = t.version + 1)
+      } else nt0
     })
     out.get
   }
@@ -300,28 +317,56 @@ object HostedStore {
 
   def rowCount(itemId: String): Long = get(itemId).rows.size.toLong
 
-  /** Tiny LRU of filtered row sets, keyed by the IDENTITY of the
-    * immutable `rows` vector plus a filter fingerprint. Offset pagination
-    * naively re-filters the whole table per page — O(pages × table) =
+  /** Tiny LRU of filtered row sets, keyed by (itemId, rows version,
+    * normalized filter fingerprint). Offset pagination naively
+    * re-filters the whole table per page — O(pages × table) =
     * O(table² / pageSize), quadratic in the table (measured: the sf1
     * pushdown scan trended past linear as page count grew). A real
     * service executes the query once and cursors through it; the cache
-    * gives the double the same cost shape. Correct by construction:
-    * every mutation builds a NEW rows vector, so a stale entry can never
-    * be keyed by a live table state — entries for dead versions age out
-    * of the 8-slot LRU. Values share Row references with the table, so
-    * a cached entry costs one pointer array, not a copy.
+    * gives the double the same cost shape.
+    *
+    * Lifecycle: [[computeItem]] bumps the version and EAGERLY removes
+    * the item's entries whenever a mutation replaces the rows vector,
+    * so a superseded multi-large-table version is collectable the
+    * moment it rotates (never parked in an LRU slot); drop/reset clear
+    * wholesale. Keying on itemId (not rows identity) also means two
+    * distinct tables can never alias an entry — previously the shared
+    * `Vector.empty` singleton made all empty tables hit each other's
+    * slots, masking per-schema FilterEval errors.
+    *
+    * The fingerprint compares STRUCTURALLY (a stringified form would
+    * erase value types and let crafted string values collide across
+    * delimiter boundaries), with one normalization: Array-valued filter
+    * payloads (`In` value lists, binary-column comparisons) are
+    * rewritten to Seq — arrays compare by REFERENCE, so semantically
+    * identical filter sets from different plan instances would never
+    * hit and the scan would silently fall back to the O(pages × table)
+    * re-filter the cache exists to kill.
+    *
+    * Values share Row references with the table, so a cached entry
+    * costs one pointer array, not a copy. Empty tables skip the cache
+    * (the pass is O(0); no point spending a slot).
     */
-  private final class FilterCacheKey(val rows: AnyRef, val fk: Seq[Filter]) {
-    // the filter part compares STRUCTURALLY (Filter case classes):
-    // a stringified fingerprint would erase value types and let crafted
-    // string values collide across delimiter boundaries
-    override def hashCode: Int =
-      System.identityHashCode(rows) * 31 + fk.hashCode
-    override def equals(o: Any): Boolean = o match {
-      case k: FilterCacheKey => (k.rows eq rows) && k.fk == fk
-      case _                 => false
-    }
+  private final case class FilterCacheKey(itemId: String, version: Long,
+                                          fk: Seq[Any])
+  private def normVal(v: Any): Any = v match {
+    case a: Array[_] => a.toSeq.map(normVal)
+    case x           => x
+  }
+  private def normFilter(f: Filter): Any = f match {
+    case And(l, r)                => ("and", normFilter(l), normFilter(r))
+    case Or(l, r)                 => ("or", normFilter(l), normFilter(r))
+    case Not(c)                   => ("not", normFilter(c))
+    case In(a, vs)                => ("in", a, vs.toSeq.map(normVal))
+    case EqualTo(a, v)            => ("eq", a, normVal(v))
+    case EqualNullSafe(a, v)      => ("eqns", a, normVal(v))
+    case GreaterThan(a, v)        => ("gt", a, normVal(v))
+    case GreaterThanOrEqual(a, v) => ("ge", a, normVal(v))
+    case LessThan(a, v)           => ("lt", a, normVal(v))
+    case LessThanOrEqual(a, v)    => ("le", a, normVal(v))
+    case other                    => other // scalar-free leaves (IsNull,
+                                           // StringStartsWith, …) compare
+                                           // structurally as-is
   }
   private val filteredCache =
     new java.util.LinkedHashMap[FilterCacheKey, Vector[Row]](16, 0.75f, true) {
@@ -329,10 +374,24 @@ object HostedStore {
           e: java.util.Map.Entry[FilterCacheKey, Vector[Row]]): Boolean =
         size() > 8
     }
+  private def invalidateFilterCache(itemId: String): Unit =
+    filteredCache.synchronized {
+      filteredCache.keySet.removeIf(_.itemId == itemId)
+    }
+  /** Test hook: the (itemId, version) of every live cache entry — lets
+    * specs pin the lifecycle (rotation invalidates, equal-fingerprint
+    * scans share a slot, empty tables take none) without widening the
+    * cache's API.
+    */
+  private[graft] def filterCacheEntries: Seq[(String, Long)] =
+    filteredCache.synchronized {
+      filteredCache.keySet.asScala.toSeq.map(k => (k.itemId, k.version))
+    }
   private def filteredRows(t: TableState, filters: Array[Filter]): Vector[Row] =
-    if (filters.isEmpty) t.rows
+    if (filters.isEmpty || t.rows.isEmpty) t.rows
     else {
-      val key = new FilterCacheKey(t.rows, filters.toSeq)
+      val key = FilterCacheKey(t.itemId, t.version,
+        filters.toSeq.map(normFilter))
       // the O(table) filter pass runs OUTSIDE the lock: holding the
       // global cache mutex through it would serialize cold scans of
       // UNRELATED tables (concurrent same-key misses just compute twice
@@ -370,7 +429,12 @@ object HostedStore {
   /** Count of rows matching the filters (the remote `returnCountOnly`),
     * used by the driver to plan offset pages. Goes through
     * [[filteredRows]] so the count that PLANS the pages and the pages
-    * themselves share one filter pass over the table.
+    * themselves share one filter pass over the table. DELIBERATE
+    * allocation: the count materializes the filtered Vector (one pointer
+    * array) and takes a cache slot even for a count-only caller — in the
+    * DSv2 read path a count always precedes paging, so the materialized
+    * pass is the one the pages reuse; a streamed O(1)-memory count would
+    * just force the filter pass to run twice.
     */
   def queryCount(itemId: String, filters: Array[Filter]): Long = {
     val t = get(itemId)
