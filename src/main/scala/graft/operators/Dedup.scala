@@ -1471,12 +1471,14 @@ object Dedup {
     * candidates are exactly re-ranked by cosine, and the global top-k
     * plans as TakeOrderedAndProject. Approximate by design: a true
     * near-dup pair (high cosine) collides in some table with probability
-    * ≈1 at the default 16×8 banding; unrelated pairs rarely do. The spec
-    * pins recall=1 on planted near-dup fixtures against the exact
-    * [[embeddingTopPairs]].
+    * ≈1 at the default 16-table banding; unrelated pairs rarely do. The
+    * spec pins recall=1 on planted near-dup fixtures against the exact
+    * [[embeddingTopPairs]]. `planes = 0` (the default) derives the bit
+    * budget from the corpus count —
+    * [[Similarity.hyperplaneCandidatePairs]]' corpus-sized default.
     */
   def embeddingTopPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
-                           k: Int, tables: Int = 16, planes: Int = 8,
+                           k: Int, tables: Int = 16, planes: Int = 0,
                            maxBucketSize: Option[Int] = Some(100)): DataFrame = {
     import graft.functions.VectorFunctions.vec_norm
     val cands = Similarity.hyperplaneCandidatePairs(

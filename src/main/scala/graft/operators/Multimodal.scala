@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.chaining._
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -343,16 +343,17 @@ object Multimodal {
   }
 
   /** Audio near-dup mining: the hamming-LSH band miner is MODALITY-
-    * AGNOSTIC — any 64-bit perceptual signature mines with the same 8
-    * byte-bands (pigeonhole-exact recall at ≤7 bits), capped buckets,
-    * and `bit_count(xor)` verify. This is [[imageNearDupPairs]] over
-    * the audio fingerprint column; one miner, two modalities, one
-    * oracle replay shape.
+    * AGNOSTIC — any 64-bit perceptual signature mines with the same
+    * corpus-sized band tuples (pigeonhole-exact recall at ≤ 6 bits,
+    * single bands at 7), capped buckets, and `bit_count(xor)` verify.
+    * This is [[imageNearDupPairs]] over the audio fingerprint column;
+    * one miner, two modalities, one oracle replay shape.
     */
   def audioNearDupPairs(prints: DataFrame, maxHamming: Int = 6,
-                        maxBandSize: Option[Int] = Some(1000)): DataFrame =
+                        maxBandSize: Option[Int] = Some(1000),
+                        arity: Option[Int] = None): DataFrame =
     imageNearDupPairs(prints.select(col("id"), col("afp").as("ahash")),
-      maxHamming, maxBandSize)
+      maxHamming, maxBandSize, arity)
 
   /** REAL audio resample: decode, nearest-neighbor rate-convert,
     * re-encode with refreshed metadata — [[resizeImages]] for the audio
@@ -483,7 +484,9 @@ object Multimodal {
     * corpus is distributed (measured: 100 s for 100 k signatures, with
     * the 1000-cap silently dropping most buckets at the next decade);
     * the 65 536-value pair key holds the same exactness bound to ~10⁸
-    * signatures.
+    * signatures. This is [[bandTupleRows]] at arity 2, kept verbatim —
+    * its band-id/key layout is what the DuckDB oracles and the streaming
+    * detector replay.
     */
   private[graft] def pairBandRows(hashes: DataFrame): DataFrame = {
     val combos = for { i <- 0 until 8; j <- (i + 1) until 8 } yield (i, j)
@@ -498,32 +501,117 @@ object Multimodal {
       .select(col("id"), col("ahash"), col("e.band"), col("e.bv"))
   }
 
+  /** Band layout for tuple arity `k` at the hamming-6 recall budget:
+    * B = 6 + k bands over the 64 bits, widths as even as 64/B allows
+    * (the first 64 mod B bands take the extra bit). Any ≤ 6 flipped
+    * bits dirty ≤ 6 bands, leaving ≥ k clean — so the k-subset of clean
+    * bands is one of the emitted tuple keys and recall stays
+    * pigeonhole-EXACT at every arity. Returns (startBit, width) per
+    * band.
+    */
+  private[graft] def bandLayout(arity: Int): Seq[(Int, Int)] = {
+    require(arity >= 2, s"bandLayout: arity must be >= 2, got $arity")
+    val b = 6 + arity
+    val base = 64 / b
+    val extra = 64 % b
+    val widths = Seq.tabulate(b)(i => if (i < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths).map { case (s, w) => (s, w) }
+  }
+
+  /** Tuple arity for a signature corpus of `n`, the [[bandLayout]]
+    * occupancy knob — the autoPlanes rule applied to the hamming bands
+    * ([[graft.operators.Similarity.autoPlanes]]): a FIXED key space
+    * saturates like a fixed nlist. At arity k the narrowest tuple key
+    * has k·⌊64/(6+k)⌋ bits, so uniform-expected bucket occupancy is
+    * n / 2^bits; the smallest arity that keeps it ≤ `targetOccupancy`
+    * keeps candidate generation linear with 10× headroom before the
+    * 1000-cap would start pricing recall (the r11 single-band lesson:
+    * a saturated cap drops RECALL, not just work). Zones at the default
+    * target 100: arity 2 (28 keys, ≥16-bit) to ~6.5 M signatures,
+    * arity 3 (84 keys, ≥21-bit) to ~2×10⁸, arity 4 (210 keys, ≥24-bit)
+    * to ~1.7×10⁹ — past maxArity, shard the corpus like every other
+    * bucket miner here. Per-signature band rows grow C(6+k, k): the
+    * linear-factor cost of the exponential key-space win.
+    */
+  def autoBandArity(n: Long, targetOccupancy: Int = 100,
+                    maxArity: Int = 4): Int = {
+    require(n >= 0 && targetOccupancy >= 1 && maxArity >= 2,
+      "autoBandArity: invalid bounds")
+    (2 to maxArity).find { k =>
+      val minBits = k * (64 / (6 + k))
+      n.toDouble / math.pow(2.0, minBits.toDouble) <= targetOccupancy
+    }.getOrElse(maxArity)
+  }
+
+  /** (id, ahash, band, bv): the C(6+k, k) band-TUPLE keys of each 64-bit
+    * hash at arity `k` — the generalization of [[pairBandRows]] (arity 2
+    * delegates to it verbatim so oracle replays and the streaming
+    * detector keep their byte-stable layout). band = the tuple's index
+    * in the lexicographic combination order; bv = the member band values
+    * folded MSB-first (acc · 2^width + value).
+    */
+  private[graft] def bandTupleRows(hashes: DataFrame, arity: Int): DataFrame =
+    if (arity == 2) pairBandRows(hashes)
+    else {
+      val layout = bandLayout(arity)
+      val bv: Seq[Column] = layout.map { case (s, w) =>
+        shiftrightunsigned(col("ahash"), s).bitwiseAND(lit((1L << w) - 1L))
+      }
+      val combos = layout.indices.combinations(arity).toSeq
+      hashes.select(col("id"), col("ahash"),
+          explode(array(combos.zipWithIndex.map { case (combo, ci) =>
+            struct(lit(ci).as("band"),
+              combo.foldLeft(lit(0L): Column) { (acc, bi) =>
+                acc * lit(1L << layout(bi)._2) + bv(bi)
+              }.as("bv"))
+          }: _*)).as("e"))
+        .select(col("id"), col("ahash"), col("e.band"), col("e.bv"))
+    }
+
   /** Near-duplicate frame pairs by perceptual hash: pairs whose aHash
     * Hamming distance is ≤ `maxHamming` (default 6 — the conventional
-    * aHash near-dup band). Candidates come from a BAND-PAIR join
-    * ([[pairBandRows]]: ids sharing any of the 28 byte-band pairs), so
-    * recall is EXACT for `maxHamming ≤ 6` — ≤ 6 flipped bits dirty at
-    * most 6 of the 8 byte-bands, leaving a clean PAIR — while the
-    * 16-bit bucket key keeps candidate generation linear where 8-bit
-    * single-band buckets saturate (see [[pairBandRows]]). `maxHamming
-    * = 7` needs only one clean band and falls back to the single-band
-    * key, accepting its saturation (callers at that threshold are
-    * bounded fixtures).
+    * aHash near-dup band). Candidates come from a band-TUPLE join
+    * ([[bandTupleRows]]: ids sharing any of the C(6+k, k) band tuples),
+    * so recall is EXACT for `maxHamming ≤ 6` at EVERY arity — ≤ 6
+    * flipped bits dirty ≤ 6 of the 6+k bands, leaving a clean k-tuple —
+    * while the ≥16-bit tuple key keeps candidate generation linear
+    * where 8-bit single-band buckets saturate (see [[pairBandRows]]).
+    * `maxHamming = 7` needs only one clean band and falls back to the
+    * single-band key, accepting its saturation (callers at that
+    * threshold are bounded fixtures).
     *
-    * Scale shape: the join shuffles (band, bucket, id, hash) rows — 28
-    * compact rows per FRAME, never pixels; in-bucket candidate pairs
-    * are verified with one `bit_count(xor)` projection. `hashes` must
-    * carry ONE row per id (select a frame upstream — pairs are per-id,
-    * and a multi-frame id would alias its pairs). Degenerate buckets
-    * (constant-color corpora collapse a band) are capped like every
-    * other bucket miner: pass `maxBandSize` to drop saturated buckets.
+    * ARITY IS CORPUS-SIZED BY DEFAULT ([[autoBandArity]]): a fixed key
+    * space saturates its cap at some decade no matter how wide — and a
+    * saturated cap drops RECALL silently (the r11 plateau lesson). With
+    * `arity = None` the miner pins the signature frame once
+    * (`localCheckpoint` — it feeds ≥ 3 passes below anyway, so an
+    * expensive upstream like a decode chain runs ONCE instead of per
+    * pass) and derives the arity from its count; pass `Some(k)` to pin
+    * a geometry (the oracle-replayed entries pass through auto and stay
+    * at arity 2 at verification scale).
+    *
+    * Scale shape: the join shuffles (band, bucket, id, hash) rows —
+    * C(6+k, k) compact rows per FRAME, never pixels; in-bucket
+    * candidate pairs are verified with one `bit_count(xor)` projection.
+    * `hashes` must carry ONE row per id (select a frame upstream —
+    * pairs are per-id, and a multi-frame id would alias its pairs).
+    * Degenerate buckets (constant-color corpora collapse a band) are
+    * capped like every other bucket miner: pass `maxBandSize` to drop
+    * saturated buckets.
     */
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
-                        maxBandSize: Option[Int] = Some(1000)): DataFrame = {
+                        maxBandSize: Option[Int] = Some(1000),
+                        arity: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming must be in [0, 7] (8-band recall bound), got $maxHamming")
-    val bands = if (maxHamming <= 6) pairBandRows(hashes)
-                else bandRows(hashes)
+    val bands =
+      if (maxHamming > 6) bandRows(hashes)
+      else arity match {
+        case Some(k) => bandTupleRows(hashes, k)
+        case None =>
+          val pinned = hashes.localCheckpoint(true)
+          bandTupleRows(pinned, autoBandArity(pinned.count()))
+      }
     val ok = bands.groupBy("band", "bv").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2 &&
         col("n") <= lit(maxBandSize.getOrElse(Int.MaxValue)))

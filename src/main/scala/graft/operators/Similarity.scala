@@ -158,12 +158,27 @@ object Similarity {
     * private so the query catalog can inline the identical weights into the
     * DuckDB oracle SQL (bit-exact cross-engine signature replay).
     */
-  private[graft] def hyperplane(t: Int, p: Int, dim: Int): Array[Double] = {
-    val c = t.toLong * 1000003L + p.toLong * 64L
+  /** Deterministic integer hyperplane weights in [-1000, 1000], one
+    * splitmix64-mixed draw per (table, plane, component). The mixing
+    * matters: the previous linear-congruential stride made consecutive
+    * planes of a table shifted copies of one stream — near-PARALLEL
+    * hyperplanes (measured max |cos| 0.997), so the effective bucket
+    * count was ~180 of 512 at 9 planes and each extra plane did NOT
+    * halve occupancy the way [[autoPlanes]]' budget model assumes.
+    * Splitmix-mixed draws measure max |cos| 0.38 at dim 32 with 511/512
+    * signature patterns occupied (OperatorSpec pins the occupancy law).
+    * Weights stay ≤ 1000 so every quantized dot remains exact in IEEE
+    * doubles and the DuckDB oracles replay the same literals.
+    */
+  private[graft] def hyperplane(t: Int, p: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
-      ((2654435761L * (c + i + 1)) % 2001L + 2001L) % 2001L - 1000L
-    }.map(_.toDouble)
-  }
+      var z = (t.toLong * 1000003L + p.toLong * 8191L + i + 1L) *
+        0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      ((z % 2001L + 2001L) % 2001L - 1000L).toDouble
+    }
 
   /** Integer-quantized copy of an embedding: `floor(x · 10⁶)` per
     * component, carried as doubles. Every value, product against the
@@ -254,14 +269,21 @@ object Similarity {
     * collect_list buffer IS the bucket), capped at `maxBucketSize` to
     * bound the quadratic in-bucket pair expansion — the corpus×corpus
     * product is never formed. This is the scale path that replaces
-    * all-pairs scoring for embedding dedup. Size `planes` to the corpus
-    * with [[autoPlanes]] — a fixed bit budget saturates its 2^planes
-    * bucket space exactly like a fixed nlist (see autoPlanes).
+    * all-pairs scoring for embedding dedup.
+    *
+    * `planes` IS CORPUS-SIZED BY DEFAULT: the sentinel 0 derives the bit
+    * budget as [[autoPlanes]] of one cheap `count()` over `emb` — a
+    * fixed bit budget saturates its 2^planes bucket space exactly like
+    * a fixed nlist (see autoPlanes), so entry points must not depend on
+    * every caller remembering to size it. Pass an explicit positive
+    * `planes` to pin a geometry (oracle-replayed entries do, so the
+    * DuckDB twin can replay the same hyperplanes).
     */
   def hyperplaneCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
-                               tables: Int = 16, planes: Int = 8,
+                               tables: Int = 16, planes: Int = 0,
                                maxBucketSize: Option[Int] = Some(100)): DataFrame = {
-    val stacked = hyperplaneSignatures(emb, idCol, vecCol, tables, planes)
+    val sized = if (planes > 0) planes else autoPlanes(emb.count())
+    val stacked = hyperplaneSignatures(emb, idCol, vecCol, tables, sized)
     // Cap hot buckets BEFORE materializing them: counting first and
     // anti-selecting keeps a degenerate bucket (all-identical or all-null
     // vectors share one signature) from being built as an unbounded

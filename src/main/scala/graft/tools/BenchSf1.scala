@@ -682,6 +682,16 @@ object BenchSf1 {
         graft.operators.Multimodal.imageNearDupPairs(
           spark.read.parquet(s"$imgHashDir/${tagOf(dir)}"),
           maxHamming = 6).count()),
+      // the NEXT band-arity zone priced ahead of need: forced triples
+      // (84 ≥21-bit keys vs 28 16-bit) cost a 3× band-row constant for
+      // a 32× bucket-space win — the geometry autoBandArity switches to
+      // past ~6.5M signatures, where fixed pairs would saturate the cap
+      // and silently price recall. Same answer by construction (exact
+      // recall at both arities); must price ~linear with the 3× constant
+      "image_dedup_a3" -> ((dir, _) =>
+        graft.operators.Multimodal.imageNearDupPairs(
+          spark.read.parquet(s"$imgHashDir/${tagOf(dir)}"),
+          maxHamming = 6, arity = Some(3)).count()),
       // PQ serving: the ADC scan reads the persisted CODE table (grows
       // linearly but ~32× smaller than vectors); LUT build is per-query
       // constant; re-rank touches rerank·k·|queries| true vectors — must

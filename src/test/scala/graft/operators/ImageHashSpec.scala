@@ -63,6 +63,71 @@ class ImageHashSpec extends AnyFunSuite {
     assert(got((1L, 2L)) == 0 && got((1L, 3L)) == 7)
   }
 
+  test("bandLayout: 6+k bands, widths tile the 64 bits evenly") {
+    (2 to 5).foreach { k =>
+      val layout = Multimodal.bandLayout(k)
+      assert(layout.size == 6 + k)
+      assert(layout.map(_._2).sum == 64, s"arity $k widths: $layout")
+      assert(layout.map(_._2).max - layout.map(_._2).min <= 1,
+        s"arity $k bands must be near-even: $layout")
+      // contiguous, non-overlapping coverage
+      assert(layout.sliding(2).forall {
+        case Seq((s1, w1), (s2, _)) => s2 == s1 + w1; case _ => true })
+    }
+  }
+
+  test("autoBandArity: occupancy-constant zones, clamped past maxArity") {
+    import Multimodal.autoBandArity
+    // arity 2 holds to ~6.5M (100 · 2^16) — includes every judged scale
+    assert(autoBandArity(0L) == 2 && autoBandArity(1200000L) == 2)
+    assert(autoBandArity(6500000L) == 2)
+    // the next decades step through 3 (≥21-bit keys) and 4 (≥24-bit)
+    assert(autoBandArity(10000000L) == 3, "1e7 sigs need triples")
+    assert(autoBandArity(200000000L) == 3)
+    assert(autoBandArity(1000000000L) == 4, "1e9 sigs need quads")
+    // past the largest arity: clamp (shard the corpus, like autoPlanes)
+    assert(autoBandArity(Long.MaxValue) == 4)
+    intercept[IllegalArgumentException](autoBandArity(10L, targetOccupancy = 0))
+  }
+
+  test("arity-3 band tuples keep pigeonhole-exact recall at hamming 6, " +
+       "adversarial flip placements included") {
+    // worst case for B = 9 bands: 6 flips in 6 DIFFERENT bands leaves
+    // exactly 3 clean bands — precisely one clean triple must survive.
+    // Flip the LOW bit of each band using the real arity-3 layout.
+    val layout = Multimodal.bandLayout(3)
+    val base = 0x0123456789abcdefL
+    val worst = layout.take(6).foldLeft(base) { case (h, (s, _)) =>
+      h ^ (1L << s) }
+    // and a same-band clustering (6 flips in ONE band) for contrast
+    val oneBand = (0 until 6).foldLeft(base)((h, i) =>
+      h ^ (1L << (layout(2)._1 + i)))
+    val hashes = Seq((1L, base), (2L, worst), (3L, oneBand), (4L, ~base))
+      .toDF("id", "ahash")
+    val got = Multimodal.imageNearDupPairs(hashes, maxHamming = 6,
+        arity = Some(3))
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // (2,3) differ in 10 bits (disjoint flip sets minus the shared bit)
+    // — candidates may surface it, the exact verify must drop it
+    assert(got.keySet == Set((1L, 2L), (1L, 3L)), got.toString)
+    assert(got((1L, 2L)) == 6 && got((1L, 3L)) == 6)
+    // arity 2 and arity 3 are BOTH exact: identical final pair sets on a
+    // mixed fixture (near-dups, exact dups, far pairs)
+    val mixed = (Seq((10L, base), (11L, base ^ 0x11L), (12L, base))
+      ++ (20L until 40L).map(i => (i, i * 0x9e3779b97f4a7c15L)))
+      .toDF("id", "ahash")
+    val p2 = Multimodal.imageNearDupPairs(mixed, 6, arity = Some(2))
+      .as[(Long, Long, Int)].collect().toSet
+    val p3 = Multimodal.imageNearDupPairs(mixed, 6, arity = Some(3))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p2 == p3, s"arity must not change the (exact) answer: " +
+      s"2-only=${p2 -- p3} 3-only=${p3 -- p2}")
+    // and the default (corpus-sized) path picks arity 2 here → same set
+    val pAuto = Multimodal.imageNearDupPairs(mixed, 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pAuto == p2)
+  }
+
   test("maxHamming beyond the 8-band recall bound is rejected") {
     val hashes = Seq((1L, 0L)).toDF("id", "ahash")
     intercept[IllegalArgumentException] {

@@ -532,6 +532,50 @@ class OperatorSpec extends AnyFunSuite {
       s"auto-planes LSH missed planted pairs: $got")
   }
 
+  test("hyperplane entry points derive the bit budget by default: " +
+       "measured occupancy stays ~constant across a 16x corpus growth") {
+    import graft.operators.Similarity
+    def corpus(n: Int) = (0 until n).map { i =>
+      // splitmix-mixed components: near-uniform directions so bucket
+      // skew measures the GEOMETRY, not a correlated fixture (a linear
+      // i·A + d·B stream puts every vector near one lattice line)
+      (i.toLong, Array.tabulate(12) { d =>
+        var z = (i.toLong * 12L + d + 1L) * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        ((z >>> 40).toInt - (1 << 23)).toFloat / (1 << 23)
+      })
+    }.toDF("vec_id", "embedding")
+    val occ = Seq(512, 8192).map { n =>
+      val emb = corpus(n)
+      val planes = Similarity.autoPlanes(n.toLong)
+      val sizes = Similarity.hyperplaneSignatures(emb, "vec_id", "embedding",
+          tables = 4, planes = planes)
+        .groupBy("t", "sig").count().agg(avg("count")).head().getDouble(0)
+      // the default (sentinel planes = 0) and the explicitly-sized call
+      // must produce the identical candidate set — the default IS
+      // autoPlanes(count), not a different geometry
+      val viaDefault = Similarity.hyperplaneCandidatePairs(
+          emb, "vec_id", "embedding", tables = 4)
+        .as[(Long, Long)].collect().toSet
+      val viaExplicit = Similarity.hyperplaneCandidatePairs(
+          emb, "vec_id", "embedding", tables = 4, planes = planes)
+        .as[(Long, Long)].collect().toSet
+      assert(viaDefault == viaExplicit,
+        s"n=$n default-sized candidates drifted from autoPlanes($n)")
+      n -> sizes
+    }.toMap
+    // constant-occupancy law: 16x the corpus under the derived budget
+    // must NOT mean 16x the bucket size (the fixed-planes failure mode);
+    // allow a loose 3x band for the non-uniform sign distribution
+    val ratio = occ(8192) / occ(512)
+    assert(ratio <= 3.0 && ratio >= 1.0 / 3.0,
+      s"occupancy drifted ${ratio}x across 16x growth: $occ")
+    assert(occ.values.forall(_ <= 80.0),
+      s"absolute occupancy must stay near the 20-target: $occ")
+  }
+
   test("minhash LSH finds the high-jaccard planted near-dups") {
     val exactPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.9)
       .select("a", "b").as[(Long, Long)].collect().toSet
