@@ -217,6 +217,46 @@ object Spatial {
       .select("a", "b", "dist2")
   }
 
+  /** WRITE-SIDE spatial locality pass for point layers: a Morton
+    * (z-order) bucket column `zb` derived from the GEOMETRY, so a
+    * persisted layer's storage units carry tight x/y zone maps and a
+    * bbox read (`ap.py:246-249`'s spatial surface; the connector's
+    * bbox pushdown) prunes units instead of scanning the layer. The
+    * [[Scale.zorderBy]] recipe wired to the geometry convention:
+    * bounds (ONE 1-row aggregate — the only driver action), monotone
+    * affine bucketization of x and y into [0, 2^bits) (a pmod wrap
+    * would mix far-apart coordinates into one bucket and its zone map
+    * would span the whole domain — the x_layout_prunestats lesson),
+    * bit-interleave ([[Scale.zValue]]), keep the top `unitBits` as the
+    * bucket: 2^unitBits spatially-coherent units (default 64).
+    *
+    * Write `.repartition($"zb").partitionBy("zb")` (or sort by the full
+    * z-value for finer row-group locality); gauge what the layout buys
+    * with [[Scale.pruneStats]] — the catalog pairs both. All original
+    * columns are preserved; rows with null geometry land in bucket 0.
+    * Every arithmetic step is IEEE-exact fixed-order double math, so an
+    * oracle replays bucket assignment bit-identically.
+    */
+  def zorderLayout(points: DataFrame, bits: Int = 10,
+                   unitBits: Int = 6): DataFrame = {
+    require(bits >= unitBits && unitBits >= 1 && bits <= 20,
+      s"zorderLayout: need 1 <= unitBits <= bits <= 20, got ($bits, $unitBits)")
+    val gx = graft.api.Geometry.x(points)
+    val gy = graft.api.Geometry.y(points)
+    val b = points.agg(min(gx), max(gx), min(gy), max(gy)).head()
+    def bucket(c: Column, mnI: Int): Column =
+      if (b.isNullAt(mnI) || b.isNullAt(mnI + 1) ||
+          !(b.getDouble(mnI + 1) > b.getDouble(mnI))) lit(0L)
+      else {
+        val mn = b.getDouble(mnI); val mx = b.getDouble(mnI + 1)
+        least(floor((c - lit(mn)) * lit((1L << bits).toDouble) /
+          lit(mx - mn)).cast("long"), lit((1L << bits) - 1L))
+      }
+    val z = Scale.zValue(bucket(gx, 0), bucket(gy, 2), bits)
+    points.withColumn("zb",
+      coalesce(shiftrightunsigned(z, 2 * bits - unitBits), lit(0L)))
+  }
+
   /** DBSCAN clustering over the point layer: core points (≥ `minPts`
     * neighbors within `eps`, INCLUDING the point itself — the standard
     * definition), clusters = connected components of the core-core

@@ -1010,6 +1010,7 @@ private[queries] object CatalogHelpers {
   val cdcSyncIdxDir = "/tmp/graft_ivf_idx_cdcsync"
   val pqSyncIdxDir = "/tmp/graft_pq_idx_cdcsync"
   val pruneStatsDir = "/tmp/graft_zorder_layout"
+  val spatialLayoutDir = "/tmp/graft_spatial_layout"
 
   /** The 8-word re-lining shared by the line-dedup batch entry, its
     * streaming twin, and their common oracle (the fixture's documents

@@ -314,6 +314,23 @@ private[queries] object ExtensionOraclesA {
           |FROM cpts c LEFT JOIN best ON best.a = c.id
           |ORDER BY a""".stripMargin,
 
+      "x_spatial_prunestats" ->
+        // the census replay from the staged spatial layout alone: hive
+        // bucket as the unit label (CAST both sides — Spark infers the
+        // partition column INT, DuckDB may type it VARCHAR), min/max
+        // zone maps on x and y, bbox-disjointness flags
+        s"""WITH r AS (SELECT x, y, CAST(zb AS BIGINT) AS file
+           |  FROM read_parquet('$spatialLayoutDir/*/*.parquet',
+           |                    hive_partitioning = true))
+           |SELECT file, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(x) AS min_x, max(x) AS max_x,
+           |  min(y) AS min_y, max(y) AS max_y,
+           |  CAST(CASE WHEN max(x) < 0 OR min(x) > 2000
+           |       THEN 1 ELSE 0 END AS INTEGER) AS prune_x,
+           |  CAST(CASE WHEN max(y) < 100 OR min(y) > 400
+           |       THEN 1 ELSE 0 END AS INTEGER) AS prune_y
+           |FROM r GROUP BY file ORDER BY file""".stripMargin,
+
       "x_spatial_dropped" ->
         // the census replay: home-cell occupancy over the SAME floor(x/eps)
         // grid arithmetic, cells over the cap only

@@ -1057,6 +1057,32 @@ private[queries] object ExtensionQueriesC {
         .orderBy("cellx", "celly")
     }),
 
+    "x_spatial_prunestats" -> ((s, dir) => { // oracle: census replay over the staged layout
+      // BBOX FILE SKIPPING ON A POINT LAYER, MEASURED — Scale.zorderBy's
+      // pruning wired to the spatial read surface (ap.py:246-249 reads
+      // layers; the connector pushes bbox filters): the layer is
+      // persisted in Spatial.zorderLayout order (geometry-derived Morton
+      // buckets as the hive unit footer stats attach to), then the
+      // zone-map census flags every unit a stats-aware bbox scan never
+      // opens. Hash-verifies because the bucketized layout is a pure
+      // function of the data (bounds agg + fixed-order IEEE affine).
+      val staged = stageIndex(spatialLayoutDir, dir) {
+        val back = customerPointLayer(s, dir, "q_layer_spatial")
+        val laid = graft.operators.Spatial.zorderLayout(
+          back.select(col("c_custkey"), col("geometry")))
+        laid.select(col("c_custkey"),
+            graft.api.Geometry.x(laid).as("x"),
+            graft.api.Geometry.y(laid).as("y"), col("zb"))
+          .repartition(col("zb"))
+          .write.mode("overwrite").partitionBy("zb")
+          .parquet(spatialLayoutDir)
+      }
+      graft.operators.Scale.pruneStats(s.read.parquet(staged),
+          Seq("x", "y"), Seq(("x", 0L, 2000L), ("y", 100L, 400L)),
+          fileLabel = col("zb").cast("long"))
+        .orderBy("file")
+    }),
+
     "x_multimodal_imagehash" -> ((s, dir) => { // real BMP decode: rows-only oracle
       // Perceptual image dedup: REAL BMP decode → 8×8 aHash → byte-band
       // candidate join → exact Hamming verify (recall is pigeonhole-exact

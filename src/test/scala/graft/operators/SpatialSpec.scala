@@ -185,6 +185,48 @@ class SpatialSpec extends AnyFunSuite {
     assert(got.size == 3, "every left id appears exactly once")
   }
 
+  test("zorderLayout: spatially-coherent buckets whose zone maps prune a " +
+       "bbox strictly better than row order") {
+    // a 40x40 grid of points: spatial locality exists, row order (id)
+    // deliberately interleaves far-apart rows (id strides x first)
+    val pts = (0 until 1600).map { i =>
+      (i.toLong, (i % 40).toDouble * 10.0, (i / 40).toDouble * 10.0)
+    }
+    val df = Geometry.withPointGeometry(
+      pts.toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    val laid = Spatial.zorderLayout(df)
+    val rows = laid.select(col("id"), col("zb")).as[(Long, Long)]
+      .collect().toMap
+    assert(rows.size == 1600, "all rows kept")
+    assert(rows.values.forall(z => z >= 0 && z < 64), "zb in [0, 64)")
+    // coherence: adjacent points share a bucket; far corners do not
+    assert(rows(0L) == rows(1L), "neighbors share a bucket")
+    assert(rows(0L) != rows(1599L), "opposite corners must not")
+    // THE LAYOUT'S VALUE, MEASURED (the pruneStats gauge): a corner bbox
+    // against 16 z-ordered units vs 16 row-ordered units
+    def pruned(units: org.apache.spark.sql.DataFrame) =
+      Scale.pruneStats(units, Seq("px", "py"),
+          Seq(("px", 0L, 60L), ("py", 0L, 60L)), fileLabel = col("unit"))
+        .select(col("prune_px") + col("prune_py"))
+        .as[Int].collect().count(_ > 0)
+    val zUnits = laid.select(
+      graft.api.Geometry.x(laid).as("px"), graft.api.Geometry.y(laid).as("py"),
+      (col("zb") / 4).cast("long").as("unit"))
+    val rowUnits = df.select(
+      graft.api.Geometry.x(df).as("px"), graft.api.Geometry.y(df).as("py"),
+      (col("id") / 100).cast("long").as("unit"))
+    val (zp, rp) = (pruned(zUnits), pruned(rowUnits))
+    assert(zp > rp,
+      s"z-layout must out-prune row order: z=$zp row=$rp of 16 units")
+    assert(zp >= 12, s"corner bbox should skip most z-units, got $zp/16")
+    // degenerate inputs: all-identical coordinates and null geometry
+    // land in bucket 0, never crash
+    val flat = Geometry.withPointGeometry(
+      Seq((1L, 5.0, 5.0), (2L, 5.0, 5.0)).toDF("id", "x", "y"), "x", "y")
+    assert(Spatial.zorderLayout(flat).select("zb").as[Long]
+      .collect().toSet == Set(0L))
+  }
+
   test("null geometry components are excluded, not crashed on") {
     val df = Seq((1L, Some(0.0), Some(0.0)), (2L, None, Some(1.0)),
         (3L, Some(0.5), Some(0.5)))
