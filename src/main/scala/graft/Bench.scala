@@ -105,6 +105,8 @@ object Bench {
     // machine's mood (r13: best-of-4 across runs was 1.005× vs r12 while
     // single-run totals read 1.25×)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps " +
+      "(0 reps = zero samples per query and an empty-min crash mid-run)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

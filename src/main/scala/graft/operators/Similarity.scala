@@ -282,8 +282,17 @@ object Similarity {
   def hyperplaneCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                                tables: Int = 16, planes: Int = 0,
                                maxBucketSize: Option[Int] = Some(100)): DataFrame = {
-    val sized = if (planes > 0) planes else autoPlanes(emb.count())
-    val stacked = hyperplaneSignatures(emb, idCol, vecCol, tables, sized)
+    // auto-sizing pins the corpus once (the imageNearDupPairs treatment):
+    // the count, the dim probe inside hyperplaneSignatures, and the
+    // signature pass would otherwise each re-evaluate an expensive
+    // upstream chain
+    val (src, sized) =
+      if (planes > 0) (emb, planes)
+      else {
+        val pinned = emb.select(col(idCol), col(vecCol)).localCheckpoint(true)
+        (pinned, autoPlanes(pinned.count()))
+      }
+    val stacked = hyperplaneSignatures(src, idCol, vecCol, tables, sized)
     // Cap hot buckets BEFORE materializing them: counting first and
     // anti-selecting keeps a degenerate bucket (all-identical or all-null
     // vectors share one signature) from being built as an unbounded

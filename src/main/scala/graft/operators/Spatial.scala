@@ -233,8 +233,10 @@ object Spatial {
     * Write `.repartition($"zb").partitionBy("zb")` (or sort by the full
     * z-value for finer row-group locality); gauge what the layout buys
     * with [[Scale.pruneStats]] — the catalog pairs both. All original
-    * columns are preserved; rows with null geometry land in bucket 0.
-    * Every arithmetic step is IEEE-exact fixed-order double math, so an
+    * columns are preserved; a null coordinate buckets its axis to 0
+    * (the min edge), so fully-null geometry lands in bucket 0 — never
+    * in the far-corner unit, whose zone map it would widen. Every
+    * arithmetic step is IEEE-exact fixed-order double math, so an
     * oracle replays bucket assignment bit-identically.
     */
   def zorderLayout(points: DataFrame, bits: Int = 10,
@@ -244,13 +246,22 @@ object Spatial {
     val gx = graft.api.Geometry.x(points)
     val gy = graft.api.Geometry.y(points)
     val b = points.agg(min(gx), max(gx), min(gy), max(gy)).head()
+    // null coordinates bucket to 0 EXPLICITLY (per the contract above):
+    // Spark's least() skips null arguments rather than propagating them,
+    // so without the coalesce a null coordinate would ride least()'s
+    // other operand into the TOP bucket and pollute the far-corner
+    // unit's zone map — the exact stats this layout exists to tighten
     def bucket(c: Column, mnI: Int): Column =
       if (b.isNullAt(mnI) || b.isNullAt(mnI + 1) ||
           !(b.getDouble(mnI + 1) > b.getDouble(mnI))) lit(0L)
       else {
         val mn = b.getDouble(mnI); val mx = b.getDouble(mnI + 1)
-        least(floor((c - lit(mn)) * lit((1L << bits).toDouble) /
-          lit(mx - mn)).cast("long"), lit((1L << bits) - 1L))
+        // coalesce INSIDE the least: least() SKIPS null arguments (it
+        // does not propagate them), so least(null_floor, lit(top))
+        // returns top — the null row must be pinned to 0 BEFORE least
+        // sees it, or it lands in the far-corner bucket
+        least(coalesce(floor((c - lit(mn)) * lit((1L << bits).toDouble) /
+          lit(mx - mn)).cast("long"), lit(0L)), lit((1L << bits) - 1L))
       }
     val z = Scale.zValue(bucket(gx, 0), bucket(gy, 2), bits)
     points.withColumn("zb",

@@ -110,20 +110,29 @@ object HostedStore {
     */
   private def computeItem[A](itemId: String)(f: TableState => (TableState, A)): A = {
     var out: Option[A] = None
+    var rotated = false
     tables.compute(itemId, (_: String, t: TableState) => {
       if (t == null) throw new NoSuchElementException(s"no hosted table '$itemId'")
       val (nt0, a) = f(t)
       out = Some(a)
-      // Central rows-version bump + eager scan-cache invalidation: every
-      // mutation flows through here, so ordinary version rotation
-      // (append/upsert between scans) can never leave a superseded rows
-      // vector pinned by the cache. Index/property-only updates keep the
-      // version (their cached filter passes stay valid — same rows).
+      // Central rows-version bump: every mutation flows through here, so
+      // ordinary version rotation (append/upsert between scans) can never
+      // leave a superseded rows vector pinned by the cache. Index/
+      // property-only updates keep the version (their cached filter
+      // passes stay valid — same rows).
       if (nt0.rows ne t.rows) {
-        invalidateFilterCache(itemId)
+        rotated = true
         nt0.copy(version = t.version + 1)
       } else nt0
     })
+    // Invalidate AFTER the new version is published (not inside the
+    // compute): a concurrent reader that snapshotted the old state and
+    // finishes its filter pass late either (a) puts before this line —
+    // removed here — or (b) puts after, where filteredRows' own
+    // version-at-put check sees the published new version and skips the
+    // insert. Invalidating inside the compute left a window (invalidate →
+    // reader put → publish) that re-pinned the dead rows vector.
+    if (rotated) invalidateFilterCache(itemId)
     out.get
   }
   /** Per-(item, field) countdown of polls remaining until the index
@@ -400,7 +409,17 @@ object HostedStore {
       if (hit != null) hit
       else {
         val v = t.rows.filter(r => filters.forall(f => FilterEval(f, r, t.schema)))
-        filteredCache.synchronized(filteredCache.put(key, v))
+        filteredCache.synchronized {
+          // version-at-put check: a writer may have rotated the table
+          // while this pass ran outside the lock — inserting the stale
+          // result would re-pin the superseded rows vector in an LRU
+          // slot (it could never serve a hit; keys carry the version).
+          // computeItem invalidates after publishing, so a stale entry
+          // either fails this check or is removed by that invalidation.
+          val cur = tables.get(t.itemId)
+          if (cur != null && cur.version == key.version)
+            filteredCache.put(key, v)
+        }
         v
       }
     }

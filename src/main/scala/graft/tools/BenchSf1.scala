@@ -686,8 +686,11 @@ object BenchSf1 {
       // (84 ≥21-bit keys vs 28 16-bit) cost a 3× band-row constant for
       // a 32× bucket-space win — the geometry autoBandArity switches to
       // past ~6.5M signatures, where fixed pairs would saturate the cap
-      // and silently price recall. Same answer by construction (exact
-      // recall at both arities); must price ~linear with the 3× constant
+      // and silently price recall. Recall is pigeonhole-exact at both
+      // arities; answers are identical while no band bucket saturates
+      // maxBandSize (a saturated bucket drops different pairs per arity
+      // — which is precisely why auto-arity widens the key space before
+      // saturation). Must price ~linear with the 3× constant
       "image_dedup_a3" -> ((dir, _) =>
         graft.operators.Multimodal.imageNearDupPairs(
           spark.read.parquet(s"$imgHashDir/${tagOf(dir)}"),

@@ -225,6 +225,21 @@ class SpatialSpec extends AnyFunSuite {
       Seq((1L, 5.0, 5.0), (2L, 5.0, 5.0)).toDF("id", "x", "y"), "x", "y")
     assert(Spatial.zorderLayout(flat).select("zb").as[Long]
       .collect().toSet == Set(0L))
+    // a NULL coordinate with healthy bounds buckets its axis to the min
+    // edge — Spark's least() skips nulls, so without the explicit
+    // coalesce the row would ride into the TOP unit and widen the
+    // far-corner zone map (the exact stats the layout exists to tighten)
+    val withNull = Seq((1L, Some(0.0), Some(0.0)), (2L, Some(390.0), Some(390.0)),
+        (3L, None, Some(0.0)), (4L, None, None))
+      .toDF("id", "x", "y")
+      .select(col("id"), struct(col("x"), col("y")).as("geometry"))
+    val nz = Spatial.zorderLayout(withNull)
+      .select(col("id"), col("zb")).as[(Long, Long)].collect().toMap
+    assert(nz(3L) == nz(1L),
+      s"null x + y at min must co-bucket with the min corner: $nz")
+    assert(nz(4L) == 0L, s"fully-null geometry lands in bucket 0: $nz")
+    assert(nz(3L) != nz(2L) && nz(4L) != nz(2L),
+      s"null coordinates must never land in the far-corner unit: $nz")
   }
 
   test("null geometry components are excluded, not crashed on") {
