@@ -1046,6 +1046,19 @@ private[queries] object CatalogHelpers {
   def stageIndex(path: String, dir: String)(build: => Unit): String =
     synchronized {
       if (!builtIndexes.get(path).contains(dir)) {
+        // Start from an EMPTY dir: a rebuild (fresh JVM, or same JVM at a
+        // new sf-dir) overwrites the PLAIN artifact dirs, but residue
+        // from a previous JVM's lifecycle — versioned compaction dirs +
+        // their pointer manifests (`sigs__v1`, `sigs__versions`) —
+        // survives an overwrite and keeps routing pointer-resolved reads
+        // at the STALE bytes. Concretely: a bench run at sf0.1 published
+        // sigs__v1 (3750 rows); the sf0.01 verify then restaged plain
+        // sigs/ (400 rows) but compactionDue counted its 25 tombstones
+        // against the stale v1's 3750 and refused to fire. Deleting
+        // first makes every rebuild bit-equivalent to a clean /tmp.
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(p)) fs.delete(p, true)
         build
         builtIndexes(path) = dir
       }
