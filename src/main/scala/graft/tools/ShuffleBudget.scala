@@ -74,13 +74,16 @@ object ShuffleBudget {
 
   /** The budgeted set: the ten most expensive headline entries by the
     * r12 headline bench — the queries whose exchange volume dominates
-    * what a cluster run would move.
+    * what a cluster run would move — plus the r14 spatial heavies
+    * (grid joins shuffle each point once + the 9× compact neighbor
+    * fan-out; DBSCAN adds the degree agg and core-only CC — the
+    * budget pins that fan-out constant).
     */
   val budgetedQueries: Seq[String] = Seq(
     "x_emb_pca", "x_dedup_incremental", "x_knn_components",
     "x_split_leakfree", "x_dedup_clusters", "q_stream_hourly",
     "x_ann_autotune_ivfpq", "x_dedup_best", "x_eval_dedup_sampled",
-    "x_dedup_cross")
+    "x_dedup_cross", "x_spatial_dbscan", "x_spatial_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

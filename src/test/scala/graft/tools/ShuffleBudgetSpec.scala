@@ -38,7 +38,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "x_ann_autotune_ivfpq" -> 242901L,
     "x_dedup_best" -> 2140008L,
     "x_eval_dedup_sampled" -> 1402887L,
-    "x_dedup_cross" -> 2502116L)
+    "x_dedup_cross" -> 2502116L,
+    "x_spatial_dbscan" -> 277535L,
+    "x_spatial_join" -> 12086L)
 
   test("headline heavies stay within 2x of their shuffle-byte budgets") {
     val measured = ShuffleBudget.measure(spark,
