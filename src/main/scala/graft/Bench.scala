@@ -20,6 +20,15 @@ import org.apache.spark.sql.SparkSession
   * once per round; its per-query artifact BENCH_PERQUERY.json is the
   * round-over-round diff surface and is only written by the full tier,
   * so a headline run never clobbers it with a subset).
+  *
+  * SELF-CLEANING since round 15: the contention witness (calibration
+  * drift + load averages) is now an ACCEPTANCE GATE, not just a record —
+  * a sweep whose calibration slowed > 1.5× or that started under load
+  * > 8 is rejected and re-run (up to SPARK_GRAFT_BENCH_ATTEMPTS, default
+  * 3); the committed artifact embeds the full accept/reject history and
+  * an `"accepted"` flag, so a contaminated attempt is visible but never
+  * the headline number (r14 committed a 191 s run whose own witness
+  * showed cal 0.33→0.46 — a reader had to discount it by hand).
   */
 object Bench {
 
@@ -56,6 +65,12 @@ object Bench {
     "x_text_bm25", "x_retrieval_prf", "x_distinct_ngrams",
     // multimodal
     "x_multimodal_imagehash", "x_dedup_images", "x_dedup_audio",
+    // spatial (rotated into the headline tier in r15: the family landed
+    // across r13/r14 as full-tier-only, so two rounds of new surface —
+    // DBSCAN, the two-table joins, z-order pruning — had no committed
+    // headline price; a user benchmarking "the engine" never saw them)
+    "x_spatial_neighbors", "x_spatial_dbscan", "x_spatial_join",
+    "x_spatial_nearest", "x_spatial_dropped", "x_spatial_prunestats",
     // curation / export / privacy / graph
     "x_curriculum", "x_export_npy", "x_privacy_kanon", "x_graph_pagerank",
     "x_graph_triangles",
@@ -123,9 +138,7 @@ object Bench {
     // Warm-up (JIT + codegen + catalog init) on the smallest SF so the
     // first timed query doesn't absorb one-time JVM costs.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val loadStart = loadAvg()
     calibrate(spark) // warm the calibration plan itself (codegen/JIT)
-    val calStart = calibrate(spark)
     // Steady-state timing: each query runs `reps` times, min reported —
     // one pass is dominated by first-use codegen compilation and
     // scheduler noise on a shared machine. A query that throws is
@@ -157,26 +170,72 @@ object Bench {
         name.startsWith("x_pipeline_") || representatives.contains(name)
     val timed =
       if (tier == "full") catalog else catalog.filter(q => inHeadline(q._1))
-    val results = timed.map { case (name, fn) =>
-      // Stderr marker BEFORE each query: any ERROR stack a later reader
-      // finds in the captured log now sits between two markers, so it
-      // attributes to one named query instead of "somewhere in the run"
-      // (round 7's accumulator-error tail was unattributable without this).
-      System.err.println(s"[bench] >>> $name")
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                   false
-                 }
-        if (!ok) failed += name
-        val dt = (System.nanoTime() - t0) / 1e9
-        releaseSessionState()
-        dt
-      }
-      name -> times.min
+
+    /** One full sweep plus its own contention witness. */
+    case class Attempt(results: Map[String, Double], calStart: Double,
+                       calEnd: Double, loadStart: Double, loadEnd: Double) {
+      // ACT on the witness instead of just recording it (r14 committed
+      // four runs under load 1–6 and one — visibly contaminated, cal
+      // 0.33→0.46, 191 s vs 147–155 — had to be discounted by hand):
+      // a sweep whose calibration job slowed > 1.5× mid-run, or that
+      // STARTED on a machine already loaded past `maxLoad`, is rejected
+      // and re-run. Thresholds are env-tunable for constrained boxes.
+      def accepted(maxDrift: Double, maxLoad: Double): Boolean =
+        (calStart <= 0 || calEnd / calStart <= maxDrift) &&
+          (loadStart < 0 || loadStart <= maxLoad)
     }
+
+    def sweep(): Attempt = {
+      val loadStart = loadAvg()
+      val calStart = calibrate(spark)
+      failed.clear()
+      val results = timed.map { case (name, fn) =>
+        // Stderr marker BEFORE each query: any ERROR stack a later reader
+        // finds in the captured log now sits between two markers, so it
+        // attributes to one named query instead of "somewhere in the run"
+        // (round 7's accumulator-error tail was unattributable without this).
+        System.err.println(s"[bench] >>> $name")
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case e: Throwable =>
+                     System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                     false
+                   }
+          if (!ok) failed += name
+          val dt = (System.nanoTime() - t0) / 1e9
+          releaseSessionState()
+          dt
+        }
+        name -> times.min
+      }
+      Attempt(results, calStart, calibrate(spark), loadStart, loadAvg())
+    }
+
+    // Acceptance loop: re-run a rejected sweep up to `maxAttempts` times;
+    // the committed artifact embeds the full accept/reject history, so a
+    // contaminated first attempt is visible but never the headline number.
+    // If every attempt rejects, the LAST one is committed flagged
+    // `"accepted":false` — self-incriminating, never silently clean.
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    require(maxAttempts >= 1,
+      s"SPARK_GRAFT_BENCH_ATTEMPTS must be >= 1, got $maxAttempts")
+    val maxDrift = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_CAL_DRIFT", "1.5").toDouble
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "8.0").toDouble
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+    var chosen: Option[Attempt] = None
+    while (chosen.isEmpty && attempts.size < maxAttempts) {
+      val a = sweep()
+      attempts += a
+      if (a.accepted(maxDrift, maxLoad)) chosen = Some(a)
+      else System.err.println(f"[bench] attempt ${attempts.size} REJECTED: " +
+        f"cal ${a.calStart}%.3f -> ${a.calEnd}%.3f, load_start ${a.loadStart}%.2f")
+    }
+    val att = chosen.getOrElse(attempts.last)
+    val isAccepted = chosen.isDefined
+    val results = att.results
+    val (calStart, calEnd) = (att.calStart, att.calEnd)
+    val (loadStart, loadEnd) = (att.loadStart, att.loadEnd)
     val succeeded = results.filter { case (k, _) => !failed.contains(k) }
     val qs = succeeded.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -199,10 +258,15 @@ object Bench {
     // metric line carries totals/failures/count only — a few hundred chars,
     // parseable no matter how short the capture window is.
     val cgErrs = graft.tools.CodegenErrors.total
-    val calEnd = calibrate(spark)
-    val loadEnd = loadAvg()
+    import graft.tools.JsonNum.num
+    val history = attempts.zipWithIndex.map { case (a, i) =>
+      s"""{"attempt":${i + 1},"total":${num(a.results.values.sum, 3)},""" +
+        s""""cal_start_s":${num(a.calStart, 3)},"cal_end_s":${num(a.calEnd, 3)},""" +
+        s""""load_start":${a.loadStart},"load_end":${a.loadEnd},""" +
+        s""""accepted":${a.accepted(maxDrift, maxLoad)}}"""
+    }.mkString("[", ",", "]")
     val cal =
-      s"""{"reps":$reps,"cal_start_s":${f"$calStart%.3f"},"cal_end_s":${f"$calEnd%.3f"},"load_start":$loadStart,"load_end":$loadEnd,"tmp_fixture_bytes":${tmpFixtureBytes()}}"""
+      s"""{"reps":$reps,"accepted":$isAccepted,"max_cal_drift":$maxDrift,"max_load_start":$maxLoad,"cal_start_s":${num(calStart, 3)},"cal_end_s":${num(calEnd, 3)},"load_start":$loadStart,"load_end":$loadEnd,"tmp_fixture_bytes":${tmpFixtureBytes()},"attempts":$history}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","tier":"$tier","catalog_n":${catalog.size},"oracle_replay_s":$oracleReplayS,"production_s":$productionS,"contention":$cal,"queries":$qs,"failures":$fails,"codegen_errors":$cgErrs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
@@ -214,7 +278,7 @@ object Bench {
     // this artifact — a headline run must not shrink it to a subset.
     if (tier == "full") {
       val qLines = succeeded.toSeq.sortBy(_._1)
-        .map { case (k, v) => f"""  "$k": $v%.3f""" }
+        .map { case (k, v) => s"""  "$k": ${num(v, 3)}""" }
         .mkString("{\n", ",\n", "\n}")
       Files.writeString(Paths.get("BENCH_PERQUERY.json"),
         s"""{"metric":"per_query_seconds","sf":"$sfDir","total":$total,""" +

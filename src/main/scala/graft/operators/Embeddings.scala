@@ -95,6 +95,102 @@ object Embeddings {
       .agg(count(lit(1)).as("n_vecs"),
         sum(floor(col("x").cast("double") * scale).cast("long")).as("sum_scaled"))
 
+  /** Fused second-moment pass for [[dominantDirectionReport]]: ONE typed
+    * aggregation buffer per partition carrying the exact integer sums
+    * `[Σ q_i·q_j (i ≤ j) ++ Σ q_i ++ n]` over the quantized vectors —
+    * replacing the `posexplode` formulation that materialized d²+d+1
+    * rows per input row (~1 000 rows/row at d = 32) before the hash-agg
+    * absorbed them; at sf0.1 that explode was the single most expensive
+    * headline line (9.2 s) for what is ONE fused multiply-add sweep.
+    *
+    * Exactness at ANY corpus size: each slot is a signed 128-bit
+    * accumulator packed as two longs (hi, unsigned lo) — per-row
+    * products of `floor(x·10⁶)` lattice values are exact integer-valued
+    * doubles (the input contract bounds |q| ≤ 2^26.5 so products stay
+    * under 2^53, checked per row, fail-loud), and 128-bit integer
+    * addition never rounds, so the merged totals equal the DECIMAL(38,0)
+    * sums of the old plan bit-for-bit in any partitioning / merge order.
+    * Buffer: 2·(d(d+1)/2 + d + 1) longs (~9 KB at d = 32) — the shuffle
+    * carries one buffer per map partition, never rows; only the upper
+    * triangle is accumulated (Σqqᵀ is symmetric), halving the per-row
+    * multiply count vs the exploded outer product.
+    */
+  private[graft] class SecondMomentAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Double], Array[Long], Array[Long]] {
+    private val tri = dim * (dim + 1) / 2
+    private val slots = tri + dim + 1
+    /** |q| bound keeping every pairwise product an exact double. */
+    private val maxAbs = 94906265.0 // floor(sqrt(2^53))
+
+    override def zero: Array[Long] = new Array[Long](2 * slots)
+
+    /** 128-bit signed add of x into slot s: (hi, lo-as-unsigned). */
+    @inline private def add128(b: Array[Long], s: Int, x: Long): Unit = {
+      val i = s << 1
+      val lo = b(i + 1)
+      val nlo = lo + x
+      // carry-out of the unsigned 64-bit add (bit 63 carry chain)
+      val carry = ((lo & x) | ((lo | x) & ~nlo)) >>> 63
+      b(i) += (x >> 63) + carry
+      b(i + 1) = nlo
+    }
+
+    override def reduce(b: Array[Long], q: Array[Double]): Array[Long] = {
+      if (q.length != dim)
+        throw new IllegalArgumentException(
+          s"SecondMomentAgg: vector length ${q.length} != dim $dim")
+      var i = 0
+      var slot = 0
+      while (i < dim) {
+        val qi = q(i)
+        if (!(math.abs(qi) <= maxAbs)) // catches NaN too
+          throw new IllegalArgumentException(
+            s"SecondMomentAgg: |q|=$qi exceeds the exact-product range " +
+              s"(quantized inputs must stay <= $maxAbs)")
+        var j = i
+        while (j < dim) { add128(b, slot, (qi * q(j)).toLong); j += 1; slot += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < dim) { add128(b, tri + i, q(i).toLong); i += 1 }
+      add128(b, tri + dim, 1L)
+      b
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var s = 0
+      while (s < slots) {
+        val i = s << 1
+        val lo = x(i + 1)
+        val ylo = y(i + 1)
+        val nlo = lo + ylo
+        val carry = ((lo & ylo) | ((lo | ylo) & ~nlo)) >>> 63
+        x(i) += y(i) + carry
+        x(i + 1) = nlo
+        s += 1
+      }
+      x
+    }
+
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  private[graft] object SecondMomentAgg {
+    /** Unpack slot `s` of a packed (hi, unsigned-lo) buffer to BigInt. */
+    def slotValue(packed: IndexedSeq[Long], s: Int): BigInt = {
+      val mask = (BigInt(1) << 64) - 1
+      (BigInt(packed(2 * s)) << 64) + (BigInt(packed(2 * s + 1)) & mask)
+    }
+    /** Upper-triangle slot index of (i, j) with i <= j. */
+    def triSlot(dim: Int, i: Int, j: Int): Int =
+      i * dim - i * (i - 1) / 2 + (j - i)
+  }
+
   /** Dominant covariance direction of the embedding corpus by power
     * iteration on the fix-point lattice, reported as per-label
     * projection mass — the drift/anisotropy diagnostic behind
@@ -104,17 +200,21 @@ object Embeddings {
     * projection sums mean the top PC encodes the class.
     *
     * Exactness: vectors quantize to `floor(x·10⁶)`; ONE corpus pass
-    * aggregates the flattened `[q⊗q ++ q ++ [1]]` statistics array
-    * (map-side partial aggregation — the shuffle carries d²+d+1 partial
-    * sums per partition, never vectors; sums in DECIMAL(38,0), no
-    * wrap). The scaled covariance `M = n·Σqqᵀ − (Σq)(Σq)ᵀ` (same
-    * eigenvectors as the covariance, integer-exact) is model-sized
-    * (d², KB-bounded collect), and `iters` rounds of
+    * aggregates the upper-triangle second-moment statistics in a fused
+    * per-partition [[SecondMomentAgg]] buffer (exact 128-bit integer
+    * sums; the shuffle carries one ~9 KB buffer per partition, never
+    * rows — the former `posexplode` formulation materialized d²+d+1
+    * rows per input row before the hash-agg absorbed them). The scaled
+    * covariance `M = n·Σqqᵀ − (Σq)(Σq)ᵀ` (same eigenvectors as the
+    * covariance, integer-exact) is model-sized (d², KB-bounded
+    * collect), and `iters` rounds of
     * `v ← trunc((M·v)·10⁶ / max|M·v|)` run in BigInt on the driver —
     * every iterate is an exact integer, so the direction and every
     * projection replay bit-for-bit cross-engine (the oracle unrolls
-    * the same iterations as CTEs in HUGEINT). The final scoring pass
-    * broadcasts the direction as a literal into a codegen'd dot.
+    * the same iterations as CTEs in HUGEINT; integer sums are
+    * order-free, so the fused buffer matches the oracle's DECIMAL
+    * aggregation exactly). The final scoring pass broadcasts the
+    * direction as a literal into a codegen'd dot.
     *
     * Output: one row per label — (label, n_vecs, sum_proj,
     * sum_abs_proj), projections on the `floor(x·10⁶)` × `10⁶`-scaled
@@ -123,27 +223,26 @@ object Embeddings {
   def dominantDirectionReport(df: DataFrame, vecCol: String,
                               labelCol: String, iters: Int = 12): DataFrame = {
     import graft.functions.VectorFunctions.vec_dot
-    import org.apache.spark.sql.types.DecimalType
     val qcol = transform(col(vecCol), x => floor(x * lit(1000000.0)).cast("double"))
     val dim = df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).limit(1).collect()
       .headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
         "dominantDirectionReport: no non-null vectors"))
-    // quantize ONCE per row as a materialized column — inlined into the
-    // outer-product lambda it would re-derive all d floors per element
-    val statArr = concat(
-      flatten(transform(col("__q"), x => transform(col("__q"), y => x * y))),
-      col("__q"), array(lit(1.0)))
-    val sums = df.withColumn("__q", qcol)
-      .select(posexplode(statArr).as(Seq("k", "v")))
-      .groupBy("k").agg(sum(col("v").cast(DecimalType(38, 0))).as("s"))
-      .collect()
-      .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger)).toMap
-    val n = sums(dim * dim + dim)
+    val statsAgg = udaf(new SecondMomentAgg(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+    val packed = df.filter(col(vecCol).isNotNull)
+      .select(qcol.as("__q"))
+      .agg(statsAgg(col("__q")).as("s"))
+      .head().getAs[scala.collection.Seq[Long]](0).toIndexedSeq
+    import SecondMomentAgg.{slotValue, triSlot}
+    val tri = dim * (dim + 1) / 2
+    val n = slotValue(packed, tri + dim)
     require(n > 0, "dominantDirectionReport: empty corpus")
-    val cs = Array.tabulate(dim)(i => sums(dim * dim + i))
-    val m = Array.tabulate(dim, dim)((i, j) => n * sums(i * dim + j) - cs(i) * cs(j))
+    val cs = Array.tabulate(dim)(i => slotValue(packed, tri + i))
+    val m = Array.tabulate(dim, dim)((i, j) =>
+      n * slotValue(packed,
+        if (i <= j) triSlot(dim, i, j) else triSlot(dim, j, i)) - cs(i) * cs(j))
     val scale = BigInt(1000000L)
     var v = Array.fill(dim)(BigInt(1))
     for (_ <- 0 until iters) {

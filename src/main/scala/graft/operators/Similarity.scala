@@ -282,6 +282,10 @@ object Similarity {
   def hyperplaneCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                                tables: Int = 16, planes: Int = 0,
                                maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    // exactly 0 is the auto-sizing sentinel; a negative value is a caller
+    // bug that must not silently derive a corpus-sized geometry
+    require(planes >= 0,
+      s"hyperplaneCandidatePairs: planes must be >= 0 (0 = auto-size), got $planes")
     // auto-sizing pins the corpus once (the imageNearDupPairs treatment):
     // the count, the dim probe inside hyperplaneSignatures, and the
     // signature pass would otherwise each re-evaluate an expensive

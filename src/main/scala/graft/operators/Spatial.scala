@@ -217,6 +217,109 @@ object Spatial {
       .select("a", "b", "dist2")
   }
 
+  /** Nearest right-layer point per LEFT point, FULL STOP — no eps bound:
+    * the follow-up a layer consumer asks the moment [[nearestWithinEps]]
+    * answers null ("there was nothing within eps — so which IS the
+    * nearest?"). Left-join semantics: every left id appears once; (b,
+    * dist2) are NULL only when the right side holds no spatially-present
+    * points at all (after the cap — see below). Ties pin to (min dist2,
+    * min right id), the engine's min-struct convention, bit-replayable.
+    *
+    * Scale shape — RING-EXPANDING GRID SEARCH by cell-size doubling,
+    * never a cross join: round k searches the 3×3 neighborhood at cell
+    * size `cellSize·2^k`. Any point at distance < g_k lies inside that
+    * neighborhood, so a round-k best with dist < g_k is the GLOBAL
+    * nearest (every tie candidate was in the aggregation too) and the
+    * left point resolves; unresolved points escalate. Coarse cells
+    * derive from the base grid by ARITHMETIC SHIFT (floor division
+    * composes), so each side is keyed once and re-keyed per round with
+    * pure column arithmetic. The SHRINKING side (unresolved lefts) pays
+    * the 9× neighborhood fan-out; the right side re-keys its home cell
+    * only. Each round is one shuffle join + one min(struct) hash agg
+    * (partial map-side — candidate rows stream through, never
+    * materialize); round count is log₂(span/cellSize) — ~20 rounds
+    * covers a 10⁶× span, and typical layers resolve almost everything
+    * in rounds 0–2.
+    *
+    * `maxCellSize` gates degenerate RIGHT cells at the BASE scale (the
+    * [[epsJoin]] discipline — a capped cell contributes no points, so
+    * its members are invisible to every round; census with
+    * [[neighborPairsDroppedCells]] over the right side at `cellSize`).
+    * Left cells need no cap: left points never pair with each other.
+    * A left point that stays unresolved past `maxRounds` fails loudly
+    * (only possible when the span exceeds `cellSize·2^maxRounds`).
+    */
+  def nearestNeighbor(left: DataFrame, leftId: String,
+                      right: DataFrame, rightId: String, cellSize: Double,
+                      maxRounds: Int = 48,
+                      maxCellSize: Option[Int] = Some(DefaultMaxCellSize))
+      : DataFrame = {
+    require(cellSize > 0, s"nearestNeighbor: cellSize must be positive, got $cellSize")
+    require(maxRounds >= 1 && maxRounds <= 62,
+      s"nearestNeighbor: maxRounds must be in [1, 62], got $maxRounds")
+    // both sides keyed ONCE at base scale and pinned: every round re-keys
+    // by shift off these frames (and the loop re-reads the right side
+    // each round — without the barrier it would re-run the corpus scan)
+    val l0 = gridKeyed(left, leftId, cellSize).localCheckpoint(true)
+    val r0 = cellCapped(gridKeyed(right, rightId, cellSize), maxCellSize)
+      .select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
+        col("cellx").as("bcx"), col("celly").as("bcy"))
+      .localCheckpoint(true)
+    val rightEmpty = r0.isEmpty
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val bType = r0.schema("b").dataType
+    var acc = l0.select(col("id").as("a"),
+      lit(null).cast(bType).as("b"),
+      lit(null).cast("double").as("dist2")).limit(0)
+    var unresolved = l0
+    var k = 0
+    var done = rightEmpty
+    while (!done && k < maxRounds) {
+      val g = cellSize * math.pow(2.0, k)
+      val lkx = unresolved
+        .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+          shiftright(col("cellx"), k).as("ccx0"),
+          shiftright(col("celly"), k).as("ccy0"),
+          explode(offsets).as("o"))
+        .select(col("a"), col("ax"), col("ay"),
+          (col("ccx0") + col("o.dx")).as("ccx"),
+          (col("ccy0") + col("o.dy")).as("ccy"))
+      val rk = r0.select(col("b"), col("bx"), col("by"),
+        shiftright(col("bcx"), k).as("ccx"), shiftright(col("bcy"), k).as("ccy"))
+      val best = lkx.join(rk, Seq("ccx", "ccy"))
+        .withColumn("dist2", dist2(col("ax"), col("ay"), col("bx"), col("by")))
+        .groupBy("a")
+        .agg(min(struct(col("dist2"), col("b"))).as("m"))
+        .select(col("a"), col("m.b").as("b"), col("m.dist2").as("dist2"))
+      // one materialization per round: resolved rows, the shrinking
+      // unresolved set, and the emptiness probe all read this barrier
+      // instead of re-running the round's join
+      val joined = unresolved.join(best, unresolved("id") === best("a"), "left")
+        .select(col("id"), col("x"), col("y"), col("cellx"), col("celly"),
+          col("b"), col("dist2"))
+        .localCheckpoint(true)
+      // strict <: a non-candidate point sits at distance >= g_k, so an
+      // exact tie AT g_k escalates one round rather than risk losing to
+      // an unseen equal-distance smaller id
+      val resolvedNow = joined.filter(col("dist2") < lit(g * g))
+      acc = acc.unionAll(resolvedNow.select(col("id").as("a"), col("b"),
+        col("dist2")))
+      unresolved = joined
+        .filter(col("dist2").isNull || !(col("dist2") < lit(g * g)))
+        .select("id", "x", "y", "cellx", "celly")
+      done = unresolved.isEmpty
+      k += 1
+    }
+    require(done || rightEmpty,
+      s"nearestNeighbor: unresolved left points after $maxRounds doubling " +
+        s"rounds — the coordinate span exceeds cellSize*2^$maxRounds; raise " +
+        "maxRounds or cellSize")
+    left.select(col(leftId).as("a")).distinct()
+      .join(acc, Seq("a"), "left")
+      .select("a", "b", "dist2")
+  }
+
   /** WRITE-SIDE spatial locality pass for point layers: a Morton
     * (z-order) bucket column `zb` derived from the GEOMETRY, so a
     * persisted layer's storage units carry tight x/y zone maps and a

@@ -314,6 +314,31 @@ private[queries] object ExtensionOraclesA {
           |FROM cpts c LEFT JOIN best ON best.a = c.id
           |ORDER BY a""".stripMargin,
 
+      "x_spatial_nn" ->
+        // unbounded-nearest replay: rank the FULL cross product by
+        // (dist2, b) per customer — same fixed-order IEEE dist2 — and
+        // attach rank-1 to every customer id (no eps filter; NULL only
+        // if the supplier side were empty)
+        """WITH cpts AS (
+          |  SELECT c_custkey AS id, c_acctbal AS x,
+          |         CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM customer),
+          |spts AS (
+          |  SELECT s_suppkey AS id, s_acctbal AS x,
+          |         CAST(s_suppkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM supplier),
+          |cand AS (
+          |  SELECT c.id AS a, s.id AS b,
+          |         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+          |  FROM cpts c CROSS JOIN spts s),
+          |best AS (SELECT a, b, dist2 FROM (
+          |  SELECT a, b, dist2,
+          |         row_number() OVER (PARTITION BY a ORDER BY dist2, b) AS rn
+          |  FROM cand) WHERE rn = 1)
+          |SELECT c.id AS a, best.b, best.dist2
+          |FROM cpts c LEFT JOIN best ON best.a = c.id
+          |ORDER BY a""".stripMargin,
+
       "x_spatial_prunestats" ->
         // the census replay from the staged spatial layout alone: hive
         // bucket as the unit label (CAST both sides — Spark infers the
@@ -330,6 +355,18 @@ private[queries] object ExtensionOraclesA {
            |  CAST(CASE WHEN max(y) < 100 OR min(y) > 400
            |       THEN 1 ELSE 0 END AS INTEGER) AS prune_y
            |FROM r GROUP BY file ORDER BY file""".stripMargin,
+
+      "x_spatial_zorder_scan" ->
+        // layout-neutrality gate: the bbox selection recomputed from the
+        // BASE table (x = acctbal, y = key·0.5 — the shared layer
+        // formula) must hash-match the scan over the persisted z layout
+        """WITH pts AS (
+          |  SELECT c_custkey, c_acctbal AS x,
+          |         CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM customer)
+          |SELECT c_custkey, x, y FROM pts
+          |WHERE x >= 0 AND x <= 2000 AND y >= 100 AND y <= 400
+          |ORDER BY c_custkey""".stripMargin,
 
       "x_spatial_dropped" ->
         // the census replay: home-cell occupancy over the SAME floor(x/eps)

@@ -110,7 +110,7 @@ object HostedStore {
     */
   private def computeItem[A](itemId: String)(f: TableState => (TableState, A)): A = {
     var out: Option[A] = None
-    var rotated = false
+    var publishedVersion = -1L
     tables.compute(itemId, (_: String, t: TableState) => {
       if (t == null) throw new NoSuchElementException(s"no hosted table '$itemId'")
       val (nt0, a) = f(t)
@@ -121,8 +121,8 @@ object HostedStore {
       // property-only updates keep the version (their cached filter
       // passes stay valid — same rows).
       if (nt0.rows ne t.rows) {
-        rotated = true
-        nt0.copy(version = t.version + 1)
+        publishedVersion = t.version + 1
+        nt0.copy(version = publishedVersion)
       } else nt0
     })
     // Invalidate AFTER the new version is published (not inside the
@@ -131,8 +131,12 @@ object HostedStore {
     // removed here — or (b) puts after, where filteredRows' own
     // version-at-put check sees the published new version and skips the
     // insert. Invalidating inside the compute left a window (invalidate →
-    // reader put → publish) that re-pinned the dead rows vector.
-    if (rotated) invalidateFilterCache(itemId)
+    // reader put → publish) that re-pinned the dead rows vector. Only
+    // entries BELOW the just-published version are removed: a concurrent
+    // reader may already have cached passes for the NEW version in the
+    // publish→invalidate window, and evicting those just re-runs an
+    // O(table) filter pass under write/scan interleaving for nothing.
+    if (publishedVersion >= 0) invalidateFilterCache(itemId, publishedVersion)
     out.get
   }
   /** Per-(item, field) countdown of polls remaining until the index
@@ -383,9 +387,10 @@ object HostedStore {
           e: java.util.Map.Entry[FilterCacheKey, Vector[Row]]): Boolean =
         size() > 8
     }
-  private def invalidateFilterCache(itemId: String): Unit =
+  private def invalidateFilterCache(itemId: String, liveVersion: Long): Unit =
     filteredCache.synchronized {
-      filteredCache.keySet.removeIf(_.itemId == itemId)
+      filteredCache.keySet.removeIf(k =>
+        k.itemId == itemId && k.version < liveVersion)
     }
   /** Test hook: the (itemId, version) of every live cache entry — lets
     * specs pin the lifecycle (rotation invalidates, equal-fingerprint

@@ -1215,7 +1215,7 @@ object BenchSf1 {
           s"sf10 ${show(t10)} s" + ratio.fold("")(r => f"   ratio $r%5.1fx"))
         (name, t1, t10, ratio)
       }
-      val num = (o: Option[Double]) => o.fold("null")(t => f"$t%.3f")
+      val num = (o: Option[Double]) => o.fold("null")(t => JsonNum.num(t, 3))
       val qjson = rows.map { case (n, a, b, r) =>
         s""""$n":{"sf1":${num(a)},"sf10":${num(b)},"ratio":${num(r)}}"""
       }.mkString("{", ",", "}")
@@ -1233,8 +1233,8 @@ object BenchSf1 {
         case (n, Some(a), Some(b), _) if streamNames(n) =>
           val r1 = evRows(sf1Dir) / a
           val r10 = evRows(sf10Dir) / b
-          s""""$n":{"sf1_rows_per_sec":${f"$r1%.0f"},""" +
-            s""""sf10_rows_per_sec":${f"$r10%.0f"}}"""
+          s""""$n":{"sf1_rows_per_sec":${JsonNum.num(r1, 0)},""" +
+            s""""sf10_rows_per_sec":${JsonNum.num(r10, 0)}}"""
       }.mkString("{", ",", "}")
       val json =
         s"""{"metric":"sf10_scale_ratio","unit":"x","copies":$copies10,""" +
@@ -1260,7 +1260,7 @@ object BenchSf1 {
           t.fold("FAIL")(v => f"$v%7.2f s"))
         (name, t)
       }
-      val num = (o: Option[Double]) => o.fold("null")(t => f"$t%.3f")
+      val num = (o: Option[Double]) => o.fold("null")(t => JsonNum.num(t, 3))
       val qjson = rows.map { case (n, t) => s""""$n":${num(t)}""" }
         .mkString("{", ",", "}")
       val json =
@@ -1290,7 +1290,7 @@ object BenchSf1 {
       case (n, _, _, Some(r)) if r > 12.0 => n
       case (n, a, b, _) if a.isEmpty || b.isEmpty => n
     }
-    val num = (o: Option[Double]) => o.fold("null")(t => f"$t%.3f")
+    val num = (o: Option[Double]) => o.fold("null")(t => JsonNum.num(t, 3))
     val qjson = rows.map { case (n, a, b, r) =>
       s""""$n":{"sf01":${num(a)},"sf1":${num(b)},"ratio":${num(r)}}"""
     }.mkString("{", ",", "}")

@@ -185,7 +185,7 @@ object FaultDrill {
       jline("append_kill_in_write_stage", "rows" -> back.getAs[Long]("rows"),
         "executors_killed" -> killed, "tasks_failed" -> tasksFailed.get(),
         "staged_leaks" -> HostedStore.stagedBufferCount(itemId),
-        "wall_s" -> f"$secs%.1f")
+        "wall_s" -> JsonNum.num(secs, 1))
     }
 
     // ------------------------------------------------ drill B: upsert
@@ -240,7 +240,7 @@ object FaultDrill {
       jline("upsert_kill_in_map_stage", "rows" -> back.size,
         "executors_killed" -> killed, "tasks_failed" -> tasksFailed.get(),
         "staged_leaks" -> HostedStore.stagedBufferCount(itemId),
-        "wall_s" -> f"$secs%.1f")
+        "wall_s" -> JsonNum.num(secs, 1))
     }
 
     // --------------------------------- drill C: shuffle-heavy dedup probe
@@ -285,7 +285,7 @@ object FaultDrill {
         s"lsh: faulted pair set diverged (clean ${clean.size}, faulted ${faulted.size})")
       jline("shuffle_dedup_kill_in_scan", "pairs" -> faulted.size,
         "executors_killed" -> killed, "tasks_failed" -> tasksFailed.get(),
-        "wall_s" -> f"$secs%.1f")
+        "wall_s" -> JsonNum.num(secs, 1))
     }
 
     // --------------------------- drill D: streaming write, killed mid-epoch
@@ -347,7 +347,7 @@ object FaultDrill {
       jline("stream_kill_in_epoch", "rows" -> back.getAs[Long]("rows"),
         "executors_killed" -> killed, "tasks_failed" -> tasksFailed.get(),
         "staged_leaks" -> HostedStore.stagedBufferCount(itemId),
-        "wall_s" -> f"$secs%.1f")
+        "wall_s" -> JsonNum.num(secs, 1))
     }
 
     // ------------------------- drill E: DRIVER loss mid-batch-write
@@ -438,7 +438,7 @@ object FaultDrill {
         "committed_groups_at_death" -> committedGroups,
         "orphaned_buffers" -> orphans, "purged" -> purged,
         "rows_after_rerun" -> back.getAs[Long]("rows"),
-        "wall_s" -> f"$secs%.1f")
+        "wall_s" -> JsonNum.num(secs, 1))
     }
 
     val ok = failures.isEmpty

@@ -105,6 +105,64 @@ class OperatorSpec extends AnyFunSuite {
       (2, 1L, -250001500000L, 250001500000L)))
   }
 
+  test("SecondMomentAgg: partition-order-free, merge-exact, and 128-bit " +
+      "past a single long slot") {
+    // Overflow fixture: constant vectors of 9e7 (inside the |q| <= 2^26.5
+    // exact-product bound) make every qq slot accumulate 8.1e15/row —
+    // Long overflows a slot after ~1139 rows; 3000 rows forces the
+    // 128-bit carry path in BOTH reduce and merge (12 shuffled
+    // partitions). The expected totals are trivial BigInt products.
+    val dim = 2
+    val n = 3000
+    val q = 9e7
+    import spark.implicits._
+    val rows = (0 until n).map(i => (i.toLong, Seq(q, q)))
+    for (parts <- Seq(1, 12)) {
+      val df = rows.toDF("id", "qv").repartition(parts)
+      val agg = org.apache.spark.sql.functions.udaf(
+        new Embeddings.SecondMomentAgg(dim),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+      val packed = df.agg(agg(col("qv")))
+        .head().getAs[scala.collection.Seq[Long]](0).toIndexedSeq
+      import Embeddings.SecondMomentAgg.{slotValue, triSlot}
+      val tri = dim * (dim + 1) / 2
+      val prod = BigInt(n) * BigInt(q.toLong) * BigInt(q.toLong)
+      assert(prod > BigInt(Long.MaxValue), "fixture must overflow a long")
+      for (i <- 0 until dim; j <- i until dim)
+        assert(slotValue(packed, triSlot(dim, i, j)) == prod,
+          s"qq($i,$j) at $parts partitions")
+      for (i <- 0 until dim)
+        assert(slotValue(packed, tri + i) == BigInt(n) * BigInt(q.toLong))
+      assert(slotValue(packed, tri + dim) == BigInt(n))
+    }
+  }
+
+  test("SecondMomentAgg: negative values sign-extend through the 128-bit " +
+      "carry, and out-of-range magnitudes fail loudly") {
+    import spark.implicits._
+    val dim = 1
+    val agg = org.apache.spark.sql.functions.udaf(
+      new Embeddings.SecondMomentAgg(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+    // alternating +/-9e7 over an odd count: qq slot overflows positive
+    // (products are all +8.1e15) while the linear slot stays one -9e7
+    val n = 3001
+    val vals = (0 until n).map(i => (i.toLong,
+      Seq(if (i % 2 == 0) -9e7 else 9e7)))
+    val packed = vals.toDF("id", "qv").repartition(7)
+      .agg(agg(col("qv"))).head().getAs[scala.collection.Seq[Long]](0)
+      .toIndexedSeq
+    import Embeddings.SecondMomentAgg.slotValue
+    assert(slotValue(packed, 0) == BigInt(n) * BigInt(9e7.toLong) * BigInt(9e7.toLong))
+    assert(slotValue(packed, 1) == BigInt(-9e7.toLong)) // 1501 neg, 1500 pos
+    assert(slotValue(packed, 2) == BigInt(n))
+    val tooBig = Seq((1L, Seq(1e8))).toDF("id", "qv")
+    val e = intercept[org.apache.spark.SparkException] {
+      tooBig.agg(agg(col("qv"))).head()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("calibrationEval: perfect predictor skill=1000, inverted predictor negative") {
     val perfect = Seq((1000L, 1L), (1000L, 1L), (0L, 0L), (0L, 0L))
       .toDF("p", "y")

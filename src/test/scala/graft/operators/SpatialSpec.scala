@@ -242,6 +242,100 @@ class SpatialSpec extends AnyFunSuite {
       s"null coordinates must never land in the far-corner unit: $nz")
   }
 
+  test("nearestNeighbor matches brute force, escalates through empty " +
+      "rings, pins ties to min id, and nulls only on an empty right side") {
+    val cell = 5.0
+    // right side: a near cluster, a tie pair, and one far outpost
+    val rightPts = Seq(
+      (10L, 0.0, 0.0), (11L, 1.0, 0.0), (12L, 0.0, 1.0),
+      (20L, 100.0, 0.0), (21L, 104.0, 0.0), // equidistant from x=102
+      (30L, 5000.0, 5000.0))
+    // left side: one in the cluster, one exactly between the tie pair,
+    // one whose rings 0..9 are EMPTY (nearest is the outpost ~6400 away
+    // = 10 doubling rounds at cell 5), one with a null coordinate
+    val leftPts = Seq(
+      (1L, Some(0.4), Some(0.4)), (2L, Some(102.0), Some(0.0)),
+      (3L, Some(-500.0), Some(9000.0)), (4L, None, Some(0.0)))
+    import org.apache.spark.sql.functions.{col, struct}
+    val right = Geometry.withPointGeometry(
+      rightPts.toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    val left = leftPts.toDF("id", "x", "y")
+      .select(col("id"), struct(col("x"), col("y")).as("geometry"))
+    val got = Spatial.nearestNeighbor(left, "id", right, "id", cell)
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute-force expectations
+    def d2(ax: Double, ay: Double, bx: Double, by: Double) =
+      (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+    assert(got(1L) == ((Some(10L), Some(d2(0.4, 0.4, 0.0, 0.0)))))
+    // exact tie (dist2 = 4.0 both sides) pins to the smaller right id
+    assert(got(2L) == ((Some(20L), Some(4.0))))
+    // empty rings 0..9: resolved at the far outpost, never null
+    assert(got(3L) == ((Some(30L), Some(d2(-500.0, 9000.0, 5000.0, 5000.0)))))
+    // null-coordinate left: present with left-join nulls
+    assert(got(4L) == ((None, None)))
+    assert(got.size == 4)
+    // empty right side: every left id present, all null
+    val emptyRight = right.filter(col("id") < 0)
+    val gotEmpty = Spatial.nearestNeighbor(left, "id", emptyRight, "id", cell)
+      .as[(Long, Option[Long], Option[Double])].collect()
+    assert(gotEmpty.length == 4 && gotEmpty.forall(r => r._2.isEmpty && r._3.isEmpty))
+  }
+
+  test("nearestNeighbor: a capped degenerate right cell is invisible — " +
+      "the nearest comes from the surviving cells") {
+    import org.apache.spark.sql.functions.col
+    // 30 right points stacked in ONE cell at the origin (over cap=25),
+    // plus a lone survivor farther away
+    val rightPts = (0 until 30).map(i => (i.toLong, 0.1 * (i % 3), 0.0)) :+
+      ((99L, 50.0, 0.0))
+    val right = Geometry.withPointGeometry(
+      rightPts.toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    val left = Geometry.withPointGeometry(
+      Seq((1L, 1.0, 0.0)).toDF("id", "x", "y"), "x", "y")
+      .select("id", "geometry")
+    val got = Spatial.nearestNeighbor(left, "id", right, "id",
+        cellSize = 5.0, maxCellSize = Some(25))
+      .as[(Long, Option[Long], Option[Double])].head()
+    assert(got._2 == Some(99L),
+      s"capped cell must contribute no points: $got")
+  }
+
+  test("judged fixtures hold 8x home-cell headroom under the default cap " +
+      "(the uncapped DuckDB oracles assume no cell is ever dropped)") {
+    // The x_spatial_* oracles brute-force WITHOUT modeling maxCellSize —
+    // sound only while no fixture cell approaches the default cap. This
+    // gate re-derives the judged geometry formulas (CatalogHelpers.
+    // customerPointLayer / supplierPointLayer: x = acctbal, y = key·0.5)
+    // at the judged eps=50 straight off parquet and asserts EVERY home
+    // cell sits at <= cap/8 via the census operator itself, at every SF
+    // present on this machine — a fixture change that nears the cap
+    // fails HERE with a pointer to neighborPairsDroppedCells, not as an
+    // unexplained cross-engine hash mismatch in CORRECTNESS.
+    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(d).exists)
+    assert(sfDirs.nonEmpty, "no testdata fixture present")
+    val cap = Spatial.DefaultMaxCellSize / 8
+    for (dir <- sfDirs) {
+      def layer(table: String, key: String, bal: String) = {
+        val df = spark.read.parquet(s"$dir/$table.parquet")
+          .select(col(key).as("id"), col(bal).as("x"),
+            (col(key) * lit(0.5)).as("y"))
+        Geometry.withPointGeometry(df, "x", "y").select("id", "geometry")
+      }
+      for ((t, k, b) <- Seq(("customer", "c_custkey", "c_acctbal"),
+                            ("supplier", "s_suppkey", "s_acctbal"))) {
+        val over = Spatial.neighborPairsDroppedCells(
+          layer(t, k, b), "id", eps = 50.0, maxCellSize = cap).count()
+        assert(over == 0L,
+          s"$t at $dir has $over home cells above cap/8=$cap at eps=50 — " +
+            "the uncapped x_spatial_* oracles no longer model the miner; " +
+            "run neighborPairsDroppedCells and re-fixture")
+      }
+    }
+  }
+
   test("null geometry components are excluded, not crashed on") {
     val df = Seq((1L, Some(0.0), Some(0.0)), (2L, None, Some(1.0)),
         (3L, Some(0.5), Some(0.5)))

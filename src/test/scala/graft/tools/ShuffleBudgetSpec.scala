@@ -29,7 +29,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     * plan change moves a budget.
     */
   val pinned: Map[String, Long] = Map(
-    "x_emb_pca" -> 69154L,
+    // r15: re-pinned 69154 -> 19644 when the d²-explode second-moment
+    // pass fused into SecondMomentAgg (one ~9 KB buffer per partition
+    // instead of d²+d+1 partial-agg rows)
+    "x_emb_pca" -> 19644L,
     "x_dedup_incremental" -> 2083963L,
     "x_knn_components" -> 1436993L,
     "x_split_leakfree" -> 2143702L,
