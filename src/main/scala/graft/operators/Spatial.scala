@@ -346,14 +346,32 @@ object Spatial {
                    unitBits: Int = 6): DataFrame = {
     require(bits >= unitBits && unitBits >= 1 && bits <= 20,
       s"zorderLayout: need 1 <= unitBits <= bits <= 20, got ($bits, $unitBits)")
+    points.withColumn("zb",
+      zbColumn(points, geomBounds(points), bits, unitBits))
+  }
+
+  /** ONE 1-row bounds aggregate over the geometry — shared by
+    * [[zorderLayout]] and [[zorderWrite]] (the write persists it as the
+    * layout's pruning metadata, so the read side bucketizes a bbox with
+    * the SAME affine map the layout used).
+    */
+  private def geomBounds(points: DataFrame): org.apache.spark.sql.Row = {
     val gx = graft.api.Geometry.x(points)
     val gy = graft.api.Geometry.y(points)
-    val b = points.agg(min(gx), max(gx), min(gy), max(gy)).head()
-    // null coordinates bucket to 0 EXPLICITLY (per the contract above):
-    // Spark's least() skips null arguments rather than propagating them,
-    // so without the coalesce a null coordinate would ride least()'s
-    // other operand into the TOP bucket and pollute the far-corner
-    // unit's zone map — the exact stats this layout exists to tighten
+    points.agg(min(gx), max(gx), min(gy), max(gy)).head()
+  }
+
+  /** The Morton unit column under given bounds. Null coordinates bucket
+    * to 0 EXPLICITLY: Spark's least() skips null arguments rather than
+    * propagating them, so without the coalesce a null coordinate would
+    * ride least()'s other operand into the TOP bucket and pollute the
+    * far-corner unit's zone map — the exact stats this layout exists to
+    * tighten.
+    */
+  private def zbColumn(points: DataFrame, b: org.apache.spark.sql.Row,
+                       bits: Int, unitBits: Int): Column = {
+    val gx = graft.api.Geometry.x(points)
+    val gy = graft.api.Geometry.y(points)
     def bucket(c: Column, mnI: Int): Column =
       if (b.isNullAt(mnI) || b.isNullAt(mnI + 1) ||
           !(b.getDouble(mnI + 1) > b.getDouble(mnI))) lit(0L)
@@ -367,8 +385,125 @@ object Spatial {
           lit(mx - mn)).cast("long"), lit(0L)), lit((1L << bits) - 1L))
       }
     val z = Scale.zValue(bucket(gx, 0), bucket(gy, 2), bits)
-    points.withColumn("zb",
-      coalesce(shiftrightunsigned(z, 2 * bits - unitBits), lit(0L)))
+    coalesce(shiftrightunsigned(z, 2 * bits - unitBits), lit(0L))
+  }
+
+  /** PERSIST a point layer in z-order WITH its pruning metadata — the
+    * write half of the production bbox read path ([[zorderBboxRead]] is
+    * the read half). Layout: `path/data` hive-partitioned by the Morton
+    * unit `zb` (one spatially-coherent directory per unit; coordinates
+    * flattened to top-level `x`/`y` columns so footer stats and filter
+    * pushdown see them), plus a 1-row `path/_zmeta` carrying the bounds
+    * + geometry of the affine bucketization — what lets a reader map a
+    * bbox to its overlapping unit SET at planning time and prune whole
+    * directories, instead of listing and footer-probing every file the
+    * way a stats-only layout does. The geometry struct itself is
+    * dropped from the persisted form (re-derivable from x/y).
+    */
+  def zorderWrite(points: DataFrame, path: String, bits: Int = 10,
+                  unitBits: Int = 6): Unit = {
+    require(bits >= unitBits && unitBits >= 1 && bits <= 20,
+      s"zorderWrite: need 1 <= unitBits <= bits <= 20, got ($bits, $unitBits)")
+    require(unitBits <= 20, s"zorderWrite: unitBits $unitBits enumerates 2^unitBits units")
+    val spark = points.sparkSession
+    val b = geomBounds(points)
+    val flat = points
+      .withColumn("zb", zbColumn(points, b, bits, unitBits))
+      .withColumn("x", graft.api.Geometry.x(points))
+      .withColumn("y", graft.api.Geometry.y(points))
+      .drop(graft.api.Geometry.GeometryCol)
+    flat.repartition(col("zb"))
+      .write.mode("overwrite").partitionBy("zb").parquet(s"$path/data")
+    def opt(i: Int): Option[Double] = if (b.isNullAt(i)) None else Some(b.getDouble(i))
+    spark.createDataFrame(Seq(
+        (opt(0), opt(1), opt(2), opt(3), bits, unitBits)))
+      .toDF("min_x", "max_x", "min_y", "max_y", "bits", "unit_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_zmeta")
+  }
+
+  /** The Morton units a bbox can touch under the persisted bucketization
+    * — driver-side unit enumeration (2^unitBits loop, KB-scale): each
+    * unit's fixed top bits de-interleave to an (x, y) bucket rectangle;
+    * units whose rectangle intersects the bbox's bucket rectangle are
+    * kept. A degenerate axis (null or collapsed bounds) bucketizes to 0
+    * exactly like the write side.
+    */
+  private[graft] def bboxUnits(mnx: Option[Double], mxx: Option[Double],
+                               mny: Option[Double], mxy: Option[Double],
+                               bits: Int, unitBits: Int,
+                               x0: Double, x1: Double,
+                               y0: Double, y1: Double): Seq[Long] = {
+    val top = (1L << bits) - 1L
+    def bucketOf(v: Double, mn: Double, mx: Double): Long =
+      math.min(math.max(
+        math.floor((v - mn) * (1L << bits).toDouble / (mx - mn)).toLong, 0L), top)
+    // bucket range of one bbox axis; None = provably empty (bbox entirely
+    // outside the data bounds on this axis)
+    def axisRange(mnO: Option[Double], mxO: Option[Double],
+                  lo: Double, hi: Double): Option[(Long, Long)] =
+      (mnO, mxO) match {
+        case (Some(mn), Some(mx)) if mx > mn =>
+          if (hi < mn || lo > mx) None
+          else Some((bucketOf(math.max(lo, mn), mn, mx),
+            bucketOf(math.min(hi, mx), mn, mx)))
+        case _ => Some((0L, 0L)) // degenerate axis: everything buckets 0
+      }
+    (axisRange(mnx, mxx, x0, x1), axisRange(mny, mxy, y0, y1)) match {
+      case (Some((bx0, bx1)), Some((by0, by1))) =>
+        (0L until (1L << unitBits)).filter { u =>
+          // de-interleave the unit's fixed top bits of z (zValue puts x
+          // bit i at position 2i, y bit i at 2i+1 — so in the TOP bits,
+          // odd absolute positions are y, even are x)
+          var xhi = 0L; var yhi = 0L; var nx = 0; var ny = 0
+          var j = 0
+          while (j < unitBits) {
+            val zpos = 2 * bits - 1 - j
+            val bit = (u >> (unitBits - 1 - j)) & 1L
+            if (zpos % 2 == 1) { yhi = (yhi << 1) | bit; ny += 1 }
+            else { xhi = (xhi << 1) | bit; nx += 1 }
+            j += 1
+          }
+          val ux0 = xhi << (bits - nx)
+          val ux1 = ((xhi + 1L) << (bits - nx)) - 1L
+          val uy0 = yhi << (bits - ny)
+          val uy1 = ((yhi + 1L) << (bits - ny)) - 1L
+          ux1 >= bx0 && ux0 <= bx1 && uy1 >= by0 && uy0 <= by1
+        }
+      case _ => Seq.empty
+    }
+  }
+
+  /** Bbox read over a [[zorderWrite]] layout — the production path the
+    * z-order exists for: the persisted `_zmeta` bounds map the bbox to
+    * its overlapping unit SET (driver-side, 2^unitBits enumeration), the
+    * unit set becomes a PARTITION filter on `zb` (whole directories
+    * pruned at planning — O(touched units) listing, never a corpus
+    * sweep), and the exact x/y predicates run on top (also pushed to
+    * the footer stats of the touched units' files). The result is by
+    * construction identical to filtering the unlaid table — the catalog
+    * hash-gates that; ZorderSkipSpec gates the pruning itself via the
+    * scan's own numFiles/numOutputRows metrics.
+    */
+  def zorderBboxRead(spark: org.apache.spark.sql.SparkSession, path: String,
+                     x0: Double, x1: Double,
+                     y0: Double, y1: Double): DataFrame = {
+    val m = spark.read.parquet(s"$path/_zmeta").head()
+    def opt(i: Int): Option[Double] = if (m.isNullAt(i)) None else Some(m.getDouble(i))
+    val bits = m.getInt(4); val unitBits = m.getInt(5)
+    val units = bboxUnits(opt(0), opt(1), opt(2), opt(3), bits, unitBits,
+      x0, x1, y0, y1)
+    val data = spark.read.parquet(s"$path/data")
+    // the hive-inferred partition column may come back int-typed; match
+    // the literal type so the IN stays a plain partition filter (a cast
+    // wrapped around the partition column defeats directory pruning)
+    val zbLits: Seq[Any] = data.schema("zb").dataType match {
+      case org.apache.spark.sql.types.IntegerType => units.map(_.toInt)
+      case _                                      => units
+    }
+    if (zbLits.isEmpty) return data.filter(lit(false))
+    data.filter(col("zb").isInCollection(zbLits) &&
+      col("x") >= lit(x0) && col("x") <= lit(x1) &&
+      col("y") >= lit(y0) && col("y") <= lit(y1))
   }
 
   /** DBSCAN clustering over the point layer: core points (≥ `minPts`

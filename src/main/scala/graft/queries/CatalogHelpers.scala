@@ -1011,6 +1011,7 @@ private[queries] object CatalogHelpers {
   val pqSyncIdxDir = "/tmp/graft_pq_idx_cdcsync"
   val pruneStatsDir = "/tmp/graft_zorder_layout"
   val spatialLayoutDir = "/tmp/graft_spatial_layout"
+  val spatialZreadDir = "/tmp/graft_spatial_zread"
 
   /** The 8-word re-lining shared by the line-dedup batch entry, its
     * streaming twin, and their common oracle (the fixture's documents

@@ -1117,28 +1117,26 @@ private[queries] object ExtensionQueriesC {
 
     "x_spatial_zorder_scan" -> ((s, dir) => {
       // THE READ-SIDE CLOSURE of x_spatial_prunestats: the same bbox
-      // EXECUTED against the persisted z-laid-out layer (same staged
-      // layout, same predicates), returning the selected rows.
-      // Content-neutral: DuckDB replays the bbox over the recomputed
-      // x/y from the base table — a layout pass must never change the
-      // answer (the x_layout_compact discipline). ZorderSkipSpec gates
-      // the part a hash cannot: the scan's own numOutputRows metric
-      // shows the reader SKIPPED the untouched tiles' row groups
-      // (census said 52/64 prunable; the spec proves the reader obeys).
-      val staged = stageIndex(spatialLayoutDir, dir) {
+      // EXECUTED through the production z-order read path —
+      // Spatial.zorderWrite persists the layer hive-partitioned by
+      // Morton unit with its bounds metadata, and zorderBboxRead maps
+      // the bbox to its overlapping unit SET at planning time (a
+      // partition filter that prunes whole directories, never a corpus
+      // sweep), with the exact x/y predicates pushed to the touched
+      // units' footers on top. Content-neutral: DuckDB replays the bbox
+      // over the recomputed x/y from the base table — a layout pass
+      // must never change the answer (the x_layout_compact discipline).
+      // ZorderSkipSpec gates the part a hash cannot: the scan's own
+      // numFiles/numOutputRows metrics show directories pruned and row
+      // groups skipped (census said 52/64 prunable; the spec proves the
+      // reader obeys).
+      val staged = stageIndex(spatialZreadDir, dir) {
         val back = customerPointLayer(s, dir, "q_layer_spatial")
-        val laid = graft.operators.Spatial.zorderLayout(
-          back.select(col("c_custkey"), col("geometry")))
-        laid.select(col("c_custkey"),
-            graft.api.Geometry.x(laid).as("x"),
-            graft.api.Geometry.y(laid).as("y"), col("zb"))
-          .repartition(col("zb"))
-          .write.mode("overwrite").partitionBy("zb")
-          .parquet(spatialLayoutDir)
+        graft.operators.Spatial.zorderWrite(
+          back.select(col("c_custkey"), col("geometry")), spatialZreadDir)
       }
-      s.read.parquet(staged)
-        .filter(col("x") >= 0.0 && col("x") <= 2000.0 &&
-          col("y") >= 100.0 && col("y") <= 400.0)
+      graft.operators.Spatial.zorderBboxRead(s, staged,
+          0.0, 2000.0, 100.0, 400.0)
         .select("c_custkey", "x", "y")
         .orderBy("c_custkey")
     }),

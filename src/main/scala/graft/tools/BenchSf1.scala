@@ -320,6 +320,32 @@ object BenchSf1 {
         "doc_id", 128, Dedup.Hashers.xx64Base)
       .write.mode("overwrite").parquet(s"$sigRegDir/${tagOf(dir)}")
 
+  /** The spatial point layer of a scale dir (the x_spatial_* geometry
+    * formula: x = acctbal, y = key/2) — shared by the spatial probes
+    * and the z-order layout stager.
+    */
+  private def customerGeom(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    graft.api.Geometry.withPointGeometry(
+      cust.select(col("c_custkey").cast("long").as("id"),
+        col("c_acctbal").cast("double").as("x"),
+        (col("c_custkey").cast("double") * 0.5).as("y")), "x", "y")
+      .select("id", "geometry")
+  }
+
+  /** Persisted z-order layout per scale for the zorder_scan probe —
+    * unitBits grows with the corpus (64·m-ish units = constant unit
+    * SIZE, the nlist posture), so a fixed bbox must read ~the same
+    * absolute bytes at both scales.
+    */
+  private val zreadDir = "/tmp/graft_sf1_zread"
+  private def stageZorderLayout(s: SparkSession, dir: String, m: Int): Unit = {
+    val ub = 6 + math.max(0,
+      (math.log(m.toDouble) / math.log(2.0)).round.toInt)
+    graft.operators.Spatial.zorderWrite(customerGeom(s, dir),
+      s"$zreadDir/${tagOf(dir)}", bits = math.max(10, ub), unitBits = ub)
+  }
+
   private def stageImageHashes(s: SparkSession, dir: String): Unit =
     graft.operators.Multimodal.imageHashes(
         graft.operators.Multimodal.withBmpPayload(
@@ -397,6 +423,7 @@ object BenchSf1 {
         buildIvfPqIndex(spark, d, m)
         buildBqIndex(spark, d)
         buildIvfBqIndex(spark, d, m)
+        stageZorderLayout(spark, d, m)
       }
     }
     // fixed-size reference/batch set (an eval suite does not grow with
@@ -976,6 +1003,27 @@ object BenchSf1 {
         graft.operators.Spatial.epsJoin(left, "id", right, "id", 50.0)
           .count()
       }),
+      // nearest FULL STOP (no eps): ring-expanding doubling search —
+      // the dense second layer resolves nearly every point in rounds
+      // 0-1, so the probe must price ~linear in points
+      "spatial_nn" -> ((dir, _) => {
+        val left = customerGeom(spark, dir)
+        val right = left.filter(col("id") % 3 === 0)
+          .select((col("id") + 10000000000L).as("id"),
+            struct((col("geometry.x") + 25.0).as("x"),
+              col("geometry.y").as("y")).as("geometry"))
+        graft.operators.Spatial.nearestNeighbor(left, "id", right, "id", 50.0)
+          .count()
+      }),
+      // bbox read through the production z-order path: the persisted
+      // _zmeta maps the bbox to its unit set -> a PARTITION filter
+      // prunes whole directories at planning. The answer is
+      // scale-constant (y = key/2 band = a fixed key range) and unit
+      // SIZE is constant (unitBits grows with the corpus), so the read
+      // must price far sublinear — by the touched tiles, not the corpus
+      "zorder_scan" -> ((dir, _) =>
+        graft.operators.Spatial.zorderBboxRead(spark,
+          s"$zreadDir/${tagOf(dir)}", 0.0, 2000.0, 100.0, 400.0).count()),
       // autotune sweep: ONE scored pass at max(nprobe) over probed
       // partitions (probed volume ~flat — nlist grows with the corpus)
       // + the |sample|·|members| exact truth pass — must price ~linear,

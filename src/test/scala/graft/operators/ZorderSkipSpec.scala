@@ -79,4 +79,40 @@ class ZorderSkipSpec extends AnyFunSuite {
     assert(zRead * 4 <= rRead,
       s"z layout must read <= 1/4 of the anti-layout: z=$zRead rr=$rRead")
   }
+
+  test("zorderBboxRead prunes whole unit DIRECTORIES at planning time — " +
+      "the bbox's unit set becomes a partition filter, O(touched units) " +
+      "files listed, never the corpus") {
+    val n = 4096
+    val pts = (0 until n).map(i =>
+      (i.toLong, (i % 64).toDouble * 10, (i / 64).toDouble * 10))
+    val df = Geometry.withPointGeometry(
+      pts.toDF("id", "x0", "y0"), "x0", "y0").select("id", "geometry")
+    val path = "target/spec_zorder_zw"
+    Spatial.zorderWrite(df, path, bits = 10, unitBits = 6)
+
+    val q = Spatial.zorderBboxRead(spark, path, 0.0, 150.0, 0.0, 150.0)
+    val rows = q.collect()
+    val expected = (for (r <- 0 to 15; c <- 0 to 15) yield (r * 64 + c).toLong).toSet
+    assert(rows.map(_.getAs[Long]("id")).toSet == expected,
+      s"bbox answer drifted through the layout: ${rows.length} rows")
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    // planning-time proof: of the 64 unit directories only the bbox's
+    // unit set is scanned at all (the 16x16 corner = 4 tiles, plus at
+    // most boundary neighbors) — a failure here means the zb IN filter
+    // stopped acting as a partition filter (e.g. a cast wrapped the
+    // partition column) and the read degraded to a full listing
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead <= 8, s"read $filesRead files of 64 units — " +
+      "partition pruning is not happening")
+    assert(scan.metrics("numOutputRows").value <= 512)
+    assert(scan.toString.contains("PartitionFilters"),
+      s"no partition filter in:\n$scan")
+    // a bbox entirely outside the data bounds reads nothing and errors
+    // nothing
+    assert(Spatial.zorderBboxRead(spark, path, 1e9, 2e9, 1e9, 2e9)
+      .collect().isEmpty)
+  }
 }
