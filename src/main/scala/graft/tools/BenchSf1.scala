@@ -229,6 +229,119 @@ object BenchSf1 {
     rmRec(java.nio.file.Paths.get(tmpEv))
   }
 
+  // ---- SF100: the synthesized THIRD decade (artifact-only) ----
+  // The flat-serve claim rested on two measured decades (sf0.1→sf1→sf10);
+  // this mode adds a 1000× point WITHOUT a full-corpus remine: the
+  // PERSISTED ARTIFACTS the serves read are inflated 10× from their
+  // sf10 forms (cid-shifted inverted lists under jittered centroids —
+  // nlist 6400 → 64000, constant cell size; id-shifted signature
+  // registries whose per-copy XOR mix decorrelates band keys), the
+  // embeddings corpus is inflated directly for the scan-floor builds
+  // (pq/bq encode passes are linear one-pass), and the stream probes
+  // replay a FIXED 10M-row slice drawn from the 100×-user population —
+  // the same input rows as sf10's full replay, so the rows/s comparison
+  // isolates per-row cost at the third decade's key cardinality instead
+  // of paying a 100M-row wall that measures nothing but replay length.
+  private val sf100Dir = "/tmp/graft_sf100"
+  private val copies100 = 1000
+  private val stride3 = 100000000000L // sf10 ids stay < 1e10; copies disjoint
+
+  private def singleFileParquet(df: DataFrame, target: String): Unit = {
+    val tmp = target + "__tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    def rmRec(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+        finally walk.close()
+      }
+    val tpath = java.nio.file.Paths.get(target)
+    rmRec(tpath)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, tpath)
+    rmRec(java.nio.file.Paths.get(tmp))
+  }
+
+  private def buildSf100(s: SparkSession): Unit = {
+    val lvl3 = 10
+    // embeddings: per-element jitter per copy (the buildSf10 recipe) —
+    // the pq/bq scan-floor builds and the serve re-ranks read this
+    val emb10 = s.read.parquet(s"$sf10Dir/embeddings.parquet")
+    (0 until lvl3).map { a =>
+      val shifted = emb10.withColumn("vec_id", col("vec_id") + lit(a * stride3))
+      if (a == 0) shifted
+      else shifted.withColumn("embedding",
+        expr(s"transform(embedding, (x, p) -> cast(x + " +
+          s"((vec_id * 41 + p * 13 + $a * 19) % 100 - 50) * 0.002 as float))"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$sf100Dir/embeddings.parquet")
+    // events SLICE: a 1/10 row-sample of sf10 × 10 user-shifted copies =
+    // sf10's row count at ~10× its user cardinality; ONE plain file for
+    // the streams' leaf-name glob
+    val e10 = s.read.parquet(s"$sf10Dir/events.parquet")
+    val sampled = e10.filter(
+      pmod(xxhash64(col("event_id")), lit(10)) === 0)
+    singleFileParquet(
+      (0 until lvl3).map(a =>
+          sampled.withColumn("user_id", col("user_id") + lit(a * stride3)))
+        .reduce(_ unionByName _),
+      s"$sf100Dir/events.parquet")
+    // signature registry: id-shifted copies with a per-copy XOR mix so
+    // copies land in DISTINCT band buckets (identical signatures would
+    // stack every bucket 10 deep — a degenerate shape no real registry
+    // has; the mix keeps bucket occupancy realistic at 10×)
+    val reg10 = s.read.parquet(s"$sigRegDir/sf10")
+    (0 until lvl3).map { a =>
+      val shifted = reg10.withColumn("doc_id", col("doc_id") + lit(a * stride3))
+      if (a == 0) shifted
+      else {
+        val mask = a.toLong * 0x9E3779B97F4A7C15L
+        shifted.withColumn("sig",
+          expr(s"transform(sig, h -> h ^ CAST($mask AS BIGINT))"))
+      }
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$sigRegDir/sf100")
+  }
+
+  /** Inflate a persisted IVF-family artifact 10×: centroids duplicated
+    * cid-shifted with per-copy coordinate jitter (re-normed), the
+    * cid-partitioned member table re-keyed to the shifted cells — the
+    * serve-side shape (nlist × 10, constant cell size, one dir per
+    * cell) without re-running the O(corpus × nlist) assignment that a
+    * direct 5M-vector build would cost. `unit` is the member dir name
+    * ("cells" for IVF — (id, vec, norm); "codes" for IVF-BQ —
+    * (id, sig)).
+    */
+  private def inflateIvfArtifact(s: SparkSession, src: String, dst: String,
+                                 unit: String, nlistSrc: Int): Unit = {
+    import graft.functions.VectorFunctions.vec_dot
+    val cents = s.read.parquet(s"$src/centroids")
+    (0 until 10).map { a =>
+      val shifted = cents.withColumn("cid",
+        col("cid") + lit(a.toLong * nlistSrc))
+      if (a == 0) shifted
+      else {
+        val j = shifted.withColumn("cvec",
+          expr(s"transform(cvec, (x, p) -> x + " +
+            s"((cid * 29 + p * 7 + $a * 23) % 100 - 50) * 0.002)"))
+        j.withColumn("cnorm", sqrt(vec_dot(col("cvec"), col("cvec"))))
+      }
+    }.reduce(_ unionByName _)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/centroids")
+    val members = s.read.option("basePath", s"$src/$unit")
+      .parquet(s"$src/$unit")
+    (0 until 10).map(a =>
+        members.withColumn("id", col("id") + lit(a * stride3))
+          .withColumn("cid",
+            col("cid").cast("long") + lit(a.toLong * nlistSrc)))
+      .reduce(_ unionByName _)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dst/$unit")
+  }
+
   // ---- per-scale staged artifacts for the ingestion/serve probes ----
   // (written OUTSIDE the timed probes: the probe prices the operator —
   // the distributed parse/scan/serve — not fixture generation, exactly
@@ -237,7 +350,10 @@ object BenchSf1 {
   private val ivfIdxDir = "/tmp/graft_sf1_ivfidx"
   private val imgHashDir = "/tmp/graft_sf1_imghash"
   private def tagOf(dir: String): String =
-    if (dir == sf01) "sf01" else if (dir == sf10Dir) "sf10" else "sf1"
+    if (dir == sf01) "sf01"
+    else if (dir == sf10Dir) "sf10"
+    else if (dir == sf100Dir) "sf100"
+    else "sf1"
 
   /** JSONL (with the doc_id%13 truncation corruption of the catalog
     * fixture, written DISTRIBUTED as text part files — line-splittable
@@ -372,6 +488,7 @@ object BenchSf1 {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val smallHeap = args.contains("smallheap")
     val sf10Mode = args.contains("sf10")
+    val sf100Mode = args.contains("sf100")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -411,6 +528,24 @@ object BenchSf1 {
         buildBqIndex(spark, d)
         buildIvfBqIndex(spark, d, m)
       }
+    } else if (sf100Mode) {
+      // the third-decade staging: sf10 artifacts built normally (they
+      // are both the comparison point and the inflation source), sf100
+      // artifacts inflated/encoded — never a 5M-vector × 64k-centroid
+      // assignment (see buildSf100's header)
+      buildSf10(spark)
+      stageSigRegistry(spark, sf10Dir)
+      buildServeIndex(spark, sf10Dir, copies10)
+      buildPqIndex(spark, sf10Dir)
+      buildBqIndex(spark, sf10Dir)
+      buildIvfBqIndex(spark, sf10Dir, copies10)
+      buildSf100(spark)
+      inflateIvfArtifact(spark, s"$ivfIdxDir/sf10", s"$ivfIdxDir/sf100",
+        "cells", 64 * copies10)
+      inflateIvfArtifact(spark, s"$ivfbqIdxDirB/sf10", s"$ivfbqIdxDirB/sf100",
+        "codes", 64 * copies10)
+      buildPqIndex(spark, sf100Dir)
+      buildBqIndex(spark, sf100Dir)
     } else {
       Seq(sf01, sf1Dir).foreach { d =>
         stageIngest(spark, d)
@@ -1291,6 +1426,61 @@ object BenchSf1 {
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""codegen_errors":${CodegenErrors.total}}"""
       Files.writeString(Paths.get("BENCH_SF10.json"), json + "\n")
+      spark.stop()
+      println(json)
+      if (failures.nonEmpty) sys.exit(1)
+      return
+    }
+
+    if (sf100Mode) {
+      // THE THIRD DECADE (sf10 → sf100, 1000×), artifact-synthesized:
+      // the serve family reads O(probed cells)/O(compact codes) from
+      // 10×-inflated persisted artifacts (nlist 6400 → 64000, constant
+      // cell size), the registry serve scans a 10× decorrelated
+      // signature table, and the stream probes replay the SAME 10M
+      // input rows drawn from the 100×-user population — rows/s
+      // isolates per-row cost at third-decade key cardinality. The
+      // scan-floor serves (pq/bq) are linear in codes BY DESIGN and
+      // are expected to show it; the probed serves must stay near-flat.
+      val names = Seq("ivf_serve", "pq_serve", "bq_serve", "ivfbq_serve",
+        "sig_registry_serve", "stream_heavyhitters", "stream_distinct")
+      val byName = probes.toMap
+      val missing = names.filterNot(byName.contains)
+      require(missing.isEmpty, s"sf100 probes not found: $missing")
+      val rows = names.map { name =>
+        val run = byName(name)
+        val t10 = timeMin(name, 2)(run(sf10Dir, copies10))
+        val t100 = timeMin(name, 2)(run(sf100Dir, copies100))
+        val ratio = for (a <- t10; b <- t100) yield b / a
+        val show = (o: Option[Double]) => o.fold("   FAIL")(t => f"$t%7.2f")
+        println(s"== sf100 ${name.padTo(22, ' ')} sf10 ${show(t10)} s   " +
+          s"sf100 ${show(t100)} s" + ratio.fold("")(r => f"   ratio $r%5.1fx"))
+        (name, t10, t100, ratio)
+      }
+      val num = (o: Option[Double]) => o.fold("null")(t => JsonNum.num(t, 3))
+      val qjson = rows.map { case (n, a, b, r) =>
+        s""""$n":{"sf10":${num(a)},"sf100":${num(b)},"ratio":${num(r)}}"""
+      }.mkString("{", ",", "}")
+      val streamNames = rows.collect {
+        case (n, _, _, _) if n.startsWith("stream_") => n }.toSet
+      val evRows = Seq(sf10Dir, sf100Dir).map(d =>
+        d -> spark.read.parquet(s"$d/events.parquet").count()).toMap
+      val tjson = rows.collect {
+        case (n, Some(a), Some(b), _) if streamNames(n) =>
+          val r10 = evRows(sf10Dir) / a
+          val r100 = evRows(sf100Dir) / b
+          s""""$n":{"sf10_rows_per_sec":${JsonNum.num(r10, 0)},""" +
+            s""""sf100_rows_per_sec":${JsonNum.num(r100, 0)}}"""
+      }.mkString("{", ",", "}")
+      val json =
+        s"""{"metric":"sf100_scale_ratio","unit":"x","copies":$copies100,""" +
+        s""""synthesized_artifacts":true,""" +
+        s""""events_slice_rows":${evRows(sf100Dir)},""" +
+        s""""queries":$qjson,""" +
+        s""""stream_throughput":$tjson,""" +
+        s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""codegen_errors":${CodegenErrors.total}}"""
+      Files.writeString(Paths.get("BENCH_SF100.json"), json + "\n")
       spark.stop()
       println(json)
       if (failures.nonEmpty) sys.exit(1)
