@@ -227,7 +227,11 @@ object Spatial {
     *
     * Scale shape — RING-EXPANDING GRID SEARCH by cell-size doubling,
     * never a cross join: round k searches the 3×3 neighborhood at cell
-    * size `cellSize·2^k`. Any point at distance < g_k lies inside that
+    * size `cellSize·2^(s₀+k)`, where the starting octave s₀ is derived
+    * from the right side's measured density (~2× the expected
+    * point spacing — typical lefts then resolve in round 0-1 instead
+    * of paying one join per octave walking up from `cellSize`; any
+    * increasing schedule is exact). Any point at distance < g_k lies inside that
     * neighborhood, so a round-k best with dist < g_k is the GLOBAL
     * nearest (every tie candidate was in the aggregation too) and the
     * left point resolves; unresolved points escalate. Coarse cells
@@ -239,7 +243,10 @@ object Spatial {
     * (partial map-side — candidate rows stream through, never
     * materialize); round count is log₂(span/cellSize) — ~20 rounds
     * covers a 10⁶× span, and typical layers resolve almost everything
-    * in rounds 0–2.
+    * in rounds 0–2. Stragglers never climb the whole ladder: once
+    * `remaining × |right|` fits `bruteBudget` pairs, one broadcast
+    * exact pass finishes them in a single bounded stage (pass 0 to
+    * disable and run the pure ladder).
     *
     * `maxCellSize` gates degenerate RIGHT cells at the BASE scale (the
     * [[epsJoin]] discipline — a capped cell contributes no points, so
@@ -252,11 +259,14 @@ object Spatial {
   def nearestNeighbor(left: DataFrame, leftId: String,
                       right: DataFrame, rightId: String, cellSize: Double,
                       maxRounds: Int = 48,
-                      maxCellSize: Option[Int] = Some(DefaultMaxCellSize))
+                      maxCellSize: Option[Int] = Some(DefaultMaxCellSize),
+                      bruteBudget: Long = 50000000L)
       : DataFrame = {
     require(cellSize > 0, s"nearestNeighbor: cellSize must be positive, got $cellSize")
     require(maxRounds >= 1 && maxRounds <= 62,
       s"nearestNeighbor: maxRounds must be in [1, 62], got $maxRounds")
+    require(bruteBudget >= 0,
+      s"nearestNeighbor: bruteBudget must be >= 0, got $bruteBudget")
     // both sides keyed ONCE at base scale and pinned: every round re-keys
     // by shift off these frames (and the loop re-reads the right side
     // each round — without the barrier it would re-run the corpus scan)
@@ -265,7 +275,28 @@ object Spatial {
       .select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
         col("cellx").as("bcx"), col("celly").as("bcy"))
       .localCheckpoint(true)
-    val rightEmpty = r0.isEmpty
+    // ONE stats probe over the pinned right side: emptiness, and the
+    // STARTING scale of the doubling schedule. n points over a w×h
+    // extent sit ~sqrt(w·h/n) apart, so starting the search at ~2× that
+    // spacing resolves typical lefts in round 0-1 — walking up from
+    // cellSize one octave (one join + one barrier) at a time priced the
+    // sf0.1 fixture at ~6 rounds of pure scheduling overhead. Any
+    // increasing scale schedule is EXACT under the dist < g rule, so
+    // the starting scale is pure cost tuning, never semantics; the
+    // BASE-scale cap census is untouched.
+    val rs = r0.agg(count(lit(1)), min("bx"), max("bx"),
+      min("by"), max("by")).head()
+    val nRight = rs.getLong(0)
+    val rightEmpty = nRight == 0L
+    val shift0 =
+      if (rightEmpty) 0
+      else {
+        val w = math.max(rs.getDouble(2) - rs.getDouble(1), 1e-12)
+        val h = math.max(rs.getDouble(4) - rs.getDouble(3), 1e-12)
+        val g0 = 2.0 * math.sqrt(w * h / nRight)
+        math.max(0, math.ceil(
+          math.log(math.max(g0 / cellSize, 1.0)) / math.log(2.0)).toInt)
+      }
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
     val bType = r0.schema("b").dataType
@@ -276,17 +307,19 @@ object Spatial {
     var k = 0
     var done = rightEmpty
     while (!done && k < maxRounds) {
-      val g = cellSize * math.pow(2.0, k)
+      val shift = math.min(shift0 + k, 62)
+      val g = cellSize * math.pow(2.0, shift)
       val lkx = unresolved
         .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
-          shiftright(col("cellx"), k).as("ccx0"),
-          shiftright(col("celly"), k).as("ccy0"),
+          shiftright(col("cellx"), shift).as("ccx0"),
+          shiftright(col("celly"), shift).as("ccy0"),
           explode(offsets).as("o"))
         .select(col("a"), col("ax"), col("ay"),
           (col("ccx0") + col("o.dx")).as("ccx"),
           (col("ccy0") + col("o.dy")).as("ccy"))
       val rk = r0.select(col("b"), col("bx"), col("by"),
-        shiftright(col("bcx"), k).as("ccx"), shiftright(col("bcy"), k).as("ccy"))
+        shiftright(col("bcx"), shift).as("ccx"),
+        shiftright(col("bcy"), shift).as("ccy"))
       val best = lkx.join(rk, Seq("ccx", "ccy"))
         .withColumn("dist2", dist2(col("ax"), col("ay"), col("bx"), col("by")))
         .groupBy("a")
@@ -308,13 +341,37 @@ object Spatial {
       unresolved = joined
         .filter(col("dist2").isNull || !(col("dist2") < lit(g * g)))
         .select("id", "x", "y", "cellx", "celly")
-      done = unresolved.isEmpty
+      val remaining = unresolved.count()
+      done = remaining == 0L
+      // BOUNDED FINISHING PASS: the stragglers are the sparse-region
+      // tail, and their ladder climbs toward whole-domain scales one
+      // octave (one join + one barrier) at a time — measured, the last
+      // two octaves cost more than all earlier rounds together. Once
+      // remaining × nRight fits the pair budget, ONE broadcast exact
+      // pass (a bounded nested-loop min, the "bounded exact verify"
+      // discipline) finishes every straggler in a single stage. The
+      // budget keeps this from ever being a corpus × corpus join; with
+      // `bruteBudget = 0` the pure ladder runs to completion (specs pin
+      // both paths to identical answers).
+      if (!done && remaining * nRight <= bruteBudget) {
+        val tail = broadcast(unresolved
+          .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay")))
+        val best = r0.select(col("b"), col("bx"), col("by"))
+          .crossJoin(tail)
+          .withColumn("dist2",
+            dist2(col("ax"), col("ay"), col("bx"), col("by")))
+          .groupBy("a")
+          .agg(min(struct(col("dist2"), col("b"))).as("m"))
+          .select(col("a"), col("m.b").as("b"), col("m.dist2").as("dist2"))
+        acc = acc.unionAll(best)
+        done = true
+      }
       k += 1
     }
     require(done || rightEmpty,
       s"nearestNeighbor: unresolved left points after $maxRounds doubling " +
-        s"rounds — the coordinate span exceeds cellSize*2^$maxRounds; raise " +
-        "maxRounds or cellSize")
+        s"rounds from starting octave $shift0 — the coordinate span exceeds " +
+        s"cellSize*2^(${shift0 + maxRounds}); raise maxRounds or cellSize")
     left.select(col(leftId).as("a")).distinct()
       .join(acc, Seq("a"), "left")
       .select("a", "b", "dist2")

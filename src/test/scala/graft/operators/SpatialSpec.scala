@@ -280,6 +280,13 @@ class SpatialSpec extends AnyFunSuite {
     val gotEmpty = Spatial.nearestNeighbor(left, "id", emptyRight, "id", cell)
       .as[(Long, Option[Long], Option[Double])].collect()
     assert(gotEmpty.length == 4 && gotEmpty.forall(r => r._2.isEmpty && r._3.isEmpty))
+    // the PURE LADDER (finishing pass disabled) answers identically —
+    // the budgeted brute pass is cost tuning, never semantics
+    val ladder = Spatial.nearestNeighbor(left, "id", right, "id", cell,
+        bruteBudget = 0L)
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(ladder == got, s"ladder path diverged: $ladder vs $got")
   }
 
   test("nearestNeighbor: a capped degenerate right cell is invisible — " +
