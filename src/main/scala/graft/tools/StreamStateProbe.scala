@@ -65,7 +65,11 @@ object StreamStateProbe {
     val scales = Seq(
       "sf01" -> "/root/testdata/sf0.1",
       "sf1" -> "/tmp/graft_sf1",
-      "sf10" -> "/tmp/graft_sf10")
+      "sf10" -> "/tmp/graft_sf10",
+      // the r15 synthesized third-decade slice: sf10's row count drawn
+      // from the 100×-user population — state must stay capacity ×
+      // open-windows bounded at 10× the key cardinality too
+      "sf100" -> "/tmp/graft_sf100")
     val present = scales.filter { case (tag, dir) =>
       val ok = new java.io.File(s"$dir/events.parquet").exists()
       if (!ok) println(s"== SKIPPING $tag: $dir/events.parquet absent " +
