@@ -808,9 +808,55 @@ object AnnIndex {
   }
 
   /** The persisted centroid table, collected driver-side (nlist rows). */
+  /** Resident centroid cache: a serving tier holds its probe-plan
+    * structures in memory — re-reading and re-collecting an
+    * nlist-row parquet PER SERVE is a fixed cost that grows linearly
+    * with nlist and dominated the synthesized-sf100 probes (64 000
+    * centroids ≈ 25 MB re-collected per call made a probed O(nprobe)
+    * serve price ~4× per decade for pure plan-construction). Keyed by
+    * (path, centroid-file fingerprint) — one shallow `listStatus` of
+    * file (mtime, length) pairs per call, so a rebuild (ivfBuild
+    * overwrites `$path/centroids` in place) rotates the key and the
+    * stale entry is evicted; bounded LRU (8 artifacts ≈ a few hundred
+    * MB worst-case at production nlist), access-ordered.
+    */
+  private val centroidCache =
+    new java.util.LinkedHashMap[(String, String), Array[(Long, Seq[Double], Double)]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Array[(Long, Seq[Double], Double)]]): Boolean =
+        size() > 8
+    }
+
+  private def centroidsFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getModificationTime}:${s.getLen}")
+      .sorted.mkString(",")
+    catch { case _: java.io.FileNotFoundException => "absent" }
+  }
+
   private[graft] def loadIvfCentroids(spark: SparkSession,
-                                      path: String): Array[(Long, Seq[Double], Double)] =
-    Similarity.collectCents(spark.read.parquet(s"$path/centroids"))
+                                      path: String): Array[(Long, Seq[Double], Double)] = {
+    val key = (path, centroidsFingerprint(spark, path))
+    val cached = centroidCache.synchronized {
+      val hit = centroidCache.get(key)
+      if (hit == null) {
+        // stale fingerprints of the same path can never serve again —
+        // drop them rather than let 8 dead versions crowd the LRU
+        val it = centroidCache.keySet().iterator()
+        while (it.hasNext) if (it.next()._1 == path) it.remove()
+      }
+      hit
+    }
+    if (cached != null) cached
+    else {
+      val loaded = Similarity.collectCents(spark.read.parquet(s"$path/centroids"))
+      centroidCache.synchronized { centroidCache.put(key, loaded) }
+      loaded
+    }
+  }
 
   /** Serve top-k from a persisted IVF index: NO training, NO cell
     * assignment — probe selection is a pure projection over the loaded

@@ -227,11 +227,12 @@ object Spatial {
     *
     * Scale shape — RING-EXPANDING GRID SEARCH by cell-size doubling,
     * never a cross join: round k searches the 3×3 neighborhood at cell
-    * size `cellSize·2^(s₀+k)`, where the starting octave s₀ is derived
-    * from the right side's measured density (~2× the expected
-    * point spacing — typical lefts then resolve in round 0-1 instead
-    * of paying one join per octave walking up from `cellSize`; any
-    * increasing schedule is exact). Any point at distance < g_k lies inside that
+    * size `cellSize·2^(s₀+k)`, where the starting octave s₀ is the
+    * smallest octave at which the right side's occupied-cell occupancy
+    * reaches 2 (measured multi-resolution in one pass — typical lefts
+    * then resolve in round 0-1 instead of paying one join per octave
+    * walking up from `cellSize`; any increasing schedule is exact).
+    * Any point at distance < g_k lies inside that
     * neighborhood, so a round-k best with dist < g_k is the GLOBAL
     * nearest (every tie candidate was in the aggregation too) and the
     * left point resolves; unresolved points escalate. Coarse cells
@@ -276,27 +277,34 @@ object Spatial {
         col("cellx").as("bcx"), col("celly").as("bcy"))
       .localCheckpoint(true)
     // ONE stats probe over the pinned right side: emptiness, and the
-    // STARTING scale of the doubling schedule. n points over a w×h
-    // extent sit ~sqrt(w·h/n) apart, so starting the search at ~2× that
-    // spacing resolves typical lefts in round 0-1 — walking up from
-    // cellSize one octave (one join + one barrier) at a time priced the
-    // sf0.1 fixture at ~6 rounds of pure scheduling overhead. Any
-    // increasing scale schedule is EXACT under the dist < g rule, so
-    // the starting scale is pure cost tuning, never semantics; the
-    // BASE-scale cap census is untouched.
-    val rs = r0.agg(count(lit(1)), min("bx"), max("bx"),
-      min("by"), max("by")).head()
+    // STARTING octave of the doubling schedule — the smallest octave
+    // where the mean occupancy of OCCUPIED cells reaches 2, i.e. where
+    // a 3×3 probe typically meets a neighbor. Occupancy is measured at
+    // every even octave in one aggregation pass (approx-distinct of the
+    // shifted cell keys — a ±5% estimate cannot move an octave choice
+    // meaningfully). This is robust where a bounding-box density
+    // estimate is catastrophically not: on ISLAND-clustered layers
+    // (e.g. id-strided fixtures) w·h/n over the hull reads mostly empty
+    // space and overshoots the start by ~10 octaves, turning round 0
+    // into a near-cross-join (measured 53× at the 10× fixture); cell
+    // occupancy only ever sees where points actually are. Undershoot is
+    // cheap (a few sparse extra rounds + the brute finish); any
+    // increasing schedule is EXACT under the dist < g rule, so the
+    // start is pure cost tuning — the BASE-scale cap census is
+    // untouched.
+    val probeOctaves = 0 to 20 by 2
+    val occAggs = probeOctaves.map(j => approx_count_distinct(
+      struct(shiftright(col("bcx"), j), shiftright(col("bcy"), j)))
+      .as(s"o$j"))
+    val rs = r0.agg(count(lit(1)).as("n"), occAggs: _*).head()
     val nRight = rs.getLong(0)
     val rightEmpty = nRight == 0L
     val shift0 =
       if (rightEmpty) 0
-      else {
-        val w = math.max(rs.getDouble(2) - rs.getDouble(1), 1e-12)
-        val h = math.max(rs.getDouble(4) - rs.getDouble(3), 1e-12)
-        val g0 = 2.0 * math.sqrt(w * h / nRight)
-        math.max(0, math.ceil(
-          math.log(math.max(g0 / cellSize, 1.0)) / math.log(2.0)).toInt)
-      }
+      else probeOctaves.find { j =>
+        val occ = math.max(rs.getLong(1 + probeOctaves.indexOf(j) /* after n */), 1L)
+        nRight.toDouble / occ >= 2.0
+      }.getOrElse(probeOctaves.last)
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
     val bType = r0.schema("b").dataType

@@ -532,20 +532,29 @@ object BenchSf1 {
       // the third-decade staging: sf10 artifacts built normally (they
       // are both the comparison point and the inflation source), sf100
       // artifacts inflated/encoded — never a 5M-vector × 64k-centroid
-      // assignment (see buildSf100's header)
-      buildSf10(spark)
-      stageSigRegistry(spark, sf10Dir)
-      buildServeIndex(spark, sf10Dir, copies10)
-      buildPqIndex(spark, sf10Dir)
-      buildBqIndex(spark, sf10Dir)
-      buildIvfBqIndex(spark, sf10Dir, copies10)
-      buildSf100(spark)
-      inflateIvfArtifact(spark, s"$ivfIdxDir/sf10", s"$ivfIdxDir/sf100",
-        "cells", 64 * copies10)
-      inflateIvfArtifact(spark, s"$ivfbqIdxDirB/sf10", s"$ivfbqIdxDirB/sf100",
-        "codes", 64 * copies10)
-      buildPqIndex(spark, sf100Dir)
-      buildBqIndex(spark, sf100Dir)
+      // assignment (see buildSf100's header). `sf100 reuse` skips the
+      // ~30-min staging when this machine's /tmp already holds the
+      // artifacts from a prior sf100 run in this round — probe-only
+      // re-pricing after a serve-side code change.
+      val reuse = args.contains("reuse") &&
+        new java.io.File(s"$sf100Dir/embeddings.parquet").exists() &&
+        new java.io.File(s"$ivfIdxDir/sf100").exists()
+      if (reuse) println("== sf100 REUSING staged artifacts on /tmp")
+      else {
+        buildSf10(spark)
+        stageSigRegistry(spark, sf10Dir)
+        buildServeIndex(spark, sf10Dir, copies10)
+        buildPqIndex(spark, sf10Dir)
+        buildBqIndex(spark, sf10Dir)
+        buildIvfBqIndex(spark, sf10Dir, copies10)
+        buildSf100(spark)
+        inflateIvfArtifact(spark, s"$ivfIdxDir/sf10", s"$ivfIdxDir/sf100",
+          "cells", 64 * copies10)
+        inflateIvfArtifact(spark, s"$ivfbqIdxDirB/sf10", s"$ivfbqIdxDirB/sf100",
+          "codes", 64 * copies10)
+        buildPqIndex(spark, sf100Dir)
+        buildBqIndex(spark, sf100Dir)
+      }
     } else {
       Seq(sf01, sf1Dir).foreach { d =>
         stageIngest(spark, d)
