@@ -873,7 +873,7 @@ object AnnIndex {
                idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
                keepCosine: Boolean = false): DataFrame = {
     val cents = loadIvfCentroids(spark, path)
-    val probes = Similarity.probeCells(queries, idCol, vecCol, cents, nprobe)
+    val probes = Similarity.probeCellsLocal(queries, idCol, vecCol, cents, nprobe)
     // the probed-cid set is the serve-time "query plan": tiny, and the
     // scan is ROOTED at exactly the probed partition directories (via
     // `basePath`), so file LISTING is O(probed dirs) — a generic read of
@@ -1360,7 +1360,7 @@ object AnnIndex {
                  queries: DataFrame, idCol: String, vecCol: String,
                  k: Int, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
     val cents = loadIvfCentroids(spark, path)
-    val probedCids = Similarity.probeCells(queries, idCol, vecCol,
+    val probedCids = Similarity.probeCellsLocal(queries, idCol, vecCol,
         cents, nprobe)
       .select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -1537,7 +1537,7 @@ object AnnIndex {
                  queries: DataFrame, idCol: String, vecCol: String, k: Int,
                  nprobe: Int = 4, rerank: Int = 4): DataFrame = {
     val cents = loadIvfCentroids(spark, path)
-    val probes = Similarity.probeCells(queries, idCol, vecCol, cents, nprobe)
+    val probes = Similarity.probeCellsLocal(queries, idCol, vecCol, cents, nprobe)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
     // sidecar BEFORE pointer (see minusTombstonesPre)

@@ -634,6 +634,56 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
   }
 
+  /** [[probeCells]] computed DRIVER-SIDE for the persisted-serve path:
+    * serving is the bounded-query regime by contract (the serves
+    * already collect |queries|·nprobe cids driver-side), so the query
+    * vectors themselves are collected and probe selection runs in
+    * local code — no Spark job ever ships the nlist×dim probe matrix
+    * as a task reference (16 MB per job at nlist 64 000; measured as
+    * most of a cold synthesized-sf100 serve). Selection is
+    * bit-identical to [[probeCells]]: ascending-index double dots with
+    * exact float→double widening, correctly-rounded qnorm, scores
+    * `dot/(qnorm·cnorm)` under the engine's nan-safe order with ties
+    * to the smaller cid. Output schema matches probeCells modulo qvec
+    * arriving as array<double> (the widening is exact, so downstream
+    * scoring dots are unchanged).
+    */
+  private[graft] def probeCellsLocal(queries: DataFrame, idCol: String,
+                                     vecCol: String,
+                                     cents: Array[(Long, Seq[Double], Double)],
+                                     nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val qs = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cvecs = cents.map(_._2.toArray)
+    val out = qs.flatMap { case (qid, qv) =>
+      val q = qv.toArray
+      var n2 = 0.0
+      var i = 0
+      while (i < q.length) { n2 += q(i) * q(i); i += 1 }
+      val qnorm = math.sqrt(n2)
+      val scored = cents.indices.map { k =>
+        val c = cvecs(k)
+        require(c.length == q.length,
+          s"probeCellsLocal: query dim ${q.length} vs centroid dim ${c.length}")
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { d += q(j) * c(j); j += 1 }
+        (d / (qnorm * cents(k)._3), cents(k)._1)
+      }
+      val top = scored.sortWith { case ((sa, ia), (sb, ib)) =>
+        val c = graft.functions.ScoreOrdering.nanSafeCompare(sa, sb)
+        c > 0 || (c == 0 && ia < ib)
+      }.take(nprobe)
+      top.map { case (_, cid) => (qid, qv, qnorm, cid) }
+    }
+    spark.createDataFrame(out.toIndexedSeq)
+      .toDF("qid", "qvec", "qnorm", "cid")
+  }
+
   /** [[probeCells]] with the probe ORDER kept: posexplode of the same
     * VecTopIds selection, so each probed cell carries its 1-based rank
     * in the query's centroid-closeness order. A candidate found via

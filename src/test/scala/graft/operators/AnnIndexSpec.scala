@@ -1142,13 +1142,15 @@ class AnnIndexSpec extends AnyFunSuite {
     // INSET shows in PartitionFilters; Spark layers a dynamic-pruning
     // subquery on top for free)
     assert(lower.contains("partitionfilters: [cid") && lower.contains("inset"), p)
-    // NO cell re-assignment at serve time: the assignment argmax
-    // (VecArgMaxId) must not appear anywhere in the serving plan — the
-    // only centroid-matrix work (VecDotMatrix) is the probe-side
-    // projection over the QUERY scan. Contrast: the in-memory path's
+    // NO centroid-matrix work in the serving plan AT ALL (r15): probe
+    // selection runs driver-side over the resident centroid cache
+    // (serving is the bounded-query regime), so neither the assignment
+    // argmax (VecArgMaxId) nor the nlist×dim probe matrix
+    // (VecDotMatrix — 16 MB shipped as a task reference per job at
+    // production nlist) may appear. Contrast: the in-memory path's
     // plan carries the assignment argmax over the corpus.
     assert(!lower.contains("vecargmaxid"), p)
-    assert(lower.contains("vecdotmatrix"), p)
+    assert(!lower.contains("vecdotmatrix"), p)
     val inMemPlan = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
       k = 10, nlist = 16, nprobe = 4)
       .queryExecution.executedPlan.toString.toLowerCase
