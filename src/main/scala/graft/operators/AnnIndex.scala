@@ -67,6 +67,7 @@ object AnnIndex {
     }
     // nlist rows: one file, not 32 near-empty ones
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    stampCentroidNonce(spark, path)
     val cents = loadIvfCentroids(spark, path)
     writeCells(corpus, idCol, vecCol, cents, path)
     // a REBUILD over a path with pending takedowns must not inherit
@@ -90,6 +91,7 @@ object AnnIndex {
     val cents = Similarity.collectCents(centroids)
     spark.createDataFrame(cents.toIndexedSeq).toDF("cid", "cvec", "cnorm")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    stampCentroidNonce(spark, path)
     writeCells(corpus, idCol, vecCol, loadIvfCentroids(spark, path), path)
     clearTombstones(spark, path)
   }
@@ -828,6 +830,23 @@ object AnnIndex {
         size() > 8
     }
 
+  /** Stamp a unique build-nonce marker into the centroid directory.
+    * The resident-cache fingerprint is (name, mtime, length) pairs — an
+    * in-place rebuild that completes within filesystem mtime granularity
+    * with identical part names/sizes would not rotate the cache key, and
+    * serves would silently probe stale centroids over the new cells. The
+    * marker is `_`-prefixed (invisible to parquet readers) and
+    * UUID-named, so EVERY build rotates the fingerprint unconditionally;
+    * builds call it between the centroids write and the first
+    * [[loadIvfCentroids]], so the fresh cache entry is keyed post-nonce.
+    */
+  private def stampCentroidNonce(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$path/centroids/_nonce-${java.util.UUID.randomUUID()}")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
   private def centroidsFingerprint(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1298,6 +1317,7 @@ object AnnIndex {
         Similarity.idSampledCentroids(corpus, idCol, vecCol, nlist)
     }
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    stampCentroidNonce(spark, path)
     val cents = loadIvfCentroids(spark, path)
     publishBuild(spark, path, "codes") { stage =>
       Similarity.bqPackAssigned(
@@ -1360,8 +1380,13 @@ object AnnIndex {
                  queries: DataFrame, idCol: String, vecCol: String,
                  k: Int, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
     val cents = loadIvfCentroids(spark, path)
-    val probedCids = Similarity.probeCellsLocal(queries, idCol, vecCol,
-        cents, nprobe)
+    // ONE driver-side probe selection feeds both the partition filter
+    // and the scoring plan — the serve never re-derives probes through
+    // the distributed matrix kernel (the r15 ivf/pq discipline, extended
+    // here: no VecDotMatrix anywhere in the composed-BQ serve plan)
+    val probes = Similarity.probeCellsLocal(queries, idCol, vecCol,
+      cents, nprobe)
+    val probedCids = probes
       .select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
     // sidecar BEFORE pointer (see minusTombstonesPre)
@@ -1371,8 +1396,8 @@ object AnnIndex {
           probedCids.toSeq)
         .withColumn("cid", col("cid").cast("long"))
         .filter(col("cid").isInCollection(probedCids)))
-    Similarity.ivfbqTopKWithSigs(memberSigs, corpus, queries,
-      idCol, vecCol, cents, k, nprobe, rerank)
+    Similarity.ivfbqTopKWithProbes(memberSigs, corpus, queries,
+      idCol, vecCol, probes, k, rerank)
   }
 
   /** Synchronize the persisted composed BQ index with a CDC tail —
@@ -1449,6 +1474,7 @@ object AnnIndex {
     }
     centroids
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    stampCentroidNonce(spark, path)
     val cents = loadIvfCentroids(spark, path)
     // one corpus pass assigns, one encodes; the cid repartition routes
     // each cell's codes to one file (the writeCells small-files rule)

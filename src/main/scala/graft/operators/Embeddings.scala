@@ -148,6 +148,13 @@ object Embeddings {
           throw new IllegalArgumentException(
             s"SecondMomentAgg: |q|=$qi exceeds the exact-product range " +
               s"(quantized inputs must stay <= $maxAbs)")
+        // integer-lattice contract: a fractional value inside the bound
+        // would have its pairwise products silently truncated by .toLong
+        // and break the documented exact-DECIMAL equivalence
+        if (qi != math.rint(qi))
+          throw new IllegalArgumentException(
+            s"SecondMomentAgg: q=$qi is not integer-valued — inputs must " +
+              "be pre-quantized to the integer lattice (floor(x*1e6))")
         var j = i
         while (j < dim) { add128(b, slot, (qi * q(j)).toLong); j += 1; slot += 1 }
         i += 1

@@ -646,20 +646,40 @@ object Similarity {
     * `dot/(qnorm·cnorm)` under the engine's nan-safe order with ties
     * to the smaller cid. Output schema matches probeCells modulo qvec
     * arriving as array<double> (the widening is exact, so downstream
-    * scoring dots are unchanged).
+    * scoring dots are unchanged); qid keeps the query id column's NATIVE
+    * type (string ids serve; an integer id column round-trips unchanged,
+    * so a persisted serve's output schema equals the in-memory path's).
+    *
+    * The bounded-query contract is ENFORCED, not assumed: the collect is
+    * capped at `maxQueries` rows (CollectLimit — the scan stops at the
+    * cap, a corpus-sized frame never reaches the driver) and a batch
+    * over the cap fails loudly pointing at the distributed alternative
+    * instead of OOMing the driver with no attribution.
     */
+  private[graft] val MaxServeQueries: Int = 262144
+
   private[graft] def probeCellsLocal(queries: DataFrame, idCol: String,
                                      vecCol: String,
                                      cents: Array[(Long, Seq[Double], Double)],
-                                     nprobe: Int): DataFrame = {
+                                     nprobe: Int,
+                                     maxQueries: Int = MaxServeQueries): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = queries.sparkSession
+    val idType = queries.schema(idCol).dataType
     val qs = queries.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("qid"),
+      .select(col(idCol).as("qid"),
         col(vecCol).cast("array<double>").as("qvec"))
+      .limit(maxQueries + 1)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(qs.length <= maxQueries,
+      s"probeCellsLocal: serve query batch exceeds $maxQueries rows — " +
+        "serving is the bounded-query regime; route a corpus-sized query " +
+        "side through the distributed in-memory path (Similarity.ivfTopK / " +
+        "knnGraph) instead of a persisted serve")
     val cvecs = cents.map(_._2.toArray)
-    val out = qs.flatMap { case (qid, qv) =>
+    val out = qs.flatMap { r =>
+      val qid = r.get(0)
+      val qv = r.getSeq[Double](1)
       val q = qv.toArray
       var n2 = 0.0
       var i = 0
@@ -678,10 +698,16 @@ object Similarity {
         val c = graft.functions.ScoreOrdering.nanSafeCompare(sa, sb)
         c > 0 || (c == 0 && ia < ib)
       }.take(nprobe)
-      top.map { case (_, cid) => (qid, qv, qnorm, cid) }
+      top.map { case (_, cid) =>
+        org.apache.spark.sql.Row(qid, qv, qnorm, cid) }
     }
-    spark.createDataFrame(out.toIndexedSeq)
-      .toDF("qid", "qvec", "qnorm", "cid")
+    val schema = StructType(Seq(
+      StructField("qid", idType),
+      StructField("qvec", ArrayType(DoubleType)),
+      StructField("qnorm", DoubleType),
+      StructField("cid", LongType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.toArray: _*), schema)
   }
 
   /** [[probeCells]] with the probe ORDER kept: posexplode of the same
@@ -1254,14 +1280,31 @@ object Similarity {
   private[graft] def ivfbqTopKWithSigs(memberSigs: DataFrame,
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Long, Seq[Double], Double)], k: Int, nprobe: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int): DataFrame =
+    ivfbqTopKWithProbes(memberSigs, corpus, queries, idCol, vecCol,
+      probeCells(queries, idCol, vecCol, cents, nprobe), k, rerank)
+
+  /** [[ivfbqTopKWithSigs]] with the probe plan SUPPLIED by the caller —
+    * [[AnnIndex.ivfbqServe]]'s path with [[probeCellsLocal]] probes: the
+    * serve plan carries NO centroid work at all (no nlist×dim matrix as
+    * a task reference — 16 MB per probe job at nlist 64 000, measured as
+    * most of the composed-BQ serve's 3.49×/decade at the synthesized
+    * sf100 sweep; the ivf/pq/residual serves shed theirs in the same
+    * round). Query signing is a matrix-free sign-pack projection over
+    * the bounded query frame; the Hamming kernel, shortlist, and exact
+    * re-rank are the identical code, so a serve stays bit-identical to
+    * the in-memory composed scan over the same centroids.
+    */
+  private[graft] def ivfbqTopKWithProbes(memberSigs: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, k: Int, rerank: Int): DataFrame = {
     val dim = vecDim(corpus, vecCol)
     require(dim > 0 && dim % 32 == 0,
-      s"ivfbqTopKWithSigs: dim $dim must be a positive multiple of 32")
+      s"ivfbqTopKWithProbes: dim $dim must be a positive multiple of 32")
     val nW = dim / 32
     val qsig = bqEncodeDim(queries, idCol, vecCol, dim)
       .select(col("id").as("qid"), col("sig").as("qsig"))
-    val probePlan = probeCells(queries, idCol, vecCol, cents, nprobe)
+    val probePlan = probes
       .select("qid", "cid").join(qsig, Seq("qid"))
     val scored = memberSigs.join(broadcast(probePlan), Seq("cid"))
       .filter(col("id") =!= col("qid"))

@@ -361,7 +361,10 @@ object Spatial {
       // budget keeps this from ever being a corpus × corpus join; with
       // `bruteBudget = 0` the pure ladder runs to completion (specs pin
       // both paths to identical answers).
-      if (!done && remaining * nRight <= bruteBudget) {
+      // division, not multiplication: remaining × nRight overflows Long
+      // at planetary row counts (~1e9 × 1e10), goes negative, and would
+      // spuriously pass the gate — broadcasting a corpus-scale tail
+      if (!done && remaining <= bruteBudget / math.max(nRight, 1L)) {
         val tail = broadcast(unresolved
           .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay")))
         val best = r0.select(col("b"), col("bx"), col("by"))
@@ -563,6 +566,11 @@ object Spatial {
     // wrapped around the partition column defeats directory pruning)
     val zbLits: Seq[Any] = data.schema("zb").dataType match {
       case org.apache.spark.sql.types.IntegerType => units.map(_.toInt)
+      // partition-type inference disabled leaves zb string-typed; match
+      // it (directory names are the longs' decimal forms) — an Int/Long
+      // literal here would wrap the partition column in a cast and the
+      // read would silently degrade to a full listing
+      case org.apache.spark.sql.types.StringType  => units.map(_.toString)
       case _                                      => units
     }
     if (zbLits.isEmpty) return data.filter(lit(false))

@@ -1159,4 +1159,84 @@ class AnnIndexSpec extends AnyFunSuite {
     // as the in-memory path)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("IVF-BQ serve plan: partition-pruned, no centroid-matrix work (r16)") {
+    val path = "/tmp/graft_test_ivfbq_idx_plan"
+    AnnIndex.ivfbqBuild(emb, "vec_id", "embedding", path, nlist = 16)
+    val p = AnnIndex.ivfbqServe(spark, path, emb, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    val lower = p.toLowerCase
+    // probed-cid literal IN prunes the signature scan at partition level
+    assert(lower.contains("partitionfilters: [cid") && lower.contains("inset"), p)
+    // the composed-BQ serve sheds the last centroid-matrix shipment:
+    // probe selection is driver-side over the resident cache, query
+    // signing is a matrix-free sign-pack — neither the nlist×dim probe
+    // matrix (VecDotMatrix, 16 MB/task at nlist 64k) nor the assignment
+    // argmax may appear anywhere in the serving plan
+    assert(!lower.contains("vecdotmatrix"), p)
+    assert(!lower.contains("vecargmaxid"), p)
+  }
+
+  test("probeCellsLocal: selection equals the distributed probeCells bit-for-bit") {
+    val cents = Similarity.collectCents(
+      Similarity.idSampledCentroids(emb, "vec_id", "embedding", 16))
+    def sel(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(col("qid").cast("long"), col("cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val local = sel(Similarity.probeCellsLocal(queries,
+      "vec_id", "embedding", cents, 4))
+    val dist = sel(Similarity.probeCells(queries,
+      "vec_id", "embedding", cents, 4))
+    assert(local.nonEmpty && local == dist)
+  }
+
+  test("probeCellsLocal: corpus-sized query batch fails loudly at the cap") {
+    val cents = Similarity.collectCents(
+      Similarity.idSampledCentroids(emb, "vec_id", "embedding", 4))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.probeCellsLocal(emb, "vec_id", "embedding", cents, 2,
+        maxQueries = 3)
+    }
+    assert(e.getMessage.contains("bounded-query regime"), e.getMessage)
+  }
+
+  test("int-id corpus: persisted serve keeps the native qid type, equals in-memory") {
+    // qid keeps the id column's NATIVE type through the driver-side
+    // probe path — the old cast("long") silently widened an int id
+    // column, so the persisted serve's output schema diverged from the
+    // in-memory path the docs call bit-identical
+    val iemb = emb.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    val iqueries = iemb.filter(col("vec_id") < 3)
+    val path = "/tmp/graft_test_ivf_idx_intid"
+    AnnIndex.ivfBuild(iemb, "vec_id", "embedding", path, nlist = 8)
+    val served = AnnIndex.ivfServe(spark, path, iqueries,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+    val inMem = Similarity.ivfTopK(iemb, iqueries,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3)
+    assert(served.schema("qid").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(served.schema("qid").dataType == inMem.schema("qid").dataType)
+    val s1 = rows(served)
+    assert(s1.nonEmpty && s1 == rows(inMem))
+  }
+
+  test("centroid cache: an in-place rebuild rotates the resident entry (nonce)") {
+    val path = "/tmp/graft_test_ivf_idx_nonce"
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    AnnIndex.ivfBuild(half, "vec_id", "embedding", path, nlist = 4)
+    val first = AnnIndex.loadIvfCentroids(spark, path)
+    // rebuild with DIFFERENT centroids at the same path — even if the
+    // part file kept its name/size/mtime, the build nonce must rotate
+    // the fingerprint so the cache cannot serve the stale array
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = 8)
+    val second = AnnIndex.loadIvfCentroids(spark, path)
+    assert(second.length == 8 && first.length == 4)
+    // and the nonce marker is present (underscore-prefixed: invisible
+    // to the parquet read, visible to the fingerprint listing)
+    val p = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(p).exists(_.getPath.getName.startsWith("_nonce-")))
+  }
 }

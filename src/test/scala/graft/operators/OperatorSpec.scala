@@ -161,6 +161,14 @@ class OperatorSpec extends AnyFunSuite {
       tooBig.agg(agg(col("qv"))).head()
     }
     assert(e.getMessage != null)
+    // fractional value INSIDE the magnitude bound: its pairwise product
+    // would silently truncate under .toLong — the integer-lattice
+    // contract must fail loudly, not round
+    val fractional = Seq((1L, Seq(0.5))).toDF("id", "qv")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      fractional.agg(agg(col("qv"))).head()
+    }
+    assert(e2.getMessage.contains("integer"), e2.getMessage)
   }
 
   test("calibrationEval: perfect predictor skill=1000, inverted predictor negative") {
