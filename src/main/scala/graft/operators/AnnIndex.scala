@@ -400,7 +400,7 @@ object AnnIndex {
     * scale) to two driver-side metadata ops — rebuilds remain
     * single-writer-vs-serve, like all maintenance verbs.
     */
-  private def publishBuild(spark: SparkSession, path: String, name: String)
+  private[operators] def publishBuild(spark: SparkSession, path: String, name: String)
                           (write: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
@@ -928,7 +928,16 @@ object AnnIndex {
     * file a FULL takedown + compact leaves behind).
     */
   private def readProbedPartitions(spark: SparkSession, root: String,
-                                   probedCids: Seq[Long]): DataFrame = {
+                                   probedCids: Seq[Long]): DataFrame =
+    readPrunedPartitions(spark, root, "cid", probedCids)
+
+  /** The generalized form over any long-valued hive partition column —
+    * the signature registry's band/sig bucket reads share the exact
+    * rooted-listing discipline of the ANN cid reads.
+    */
+  private[operators] def readPrunedPartitions(spark: SparkSession,
+                                              root: String, partCol: String,
+                                              values: Seq[Long]): DataFrame = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a never-built path (or one vanishing under a concurrent rewrite —
@@ -943,13 +952,14 @@ object AnnIndex {
         case _: java.io.FileNotFoundException => None
       }
     if (listed.isEmpty) return spark.read.parquet(root)
+    val prefix = s"$partCol="
     val partDirs = listed.get
       .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("cid="))
+      .filter(_.startsWith(prefix))
     if (partDirs.isEmpty) spark.read.parquet(root)
     else {
-      val have = partDirs.map(nm => nm.stripPrefix("cid=").toLong -> nm).toMap
-      val selected = probedCids.flatMap(have.get).map(nm => s"$root/$nm")
+      val have = partDirs.map(nm => nm.stripPrefix(prefix).toLong -> nm).toMap
+      val selected = values.flatMap(have.get).map(nm => s"$root/$nm")
       // every probed cell may be memberless (dirless): root the scan at
       // one real dir and let the IN-filter empty it — still O(1) listing
       val roots = if (selected.nonEmpty) selected

@@ -1635,6 +1635,10 @@ object Dedup {
                          path: String, idCol: String = "doc_id",
                          targetBytes: Long = 128L << 20): Unit = {
     require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    if (hasSigMeta(spark, path)) {
+      compactSigRegistryPartitioned(spark, path, idCol)
+      return
+    }
     // sidecar BEFORE pointer (see loadSigTombstones); checkpointed so
     // the frame outlives the sidecar reset below
     val tombs = loadSigTombstones(spark, path, idCol)
@@ -1651,6 +1655,43 @@ object Dedup {
     live.repartition(parts).write.mode("overwrite").parquet(stage)
     AnnIndex.publishVersioned(spark, path, "sigs", stage)
     // sidecar reset AFTER the pointer flip: empty but schema-bearing
+    tombs.foreach(t =>
+      t.limit(0).coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/tombstones"))
+  }
+
+  /** The band-partitioned registry's compact: fold the tombstone
+    * sidecar into BOTH components — the `sp=`-partitioned signature
+    * table and the `bk=`-partitioned band rows — each rewritten to one
+    * file per bucket (the writeCells small-files rule) and published
+    * through the shared versioned pointer flip, sigs FIRST then bands
+    * (a racing serve that resolves old bands against new sigs only
+    * loses already-deleted candidates at the verify join — never gains
+    * a wrong pair). Sidecar reset AFTER both flips.
+    */
+  private def compactSigRegistryPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): Unit = {
+    val tombs = loadSigTombstones(spark, path, idCol)
+      .map(_.localCheckpoint(true))
+    def fold(df: DataFrame): DataFrame =
+      tombs.fold(df)(t => df.join(broadcast(t), Seq(idCol), "left_anti"))
+    def rewrite(name: String, partCol: String): Unit = {
+      val out = fold(spark.read.parquet(
+        AnnIndex.resolveDir(spark, path, name)))
+      val stage = s"$path/${name}__stage"
+      // empty-fold rule: a plain schema-bearing file (the partitioned
+      // write of an empty frame drops the schema); serve's rooted read
+      // falls back to the generic read on an unpartitioned layout
+      if (out.isEmpty)
+        out.coalesce(1).write.mode("overwrite").parquet(stage)
+      else
+        out.repartition(col(partCol))
+          .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+      AnnIndex.publishVersioned(spark, path, name, stage)
+    }
+    rewrite("sigs", "sp")
+    rewrite("bands", "bk")
     tombs.foreach(t =>
       t.limit(0).coalesce(1).write.mode("overwrite")
         .parquet(s"$path/tombstones"))
@@ -1678,6 +1719,254 @@ object Dedup {
       maxFiles, maxTombstoneFracPct)
     if (go) compactSigRegistry(spark, path, idCol, targetBytes)
     go
+  }
+
+  // --------------------- band-partitioned signature registry (r16)
+
+  /** The partitioned registry's stored identity: the hash config that
+    * signed it (a serve MUST re-sign its batch with the same family or
+    * it silently under-agrees on everything) plus the two bucket
+    * counts that define the physical layout.
+    */
+  private[graft] final case class SigRegMeta(numHashes: Int, bands: Int,
+                                             shingleN: Int, baseName: String,
+                                             bandBuckets: Int,
+                                             sigBuckets: Int)
+
+  private[graft] val SigBaseByName: Map[String, Hashers.Base] =
+    Map("md5" -> Hashers.md5Base, "xx64" -> Hashers.xx64Base)
+
+  private def nameOfBase(b: Hashers.Base): String =
+    if (b eq Hashers.md5Base) "md5"
+    else if (b eq Hashers.xx64Base) "xx64"
+    else throw new IllegalArgumentException(
+      "sig registry: base must be Hashers.md5Base or Hashers.xx64Base — " +
+        "the registry persists the family NAME so serves replay it")
+
+  /** Band-key bucket: which `bands/bk=` partition a (band, key) row
+    * lives in. Shared by build, append, and serve — the three can never
+    * disagree on routing.
+    */
+  private def bkOf(bandBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("band"), col("key")), lit(bandBuckets.toLong))
+
+  /** Signature bucket: which `sigs/sp=` partition a doc's signature
+    * row lives in.
+    */
+  private def spOf(idCol: String, sigBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(idCol)), lit(sigBuckets.toLong))
+
+  private[graft] def hasSigMeta(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[graft] def readSigMeta(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): SigRegMeta = {
+    require(hasSigMeta(spark, path),
+      s"sig registry at $path has no meta — not a band-partitioned " +
+        "registry; build one with buildSigRegistry, or serve a plain " +
+        "signature frame via dedupeAgainstSignatures")
+    val r = spark.read.parquet(s"$path/meta").head()
+    SigRegMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
+      r.getInt(4), r.getInt(5))
+  }
+
+  /** Build a BAND-PARTITIONED signature registry — the serve-scalable
+    * form of the flat `sigs/` artifact. The flat registry's serve is one
+    * LINEAR scan: every batch re-derives band keys (16 md5 folds per
+    * stored doc) over the whole registry and then re-joins the whole
+    * signature table for verification — measured 6.36×/decade at the
+    * synthesized sf100 sweep, the worst serve ratio in the engine. Here
+    * the ingest pays that derivation ONCE and the layout turns both
+    * serve reads into rooted partition scans (the `ivfServe` cid
+    * discipline):
+    *
+    *   - `bands/` partitioned by `bk = hash(band, key) mod bandBuckets`:
+    *     the candidate-mining rows (doc, band, key) — ~24 B each, the
+    *     COMPACT scan floor; a serve lists and reads only the buckets
+    *     its batch keys hash into.
+    *   - `sigs/` partitioned by `sp = hash(id) mod sigBuckets`: the
+    *     ~1 KB/doc signature rows, read ONLY for the candidates'
+    *     buckets at verify time — the bulk bytes never stream past a
+    *     serve that found few candidates.
+    *   - `meta/` pins the hash family + layout so appends and serves
+    *     can never sign with a drifted config.
+    *
+    * Both bucket counts should grow with the corpus (√n posture, like
+    * nlist); they are build-time identity, changed only by rebuild.
+    * Tombstones reset empty (a rebuild's membership is exactly the
+    * corpus given); maintenance shares the versioned-publish lifecycle
+    * ([[compactSigRegistry]] folds BOTH components).
+    */
+  def buildSigRegistry(corpus: DataFrame, idCol: String, textCol: String,
+                       path: String, numHashes: Int = 128, bands: Int = 16,
+                       n: Int = 3, base: Hashers.Base = Hashers.xx64Base,
+                       bandBuckets: Int = 64, sigBuckets: Int = 32): Unit =
+    buildSigRegistryFromSignatures(
+      signaturesFromShingles(shingles(corpus, idCol, textCol, n),
+        idCol, numHashes, base),
+      idCol, path, numHashes, bands, n, nameOfBase(base),
+      bandBuckets, sigBuckets)
+
+  /** [[buildSigRegistry]] from a PRECOMPUTED (id, sig) frame — the
+    * signature-migration path (an existing flat registry re-homed into
+    * the partitioned layout without re-reading any corpus text). The
+    * hash-config metadata is caller-asserted: it must describe how the
+    * signatures were actually made, or serves silently under-agree.
+    */
+  private[graft] def buildSigRegistryFromSignatures(sigs: DataFrame,
+      idCol: String, path: String, numHashes: Int, bands: Int,
+      shingleN: Int, baseName: String, bandBuckets: Int,
+      sigBuckets: Int): Unit = {
+    require(bandBuckets >= 1 && sigBuckets >= 1,
+      s"buildSigRegistry: bucket counts must be >= 1, got ($bandBuckets, $sigBuckets)")
+    require(SigBaseByName.contains(baseName),
+      s"buildSigRegistry: unknown base '$baseName'")
+    val spark = sigs.sparkSession
+    spark.createDataFrame(Seq(
+        (numHashes, bands, shingleN, baseName, bandBuckets, sigBuckets)))
+      .toDF("num_hashes", "bands", "shingle_n", "base_name",
+        "band_buckets", "sig_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    AnnIndex.publishBuild(spark, path, "sigs") { stage =>
+      sigs.withColumn("sp", spOf(idCol, sigBuckets))
+        .repartition(col("sp"))
+        .write.mode("overwrite").partitionBy("sp").parquet(stage)
+    }
+    // band keys derive from the PERSISTED signatures — disk is the
+    // source of truth (the AnnIndex build discipline): a build that
+    // signed one thing and banded another would be caught by the
+    // serve-equals-plain gates
+    val persisted = spark.read
+      .parquet(AnnIndex.resolveDir(spark, path, "sigs"))
+    AnnIndex.publishBuild(spark, path, "bands") { stage =>
+      compactKey(bandKeysFromSignatures(persisted, idCol, numHashes, bands))
+        .withColumn("bk", bkOf(bandBuckets))
+        .repartition(col("bk"))
+        .write.mode("overwrite").partitionBy("bk").parquet(stage)
+    }
+    sigs.select(col(idCol)).limit(0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/tombstones")
+  }
+
+  /** Stored band keys are the md5 BYTES, not the hex string: 16 B vs a
+    * 32-char string — the bands table is the per-serve scan floor, and
+    * hex→binary is a bijection so every equality (mining join, bucket
+    * cap) is unchanged. Serve re-applies the same transform to its
+    * batch keys.
+    */
+  private def compactKey(df: DataFrame): DataFrame =
+    df.withColumn("key", unhex(col("key")))
+
+  /** O(batch) ingest into a band-partitioned registry: the batch is
+    * signed ONCE under the registry's pinned hash config, and both
+    * components land append-mode in their hash-routed partitions — no
+    * rewrite, no registry scan. The pointer-resolved dirs are the write
+    * targets (a direct-path write after a versioned compact would
+    * vanish from every serve).
+    */
+  def appendSigRegistry(batch: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit = {
+    val spark = batch.sparkSession
+    val m = readSigMeta(spark, path)
+    val base = SigBaseByName(m.baseName)
+    val sigs = signaturesFromShingles(
+        shingles(batch, idCol, textCol, m.shingleN),
+        idCol, m.numHashes, base)
+      .localCheckpoint(true) // two consumers: sigs write + band derive
+    // repartition on the bucket column: ONE appended file per touched
+    // bucket, not (tasks × buckets) shards — the writeCells rule
+    sigs.withColumn("sp", spOf(idCol, m.sigBuckets))
+      .repartition(col("sp"))
+      .write.mode("append").partitionBy("sp")
+      .parquet(AnnIndex.resolveDir(spark, path, "sigs"))
+    compactKey(bandKeysFromSignatures(sigs, idCol, m.numHashes, m.bands))
+      .withColumn("bk", bkOf(m.bandBuckets))
+      .repartition(col("bk"))
+      .write.mode("append").partitionBy("bk")
+      .parquet(AnnIndex.resolveDir(spark, path, "bands"))
+  }
+
+  /** Dedup-serve an arriving batch against a band-partitioned registry
+    * — row-identical to [[dedupeAgainstSignatures]] over the same live
+    * membership (spec-pinned), but the registry work is partition-rooted
+    * instead of linear:
+    *
+    *   1. the batch is signed once (bounded, checkpointed) and its band
+    *      keys' bucket ids collect driver-side — ≤ bandBuckets longs,
+    *      never the keys themselves;
+    *   2. the `bands/` read is ROOTED at the touched `bk=` dirs (one
+    *      shallow listing, the [[AnnIndex.ivfServe]] discipline) with
+    *      the literal IN-filter on top as the pruning gate; candidate
+    *      mining joins the broadcast batch keys inside those buckets
+    *      only — band keys are never re-derived from stored signatures;
+    *   3. pending tombstones anti-join the pruned band rows BEFORE the
+    *      bucket cap (so a sidecar-suppressed serve equals the
+    *      compacted-fold serve row for row);
+    *   4. the bounded candidate set's signature buckets collect
+    *      driver-side (≤ sigBuckets longs) and the `sigs/` verify read
+    *      roots at exactly those `sp=` dirs — the registry's bulk bytes
+    *      are touched only where candidates actually live.
+    *
+    * Output: (idCol = batch doc, corpus_id, n_agree), one row per
+    * flagged pair — the [[dedupeAgainstSignatures]] contract.
+    */
+  def serveSigRegistry(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame, idCol: String,
+                       textCol: String, threshold: Double = 0.7,
+                       maxBucketSize: Option[Int] = Some(100)): DataFrame = {
+    val m = readSigMeta(spark, path)
+    val base = SigBaseByName(m.baseName)
+    val minAgree = math.ceil(threshold * m.numHashes).toLong
+    val bSig = signaturesFromShingles(
+        shingles(batch, idCol, textCol, m.shingleN),
+        idCol, m.numHashes, base)
+      .localCheckpoint(true)
+    val bKeys = compactKey(
+        bandKeysFromSignatures(bSig, idCol, m.numHashes, m.bands))
+      .select(col(idCol).as("bid"), col("band"), col("key"))
+      .localCheckpoint(true) // three consumers: bucket probe, hit filter, cand join
+    val touchedBk = bKeys.select(bkOf(m.bandBuckets).as("bk"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    // sidecar BEFORE any component read (the loadSigTombstones rule)
+    val tombs = loadSigTombstones(spark, path, idCol)
+    val bandsRead = AnnIndex.readPrunedPartitions(spark,
+        AnnIndex.resolveDir(spark, path, "bands"), "bk", touchedBk.toSeq)
+      .withColumn("bk", col("bk").cast("long"))
+      .filter(col("bk").isInCollection(touchedBk))
+    val bandsLive = tombs.fold(bandsRead)(t =>
+      bandsRead.join(broadcast(t), Seq(idCol), "left_anti"))
+    val cKeys = bandsLive.select(col(idCol).as("cid"), col("band"), col("key"))
+    // candidate mining + cap: the dedupeAgainstSignatures kernel verbatim
+    val hitKeys = bKeys.select("band", "key").distinct()
+    val cHit = cKeys.join(broadcast(hitKeys), Seq("band", "key"))
+    val ok = cHit.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= lit(maxBucketSize.getOrElse(Int.MaxValue)))
+      .select("band", "key")
+    val cand = cHit.join(ok, Seq("band", "key"))
+      .join(broadcast(bKeys), Seq("band", "key"))
+      .select("cid", "bid").distinct()
+      .localCheckpoint(true) // bounded (≤ |batch keys| · cap); feeds the
+                             // sp probe AND the verify join
+    val touchedSp = cand
+      .select(pmod(xxhash64(col("cid")), lit(m.sigBuckets.toLong)).as("sp"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val sigsRead = AnnIndex.readPrunedPartitions(spark,
+        AnnIndex.resolveDir(spark, path, "sigs"), "sp", touchedSp.toSeq)
+      .withColumn("sp", col("sp").cast("long"))
+      .filter(col("sp").isInCollection(touchedSp))
+    cand
+      .join(sigsRead.select(col(idCol).as("cid"), col("sig").as("sc")),
+        Seq("cid"))
+      .join(broadcast(bSig.select(col(idCol).as("bid"), col("sig").as("sb"))),
+        Seq("bid"))
+      .withColumn("n_agree",
+        expr("aggregate(zip_with(sc, sb, (x, y) -> IF(x = y, 1, 0)), 0L, " +
+             "(acc, v) -> acc + v)"))
+      .filter(col("n_agree") >= minAgree)
+      .select(col("bid").as(idCol), col("cid").as("corpus_id"), col("n_agree"))
   }
 
   private def quantizedWithNorm(emb: DataFrame, idCol: String,

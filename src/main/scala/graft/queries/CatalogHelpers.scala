@@ -400,8 +400,10 @@ private[queries] object CatalogHelpers {
   }
 
   lazy val sigPersistedOracle: String = sigServeOracle(
+    // hash-routed layout: signature rows live one sp= partition level
+    // below the pointer-resolved sigs dir
     s"""SELECT doc_id, sig
-       |         FROM read_parquet('$sigIdxDir/sigs/*.parquet')""".stripMargin)
+       |         FROM read_parquet('@@ANNDIR|$sigIdxDir|sigs@@/*/*.parquet')""".stripMargin)
 
   // Quantized-hyperplane LSH for the oracle-facing embedding-pairs query.
   // Embedding components are quantized to floor(x·10⁶) — every product
@@ -956,17 +958,18 @@ private[queries] object CatalogHelpers {
   def stagedSigLifecycle(s: SparkSession, dir: String): String =
     stageIndex(sigLifeDir, dir) {
       val docs = t(s, dir, "documents")
-      def sigs(f: org.apache.spark.sql.Column) =
-        Dedup.signaturesFromShingles(
-          Dedup.shingles(docs.filter(f), "doc_id", "text", 3),
-          "doc_id", 128, Dedup.Hashers.md5Base)
-      sigs(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
-        .coalesce(1).write.mode("overwrite").parquet(s"$sigLifeDir/sigs")
-      sigs(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
-        .coalesce(1).write.mode("append").parquet(s"$sigLifeDir/sigs")
-      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 20 === 1)
-        .select("doc_id")
-        .coalesce(1).write.mode("overwrite").parquet(s"$sigLifeDir/tombstones")
+      // the band-partitioned lifecycle (r16): build on the first corpus
+      // slice, O(batch) append of the second into the hash-routed
+      // partitions, takedowns as the O(ids) sidecar
+      Dedup.buildSigRegistry(
+        docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "doc_id", "text", sigLifeDir, base = Dedup.Hashers.md5Base)
+      Dedup.appendSigRegistry(
+        docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        "doc_id", "text", sigLifeDir)
+      Dedup.tombstoneSignatures(
+        docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 20 === 1)
+          .select("doc_id"), sigLifeDir)
     }
   val sigCmpDir = "/tmp/graft_sig_life_cmp"
 
@@ -982,17 +985,15 @@ private[queries] object CatalogHelpers {
   def stagedSigCompacted(s: SparkSession, dir: String): String =
     stageIndex(sigCmpDir, dir) {
       val docs = t(s, dir, "documents")
-      def sigs(f: org.apache.spark.sql.Column) =
-        Dedup.signaturesFromShingles(
-          Dedup.shingles(docs.filter(f), "doc_id", "text", 3),
-          "doc_id", 128, Dedup.Hashers.md5Base)
-      sigs(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2)
-        .coalesce(1).write.mode("overwrite").parquet(s"$sigCmpDir/sigs")
-      sigs(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4)
-        .coalesce(1).write.mode("append").parquet(s"$sigCmpDir/sigs")
-      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 20 === 1)
-        .select("doc_id")
-        .coalesce(1).write.mode("overwrite").parquet(s"$sigCmpDir/tombstones")
+      Dedup.buildSigRegistry(
+        docs.filter(col("doc_id") % 5 === 1 || col("doc_id") % 5 === 2),
+        "doc_id", "text", sigCmpDir, base = Dedup.Hashers.md5Base)
+      Dedup.appendSigRegistry(
+        docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 5 === 4),
+        "doc_id", "text", sigCmpDir)
+      Dedup.tombstoneSignatures(
+        docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 20 === 1)
+          .select("doc_id"), sigCmpDir)
       val fired = Dedup.sigRegistryCompactIfNeeded(s, sigCmpDir,
         maxFiles = 1000000, maxTombstoneFracPct = 1)
       require(fired, "stagedSigCompacted: the compaction policy did not fire")

@@ -514,7 +514,7 @@ private[queries] object ExtensionOraclesA {
 
       "x_dedup_sig_report" ->
         s"""WITH sgf AS (SELECT doc_id, sig, filename
-           |  FROM read_parquet('$sigLifeDir/sigs/*.parquet', filename = true))
+           |  FROM read_parquet('@@ANNDIR|$sigLifeDir|sigs@@/*/*.parquet', filename = true))
            |SELECT CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
            |  CAST(min(len(sig)) AS BIGINT) AS sig_width_min,
@@ -526,11 +526,11 @@ private[queries] object ExtensionOraclesA {
 
       "x_dedup_sig_appended" -> sigServeOracle(
         s"""SELECT doc_id, sig
-           |         FROM read_parquet('$sigLifeDir/sigs/*.parquet')""".stripMargin),
+           |         FROM read_parquet('@@ANNDIR|$sigLifeDir|sigs@@/*/*.parquet')""".stripMargin),
 
       "x_dedup_sig_deleted" -> sigServeOracle(
         s"""SELECT doc_id, sig
-           |         FROM read_parquet('$sigLifeDir/sigs/*.parquet')
+           |         FROM read_parquet('@@ANNDIR|$sigLifeDir|sigs@@/*/*.parquet')
            |         WHERE doc_id NOT IN (SELECT doc_id
            |           FROM read_parquet('$sigLifeDir/tombstones/*.parquet'))""".stripMargin),
 
@@ -542,7 +542,7 @@ private[queries] object ExtensionOraclesA {
         // parquet must serve exactly what the sidecar-suppressed
         // lifecycle serves
         s"""SELECT doc_id, sig
-           |         FROM read_parquet('@@ANNDIR|$sigCmpDir|sigs@@/*.parquet')""".stripMargin),
+           |         FROM read_parquet('@@ANNDIR|$sigCmpDir|sigs@@/*/*.parquet')""".stripMargin),
 
       "x_dedup_incremental" ->
         s"""WITH ${jaccardPairsSql(None)},

@@ -426,35 +426,38 @@ private[queries] object ExtensionQueriesA {
     }),
 
     "x_dedup_sig_persisted" -> ((s, dir) => {
-      // PERSISTED SIGNATURE REGISTRY serve: the corpus's 128-long
-      // minhash signatures staged as parquet once; the arriving batch
-      // (every 5th doc) dedups against the ARTIFACT alone — corpus text
-      // never re-read, verification by signature agreement (integer
-      // gate n_agree ≥ ⌈0.7·128⌉ = 90). The estimator path, made
-      // oracle-hashable by the md5 family + the persisted replay.
+      // BAND-PARTITIONED SIGNATURE REGISTRY serve (r16): the corpus is
+      // signed once into the hash-routed layout (sigs/sp=, bands/bk=,
+      // meta); the arriving batch (every 5th doc) dedups against the
+      // ARTIFACT alone — corpus text never re-read, band keys never
+      // re-derived (the flat registry's 6.4×/decade serve scan), both
+      // registry reads rooted at the batch's touched buckets.
+      // Verification by signature agreement (n_agree ≥ ⌈0.7·128⌉ = 90),
+      // oracle-hashable via the md5 family + the persisted replay.
       val path = stageIndex(sigIdxDir, dir) {
-        val corp = t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
-        Dedup.signaturesFromShingles(
-            Dedup.shingles(corp, "doc_id", "text", 3),
-            "doc_id", 128, Dedup.Hashers.md5Base)
-          .coalesce(1).write.mode("overwrite").parquet(s"$sigIdxDir/sigs")
+        Dedup.buildSigRegistry(
+          t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", sigIdxDir, base = Dedup.Hashers.md5Base)
       }
-      Dedup.dedupeAgainstSignatures(
+      Dedup.serveSigRegistry(s, path,
           t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-          s.read.parquet(s"$path/sigs"),
-          "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
+          "doc_id", "text", 0.7)
         .orderBy("doc_id", "corpus_id")
     }),
 
     "x_dedup_sig_appended" -> ((s, dir) => {
       // REGISTRY APPEND lifecycle: later corpus slices land as NEW
-      // parquet files next to the base (no rewrite — O(batch) ingest);
-      // the serve reads the combined registry and must match the
-      // recomputed oracle over the same files.
+      // files in their hash-routed partitions (no rewrite — O(batch)
+      // ingest). This entry hashes the RAW appended membership (the
+      // flat kernel over the pointer-resolved signature table, sidecar
+      // ignored) — x_dedup_sig_deleted hashes the sidecar-suppressed
+      // serve of the same fixture, so the pair pins both views.
       val path = stagedSigLifecycle(s, dir)
       Dedup.dedupeAgainstSignatures(
           t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-          s.read.parquet(s"$path/sigs"),
+          s.read.parquet(
+              graft.operators.AnnIndex.resolveDir(s, path, "sigs"))
+            .select("doc_id", "sig"),
           "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
         .orderBy("doc_id", "corpus_id")
     }),
@@ -462,35 +465,30 @@ private[queries] object ExtensionQueriesA {
     "x_dedup_sig_deleted" -> ((s, dir) => {
       // REGISTRY TAKEDOWN: tombstoned corpus docs (an O(ids) sidecar,
       // never an O(registry) rewrite — the ANN deletion-vector
-      // convention) are anti-joined out at serve; their near-dup flags
-      // disappear from the report.
+      // convention) are suppressed INSIDE the partitioned serve (the
+      // pruned band rows anti-join the sidecar before the bucket cap);
+      // their near-dup flags disappear from the report.
       val path = stagedSigLifecycle(s, dir)
-      val reg = s.read.parquet(s"$path/sigs")
-        .join(broadcast(s.read.parquet(s"$path/tombstones")),
-          Seq("doc_id"), "left_anti")
-      Dedup.dedupeAgainstSignatures(
+      Dedup.serveSigRegistry(s, path,
           t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-          reg, "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
+          "doc_id", "text", 0.7)
         .orderBy("doc_id", "corpus_id")
     }),
 
     "x_dedup_sig_compacted" -> ((s, dir) => {
       // REGISTRY AUTO-COMPACTION: the lifecycle fixture's tombstone
       // fraction trips `sigRegistryCompactIfNeeded`, which FOLDS the
-      // sidecar into the sigs table and resets it — the maintenance
-      // verb the describe gauge was waiting for. The serve then reads
-      // the folded registry DIRECTLY (no anti-join left to do), and its
-      // rows must equal x_dedup_sig_deleted's suppressed serve: the
-      // fold removed exactly the tombstoned docs and nothing else,
-      // oracle-hashed over the compacted parquet alone.
+      // sidecar into BOTH hash-routed components (sigs and bands) and
+      // resets it — the maintenance verb the describe gauge was waiting
+      // for. The serve then reads the folded registry DIRECTLY (no
+      // sidecar left to honor), and its rows must equal
+      // x_dedup_sig_deleted's suppressed serve: the fold removed
+      // exactly the tombstoned docs and nothing else, oracle-hashed
+      // over the compacted parquet alone.
       val path = stagedSigCompacted(s, dir)
-      Dedup.dedupeAgainstSignatures(
+      Dedup.serveSigRegistry(s, path,
           t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
-          // pointer-resolved: the compact published a VERSIONED sigs
-          // dir; the plain sigs/ path is the retained previous version
-          s.read.parquet(
-            graft.operators.AnnIndex.resolveDir(s, path, "sigs")),
-          "doc_id", "text", 0.7, base = Dedup.Hashers.md5Base)
+          "doc_id", "text", 0.7)
         .orderBy("doc_id", "corpus_id")
     }),
 
@@ -502,16 +500,17 @@ private[queries] object ExtensionQueriesA {
       try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       catch { case _: Exception => () }
       val path = stageIndex(sigIdxDir, dir) {
-        val corp = t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
-        Dedup.signaturesFromShingles(
-            Dedup.shingles(corp, "doc_id", "text", 3),
-            "doc_id", 128, Dedup.Hashers.md5Base)
-          .coalesce(1).write.mode("overwrite").parquet(s"$sigIdxDir/sigs")
+        Dedup.buildSigRegistry(
+          t(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", sigIdxDir, base = Dedup.Hashers.md5Base)
       }
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       graft.streaming.StreamSigDedup.runOnce(s, dir, "documents.parquet",
           schema, col("doc_id") % 5 === 0,
-          s.read.parquet(s"$path/sigs"), "doc_id", "text", 0.7,
+          s.read.parquet(
+              graft.operators.AnnIndex.resolveDir(s, path, "sigs"))
+            .select("doc_id", "sig"),
+          "doc_id", "text", 0.7,
           base = Dedup.Hashers.md5Base)
         .orderBy("doc_id", "corpus_id")
     }),

@@ -292,9 +292,15 @@ object BenchSf1 {
     // signature registry: id-shifted copies with a per-copy XOR mix so
     // copies land in DISTINCT band buckets (identical signatures would
     // stack every bucket 10 deep — a degenerate shape no real registry
-    // has; the mix keeps bucket occupancy realistic at 10×)
-    val reg10 = s.read.parquet(s"$sigRegDir/sf10")
-    (0 until lvl3).map { a =>
+    // has; the mix keeps bucket occupancy realistic at 10×). The copies
+    // re-home through the from-signatures build into a third-decade
+    // partitioned layout (√n bucket posture); band keys are recomputed
+    // from the synthesized signatures by the build itself.
+    val m10 = Dedup.readSigMeta(s, s"$sigRegDir/sf10")
+    val reg10 = s.read.parquet(graft.operators.AnnIndex.resolveDir(
+        s, s"$sigRegDir/sf10", "sigs"))
+      .select("doc_id", "sig")
+    val sigs100 = (0 until lvl3).map { a =>
       val shifted = reg10.withColumn("doc_id", col("doc_id") + lit(a * stride3))
       if (a == 0) shifted
       else {
@@ -303,7 +309,10 @@ object BenchSf1 {
           expr(s"transform(sig, h -> h ^ CAST($mask AS BIGINT))"))
       }
     }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$sigRegDir/sf100")
+    val (bb100, sb100) = sigBucketsFor(copies100)
+    Dedup.buildSigRegistryFromSignatures(sigs100, "doc_id",
+      s"$sigRegDir/sf100", m10.numHashes, m10.bands, m10.shingleN,
+      m10.baseName, bb100, sb100)
   }
 
   /** Inflate a persisted IVF-family artifact 10×: centroids duplicated
@@ -428,13 +437,19 @@ object BenchSf1 {
     */
   private val sigRegDir = "/tmp/graft_sf1_sigreg"
   // the corpus signature REGISTRY (every non-batch doc), built once per
-  // scale — the serve probe times only the batch-vs-registry pass
-  private def stageSigRegistry(s: SparkSession, dir: String): Unit =
-    Dedup.signaturesFromShingles(
-        Dedup.shingles(docs(s, dir).filter(col("doc_id") % 5 =!= 0),
-          "doc_id", "text", 3),
-        "doc_id", 128, Dedup.Hashers.xx64Base)
-      .write.mode("overwrite").parquet(s"$sigRegDir/${tagOf(dir)}")
+  // scale into the band-partitioned layout (r16) — the serve probe
+  // times only the batch-vs-registry pass. Bucket counts follow the
+  // √n posture: the layout identity grows with the corpus like nlist.
+  private def sigBucketsFor(m: Int): (Int, Int) = {
+    val s = math.ceil(math.sqrt(m.toDouble)).toInt
+    (64 * s, 16 * s)
+  }
+  private def stageSigRegistry(s: SparkSession, dir: String, m: Int): Unit = {
+    val (bb, sb) = sigBucketsFor(m)
+    Dedup.buildSigRegistry(docs(s, dir).filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", s"$sigRegDir/${tagOf(dir)}",
+      base = Dedup.Hashers.xx64Base, bandBuckets = bb, sigBuckets = sb)
+  }
 
   /** The spatial point layer of a scale dir (the x_spatial_* geometry
     * formula: x = acctbal, y = key/2) — shared by the spatial probes
@@ -521,7 +536,7 @@ object BenchSf1 {
       buildSf10(spark)
       Seq((sf1Dir, copies), (sf10Dir, copies10)).foreach { case (d, m) =>
         stageImageHashes(spark, d)
-        stageSigRegistry(spark, d)
+        stageSigRegistry(spark, d, m)
         buildServeIndex(spark, d, m)
         buildPqIndex(spark, d)
         buildIvfPqIndex(spark, d, m)
@@ -542,7 +557,7 @@ object BenchSf1 {
       if (reuse) println("== sf100 REUSING staged artifacts on /tmp")
       else {
         buildSf10(spark)
-        stageSigRegistry(spark, sf10Dir)
+        stageSigRegistry(spark, sf10Dir, copies10)
         buildServeIndex(spark, sf10Dir, copies10)
         buildPqIndex(spark, sf10Dir)
         buildBqIndex(spark, sf10Dir)
@@ -559,9 +574,9 @@ object BenchSf1 {
       Seq(sf01, sf1Dir).foreach { d =>
         stageIngest(spark, d)
         stageImageHashes(spark, d)
-        stageSigRegistry(spark, d)
       }
       Seq((sf01, 1), (sf1Dir, copies)).foreach { case (d, m) =>
+        stageSigRegistry(spark, d, m)
         buildServeIndex(spark, d, m)
         buildPqIndex(spark, d)
         buildIvfPqIndex(spark, d, m)
@@ -1292,15 +1307,15 @@ object BenchSf1 {
           "qid", "qtext", 10).count()
       }),
       // signature-registry serve: registry staged OUTSIDE the timed
-      // region (one-time index build); the timed serve signs the FIXED
-      // batch and streams the grown registry through the broadcast
-      // semi-join once — must price as one registry scan
-      "sig_registry_serve" -> ((dir, _) => {
-        val reg = spark.read.parquet(s"$sigRegDir/${tagOf(dir)}")
-        Dedup.dedupeAgainstSignatures(
+      // region (one-time partitioned build); the timed serve signs the
+      // FIXED batch, mines candidates in the bk-rooted band buckets
+      // (stored keys, no per-serve md5 over the registry), and fetches
+      // only the candidates' sp signature buckets — must price well
+      // under the flat registry's linear scan (6.36×/decade at r15)
+      "sig_registry_serve" -> ((dir, _) =>
+        Dedup.serveSigRegistry(spark, s"$sigRegDir/${tagOf(dir)}",
           docs(spark, sf01).filter(col("doc_id") % 5 === 0),
-          reg, "doc_id", "text").count()
-      }),
+          "doc_id", "text").count()),
       // k-center: k fixed (selection budget is policy), each round one
       // corpus scan + a TakeOrdered argmax — must price ~k linear scans
       "kcenter_select" -> ((dir, _) =>
