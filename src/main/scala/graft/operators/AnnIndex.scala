@@ -48,6 +48,18 @@ object AnnIndex {
 
   // ------------------------------------------------------------- IVF
 
+  /** Resolve the nlist sentinel: 0 derives the cell count from one
+    * corpus count at the √n posture ([[Similarity.autoNlist]]) — entry
+    * points must not depend on every caller remembering to size nlist
+    * (the autoPlanes rule, IVF edition). An explicit positive nlist
+    * pins a geometry (oracle-replayed entries do).
+    */
+  private def resolveNlist(nlist: Int, corpus: DataFrame): Int = {
+    require(nlist >= 0,
+      s"nlist must be >= 0 (0 = auto-size at the \u221an posture), got $nlist")
+    if (nlist > 0) nlist else Similarity.autoNlist(corpus.count())
+  }
+
   /** Train and persist an IVF index. Centroids are id-sampled
     * (deterministic, oracle-replayable — [[Similarity.ivfTopK]]'s
     * choice) unless `trainedSeed` is given, which swaps in the spark.ml
@@ -56,14 +68,15 @@ object AnnIndex {
     * cid partition.
     */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
-               path: String, nlist: Int = 16,
+               path: String, nlist: Int = 0,
                trainedSeed: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
+    val nl = resolveNlist(nlist, corpus)
     val centroids = trainedSeed match {
       case Some(seed) =>
-        Similarity.kmeansCentroids(corpus, idCol, vecCol, nlist, seed)
+        Similarity.kmeansCentroids(corpus, idCol, vecCol, nl, seed)
       case None =>
-        Similarity.idSampledCentroids(corpus, idCol, vecCol, nlist)
+        Similarity.idSampledCentroids(corpus, idCol, vecCol, nl)
     }
     // nlist rows: one file, not 32 near-empty ones
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -1312,7 +1325,7 @@ object AnnIndex {
     * never retrains them.
     */
   def ivfbqBuild(corpus: DataFrame, idCol: String, vecCol: String,
-                 path: String, nlist: Int = 16,
+                 path: String, nlist: Int = 0,
                  trainedSeed: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     val dim = corpus.select(col(vecCol)).filter(col(vecCol).isNotNull)
@@ -1320,11 +1333,12 @@ object AnnIndex {
       .map(_.getSeq[Any](0).length).getOrElse(0)
     require(dim > 0 && dim % 32 == 0,
       s"ivfbqBuild: dim $dim must be a positive multiple of 32")
+    val nl = resolveNlist(nlist, corpus)
     val centroids = trainedSeed match {
       case Some(seed) =>
-        Similarity.kmeansCentroids(corpus, idCol, vecCol, nlist, seed)
+        Similarity.kmeansCentroids(corpus, idCol, vecCol, nl, seed)
       case None =>
-        Similarity.idSampledCentroids(corpus, idCol, vecCol, nlist)
+        Similarity.idSampledCentroids(corpus, idCol, vecCol, nl)
     }
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     stampCentroidNonce(spark, path)
@@ -1467,20 +1481,21 @@ object AnnIndex {
     * the family's conventions: O(ids) takedowns, compact folds + clears.
     */
   def ivfpqBuild(corpus: DataFrame, idCol: String, vecCol: String,
-                 path: String, nlist: Int = 16, m: Int = 8,
+                 path: String, nlist: Int = 0, m: Int = 8,
                  ks: Int = 16, residual: Boolean = false,
                  trainedSeed: Option[Long] = None): Unit = {
     val spark = corpus.sparkSession
     val live = corpus.filter(col(vecCol).isNotNull)
+    val nl = resolveNlist(nlist, live)
     // trainedSeed swaps in the spark.ml k-means coarse quantizer
     // ([[ivfBuild]]'s option) — the composition residual encoding wants:
     // trained cells make residuals small, which is where quantizing the
     // residual pays off (id-sampled cells leave residuals vector-sized)
     val centroids = trainedSeed match {
       case Some(seed) =>
-        Similarity.kmeansCentroids(live, idCol, vecCol, nlist, seed)
+        Similarity.kmeansCentroids(live, idCol, vecCol, nl, seed)
       case None =>
-        Similarity.idSampledCentroids(live, idCol, vecCol, nlist)
+        Similarity.idSampledCentroids(live, idCol, vecCol, nl)
     }
     centroids
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

@@ -262,6 +262,27 @@ object Similarity {
     math.min(maxPlanes, math.max(minPlanes, needed))
   }
 
+  /** nlist for a corpus of n vectors — the √n posture (the standard
+    * IVF sizing: per-query work is nlist probe dots + nprobe·(n/nlist)
+    * member scores, minimized at nlist ∝ √n; see Jégou, Douze & Schmid,
+    * TPAMI 2011, and the FAISS guidelines — public knowledge). A FIXED
+    * nlist fails in one of two directions at the fourth decade: too
+    * small and cells grow linearly (every probe re-scans the corpus);
+    * grown linearly (the constant-cell-size posture) and the probe
+    * PLAN itself — nlist dots per query, the resident centroid cache's
+    * nlist×dim bytes — becomes the serve (measured: the r15 sf100 sweep
+    * found exactly this at nlist 64 000). √n balances both terms.
+    * Clamped to [minNlist, maxNlist]; 2²⁰ centroids ≈ a 256 MB resident
+    * cache entry at dim 64 — past that, shard the corpus.
+    */
+  def autoNlist(n: Long, minNlist: Int = 16,
+                maxNlist: Int = 1 << 20): Int = {
+    require(n >= 0 && minNlist >= 1 && maxNlist >= minNlist,
+      "autoNlist: invalid bounds")
+    math.min(maxNlist.toLong,
+      math.max(minNlist.toLong, math.round(math.sqrt(n.toDouble)))).toInt
+  }
+
   /** Candidate near-dup pairs (a < b) from quantized random-hyperplane
     * LSH: ids sharing a (table, signature) bucket in ANY of `tables`
     * independent hash tables of `planes` bits. One projection computes all

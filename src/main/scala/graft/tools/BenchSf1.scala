@@ -325,9 +325,12 @@ object BenchSf1 {
     * (id, sig)).
     */
   private def inflateIvfArtifact(s: SparkSession, src: String, dst: String,
-                                 unit: String, nlistSrc: Int): Unit = {
+                                 unit: String): Unit = {
     import graft.functions.VectorFunctions.vec_dot
     val cents = s.read.parquet(s"$src/centroids")
+    // the source geometry is whatever the √n-derived build chose —
+    // read it off the artifact instead of re-deriving a formula here
+    val nlistSrc = cents.count()
     (0 until 10).map { a =>
       val shifted = cents.withColumn("cid",
         col("cid") + lit(a.toLong * nlistSrc))
@@ -385,14 +388,15 @@ object BenchSf1 {
       .write.mode("overwrite").parquet(s"$ingestDir/$tag/evo_v2")
   }
 
-  /** Persisted IVF index per scale: nlist grows with the corpus (the
-    * 100 TB posture — constant cell size), so SERVING a fixed query set
-    * should price ~flat: the probed-cid partition pruning reads the same
-    * absolute volume at both scales.
+  /** Persisted IVF index per scale: nlist DERIVED from the corpus at
+    * the √n posture (the r16 default — the r15 constant-cell-size
+    * posture grew nlist linearly and the probe PLAN became the serve at
+    * the third decade), so serving a fixed query set prices as two
+    * balanced √n terms instead of one linear one.
     */
   private def buildServeIndex(s: SparkSession, dir: String, m: Int): Unit =
     graft.operators.AnnIndex.ivfBuild(emb(s, dir), "vec_id", "embedding",
-      s"$ivfIdxDir/${tagOf(dir)}", nlist = 64 * m)
+      s"$ivfIdxDir/${tagOf(dir)}")
 
   /** Persisted PQ index per scale: codebooks are model-sized (policy,
     * fixed m·ks at both scales); the code table grows linearly — the
@@ -410,7 +414,7 @@ object BenchSf1 {
   private val ivfpqIdxDir = "/tmp/graft_sf1_ivfpqidx"
   private def buildIvfPqIndex(s: SparkSession, dir: String, m: Int): Unit =
     graft.operators.AnnIndex.ivfpqBuild(emb(s, dir), "vec_id", "embedding",
-      s"$ivfpqIdxDir/${tagOf(dir)}", nlist = 64 * m)
+      s"$ivfpqIdxDir/${tagOf(dir)}")
 
   /** Persisted BQ codes per scale: the scan-floor serve — the code
     * table grows linearly but is 1/64 the float bytes, so the Hamming
@@ -430,7 +434,7 @@ object BenchSf1 {
   private val ivfbqIdxDirB = "/tmp/graft_sf1_ivfbqidx"
   private def buildIvfBqIndex(s: SparkSession, dir: String, m: Int): Unit =
     graft.operators.AnnIndex.ivfbqBuild(emb(s, dir), "vec_id", "embedding",
-      s"$ivfbqIdxDirB/${tagOf(dir)}", nlist = 64 * m)
+      s"$ivfbqIdxDirB/${tagOf(dir)}")
 
   /** Signature table per scale for the image near-dup miner (BMP decode
     * is priced by jpeg_transcode; this probe prices the band join).
@@ -564,9 +568,9 @@ object BenchSf1 {
         buildIvfBqIndex(spark, sf10Dir, copies10)
         buildSf100(spark)
         inflateIvfArtifact(spark, s"$ivfIdxDir/sf10", s"$ivfIdxDir/sf100",
-          "cells", 64 * copies10)
+          "cells")
         inflateIvfArtifact(spark, s"$ivfbqIdxDirB/sf10", s"$ivfbqIdxDirB/sf100",
-          "codes", 64 * copies10)
+          "codes")
         buildPqIndex(spark, sf100Dir)
         buildBqIndex(spark, sf100Dir)
       }

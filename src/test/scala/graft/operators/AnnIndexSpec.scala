@@ -1222,6 +1222,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(s1.nonEmpty && s1 == rows(inMem))
   }
 
+  test("autoNlist: √n posture, clamped; sentinel build derives the geometry") {
+    // the sizing law: √n rounded, clamped to [min, max]
+    assert(Similarity.autoNlist(0) == 16)
+    assert(Similarity.autoNlist(5000) == 71)      // √5000 ≈ 70.7
+    assert(Similarity.autoNlist(1000000) == 1000)
+    assert(Similarity.autoNlist(100, minNlist = 16) == 16)
+    assert(Similarity.autoNlist(Long.MaxValue / 4) == (1 << 20))
+    intercept[IllegalArgumentException] { Similarity.autoNlist(-1) }
+    // a build without an explicit nlist derives it from the corpus —
+    // a fixed default either saturates cells (too small) or turns the
+    // probe plan into the serve (grown linearly); negative fails loudly
+    val path = "/tmp/graft_test_ivf_idx_autonl"
+    AnnIndex.ivfBuild(emb, "vec_id", "embedding", path)
+    val n = emb.count()
+    val got = AnnIndex.loadIvfCentroids(spark, path).length
+    assert(got == Similarity.autoNlist(n), s"derived nlist $got for n=$n")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.ivfBuild(emb, "vec_id", "embedding", path, nlist = -1)
+    }
+    assert(e.getMessage.contains("auto-size"), e.getMessage)
+    // the derived-geometry index serves bit-identically to the
+    // in-memory path under the same nlist
+    val served = rows(AnnIndex.ivfServe(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val inMem = rows(Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", k = 10, nlist = got, nprobe = 4))
+    assert(served.nonEmpty && served == inMem)
+  }
+
   test("centroid cache: an in-place rebuild rotates the resident entry (nonce)") {
     val path = "/tmp/graft_test_ivf_idx_nonce"
     val half = emb.filter(col("vec_id") % 2 === 0)
