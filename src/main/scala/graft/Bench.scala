@@ -72,7 +72,7 @@ object Bench {
     // headline price; a user benchmarking "the engine" never saw them)
     "x_spatial_neighbors", "x_spatial_dbscan", "x_spatial_join",
     "x_spatial_nearest", "x_spatial_dropped", "x_spatial_prunestats",
-    "x_spatial_nn", "x_spatial_zorder_scan",
+    "x_spatial_nn", "x_spatial_knn", "x_spatial_zorder_scan",
     // curation / export / privacy / graph
     "x_curriculum", "x_export_npy", "x_privacy_kanon", "x_graph_pagerank",
     "x_graph_triangles",

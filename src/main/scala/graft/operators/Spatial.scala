@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spatial operators over the connector's point-geometry convention
@@ -386,6 +387,130 @@ object Spatial {
     left.select(col(leftId).as("a")).distinct()
       .join(acc, Seq("a"), "left")
       .select("a", "b", "dist2")
+  }
+
+  /** k-NEAREST spatial join — [[nearestNeighbor]]'s k > 1 twin (the
+    * coordinate-space sibling of the embedding kNN graph): for every
+    * left point, the k nearest right points ranked by (dist², id). Same
+    * doubling ladder: round j searches the 3×3 neighborhood at cell
+    * scale `cellSize·2^(shift0+j)`; a left point RESOLVES when it has
+    * seen ≥ kEff candidates and its kEff-th best distance is strictly
+    * below the scale g — every unseen point sits at distance ≥ g, so no
+    * unseen point can displace any of the k (strict <: an exact tie at
+    * g escalates a round rather than risk losing to an unseen
+    * equal-distance smaller id — ties WITHIN the candidate set pin to
+    * the smaller id, the engine-wide rule). `kEff = min(k, |right|)`:
+    * a corpus smaller than k resolves with every member ranked. The
+    * per-round work is one shuffle join + one per-point top-k window
+    * (the rank-window rule: only (a, b, dist2) reach the exchange);
+    * stragglers get the same budget-gated broadcast exact finish.
+    * Output: (a, b, dist2, rank), k rows per left point (fewer only if
+    * the capped corpus holds fewer; nulls only if `right` is empty).
+    */
+  def kNearestNeighbors(left: DataFrame, leftId: String,
+                        right: DataFrame, rightId: String, k: Int,
+                        cellSize: Double, maxRounds: Int = 48,
+                        maxCellSize: Option[Int] = Some(DefaultMaxCellSize),
+                        bruteBudget: Long = 50000000L): DataFrame = {
+    require(k >= 1, s"kNearestNeighbors: k must be >= 1, got $k")
+    require(cellSize > 0,
+      s"kNearestNeighbors: cellSize must be positive, got $cellSize")
+    require(maxRounds >= 1 && maxRounds <= 62,
+      s"kNearestNeighbors: maxRounds must be in [1, 62], got $maxRounds")
+    require(bruteBudget >= 0,
+      s"kNearestNeighbors: bruteBudget must be >= 0, got $bruteBudget")
+    val l0 = gridKeyed(left, leftId, cellSize).localCheckpoint(true)
+    val r0 = cellCapped(gridKeyed(right, rightId, cellSize), maxCellSize)
+      .select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
+        col("cellx").as("bcx"), col("celly").as("bcy"))
+      .localCheckpoint(true)
+    // occupancy-derived start (the nearestNeighbor probe), but the
+    // target scales with k: a 3×3 probe spans ~9 occupied-cell slots,
+    // so mean occupancy ≥ max(2, k/4) makes the first round typically
+    // meet k candidates; undershoot is a few cheap sparse rounds
+    val probeOctaves = 0 to 20 by 2
+    val occAggs = probeOctaves.map(j => approx_count_distinct(
+      struct(shiftright(col("bcx"), j), shiftright(col("bcy"), j)))
+      .as(s"o$j"))
+    val rs = r0.agg(count(lit(1)).as("n"), occAggs: _*).head()
+    val nRight = rs.getLong(0)
+    val rightEmpty = nRight == 0L
+    val kEff = math.min(k.toLong, nRight)
+    val occTarget = math.max(2.0, k.toDouble / 4.0)
+    val shift0 =
+      if (rightEmpty) 0
+      else probeOctaves.find { j =>
+        val occ = math.max(rs.getLong(1 + probeOctaves.indexOf(j)), 1L)
+        nRight.toDouble / occ >= occTarget
+      }.getOrElse(probeOctaves.last)
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val bType = r0.schema("b").dataType
+    val wA = Window.partitionBy("a").orderBy(col("dist2").asc, col("b"))
+    var acc = l0.select(col("id").as("a"),
+      lit(null).cast(bType).as("b"),
+      lit(null).cast("double").as("dist2"),
+      lit(null).cast("int").as("rank")).limit(0)
+    var unresolved = l0
+    var j = 0
+    var done = rightEmpty
+    while (!done && j < maxRounds) {
+      val shift = math.min(shift0 + j, 62)
+      val g = cellSize * math.pow(2.0, shift)
+      val lkx = unresolved
+        .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay"),
+          shiftright(col("cellx"), shift).as("ccx0"),
+          shiftright(col("celly"), shift).as("ccy0"),
+          explode(offsets).as("o"))
+        .select(col("a"), col("ax"), col("ay"),
+          (col("ccx0") + col("o.dx")).as("ccx"),
+          (col("ccy0") + col("o.dy")).as("ccy"))
+      val rk = r0.select(col("b"), col("bx"), col("by"),
+        shiftright(col("bcx"), shift).as("ccx"),
+        shiftright(col("bcy"), shift).as("ccy"))
+      // rank-window rule: project to (a, b, dist2) BEFORE the a-exchange
+      val ranked = lkx.join(rk, Seq("ccx", "ccy"))
+        .select(col("a"), col("b"),
+          dist2(col("ax"), col("ay"), col("bx"), col("by")).as("dist2"))
+        .withColumn("rank", row_number().over(wA))
+        .filter(col("rank") <= lit(kEff))
+        .localCheckpoint(true) // ≤ kEff rows per unresolved point; feeds
+                               // the resolve screen AND the emission
+      val resolvedA = ranked.groupBy("a")
+        .agg(count(lit(1)).as("__n"), max("dist2").as("__kth"))
+        .filter(col("__n") === lit(kEff) && col("__kth") < lit(g * g))
+        .select("a")
+      acc = acc.unionAll(
+        ranked.join(resolvedA, Seq("a"), "left_semi")
+          .select("a", "b", "dist2", "rank"))
+      unresolved = unresolved
+        .join(resolvedA, unresolved("id") === resolvedA("a"), "left_anti")
+        .localCheckpoint(true)
+      val remaining = unresolved.count()
+      done = remaining == 0L
+      // bounded exact finish (division guard — see nearestNeighbor)
+      if (!done && remaining <= bruteBudget / math.max(nRight, 1L)) {
+        val tail = broadcast(unresolved
+          .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay")))
+        val best = r0.select(col("b"), col("bx"), col("by"))
+          .crossJoin(tail)
+          .select(col("a"), col("b"),
+            dist2(col("ax"), col("ay"), col("bx"), col("by")).as("dist2"))
+          .withColumn("rank", row_number().over(wA))
+          .filter(col("rank") <= lit(kEff))
+        acc = acc.unionAll(best)
+        done = true
+      }
+      j += 1
+    }
+    require(done || rightEmpty,
+      s"kNearestNeighbors: unresolved left points after $maxRounds " +
+        s"doubling rounds from starting octave $shift0 — the coordinate " +
+        s"span exceeds cellSize*2^(${shift0 + maxRounds}); raise " +
+        "maxRounds or cellSize")
+    left.select(col(leftId).as("a")).distinct()
+      .join(acc, Seq("a"), "left")
+      .select("a", "b", "dist2", "rank")
   }
 
   /** WRITE-SIDE spatial locality pass for point layers: a Morton

@@ -339,6 +339,30 @@ private[queries] object ExtensionOraclesA {
           |FROM cpts c LEFT JOIN best ON best.a = c.id
           |ORDER BY a""".stripMargin,
 
+      "x_spatial_knn" ->
+        // rank-≤3 replay over the full cross product, same fixed-order
+        // IEEE dist2, ties by (dist2, b) — the ladder's candidate
+        // search must never change the ranked answer
+        """WITH cpts AS (
+          |  SELECT c_custkey AS id, c_acctbal AS x,
+          |         CAST(c_custkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM customer),
+          |spts AS (
+          |  SELECT s_suppkey AS id, s_acctbal AS x,
+          |         CAST(s_suppkey AS DOUBLE) * CAST(0.5 AS DOUBLE) AS y
+          |  FROM supplier),
+          |cand AS (
+          |  SELECT c.id AS a, s.id AS b,
+          |         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+          |  FROM cpts c CROSS JOIN spts s),
+          |best AS (SELECT a, b, dist2, rn FROM (
+          |  SELECT a, b, dist2,
+          |         row_number() OVER (PARTITION BY a ORDER BY dist2, b) AS rn
+          |  FROM cand) WHERE rn <= 3)
+          |SELECT c.id AS a, best.b, best.dist2, best.rn AS rank
+          |FROM cpts c LEFT JOIN best ON best.a = c.id
+          |ORDER BY a, rank""".stripMargin,
+
       "x_spatial_prunestats" ->
         // the census replay from the staged spatial layout alone: hive
         // bucket as the unit label (CAST both sides — Spark infers the

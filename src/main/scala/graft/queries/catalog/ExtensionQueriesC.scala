@@ -1075,6 +1075,22 @@ private[queries] object ExtensionQueriesC {
         .orderBy("a")
     }),
 
+    "x_spatial_knn" -> ((s, dir) => {
+      // k-NEAREST JOIN (k = 3) — [[x_spatial_nn]]'s k > 1 twin, the
+      // layer consumer's next question after "nearest": the same
+      // doubling ladder, but a point resolves when its k-th best
+      // distance clears the scale (an exact k-th tie escalates a
+      // round; ties within the candidate set pin to the smaller id).
+      // Oracle: brute-force rank-≤3 replay over the cross product.
+      val c = customerPointLayer(s, dir, "q_layer_spatial_knn_l")
+      val sup = supplierPointLayer(s, dir, "q_layer_spatial_knn_r")
+      graft.operators.Spatial.kNearestNeighbors(
+          c.select(col("c_custkey"), col("geometry")), "c_custkey",
+          sup.select(col("s_suppkey"), col("geometry")), "s_suppkey",
+          3, 50.0)
+        .orderBy("a", "rank")
+    }),
+
     "x_spatial_dropped" -> ((s, dir) => {
       // THE NO-SILENT-CAPS CENSUS for the spatial grid miners: the cells
       // a maxCellSize gate would exclude, with their occupancy — the

@@ -1178,6 +1178,18 @@ object BenchSf1 {
         graft.operators.Spatial.nearestNeighbor(left, "id", right, "id", 50.0)
           .count()
       }),
+      // k-nearest join (k = 3): same ladder, per-round top-k window —
+      // the dense second layer resolves nearly everything in rounds
+      // 0-1, so the probe must price ~linear in points like spatial_nn
+      "spatial_knn" -> ((dir, _) => {
+        val left = customerGeom(spark, dir)
+        val right = left.filter(col("id") % 3 === 0)
+          .select((col("id") + 10000000000L).as("id"),
+            struct((col("geometry.x") + 25.0).as("x"),
+              col("geometry.y").as("y")).as("geometry"))
+        graft.operators.Spatial.kNearestNeighbors(left, "id", right, "id",
+          3, 50.0).count()
+      }),
       // bbox read through the production z-order path: the persisted
       // _zmeta maps the bbox to its unit set -> a PARTITION filter
       // prunes whole directories at planning. The answer is

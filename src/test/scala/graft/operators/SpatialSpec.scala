@@ -289,6 +289,57 @@ class SpatialSpec extends AnyFunSuite {
     assert(ladder == got, s"ladder path diverged: $ladder vs $got")
   }
 
+  test("kNearestNeighbors matches the brute-force rank-<=k set, pins ties, " +
+      "caps at the corpus size, and the pure ladder answers identically") {
+    val cell = 5.0
+    // mixed density: a tight cluster (the k=3 ring resolves round 0),
+    // a tie FOR THE K-TH SLOT (two right points equidistant from left 2
+    // — rank 3 must pin to the smaller id), and a far outpost forcing
+    // multi-round escalation
+    val rightPts = Seq(
+      (10L, 0.0, 0.0), (11L, 1.0, 0.0), (12L, 0.0, 1.0), (13L, 2.0, 2.0),
+      (20L, 100.0, 0.0), (21L, 104.0, 0.0), (22L, 102.0, 7.0),
+      (30L, 5000.0, 5000.0))
+    val leftPts = Seq(
+      (1L, 0.4, 0.4), (2L, 102.0, 0.0), (3L, -500.0, 9000.0))
+    val right = Geometry.withPointGeometry(
+      rightPts.toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    val left = Geometry.withPointGeometry(
+      leftPts.toDF("id", "x", "y"), "x", "y").select("id", "geometry")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "dist2", "rank")
+        .as[(Long, Option[Long], Option[Double], Option[Int])]
+        .collect().toSeq.sortBy(r => (r._1, r._4.getOrElse(0)))
+    val got = collect(Spatial.kNearestNeighbors(left, "id", right, "id",
+      k = 3, cellSize = cell))
+    // brute-force reference: full cross product ranked by (dist2, b)
+    val brute = leftPts.flatMap { case (a, ax, ay) =>
+      rightPts.map { case (b, bx, by) =>
+        (a, Some(b), Some((ax - bx) * (ax - bx) + (ay - by) * (ay - by)))
+      }.sortBy(r => (r._3.get, r._2.get)).take(3).zipWithIndex
+        .map { case ((a0, b0, d0), i) => (a0, b0, d0, Some(i + 1)) }
+    }.sortBy(r => (r._1, r._4.getOrElse(0)))
+    assert(got == brute, s"\n got=$got\nwant=$brute")
+    // the tie for left 2's 3rd slot: 20 and 21 are both at dist2=4 —
+    // rank 2 vs 3 must order by id after the closer 22
+    val l2 = got.filter(_._1 == 2L).flatMap(_._2)
+    assert(l2 == Seq(20L, 21L, 22L).sortBy(b =>
+      (brute.find(r => r._1 == 2L && r._2.contains(b)).get._3.get, b)))
+    // k past the corpus: every right point ranked, nothing invented
+    val gotAll = collect(Spatial.kNearestNeighbors(left, "id", right, "id",
+      k = 50, cellSize = cell))
+    assert(gotAll.count(_._1 == 1L) == rightPts.length)
+    // empty right: left-join nulls
+    val gotEmpty = collect(Spatial.kNearestNeighbors(left, "id",
+      right.filter(col("id") < 0), "id", k = 3, cellSize = cell))
+    assert(gotEmpty.length == 3 &&
+      gotEmpty.forall(r => r._2.isEmpty && r._4.isEmpty))
+    // pure ladder (finishing pass disabled) is bit-identical
+    val ladder = collect(Spatial.kNearestNeighbors(left, "id", right, "id",
+      k = 3, cellSize = cell, bruteBudget = 0L))
+    assert(ladder == got)
+  }
+
   test("nearestNeighbor: a capped degenerate right cell is invisible — " +
       "the nearest comes from the surviving cells") {
     import org.apache.spark.sql.functions.col
