@@ -29,6 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object Spatial {
 
+  /** Pin a frame for multi-consumer / iterative reuse. The default
+    * `localCheckpoint(true)` stores lineage-free blocks in EXECUTOR
+    * storage — on a real cluster an executor loss aborts the job (the
+    * rerun contract: these are rerunnable batch operators, and local
+    * blocks cost no filesystem round-trip). `reliable = true` swaps in
+    * RELIABLE checkpointing to `spark.sparkContext.setCheckpointDir`
+    * storage, which survives executor loss — the option for runs too
+    * long or too contended to simply rerun. Both paths pin the same
+    * barrier, so results are identical (spec-gated).
+    */
+  private def pin(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+
   /** Default per-cell occupancy cap. A cell at the cap prices as
     * cap² = 16M candidate pairs — already a heavy task; anything past it
     * is a degenerate blob (duplicate coordinates, a data bug) that would
@@ -262,7 +275,8 @@ object Spatial {
                       right: DataFrame, rightId: String, cellSize: Double,
                       maxRounds: Int = 48,
                       maxCellSize: Option[Int] = Some(DefaultMaxCellSize),
-                      bruteBudget: Long = 50000000L)
+                      bruteBudget: Long = 50000000L,
+                      reliable: Boolean = false)
       : DataFrame = {
     require(cellSize > 0, s"nearestNeighbor: cellSize must be positive, got $cellSize")
     require(maxRounds >= 1 && maxRounds <= 62,
@@ -272,11 +286,10 @@ object Spatial {
     // both sides keyed ONCE at base scale and pinned: every round re-keys
     // by shift off these frames (and the loop re-reads the right side
     // each round — without the barrier it would re-run the corpus scan)
-    val l0 = gridKeyed(left, leftId, cellSize).localCheckpoint(true)
-    val r0 = cellCapped(gridKeyed(right, rightId, cellSize), maxCellSize)
+    val l0 = pin(gridKeyed(left, leftId, cellSize), reliable)
+    val r0 = pin(cellCapped(gridKeyed(right, rightId, cellSize), maxCellSize)
       .select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
-        col("cellx").as("bcx"), col("celly").as("bcy"))
-      .localCheckpoint(true)
+        col("cellx").as("bcx"), col("celly").as("bcy")), reliable)
     // ONE stats probe over the pinned right side: emptiness, and the
     // STARTING octave of the doubling schedule — the smallest octave
     // where the mean occupancy of OCCUPIED cells reaches 2, i.e. where
@@ -337,10 +350,10 @@ object Spatial {
       // one materialization per round: resolved rows, the shrinking
       // unresolved set, and the emptiness probe all read this barrier
       // instead of re-running the round's join
-      val joined = unresolved.join(best, unresolved("id") === best("a"), "left")
-        .select(col("id"), col("x"), col("y"), col("cellx"), col("celly"),
-          col("b"), col("dist2"))
-        .localCheckpoint(true)
+      val joined = pin(
+        unresolved.join(best, unresolved("id") === best("a"), "left")
+          .select(col("id"), col("x"), col("y"), col("cellx"), col("celly"),
+            col("b"), col("dist2")), reliable)
       // strict <: a non-candidate point sits at distance >= g_k, so an
       // exact tie AT g_k escalates one round rather than risk losing to
       // an unseen equal-distance smaller id
@@ -411,7 +424,8 @@ object Spatial {
                         right: DataFrame, rightId: String, k: Int,
                         cellSize: Double, maxRounds: Int = 48,
                         maxCellSize: Option[Int] = Some(DefaultMaxCellSize),
-                        bruteBudget: Long = 50000000L): DataFrame = {
+                        bruteBudget: Long = 50000000L,
+                        reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"kNearestNeighbors: k must be >= 1, got $k")
     require(cellSize > 0,
       s"kNearestNeighbors: cellSize must be positive, got $cellSize")
@@ -419,11 +433,10 @@ object Spatial {
       s"kNearestNeighbors: maxRounds must be in [1, 62], got $maxRounds")
     require(bruteBudget >= 0,
       s"kNearestNeighbors: bruteBudget must be >= 0, got $bruteBudget")
-    val l0 = gridKeyed(left, leftId, cellSize).localCheckpoint(true)
-    val r0 = cellCapped(gridKeyed(right, rightId, cellSize), maxCellSize)
+    val l0 = pin(gridKeyed(left, leftId, cellSize), reliable)
+    val r0 = pin(cellCapped(gridKeyed(right, rightId, cellSize), maxCellSize)
       .select(col("id").as("b"), col("x").as("bx"), col("y").as("by"),
-        col("cellx").as("bcx"), col("celly").as("bcy"))
-      .localCheckpoint(true)
+        col("cellx").as("bcx"), col("celly").as("bcy")), reliable)
     // occupancy-derived start (the nearestNeighbor probe), but the
     // target scales with k: a 3×3 probe spans ~9 occupied-cell slots,
     // so mean occupancy ≥ max(2, k/4) makes the first round typically
@@ -469,23 +482,24 @@ object Spatial {
         shiftright(col("bcx"), shift).as("ccx"),
         shiftright(col("bcy"), shift).as("ccy"))
       // rank-window rule: project to (a, b, dist2) BEFORE the a-exchange
-      val ranked = lkx.join(rk, Seq("ccx", "ccy"))
+      val ranked0 = lkx.join(rk, Seq("ccx", "ccy"))
         .select(col("a"), col("b"),
           dist2(col("ax"), col("ay"), col("bx"), col("by")).as("dist2"))
         .withColumn("rank", row_number().over(wA))
         .filter(col("rank") <= lit(kEff))
-        .localCheckpoint(true) // ≤ kEff rows per unresolved point; feeds
-                               // the resolve screen AND the emission
-      val resolvedA = ranked.groupBy("a")
+      val rankedP = pin(ranked0, reliable) // ≤ kEff rows per unresolved
+                               // point; feeds the resolve screen AND
+                               // the emission
+      val resolvedA = rankedP.groupBy("a")
         .agg(count(lit(1)).as("__n"), max("dist2").as("__kth"))
         .filter(col("__n") === lit(kEff) && col("__kth") < lit(g * g))
         .select("a")
       acc = acc.unionAll(
-        ranked.join(resolvedA, Seq("a"), "left_semi")
+        rankedP.join(resolvedA, Seq("a"), "left_semi")
           .select("a", "b", "dist2", "rank"))
-      unresolved = unresolved
-        .join(resolvedA, unresolved("id") === resolvedA("a"), "left_anti")
-        .localCheckpoint(true)
+      unresolved = pin(unresolved
+        .join(resolvedA, unresolved("id") === resolvedA("a"), "left_anti"),
+        reliable)
       val remaining = unresolved.count()
       done = remaining == 0L
       // bounded exact finish (division guard — see nearestNeighbor)
@@ -727,12 +741,12 @@ object Spatial {
     */
   def dbscanClusters(points: DataFrame, idCol: String, eps: Double,
                      minPts: Int,
-                     maxCellSize: Option[Int] = Some(DefaultMaxCellSize))
+                     maxCellSize: Option[Int] = Some(DefaultMaxCellSize),
+                     reliable: Boolean = false)
       : DataFrame = {
     require(minPts >= 1, s"dbscanClusters: minPts must be >= 1, got $minPts")
-    val pairs = neighborPairs(points, idCol, eps, maxCellSize)
-      .select("a", "b")
-      .localCheckpoint(true)
+    val pairs = pin(neighborPairs(points, idCol, eps, maxCellSize)
+      .select("a", "b"), reliable)
     val touch = pairs.select(col("a").as("id"))
       .unionAll(pairs.select(col("b").as("id")))
     // degree over ALL spatially-present points (left join, zero-filled):
@@ -746,11 +760,10 @@ object Spatial {
     // checkpointed like `pairs`: the core set feeds FOUR consumers (two
     // semi-joins, the label join, the border anti-join) — without the
     // barrier each re-runs the corpus scan + degree aggregation
-    val core = present
+    val core = pin(present
       .join(touch.groupBy("id").agg(count(lit(1)).as("__n")), Seq("id"), "left")
       .filter(coalesce(col("__n"), lit(0L)) + lit(1) >= lit(minPts))
-      .select("id")
-      .localCheckpoint(true)
+      .select("id"), reliable)
     val coreEdges = pairs
       .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(core.select(col("id").as("b")), Seq("b"), "left_semi")

@@ -340,6 +340,31 @@ class SpatialSpec extends AnyFunSuite {
     assert(ladder == got)
   }
 
+  test("reliable = true (checkpoint-dir pinning) answers identically to " +
+      "the localCheckpoint default on all three iterative operators") {
+    // the cluster-semantics escape: localCheckpoint blocks die with an
+    // executor; reliable = true persists the same barriers to the
+    // checkpoint dir — the OPTION must never change a row
+    val ckDir = "/tmp/graft_test_spatial_ck"
+    graft.core.ParquetStage.rmRec(ckDir)
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val (_, df) = fixture(400, 10.0)
+    val left = df.limit(120)
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(sorted(Spatial.nearestNeighbor(left, "id", df, "id", 10.0,
+        reliable = true)) ==
+      sorted(Spatial.nearestNeighbor(left, "id", df, "id", 10.0)))
+    assert(sorted(Spatial.kNearestNeighbors(left, "id", df, "id", 3, 10.0,
+        reliable = true)) ==
+      sorted(Spatial.kNearestNeighbors(left, "id", df, "id", 3, 10.0)))
+    // small eps keeps dbscan components short-diameter (this gate is
+    // about the pinning option, not pointer-jumping depth)
+    assert(sorted(Spatial.dbscanClusters(df, "id", 3.0, 2,
+        reliable = true)) ==
+      sorted(Spatial.dbscanClusters(df, "id", 3.0, 2)))
+  }
+
   test("nearestNeighbor: a capped degenerate right cell is invisible — " +
       "the nearest comes from the surviving cells") {
     import org.apache.spark.sql.functions.col
