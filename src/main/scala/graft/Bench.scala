@@ -185,8 +185,13 @@ object Bench {
     val timed =
       if (tier == "full") catalog else catalog.filter(q => inHeadline(q._1))
 
-    /** One full sweep plus its own contention witness. */
-    case class Attempt(results: Map[String, Double], calStart: Double,
+    /** One full sweep plus its own contention witness. `repMax` keeps
+      * each query's WORST rep alongside the reported min — the per-query
+      * variance witness (r15: a 7.08 s x_dedup_cross outlier landed in
+      * an accepted artifact and was only visible by cross-referencing
+      * BENCH_LOCAL files; now the artifact flags its own outliers). */
+    case class Attempt(results: Map[String, Double],
+                       repMax: Map[String, Double], calStart: Double,
                        calEnd: Double, loadStart: Double, loadEnd: Double) {
       // ACT on the witness instead of just recording it (r14 committed
       // four runs under load 1–6 and one — visibly contaminated, cal
@@ -203,6 +208,7 @@ object Bench {
       val loadStart = loadAvg()
       val calStart = calibrateMin(spark)
       failed.clear()
+      val repMaxAcc = scala.collection.mutable.Map.empty[String, Double]
       val results = timed.map { case (name, fn) =>
         // Stderr marker BEFORE each query: any ERROR stack a later reader
         // finds in the captured log now sits between two markers, so it
@@ -221,9 +227,15 @@ object Bench {
           releaseSessionState()
           dt
         }
+        // steady-state worst rep: the FIRST rep systematically carries
+        // first-use codegen (1.5-3x the floor on a quiet machine) — a
+        // variance witness that included it would flag half the tier
+        repMaxAcc(name) = if (times.length > 1) times.drop(1).max
+                          else times.head
         name -> times.min
       }
-      Attempt(results, calStart, calibrateMin(spark), loadStart, loadAvg())
+      Attempt(results, repMaxAcc.toMap, calStart, calibrateMin(spark),
+        loadStart, loadAvg())
     }
 
     // Acceptance loop: re-run a rejected sweep up to `maxAttempts` times;
@@ -273,6 +285,25 @@ object Bench {
     // parseable no matter how short the capture window is.
     val cgErrs = graft.tools.CodegenErrors.total
     import graft.tools.JsonNum.num
+    // Per-query variance flags (r15 verdict item 4): the accept gate
+    // guards the TOTAL via calibration drift, but a single query's
+    // in-run outlier can still land in an accepted artifact. Flag every
+    // committed time whose own reps spread > 1.5x (rep_min vs rep_max),
+    // or that sits > 1.5x above its FLOOR across all attempts of this
+    // invocation — so the artifact names its own suspects instead of
+    // requiring a cross-file hunt. Sub-0.25 s queries are exempt
+    // (scheduler noise dominates there, not contention).
+    val varianceFlags = succeeded.toSeq.flatMap { case (k, v) =>
+      val rmax = att.repMax.getOrElse(k, v)
+      val floor = attempts.flatMap(_.results.get(k)).foldLeft(v)(math.min)
+      val repSpread = if (v > 0) rmax / v else 1.0
+      val floorDrift = if (floor > 0) v / floor else 1.0
+      if (v >= 0.25 && (repSpread > 1.5 || floorDrift > 1.5))
+        Some("\"" + k + "\":{\"committed\":" + num(v, 3) +
+          ",\"rep_max\":" + num(rmax, 3) +
+          ",\"floor\":" + num(floor, 3) + "}")
+      else None
+    }.mkString("{", ",", "}")
     val history = attempts.zipWithIndex.map { case (a, i) =>
       s"""{"attempt":${i + 1},"total":${num(a.results.values.sum, 3)},""" +
         s""""cal_start_s":${num(a.calStart, 3)},"cal_end_s":${num(a.calEnd, 3)},""" +
@@ -282,7 +313,7 @@ object Bench {
     val cal =
       s"""{"reps":$reps,"accepted":$isAccepted,"max_cal_drift":$maxDrift,"max_load_start":$maxLoad,"cal_start_s":${num(calStart, 3)},"cal_end_s":${num(calEnd, 3)},"load_start":$loadStart,"load_end":$loadEnd,"tmp_fixture_bytes":${tmpFixtureBytes()},"attempts":$history}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","tier":"$tier","catalog_n":${catalog.size},"oracle_replay_s":$oracleReplayS,"production_s":$productionS,"contention":$cal,"queries":$qs,"failures":$fails,"codegen_errors":$cgErrs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","tier":"$tier","catalog_n":${catalog.size},"oracle_replay_s":$oracleReplayS,"production_s":$productionS,"contention":$cal,"queries":$qs,"variance_flags":$varianceFlags,"failures":$fails,"codegen_errors":$cgErrs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), full + "\n")
     // Committed per-query artifact (r8 verdict item 5): the driver only
     // captures the short stdout line, so round-over-round per-query
