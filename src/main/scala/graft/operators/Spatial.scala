@@ -459,7 +459,40 @@ object Spatial {
     val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
       yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
     val bType = r0.schema("b").dataType
-    val wA = Window.partitionBy("a").orderBy(col("dist2").asc, col("b"))
+    // BOUNDED TOP-K SELECTION in one aggregation pass: min_k_pairs is a
+    // TypedImperativeAggregate with an O(k) buffer that PARTIAL-combines
+    // map-side, so the exchange carries k structs per (point, map
+    // partition) — never the candidate rows. The rejected alternatives,
+    // both measured at the sf0.1 brute volume (~14M candidate pairs): a
+    // row_number() window exchanges every candidate row (11.4 s); a
+    // k-pass min(struct) chain partial-aggregates but Min over a struct
+    // plans as an INTERPRETED SortAggregate (~6 s/pass). Ties at equal
+    // distance pin to the smaller id inside the kernel (the engine-wide
+    // (dist2, b) order).
+    def kSelect(cands: DataFrame): DataFrame = {
+      // scoped config: ObjectHashAggregate falls back to SORT-based
+      // aggregation past 128 distinct keys per partition — a memory
+      // guard for big per-key buffers that is exactly wrong for this
+      // O(k) buffer (measured 4.7 s vs 2.5 s on the brute volume).
+      // Raised only around THIS aggregation's materialization, then
+      // restored (the pin is eager, so the plan is built-and-run inside
+      // the scope; note the conf is session-scoped while set).
+      val spark = cands.sparkSession
+      val confKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      val old = spark.conf.getOption(confKey)
+      spark.conf.set(confKey, "10000000")
+      try pin(cands.groupBy("a")
+        .agg(graft.functions.TopKFunctions
+          .min_k_pairs(col("dist2"), col("b"), kEff.toInt).as("__top"))
+        .select(col("a"), posexplode(col("__top")))
+        .select(col("a"), col("col").getField("value").as("b"),
+          col("col").getField("key").as("dist2"),
+          (col("pos") + 1).cast("int").as("rank")), reliable)
+      finally old match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
     var acc = l0.select(col("id").as("a"),
       lit(null).cast(bType).as("b"),
       lit(null).cast("double").as("dist2"),
@@ -481,38 +514,34 @@ object Spatial {
       val rk = r0.select(col("b"), col("bx"), col("by"),
         shiftright(col("bcx"), shift).as("ccx"),
         shiftright(col("bcy"), shift).as("ccy"))
-      // rank-window rule: project to (a, b, dist2) BEFORE the a-exchange
-      val ranked0 = lkx.join(rk, Seq("ccx", "ccy"))
+      val cands = lkx.join(rk, Seq("ccx", "ccy"))
         .select(col("a"), col("b"),
           dist2(col("ax"), col("ay"), col("bx"), col("by")).as("dist2"))
-        .withColumn("rank", row_number().over(wA))
-        .filter(col("rank") <= lit(kEff))
-      val rankedP = pin(ranked0, reliable) // ≤ kEff rows per unresolved
-                               // point; feeds the resolve screen AND
-                               // the emission
-      val resolvedA = rankedP.groupBy("a")
-        .agg(count(lit(1)).as("__n"), max("dist2").as("__kth"))
-        .filter(col("__n") === lit(kEff) && col("__kth") < lit(g * g))
+      val ranked = kSelect(cands) // pinned; one agg pass
+      // a point is resolved iff its kEff-th pick exists AND sits
+      // strictly below the scale (strict <: an exact tie at g escalates
+      // a round rather than risk an unseen equal-distance smaller id)
+      val resolvedA = ranked
+        .filter(col("rank") === lit(kEff.toInt) && col("dist2") < lit(g * g))
         .select("a")
-      acc = acc.unionAll(
-        rankedP.join(resolvedA, Seq("a"), "left_semi")
-          .select("a", "b", "dist2", "rank"))
-      unresolved = pin(unresolved
-        .join(resolvedA, unresolved("id") === resolvedA("a"), "left_anti"),
-        reliable)
+      acc = acc.unionAll(ranked.join(resolvedA, Seq("a"), "left_semi")
+        .select("a", "b", "dist2", "rank"))
+      // unresolved chains shallow anti-joins over the round pins
+      // (resolved-id sets are broadcast-sized) — no per-round re-pin
+      unresolved = unresolved
+        .join(resolvedA.select(col("a").as("__ra")),
+          unresolved("id") === col("__ra"), "left_anti")
       val remaining = unresolved.count()
       done = remaining == 0L
       // bounded exact finish (division guard — see nearestNeighbor)
       if (!done && remaining <= bruteBudget / math.max(nRight, 1L)) {
         val tail = broadcast(unresolved
           .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay")))
-        val best = r0.select(col("b"), col("bx"), col("by"))
+        val bruteCands = r0.select(col("b"), col("bx"), col("by"))
           .crossJoin(tail)
           .select(col("a"), col("b"),
             dist2(col("ax"), col("ay"), col("bx"), col("by")).as("dist2"))
-          .withColumn("rank", row_number().over(wA))
-          .filter(col("rank") <= lit(kEff))
-        acc = acc.unionAll(best)
+        acc = acc.unionAll(kSelect(bruteCands))
         done = true
       }
       j += 1

@@ -286,4 +286,52 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("min_k_pairs: k smallest (key, value) pairs, any partitioning, " +
+      "ties to the smaller value, string values, k past the group size") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TopKFunctions.min_k_pairs
+    // 1000 rows over 7 groups, engineered ties (key = i % 13 gives many
+    // equal keys per group) — expectation computed by plain Scala sort
+    val rows = (0 until 1000).map(i => (i % 7L, (i % 13).toDouble, i.toLong))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(5)
+    }
+    for (parts <- Seq(1, 13)) {
+      val got = rows.toDF("g", "key", "v").repartition(parts)
+        .groupBy("g").agg(min_k_pairs(col("key"), col("v"), 5).as("top"))
+        .select(col("g"), posexplode(col("top")))
+        .select(col("g"), col("col.key"), col("col.value"))
+        .as[(Long, Double, Long)].collect()
+        .groupBy(_._1).map { case (g, rs) => g -> rs.map(r => (r._2, r._3)).toSeq }
+      assert(got.keySet == expected.keySet)
+      for ((g, want) <- expected)
+        assert(got(g) == want, s"group $g at $parts partitions")
+    }
+    // string values: interpreted ordering on ties, defensive copies
+    // survive the buffer-backed UTF8String reuse across rows
+    val sgot = Seq((1L, 1.0, "bb"), (1L, 1.0, "aa"), (1L, 0.5, "zz"),
+        (1L, 2.0, "cc"))
+      .toDF("g", "key", "v").repartition(3)
+      .groupBy("g").agg(min_k_pairs(col("key"), col("v"), 3).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.key"), col("col.value"))
+      .as[(Double, String)].collect().toSeq
+    assert(sgot == Seq((0.5, "zz"), (1.0, "aa"), (1.0, "bb")))
+    // k past the group size: everything, ascending, nothing invented
+    val small = Seq((1L, 3.0, 30L), (1L, 1.0, 10L))
+      .toDF("g", "key", "v")
+      .groupBy("g").agg(min_k_pairs(col("key"), col("v"), 10).as("top"))
+      .select(posexplode(col("top"))).select(col("col.key"))
+      .as[Double].collect().toSeq
+    assert(small == Seq(1.0, 3.0))
+    // null keys and null values are skipped, not ranked
+    val withNulls = Seq((1L, Some(2.0), Some(20L)), (1L, None, Some(9L)),
+        (1L, Some(1.0), None))
+      .toDF("g", "key", "v")
+      .groupBy("g").agg(min_k_pairs(col("key"), col("v"), 3).as("top"))
+      .select(posexplode(col("top"))).select(col("col.value"))
+      .as[Long].collect().toSeq
+    assert(withNulls == Seq(20L))
+  }
 }
