@@ -1084,10 +1084,20 @@ object Similarity {
                                  queries: DataFrame, idCol: String,
                                  vecCol: String, k: Int,
                                  rerank: Int): DataFrame = {
-    val wAdc = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
-    val shortlist = adc.withColumn("rk", row_number().over(wAdc))
-      .filter(col("rk") <= k * rerank)
-      .select("qid", "id")
+    // bounded top-k aggregation, not a rank window (the
+    // hammingShortlistRerank rationale: the window exchanged every
+    // ADC-scored code row). `score desc, id asc` maps to the kernel's
+    // ascending order as key = −score: negation is exact for every
+    // finite double, and the ±0.0 tie class is preserved (ascending
+    // −score puts −0.0 first ↔ descending score puts +0.0 first — the
+    // same row). ADC scores are finite sums of finite LUT entries, so
+    // the window's NaN-first descending corner cannot arise.
+    val shortlist = adc.groupBy("qid")
+      .agg(graft.functions.TopKFunctions
+        .min_k_pairs(negate(col("score")), col("id"), k * rerank)
+        .as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__e"))
+      .select(col("qid"), col("__e").getField("value").as("id"))
     exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
   }
 
@@ -1249,10 +1259,21 @@ object Similarity {
                                             queries: DataFrame, idCol: String,
                                             vecCol: String, k: Int,
                                             rerank: Int): DataFrame = {
-    val wHam = Window.partitionBy("qid").orderBy(col("ham").asc, col("id"))
-    val shortlist = scored.withColumn("rk", row_number().over(wHam))
-      .filter(col("rk") <= k * rerank)
-      .select("qid", "id")
+    // bounded top-k aggregation, not a rank window: the window form
+    // EXCHANGED every scored candidate row before ranking — at a flat
+    // BQ scan that is the whole corpus × queries Hamming product
+    // through one shuffle, and it priced as the bq family's per-decade
+    // floor. min_k_pairs partial-aggregates map-side with an O(k·rerank)
+    // buffer, so the exchange carries shortlist-sized partials per map
+    // partition. Selection is identical: the integer ham widens to
+    // double exactly, and (ham asc, id asc) is the same total order the
+    // window cut at k·rerank (ham is never null — packed sigs only).
+    val shortlist = scored.groupBy("qid")
+      .agg(graft.functions.TopKFunctions
+        .min_k_pairs(col("ham").cast("double"), col("id"), k * rerank)
+        .as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__e"))
+      .select(col("qid"), col("__e").getField("value").as("id"))
     exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
   }
 
