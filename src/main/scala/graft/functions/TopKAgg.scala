@@ -153,4 +153,20 @@ object TopKFunctions {
   def min_k_pairs(key: Column, value: Column, k: Int): Column =
     toColumn(MinKPairs(toExpression(key), toExpression(value), k)
       .toAggregateExpression())
+
+  /** [[min_k_pairs]] with an aggregate FILTER clause: only rows where
+    * `cond` holds enter the buffer. Lets ONE aggregation pass compute a
+    * whole family of nested selections (the tune sweeps' per-nprobe
+    * shortlists: `cond = probe_rank <= p` per candidate p) instead of
+    * one filtered pass per member — same semantics as
+    * `df.filter(cond).agg(min_k_pairs(...))`, exercised against it in
+    * FunctionsSpec.
+    */
+  def min_k_pairs_if(key: Column, value: Column, k: Int,
+                     cond: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
+    toColumn(AggregateExpression(
+      MinKPairs(toExpression(key), toExpression(value), k),
+      Complete, isDistinct = false, filter = Some(toExpression(cond))))
+  }
 }

@@ -799,17 +799,18 @@ object AnnIndex {
       .select(col("qid"), col("id"), col("probe_rank"),
         Similarity.cosineFromNorms(col("vec"), col("norm"),
           col("qvec"), col("qnorm")).as("cosine"))
-      .persist()
     val truth = Similarity.bruteForceTopK(
         members.select(col("id").as(idCol), col("vec").as(vecCol)),
         queries, idCol, vecCol, k)
       .select(col("qid"), col("id")).withColumn("__in", lit(1))
       .persist()
-    val perP = cand.map { p =>
-      Similarity.rankTopK(scored.filter(col("probe_rank") <= p)
-          .select("qid", "id", "cosine"), k)
-        .withColumn("nprobe", lit(p))
-    }.reduce(_.unionByName(_))
+    // ONE FILTERed-aggregation pass prices every sweep point
+    // (optimization r16) — see Similarity.sweepRankTopK. The ranked
+    // frame is consumed exactly once there (it pins the tiny per-qid
+    // result itself), so the old scored.persist() would only add a
+    // cache-write of the full candidate frame.
+    val perP = Similarity.sweepRankTopK(
+      scored.select("qid", "id", "probe_rank", "cosine"), cand, k)
     val hits = perP.join(truth, Seq("qid", "id"), "left")
       .groupBy("nprobe")
       .agg(sum(coalesce(col("__in"), lit(0))).cast("long").as("hits"))
@@ -817,7 +818,6 @@ object AnnIndex {
     val possible = truth.count()
     val nQueries = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol)).distinct().count()
-    scored.unpersist()
     truth.unpersist()
     tuneReport(spark, cand, hits, possible, nQueries, targetRecallPctx100)
   }
@@ -1716,8 +1716,10 @@ object AnnIndex {
     val codebooks = loadPqCodebooks(spark, path)
     val residualCents =
       if (ivfpqIsResidual(spark, path)) Some(cents) else None
+    // no persist: the ranked ADC frame is consumed exactly once — by the
+    // single FILTERed-aggregation pass inside sweepShortlistRerank
     val scored = Similarity.ivfpqAdcRanked(codes, probes, queries,
-      idCol, vecCol, codebooks, residualCents).persist()
+      idCol, vecCol, codebooks, residualCents)
     // truth = exact top-k over the serving membership's TRUE vectors
     val serving = minusTombstonesPre(tombs,
         spark.read.parquet(codesDir))
@@ -1726,13 +1728,12 @@ object AnnIndex {
         corpus.join(serving, Seq(idCol)), queries, idCol, vecCol, k)
       .select(col("qid"), col("id")).withColumn("__in", lit(1))
       .persist()
-    val perP = cand.map { p =>
-      Similarity.adcShortlistRerank(
-          scored.filter(col("probe_rank") <= p)
-            .select("qid", "id", "score"),
-          corpus, queries, idCol, vecCol, k, rerank)
-        .withColumn("nprobe", lit(p))
-    }.reduce(_.unionByName(_))
+    // whole-sweep shortlist + ONE corpus join (optimization r16): the
+    // per-candidate adcShortlistRerank joined the true-vector table once
+    // per sweep point — see Similarity.sweepShortlistRerank
+    val perP = Similarity.sweepShortlistRerank(
+      scored.select("qid", "id", "probe_rank", "score"),
+      negate(col("score")), cand, corpus, queries, idCol, vecCol, k, rerank)
     val hits = perP.join(truth, Seq("qid", "id"), "left")
       .groupBy("nprobe")
       .agg(sum(coalesce(col("__in"), lit(0))).cast("long").as("hits"))
@@ -1740,7 +1741,6 @@ object AnnIndex {
     val possible = truth.count()
     val nQueries = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol)).distinct().count()
-    scored.unpersist()
     truth.unpersist()
     tuneReport(spark, cand, hits, possible, nQueries, targetRecallPctx100)
   }
@@ -1795,8 +1795,10 @@ object AnnIndex {
       readProbedPartitions(spark, codesDir, probedCids.toSeq)
         .withColumn("cid", col("cid").cast("long"))
         .filter(col("cid").isInCollection(probedCids)))
+    // no persist: the ranked Hamming frame is consumed exactly once — by
+    // the single FILTERed-aggregation pass inside sweepShortlistRerank
     val scored = Similarity.ivfbqHammingRanked(sigs, probes, queries,
-      idCol, vecCol).persist()
+      idCol, vecCol)
     val serving = minusTombstonesPre(tombs,
         spark.read.parquet(codesDir))
       .select(col("id").as(idCol)).distinct()
@@ -1804,13 +1806,13 @@ object AnnIndex {
         corpus.join(serving, Seq(idCol)), queries, idCol, vecCol, k)
       .select(col("qid"), col("id")).withColumn("__in", lit(1))
       .persist()
-    val perP = cand.map { p =>
-      Similarity.hammingShortlistRerank(
-          scored.filter(col("probe_rank") <= p)
-            .select("qid", "id", "ham"),
-          corpus, queries, idCol, vecCol, k, rerank)
-        .withColumn("nprobe", lit(p))
-    }.reduce(_.unionByName(_))
+    // whole-sweep shortlist + ONE corpus join (optimization r16): the
+    // per-candidate hammingShortlistRerank joined the true-vector table
+    // once per sweep point — see Similarity.sweepShortlistRerank
+    val perP = Similarity.sweepShortlistRerank(
+      scored.select("qid", "id", "probe_rank", "ham"),
+      col("ham").cast("double"), cand, corpus, queries, idCol, vecCol, k,
+      rerank)
     val hits = perP.join(truth, Seq("qid", "id"), "left")
       .groupBy("nprobe")
       .agg(sum(coalesce(col("__in"), lit(0))).cast("long").as("hits"))
@@ -1818,7 +1820,6 @@ object AnnIndex {
     val possible = truth.count()
     val nQueries = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol)).distinct().count()
-    scored.unpersist()
     truth.unpersist()
     tuneReport(spark, cand, hits, possible, nQueries, targetRecallPctx100)
   }

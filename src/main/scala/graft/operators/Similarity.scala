@@ -138,19 +138,78 @@ object Similarity {
   }
 
   /** Shared rank-and-trim tail of every top-k path. `scored` MUST already
-    * be projected down to (qid, id, cosine): the rank window repartitions
-    * by qid, and a pre-window projection that still carries the embedding
-    * vectors multiplies the exchange by the vector width — at the sf1
-    * scale probe the kNN graph's window shuffled ~1 KB/candidate instead
-    * of 24 B and the stage went superlinear (BENCH_SF1 round 5).
+    * be projected down to (qid, id, cosine): the exchange carries only the
+    * bounded aggregation buffers, but the PARTIAL aggregation still
+    * evaluates over the full candidate width — at the sf1 scale probe the
+    * kNN graph's old rank window shuffled ~1 KB/candidate instead of 24 B
+    * and the stage went superlinear (BENCH_SF1 round 5).
+    *
+    * r16 (optimization round, guide §2.3 "aggregate before you shuffle"):
+    * BOUNDED TOP-K AGGREGATION, not a rank window. `row_number()` over
+    * `Window.partitionBy(qid)` exchanged EVERY candidate row before
+    * ranking — the truth pass of one autotune sweep alone shuffled
+    * |sample|·|members| (~1M+) rows to rank them down to k·|sample|.
+    * [[graft.functions.MinKPairs]] partial-aggregates map-side with an
+    * O(k) buffer, so the exchange carries k structs per (qid, map
+    * partition) — the same kernel (and the same measured 11.4 s → ~1 s
+    * evidence at the 14M-pair volume) that replaced the spatial kNN
+    * window in the build rounds.
+    *
+    * ORDER EQUIVALENCE with the window it replaces
+    * (`orderBy(cosine.desc, id)` under row_number): min_k_pairs selects
+    * ascending (key, value); key = −cosine + 0.0 is exact for every
+    * finite double, and the `+ 0.0` collapses −0.0/+0.0 into one key so
+    * the tie breaks on id exactly as the window's sort does (Spark sort
+    * order treats the two zeros as equal; MinKPairs' Double.compare
+    * would not).
+    * The two non-finite corners are mapped explicitly so the total order
+    * is bit-identical to the window's: NULL cosine → key +∞ (the
+    * window's DESC NULLS LAST), NaN cosine → key −∞ (Spark orders NaN
+    * above +∞, so DESC puts NaN first). A true ±∞ cosine would collide
+    * with those sentinels, but cannot arise from cosineFromNorms on
+    * finite vectors: ±∞ requires the dot itself to overflow (inputs are
+    * ~1e6-lattice quantized), and a zero norm yields 0/0 = NaN, which is
+    * handled. Key ties break on the struct value (id first — unique per
+    * qid, so the order is total and the tie rule equals the window's
+    * `id` ascending, NULL ids first on both sides).
     */
   private[graft] def rankTopK(scored: DataFrame, k: Int,
-                              keepCosine: Boolean = false): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("id"))
-    val ranked = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-    if (keepCosine) ranked.select("qid", "id", "rank", "cosine")
-    else ranked.select("qid", "id", "rank")
+                              keepCosine: Boolean = false): DataFrame =
+    rankTopKBy(scored, Seq("qid"), k, keepCosine)
+
+  /** The min_k_pairs key that reproduces the rank window's
+    * `cosine DESC, id ASC` total order (see [[rankTopKBy]]'s doc).
+    * `+ 0.0` collapses the ±0.0 tie class: Spark's SORT order treats
+    * −0.0 == +0.0 (tie falls through to the id column — pinned by the
+    * OperatorSpec corner test, which caught raw negation ordering the
+    * zero pair by sign instead), while MinKPairs compares keys with
+    * Double.compare, which separates them. x + 0.0 is the exact
+    * identity for every other double (including ±∞; NaN/NULL are
+    * mapped before negation ever runs).
+    */
+  private def rankKey: Column =
+    when(col("cosine").isNull, lit(Double.PositiveInfinity))
+      .when(isnan(col("cosine")), lit(Double.NegativeInfinity))
+      .otherwise(negate(col("cosine")) + lit(0.0))
+
+  /** [[rankTopK]] generalized to a composite group (e.g. (nprobe, qid)
+    * in the tune sweeps): per group, the k best (cosine desc, id asc)
+    * rows via one bounded aggregation pass. Output columns: groupCols ++
+    * (id, rank[, cosine]).
+    */
+  private[graft] def rankTopKBy(scored: DataFrame, groupCols: Seq[String],
+                                k: Int,
+                                keepCosine: Boolean = false): DataFrame = {
+    val key = rankKey
+    val gcols = groupCols.map(col)
+    val ranked = scored.groupBy(gcols: _*)
+      .agg(graft.functions.TopKFunctions
+        .min_k_pairs(key, struct(col("id"), col("cosine")), k).as("__top"))
+      .select(gcols :+ posexplode(col("__top")).as(Seq("pos", "__e")): _*)
+      .select(gcols ++ Seq(col("__e.value.id").as("id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("__e.value.cosine").as("cosine")): _*)
+    if (keepCosine) ranked else ranked.drop("cosine")
   }
 
   /** Hyperplane weights for (table t, plane p): deterministic integer Knuth
@@ -1099,6 +1158,84 @@ object Similarity {
       .select(col("qid"), explode(col("__top")).as("__e"))
       .select(col("qid"), col("__e").getField("value").as("id"))
     exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Whole-sweep shortlist + ONE exact re-rank pass (optimization r16,
+    * guide §2.4/§3): the tune sweeps used to run
+    * [[adcShortlistRerank]]/[[hammingShortlistRerank]] once per nprobe
+    * candidate — each pass joining the CORPUS again for the exact
+    * re-rank, so a 4-point sweep scanned and shuffled the true-vector
+    * table 4×. The shortlists themselves come from the one persisted
+    * ranked frame; only the exact cosines need the corpus, and the
+    * UNION of the per-candidate shortlists is bounded by
+    * |cand|·k·rerank·|queries| rows. So: build every candidate's
+    * shortlist (bounded aggregations over the persisted frame), join
+    * the corpus ONCE on the distinct (qid, id) union for exact
+    * cosines, re-attach per-candidate membership, and select top-k per
+    * (nprobe, qid). Bit-identical to the per-candidate form: same
+    * shortlist rule, same cosine expression ([[exactRerank]]'s
+    * argument order), same (cosine desc, id) selection.
+    *
+    * `scored` must carry (qid, id, probe_rank) plus the shortlist
+    * ordering column `shortKey` reads (score/ham); callers persist it.
+    * Output: (qid, id, rank, nprobe) — one block per candidate.
+    */
+  private[graft] def sweepShortlistRerank(scored: DataFrame,
+      shortKey: Column, cand: Seq[Int], corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      rerank: Int): DataFrame = {
+    // ONE aggregation pass over the ranked frame: a FILTERed min_k_pairs
+    // per sweep point (probe_rank <= p is nested, so each agg sees its
+    // candidate's exact input) — the per-candidate form re-scanned the
+    // frame once per point. The per-qid result is tiny
+    // (|cand|·k·rerank structs), pinned once because two consumers
+    // (the exact-cosine pass and the membership re-attach) walk it.
+    val aggs = cand.map(p => graft.functions.TopKFunctions
+      .min_k_pairs_if(shortKey, col("id"), k * rerank,
+        col("probe_rank") <= p).as(s"__top_$p"))
+    val perQ = scored.groupBy("qid").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val shortlists = cand.map { p =>
+      perQ.select(col("qid"), explode(col(s"__top_$p")).as("__e"))
+        .select(col("qid"), col("__e").getField("value").as("id"),
+          lit(p).as("nprobe"))
+    }.reduce(_.unionByName(_))
+    val cv = corpus.select(col(idCol).as("id"), col(vecCol).as("__cv"),
+      vec_norm(col(vecCol)).as("__cn"))
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+      vec_norm(col(vecCol)).as("__qn"))
+    val exact = shortlists.select("qid", "id").distinct()
+      .join(cv, Seq("id")).join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("id"),
+        cosineFromNorms(col("__cv"), col("__cn"), col("__qv"), col("__qn"))
+          .as("cosine"))
+    rankTopKBy(shortlists.join(exact, Seq("qid", "id"))
+        .select("nprobe", "qid", "id", "cosine"),
+      Seq("nprobe", "qid"), k)
+      .select("qid", "id", "rank", "nprobe")
+  }
+
+  /** The plain-IVF sweep sibling of [[sweepShortlistRerank]]: per sweep
+    * point p, the exact top-k of the already-exact cosines restricted to
+    * probe_rank <= p — ONE FILTERed-aggregation pass over the ranked
+    * frame instead of one [[rankTopK]] pass per point. Output:
+    * (qid, id, rank, nprobe), identical to
+    * `rankTopK(scored.filter(probe_rank <= p)).withColumn(nprobe, p)`
+    * unioned over the candidates.
+    */
+  private[graft] def sweepRankTopK(scored: DataFrame, cand: Seq[Int],
+                                   k: Int): DataFrame = {
+    val aggs = cand.map(p => graft.functions.TopKFunctions
+      .min_k_pairs_if(rankKey, struct(col("id"), col("cosine")), k,
+        col("probe_rank") <= p).as(s"__top_$p"))
+    val perQ = scored.groupBy("qid").agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    cand.map { p =>
+      perQ.select(col("qid"),
+          posexplode(col(s"__top_$p")).as(Seq("pos", "__e")))
+        .select(col("qid"), col("__e.value.id").as("id"),
+          (col("pos") + 1).cast("int").as("rank"), lit(p).as("nprobe"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Exact cosine re-rank of a (qid, id) shortlist against true vectors

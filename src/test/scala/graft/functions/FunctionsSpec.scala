@@ -334,4 +334,31 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(withNulls == Seq(20L))
   }
+
+  test("min_k_pairs_if ≡ filter-then-min_k_pairs, per condition, " +
+      "any partitioning (the r16 one-pass tune sweep)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TopKFunctions.{min_k_pairs, min_k_pairs_if}
+    // the tune-sweep shape: nested conditions rank <= p over one frame
+    val rows = (0 until 600).map(i =>
+      (i % 5L, (i % 11).toDouble, i.toLong, i % 4 + 1))
+    val df = rows.toDF("g", "key", "v", "rank").repartition(7)
+    def collectTop(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("g"), posexplode(col(c)))
+        .select(col("g"), col("col.key"), col("col.value"))
+        .as[(Long, Double, Long)].collect().toSeq.sorted
+    val conds = Seq(1, 2, 4)
+    // one pass, three FILTERed aggregates
+    val onePass = df.groupBy("g").agg(
+      min_k_pairs_if(col("key"), col("v"), 4, col("rank") <= 1).as("t1"),
+      min_k_pairs_if(col("key"), col("v"), 4, col("rank") <= 2).as("t2"),
+      min_k_pairs_if(col("key"), col("v"), 4, col("rank") <= 4).as("t4"))
+      .localCheckpoint(true)
+    for (p <- conds) {
+      val want = collectTop(df.filter(col("rank") <= p)
+        .groupBy("g").agg(min_k_pairs(col("key"), col("v"), 4).as("t")), "t")
+      val got = collectTop(onePass, s"t$p")
+      assert(got == want, s"cond rank <= $p")
+    }
+  }
 }

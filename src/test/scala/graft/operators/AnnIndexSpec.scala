@@ -722,6 +722,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served.filter(col("id").isin(1L, 2L, 3L)).count() == 0)
   }
 
+  test("sweepShortlistRerank ≡ per-candidate shortlist + rerank " +
+      "(r16 one-corpus-join sweep refactor)") {
+    // A deterministic ranked frame shaped like the tuners' `scored`:
+    // every (query, corpus) pair with a synthetic probe_rank and a
+    // synthetic shortlist score — including score TIES (score = id % 5)
+    // so the id tiebreak is exercised, and ranks 1..4 so each sweep
+    // point sees a different candidate set.
+    val qs = emb.filter(col("vec_id") < 5)
+    val scored = emb.select(col("vec_id").as("id")).limit(200)
+      .crossJoin(qs.select(col("vec_id").as("qid")))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("probe_rank", (col("id") % 4 + 1).cast("int"))
+      .withColumn("score", (col("id") % 5).cast("double"))
+    val cand = Seq(1, 2, 4)
+    val k = 3
+    val rerank = 2
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid").cast("long"), col("id").cast("long"),
+          col("rank").cast("int"), col("nprobe").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3))).toSet
+    val old = cand.map { p =>
+      Similarity.adcShortlistRerank(
+          scored.filter(col("probe_rank") <= p).select("qid", "id", "score"),
+          emb, qs, "vec_id", "embedding", k, rerank)
+        .withColumn("nprobe", lit(p))
+    }.reduce(_.unionByName(_))
+    val sweep = Similarity.sweepShortlistRerank(
+      scored.select("qid", "id", "probe_rank", "score"),
+      negate(col("score")), cand, emb, qs, "vec_id", "embedding", k, rerank)
+    assert(key(sweep) === key(old),
+      "one-join sweep diverged from the per-candidate composition")
+  }
+
   test("tuneIvfPq: recall monotone in nprobe, full probe equals flat-PQ recall, one knob chosen") {
     val path = "/tmp/graft_test_ivfpq_idx_tune"
     AnnIndex.ivfpqBuild(emb, "vec_id", "embedding", path, nlist = 16)

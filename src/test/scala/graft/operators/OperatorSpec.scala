@@ -532,6 +532,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(top1.sameElements(Array(90001L)), s"dup not found: ${top1.toSeq}")
   }
 
+  test("rankTopK: bounded aggregate ≡ the rank window it replaced " +
+      "(ties, NaN, NULL, ±0.0, k past group size)") {
+    // Adversarial corners: an exact-cosine tie (ids 10/11), NaN (12),
+    // −0.0 carried by the SMALLER id of its tie pair (14 vs 15 — the
+    // negation maps −0.0 ↔ +0.0, so getting this row order wrong is the
+    // first observable divergence), a NULL cosine (21, DESC NULLS LAST),
+    // and a group (qid 2) smaller than k.
+    val scored = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.5), (1L, 12L, Double.NaN), (1L, 13L, 0.9),
+      (1L, 14L, -0.0), (1L, 15L, 0.0), (1L, 16L, -0.3), (1L, 17L, 0.2),
+      (2L, 20L, 0.1))
+      .toDF("qid", "id", "cosine")
+      .unionByName(Seq((2L, 21L)).toDF("qid", "id")
+        .withColumn("cosine", lit(null).cast("double")))
+    for (k <- Seq(1, 2, 5, 16)) {
+      // the reference IS the window rankTopK used through round 15
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cosine").desc, col("id"))
+      val want = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k).select("qid", "id", "rank", "cosine")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(
+            if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
+        .toSet
+      val got = Similarity.rankTopK(scored, k, keepCosine = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(
+            if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
+        .toSet
+      assert(got === want, s"k=$k: bounded rankTopK diverged from the window")
+    }
+  }
+
   test("brute-force top-k: neighbors are genuinely ranked by cosine") {
     val queries = emb.filter(col("vec_id") === 0)
     val got = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
