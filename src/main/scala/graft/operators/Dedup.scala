@@ -279,21 +279,36 @@ object Dedup {
     */
   private def shinglePairCounts(sh: DataFrame, idCol: String,
                                 maxShingleFreq: Option[Int]): DataFrame = {
-    val filtered = maxShingleFreq match {
-      case Some(cap) =>
-        // Drop stop-shingles: a shingle in >cap docs contributes O(cap^2)
-        // candidate pairs — the classic skew guard for inverted-index joins.
-        val hot = sh.groupBy("shingle").count().filter(col("count") > cap)
-          .select("shingle")
-        sh.join(hot, Seq("shingle"), "left_anti")
-      case None => sh
+    // ONE grouped-postings pass (optimization r16, guide §2.3/§2.4): the
+    // inverted-index SELF-JOIN on the shingle string exchanged and
+    // sorted the posting rows twice (the two join sides are the same
+    // frame under different renames, which defeats exchange reuse), and
+    // the stop-shingle cap needed its own count + anti-join pass before
+    // it. Grouping the postings per shingle once subsumes all of it:
+    // the cap becomes a size filter on the posting list (identical —
+    // the old `hot` count was exactly this list's length), and the
+    // (a < b) candidate pairs expand from the SORTED list with codegen
+    // HOFs, so position order implies value order. Per-list pair
+    // expansion is O(cap²) worst-case per row — the same bound the
+    // join had; `maxShingleFreq` remains the skew guard.
+    val postings = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+    val capped = maxShingleFreq match {
+      case Some(cap) => postings.filter(size(col("__ids")) <= cap)
+      case None => postings
     }
-    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col(idCol).as("a"), col("shingle"))
-    val b = filtered.select(col(idCol).as("b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("a") < col("b"))
+    val lists = capped.select(col("__ids"))
+    // two chained generators, not one flattened pair array: the pair
+    // stream is O(list²) rows either way (exactly what the join
+    // produced), but per-ROW memory stays O(list) — a flatten would
+    // materialize a whole list's O(list²) pair structs in one array
+    val common = lists
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "a")))
+      .select(col("a"),
+        explode(expr("slice(__ids, __i + 2, size(__ids))")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    val sizes = lists.select(explode(col("__ids")).as(idCol))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     common
       .join(sizes.select(col(idCol).as("a"), col("n_sh").as("n_a")), Seq("a"))
       .join(sizes.select(col(idCol).as("b"), col("n_sh").as("n_b")), Seq("b"))
