@@ -1352,6 +1352,16 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                         maxIter: Int = 12): DataFrame = {
+    // NOTE (r16 optimization round, measured and REJECTED): pinning the
+    // edge list hash-partitioned + sorted by src and re-partitioning
+    // each labels iterate by id makes every per-round join exchange-free
+    // on paper (guide §2.4) — but it forces every round onto the static
+    // shuffle-partition count, defeating AQE's coalescing of these tiny
+    // label exchanges, and measured ~2× SLOWER end-to-end
+    // (x_knn_components 5.6 → 10.9 s, x_dedup_clusters 3.5 → 4.8 s
+    // isolated steady-state). The rounds shuffle compact (id, label)
+    // pairs; AQE-sized exchanges beat statically co-partitioned ones
+    // here. Kept as the simple form below.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
