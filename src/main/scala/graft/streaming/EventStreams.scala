@@ -36,7 +36,17 @@ object EventStreams {
     * across retries and restarts.
     */
   def runUpsertWindowedOnce(spark: SparkSession, dir: String, fileGlob: String,
-                            schema: StructType, title: String): DataFrame = {
+                            schema: StructType, title: String): DataFrame =
+    // input-derived state partitioning (see StreamTuning: streaming has
+    // no AQE coalescing, and static 32-way state shards for ≤720 rows
+    // priced 2 s of pure store bookkeeping)
+    StreamTuning.withDerivedPartitions(spark, dir, fileGlob) {
+      runUpsertWindowedOnceInner(spark, dir, fileGlob, schema, title)
+    }
+
+  private def runUpsertWindowedOnceInner(spark: SparkSession, dir: String,
+                                         fileGlob: String, schema: StructType,
+                                         title: String): DataFrame = {
     // FileStreamSource wants a directory; the fixture dir holds one parquet
     // per table, so scope to this table's file with pathGlobFilter.
     val raw = spark.readStream.schema(schema)

@@ -125,6 +125,14 @@ object StreamCdc {
     * return the resulting snapshot without the bookkeeping seq column —
     * deterministic, so the batch operator's oracle replays it.
     */
+  // NOTE (r16 optimization round, measured and REJECTED): deriving this
+  // stream's shuffle partitions from the KB-scale slice bytes (the
+  // q_stream_hourly treatment, StreamTuning) made it SLOWER (3.5 → 6.9 s
+  // isolated): unlike the stateful hourly aggregation, the cost here is
+  // not state-store shards but the per-batch snapshot joins and the
+  // DSv2 upsert writes, whose parallelism the same conf gates — one
+  // partition serialized them. Input bytes are the wrong proxy when the
+  // per-batch working set (stored snapshot) dwarfs the trigger slice.
   def runOnce(spark: SparkSession, stageDir: String, schema: StructType,
               keyCol: String, seqCol: String, opCol: String,
               takedownIndexPath: Option[String] = None): DataFrame = {
