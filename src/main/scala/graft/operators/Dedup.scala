@@ -591,16 +591,44 @@ object Dedup {
   private def candidatesFromBands(stacked: DataFrame, idCol: String,
                                   maxBucketSize: Option[Int],
                                   checkpoint: Boolean): DataFrame = {
-    val okKeys = stacked.groupBy("band", "key").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2 &&
-        col("n") <= lit(maxBucketSize.getOrElse(Int.MaxValue)))
-      .select("band", "key")
-    val c0 = stacked.join(okKeys, Seq("band", "key"))
-      .groupBy("band", "key").agg(collect_list(col(idCol)).as("ids"))
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val c0 = maxBucketSize match {
+      case Some(cap) if cap.toLong + 1 <= (1 << 22) =>
+        // ONE bounded aggregation pass (optimization r16, guide §2.3):
+        // the two-pass form below counted every bucket, joined the
+        // survivors back, and re-aggregated them into lists — the band
+        // rows crossed two exchanges. min_k_pairs with k = cap + 1 keeps
+        // at most cap+1 SORTED ids per bucket in an O(cap) buffer: a
+        // result of length cap+1 proves the bucket overflowed (dropped,
+        // exactly the old `n > cap`), anything shorter IS the complete
+        // bucket. Pairs expand positionally from the sorted list (the
+        // old a < b filter), streamed through two chained generators.
+        // An unbounded collect_list here would instead materialize a
+        // pathological band-key collision's whole bucket before any
+        // filter could drop it — the bounded kernel is the point.
+        stacked.groupBy("band", "key")
+          .agg(graft.functions.TopKFunctions
+            .min_k_pairs(lit(0.0), col(idCol), cap + 1).as("__kv"))
+          .filter(size(col("__kv")).between(2, cap))
+          .select(expr("transform(__kv, s -> s.value)").as("__ids"))
+          .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "a")))
+          .select(col("a"),
+            explode(expr("slice(__ids, __i + 2, size(__ids))")).as("b"))
+          .select("a", "b").distinct()
+      case _ =>
+        // uncapped (or absurdly-capped) callers: the bounded buffer
+        // would be as large as the bucket itself — keep the two-pass
+        // count + join, which never materializes a bucket
+        val okKeys = stacked.groupBy("band", "key").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2 &&
+            col("n") <= lit(maxBucketSize.getOrElse(Int.MaxValue)))
+          .select("band", "key")
+        stacked.join(okKeys, Seq("band", "key"))
+          .groupBy("band", "key").agg(collect_list(col(idCol)).as("ids"))
+          .select(explode(col("ids")).as("a"), col("ids"))
+          .select(col("a"), explode(col("ids")).as("b"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+    }
     if (checkpoint) c0.localCheckpoint(true) else c0
   }
 
