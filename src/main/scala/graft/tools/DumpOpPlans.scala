@@ -30,7 +30,9 @@ object DumpOpPlans {
     val shapes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "jaccard_mining" -> graft.operators.Dedup.jaccardPairs(
         docs, "doc_id", "text", 0.6, maxShingleFreq = Some(1000),
-        materialize = false))
+        materialize = false),
+      "lsh_candidates" -> graft.operators.Dedup.lshCandidatePairs(
+        docs, "doc_id", "text"))
     shapes.foreach { case (name, df) =>
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
