@@ -12,11 +12,29 @@ import org.apache.spark.sql.types._
   * ordered ascending by (key, value). Arrays, not a heap — k is small
   * (single digits for a kNN join), and an insertion shift beats heap
   * bookkeeping there.
+  *
+  * Storage grows LAZILY (×2 from 16, capped at k): the bucket-cap
+  * callers (candidatesFromBands, shinglePairCounts) pass k = cap + 1,
+  * and a user cap in the 10⁵–10⁶ range with eagerly k-sized arrays
+  * would allocate ~16 bytes·k per GROUP — gigabytes per task under
+  * ObjectHashAggregate's 128-buffer fallback threshold — for buckets
+  * that mostly hold a handful of entries (r16 ADVICE). Groups only pay
+  * for what they hold; the k bound is unchanged.
   */
 final class MinKPairsBuffer(val k: Int) {
-  val keys = new Array[Double](k)
-  val vals = new Array[Any](k)
+  private[this] var cap = math.min(k, 16)
+  var keys = new Array[Double](cap)
+  var vals = new Array[Any](cap)
   var n = 0
+
+  /** Ensure room for `m` (≤ k) entries. */
+  def ensure(m: Int): Unit = if (m > cap) {
+    cap = math.min(k, math.max(m, cap * 2))
+    keys = java.util.Arrays.copyOf(keys, cap)
+    val nv = new Array[Any](cap)
+    System.arraycopy(vals, 0, nv, 0, n)
+    vals = nv
+  }
 }
 
 /** Bounded top-k selection as ONE aggregation pass: per group, the k
@@ -83,6 +101,7 @@ case class MinKPairs(key: Expression, value: Expression, k: Int,
         c < 0 || (c == 0 && valueOrdering.compare(v, b.vals(pos - 1)) < 0)
       }) pos -= 1
     if (pos >= k) return
+    b.ensure(math.min(b.n + 1, k))
     val last = math.min(b.n, k - 1)
     var i = last
     while (i > pos) { b.keys(i) = b.keys(i - 1); b.vals(i) = b.vals(i - 1); i -= 1 }
@@ -130,6 +149,7 @@ case class MinKPairs(key: Expression, value: Expression, k: Int,
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val b = new MinKPairsBuffer(k)
     val n = in.readInt()
+    b.ensure(math.min(n, k))
     var i = 0
     while (i < n) {
       b.keys(i) = in.readDouble()

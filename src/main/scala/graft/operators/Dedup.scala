@@ -291,13 +291,31 @@ object Dedup {
     // HOFs, so position order implies value order. Per-list pair
     // expansion is O(cap²) worst-case per row — the same bound the
     // join had; `maxShingleFreq` remains the skew guard.
-    val postings = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-    val capped = maxShingleFreq match {
-      case Some(cap) => postings.filter(size(col("__ids")) <= cap)
-      case None => postings
+    // Capped path (every production caller): the r16 bounded kernel from
+    // candidatesFromBands, backported (r16 verdict item 1) — min_k_pairs
+    // with k = cap + 1 keeps at most cap+1 sorted ids per shingle in an
+    // O(bucket) buffer, so a corpus-hot shingle (a template line in 10⁸
+    // docs at 100 TB) never materializes its full posting list the way
+    // collect_list + size filter did: length cap+1 proves overflow
+    // (dropped — identical to the old `size > cap`), anything shorter IS
+    // the complete sorted list (shingle rows are DISTINCT (id, shingle),
+    // and min_k_pairs over (0.0, id) sorts by id = sort_array). The
+    // UNCAPPED path keeps collect_list: the bounded buffer would be as
+    // large as the bucket itself — at corpus scale callers must set
+    // `maxShingleFreq` (the skew guard), which every catalog caller that
+    // mines a full corpus does.
+    val lists = maxShingleFreq match {
+      case Some(cap) =>
+        sh.groupBy("shingle")
+          .agg(graft.functions.TopKFunctions
+            .min_k_pairs(lit(0.0), col(idCol), cap + 1).as("__kv"))
+          .filter(size(col("__kv")) <= cap)
+          .select(expr("transform(__kv, s -> s.value)").as("__ids"))
+      case None =>
+        sh.groupBy("shingle")
+          .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+          .select(col("__ids"))
     }
-    val lists = capped.select(col("__ids"))
     // two chained generators, not one flattened pair array: the pair
     // stream is O(list²) rows either way (exactly what the join
     // produced), but per-ROW memory stays O(list) — a flatten would

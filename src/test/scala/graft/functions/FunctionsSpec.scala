@@ -335,6 +335,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNulls == Seq(20L))
   }
 
+  test("min_k_pairs: lazy buffer growth past the 16-slot seed (large k), " +
+      "growth across merge and serde paths (the r17 bucket-cap callers)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TopKFunctions.min_k_pairs
+    // k = 200 forces ensure() through doubling (16→32→64→128→200); 13
+    // partitions force partial buffers through serialize/deserialize and
+    // merge; group 0 holds > k rows (overflow), group 2 holds < 16 (never
+    // grows). Expectation from a plain Scala sort.
+    val rows = (0 until 1500).map(i => (i % 3L, (i % 997).toDouble, i.toLong))
+      .filterNot { case (g, _, v) => g == 2L && v >= 30 }
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(r => (r._2, r._3)).sorted.take(200)
+    }
+    val got = rows.toDF("g", "key", "v").repartition(13)
+      .groupBy("g").agg(min_k_pairs(col("key"), col("v"), 200).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.key"), col("col.value"))
+      .as[(Long, Double, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(r => (r._2, r._3)).toSeq }
+    assert(got.keySet == expected.keySet)
+    for ((g, want) <- expected) assert(got(g) == want, s"group $g")
+  }
+
   test("min_k_pairs_if ≡ filter-then-min_k_pairs, per condition, " +
       "any partitioning (the r16 one-pass tune sweep)") {
     import org.apache.spark.sql.functions._

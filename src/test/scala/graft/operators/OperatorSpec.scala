@@ -1975,4 +1975,53 @@ class OperatorSpec extends AnyFunSuite {
       graft.streaming.StreamLineDedup.clean(docs, Set.empty, "doc_id", "text")
     }
   }
+
+  test("capped jaccard mining: bounded posting kernel ≡ collect_list + " +
+      "size filter, planted hot shingle (r17)") {
+    // The capped shinglePairCounts path replaced sort_array(collect_list)
+    // + size filter with the bounded min_k_pairs kernel (length cap+1 ⇒
+    // overflow ⇒ drop). Plant a boilerplate trigram shared by MORE docs
+    // than the cap: its pairs must vanish from the counts exactly as the
+    // unbounded form dropped them, and every other count must be
+    // bit-identical to the old form, reconstructed inline here.
+    val cap = 3
+    val boiler = "shared boiler plate line"
+    val fixture = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler alpha beta gamma epsilon"),
+      (3L, s"$boiler zeta eta theta iota"),
+      (4L, s"$boiler zeta eta theta kappa"),
+      (5L, s"$boiler lambda mu nu xi"),
+      (6L, "unrelated words entirely different text here"),
+      (7L, "unrelated words entirely different text there")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(fixture, "doc_id", "text", 0.0, n = 3,
+        maxShingleFreq = Some(cap))
+      .select("a", "b", "n_common", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // reference: the pre-r17 unbounded form over the same shingle rows
+    val lists = Dedup.shingles(fixture, "doc_id", "text", 3)
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      .filter(size(col("__ids")) <= cap)
+      .select("__ids").cache()
+    val common = lists
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "a")))
+      .select(col("a"), explode(expr("slice(__ids, __i + 2, size(__ids))")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    val sizes = lists.select(explode(col("__ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val want = common
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .select("a", "b", "n_common", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    lists.unpersist()
+    assert(want.nonEmpty, "fixture mined no pairs — test is vacuous")
+    assert(got == want, s"bounded $got vs unbounded $want")
+    // the hot shingle is shared by 5 > cap docs: it must not connect the
+    // otherwise-disjoint doc groups (e.g. no (1,3) pair via boilerplate)
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L),
+      "hot shingle leaked a cross-group pair past the cap")
+  }
 }
