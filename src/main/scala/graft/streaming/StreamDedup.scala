@@ -182,6 +182,14 @@ object StreamDedup {
   /** Candidate near-dup pairs over a document stream (or a batch frame —
     * the logic is mode-agnostic). Output is append-mode: (a, b,
     * estimated jaccard, band), a < b, one row per colliding band.
+    *
+    * Derived state partitioning measured and REJECTED here (r17 family
+    * drill: 3.45/2.88/3.10 s at 32/8/1 shards — no stable win; the line
+    * is dominated by the stateless 128-hash signing, not by state-store
+    * bookkeeping, and the flatMapGroupsWithState stage wants the
+    * parallelism for its compare loops). Same verdict for
+    * [[vsCorpusHits]] (4.43/4.53/4.53 — stateless sign + hash join,
+    * nothing for the conf to coalesce).
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 128, bands: Int = 16,

@@ -50,15 +50,19 @@ object StreamDistinct {
     */
   def runOnce(spark: SparkSession, dir: String, fileGlob: String,
               schema: StructType, itemCol: String,
-              capacity: Int = 512): DataFrame = {
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileGlob).parquet(dir)
-    val events = graft.core.TimestampNorm.normalizeEventTime(raw)
-    val name = s"stream_distinct_${System.nanoTime()}"
-    val q = windowedDistinct(events, itemCol, capacity)
-      .writeStream.format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+              capacity: Int = 512): DataFrame =
+    // input-derived state partitioning (StreamTuning, r17: no AQE
+    // coalescing in streams — static 32 state shards for ~720 windows
+    // priced 4.70 s vs 2.61 s at the derived count in the family drill)
+    StreamTuning.withDerivedPartitions(spark, dir, fileGlob) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileGlob).parquet(dir)
+      val events = graft.core.TimestampNorm.normalizeEventTime(raw)
+      val name = s"stream_distinct_${System.nanoTime()}"
+      val q = windowedDistinct(events, itemCol, capacity)
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 }

@@ -79,15 +79,18 @@ object StreamDrift {
     */
   def runOnce(spark: SparkSession, dir: String, fileGlob: String,
               schema: StructType, refCounts: Map[String, Long],
-              window_ : String = "1 hour"): DataFrame = {
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileGlob).parquet(dir)
-    val events = graft.core.TimestampNorm.normalizeEventTime(raw)
-    val name = s"stream_drift_${System.nanoTime()}"
-    val q = windowedChiSquare(events, refCounts)
-      .writeStream.format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+              window_ : String = "1 hour"): DataFrame =
+    // input-derived state partitioning (StreamTuning, r17 family drill:
+    // 3.31 s @ 32 static shards vs 1.42 s derived, identical rows)
+    StreamTuning.withDerivedPartitions(spark, dir, fileGlob) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileGlob).parquet(dir)
+      val events = graft.core.TimestampNorm.normalizeEventTime(raw)
+      val name = s"stream_drift_${System.nanoTime()}"
+      val q = windowedChiSquare(events, refCounts)
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 }

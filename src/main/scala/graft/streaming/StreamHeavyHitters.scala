@@ -66,15 +66,18 @@ object StreamHeavyHitters {
     */
   def runOnce(spark: SparkSession, dir: String, fileGlob: String,
               schema: StructType, itemCol: String, k: Int,
-              capacity: Int = 512): DataFrame = {
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", fileGlob).parquet(dir)
-    val events = graft.core.TimestampNorm.normalizeEventTime(raw)
-    val name = s"stream_heavyhitters_${System.nanoTime()}"
-    val q = windowedTopK(events, itemCol, k, capacity)
-      .writeStream.format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+              capacity: Int = 512): DataFrame =
+    // input-derived state partitioning (StreamTuning, r17 family drill:
+    // 2.35 s @ 32 static shards vs 1.63 s derived, identical rows)
+    StreamTuning.withDerivedPartitions(spark, dir, fileGlob) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", fileGlob).parquet(dir)
+      val events = graft.core.TimestampNorm.normalizeEventTime(raw)
+      val name = s"stream_heavyhitters_${System.nanoTime()}"
+      val q = windowedTopK(events, itemCol, k, capacity)
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 }

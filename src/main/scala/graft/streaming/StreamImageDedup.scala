@@ -69,6 +69,11 @@ object StreamImageDedup {
     * parquet → band join → memory sink, AvailableNow) and return the
     * hits table — deterministic integer arithmetic throughout, so the
     * DuckDB oracle replays the LIVE streaming path like a batch query.
+    *
+    * Derived state partitioning measured and REJECTED (r17 family
+    * drill: 2.25/2.51/2.41 s at 32/8/1 — the stream-static band join
+    * gates on the same conf, the StreamCdc lesson; there is no
+    * aggregation state here to coalesce).
     */
   def runOnce(spark: SparkSession, dir: String, fileGlob: String,
               schema: StructType, streamPred: org.apache.spark.sql.Column,

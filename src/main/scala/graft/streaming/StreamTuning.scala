@@ -56,6 +56,13 @@ object StreamTuning {
     * (the count is read at stream start and pinned by its checkpoint) —
     * every caller here drives Trigger.AvailableNow / processAllAvailable
     * to completion inside `body`.
+    *
+    * SINGLE-THREADED assumption: the scope mutates the session-global
+    * conf, so any query PLANNED concurrently on the same SparkSession
+    * would silently inherit the reduced parallelism. Every caller here
+    * is a one-shot synchronous replay driver (catalog entries run
+    * serially); a concurrent-queries deployment should scope a cloned
+    * session (`spark.newSession()`) instead.
     */
   def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -64,11 +71,23 @@ object StreamTuning {
     try body finally spark.conf.set(key, old)
   }
 
+  /** A/B escape hatch for the profiling drills (ProfileStreamHourly,
+    * ProfileStreamFamily): with `spark.graft.stream.derivePartitions =
+    * false`, [[withDerivedPartitions]] runs `body` unchanged, so a drill
+    * varying the session conf actually measures different state-shard
+    * counts instead of every arm clamping to the derived value (r16
+    * ADVICE: the hourly profiler's arms were all measuring the same
+    * configuration).
+    */
+  private def deriveEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.stream.derivePartitions", "true").toBoolean
+
   /** The composed convenience: scope the session's shuffle partitions to
     * the input-derived count for one replayed file set.
     */
   def withDerivedPartitions[A](spark: SparkSession, dir: String,
                                glob: String)(body: => A): A =
-    withShufflePartitions(spark,
+    if (!deriveEnabled(spark)) body
+    else withShufflePartitions(spark,
       derivedPartitions(spark, inputBytes(spark, dir, glob)))(body)
 }

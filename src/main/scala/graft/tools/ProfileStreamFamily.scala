@@ -45,6 +45,11 @@ object ProfileStreamFamily {
       spark.catalog.clearCache()
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    // bypass the operators' own derived-partition scoping so the arms
+    // actually vary the state-shard count (same rationale as
+    // ProfileStreamHourly); the derived policy itself is the "1" arm at
+    // sf0.1 (2 MB events -> 1 partition)
+    spark.conf.set("spark.graft.stream.derivePartitions", "false")
     val arms = Seq(cpus.toInt, 8, 1)
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown $name"))

@@ -28,6 +28,10 @@ object ProfileStreamHourly {
       r
     }
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // bypass the operator's own derived-partition scoping: without this
+    // every arm below clamps to the same derived count and the A/B
+    // measures one configuration five times (r16 ADVICE)
+    spark.conf.set("spark.graft.stream.derivePartitions", "false")
     for (parts <- Seq(cpus, "8", "8", cpus, cpus)) {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       t(s"runUpsertWindowedOnce end-to-end (parts=$parts)") {
