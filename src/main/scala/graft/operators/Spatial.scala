@@ -328,7 +328,43 @@ object Spatial {
     var unresolved = l0
     var k = 0
     var done = rightEmpty
+    // BOUNDED FINISHING PASS, checked at the TOP of each round (r17):
+    // the stragglers are the sparse-region tail, and their ladder climbs
+    // toward whole-domain scales one octave (one join + one barrier) at
+    // a time — measured, the last two octaves cost more than all earlier
+    // rounds together. Once remaining × nRight fits the pair budget, ONE
+    // broadcast exact pass (a bounded nested-loop min, the "bounded
+    // exact verify" discipline) finishes every straggler in a single
+    // stage. Checking BEFORE the round (not after, the pre-r17 shape)
+    // means a left side that already fits the budget never pays a ladder
+    // round at all — at sf0.1 every spatial line routed to the brute
+    // after round 0, so round 0's join + agg + pin + count were pure
+    // waste (ProfileSpatialKnn: brute-immediately 4.37 s vs ladder-then-
+    // brute 4.66 s). The budget keeps this from ever being a corpus ×
+    // corpus join; with `bruteBudget = 0` the pure ladder runs to
+    // completion (specs pin both paths to identical answers).
+    // division, not multiplication: remaining × nRight overflows Long
+    // at planetary row counts (~1e9 × 1e10), goes negative, and would
+    // spuriously pass the gate — broadcasting a corpus-scale tail
+    var remaining = if (done) 0L else l0.count()
+    done = done || remaining == 0L
+    def bruteFits: Boolean = remaining <= bruteBudget / math.max(nRight, 1L)
+    def bruteFinish(): Unit = {
+      val tail = broadcast(unresolved
+        .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay")))
+      val best = r0.select(col("b"), col("bx"), col("by"))
+        .crossJoin(tail)
+        .withColumn("dist2",
+          dist2(col("ax"), col("ay"), col("bx"), col("by")))
+        .groupBy("a")
+        .agg(min(struct(col("dist2"), col("b"))).as("m"))
+        .select(col("a"), col("m.b").as("b"), col("m.dist2").as("dist2"))
+      acc = acc.unionAll(best)
+      done = true
+    }
     while (!done && k < maxRounds) {
+      if (bruteFits) bruteFinish()
+      else {
       val shift = math.min(shift0 + k, 62)
       val g = cellSize * math.pow(2.0, shift)
       val lkx = unresolved
@@ -363,36 +399,14 @@ object Spatial {
       unresolved = joined
         .filter(col("dist2").isNull || !(col("dist2") < lit(g * g)))
         .select("id", "x", "y", "cellx", "celly")
-      val remaining = unresolved.count()
+      remaining = unresolved.count()
       done = remaining == 0L
-      // BOUNDED FINISHING PASS: the stragglers are the sparse-region
-      // tail, and their ladder climbs toward whole-domain scales one
-      // octave (one join + one barrier) at a time — measured, the last
-      // two octaves cost more than all earlier rounds together. Once
-      // remaining × nRight fits the pair budget, ONE broadcast exact
-      // pass (a bounded nested-loop min, the "bounded exact verify"
-      // discipline) finishes every straggler in a single stage. The
-      // budget keeps this from ever being a corpus × corpus join; with
-      // `bruteBudget = 0` the pure ladder runs to completion (specs pin
-      // both paths to identical answers).
-      // division, not multiplication: remaining × nRight overflows Long
-      // at planetary row counts (~1e9 × 1e10), goes negative, and would
-      // spuriously pass the gate — broadcasting a corpus-scale tail
-      if (!done && remaining <= bruteBudget / math.max(nRight, 1L)) {
-        val tail = broadcast(unresolved
-          .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay")))
-        val best = r0.select(col("b"), col("bx"), col("by"))
-          .crossJoin(tail)
-          .withColumn("dist2",
-            dist2(col("ax"), col("ay"), col("bx"), col("by")))
-          .groupBy("a")
-          .agg(min(struct(col("dist2"), col("b"))).as("m"))
-          .select(col("a"), col("m.b").as("b"), col("m.dist2").as("dist2"))
-        acc = acc.unionAll(best)
-        done = true
-      }
       k += 1
+      }
     }
+    // the pre-r17 loop checked the budget AFTER each round, so the tail
+    // of the final allowed round still got its brute chance — preserved
+    if (!done && bruteFits) bruteFinish()
     require(done || rightEmpty,
       s"nearestNeighbor: unresolved left points after $maxRounds doubling " +
         s"rounds from starting octave $shift0 — the coordinate span exceeds " +
@@ -500,7 +514,25 @@ object Spatial {
     var unresolved = l0
     var j = 0
     var done = rightEmpty
+    // budget check at the TOP of each round (r17, see nearestNeighbor):
+    // a left side that already fits the pair budget routes straight to
+    // the bounded exact finish instead of paying a ladder round first
+    var remaining = if (done) 0L else l0.count()
+    done = done || remaining == 0L
+    def bruteFits: Boolean = remaining <= bruteBudget / math.max(nRight, 1L)
+    def bruteFinish(): Unit = {
+      val tail = broadcast(unresolved
+        .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay")))
+      val bruteCands = r0.select(col("b"), col("bx"), col("by"))
+        .crossJoin(tail)
+        .select(col("a"), col("b"),
+          dist2(col("ax"), col("ay"), col("bx"), col("by")).as("dist2"))
+      acc = acc.unionAll(kSelect(bruteCands))
+      done = true
+    }
     while (!done && j < maxRounds) {
+      if (bruteFits) bruteFinish()
+      else {
       val shift = math.min(shift0 + j, 62)
       val g = cellSize * math.pow(2.0, shift)
       val lkx = unresolved
@@ -531,21 +563,13 @@ object Spatial {
       unresolved = unresolved
         .join(resolvedA.select(col("a").as("__ra")),
           unresolved("id") === col("__ra"), "left_anti")
-      val remaining = unresolved.count()
+      remaining = unresolved.count()
       done = remaining == 0L
-      // bounded exact finish (division guard — see nearestNeighbor)
-      if (!done && remaining <= bruteBudget / math.max(nRight, 1L)) {
-        val tail = broadcast(unresolved
-          .select(col("id").as("a"), col("x").as("ax"), col("y").as("ay")))
-        val bruteCands = r0.select(col("b"), col("bx"), col("by"))
-          .crossJoin(tail)
-          .select(col("a"), col("b"),
-            dist2(col("ax"), col("ay"), col("bx"), col("by")).as("dist2"))
-        acc = acc.unionAll(kSelect(bruteCands))
-        done = true
-      }
       j += 1
+      }
     }
+    // preserve the pre-r17 post-final-round brute chance
+    if (!done && bruteFits) bruteFinish()
     require(done || rightEmpty,
       s"kNearestNeighbors: unresolved left points after $maxRounds " +
         s"doubling rounds from starting octave $shift0 — the coordinate " +
