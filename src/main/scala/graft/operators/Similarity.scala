@@ -1177,7 +1177,13 @@ object Similarity {
     * argument order), same (cosine desc, id) selection.
     *
     * `scored` must carry (qid, id, probe_rank) plus the shortlist
-    * ordering column `shortKey` reads (score/ham); callers persist it.
+    * ordering column `shortKey` reads (score/ham); it is consumed by
+    * exactly ONE aggregation pass here, so callers need not (and since
+    * r16 do not) persist it. The tiny per-qid `localCheckpoint` below
+    * is reclaimed by the ContextCleaner once the returned frame is
+    * unreachable (and the bench additionally drops persistent RDDs
+    * between queries); a caller looping tune calls in one long-lived
+    * session relies on that GC.
     * Output: (qid, id, rank, nprobe) — one block per candidate.
     */
   private[graft] def sweepShortlistRerank(scored: DataFrame,

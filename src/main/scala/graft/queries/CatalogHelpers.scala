@@ -15,7 +15,7 @@ import graft.streaming.EventStreams
   * on. Split out of the former 9.5k-line QueryCatalog.scala (r12);
   * every member is verbatim from there.
   */
-private[queries] object CatalogHelpers {
+private[graft] object CatalogHelpers {
 
   type Q = (SparkSession, String) => DataFrame
 

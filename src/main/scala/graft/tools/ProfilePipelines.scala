@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-level attribution for the composite pipelines + labelprop
+  * (r17 verdict items 6/7): times each curateStages frame's count in
+  * isolation (so stage i's number includes recomputing its prefix),
+  * the funnel report as shipped, the flagship composite, and splits
+  * x_graph_labelprop into its knnGraph build vs the LPA rounds.
+  * `runMain graft.tools.ProfilePipelines [sfDir]`
+  */
+object ProfilePipelines {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profpipe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // warm-up (codegen/JIT)
+    try { graft.queries.QueryCatalog.all("x_pipeline_funnel")(spark, sfDir).count(); () }
+    catch { case e: Throwable => println(s"[profpipe] warmup failed: $e") }
+    (1 to 2).foreach { i =>
+      val stages = graft.queries.CatalogHelpers.curateStages(spark, sfDir)
+      stages.foreach { case (name, df) =>
+        t(s"stage '$name' count (prefix recompute, run $i)") { df.count() }
+      }
+      t(s"funnelReport as shipped (run $i)") {
+        graft.operators.Curation.funnelReport(stages).count()
+      }
+      t(s"x_pipeline_curate as shipped (run $i)") {
+        graft.queries.QueryCatalog.all("x_pipeline_curate")(spark, sfDir).count()
+      }
+    }
+    // labelprop split
+    (1 to 2).foreach { i =>
+      val emb = graft.api.Tables.load(spark, sfDir, "embeddings")
+      val edges = t(s"knnGraph build (run $i)") {
+        val e = graft.operators.Similarity.knnGraph(emb,
+          "vec_id", "embedding", 5, nlist = 64, nprobe = 8)
+          .localCheckpoint(true)
+        e.count()
+        e
+      }
+      t(s"labelPropagation 4 rounds over pinned edges (run $i)") {
+        graft.operators.GraphOps.labelPropagation(edges, "qid", "id", rounds = 4)
+          .count()
+      }
+    }
+    spark.stop()
+  }
+}
