@@ -1050,15 +1050,30 @@ object Dedup {
     }
 
   /** Drop every candidate doc sharing at least one exact n-gram with the
-    * reference corpus — anti-join on the report's compact id set.
+    * reference corpus — anti-join on the compact contaminated-id set.
+    *
+    * LEAN FORM (optimization r17, guide §2.3/§2.4): this used to run the
+    * full [[ngramOverlapReport]] and throw away everything but the ids —
+    * paying the (id, shingle) DISTINCT exchange over the whole candidate
+    * shingle set, the per-doc `sizes` aggregation, a shingle cache, and
+    * an eager checkpoint, all for columns the anti-join drops. The drop
+    * decision only needs "does ANY candidate n-gram hit the reference":
+    * raw shingle rows (no distinct — duplicates cannot change the hit id
+    * set), one broadcast semi-join, one distinct over the HIT ids only.
+    * Identical id set (spec pins clean ≡ report-based ≡ exact);
+    * [[ngramOverlapReport]] stays as-is for callers that want the
+    * counts (x_decontam_ngram).
     */
   def decontaminateNgram(cand: DataFrame, ref: DataFrame, idCol: String,
                          textCol: String, n: Int = 13,
-                         broadcastRef: Boolean = true): DataFrame =
-    cand.join(
-      ngramOverlapReport(cand, ref, idCol, textCol, n, broadcastRef)
-        .select(col("cand_id").as(idCol)),
-      Seq(idCol), "left_anti")
+                         broadcastRef: Boolean = true): DataFrame = {
+    val refSh0 = shingles(ref, idCol, textCol, n).select("shingle").distinct()
+    val refSh = if (broadcastRef) broadcast(refSh0) else refSh0
+    val hitIds = shingleRows(cand, idCol, textCol, n)
+      .join(refSh, Seq("shingle"), "left_semi")
+      .select(col(idCol)).distinct()
+    cand.join(hitIds, Seq(idCol), "left_anti")
+  }
 
   /** Memory-lean n-gram decontamination: the reference shingle set is
     * folded into a BLOOM FILTER (O(n·log(1/fpp)) bits — fixed megabytes

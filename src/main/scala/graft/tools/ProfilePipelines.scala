@@ -32,7 +32,13 @@ object ProfilePipelines {
     try { graft.queries.QueryCatalog.all("x_pipeline_funnel")(spark, sfDir).count(); () }
     catch { case e: Throwable => println(s"[profpipe] warmup failed: $e") }
     (1 to 2).foreach { i =>
-      val stages = graft.queries.CatalogHelpers.curateStages(spark, sfDir)
+      // curateStages is NOT free: decontaminateNgram's overlap report is
+      // eagerly pinned at construction (so the three downstream stage
+      // counts reuse it instead of recomputing the shingle join 3x) —
+      // time it, or the attribution misses the dominant piece
+      val stages = t(s"curateStages construction incl. eager decontam pin (run $i)") {
+        graft.queries.CatalogHelpers.curateStages(spark, sfDir)
+      }
       stages.foreach { case (name, df) =>
         t(s"stage '$name' count (prefix recompute, run $i)") { df.count() }
       }
